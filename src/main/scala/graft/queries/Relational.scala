@@ -1,0 +1,328 @@
+package graft.queries
+
+import graft.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core relational operator inventory (SURVEY.md §2.1–§2.8), expressed as
+  * declarative DataFrame plans so Catalyst gets full pushdown/pruning and
+  * whole-stage codegen. Each spec carries a DuckDB oracle.
+  *
+  * Reference semantics covered here:
+  *   - S1/P1/P2 scan + projection + filter  → q_scan_filter_project
+  *   - A1 distinct                          → q_distinct_event_types
+  *   - A2 min / Q5 positivity               → q_qc_summary
+  *   - A3 count                             → q_count_lineitem
+  *   - A4/Q3 null fractions                 → q_null_fractions
+  *   - J1 anti-join dedup shape             → q_dedup_anti_join
+  *   - O1 top-k                             → q_topk_events
+  *   - F1/F2 normalization casts            → q_normalize_events
+  *   - F11 year partition transform         → q_year_stats_events
+  * plus the general join/agg/window/set-op surface Spark gives us for free
+  * (SURVEY.md §2.3 note) exercised by the remaining specs.
+  */
+object Relational {
+
+  /** Exact SUM over a money-ish double: decimal addition is associative, so
+    * Spark partial aggregation and DuckDB single-threaded aggregation agree
+    * bit-for-bit; final cast back to double for a type both engines share.
+    */
+  private def decSumD(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  /** Exact mean: exact decimal sum (as double) / bigint count — one double
+    * division, deterministic on both engines. Avoids avg()'s order-dependent
+    * double accumulation.
+    */
+  private def decAvgD(c: Column): Column = decSumD(c) / count(lit(1))
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q_scan_filter_project",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") < lit("1996-01-01").cast(TimestampNTZType))
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber").cast(LongType).as("l_linenumber"),
+            col("l_extendedprice"),
+            unix_millis(col("l_shipdate").cast(TimestampType)).as("ship_ms"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |       l_extendedprice, epoch_ms(l_shipdate) AS ship_ms
+             |FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      bench = true
+    ),
+
+    QuerySpec(
+      "q_agg_pricing_summary",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("l_quantity")).cast(LongType).as("sum_qty"),
+            decSumD(col("l_extendedprice")).as("sum_price"),
+            decSumD(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+            decAvgD(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+             |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+             |       CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+             |       count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      bench = true
+    ),
+
+    QuerySpec(
+      "q_count_lineitem",
+      (s, dir) => t(s, dir, "lineitem").agg(count(lit(1)).as("n_rows")),
+      Some("SELECT count(*) AS n_rows FROM lineitem")
+    ),
+
+    QuerySpec(
+      "q_null_fractions",
+      (s, dir) => {
+        val df = t(s, dir, "events")
+        // A4/Q3: all per-column null counts in ONE aggregation pass — at
+        // 100 TB this is one scan, not |columns| scans.
+        val nullCounts = df.columns.toSeq.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+        df.agg(count(lit(1)).as("n_rows"), nullCounts: _*)
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS nulls_event_id,
+             |  sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS nulls_ts,
+             |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nulls_user_id,
+             |  sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS nulls_event_type,
+             |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nulls_value,
+             |  sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS nulls_props
+             |FROM events""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_qc_summary",
+      (s, dir) => {
+        // Q1/Q4/Q5 as a single aggregation pass (SURVEY.md §2.8): row
+        // threshold, parseable-timestamp count, positivity of the value col.
+        t(s, dir, "events").agg(
+          count(lit(1)).as("n_rows"),
+          count(col("ts")).as("n_valid_ts"),
+          min(col("value")).as("min_value"),
+          (count(lit(1)) >= 100L).as("enough_rows"),
+          (min(col("value")) > 0.0).as("all_positive"))
+      },
+      Some("""SELECT count(*) AS n_rows, count(ts) AS n_valid_ts,
+             |       min(value) AS min_value,
+             |       count(*) >= 100 AS enough_rows,
+             |       min(value) > 0.0 AS all_positive
+             |FROM events""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_distinct_event_types",
+      (s, dir) =>
+        t(s, dir, "events").select("event_type").distinct().orderBy("event_type"),
+      Some("SELECT DISTINCT event_type FROM events ORDER BY event_type")
+    ),
+
+    QuerySpec(
+      "q_dedup_anti_join",
+      (s, dir) => {
+        // J1's exact shape: NEW left-anti EXISTING on the logical key.
+        // Catalyst/AQE picks broadcast-anti when the build side is small.
+        val orders = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"))
+        orders
+          .join(li, Seq("o_orderkey"), "left_anti")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders o
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin),
+      bench = true
+    ),
+
+    QuerySpec(
+      "q_topk_events",
+      (s, dir) =>
+        t(s, dir, "events")
+          .select("event_id", "user_id", "value")
+          .orderBy(col("value").desc, col("event_id").asc)
+          .limit(10),
+      Some("""SELECT event_id, user_id, value FROM events
+             |ORDER BY value DESC, event_id LIMIT 10""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_year_stats_events",
+      (s, dir) =>
+        // F11: the reference's YearTransform partition function, as the
+        // flagship per-year stats. Emitted as epoch micros (see QuerySpec).
+        t(s, dir, "events")
+          .groupBy(year(col("ts")).cast(LongType).as("ts_year"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            min(unix_micros(col("ts"))).as("min_ts_us"),
+            max(unix_micros(col("ts"))).as("max_ts_us"))
+          .orderBy("ts_year"),
+      Some("""SELECT CAST(year(ts) AS BIGINT) AS ts_year, count(*) AS n_rows,
+             |       min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_join_agg_revenue",
+      (s, dir) => {
+        // Three-way join: big fact × mid dim × small dim. customer is tiny
+        // → explicit broadcast; orders⋈lineitem shuffles on the join key
+        // once and AQE handles skew at scale.
+        val li = t(s, dir, "lineitem")
+        val orders = t(s, dir, "orders")
+        val cust = t(s, dir, "customer")
+        li.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            decSumD(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+             |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             |       count(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      bench = true
+    ),
+
+    QuerySpec(
+      "q_window_running",
+      (s, dir) => {
+        val w = Window
+          .partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .select(
+            col("user_id"),
+            col("event_id"),
+            row_number().over(
+              Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+              .cast(LongType).as("rn"),
+            sum(col("value").cast(DecimalType(18, 4))).over(w)
+              .cast(DoubleType).as("running_value"))
+          .orderBy("user_id", "rn")
+      },
+      Some("""SELECT user_id, event_id,
+             |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+             |FROM events ORDER BY user_id, rn""".stripMargin),
+      bench = true
+    ),
+
+    QuerySpec(
+      "q_semi_join_customers",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val orders = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+        cust.join(orders, Seq("c_custkey"), "left_semi")
+          .select("c_custkey", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_union_value_buckets",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val hi = ev.filter(col("value") >= 100.0)
+          .select(col("event_id"), lit("hi").as("bucket"))
+        val lo = ev.filter(col("value") < 10.0)
+          .select(col("event_id"), lit("lo").as("bucket"))
+        hi.unionByName(lo).orderBy("event_id", "bucket")
+      },
+      Some("""SELECT event_id, 'hi' AS bucket FROM events WHERE value >= 100.0
+             |UNION ALL
+             |SELECT event_id, 'lo' AS bucket FROM events WHERE value < 10.0
+             |ORDER BY event_id, bucket""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_json_extract_props",
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events ORDER BY event_id""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_normalize_events",
+      (s, dir) =>
+        // F1/F2: timestamp → µs-precision normalization + numeric widening,
+        // the reference's normalize_arrow_types step as one projection.
+        t(s, dir, "events")
+          .select(
+            col("event_id"),
+            unix_micros(col("ts").cast(TimestampType)).as("ts_us"),
+            col("value").cast(DoubleType).as("value"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             |       CAST(value AS DOUBLE) AS value
+             |FROM events ORDER BY event_id""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_agg_orders_priority",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            countDistinct(col("o_custkey")).as("n_customers"),
+            decSumD(col("o_totalprice")).as("sum_total"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS n_orders,
+             |       count(DISTINCT o_custkey) AS n_customers,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_join_nation_customers",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val nation = t(s, dir, "nation")
+        cust.join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(
+            count(lit(1)).as("n_customers"),
+            decSumD(col("c_acctbal")).as("sum_acctbal"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, count(*) AS n_customers,
+             |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    )
+  )
+}
