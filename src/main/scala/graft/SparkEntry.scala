@@ -2,9 +2,14 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the full lakehouse flow — ingest events into a fresh
+    * snapshot-versioned table (normalize → QC → dedup → append), prove
+    * idempotence with an overlapping re-ingest, and answer per-year
+    * stats from the table (SURVEY.md §7.2's minimum slice).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    graft.queries.LakeOps.roundtrip(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Registry.all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,50 @@
+package graft.ingest
+
+import graft.lake.LakehouseTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unbounded-history deduplication against the table's full live data —
+  * the reference's `deduplicate`
+  * (`/root/reference/lakehouse_pipeline.py:204-227`), whose PyArrow
+  * `unique`→`is_in`→`invert` chain materializes every existing key in
+  * memory. At 100 TB that is the design-breaking step, so we re-express
+  * it Spark-first:
+  *
+  *   1. Partition-prune the existing side to the years actually present
+  *      in the incoming batch (one tiny agg on the batch; the year filter
+  *      hits the hive-style partition dirs, so existing data outside the
+  *      batch's time range is never read).
+  *   2. LEFT ANTI join on the key. Catalyst/AQE picks broadcast-anti when
+  *      the pruned existing key set is small and shuffled-hash otherwise;
+  *      nothing is ever collected to the driver.
+  */
+object Dedup {
+
+  def dropExisting(newDf: DataFrame, table: LakehouseTable, key: String): DataFrame = {
+    val meta = table.metadata
+    if (meta.currentSnapshot.isEmpty) return newDf
+
+    val existing = table.read()
+    val pruned = (meta.partitionTransform, meta.partitionColumns) match {
+      case (Some(src), Seq(pc)) if src == key =>
+        val Array(lo, hi) = newDf
+          .agg(min(year(col(key))), max(year(col(key))))
+          .head().toSeq.toArray
+        (lo, hi) match {
+          case (l: Int, h: Int) => existing.filter(col(pc).between(l, h))
+          case _ => existing // batch key entirely null: nothing to prune on
+        }
+      case _ => existing
+    }
+    newDf.join(pruned.select(col(key)), Seq(key), "left_anti")
+  }
+
+  /** Within-batch exact dedup on a key (keep an arbitrary single row per
+    * key, matching dropDuplicates semantics). The reference does NOT
+    * dedup within a batch (SURVEY.md §2.3) — exposed separately so the
+    * pipeline can opt in.
+    */
+  def withinBatch(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+}

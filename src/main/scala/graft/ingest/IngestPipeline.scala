@@ -1,0 +1,175 @@
+package graft.ingest
+
+import graft.lake.{LakehouseCatalog, LakehouseTable}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+/** The reference's `run_pipeline`
+  * (`/root/reference/lakehouse_pipeline.py:289-424`) re-expressed
+  * Spark-first: per symbol-folder, discover parquet files, checksum-skip
+  * unchanged ones, then per file scan → normalize → quality-check →
+  * dedup-against-table → snapshot append, followed by snapshot expiry per
+  * table and a run audit entry.
+  *
+  * Cluster boundaries: the scan/normalize/QC/dedup/append steps are Spark
+  * jobs (executor-parallel); catalog, ledger, and audit are tiny
+  * driver-side JSON state, exactly mirroring the reference's split
+  * (SURVEY.md §3).
+  */
+final case class IngestConfig(
+    warehouseDir: String,
+    namespace: String = "gold",
+    timeColumn: String = "DateTime",
+    requiredColumns: Seq[String] = Seq("DateTime", "Bid", "Ask"),
+    positiveColumns: Seq[String] = Seq("Bid", "Ask"),
+    minRows: Long = 100L,
+    maxNullFraction: Double = 0.05,
+    retentionDays: Int = 7,
+    keepSnapshots: Int = 2
+)
+
+final case class FileIngestResult(
+    file: String,
+    appended: Long,
+    rejected: Long,
+    skipped: Boolean,
+    issues: Seq[String]
+)
+
+final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  val catalog = new LakehouseCatalog(spark, cfg.warehouseDir)
+  private val whPath = new Path(cfg.warehouseDir)
+  private def fs = whPath.getFileSystem(spark.sessionState.newHadoopConf())
+  private val ledger = new ChecksumLedger(new Path(whPath, "ingested_files.json"), fs)
+  private val audit = new AuditLog(new Path(whPath, "audit_log.json"), fs)
+  private val runIdFmt = DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss").withZone(ZoneOffset.UTC)
+
+  catalog.createNamespaceIfNotExists(cfg.namespace)
+
+  /** Full run over a data root whose first-level subdirectories are
+    * symbols (reference `:322-331`), each holding parquet files at any
+    * depth (`:343`).
+    */
+  def run(dataRoot: String): RunSummary = {
+    val t0 = Instant.now()
+    val root = new Path(dataRoot)
+    val symbols = fs.listStatus(root).filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+    val tableAudits = symbols.map { symDir =>
+      val files = listParquet(symDir)
+      ingestSymbol(symDir.getName, files)
+    }.toSeq
+    ledger.persist()
+    val t1 = Instant.now()
+    val summary = RunSummary(
+      runId = runIdFmt.format(t0),
+      startedAtIso = t0.toString,
+      finishedAtIso = t1.toString,
+      durationSecs = (t1.toEpochMilli - t0.toEpochMilli) / 1000.0,
+      tables = tableAudits,
+      totalRowsAppended = tableAudits.map(_.rowsAppended).sum,
+      errors = Nil)
+    audit.append(summary)
+    summary
+  }
+
+  private def listParquet(dir: Path): Seq[Path] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) out += st.getPath
+    }
+    out.sortBy(_.toString).toSeq
+  }
+
+  /** Ingest a set of files into one symbol's table, then expire old
+    * snapshots for that table (reference `:328-405`).
+    */
+  def ingestSymbol(symbol: String, files: Seq[Path]): TableAudit = {
+    val results = files.map(f => ingestFile(symbol, f))
+    ledger.persist()
+    val tableId = s"${cfg.namespace}.${symbol.toLowerCase}"
+    if (catalog.tableExists(tableId)) {
+      val (expired, orphans) = catalog.loadTable(tableId).expireSnapshots(
+        retentionMs = cfg.retentionDays.toLong * 24 * 3600 * 1000,
+        keepLast = cfg.keepSnapshots)
+      if (expired.nonEmpty)
+        log.info(s"expired snapshots $expired of $tableId, deleted ${orphans.size} files")
+    }
+    TableAudit(
+      table = tableId,
+      rowsAppended = results.map(_.appended).sum,
+      rowsRejected = results.map(_.rejected).sum,
+      filesProcessed = results.count(r => !r.skipped),
+      filesSkipped = results.count(_.skipped),
+      qualityIssues = results.flatMap(_.issues))
+  }
+
+  /** Per-file flow (reference `:352-399`): checksum-skip → scan →
+    * normalize → QC (fail ⇒ reject all rows) → table create-if-missing
+    * (schema frozen from this first batch) → dedup anti-join → append
+    * only when new rows exist.
+    */
+  def ingestFile(symbol: String, file: Path): FileIngestResult = {
+    val sum = ledger.checksum(file)
+    if (ledger.isUnchanged(file, sum))
+      return FileIngestResult(file.toString, 0, 0, skipped = true, Nil)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(file.toString)
+    val df = Normalize(raw, cfg.timeColumn)
+
+    val qc = QualityChecks.run(df, QcConfig(
+      cfg.requiredColumns, cfg.timeColumn, cfg.positiveColumns,
+      cfg.minRows, cfg.maxNullFraction))
+    if (!qc.passed)
+      return FileIngestResult(file.toString, 0, math.max(qc.nRows, 0), skipped = false, qc.issues)
+
+    val tableId = s"${cfg.namespace}.${symbol.toLowerCase}"
+    val table = catalog.createTableIfNotExists(tableId, df.schema, Some(cfg.timeColumn))
+
+    val fresh = Dedup.dropExisting(df, table, cfg.timeColumn)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nNew = fresh.count()
+      if (nNew == 0L) {
+        ledger.record(file, sum)
+        FileIngestResult(file.toString, 0, 0, skipped = false, Nil)
+      } else {
+        table.append(fresh)
+        ledger.record(file, sum)
+        FileIngestResult(file.toString, nNew, 0, skipped = false, Nil)
+      }
+    } finally fresh.unpersist()
+  }
+
+  /** Micro-batch entry used by the streaming watcher: ingest an already
+    * loaded DataFrame into a symbol's table (normalize → QC → dedup →
+    * append), bypassing the file ledger (the stream source's checkpoint
+    * provides file-level exactly-once).
+    */
+  def ingestBatch(symbol: String, batch: DataFrame): FileIngestResult = {
+    val df = Normalize(batch, cfg.timeColumn)
+    val qc = QualityChecks.run(df, QcConfig(
+      cfg.requiredColumns, cfg.timeColumn, cfg.positiveColumns,
+      cfg.minRows, cfg.maxNullFraction))
+    if (!qc.passed)
+      return FileIngestResult(s"batch:$symbol", 0, math.max(qc.nRows, 0), skipped = false, qc.issues)
+    val tableId = s"${cfg.namespace}.${symbol.toLowerCase}"
+    val table = catalog.createTableIfNotExists(tableId, df.schema, Some(cfg.timeColumn))
+    val fresh = Dedup.dropExisting(df, table, cfg.timeColumn)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = fresh.count()
+      if (n > 0) table.append(fresh)
+      FileIngestResult(s"batch:$symbol", n, 0, skipped = false, Nil)
+    } finally fresh.unpersist()
+  }
+
+  def auditLog: AuditLog = audit
+}

@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.ingest.{IngestConfig, IngestPipeline}
+import graft.lake.LakehouseTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+/** End-to-end lakehouse flows registered as oracle-checked queries: the
+  * whole normalize → QC → dedup → snapshot-append → read-back path must
+  * reproduce exactly what DuckDB computes over the raw input parquet.
+  * (µs-truncated `ts` is unique at every test SF, so "dedup changes
+  * nothing on first ingest, and a full overlapping re-ingest appends
+  * nothing" holds exactly.)
+  */
+object LakeOps {
+
+  private def eventsConfig(wh: String) = IngestConfig(
+    warehouseDir = wh,
+    namespace = "gold",
+    timeColumn = "ts",
+    requiredColumns = Seq("event_id", "ts", "value"),
+    positiveColumns = Seq("value"),
+    minRows = 100L)
+
+  private def freshWarehouse(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def yearStats(table: DataFrame): DataFrame =
+    table
+      .groupBy(year(col("ts")).cast(LongType).as("ts_year"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(unix_micros(col("ts"))).as("min_ts_us"),
+        max(unix_micros(col("ts"))).as("max_ts_us"))
+      .orderBy("ts_year")
+
+  /** Ingest events + a fully overlapping copy; dedup must drop the
+    * second batch entirely, so year stats equal the raw input's.
+    */
+  def roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val pipeline = new IngestPipeline(s, eventsConfig(freshWarehouse("graft-rt")))
+    val ev = graft.Tables.t(s, dir, "events")
+    pipeline.ingestBatch("events", ev)
+    pipeline.ingestBatch("events", ev) // full overlap: anti-join drops all
+    yearStats(pipeline.catalog.loadTable("gold.events").read())
+  }
+
+  /** Two appends (even event_ids, then everything); time travel to the
+    * first snapshot must see only the even rows, current sees all.
+    */
+  def timeTravel(s: SparkSession, dir: String): DataFrame = {
+    val pipeline = new IngestPipeline(s, eventsConfig(freshWarehouse("graft-tt")))
+    val ev = graft.Tables.t(s, dir, "events")
+    pipeline.ingestBatch("events", ev.filter(col("event_id") % 2 === 0))
+    pipeline.ingestBatch("events", ev)
+    val table: LakehouseTable = pipeline.catalog.loadTable("gold.events")
+    val firstSnap = table.snapshots.head.id
+    val atFirst = table.timeTravel(firstSnap)
+      .agg(count(lit(1)).as("n_rows")).select(lit(1L).as("snap"), col("n_rows"))
+    val atCurrent = table.read()
+      .agg(count(lit(1)).as("n_rows")).select(lit(2L).as("snap"), col("n_rows"))
+    atFirst.unionByName(atCurrent).orderBy("snap")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q_lake_roundtrip",
+      roundtrip,
+      Some("""SELECT CAST(year(ts) AS BIGINT) AS ts_year, count(*) AS n_rows,
+             |       min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true
+    ),
+    QuerySpec(
+      "q_lake_timetravel",
+      timeTravel,
+      Some("""SELECT CAST(1 AS BIGINT) AS snap, count(*) AS n_rows FROM events WHERE event_id % 2 = 0
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT) AS snap, count(*) AS n_rows FROM events
+             |ORDER BY snap""".stripMargin)
+    )
+  )
+}
