@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Vector similarity over `Array[Float]` embedding columns: exact
+  * brute-force cosine top-k as the correctness baseline, random-
+  * hyperplane LSH bucketing as the scale path, and thresholded all-pairs
+  * near-dup detection.
+  *
+  * Dot products run as `zip_with` + `aggregate` higher-order functions —
+  * sequential double accumulation, bit-reproducible across engines (the
+  * DuckDB oracle computes the identical fold), and fully inside codegen:
+  * no UDF, no Python, no boxing of the vectors.
+  */
+object SimilaritySearch {
+
+  /** Sequential-fold dot product with elements cast to double BEFORE the
+    * multiply (float32 values are exactly representable in float64, so
+    * cast-then-multiply is deterministic; multiplying in float32 first
+    * would round differently than the oracle).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector by brute force.
+    * The query set is broadcast (it is small by construction); the
+    * candidate side streams — at 100 TB of candidates this is one scan,
+    * no shuffle until the per-query top-k aggregation, which AQE sizes.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, // (q_id, q_vec)
+      candidates: DataFrame, // (n_id, n_vec)
+      k: Int): DataFrame = {
+    val scored = candidates
+      .crossJoin(broadcast(queries))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_vec"), col("n_vec")).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane for LSH: sign pattern derived
+    * from a splitmix64-style mix of (plane, dim) — reproducible across
+    * runs and sessions with no RNG state.
+    */
+  private def planeSign(plane: Int, dim: Int): Double = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if (z >= 0) 1.0 else -1.0
+  }
+
+  /** Random-hyperplane LSH bucket id: sign bit per hyperplane packed into
+    * a long. Cosine-similar vectors agree on most sign bits, so they land
+    * in the same bucket with high probability (Charikar, STOC'02).
+    */
+  def lshBucket(vec: Column, numPlanes: Int, dims: Int): Column =
+    lshBucketOffset(vec, numPlanes, dims, 0)
+
+  private def lshBucketOffset(vec: Column, numPlanes: Int, dims: Int, planeOffset: Int): Column = {
+    require(numPlanes <= 63, "bucket packs into a long")
+    val bits = (0 until numPlanes).map { p =>
+      val plane = array((0 until dims).map(d => lit(planeSign(planeOffset + p, d))): _*)
+      when(dot(vec, plane) >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: bucket queries and candidates by multi-table LSH
+    * (the classic L-tables × k-planes scheme), compare only within
+    * matching (table, bucket) cells. Turns the cross join into an
+    * equality join on the bucket key — the 100 TB plan. More planes ⇒
+    * smaller buckets (cheaper, lower recall); more tables ⇒ more
+    * independent chances to collide (higher recall, ×L candidate rows).
+    */
+  def lshTopK(
+      queries: DataFrame, // (q_id, q_vec)
+      candidates: DataFrame, // (n_id, n_vec)
+      k: Int,
+      numPlanes: Int = 8,
+      numTables: Int = 4,
+      dims: Int = 64): DataFrame = {
+    def bucketed(df: DataFrame, vecCol: String) = df.select(
+      col("*"),
+      explode(array((0 until numTables).map(t =>
+        struct(lit(t).as("tbl"),
+          // plane indices offset per table → independent plane sets
+          lshBucketOffset(col(vecCol), numPlanes, dims, t * numPlanes).as("bucket"))): _*)).as("tb"))
+      .select(col("*"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .drop("tb")
+    val qb = bucketed(queries, "q_vec")
+    val cb = bucketed(candidates, "n_vec")
+    val scored = cb
+      .join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), col("q_vec"), col("n_vec"))
+      .distinct() // a pair may collide in several tables: score once
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_vec"), col("n_vec")).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+  }
+
+  /** All-pairs near-duplicates above a cosine threshold. Exact O(n²)
+    * variant for oracle-checkable sizes; the scale path is the same
+    * filter over `lshTopK` candidates.
+    */
+  def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

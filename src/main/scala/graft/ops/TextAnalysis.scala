@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * token counting, quality scoring, language ID, and document
+  * fingerprinting (exact + winnowed shingles). Everything is built from
+  * codegen'd `functions._` / higher-order array functions — no UDFs — so
+  * the operators stay inside whole-stage codegen and scale linearly with
+  * executors; nothing shuffles until an explicit aggregation.
+  *
+  * (The reference repo has no text operators — this is the
+  * BASELINE.json north-star extension surface, SURVEY.md §7.4.)
+  */
+object TextAnalysis {
+
+  /** 1..n as an array, or empty when n < 1. A bare `sequence(1, n)` is a
+    * trap: Spark generates DESCENDING sequences when n < start, so
+    * short inputs would yield positions [1, 0] instead of none.
+    */
+  private[ops] def positions(n: Column): Column =
+    when(n >= 1, sequence(lit(1), n)).otherwise(array().cast(ArrayType(IntegerType)))
+
+  /** Whitespace tokenization (the corpus is single-space separated;
+    * multi-space inputs yield empty tokens which we filter).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /** Tiny per-language stopword lists for the n-gram/stopword-hit
+    * language heuristic. Deterministic and SQL-expressible so the DuckDB
+    * oracle can replicate the exact same decision function.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un"))
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words))).cast(LongType)
+
+  /** Language ID: argmax of stopword hits with a minimum-evidence floor;
+    * ties break by language code order (deterministic).
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val langs = stopwords.keys.toSeq.sorted
+    // array_max over struct(hits, ord, lang): highest hit count wins;
+    // ties break toward the alphabetically-first language via ord=-index
+    val best = array_max(array(langs.map(l =>
+      struct(hitCount(toks, stopwords(l)).as("hits"),
+        lit(-langs.indexOf(l)).as("ord"), lit(l).as("lang"))): _*))
+    when(best.getField("hits") >= 1, best.getField("lang")).otherwise(lit("unknown"))
+  }
+
+  /** Quality signals in one projection: char/token counts, mean token
+    * length, stopword ratio, type-token ratio, and a blended score.
+    * Arithmetic is written in a fixed operation order so an oracle
+    * re-implementing the same formula gets bit-identical doubles.
+    */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast(LongType)
+    val nChars = length(text).cast(LongType)
+    val allStop = stopwords.values.flatten.toSeq.distinct
+    val nStop = size(filter(toks, t => t.isInCollection(allStop))).cast(LongType)
+    val nTypes = size(array_distinct(toks)).cast(LongType)
+    val meanTokLen = (nChars - (nTok - lit(1L))).cast(DoubleType) / nTok.cast(DoubleType)
+    val stopRatio = nStop.cast(DoubleType) / nTok.cast(DoubleType)
+    val typeTokenRatio = nTypes.cast(DoubleType) / nTok.cast(DoubleType)
+    Seq(
+      nChars.as("n_chars_obs"),
+      nTok.as("n_tokens"),
+      nTypes.as("n_types"),
+      round(meanTokLen, 4).as("mean_token_len"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(typeTokenRatio, 4).as("type_token_ratio"),
+      round(stopRatio * 0.25 + typeTokenRatio * 0.5 +
+        least(nTok.cast(DoubleType) / 100.0, lit(1.0)) * 0.25, 4).as("quality_score"))
+  }
+
+  /** Exact content fingerprint — MD5 over the raw text bytes. */
+  def fingerprint(text: Column): Column = md5(text.cast(BinaryType))
+
+  /** Winnowing-style robust fingerprint (Schleimer et al., SIGMOD'03):
+    * MD5 over every k-char shingle, then the per-window minimum, then
+    * distinct. MD5 (not murmur) keeps it oracle-comparable across
+    * engines. Runs entirely inside array HOFs — one projection.
+    */
+  def winnowFingerprints(text: Column, k: Int = 5, window: Int = 4): Column = {
+    val shingleHashes = transform(
+      positions(length(text) - (k - 1)),
+      i => md5(text.substr(i, lit(k)).cast(BinaryType)))
+    val mins = transform(
+      positions(size(shingleHashes) - (window - 1)),
+      i => array_min(slice(shingleHashes, i, lit(window))))
+    array_distinct(mins)
+  }
+
+  /** All per-document text analysis as one wide projection. */
+  def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val cols = Seq(col("*")) ++
+      qualityColumns(col(textCol)) :+
+      langId(col(textCol)).as("pred_lang") :+
+      fingerprint(col(textCol)).as("fp_md5")
+    df.select(cols: _*)
+  }
+}

@@ -1,0 +1,180 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.ops.{DedupOps, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-pipeline operators over the documents table, oracle-checked
+  * where the semantics are hash-function-agnostic (token stats, quality
+  * ratios, language ID, MD5 fingerprints, n-gram Jaccard). MinHash and
+  * SimHash rely on Spark's murmur3/xxhash64 which DuckDB cannot
+  * reproduce → registered without oracle (rows-only check) and verified
+  * structurally in ScalaTest instead.
+  */
+object TextOps {
+
+  /** The full (deduped, sorted) stopword list, inlined into the oracle
+    * SQL so both engines classify with the same lists.
+    */
+  private val allStop = TextAnalysis.stopwords.values.flatten.toSeq.distinct.sorted
+  private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q_text_token_stats",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+            length(col("text")).cast(LongType).as("n_chars_obs"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(length(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS BIGINT) AS n_tokens,
+             |  CAST(length(text) AS BIGINT) AS n_chars_obs
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_text_quality",
+      (s, dir) => {
+        val cols = Seq(col("doc_id")) ++ TextAnalysis.qualityColumns(col("text"))
+        t(s, dir, "documents").select(cols: _*).orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, length(text) AS nc,
+              |         list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+              |  FROM documents
+              |), m AS (
+              |  SELECT doc_id,
+              |         CAST(nc AS BIGINT) AS n_chars_obs,
+              |         CAST(length(tk) AS BIGINT) AS n_tokens,
+              |         CAST(length(list_distinct(tk)) AS BIGINT) AS n_types,
+              |         CAST(length(list_filter(tk, t -> t IN (${sqlList(allStop)}))) AS BIGINT) AS n_stop
+              |  FROM toks
+              |)
+              |SELECT doc_id, n_chars_obs, n_tokens, n_types,
+              |  round(CAST(n_chars_obs - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS mean_token_len,
+              |  round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS stopword_ratio,
+              |  round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS type_token_ratio,
+              |  round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.25
+              |      + CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.5
+              |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.25, 4) AS quality_score
+              |FROM m ORDER BY doc_id""".stripMargin),
+      bench = true
+    ),
+
+    QuerySpec(
+      "q_text_langid",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+          .orderBy("doc_id"),
+      Some {
+        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+        val hitCols = langs.map(l =>
+          s"length(list_filter(tk, t -> t IN (${sqlList(TextAnalysis.stopwords(l))}))) AS h_$l").mkString(",\n         ")
+        // first-alphabetical-wins-on-ties, matching TextAnalysis.langId
+        val cases = langs.zipWithIndex.map { case (l, i) =>
+          val geRest = langs.drop(i + 1).map(o => s"h_$l >= h_$o")
+          val conds = (geRest :+ s"h_$l >= 1").mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }.mkString("\n  ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+           |  FROM documents
+           |), h AS (
+           |  SELECT doc_id,
+           |         $hitCols
+           |  FROM toks
+           |)
+           |SELECT doc_id, CASE
+           |  $cases
+           |  ELSE 'unknown' END AS pred_lang
+           |FROM h ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    QuerySpec(
+      "q_text_fingerprint",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            TextAnalysis.fingerprint(col("text")).as("fp_md5"),
+            size(TextAnalysis.winnowFingerprints(col("text"))).cast(LongType).as("n_winnow"),
+            array_min(TextAnalysis.winnowFingerprints(col("text"))).as("min_winnow_fp"))
+          .orderBy("doc_id"),
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |         list_transform(range(1, CASE WHEN length(text) - 4 >= 1 THEN length(text) - 3 ELSE 1 END),
+             |                        i -> md5(text[i:i+4])) AS hs
+             |  FROM documents
+             |), w AS (
+             |  SELECT doc_id,
+             |         list_distinct(list_transform(range(1, CASE WHEN length(hs) - 3 >= 1 THEN length(hs) - 2 ELSE 1 END),
+             |                                      i -> list_min(hs[i:i+3]))) AS fps
+             |  FROM s
+             |)
+             |SELECT d.doc_id, md5(d.text) AS fp_md5,
+             |       CAST(length(w.fps) AS BIGINT) AS n_winnow,
+             |       list_min(w.fps) AS min_winnow_fp
+             |FROM documents d JOIN w ON d.doc_id = w.doc_id
+             |ORDER BY d.doc_id""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_text_exact_dedup",
+      (s, dir) =>
+        DedupOps.exactGroups(t(s, dir, "documents")).orderBy("fp"),
+      Some("""SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_text_ngram_jaccard",
+      (s, dir) =>
+        DedupOps.ngramJaccardPairs(t(s, dir, "documents"), blockCol = "source")
+          .orderBy("doc_a", "doc_b"),
+      Some("""WITH g AS (
+             |  SELECT source, doc_id,
+             |         list_distinct(list_transform(
+             |           range(1, CASE WHEN length(tk) - 2 >= 1 THEN length(tk) - 1 ELSE 1 END),
+             |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS grams
+             |  FROM (SELECT source, doc_id,
+             |               list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+             |        FROM documents)
+             |  WHERE length(grams) > 0
+             |)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(length(list_filter(a.grams, x -> list_contains(b.grams, x))) AS BIGINT) AS n_common,
+             |  CAST(length(a.grams) + length(b.grams)
+             |       - length(list_filter(a.grams, x -> list_contains(b.grams, x))) AS BIGINT) AS n_union,
+             |  round(CAST(length(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+             |      / CAST(length(a.grams) + length(b.grams)
+             |             - length(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE), 4) AS jaccard
+             |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      bench = true
+    ),
+
+    QuerySpec(
+      "q_text_minhash_bands",
+      (s, dir) =>
+        DedupOps.lshBands(DedupOps.minHashSignatures(t(s, dir, "documents")))
+          .orderBy("id", "band_id"),
+      oracle = None, // murmur3 signatures: not reproducible in DuckDB
+      bench = true
+    ),
+
+    QuerySpec(
+      "q_text_simhash",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), DedupOps.simHash(col("text")).as("simhash64"))
+          .orderBy("doc_id"),
+      oracle = None // xxhash64-based: not reproducible in DuckDB
+    )
+  )
+}

@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.ops.{Multimodal, SimilaritySearch}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity + multimodal plumbing over the embeddings /
+  * documents tables. Cosine math is a sequential double fold on both
+  * engines (see [[graft.ops.SimilaritySearch.dot]]), rounded to 4
+  * decimals at the output boundary only.
+  */
+object VectorOps {
+
+  /** Shared oracle fragment: double-cast vectors, dot-product cosine. */
+  private val cosSql =
+    "list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv)))"
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q_vec_cosine_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val c = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+        SimilaritySearch.bruteForceTopK(q, c, k = 5)
+          .select(col("q_id"), col("n_id"), col("rnk"), round(col("sim"), 4).as("sim"))
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+              |     c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+              |     s AS (SELECT q_id, n_id, $cosSql AS sim FROM q, c WHERE q_id <> n_id),
+              |     r AS (SELECT q_id, n_id, sim,
+              |                  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+              |           FROM s)
+              |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, round(sim, 4) AS sim
+              |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin),
+      bench = true
+    ),
+
+    QuerySpec(
+      "q_vec_neardup",
+      (s, dir) =>
+        SimilaritySearch
+          .nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+          .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+          .orderBy("id_a", "id_b"),
+      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |       round(list_dot_product(a.vec, b.vec)
+              |             / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 4) AS sim
+              |FROM v a JOIN v b ON a.vec_id < b.vec_id
+              |WHERE list_dot_product(a.vec, b.vec)
+              |      / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) >= 0.4
+              |ORDER BY id_a, id_b""".stripMargin),
+      bench = true
+    ),
+
+    QuerySpec(
+      "q_vec_ann_lsh",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val c = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+        SimilaritySearch.lshTopK(q, c, k = 5, numPlanes = 6)
+          .select(col("q_id"), col("n_id"), col("rnk"), round(col("sim"), 4).as("sim"))
+          .orderBy("q_id", "rnk")
+      },
+      oracle = None // LSH buckets use engine-side hyperplane derivation
+    ),
+
+    QuerySpec(
+      "q_multimodal_features",
+      (s, dir) =>
+        Multimodal
+          .extractFeatures(Multimodal.mediaFromDocuments(s, t(s, dir, "documents")))
+          .orderBy("media_id"),
+      // oracle predicts the deterministic decode stub from the raw bytes:
+      // width = 16 + len%64, height = 16 + first_byte%64, frames = 1 + len%8
+      Some("""SELECT doc_id AS media_id,
+             |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             |       CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS width,
+             |       CAST(16 + ascii(substr(text, 1, 1)) % 64 AS BIGINT) AS height,
+             |       CAST(1 + octet_length(encode(text)) % 8 AS BIGINT) AS n_frames,
+             |       'text/plain;src=' || source AS mime
+             |FROM documents ORDER BY media_id""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_multimodal_frames",
+      (s, dir) =>
+        Multimodal
+          .sampleFrames(Multimodal.extractFeatures(
+            Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))))
+          .orderBy("media_id", "frame_idx"),
+      Some("""SELECT doc_id AS media_id, unnest(range(0, 1 + octet_length(encode(text)) % 8, 2)) AS frame_idx
+             |FROM documents ORDER BY media_id, frame_idx""".stripMargin)
+    )
+  )
+}
