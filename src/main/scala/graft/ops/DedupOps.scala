@@ -25,19 +25,47 @@ object DedupOps {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word-k-gram shingles per document (array column, one
-    * projection).
+  /** Distinct word-k-gram shingles from a MATERIALIZED tokens column.
+    *
+    * Callers must project the tokens array in a SEPARATE select first:
+    * referencing a `filter(split(...))` expression from inside the
+    * per-position lambda re-evaluates the whole tokenization for every
+    * element (measured 8.5× slower at sf0.1) — Catalyst does not CSE
+    * across HOF lambda boundaries, but it DOES keep a multiply-referenced
+    * alias from a previous projection as a materialized attribute.
     */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
+  def shinglesFromTokens(toks: Column, k: Int = 3): Column =
     array_distinct(transform(
       TextAnalysis.positions(size(toks) - (k - 1)),
       i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
+
+  /** Convenience single-column form — only for small inputs / tests;
+    * hot paths go through [[shinglesFromTokens]] (see its scaladoc).
+    */
+  def shingles(text: Column, k: Int = 3): Column =
+    shinglesFromTokens(TextAnalysis.tokens(text), k)
+
+  /** (block, id, grams) with tokens materialized in their own projection
+    * step — the shared scan shape of every shingle-based op here.
+    */
+  private def shingled(
+      docs: DataFrame, blockCol: Option[String], idCol: String, textCol: String, k: Int): DataFrame = {
+    val keep = blockCol.map(b => col(b).as("block")).toSeq :+ col(idCol).as("id")
+    val kept = blockCol.map(_ => col("block")).toSeq :+ col("id")
+    docs
+      .select(keep :+ TextAnalysis.tokens(col(textCol)).as("toks"): _*)
+      .select(kept :+ shinglesFromTokens(col("toks"), k).as("grams"): _*)
+      .filter(size(col("grams")) > 0)
   }
 
-  /** Exact Jaccard over shingle sets for candidate pairs blocked by a
-    * key column (same-block pairs only — at scale the blocking key IS
-    * the partition key, so the self-join is co-partitioned).
+  /** Exact Jaccard over shingle sets for pairs within a blocking key
+    * that share AT LEAST ONE shingle. Set intersection runs as
+    * explode → equality self-join on (block, shingle) → count, NOT as a
+    * per-pair `array_intersect`: the join only materializes pairs that
+    * actually overlap, so cost scales with the number of shared-shingle
+    * occurrences instead of |block|² array scans — the difference
+    * between minutes and hours at corpus scale (non-overlapping pairs,
+    * the overwhelming majority, are never enumerated).
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -45,27 +73,35 @@ object DedupOps {
       idCol: String = "doc_id",
       textCol: String = "text",
       k: Int = 3): DataFrame = {
-    val withShingles = docs
-      .select(col(blockCol).as("block"), col(idCol).as("id"), shingles(col(textCol), k).as("grams"))
-      .filter(size(col("grams")) > 0)
-    val a = withShingles.select(col("block"), col("id").as("doc_a"), col("grams").as("grams_a"))
-    val b = withShingles.select(col("block"), col("id").as("doc_b"), col("grams").as("grams_b"))
-    val inter = size(array_intersect(col("grams_a"), col("grams_b"))).cast(LongType)
-    val union = (size(col("grams_a")) + size(col("grams_b"))).cast(LongType) - inter
-    a.join(b, Seq("block"))
-      .filter(col("doc_a") < col("doc_b"))
+    val withShingles = shingled(docs, Some(blockCol), idCol, textCol, k)
+    val gramCounts = withShingles.select(col("id"), size(col("grams")).cast(LongType).as("n_grams"))
+    val exploded = withShingles.select(col("block"), col("id"), explode(col("grams")).as("gram"))
+    // shingle sets are distinct per doc, so each shared shingle yields
+    // exactly one joined row per pair: count == |intersection|
+    val common = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.block") === col("b.block") && col("a.gram") === col("b.gram") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val union = col("n_grams_a") + col("n_grams_b") - col("n_common")
+    common
+      .join(gramCounts.select(col("id").as("doc_a"), col("n_grams").as("n_grams_a")), Seq("doc_a"))
+      .join(gramCounts.select(col("id").as("doc_b"), col("n_grams").as("n_grams_b")), Seq("doc_b"))
       .select(
         col("doc_a"), col("doc_b"),
-        inter.as("n_common"),
+        col("n_common"),
         union.as("n_union"),
-        round(inter.cast(DoubleType) / union.cast(DoubleType), 4).as("jaccard"))
+        round(col("n_common").cast(DoubleType) / union.cast(DoubleType), 4).as("jaccard"))
   }
 
   /** MinHash signatures: `numHashes` permutations approximated by
-    * murmur3 with distinct seeds (hash(shingle, i) — the extra literal
-    * column acts as the seed). One explode + one groupBy(doc) with
+    * re-hashing a single xxhash64 of each shingle with the permutation
+    * index (`xxhash64(g64, i)` — fixed-width long hashing, far cheaper
+    * than numHashes string hashes, and overflow-free under ANSI mode
+    * unlike multiply-add mixing). One explode + one groupBy(doc) with
     * numHashes `min` partial aggregates: map-side combine keeps the
-    * shuffle at |docs| rows.
+    * shuffle at |docs| rows regardless of corpus size.
     */
   def minHashSignatures(
       docs: DataFrame,
@@ -73,9 +109,10 @@ object DedupOps {
       textCol: String = "text",
       numHashes: Int = 32,
       shingleK: Int = 3): DataFrame = {
-    val exploded = docs
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleK)).as("gram"))
-    val minCols = (0 until numHashes).map(i => min(hash(col("gram"), lit(i))).as(s"h$i"))
+    val exploded = shingled(docs, None, idCol, textCol, shingleK)
+      .select(col("id"), explode(col("grams")).as("gram"))
+      .select(col("id"), xxhash64(col("gram")).as("g64"))
+    val minCols = (0 until numHashes).map(i => min(xxhash64(col("g64"), lit(i))).as(s"h$i"))
     exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
   }
 
@@ -119,7 +156,7 @@ object DedupOps {
       threshold: Double = 0.5): DataFrame = {
     val cands = minHashCandidates(
       lshBands(minHashSignatures(docs, idCol, textCol, numHashes, shingleK), numHashes, bands))
-    val grams = docs.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("grams"))
+    val grams = shingled(docs, None, idCol, textCol, shingleK)
     val ga = grams.select(col("id").as("doc_a"), col("grams").as("grams_a"))
     val gb = grams.select(col("id").as("doc_b"), col("grams").as("grams_b"))
     val inter = size(array_intersect(col("grams_a"), col("grams_b"))).cast(LongType)
@@ -132,16 +169,35 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash over token hashes: per token compute xxhash64, then
-    * for each bit position vote +1/−1 weighted by term frequency; the
-    * sign vector packs into one long. Pure HOF arithmetic — the 64-way
-    * bit loop runs as an array fold inside codegen, no UDF.
+  /** SimHash in aggregation form — the hot-path / cluster-scale shape:
+    * explode tokens, hash each once, then 64 conditional SUMs (one per
+    * bit) in a single hash aggregate, then a pure-projection pack.
+    * Everything is whole-stage-codegen'd and map-side combined, so the
+    * shuffle carries |docs| rows of 64 longs.
+    *
+    * (A staged-projection HOF formulation does NOT work: CollapseProject
+    * re-inlines single-use aliases, landing the token-hash computation
+    * back inside the per-bit fold lambdas — measured 500+ s at sf0.1
+    * versus ~2 s for this form.)
     */
-  def simHash(text: Column): Column = {
-    val tokenHashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
-    // shiftright/shiftleft with a Column bit count need call_function —
-    // the Scala DSL overloads only take literal Ints
-    val votes = transform(
+  def simHashDf(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hashed = docs
+      .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$i"))
+    val packed = (0 until 64)
+      .map(i => when(col(s"v$i") > 0L, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    hashed
+      .groupBy("id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"), packed.as("simhash64"))
+  }
+
+  /** Per-bit vote vector: votes[bit] = Σ_tokens (bit set ? +1 : −1). */
+  private def voteVector(tokenHashes: Column): Column =
+    transform(
       sequence(lit(0), lit(63)),
       bit => aggregate(
         tokenHashes,
@@ -149,13 +205,23 @@ object DedupOps {
         (acc, h) => acc + when(
           call_function("shiftright", h, bit.cast(IntegerType)).bitwiseAND(1L) === 1L,
           1L).otherwise(-1L)))
+
+  /** Pack the sign of each vote into one 64-bit fingerprint. */
+  private def packVotes(votes: Column): Column =
     aggregate(
       sequence(lit(0), lit(63)),
       lit(0L),
       (acc, bit) => acc + when(
         element_at(votes, bit + 1) > 0L,
         call_function("shiftleft", lit(1L), bit.cast(IntegerType))).otherwise(0L))
-  }
+
+  /** 64-bit SimHash over token hashes: per token compute xxhash64, then
+    * for each bit position vote +1/−1 weighted by term frequency; the
+    * sign vector packs into one long. Single-Column convenience form —
+    * for hot paths use [[simHashDf]] (see its scaladoc).
+    */
+  def simHash(text: Column): Column =
+    packVotes(voteVector(transform(TextAnalysis.tokens(text), t => xxhash64(t))))
 
   /** Hamming distance between two simhashes (bit_count of xor). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

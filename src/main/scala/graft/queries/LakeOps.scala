@@ -22,7 +22,9 @@ object LakeOps {
     namespace = "gold",
     timeColumn = "ts",
     requiredColumns = Seq("event_id", "ts", "value"),
-    positiveColumns = Seq("value"),
+    // positivity is a price-column contract (Bid/Ask in the reference);
+    // events.value legitimately contains zeros at sf0.1
+    positiveColumns = Seq(),
     minRows = 100L)
 
   private def freshWarehouse(prefix: String): String =

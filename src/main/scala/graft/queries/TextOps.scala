@@ -137,6 +137,8 @@ object TextOps {
       (s, dir) =>
         DedupOps.ngramJaccardPairs(t(s, dir, "documents"), blockCol = "source")
           .orderBy("doc_a", "doc_b"),
+      // only overlapping pairs (n_common >= 1) appear — matching the
+      // explode/join implementation, which never enumerates the rest
       Some("""WITH g AS (
              |  SELECT source, doc_id,
              |         list_distinct(list_transform(
@@ -146,16 +148,16 @@ object TextOps {
              |               list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
              |        FROM documents)
              |  WHERE length(grams) > 0
+             |), p AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         length(list_filter(a.grams, x -> list_contains(b.grams, x))) AS nc,
+             |         length(a.grams) + length(b.grams)
+             |         - length(list_filter(a.grams, x -> list_contains(b.grams, x))) AS nu
+             |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
              |)
-             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |  CAST(length(list_filter(a.grams, x -> list_contains(b.grams, x))) AS BIGINT) AS n_common,
-             |  CAST(length(a.grams) + length(b.grams)
-             |       - length(list_filter(a.grams, x -> list_contains(b.grams, x))) AS BIGINT) AS n_union,
-             |  round(CAST(length(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
-             |      / CAST(length(a.grams) + length(b.grams)
-             |             - length(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE), 4) AS jaccard
-             |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
-             |ORDER BY doc_a, doc_b""".stripMargin),
+             |SELECT doc_a, doc_b, CAST(nc AS BIGINT) AS n_common, CAST(nu AS BIGINT) AS n_union,
+             |       round(CAST(nc AS DOUBLE) / CAST(nu AS DOUBLE), 4) AS jaccard
+             |FROM p WHERE nc >= 1 ORDER BY doc_a, doc_b""".stripMargin),
       bench = true
     ),
 
@@ -171,10 +173,11 @@ object TextOps {
     QuerySpec(
       "q_text_simhash",
       (s, dir) =>
-        t(s, dir, "documents")
-          .select(col("doc_id"), DedupOps.simHash(col("text")).as("simhash64"))
+        DedupOps.simHashDf(t(s, dir, "documents"))
+          .withColumnRenamed("id", "doc_id")
           .orderBy("doc_id"),
-      oracle = None // xxhash64-based: not reproducible in DuckDB
+      oracle = None, // xxhash64-based: not reproducible in DuckDB
+      bench = true
     )
   )
 }

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge for engine-native Catalyst expressions: `ExpressionUtils` is
+  * `private[sql]`, so the Column ⇄ Expression conversions are re-exported
+  * from inside the package (the standard pattern for third-party Spark
+  * extensions that ship custom expressions).
+  */
+object GraftShims {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
