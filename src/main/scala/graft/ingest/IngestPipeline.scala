@@ -133,7 +133,12 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
     val tableId = s"${cfg.namespace}.${symbol.toLowerCase}"
     val table = catalog.createTableIfNotExists(tableId, df.schema, Some(cfg.timeColumn))
 
-    val fresh = Dedup.dropExisting(df, table, cfg.timeColumn)
+    // within-batch dedup FIRST: the reference skips this (its tick files
+    // have unique timestamps by construction), but appending a batch with
+    // internal key duplicates would break the engine's no-duplicate-key
+    // table invariant — a deliberate, documented divergence (SURVEY §2.3)
+    val fresh = Dedup.dropExisting(
+      Dedup.withinBatch(df, Seq(cfg.timeColumn)), table, cfg.timeColumn)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val nNew = fresh.count()
@@ -162,7 +167,8 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
       return FileIngestResult(s"batch:$symbol", 0, math.max(qc.nRows, 0), skipped = false, qc.issues)
     val tableId = s"${cfg.namespace}.${symbol.toLowerCase}"
     val table = catalog.createTableIfNotExists(tableId, df.schema, Some(cfg.timeColumn))
-    val fresh = Dedup.dropExisting(df, table, cfg.timeColumn)
+    val fresh = Dedup.dropExisting(
+      Dedup.withinBatch(df, Seq(cfg.timeColumn)), table, cfg.timeColumn)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n = fresh.count()

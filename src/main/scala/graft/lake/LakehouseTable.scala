@@ -94,9 +94,31 @@ final class LakehouseTable(
     (if (meta.partitionColumns.nonEmpty) writer.partitionBy(meta.partitionColumns: _*) else writer)
       .parquet(staging.toString)
 
-    // move part files from staging into data/, keeping partition subdirs
+    val moved = moveStaged(staging)
+    val addedRows = moved.map(f => rowCountOf(new Path(tableDir, f))).sum
+
+    val parent = meta.currentSnapshot
+    val snap = Snapshot(
+      id = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L,
+      parentId = parent.map(_.id),
+      timestampMs = System.currentTimeMillis(),
+      operation = operation,
+      manifest = parent.map(_.manifest).getOrElse(Nil) ++ moved,
+      addedFiles = moved.toSeq,
+      addedRows = addedRows,
+      totalRows = parent.map(_.totalRows).getOrElse(0L) + addedRows)
+    log.commit(version, meta.copy(
+      snapshots = meta.snapshots :+ snap,
+      currentSnapshotId = Some(snap.id)))
+    snap
+  }
+
+  /** Move staged part files into data/, keeping partition subdirs;
+    * returns table-relative manifest paths. Part names carry a write-UUID
+    * so files from different commits never collide.
+    */
+  private def moveStaged(staging: Path): Seq[String] = {
     val moved = scala.collection.mutable.ArrayBuffer.empty[String]
-    var addedRows = 0L
     val stagingQ = fs.makeQualified(staging) // listFiles returns qualified paths
     val it = fs.listFiles(staging, true)
     while (it.hasNext) {
@@ -115,18 +137,51 @@ final class LakehouseTable(
       }
     }
     fs.delete(staging, true)
-    addedRows = moved.map(f => rowCountOf(new Path(tableDir, f))).sum
+    moved.toSeq
+  }
 
-    val parent = meta.currentSnapshot
+  /** Compaction: rewrite the current snapshot's data into
+    * `filesPerPartition` files per partition as a NEW snapshot whose
+    * manifest replaces (rather than accumulates) the old file set — the
+    * "compaction via DataFrame ops" maintenance path of the north star.
+    * Old snapshots keep referencing the old files, so time travel still
+    * works; the old files become deletable only when expiry drops the
+    * last snapshot that references them.
+    *
+    * The rewrite is one Spark job: `repartition` by the partition column
+    * so each output partition dir gets exactly its rows, coalesced into
+    * few large files — the small-files problem is THE metadata killer at
+    * 100 TB (a year of per-file micro-appends = millions of tiny files;
+    * post-compaction the manifest is O(partitions)).
+    */
+  def compact(): Snapshot = {
+    val meta = metadata
+    val current = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("cannot compact an empty table"))
+    val df = read()
+    val version = log.currentVersion
+
+    val stagingName = s".staging-${UUID.randomUUID().toString.take(8)}"
+    val staging = new Path(tableDir, stagingName)
+    val writer = meta.partitionColumns match {
+      case Seq(pc) =>
+        // hash-repartition on the partition column: each partition value
+        // lands in exactly one task → one file per partition dir
+        df.repartition(col(pc)).write.mode("overwrite").partitionBy(pc)
+      case _ => df.coalesce(1).write.mode("overwrite")
+    }
+    writer.parquet(staging.toString)
+
+    val moved = moveStaged(staging)
     val snap = Snapshot(
       id = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L,
-      parentId = parent.map(_.id),
+      parentId = Some(current.id),
       timestampMs = System.currentTimeMillis(),
-      operation = operation,
-      manifest = parent.map(_.manifest).getOrElse(Nil) ++ moved,
-      addedFiles = moved.toSeq,
-      addedRows = addedRows,
-      totalRows = parent.map(_.totalRows).getOrElse(0L) + addedRows)
+      operation = "compact",
+      manifest = moved, // REPLACES the previous manifest
+      addedFiles = moved,
+      addedRows = 0L,
+      totalRows = current.totalRows)
     log.commit(version, meta.copy(
       snapshots = meta.snapshots :+ snap,
       currentSnapshotId = Some(snap.id)))
