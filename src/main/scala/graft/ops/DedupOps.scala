@@ -45,6 +45,18 @@ object DedupOps {
   def shingles(text: Column, k: Int = 3): Column =
     shinglesFromTokens(TextAnalysis.tokens(text), k)
 
+  /** Explode the grams array via explode_OUTER + a post-Generate null
+    * filter. Plain `explode` makes the InferFiltersFromGenerate rule
+    * push an inferred `size(grams) > 0` predicate below the projection
+    * with the ENTIRE shingle expression inlined — re-tokenizing every
+    * row inside the filter (measured ~10× at sf0.1). The null filter on
+    * the generated column is un-pushable by construction.
+    */
+  private def explodeGrams(withGrams: DataFrame, keep: Column*): DataFrame =
+    withGrams
+      .select(keep :+ explode_outer(col("grams")).as("gram"): _*)
+      .filter(col("gram").isNotNull)
+
   /** (block, id, grams) with tokens materialized in their own projection
     * step — the shared scan shape of every shingle-based op here.
     */
@@ -52,10 +64,13 @@ object DedupOps {
       docs: DataFrame, blockCol: Option[String], idCol: String, textCol: String, k: Int): DataFrame = {
     val keep = blockCol.map(b => col(b).as("block")).toSeq :+ col(idCol).as("id")
     val kept = blockCol.map(_ => col("block")).toSeq :+ col("id")
+    // NO size(grams)>0 filter here: a filter on the alias gets predicate-
+    // pushed below the projection, re-inlining the whole shingle
+    // expression into the slow single-use-collapse path (measured ~6× at
+    // sf0.1). Downstream explodes drop empty arrays for free anyway.
     docs
       .select(keep :+ TextAnalysis.tokens(col(textCol)).as("toks"): _*)
       .select(kept :+ shinglesFromTokens(col("toks"), k).as("grams"): _*)
-      .filter(size(col("grams")) > 0)
   }
 
   /** Exact Jaccard over shingle sets for pairs within a blocking key
@@ -75,7 +90,7 @@ object DedupOps {
       k: Int = 3): DataFrame = {
     val withShingles = shingled(docs, Some(blockCol), idCol, textCol, k)
     val gramCounts = withShingles.select(col("id"), size(col("grams")).cast(LongType).as("n_grams"))
-    val exploded = withShingles.select(col("block"), col("id"), explode(col("grams")).as("gram"))
+    val exploded = explodeGrams(withShingles, col("block"), col("id"))
     // shingle sets are distinct per doc, so each shared shingle yields
     // exactly one joined row per pair: count == |intersection|
     val common = exploded.as("a")
@@ -109,8 +124,7 @@ object DedupOps {
       textCol: String = "text",
       numHashes: Int = 32,
       shingleK: Int = 3): DataFrame = {
-    val exploded = shingled(docs, None, idCol, textCol, shingleK)
-      .select(col("id"), explode(col("grams")).as("gram"))
+    val exploded = explodeGrams(shingled(docs, None, idCol, textCol, shingleK), col("id"))
       .select(col("id"), xxhash64(col("gram")).as("g64"))
     val minCols = (0 until numHashes).map(i => min(xxhash64(col("g64"), lit(i))).as(s"h$i"))
     exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
