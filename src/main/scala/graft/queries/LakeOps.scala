@@ -67,6 +67,48 @@ object LakeOps {
     atFirst.unionByName(atCurrent).orderBy("snap")
   }
 
+  /** Ingest, compact to one file per partition, and read back — the
+    * maintenance path must be invisible to query results.
+    */
+  def compactRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val pipeline = new IngestPipeline(s, eventsConfig(freshWarehouse("graft-cp")))
+    pipeline.ingestBatch("events", graft.Tables.t(s, dir, "events"))
+    val table = pipeline.catalog.loadTable("gold.events")
+    table.compact()
+    val nFiles = table.metadata.currentSnapshot.get.manifest.size.toLong
+    yearStats(table.read())
+      .withColumn("n_files", lit(nFiles)) // 1 partition (all 2024) → 1 file
+  }
+
+  /** The audit trail as a queryable table (reference audit_log.json,
+    * `lakehouse_pipeline.py:97-107`): two pipeline runs — full ingest,
+    * then a fully-deduped re-ingest — audited as (run_seq, rows).
+    */
+  def auditSummary(s: SparkSession, dir: String): DataFrame = {
+    import java.time.Instant
+    val wh = freshWarehouse("graft-au")
+    val pipeline = new IngestPipeline(s, eventsConfig(wh))
+    val ev = graft.Tables.t(s, dir, "events")
+    def runOnce(): Unit = {
+      val t0 = Instant.now()
+      val res = pipeline.ingestBatch("events", ev)
+      val t1 = Instant.now()
+      pipeline.auditLog.append(graft.ingest.RunSummary(
+        runId = t0.toString, startedAtIso = t0.toString, finishedAtIso = t1.toString,
+        durationSecs = (t1.toEpochMilli - t0.toEpochMilli) / 1000.0,
+        tables = Seq(graft.ingest.TableAudit("gold.events", res.appended, res.rejected,
+          1, 0, res.issues)),
+        totalRowsAppended = res.appended, errors = Nil))
+    }
+    runOnce(); runOnce()
+    val audits = pipeline.auditLog.readAll()
+    import s.implicits._
+    audits.zipWithIndex
+      .map { case (r, i) => ((i + 1).toLong, r.totalRowsAppended, r.tables.head.rowsRejected) }
+      .toDF("run_seq", "rows_appended", "rows_rejected")
+      .orderBy("run_seq")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
       "q_lake_roundtrip",
@@ -75,6 +117,23 @@ object LakeOps {
              |       min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
       bench = true
+    ),
+    QuerySpec(
+      "q_lake_compact",
+      compactRoundtrip,
+      Some("""SELECT CAST(year(ts) AS BIGINT) AS ts_year, count(*) AS n_rows,
+             |       min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us,
+             |       CAST(1 AS BIGINT) AS n_files
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    QuerySpec(
+      "q_lake_audit",
+      auditSummary,
+      Some("""SELECT CAST(1 AS BIGINT) AS run_seq, count(*) AS rows_appended,
+             |       CAST(0 AS BIGINT) AS rows_rejected FROM events
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+             |ORDER BY run_seq""".stripMargin)
     ),
     QuerySpec(
       "q_lake_timetravel",
