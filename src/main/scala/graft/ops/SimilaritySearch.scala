@@ -121,9 +121,91 @@ object SimilaritySearch {
       .filter(col("rnk") <= k)
   }
 
+  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    * partitions candidates into nLists inverted lists; each query probes
+    * only the nProbe nearest lists. The other classic ANN scale path
+    * next to LSH — better recall on clustered data, tunable probe cost.
+    * Train/assign is one MLlib job; search is an equality join on
+    * list_id (queries broadcast), never a cross join.
+    */
+  def ivfTopK(
+      queries: DataFrame, // (q_id, q_vec)
+      candidates: DataFrame, // (n_id, n_vec)
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = candidates.sparkSession
+    import spark.implicits._
+
+    val cv = candidates.withColumn("feat", array_to_vector(col("n_vec")))
+    val model = new KMeans()
+      .setK(nLists).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("feat").setPredictionCol("list_id")
+      .fit(cv)
+    val assigned = model.transform(cv).select(col("n_id"), col("n_vec"), col("list_id"))
+
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("list_id", "centroid")
+
+    // probe the nProbe centroids most cosine-similar to each query
+    val wProbe = Window.partitionBy("q_id").orderBy(col("c_sim").desc, col("list_id").asc)
+    val probes = queries
+      .crossJoin(broadcast(centroids)) // |Q| × nLists: tiny by construction
+      .select(col("q_id"), col("q_vec"), col("list_id"),
+        (dot(col("q_vec"), col("centroid")) /
+          (norm(col("q_vec")) * norm(col("centroid")))).as("c_sim"))
+      .withColumn("p_rnk", row_number().over(wProbe))
+      .filter(col("p_rnk") <= nProbe)
+      .select("q_id", "q_vec", "list_id")
+
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    assigned
+      .join(broadcast(probes), Seq("list_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_vec"), col("n_vec")) /
+          (norm(col("q_vec")) * norm(col("n_vec")))).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Near-duplicate pairs above a cosine threshold via multi-table LSH —
+    * the 100 TB path for [[nearDupPairs]]: only bucket-colliding pairs
+    * are ever scored, so cost follows collisions, not n².
+    */
+  def nearDupPairsLsh(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numPlanes: Int = 8,
+      numTables: Int = 8,
+      dims: Int = 64): DataFrame = {
+    val bucketed = vectors.select(
+      col(idCol).as("id"), col(vecCol).as("vec"),
+      explode(array((0 until numTables).map(t =>
+        struct(lit(t).as("tbl"),
+          lshBucketOffset(col(vecCol), numPlanes, dims, t * numPlanes).as("bucket"))): _*)).as("tb"))
+      .select(col("id"), col("vec"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val a = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        (dot(col("vec_a"), col("vec_b")) /
+          (norm(col("vec_a")) * norm(col("vec_b")))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** All-pairs near-duplicates above a cosine threshold. Exact O(n²)
-    * variant for oracle-checkable sizes; the scale path is the same
-    * filter over `lshTopK` candidates.
+    * variant for oracle-checkable sizes; the scale path is
+    * [[nearDupPairsLsh]].
     */
   def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),

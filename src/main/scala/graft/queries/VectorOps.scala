@@ -71,6 +71,31 @@ object VectorOps {
     ),
 
     QuerySpec(
+      "q_vec_ann_ivf",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val c = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+        SimilaritySearch.ivfTopK(q, c, k = 5, nLists = 16, nProbe = 4)
+          .select(col("q_id"), col("n_id"), col("rnk"), round(col("sim"), 4).as("sim"))
+          .orderBy("q_id", "rnk")
+      },
+      oracle = None // KMeans quantizer is engine-side
+    ),
+
+    QuerySpec(
+      "q_vec_neardup_lsh",
+      (s, dir) =>
+        SimilaritySearch
+          .nearDupPairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+          .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+          .orderBy("id_a", "id_b"),
+      oracle = None, // LSH candidate set is engine-side (subset of q_vec_neardup)
+      bench = true
+    ),
+
+    QuerySpec(
       "q_multimodal_features",
       (s, dir) =>
         Multimodal

@@ -52,6 +52,27 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(b1.map(_._2).distinct.length > 1, "all vectors in one bucket")
   }
 
+  test("IVF ANN recall beats random and respects k") {
+    val exact = SimilaritySearch.bruteForceTopK(queries, candidates, k = 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilaritySearch.ivfTopK(queries, candidates, k = 5, nLists = 8, nProbe = 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.forall { case (q, n) => q != n })
+    assert(ivf.size <= 50)
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    // probing 3/8 of the space at random would give ~37%; require better
+    assert(recall >= 0.40, s"IVF recall $recall too low")
+  }
+
+  test("LSH near-dup pairs are a sound subset of the exact pairs") {
+    val exact = SimilaritySearch.nearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilaritySearch.nearDupPairsLsh(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty)
+    assert(lsh.subsetOf(exact), "LSH produced a pair the exact search did not")
+  }
+
   test("near-dup pairs are symmetric-free and above threshold") {
     val pairs = SimilaritySearch.nearDupPairs(emb, "vec_id", "embedding", 0.4).collect()
     assert(pairs.nonEmpty)
