@@ -48,6 +48,12 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
   private val ledger = new ChecksumLedger(new Path(whPath, "ingested_files.json"), fs)
   private val audit = new AuditLog(new Path(whPath, "audit_log.json"), fs)
   private val runIdFmt = DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss").withZone(ZoneOffset.UTC)
+  /** T4 concurrency guard (reference `lakehouse_scheduler.py:149`): the
+    * watcher and the daily scheduler share one pipeline instance; runs
+    * and micro-batches must never interleave (single-writer keeps the
+    * metadata commit protocol trivially correct).
+    */
+  private val pipelineLock = new Object
 
   catalog.createNamespaceIfNotExists(cfg.namespace)
 
@@ -55,7 +61,7 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
     * symbols (reference `:322-331`), each holding parquet files at any
     * depth (`:343`).
     */
-  def run(dataRoot: String): RunSummary = {
+  def run(dataRoot: String): RunSummary = pipelineLock.synchronized {
     val t0 = Instant.now()
     val root = new Path(dataRoot)
     val symbols = fs.listStatus(root).filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
@@ -122,35 +128,39 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(file.toString)
-    val df = Normalize(raw, cfg.timeColumn)
-
-    val qc = QualityChecks.run(df, QcConfig(
-      cfg.requiredColumns, cfg.timeColumn, cfg.positiveColumns,
-      cfg.minRows, cfg.maxNullFraction))
-    if (!qc.passed)
-      return FileIngestResult(file.toString, 0, math.max(qc.nRows, 0), skipped = false, qc.issues)
-
-    val tableId = s"${cfg.namespace}.${symbol.toLowerCase}"
-    val table = catalog.createTableIfNotExists(tableId, df.schema, Some(cfg.timeColumn))
-
-    // within-batch dedup FIRST: the reference skips this (its tick files
-    // have unique timestamps by construction), but appending a batch with
-    // internal key duplicates would break the engine's no-duplicate-key
-    // table invariant — a deliberate, documented divergence (SURVEY §2.3)
-    val fresh = Dedup.dropExisting(
-      Dedup.withinBatch(df, Seq(cfg.timeColumn)), table, cfg.timeColumn)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // cache the normalized batch once: QC, dedup, and the append all
+    // re-read it — without this the file is scanned 3-4 times per ingest
+    val df = Normalize(raw, cfg.timeColumn).persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val nNew = fresh.count()
-      if (nNew == 0L) {
-        ledger.record(file, sum)
-        FileIngestResult(file.toString, 0, 0, skipped = false, Nil)
-      } else {
-        table.append(fresh)
-        ledger.record(file, sum)
-        FileIngestResult(file.toString, nNew, 0, skipped = false, Nil)
-      }
-    } finally fresh.unpersist()
+      val qc = QualityChecks.run(df, QcConfig(
+        cfg.requiredColumns, cfg.timeColumn, cfg.positiveColumns,
+        cfg.minRows, cfg.maxNullFraction))
+      if (!qc.passed)
+        return FileIngestResult(file.toString, 0, math.max(qc.nRows, 0), skipped = false, qc.issues)
+
+      val tableId = s"${cfg.namespace}.${symbol.toLowerCase}"
+      val table = catalog.createTableIfNotExists(tableId, df.schema, Some(cfg.timeColumn))
+
+      // within-batch dedup FIRST: the reference skips this (its tick
+      // files have unique timestamps by construction), but appending a
+      // batch with internal key duplicates would break the engine's
+      // no-duplicate-key table invariant — a deliberate, documented
+      // divergence (SURVEY §2.3)
+      val fresh = Dedup.dropExisting(
+        Dedup.withinBatch(df, Seq(cfg.timeColumn)), table, cfg.timeColumn)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nNew = fresh.count()
+        if (nNew == 0L) {
+          ledger.record(file, sum)
+          FileIngestResult(file.toString, 0, 0, skipped = false, Nil)
+        } else {
+          table.append(fresh)
+          ledger.record(file, sum)
+          FileIngestResult(file.toString, nNew, 0, skipped = false, Nil)
+        }
+      } finally fresh.unpersist()
+    } finally df.unpersist()
   }
 
   /** Micro-batch entry used by the streaming watcher: ingest an already
@@ -158,23 +168,25 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
     * append), bypassing the file ledger (the stream source's checkpoint
     * provides file-level exactly-once).
     */
-  def ingestBatch(symbol: String, batch: DataFrame): FileIngestResult = {
-    val df = Normalize(batch, cfg.timeColumn)
-    val qc = QualityChecks.run(df, QcConfig(
-      cfg.requiredColumns, cfg.timeColumn, cfg.positiveColumns,
-      cfg.minRows, cfg.maxNullFraction))
-    if (!qc.passed)
-      return FileIngestResult(s"batch:$symbol", 0, math.max(qc.nRows, 0), skipped = false, qc.issues)
-    val tableId = s"${cfg.namespace}.${symbol.toLowerCase}"
-    val table = catalog.createTableIfNotExists(tableId, df.schema, Some(cfg.timeColumn))
-    val fresh = Dedup.dropExisting(
-      Dedup.withinBatch(df, Seq(cfg.timeColumn)), table, cfg.timeColumn)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  def ingestBatch(symbol: String, batch: DataFrame): FileIngestResult = pipelineLock.synchronized {
+    val df = Normalize(batch, cfg.timeColumn).persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = fresh.count()
-      if (n > 0) table.append(fresh)
-      FileIngestResult(s"batch:$symbol", n, 0, skipped = false, Nil)
-    } finally fresh.unpersist()
+      val qc = QualityChecks.run(df, QcConfig(
+        cfg.requiredColumns, cfg.timeColumn, cfg.positiveColumns,
+        cfg.minRows, cfg.maxNullFraction))
+      if (!qc.passed)
+        return FileIngestResult(s"batch:$symbol", 0, math.max(qc.nRows, 0), skipped = false, qc.issues)
+      val tableId = s"${cfg.namespace}.${symbol.toLowerCase}"
+      val table = catalog.createTableIfNotExists(tableId, df.schema, Some(cfg.timeColumn))
+      val fresh = Dedup.dropExisting(
+        Dedup.withinBatch(df, Seq(cfg.timeColumn)), table, cfg.timeColumn)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = fresh.count()
+        if (n > 0) table.append(fresh)
+        FileIngestResult(s"batch:$symbol", n, 0, skipped = false, Nil)
+      } finally fresh.unpersist()
+    } finally df.unpersist()
   }
 
   def auditLog: AuditLog = audit

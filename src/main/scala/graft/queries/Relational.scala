@@ -308,6 +308,104 @@ object Relational {
     ),
 
     QuerySpec(
+      "q_outer_join_order_lines",
+      (s, dir) => {
+        // left outer join keeps line-less orders (count = 0 for them)
+        val orders = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+        orders.join(li, Seq("o_orderkey"), "left_outer")
+          .groupBy("o_orderkey")
+          .agg(
+            count(col("l_quantity")).as("n_lines"),
+            coalesce(sum(col("l_quantity")), lit(0.0)).cast(LongType).as("sum_qty"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, count(l_quantity) AS n_lines,
+             |       CAST(coalesce(sum(l_quantity), 0) AS BIGINT) AS sum_qty
+             |FROM orders LEFT OUTER JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_rollup_revenue",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(
+            decSumD(col("l_extendedprice")).as("sum_price"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      // DuckDB orders NULLS LAST by default — pin NULLS FIRST to match
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+             |       count(*) AS n_rows
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_string_functions",
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("name_upper"),
+            substring(col("p_name"), 1, 5).as("name_prefix"),
+            length(col("p_name")).cast(LongType).as("name_len"),
+            concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+            regexp_replace(col("p_type"), " ", "_").as("type_snake"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, upper(p_name) AS name_upper,
+             |       substr(p_name, 1, 5) AS name_prefix,
+             |       CAST(length(p_name) AS BIGINT) AS name_len,
+             |       p_brand || '|' || p_type AS brand_type,
+             |       replace(p_type, ' ', '_') AS type_snake
+             |FROM part ORDER BY p_partkey""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_math_functions",
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(
+            col("event_id"),
+            round(sqrt(col("value")), 4).as("sqrt_v"),
+            round(pow(col("value"), 2.0), 4).as("sq_v"),
+            floor(col("value")).cast(LongType).as("floor_v"),
+            ceil(col("value")).cast(LongType).as("ceil_v"),
+            abs(col("value") - 50.0).as("abs_dev"),
+            round(log(col("value") + 1.0), 4).as("log1p_v"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, round(sqrt(value), 4) AS sqrt_v,
+             |       round(pow(value, 2.0), 4) AS sq_v,
+             |       CAST(floor(value) AS BIGINT) AS floor_v,
+             |       CAST(ceil(value) AS BIGINT) AS ceil_v,
+             |       abs(value - 50.0) AS abs_dev,
+             |       round(ln(value + 1.0), 4) AS log1p_v
+             |FROM events ORDER BY event_id""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_date_functions",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).cast(LongType).as("y"),
+            month(col("o_orderdate")).cast(LongType).as("m"),
+            dayofmonth(col("o_orderdate")).cast(LongType).as("d"),
+            quarter(col("o_orderdate")).cast(LongType).as("q"),
+            unix_millis(date_trunc("month", col("o_orderdate")).cast(TimestampType)).as("month_start_ms"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+             |       CAST(month(o_orderdate) AS BIGINT) AS m,
+             |       CAST(day(o_orderdate) AS BIGINT) AS d,
+             |       CAST(quarter(o_orderdate) AS BIGINT) AS q,
+             |       epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_join_nation_customers",
       (s, dir) => {
         val cust = t(s, dir, "customer")
