@@ -406,6 +406,41 @@ object Relational {
     ),
 
     QuerySpec(
+      "q_percentiles",
+      (s, dir) =>
+        // exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+        // `quantile_cont`); approximate sketches are exposed via
+        // q_approx_distinct (not oracle-able — different sketch impls)
+        t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(
+            round(expr("percentile(value, 0.5)"), 4).as("p50"),
+            round(expr("percentile(value, 0.95)"), 4).as("p95"),
+            round(expr("percentile(value, 0.99)"), 4).as("p99"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |       round(quantile_cont(value, 0.5), 4) AS p50,
+             |       round(quantile_cont(value, 0.95), 4) AS p95,
+             |       round(quantile_cont(value, 0.99), 4) AS p99,
+             |       count(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_approx_distinct",
+      (s, dir) =>
+        // HLL++ sketch: deterministic under any partitioning (register
+        // merges are max-based, so commutative), but not reproducible in
+        // DuckDB → rows-only check; exactness is bounded by rsd
+        t(s, dir, "events")
+          .agg(
+            approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+            countDistinct(col("user_id")).as("exact_users")),
+      oracle = None
+    ),
+
+    QuerySpec(
       "q_join_nation_customers",
       (s, dir) => {
         val cust = t(s, dir, "customer")
