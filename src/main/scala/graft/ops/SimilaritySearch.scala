@@ -107,11 +107,17 @@ object SimilaritySearch {
       .drop("tb")
     val qb = bucketed(queries, "q_vec")
     val cb = bucketed(candidates, "n_vec")
-    val scored = cb
-      .join(broadcast(qb), Seq("tbl", "bucket"))
+    // dedup candidate PAIRS first (ids only — running distinct over the
+    // embedding arrays themselves hashes every float twice), then join
+    // the vectors back for scoring
+    val candidates2 = cb
+      .join(broadcast(qb.select("tbl", "bucket", "q_id")), Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), col("q_vec"), col("n_vec"))
-      .distinct() // a pair may collide in several tables: score once
+      .select(col("q_id"), col("n_id"))
+      .distinct()
+    val scored = candidates2
+      .join(broadcast(queries), Seq("q_id"))
+      .join(candidates, Seq("n_id"))
       .select(col("q_id"), col("n_id"),
         (dot(col("q_vec"), col("n_vec")) /
           (norm(col("q_vec")) * norm(col("n_vec")))).as("sim"))
@@ -191,12 +197,17 @@ object SimilaritySearch {
         struct(lit(t).as("tbl"),
           lshBucketOffset(col(vecCol), numPlanes, dims, t * numPlanes).as("bucket"))): _*)).as("tb"))
       .select(col("id"), col("vec"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val a = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("tbl", "bucket"))
+    val a = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+    val b = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
-      .distinct()
+      .select(col("id_a"), col("id_b"))
+      .distinct() // ids only — see lshTopK note on array-hashing cost
+    val va = vectors.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val vb = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    pairs
+      .join(va, Seq("id_a"))
+      .join(vb, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (dot(col("vec_a"), col("vec_b")) /
           (norm(col("vec_a")) * norm(col("vec_b")))).as("sim"))

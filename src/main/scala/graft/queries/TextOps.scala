@@ -162,6 +162,34 @@ object TextOps {
     ),
 
     QuerySpec(
+      "q_text_word_freq",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .select(explode(col("toks")).as("word"))
+          .groupBy("word")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word").asc)
+          .limit(20),
+      Some("""SELECT word, count(*) AS n
+             |FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS word
+             |      FROM documents)
+             |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_text_length_hist",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy((floor(col("n_chars") / 100) * 100).cast(LongType).as("len_bucket"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("len_bucket"),
+      Some("""SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS len_bucket,
+             |       count(*) AS n_docs
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_text_minhash_bands",
       (s, dir) =>
         DedupOps.lshBands(DedupOps.minHashSignatures(t(s, dir, "documents")))
