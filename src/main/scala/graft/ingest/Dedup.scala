@@ -25,18 +25,19 @@ object Dedup {
     val meta = table.metadata
     if (meta.currentSnapshot.isEmpty) return newDf
 
-    val existing = table.read()
-    val pruned = (meta.partitionTransform, meta.partitionColumns) match {
-      case (Some(src), Seq(pc)) if src == key =>
-        val Array(lo, hi) = newDf
-          .agg(min(year(col(key))), max(year(col(key))))
-          .head().toSeq.toArray
-        (lo, hi) match {
-          case (l: Int, h: Int) => existing.filter(col(pc).between(l, h))
-          case _ => existing // batch key entirely null: nothing to prune on
-        }
-      case _ => existing
-    }
+    // one tiny agg on the batch → [lo, hi] of the key in epoch micros;
+    // the manifest's per-file footer stats then skip every existing file
+    // outside that range BEFORE Spark plans the scan (finer than the
+    // year-partition pruning, which it subsumes)
+    val pruned = if (meta.partitionTransform.contains(key)) {
+      val Array(lo, hi) = newDf
+        .agg(min(unix_micros(col(key))), max(unix_micros(col(key))))
+        .head().toSeq.toArray
+      (lo, hi) match {
+        case (l: Long, h: Long) => table.readRange(l, h)
+        case _ => table.read() // batch key entirely null: nothing to prune on
+      }
+    } else table.read()
     newDf.join(pruned.select(col(key)), Seq(key), "left_anti")
   }
 

@@ -46,8 +46,10 @@ final class LakehouseTable(
     readManifest(metadata.snapshots.filter(_.timestampMs <= tsMs)
       .sortBy(_.timestampMs).lastOption)
 
-  private def readManifest(snap: Option[Snapshot]): DataFrame = {
-    val files = snap.map(_.manifest).getOrElse(Nil)
+  private def readManifest(snap: Option[Snapshot]): DataFrame =
+    readFiles(snap.map(_.manifest).getOrElse(Nil))
+
+  private def readFiles(files: Seq[DataFile]): DataFrame =
     if (files.isEmpty) {
       // empty table: preserve schema + partition columns
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
@@ -58,9 +60,24 @@ final class LakehouseTable(
       spark.read
         .option("basePath", dataDir.toString)
         .schema(readSchema)
-        .parquet(files.map(f => new Path(tableDir, f).toString): _*)
+        .parquet(files.map(f => new Path(tableDir, f.path).toString): _*)
     }
-  }
+
+  /** Current-snapshot files whose key-column stats overlap [loUs, hiUs]
+    * — metadata-level file skipping from the manifest, no Spark planning
+    * involved.
+    */
+  def filesOverlapping(loUs: Long, hiUs: Long): Seq[DataFile] =
+    metadata.currentSnapshot.map(_.manifest.filter(_.overlaps(loUs, hiUs))).getOrElse(Nil)
+
+  /** Read only the files whose time-key range overlaps [loUs, hiUs].
+    * The complement of partition pruning: year dirs prune coarsely, the
+    * per-file footer stats recorded at commit time prune within a year —
+    * an incoming micro-batch touching one hour of data reads only the
+    * files that contain that hour, no matter how many live in the
+    * partition.
+    */
+  def readRange(loUs: Long, hiUs: Long): DataFrame = readFiles(filesOverlapping(loUs, hiUs))
 
   /** Schema as read back, including the derived partition column. */
   private def readSchema: StructType = {
@@ -88,6 +105,10 @@ final class LakehouseTable(
       case _ => df
     }
 
+    // INT64 micros, not the deprecated INT96 default: footer min/max
+    // stats for INT96 are opaque binary, which would disable the
+    // manifest's file-skipping bounds
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val stagingName = s".staging-${UUID.randomUUID().toString.take(8)}"
     val staging = new Path(tableDir, stagingName)
     val writer = withPart.write.mode("overwrite")
@@ -95,7 +116,7 @@ final class LakehouseTable(
       .parquet(staging.toString)
 
     val moved = moveStaged(staging)
-    val addedRows = moved.map(f => rowCountOf(new Path(tableDir, f))).sum
+    val addedRows = moved.map(_.rows).sum
 
     val parent = meta.currentSnapshot
     val snap = Snapshot(
@@ -104,7 +125,7 @@ final class LakehouseTable(
       timestampMs = System.currentTimeMillis(),
       operation = operation,
       manifest = parent.map(_.manifest).getOrElse(Nil) ++ moved,
-      addedFiles = moved.toSeq,
+      addedFiles = moved,
       addedRows = addedRows,
       totalRows = parent.map(_.totalRows).getOrElse(0L) + addedRows)
     log.commit(version, meta.copy(
@@ -113,12 +134,15 @@ final class LakehouseTable(
     snap
   }
 
-  /** Move staged part files into data/, keeping partition subdirs;
-    * returns table-relative manifest paths. Part names carry a write-UUID
-    * so files from different commits never collide.
+  /** Move staged part files into data/, keeping partition subdirs, and
+    * record each file's row count + time-key min/max from its parquet
+    * footer (one footer-only open per file — the write-side cost that
+    * buys read-side file skipping). Part names carry a write-UUID so
+    * files from different commits never collide.
     */
-  private def moveStaged(staging: Path): Seq[String] = {
-    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+  private def moveStaged(staging: Path): Seq[DataFile] = {
+    val keyCol = metadata.partitionTransform
+    val moved = scala.collection.mutable.ArrayBuffer.empty[DataFile]
     val stagingQ = fs.makeQualified(staging) // listFiles returns qualified paths
     val it = fs.listFiles(staging, true)
     while (it.hasNext) {
@@ -133,7 +157,8 @@ final class LakehouseTable(
         val dest = new Path(destDir, name)
         if (!fs.rename(st.getPath, dest))
           throw new IllegalStateException(s"failed to move ${st.getPath} -> $dest")
-        moved += s"data/${if (relDir.isEmpty) "" else relDir}$name"
+        val (rows, mn, mx) = footerStats(dest, keyCol)
+        moved += DataFile(s"data/${if (relDir.isEmpty) "" else relDir}$name", rows, mn, mx)
       }
     }
     fs.delete(staging, true)
@@ -161,6 +186,7 @@ final class LakehouseTable(
     val df = read()
     val version = log.currentVersion
 
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val stagingName = s".staging-${UUID.randomUUID().toString.take(8)}"
     val staging = new Path(tableDir, stagingName)
     val writer = meta.partitionColumns match {
@@ -188,12 +214,36 @@ final class LakehouseTable(
     snap
   }
 
-  private def rowCountOf(p: Path): Long = {
-    // footer-only read: row count from parquet metadata, no data scan
+  /** Footer-only read: row count plus min/max statistics of the key
+    * column (Spark writes TimestampType as INT64 micros, so the stats
+    * surface as longs). No data pages are touched.
+    */
+  private def footerStats(p: Path, keyCol: Option[String]): (Long, Option[Long], Option[Long]) = {
     val in = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-    try in.getRecordCount
-    finally in.close()
+    try {
+      val rows = in.getRecordCount
+      var lo: Option[Long] = None
+      var hi: Option[Long] = None
+      keyCol.foreach { k =>
+        in.getFooter.getBlocks.forEach { b =>
+          b.getColumns.forEach { c =>
+            if (c.getPath.toDotString == k) {
+              val st = c.getStatistics
+              if (st != null && st.hasNonNullValue) {
+                (st.genericGetMin, st.genericGetMax) match {
+                  case (mnv: java.lang.Long, mxv: java.lang.Long) =>
+                    lo = Some(lo.fold(mnv.longValue)(math.min(_, mnv.longValue)))
+                    hi = Some(hi.fold(mxv.longValue)(math.max(_, mxv.longValue)))
+                  case _ => ()
+                }
+              }
+            }
+          }
+        }
+      }
+      (rows, lo, hi)
+    } finally in.close()
   }
 
   /** Snapshot expiry with the reference's INTENDED semantics
@@ -223,8 +273,8 @@ final class LakehouseTable(
     if (expired.isEmpty) return (Nil, Nil)
 
     val retained = meta.snapshots.filterNot(s => expired.exists(_.id == s.id))
-    val liveFiles = retained.flatMap(_.manifest).toSet
-    val orphans = expired.flatMap(_.manifest).distinct.filterNot(liveFiles.contains)
+    val liveFiles = retained.flatMap(_.manifest.map(_.path)).toSet
+    val orphans = expired.flatMap(_.manifest.map(_.path)).distinct.filterNot(liveFiles.contains)
     orphans.foreach(f => fs.delete(new Path(tableDir, f), false))
     log.commit(version, meta.copy(snapshots = retained))
     (expired.map(_.id), orphans)

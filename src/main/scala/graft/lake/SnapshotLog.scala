@@ -20,6 +20,27 @@ import java.nio.charset.StandardCharsets
   * object stores an external lock/single-writer is required, which matches
   * the reference's scheduler lock, `lakehouse_scheduler.py:149`).
   */
+/** One data file plus its column statistics for the partition-source
+  * (time) column — the engine's analog of Iceberg's per-file manifest
+  * stats. `minKeyUs`/`maxKeyUs` are epoch-micros bounds read from the
+  * parquet footer at commit time; readers use them for metadata-level
+  * FILE SKIPPING (e.g. dedup prunes existing files to those overlapping
+  * the incoming batch's time range) — strictly finer than the
+  * year-partition directory pruning, and evaluated before Spark ever
+  * sees a path.
+  */
+final case class DataFile(
+    path: String,
+    rows: Long,
+    minKeyUs: Option[Long],
+    maxKeyUs: Option[Long]
+) {
+  def overlaps(loUs: Long, hiUs: Long): Boolean = (minKeyUs, maxKeyUs) match {
+    case (Some(lo), Some(hi)) => hi >= loUs && lo <= hiUs
+    case _ => true // no stats ⇒ cannot skip
+  }
+}
+
 final case class Snapshot(
     id: Long,
     parentId: Option[Long],
@@ -30,8 +51,8 @@ final case class Snapshot(
       * metadata, never in executor memory, and reads hand Spark the file
       * list directly so no directory listing of millions of files happens.
       */
-    manifest: Seq[String],
-    addedFiles: Seq[String],
+    manifest: Seq[DataFile],
+    addedFiles: Seq[DataFile],
     addedRows: Long,
     totalRows: Long
 )

@@ -48,7 +48,7 @@ class CompactionSpec extends SparkSpec {
     val table = LakehouseTable.createIfNotExists(spark, dir, first.schema, Some("DateTime"))
     table.append(first)
     table.append(mkRows(10 until 20, _ => 2020))
-    val preCompactFiles = table.metadata.currentSnapshot.get.manifest.toSet
+    val preCompactFiles = table.metadata.currentSnapshot.get.manifest.map(_.path).toSet
     table.compact()
     // expire everything but the newest 2 (compact + last append)
     val (expired, orphans) = table.expireSnapshots(
