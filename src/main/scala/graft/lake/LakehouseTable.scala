@@ -246,6 +246,31 @@ final class LakehouseTable(
     } finally in.close()
   }
 
+  /** Delete data files on disk referenced by NO snapshot — crash
+    * leftovers from writes that failed between staging-move and commit
+    * (the commit protocol guarantees they are invisible, this reclaims
+    * the space). Iceberg's `remove_orphan_files` analog. Returns the
+    * deleted table-relative paths.
+    */
+  def removeOrphanedFiles(): Seq[String] = {
+    val referenced = metadata.snapshots.flatMap(_.manifest.map(_.path)).toSet
+    if (!fs.exists(dataDir)) return Nil
+    val orphans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dataDirQ = fs.makeQualified(dataDir)
+    val it = fs.listFiles(dataDir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) {
+        val rel = "data/" + st.getPath.toString.stripPrefix(dataDirQ.toString + "/")
+        if (!referenced.contains(rel)) {
+          fs.delete(st.getPath, false)
+          orphans += rel
+        }
+      }
+    }
+    orphans.toSeq
+  }
+
   /** Snapshot expiry with the reference's INTENDED semantics
     * (`lakehouse_pipeline.py:232-270`): never drop the newest
     * `keepLast` snapshots, expire the rest when older than

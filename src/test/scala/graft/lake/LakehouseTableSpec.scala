@@ -87,6 +87,34 @@ class LakehouseTableSpec extends SparkSpec {
     assert(table.snapshots.size == 3)
   }
 
+  test("asOf time travel resolves the newest snapshot at or before a timestamp") {
+    val dir = new Path(tmpDir("lht"), "t8")
+    val df1 = mkRows(0 until 10, _ => 2020)
+    val table = LakehouseTable.createIfNotExists(spark, dir, df1.schema, Some("DateTime"))
+    val s1 = table.append(df1)
+    Thread.sleep(5)
+    val s2 = table.append(mkRows(10 until 30, _ => 2020))
+    assert(table.asOf(s1.timestampMs).count() == 10)
+    assert(table.asOf(s2.timestampMs).count() == 30)
+    assert(table.asOf(s1.timestampMs - 1).count() == 0) // before any snapshot
+  }
+
+  test("removeOrphanedFiles deletes unreferenced leftovers, keeps live data") {
+    val dir = new Path(tmpDir("lht"), "t9")
+    val df = mkRows(0 until 10, _ => 2020)
+    val table = LakehouseTable.createIfNotExists(spark, dir, df.schema, Some("DateTime"))
+    table.append(df)
+    // simulate a crash leftover: a stray parquet under data/
+    val fs = new Path(dir, "data").getFileSystem(spark.sessionState.newHadoopConf())
+    val stray = new Path(dir, "data/DateTime_year=2020/crash-leftover.parquet")
+    val out = fs.create(stray, true); out.write(1); out.close()
+    val deleted = table.removeOrphanedFiles()
+    assert(deleted == Seq("data/DateTime_year=2020/crash-leftover.parquet"))
+    assert(!fs.exists(stray))
+    assert(table.read().count() == 10) // live data untouched
+    assert(table.removeOrphanedFiles().isEmpty) // idempotent
+  }
+
   test("metadata survives reload through the catalog") {
     val wh = tmpDir("lhc")
     val cat = new LakehouseCatalog(spark, wh)
