@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering the engine's native expressions with the
+  * SQL function registry, so `spark.sql("SELECT dot_product(a, b) ...")`
+  * works next to the Column API. Activate with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * or via [[GraftExtensions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.expressions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private val expressions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("dot_product",
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_product takes exactly 2 arguments")
+        DotProduct(args.head, args(1))
+      })
+  )
+
+  /** Register on an already-built session (the driver owns session
+    * construction in this harness, so extensions can't always be
+    * injected at build time).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    expressions.foreach { case (name, info, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), info, builder)
+    }
+  }
+}

@@ -406,6 +406,26 @@ object Relational {
     ),
 
     QuerySpec(
+      "q_pivot_event_types",
+      (s, dir) =>
+        // pivot = conditional aggregation over a known value set; the
+        // oracle expresses the same thing with CASE sums
+        t(s, dir, "events")
+          .groupBy(dayofmonth(col("ts")).cast(LongType).as("day"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("day"),
+      Some("""SELECT CAST(day(ts) AS BIGINT) AS day,
+             |       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+             |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+             |       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+             |       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+             |       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_percentiles",
       (s, dir) =>
         // exact interpolated percentiles (Spark `percentile` ≡ DuckDB

@@ -96,6 +96,22 @@ object VectorOps {
     ),
 
     QuerySpec(
+      "q_vec_sql_dot",
+      (s, dir) => {
+        // the native expression through the SQL surface: registered via
+        // GraftExtensions, invoked from plain SQL text
+        graft.functions.GraftExtensions.register(s)
+        t(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+        s.sql("""SELECT vec_id,
+                |       round(dot_product(embedding, embedding), 4) AS self_dot
+                |FROM graft_embeddings ORDER BY vec_id""".stripMargin)
+      },
+      Some("""SELECT vec_id,
+             |       round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 4) AS self_dot
+             |FROM embeddings ORDER BY vec_id""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_multimodal_features",
       (s, dir) =>
         Multimodal
