@@ -30,17 +30,27 @@ object Bench {
       try q.run(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val results = specs.map { q =>
+    // a failed query reports null (not its near-zero abort time) and is
+    // excluded from the total, so a regression can never read as a speedup
+    val results: Seq[(String, Option[Double])] = specs.map { q =>
       val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-      }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            None
+        }
+      q.name -> elapsed
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + v.map(x => f"$x%.3f").getOrElse("null") }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

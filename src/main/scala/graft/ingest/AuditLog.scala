@@ -4,9 +4,6 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.json4s._
 import org.json4s.jackson.Serialization
 
-import java.io.InputStreamReader
-import java.nio.charset.StandardCharsets
-
 /** Run audit trail — the reference's `audit_log.json` array of run
   * summaries (`/root/reference/lakehouse_pipeline.py:70, 97-107,
   * 289-297, 407-417`): run id, per-table append/reject counts, files
@@ -36,21 +33,11 @@ final class AuditLog(auditFile: Path, fs: FileSystem) {
   private implicit val fmts: Formats = DefaultFormats
 
   def readAll(): Seq[RunSummary] =
-    if (!fs.exists(auditFile)) Nil
-    else {
-      val in = fs.open(auditFile)
-      try Serialization.read[Seq[RunSummary]](new InputStreamReader(in, StandardCharsets.UTF_8))
-      finally in.close()
-    }
+    graft.lake.AtomicState.read(fs, auditFile)
+      .map(Serialization.read[Seq[RunSummary]])
+      .getOrElse(Nil)
 
-  def append(run: RunSummary): Unit = {
-    val all = readAll() :+ run
-    val tmp = new Path(auditFile.getParent, auditFile.getName + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(Serialization.writePretty(all).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(auditFile, false)
-    if (!fs.rename(tmp, auditFile))
-      throw new IllegalStateException(s"failed to append audit entry to $auditFile")
-  }
+  def append(run: RunSummary): Unit =
+    graft.lake.AtomicState.write(
+      fs, auditFile, Serialization.writePretty(readAll() :+ run))
 }

@@ -4,8 +4,6 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.json4s._
 import org.json4s.jackson.Serialization
 
-import java.io.InputStreamReader
-import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 /** Exactly-once file ingestion ledger — the reference's
@@ -21,12 +19,9 @@ final class ChecksumLedger(ledgerFile: Path, fs: FileSystem) {
   private var entries: Map[String, String] = load()
 
   private def load(): Map[String, String] =
-    if (!fs.exists(ledgerFile)) Map.empty
-    else {
-      val in = fs.open(ledgerFile)
-      try Serialization.read[Map[String, String]](new InputStreamReader(in, StandardCharsets.UTF_8))
-      finally in.close()
-    }
+    graft.lake.AtomicState.read(fs, ledgerFile)
+      .map(Serialization.read[Map[String, String]])
+      .getOrElse(Map.empty)
 
   def checksum(file: Path): String = {
     val md = MessageDigest.getInstance("MD5")
@@ -46,15 +41,8 @@ final class ChecksumLedger(ledgerFile: Path, fs: FileSystem) {
   def record(file: Path, sum: String): Unit =
     entries += (file.toString -> sum)
 
-  def persist(): Unit = {
-    val tmp = new Path(ledgerFile.getParent, ledgerFile.getName + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(Serialization.writePretty(entries).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(ledgerFile, false)
-    if (!fs.rename(tmp, ledgerFile))
-      throw new IllegalStateException(s"failed to persist ledger $ledgerFile")
-  }
+  def persist(): Unit =
+    graft.lake.AtomicState.write(fs, ledgerFile, Serialization.writePretty(entries))
 
   def size: Int = entries.size
 }

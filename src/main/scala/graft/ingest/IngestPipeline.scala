@@ -3,6 +3,7 @@ package graft.ingest
 import graft.lake.{LakehouseCatalog, LakehouseTable}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.storage.StorageLevel
 
 import java.time.format.DateTimeFormatter
@@ -141,23 +142,34 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
       val tableId = s"${cfg.namespace}.${symbol.toLowerCase}"
       val table = catalog.createTableIfNotExists(tableId, df.schema, Some(cfg.timeColumn))
 
+      // reject null-time-key rows (within QC's 5% tolerance they pass QC):
+      // an equi-anti-join can never dedup them (null != null), so each
+      // re-ingest would append them again, breaking the no-duplicate-key
+      // invariant (ADVICE r1)
+      val keyed =
+        if (qc.nullTimeKey > 0) df.filter(col(cfg.timeColumn).isNotNull)
+        else df
+      val issues =
+        if (qc.nullTimeKey > 0) Seq(s"Rejected ${qc.nullTimeKey} rows with null ${cfg.timeColumn}")
+        else Nil
+
       // within-batch dedup FIRST: the reference skips this (its tick
       // files have unique timestamps by construction), but appending a
       // batch with internal key duplicates would break the engine's
       // no-duplicate-key table invariant — a deliberate, documented
       // divergence (SURVEY §2.3)
       val fresh = Dedup.dropExisting(
-        Dedup.withinBatch(df, Seq(cfg.timeColumn)), table, cfg.timeColumn)
+        Dedup.withinBatch(keyed, Seq(cfg.timeColumn)), table, cfg.timeColumn)
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
         val nNew = fresh.count()
         if (nNew == 0L) {
           ledger.record(file, sum)
-          FileIngestResult(file.toString, 0, 0, skipped = false, Nil)
+          FileIngestResult(file.toString, 0, qc.nullTimeKey, skipped = false, issues)
         } else {
           table.append(fresh)
           ledger.record(file, sum)
-          FileIngestResult(file.toString, nNew, 0, skipped = false, Nil)
+          FileIngestResult(file.toString, nNew, qc.nullTimeKey, skipped = false, issues)
         }
       } finally fresh.unpersist()
     } finally df.unpersist()
@@ -178,13 +190,20 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
         return FileIngestResult(s"batch:$symbol", 0, math.max(qc.nRows, 0), skipped = false, qc.issues)
       val tableId = s"${cfg.namespace}.${symbol.toLowerCase}"
       val table = catalog.createTableIfNotExists(tableId, df.schema, Some(cfg.timeColumn))
+      // same null-time-key rejection as ingestFile (see comment there)
+      val keyed =
+        if (qc.nullTimeKey > 0) df.filter(col(cfg.timeColumn).isNotNull)
+        else df
+      val issues =
+        if (qc.nullTimeKey > 0) Seq(s"Rejected ${qc.nullTimeKey} rows with null ${cfg.timeColumn}")
+        else Nil
       val fresh = Dedup.dropExisting(
-        Dedup.withinBatch(df, Seq(cfg.timeColumn)), table, cfg.timeColumn)
+        Dedup.withinBatch(keyed, Seq(cfg.timeColumn)), table, cfg.timeColumn)
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
         val n = fresh.count()
         if (n > 0) table.append(fresh)
-        FileIngestResult(s"batch:$symbol", n, 0, skipped = false, Nil)
+        FileIngestResult(s"batch:$symbol", n, qc.nullTimeKey, skipped = false, issues)
       } finally fresh.unpersist()
     } finally df.unpersist()
   }

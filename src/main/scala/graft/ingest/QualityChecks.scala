@@ -26,7 +26,16 @@ final case class QcConfig(
     maxNullFraction: Double = 0.05
 )
 
-final case class QcResult(passed: Boolean, issues: Seq[String], nRows: Long)
+/** @param nullTimeKey rows whose time key is null after normalization —
+  *   the pipeline must reject these before append: a null key can never be
+  *   deduplicated by an equi-anti-join (null != null) and has no partition
+  *   or footer stats, so it would silently accumulate duplicates.
+  */
+final case class QcResult(
+    passed: Boolean,
+    issues: Seq[String],
+    nRows: Long,
+    nullTimeKey: Long = 0L)
 
 object QualityChecks {
 
@@ -72,6 +81,9 @@ object QualityChecks {
         }
       }
     }
-    QcResult(issues.isEmpty, issues.toSeq, n)
+    val nullTimeKey =
+      if (cols.contains(cfg.timeColumn)) row.getAs[Long](s"__nulls_${cfg.timeColumn}")
+      else 0L
+    QcResult(issues.isEmpty, issues.toSeq, n, nullTimeKey)
   }
 }

@@ -6,9 +6,6 @@ import org.apache.spark.sql.types.StructType
 import org.json4s._
 import org.json4s.jackson.Serialization
 
-import java.io.InputStreamReader
-import java.nio.charset.StandardCharsets
-
 /** Namespace/table registry over a warehouse directory — the engine's
   * equivalent of the reference's SQLite-backed PyIceberg catalog
   * (`/root/reference/lakehouse_pipeline.py:78, 303-318`): resolves
@@ -27,22 +24,12 @@ final class LakehouseCatalog(val spark: SparkSession, val warehouseDir: String) 
   private val registryFile = new Path(whPath, "catalog.json")
 
   private def readState(): CatalogState =
-    if (!fs.exists(registryFile)) CatalogState(Nil, Nil)
-    else {
-      val in = fs.open(registryFile)
-      try Serialization.read[CatalogState](new InputStreamReader(in, StandardCharsets.UTF_8))
-      finally in.close()
-    }
+    AtomicState.read(fs, registryFile)
+      .map(Serialization.read[CatalogState])
+      .getOrElse(CatalogState(Nil, Nil))
 
-  private def writeState(st: CatalogState): Unit = {
-    val tmp = new Path(whPath, s"catalog.json.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(Serialization.writePretty(st).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(registryFile, false)
-    if (!fs.rename(tmp, registryFile))
-      throw new IllegalStateException("failed to commit catalog.json")
-  }
+  private def writeState(st: CatalogState): Unit =
+    AtomicState.write(fs, registryFile, Serialization.writePretty(st))
 
   /** CREATE NAMESPACE IF NOT EXISTS (reference `:314-318`). */
   def createNamespaceIfNotExists(ns: String): Unit = {

@@ -19,6 +19,14 @@ object Skew {
 
   private val SaltCol = "__graft_salt"
 
+  /** Join types for which replicating the small side is correct: every
+    * replicated small row either matches (and joins exactly once per big
+    * row, same as unsalted) or is dropped. right/full outer would instead
+    * emit each unmatched small row `saltFactor` times — rejected.
+    */
+  private val SaltableJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+
   /** Equi-join `big ⋈ small` on `keys`, salted `saltFactor` ways.
     * The salt is derived deterministically from the big side's full row
     * hash (monotonically_increasing_id would break retry idempotence on
@@ -31,6 +39,10 @@ object Skew {
       saltFactor: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
+    require(
+      SaltableJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left join types only, got '$joinType' " +
+        "(right/full outer would duplicate unmatched small-side rows saltFactor times)")
     val saltedBig = big.withColumn(
       SaltCol, pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
     val replicatedSmall = small.withColumn(

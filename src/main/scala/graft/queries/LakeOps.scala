@@ -27,8 +27,25 @@ object LakeOps {
     positiveColumns = Seq(),
     minRows = 100L)
 
-  private def freshWarehouse(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  // every q_lake_* run gets a throwaway warehouse; a JVM-exit hook reaps
+  // them all so repeated verify/bench invocations don't leak table copies
+  // under /tmp (the returned DataFrame is lazy, so we can't delete before
+  // the caller materializes it)
+  private val tempWarehouses = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    tempWarehouses.foreach { root =>
+      try {
+        import scala.jdk.CollectionConverters._
+        Files.walk(root).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }))
+
+  private def freshWarehouse(prefix: String): String = {
+    val dir = Files.createTempDirectory(prefix)
+    tempWarehouses.synchronized { tempWarehouses += dir }
+    dir.toString
+  }
 
   private def yearStats(table: DataFrame): DataFrame =
     table

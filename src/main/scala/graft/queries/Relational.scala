@@ -97,13 +97,15 @@ object Relational {
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
         df.agg(count(lit(1)).as("n_rows"), nullCounts: _*)
       },
+      // NB: DuckDB's sum(int) yields HUGEINT (int128) — cast to BIGINT or
+      // the driver's dtype-sensitive hash-compare mismatches (round 1 bug)
       Some("""SELECT count(*) AS n_rows,
-             |  sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS nulls_event_id,
-             |  sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS nulls_ts,
-             |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nulls_user_id,
-             |  sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS nulls_event_type,
-             |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nulls_value,
-             |  sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS nulls_props
+             |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_id,
+             |  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_ts,
+             |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_user_id,
+             |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_type,
+             |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_value,
+             |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_props
              |FROM events""".stripMargin)
     ),
 
@@ -416,12 +418,13 @@ object Relational {
           .agg(count(lit(1)))
           .na.fill(0L)
           .orderBy("day"),
+      // CAST to BIGINT: DuckDB sum(int) is HUGEINT, Spark count is long
       Some("""SELECT CAST(day(ts) AS BIGINT) AS day,
-             |       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-             |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-             |       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-             |       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-             |       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+             |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
@@ -451,13 +454,20 @@ object Relational {
       "q_approx_distinct",
       (s, dir) =>
         // HLL++ sketch: deterministic under any partitioning (register
-        // merges are max-based, so commutative), but not reproducible in
-        // DuckDB → rows-only check; exactness is bounded by rsd
+        // merges are max-based, so commutative) but not reproducible in
+        // DuckDB — so the oracle checks the sketch's error CONTRACT
+        // (|approx − exact| ≤ 10% at rsd 0.02, generous and stable for
+        // fixed data) plus the exact count, instead of the raw estimate
         t(s, dir, "events")
           .agg(
             approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-            countDistinct(col("user_id")).as("exact_users")),
-      oracle = None
+            countDistinct(col("user_id")).as("exact_users"))
+          .select(
+            (col("approx_users") >= col("exact_users") * 0.9 &&
+              col("approx_users") <= col("exact_users") * 1.1).as("within_bounds"),
+            col("exact_users")),
+      Some("""SELECT true AS within_bounds,
+             |       count(DISTINCT user_id) AS exact_users FROM events""".stripMargin)
     ),
 
     QuerySpec(
