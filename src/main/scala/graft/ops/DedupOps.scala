@@ -130,6 +130,59 @@ object DedupOps {
     exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
   }
 
+  /** Engine-portable string hash: polynomial fold of character codes,
+    * `h = (h*31 + ascii(c)) mod 1e9+7` — exactly expressible in DuckDB
+    * (`list_reduce`/`list_transform`/`ascii` over a char split), so
+    * hash-dependent operators built on it (minhash, simhash) get REAL
+    * value-level oracles instead of rows-only checks. ~30 bits of output;
+    * the xxhash64-based ops remain the hot path, this is the
+    * cross-engine-verifiable twin.
+    */
+  def polyHash(s: Column): Column = aggregate(
+    filter(split(s, ""), c => length(c) > 0),
+    lit(0L),
+    (a, c) => (a * 31L + ascii(c).cast(LongType)) % 1000000007L)
+
+  /** MinHash signatures over [[polyHash]] shingle hashes: permutation i is
+    * the affine re-hash `(a_i·g + b_i) mod p` (a_i odd, overflow-free at
+    * p≈2^30). Same explode → groupBy(min…) shape as
+    * [[minHashSignatures]]; every value is reproducible in DuckDB.
+    */
+  def minHashSignaturesPortable(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 8,
+      shingleK: Int = 3): DataFrame = {
+    val exploded = explodeGrams(shingled(docs, None, idCol, textCol, shingleK), col("id"))
+      .select(col("id"), polyHash(col("gram")).as("g"))
+    val minCols = (0 until numHashes).map(i =>
+      min((col("g") * lit(2L * i + 3) + lit(5L * i + 7)) % lit(1000000007L)).as(s"h$i"))
+    exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** SimHash over [[polyHash]] token hashes (30 usable bits), in the same
+    * aggregation form as [[simHashDf]] — fully oracle-checkable.
+    */
+  def simHashPortableDf(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bits: Int = 30): DataFrame = {
+    val hashed = docs
+      .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(col("id"), polyHash(col("tok")).as("h"))
+    val votes = (0 until bits).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$i"))
+    val packed = (0 until bits)
+      .map(i => when(col(s"v$i") > 0L, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    hashed
+      .groupBy("id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"), packed.as("simhash"))
+  }
+
   /** LSH banding over a signature frame: (id, band_id, band_sig) rows.
     * Docs sharing any (band_id, band_sig) are candidate duplicates.
     */

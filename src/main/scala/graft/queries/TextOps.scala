@@ -206,6 +206,85 @@ object TextOps {
           .orderBy("doc_id"),
       oracle = None, // xxhash64-based: not reproducible in DuckDB
       bench = true
+    ),
+
+    // ----- portable-hash twins: the same minhash/simhash algorithms over
+    // DedupOps.polyHash, whose polynomial fold DuckDB can reproduce
+    // exactly — giving the hash-dependent operator family full
+    // value-level oracles (the xxhash64 variants above stay rows-only
+    // and carry the bench flag).
+
+    QuerySpec(
+      "q_text_minhash_portable",
+      (s, dir) => {
+        val sig = DedupOps.minHashSignaturesPortable(t(s, dir, "documents"))
+        // portable banding: band j pairs two signature slots
+        val bandCols = (0 until 4).map(j =>
+          ((col(s"h${2 * j}") * 31L + col(s"h${2 * j + 1}")) % 1000000007L).as(s"band$j"))
+        sig.select(Seq(col("id").as("doc_id")) ++
+            (0 until 8).map(i => col(s"h$i")) ++ bandCols: _*)
+          .orderBy("doc_id")
+      },
+      Some {
+        val mins = (0 until 8)
+          .map(i => s"min((${2 * i + 3}::BIGINT*g64 + ${5 * i + 7}) % 1000000007) AS h$i")
+          .mkString(",\n         ")
+        val bands = (0 until 4)
+          .map(j => s"(h${2 * j}*31 + h${2 * j + 1}) % 1000000007 AS band$j")
+          .mkString(",\n       ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+           |  FROM documents
+           |), g AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(1, CASE WHEN length(tk) - 2 >= 1 THEN length(tk) - 1 ELSE 1 END),
+           |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS gram
+           |  FROM toks
+           |), h AS (
+           |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+           |    list_transform(string_split(gram, ''), c -> ascii(c)::BIGINT)),
+           |    (a, b) -> (a*31 + b) % 1000000007) AS g64
+           |  FROM g
+           |), s AS (
+           |  SELECT doc_id,
+           |         $mins
+           |  FROM h GROUP BY doc_id
+           |)
+           |SELECT doc_id, ${(0 until 8).map(i => s"h$i").mkString(", ")},
+           |       $bands
+           |FROM s ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    QuerySpec(
+      "q_text_simhash_portable",
+      (s, dir) =>
+        DedupOps.simHashPortableDf(t(s, dir, "documents"))
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id"),
+      Some {
+        val votes = (0 until 30)
+          .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+          .mkString(",\n         ")
+        val pack = (0 until 30)
+          .map(i => s"(CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH tk AS (
+           |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS tok
+           |  FROM documents
+           |), h AS (
+           |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+           |    list_transform(string_split(tok, ''), c -> ascii(c)::BIGINT)),
+           |    (a, b) -> (a*31 + b) % 1000000007) AS h
+           |  FROM tk
+           |), v AS (
+           |  SELECT doc_id,
+           |         $votes
+           |  FROM h GROUP BY doc_id
+           |)
+           |SELECT doc_id, CAST($pack AS BIGINT) AS simhash
+           |FROM v ORDER BY doc_id""".stripMargin
+      }
     )
   )
 }
