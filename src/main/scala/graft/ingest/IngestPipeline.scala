@@ -158,20 +158,14 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
       // batch with internal key duplicates would break the engine's
       // no-duplicate-key table invariant — a deliberate, documented
       // divergence (SURVEY §2.3)
+      // the staged write IS the emptiness check — no pre-append count()
+      // materialization of the anti-join, and an all-duplicate re-ingest
+      // commits no snapshot (reference `:388-392`)
       val fresh = Dedup.dropExisting(
         Dedup.withinBatch(keyed, Seq(cfg.timeColumn)), table, cfg.timeColumn)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        val nNew = fresh.count()
-        if (nNew == 0L) {
-          ledger.record(file, sum)
-          FileIngestResult(file.toString, 0, qc.nullTimeKey, skipped = false, issues)
-        } else {
-          table.append(fresh)
-          ledger.record(file, sum)
-          FileIngestResult(file.toString, nNew, qc.nullTimeKey, skipped = false, issues)
-        }
-      } finally fresh.unpersist()
+      val nNew = table.appendIfNonEmpty(fresh).map(_.addedRows).getOrElse(0L)
+      ledger.record(file, sum)
+      FileIngestResult(file.toString, nNew, qc.nullTimeKey, skipped = false, issues)
     } finally df.unpersist()
   }
 
@@ -199,12 +193,8 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
         else Nil
       val fresh = Dedup.dropExisting(
         Dedup.withinBatch(keyed, Seq(cfg.timeColumn)), table, cfg.timeColumn)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        val n = fresh.count()
-        if (n > 0) table.append(fresh)
-        FileIngestResult(s"batch:$symbol", n, qc.nullTimeKey, skipped = false, issues)
-      } finally fresh.unpersist()
+      val n = table.appendIfNonEmpty(fresh).map(_.addedRows).getOrElse(0L)
+      FileIngestResult(s"batch:$symbol", n, qc.nullTimeKey, skipped = false, issues)
     } finally df.unpersist()
   }
 

@@ -98,13 +98,34 @@ final class LakehouseTable(
   def append(df: DataFrame, operation: String = "append"): Snapshot = {
     val meta = metadata
     val version = log.currentVersion
+    commitAppend(meta, version, writeStaged(meta, df), operation)
+  }
 
+  /** Append only when the batch actually contains rows — the staged
+    * write doubles as the emptiness check, so callers skip the separate
+    * `count()` materialization of the (anti-joined) batch that the
+    * append-after-count pattern costs. An empty result leaves no staging
+    * and commits no snapshot; returns None.
+    */
+  def appendIfNonEmpty(df: DataFrame, operation: String = "append"): Option[Snapshot] = {
+    val meta = metadata
+    val version = log.currentVersion
+    val moved = writeStaged(meta, df)
+    if (moved.isEmpty) None
+    else Some(commitAppend(meta, version, moved, operation))
+  }
+
+  /** Partition-derive + write the batch to a staging dir, move the part
+    * files into data/ and return their manifest entries (empty for an
+    * empty batch — a partitioned parquet write of zero rows emits no
+    * part files).
+    */
+  private def writeStaged(meta: TableMetadata, df: DataFrame): Seq[DataFile] = {
     val withPart = (meta.partitionTransform, meta.partitionColumns) match {
       case (Some(ts), Seq(pc)) if !df.columns.contains(pc) =>
         df.withColumn(pc, year(col(ts)))
       case _ => df
     }
-
     // INT64 micros, not the deprecated INT96 default: footer min/max
     // stats for INT96 are opaque binary, which would disable the
     // manifest's file-skipping bounds
@@ -114,10 +135,12 @@ final class LakehouseTable(
     val writer = withPart.write.mode("overwrite")
     (if (meta.partitionColumns.nonEmpty) writer.partitionBy(meta.partitionColumns: _*) else writer)
       .parquet(staging.toString)
+    moveStaged(staging)
+  }
 
-    val moved = moveStaged(staging)
+  private def commitAppend(
+      meta: TableMetadata, version: Long, moved: Seq[DataFile], operation: String): Snapshot = {
     val addedRows = moved.map(_.rows).sum
-
     val parent = meta.currentSnapshot
     val snap = Snapshot(
       id = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L,

@@ -55,33 +55,21 @@ object SimilaritySearch {
       .filter(col("rnk") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane for LSH: sign pattern derived
-    * from a splitmix64-style mix of (plane, dim) — reproducible across
-    * runs and sessions with no RNG state.
-    */
-  private def planeSign(plane: Int, dim: Int): Double = {
-    var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    if (z >= 0) 1.0 else -1.0
-  }
-
   /** Random-hyperplane LSH bucket id: sign bit per hyperplane packed into
     * a long. Cosine-similar vectors agree on most sign bits, so they land
     * in the same bucket with high probability (Charikar, STOC'02).
+    * Backed by the native [[graft.functions.LshBuckets]] expression —
+    * the composed literal-array form generated ~4k expression nodes whose
+    * codegen compile time dwarfed the math (2.4 s for 2k rows).
     */
   def lshBucket(vec: Column, numPlanes: Int, dims: Int): Column =
-    lshBucketOffset(vec, numPlanes, dims, 0)
+    element_at(graft.functions.LshBuckets(vec, numPlanes, 1, dims), 1)
 
-  private def lshBucketOffset(vec: Column, numPlanes: Int, dims: Int, planeOffset: Int): Column = {
-    require(numPlanes <= 63, "bucket packs into a long")
-    val bits = (0 until numPlanes).map { p =>
-      val plane = array((0 until dims).map(d => lit(planeSign(planeOffset + p, d))): _*)
-      when(dot(vec, plane) >= 0.0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** All `numTables` bucket ids at once (plane set t uses plane indices
+    * `t*numPlanes until (t+1)*numPlanes`): `array<long>` of buckets.
+    */
+  def lshTableBuckets(vec: Column, numPlanes: Int, numTables: Int, dims: Int): Column =
+    graft.functions.LshBuckets(vec, numPlanes, numTables, dims)
 
   /** Approximate top-k: bucket queries and candidates by multi-table LSH
     * (the classic L-tables × k-planes scheme), compare only within
@@ -99,12 +87,8 @@ object SimilaritySearch {
       dims: Int = 64): DataFrame = {
     def bucketed(df: DataFrame, vecCol: String) = df.select(
       col("*"),
-      explode(array((0 until numTables).map(t =>
-        struct(lit(t).as("tbl"),
-          // plane indices offset per table → independent plane sets
-          lshBucketOffset(col(vecCol), numPlanes, dims, t * numPlanes).as("bucket"))): _*)).as("tb"))
-      .select(col("*"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-      .drop("tb")
+      posexplode(lshTableBuckets(col(vecCol), numPlanes, numTables, dims))
+        .as(Seq("tbl", "bucket")))
     val qb = bucketed(queries, "q_vec")
     val cb = bucketed(candidates, "n_vec")
     // dedup candidate PAIRS first (ids only — running distinct over the
@@ -115,12 +99,14 @@ object SimilaritySearch {
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"))
       .distinct()
+    // norms are per-ROW quantities: attach them on the (small) vector
+    // sides before the pair join, not per candidate pair (see
+    // bruteForceTopK — recomputing in the pair row triples the flops)
     val scored = candidates2
-      .join(broadcast(queries), Seq("q_id"))
-      .join(candidates, Seq("n_id"))
+      .join(broadcast(queries.withColumn("q_norm", norm(col("q_vec")))), Seq("q_id"))
+      .join(candidates.withColumn("n_norm", norm(col("n_vec"))), Seq("n_id"))
       .select(col("q_id"), col("n_id"),
-        (dot(col("q_vec"), col("n_vec")) /
-          (norm(col("q_vec")) * norm(col("n_vec")))).as("sim"))
+        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
     scored
       .withColumn("rnk", row_number().over(w).cast(LongType))
@@ -192,25 +178,25 @@ object SimilaritySearch {
       numTables: Int = 8,
       dims: Int = 64): DataFrame = {
     val bucketed = vectors.select(
-      col(idCol).as("id"), col(vecCol).as("vec"),
-      explode(array((0 until numTables).map(t =>
-        struct(lit(t).as("tbl"),
-          lshBucketOffset(col(vecCol), numPlanes, dims, t * numPlanes).as("bucket"))): _*)).as("tb"))
-      .select(col("id"), col("vec"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      col(idCol).as("id"),
+      posexplode(lshTableBuckets(col(vecCol), numPlanes, numTables, dims))
+        .as(Seq("tbl", "bucket")))
     val a = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_a"))
     val b = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct() // ids only — see lshTopK note on array-hashing cost
-    val va = vectors.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val vb = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    // per-row norms computed once per side, never per pair (3× flops)
+    val va = vectors.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      norm(col(vecCol)).as("norm_a"))
+    val vb = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      norm(col(vecCol)).as("norm_b"))
     pairs
       .join(va, Seq("id_a"))
       .join(vb, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (dot(col("vec_a"), col("vec_b")) /
-          (norm(col("vec_a")) * norm(col("vec_b")))).as("sim"))
+        (dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b"))).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
