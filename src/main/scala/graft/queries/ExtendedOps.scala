@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.ops.{AsOfJoin, Skew}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Operator-surface extensions beyond the reference's own inventory:
+  * as-of join, cube / grouping sets, skew-salted join (result-equivalence
+  * checked against the plain join), regex and array scalar functions.
+  * Every spec is fully oracle-checked — DuckDB has native ASOF JOIN,
+  * CUBE/GROUPING, and list kernels to compare against.
+  */
+object ExtendedOps {
+
+  private def decSumD(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q_asof_prev_purchase",
+      (s, dir) => {
+        // for every event: the user's latest purchase at or before it —
+        // the canonical time-series as-of lookup, as a single
+        // union+window pass (see AsOfJoin scaladoc for the scale shape)
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        val purchases = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(
+            col("user_id"),
+            unix_micros(col("ts")).as("p_us"),
+            col("event_id").as("prev_purchase_id"),
+            unix_micros(col("ts")).as("prev_purchase_us"))
+        AsOfJoin.backward(ev, purchases,
+            keys = Seq("user_id"), leftTs = "ts_us", rightTs = "p_us",
+            payloadCols = Seq("prev_purchase_id", "prev_purchase_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+             |     p AS (SELECT user_id, epoch_us(ts) AS p_us, event_id AS prev_purchase_id
+             |           FROM events WHERE event_type = 'purchase')
+             |SELECT e.user_id, e.event_id, e.ts_us,
+             |       p.prev_purchase_id, p.p_us AS prev_purchase_us
+             |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts_us >= p.p_us
+             |ORDER BY e.event_id""".stripMargin),
+      bench = true
+    ),
+
+    QuerySpec(
+      "q_cube_revenue",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(
+            decSumD(col("l_extendedprice")).as("sum_price"),
+            count(lit(1)).as("n_rows"),
+            grouping_id().cast(LongType).as("gid"))
+          .orderBy(col("gid"),
+            col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      // Spark grouping_id() and DuckDB GROUPING(a,b) share the same bit
+      // encoding (first listed column = most significant bit)
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+             |       count(*) AS n_rows,
+             |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("graft_orders")
+        s.sql("""SELECT o_orderpriority, o_orderstatus,
+                |       count(*) AS n_orders,
+                |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+                |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status
+                |FROM graft_orders
+                |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+                |ORDER BY g_prio, o_orderpriority ASC NULLS FIRST,
+                |         o_orderstatus ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus,
+             |       count(*) AS n_orders,
+             |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+             |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+             |ORDER BY g_prio, o_orderpriority ASC NULLS FIRST,
+             |         o_orderstatus ASC NULLS FIRST""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_skew_salted_join",
+      (s, dir) => {
+        // salting is an internal rewrite — the contract is exact result
+        // equivalence with the unsalted join, which the oracle checks
+        val li = t(s, dir, "lineitem").select(col("l_orderkey").as("k"), col("l_quantity"))
+        val ord = t(s, dir, "orders").select(col("o_orderkey").as("k"), col("o_orderpriority"))
+        Skew.saltedJoin(li, ord, Seq("k"), saltFactor = 8)
+          .groupBy("o_orderpriority")
+          .agg(
+            sum(col("l_quantity")).cast(LongType).as("sum_qty"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+             |       count(*) AS n_lines
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_regexp_functions",
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("type_last"),
+            col("p_name").rlike("(^| )red( |$)").as("has_red"),
+            regexp_replace(col("p_brand"), "[^0-9]", "").as("brand_num"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |       regexp_extract(p_type, '([A-Z]+)$', 1) AS type_last,
+             |       regexp_matches(p_name, '(^| )red( |$)') AS has_red,
+             |       regexp_replace(p_brand, '[^0-9]', '', 'g') AS brand_num
+             |FROM part ORDER BY p_partkey""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_array_functions",
+      (s, dir) =>
+        // array kernels over the embedding column, scalarized at the
+        // output boundary (sum via sequential fold on both engines)
+        t(s, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            size(col("embedding")).cast(LongType).as("dim"),
+            round(array_max(col("embedding")).cast(DoubleType), 4).as("max_v"),
+            round(array_min(col("embedding")).cast(DoubleType), 4).as("min_v"),
+            round(aggregate(col("embedding"), lit(0.0),
+              (acc, x) => acc + x.cast(DoubleType)), 4).as("sum_v"),
+            round(element_at(col("embedding"), 1).cast(DoubleType), 4).as("first_v"))
+          .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+             |       CAST(len(embedding) AS BIGINT) AS dim,
+             |       round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_v,
+             |       round(CAST(list_min(embedding) AS DOUBLE), 4) AS min_v,
+             |       round(list_reduce(list_prepend(0.0::DOUBLE, embedding::DOUBLE[]),
+             |                         (a, b) -> a + b), 4) AS sum_v,
+             |       round(CAST(embedding[1] AS DOUBLE), 4) AS first_v
+             |FROM embeddings ORDER BY vec_id""".stripMargin)
+    )
+  )
+}
