@@ -31,6 +31,18 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
 
+  /** GPT-2-style pre-tokenizer regex, simplified to the RE2-compatible
+    * subset (no lookahead) so the DuckDB oracle tokenizes identically:
+    * leading-space word / number / punctuation runs.
+    */
+  val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  /** BPE-ish subword pre-tokenization — the token-count estimator a
+    * training-data pipeline budgets with (whitespace tokens undercount
+    * punctuation-heavy text).
+    */
+  def bpeTokens(text: Column): Column = regexp_extract_all(text, lit(BpePattern), lit(0))
+
   /** Tiny per-language stopword lists for the n-gram/stopword-hit
     * language heuristic. Deterministic and SQL-expressible so the DuckDB
     * oracle can replicate the exact same decision function.

@@ -208,6 +208,25 @@ object TextOps {
       bench = true
     ),
 
+    QuerySpec(
+      "q_text_bpe_tokens",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(TextAnalysis.bpeTokens(col("text"))).cast(LongType).as("n_subtok"),
+            size(regexp_extract_all(col("text"), lit(" ?[A-Za-z]+"), lit(0)))
+              .cast(LongType).as("n_alpha"),
+            size(regexp_extract_all(col("text"), lit(" ?[0-9]+"), lit(0)))
+              .cast(LongType).as("n_num"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern}')) AS BIGINT) AS n_subtok,
+              |  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+')) AS BIGINT) AS n_alpha,
+              |  CAST(len(regexp_extract_all(text, ' ?[0-9]+')) AS BIGINT) AS n_num
+              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
     // ----- portable-hash twins: the same minhash/simhash algorithms over
     // DedupOps.polyHash, whose polynomial fold DuckDB can reproduce
     // exactly — giving the hash-dependent operator family full
