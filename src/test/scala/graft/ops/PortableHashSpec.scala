@@ -1,0 +1,35 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** Pins the portable polynomial hash to its documented constants — the
+  * DuckDB oracles for q_text_minhash_portable / q_text_simhash_portable
+  * re-derive the same fold, so a drift here silently breaks the
+  * cross-engine hash agreement.
+  */
+class PortableHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("polyHash matches the hand-computed fold (base 31 mod 1e9+7)") {
+    val got = Seq("abc", "", "hello world")
+      .toDF("s")
+      .select(DedupOps.polyHash(col("s")).as("h"))
+      .as[Long].collect().toSeq
+    // "abc": ((0*31+97)*31+98)*31+99 = 96354 (verified against DuckDB's
+    // list_reduce on the same chars); "" folds nothing -> 0
+    assert(got === Seq(96354L, 0L, 204910434L))
+  }
+
+  test("saltedJoin rejects join types that would duplicate small-side rows") {
+    val big = Seq((1, "x")).toDF("k", "v")
+    val small = Seq((1, "y")).toDF("k", "w")
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, Seq("k"), saltFactor = 4, joinType = "full_outer")
+    }
+    assert(e.getMessage.contains("inner/left"))
+    // inner and left variants stay accepted
+    assert(Skew.saltedJoin(big, small, Seq("k"), 4, "left_outer").count() === 1L)
+    assert(Skew.saltedJoin(big, small, Seq("k"), 4, "left_anti").count() === 0L)
+  }
+}
