@@ -112,6 +112,91 @@ object ExtendedOps {
     ),
 
     QuerySpec(
+      "q_window_lead_lag",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .select(
+            col("user_id"), col("event_id"),
+            lag(col("event_id"), 1).over(w).as("prev_id"),
+            lead(col("event_id"), 1).over(w).as("next_id"),
+            first(col("event_id")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_id"),
+            ntile(4).over(w).cast(LongType).as("quartile"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |  lag(event_id, 1) OVER w AS prev_id,
+             |  lead(event_id, 1) OVER w AS next_id,
+             |  first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_id,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, event_id""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_correlated_subquery",
+      (s, dir) => {
+        // correlated scalar subquery — Catalyst decorrelates this into
+        // an aggregate + join, no per-row re-execution
+        t(s, dir, "orders").createOrReplaceTempView("graft_orders_sub")
+        s.sql("""SELECT o_orderkey, o_custkey FROM graft_orders_sub o
+                |WHERE (SELECT count(*) FROM graft_orders_sub o2
+                |       WHERE o2.o_custkey = o.o_custkey) >= 10
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey FROM orders o
+             |WHERE (SELECT count(*) FROM orders o2
+             |       WHERE o2.o_custkey = o.o_custkey) >= 10
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_sessionize",
+      (s, dir) => {
+        // gap-based sessionization: a new session starts after >30 days
+        // of inactivity; one sort-shuffle per user, integer math only
+        import org.apache.spark.sql.expressions.Window
+        val gapUs = 30L * 24 * 3600 * 1000000L
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+          .withColumn("new_s",
+            when(lag(col("ts_us"), 1).over(w).isNull ||
+              col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_s")).over(run))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_ev"))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_sessions"),
+            sum(col("n_ev")).cast(LongType).as("n_events"),
+            max(col("n_ev")).as("max_session_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+             |m AS (SELECT user_id, event_id, ts_us,
+             |        CASE WHEN lag(ts_us) OVER w IS NULL
+             |               OR ts_us - lag(ts_us) OVER w > 2592000000000
+             |             THEN 1 ELSE 0 END AS new_s
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+             |s AS (SELECT user_id, event_id,
+             |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |      FROM m),
+             |g AS (SELECT user_id, session_id, count(*) AS n_ev FROM s GROUP BY 1, 2)
+             |SELECT user_id, count(*) AS n_sessions,
+             |       CAST(sum(n_ev) AS BIGINT) AS n_events,
+             |       CAST(max(n_ev) AS BIGINT) AS max_session_events
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin),
+      bench = true
+    ),
+
+    QuerySpec(
       "q_regexp_functions",
       (s, dir) =>
         t(s, dir, "part")
