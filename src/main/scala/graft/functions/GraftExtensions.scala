@@ -20,12 +20,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal integer")
+    e.eval().asInstanceOf[Number].intValue
+  }
+
   private val expressions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("dot_product",
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "dot_product takes exactly 2 arguments")
         DotProduct(args.head, args(1))
+      }),
+    ("lsh_buckets",
+      new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "lsh_buckets takes (vec, numPlanes, numTables, dims)")
+        LshBuckets(args.head,
+          litInt(args(1), "numPlanes"), litInt(args(2), "numTables"), litInt(args(3), "dims"))
+      }),
+    ("poly_hash",
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "poly_hash takes exactly 1 argument")
+        PolyHash(args.head)
       })
   )
 

@@ -138,7 +138,13 @@ object DedupOps {
     * the xxhash64-based ops remain the hot path, this is the
     * cross-engine-verifiable twin.
     */
-  def polyHash(s: Column): Column = aggregate(
+  def polyHash(s: Column): Column = graft.functions.PolyHash(s)
+
+  /** The HOF formulation of [[polyHash]] — kept as the executable
+    * specification the native expression is tested against
+    * (PortableHashSpec), and the shape the DuckDB oracle mirrors.
+    */
+  private[ops] def polyHashHof(s: Column): Column = aggregate(
     filter(split(s, ""), c => length(c) > 0),
     lit(0L),
     (a, c) => (a * 31L + ascii(c).cast(LongType)) % 1000000007L)

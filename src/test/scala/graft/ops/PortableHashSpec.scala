@@ -21,6 +21,16 @@ class PortableHashSpec extends SparkSpec {
     assert(got === Seq(96354L, 0L, 204910434L))
   }
 
+  test("native poly_hash agrees with its HOF specification") {
+    val samples = Seq("abc", "", "hello world", "Ünïcödé BMP", "a b  c", "123!@#")
+    val both = samples.toDF("s")
+      .select(
+        DedupOps.polyHash(col("s")).as("native"),
+        DedupOps.polyHashHof(col("s")).as("hof"))
+      .as[(Long, Long)].collect()
+    both.zip(samples).foreach { case ((n, h), s) => assert(n === h, s"input '$s'") }
+  }
+
   test("saltedJoin rejects join types that would duplicate small-side rows") {
     val big = Seq((1, "x")).toDF("k", "v")
     val small = Seq((1, "y")).toDF("k", "w")
