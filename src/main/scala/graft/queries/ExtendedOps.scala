@@ -112,6 +112,26 @@ object ExtendedOps {
     ),
 
     QuerySpec(
+      "q_tumbling_window",
+      (s, dir) =>
+        // tumbling event-time window (the batch shape of the streaming
+        // windowed agg in stream.EventAggregates): 1-day buckets
+        t(s, dir, "events")
+          .groupBy(window(col("ts").cast("timestamp"), "1 day").as("w"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+          .select(
+            unix_micros(col("w.start")).as("w_start_us"),
+            col("n_events"), col("n_users"))
+          .orderBy("w_start_us"),
+      Some("""SELECT epoch_us(date_trunc('day', ts)) AS w_start_us,
+             |       count(*) AS n_events,
+             |       count(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_window_lead_lag",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
