@@ -38,8 +38,10 @@ object Bucketing {
   def table(spark: SparkSession, tableName: String): DataFrame = spark.table(tableName)
 
   /** True when the physical plan of `df` contains no shuffle exchange —
-    * the property bucketed co-located joins buy.
+    * the property bucketed co-located joins buy. (BroadcastExchange is
+    * not a shuffle and doesn't count against it.)
     */
   def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange")
+    !df.queryExecution.executedPlan.toString.linesIterator
+      .exists(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
 }

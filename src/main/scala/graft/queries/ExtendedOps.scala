@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables.t
-import graft.ops.{AsOfJoin, Skew}
+import graft.ops.{AsOfJoin, RangeJoin, Skew}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -44,6 +44,34 @@ object ExtendedOps {
              |       p.prev_purchase_id, p.p_us AS prev_purchase_us
              |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts_us >= p.p_us
              |ORDER BY e.event_id""".stripMargin),
+      bench = true
+    ),
+
+    QuerySpec(
+      "q_range_join_pairs",
+      (s, dir) => {
+        // banded self range join: same-user event pairs within 3 days (the
+        // events corpus spans one month, so the band is genuinely
+        // selective) — bucketized equality join, never the
+        // |user group|² cross product
+        val deltaUs = 3L * 24 * 3600 * 1000000L
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tu"))
+        val a = ev.select(col("user_id"), col("event_id").as("id_a"), col("tu").as("tu_a"))
+        val b = ev.select(col("user_id"), col("event_id").as("id_b"), col("tu").as("tu_b"))
+        RangeJoin.band(a, b, Seq("user_id"), "tu_a", "tu_b", deltaUs)
+          .filter(col("id_a") < col("id_b"))
+          .select(col("user_id"), col("id_a"), col("id_b"),
+            abs(col("tu_a") - col("tu_b")).as("gap_us"))
+          .orderBy("user_id", "id_a", "id_b")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu FROM events)
+             |SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+             |       abs(a.tu - b.tu) AS gap_us
+             |FROM e a JOIN e b
+             |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+             | AND abs(a.tu - b.tu) <= 259200000000
+             |ORDER BY a.user_id, id_a, id_b""".stripMargin),
       bench = true
     ),
 
