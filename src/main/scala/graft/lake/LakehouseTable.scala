@@ -121,6 +121,7 @@ final class LakehouseTable(
     * part files).
     */
   private def writeStaged(meta: TableMetadata, df: DataFrame): Seq[DataFile] = {
+    validateSchema(meta, df)
     val withPart = (meta.partitionTransform, meta.partitionColumns) match {
       case (Some(ts), Seq(pc)) if !df.columns.contains(pc) =>
         df.withColumn(pc, year(col(ts)))
@@ -136,6 +137,32 @@ final class LakehouseTable(
     (if (meta.partitionColumns.nonEmpty) writer.partitionBy(meta.partitionColumns: _*) else writer)
       .parquet(staging.toString)
     moveStaged(staging)
+  }
+
+  /** The schema is FROZEN at table creation (reference §1.3 — PyIceberg
+    * raises on a mismatched append; without this check a divergent batch
+    * would write parquet the fixed read schema then misreads). Name+type
+    * must match exactly; nullability may differ; the derived partition
+    * column may or may not be present.
+    */
+  private def validateSchema(meta: TableMetadata, df: DataFrame): Unit = {
+    val frozen = StructType.fromDDL(meta.schemaDdl)
+      .fields.map(f => f.name -> f.dataType).toMap
+    val got = df.schema.fields
+      .filterNot(f => meta.partitionColumns.contains(f.name))
+      .map(f => f.name -> f.dataType).toMap
+    if (got != frozen) {
+      val missing = frozen.keySet -- got.keySet
+      val extra = got.keySet -- frozen.keySet
+      val retyped = frozen.keySet.intersect(got.keySet)
+        .filter(k => frozen(k) != got(k))
+        .map(k => s"$k: ${frozen(k).simpleString} -> ${got(k).simpleString}")
+      throw new IllegalArgumentException(
+        s"batch schema does not match the table's frozen schema" +
+          (if (missing.nonEmpty) s"; missing: ${missing.mkString(", ")}" else "") +
+          (if (extra.nonEmpty) s"; unexpected: ${extra.mkString(", ")}" else "") +
+          (if (retyped.nonEmpty) s"; retyped: ${retyped.mkString(", ")}" else ""))
+    }
   }
 
   private def commitAppend(
