@@ -471,6 +471,51 @@ object Relational {
     ),
 
     QuerySpec(
+      "q_priority_late_orders",
+      (s, dir) => {
+        // TPC-H Q4 shape: EXISTS-correlated semi join between orders and
+        // their late lineitems (shipped >90 days after the order date —
+        // this corpus has no l_commitdate), counted per priority
+        val orders = t(s, dir, "orders").as("o")
+        val li = t(s, dir, "lineitem").as("l")
+        orders.join(li,
+            col("l.l_orderkey") === col("o.o_orderkey") &&
+              col("l.l_shipdate") > col("o.o_orderdate") + expr("INTERVAL 90 DAYS"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders
+             |FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_orderkey = o.o_orderkey
+             |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_customer_order_distribution",
+      (s, dir) => {
+        // TPC-H Q13 shape: customers (including order-less ones) bucketed
+        // by how many orders they have — outer join + double aggregation
+        val cust = t(s, dir, "customer").select("c_custkey")
+        val orders = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
+        cust.join(orders, Seq("c_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist
+             |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+             |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+             |      GROUP BY c_custkey)
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_join_nation_customers",
       (s, dir) => {
         val cust = t(s, dir, "customer")
