@@ -229,7 +229,8 @@ final class LakehouseTable(
     * 100 TB (a year of per-file micro-appends = millions of tiny files;
     * post-compaction the manifest is O(partitions)).
     */
-  def compact(): Snapshot = {
+  def compact(filesPerPartition: Int = 1): Snapshot = {
+    require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
     val meta = metadata
     val current = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("cannot compact an empty table"))
@@ -240,11 +241,25 @@ final class LakehouseTable(
     val stagingName = s".staging-${UUID.randomUUID().toString.take(8)}"
     val staging = new Path(tableDir, stagingName)
     val writer = meta.partitionColumns match {
-      case Seq(pc) =>
+      case Seq(pc) if filesPerPartition == 1 =>
         // hash-repartition on the partition column: each partition value
         // lands in exactly one task → one file per partition dir
         df.repartition(col(pc)).write.mode("overwrite").partitionBy(pc)
-      case _ => df.coalesce(1).write.mode("overwrite")
+      case Seq(pc) =>
+        // one writer task cannot absorb a year of data at 100 TB: fan
+        // each partition value out over a deterministic content-hash
+        // bucket so every partition dir gets ~filesPerPartition files
+        // written in parallel (content-derived → task-retry stable).
+        // numPartitions is explicit: a bare repartition-by-column is an
+        // AQE-coalescible shuffle that would merge the small cells right
+        // back into one task.
+        val nPartDirs = math.max(1,
+          current.manifest.map(f => f.path.split("/").dropRight(1).mkString("/")).distinct.size)
+        val bucket = pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(filesPerPartition))
+        df.repartition(nPartDirs * filesPerPartition, col(pc), bucket)
+          .write.mode("overwrite").partitionBy(pc)
+      case _ if filesPerPartition == 1 => df.coalesce(1).write.mode("overwrite")
+      case _ => df.repartition(filesPerPartition).write.mode("overwrite")
     }
     writer.parquet(staging.toString)
 
