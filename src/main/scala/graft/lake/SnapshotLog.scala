@@ -124,11 +124,25 @@ final class SnapshotLog(tableDir: Path, conf: Configuration) {
   /** Optimistic-concurrency commit: read version v, write v+1, swap the
     * pointer. A concurrent committer loses by failing the create-new-file
     * check (HDFS/local create is atomic-exclusive).
+    *
+    * Crash recovery: a writer that died between writing `v{N+1}.json`
+    * and swapping the pointer leaves an orphaned version file that no
+    * pointer references. Under the single-writer discipline (T4 lock)
+    * that state is unambiguous — the pointer still reads
+    * `expectedVersion`, so the leftover is reclaimed and the commit
+    * proceeds; without the reclaim every future commit would fail the
+    * exists-check forever. A REAL concurrent commit moves the pointer
+    * first, which `currentVersion != expectedVersion` catches below.
     */
   def commit(expectedVersion: Long, meta: TableMetadata): Long = {
     val next = expectedVersion + 1
     val p = versionPath(next)
-    require(!fs.exists(p), s"concurrent commit detected: $p already exists")
+    if (fs.exists(p)) {
+      require(currentVersion == expectedVersion,
+        s"concurrent commit detected: $p exists and the version pointer moved " +
+          s"(expected v$expectedVersion, found v$currentVersion)")
+      fs.delete(p, false) // crashed-commit leftover: unreferenced by any pointer
+    }
     writeJson(p, meta)
     swapPointer(next)
     next

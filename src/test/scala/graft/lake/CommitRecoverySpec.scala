@@ -1,0 +1,44 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+import java.sql.Timestamp
+
+/** Crash-window recovery of the snapshot log's commit protocol. */
+class CommitRecoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base = Seq((Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+    .toDF("DateTime", "Bid")
+
+  private def fsFor(p: Path) = p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("a crashed commit's orphaned version file does not wedge the table") {
+    val dir = new Path(tmpDir("recov"), "t")
+    val table = LakehouseTable.createIfNotExists(spark, dir, base.schema, Some("DateTime"))
+    // simulate a writer that died after writing v1.json but before the
+    // pointer swap: v1.json exists, VERSION still points at v0
+    val fs = fsFor(dir)
+    val orphan = new Path(dir, "metadata/v1.json")
+    val out = fs.create(orphan, false)
+    out.write("{\"crashed\": true}".getBytes("UTF-8")); out.close()
+    assert(table.log.currentVersion === 0L)
+
+    table.append(base) // must reclaim the leftover and commit v1 for real
+    assert(table.log.currentVersion === 1L)
+    assert(table.read().count() === 1L)
+    assert(table.snapshots.size === 1)
+  }
+
+  test("a genuinely concurrent commit (pointer moved) is still rejected") {
+    val dir = new Path(tmpDir("recov"), "t2")
+    val table = LakehouseTable.createIfNotExists(spark, dir, base.schema, Some("DateTime"))
+    val staleVersion = table.log.currentVersion // 0
+    table.append(base) // moves the pointer to v1
+    val e = intercept[IllegalArgumentException] {
+      table.log.commit(staleVersion, table.metadata) // would re-write v1.json
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+  }
+}
