@@ -319,8 +319,15 @@ final class LakehouseTable(
     */
   def removeOrphanedFiles(): Seq[String] = {
     val referenced = metadata.snapshots.flatMap(_.manifest.map(_.path)).toSet
-    if (!fs.exists(dataDir)) return Nil
+    // reap .staging-* dirs first: a write that crashed mid-move leaves
+    // its staging dir behind, referenced by nothing (single-writer, so
+    // no in-flight write can coexist with this maintenance call)
+    val staged = fs.listStatus(tableDir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".staging-"))
+    val stagedNames = staged.map { st => fs.delete(st.getPath, true); st.getPath.getName }
+    if (!fs.exists(dataDir)) return stagedNames.toSeq
     val orphans = scala.collection.mutable.ArrayBuffer.empty[String]
+    orphans ++= stagedNames
     val dataDirQ = fs.makeQualified(dataDir)
     val it = fs.listFiles(dataDir, true)
     while (it.hasNext) {

@@ -31,6 +31,20 @@ class CommitRecoverySpec extends SparkSpec {
     assert(table.snapshots.size === 1)
   }
 
+  test("removeOrphanedFiles reaps staging dirs from crashed writes") {
+    val dir = new Path(tmpDir("recov"), "t3")
+    val table = LakehouseTable.createIfNotExists(spark, dir, base.schema, Some("DateTime"))
+    table.append(base)
+    val fs = fsFor(dir)
+    val staleStaging = new Path(dir, ".staging-deadbeef/part-0.parquet")
+    val out = fs.create(staleStaging, true)
+    out.write(1); out.close()
+    val deleted = table.removeOrphanedFiles()
+    assert(deleted.contains(".staging-deadbeef"))
+    assert(!fs.exists(new Path(dir, ".staging-deadbeef")))
+    assert(table.read().count() === 1L)
+  }
+
   test("a genuinely concurrent commit (pointer moved) is still rejected") {
     val dir = new Path(tmpDir("recov"), "t2")
     val table = LakehouseTable.createIfNotExists(spark, dir, base.schema, Some("DateTime"))
