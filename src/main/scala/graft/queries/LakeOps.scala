@@ -126,7 +126,40 @@ object LakeOps {
       .orderBy("run_seq")
   }
 
+  /** Three appends → expire with zero retention: the newest two
+    * snapshots (and the current one) must survive, exactly one expires,
+    * and the table's live rows are untouched — M1's intended semantics
+    * (the reference computes but fails to honor the protected set,
+    * SURVEY.md §2.9).
+    */
+  def expiryFlow(s: SparkSession, dir: String): DataFrame = {
+    val pipeline = new IngestPipeline(s, eventsConfig(freshWarehouse("graft-ex")))
+    val ev = graft.Tables.t(s, dir, "events")
+    pipeline.ingestBatch("events", ev.filter(col("event_id") % 3 === 0))
+    pipeline.ingestBatch("events", ev.filter(col("event_id") % 3 <= 1))
+    pipeline.ingestBatch("events", ev)
+    val table = pipeline.catalog.loadTable("gold.events")
+    val before = table.snapshots.size.toLong
+    val (expired, _) = table.expireSnapshots(retentionMs = 0L, keepLast = 2)
+    val after = table.snapshots.size.toLong
+    val nRows = table.read().agg(count(lit(1)).as("n_rows"))
+    nRows.select(
+      lit(before).as("snaps_before"),
+      lit(after).as("snaps_after"),
+      lit(expired.size.toLong).as("n_expired"),
+      col("n_rows"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q_lake_expiry",
+      expiryFlow,
+      Some("""SELECT CAST(3 AS BIGINT) AS snaps_before,
+             |       CAST(2 AS BIGINT) AS snaps_after,
+             |       CAST(1 AS BIGINT) AS n_expired,
+             |       count(*) AS n_rows
+             |FROM events""".stripMargin)
+    ),
     QuerySpec(
       "q_lake_roundtrip",
       roundtrip,
