@@ -99,20 +99,36 @@ object TextAnalysis {
   /** Exact content fingerprint — MD5 over the raw text bytes. */
   def fingerprint(text: Column): Column = md5(text.cast(BinaryType))
 
-  /** Winnowing-style robust fingerprint (Schleimer et al., SIGMOD'03):
-    * MD5 over every k-char shingle, then the per-window minimum, then
-    * distinct. MD5 (not murmur) keeps it oracle-comparable across
-    * engines. Runs entirely inside array HOFs — one projection.
+  /** Stage 1 of winnowing (Schleimer et al., SIGMOD'03): MD5 over every
+    * k-char shingle. MD5 (not murmur) keeps it oracle-comparable.
+    *
+    * MUST be materialized as its own aliased projection before
+    * [[winnowMins]] consumes it — referencing this expression from
+    * inside the per-window lambda re-evaluates the WHOLE hash array per
+    * window position (HOF outer-reference re-evaluation, pitfall #1),
+    * turning an O(n) op into O(n²) md5 calls per document: measured
+    * 12+ min for 5 000 docs single-threaded vs seconds staged.
     */
-  def winnowFingerprints(text: Column, k: Int = 5, window: Int = 4): Column = {
-    val shingleHashes = transform(
+  def winnowShingleHashes(text: Column, k: Int = 5): Column =
+    transform(
       positions(length(text) - (k - 1)),
       i => md5(text.substr(i, lit(k)).cast(BinaryType)))
-    val mins = transform(
+
+  /** Stage 2: distinct per-window minima over a MATERIALIZED hash-array
+    * column (see [[winnowShingleHashes]]).
+    */
+  def winnowMins(shingleHashes: Column, window: Int = 4): Column =
+    array_distinct(transform(
       positions(size(shingleHashes) - (window - 1)),
-      i => array_min(slice(shingleHashes, i, lit(window))))
-    array_distinct(mins)
-  }
+      i => array_min(slice(shingleHashes, i, lit(window)))))
+
+  /** Single-Column convenience form of the winnowed fingerprint — ONLY
+    * for tiny inputs/tests: as one composed expression it hits the
+    * O(n²) re-evaluation described on [[winnowShingleHashes]]. Hot
+    * paths stage the two halves as separate projections.
+    */
+  def winnowFingerprints(text: Column, k: Int = 5, window: Int = 4): Column =
+    winnowMins(winnowShingleHashes(text, k), window)
 
   /** All per-document text analysis as one wide projection. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {

@@ -99,12 +99,22 @@ object TextOps {
     QuerySpec(
       "q_text_fingerprint",
       (s, dir) =>
+        // staged projections: hs and wins are each referenced twice in
+        // the next select, so CollapseProject keeps them materialized —
+        // the single-expression composition re-evaluates the whole md5
+        // shingle array per window position (O(n²) per doc, pitfall #1)
         t(s, dir, "documents")
+          .select(
+            col("doc_id"), col("text"),
+            TextAnalysis.winnowShingleHashes(col("text")).as("hs"))
+          .select(
+            col("doc_id"), col("text"),
+            TextAnalysis.winnowMins(col("hs")).as("wins"))
           .select(
             col("doc_id"),
             TextAnalysis.fingerprint(col("text")).as("fp_md5"),
-            size(TextAnalysis.winnowFingerprints(col("text"))).cast(LongType).as("n_winnow"),
-            array_min(TextAnalysis.winnowFingerprints(col("text"))).as("min_winnow_fp"))
+            size(col("wins")).cast(LongType).as("n_winnow"),
+            array_min(col("wins")).as("min_winnow_fp"))
           .orderBy("doc_id"),
       Some("""WITH s AS (
              |  SELECT doc_id,
