@@ -266,6 +266,29 @@ object Relational {
     ),
 
     QuerySpec(
+      "q_set_ops",
+      (s, dir) => {
+        // INTERSECT / EXCEPT (distinct set semantics on both engines)
+        val ev = t(s, dir, "events")
+        val purchasers = ev.filter(col("event_type") === "purchase").select("user_id")
+        val errorers = ev.filter(col("event_type") === "error").select("user_id")
+        purchasers.intersect(errorers).withColumn("tag", lit("both"))
+          .unionByName(purchasers.except(errorers).withColumn("tag", lit("purchase_only")))
+          .orderBy("tag", "user_id")
+      },
+      Some("""SELECT user_id, 'both' AS tag FROM
+             |  (SELECT user_id FROM events WHERE event_type = 'purchase'
+             |   INTERSECT
+             |   SELECT user_id FROM events WHERE event_type = 'error')
+             |UNION ALL
+             |SELECT user_id, 'purchase_only' AS tag FROM
+             |  (SELECT user_id FROM events WHERE event_type = 'purchase'
+             |   EXCEPT
+             |   SELECT user_id FROM events WHERE event_type = 'error')
+             |ORDER BY tag, user_id""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_json_extract_props",
       (s, dir) =>
         t(s, dir, "events")
