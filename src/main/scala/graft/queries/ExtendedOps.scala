@@ -13,6 +13,9 @@ import org.apache.spark.sql.types._
   */
 object ExtendedOps {
 
+  /** Typed row for the Dataset[T] surface (q_typed_user_stats). */
+  final case class Ev(user_id: Long, event_id: Long, value: Double)
+
   private def decSumD(c: org.apache.spark.sql.Column) =
     sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
 
@@ -242,6 +245,38 @@ object ExtendedOps {
              |       CAST(max(n_ev) AS BIGINT) AS max_session_events
              |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin),
       bench = true
+    ),
+
+    QuerySpec(
+      "q_typed_user_stats",
+      (s, dir) => {
+        // the typed Dataset surface: case-class Encoder + groupByKey +
+        // mapGroups with imperative per-group logic. Exact-decimal
+        // accumulation makes the fold order-insensitive, so the
+        // arbitrary group iterator order cannot change the result.
+        import s.implicits._
+        val ds = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("value")).as[Ev]
+        ds.groupByKey(_.user_id)
+          .mapGroups { (uid, rows) =>
+            var n = 0L
+            var maxId = Long.MinValue
+            var sum = java.math.BigDecimal.ZERO
+            rows.foreach { e =>
+              n += 1
+              maxId = math.max(maxId, e.event_id)
+              sum = sum.add(new java.math.BigDecimal(e.value)
+                .setScale(4, java.math.RoundingMode.HALF_UP))
+            }
+            (uid, n, maxId, sum.doubleValue)
+          }
+          .toDF("user_id", "n_events", "max_event_id", "sum_value")
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |       max(event_id) AS max_event_id,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
 
     QuerySpec(

@@ -150,7 +150,33 @@ object LakeOps {
       col("n_rows"))
   }
 
+  /** Plant an unreferenced data file + a stale staging dir (the two
+    * crash-leftover shapes), run maintenance, and prove live data is
+    * untouched while both leftovers are reclaimed.
+    */
+  def orphanFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val pipeline = new IngestPipeline(s, eventsConfig(freshWarehouse("graft-or")))
+    pipeline.ingestBatch("events", graft.Tables.t(s, dir, "events"))
+    val table = pipeline.catalog.loadTable("gold.events")
+    val fs = table.tableDir.getFileSystem(s.sessionState.newHadoopConf())
+    val stray = new Path(table.tableDir, "data/crash-leftover.parquet")
+    val o1 = fs.create(stray, true); o1.write(1); o1.close()
+    val staging = new Path(table.tableDir, ".staging-crashed/part-0.parquet")
+    val o2 = fs.create(staging, true); o2.write(1); o2.close()
+    val deleted = table.removeOrphanedFiles()
+    table.read().agg(count(lit(1)).as("n_rows"))
+      .select(lit(deleted.size.toLong).as("n_reclaimed"), col("n_rows"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q_lake_orphans",
+      orphanFlow,
+      Some("""SELECT CAST(2 AS BIGINT) AS n_reclaimed, count(*) AS n_rows
+             |FROM events""".stripMargin)
+    ),
+
     QuerySpec(
       "q_lake_expiry",
       expiryFlow,
