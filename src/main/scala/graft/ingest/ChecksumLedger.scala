@@ -35,14 +35,17 @@ final class ChecksumLedger(ledgerFile: Path, fs: FileSystem) {
   }
 
   /** True when the file's current bytes were already ingested. */
-  def isUnchanged(file: Path, sum: String): Boolean =
+  def isUnchanged(file: Path, sum: String): Boolean = synchronized {
     entries.get(file.toString).contains(sum)
+  }
 
-  def record(file: Path, sum: String): Unit =
+  def record(file: Path, sum: String): Unit = synchronized {
     entries += (file.toString -> sum)
+  }
 
-  def persist(): Unit =
+  def persist(): Unit = synchronized {
     graft.lake.AtomicState.write(fs, ledgerFile, Serialization.writePretty(entries))
+  }
 
-  def size: Int = entries.size
+  def size: Int = synchronized(entries.size)
 }

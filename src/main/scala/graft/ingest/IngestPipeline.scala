@@ -30,7 +30,14 @@ final case class IngestConfig(
     minRows: Long = 100L,
     maxNullFraction: Double = 0.05,
     retentionDays: Int = 7,
-    keepSnapshots: Int = 2
+    keepSnapshots: Int = 2,
+    /** >1 ingests independent symbols (= independent tables) from that
+      * many driver threads concurrently — each table has its own
+      * snapshot log so commits don't contend; catalog and ledger
+      * mutations are internally synchronized. 1 = the reference's
+      * strictly sequential behavior.
+      */
+    symbolParallelism: Int = 1
 )
 
 final case class FileIngestResult(
@@ -65,11 +72,21 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
   def run(dataRoot: String): RunSummary = pipelineLock.synchronized {
     val t0 = Instant.now()
     val root = new Path(dataRoot)
-    val symbols = fs.listStatus(root).filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
-    val tableAudits = symbols.map { symDir =>
-      val files = listParquet(symDir)
-      ingestSymbol(symDir.getName, files)
-    }.toSeq
+    val symbols = fs.listStatus(root).filter(_.isDirectory).map(_.getPath).sortBy(_.getName).toSeq
+    def one(symDir: Path): TableAudit = ingestSymbol(symDir.getName, listParquet(symDir))
+    val tableAudits =
+      if (cfg.symbolParallelism <= 1 || symbols.size <= 1) symbols.map(one)
+      else {
+        // symbols are independent tables: fan the per-symbol loops over a
+        // fixed driver-thread pool (Spark schedules jobs from many
+        // threads fine); audit order stays deterministic
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(cfg.symbolParallelism)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(Future.sequence(symbols.map(sd => Future(one(sd)))), Duration.Inf)
+        finally pool.shutdown()
+      }
     ledger.persist()
     val t1 = Instant.now()
     val summary = RunSummary(

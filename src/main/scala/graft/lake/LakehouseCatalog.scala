@@ -31,8 +31,12 @@ final class LakehouseCatalog(val spark: SparkSession, val warehouseDir: String) 
   private def writeState(st: CatalogState): Unit =
     AtomicState.write(fs, registryFile, Serialization.writePretty(st))
 
-  /** CREATE NAMESPACE IF NOT EXISTS (reference `:314-318`). */
-  def createNamespaceIfNotExists(ns: String): Unit = {
+  /** CREATE NAMESPACE IF NOT EXISTS (reference `:314-318`). Mutations
+    * synchronize on the catalog instance: registry updates are
+    * read-modify-write, and parallel symbol ingest (IngestConfig
+    * .symbolParallelism) registers tables from several threads.
+    */
+  def createNamespaceIfNotExists(ns: String): Unit = synchronized {
     val st = readState()
     if (!st.namespaces.contains(ns)) {
       fs.mkdirs(new Path(whPath, ns))
@@ -57,7 +61,7 @@ final class LakehouseCatalog(val spark: SparkSession, val warehouseDir: String) 
   def createTableIfNotExists(
       identifier: String,
       schema: StructType,
-      partitionSource: Option[String]): LakehouseTable = {
+      partitionSource: Option[String]): LakehouseTable = synchronized {
     val dir = tableDir(identifier)
     val table = LakehouseTable.createIfNotExists(spark, dir, schema, partitionSource)
     val st = readState()
