@@ -101,6 +101,27 @@ final class LakehouseTable(
     commitAppend(meta, version, writeStaged(meta, df), operation)
   }
 
+  /** Append with ADD-COLUMN schema evolution: columns in the batch that
+    * the table doesn't know yet are adopted (as nullable) into the table
+    * schema in the same atomic commit; existing columns are still
+    * validated (same name+type, none missing). Earlier data files simply
+    * lack the new columns, which the parquet reader surfaces as nulls —
+    * so old snapshots and time travel keep working under the widened
+    * read schema. Column drops and retypes remain rejected.
+    */
+  def appendEvolving(df: DataFrame, operation: String = "append"): Snapshot = {
+    val meta = metadata
+    val version = log.currentVersion
+    val frozen = StructType.fromDDL(meta.schemaDdl)
+    val added = df.schema.fields.filterNot(f =>
+      frozen.fieldNames.contains(f.name) || meta.partitionColumns.contains(f.name))
+    val evolved =
+      if (added.isEmpty) meta
+      else meta.copy(schemaDdl =
+        StructType(frozen.fields ++ added.map(_.copy(nullable = true))).toDDL)
+    commitAppend(evolved, version, writeStaged(evolved, df), operation)
+  }
+
   /** Append only when the batch actually contains rows — the staged
     * write doubles as the emptiness check, so callers skip the separate
     * `count()` materialization of the (anti-joined) batch that the

@@ -169,7 +169,35 @@ object LakeOps {
       .select(lit(deleted.size.toLong).as("n_reclaimed"), col("n_rows"))
   }
 
+  /** Two appends with ADD-COLUMN evolution between them: the widened
+    * schema reads pre-evolution rows as null in the new column.
+    */
+  def evolutionFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ev = graft.Tables.t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
+    val before = ev.filter(col("event_id") % 2 === 0)
+    val after = ev.filter(col("event_id") % 2 === 1)
+      .withColumn("source", concat(lit("s"), (col("event_id") % 3).cast("string")))
+    val table = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(freshWarehouse("graft-ev"), "events"), before.schema, Some("ts"))
+    table.append(before)
+    table.appendEvolving(after)
+    table.read().agg(
+      count(lit(1)).as("n_rows"),
+      count(col("source")).as("n_with_source"),
+      countDistinct(col("source")).as("n_source_values"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q_lake_evolution",
+      evolutionFlow,
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_source,
+             |       CAST(3 AS BIGINT) AS n_source_values
+             |FROM events""".stripMargin)
+    ),
+
     QuerySpec(
       "q_lake_orphans",
       orphanFlow,

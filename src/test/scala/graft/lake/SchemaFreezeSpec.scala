@@ -44,6 +44,33 @@ class SchemaFreezeSpec extends SparkSpec {
     assert(e.getMessage.contains("missing: Bid"))
   }
 
+  test("appendEvolving adopts new nullable columns; old rows read as null") {
+    val t = freshTable("evolve")
+    t.append(base)
+    t.appendEvolving(
+      Seq((Timestamp.valueOf("2024-01-02 00:00:00"), 2.0, "nyse"))
+        .toDF("DateTime", "Bid", "venue"))
+    val out = t.read()
+    assert(out.columns.contains("venue"))
+    assert(out.count() === 2L)
+    assert(out.filter(col("venue").isNull).count() === 1L) // pre-evolution row
+    assert(out.filter(col("venue") === "nyse").count() === 1L)
+    // evolution is persisted: a reloaded handle sees the widened schema
+    val reloaded = LakehouseTable.load(spark, t.tableDir)
+    assert(reloaded.schema.fieldNames.contains("venue"))
+    // and the frozen-schema rules still apply to the widened schema
+    intercept[IllegalArgumentException] { t.append(base) } // venue now required
+  }
+
+  test("appendEvolving still rejects retyped columns") {
+    val t = freshTable("evolve2")
+    t.append(base)
+    val e = intercept[IllegalArgumentException] {
+      t.appendEvolving(base.withColumn("Bid", col("Bid").cast("string")))
+    }
+    assert(e.getMessage.contains("retyped: Bid"))
+  }
+
   test("a pre-derived partition column is allowed") {
     val t = freshTable("derived")
     t.append(base.withColumn("DateTime_year", year(col("DateTime"))))
