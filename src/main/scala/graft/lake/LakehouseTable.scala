@@ -236,6 +236,63 @@ final class LakehouseTable(
     moved.toSeq
   }
 
+  /** Copy-on-write MERGE (upsert) on `key`: rows in the batch REPLACE
+    * existing rows with the same key; keys not present are inserted.
+    *
+    * Surgical at the file level: manifest key-range stats select the
+    * candidate files, `input_file_name` narrows them to the files that
+    * actually contain a matched key, and ONLY those are rewritten
+    * (survivor rows + the batch); every other data file is carried into
+    * the new snapshot untouched. At 100 TB an upsert touching one day
+    * rewrites one day of files, not the table. Old snapshots still
+    * reference the replaced files, so time travel sees pre-merge data.
+    */
+  def merge(batch: DataFrame, key: String): Snapshot = {
+    val meta = metadata
+    val version = log.currentVersion
+    val current = meta.currentSnapshot.getOrElse(return append(batch, "merge"))
+
+    // candidate files by the batch's key range (epoch-micros footer stats)
+    val Array(lo, hi) = batch
+      .agg(min(unix_micros(col(key))), max(unix_micros(col(key))))
+      .head().toSeq.toArray
+    val candidates = (lo, hi) match {
+      case (l: java.lang.Long, h: java.lang.Long) => filesOverlapping(l, h)
+      case _ => current.manifest
+    }
+
+    // narrow to files that really contain a matched key (file list is
+    // metadata-sized — safe to collect)
+    val hitPaths = readFiles(candidates)
+      .withColumn("__graft_file", input_file_name())
+      .join(batch.select(col(key)), Seq(key), "left_semi")
+      .select("__graft_file").distinct()
+      .collect().map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath).toSet
+    val rewrite = candidates.filter(f =>
+      hitPaths.contains(fs.makeQualified(new Path(tableDir, f.path)).toUri.getPath))
+
+    val survivors = readFiles(rewrite)
+      .drop(meta.partitionColumns: _*) // re-derived by the staged write
+      .join(batch.select(col(key)), Seq(key), "left_anti")
+    val moved = writeStaged(meta, survivors.unionByName(batch.drop(meta.partitionColumns: _*)))
+
+    val keep = current.manifest.filterNot(f => rewrite.exists(_.path == f.path))
+    val newRows = keep.map(_.rows).sum + moved.map(_.rows).sum
+    val snap = Snapshot(
+      id = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L,
+      parentId = Some(current.id),
+      timestampMs = System.currentTimeMillis(),
+      operation = "merge",
+      manifest = keep ++ moved,
+      addedFiles = moved,
+      addedRows = moved.map(_.rows).sum,
+      totalRows = newRows)
+    log.commit(version, meta.copy(
+      snapshots = meta.snapshots :+ snap,
+      currentSnapshotId = Some(snap.id)))
+    snap
+  }
+
   /** Compaction: rewrite the current snapshot's data into
     * `filesPerPartition` files per partition as a NEW snapshot whose
     * manifest replaces (rather than accumulates) the old file set — the

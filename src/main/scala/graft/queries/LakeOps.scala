@@ -188,7 +188,36 @@ object LakeOps {
       countDistinct(col("source")).as("n_source_values"))
   }
 
+  /** Copy-on-write MERGE: ingest events, upsert +1000 onto every 5th
+    * event's value, read back totals. (Input values top out below 500,
+    * so `value >= 1000` identifies updated rows unambiguously.)
+    */
+  def mergeFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ev = graft.Tables.t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
+    val table = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(freshWarehouse("graft-mg"), "events"), ev.schema, Some("ts"))
+    table.append(ev)
+    val updates = ev.filter(col("event_id") % 5 === 0)
+      .withColumn("value", col("value") + 1000.0)
+    table.merge(updates, "ts")
+    table.read().agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("value") >= 1000.0, 1)).as("n_updated"),
+      sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q_lake_merge",
+      mergeFlow,
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+             |       CAST(sum(CAST(CASE WHEN event_id % 5 = 0 THEN value + 1000.0 ELSE value END
+             |                     AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM events""".stripMargin)
+    ),
+
     QuerySpec(
       "q_lake_evolution",
       evolutionFlow,
