@@ -293,6 +293,47 @@ final class LakehouseTable(
     snap
   }
 
+  /** Copy-on-write DELETE: remove rows matching `predicate`. Surgical
+    * like [[merge]] — `input_file_name` identifies the files that
+    * actually contain matching rows and only those are rewritten with
+    * their surviving rows; untouched files carry over, old snapshots
+    * keep the pre-delete data.
+    */
+  def delete(predicate: org.apache.spark.sql.Column): Snapshot = {
+    val meta = metadata
+    val version = log.currentVersion
+    val current = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("cannot delete from an empty table"))
+
+    val hitPaths = read()
+      .withColumn("__graft_file", input_file_name())
+      .filter(predicate)
+      .select("__graft_file").distinct()
+      .collect().map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath).toSet
+    val rewrite = current.manifest.filter(f =>
+      hitPaths.contains(fs.makeQualified(new Path(tableDir, f.path)).toUri.getPath))
+
+    val survivors = readFiles(rewrite)
+      .filter(!predicate)
+      .drop(meta.partitionColumns: _*)
+    val moved = writeStaged(meta, survivors) // empty when a file is fully deleted
+
+    val keep = current.manifest.filterNot(f => rewrite.exists(_.path == f.path))
+    val snap = Snapshot(
+      id = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L,
+      parentId = Some(current.id),
+      timestampMs = System.currentTimeMillis(),
+      operation = "delete",
+      manifest = keep ++ moved,
+      addedFiles = moved,
+      addedRows = moved.map(_.rows).sum,
+      totalRows = keep.map(_.rows).sum + moved.map(_.rows).sum)
+    log.commit(version, meta.copy(
+      snapshots = meta.snapshots :+ snap,
+      currentSnapshotId = Some(snap.id)))
+    snap
+  }
+
   /** Compaction: rewrite the current snapshot's data into
     * `filesPerPartition` files per partition as a NEW snapshot whose
     * manifest replaces (rather than accumulates) the old file set — the

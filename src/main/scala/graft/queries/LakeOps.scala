@@ -207,7 +207,28 @@ object LakeOps {
       sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
   }
 
+  /** Copy-on-write DELETE: drop every 7th event, read back totals. */
+  def deleteFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ev = graft.Tables.t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
+    val table = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(freshWarehouse("graft-dl"), "events"), ev.schema, Some("ts"))
+    table.append(ev)
+    table.delete(col("event_id") % 7 === 0)
+    table.read().agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q_lake_delete",
+      deleteFlow,
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM events WHERE event_id % 7 <> 0""".stripMargin)
+    ),
+
     QuerySpec(
       "q_lake_merge",
       mergeFlow,

@@ -53,6 +53,25 @@ class MergeSpec extends SparkSpec {
     assert(old.filter($"Bid" >= 1000.0).count() === 0L)
   }
 
+  test("delete rewrites only files containing matches; time travel keeps old data") {
+    val dir = new Path(tmpDir("merge"), "t3")
+    val y2020 = rows(2020, 0 until 30)
+    val table = LakehouseTable.createIfNotExists(spark, dir, y2020.schema, Some("DateTime"))
+    table.append(y2020)
+    table.append(rows(2021, 0 until 30))
+    val before = table.metadata.currentSnapshot.get
+    val files2021 = before.manifest.filter(_.path.contains("DateTime_year=2021"))
+
+    table.delete(year($"DateTime") === 2020 && $"Bid" < 10.0)
+
+    val after = table.metadata.currentSnapshot.get
+    files2021.foreach(f => assert(after.manifest.exists(_.path == f.path))) // untouched
+    assert(table.read().count() === 50L) // 30 - 10 + 30
+    assert(after.totalRows === 50L)
+    assert(table.read().filter(year($"DateTime") === 2020 && $"Bid" < 10.0).count() === 0L)
+    assert(table.timeTravel(before.id).count() === 60L) // pre-delete intact
+  }
+
   test("merge into an empty table is a plain insert") {
     val dir = new Path(tmpDir("merge"), "t2")
     val data = rows(2020, 0 until 20)
