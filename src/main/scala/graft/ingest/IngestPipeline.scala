@@ -37,7 +37,16 @@ final case class IngestConfig(
       * mutations are internally synchronized. 1 = the reference's
       * strictly sequential behavior.
       */
-    symbolParallelism: Int = 1
+    symbolParallelism: Int = 1,
+    /** What an incoming row with an already-ingested time key means:
+      *  - "drop"  (reference semantics): first write wins — the anti-join
+      *    discards it. NOTE this makes the reference's modified-file
+      *    re-ingest a no-op for changed VALUES: the checksum ledger
+      *    re-reads the file but every key already exists.
+      *  - "upsert": last write wins — a copy-on-write merge replaces the
+      *    existing rows (file-surgical, see LakehouseTable.merge).
+      */
+    duplicateKeyPolicy: String = "drop"
 )
 
 final case class FileIngestResult(
@@ -178,12 +187,25 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
       // the staged write IS the emptiness check — no pre-append count()
       // materialization of the anti-join, and an all-duplicate re-ingest
       // commits no snapshot (reference `:388-392`)
-      val fresh = Dedup.dropExisting(
-        Dedup.withinBatch(keyed, Seq(cfg.timeColumn)), table, cfg.timeColumn)
-      val nNew = table.appendIfNonEmpty(fresh).map(_.addedRows).getOrElse(0L)
+      val nNew = writeBatch(table, keyed)
       ledger.record(file, sum)
       FileIngestResult(file.toString, nNew, qc.nullTimeKey, skipped = false, issues)
     } finally df.unpersist()
+  }
+
+  /** Land a normalized, null-key-free batch per duplicateKeyPolicy:
+    * "drop" anti-joins table history and appends only new keys;
+    * "upsert" merges (existing keys replaced file-surgically). Returns
+    * rows written into the new snapshot (0 = nothing committed).
+    */
+  private def writeBatch(table: LakehouseTable, keyed: DataFrame): Long = {
+    val deduped = Dedup.withinBatch(keyed, Seq(cfg.timeColumn))
+    cfg.duplicateKeyPolicy match {
+      case "upsert" => table.merge(deduped, cfg.timeColumn).addedRows
+      case _ =>
+        val fresh = Dedup.dropExisting(deduped, table, cfg.timeColumn)
+        table.appendIfNonEmpty(fresh).map(_.addedRows).getOrElse(0L)
+    }
   }
 
   /** Micro-batch entry used by the streaming watcher: ingest an already
@@ -208,9 +230,7 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
       val issues =
         if (qc.nullTimeKey > 0) Seq(s"Rejected ${qc.nullTimeKey} rows with null ${cfg.timeColumn}")
         else Nil
-      val fresh = Dedup.dropExisting(
-        Dedup.withinBatch(keyed, Seq(cfg.timeColumn)), table, cfg.timeColumn)
-      val n = table.appendIfNonEmpty(fresh).map(_.addedRows).getOrElse(0L)
+      val n = writeBatch(table, keyed)
       FileIngestResult(s"batch:$symbol", n, qc.nullTimeKey, skipped = false, issues)
     } finally df.unpersist()
   }
