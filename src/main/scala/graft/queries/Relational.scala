@@ -474,6 +474,28 @@ object Relational {
     ),
 
     QuerySpec(
+      "q_approx_percentile",
+      (s, dir) =>
+        // sketch contract (like q_approx_distinct): the approximate
+        // median must land inside the exact interquartile range; the
+        // exact median is value-checked
+        t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(
+            round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+            expr("approx_percentile(value, 0.5, 10000)").as("ap"),
+            expr("percentile(value, 0.25)").as("q1"),
+            expr("percentile(value, 0.75)").as("q3"))
+          .select(
+            col("event_type"), col("p50_exact"),
+            (col("ap") >= col("q1") && col("ap") <= col("q3")).as("approx_in_iqr"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50_exact,
+             |       true AS approx_in_iqr
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_approx_distinct",
       (s, dir) =>
         // HLL++ sketch: deterministic under any partitioning (register
