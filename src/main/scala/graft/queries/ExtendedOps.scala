@@ -16,8 +16,10 @@ object ExtendedOps {
   /** Typed row for the Dataset[T] surface (q_typed_user_stats). */
   final case class Ev(user_id: Long, event_id: Long, value: Double)
 
+  // unscaled-long exact sum — see Relational.decSumD for the rounding-
+  // parity and overflow argument
   private def decSumD(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+    (sum(round(c * 10000.0).cast(LongType)) / 10000.0).cast(DoubleType)
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
