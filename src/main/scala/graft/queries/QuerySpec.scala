@@ -11,9 +11,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - every integer-ish output column is BIGINT on both sides;
   *   - doubles read straight from parquet are emitted untouched (bit-equal
   *     on both engines since no arithmetic happens);
-  *   - SUMs over non-integral doubles are summed as DECIMAL(18,4) — decimal
-  *     addition is exact, so partial-aggregation order cannot change the
-  *     result the way double addition can;
+  *   - SUMs over non-integral doubles are summed as unscaled 1e-4 LONGs
+  *     (`sum(round(c*10000)::long)/10000.0`) — integer addition is exact,
+  *     so partial-aggregation order cannot change the result the way
+  *     double addition can, and the sum stays on the codegen fast path
+  *     (the DuckDB oracle keeps the equivalent DECIMAL(18,4) form; both
+  *     round HALF_UP and inputs carry ≤4 decimal places, so the two are
+  *     bit-identical — see Relational.decSumD for the overflow bound);
   *   - derived doubles (ratios, cosines) are round(x, 4) on both sides with
   *     the arithmetic written in the same operation order;
   *   - timestamps are emitted as epoch micros/millis BIGINT (testdata
