@@ -38,6 +38,23 @@ object EventAggregates {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Bounded-state streaming dedup: duplicates of a key arriving within
+    * the watermark horizon are dropped; state is evicted once the
+    * watermark passes, so memory is O(keys per horizon), not O(history).
+    * The complement of the ingest pipeline's unbounded anti-join dedup
+    * (WatcherStream T6): use THIS when the duplicate window is known to
+    * be short (e.g. at-least-once upstream retries), the anti-join when
+    * duplicates can arrive arbitrarily late (the reference's contract).
+    */
+  def dedupWithinWatermark(
+      events: DataFrame, // needs an event-time column named by tsCol
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, nEvents: Long, sumValue: Double)
   final case class Session(

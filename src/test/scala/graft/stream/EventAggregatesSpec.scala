@@ -37,6 +37,27 @@ class EventAggregatesSpec extends SparkSpec {
     assert(rows.contains((ts(10), "b", 1L, 3.0)))
   }
 
+  test("dedupWithinWatermark drops in-horizon duplicates with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val out = EventAggregates.dedupWithinWatermark(
+      input.toDF().toDF("ts", "event_id", "value"),
+      keyCols = Seq("event_id"), watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedupwm")
+      .outputMode("append").start()
+
+    // duplicate key 1 inside one batch and again in the next (still in
+    // horizon) → emitted once; key 2 is distinct
+    input.addData((ts(1), 1L, 1.0), (ts(2), 1L, 1.0), (ts(3), 2L, 2.0))
+    q.processAllAvailable()
+    input.addData((ts(4), 1L, 1.0), (ts(50), 3L, 3.0)) // dup + watermark push
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("dedupwm").select($"event_id").as[Long].collect().toSeq
+    assert(ids.sorted === Seq(1L, 2L, 3L))
+  }
+
   test("sessionize closes a session when the gap is exceeded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventAggregates.Event]
