@@ -246,20 +246,31 @@ final class LakehouseTable(
     * the new snapshot untouched. At 100 TB an upsert touching one day
     * rewrites one day of files, not the table. Old snapshots still
     * reference the replaced files, so time travel sees pre-merge data.
+    *
+    * Precondition: `batch` must itself be unique on `key` (the pipeline
+    * runs within-batch dedup first) — internal duplicates would both
+    * insert, breaking the no-duplicate-key invariant.
     */
   def merge(batch: DataFrame, key: String): Snapshot = {
     val meta = metadata
     val version = log.currentVersion
     val current = meta.currentSnapshot.getOrElse(return append(batch, "merge"))
 
-    // candidate files by the batch's key range (epoch-micros footer stats)
-    val Array(lo, hi) = batch
-      .agg(min(unix_micros(col(key))), max(unix_micros(col(key))))
-      .head().toSeq.toArray
-    val candidates = (lo, hi) match {
-      case (l: java.lang.Long, h: java.lang.Long) => filesOverlapping(l, h)
-      case _ => current.manifest
-    }
+    // candidate files by the batch's key range — the manifest's
+    // epoch-micros footer stats exist only for the partition-source
+    // (time) column; merging on any other key scans the whole manifest
+    // (the input_file_name narrowing below still keeps the REWRITE
+    // surgical)
+    val candidates =
+      if (meta.partitionTransform.contains(key)) {
+        val Array(lo, hi) = batch
+          .agg(min(unix_micros(col(key))), max(unix_micros(col(key))))
+          .head().toSeq.toArray
+        (lo, hi) match {
+          case (l: java.lang.Long, h: java.lang.Long) => filesOverlapping(l, h)
+          case _ => current.manifest
+        }
+      } else current.manifest
 
     // narrow to files that really contain a matched key (file list is
     // metadata-sized — safe to collect)
