@@ -23,10 +23,15 @@ final class LakehouseCatalog(val spark: SparkSession, val warehouseDir: String) 
   private def fs = whPath.getFileSystem(conf)
   private val registryFile = new Path(whPath, "catalog.json")
 
-  private def readState(): CatalogState =
+  // synchronized with the mutators: AtomicState.read PROMOTES a .tmp
+  // when the main file is missing, so an unsynchronized reader landing
+  // inside writeState's delete→rename window would race the writer's
+  // own rename (parallel symbol ingest reads and writes concurrently)
+  private def readState(): CatalogState = synchronized {
     AtomicState.read(fs, registryFile)
       .map(Serialization.read[CatalogState])
       .getOrElse(CatalogState(Nil, Nil))
+  }
 
   private def writeState(st: CatalogState): Unit =
     AtomicState.write(fs, registryFile, Serialization.writePretty(st))
