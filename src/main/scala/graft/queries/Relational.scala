@@ -55,12 +55,14 @@ object Relational {
             col("l_linenumber").cast(LongType).as("l_linenumber"),
             col("l_extendedprice"),
             unix_millis(col("l_shipdate").cast(TimestampType)).as("ship_ms"))
-          .orderBy("l_orderkey", "l_linenumber")
+          // (l_orderkey, l_linenumber) is NOT unique in this synthetic
+          // lineitem — order by every output column so the sort is total
+          .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "ship_ms")
       },
       Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
              |       l_extendedprice, epoch_ms(l_shipdate) AS ship_ms
              |FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+             |ORDER BY l_orderkey, l_linenumber, l_extendedprice, ship_ms""".stripMargin),
       bench = true
     ),
 
@@ -458,6 +460,23 @@ object Relational {
              |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
              |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_unpivot_lineitem",
+      (s, dir) =>
+        // unpivot/melt: wide metric columns → (metric, value) rows
+        t(s, dir, "lineitem")
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber")),
+            Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+            "metric", "v")
+          // v in the sort: (l_orderkey, l_linenumber) is not unique here
+          .orderBy("l_orderkey", "l_linenumber", "metric", "v"),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, metric, v
+             |FROM (UNPIVOT lineitem ON l_quantity, l_extendedprice, l_discount, l_tax
+             |      INTO NAME metric VALUE v)
+             |ORDER BY l_orderkey, l_linenumber, metric, v""".stripMargin)
     ),
 
     QuerySpec(
