@@ -201,7 +201,15 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
   private def writeBatch(table: LakehouseTable, keyed: DataFrame): Long = {
     val deduped = Dedup.withinBatch(keyed, Seq(cfg.timeColumn))
     cfg.duplicateKeyPolicy match {
-      case "upsert" => table.merge(deduped, cfg.timeColumn).addedRows
+      case "upsert" =>
+        // report the batch's OWN contribution, not merge's addedRows —
+        // the rewritten files also carry untouched survivor rows, which
+        // would inflate per-file counts relative to the drop policy and
+        // the reference's accounting (ADVICE r2). deduped derives from
+        // the cached `df`, so the count is a cheap second pass.
+        val n = deduped.count()
+        if (n > 0) table.merge(deduped, cfg.timeColumn)
+        n
       case _ =>
         val fresh = Dedup.dropExisting(deduped, table, cfg.timeColumn)
         table.appendIfNonEmpty(fresh).map(_.addedRows).getOrElse(0L)

@@ -12,6 +12,12 @@ import java.nio.charset.StandardCharsets
   * loses the main file is between delete and rename — and at that point the
   * `.tmp` is already complete, so reads recover by promoting it. Mirrors
   * SnapshotLog's recover-by-scan property for the ancillary state files.
+  *
+  * The read-path promotion means a reader in ANOTHER process can land
+  * inside a writer's delete→rename window and promote the writer's own
+  * completed tmp first, making the writer's rename fail even though its
+  * state is committed. [[write]] therefore treats a failed rename as
+  * success when the target already holds exactly the staged content.
   */
 object AtomicState {
 
@@ -23,8 +29,14 @@ object AtomicState {
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     fs.delete(target, false)
-    if (!fs.rename(tmp, target))
-      throw new IllegalStateException(s"failed to commit $target")
+    if (!fs.rename(tmp, target)) {
+      // a concurrent reader may have promoted our completed tmp already
+      // (see class doc); the commit succeeded iff the target now holds
+      // the exact content we staged
+      if (!readContent(fs, target).contains(content))
+        throw new IllegalStateException(s"failed to commit $target")
+      fs.delete(tmp, false) // best-effort: usually gone after promotion
+    }
   }
 
   /** Read the state file; when it is missing but a complete `.tmp` exists
@@ -33,6 +45,10 @@ object AtomicState {
   def read(fs: FileSystem, target: Path): Option[String] = {
     val tmp = tmpOf(target)
     if (!fs.exists(target) && fs.exists(tmp)) fs.rename(tmp, target)
+    readContent(fs, target)
+  }
+
+  private def readContent(fs: FileSystem, target: Path): Option[String] =
     if (!fs.exists(target)) None
     else {
       val in = new InputStreamReader(fs.open(target), StandardCharsets.UTF_8)
@@ -44,5 +60,4 @@ object AtomicState {
         Some(sb.toString)
       } finally in.close()
     }
-  }
 }

@@ -324,8 +324,11 @@ final class LakehouseTable(
     val rewrite = current.manifest.filter(f =>
       hitPaths.contains(fs.makeQualified(new Path(tableDir, f.path)).toUri.getPath))
 
+    // SQL DELETE removes rows where the predicate is TRUE; rows where it
+    // evaluates to NULL must survive the rewrite (NOT(NULL) is NULL and
+    // would silently drop them, making results file-layout-dependent).
     val survivors = readFiles(rewrite)
-      .filter(!predicate)
+      .filter(not(coalesce(predicate, lit(false))))
       .drop(meta.partitionColumns: _*)
     val moved = writeStaged(meta, survivors) // empty when a file is fully deleted
 

@@ -73,8 +73,19 @@ final case class TableMetadata(
   def snapshotById(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
 }
 
+object SnapshotLog {
+  /** Leftover `v{N}.json` files younger than this are treated as a
+    * possibly in-flight concurrent commit, not a crash leftover — see
+    * [[SnapshotLog.commit]].
+    */
+  val DefaultStaleCommitThresholdMs: Long = 5 * 60 * 1000L
+}
+
 /** Atomic versioned metadata log under `<tableDir>/metadata/`. */
-final class SnapshotLog(tableDir: Path, conf: Configuration) {
+final class SnapshotLog(
+    tableDir: Path,
+    conf: Configuration,
+    staleCommitThresholdMs: Long = SnapshotLog.DefaultStaleCommitThresholdMs) {
   private implicit val fmts: Formats = DefaultFormats
   private val metaDir = new Path(tableDir, "metadata")
   private def fs: FileSystem = tableDir.getFileSystem(conf)
@@ -127,12 +138,18 @@ final class SnapshotLog(tableDir: Path, conf: Configuration) {
     *
     * Crash recovery: a writer that died between writing `v{N+1}.json`
     * and swapping the pointer leaves an orphaned version file that no
-    * pointer references. Under the single-writer discipline (T4 lock)
-    * that state is unambiguous — the pointer still reads
-    * `expectedVersion`, so the leftover is reclaimed and the commit
-    * proceeds; without the reclaim every future commit would fail the
-    * exists-check forever. A REAL concurrent commit moves the pointer
-    * first, which `currentVersion != expectedVersion` catches below.
+    * pointer references; without reclaiming it, every future commit
+    * would fail the exists-check forever. But a LIVE concurrent
+    * committer is in the same observable state — it writes
+    * `v{N+1}.json` first and swaps the pointer last — so
+    * "file exists, pointer unmoved" is ambiguous between crash
+    * leftover and in-flight commit. The leftover is only reclaimed
+    * when it is older than `staleCommitThresholdMs` (no writer holds a
+    * commit open that long); a fresh leftover raises instead of
+    * silently deleting an in-flight writer's file, which would let
+    * both swaps "succeed" and lose one snapshot. A concurrent commit
+    * that already swapped the pointer is caught by the
+    * `currentVersion != expectedVersion` check.
     */
   def commit(expectedVersion: Long, meta: TableMetadata): Long = {
     val next = expectedVersion + 1
@@ -141,7 +158,12 @@ final class SnapshotLog(tableDir: Path, conf: Configuration) {
       require(currentVersion == expectedVersion,
         s"concurrent commit detected: $p exists and the version pointer moved " +
           s"(expected v$expectedVersion, found v$currentVersion)")
-      fs.delete(p, false) // crashed-commit leftover: unreferenced by any pointer
+      val ageMs = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+      require(ageMs >= staleCommitThresholdMs,
+        s"possible in-flight concurrent commit: $p is ${ageMs}ms old " +
+          s"(threshold ${staleCommitThresholdMs}ms); retry once the other " +
+          "writer finishes, or reclaim via a SnapshotLog with a lower threshold")
+      fs.delete(p, false) // stale crash leftover: unreferenced by any pointer
     }
     writeJson(p, meta)
     swapPointer(next)

@@ -198,8 +198,14 @@ object LakeOps {
     val table = graft.lake.LakehouseTable.createIfNotExists(
       s, new Path(freshWarehouse("graft-mg"), "events"), ev.schema, Some("ts"))
     table.append(ev)
-    val updates = ev.filter(col("event_id") % 5 === 0)
-      .withColumn("value", col("value") + 1000.0)
+    // merge requires the batch unique on the key; dedup defensively so a
+    // duplicate ts in a regenerated corpus can't silently violate the
+    // no-duplicate-key invariant (ADVICE r2). EventsTsUniqueSpec asserts
+    // the corpus assumption that ts duplicates don't exist today.
+    val updates = graft.ingest.Dedup.withinBatch(
+      ev.filter(col("event_id") % 5 === 0)
+        .withColumn("value", col("value") + 1000.0),
+      Seq("ts"))
     table.merge(updates, "ts")
     table.read().agg(
       count(lit(1)).as("n_rows"),

@@ -23,12 +23,27 @@ class CommitRecoverySpec extends SparkSpec {
     val orphan = new Path(dir, "metadata/v1.json")
     val out = fs.create(orphan, false)
     out.write("{\"crashed\": true}".getBytes("UTF-8")); out.close()
+    // backdate past the stale threshold: only an old leftover is
+    // unambiguously a crash (a fresh one could be an in-flight commit)
+    fs.setTimes(orphan, System.currentTimeMillis() - 10 * 60 * 1000L, -1)
     assert(table.log.currentVersion === 0L)
 
     table.append(base) // must reclaim the leftover and commit v1 for real
     assert(table.log.currentVersion === 1L)
     assert(table.read().count() === 1L)
     assert(table.snapshots.size === 1)
+  }
+
+  test("a FRESH leftover version file is treated as in-flight, not reclaimed") {
+    val dir = new Path(tmpDir("recov"), "t4")
+    val table = LakehouseTable.createIfNotExists(spark, dir, base.schema, Some("DateTime"))
+    val fs = fsFor(dir)
+    val inFlight = new Path(dir, "metadata/v1.json")
+    val out = fs.create(inFlight, false)
+    out.write("{\"inflight\": true}".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalArgumentException] { table.append(base) }
+    assert(e.getMessage.contains("in-flight"))
+    assert(fs.exists(inFlight)) // the other writer's file is untouched
   }
 
   test("removeOrphanedFiles reaps staging dirs from crashed writes") {
