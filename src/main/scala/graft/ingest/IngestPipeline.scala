@@ -196,7 +196,9 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
   /** Land a normalized, null-key-free batch per duplicateKeyPolicy:
     * "drop" anti-joins table history and appends only new keys;
     * "upsert" merges (existing keys replaced file-surgically). Returns
-    * rows written into the new snapshot (0 = nothing committed).
+    * the batch's own contribution — inserts plus updates under upsert,
+    * fresh keys under drop (0 = nothing committed); rewritten survivor
+    * rows are not counted.
     */
   private def writeBatch(table: LakehouseTable, keyed: DataFrame): Long = {
     val deduped = Dedup.withinBatch(keyed, Seq(cfg.timeColumn))

@@ -18,6 +18,14 @@ import java.nio.charset.StandardCharsets
   * completed tmp first, making the writer's rename fail even though its
   * state is committed. [[write]] therefore treats a failed rename as
   * success when the target already holds exactly the staged content.
+  *
+  * Concurrency contract: any number of readers, ONE writer per state
+  * file at a time (the pipeline lock / scheduler serializes writers,
+  * matching the reference's `lakehouse_scheduler.py` lock). Two
+  * concurrent cross-process writers share the `.tmp` path and can
+  * clobber each other's staging; the post-rename cleanup below guards
+  * against deleting a foreign tmp, but simultaneous writes themselves
+  * are last-writer-wins and unsupported.
   */
 object AtomicState {
 
@@ -35,7 +43,12 @@ object AtomicState {
       // the exact content we staged
       if (!readContent(fs, target).contains(content))
         throw new IllegalStateException(s"failed to commit $target")
-      fs.delete(tmp, false) // best-effort: usually gone after promotion
+      // best-effort cleanup (usually gone after promotion) — but only
+      // when the leftover still holds OUR bytes: if another writer has
+      // already staged a new tmp there, deleting it would destroy that
+      // writer's in-flight commit (ADVICE r3)
+      if (fs.exists(tmp) && readContent(fs, tmp).contains(content))
+        fs.delete(tmp, false)
     }
   }
 

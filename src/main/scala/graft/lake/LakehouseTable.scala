@@ -13,9 +13,11 @@ import java.util.UUID
   * `:394` append, `:204-227` projected scan, `:232-270` expiry).
   *
   * Layout: `<tableDir>/data/<partCol>=<v>/...parquet` +
-  * `<tableDir>/metadata/v{N}.json`. All data movement is Spark DataFrame
-  * jobs (cluster-parallel); all metadata is tiny driver-side JSON. Reads
-  * resolve the current (or time-travelled) snapshot's manifest BEFORE
+  * `<tableDir>/metadata/` (version files, manifest-lists, manifests —
+  * see [[SnapshotLog]]). All data movement is Spark DataFrame jobs
+  * (cluster-parallel); all metadata is tiny driver-side JSON, and a
+  * commit writes O(new files) of it regardless of table size. Reads
+  * resolve the current (or time-travelled) snapshot's manifests BEFORE
   * building the DataFrame, so Catalyst sees a plain parquet relation and
   * every built-in optimization (column pruning, predicate pushdown,
   * partition pruning over the hive-style dirs) applies untouched.
@@ -33,21 +35,32 @@ final class LakehouseTable(
   def schema: StructType = StructType.fromDDL(metadata.schemaDdl)
   def snapshots: Seq[Snapshot] = metadata.snapshots
 
+  /** Full data-file inventory of a snapshot (loads its manifests). */
+  def dataFiles(snap: Snapshot): Seq[DataFile] = log.dataFiles(snap)
+
+  /** Data files of the current snapshot (empty for an empty table). */
+  def currentDataFiles: Seq[DataFile] =
+    metadata.currentSnapshot.map(dataFiles).getOrElse(Nil)
+
+  /** Just the files a snapshot's commit ADDED (its own manifest). */
+  def addedDataFiles(snap: Snapshot): Seq[DataFile] =
+    snap.addedManifest.map(log.readManifest).getOrElse(Nil)
+
   /** DataFrame of the table at its current snapshot. */
-  def read(): DataFrame = readManifest(metadata.currentSnapshot)
+  def read(): DataFrame = readSnapshot(metadata.currentSnapshot)
 
   /** Time travel: the table exactly as of a given snapshot id. */
   def timeTravel(snapshotId: Long): DataFrame =
-    readManifest(Some(metadata.snapshotById(snapshotId).getOrElse(
+    readSnapshot(Some(metadata.snapshotById(snapshotId).getOrElse(
       throw new NoSuchElementException(s"snapshot $snapshotId not found"))))
 
   /** Time travel: the newest snapshot committed at or before `tsMs`. */
   def asOf(tsMs: Long): DataFrame =
-    readManifest(metadata.snapshots.filter(_.timestampMs <= tsMs)
+    readSnapshot(metadata.snapshots.filter(_.timestampMs <= tsMs)
       .sortBy(_.timestampMs).lastOption)
 
-  private def readManifest(snap: Option[Snapshot]): DataFrame =
-    readFiles(snap.map(_.manifest).getOrElse(Nil))
+  private def readSnapshot(snap: Option[Snapshot]): DataFrame =
+    readFiles(snap.map(dataFiles).getOrElse(Nil))
 
   private def readFiles(files: Seq[DataFile]): DataFrame =
     if (files.isEmpty) {
@@ -64,11 +77,16 @@ final class LakehouseTable(
     }
 
   /** Current-snapshot files whose key-column stats overlap [loUs, hiUs]
-    * — metadata-level file skipping from the manifest, no Spark planning
-    * involved.
+    * — two-level metadata skipping: manifest-list bounds drop whole
+    * manifests unopened, then per-file bounds drop files. No Spark
+    * planning involved.
     */
   def filesOverlapping(loUs: Long, hiUs: Long): Seq[DataFile] =
-    metadata.currentSnapshot.map(_.manifest.filter(_.overlaps(loUs, hiUs))).getOrElse(Nil)
+    metadata.currentSnapshot.map { s =>
+      log.readManifestList(s)
+        .filter(_.overlaps(loUs, hiUs))
+        .flatMap(r => log.readManifest(r.path).filter(_.overlaps(loUs, hiUs)))
+    }.getOrElse(Nil)
 
   /** Read only the files whose time-key range overlaps [loUs, hiUs].
     * The complement of partition pruning: year dirs prune coarsely, the
@@ -186,24 +204,45 @@ final class LakehouseTable(
     }
   }
 
-  private def commitAppend(
-      meta: TableMetadata, version: Long, moved: Seq[DataFile], operation: String): Snapshot = {
-    val addedRows = moved.map(_.rows).sum
+  /** Shared commit tail: write the added manifest (O(new files)), chain
+    * it onto the parent's manifest-list, commit the tiny snapshot
+    * record. `replaceRefs`, when set, REPLACES the parent's refs
+    * entirely (compaction / COW rewrites supply their own kept set).
+    */
+  private def commitSnapshot(
+      meta: TableMetadata,
+      version: Long,
+      moved: Seq[DataFile],
+      operation: String,
+      replaceRefs: Option[Seq[ManifestRef]],
+      totalRows: Long,
+      addedRowsOverride: Option[Long] = None): Snapshot = {
     val parent = meta.currentSnapshot
+    val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+    val addedRef = if (moved.nonEmpty) Some(log.writeManifest(snapId, moved)) else None
+    val baseRefs = replaceRefs.getOrElse(parent.map(log.readManifestList).getOrElse(Nil))
+    val refs = baseRefs ++ addedRef
+    val listPath = if (refs.nonEmpty) Some(log.writeManifestList(snapId, refs)) else None
     val snap = Snapshot(
-      id = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L,
+      id = snapId,
       parentId = parent.map(_.id),
       timestampMs = System.currentTimeMillis(),
       operation = operation,
-      manifest = parent.map(_.manifest).getOrElse(Nil) ++ moved,
-      addedFiles = moved,
-      addedRows = addedRows,
-      totalRows = parent.map(_.totalRows).getOrElse(0L) + addedRows)
+      manifestList = listPath,
+      addedManifest = addedRef.map(_.path),
+      addedFilesCount = moved.size,
+      addedRows = addedRowsOverride.getOrElse(moved.map(_.rows).sum),
+      totalRows = totalRows)
     log.commit(version, meta.copy(
       snapshots = meta.snapshots :+ snap,
       currentSnapshotId = Some(snap.id)))
     snap
   }
+
+  private def commitAppend(
+      meta: TableMetadata, version: Long, moved: Seq[DataFile], operation: String): Snapshot =
+    commitSnapshot(meta, version, moved, operation, replaceRefs = None,
+      totalRows = meta.currentSnapshot.map(_.totalRows).getOrElse(0L) + moved.map(_.rows).sum)
 
   /** Move staged part files into data/, keeping partition subdirs, and
     * record each file's row count + time-key min/max from its parquet
@@ -236,6 +275,23 @@ final class LakehouseTable(
     moved.toSeq
   }
 
+  /** COW rewrite bookkeeping at the manifest level: manifests with no
+    * rewritten file carry over by reference (nothing re-serialized);
+    * manifests that lost files get a filtered replacement written under
+    * the new snapshot id. Cost is O(affected manifests), not O(table).
+    */
+  private def rewriteRefs(
+      refsWithFiles: Seq[(ManifestRef, Seq[DataFile])],
+      rewritePaths: Set[String],
+      newSnapId: Long): Seq[ManifestRef] =
+    refsWithFiles.flatMap { case (ref, files) =>
+      if (!files.exists(f => rewritePaths.contains(f.path))) Some(ref)
+      else {
+        val survivors = files.filterNot(f => rewritePaths.contains(f.path))
+        if (survivors.isEmpty) None else Some(log.writeManifest(newSnapId, survivors))
+      }
+    }
+
   /** Copy-on-write MERGE (upsert) on `key`: rows in the batch REPLACE
     * existing rows with the same key; keys not present are inserted.
     *
@@ -243,9 +299,11 @@ final class LakehouseTable(
     * candidate files, `input_file_name` narrows them to the files that
     * actually contain a matched key, and ONLY those are rewritten
     * (survivor rows + the batch); every other data file is carried into
-    * the new snapshot untouched. At 100 TB an upsert touching one day
-    * rewrites one day of files, not the table. Old snapshots still
-    * reference the replaced files, so time travel sees pre-merge data.
+    * the new snapshot untouched — and every untouched MANIFEST is
+    * carried by reference, unopened. At 100 TB an upsert touching one
+    * day rewrites one day of files and its manifests, not the table.
+    * Old snapshots still reference the replaced files, so time travel
+    * sees pre-merge data.
     *
     * Precondition: `batch` must itself be unique on `key` (the pipeline
     * runs within-batch dedup first) — internal duplicates would both
@@ -255,6 +313,7 @@ final class LakehouseTable(
     val meta = metadata
     val version = log.currentVersion
     val current = meta.currentSnapshot.getOrElse(return append(batch, "merge"))
+    val refsWithFiles = log.readManifestList(current).map(r => r -> log.readManifest(r.path))
 
     // candidate files by the batch's key range — the manifest's
     // epoch-micros footer stats exist only for the partition-source
@@ -267,10 +326,12 @@ final class LakehouseTable(
           .agg(min(unix_micros(col(key))), max(unix_micros(col(key))))
           .head().toSeq.toArray
         (lo, hi) match {
-          case (l: java.lang.Long, h: java.lang.Long) => filesOverlapping(l, h)
-          case _ => current.manifest
+          case (l: java.lang.Long, h: java.lang.Long) =>
+            refsWithFiles.filter(_._1.overlaps(l, h))
+              .flatMap(_._2.filter(_.overlaps(l, h)))
+          case _ => refsWithFiles.flatMap(_._2)
         }
-      } else current.manifest
+      } else refsWithFiles.flatMap(_._2)
 
     // narrow to files that really contain a matched key (file list is
     // metadata-sized — safe to collect)
@@ -281,48 +342,42 @@ final class LakehouseTable(
       .collect().map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath).toSet
     val rewrite = candidates.filter(f =>
       hitPaths.contains(fs.makeQualified(new Path(tableDir, f.path)).toUri.getPath))
+    val rewritePaths = rewrite.map(_.path).toSet
 
     val survivors = readFiles(rewrite)
       .drop(meta.partitionColumns: _*) // re-derived by the staged write
       .join(batch.select(col(key)), Seq(key), "left_anti")
     val moved = writeStaged(meta, survivors.unionByName(batch.drop(meta.partitionColumns: _*)))
 
-    val keep = current.manifest.filterNot(f => rewrite.exists(_.path == f.path))
-    val newRows = keep.map(_.rows).sum + moved.map(_.rows).sum
-    val snap = Snapshot(
-      id = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L,
-      parentId = Some(current.id),
-      timestampMs = System.currentTimeMillis(),
-      operation = "merge",
-      manifest = keep ++ moved,
-      addedFiles = moved,
-      addedRows = moved.map(_.rows).sum,
-      totalRows = newRows)
-    log.commit(version, meta.copy(
-      snapshots = meta.snapshots :+ snap,
-      currentSnapshotId = Some(snap.id)))
-    snap
+    val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+    val keptRefs = rewriteRefs(refsWithFiles, rewritePaths, snapId)
+    val keptRows = refsWithFiles.flatMap(_._2)
+      .filterNot(f => rewritePaths.contains(f.path)).map(_.rows).sum
+    commitSnapshot(meta, version, moved, "merge", Some(keptRefs),
+      totalRows = keptRows + moved.map(_.rows).sum)
   }
 
   /** Copy-on-write DELETE: remove rows matching `predicate`. Surgical
     * like [[merge]] — `input_file_name` identifies the files that
     * actually contain matching rows and only those are rewritten with
-    * their surviving rows; untouched files carry over, old snapshots
-    * keep the pre-delete data.
+    * their surviving rows; untouched files (and manifests) carry over,
+    * old snapshots keep the pre-delete data.
     */
   def delete(predicate: org.apache.spark.sql.Column): Snapshot = {
     val meta = metadata
     val version = log.currentVersion
     val current = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("cannot delete from an empty table"))
+    val refsWithFiles = log.readManifestList(current).map(r => r -> log.readManifest(r.path))
 
     val hitPaths = read()
       .withColumn("__graft_file", input_file_name())
       .filter(predicate)
       .select("__graft_file").distinct()
       .collect().map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath).toSet
-    val rewrite = current.manifest.filter(f =>
+    val rewrite = refsWithFiles.flatMap(_._2).filter(f =>
       hitPaths.contains(fs.makeQualified(new Path(tableDir, f.path)).toUri.getPath))
+    val rewritePaths = rewrite.map(_.path).toSet
 
     // SQL DELETE removes rows where the predicate is TRUE; rows where it
     // evaluates to NULL must survive the rewrite (NOT(NULL) is NULL and
@@ -332,20 +387,12 @@ final class LakehouseTable(
       .drop(meta.partitionColumns: _*)
     val moved = writeStaged(meta, survivors) // empty when a file is fully deleted
 
-    val keep = current.manifest.filterNot(f => rewrite.exists(_.path == f.path))
-    val snap = Snapshot(
-      id = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L,
-      parentId = Some(current.id),
-      timestampMs = System.currentTimeMillis(),
-      operation = "delete",
-      manifest = keep ++ moved,
-      addedFiles = moved,
-      addedRows = moved.map(_.rows).sum,
-      totalRows = keep.map(_.rows).sum + moved.map(_.rows).sum)
-    log.commit(version, meta.copy(
-      snapshots = meta.snapshots :+ snap,
-      currentSnapshotId = Some(snap.id)))
-    snap
+    val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+    val keptRefs = rewriteRefs(refsWithFiles, rewritePaths, snapId)
+    val keptRows = refsWithFiles.flatMap(_._2)
+      .filterNot(f => rewritePaths.contains(f.path)).map(_.rows).sum
+    commitSnapshot(meta, version, moved, "delete", Some(keptRefs),
+      totalRows = keptRows + moved.map(_.rows).sum)
   }
 
   /** Compaction: rewrite the current snapshot's data into
@@ -354,7 +401,9 @@ final class LakehouseTable(
     * "compaction via DataFrame ops" maintenance path of the north star.
     * Old snapshots keep referencing the old files, so time travel still
     * works; the old files become deletable only when expiry drops the
-    * last snapshot that references them.
+    * last snapshot that references them. Compaction also collapses the
+    * manifest-list to ONE manifest, resetting the per-append manifest
+    * chain that grows it.
     *
     * The rewrite is one Spark job: `repartition` by the partition column
     * so each output partition dir gets exactly its rows, coalesced into
@@ -367,7 +416,8 @@ final class LakehouseTable(
     val meta = metadata
     val current = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("cannot compact an empty table"))
-    val df = read()
+    val currentFiles = dataFiles(current)
+    val df = readFiles(currentFiles)
     val version = log.currentVersion
 
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -387,7 +437,7 @@ final class LakehouseTable(
         // AQE-coalescible shuffle that would merge the small cells right
         // back into one task.
         val nPartDirs = math.max(1,
-          current.manifest.map(f => f.path.split("/").dropRight(1).mkString("/")).distinct.size)
+          currentFiles.map(f => f.path.split("/").dropRight(1).mkString("/")).distinct.size)
         val bucket = pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(filesPerPartition))
         df.repartition(nPartDirs * filesPerPartition, col(pc), bucket)
           .write.mode("overwrite").partitionBy(pc)
@@ -397,19 +447,10 @@ final class LakehouseTable(
     writer.parquet(staging.toString)
 
     val moved = moveStaged(staging)
-    val snap = Snapshot(
-      id = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L,
-      parentId = Some(current.id),
-      timestampMs = System.currentTimeMillis(),
-      operation = "compact",
-      manifest = moved, // REPLACES the previous manifest
-      addedFiles = moved,
-      addedRows = 0L,
-      totalRows = current.totalRows)
-    log.commit(version, meta.copy(
-      snapshots = meta.snapshots :+ snap,
-      currentSnapshotId = Some(snap.id)))
-    snap
+    // manifest-list REPLACES the previous one (addedRows 0: a compaction
+    // moves rows, it does not add any)
+    commitSnapshot(meta, version, moved, "compact", Some(Nil),
+      totalRows = current.totalRows, addedRowsOverride = Some(0L))
   }
 
   /** Footer-only read: row count plus min/max statistics of the key
@@ -451,7 +492,7 @@ final class LakehouseTable(
     * deleted table-relative paths.
     */
   def removeOrphanedFiles(): Seq[String] = {
-    val referenced = metadata.snapshots.flatMap(_.manifest.map(_.path)).toSet
+    val referenced = metadata.snapshots.flatMap(s => dataFiles(s).map(_.path)).toSet
     // reap .staging-* dirs first: a write that crashed mid-move leaves
     // its staging dir behind, referenced by nothing (single-writer, so
     // no in-flight write can coexist with this maintenance call)
@@ -480,9 +521,12 @@ final class LakehouseTable(
     * (`lakehouse_pipeline.py:232-270`): never drop the newest
     * `keepLast` snapshots, expire the rest when older than
     * `nowMs - retentionMs`, then physically delete data files no longer
-    * referenced by any retained snapshot. The reference has a bug where
-    * the protected set is computed but not honored (SURVEY.md §2.9 M1);
-    * we implement the protection for real.
+    * referenced by any retained snapshot — and likewise the expired
+    * snapshots' manifest-lists and any manifests only they referenced.
+    * The commit itself rewrites only the O(snapshots) version file.
+    * The reference has a bug where the protected set is computed but
+    * not honored (SURVEY.md §2.9 M1); we implement the protection for
+    * real.
     *
     * Returns (expired snapshot ids, deleted data files).
     */
@@ -503,9 +547,17 @@ final class LakehouseTable(
     if (expired.isEmpty) return (Nil, Nil)
 
     val retained = meta.snapshots.filterNot(s => expired.exists(_.id == s.id))
-    val liveFiles = retained.flatMap(_.manifest.map(_.path)).toSet
-    val orphans = expired.flatMap(_.manifest.map(_.path)).distinct.filterNot(liveFiles.contains)
+    val liveRefs = retained.flatMap(log.readManifestList)
+    val deadRefs = expired.flatMap(log.readManifestList)
+      .filterNot(r => liveRefs.exists(_.path == r.path)).distinctBy(_.path)
+    val liveFiles = liveRefs.distinctBy(_.path).flatMap(r => log.readManifest(r.path).map(_.path)).toSet
+    val orphans = deadRefs.flatMap(r => log.readManifest(r.path).map(_.path))
+      .distinct.filterNot(liveFiles.contains)
     orphans.foreach(f => fs.delete(new Path(tableDir, f), false))
+    // reap the now-unreferenced metadata (after the file scan above,
+    // which still needed to read the dead manifests)
+    deadRefs.foreach(r => log.deleteMetaFile(r.path))
+    expired.foreach(_.manifestList.foreach(log.deleteMetaFile))
     log.commit(version, meta.copy(snapshots = retained))
     (expired.map(_.id), orphans)
   }
@@ -529,7 +581,7 @@ object LakehouseTable {
         case None => (Nil, None)
       }
       log.create(TableMetadata(
-        formatVersion = 1,
+        formatVersion = 2,
         name = tableDir.getName,
         schemaDdl = schema.toDDL,
         partitionColumns = partCols,

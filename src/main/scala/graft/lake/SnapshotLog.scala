@@ -7,18 +7,32 @@ import org.json4s.jackson.Serialization
 
 import java.io.{BufferedReader, InputStreamReader}
 import java.nio.charset.StandardCharsets
+import java.util.UUID
 
-/** One committed version of a table: an ordered snapshot history plus the
-  * schema/partition spec frozen at table creation.
+/** Snapshot-log metadata, split Iceberg-style across three layers so a
+  * commit writes O(new files) bytes, not O(table files):
   *
-  * Equivalent of the Iceberg metadata the reference leans on
-  * (`/root/reference/lakehouse_pipeline.py:373-394` creates tables with a
-  * year partition spec and appends snapshots; `:232-270` lists/expires
-  * them). Re-expressed as a minimal JSON log over any Hadoop FileSystem:
-  * each commit writes `metadata/v{N}.json` then atomically swaps the
-  * `metadata/VERSION` pointer (rename is atomic on HDFS and local FS; on
-  * object stores an external lock/single-writer is required, which matches
-  * the reference's scheduler lock, `lakehouse_scheduler.py:149`).
+  *   - `metadata/manifest-{snapId}-{uuid}.json` — one manifest per
+  *     commit holding ONLY that commit's data files (plus filtered
+  *     replacement manifests written by COW merge/delete for the files
+  *     they rewrite). Never rewritten after creation.
+  *   - `metadata/snap-{snapId}-{uuid}.json` — the snapshot's
+  *     manifest-list: paths + summary stats of every manifest composing
+  *     the table at that snapshot (parent's list + the new manifest for
+  *     an append; just the new manifest for a compaction).
+  *   - `metadata/v{N}.json` — the table pointer file: schema, partition
+  *     spec, and one TINY record per snapshot (ids, counts, the
+  *     manifest-list path). O(snapshots), no file lists.
+  *
+  * The reference leans on PyIceberg for exactly this
+  * (`/root/reference/lakehouse_pipeline.py:373-394` appends snapshots;
+  * `:232-270` lists/expires them); round 3 embedded every snapshot's
+  * full file list in `v{N}.json`, which made each commit rewrite
+  * O(snapshots × files) JSON — the design-breaking step at 100 TB
+  * (10⁵–10⁶ files). Each ManifestRef carries the manifest's key-range
+  * bounds, so readers skip whole manifests before ever opening them —
+  * the same two-level pruning (manifest-list → manifest → file) Iceberg
+  * uses.
   */
 /** One data file plus its column statistics for the partition-source
   * (time) column — the engine's analog of Iceberg's per-file manifest
@@ -41,18 +55,49 @@ final case class DataFile(
   }
 }
 
+/** Pointer to one manifest file plus roll-up stats over its entries.
+  * The key bounds are the union of the member files' bounds (None if
+  * any member lacks stats), so a manifest whose whole range misses the
+  * query range is skipped without being read.
+  */
+final case class ManifestRef(
+    path: String,
+    files: Int,
+    rows: Long,
+    minKeyUs: Option[Long],
+    maxKeyUs: Option[Long]
+) {
+  def overlaps(loUs: Long, hiUs: Long): Boolean = (minKeyUs, maxKeyUs) match {
+    case (Some(lo), Some(hi)) => hi >= loUs && lo <= hiUs
+    case _ => true
+  }
+}
+
+/** JSON envelope of a manifest file. */
+final case class ManifestData(files: Seq[DataFile])
+
+/** JSON envelope of a manifest-list (snap-*.json) file. */
+final case class ManifestListData(manifests: Seq[ManifestRef])
+
+/** One snapshot record in the version file — deliberately tiny: the
+  * file inventory lives behind `manifestList`, never here, so the
+  * version file stays O(snapshots) no matter how many data files the
+  * table accumulates.
+  */
 final case class Snapshot(
     id: Long,
     parentId: Option[Long],
     timestampMs: Long,
     operation: String,
-    /** data files (relative to the table dir) that make up the table AT
-      * this snapshot — a flat manifest; at 100 TB this list lives in
-      * metadata, never in executor memory, and reads hand Spark the file
-      * list directly so no directory listing of millions of files happens.
+    /** table-relative path of this snapshot's manifest-list; None ⇔ the
+      * snapshot has no data files (empty table).
       */
-    manifest: Seq[DataFile],
-    addedFiles: Seq[DataFile],
+    manifestList: Option[String],
+    /** table-relative path of the manifest holding just this commit's
+      * added files (None when the commit added none).
+      */
+    addedManifest: Option[String],
+    addedFilesCount: Int,
     addedRows: Long,
     totalRows: Long
 )
@@ -81,7 +126,12 @@ object SnapshotLog {
   val DefaultStaleCommitThresholdMs: Long = 5 * 60 * 1000L
 }
 
-/** Atomic versioned metadata log under `<tableDir>/metadata/`. */
+/** Atomic versioned metadata log under `<tableDir>/metadata/`. Each
+  * commit writes `metadata/v{N}.json` then atomically swaps the
+  * `metadata/VERSION` pointer (rename is atomic on HDFS and local FS; on
+  * object stores an external lock/single-writer is required, which
+  * matches the reference's scheduler lock, `lakehouse_scheduler.py:149`).
+  */
 final class SnapshotLog(
     tableDir: Path,
     conf: Configuration,
@@ -111,7 +161,8 @@ final class SnapshotLog(
   private def maxCommittedVersion: Option[Long] = {
     val vs = fs.listStatus(metaDir).toSeq
       .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") &&
+        n.stripPrefix("v").stripSuffix(".json").forall(_.isDigit) =>
         n.stripPrefix("v").stripSuffix(".json").toLong }
     if (vs.isEmpty) None else Some(vs.max)
   }
@@ -124,11 +175,63 @@ final class SnapshotLog(
     finally in.close()
   }
 
+  // ---- manifest layer ----------------------------------------------------
+
+  /** Write a new immutable manifest for `files` and return its ref with
+    * rolled-up stats. The uuid suffix keeps a retried commit (after a
+    * crash that orphaned the first attempt's manifest) from colliding.
+    */
+  def writeManifest(snapId: Long, files: Seq[DataFile]): ManifestRef = {
+    require(files.nonEmpty, "refusing to write an empty manifest")
+    val name = s"manifest-$snapId-${UUID.randomUUID().toString.take(8)}.json"
+    writeJsonStr(new Path(metaDir, name), Serialization.writePretty(ManifestData(files)))
+    val bounds =
+      if (files.forall(f => f.minKeyUs.isDefined && f.maxKeyUs.isDefined))
+        (Some(files.flatMap(_.minKeyUs).min), Some(files.flatMap(_.maxKeyUs).max))
+      else (None, None)
+    ManifestRef(s"metadata/$name", files.size, files.map(_.rows).sum, bounds._1, bounds._2)
+  }
+
+  /** Read one manifest's data files (path is table-relative). */
+  def readManifest(path: String): Seq[DataFile] = {
+    val in = fs.open(new Path(tableDir, path))
+    try Serialization.read[ManifestData](new InputStreamReader(in, StandardCharsets.UTF_8)).files
+    finally in.close()
+  }
+
+  /** Write a snapshot's manifest-list; returns its table-relative path. */
+  def writeManifestList(snapId: Long, refs: Seq[ManifestRef]): String = {
+    val name = s"snap-$snapId-${UUID.randomUUID().toString.take(8)}.json"
+    writeJsonStr(new Path(metaDir, name), Serialization.writePretty(ManifestListData(refs)))
+    s"metadata/$name"
+  }
+
+  def readManifestList(snap: Snapshot): Seq[ManifestRef] =
+    snap.manifestList.map { p =>
+      val in = fs.open(new Path(tableDir, p))
+      try Serialization.read[ManifestListData](
+        new InputStreamReader(in, StandardCharsets.UTF_8)).manifests
+      finally in.close()
+    }.getOrElse(Nil)
+
+  /** The full data-file inventory of a snapshot (all manifests,
+    * concatenated). Metadata-sized; used by readers that need the whole
+    * table — range queries should prune on ManifestRef bounds first.
+    */
+  def dataFiles(snap: Snapshot): Seq[DataFile] =
+    readManifestList(snap).flatMap(r => readManifest(r.path))
+
+  /** Delete a table-relative metadata file (expiry reaping). */
+  def deleteMetaFile(path: String): Unit =
+    fs.delete(new Path(tableDir, path), false)
+
+  // ---- version layer -----------------------------------------------------
+
   /** First commit (v0). Fails if the log already exists. */
   def create(meta: TableMetadata): Unit = {
     fs.mkdirs(metaDir)
     require(!exists, s"metadata log already exists at $metaDir")
-    writeJson(versionPath(0), meta)
+    writeJsonStr(versionPath(0), Serialization.writePretty(meta))
     swapPointer(0)
   }
 
@@ -150,6 +253,14 @@ final class SnapshotLog(
     * both swaps "succeed" and lose one snapshot. A concurrent commit
     * that already swapped the pointer is caught by the
     * `currentVersion != expectedVersion` check.
+    *
+    * Staleness compares the writer's clock against the filesystem's
+    * modification time, which assumes the two are roughly in sync (true
+    * for local FS/HDFS with NTP; object stores stamp server-side).
+    * Negative ages (FS clock ahead of ours) are clamped to zero so skew
+    * can only delay reclaim — erring toward "possibly in-flight" never
+    * deletes a live writer's file, it just extends the recovery lockout
+    * by the skew amount.
     */
   def commit(expectedVersion: Long, meta: TableMetadata): Long = {
     val next = expectedVersion + 1
@@ -158,21 +269,22 @@ final class SnapshotLog(
       require(currentVersion == expectedVersion,
         s"concurrent commit detected: $p exists and the version pointer moved " +
           s"(expected v$expectedVersion, found v$currentVersion)")
-      val ageMs = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+      val ageMs = math.max(0L,
+        System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime)
       require(ageMs >= staleCommitThresholdMs,
         s"possible in-flight concurrent commit: $p is ${ageMs}ms old " +
           s"(threshold ${staleCommitThresholdMs}ms); retry once the other " +
           "writer finishes, or reclaim via a SnapshotLog with a lower threshold")
       fs.delete(p, false) // stale crash leftover: unreferenced by any pointer
     }
-    writeJson(p, meta)
+    writeJsonStr(p, Serialization.writePretty(meta))
     swapPointer(next)
     next
   }
 
-  private def writeJson(p: Path, meta: TableMetadata): Unit = {
+  private def writeJsonStr(p: Path, json: String): Unit = {
     val out = fs.create(p, false)
-    try out.write(Serialization.writePretty(meta).getBytes(StandardCharsets.UTF_8))
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
 

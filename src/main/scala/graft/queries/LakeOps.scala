@@ -92,7 +92,7 @@ object LakeOps {
     pipeline.ingestBatch("events", graft.Tables.t(s, dir, "events"))
     val table = pipeline.catalog.loadTable("gold.events")
     table.compact()
-    val nFiles = table.metadata.currentSnapshot.get.manifest.size.toLong
+    val nFiles = table.currentDataFiles.size.toLong
     yearStats(table.read())
       .withColumn("n_files", lit(nFiles)) // 1 partition (all 2024) → 1 file
   }

@@ -17,10 +17,10 @@ class CompactFanoutSpec extends SparkSpec {
     table.append(df)
 
     val snap = table.compact(filesPerPartition = 4)
-    val nFiles = snap.manifest.size
+    val files = table.dataFiles(snap)
     // single year partition: more than one file, at most the fan-out
-    assert(nFiles > 1 && nFiles <= 4, s"got $nFiles files")
+    assert(files.size > 1 && files.size <= 4, s"got ${files.size} files")
     assert(table.read().count() === 3000L)
-    assert(snap.manifest.map(_.rows).sum === 3000L)
+    assert(files.map(_.rows).sum === 3000L)
   }
 }

@@ -17,13 +17,13 @@ class CompactionSpec extends SparkSpec {
     val first = mkRows(0 until 10, i => 2020 + (i % 2))
     val table = LakehouseTable.createIfNotExists(spark, dir, first.schema, Some("DateTime"))
     (0 until 5).foreach(b => table.append(mkRows(b * 10 until (b + 1) * 10, i => 2020 + (i % 2))))
-    val before = table.metadata.currentSnapshot.get.manifest.size
+    val before = table.currentDataFiles.size
     assert(before >= 5) // at least one file per append
 
     val snap = table.compact()
     assert(snap.operation == "compact")
     assert(snap.totalRows == 50)
-    val after = table.metadata.currentSnapshot.get.manifest
+    val after = table.currentDataFiles
     assert(after.size == 2, s"expected 1 file per year partition, got $after")
     assert(table.read().count() == 50)
     // contents identical
@@ -48,7 +48,7 @@ class CompactionSpec extends SparkSpec {
     val table = LakehouseTable.createIfNotExists(spark, dir, first.schema, Some("DateTime"))
     table.append(first)
     table.append(mkRows(10 until 20, _ => 2020))
-    val preCompactFiles = table.metadata.currentSnapshot.get.manifest.map(_.path).toSet
+    val preCompactFiles = table.currentDataFiles.map(_.path).toSet
     table.compact()
     // expire everything but the newest 2 (compact + last append)
     val (expired, orphans) = table.expireSnapshots(

@@ -19,7 +19,7 @@ class FileSkippingSpec extends SparkSpec {
     val df = dayDf(1, 0 until 50)
     val table = LakehouseTable.createIfNotExists(spark, dir, df.schema, Some("DateTime"))
     val snap = table.append(df)
-    val f = snap.addedFiles.head
+    val f = table.addedDataFiles(snap).head
     assert(f.rows > 0)
     assert(f.minKeyUs.isDefined && f.maxKeyUs.isDefined)
     assert(f.minKeyUs.get >= usOf("2024-01-01 00:00:00"))
@@ -32,7 +32,7 @@ class FileSkippingSpec extends SparkSpec {
     val table = LakehouseTable.createIfNotExists(spark, dir, d1.schema, Some("DateTime"))
     table.append(d1) // day 1, year 2024
     table.append(dayDf(15, 0 until 50)) // day 15, SAME year partition
-    val all = table.metadata.currentSnapshot.get.manifest
+    val all = table.currentDataFiles
     assert(all.size >= 2)
 
     val day1Files = table.filesOverlapping(usOf("2024-01-01 00:00:00"), usOf("2024-01-02 00:00:00") - 1)

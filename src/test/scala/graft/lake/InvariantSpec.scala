@@ -76,7 +76,7 @@ class InvariantSpec extends SparkSpec {
       val snaps = (1 to n).map { i =>
         Snapshot(i.toLong, if (i == 1) None else Some(i - 1L),
           now - rnd.nextInt(30).toLong * 24 * 3600 * 1000, // 0-30 days old
-          "append", Nil, Nil, 0L, 0L)
+          "append", None, None, 0, 0L, 0L)
       }
       log.create(TableMetadata(1, s"exp$caseNo", "id BIGINT", Nil, None, snaps, Some(n.toLong)))
       val table = new LakehouseTable(spark, dir, log)

@@ -1,0 +1,82 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
+
+/** The 100×-scale metadata contract: a commit writes O(new files) of
+  * manifest bytes, never the table's full file inventory. Guards the
+  * round-4 split of file lists out of `v{N}.json` into immutable
+  * per-commit manifests + per-snapshot manifest-lists (VERDICT r3 §1).
+  */
+class ManifestScalingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch(b: Int) =
+    (0 until 20).map(i => (Timestamp.valueOf(f"2024-01-01 00:$b%02d:${i % 60}%02d.$i%06d"),
+      (b * 100 + i).toDouble))
+      .toDF("DateTime", "Bid").coalesce(1) // exactly one part file per append
+
+  test("commit metadata is O(new files), not O(table files)") {
+    val dir = new Path(tmpDir("mscale"), "t")
+    val first = batch(0)
+    val table = LakehouseTable.createIfNotExists(spark, dir, first.schema, Some("DateTime"))
+    val snaps = (0 until 6).map(b => table.append(batch(b)))
+
+    // every snapshot's own manifest holds exactly its one new file —
+    // never the accumulated inventory
+    snaps.foreach { s =>
+      assert(s.addedFilesCount == 1)
+      assert(table.addedDataFiles(s).size == 1)
+    }
+
+    // the version file carries snapshot records only: no data-file paths
+    val metaDir = Paths.get(dir.toUri.getPath, "metadata")
+    val vFiles = Files.list(metaDir).iterator().asScala
+      .filter(p => p.getFileName.toString.matches("v\\d+\\.json")).toSeq
+    vFiles.foreach { v =>
+      val body = new String(Files.readAllBytes(v))
+      assert(!body.contains(".parquet"), s"$v embeds data file paths")
+    }
+
+    // the added manifest of the 6th commit is no bigger than the 1st's:
+    // commit write volume does not grow with table size
+    def manifestSize(s: Snapshot): Long =
+      Files.size(Paths.get(dir.toUri.getPath, s.addedManifest.get))
+    assert(manifestSize(snaps.last) <= manifestSize(snaps.head) * 2,
+      "added-manifest size grew with table size")
+
+    // the manifest-list chains all six manifests; reads see everything
+    assert(table.log.readManifestList(snaps.last).size == 6)
+    assert(table.currentDataFiles.size == 6)
+    assert(table.read().count() == 120L)
+    assert(table.timeTravel(snaps(2).id).count() == 60L)
+  }
+
+  test("compaction collapses the manifest chain; expiry reaps dead metadata") {
+    val dir = new Path(tmpDir("mscale"), "t2")
+    val first = batch(0)
+    val table = LakehouseTable.createIfNotExists(spark, dir, first.schema, Some("DateTime"))
+    (0 until 4).foreach(b => table.append(batch(b)))
+    val compacted = table.compact()
+    assert(table.log.readManifestList(compacted).size == 1)
+    assert(table.read().count() == 80L)
+
+    val metaDir = Paths.get(dir.toUri.getPath, "metadata")
+    def metaFiles(prefix: String) = Files.list(metaDir).iterator().asScala
+      .count(_.getFileName.toString.startsWith(prefix))
+    val manifestsBefore = metaFiles("manifest-")
+    val listsBefore = metaFiles("snap-")
+
+    val (expired, orphans) = table.expireSnapshots(
+      nowMs = System.currentTimeMillis() + 100L * 24 * 3600 * 1000, keepLast = 1)
+    assert(expired.size == 4) // of 4 appends + compact, only the compact survives
+    assert(orphans.nonEmpty) // pre-compaction part files reclaimed
+    assert(metaFiles("manifest-") < manifestsBefore, "dead manifests not reaped")
+    assert(metaFiles("snap-") < listsBefore, "dead manifest-lists not reaped")
+    assert(table.read().count() == 80L) // live data untouched
+  }
+}

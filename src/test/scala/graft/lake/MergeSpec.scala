@@ -19,7 +19,7 @@ class MergeSpec extends SparkSpec {
     val table = LakehouseTable.createIfNotExists(spark, dir, y2020.schema, Some("DateTime"))
     table.append(y2020)
     table.append(rows(2021, 0 until 40))
-    val before = table.metadata.currentSnapshot.get.manifest
+    val before = table.currentDataFiles
     val untouched = before.filter(_.path.contains("DateTime_year=2021"))
     assert(untouched.nonEmpty)
 
@@ -32,12 +32,13 @@ class MergeSpec extends SparkSpec {
     table.merge(updates, "DateTime")
 
     val after = table.metadata.currentSnapshot.get
+    val afterFiles = table.dataFiles(after)
     // 2021 files carried over byte-identical (same manifest entries)
-    untouched.foreach(f => assert(after.manifest.exists(_.path == f.path)))
+    untouched.foreach(f => assert(afterFiles.exists(_.path == f.path)))
     // only the 2020 files CONTAINING matched keys were replaced; 2020
     // files holding untouched keys survive (that's the surgical point)
     val before2020 = before.filter(_.path.contains("DateTime_year=2020"))
-    val survived2020 = before2020.count(f => after.manifest.exists(_.path == f.path))
+    val survived2020 = before2020.count(f => afterFiles.exists(_.path == f.path))
     assert(survived2020 < before2020.size, "no 2020 file was rewritten")
 
     val df = table.read()
@@ -60,12 +61,13 @@ class MergeSpec extends SparkSpec {
     table.append(y2020)
     table.append(rows(2021, 0 until 30))
     val before = table.metadata.currentSnapshot.get
-    val files2021 = before.manifest.filter(_.path.contains("DateTime_year=2021"))
+    val files2021 = table.dataFiles(before).filter(_.path.contains("DateTime_year=2021"))
 
     table.delete(year($"DateTime") === 2020 && $"Bid" < 10.0)
 
     val after = table.metadata.currentSnapshot.get
-    files2021.foreach(f => assert(after.manifest.exists(_.path == f.path))) // untouched
+    val afterFiles = table.dataFiles(after)
+    files2021.foreach(f => assert(afterFiles.exists(_.path == f.path))) // untouched
     assert(table.read().count() === 50L) // 30 - 10 + 30
     assert(after.totalRows === 50L)
     assert(table.read().filter(year($"DateTime") === 2020 && $"Bid" < 10.0).count() === 0L)
