@@ -81,18 +81,36 @@ object DedupOps {
     * occurrences instead of |block|² array scans — the difference
     * between minutes and hours at corpus scale (non-overlapping pairs,
     * the overwhelming majority, are never enumerated).
+    *
+    * `maxDocFreq` caps a shingle's document frequency WITHIN a block: a
+    * shingle present in d docs fans the self-join out to d² rows, and
+    * corpus-common shingles ("in order to", boilerplate headers) are
+    * exactly such hot keys while carrying no dedup signal. Shingles
+    * above the cap are dropped from BOTH the intersection and the
+    * per-doc set size (Jaccard over the discriminative sub-vocabulary).
+    * The blacklist of hot shingles is tiny by construction, so AQE
+    * broadcasts the anti-join; the default never binds at test SFs
+    * (every block has < 1000 docs) but bounds the worst key at corpus
+    * scale to maxDocFreq² joined rows.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       blockCol: String,
       idCol: String = "doc_id",
       textCol: String = "text",
-      k: Int = 3): DataFrame = {
+      k: Int = 3,
+      maxDocFreq: Int = 1000): DataFrame = {
     val withShingles = shingled(docs, Some(blockCol), idCol, textCol, k)
-    val gramCounts = withShingles.select(col("id"), size(col("grams")).cast(LongType).as("n_grams"))
-    val exploded = explodeGrams(withShingles, col("block"), col("id"))
-    // shingle sets are distinct per doc, so each shared shingle yields
-    // exactly one joined row per pair: count == |intersection|
+    val explodedAll = explodeGrams(withShingles, col("block"), col("id"))
+    // shingle sets are distinct per doc ⇒ df = plain count per gram
+    val hotGrams = explodedAll
+      .groupBy("block", "gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("block", "gram")
+    val exploded = explodedAll.join(hotGrams, Seq("block", "gram"), "left_anti")
+    val gramCounts = exploded.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    // each shared (surviving) shingle yields exactly one joined row per
+    // pair: count == |intersection|
     val common = exploded.as("a")
       .join(exploded.as("b"),
         col("a.block") === col("b.block") && col("a.gram") === col("b.gram") &&
@@ -206,10 +224,23 @@ object DedupOps {
   /** Candidate pairs from LSH bands: equality self-join on
     * (band_id, band_sig) — the only shuffle of the pipeline — then
     * distinct pairs.
+    *
+    * `maxBucket` skips degenerate buckets: a (band, signature) bucket of
+    * d docs yields d² candidate rows, and pathological corpora produce
+    * exactly such buckets (every empty/boilerplate doc shares one
+    * signature). A bucket that large is not "near-duplicate pairs", it
+    * is an equivalence class better handled by [[exactGroups]]; skipping
+    * it bounds the join at maxBucket² rows per bucket. The default never
+    * binds at test SFs.
     */
-  def minHashCandidates(bandsDf: DataFrame): DataFrame = {
-    val a = bandsDf.select(col("band_id"), col("band_sig"), col("id").as("doc_a"))
-    val b = bandsDf.select(col("band_id"), col("band_sig"), col("id").as("doc_b"))
+  def minHashCandidates(bandsDf: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val hotBuckets = bandsDf
+      .groupBy("band_id", "band_sig").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+      .select("band_id", "band_sig")
+    val kept = bandsDf.join(hotBuckets, Seq("band_id", "band_sig"), "left_anti")
+    val a = kept.select(col("band_id"), col("band_sig"), col("id").as("doc_a"))
+    val b = kept.select(col("band_id"), col("band_sig"), col("id").as("doc_b"))
     a.join(b, Seq("band_id", "band_sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
