@@ -39,29 +39,19 @@ final case class QcResult(
 
 object QualityChecks {
 
-  def run(df: DataFrame, cfg: QcConfig): QcResult = {
+  private def buildAggs(cols: Seq[String], cfg: QcConfig): Seq[Column] =
+    Seq(count(lit(1)).as("__n")) ++
+      cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")) ++
+      // try_cast, not cast: Spark 4 runs ANSI mode by default, where a
+      // plain cast on malformed input fails the whole job — QC must
+      // instead COUNT the malformed rows (reference catches the cast
+      // error per file, `lakehouse_pipeline.py:154-158`).
+      Seq(count(expr(s"try_cast(${cfg.timeColumn} AS TIMESTAMP)")).as("__n_ts")) ++
+      cfg.positiveColumns.map(c => min(expr(s"try_cast($c AS DOUBLE)")).as(s"__min_$c"))
+
+  private def resultFromRow(
+      row: org.apache.spark.sql.Row, cols: Seq[String], cfg: QcConfig): QcResult = {
     val issues = scala.collection.mutable.ArrayBuffer.empty[String]
-
-    // Q2 — schema-level, no job needed
-    val missing = cfg.requiredColumns.filterNot(df.columns.contains)
-    if (missing.nonEmpty) {
-      // can't run column-dependent checks on missing columns
-      issues += s"Missing required columns: ${missing.mkString(", ")}"
-      return QcResult(passed = false, issues.toSeq, nRows = -1L)
-    }
-
-    val cols = df.columns.toSeq
-    val aggs: Seq[Column] =
-      Seq(count(lit(1)).as("__n")) ++
-        cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")) ++
-        // try_cast, not cast: Spark 4 runs ANSI mode by default, where a
-        // plain cast on malformed input fails the whole job — QC must
-        // instead COUNT the malformed rows (reference catches the cast
-        // error per file, `lakehouse_pipeline.py:154-158`).
-        Seq(count(expr(s"try_cast(${cfg.timeColumn} AS TIMESTAMP)")).as("__n_ts")) ++
-        cfg.positiveColumns.map(c => min(expr(s"try_cast($c AS DOUBLE)")).as(s"__min_$c"))
-
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
     val n = row.getAs[Long]("__n")
 
     if (n < cfg.minRows)
@@ -85,5 +75,33 @@ object QualityChecks {
       if (cols.contains(cfg.timeColumn)) row.getAs[Long](s"__nulls_${cfg.timeColumn}")
       else 0L
     QcResult(issues.isEmpty, issues.toSeq, n, nullTimeKey)
+  }
+
+  def run(df: DataFrame, cfg: QcConfig): QcResult = {
+    // Q2 — schema-level, no job needed
+    val missing = cfg.requiredColumns.filterNot(df.columns.contains)
+    if (missing.nonEmpty) {
+      // can't run column-dependent checks on missing columns
+      return QcResult(passed = false,
+        Seq(s"Missing required columns: ${missing.mkString(", ")}"), nRows = -1L)
+    }
+    val cols = df.columns.toSeq
+    val aggs = buildAggs(cols, cfg)
+    resultFromRow(df.agg(aggs.head, aggs.tail: _*).head(), cols, cfg)
+  }
+
+  /** Per-file QC for the batched ingest path: the same five rules for
+    * EVERY file of a union scan in ONE grouped aggregation pass —
+    * |files| × |columns| partial aggregates over a single scan instead
+    * of one full QC job per file. Keys of the returned map are the raw
+    * `srcCol` values (input_file_name URIs). Assumes the caller already
+    * ran the schema-level Q2 check (the union shares one schema).
+    */
+  def runPerFile(df: DataFrame, srcCol: String, cfg: QcConfig): Map[String, QcResult] = {
+    val cols = df.columns.toSeq.filterNot(_ == srcCol)
+    val aggs = buildAggs(cols, cfg)
+    df.groupBy(col(srcCol)).agg(aggs.head, aggs.tail: _*).collect()
+      .map(row => row.getAs[String](srcCol) -> resultFromRow(row, cols, cfg))
+      .toMap
   }
 }
