@@ -39,6 +39,14 @@ final class ChecksumLedger(ledgerFile: Path, fs: FileSystem) {
     entries.get(file.toString).contains(sum)
   }
 
+  /** True when the ledger has ANY entry for the file (regardless of
+    * whether the bytes changed since) — the modified-file sweep uses
+    * this to restrict itself to files already processed once.
+    */
+  def isKnown(file: Path): Boolean = synchronized {
+    entries.contains(file.toString)
+  }
+
   def record(file: Path, sum: String): Unit = synchronized {
     entries += (file.toString -> sum)
   }

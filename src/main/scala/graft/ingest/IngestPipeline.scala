@@ -346,5 +346,45 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
     } finally df.unpersist()
   }
 
+  /** Record checksums of files a STREAM already delivered: the file
+    * source's checkpoint guarantees it never re-reads them, so without a
+    * ledger entry a later in-place modification would be invisible to
+    * everyone. With the entry, [[reingestModified]] can detect the byte
+    * change and route the file through the duplicateKeyPolicy path.
+    */
+  def recordStreamed(files: Seq[Path]): Unit = {
+    files.foreach(f => ledger.record(f, ledger.checksum(f)))
+    ledger.persist()
+  }
+
+  /** Modified-file re-ingest for the streaming path (reference
+    * mtime-diff, `lakehouse_scheduler.py:47-58`): re-examine
+    * ledger-known files under `dataRoot` and push any whose bytes
+    * changed back through [[ingestFile]] (checksum-skip makes unchanged
+    * files a cheap no-op; changed files land per duplicateKeyPolicy —
+    * "upsert" replaces the old rows, "drop" keeps first-write-wins).
+    * Files the ledger does NOT know are left to the stream source —
+    * re-ingesting them here would race the next micro-batch.
+    *
+    * `modifiedSinceMs` is the reference's mtime pre-filter: only files
+    * touched at or after it are re-checksummed, so a steady-state sweep
+    * costs one directory listing, not one checksum per known file.
+    */
+  def reingestModified(dataRoot: String, modifiedSinceMs: Long = 0L): Seq[FileIngestResult] =
+    pipelineLock.synchronized {
+      val root = new Path(dataRoot)
+      if (!fs.exists(root)) return Nil
+      val symbols = fs.listStatus(root).filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+      val results = symbols.toSeq.flatMap { symDir =>
+        listParquet(symDir)
+          .filter(f => ledger.isKnown(f) &&
+            fs.getFileStatus(f).getModificationTime >= modifiedSinceMs)
+          .map(f => ingestFile(symDir.getName, f))
+          .filterNot(_.skipped)
+      }
+      if (results.nonEmpty) ledger.persist()
+      results
+    }
+
   def auditLog: AuditLog = audit
 }
