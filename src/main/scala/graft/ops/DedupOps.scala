@@ -101,19 +101,25 @@ object DedupOps {
       k: Int = 3,
       maxDocFreq: Int = 1000): DataFrame = {
     val withShingles = shingled(docs, Some(blockCol), idCol, textCol, k)
+    // shuffle 8-byte gram hashes, not gram strings: the join/agg keys
+    // carry xxhash64(gram) from here on, shrinking every exchange by the
+    // average shingle width. A cross-gram collision within one block
+    // would need ~2^32 distinct shingles per block (birthday bound) —
+    // far beyond a block's practical vocabulary.
     val explodedAll = explodeGrams(withShingles, col("block"), col("id"))
+      .select(col("block"), col("id"), xxhash64(col("gram")).as("g64"))
     // shingle sets are distinct per doc ⇒ df = plain count per gram
     val hotGrams = explodedAll
-      .groupBy("block", "gram").agg(count(lit(1)).as("df"))
+      .groupBy("block", "g64").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
-      .select("block", "gram")
-    val exploded = explodedAll.join(hotGrams, Seq("block", "gram"), "left_anti")
+      .select("block", "g64")
+    val exploded = explodedAll.join(hotGrams, Seq("block", "g64"), "left_anti")
     val gramCounts = exploded.groupBy("id").agg(count(lit(1)).as("n_grams"))
     // each shared (surviving) shingle yields exactly one joined row per
     // pair: count == |intersection|
     val common = exploded.as("a")
       .join(exploded.as("b"),
-        col("a.block") === col("b.block") && col("a.gram") === col("b.gram") &&
+        col("a.block") === col("b.block") && col("a.g64") === col("b.g64") &&
           col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))

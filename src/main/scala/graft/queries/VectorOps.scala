@@ -52,8 +52,11 @@ object VectorOps {
               |FROM v a JOIN v b ON a.vec_id < b.vec_id
               |WHERE list_dot_product(a.vec, b.vec)
               |      / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) >= 0.4
-              |ORDER BY id_a, id_b""".stripMargin),
-      bench = true
+              |ORDER BY id_a, id_b""".stripMargin)
+      // NOT bench-flagged: deliberately O(n²) — it exists as the oracle
+      // baseline for the LSH twin below, which IS benched (VERDICT r3
+      // item 8: the bench set must contain nothing quadratic in corpus
+      // size; at larger SFs sample this one or rely on the contract gate)
     ),
 
     QuerySpec(
