@@ -124,6 +124,16 @@ object SnapshotLog {
     * [[SnapshotLog.commit]].
     */
   val DefaultStaleCommitThresholdMs: Long = 5 * 60 * 1000L
+
+  /** Version files retained behind the pointer. Superseded `v{N}.json`
+    * are pure history — reads resolve through VERSION, time travel is
+    * snapshot-id-based within the CURRENT metadata — so without pruning
+    * a long-lived table accumulates one file per commit forever
+    * (Iceberg's `write.metadata.delete-after-commit` concern). A few
+    * survivors are kept for post-mortem debugging and so the
+    * recover-by-scan path always finds a committed version.
+    */
+  val DefaultKeepVersions: Int = 10
 }
 
 /** Atomic versioned metadata log under `<tableDir>/metadata/`. Each
@@ -135,14 +145,20 @@ object SnapshotLog {
 final class SnapshotLog(
     tableDir: Path,
     conf: Configuration,
-    staleCommitThresholdMs: Long = SnapshotLog.DefaultStaleCommitThresholdMs) {
+    staleCommitThresholdMs: Long = SnapshotLog.DefaultStaleCommitThresholdMs,
+    keepVersions: Int = SnapshotLog.DefaultKeepVersions) {
   private implicit val fmts: Formats = DefaultFormats
   private val metaDir = new Path(tableDir, "metadata")
   private def fs: FileSystem = tableDir.getFileSystem(conf)
   private def versionFile = new Path(metaDir, "VERSION")
   private def versionPath(v: Long) = new Path(metaDir, s"v$v.json")
 
-  def exists: Boolean = fs.exists(versionFile)
+  /** Recovery-aware: a table whose writer crashed mid-pointer-swap has
+    * no VERSION file but does have committed version files — it still
+    * exists (and [[currentVersion]] resolves it by scan).
+    */
+  def exists: Boolean = fs.exists(versionFile) ||
+    (fs.exists(metaDir) && maxCommittedVersion.isDefined)
 
   /** Reads the version pointer; if a writer crashed mid-swap (between
     * delete and rename — the swap is only atomic against readers on FS
@@ -279,7 +295,24 @@ final class SnapshotLog(
     }
     writeJsonStr(p, Serialization.writePretty(meta))
     swapPointer(next)
+    pruneVersions(next)
     next
+  }
+
+  /** Delete version files more than `keepVersions` behind the pointer
+    * (see [[SnapshotLog.DefaultKeepVersions]]). Never touches the file
+    * just written or the reclaim window around it.
+    */
+  private def pruneVersions(current: Long): Unit = {
+    val cutoff = current - keepVersions
+    if (keepVersions > 0 && cutoff >= 0)
+      fs.listStatus(metaDir).map(_.getPath).foreach { p =>
+        val n = p.getName
+        val digits = n.stripPrefix("v").stripSuffix(".json")
+        if (n.startsWith("v") && n.endsWith(".json") &&
+          digits.nonEmpty && digits.forall(_.isDigit) && digits.toLong <= cutoff)
+          fs.delete(p, false)
+      }
   }
 
   private def writeJsonStr(p: Path, json: String): Unit = {

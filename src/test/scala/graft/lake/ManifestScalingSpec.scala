@@ -56,6 +56,27 @@ class ManifestScalingSpec extends SparkSpec {
     assert(table.timeTravel(snaps(2).id).count() == 60L)
   }
 
+  test("superseded version files are pruned; pointer recovery still works") {
+    val dir = new Path(tmpDir("mscale"), "t3")
+    val first = batch(0)
+    val table = LakehouseTable.createIfNotExists(spark, dir, first.schema, Some("DateTime"))
+    (0 until 14).foreach(b => table.append(batch(b % 6)))
+
+    val metaDir = Paths.get(dir.toUri.getPath, "metadata")
+    val vFiles = Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.matches("v\\d+\\.json")).toSeq
+    assert(vFiles.size <= SnapshotLog.DefaultKeepVersions,
+      s"version files not pruned: $vFiles")
+    assert(vFiles.contains("v14.json"))
+
+    // crash recovery is scan-based: with the pointer gone, the max
+    // SURVIVING version file must still resolve
+    Files.delete(Paths.get(dir.toUri.getPath, "metadata/VERSION"))
+    val reloaded = LakehouseTable.load(spark, dir)
+    assert(reloaded.log.currentVersion == 14L)
+    assert(reloaded.read().count() > 0L)
+  }
+
   test("compaction collapses the manifest chain; expiry reaps dead metadata") {
     val dir = new Path(tmpDir("mscale"), "t2")
     val first = batch(0)
