@@ -108,12 +108,17 @@ object DedupOps {
     // far beyond a block's practical vocabulary.
     val explodedAll = explodeGrams(withShingles, col("block"), col("id"))
       .select(col("block"), col("id"), xxhash64(col("gram")).as("g64"))
-    // shingle sets are distinct per doc ⇒ df = plain count per gram
-    val hotGrams = explodedAll
-      .groupBy("block", "g64").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDocFreq)
-      .select("block", "g64")
-    val exploded = explodedAll.join(hotGrams, Seq("block", "g64"), "left_anti")
+    // shingle sets are distinct per doc ⇒ df = plain count per gram.
+    // The cap runs as a WINDOW count over (block, g64) — the self-join
+    // below shuffles on exactly those keys, so the window's exchange is
+    // the join's exchange (reused), making the cap nearly free versus a
+    // separate df-aggregate + anti-join (which adds a full extra
+    // shuffle of the exploded grams).
+    val dfWin = org.apache.spark.sql.expressions.Window.partitionBy("block", "g64")
+    val exploded = explodedAll
+      .withColumn("df", count(lit(1)).over(dfWin))
+      .filter(col("df") <= maxDocFreq)
+      .drop("df")
     val gramCounts = exploded.groupBy("id").agg(count(lit(1)).as("n_grams"))
     // each shared (surviving) shingle yields exactly one joined row per
     // pair: count == |intersection|
