@@ -88,6 +88,66 @@ final class LakehouseTable(
         .flatMap(r => log.readManifest(r.path).filter(_.overlaps(loUs, hiUs)))
     }.getOrElse(Nil)
 
+  /** Files that MAY contain at least one of the given point keys
+    * (epoch micros of the partition-source column) — three pruning
+    * levels, all metadata-side: manifest-list bounds, per-file bounds,
+    * then the parquet bloom filter written at commit time (a footer
+    * +bitset read per surviving file, no data pages). The bloom layer
+    * is what min/max cannot do: reject a key that falls INSIDE a
+    * file's range but is absent from it — the common case for sparse
+    * point lookups over interleaved writers.
+    */
+  def filesContainingAnyKey(keysUs: Seq[Long]): Seq[DataFile] = {
+    if (keysUs.isEmpty) return Nil
+    val keyCol = metadata.partitionTransform.getOrElse(
+      throw new IllegalStateException("point skipping needs a partition-source key column"))
+    val ranged = metadata.currentSnapshot.map { s =>
+      log.readManifestList(s)
+        .filter(r => keysUs.exists(k => r.overlaps(k, k)))
+        .flatMap(r => log.readManifest(r.path).filter(f => keysUs.exists(k => f.overlaps(k, k))))
+    }.getOrElse(Nil)
+    ranged.filter { f =>
+      val inRange = keysUs.filter(k => f.overlaps(k, k))
+      bloomMayContain(new Path(tableDir, f.path), keyCol, inRange)
+    }
+  }
+
+  /** Read only the rows matching the given point keys, scanning only
+    * bloom-surviving files.
+    */
+  def readPoints(keysUs: Seq[Long]): DataFrame = {
+    val keyCol = metadata.partitionTransform.getOrElse(
+      throw new IllegalStateException("point lookup needs a partition-source key column"))
+    readFiles(filesContainingAnyKey(keysUs))
+      .filter(unix_micros(col(keyCol)).isin(keysUs: _*))
+  }
+
+  /** True unless EVERY row group's bloom filter rejects every key. A
+    * missing bloom (pre-bloom files, non-INT64 key) can never skip.
+    */
+  private def bloomMayContain(p: Path, keyCol: String, keysUs: Seq[Long]): Boolean = {
+    val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try {
+      val blocks = in.getFooter.getBlocks
+      var mayContain = false
+      var b = 0
+      while (!mayContain && b < blocks.size()) {
+        val block = blocks.get(b)
+        val chunk = block.getColumns.stream()
+          .filter(c => c.getPath.toDotString == keyCol).findFirst()
+        if (!chunk.isPresent) mayContain = true
+        else {
+          val bloom = in.getBloomFilterDataReader(block).readBloomFilter(chunk.get())
+          if (bloom == null) mayContain = true
+          else mayContain = keysUs.exists(k => bloom.findHash(bloom.hash(k)))
+        }
+        b += 1
+      }
+      mayContain
+    } finally in.close()
+  }
+
   /** Read only the files whose time-key range overlaps [loUs, hiUs].
     * The complement of partition pruning: year dirs prune coarsely, the
     * per-file footer stats recorded at commit time prune within a year —
@@ -173,6 +233,11 @@ final class LakehouseTable(
     val stagingName = s".staging-${UUID.randomUUID().toString.take(8)}"
     val staging = new Path(tableDir, stagingName)
     val writer = withPart.write.mode("overwrite")
+    // native parquet bloom filter on the key column: min/max bounds
+    // prune RANGES; the bloom prunes POINT lookups within overlapping
+    // ranges (see filesContainingAnyKey) at ~1 KiB per file
+    meta.partitionTransform.foreach(k =>
+      writer.option(s"parquet.bloom.filter.enabled#$k", "true"))
     (if (meta.partitionColumns.nonEmpty) writer.partitionBy(meta.partitionColumns: _*) else writer)
       .parquet(staging.toString)
     moveStaged(staging)
