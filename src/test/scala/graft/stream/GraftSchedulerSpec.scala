@@ -53,6 +53,43 @@ class GraftSchedulerSpec extends SparkSpec {
     assert(run2.tables.head.filesSkipped == 2)
   }
 
+  test("continuous mode_all: watcher query and daily thread run side by side") {
+    val root = tmpDir("root")
+    val pipeline = new IngestPipeline(spark, IngestConfig(warehouseDir = tmpDir("wh"), minRows = 10L))
+    writeFile(s"$root/EURUSD", "a.parquet", 0 until 50)
+    val schema = spark.read.parquet(s"$root/EURUSD/a.parquet").schema
+    // a scheduler pinned to the CURRENT hour with zero interval fires on
+    // its first poll after the seed markRan — exercising the real
+    // watcher-query + daily-thread composition without waiting for 02:00
+    val nowHour = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC).getHour
+    val sched = new GraftScheduler(spark, pipeline, root, schema, tmpDir("ckpt"),
+      daily = new DailyScheduler(atHourUtc = nowHour, intervalHours = 0))
+    val q = sched.start(
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+      pollSeconds = 1)
+    try {
+      // the watcher should pick the file up; the daily thread fires at
+      // least once concurrently (same file → ledger/dedup make it a
+      // no-op whichever lands second)
+      val deadline = System.currentTimeMillis() + 60000
+      while (System.currentTimeMillis() < deadline &&
+        !(pipeline.catalog.tableExists("gold.eurusd") &&
+          pipeline.catalog.loadTable("gold.eurusd").read().count() == 50)) {
+        Thread.sleep(500)
+      }
+      assert(pipeline.catalog.loadTable("gold.eurusd").read().count() == 50)
+      val deadline2 = System.currentTimeMillis() + 60000
+      while (System.currentTimeMillis() < deadline2 && pipeline.auditLog.readAll().isEmpty)
+        Thread.sleep(500)
+      assert(pipeline.auditLog.readAll().nonEmpty, "daily thread never ran")
+      // whoever lost the race appended nothing: still exactly 50 keys
+      val keys = pipeline.catalog.loadTable("gold.eurusd").read()
+        .select("DateTime").collect().map(_.get(0))
+      assert(keys.length == 50 && keys.distinct.length == 50)
+    } finally sched.stop()
+    assert(!q.isActive)
+  }
+
   test("concurrent watcher drain and scheduled run serialize on the pipeline lock") {
     val root = tmpDir("root")
     val pipeline = new IngestPipeline(spark, IngestConfig(warehouseDir = tmpDir("wh"), minRows = 10L))
