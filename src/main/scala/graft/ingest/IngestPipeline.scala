@@ -91,7 +91,13 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
     val t0 = Instant.now()
     val root = new Path(dataRoot)
     val symbols = fs.listStatus(root).filter(_.isDirectory).map(_.getPath).sortBy(_.getName).toSeq
-    def one(symDir: Path): TableAudit = ingestSymbol(symDir.getName, listParquet(symDir))
+    // persist the ledger ONCE at run end (below), not per symbol: each
+    // persist rewrites the whole map, so per-symbol persists cost
+    // O(symbols × ledger) per run. A crash before the end-of-run persist
+    // only costs re-examining this run's files next time — checksum-skip
+    // plus row-level dedup make that re-work a no-op.
+    def one(symDir: Path): TableAudit =
+      ingestSymbolInner(symDir.getName, listParquet(symDir), persistLedger = false)
     val tableAudits =
       if (cfg.symbolParallelism <= 1 || symbols.size <= 1) symbols.map(one)
       else {
@@ -135,11 +141,15 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
     * (per-file attribution of cross-file duplicate keys may differ —
     * sequential awards the earliest file, batched an arbitrary one).
     */
-  def ingestSymbol(symbol: String, files: Seq[Path]): TableAudit = {
+  def ingestSymbol(symbol: String, files: Seq[Path]): TableAudit =
+    ingestSymbolInner(symbol, files, persistLedger = true)
+
+  private def ingestSymbolInner(
+      symbol: String, files: Seq[Path], persistLedger: Boolean): TableAudit = {
     val results =
       if (cfg.batchedIngest) ingestFilesBatched(symbol, files)
       else files.map(f => ingestFile(symbol, f))
-    ledger.persist()
+    if (persistLedger) ledger.persist()
     val tableId = s"${cfg.namespace}.${symbol.toLowerCase}"
     if (catalog.tableExists(tableId)) {
       val (expired, orphans) = catalog.loadTable(tableId).expireSnapshots(

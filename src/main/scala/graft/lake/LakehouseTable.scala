@@ -518,6 +518,40 @@ final class LakehouseTable(
       totalRows = current.totalRows, addedRowsOverride = Some(0L))
   }
 
+  /** Metadata-only manifest compaction (Iceberg's RewriteManifests
+    * analog): collapse the current snapshot's manifest chain — which
+    * grows by one per append — into a single manifest, WITHOUT touching
+    * any data file. Complements [[compact]] (which rewrites data to fix
+    * small files): a table appended to thousands of times but already
+    * well-sized on disk only needs its metadata folded. The commit
+    * writes one manifest of O(live files) entries once, instead of that
+    * cost recurring on every future read.
+    */
+  def rewriteManifests(): Snapshot = {
+    val meta = metadata
+    val version = log.currentVersion
+    val current = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("cannot rewrite manifests of an empty table"))
+    val files = dataFiles(current)
+    val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+    val refs = if (files.isEmpty) Nil else Seq(log.writeManifest(snapId, files))
+    val listPath = if (refs.nonEmpty) Some(log.writeManifestList(snapId, refs)) else None
+    val snap = Snapshot(
+      id = snapId,
+      parentId = Some(current.id),
+      timestampMs = System.currentTimeMillis(),
+      operation = "rewrite-manifests",
+      manifestList = listPath,
+      addedManifest = None, // no data was added
+      addedFilesCount = 0,
+      addedRows = 0L,
+      totalRows = current.totalRows)
+    log.commit(version, meta.copy(
+      snapshots = meta.snapshots :+ snap,
+      currentSnapshotId = Some(snap.id)))
+    snap
+  }
+
   /** Footer-only read: row count plus min/max statistics of the key
     * column (Spark writes TimestampType as INT64 micros, so the stats
     * surface as longs). No data pages are touched.

@@ -56,6 +56,25 @@ class ManifestScalingSpec extends SparkSpec {
     assert(table.timeTravel(snaps(2).id).count() == 60L)
   }
 
+  test("rewriteManifests folds the chain without touching data files") {
+    val dir = new Path(tmpDir("mscale"), "t4")
+    val first = batch(0)
+    val table = LakehouseTable.createIfNotExists(spark, dir, first.schema, Some("DateTime"))
+    (0 until 5).foreach(b => table.append(batch(b)))
+    val filesBefore = table.currentDataFiles.map(_.path).toSet
+    assert(table.log.readManifestList(table.metadata.currentSnapshot.get).size == 5)
+
+    val snap = table.rewriteManifests()
+    assert(snap.operation == "rewrite-manifests")
+    assert(table.log.readManifestList(snap).size == 1)
+    // the DATA file set is byte-identical — only metadata moved
+    assert(table.currentDataFiles.map(_.path).toSet == filesBefore)
+    assert(table.read().count() == 100L)
+    assert(snap.totalRows == 100L && snap.addedRows == 0L)
+    // time travel across the fold still works
+    assert(table.timeTravel(snap.parentId.get).count() == 100L)
+  }
+
   test("superseded version files are pruned; pointer recovery still works") {
     val dir = new Path(tmpDir("mscale"), "t3")
     val first = batch(0)
