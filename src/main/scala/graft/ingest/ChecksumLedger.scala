@@ -4,6 +4,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.json4s._
 import org.json4s.jackson.Serialization
 
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 /** Exactly-once file ingestion ledger — the reference's
@@ -12,16 +14,65 @@ import java.security.MessageDigest
   * and re-ingested when the bytes changed (which Spark's streaming file
   * source alone can't express — it ignores modified files; SURVEY.md
   * §7.5 item 6). Checksums stream in 8 KiB chunks like the reference
-  * (`:126`). Driver-side state: the ledger is tiny (one entry per file).
+  * (`:126`).
+  *
+  * Storage is SEGMENTED JSONL under `<name>.d/`: each persist() writes
+  * one new segment holding only the entries recorded since the last
+  * persist — O(delta), where the reference (and rounds 1-3) rewrote the
+  * full map every time, O(ledger) per persist and quadratic over a
+  * table's life. Loads replay segments in name order with last-wins
+  * merge; a torn trailing line from a crashed writer is skipped (every
+  * complete line is self-contained JSON). When the segment count passes
+  * `compactThreshold`, persist() folds everything into one segment
+  * named AFTER the old ones and then deletes them — a crash between
+  * fold and deletes replays old-then-merged, which last-wins resolves
+  * to the same state. Single writer per warehouse (the pipeline lock),
+  * any number of readers.
   */
-final class ChecksumLedger(ledgerFile: Path, fs: FileSystem) {
+final class ChecksumLedger(ledgerBase: Path, fs: FileSystem, compactThreshold: Int = 8) {
   private implicit val fmts: Formats = DefaultFormats
+  private val segDir = new Path(
+    ledgerBase.getParent, ledgerBase.getName.stripSuffix(".json") + ".d")
   private var entries: Map[String, String] = load()
+  private var dirty: Map[String, String] = Map.empty
 
-  private def load(): Map[String, String] =
-    graft.lake.AtomicState.read(fs, ledgerFile)
-      .map(Serialization.read[Map[String, String]])
-      .getOrElse(Map.empty)
+  private def segments(): Seq[Path] =
+    if (!fs.exists(segDir)) Nil
+    else fs.listStatus(segDir).map(_.getPath)
+      .filter(p => p.getName.startsWith("seg-") && p.getName.endsWith(".jsonl"))
+      .sortBy(_.getName).toSeq
+
+  private def load(): Map[String, String] = {
+    var m = Map.empty[String, String]
+    segments().foreach { p =>
+      val in = new BufferedReader(new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+      try {
+        var line = in.readLine()
+        while (line != null) {
+          try {
+            val rec = Serialization.read[Map[String, String]](line)
+            for (f <- rec.get("f"); s <- rec.get("md5")) m += (f -> s)
+          } catch { case _: Throwable => () } // torn tail from a crashed writer
+          line = in.readLine()
+        }
+      } finally in.close()
+    }
+    m
+  }
+
+  private def nextSegPath(): Path = {
+    val next = segments().map(_.getName.stripPrefix("seg-").stripSuffix(".jsonl"))
+      .filter(_.forall(_.isDigit)).map(_.toLong).maxOption.getOrElse(-1L) + 1L
+    new Path(segDir, f"seg-$next%08d.jsonl")
+  }
+
+  private def writeSegment(p: Path, recs: Map[String, String]): Unit = {
+    val out = fs.create(p, false)
+    try recs.foreach { case (f, s) =>
+      out.write((Serialization.write(Map("f" -> f, "md5" -> s)) + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    } finally out.close()
+  }
 
   def checksum(file: Path): String = {
     val md = MessageDigest.getInstance("MD5")
@@ -49,10 +100,25 @@ final class ChecksumLedger(ledgerFile: Path, fs: FileSystem) {
 
   def record(file: Path, sum: String): Unit = synchronized {
     entries += (file.toString -> sum)
+    dirty += (file.toString -> sum)
   }
 
+  /** Write entries recorded since the last persist as one new segment
+    * (no-op when nothing changed); fold all segments into one when the
+    * count passes the threshold.
+    */
   def persist(): Unit = synchronized {
-    graft.lake.AtomicState.write(fs, ledgerFile, Serialization.writePretty(entries))
+    val segs = segments()
+    if (dirty.isEmpty && segs.size <= compactThreshold) return
+    fs.mkdirs(segDir)
+    if (segs.size >= compactThreshold) {
+      val merged = nextSegPath()
+      writeSegment(merged, entries)
+      segs.foreach(fs.delete(_, false))
+    } else {
+      writeSegment(nextSegPath(), dirty)
+    }
+    dirty = Map.empty
   }
 
   def size: Int = synchronized(entries.size)
