@@ -340,4 +340,51 @@ object DedupOps {
 
   /** Hamming distance between two simhashes (bit_count of xor). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Connected components over an undirected near-dup pair list — the
+    * canonicalization step of a dedup pipeline: pairs say "these two are
+    * duplicates", components say "keep ONE doc per transitive group".
+    * Returns (node, label) with label = the minimum id reachable from
+    * the node.
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * smallest label in its closed neighborhood — one equality join plus
+    * one aggregate per round, all distributed; the driver only checks
+    * the convergence count. Rounds needed = graph diameter, which for
+    * near-dup graphs (dense clusters, short chains) is small. Each
+    * round's labels are `localCheckpoint`ed: persist alone caches DATA
+    * but the LOGICAL plan still re-embeds the previous round's tree,
+    * doubling the plan per iteration (exponential tree, OOM in plan
+    * stringification by ~round 25) — checkpointing truncates lineage so
+    * the plan stays one round deep.
+    */
+  def connectedComponents(
+      edges: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIter: Int = 25): DataFrame = {
+    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(true) // also cuts the caller's (possibly huge) pair-gen plan
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = und
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("node")).agg(min("label").as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0,
+      s"label propagation did not converge in $maxIter rounds — raise maxIter")
+    labels
+  }
 }

@@ -172,6 +172,49 @@ object TextOps {
     ),
 
     QuerySpec(
+      // pairs → transitive closure → one canonical doc per duplicate
+      // group: the step a training-data pipeline actually acts on. The
+      // oracle computes the same closure as a recursive CTE, so the
+      // distributed min-label propagation is value-checked end to end.
+      "q_text_dedup_clusters",
+      (s, dir) => {
+        // every shared-shingle pair is an edge: the closure then has
+        // real multi-hop chains, exercising propagation, not just pair
+        // copying (at sf0.01 a jaccard threshold leaves ~1 edge)
+        val pairs = DedupOps.ngramJaccardPairs(t(s, dir, "documents"), blockCol = "source")
+        DedupOps.connectedComponents(pairs)
+          .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE g AS (
+             |  SELECT source, doc_id,
+             |         list_distinct(list_transform(
+             |           range(1, CASE WHEN length(tk) - 2 >= 1 THEN length(tk) - 1 ELSE 1 END),
+             |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS grams
+             |  FROM (SELECT source, doc_id,
+             |               list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+             |        FROM documents)
+             |  WHERE length(grams) > 0
+             |), p AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         length(list_filter(a.grams, x -> list_contains(b.grams, x))) AS nc,
+             |         length(a.grams) + length(b.grams)
+             |         - length(list_filter(a.grams, x -> list_contains(b.grams, x))) AS nu
+             |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+             |), und AS (
+             |  SELECT doc_a AS a, doc_b AS b FROM p WHERE nc >= 1
+             |  UNION ALL
+             |  SELECT doc_b, doc_a FROM p WHERE nc >= 1
+             |), reach(node, lab) AS (
+             |  SELECT a, a FROM und
+             |  UNION
+             |  SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node
+             |)
+             |SELECT node AS doc_id, min(lab) AS cluster_id
+             |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_text_word_freq",
       (s, dir) =>
         t(s, dir, "documents")

@@ -61,6 +61,22 @@ class DedupOpsSpec extends SparkSpec {
     assert(randomDists.min > 8, s"random-pair hamming too low: $randomDists")
   }
 
+  test("connectedComponents resolves transitive duplicate groups") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 10L), (7L, 5L))
+      .toDF("doc_a", "doc_b")
+    val labels = DedupOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      5L -> 5L, 7L -> 5L))
+  }
+
+  test("connectedComponents converges on a long chain") {
+    val chain = (0 until 30).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val labels = DedupOps.connectedComponents(chain, maxIter = 40).collect()
+    assert(labels.length == 31)
+    assert(labels.forall(_.getLong(1) == 0L))
+  }
+
   test("shingles handle degenerate inputs") {
     val df = Seq((1L, "a b"), (2L, ""), (3L, "x y z")).toDF("doc_id", "text")
     val out = df.select($"doc_id", DedupOps.shingles($"text").as("g")).orderBy("doc_id").collect()
