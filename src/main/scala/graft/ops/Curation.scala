@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * (seed-free, re-runnable) sampling and token-budget shard packing.
+  *
+  * Sampling here is a pure column predicate — no shuffle, no RNG state,
+  * the filter sits directly on the parquet scan — because at corpus
+  * scale the properties that matter are (a) the decision for a given
+  * row never changes across re-runs or incremental re-ingests, and
+  * (b) samples at different rates nest (`rate ≤ rate'` ⇒ sample ⊆
+  * sample'), so a pipeline can cheaply derive smaller corpora from
+  * larger ones. Both fall out of gating on a hash of a stable key
+  * instead of `rand()`.
+  *
+  * Everything reproduces bit-identically in DuckDB, so the query suite
+  * gets full value-level oracles (see CurationOps).
+  */
+object Curation {
+
+  /** Deterministic uniform variate in [0,1): the top 32 bits of
+    * `md5(key)`, scaled. md5 — unlike the cheap polynomial fold used by
+    * the portable dedup twins — is uniform even over short sequential
+    * keys like numeric ids, which is what sampling correctness depends
+    * on. The key is stringified first (so a BIGINT id hashes its
+    * decimal digits, matching `md5(key::VARCHAR)` in DuckDB), and
+    * long/2^32 division is exact in doubles, so `u < rate` compares
+    * identically cross-engine.
+    */
+  def uniformGate(key: Column): Column =
+    conv(substring(md5(key.cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
+      .cast(LongType) / lit(4294967296.0)
+
+  /** The DuckDB spelling of [[uniformGate]], for oracle SQL. */
+  def uniformGateSql(keyExpr: String): String =
+    s"(('0x' || substring(md5($keyExpr), 1, 8))::UBIGINT)::DOUBLE / 4294967296.0"
+
+  /** Deterministic stratified sampling: keep a row iff
+    * `u(key) < rate(stratum)`. Strata not in `rates` fall back to
+    * `defaultRate`. Rates are applied per row with a literal CASE, so
+    * the whole operator is one codegen'd filter over the scan.
+    */
+  def sampleByHash(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0): DataFrame = {
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (s, r)) => when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(uniformGate(col(keyCol)) < rate)
+  }
+
+  /** Resample a corpus to target stratum-mixture proportions, keeping as
+    * much data as possible: `K = floor(min_s(n_s / w_s))` is the largest
+    * total size for which every stratum can supply its share, and
+    * stratum s is then hash-gated at rate `w_s·K / n_s`. Strata absent
+    * from `weights` are dropped. Two jobs: a per-stratum count whose
+    * result is metadata-sized (one row per stratum — the only thing
+    * collected), then the pure-filter sample.
+    *
+    * The rate arithmetic is written `(w * K) / n` in exactly that
+    * order; the oracle SQL mirrors it term for term so the IEEE-double
+    * rates — and therefore the `u < rate` decisions — match DuckDB
+    * bit-for-bit.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0.0),
+      "mixture weights must be positive")
+    val counts = df
+      .filter(col(stratumCol).isin(weights.keys.toSeq: _*))
+      .groupBy(stratumCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = math.floor(weights.map { case (s, w) =>
+      counts.getOrElse(s, 0L) / w
+    }.min)
+    val rates = weights.map { case (s, w) =>
+      val n = counts.getOrElse(s, 0L)
+      s -> (if (n == 0L) 0.0 else w * k / n)
+    }
+    sampleByHash(df, keyCol, stratumCol, rates)
+  }
+
+  /** Pack documents into fixed token-budget training shards,
+    * independently within each stratum: conceptually the stratum's
+    * documents are concatenated in `orderCol` order into one token
+    * stream that is cut every `budget` tokens, and a document belongs
+    * to the shard its FIRST token lands in — i.e.
+    * `shard_id = exclusive_prefix_tokens div budget` (exact integer
+    * arithmetic end to end). A document longer than the budget keeps
+    * its shard's stream-cut ids monotone (later shard ids may be
+    * skipped — their tokens are the long document's middle), matching
+    * concat-and-chunk pretraining semantics.
+    *
+    * One window sort per stratum, no global sort: the strata
+    * (source, date, …) are the parallelism unit, so choose
+    * `partitionCols` with enough cardinality for the cluster and add a
+    * hash-bucket column to split a mega-stratum. `orderCol` must be
+    * unique within a stratum for deterministic output.
+    *
+    * Adds `n_tokens`, `excl_tokens`, `shard_id` columns.
+    */
+  def packShards(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      orderCol: String,
+      tokens: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val w = Window
+      .partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", tokens)
+      .withColumn("excl_tokens", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("shard_id", expr(s"excl_tokens div ${budget}L"))
+  }
+}

@@ -321,6 +321,35 @@ object ExtendedOps {
              |                         (a, b) -> a + b), 4) AS sum_v,
              |       round(CAST(embedding[1] AS DOUBLE), 4) AS first_v
              |FROM embeddings ORDER BY vec_id""".stripMargin)
+    ),
+
+    QuerySpec(
+      // RANGE frame keyed on a value interval, not a row count: rolling
+      // 90-day revenue per customer. Spark's rangeBetween wants a
+      // numeric order key, so the NTZ date becomes epoch days and
+      // (-90, 0) matches DuckDB's `RANGE INTERVAL 90 DAYS PRECEDING`
+      // exactly (both include all date-tie peers). One shuffle on
+      // o_custkey; exact unscaled-long sums inside the frame.
+      "q_window_range_90d",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-90, 0)
+        t(s, dir, "orders")
+          .withColumn("d", unix_date(col("o_orderdate").cast(DateType)).cast(LongType))
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            col("d"),
+            (sum(round(col("o_totalprice") * 10000.0).cast(LongType)).over(w) / 10000.0)
+              .cast(DoubleType).as("rev90"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(o_orderdate::DATE - DATE '1970-01-01' AS BIGINT) AS d,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate::DATE
+             |    RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev90
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
     )
   )
 }
