@@ -47,6 +47,11 @@ final case class IngestConfig(
       * input_file_name(). false = the reference's file-at-a-time flow.
       */
     batchedIngest: Boolean = false,
+    /** Partition granularity of created tables (year | month | day |
+      * hour | identity — see LakehouseTable.Granularities). The
+      * reference hardcodes year; 100 TB tick data wants day/hour.
+      */
+    partitionGranularity: String = "year",
     /** What an incoming row with an already-ingested time key means:
       *  - "drop"  (reference semantics): first write wins — the anti-join
       *    discards it. NOTE this makes the reference's modified-file
@@ -190,7 +195,8 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
         return FileIngestResult(file.toString, 0, math.max(qc.nRows, 0), skipped = false, qc.issues)
 
       val tableId = s"${cfg.namespace}.${symbol.toLowerCase}"
-      val table = catalog.createTableIfNotExists(tableId, df.schema, Some(cfg.timeColumn))
+      val table = catalog.createTableIfNotExists(
+        tableId, df.schema, Some(cfg.timeColumn), cfg.partitionGranularity)
 
       // reject null-time-key rows (within QC's 5% tolerance they pass QC):
       // an equi-anti-join can never dedup them (null != null), so each
@@ -259,19 +265,35 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
       FileIngestResult(f.toString, 0, 0, skipped = true, Nil) }
     if (fresh.isEmpty) return skippedResults
 
+    // Q2 is schema-level, and a union scan resolves ONE merged schema: a
+    // file individually missing a required column would be silently
+    // null-filled under it — passing batched QC where the per-file loop
+    // rejects the file (ADVICE r4). Check each file's OWN parquet footer
+    // (footer-only read, no data pages) and exclude offenders from the
+    // union so both modes reject identically.
+    val hconf = spark.sessionState.newHadoopConf()
+    def footerColumns(f: Path): Set[String] = {
+      val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, hconf))
+      try {
+        import scala.jdk.CollectionConverters._
+        in.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
+      } finally in.close()
+    }
+    val colsByFile = fresh.map { case (f, _) => f -> footerColumns(f) }.toMap
+    val (schemaOk, schemaBad) = fresh.partition { case (f, _) =>
+      cfg.requiredColumns.forall(colsByFile(f).contains) }
+    val badResults = schemaBad.map { case (f, _) =>
+      val missing = cfg.requiredColumns.filterNot(colsByFile(f).contains)
+      FileIngestResult(f.toString, 0, 0, skipped = false,
+        Seq(s"Missing required columns: ${missing.mkString(", ")}")) }
+    if (schemaOk.isEmpty) return skippedResults ++ badResults
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(fresh.map(_._1.toString): _*)
+    val raw = spark.read.parquet(schemaOk.map(_._1.toString): _*)
       .withColumn("__src", input_file_name())
     val df = Normalize(raw, cfg.timeColumn).persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // Q2 is schema-level and the union shares one schema: a missing
-      // column fails every file, exactly as the per-file loop would
-      val missing = cfg.requiredColumns.filterNot(df.columns.filterNot(_ == "__src").contains)
-      if (missing.nonEmpty)
-        return skippedResults ++ fresh.map { case (f, _) =>
-          FileIngestResult(f.toString, 0, 0, skipped = false,
-            Seq(s"Missing required columns: ${missing.mkString(", ")}")) }
-
       val qcBySrc = QualityChecks.runPerFile(df, "__src", QcConfig(
         cfg.requiredColumns, cfg.timeColumn, cfg.positiveColumns,
         cfg.minRows, cfg.maxNullFraction))
@@ -281,7 +303,7 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
       def qcOf(f: Path): Option[(String, QcResult)] =
         qcByPath.get(fs.makeQualified(f).toUri.getPath)
 
-      val passSrcs = fresh.flatMap(p => qcOf(p._1)).collect { case (src, qc) if qc.passed => src }
+      val passSrcs = schemaOk.flatMap(p => qcOf(p._1)).collect { case (src, qc) if qc.passed => src }
       val appendedByPath: Map[String, Long] =
         if (passSrcs.isEmpty) Map.empty
         else {
@@ -290,7 +312,8 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
           val keyed = passing.filter(col(cfg.timeColumn).isNotNull)
           val tableId = s"${cfg.namespace}.${symbol.toLowerCase}"
           val table = catalog.createTableIfNotExists(
-            tableId, keyed.drop("__src").schema, Some(cfg.timeColumn))
+            tableId, keyed.drop("__src").schema, Some(cfg.timeColumn),
+            cfg.partitionGranularity)
           val deduped = Dedup.withinBatch(keyed, Seq(cfg.timeColumn))
           val toWrite = cfg.duplicateKeyPolicy match {
             case "upsert" => deduped
@@ -308,7 +331,7 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
           counts
         }
 
-      skippedResults ++ fresh.map { case (f, sum) =>
+      skippedResults ++ badResults ++ schemaOk.map { case (f, sum) =>
         qcOf(f) match {
           case Some((_, qc)) if qc.passed =>
             ledger.record(f, sum)
@@ -343,7 +366,8 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
       if (!qc.passed)
         return FileIngestResult(s"batch:$symbol", 0, math.max(qc.nRows, 0), skipped = false, qc.issues)
       val tableId = s"${cfg.namespace}.${symbol.toLowerCase}"
-      val table = catalog.createTableIfNotExists(tableId, df.schema, Some(cfg.timeColumn))
+      val table = catalog.createTableIfNotExists(
+        tableId, df.schema, Some(cfg.timeColumn), cfg.partitionGranularity)
       // same null-time-key rejection as ingestFile (see comment there)
       val keyed =
         if (qc.nullTimeKey > 0) df.filter(col(cfg.timeColumn).isNotNull)

@@ -66,9 +66,10 @@ final class LakehouseCatalog(val spark: SparkSession, val warehouseDir: String) 
   def createTableIfNotExists(
       identifier: String,
       schema: StructType,
-      partitionSource: Option[String]): LakehouseTable = synchronized {
+      partitionSource: Option[String],
+      granularity: String = "year"): LakehouseTable = synchronized {
     val dir = tableDir(identifier)
-    val table = LakehouseTable.createIfNotExists(spark, dir, schema, partitionSource)
+    val table = LakehouseTable.createIfNotExists(spark, dir, schema, partitionSource, granularity)
     val st = readState()
     if (!st.tables.exists(_.identifier == identifier))
       writeState(st.copy(tables = st.tables :+

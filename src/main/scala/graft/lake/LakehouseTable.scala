@@ -223,7 +223,7 @@ final class LakehouseTable(
     validateSchema(meta, df)
     val withPart = (meta.partitionTransform, meta.partitionColumns) match {
       case (Some(ts), Seq(pc)) if !df.columns.contains(pc) =>
-        df.withColumn(pc, year(col(ts)))
+        df.withColumn(pc, LakehouseTable.partitionExpr(meta.granularity, col(ts)))
       case _ => df
     }
     // INT64 micros, not the deprecated INT96 default: footer min/max
@@ -232,15 +232,35 @@ final class LakehouseTable(
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val stagingName = s".staging-${UUID.randomUUID().toString.take(8)}"
     val staging = new Path(tableDir, stagingName)
-    val writer = withPart.write.mode("overwrite")
-    // native parquet bloom filter on the key column: min/max bounds
-    // prune RANGES; the bloom prunes POINT lookups within overlapping
-    // ranges (see filesContainingAnyKey) at ~1 KiB per file
-    meta.partitionTransform.foreach(k =>
-      writer.option(s"parquet.bloom.filter.enabled#$k", "true"))
+    val writer = withBloomOption(meta, withPart.write.mode("overwrite"))
     (if (meta.partitionColumns.nonEmpty) writer.partitionBy(meta.partitionColumns: _*) else writer)
       .parquet(staging.toString)
     moveStaged(staging)
+  }
+
+  /** Native parquet bloom filter on the key column: min/max bounds
+    * prune RANGES; the bloom prunes POINT lookups within overlapping
+    * ranges (see filesContainingAnyKey) at ~1 KiB per file. Shared by
+    * every data-writing path — compaction included, since a compacted
+    * file without blooms silently degrades point skipping to
+    * range-only.
+    */
+  private def withBloomOption(
+      meta: TableMetadata,
+      writer: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    meta.partitionTransform.foreach(k =>
+      writer.option(s"parquet.bloom.filter.enabled#$k", "true"))
+    writer
+  }
+
+  /** Partition columns that are DERIVED from the transform (absent from
+    * the frozen schema). An identity-partitioned table's partition
+    * column is a real data column and must never be dropped/re-derived.
+    */
+  private def derivedPartitionColumns(meta: TableMetadata): Seq[String] = {
+    val frozen = StructType.fromDDL(meta.schemaDdl).fieldNames.toSet
+    meta.partitionColumns.filterNot(frozen.contains)
   }
 
   /** The schema is FROZEN at table creation (reference §1.3 — PyIceberg
@@ -252,8 +272,11 @@ final class LakehouseTable(
   private def validateSchema(meta: TableMetadata, df: DataFrame): Unit = {
     val frozen = StructType.fromDDL(meta.schemaDdl)
       .fields.map(f => f.name -> f.dataType).toMap
+    // exclude only DERIVED partition columns: an identity partition
+    // column is part of the frozen schema and must be present+typed
+    val derived = derivedPartitionColumns(meta).toSet
     val got = df.schema.fields
-      .filterNot(f => meta.partitionColumns.contains(f.name))
+      .filterNot(f => derived.contains(f.name))
       .map(f => f.name -> f.dataType).toMap
     if (got != frozen) {
       val missing = frozen.keySet -- got.keySet
@@ -409,10 +432,11 @@ final class LakehouseTable(
       hitPaths.contains(fs.makeQualified(new Path(tableDir, f.path)).toUri.getPath))
     val rewritePaths = rewrite.map(_.path).toSet
 
+    val derived = derivedPartitionColumns(meta)
     val survivors = readFiles(rewrite)
-      .drop(meta.partitionColumns: _*) // re-derived by the staged write
+      .drop(derived: _*) // re-derived by the staged write
       .join(batch.select(col(key)), Seq(key), "left_anti")
-    val moved = writeStaged(meta, survivors.unionByName(batch.drop(meta.partitionColumns: _*)))
+    val moved = writeStaged(meta, survivors.unionByName(batch.drop(derived: _*)))
 
     val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
     val keptRefs = rewriteRefs(refsWithFiles, rewritePaths, snapId)
@@ -449,7 +473,7 @@ final class LakehouseTable(
     // would silently drop them, making results file-layout-dependent).
     val survivors = readFiles(rewrite)
       .filter(not(coalesce(predicate, lit(false))))
-      .drop(meta.partitionColumns: _*)
+      .drop(derivedPartitionColumns(meta): _*)
     val moved = writeStaged(meta, survivors) // empty when a file is fully deleted
 
     val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
@@ -509,7 +533,7 @@ final class LakehouseTable(
       case _ if filesPerPartition == 1 => df.coalesce(1).write.mode("overwrite")
       case _ => df.repartition(filesPerPartition).write.mode("overwrite")
     }
-    writer.parquet(staging.toString)
+    withBloomOption(meta, writer).parquet(staging.toString)
 
     val moved = moveStaged(staging)
     // manifest-list REPLACES the previous one (addedRows 0: a compaction
@@ -652,12 +676,17 @@ final class LakehouseTable(
     val liveFiles = liveRefs.distinctBy(_.path).flatMap(r => log.readManifest(r.path).map(_.path)).toSet
     val orphans = deadRefs.flatMap(r => log.readManifest(r.path).map(_.path))
       .distinct.filterNot(liveFiles.contains)
+    // Commit the metadata that drops the expired snapshots BEFORE any
+    // physical delete (Iceberg's ordering): a crash between deletes and
+    // commit would leave the committed version referencing vanished
+    // manifests — every later expiry/dataFiles call on those snapshots
+    // would throw and the table could never make progress. A crash
+    // AFTER the commit merely leaves harmless orphan files, reapable by
+    // a later expiry or removeOrphanedFiles.
+    log.commit(version, meta.copy(snapshots = retained))
     orphans.foreach(f => fs.delete(new Path(tableDir, f), false))
-    // reap the now-unreferenced metadata (after the file scan above,
-    // which still needed to read the dead manifests)
     deadRefs.foreach(r => log.deleteMetaFile(r.path))
     expired.foreach(_.manifestList.foreach(log.deleteMetaFile))
-    log.commit(version, meta.copy(snapshots = retained))
     (expired.map(_.id), orphans)
   }
 }
@@ -668,15 +697,52 @@ object LakehouseTable {
     * try/except, `lakehouse_pipeline.py:275-284`): no-op when the log
     * already exists; schema is frozen from the first batch.
     */
+  /** Supported partition granularities, in coarse→fine order; the first
+    * four derive an integer column from a timestamp source (Iceberg's
+    * year/month/day/hour transforms); `identity` partitions directly on
+    * the source column (Iceberg's identity transform — for
+    * low-cardinality string/int columns, e.g. a symbol).
+    */
+  val Granularities: Set[String] = Set("year", "month", "day", "hour", "identity")
+
+  /** The derived partition value for a timestamp source at the given
+    * granularity, as a human-readable monotone int (20260812 for a day,
+    * 2026081214 for an hour — hour tops out ~2.1e9, still an int). A
+    * monotone-in-ts encoding is what makes hive-dir range pruning line
+    * up with time-range predicates at every granularity; at 100 TB of
+    * tick data a year directory is terabytes, so day/hour granularity
+    * is the difference between pruning to GBs and scanning a year.
+    */
+  def partitionExpr(granularity: String, ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    granularity match {
+      case "year" => year(ts)
+      case "month" => year(ts) * 100 + month(ts)
+      case "day" => (year(ts) * 100 + month(ts)) * 100 + dayofmonth(ts)
+      case "hour" => ((year(ts) * 100 + month(ts)) * 100 + dayofmonth(ts)) * 100 + hour(ts)
+      case other => throw new IllegalArgumentException(
+        s"no derivation for partition granularity '$other'")
+    }
+
+  /** CREATE TABLE IF NOT EXISTS semantics (reference `create_table` in
+    * try/except, `lakehouse_pipeline.py:275-284`): no-op when the log
+    * already exists; schema is frozen from the first batch. The
+    * reference hardcodes `YearTransform()`
+    * (`lakehouse_pipeline.py:373-382`); `granularity` generalizes it to
+    * Iceberg's transform set.
+    */
   def createIfNotExists(
       spark: SparkSession,
       tableDir: Path,
       schema: StructType,
-      partitionSource: Option[String]): LakehouseTable = {
+      partitionSource: Option[String],
+      granularity: String = "year"): LakehouseTable = {
+    require(Granularities.contains(granularity),
+      s"unsupported partition granularity '$granularity' (one of ${Granularities.mkString(", ")})")
     val log = new SnapshotLog(tableDir, spark.sessionState.newHadoopConf())
     if (!log.exists) {
       val (partCols, transform) = partitionSource match {
-        case Some(ts) => (Seq(s"${ts}_year"), Some(ts))
+        case Some(ts) if granularity == "identity" => (Seq(ts), Some(ts))
+        case Some(ts) => (Seq(s"${ts}_$granularity"), Some(ts))
         case None => (Nil, None)
       }
       log.create(TableMetadata(
@@ -686,7 +752,8 @@ object LakehouseTable {
         partitionColumns = partCols,
         partitionTransform = transform,
         snapshots = Nil,
-        currentSnapshotId = None))
+        currentSnapshotId = None,
+        partitionGranularity = partitionSource.map(_ => granularity)))
     }
     new LakehouseTable(spark, tableDir, log)
   }

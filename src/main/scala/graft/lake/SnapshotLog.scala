@@ -111,14 +111,28 @@ final case class TableMetadata(
     /** source column + transform that derives each partition column */
     partitionTransform: Option[String],
     snapshots: Seq[Snapshot],
-    currentSnapshotId: Option[Long]
+    currentSnapshotId: Option[Long],
+    /** granularity of the derived partition column — one of
+      * year | month | day | hour | identity. Absent (pre-round-5 v2
+      * tables) means "year", the only granularity that existed then, so
+      * the field is additive and needs no format bump.
+      */
+    partitionGranularity: Option[String] = None
 ) {
   def currentSnapshot: Option[Snapshot] =
     currentSnapshotId.flatMap(id => snapshots.find(_.id == id))
   def snapshotById(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
+  def granularity: String = partitionGranularity.getOrElse("year")
 }
 
 object SnapshotLog {
+  /** The table format this engine reads/writes. v1 (round 3) embedded
+    * every snapshot's file list inline in the version file; v2 moved
+    * them behind manifest files + manifest-lists. Bumped on any
+    * incompatible metadata-shape change.
+    */
+  val CurrentFormatVersion: Int = 2
+
   /** Leftover `v{N}.json` files younger than this are treated as a
     * possibly in-flight concurrent commit, not a crash leftover — see
     * [[SnapshotLog.commit]].
@@ -185,10 +199,25 @@ final class SnapshotLog(
 
   def read(): TableMetadata = readVersion(currentVersion)
 
+  /** Reads a version file, checking `formatVersion` BEFORE full
+    * deserialization — an older-format table (e.g. v1's inline snapshot
+    * file lists) would otherwise surface as an opaque json4s
+    * MappingException on whatever field the newer shape added, instead
+    * of a diagnosable unsupported-format error.
+    */
   def readVersion(v: Long): TableMetadata = {
     val in = fs.open(versionPath(v))
-    try Serialization.read[TableMetadata](new InputStreamReader(in, StandardCharsets.UTF_8))
-    finally in.close()
+    try {
+      val jv = org.json4s.jackson.JsonMethods.parse(
+        new InputStreamReader(in, StandardCharsets.UTF_8))
+      val fv = (jv \ "formatVersion").extractOpt[Int].getOrElse(0)
+      if (fv != SnapshotLog.CurrentFormatVersion)
+        throw new IllegalStateException(
+          s"unsupported table format version $fv at ${versionPath(v)} " +
+            s"(this engine reads format version ${SnapshotLog.CurrentFormatVersion}; " +
+            "older tables must be recreated — no in-place migration path)")
+      jv.extract[TableMetadata]
+    } finally in.close()
   }
 
   // ---- manifest layer ----------------------------------------------------

@@ -126,6 +126,31 @@ object LakeOps {
       .orderBy("run_seq")
   }
 
+  /** Day-granularity partition transform (VERDICT r4 #1): ingest events
+    * into a DAY-partitioned table and aggregate BY the derived partition
+    * column — proving the yyyymmdd derivation, the hive-dir write
+    * layout, and the dir-recovered read-back all agree with DuckDB
+    * recomputing the day from the raw timestamps. `n_partitions` pins
+    * the physical layout to one dir per distinct day.
+    */
+  def dayPartitionFlow(s: SparkSession, dir: String): DataFrame = {
+    val pipeline = new IngestPipeline(s,
+      eventsConfig(freshWarehouse("graft-dy")).copy(partitionGranularity = "day"))
+    val ev = graft.Tables.t(s, dir, "events")
+    pipeline.ingestBatch("events", ev)
+    val table = pipeline.catalog.loadTable("gold.events")
+    val nParts = table.currentDataFiles
+      .map(_.path.split("/").dropRight(1).mkString("/")).distinct.size.toLong
+    table.read()
+      .groupBy(col("ts_day").cast(LongType).as("ts_day"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(unix_micros(col("ts"))).as("min_ts_us"),
+        max(unix_micros(col("ts"))).as("max_ts_us"))
+      .withColumn("n_partitions", lit(nParts))
+      .orderBy("ts_day")
+  }
+
   /** Three appends → expire with zero retention: the newest two
     * snapshots (and the current one) must survive, exactly one expires,
     * and the table's live rows are untouched — M1's intended semantics
@@ -277,6 +302,15 @@ object LakeOps {
              |       min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
       bench = true
+    ),
+    QuerySpec(
+      "q_lake_day_partition",
+      dayPartitionFlow,
+      Some("""SELECT CAST((year(ts)*100 + month(ts))*100 + day(ts) AS BIGINT) AS ts_day,
+             |       count(*) AS n_rows,
+             |       min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us,
+             |       (SELECT count(DISTINCT CAST(ts AS DATE)) FROM events) AS n_partitions
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
     QuerySpec(
       "q_lake_compact",

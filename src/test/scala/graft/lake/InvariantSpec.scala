@@ -78,7 +78,8 @@ class InvariantSpec extends SparkSpec {
           now - rnd.nextInt(30).toLong * 24 * 3600 * 1000, // 0-30 days old
           "append", None, None, 0, 0L, 0L)
       }
-      log.create(TableMetadata(1, s"exp$caseNo", "id BIGINT", Nil, None, snaps, Some(n.toLong)))
+      log.create(TableMetadata(SnapshotLog.CurrentFormatVersion,
+        s"exp$caseNo", "id BIGINT", Nil, None, snaps, Some(n.toLong)))
       val table = new LakehouseTable(spark, dir, log)
       table.expireSnapshots(nowMs = now)
       val left = table.snapshots
