@@ -174,9 +174,42 @@ final class LakehouseTable(
     * is declared and the column isn't already present.
     */
   def append(df: DataFrame, operation: String = "append"): Snapshot = {
-    val meta = metadata
-    val version = log.currentVersion
-    commitAppend(meta, version, writeStaged(meta, df), operation)
+    val moved = writeStaged(metadata, df)
+    withCommitRetry(commitAppend(metadata, log.currentVersion, moved, operation))
+  }
+
+  /** Bounded optimistic rebase-retry for COMMUTING commits. Appends and
+    * metadata-only rewrites commute with any interleaved commit: the
+    * staged data files are already in place, so a loser just re-reads
+    * the table state and rebuilds its O(new files) metadata against the
+    * new parent — which is exactly Iceberg's append retry semantics,
+    * and what lets two independent pipelines share one table without a
+    * shared lock. `body` must read `metadata`/`log.currentVersion`
+    * FRESH on every evaluation. Non-commuting COW rewrites
+    * (merge/delete/compact/expiry) deliberately do NOT retry — their
+    * file surgery was planned against the old snapshot and must be
+    * re-planned by the caller.
+    *
+    * Losing attempts leave an orphaned manifest/manifest-list pair
+    * (tiny, unreferenced, reaped by nothing but harmless — same class
+    * as crash leftovers).
+    */
+  private def withCommitRetry(body: => Snapshot): Snapshot = {
+    val maxRetries = LakehouseTable.CommitRetries
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          // linear backoff + jitter: losers spread out instead of
+          // re-colliding in lockstep
+          Thread.sleep(20L * attempt +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(25L))
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Append with ADD-COLUMN schema evolution: columns in the batch that
@@ -188,16 +221,20 @@ final class LakehouseTable(
     * read schema. Column drops and retypes remain rejected.
     */
   def appendEvolving(df: DataFrame, operation: String = "append"): Snapshot = {
-    val meta = metadata
-    val version = log.currentVersion
-    val frozen = StructType.fromDDL(meta.schemaDdl)
-    val added = df.schema.fields.filterNot(f =>
-      frozen.fieldNames.contains(f.name) || meta.partitionColumns.contains(f.name))
-    val evolved =
+    val batchFields = df.schema.fields
+    // recomputed per retry attempt: a concurrent committer may have
+    // evolved the schema too, and the union must be taken against ITS
+    // result, not our stale read
+    def evolved(meta: TableMetadata): TableMetadata = {
+      val frozen = StructType.fromDDL(meta.schemaDdl)
+      val added = batchFields.filterNot(f =>
+        frozen.fieldNames.contains(f.name) || meta.partitionColumns.contains(f.name))
       if (added.isEmpty) meta
       else meta.copy(schemaDdl =
         StructType(frozen.fields ++ added.map(_.copy(nullable = true))).toDDL)
-    commitAppend(evolved, version, writeStaged(evolved, df), operation)
+    }
+    val moved = writeStaged(evolved(metadata), df)
+    withCommitRetry(commitAppend(evolved(metadata), log.currentVersion, moved, operation))
   }
 
   /** Append only when the batch actually contains rows — the staged
@@ -207,11 +244,9 @@ final class LakehouseTable(
     * and commits no snapshot; returns None.
     */
   def appendIfNonEmpty(df: DataFrame, operation: String = "append"): Option[Snapshot] = {
-    val meta = metadata
-    val version = log.currentVersion
-    val moved = writeStaged(meta, df)
+    val moved = writeStaged(metadata, df)
     if (moved.isEmpty) None
-    else Some(commitAppend(meta, version, moved, operation))
+    else Some(withCommitRetry(commitAppend(metadata, log.currentVersion, moved, operation)))
   }
 
   /** Partition-derive + write the batch to a staging dir, move the part
@@ -551,7 +586,7 @@ final class LakehouseTable(
     * writes one manifest of O(live files) entries once, instead of that
     * cost recurring on every future read.
     */
-  def rewriteManifests(): Snapshot = {
+  def rewriteManifests(): Snapshot = withCommitRetry {
     val meta = metadata
     val version = log.currentVersion
     val current = meta.currentSnapshot.getOrElse(
@@ -693,10 +728,12 @@ final class LakehouseTable(
 
 object LakehouseTable {
 
-  /** CREATE TABLE IF NOT EXISTS semantics (reference `create_table` in
-    * try/except, `lakehouse_pipeline.py:275-284`): no-op when the log
-    * already exists; schema is frozen from the first batch.
+  /** Rebase attempts for commuting commits before surfacing the
+    * conflict (see withCommitRetry). 5 rebases absorb bursts of ~6
+    * simultaneous writers; beyond that, serialize the callers.
     */
+  val CommitRetries: Int = 5
+
   /** Supported partition granularities, in coarse→fine order; the first
     * four derive an integer column from a timestamp source (Iceberg's
     * year/month/day/hour transforms); `identity` partitions directly on

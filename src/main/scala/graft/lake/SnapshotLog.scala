@@ -125,7 +125,29 @@ final case class TableMetadata(
   def granularity: String = partitionGranularity.getOrElse("year")
 }
 
+/** A commit lost the optimistic race: the version pointer moved (or a
+  * possibly in-flight writer's version file exists) between the
+  * caller's metadata read and its commit. COMMUTING operations
+  * (append, rewrite-manifests) catch this and rebase-retry
+  * ([[LakehouseTable]]); non-commuting COW rewrites surface it.
+  * Extends IllegalArgumentException because the stale
+  * `expectedVersion` argument is precisely what's wrong.
+  */
+final class ConcurrentCommitException(msg: String) extends IllegalArgumentException(msg)
+
 object SnapshotLog {
+  /** Same-JVM commit serialization, striped per table metadata dir:
+    * the cross-writer guard below is check-then-create, which Hadoop's
+    * RawLocalFileSystem does NOT make atomic — two same-JVM threads
+    * could both pass the exists check and both "win". One JVM is
+    * exactly the local[32] deployment (and each Spark driver);
+    * cross-process writers on object stores still need the external
+    * lock the class doc requires.
+    */
+  private val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[lake] def commitLock(key: String): Object =
+    commitLocks.computeIfAbsent(key, _ => new Object)
+
   /** The table format this engine reads/writes. v1 (round 3) embedded
     * every snapshot's file list inline in the version file; v2 moved
     * them behind manifest files + manifest-lists. Bumped on any
@@ -307,26 +329,37 @@ final class SnapshotLog(
     * deletes a live writer's file, it just extends the recovery lockout
     * by the skew amount.
     */
-  def commit(expectedVersion: Long, meta: TableMetadata): Long = {
-    val next = expectedVersion + 1
-    val p = versionPath(next)
-    if (fs.exists(p)) {
-      require(currentVersion == expectedVersion,
-        s"concurrent commit detected: $p exists and the version pointer moved " +
-          s"(expected v$expectedVersion, found v$currentVersion)")
-      val ageMs = math.max(0L,
-        System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime)
-      require(ageMs >= staleCommitThresholdMs,
-        s"possible in-flight concurrent commit: $p is ${ageMs}ms old " +
-          s"(threshold ${staleCommitThresholdMs}ms); retry once the other " +
-          "writer finishes, or reclaim via a SnapshotLog with a lower threshold")
-      fs.delete(p, false) // stale crash leftover: unreferenced by any pointer
+  def commit(expectedVersion: Long, meta: TableMetadata): Long =
+    SnapshotLog.commitLock(fs.makeQualified(metaDir).toString).synchronized {
+      val next = expectedVersion + 1
+      val p = versionPath(next)
+      val cur = currentVersion
+      if (cur != expectedVersion)
+        throw new ConcurrentCommitException(
+          s"concurrent commit detected: the version pointer moved " +
+            s"(expected v$expectedVersion, found v$cur)")
+      if (fs.exists(p)) {
+        val ageMs = math.max(0L,
+          System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime)
+        if (ageMs < staleCommitThresholdMs)
+          throw new ConcurrentCommitException(
+            s"possible in-flight concurrent commit: $p is ${ageMs}ms old " +
+              s"(threshold ${staleCommitThresholdMs}ms); retry once the other " +
+              "writer finishes, or reclaim via a SnapshotLog with a lower threshold")
+        fs.delete(p, false) // stale crash leftover: unreferenced by any pointer
+      }
+      try writeJsonStr(p, Serialization.writePretty(meta))
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          // a cross-process writer created v{next} between our exists
+          // check and our create (HDFS atomic-exclusive create)
+          throw new ConcurrentCommitException(
+            s"concurrent commit detected: $p was created by another writer")
+      }
+      swapPointer(next)
+      pruneVersions(next)
+      next
     }
-    writeJsonStr(p, Serialization.writePretty(meta))
-    swapPointer(next)
-    pruneVersions(next)
-    next
-  }
 
   /** Delete version files more than `keepVersions` behind the pointer
     * (see [[SnapshotLog.DefaultKeepVersions]]). Never touches the file
