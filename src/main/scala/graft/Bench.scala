@@ -57,7 +57,46 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val ingest = ingestThroughput(spark, sfDir)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"ingest":$ingest,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Batched-vs-sequential ingest throughput: the same file set (events
+    * rows re-shaped to the tick schema, split into `nFiles` parquet
+    * files under one symbol dir) ingested into a fresh warehouse per
+    * mode. Timed once each (these are multi-second end-to-end pipeline
+    * runs, not noise-bound sub-second queries) and reported in a
+    * SEPARATE JSON field so the query `total` stays comparable across
+    * rounds. Failure → {} rather than poisoning the bench line.
+    */
+  private def ingestThroughput(spark: SparkSession, sfDir: String): String = try {
+    import org.apache.spark.sql.functions._
+    import graft.ingest.{IngestConfig, IngestPipeline}
+    val nFiles = 16
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench-ingest")
+    val dataRoot = tmp.resolve("data").toString
+    val staged = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("ts").cast("timestamp").as("DateTime"),
+        (abs(col("value")) + lit(1.0)).as("Bid"),
+        (abs(col("value")) + lit(1.01)).as("Ask"))
+      .filter(col("DateTime").isNotNull)
+    staged.repartition(nFiles).write.mode("overwrite").parquet(s"$dataRoot/EVENTS")
+    val rows = spark.read.parquet(s"$dataRoot/EVENTS").count()
+    def mode(batched: Boolean): Double = {
+      val wh = tmp.resolve(if (batched) "wh-batched" else "wh-seq").toString
+      val pipe = new IngestPipeline(spark, IngestConfig(
+        warehouseDir = wh, batchedIngest = batched, minRows = 1L))
+      val t0 = System.nanoTime()
+      pipe.run(dataRoot)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val seq = mode(batched = false)
+    val bat = mode(batched = true)
+    f"""{"sequential_sec":$seq%.3f,"batched_sec":$bat%.3f,"files":$nFiles,"rows":$rows}"""
+  } catch {
+    case e: Throwable =>
+      System.err.println(s"[bench] ingest throughput failed: ${e.getMessage}")
+      "{}"
   }
 }

@@ -31,8 +31,13 @@ import java.security.MessageDigest
   */
 final class ChecksumLedger(ledgerBase: Path, fs: FileSystem, compactThreshold: Int = 8) {
   private implicit val fmts: Formats = DefaultFormats
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private val segDir = new Path(
     ledgerBase.getParent, ledgerBase.getName.stripSuffix(".json") + ".d")
+  /** Unparseable non-torn-tail lines seen at load — observable evidence
+    * of mid-segment corruption (each one is also logged at WARN).
+    */
+  @volatile var corruptLinesAtLoad: Int = 0
   private var entries: Map[String, String] = load()
   private var dirty: Map[String, String] = Map.empty
 
@@ -42,18 +47,41 @@ final class ChecksumLedger(ledgerBase: Path, fs: FileSystem, compactThreshold: I
       .filter(p => p.getName.startsWith("seg-") && p.getName.endsWith(".jsonl"))
       .sortBy(_.getName).toSeq
 
+  /** Replays segments in name order with last-wins merge. A parse
+    * failure is TOLERATED only where a crashed writer can produce one:
+    * the final line of the final segment (a torn tail — writes are
+    * sequential and each complete line is self-contained JSON). A bad
+    * line anywhere else is bit rot / truncation of already-committed
+    * history; swallowing it would silently turn "skip already-ingested
+    * files" into "re-ingest everything those lines covered", so it is
+    * surfaced as a warning instead. Re-ingestion stays harmless
+    * (checksum + dedup make the re-work a no-op) but now observable.
+    */
   private def load(): Map[String, String] = {
     var m = Map.empty[String, String]
-    segments().foreach { p =>
+    val segs = segments()
+    segs.zipWithIndex.foreach { case (p, segIdx) =>
+      val lastSeg = segIdx == segs.size - 1
       val in = new BufferedReader(new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
       try {
         var line = in.readLine()
+        var lineNo = 0
         while (line != null) {
+          lineNo += 1
+          val next = in.readLine()
           try {
             val rec = Serialization.read[Map[String, String]](line)
             for (f <- rec.get("f"); s <- rec.get("md5")) m += (f -> s)
-          } catch { case _: Throwable => () } // torn tail from a crashed writer
-          line = in.readLine()
+          } catch {
+            case _: Throwable if lastSeg && next == null =>
+              () // torn tail from a crashed writer — expected, skip silently
+            case _: Throwable =>
+              corruptLinesAtLoad += 1
+              log.warn(
+                s"ledger corruption: unparseable line $lineNo of segment $p " +
+                  "(not a torn tail); files it covered will be re-ingested")
+          }
+          line = next
         }
       } finally in.close()
     }

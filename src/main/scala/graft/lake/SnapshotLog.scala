@@ -135,6 +135,89 @@ final case class TableMetadata(
   */
 final class ConcurrentCommitException(msg: String) extends IllegalArgumentException(msg)
 
+/** The ONE primitive the commit protocol needs from its environment: a
+  * version pointer with conditional update. Everything else the log
+  * writes (version files, manifests, manifest-lists) is immutable and
+  * uniquely named, so plain PUT-if-absent semantics suffice there; the
+  * pointer is the only mutable cell and therefore the only
+  * portability concern. Deployments choose the implementation:
+  *
+  *   - [[FsPointerStore]] (default): `metadata/VERSION` file,
+  *     tmp+rename — atomic on HDFS/local FS; on object stores it is
+  *     safe only under an external writer lock (the pipeline lock).
+  *   - A conditional-put adapter (S3 If-Match / DynamoDB / etcd
+  *     compare-and-swap) for lock-free multi-writer object-store
+  *     deployments — implement this trait; the log needs nothing else.
+  *     [[InMemoryPointerStore]] is the reference CAS implementation the
+  *     specs race against.
+  */
+trait PointerStore {
+  /** Current pointer value, or None if never set (or lost in a crash —
+    * the log falls back to scanning committed version files).
+    */
+  def read(): Option[Long]
+
+  /** Atomically set the pointer to `next` iff it currently reads
+    * `expected`. Returns false when the pointer changed under us — the
+    * caller surfaces that as a [[ConcurrentCommitException]].
+    */
+  def compareAndSwap(expected: Option[Long], next: Long): Boolean
+}
+
+/** File-backed pointer at `metadata/VERSION`. The swap re-checks the
+  * expected value, writes a tmp file, and renames over — which is only
+  * as atomic as the filesystem's delete+rename against OTHER PROCESSES;
+  * same-JVM writers are serialized by the SnapshotLog commit lock
+  * (exactly the local[N]/single-driver deployment), and cross-process
+  * object-store writers must either hold an external lock or use a real
+  * CAS [[PointerStore]] instead.
+  */
+final class FsPointerStore(metaDir: Path, fsOf: () => FileSystem) extends PointerStore {
+  private def versionFile = new Path(metaDir, "VERSION")
+
+  override def read(): Option[Long] = {
+    val fs = fsOf()
+    if (!fs.exists(versionFile)) None
+    else {
+      val in = new BufferedReader(
+        new InputStreamReader(fs.open(versionFile), StandardCharsets.UTF_8))
+      try Some(in.readLine().trim.toLong)
+      finally in.close()
+    }
+  }
+
+  override def compareAndSwap(expected: Option[Long], next: Long): Boolean = {
+    val fs = fsOf()
+    if (read() != expected) false
+    else {
+      val tmp = new Path(metaDir, s"VERSION.tmp.$next")
+      val out = fs.create(tmp, true)
+      try out.write(next.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(versionFile, false) // rename-over is not portable across FS impls
+      if (!fs.rename(tmp, versionFile))
+        throw new IllegalStateException(s"failed to swap version pointer to v$next")
+      true
+    }
+  }
+}
+
+/** Linearizable in-JVM CAS pointer — the semantics a DynamoDB/etcd/S3
+  * conditional-put adapter provides. Lets specs prove the multi-writer
+  * protocol against a TRUE compare-and-swap (no lock, no rename window).
+  */
+final class InMemoryPointerStore extends PointerStore {
+  // a plain monitor, not AtomicReference.compareAndSet: CAS there is
+  // reference equality, and two Some(0L) boxes are different objects
+  private var value: Option[Long] = None
+  override def read(): Option[Long] = synchronized(value)
+  override def compareAndSwap(expected: Option[Long], next: Long): Boolean =
+    synchronized {
+      if (value != expected) false
+      else { value = Some(next); true }
+    }
+}
+
 object SnapshotLog {
   /** Same-JVM commit serialization, striped per table metadata dir:
     * the cross-writer guard below is check-then-create, which Hadoop's
@@ -173,27 +256,32 @@ object SnapshotLog {
 }
 
 /** Atomic versioned metadata log under `<tableDir>/metadata/`. Each
-  * commit writes `metadata/v{N}.json` then atomically swaps the
-  * `metadata/VERSION` pointer (rename is atomic on HDFS and local FS; on
-  * object stores an external lock/single-writer is required, which
-  * matches the reference's scheduler lock, `lakehouse_scheduler.py:149`).
+  * commit writes `metadata/v{N}.json` then conditionally updates the
+  * version pointer through a [[PointerStore]] — by default the
+  * `metadata/VERSION` file via tmp+rename (atomic on HDFS and local FS;
+  * on object stores an external lock/single-writer is required, which
+  * matches the reference's scheduler lock, `lakehouse_scheduler.py:149`),
+  * or any injected conditional-put store (S3 If-Match / DynamoDB / etcd)
+  * for lock-free multi-writer object-store deployments.
   */
 final class SnapshotLog(
     tableDir: Path,
     conf: Configuration,
     staleCommitThresholdMs: Long = SnapshotLog.DefaultStaleCommitThresholdMs,
-    keepVersions: Int = SnapshotLog.DefaultKeepVersions) {
+    keepVersions: Int = SnapshotLog.DefaultKeepVersions,
+    pointerStoreOpt: Option[PointerStore] = None) {
   private implicit val fmts: Formats = DefaultFormats
   private val metaDir = new Path(tableDir, "metadata")
   private def fs: FileSystem = tableDir.getFileSystem(conf)
-  private def versionFile = new Path(metaDir, "VERSION")
+  private val pointerStore: PointerStore =
+    pointerStoreOpt.getOrElse(new FsPointerStore(metaDir, () => fs))
   private def versionPath(v: Long) = new Path(metaDir, s"v$v.json")
 
   /** Recovery-aware: a table whose writer crashed mid-pointer-swap has
     * no VERSION file but does have committed version files — it still
     * exists (and [[currentVersion]] resolves it by scan).
     */
-  def exists: Boolean = fs.exists(versionFile) ||
+  def exists: Boolean = pointerStore.read().isDefined ||
     (fs.exists(metaDir) && maxCommittedVersion.isDefined)
 
   /** Reads the version pointer; if a writer crashed mid-swap (between
@@ -203,12 +291,8 @@ final class SnapshotLog(
     * in place before any version file is written.
     */
   def currentVersion: Long =
-    if (fs.exists(versionFile)) {
-      val in = new BufferedReader(new InputStreamReader(fs.open(versionFile), StandardCharsets.UTF_8))
-      try in.readLine().trim.toLong
-      finally in.close()
-    } else maxCommittedVersion.getOrElse(
-      throw new IllegalStateException(s"no committed version under $metaDir"))
+    pointerStore.read().getOrElse(maxCommittedVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version under $metaDir")))
 
   private def maxCommittedVersion: Option[Long] = {
     val vs = fs.listStatus(metaDir).toSeq
@@ -299,7 +383,9 @@ final class SnapshotLog(
     fs.mkdirs(metaDir)
     require(!exists, s"metadata log already exists at $metaDir")
     writeJsonStr(versionPath(0), Serialization.writePretty(meta))
-    swapPointer(0)
+    if (!pointerStore.compareAndSwap(None, 0))
+      throw new ConcurrentCommitException(
+        s"concurrent table creation detected at $metaDir")
   }
 
   /** Optimistic-concurrency commit: read version v, write v+1, swap the
@@ -333,7 +419,9 @@ final class SnapshotLog(
     SnapshotLog.commitLock(fs.makeQualified(metaDir).toString).synchronized {
       val next = expectedVersion + 1
       val p = versionPath(next)
-      val cur = currentVersion
+      val ptr = pointerStore.read()
+      val cur = ptr.getOrElse(maxCommittedVersion.getOrElse(
+        throw new IllegalStateException(s"no committed version under $metaDir")))
       if (cur != expectedVersion)
         throw new ConcurrentCommitException(
           s"concurrent commit detected: the version pointer moved " +
@@ -356,7 +444,15 @@ final class SnapshotLog(
           throw new ConcurrentCommitException(
             s"concurrent commit detected: $p was created by another writer")
       }
-      swapPointer(next)
+      // conditional pointer update: expected is the RAW pointer read
+      // above (None after a crash that lost the pointer — the CAS then
+      // also restores it), so a writer that raced us between our read
+      // and here loses the CAS instead of clobbering the newer pointer
+      if (!pointerStore.compareAndSwap(ptr, next))
+        throw new ConcurrentCommitException(
+          s"concurrent commit detected: the version pointer moved during the " +
+            s"swap to v$next (v$next.json is an orphan; reclaimed after " +
+            s"${staleCommitThresholdMs}ms)")
       pruneVersions(next)
       next
     }
@@ -381,15 +477,5 @@ final class SnapshotLog(
     val out = fs.create(p, false)
     try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-  }
-
-  private def swapPointer(v: Long): Unit = {
-    val tmp = new Path(metaDir, s"VERSION.tmp.$v")
-    val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(versionFile, false) // rename-over is not portable across FS impls
-    if (!fs.rename(tmp, versionFile))
-      throw new IllegalStateException(s"failed to swap version pointer to v$v")
   }
 }

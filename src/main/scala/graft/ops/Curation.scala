@@ -74,12 +74,32 @@ object Curation {
       keyCol: String,
       stratumCol: String,
       weights: Map[String, Double]): DataFrame = {
-    require(weights.nonEmpty && weights.values.forall(_ > 0.0),
-      "mixture weights must be positive")
+    require(weights.nonEmpty, "mixture weights must be non-empty")
     val counts = df
       .filter(col(stratumCol).isin(weights.keys.toSeq: _*))
       .groupBy(stratumCol).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    mixtureSample(df, keyCol, stratumCol, weights, counts)
+  }
+
+  /** [[mixtureSample]] with caller-supplied stratum counts, skipping the
+    * counting scan entirely. At corpus scale the counts are usually
+    * already known — table statistics, a partition-level manifest sum,
+    * or a cached count from a previous run — and a 100 TB full pass just
+    * to recount them dominates the whole operator. Counts must cover
+    * every weighted stratum present in `df` (a missing entry is treated
+    * as 0 ⇒ that stratum samples at rate 0 and K collapses to 0, which
+    * is the safe direction: under-sampling, never over-representing).
+    */
+  def mixtureSample(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      weights: Map[String, Double],
+      counts: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0.0),
+      "mixture weights must be positive")
+    require(counts.values.forall(_ >= 0L), "stratum counts must be non-negative")
     val k = math.floor(weights.map { case (s, w) =>
       counts.getOrElse(s, 0L) / w
     }.min)

@@ -139,6 +139,41 @@ object DedupOps {
         round(col("n_common").cast(DoubleType) / union.cast(DoubleType), 4).as("jaccard"))
   }
 
+  /** Benchmark decontamination — the pretraining hygiene step: flag
+    * every corpus document sharing at least one word-k-gram with a
+    * benchmark/eval set, so test data can be held out of the training
+    * corpus. Returns one row per corpus doc:
+    * (idCol, contaminated_grams, is_contaminated), where
+    * `contaminated_grams` counts the doc's DISTINCT shingles that occur
+    * anywhere in the benchmark.
+    *
+    * Shape at 100 TB: the benchmark gram set is tiny by construction
+    * (eval suites are MBs, not TBs) — after the distinct it is one
+    * small build side that AQE broadcasts, so the corpus side is a
+    * single scan + broadcast-hash semi-probe, no corpus shuffle until
+    * the per-doc count. Grams join as xxhash64 longs, not strings
+    * (same birthday-bound argument as [[ngramJaccardPairs]]).
+    */
+  def contaminatedDocs(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3): DataFrame = {
+    val corpusGrams = explodeGrams(shingled(corpus, None, idCol, textCol, k), col("id"))
+      .select(col("id"), xxhash64(col("gram")).as("g64"))
+    val benchGrams = explodeGrams(shingled(benchmark, None, idCol, textCol, k), col("id"))
+      .select(xxhash64(col("gram")).as("g64")).distinct()
+    val hits = corpusGrams.join(benchGrams, Seq("g64"))
+      .groupBy("id").agg(count(lit(1)).as("contaminated_grams"))
+    corpus.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        coalesce(col("contaminated_grams"), lit(0L)).as("contaminated_grams"),
+        (coalesce(col("contaminated_grams"), lit(0L)) > 0L).as("is_contaminated"))
+  }
+
   /** MinHash signatures: `numHashes` permutations approximated by
     * re-hashing a single xxhash64 of each shingle with the permutation
     * index (`xxhash64(g64, i)` — fixed-width long hashing, far cheaper
@@ -369,11 +404,15 @@ object DedupOps {
     * instead of killing the query — the 100×-scale option;
     * `localCheckpoint` blocks (default) die with their executor.
     *
-    * Convergence = the (count, hash-sum) signature of the edge set is
+    * Convergence = the (count, hash-xor) signature of the edge set is
     * unchanged across a full round — one tiny aggregate over the
     * just-checkpointed blocks (no join), not the extra join-and-count
-    * job per round the propagation version paid. A colliding signature
-    * would stop one round early with probability ~2⁻⁶⁴.
+    * job per round the propagation version paid. XOR, not sum: the
+    * edges are distinct so the xor-fold is a faithful set signature,
+    * it is order-independent, and it cannot hit ANSI-mode long
+    * overflow the way summing full-range xxhash64 values does. A
+    * colliding signature would stop one round early with probability
+    * ~2⁻⁶⁴.
     */
   def connectedComponents(
       edges: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
@@ -383,7 +422,7 @@ object DedupOps {
     def signature(df: DataFrame): (Long, Long) = {
       val r = df.agg(
         count(lit(1)),
-        coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L))).head()
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
 

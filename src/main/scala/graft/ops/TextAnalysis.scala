@@ -96,6 +96,47 @@ object TextAnalysis {
         least(nTok.cast(DoubleType) / 100.0, lit(1.0)) * 0.25, 4).as("quality_score"))
   }
 
+  /** Within-document repetition signals (the Gopher/MassiveText-style
+    * quality rules): duplicate n-gram fractions and the most-frequent-
+    * token share. Highly repetitive documents (boilerplate, keyword
+    * stuffing, degenerate generations) score high and get filtered
+    * before training.
+    *
+    * `toks` MUST be a MATERIALIZED tokens column (aliased in a previous
+    * projection) — the lambdas below reference it, and referencing an
+    * unaliased tokenization expression inside a HOF re-evaluates it per
+    * element (same pitfall as [[winnowShingleHashes]]). `top_token_frac`
+    * is O(tokens × types) per document — fine at real document lengths
+    * (a projection, no shuffle); a corpus of pathological multi-MB
+    * single-doc blobs would want the explode+groupBy formulation
+    * instead.
+    *
+    *   - `dup_2gram_frac` / `dup_3gram_frac`: 1 − distinct/total
+    *     n-grams (0 for docs too short to have any).
+    *   - `top_token_frac`: occurrences of the most frequent token over
+    *     total tokens.
+    */
+  def repetitionColumns(toks: Column): Seq[Column] = {
+    val nTok = size(toks).cast(LongType)
+    def gramList(k: Int) = transform(
+      positions(size(toks) - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))
+    def dupFrac(k: Int) = {
+      val g = gramList(k)
+      when(size(g) > 0,
+        (size(g) - size(array_distinct(g))).cast(DoubleType) / size(g).cast(DoubleType))
+        .otherwise(lit(0.0))
+    }
+    val topCount = array_max(transform(
+      array_distinct(toks), x => size(filter(toks, y => y === x))))
+    val topFrac = when(nTok > 0,
+      topCount.cast(DoubleType) / nTok.cast(DoubleType)).otherwise(lit(0.0))
+    Seq(
+      round(dupFrac(2), 4).as("dup_2gram_frac"),
+      round(dupFrac(3), 4).as("dup_3gram_frac"),
+      round(topFrac, 4).as("top_token_frac"))
+  }
+
   /** Exact content fingerprint — MD5 over the raw text bytes. */
   def fingerprint(text: Column): Column = md5(text.cast(BinaryType))
 

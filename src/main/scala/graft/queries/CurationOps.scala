@@ -36,7 +36,8 @@ object CurationOps {
               |WHERE ${Curation.uniformGateSql("doc_id::VARCHAR")}
               |  < CASE source WHEN 'src0' THEN 0.75 WHEN 'src1' THEN 0.5
               |                WHEN 'src2' THEN 0.25 ELSE 0.1 END
-              |ORDER BY doc_id""".stripMargin)
+              |ORDER BY doc_id""".stripMargin),
+      bench = true
     ),
 
     QuerySpec(
@@ -93,7 +94,8 @@ object CurationOps {
               |)
               |SELECT doc_id, source, n_tokens, excl_tokens,
               |       excl_tokens // $shardBudget AS shard_id
-              |FROM p ORDER BY doc_id""".stripMargin)
+              |FROM p ORDER BY doc_id""".stripMargin),
+      bench = true
     )
   )
 }

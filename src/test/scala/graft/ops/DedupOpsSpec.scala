@@ -84,4 +84,35 @@ class DedupOpsSpec extends SparkSpec {
     assert(out(1).getSeq[String](1).isEmpty)
     assert(out(2).getSeq[String](1) == Seq("x y z"))
   }
+
+  test("contaminatedDocs flags exactly the docs sharing a 3-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"), // shares "alpha beta gamma" with bench
+      (2L, "epsilon zeta eta theta"), // clean
+      (3L, "beta gamma alpha"), // same words, different 3-gram order: clean
+      (4L, "x alpha beta gamma"), // shares one gram
+      (5L, "too short")).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val out = DedupOps.contaminatedDocs(corpus, bench).orderBy("doc_id").collect()
+    assert(out.map(r => r.getLong(0) -> r.getBoolean(2)).toSeq ==
+      Seq(1L -> true, 2L -> false, 3L -> false, 4L -> true, 5L -> false))
+    assert(out(0).getLong(1) == 1L && out(3).getLong(1) == 1L)
+  }
+
+  test("repetitionColumns measure duplicate n-grams and the top-token share") {
+    val df = Seq(
+      (1L, "a a a a"), // every 2/3-gram duplicated, top token = all
+      (2L, "a b c d"), // no repetition
+      (3L, "")) // degenerate: all fractions 0
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+    val out = df.select(Seq($"doc_id") ++ TextAnalysis.repetitionColumns($"toks"): _*)
+      .orderBy("doc_id").collect()
+    // doc 1: 3 bigrams all "a a" → dup frac 2/3; 2 trigrams → 1/2; top 4/4
+    assert(out(0).getDouble(1) == 0.6667 && out(0).getDouble(2) == 0.5)
+    assert(out(0).getDouble(3) == 1.0)
+    assert(out(1).getDouble(1) == 0.0 && out(1).getDouble(2) == 0.0)
+    assert(out(1).getDouble(3) == 0.25)
+    assert(out(2).getDouble(1) == 0.0 && out(2).getDouble(3) == 0.0)
+  }
 }

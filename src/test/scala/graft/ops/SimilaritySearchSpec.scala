@@ -64,6 +64,29 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(recall >= 0.40, s"IVF recall $recall too low")
   }
 
+  test("a fitted IVF index is reusable across query batches") {
+    val index = SimilaritySearch.ivfFit(candidates, nLists = 8, seed = 42L)
+    index.assigned.cache()
+    try {
+      // same index, one-shot parity: searching the fitted index equals
+      // the convenience path with identical params
+      val oneShot = SimilaritySearch.ivfTopK(queries, candidates, k = 5, nLists = 8, nProbe = 3)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val reused = SimilaritySearch.ivfSearch(index, queries, k = 5, nProbe = 3)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(reused == oneShot)
+      // a SECOND batch against the same index works without refitting
+      val batch2 = emb.filter($"vec_id" >= 10 && $"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      val r2 = SimilaritySearch.ivfSearch(index, batch2, k = 5, nProbe = 3)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(r2.nonEmpty && r2.forall { case (q, n) => q != n && q >= 10 && q < 20 })
+      // every candidate sits in exactly one of the nLists inverted lists
+      assert(index.assigned.select("list_id").distinct().count() <= 8)
+      assert(index.assigned.count() == candidates.count())
+    } finally index.assigned.unpersist()
+  }
+
   test("LSH near-dup pairs are a sound subset of the exact pairs") {
     val exact = SimilaritySearch.nearDupPairs(emb, "vec_id", "embedding", 0.4)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
