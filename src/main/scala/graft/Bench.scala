@@ -23,7 +23,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for local iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val specs = queries.Registry.all.filter(_.bench)
+      .filter(q => only.forall(_.contains(q.name)))
     // one warmup pass on the smallest known SF primes codegen + JIT so
     // the timed numbers measure the queries, not classloading
     specs.foreach { q =>

