@@ -27,11 +27,22 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val specs = queries.Registry.all.filter(_.bench)
       .filter(q => only.forall(_.contains(q.name)))
+    // Drop any state a query left behind (cached tables, checkpoint
+    // blocks — e.g. connectedComponents' input + final edge set) so no
+    // query's residue inflates its successors' numbers: exactly this
+    // cross-query retention made BENCH_r05 report a phantom 6× minhash
+    // regression. Runs OUTSIDE the timed window.
+    def sweepSessionState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     // one warmup pass on the smallest known SF primes codegen + JIT so
     // the timed numbers measure the queries, not classloading
     specs.foreach { q =>
       try q.run(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      sweepSessionState()
     }
     // a failed query reports null (not its near-zero abort time) and is
     // excluded from the total, so a regression can never read as a speedup;
@@ -39,14 +50,17 @@ object Bench {
     // numbers on a shared box carry 20-50% scheduler noise
     def timeOnce(q: queries.QuerySpec): Option[Double] = {
       val t0 = System.nanoTime()
-      try {
-        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        Some((System.nanoTime() - t0) / 1e9)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-          None
-      }
+      val out =
+        try {
+          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            None
+        }
+      sweepSessionState()
+      out
     }
     val results: Seq[(String, Option[Double])] = specs.map { q =>
       val best = (timeOnce(q), timeOnce(q)) match {

@@ -403,6 +403,11 @@ object DedupOps {
     * executor loss mid-computation recovers from the checkpoint store
     * instead of killing the query — the 100×-scale option;
     * `localCheckpoint` blocks (default) die with their executor.
+    * Superseded rounds are unpersisted as they go, so at most THREE
+    * block sets are ever live (`input`, plus two in-flight phases);
+    * the returned frame still reads `input` and the final edge set, so
+    * those two stay persisted until the caller is done with the result
+    * (a session `clearCache`/unpersist sweep reclaims them).
     *
     * Convergence = the (count, hash-xor) signature of the edge set is
     * unchanged across a full round — one tiny aggregate over the
@@ -419,6 +424,20 @@ object DedupOps {
       maxIter: Int = 25, reliable: Boolean = false): DataFrame = {
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    // Superseded rounds MUST release their blocks: localCheckpoint
+    // persists MEMORY_AND_DISK and the blocks are non-recomputable, so
+    // without unpersist the footprint is O(rounds × |edges|) and
+    // memory-pressure eviction at scale kills the query outright (and
+    // locally the leaked blocks poison every later measurement in the
+    // session). The checkpointed Dataset's plan is exactly one
+    // LogicalRDD wrapping the persisted RDD — unpersist that directly
+    // (deterministic; no getPersistentRDDs diffing, which would
+    // mis-attribute ids under concurrent queries). Reliable checkpoints
+    // aren't block-persisted, so there unpersist is a harmless no-op.
+    def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
     def signature(df: DataFrame): (Long, Long) = {
       val r = df.agg(
         count(lit(1)),
@@ -453,6 +472,12 @@ object DedupOps {
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .distinct())
+      // `large` is materialized ⇒ the previous round's edge set is
+      // superseded (the new e derives from `large` alone; convergence
+      // reads `small`; only the FINAL e feeds the labeling join — and
+      // that one exits the loop un-released). `input` stays persisted
+      // for the whole run: `nodes` re-reads it in the labeling join.
+      release(e)
       // small-star: direct large→small, re-point all smaller neighbors
       // (and u itself) at the minimum
       val dir = large.select(
@@ -463,6 +488,7 @@ object DedupOps {
         .select(col("v").as("u"), col("mn").as("v"))
         .union(minsS.select(col("u"), col("mn").as("v")))
         .distinct())
+      release(large) // superseded by `small` the moment it materializes
       val cur = signature(small)
       converged = cur == prev
       prev = cur

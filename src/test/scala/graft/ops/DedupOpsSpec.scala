@@ -77,6 +77,23 @@ class DedupOpsSpec extends SparkSpec {
     assert(labels.forall(_.getLong(1) == 0L))
   }
 
+  test("connectedComponents releases superseded checkpoint blocks") {
+    // Start from a clean slate: other suites share this session.
+    val sc = spark.sparkContext
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    // A 2000-node path needs many star-alternation rounds — the shape
+    // where the old leak accumulated ~2 persisted block sets per round.
+    val chain = (0 until 2000).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val labels = DedupOps.connectedComponents(chain, maxIter = 40)
+    assert(labels.count() == 2001L)
+    // After the run only `input` and the final edge set may remain
+    // persisted (the result frame still reads them); a leak on this
+    // many rounds would leave dozens of entries.
+    val live = sc.getPersistentRDDs.size
+    assert(live <= 3, s"expected ≤3 persisted checkpoint block sets, found $live")
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
   test("shingles handle degenerate inputs") {
     val df = Seq((1L, "a b"), (2L, ""), (3L, "x y z")).toDF("doc_id", "text")
     val out = df.select($"doc_id", DedupOps.shingles($"text").as("g")).orderBy("doc_id").collect()
