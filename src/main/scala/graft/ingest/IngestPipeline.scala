@@ -259,7 +259,9 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
     * granularity (`lakehouse_pipeline.py:352-399`).
     */
   private def ingestFilesBatched(symbol: String, files: Seq[Path]): Seq[FileIngestResult] = {
-    val sums = files.map(f => f -> ledger.checksum(f))
+    // bounded-parallel: MD5 is a full-file read per entry; serially this
+    // is the exact per-file driver loop batched mode exists to collapse
+    val sums = graft.util.BoundedPar.map(files)(f => f -> ledger.checksum(f))
     val (unchanged, fresh) = sums.partition { case (f, s) => ledger.isUnchanged(f, s) }
     val skippedResults = unchanged.map { case (f, _) =>
       FileIngestResult(f.toString, 0, 0, skipped = true, Nil) }
@@ -280,7 +282,10 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
         in.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
       } finally in.close()
     }
-    val colsByFile = fresh.map { case (f, _) => f -> footerColumns(f) }.toMap
+    // footer-only opens, bounded-parallel for the same reason as the
+    // checksums above (no data pages are read either way)
+    val colsByFile =
+      graft.util.BoundedPar.map(fresh) { case (f, _) => f -> footerColumns(f) }.toMap
     val (schemaOk, schemaBad) = fresh.partition { case (f, _) =>
       cfg.requiredColumns.forall(colsByFile(f).contains) }
     val badResults = schemaBad.map { case (f, _) =>

@@ -186,9 +186,11 @@ final class LakehouseTable(
     * and what lets two independent pipelines share one table without a
     * shared lock. `body` must read `metadata`/`log.currentVersion`
     * FRESH on every evaluation. Non-commuting COW rewrites
-    * (merge/delete/compact/expiry) deliberately do NOT retry — their
-    * file surgery was planned against the old snapshot and must be
-    * re-planned by the caller.
+    * (merge/delete/compact) deliberately do NOT retry — their file
+    * surgery was planned against the old snapshot and must be
+    * re-planned by the caller. Expiry carries its own rebase loop
+    * (see [[expireSnapshots]]): it replans in full, but only across
+    * snapshot-adding interleaves.
     *
     * Losing attempts leave an orphaned manifest/manifest-list pair
     * (tiny, unreferenced, reaped by nothing but harmless — same class
@@ -375,27 +377,33 @@ final class LakehouseTable(
     */
   private def moveStaged(staging: Path): Seq[DataFile] = {
     val keyCol = metadata.partitionTransform
-    val moved = scala.collection.mutable.ArrayBuffer.empty[DataFile]
     val stagingQ = fs.makeQualified(staging) // listFiles returns qualified paths
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Path]
     val it = fs.listFiles(staging, true)
     while (it.hasNext) {
       val st = it.next()
-      val name = st.getPath.getName
-      if (name.endsWith(".parquet")) {
-        val rel = st.getPath.toString.stripPrefix(stagingQ.toString + "/")
-        require(rel != st.getPath.toString, s"staging prefix mismatch for ${st.getPath}")
-        val relDir = rel.stripSuffix(name)
-        val destDir = if (relDir.isEmpty) dataDir else new Path(dataDir, relDir.stripSuffix("/"))
-        fs.mkdirs(destDir)
-        val dest = new Path(destDir, name)
-        if (!fs.rename(st.getPath, dest))
-          throw new IllegalStateException(s"failed to move ${st.getPath} -> $dest")
-        val (rows, mn, mx) = footerStats(dest, keyCol)
-        moved += DataFile(s"data/${if (relDir.isEmpty) "" else relDir}$name", rows, mn, mx)
-      }
+      if (st.getPath.getName.endsWith(".parquet")) parts += st.getPath
+    }
+    // rename + footer-stats in bounded parallel: a commit of N files
+    // otherwise pays N sequential driver round trips — the move is
+    // metadata-only but the footer open is a real read, and at
+    // large fan-out (compaction) or many-file appends the serial loop
+    // dominates commit latency. Hadoop FileSystem ops are thread-safe.
+    val moved = graft.util.BoundedPar.map(parts.toSeq) { src =>
+      val name = src.getName
+      val rel = src.toString.stripPrefix(stagingQ.toString + "/")
+      require(rel != src.toString, s"staging prefix mismatch for $src")
+      val relDir = rel.stripSuffix(name)
+      val destDir = if (relDir.isEmpty) dataDir else new Path(dataDir, relDir.stripSuffix("/"))
+      fs.mkdirs(destDir)
+      val dest = new Path(destDir, name)
+      if (!fs.rename(src, dest))
+        throw new IllegalStateException(s"failed to move $src -> $dest")
+      val (rows, mn, mx) = footerStats(dest, keyCol)
+      DataFile(s"data/${if (relDir.isEmpty) "" else relDir}$name", rows, mn, mx)
     }
     fs.delete(staging, true)
-    moved.toSeq
+    moved
   }
 
   /** COW rewrite bookkeeping at the manifest level: manifests with no
@@ -533,7 +541,10 @@ final class LakehouseTable(
     * so each output partition dir gets exactly its rows, coalesced into
     * few large files — the small-files problem is THE metadata killer at
     * 100 TB (a year of per-file micro-appends = millions of tiny files;
-    * post-compaction the manifest is O(partitions)).
+    * post-compaction the manifest is O(partitions)). Output is
+    * range-distributed and sorted on the table's time key (see
+    * `sortKey` below), so compaction TIGHTENS file skipping instead of
+    * destroying it.
     */
   def compact(filesPerPartition: Int = 1): Snapshot = {
     require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
@@ -547,25 +558,51 @@ final class LakehouseTable(
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val stagingName = s".staging-${UUID.randomUUID().toString.take(8)}"
     val staging = new Path(tableDir, stagingName)
-    val writer = meta.partitionColumns match {
-      case Seq(pc) if filesPerPartition == 1 =>
+    // Sort-on-write (Iceberg sort-order analog): every rewrite path
+    // below sorts each output task by the time key, so compacted files
+    // carry TIGHT footer min/max ranges and parquet row-group/page
+    // stats line up with time predicates. Without it, sibling files in
+    // a partition dir all span the dir's full time range and the
+    // two-level file skipping (SnapshotLog.filesOverlapping) degrades
+    // to scan-everything-within-partition after every maintenance run.
+    val sortKey = meta.partitionTransform
+    val writer = (meta.partitionColumns, sortKey) match {
+      case (Seq(pc), key) if filesPerPartition == 1 =>
         // hash-repartition on the partition column: each partition value
         // lands in exactly one task → one file per partition dir
-        df.repartition(col(pc)).write.mode("overwrite").partitionBy(pc)
-      case Seq(pc) =>
+        key.map(k => df.repartition(col(pc)).sortWithinPartitions(col(pc), col(k)))
+          .getOrElse(df.repartition(col(pc)))
+          .write.mode("overwrite").partitionBy(pc)
+      case (Seq(pc), Some(key)) =>
         // one writer task cannot absorb a year of data at 100 TB: fan
-        // each partition value out over a deterministic content-hash
-        // bucket so every partition dir gets ~filesPerPartition files
-        // written in parallel (content-derived → task-retry stable).
+        // each partition value out over ~filesPerPartition parallel
+        // writers. Range-fan on (partition, time key) — NOT a content
+        // hash: the partition value is monotone in the key, so global
+        // range partitioning gives each task one contiguous key slice,
+        // making sibling files' footer ranges near-DISJOINT (a hash
+        // bucket would smear the dir's full range across every file).
         // numPartitions is explicit: a bare repartition-by-column is an
         // AQE-coalescible shuffle that would merge the small cells right
         // back into one task.
         val nPartDirs = math.max(1,
           currentFiles.map(f => f.path.split("/").dropRight(1).mkString("/")).distinct.size)
+        df.repartitionByRange(nPartDirs * filesPerPartition, col(pc), col(key))
+          .sortWithinPartitions(col(pc), col(key))
+          .write.mode("overwrite").partitionBy(pc)
+      case (Seq(pc), None) =>
+        // no declared time key → fall back to deterministic content-hash
+        // fan-out (task-retry stable); nothing to sort by.
+        val nPartDirs = math.max(1,
+          currentFiles.map(f => f.path.split("/").dropRight(1).mkString("/")).distinct.size)
         val bucket = pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(filesPerPartition))
         df.repartition(nPartDirs * filesPerPartition, col(pc), bucket)
           .write.mode("overwrite").partitionBy(pc)
-      case _ if filesPerPartition == 1 => df.coalesce(1).write.mode("overwrite")
+      case (_, key) if filesPerPartition == 1 =>
+        key.map(k => df.coalesce(1).sortWithinPartitions(col(k)))
+          .getOrElse(df.coalesce(1)).write.mode("overwrite")
+      case (_, Some(key)) =>
+        df.repartitionByRange(filesPerPartition, col(key))
+          .sortWithinPartitions(col(key)).write.mode("overwrite")
       case _ => df.repartition(filesPerPartition).write.mode("overwrite")
     }
     withBloomOption(meta, writer).parquet(staging.toString)
@@ -686,43 +723,77 @@ final class LakehouseTable(
     * not honored (SURVEY.md §2.9 M1); we implement the protection for
     * real.
     *
+    * Loses a commit race gracefully: when the interleaved commit only
+    * ADDED snapshots (append / rewrite-manifests), the whole expiry is
+    * replanned against the fresh metadata and retried — nothing
+    * physical happened before the commit, so the replan is safe and
+    * maintenance can run beside a live ingest. Interleaved expiry or
+    * COW still fails fast with [[ConcurrentCommitException]].
+    *
     * Returns (expired snapshot ids, deleted data files).
     */
   def expireSnapshots(
       nowMs: Long = System.currentTimeMillis(),
       retentionMs: Long = 7L * 24 * 3600 * 1000,
       keepLast: Int = 2): (Seq[Long], Seq[String]) = {
-    val meta = metadata
-    val version = log.currentVersion
-    if (meta.snapshots.size <= 1) return (Nil, Nil)
+    var attempt = 0
+    while (true) {
+      val meta = metadata
+      val version = log.currentVersion
+      if (meta.snapshots.size <= 1) return (Nil, Nil)
 
-    // tie-break on id: appends in the same millisecond must still rank
-    // newest-last deterministically
-    val byNewest = meta.snapshots.sortBy(s => (-s.timestampMs, -s.id))
-    val protectedIds = byNewest.take(keepLast).map(_.id).toSet ++ meta.currentSnapshotId
-    val cutoff = nowMs - retentionMs
-    val expired = meta.snapshots.filter(s => !protectedIds.contains(s.id) && s.timestampMs < cutoff)
-    if (expired.isEmpty) return (Nil, Nil)
+      // tie-break on id: appends in the same millisecond must still rank
+      // newest-last deterministically
+      val byNewest = meta.snapshots.sortBy(s => (-s.timestampMs, -s.id))
+      val protectedIds = byNewest.take(keepLast).map(_.id).toSet ++ meta.currentSnapshotId
+      val cutoff = nowMs - retentionMs
+      val expired = meta.snapshots.filter(s => !protectedIds.contains(s.id) && s.timestampMs < cutoff)
+      if (expired.isEmpty) return (Nil, Nil)
 
-    val retained = meta.snapshots.filterNot(s => expired.exists(_.id == s.id))
-    val liveRefs = retained.flatMap(log.readManifestList)
-    val deadRefs = expired.flatMap(log.readManifestList)
-      .filterNot(r => liveRefs.exists(_.path == r.path)).distinctBy(_.path)
-    val liveFiles = liveRefs.distinctBy(_.path).flatMap(r => log.readManifest(r.path).map(_.path)).toSet
-    val orphans = deadRefs.flatMap(r => log.readManifest(r.path).map(_.path))
-      .distinct.filterNot(liveFiles.contains)
-    // Commit the metadata that drops the expired snapshots BEFORE any
-    // physical delete (Iceberg's ordering): a crash between deletes and
-    // commit would leave the committed version referencing vanished
-    // manifests — every later expiry/dataFiles call on those snapshots
-    // would throw and the table could never make progress. A crash
-    // AFTER the commit merely leaves harmless orphan files, reapable by
-    // a later expiry or removeOrphanedFiles.
-    log.commit(version, meta.copy(snapshots = retained))
-    orphans.foreach(f => fs.delete(new Path(tableDir, f), false))
-    deadRefs.foreach(r => log.deleteMetaFile(r.path))
-    expired.foreach(_.manifestList.foreach(log.deleteMetaFile))
-    (expired.map(_.id), orphans)
+      val retained = meta.snapshots.filterNot(s => expired.exists(_.id == s.id))
+      val liveRefs = retained.flatMap(log.readManifestList)
+      val deadRefs = expired.flatMap(log.readManifestList)
+        .filterNot(r => liveRefs.exists(_.path == r.path)).distinctBy(_.path)
+      val liveFiles = liveRefs.distinctBy(_.path).flatMap(r => log.readManifest(r.path).map(_.path)).toSet
+      val orphans = deadRefs.flatMap(r => log.readManifest(r.path).map(_.path))
+        .distinct.filterNot(liveFiles.contains)
+      // Commit the metadata that drops the expired snapshots BEFORE any
+      // physical delete (Iceberg's ordering): a crash between deletes and
+      // commit would leave the committed version referencing vanished
+      // manifests — every later expiry/dataFiles call on those snapshots
+      // would throw and the table could never make progress. A crash
+      // AFTER the commit merely leaves harmless orphan files, reapable by
+      // a later expiry or removeOrphanedFiles.
+      try {
+        log.commit(version, meta.copy(snapshots = retained))
+        orphans.foreach(f => fs.delete(new Path(tableDir, f), false))
+        deadRefs.foreach(r => log.deleteMetaFile(r.path))
+        expired.foreach(_.manifestList.foreach(log.deleteMetaFile))
+        return (expired.map(_.id), orphans)
+      } catch {
+        // Expiry commutes with snapshot-ADDING interleaves (appends,
+        // manifest folds): nothing was deleted yet — the plan above is
+        // recomputed from scratch against the fresh metadata, so a
+        // maintenance job can run beside a live ingest without the
+        // pipeline lock. It does NOT commute with a concurrent expiry
+        // (snapshots vanished under us) or COW file surgery
+        // (merge/delete/compact): there the caller must re-decide, so
+        // fail fast — Iceberg's own retry-validation split.
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          val prevIds = meta.snapshots.map(_.id).toSet
+          val fresh = metadata
+          val vanished = prevIds.diff(fresh.snapshots.map(_.id).toSet)
+          val interleavedOps = fresh.snapshots
+            .filterNot(s => prevIds.contains(s.id)).map(_.operation)
+          val commuting = vanished.isEmpty &&
+            interleavedOps.forall(Set("append", "rewrite-manifests"))
+          if (!commuting || attempt > LakehouseTable.CommitRetries) throw e
+          Thread.sleep(20L * attempt +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(25L))
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 }
 

@@ -74,6 +74,54 @@ class ConcurrentCommitSpec extends SparkSpec {
     assert(reloaded.metadata.currentSnapshot.get.totalRows == 30 + 3 * 20)
   }
 
+  test("expiry rebases across a concurrent appender: both commit, no live file deleted") {
+    val dir = new Path(tmpDir("ccs"), "t4")
+    val table = LakehouseTable.createIfNotExists(spark, dir, mkRows(0 until 1).schema, Some("DateTime"))
+    (0 until 3).foreach(b => table.append(mkRows(b * 100 until (b * 100 + 10))))
+    // compaction + one more append strand the three small
+    // pre-compaction files: once the newest-2 protected snapshots are
+    // both post-compaction, those files are exactly what a successful
+    // expiry must physically delete, while every retained snapshot's
+    // files must survive
+    table.compact()
+    table.append(mkRows(500 until 510))
+    val appender = LakehouseTable.load(spark, dir)
+    val expirer = LakehouseTable.load(spark, dir)
+    val start = new CountDownLatch(1)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    @volatile var expiredIds: Seq[Long] = Nil
+    @volatile var deleted: Seq[String] = Nil
+    val tA = new Thread(() => {
+      start.await()
+      try (1 to 3).foreach(b => appender.append(mkRows(b * 1000 until (b * 1000 + 20))))
+      catch { case e: Throwable => errors.add(e) }
+    })
+    val tB = new Thread(() => {
+      start.await()
+      // nowMs 8 days ahead puts every existing snapshot past the 7-day
+      // retention; keepLast still protects the newest two
+      try {
+        val (ids, del) = expirer.expireSnapshots(
+          nowMs = System.currentTimeMillis() + 8L * 24 * 3600 * 1000, keepLast = 2)
+        expiredIds = ids; deleted = del
+      } catch { case e: Throwable => errors.add(e) }
+    })
+    tA.start(); tB.start(); start.countDown(); tA.join(); tB.join()
+    assert(errors.isEmpty, s"concurrent expiry/append failed: ${errors.toArray.mkString("; ")}")
+    assert(expiredIds.nonEmpty, "expiry must have expired the pre-compaction snapshots")
+
+    val reloaded = LakehouseTable.load(spark, dir)
+    // every appended row is still readable: nothing live was deleted
+    assert(reloaded.read().count() == 30 + 10 + 3 * 20)
+    // all current files physically exist
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    reloaded.currentDataFiles.foreach(f =>
+      assert(fs.exists(new Path(dir, f.path)), s"live file ${f.path} was deleted"))
+    // the stranded pre-compaction files were reaped
+    assert(deleted.nonEmpty, "expiry should have deleted the stranded pre-compaction files")
+    deleted.foreach(f => assert(!fs.exists(new Path(dir, f))))
+  }
+
   test("non-commuting delete does NOT retry: a stale commit surfaces the conflict") {
     val dir = new Path(tmpDir("ccs"), "t3")
     val table = LakehouseTable.createIfNotExists(spark, dir, mkRows(0 until 1).schema, Some("DateTime"))

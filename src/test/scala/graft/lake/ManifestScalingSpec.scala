@@ -56,6 +56,22 @@ class ManifestScalingSpec extends SparkSpec {
     assert(table.timeTravel(snaps(2).id).count() == 60L)
   }
 
+  test("a 200-file commit moves and stats every file (parallel moveStaged)") {
+    val dir = new Path(tmpDir("mscale"), "manyfiles")
+    val rows = (0 until 2000).map(i =>
+      (Timestamp.valueOf(f"2024-01-01 00:${i / 600}%02d:${(i / 10) % 60}%02d.$i%06d"),
+        i.toDouble))
+    val df = rows.toDF("DateTime", "Bid").repartition(200)
+    val table = LakehouseTable.createIfNotExists(spark, dir, df.schema, Some("DateTime"))
+    val snap = table.append(df)
+    val files = table.dataFiles(snap)
+    assert(files.size == 200, s"expected 200 data files, got ${files.size}")
+    assert(files.map(_.rows).sum == 2000L)
+    // every file carries footer stats (the parallel loop dropped none)
+    assert(files.forall(f => f.minKeyUs.isDefined && f.maxKeyUs.isDefined))
+    assert(table.read().count() == 2000L)
+  }
+
   test("rewriteManifests folds the chain without touching data files") {
     val dir = new Path(tmpDir("mscale"), "t4")
     val first = batch(0)
