@@ -49,19 +49,20 @@ final class ChecksumLedger(ledgerBase: Path, fs: FileSystem, compactThreshold: I
 
   /** Replays segments in name order with last-wins merge. A parse
     * failure is TOLERATED only where a crashed writer can produce one:
-    * the final line of the final segment (a torn tail — writes are
-    * sequential and each complete line is self-contained JSON). A bad
-    * line anywhere else is bit rot / truncation of already-committed
-    * history; swallowing it would silently turn "skip already-ingested
-    * files" into "re-ingest everything those lines covered", so it is
-    * surfaced as a warning instead. Re-ingestion stays harmless
-    * (checksum + dedup make the re-work a no-op) but now observable.
+    * the final line of ANY segment (writes are sequential, so a torn
+    * record can only be segment-final — and once the restarted process
+    * appends a NEW segment, the old crash's torn line still sits at the
+    * END of its own segment, so it must stay tolerated forever, not be
+    * re-classified as bit rot on the next load). A bad line anywhere
+    * else is bit rot / truncation of already-committed history;
+    * swallowing it would silently turn "skip already-ingested files"
+    * into "re-ingest everything those lines covered", so it is surfaced
+    * as a warning instead. Re-ingestion stays harmless (checksum +
+    * dedup make the re-work a no-op) but now observable.
     */
   private def load(): Map[String, String] = {
     var m = Map.empty[String, String]
-    val segs = segments()
-    segs.zipWithIndex.foreach { case (p, segIdx) =>
-      val lastSeg = segIdx == segs.size - 1
+    segments().foreach { p =>
       val in = new BufferedReader(new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
       try {
         var line = in.readLine()
@@ -73,8 +74,8 @@ final class ChecksumLedger(ledgerBase: Path, fs: FileSystem, compactThreshold: I
             val rec = Serialization.read[Map[String, String]](line)
             for (f <- rec.get("f"); s <- rec.get("md5")) m += (f -> s)
           } catch {
-            case _: Throwable if lastSeg && next == null =>
-              () // torn tail from a crashed writer — expected, skip silently
+            case _: Throwable if next == null =>
+              () // torn segment tail from a crashed writer — expected, skip silently
             case _: Throwable =>
               corruptLinesAtLoad += 1
               log.warn(

@@ -139,8 +139,14 @@ final class ConcurrentCommitException(msg: String) extends IllegalArgumentExcept
   * version pointer with conditional update. Everything else the log
   * writes (version files, manifests, manifest-lists) is immutable and
   * uniquely named, so plain PUT-if-absent semantics suffice there; the
-  * pointer is the only mutable cell and therefore the only
-  * portability concern. Deployments choose the implementation:
+  * pointer is the only mutable cell. One caveat keeps the pointer from
+  * being the SOLE portability concern: `v{N}.json` creation relies on
+  * exclusive-create, which plain object-store PUT does not make atomic
+  * — the commit path closes that hole by self-verifying the published
+  * version file after winning the CAS (see `verifyPublishedVersion`),
+  * so a store with true PUT-if-absent (S3 If-None-Match) is an
+  * optimization, not a requirement. Deployments choose the
+  * implementation:
   *
   *   - [[FsPointerStore]] (default): `metadata/VERSION` file,
   *     tmp+rename — atomic on HDFS/local FS; on object stores it is
@@ -436,7 +442,8 @@ final class SnapshotLog(
               "writer finishes, or reclaim via a SnapshotLog with a lower threshold")
         fs.delete(p, false) // stale crash leftover: unreferenced by any pointer
       }
-      try writeJsonStr(p, Serialization.writePretty(meta))
+      val body = Serialization.writePretty(meta)
+      try writeJsonStr(p, body)
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
           // a cross-process writer created v{next} between our exists
@@ -453,9 +460,50 @@ final class SnapshotLog(
           s"concurrent commit detected: the version pointer moved during the " +
             s"swap to v$next (v$next.json is an orphan; reclaimed after " +
             s"${staleCommitThresholdMs}ms)")
+      verifyPublishedVersion(p, body)
       pruneVersions(next)
       next
     }
+
+  /** Post-CAS self-verification: the exclusive-create above is only
+    * atomic where the FileSystem makes it so. On a plain object store,
+    * create(overwrite=false) is check-then-PUT — two writers holding
+    * the same expectation can BOTH pass the check and both PUT
+    * `v{next}.json`, and the CAS then publishes a version file whose
+    * bytes may be the LOSER's (last PUT wins): a silently wrong commit.
+    * So the winner re-reads the file it just published and, on
+    * mismatch, rewrites its own bytes over the loser's and re-checks.
+    * The loop settles because after our CAS win no NEW writer targets
+    * v{next} (their expected version is stale, they lose before
+    * writing) — only the one already-in-flight racer's PUT can land,
+    * once. On HDFS/local FS create IS atomic-exclusive and this is one
+    * tiny metadata read per commit, never a rewrite.
+    */
+  private def verifyPublishedVersion(p: Path, expected: String): Unit = {
+    var attempt = 0
+    while (readFileStr(p) != expected) {
+      attempt += 1
+      if (attempt > 3)
+        throw new IllegalStateException(
+          s"published version file $p keeps diverging from the committed " +
+            "metadata after 3 rewrites — concurrent writers are not settling; " +
+            "use a PointerStore + FileSystem with atomic PUT-if-absent")
+      val out = fs.create(p, true) // heal: overwrite the loser's bytes
+      try out.write(expected.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  private def readFileStr(p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
 
   /** Delete version files more than `keepVersions` behind the pointer
     * (see [[SnapshotLog.DefaultKeepVersions]]). Never touches the file

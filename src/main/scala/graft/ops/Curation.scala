@@ -74,7 +74,11 @@ object Curation {
       keyCol: String,
       stratumCol: String,
       weights: Map[String, Double]): DataFrame = {
-    require(weights.nonEmpty, "mixture weights must be non-empty")
+    // validate BEFORE the counting scan: this overload's whole job is a
+    // full per-stratum count pass, and an invalid weight must fail here,
+    // not after the 100 TB scan the counts overload exists to avoid
+    require(weights.nonEmpty && weights.values.forall(_ > 0.0),
+      "mixture weights must be positive")
     val counts = df
       .filter(col(stratumCol).isin(weights.keys.toSeq: _*))
       .groupBy(stratumCol).count()

@@ -502,4 +502,48 @@ object DedupOps {
     nodes.join(e.select(col("u").as("node"), col("v").as("lbl")), Seq("node"), "left")
       .select(col("node"), coalesce(col("lbl"), col("node")).as("label"))
   }
+
+  /** Survivors of `docs` after dropping every non-canonical member of
+    * each duplicate cluster implied by `pairs` (transitive closure via
+    * [[connectedComponents]]; canonical = cluster minimum, which is
+    * exactly the CC label). Schema-preserving: returns `docs` rows.
+    *
+    * 100 TB shape: the loser list is |duplicate docs| rows of one id
+    * column — tiny relative to the corpus — so AQE broadcasts the
+    * anti-join and the corpus itself is never shuffled by this step;
+    * total cost is the candidate pipeline + the O(log² n) CC rounds
+    * over just the colliding pairs.
+    */
+  def dedupByPairs(
+      docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** End-to-end near-dup corpus dedup — the operation a training
+    * pipeline actually runs, composed from the pieces callers
+    * previously hand-assembled: shingle-Jaccard candidate pairs above
+    * `minJaccard` → transitive closure → keep the min-id doc per
+    * cluster → anti-join the rest out. For LSH-scale candidate
+    * generation feed [[minHashNearDups]] output to [[dedupByPairs]]
+    * instead; this exact-Jaccard form is the deterministic,
+    * oracle-checkable default.
+    */
+  def dedupCorpus(
+      docs: DataFrame,
+      blockCol: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3,
+      minJaccard: Double = 0.5,
+      maxDocFreq: Int = 1000): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    val pairs = ngramJaccardPairs(docs, blockCol, idCol, textCol, k, maxDocFreq)
+      .filter(col("jaccard") >= minJaccard)
+    dedupByPairs(docs, pairs, idCol)
+  }
 }

@@ -216,6 +216,50 @@ object TextOps {
     ),
 
     QuerySpec(
+      // the composed end-to-end dedup: candidate pairs ≥ 0.5 jaccard →
+      // closure → keep min-id per cluster → anti-join losers out; the
+      // oracle recomputes the identical pipeline relationally, so the
+      // SURVIVING CORPUS itself is value-checked, not just the labels
+      "q_text_dedup_corpus",
+      (s, dir) =>
+        DedupOps.dedupCorpus(t(s, dir, "documents"), blockCol = "source")
+          .orderBy("doc_id"),
+      Some("""WITH RECURSIVE g AS (
+             |  SELECT source, doc_id,
+             |         list_distinct(list_transform(
+             |           range(1, CASE WHEN length(tk) - 2 >= 1 THEN length(tk) - 1 ELSE 1 END),
+             |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS grams
+             |  FROM (SELECT source, doc_id,
+             |               list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+             |        FROM documents)
+             |  WHERE length(grams) > 0
+             |), p AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         length(list_filter(a.grams, x -> list_contains(b.grams, x))) AS nc,
+             |         length(a.grams) + length(b.grams)
+             |         - length(list_filter(a.grams, x -> list_contains(b.grams, x))) AS nu
+             |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+             |), e AS (
+             |  SELECT doc_a, doc_b FROM p
+             |  WHERE nc >= 1 AND round(CAST(nc AS DOUBLE) / nu, 4) >= 0.5
+             |), und AS (
+             |  SELECT doc_a AS a, doc_b AS b FROM e
+             |  UNION ALL
+             |  SELECT doc_b, doc_a FROM e
+             |), reach(node, lab) AS (
+             |  SELECT a, a FROM und
+             |  UNION
+             |  SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node
+             |), losers AS (
+             |  SELECT node FROM reach GROUP BY node HAVING node <> min(lab)
+             |)
+             |SELECT d.* FROM documents d
+             |WHERE d.doc_id NOT IN (SELECT node FROM losers)
+             |ORDER BY d.doc_id""".stripMargin),
+      bench = true
+    ),
+
+    QuerySpec(
       // Gopher-style repetition quality rules: duplicate 2/3-gram
       // fractions and most-frequent-token share, per document
       "q_text_repetition",

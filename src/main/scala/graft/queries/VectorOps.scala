@@ -15,6 +15,32 @@ object VectorOps {
   private val cosSql =
     "list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv)))"
 
+  /** Per-query ANN contract rows: for each of the 20 probe vectors,
+    * (q_id, n_returned, hits_exact_top5) — n_returned must be exactly
+    * k=5 and at least one returned neighbor must sit in the TRUE
+    * (brute-force) top-5. Both index paths are deterministic, so DuckDB
+    * can assert the whole frame as literals; this puts a numeric floor
+    * under every individual probe in CORRECTNESS, where the aggregate
+    * contract query only floors the mean.
+    */
+  private def perQueryAnnContract(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      ann: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame) = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+    val exact = SimilaritySearch.bruteForceTopK(q, c, k = 5).select("q_id", "n_id")
+    val res = ann(q, c).select("q_id", "n_id")
+    val hits = res.join(exact, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    res.groupBy("q_id").agg(count(lit(1)).as("n_returned"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_returned"),
+        (coalesce(col("n_hits"), lit(0L)) >= 1L).as("hits_exact_top5"))
+      .orderBy("q_id")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
       "q_vec_cosine_topk",
@@ -62,35 +88,37 @@ object VectorOps {
     QuerySpec(
       "q_vec_ann_lsh",
       (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val q = emb.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        val c = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
         // 16 tables × 4 planes: measured recall@5 = 0.88–0.91 at
         // sf0.001–0.1 (vs 0.16–0.26 at 4×6 — more, coarser tables win on
-        // these 64-dim embeddings); per-table candidate sets stay small
-        SimilaritySearch.lshTopK(q, c, k = 5, numPlanes = 4, numTables = 16)
-          .select(col("q_id"), col("n_id"), col("rnk"), round(col("sim"), 4).as("sim"))
-          .orderBy("q_id", "rnk")
+        // these 64-dim embeddings); per-table candidate sets stay small.
+        // The neighbor ids are engine-side (splitmix hyperplanes), so
+        // the ORACLE-ABLE surface is the per-query contract: exactly k
+        // results returned, intersecting the true top-5 (measured
+        // per-query minimum 2 hits across sf0.001–0.1; floor 1 fails on
+        // regression, not noise). The 0.7 AGGREGATE recall floor lives
+        // in q_vec_ann_contract.
+        perQueryAnnContract(s, dir,
+          (q, c) => SimilaritySearch.lshTopK(q, c, k = 5, numPlanes = 4, numTables = 16))
       },
-      oracle = None // LSH buckets use engine-side hyperplane derivation
+      Some("""SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS n_returned,
+             |       true AS hits_exact_top5
+             |FROM embeddings WHERE vec_id < 20 ORDER BY q_id""".stripMargin)
     ),
 
     QuerySpec(
       "q_vec_ann_ivf",
       (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val q = emb.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        val c = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
         // 8 of 16 lists probed: measured recall@5 = 0.79-0.84 at
         // sf0.001-0.1 (vs 0.51-0.69 at nProbe=4) for the same wall time —
-        // these embeddings cluster weakly, so IVF needs wide probes
-        SimilaritySearch.ivfTopK(q, c, k = 5, nLists = 16, nProbe = 8)
-          .select(col("q_id"), col("n_id"), col("rnk"), round(col("sim"), 4).as("sim"))
-          .orderBy("q_id", "rnk")
+        // these embeddings cluster weakly, so IVF needs wide probes.
+        // Same per-query contract shape as q_vec_ann_lsh (measured
+        // per-query minimum 1 hit across sf0.001–0.1).
+        perQueryAnnContract(s, dir,
+          (q, c) => SimilaritySearch.ivfTopK(q, c, k = 5, nLists = 16, nProbe = 8))
       },
-      oracle = None // KMeans quantizer is engine-side
+      Some("""SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS n_returned,
+             |       true AS hits_exact_top5
+             |FROM embeddings WHERE vec_id < 20 ORDER BY q_id""".stripMargin)
     ),
 
     QuerySpec(

@@ -78,6 +78,35 @@ class PointerStoreSpec extends SparkSpec {
     assert(reader.read().count() == 160L)
   }
 
+  test("a loser's late PUT over v{N}.json is healed by post-CAS self-verification") {
+    val dir = new Path(tmpDir("ptr"), "t3")
+    LakehouseTable.createIfNotExists(spark, dir, mkRows(0 until 1).schema, Some("DateTime"))
+    val inner = new InMemoryPointerStore
+    assert(inner.compareAndSwap(None, 0L))
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate a non-atomic object-store create: the racing loser's PUT
+    // lands INSIDE the winner's CAS window, clobbering v{next}.json
+    // after the winner wrote it but before the pointer moves
+    val sabotaged = new PointerStore {
+      override def read(): Option[Long] = inner.read()
+      override def compareAndSwap(expected: Option[Long], next: Long): Boolean = {
+        val p = new Path(dir, s"metadata/v$next.json")
+        val out = fs.create(p, true)
+        try out.write("""{"loser": "metadata"}""".getBytes("UTF-8")) finally out.close()
+        inner.compareAndSwap(expected, next)
+      }
+    }
+    val log = casLog(dir, sabotaged)
+    val meta = log.read()
+    assert(log.commit(0L, meta) == 1L)
+    // the winner's metadata — not the loser's bytes — must be what a
+    // fresh reader (sharing the same CAS cell) parses from the
+    // published version file
+    val fresh = casLog(dir, inner)
+    assert(fresh.currentVersion == 1L)
+    assert(fresh.read() == meta, "published v1.json must carry the CAS winner's metadata")
+  }
+
   test("a lost CAS surfaces as ConcurrentCommitException, newer pointer untouched") {
     val dir = new Path(tmpDir("ptr"), "t2")
     LakehouseTable.createIfNotExists(spark, dir, mkRows(0 until 1).schema, Some("DateTime"))

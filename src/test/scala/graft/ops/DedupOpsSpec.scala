@@ -77,6 +77,37 @@ class DedupOpsSpec extends SparkSpec {
     assert(labels.forall(_.getLong(1) == 0L))
   }
 
+  test("dedupCorpus keeps one canonical doc per planted duplicate cluster") {
+    // planted near-dups (i, i+10000) share ~90% of shingles; the exact
+    // dup (0, 20000) shares all — every cluster must collapse to its
+    // min id, originals not in any cluster must all survive
+    val surviving = DedupOps.dedupCorpus(withPlanted, blockCol = "source")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    (0L until 10L).foreach { i =>
+      assert(surviving.contains(i), s"canonical doc $i must survive")
+      assert(!surviving.contains(i + 10000), s"near-dup of $i must be dropped")
+    }
+    assert(!surviving.contains(20000L), "exact dup must be dropped")
+    // the defining invariant: no ≥-threshold pair survives (two such
+    // survivors would have shared a component, and only one member of
+    // a component is kept)
+    val kept = withPlanted.join(
+      surviving.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi")
+    val remaining = DedupOps.ngramJaccardPairs(kept, blockCol = "source")
+      .filter($"jaccard" >= 0.5).count()
+    assert(remaining == 0L, s"$remaining high-jaccard pairs survived dedup")
+  }
+
+  test("dedupByPairs drops non-canonical members across transitive chains") {
+    val docs3 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("doc_id", "text")
+    // chain 1-2-3: one survivor (1); 4 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = DedupOps.dedupByPairs(docs3, pairs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 4L))
+  }
+
   test("connectedComponents releases superseded checkpoint blocks") {
     // Start from a clean slate: other suites share this session.
     val sc = spark.sparkContext
