@@ -122,6 +122,28 @@ final class LakehouseTable(
       .filter(unix_micros(col(keyCol)).isin(keysUs: _*))
   }
 
+  /** Equality-key read on a bucket[N]-partitioned table: each key's
+    * bucket is derived with the same stable hash used at write time, the
+    * derived literals constant-fold, and hive-dir partition pruning
+    * plans ONLY those bucket dirs (1 of N per key) — the bucket analog
+    * of day-dir pruning for time predicates, and the reason to bucket a
+    * high-cardinality key at all: a point lookup touches 1/N of a
+    * 100 TB table before a single footer is opened.
+    */
+  def readKeyIn(values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "readKeyIn needs at least one key")
+    val meta = metadata
+    require(LakehouseTable.bucketCount(meta.granularity).isDefined,
+      s"readKeyIn requires a bucket[N]-partitioned table (granularity is '${meta.granularity}')")
+    val src = meta.partitionTransform.getOrElse(
+      throw new IllegalStateException("bucket table lacks a partition source column"))
+    val pc = meta.partitionColumns.head
+    val bucketPred = values
+      .map(v => col(pc) === LakehouseTable.partitionExpr(meta.granularity, lit(v)))
+      .reduce(_ || _)
+    read().filter(bucketPred && col(src).isin(values: _*))
+  }
+
   /** True unless EVERY row group's bloom filter rejects every key. A
     * missing bloom (pre-bloom files, non-INT64 key) can never skip.
     */
@@ -447,12 +469,17 @@ final class LakehouseTable(
     val refsWithFiles = log.readManifestList(current).map(r => r -> log.readManifest(r.path))
 
     // candidate files by the batch's key range — the manifest's
-    // epoch-micros footer stats exist only for the partition-source
-    // (time) column; merging on any other key scans the whole manifest
+    // epoch-micros footer stats exist only for a TIMESTAMP
+    // partition-source column; merging on any other key (including a
+    // bucket[N] table's non-time source) scans the whole manifest
     // (the input_file_name narrowing below still keeps the REWRITE
     // surgical)
+    val srcIsTimestamp = StructType.fromDDL(meta.schemaDdl).fields
+      .exists(f => f.name == key &&
+        (f.dataType == org.apache.spark.sql.types.TimestampType ||
+          f.dataType == org.apache.spark.sql.types.TimestampNTZType))
     val candidates =
-      if (meta.partitionTransform.contains(key)) {
+      if (meta.partitionTransform.contains(key) && srcIsTimestamp) {
         val Array(lo, hi) = batch
           .agg(min(unix_micros(col(key))), max(unix_micros(col(key))))
           .head().toSeq.toArray
@@ -809,9 +836,25 @@ object LakehouseTable {
     * four derive an integer column from a timestamp source (Iceberg's
     * year/month/day/hour transforms); `identity` partitions directly on
     * the source column (Iceberg's identity transform — for
-    * low-cardinality string/int columns, e.g. a symbol).
+    * low-cardinality string/int columns, e.g. a symbol). `bucket[N]`
+    * (validated by [[isValidGranularity]], not listed here) hashes a
+    * HIGH-cardinality source of any type into N stable buckets —
+    * Iceberg's bucket transform, for tables keyed on ids/symbols where
+    * identity would explode the dir count and time transforms don't
+    * apply.
     */
   val Granularities: Set[String] = Set("year", "month", "day", "hour", "identity")
+
+  private val BucketPattern = """bucket\[(\d{1,6})\]""".r
+
+  /** Bucket count of a `bucket[N]` granularity, None for the rest. */
+  def bucketCount(granularity: String): Option[Int] = granularity match {
+    case BucketPattern(n) => Some(n.toInt)
+    case _ => None
+  }
+
+  def isValidGranularity(g: String): Boolean =
+    Granularities.contains(g) || bucketCount(g).exists(_ >= 1)
 
   /** The derived partition value for a timestamp source at the given
     * granularity, as a human-readable monotone int (20260812 for a day,
@@ -820,6 +863,14 @@ object LakehouseTable {
     * up with time-range predicates at every granularity; at 100 TB of
     * tick data a year directory is terabytes, so day/hour granularity
     * is the difference between pruning to GBs and scanning a year.
+    *
+    * `bucket[N]` instead derives `pmod(xxhash64(src), N)` — xxHash64 is
+    * a published, cross-platform-stable algorithm and Spark's
+    * implementation is deterministic across sessions and versions, so
+    * the same key always lands in the same bucket dir and an equality
+    * predicate prunes to exactly one dir (see [[LakehouseTable.readKeyIn]]).
+    * Not monotone by design: bucket dirs carry point-lookup locality,
+    * never range locality.
     */
   def partitionExpr(granularity: String, ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     granularity match {
@@ -827,6 +878,7 @@ object LakehouseTable {
       case "month" => year(ts) * 100 + month(ts)
       case "day" => (year(ts) * 100 + month(ts)) * 100 + dayofmonth(ts)
       case "hour" => ((year(ts) * 100 + month(ts)) * 100 + dayofmonth(ts)) * 100 + hour(ts)
+      case BucketPattern(n) => pmod(xxhash64(ts), lit(n.toInt)).cast("int")
       case other => throw new IllegalArgumentException(
         s"no derivation for partition granularity '$other'")
     }
@@ -844,12 +896,16 @@ object LakehouseTable {
       schema: StructType,
       partitionSource: Option[String],
       granularity: String = "year"): LakehouseTable = {
-    require(Granularities.contains(granularity),
-      s"unsupported partition granularity '$granularity' (one of ${Granularities.mkString(", ")})")
+    require(isValidGranularity(granularity),
+      s"unsupported partition granularity '$granularity' " +
+        s"(one of ${Granularities.mkString(", ")}, or bucket[N])")
     val log = new SnapshotLog(tableDir, spark.sessionState.newHadoopConf())
     if (!log.exists) {
       val (partCols, transform) = partitionSource match {
         case Some(ts) if granularity == "identity" => (Seq(ts), Some(ts))
+        case Some(ts) if bucketCount(granularity).isDefined =>
+          // dir-name-safe suffix (no brackets in hive paths)
+          (Seq(s"${ts}_bucket"), Some(ts))
         case Some(ts) => (Seq(s"${ts}_$granularity"), Some(ts))
         case None => (Nil, None)
       }

@@ -107,6 +107,68 @@ class PartitionTransformSpec extends SparkSpec {
     assert(after.select("sym").as[String].collect().sorted.toSeq == Seq("AAA", "BBB"))
   }
 
+  test("bucket[N] hashes a high-cardinality key into N dirs; equality read prunes to its bucket") {
+    val dir = new Path(tmpDir("ptx"), "bucket")
+    val syms = (0 until 40).map(i => f"SYM$i%03d")
+    val df = syms.flatMap(s => (0 until 5).map(i =>
+      (s, Timestamp.valueOf(f"2020-01-01 00:00:${i % 60}%02d.$i%06d"), i.toDouble)))
+      .toDF("sym", "DateTime", "Bid")
+    val table = LakehouseTable.createIfNotExists(spark, dir, df.schema, Some("sym"), "bucket[8]")
+    table.append(df)
+    val back = table.read()
+    assert(back.count() == 200)
+    // derived bucket agrees with the published stable-hash formula
+    val recomputed = pmod(xxhash64($"sym"), lit(8)).cast("int")
+    assert(back.filter($"sym_bucket" =!= recomputed).count() == 0)
+    // 40 symbols over 8 buckets: dirs bounded by N, not by cardinality
+    val bucketDirs = table.currentDataFiles
+      .map(_.path.split("/").find(_.startsWith("sym_bucket=")).getOrElse(""))
+      .distinct
+    assert(bucketDirs.nonEmpty && bucketDirs.size <= 8, s"got dirs: $bucketDirs")
+
+    // equality-key read plans ONLY the key's bucket dir
+    val q = table.readKeyIn(Seq("SYM007"))
+    assert(q.collect().length == 5)
+    val scans = fileScans(q.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    val totalFiles = table.currentDataFiles.size
+    val prunedFiles = scans.map(_.metrics("numFiles").value).sum
+    assert(prunedFiles < totalFiles,
+      s"expected bucket pruning: scanned $prunedFiles of $totalFiles files")
+    // non-bucket tables reject the bucket read path loudly
+    val notBucket = LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("ptx"), "nb"), df.schema, Some("sym"), "identity")
+    notBucket.append(df)
+    val e = intercept[IllegalArgumentException](notBucket.readKeyIn(Seq("SYM001")))
+    assert(e.getMessage.contains("bucket"))
+  }
+
+  test("bucket table round-trips merge and compaction on the non-time key") {
+    val dir = new Path(tmpDir("ptx"), "bucket-merge")
+    val df = (0 until 30).map(i =>
+      (f"K$i%03d", Timestamp.valueOf(f"2020-01-01 00:00:${i % 60}%02d"), i.toDouble))
+      .toDF("sym", "DateTime", "Bid")
+    val table = LakehouseTable.createIfNotExists(spark, dir, df.schema, Some("sym"), "bucket[4]")
+    table.append(df)
+    // upsert 5 existing keys + 2 new ones on the STRING source column —
+    // must take the whole-manifest path (no epoch-micros narrowing)
+    val upsert = (Seq(3, 7, 11, 15, 19).map(i =>
+      (f"K$i%03d", Timestamp.valueOf("2020-01-02 00:00:00"), 99.0)) ++
+      Seq(("KNEW1", Timestamp.valueOf("2020-01-02 00:00:01"), 1.0),
+        ("KNEW2", Timestamp.valueOf("2020-01-02 00:00:02"), 2.0)))
+      .toDF("sym", "DateTime", "Bid")
+    table.merge(upsert, "sym")
+    val after = table.read()
+    assert(after.count() == 32)
+    assert(after.filter($"Bid" === 99.0).count() == 5)
+    assert(after.filter($"sym" === "K003").select("Bid").head().getDouble(0) == 99.0)
+    // compaction keeps bucket dirs and content intact (no time key to
+    // sort by on a non-time source — hash fan-out path)
+    table.compact()
+    assert(table.read().count() == 32)
+    assert(table.readKeyIn(Seq("KNEW1", "K007")).count() == 2)
+  }
+
   test("year remains the default and pre-granularity metadata reads as year") {
     val dir = new Path(tmpDir("ptx"), "default")
     val df = mkDays(5, Seq(1))
