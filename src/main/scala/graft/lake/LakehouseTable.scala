@@ -3,7 +3,7 @@ package graft.lake
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 import java.util.UUID
 
@@ -67,13 +67,40 @@ final class LakehouseTable(
       // empty table: preserve schema + partition columns
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
     } else {
+      val aliases = metadata.aliasMap
       // basePath makes Spark recover the hive-style partition columns from
       // the explicit file list (no directory listing — the manifest IS the
       // listing, which is what keeps planning O(metadata) at 100 TB).
-      spark.read
-        .option("basePath", dataDir.toString)
-        .schema(readSchema)
-        .parquet(files.map(f => new Path(tableDir, f.path).toString): _*)
+      if (aliases.isEmpty)
+        spark.read
+          .option("basePath", dataDir.toString)
+          .schema(readSchema)
+          .parquet(files.map(f => new Path(tableDir, f.path).toString): _*)
+      else {
+        // renamed columns: request BOTH the current and every historical
+        // physical name (parquet null-fills whichever a file lacks), then
+        // coalesce newest-first into the current name. Exactly one source
+        // is non-null per file — appends are validated against the
+        // current schema, so no file ever carries two names of the same
+        // column. Cost: predicate pushdown on a RENAMED column degrades
+        // to post-scan filtering (the coalesce hides it from the parquet
+        // reader) — the partition source can't be renamed, so time
+        // pruning never pays this.
+        val logical = readSchema
+        val physical = StructType(logical.fields.flatMap { f =>
+          f +: aliases.getOrElse(f.name, Nil)
+            .map(a => StructField(a, f.dataType, nullable = true))
+        })
+        spark.read
+          .option("basePath", dataDir.toString)
+          .schema(physical)
+          .parquet(files.map(f => new Path(tableDir, f.path).toString): _*)
+          .select(logical.fields.map { f =>
+            val as = aliases.getOrElse(f.name, Nil)
+            if (as.isEmpty) col(f.name)
+            else coalesce((f.name +: as).map(col): _*).as(f.name)
+          }.toIndexedSeq: _*)
+      }
     }
 
   /** Current-snapshot files whose key-column stats overlap [loUs, hiUs]
@@ -253,12 +280,99 @@ final class LakehouseTable(
       val frozen = StructType.fromDDL(meta.schemaDdl)
       val added = batchFields.filterNot(f =>
         frozen.fieldNames.contains(f.name) || meta.partitionColumns.contains(f.name))
+      // never adopt a name that old data files still carry: a dropped
+      // name would RESURRECT its pre-drop bytes; a renamed column's
+      // historical name would fork it into two columns on read
+      val forbidden = meta.tombstones ++ meta.historicalNames
+      val collisions = added.map(_.name).filter(forbidden.contains)
+      require(collisions.isEmpty,
+        s"cannot adopt column(s) ${collisions.mkString(", ")}: the name was " +
+          "dropped or renamed away and still exists in old data files " +
+          "(re-adding it would resurrect their bytes)")
       if (added.isEmpty) meta
       else meta.copy(schemaDdl =
         StructType(frozen.fields ++ added.map(_.copy(nullable = true))).toDDL)
     }
     val moved = writeStaged(evolved(metadata), df)
     withCommitRetry(commitAppend(evolved(metadata), log.currentVersion, moved, operation))
+  }
+
+  /** Metadata-only column rename (Iceberg RenameColumn analog, within a
+    * name-mapped format): no data file is touched — the old name joins
+    * the column's alias list and every read coalesces newest-first
+    * across current + historical names ([[readFiles]]). Commutes with
+    * appends (an in-flight append staged under the old name commits
+    * fine: its files are covered by the alias it just became), so the
+    * commit rebase-retries like one. Rejected for the partition
+    * source/columns (partition derivation, footer stats, and dir
+    * layout are bound to the physical name) and for any name that old
+    * data files still carry (see [[TableMetadata.renamedFrom]]).
+    */
+  def renameColumn(oldName: String, newName: String): Unit =
+    evolveMetadata { meta =>
+      val frozen = StructType.fromDDL(meta.schemaDdl)
+      require(frozen.fieldNames.contains(oldName), s"no such column '$oldName'")
+      require(oldName != newName, "rename to the same name is a no-op")
+      require(!frozen.fieldNames.contains(newName), s"column '$newName' already exists")
+      require(!meta.partitionColumns.contains(oldName) &&
+        !meta.partitionTransform.contains(oldName),
+        s"cannot rename partition source/column '$oldName'")
+      require(!meta.tombstones.contains(newName),
+        s"'$newName' was dropped earlier; reusing it would resurrect the " +
+          "old bytes still present in pre-drop data files")
+      require(!meta.historicalNames.contains(newName),
+        s"'$newName' is a historical name of a renamed column and still " +
+          "exists in old data files")
+      val aliasesOfOld = meta.aliasMap.getOrElse(oldName, Nil)
+      meta.copy(
+        schemaDdl = StructType(frozen.fields.map(f =>
+          if (f.name == oldName) f.copy(name = newName) else f)).toDDL,
+        renamedFrom = Some(
+          (meta.aliasMap - oldName) + (newName -> (oldName +: aliasesOfOld))))
+    }
+
+  /** Logical column drop: the column leaves the schema (reads stop
+    * requesting it, appends must omit it) while its bytes stay in old
+    * files untouched — O(1) metadata, no rewrite, exactly Iceberg's
+    * drop semantics. The name (and every historical alias of it) is
+    * tombstoned forever: name-mapped reads cannot tell a re-added
+    * column from the dropped one's leftovers, so re-adding is refused
+    * rather than silently resurrecting data ([[TableMetadata]]).
+    */
+  def dropColumn(name: String): Unit =
+    evolveMetadata { meta =>
+      val frozen = StructType.fromDDL(meta.schemaDdl)
+      require(frozen.fieldNames.contains(name), s"no such column '$name'")
+      require(!meta.partitionColumns.contains(name) &&
+        !meta.partitionTransform.contains(name),
+        s"cannot drop partition source/column '$name'")
+      require(frozen.fields.length > 1, "cannot drop the last column")
+      val newTombs = (meta.tombstones + name) ++ meta.aliasMap.getOrElse(name, Nil)
+      meta.copy(
+        schemaDdl = StructType(frozen.fields.filterNot(_.name == name)).toDDL,
+        renamedFrom = Some(meta.aliasMap - name).filter(_.nonEmpty),
+        droppedColumns = Some(newTombs.toSeq.sorted))
+    }
+
+  /** Bounded rebase-retry for metadata-only schema evolution commits:
+    * `f` is re-applied to FRESH metadata on every attempt, so its
+    * validations re-run against whatever interleaved commits changed.
+    */
+  private def evolveMetadata(f: TableMetadata => TableMetadata): Unit = {
+    var attempt = 0
+    while (true) {
+      val version = log.currentVersion
+      try {
+        log.commit(version, f(metadata))
+        return
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > LakehouseTable.CommitRetries) throw e
+          Thread.sleep(20L * attempt +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(25L))
+      }
+    }
   }
 
   /** Append only when the batch actually contains rows — the staged

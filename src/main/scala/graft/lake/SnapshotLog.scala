@@ -117,12 +117,29 @@ final case class TableMetadata(
       * tables) means "year", the only granularity that existed then, so
       * the field is additive and needs no format bump.
       */
-    partitionGranularity: Option[String] = None
+    partitionGranularity: Option[String] = None,
+    /** Column-evolution bookkeeping (round 6, additive — pre-round-6
+      * metadata reads unchanged). `renamedFrom` maps a CURRENT column
+      * name to the historical physical names already-written data files
+      * may carry for it (newest first); reads coalesce across them, so
+      * rename is metadata-only, no file rewrite. `droppedColumns`
+      * tombstones names (current or historical) forever: this format
+      * maps columns by NAME, so re-adding a dropped name would
+      * resurrect the old bytes in pre-drop files — the one safety
+      * property Iceberg buys with numeric field ids that a name-mapped
+      * format must enforce by refusal instead.
+      */
+    renamedFrom: Option[Map[String, Seq[String]]] = None,
+    droppedColumns: Option[Seq[String]] = None
 ) {
   def currentSnapshot: Option[Snapshot] =
     currentSnapshotId.flatMap(id => snapshots.find(_.id == id))
   def snapshotById(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
   def granularity: String = partitionGranularity.getOrElse("year")
+  def aliasMap: Map[String, Seq[String]] = renamedFrom.getOrElse(Map.empty)
+  def tombstones: Set[String] = droppedColumns.getOrElse(Nil).toSet
+  /** Every historical physical name still present in old data files. */
+  def historicalNames: Set[String] = aliasMap.values.flatten.toSet
 }
 
 /** A commit lost the optimistic race: the version pointer moved (or a
