@@ -509,10 +509,14 @@ object DedupOps {
     * exactly the CC label). Schema-preserving: returns `docs` rows.
     *
     * 100 TB shape: the loser list is |duplicate docs| rows of one id
-    * column — tiny relative to the corpus — so AQE broadcasts the
-    * anti-join and the corpus itself is never shuffled by this step;
-    * total cost is the candidate pipeline + the O(log² n) CC rounds
-    * over just the colliding pairs.
+    * column. At typical dup rates AQE sees the small runtime size and
+    * broadcasts the anti-join (corpus unshuffled); at adversarial dup
+    * rates (web-scale corpora run 30%+) broadcast would be WRONG, and
+    * the plan correctly degrades to ONE equality shuffle of the corpus
+    * on its id — no hint pins either choice, that is exactly the
+    * decision AQE exists to make at runtime. Total cost on top of the
+    * candidate pipeline is the O(log² n) CC rounds over just the
+    * colliding pairs.
     */
   def dedupByPairs(
       docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
@@ -546,4 +550,24 @@ object DedupOps {
       .filter(col("jaccard") >= minJaccard)
     dedupByPairs(docs, pairs, idCol)
   }
+
+  /** [[dedupCorpus]]'s LSH variant — the default at corpus scale:
+    * candidate pairs come from MinHash banding (equality joins on band
+    * signatures, no per-block all-pairs term) and are verified by exact
+    * Jaccard before entering the closure, so precision is exact (every
+    * dropped doc really had a ≥-threshold partner) while candidate
+    * recall is the usual LSH probability — a pair every band misses
+    * stays duplicated, the safe failure direction for dedup.
+    */
+  def dedupCorpusLsh(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleK: Int = 3,
+      threshold: Double = 0.5): DataFrame =
+    dedupByPairs(docs,
+      minHashNearDups(docs, idCol, textCol, numHashes, bands, shingleK, threshold),
+      idCol)
 }

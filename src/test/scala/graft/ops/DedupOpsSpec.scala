@@ -98,6 +98,20 @@ class DedupOpsSpec extends SparkSpec {
     assert(remaining == 0L, s"$remaining high-jaccard pairs survived dedup")
   }
 
+  test("dedupCorpusLsh drops LSH-caught duplicates, never a clean doc") {
+    val surviving = DedupOps.dedupCorpusLsh(withPlanted)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the exact duplicate collides in every band — always dropped
+    assert(!surviving.contains(20000L))
+    assert(surviving.contains(0L))
+    // planted near-dups are caught with LSH probability (~0.84/pair at
+    // these parameters); require most, as in the candidate-pair spec
+    val caught = (0L until 10L).count(i => !surviving.contains(i + 10000))
+    assert(caught >= 7, s"LSH dedup caught only $caught of 10 planted near-dups")
+    // precision is exact: canonical docs all survive
+    (0L until 10L).foreach(i => assert(surviving.contains(i)))
+  }
+
   test("dedupByPairs drops non-canonical members across transitive chains") {
     val docs3 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
       .toDF("doc_id", "text")
