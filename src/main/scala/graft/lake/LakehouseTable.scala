@@ -7,6 +7,13 @@ import org.apache.spark.sql.types.{StructField, StructType}
 
 import java.util.UUID
 
+/** What a [[LakehouseTable.maintain]] cycle actually did. */
+final case class MaintenanceReport(
+    compacted: Boolean,
+    manifestsFolded: Boolean,
+    expiredSnapshots: Int,
+    deletedFiles: Int)
+
 /** A snapshot-versioned, year-partitioned parquet table — the engine's
   * native equivalent of the reference's Iceberg tables
   * (`/root/reference/lakehouse_pipeline.py:275-284` create,
@@ -753,6 +760,52 @@ final class LakehouseTable(
     // moves rows, it does not add any)
     commitSnapshot(meta, version, moved, "compact", Some(Nil),
       totalRows = current.totalRows, addedRowsOverride = Some(0L))
+  }
+
+  /** One-call table maintenance — the job a deployment schedules beside
+    * a live ingest. In order:
+    *
+    *  1. COMPACT when the current snapshot averages more than
+    *     `maxFilesPerPartition` files per partition dir (the small-files
+    *     metadata killer). Best-effort: compaction is a non-commuting
+    *     COW rewrite, so if a concurrent commit wins the race it is
+    *     simply skipped this cycle (reported, retried next run) instead
+    *     of failing the whole job.
+    *  2. Otherwise FOLD the manifest chain when it exceeds
+    *     `maxManifests` (compaction already collapses it to one).
+    *  3. EXPIRE old snapshots — rebase-safe beside live appends
+    *     ([[expireSnapshots]]), so this step always makes progress.
+    *
+    * Orphan reaping is NOT included: [[removeOrphanedFiles]] requires
+    * that no write is in flight (it deletes staging dirs), which is
+    * exactly what cannot be assumed beside a live ingest — run it from
+    * the ingest pipeline's own lock instead. Thresholds are chosen so a
+    * healthy table is a metadata-read no-op.
+    */
+  def maintain(
+      maxFilesPerPartition: Int = 4,
+      compactTo: Int = 1,
+      maxManifests: Int = 8,
+      nowMs: Long = System.currentTimeMillis(),
+      retentionMs: Long = 7L * 24 * 3600 * 1000,
+      keepLast: Int = 2): MaintenanceReport = {
+    val files = currentDataFiles
+    val nPartDirs = math.max(1,
+      files.map(f => f.path.split("/").dropRight(1).mkString("/")).distinct.size)
+    val wantsCompact = files.size > nPartDirs.toLong * maxFilesPerPartition
+    val compacted =
+      if (!wantsCompact) false
+      else
+        try { compact(compactTo); true }
+        catch { case _: ConcurrentCommitException => false } // lost the race; next cycle
+    val chain = metadata.currentSnapshot.map(s => log.readManifestList(s).size).getOrElse(0)
+    val folded =
+      if (compacted || chain <= maxManifests) false
+      else
+        try { rewriteManifests(); true }
+        catch { case _: ConcurrentCommitException => false }
+    val (expired, deleted) = expireSnapshots(nowMs, retentionMs, keepLast)
+    MaintenanceReport(compacted, folded, expired.size, deleted.size)
   }
 
   /** Metadata-only manifest compaction (Iceberg's RewriteManifests

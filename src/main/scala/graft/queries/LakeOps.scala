@@ -213,6 +213,35 @@ object LakeOps {
       java.util.Arrays.asList(r1, r2), afterRename.schema).orderBy("stage")
   }
 
+  /** Composite maintenance cycle: six 1-file appends build small-file
+    * pressure; `maintain` compacts, then (after one more append ages
+    * the last pre-compaction snapshot out of keepLast) a second cycle
+    * reaps the stranded files. Every row of the final table must still
+    * match DuckDB over the raw parquet — maintenance moves bytes,
+    * never rows.
+    */
+  def maintainFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ev = graft.Tables.t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("value"))
+    val tableDir = new Path(freshWarehouse("graft-mt"), "events_maint")
+    val table = LakehouseTable.createIfNotExists(
+      s, tableDir, ev.schema, Some("ts"), "year")
+    (0 until 6).foreach(i =>
+      table.append(ev.filter(col("event_id") % 6 === i).coalesce(1)))
+    val r1 = table.maintain(retentionMs = 0L)
+    table.append(ev.limit(0).coalesce(1)) // age the window without adding rows
+    val r2 = table.maintain(retentionMs = 0L)
+    table.read().agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .select(
+        col("n_rows"), col("sum_value"),
+        lit(r1.compacted).as("compacted"),
+        lit(r1.expiredSnapshots > 0 || r2.expiredSnapshots > 0).as("expired_any"),
+        lit(r2.deletedFiles > 0).as("reaped_stranded"))
+  }
+
   /** Three appends → expire with zero retention: the newest two
     * snapshots (and the current one) must survive, exactly one expires,
     * and the table's live rows are untouched — M1's intended semantics
@@ -373,6 +402,14 @@ object LakeOps {
              |       min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us,
              |       (SELECT count(DISTINCT CAST(ts AS DATE)) FROM events) AS n_partitions
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    QuerySpec(
+      "q_lake_maintain",
+      maintainFlow,
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       true AS compacted, true AS expired_any, true AS reaped_stranded
+             |FROM events""".stripMargin)
     ),
     QuerySpec(
       "q_lake_rename",
