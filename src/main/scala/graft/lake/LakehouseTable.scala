@@ -37,6 +37,7 @@ final class LakehouseTable(
   private def conf = spark.sessionState.newHadoopConf()
   private def fs: FileSystem = tableDir.getFileSystem(conf)
   private val dataDir = new Path(tableDir, "data")
+  private val deletesDir = new Path(tableDir, "deletes")
 
   def metadata: TableMetadata = log.read()
   def schema: StructType = StructType.fromDDL(metadata.schemaDdl)
@@ -53,6 +54,14 @@ final class LakehouseTable(
   def addedDataFiles(snap: Snapshot): Seq[DataFile] =
     snap.addedManifest.map(log.readManifest).getOrElse(Nil)
 
+  /** Live equality-delete files of a snapshot (merge-on-read). */
+  def liveDeleteFiles(snap: Snapshot): Seq[DeleteFile] =
+    log.readManifestListData(snap).liveDeletes
+
+  /** Live equality-delete files of the current snapshot. */
+  def currentDeleteFiles: Seq[DeleteFile] =
+    metadata.currentSnapshot.map(liveDeleteFiles).getOrElse(Nil)
+
   /** DataFrame of the table at its current snapshot. */
   def read(): DataFrame = readSnapshot(metadata.currentSnapshot)
 
@@ -67,7 +76,66 @@ final class LakehouseTable(
       .sortBy(_.timestampMs).lastOption)
 
   private def readSnapshot(snap: Option[Snapshot]): DataFrame =
-    readFiles(snap.map(dataFiles).getOrElse(Nil))
+    readWithDeletes(
+      snap.map(dataFiles).getOrElse(Nil),
+      snap.map(liveDeleteFiles).getOrElse(Nil))
+
+  /** Deletes-aware read: anti-join the data files against the live
+    * equality-delete files, honoring sequence numbers — a delete masks
+    * only rows in data files committed STRICTLY BEFORE it, so rows
+    * re-appended after a delete (e.g. a merge-on-read upsert's own
+    * batch) survive.
+    *
+    * Shape at scale: a file's applicable delete set is {d : d.seq >
+    * file.seq} — always a SUFFIX of the sorted delete sequence — so the
+    * files partition into at most (#delete-commits + 1) groups, each
+    * read as one parquet relation and anti-joined against the union of
+    * its applicable key files. Delete-key files are tiny relative to
+    * data (that is the point of MoR), so AQE broadcasts the anti-join
+    * build side; no per-file branching, no row-level sequence column.
+    * Compaction folds deletes away, returning reads to the zero-join
+    * path.
+    */
+  private def readWithDeletes(
+      files: Seq[DataFile],
+      dels: Seq[DeleteFile],
+      /** When set, attach `input_file_name()` under this column name on
+        * each RAW per-group scan (a single parquet relation), BEFORE any
+        * anti-join — Spark rejects input_file_name once a plan has more
+        * than one file source, so the COW paths cannot add it after the
+        * fact.
+        */
+      tagFileColumn: Option[String] = None): DataFrame = {
+    def raw(fs: Seq[DataFile]): DataFrame = {
+      val base = readFiles(fs)
+      tagFileColumn.map(c => base.withColumn(c, input_file_name())).getOrElse(base)
+    }
+    if (dels.isEmpty || files.isEmpty) raw(files)
+    else {
+      val delSeqs = dels.map(_.seq).distinct.sorted
+      // reverse alias map: a delete file written before a rename stores
+      // the then-current (now historical) column name
+      val toCurrent: Map[String, String] = metadata.aliasMap.flatMap {
+        case (cur, hist) => hist.map(_ -> cur)
+      }
+      files.groupBy(f => delSeqs.count(_ > f.seqOrMin)).toSeq.sortBy(_._1)
+        .map { case (nApplicable, group) =>
+          if (nApplicable == 0) raw(group)
+          else {
+            val applicableSeqs = delSeqs.takeRight(nApplicable).toSet
+            val applicable = dels.filter(d => applicableSeqs.contains(d.seq))
+            applicable.groupBy(d => toCurrent.getOrElse(d.key, d.key))
+              .foldLeft(raw(group)) { case (df, (curKey, ds)) =>
+                val keys = ds.map(d =>
+                  spark.read.parquet(new Path(tableDir, d.path).toString)
+                    .select(col(d.key).as(curKey)))
+                  .reduce(_ unionByName _)
+                df.join(keys, Seq(curKey), "left_anti")
+              }
+          }
+        }.reduce(_ unionByName _)
+    }
+  }
 
   private def readFiles(files: Seq[DataFile]): DataFrame =
     if (files.isEmpty) {
@@ -152,7 +220,7 @@ final class LakehouseTable(
   def readPoints(keysUs: Seq[Long]): DataFrame = {
     val keyCol = metadata.partitionTransform.getOrElse(
       throw new IllegalStateException("point lookup needs a partition-source key column"))
-    readFiles(filesContainingAnyKey(keysUs))
+    readWithDeletes(filesContainingAnyKey(keysUs), currentDeleteFiles)
       .filter(unix_micros(col(keyCol)).isin(keysUs: _*))
   }
 
@@ -211,7 +279,8 @@ final class LakehouseTable(
     * files that contain that hour, no matter how many live in the
     * partition.
     */
-  def readRange(loUs: Long, hiUs: Long): DataFrame = readFiles(filesOverlapping(loUs, hiUs))
+  def readRange(loUs: Long, hiUs: Long): DataFrame =
+    readWithDeletes(filesOverlapping(loUs, hiUs), currentDeleteFiles)
 
   /** Schema as read back, including the derived partition column. */
   private def readSchema: StructType = {
@@ -484,13 +553,26 @@ final class LakehouseTable(
       operation: String,
       replaceRefs: Option[Seq[ManifestRef]],
       totalRows: Long,
-      addedRowsOverride: Option[Long] = None): Snapshot = {
+      addedRowsOverride: Option[Long] = None,
+      /** Final equality-delete file set for the new snapshot. None ⇒
+        * carry the parent's forward unchanged (appends/COW); compaction
+        * passes Some(Nil) — it folds deletes into the rewrite — and the
+        * MoR paths pass parent's + their new delete files.
+        */
+      deletesOverride: Option[Seq[DeleteFile]] = None): Snapshot = {
     val parent = meta.currentSnapshot
     val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
-    val addedRef = if (moved.nonEmpty) Some(log.writeManifest(snapId, moved)) else None
+    // stamp the data sequence: equality deletes apply only to files with
+    // a smaller seq, so every added file carries its commit's snapshot id
+    val stamped = moved.map(_.copy(seq = Some(snapId)))
+    val addedRef = if (stamped.nonEmpty) Some(log.writeManifest(snapId, stamped)) else None
     val baseRefs = replaceRefs.getOrElse(parent.map(log.readManifestList).getOrElse(Nil))
     val refs = baseRefs ++ addedRef
-    val listPath = if (refs.nonEmpty) Some(log.writeManifestList(snapId, refs)) else None
+    val dels = deletesOverride.getOrElse(
+      parent.map(liveDeleteFiles).getOrElse(Nil))
+    val listPath =
+      if (refs.nonEmpty || dels.nonEmpty) Some(log.writeManifestList(snapId, refs, dels))
+      else None
     val snap = Snapshot(
       id = snapId,
       parentId = parent.map(_.id),
@@ -613,9 +695,11 @@ final class LakehouseTable(
       } else refsWithFiles.flatMap(_._2)
 
     // narrow to files that really contain a matched key (file list is
-    // metadata-sized — safe to collect)
-    val hitPaths = readFiles(candidates)
-      .withColumn("__graft_file", input_file_name())
+    // metadata-sized — safe to collect). Reads apply any pending MoR
+    // deletes so a masked row can neither trigger a rewrite nor
+    // resurrect in the survivor set.
+    val pendingDeletes = liveDeleteFiles(current)
+    val hitPaths = readWithDeletes(candidates, pendingDeletes, Some("__graft_file"))
       .join(batch.select(col(key)), Seq(key), "left_semi")
       .select("__graft_file").distinct()
       .collect().map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath).toSet
@@ -624,7 +708,7 @@ final class LakehouseTable(
     val rewritePaths = rewrite.map(_.path).toSet
 
     val derived = derivedPartitionColumns(meta)
-    val survivors = readFiles(rewrite)
+    val survivors = readWithDeletes(rewrite, pendingDeletes)
       .drop(derived: _*) // re-derived by the staged write
       .join(batch.select(col(key)), Seq(key), "left_anti")
     val moved = writeStaged(meta, survivors.unionByName(batch.drop(derived: _*)))
@@ -650,8 +734,8 @@ final class LakehouseTable(
       throw new IllegalStateException("cannot delete from an empty table"))
     val refsWithFiles = log.readManifestList(current).map(r => r -> log.readManifest(r.path))
 
-    val hitPaths = read()
-      .withColumn("__graft_file", input_file_name())
+    val hitPaths = readWithDeletes(dataFiles(current), liveDeleteFiles(current),
+        Some("__graft_file"))
       .filter(predicate)
       .select("__graft_file").distinct()
       .collect().map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath).toSet
@@ -662,7 +746,10 @@ final class LakehouseTable(
     // SQL DELETE removes rows where the predicate is TRUE; rows where it
     // evaluates to NULL must survive the rewrite (NOT(NULL) is NULL and
     // would silently drop them, making results file-layout-dependent).
-    val survivors = readFiles(rewrite)
+    // Pending MoR deletes apply to the rewrite read so masked rows don't
+    // resurrect in the survivor files (which carry a NEWER sequence than
+    // the delete files, putting them beyond the deletes' reach).
+    val survivors = readWithDeletes(rewrite, liveDeleteFiles(current))
       .filter(not(coalesce(predicate, lit(false))))
       .drop(derivedPartitionColumns(meta): _*)
     val moved = writeStaged(meta, survivors) // empty when a file is fully deleted
@@ -673,6 +760,104 @@ final class LakehouseTable(
       .filterNot(f => rewritePaths.contains(f.path)).map(_.rows).sum
     commitSnapshot(meta, version, moved, "delete", Some(keptRefs),
       totalRows = keptRows + moved.map(_.rows).sum)
+  }
+
+  /** Merge-on-read DELETE by key (Iceberg v2 equality-delete analog):
+    * instead of rewriting every data file that contains a matched row
+    * (the copy-on-write [[delete]] path), commit ONE tiny parquet file
+    * of the key values — O(deleted keys) bytes written, zero data files
+    * touched. Readers anti-join ([[readWithDeletes]]); [[compact]] folds
+    * the deletes back into plain data files and clears them.
+    *
+    * This is the 100 TB shape for small-selectivity deletes (GDPR
+    * erasure, bad-record retraction): COW deleting 100 rows spread
+    * across a TB-scale partition rewrites the partition; MoR writes a
+    * KB-scale key file. The read-side cost (one broadcast anti-join) is
+    * paid until the next compaction — [[maintain]] triggers one when
+    * delete files accumulate.
+    *
+    * Sequence semantics: the delete masks only rows in data files
+    * committed BEFORE it; rows appended later with the same key are
+    * live. Null keys are dropped (SQL equality never matches NULL).
+    * Does not retry on a lost commit race: like the COW paths, the
+    * caller must re-plan — a rebase would silently widen the delete
+    * onto rows the planner never saw.
+    */
+  def morDeleteKeys(keys: DataFrame, key: String): Snapshot = {
+    val meta = metadata
+    val version = log.currentVersion
+    val current = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("cannot delete from an empty table"))
+    val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+    val newDeletes = writeDeleteFiles(meta, keys, key, snapId)
+    if (newDeletes.isEmpty) return current // no non-null keys: nothing to do
+    commitSnapshot(meta, version, Nil, "mor-delete", replaceRefs = None,
+      totalRows = current.totalRows,
+      deletesOverride = Some(liveDeleteFiles(current) ++ newDeletes))
+  }
+
+  /** Merge-on-read MERGE (upsert) on `key`: ONE commit that appends the
+    * batch AND writes an equality-delete file of the batch's keys. The
+    * delete's sequence equals the commit's, so it masks exactly the
+    * PRE-EXISTING rows with those keys while the batch's own files
+    * (same sequence, not smaller) survive — upsert semantics with zero
+    * data-file rewrites, the CDC-ingest shape at 100 TB (the COW
+    * [[merge]] rewrites every file containing a matched key; this
+    * writes O(batch)). Reads pay one broadcast anti-join until
+    * [[compact]] folds the deletes.
+    *
+    * Same precondition as [[merge]]: the batch must be unique on `key`.
+    */
+  def morMerge(batch: DataFrame, key: String): Snapshot = {
+    val meta = metadata
+    val version = log.currentVersion
+    val current = meta.currentSnapshot.getOrElse(return append(batch, "mor-merge"))
+    val moved = writeStaged(meta, batch)
+    val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+    val newDeletes = writeDeleteFiles(meta, batch, key, snapId)
+    commitSnapshot(meta, version, moved, "mor-merge", replaceRefs = None,
+      totalRows = current.totalRows + moved.map(_.rows).sum,
+      deletesOverride = Some(liveDeleteFiles(current) ++ newDeletes))
+  }
+
+  /** Write the distinct non-null values of `keys(key)` as equality-
+    * delete parquet under `deletes/`, named for the owning snapshot.
+    * Returns one [[DeleteFile]] per part file (empty when every key is
+    * null). Key files are written `coalesce(1)` — a delete batch is
+    * metadata-scale by assumption (that is why MoR wins over COW); a
+    * delete so large it needs parallel write bandwidth should be a COW
+    * [[delete]] instead, which also skips the read-side join tax.
+    */
+  private def writeDeleteFiles(
+      meta: TableMetadata, keys: DataFrame, key: String, snapId: Long): Seq[DeleteFile] = {
+    require(StructType.fromDDL(meta.schemaDdl).fieldNames.contains(key),
+      s"delete key '$key' is not a column of the table schema")
+    val staging = new Path(tableDir, s".staging-${UUID.randomUUID().toString.take(8)}")
+    keys.select(col(key)).filter(col(key).isNotNull).distinct()
+      .coalesce(1)
+      .write.mode("overwrite").parquet(staging.toString)
+    val parts = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+      val it = fs.listFiles(staging, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) buf += st.getPath
+      }
+      buf.toSeq
+    }
+    fs.mkdirs(deletesDir)
+    val moved = parts.zipWithIndex.flatMap { case (src, i) =>
+      val dest = new Path(deletesDir,
+        s"delete-$snapId-${UUID.randomUUID().toString.take(8)}-$i.parquet")
+      if (!fs.rename(src, dest))
+        throw new IllegalStateException(s"failed to move $src -> $dest")
+      val (rows, _, _) = footerStats(dest, None)
+      // an all-null key batch writes an empty part: nothing to delete
+      if (rows == 0L) { fs.delete(dest, false); None }
+      else Some(DeleteFile(s"deletes/${dest.getName}", rows, key, snapId))
+    }
+    fs.delete(staging, true)
+    moved
   }
 
   /** Compaction: rewrite the current snapshot's data into
@@ -700,7 +885,10 @@ final class LakehouseTable(
     val current = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("cannot compact an empty table"))
     val currentFiles = dataFiles(current)
-    val df = readFiles(currentFiles)
+    // the rewrite READS through the pending MoR deletes, so compaction
+    // doubles as the delete-fold: output files contain only live rows
+    // and the new snapshot clears its delete set
+    val df = readWithDeletes(currentFiles, liveDeleteFiles(current))
     val version = log.currentVersion
 
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -757,9 +945,13 @@ final class LakehouseTable(
 
     val moved = moveStaged(staging)
     // manifest-list REPLACES the previous one (addedRows 0: a compaction
-    // moves rows, it does not add any)
+    // moves rows, it does not add any). totalRows is recounted from the
+    // output: with MoR deletes folded it is the first commit whose
+    // physical rows equal the live rows again. deletesOverride clears
+    // the delete set — this snapshot's files already exclude the rows.
     commitSnapshot(meta, version, moved, "compact", Some(Nil),
-      totalRows = current.totalRows, addedRowsOverride = Some(0L))
+      totalRows = moved.map(_.rows).sum, addedRowsOverride = Some(0L),
+      deletesOverride = Some(Nil))
   }
 
   /** One-call table maintenance — the job a deployment schedules beside
@@ -788,11 +980,16 @@ final class LakehouseTable(
       maxManifests: Int = 8,
       nowMs: Long = System.currentTimeMillis(),
       retentionMs: Long = 7L * 24 * 3600 * 1000,
-      keepLast: Int = 2): MaintenanceReport = {
+      keepLast: Int = 2,
+      maxDeleteFiles: Int = 4): MaintenanceReport = {
     val files = currentDataFiles
     val nPartDirs = math.max(1,
       files.map(f => f.path.split("/").dropRight(1).mkString("/")).distinct.size)
-    val wantsCompact = files.size > nPartDirs.toLong * maxFilesPerPartition
+    // delete-file pressure counts as compaction pressure: every live
+    // equality-delete file is a read-side anti-join every query pays
+    // until a compaction folds it
+    val wantsCompact = files.size > nPartDirs.toLong * maxFilesPerPartition ||
+      currentDeleteFiles.size > maxDeleteFiles
     val compacted =
       if (!wantsCompact) false
       else
@@ -823,9 +1020,12 @@ final class LakehouseTable(
     val current = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("cannot rewrite manifests of an empty table"))
     val files = dataFiles(current)
+    val dels = liveDeleteFiles(current) // metadata-only: deletes carry over untouched
     val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
     val refs = if (files.isEmpty) Nil else Seq(log.writeManifest(snapId, files))
-    val listPath = if (refs.nonEmpty) Some(log.writeManifestList(snapId, refs)) else None
+    val listPath =
+      if (refs.nonEmpty || dels.nonEmpty) Some(log.writeManifestList(snapId, refs, dels))
+      else None
     val snap = Snapshot(
       id = snapId,
       parentId = Some(current.id),
@@ -881,28 +1081,34 @@ final class LakehouseTable(
     * deleted table-relative paths.
     */
   def removeOrphanedFiles(): Seq[String] = {
-    val referenced = metadata.snapshots.flatMap(s => dataFiles(s).map(_.path)).toSet
+    val snaps = metadata.snapshots
+    val referenced = snaps.flatMap(s => dataFiles(s).map(_.path)).toSet ++
+      snaps.flatMap(s => liveDeleteFiles(s).map(_.path))
     // reap .staging-* dirs first: a write that crashed mid-move leaves
     // its staging dir behind, referenced by nothing (single-writer, so
     // no in-flight write can coexist with this maintenance call)
     val staged = fs.listStatus(tableDir)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(".staging-"))
     val stagedNames = staged.map { st => fs.delete(st.getPath, true); st.getPath.getName }
-    if (!fs.exists(dataDir)) return stagedNames.toSeq
     val orphans = scala.collection.mutable.ArrayBuffer.empty[String]
     orphans ++= stagedNames
-    val dataDirQ = fs.makeQualified(dataDir)
-    val it = fs.listFiles(dataDir, true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.getPath.getName.endsWith(".parquet")) {
-        val rel = "data/" + st.getPath.toString.stripPrefix(dataDirQ.toString + "/")
-        if (!referenced.contains(rel)) {
-          fs.delete(st.getPath, false)
-          orphans += rel
+    def sweep(dir: Path, relPrefix: String): Unit = {
+      if (!fs.exists(dir)) return
+      val dirQ = fs.makeQualified(dir)
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) {
+          val rel = relPrefix + st.getPath.toString.stripPrefix(dirQ.toString + "/")
+          if (!referenced.contains(rel)) {
+            fs.delete(st.getPath, false)
+            orphans += rel
+          }
         }
       }
     }
+    sweep(dataDir, "data/")
+    sweep(deletesDir, "deletes/") // e.g. a MoR commit that lost its race
     orphans.toSeq
   }
 
@@ -951,6 +1157,12 @@ final class LakehouseTable(
       val liveFiles = liveRefs.distinctBy(_.path).flatMap(r => log.readManifest(r.path).map(_.path)).toSet
       val orphans = deadRefs.flatMap(r => log.readManifest(r.path).map(_.path))
         .distinct.filterNot(liveFiles.contains)
+      // equality-delete files referenced only by expired snapshots die
+      // with them (a compaction typically cleared them from the live
+      // set long before the pre-compaction snapshots age out)
+      val liveDel = retained.flatMap(s => log.readManifestListData(s).liveDeletes.map(_.path)).toSet
+      val deadDel = expired.flatMap(s => log.readManifestListData(s).liveDeletes.map(_.path))
+        .distinct.filterNot(liveDel.contains)
       // Commit the metadata that drops the expired snapshots BEFORE any
       // physical delete (Iceberg's ordering): a crash between deletes and
       // commit would leave the committed version referencing vanished
@@ -961,9 +1173,10 @@ final class LakehouseTable(
       try {
         log.commit(version, meta.copy(snapshots = retained))
         orphans.foreach(f => fs.delete(new Path(tableDir, f), false))
+        deadDel.foreach(f => fs.delete(new Path(tableDir, f), false))
         deadRefs.foreach(r => log.deleteMetaFile(r.path))
         expired.foreach(_.manifestList.foreach(log.deleteMetaFile))
-        return (expired.map(_.id), orphans)
+        return (expired.map(_.id), orphans ++ deadDel)
       } catch {
         // Expiry commutes with snapshot-ADDING interleaves (appends,
         // manifest folds): nothing was deleted yet — the plan above is

@@ -47,13 +47,42 @@ final case class DataFile(
     path: String,
     rows: Long,
     minKeyUs: Option[Long],
-    maxKeyUs: Option[Long]
+    maxKeyUs: Option[Long],
+    /** Data sequence number: the id of the snapshot whose commit added
+      * this file (Iceberg's data-sequence-number analog — snapshot ids
+      * here are strictly increasing, so they double as the sequence).
+      * Equality-delete files apply only to data files with a STRICTLY
+      * SMALLER sequence, which is what lets a merge-on-read upsert mask
+      * old rows without touching rows appended after the delete.
+      * Absent (pre-round-6 metadata) means "before every delete" —
+      * additive, no format bump.
+      */
+    seq: Option[Long] = None
 ) {
   def overlaps(loUs: Long, hiUs: Long): Boolean = (minKeyUs, maxKeyUs) match {
     case (Some(lo), Some(hi)) => hi >= loUs && lo <= hiUs
     case _ => true // no stats ⇒ cannot skip
   }
+  def seqOrMin: Long = seq.getOrElse(Long.MinValue)
 }
+
+/** An equality-delete file (Iceberg v2 merge-on-read analog): a parquet
+  * file of KEY VALUES whose matching rows are logically deleted from
+  * every data file with `dataFile.seq < this.seq`. Written by
+  * [[LakehouseTable.morDeleteKeys]]/[[LakehouseTable.morMerge]] — a
+  * delete touching 100 rows of a TB-scale partition writes one tiny key
+  * file instead of rewriting the partition (the copy-on-write
+  * [[LakehouseTable.delete]] path); readers anti-join, and compaction
+  * folds the deletes back into plain data files. `key` records the
+  * column NAME AT WRITE TIME (reads resolve renames through the alias
+  * map), `rows` the number of key values (distinct, non-null).
+  */
+final case class DeleteFile(
+    path: String,
+    rows: Long,
+    key: String,
+    seq: Long
+)
 
 /** Pointer to one manifest file plus roll-up stats over its entries.
   * The key bounds are the union of the member files' bounds (None if
@@ -76,8 +105,18 @@ final case class ManifestRef(
 /** JSON envelope of a manifest file. */
 final case class ManifestData(files: Seq[DataFile])
 
-/** JSON envelope of a manifest-list (snap-*.json) file. */
-final case class ManifestListData(manifests: Seq[ManifestRef])
+/** JSON envelope of a manifest-list (snap-*.json) file. `deletes` is
+  * the snapshot's LIVE equality-delete files (additive field: absent in
+  * pre-round-6 lists ⇔ none) — carried per-snapshot, like the manifest
+  * refs, so time travel applies exactly the deletes that were live at
+  * that snapshot and compaction can clear them for its successors
+  * without touching history.
+  */
+final case class ManifestListData(
+    manifests: Seq[ManifestRef],
+    deletes: Option[Seq[DeleteFile]] = None) {
+  def liveDeletes: Seq[DeleteFile] = deletes.getOrElse(Nil)
+}
 
 /** One snapshot record in the version file — deliberately tiny: the
   * file inventory lives behind `manifestList`, never here, so the
@@ -373,20 +412,28 @@ final class SnapshotLog(
     finally in.close()
   }
 
-  /** Write a snapshot's manifest-list; returns its table-relative path. */
-  def writeManifestList(snapId: Long, refs: Seq[ManifestRef]): String = {
+  /** Write a snapshot's manifest-list; returns its table-relative path.
+    * `deletes` is the snapshot's live equality-delete file set (empty ⇒
+    * field omitted, byte-identical to pre-round-6 lists).
+    */
+  def writeManifestList(
+      snapId: Long, refs: Seq[ManifestRef], deletes: Seq[DeleteFile] = Nil): String = {
     val name = s"snap-$snapId-${UUID.randomUUID().toString.take(8)}.json"
-    writeJsonStr(new Path(metaDir, name), Serialization.writePretty(ManifestListData(refs)))
+    val data = ManifestListData(refs, if (deletes.isEmpty) None else Some(deletes))
+    writeJsonStr(new Path(metaDir, name), Serialization.writePretty(data))
     s"metadata/$name"
   }
 
-  def readManifestList(snap: Snapshot): Seq[ManifestRef] =
+  def readManifestListData(snap: Snapshot): ManifestListData =
     snap.manifestList.map { p =>
       val in = fs.open(new Path(tableDir, p))
       try Serialization.read[ManifestListData](
-        new InputStreamReader(in, StandardCharsets.UTF_8)).manifests
+        new InputStreamReader(in, StandardCharsets.UTF_8))
       finally in.close()
-    }.getOrElse(Nil)
+    }.getOrElse(ManifestListData(Nil))
+
+  def readManifestList(snap: Snapshot): Seq[ManifestRef] =
+    readManifestListData(snap).manifests
 
   /** The full data-file inventory of a snapshot (all manifests,
     * concatenated). Metadata-sized; used by readers that need the whole

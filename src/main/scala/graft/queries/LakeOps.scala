@@ -329,6 +329,36 @@ object LakeOps {
       sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
   }
 
+  /** Merge-on-read flow (Iceberg v2 equality-delete analog): append all
+    * events, MoR-DELETE every 7th event's key (one tiny key file, zero
+    * data files rewritten — `no_rewrite` pins that), then MoR-MERGE +1000
+    * onto every 5th event (one commit: batch append + key-file mask; a
+    * key hit by both ops is deleted then re-upserted). The read-back
+    * totals must equal DuckDB computing the same upsert-over-delete
+    * algebra directly on the raw parquet — proving the sequence-gated
+    * anti-join read loses no live rows and resurrects no masked ones.
+    */
+  def morFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ev = graft.Tables.t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
+    val table = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(freshWarehouse("graft-mr"), "events"), ev.schema, Some("ts"))
+    table.append(ev)
+    val filesAfterAppend = table.currentDataFiles.map(_.path).toSet
+    table.morDeleteKeys(ev.filter(col("event_id") % 7 === 0).select("ts"), "ts")
+    val noRewrite = table.currentDataFiles.map(_.path).toSet == filesAfterAppend
+    val updates = graft.ingest.Dedup.withinBatch(
+      ev.filter(col("event_id") % 5 === 0)
+        .withColumn("value", col("value") + 1000.0),
+      Seq("ts"))
+    table.morMerge(updates, "ts")
+    table.read().agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("value") >= 1000.0, 1)).as("n_updated"),
+      sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .withColumn("no_rewrite", lit(noRewrite))
+  }
+
   /** Copy-on-write DELETE: drop every 7th event, read back totals. */
   def deleteFlow(s: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
@@ -349,6 +379,17 @@ object LakeOps {
       Some("""SELECT count(*) AS n_rows,
              |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
              |FROM events WHERE event_id % 7 <> 0""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_mor",
+      morFlow,
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+             |       CAST(sum(CAST(CASE WHEN event_id % 5 = 0 THEN value + 1000.0 ELSE value END
+             |                     AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       true AS no_rewrite
+             |FROM events WHERE event_id % 7 <> 0 OR event_id % 5 = 0""".stripMargin)
     ),
 
     QuerySpec(
