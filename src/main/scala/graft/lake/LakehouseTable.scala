@@ -75,6 +75,37 @@ final class LakehouseTable(
     readSnapshot(metadata.snapshots.filter(_.timestampMs <= tsMs)
       .sortBy(_.timestampMs).lastOption)
 
+  /** Named snapshot refs currently defined (Iceberg tags). */
+  def tags: Map[String, Long] = metadata.tags
+
+  /** Tag a snapshot with a stable name (Iceberg tag analog). Tagged
+    * snapshots are PINNED: [[expireSnapshots]] never drops them, so a
+    * training run can record exactly the table state it read
+    * ("train-2026-08-12") and reproduce it by name months later, after
+    * every unpinned sibling aged out. Metadata-only commit; re-tagging
+    * an existing name re-points it.
+    */
+  def tagSnapshot(name: String, snapshotId: Long): Unit = {
+    require(name.nonEmpty, "tag name must be non-empty")
+    evolveMetadata { meta =>
+      require(meta.snapshotById(snapshotId).isDefined,
+        s"cannot tag unknown snapshot $snapshotId")
+      meta.copy(refs = Some(meta.tags + (name -> snapshotId)))
+    }
+  }
+
+  /** Drop a tag; the snapshot becomes expirable again. */
+  def removeTag(name: String): Unit =
+    evolveMetadata { meta =>
+      require(meta.tags.contains(name), s"no such tag '$name'")
+      meta.copy(refs = Some(meta.tags - name).filter(_.nonEmpty))
+    }
+
+  /** Time travel by tag name. */
+  def readTag(name: String): DataFrame =
+    timeTravel(metadata.tags.getOrElse(name,
+      throw new NoSuchElementException(s"no such tag '$name'")))
+
   private def readSnapshot(snap: Option[Snapshot]): DataFrame =
     readWithDeletes(
       snap.map(dataFiles).getOrElse(Nil),
@@ -177,6 +208,97 @@ final class LakehouseTable(
           }.toIndexedSeq: _*)
       }
     }
+
+  /** Incremental append-scan (Iceberg's incremental read analog): the
+    * rows ADDED by the snapshots in `(fromSnapshotId, toSnapshotId]` —
+    * the CDC primitive that lets a downstream pipeline process only
+    * what changed since its last run instead of rescanning the table
+    * (at 100 TB the difference between a daily delta job reading GBs
+    * and reading everything). Pure metadata planning: the added
+    * manifests of the range ARE the file list; no diffing of data.
+    *
+    * Snapshot classification is STRUCTURAL, not by operation label
+    * (callers can pass arbitrary operation strings to [[append]]):
+    *
+    *   - a commit that kept every parent manifest, added at most its
+    *     own manifest, and left the delete set unchanged is a pure
+    *     append — its added files are emitted;
+    *   - a commit that moved rows without adding any (compaction,
+    *     manifest fold: addedRows == 0 with replaced refs) is a logical
+    *     no-op — skipped;
+    *   - a commit that removed or rewrote rows (COW merge/delete,
+    *     MoR delete) cannot be expressed as appended rows — the scan
+    *     throws, matching Iceberg's incremental-scan contract;
+    *   - a MoR upsert ([[morMerge]]: parent manifests intact, delete
+    *     set grew, batch appended) throws by default; with
+    *     `emitUpserts = true` its added files are emitted — the
+    *     new-row-image stream a CDC consumer applies idempotently by
+    *     key.
+    *
+    * Walks the parent chain from `to` back to `from`, so an expired
+    * snapshot INSIDE the range (whose added rows would be silently
+    * missing from the delta) breaks the walk and throws instead of
+    * returning an incomplete diff.
+    */
+  def readIncremental(
+      fromSnapshotId: Long,
+      toSnapshotId: Long,
+      emitUpserts: Boolean = false): DataFrame = {
+    val meta = metadata
+    require(meta.snapshotById(fromSnapshotId).isDefined,
+      s"from-snapshot $fromSnapshotId not found (expired?)")
+    val chain = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
+    var cur = Some(meta.snapshotById(toSnapshotId).getOrElse(
+      throw new NoSuchElementException(s"to-snapshot $toSnapshotId not found"))): Option[Snapshot]
+    while (cur.exists(_.id != fromSnapshotId)) {
+      val s = cur.get
+      chain += s
+      cur = s.parentId.flatMap(meta.snapshotById)
+    }
+    if (cur.isEmpty)
+      throw new IllegalStateException(
+        s"snapshot chain from $toSnapshotId back to $fromSnapshotId is broken " +
+          "(a snapshot inside the range expired, or from is not an ancestor of to) — "
+          + "the delta would be incomplete")
+    val files = chain.reverseIterator.flatMap { s =>
+      val parent = s.parentId.flatMap(meta.snapshotById)
+      val parentData = parent.map(p => log.readManifestList(p).map(_.path).toSet).getOrElse(Set.empty)
+      val selfRefs = log.readManifestList(s).map(_.path).toSet
+      val parentDels = parent.map(p => liveDeleteFiles(p).map(_.path).toSet).getOrElse(Set.empty)
+      val selfDels = liveDeleteFiles(s).map(_.path).toSet
+      val pureAppend = parentData.subsetOf(selfRefs) &&
+        (selfRefs -- parentData).subsetOf(s.addedManifest.toSet) &&
+        selfDels == parentDels
+      val upsertShaped = parentData.subsetOf(selfRefs) &&
+        (selfRefs -- parentData).subsetOf(s.addedManifest.toSet) &&
+        parentDels.subsetOf(selfDels) && s.addedManifest.isDefined
+      // compaction / manifest fold move rows without adding any; both
+      // are only ever labeled by their own methods, and a user append
+      // that spoofed the label would already have matched pureAppend
+      // above. A compaction that folded MoR deletes is still skippable:
+      // the masks it realized were applied at-read before it (pre-from
+      // deletes) or emitted as upsert images earlier in this chain.
+      // (compact records its rewritten files as an added manifest but
+      // zero addedRows — moved, not added)
+      val rewriteOnly = s.addedRows == 0L &&
+        Set("compact", "rewrite-manifests").contains(s.operation)
+      if (pureAppend) s.addedManifest.map(log.readManifest).getOrElse(Nil)
+      else if (upsertShaped && emitUpserts) log.readManifest(s.addedManifest.get)
+      else if (rewriteOnly) Nil // compaction / manifest fold: rows moved, none added
+      else throw new UnsupportedOperationException(
+        s"incremental read across snapshot ${s.id} ('${s.operation}'): the commit " +
+          "removed or rewrote rows, which an append-scan cannot express" +
+          (if (upsertShaped) " (pass emitUpserts = true to stream upsert row images)"
+           else ""))
+    }.toSeq
+    readFiles(files)
+  }
+
+  /** Incremental append-scan from a snapshot to the current one. */
+  def readIncremental(fromSnapshotId: Long): DataFrame =
+    readIncremental(fromSnapshotId,
+      metadata.currentSnapshotId.getOrElse(
+        throw new IllegalStateException("empty table has no current snapshot")))
 
   /** Current-snapshot files whose key-column stats overlap [loUs, hiUs]
     * — two-level metadata skipping: manifest-list bounds drop whole
@@ -1145,7 +1267,10 @@ final class LakehouseTable(
       // tie-break on id: appends in the same millisecond must still rank
       // newest-last deterministically
       val byNewest = meta.snapshots.sortBy(s => (-s.timestampMs, -s.id))
-      val protectedIds = byNewest.take(keepLast).map(_.id).toSet ++ meta.currentSnapshotId
+      // tagged snapshots are pinned by name (reproducibility refs) —
+      // expiry must never age them out from under a consumer
+      val protectedIds = byNewest.take(keepLast).map(_.id).toSet ++
+        meta.currentSnapshotId ++ meta.tags.values
       val cutoff = nowMs - retentionMs
       val expired = meta.snapshots.filter(s => !protectedIds.contains(s.id) && s.timestampMs < cutoff)
       if (expired.isEmpty) return (Nil, Nil)

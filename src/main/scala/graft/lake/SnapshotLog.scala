@@ -169,7 +169,14 @@ final case class TableMetadata(
       * format must enforce by refusal instead.
       */
     renamedFrom: Option[Map[String, Seq[String]]] = None,
-    droppedColumns: Option[Seq[String]] = None
+    droppedColumns: Option[Seq[String]] = None,
+    /** Named snapshot refs (Iceberg tags): name → snapshot id. A tagged
+      * snapshot is pinned — expiry never drops it — so a deployment can
+      * mark "the snapshot training run X read" and time-travel to it by
+      * name for as long as the tag lives. Additive (pre-round-6
+      * metadata reads as no tags).
+      */
+    refs: Option[Map[String, Long]] = None
 ) {
   def currentSnapshot: Option[Snapshot] =
     currentSnapshotId.flatMap(id => snapshots.find(_.id == id))
@@ -179,6 +186,7 @@ final case class TableMetadata(
   def tombstones: Set[String] = droppedColumns.getOrElse(Nil).toSet
   /** Every historical physical name still present in old data files. */
   def historicalNames: Set[String] = aliasMap.values.flatten.toSet
+  def tags: Map[String, Long] = refs.getOrElse(Map.empty)
 }
 
 /** A commit lost the optimistic race: the version pointer moved (or a

@@ -68,7 +68,9 @@ object LakeOps {
   }
 
   /** Two appends (even event_ids, then everything); time travel to the
-    * first snapshot must see only the even rows, current sees all.
+    * first snapshot must see only the even rows, current sees all. The
+    * first snapshot is addressed by a NAMED TAG (Iceberg tag analog),
+    * covering tagSnapshot/readTag under the same oracle.
     */
   def timeTravel(s: SparkSession, dir: String): DataFrame = {
     val pipeline = new IngestPipeline(s, eventsConfig(freshWarehouse("graft-tt")))
@@ -76,8 +78,8 @@ object LakeOps {
     pipeline.ingestBatch("events", ev.filter(col("event_id") % 2 === 0))
     pipeline.ingestBatch("events", ev)
     val table: LakehouseTable = pipeline.catalog.loadTable("gold.events")
-    val firstSnap = table.snapshots.head.id
-    val atFirst = table.timeTravel(firstSnap)
+    table.tagSnapshot("first-ingest", table.snapshots.head.id)
+    val atFirst = table.readTag("first-ingest")
       .agg(count(lit(1)).as("n_rows")).select(lit(1L).as("snap"), col("n_rows"))
     val atCurrent = table.read()
       .agg(count(lit(1)).as("n_rows")).select(lit(2L).as("snap"), col("n_rows"))
@@ -359,6 +361,27 @@ object LakeOps {
       .withColumn("no_rewrite", lit(noRewrite))
   }
 
+  /** Incremental append-scan flow: three appends with a compaction
+    * wedged in the middle; the delta from the first snapshot must
+    * contain exactly the rows of appends two and three (the compaction
+    * moves every row but adds none, so it contributes nothing) — the
+    * read-only-what-changed primitive a downstream daily job runs
+    * instead of a full rescan.
+    */
+  def incrementalFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ev = graft.Tables.t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
+    val table = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(freshWarehouse("graft-in"), "events"), ev.schema, Some("ts"))
+    val s1 = table.append(ev.filter(col("event_id") % 3 === 0))
+    table.append(ev.filter(col("event_id") % 3 === 1))
+    table.compact()
+    table.append(ev.filter(col("event_id") % 3 === 2))
+    table.readIncremental(s1.id).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+  }
+
   /** Copy-on-write DELETE: drop every 7th event, read back totals. */
   def deleteFlow(s: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
@@ -379,6 +402,14 @@ object LakeOps {
       Some("""SELECT count(*) AS n_rows,
              |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
              |FROM events WHERE event_id % 7 <> 0""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_incremental",
+      incrementalFlow,
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM events WHERE event_id % 3 <> 0""".stripMargin)
     ),
 
     QuerySpec(
