@@ -570,4 +570,88 @@ object DedupOps {
     dedupByPairs(docs,
       minHashNearDups(docs, idCol, textCol, numHashes, bands, shingleK, threshold),
       idCol)
+
+  // ---- cross-corpus line dedup (CCNet/C4-style) ---------------------------
+
+  /** Segment each document into fixed-size token "lines":
+    * (id, line_no, line) with `tokensPerLine` tokens per line (the last
+    * line of a doc may be shorter). For naturally line-structured text,
+    * split on the real delimiter instead and feed
+    * [[dropDuplicatedLines]] directly — this helper exists for corpora
+    * without delimiters. Pure projection + explode: no shuffle.
+    */
+  def segmentTokenLines(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tokensPerLine: Int = 8): DataFrame = {
+    require(tokensPerLine >= 1, "tokensPerLine must be >= 1")
+    val k = tokensPerLine
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), when(size(col("__toks")) === 0, array())
+        .otherwise(transform(
+          sequence(lit(0), ((size(col("__toks")) - 1) / lit(k)).cast("int")),
+          i => array_join(slice(col("__toks"), i * k + 1, lit(k)), " ")))
+        .as("__lines"))
+      .select(col(idCol), posexplode(col("__lines")).as(Seq("line_no", "line")))
+      .withColumn("line_no", col("line_no").cast(org.apache.spark.sql.types.LongType))
+  }
+
+  /** Cross-corpus duplicated-line removal — the C4/CCNet boilerplate
+    * filter: drop every line whose DOC-FREQUENCY (distinct documents
+    * containing it) exceeds `maxDocFreq`; navigation chrome, cookie
+    * banners and licence blurbs repeat across thousands of pages and
+    * survive document-level dedup because each HOST page is unique.
+    *
+    * 100 TB shape: one hash-aggregate on the line text (map-side
+    * combined count-distinct) + one left-semi join back — both shuffle
+    * on the line, nothing collects. Exact string grouping, not a hash
+    * digest: a 64-bit digest collision at 10¹⁰ lines would silently
+    * delete an innocent line, and unlike the gram-key joins (where a
+    * collision only inflates one Jaccard estimate) the failure here
+    * would be data loss.
+    */
+  def dropDuplicatedLines(
+      lines: DataFrame,
+      idCol: String = "doc_id",
+      lineCol: String = "line",
+      maxDocFreq: Int = 1): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    val dfreq = lines.groupBy(col(lineCol))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select(col(lineCol))
+    lines.join(dfreq, Seq(lineCol), "left_semi")
+  }
+
+  /** Reassemble surviving lines into documents: (id, text) with lines
+    * re-joined in order. Documents whose every line was dropped do not
+    * reappear (there is nothing left of them). One hash-aggregate.
+    */
+  def reassembleLines(
+      lines: DataFrame,
+      idCol: String = "doc_id",
+      orderCol: String = "line_no",
+      lineCol: String = "line",
+      sep: String = " ",
+      outCol: String = "text_clean"): DataFrame =
+    lines.groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col(orderCol), col(lineCol)))),
+          s => s.getField(lineCol)),
+        sep).as(outCol))
+
+  /** The composed operator: segment → corpus-df filter → reassemble. */
+  def dedupLinesTokenized(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tokensPerLine: Int = 8,
+      maxDocFreq: Int = 1): DataFrame =
+    reassembleLines(
+      dropDuplicatedLines(
+        segmentTokenLines(docs, idCol, textCol, tokensPerLine), idCol, "line", maxDocFreq),
+      idCol)
 }

@@ -478,6 +478,63 @@ object TextOps {
            |SELECT doc_id, CAST($pack AS BIGINT) AS simhash
            |FROM v ORDER BY doc_id""".stripMargin
       }
+    ),
+
+    QuerySpec(
+      "q_text_line_dedup",
+      // C4/CCNet-style cross-corpus duplicated-line removal: segment
+      // each doc into 8-token lines, drop every line present in more
+      // than one document (boilerplate), reassemble the survivors.
+      // Value-checked line-for-line against DuckDB recomputing the
+      // same segmentation + doc-frequency filter.
+      (s, dir) =>
+        DedupOps.dedupLinesTokenized(
+          t(s, dir, "documents"), tokensPerLine = 8, maxDocFreq = 1)
+          .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         unnest(list_filter(string_split(text,' '), x -> length(x)>0)) AS tok,
+             |         generate_subscripts(list_filter(string_split(text,' '), x -> length(x)>0), 1) AS ord
+             |  FROM documents
+             |), lines AS (
+             |  SELECT doc_id, CAST((ord-1)//8 AS BIGINT) AS line_no,
+             |         string_agg(tok, ' ' ORDER BY ord) AS line
+             |  FROM toks GROUP BY 1, 2
+             |), dfreq AS (
+             |  SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) <= 1
+             |)
+             |SELECT l.doc_id, string_agg(l.line, ' ' ORDER BY l.line_no) AS text_clean
+             |FROM lines l JOIN dfreq d USING (line)
+             |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin),
+      bench = true
+    ),
+
+    QuerySpec(
+      "q_text_pii",
+      // PII scrub: inject a deterministic email / IPv4 / phone tail per
+      // doc (the corpus carries none), redact, and value-check the
+      // redacted strings — both engines run the identical RE2-subset
+      // patterns, so the outputs must be byte-equal.
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(
+              col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com from 10.0."), col("doc_id") % 256,
+              lit(".7 call +1-555-"), col("doc_id") + 1000).as("text_pii"))
+          .select(col("doc_id"),
+            graft.ops.TextAnalysis.redactPii(col("text_pii")).as("text_redacted"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  regexp_replace(
+             |    regexp_replace(
+             |      regexp_replace(
+             |        text || ' contact user' || doc_id || '@example.com from 10.0.'
+             |             || (doc_id % 256) || '.7 call +1-555-' || (doc_id + 1000),
+             |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |    '\+\d{1,3}-\d{3}-\d{3,6}', '<PHONE>', 'g') AS text_redacted
+             |FROM documents ORDER BY doc_id""".stripMargin)
     )
   )
 }
