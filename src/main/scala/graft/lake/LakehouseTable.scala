@@ -425,6 +425,42 @@ final class LakehouseTable(
     withCommitRetry(commitAppend(metadata, log.currentVersion, moved, operation))
   }
 
+  /** Exactly-once streaming append for foreachBatch sinks: commit the
+    * micro-batch AND advance this query's batch watermark in ONE atomic
+    * metadata commit, so a replayed batch (Structured Streaming
+    * re-delivers the in-flight batch after a restart — foreachBatch is
+    * at-least-once by itself) is recognized and skipped instead of
+    * duplicated. Returns None for replays and empty batches. This is
+    * the transactional half Iceberg's streaming sink adds on top of
+    * Spark's checkpointing; see [[graft.stream.LakehouseSink]] for the
+    * writeStream wiring.
+    *
+    * Batches may rebase-retry like any append (they commute); the
+    * watermark check re-runs against fresh metadata on every attempt,
+    * so two concurrent deliveries of the same batch cannot both land.
+    */
+  def appendStream(queryId: String, batchId: Long, df: DataFrame): Option[Snapshot] = {
+    require(queryId.nonEmpty, "queryId must be non-empty")
+    // cheap pre-check before any data is written
+    if (metadata.streamWatermarks.get(queryId).exists(_ >= batchId)) return None
+    val moved = writeStaged(metadata, df)
+    // an empty batch commits nothing and leaves the watermark alone: a
+    // replay of it is harmless by construction
+    if (moved.isEmpty) return None
+    val snap = withCommitRetry {
+      val meta = metadata
+      if (meta.streamWatermarks.get(queryId).exists(_ >= batchId)) null
+      else {
+        val stamped = meta.copy(streamProgress =
+          Some(meta.streamWatermarks + (queryId -> batchId)))
+        commitAppend(stamped, log.currentVersion, moved, "stream-append")
+      }
+    }
+    // a lost race against our own replay leaves the moved files
+    // unreferenced — same crash-leftover class removeOrphanedFiles reaps
+    Option(snap)
+  }
+
   /** Bounded optimistic rebase-retry for COMMUTING commits. Appends and
     * metadata-only rewrites commute with any interleaved commit: the
     * staged data files are already in place, so a loser just re-reads

@@ -176,7 +176,15 @@ final case class TableMetadata(
       * name for as long as the tag lives. Additive (pre-round-6
       * metadata reads as no tags).
       */
-    refs: Option[Map[String, Long]] = None
+    refs: Option[Map[String, Long]] = None,
+    /** Exactly-once streaming-write watermark: streaming query id →
+      * highest micro-batch id committed to this table. Because the map
+      * is updated in the SAME atomic commit as the batch's snapshot,
+      * a foreachBatch replay after a crash (Spark re-delivers the last
+      * in-flight batch) sees its batchId already recorded and becomes a
+      * no-op instead of a duplicate append. Additive field.
+      */
+    streamProgress: Option[Map[String, Long]] = None
 ) {
   def currentSnapshot: Option[Snapshot] =
     currentSnapshotId.flatMap(id => snapshots.find(_.id == id))
@@ -187,6 +195,7 @@ final case class TableMetadata(
   /** Every historical physical name still present in old data files. */
   def historicalNames: Set[String] = aliasMap.values.flatten.toSet
   def tags: Map[String, Long] = refs.getOrElse(Map.empty)
+  def streamWatermarks: Map[String, Long] = streamProgress.getOrElse(Map.empty)
 }
 
 /** A commit lost the optimistic race: the version pointer moved (or a

@@ -361,6 +361,29 @@ object LakeOps {
       .withColumn("no_rewrite", lit(noRewrite))
   }
 
+  /** Exactly-once streaming-sink flow: two micro-batches land via
+    * [[LakehouseTable.appendStream]], then batch 1 is REPLAYED (Spark's
+    * at-least-once foreachBatch failure mode after a restart). The
+    * committed watermark must swallow the replay, so the table equals
+    * the plain union of the two batches — which is what DuckDB
+    * computes over the raw parquet.
+    */
+  def streamSinkFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ev = graft.Tables.t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
+    val table = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(freshWarehouse("graft-ss"), "events"), ev.schema, Some("ts"))
+    val b0 = ev.filter(col("event_id") % 2 === 0)
+    val b1 = ev.filter(col("event_id") % 2 === 1)
+    table.appendStream("ingest", 0L, b0)
+    table.appendStream("ingest", 1L, b1)
+    val replay = table.appendStream("ingest", 1L, b1) // crash-replay: must no-op
+    table.read().agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .withColumn("replay_skipped", lit(replay.isEmpty))
+  }
+
   /** Incremental append-scan flow: three appends with a compaction
     * wedged in the middle; the delta from the first snapshot must
     * contain exactly the rows of appends two and three (the compaction
@@ -402,6 +425,15 @@ object LakeOps {
       Some("""SELECT count(*) AS n_rows,
              |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
              |FROM events WHERE event_id % 7 <> 0""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_stream_sink",
+      streamSinkFlow,
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       true AS replay_skipped
+             |FROM events""".stripMargin)
     ),
 
     QuerySpec(
