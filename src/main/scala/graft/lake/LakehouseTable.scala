@@ -758,7 +758,7 @@ final class LakehouseTable(
     * buys read-side file skipping). Part names carry a write-UUID so
     * files from different commits never collide.
     */
-  private def moveStaged(staging: Path): Seq[DataFile] = {
+  private def moveStaged(staging: Path, extraStatCols: Seq[String] = Nil): Seq[DataFile] = {
     val keyCol = metadata.partitionTransform
     val stagingQ = fs.makeQualified(staging) // listFiles returns qualified paths
     val parts = scala.collection.mutable.ArrayBuffer.empty[Path]
@@ -782,8 +782,9 @@ final class LakehouseTable(
       val dest = new Path(destDir, name)
       if (!fs.rename(src, dest))
         throw new IllegalStateException(s"failed to move $src -> $dest")
-      val (rows, mn, mx) = footerStats(dest, keyCol)
-      DataFile(s"data/${if (relDir.isEmpty) "" else relDir}$name", rows, mn, mx)
+      val (rows, mn, mx, extra) = footerInfo(dest, keyCol, extraStatCols)
+      DataFile(s"data/${if (relDir.isEmpty) "" else relDir}$name", rows, mn, mx,
+        extraBounds = if (extra.isEmpty) None else Some(extra))
     }
     fs.delete(staging, true)
     moved
@@ -1112,6 +1113,99 @@ final class LakehouseTable(
       deletesOverride = Some(Nil))
   }
 
+  /** Z-order compaction (Delta/Iceberg OPTIMIZE ZORDER BY analog):
+    * rewrite the current snapshot clustered on the MORTON INTERLEAVING
+    * of `zCols`, so per-file footer ranges stay tight on EVERY z-column
+    * at once and a predicate on any of them skips files — the
+    * single-key sort of [[compact]] can only serve the time key.
+    * Alongside the rewrite, each output file records conservative
+    * per-column bounds in the manifest ([[DataFile.extraBounds]]), so
+    * the skipping happens at METADATA level ([[filesOverlappingColumn]])
+    * before Spark plans a scan — same two-level pruning the time key
+    * gets, extended to secondary dimensions. MoR deletes fold, the
+    * delete set clears, old snapshots keep the pre-rewrite layout.
+    *
+    * One extra tiny agg pass computes per-column min/max for the
+    * z-scaling (linear; see [[ZOrder]] for the skew caveat).
+    */
+  def compactZOrder(zCols: Seq[String], filesPerPartition: Int = 4): Snapshot = {
+    require(zCols.nonEmpty, "compactZOrder needs at least one cluster column")
+    require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    val meta = metadata
+    val current = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("cannot compact an empty table"))
+    val schemaByName = readSchema.fields.map(f => f.name -> f.dataType).toMap
+    zCols.foreach(c => require(schemaByName.contains(c),
+      s"z-order column '$c' is not a table column"))
+    val currentFiles = dataFiles(current)
+    val df = readWithDeletes(currentFiles, liveDeleteFiles(current))
+    val version = log.currentVersion
+
+    // bounds pass: min/max of each z-column's long-comparable rep
+    val reps = zCols.map(c => ZOrder.rep(col(c), schemaByName(c)))
+    val aggExprs = reps.flatMap(r => Seq(min(r), max(r)))
+    val row = df.agg(aggExprs.head, aggExprs.tail: _*).head()
+    val withBounds = zCols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) =
+        if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) (0.0, 1.0) // all-null column
+        else (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+      (col(c), schemaByName(c), lo, hi)
+    }
+    val zv = ZOrder.zValue(withBounds)
+
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val stagingName = s".staging-${UUID.randomUUID().toString.take(8)}"
+    val staging = new Path(tableDir, stagingName)
+    val nPartDirs = math.max(1,
+      currentFiles.map(f => f.path.split("/").dropRight(1).mkString("/")).distinct.size)
+    val n = nPartDirs * filesPerPartition
+    // range-partition on (partition dir, z) then sort within tasks; the
+    // z column is dropped before the write — a projection preserves the
+    // physical row order, and the writer's required ordering (partition
+    // cols) is satisfied by the declared (pc) prefix, so no re-sort is
+    // inserted and the files land z-clustered without materializing __z
+    val zc = col("__graft_z")
+    val sorted = meta.partitionColumns match {
+      case Seq(pc) =>
+        df.withColumn("__graft_z", zv)
+          .repartitionByRange(n, col(pc), zc)
+          .sortWithinPartitions(col(pc), zc)
+          .drop("__graft_z")
+      case _ =>
+        df.withColumn("__graft_z", zv)
+          .repartitionByRange(n, zc)
+          .sortWithinPartitions(zc)
+          .drop("__graft_z")
+    }
+    val writer = sorted.write.mode("overwrite")
+    (meta.partitionColumns match {
+      case Seq(pc) => withBloomOption(meta, writer).partitionBy(pc)
+      case _ => withBloomOption(meta, writer)
+    }).parquet(staging.toString)
+
+    val moved = moveStaged(staging, extraStatCols = zCols)
+    commitSnapshot(meta, version, moved, "compact", Some(Nil),
+      totalRows = moved.map(_.rows).sum, addedRowsOverride = Some(0L),
+      deletesOverride = Some(Nil))
+  }
+
+  /** Current-snapshot files that MAY contain values of `column` in
+    * [lo, hi], pruned on the secondary bounds z-order compaction
+    * records. Files without recorded bounds (normal appends) are always
+    * kept — skipping is an optimization the layout earns, never a
+    * correctness assumption.
+    */
+  def filesOverlappingColumn(column: String, lo: Long, hi: Long): Seq[DataFile] =
+    currentDataFiles.filter(_.overlapsColumn(column, lo, hi))
+
+  /** Range read on a SECONDARY (non-time) numeric column: metadata
+    * skipping via [[filesOverlappingColumn]], then the exact predicate.
+    * The time key keeps its own finer path ([[readRange]]).
+    */
+  def readColumnRange(column: String, lo: Long, hi: Long): DataFrame =
+    readWithDeletes(filesOverlappingColumn(column, lo, hi), currentDeleteFiles)
+      .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+
   /** One-call table maintenance — the job a deployment schedules beside
     * a live ingest. In order:
     *
@@ -1205,30 +1299,74 @@ final class LakehouseTable(
     * surface as longs). No data pages are touched.
     */
   private def footerStats(p: Path, keyCol: Option[String]): (Long, Option[Long], Option[Long]) = {
+    val (rows, mn, mx, _) = footerInfo(p, keyCol, Nil)
+    (rows, mn, mx)
+  }
+
+  /** Conservative long bounds of `cols` from a parquet footer (INT64 /
+    * INT32 exact; DOUBLE floored/ceiled outward; other types skipped).
+    * A column with no usable stats is omitted — absent bounds mean
+    * "cannot skip", never "empty".
+    */
+  private def footerColumnBounds(p: Path, cols: Seq[String]): Seq[ColumnBounds] = {
+    if (cols.isEmpty) return Nil
+    footerInfo(p, None, cols)._4
+  }
+
+  private def footerInfo(
+      p: Path, keyCol: Option[String], extraCols: Seq[String])
+      : (Long, Option[Long], Option[Long], Seq[ColumnBounds]) = {
     val in = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
     try {
       val rows = in.getRecordCount
       var lo: Option[Long] = None
       var hi: Option[Long] = None
-      keyCol.foreach { k =>
-        in.getFooter.getBlocks.forEach { b =>
-          b.getColumns.forEach { c =>
-            if (c.getPath.toDotString == k) {
-              val st = c.getStatistics
-              if (st != null && st.hasNonNullValue) {
-                (st.genericGetMin, st.genericGetMax) match {
-                  case (mnv: java.lang.Long, mxv: java.lang.Long) =>
-                    lo = Some(lo.fold(mnv.longValue)(math.min(_, mnv.longValue)))
-                    hi = Some(hi.fold(mxv.longValue)(math.max(_, mxv.longValue)))
-                  case _ => ()
-                }
-              }
+      val extras = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      // a row group whose stats are missing (not provably all-null)
+      // poisons the column: bounds from the other groups would be too
+      // narrow and metadata skipping would silently drop rows
+      val poisoned = scala.collection.mutable.Set.empty[String]
+      val extraSet = extraCols.toSet
+      in.getFooter.getBlocks.forEach { b =>
+        b.getColumns.forEach { c =>
+          val name = c.getPath.toDotString
+          val st = c.getStatistics
+          if (keyCol.contains(name) && st != null && st.hasNonNullValue) {
+            (st.genericGetMin, st.genericGetMax) match {
+              case (mnv: java.lang.Long, mxv: java.lang.Long) =>
+                lo = Some(lo.fold(mnv.longValue)(math.min(_, mnv.longValue)))
+                hi = Some(hi.fold(mxv.longValue)(math.max(_, mxv.longValue)))
+              case _ => ()
             }
+          }
+          if (extraSet.contains(name)) {
+            val allNull = st != null && st.isNumNullsSet &&
+              st.getNumNulls == b.getRowCount
+            if (st != null && st.hasNonNullValue) {
+              val asLong: Option[(Long, Long)] = (st.genericGetMin, st.genericGetMax) match {
+                case (mnv: java.lang.Long, mxv: java.lang.Long) =>
+                  Some((mnv.longValue, mxv.longValue))
+                case (mnv: java.lang.Integer, mxv: java.lang.Integer) =>
+                  Some((mnv.longValue, mxv.longValue))
+                case (mnv: java.lang.Double, mxv: java.lang.Double) =>
+                  Some((math.floor(mnv.doubleValue).toLong, math.ceil(mxv.doubleValue).toLong))
+                case _ => None
+              }
+              asLong match {
+                case Some((mn, mx)) =>
+                  val cur = extras.get(name)
+                  extras(name) = (cur.fold(mn)(c => math.min(c._1, mn)),
+                    cur.fold(mx)(c => math.max(c._2, mx)))
+                case None => poisoned += name // unsupported type
+              }
+            } else if (!allNull) poisoned += name // stats absent, values unknown
           }
         }
       }
-      (rows, lo, hi)
+      val boundsOut = extraCols.filterNot(poisoned.contains)
+        .flatMap(c => extras.get(c).map { case (mn, mx) => ColumnBounds(c, mn, mx) })
+      (rows, lo, hi, boundsOut)
     } finally in.close()
   }
 

@@ -57,14 +57,38 @@ final case class DataFile(
       * Absent (pre-round-6 metadata) means "before every delete" —
       * additive, no format bump.
       */
-    seq: Option[Long] = None
+    seq: Option[Long] = None,
+    /** Secondary per-column footer bounds, recorded by z-order
+      * compaction for its cluster columns ([[LakehouseTable
+      * .compactZOrder]]) — what makes the z-layout visible to
+      * METADATA-level skipping, not just parquet row-group stats.
+      * Bounds are conservative longs (doubles floor/ceil outward).
+      * Absent on normally-written files ⇒ such a file can never be
+      * skipped on a secondary column — additive and safe.
+      */
+    extraBounds: Option[Seq[ColumnBounds]] = None
 ) {
   def overlaps(loUs: Long, hiUs: Long): Boolean = (minKeyUs, maxKeyUs) match {
     case (Some(lo), Some(hi)) => hi >= loUs && lo <= hiUs
     case _ => true // no stats ⇒ cannot skip
   }
   def seqOrMin: Long = seq.getOrElse(Long.MinValue)
+
+  /** Whether the file may contain values of `column` in [lo, hi] —
+    * true when no bounds were recorded (cannot skip what was never
+    * measured).
+    */
+  def overlapsColumn(column: String, lo: Long, hi: Long): Boolean =
+    extraBounds.flatMap(_.find(_.column == column)) match {
+      case Some(b) => b.max >= lo && b.min <= hi
+      case None => true
+    }
 }
+
+/** Conservative [min, max] of one column within one data file (longs;
+  * double columns floor/ceil outward, timestamps are epoch micros).
+  */
+final case class ColumnBounds(column: String, min: Long, max: Long)
 
 /** An equality-delete file (Iceberg v2 merge-on-read analog): a parquet
   * file of KEY VALUES whose matching rows are logically deleted from

@@ -99,6 +99,29 @@ object LakeOps {
       .withColumn("n_files", lit(nFiles)) // 1 partition (all 2024) → 1 file
   }
 
+  /** Z-order maintenance flow: ingest events in three chunks, rewrite
+    * clustered on (ts, event_id), then answer an event_id slice through
+    * the secondary-bounds pruned path. Layout must be invisible to
+    * results (totals equal DuckDB over the raw parquet); `pruned` pins
+    * that the narrow slice plans a strict subset of the files — the
+    * metadata-level benefit z-ordering exists for.
+    */
+  def zorderFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ev = graft.Tables.t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
+    val table = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(freshWarehouse("graft-zo"), "events"), ev.schema, Some("ts"))
+    (0 until 3).foreach(i => table.append(ev.filter(col("event_id") % 3 === i)))
+    table.compactZOrder(Seq("ts", "event_id"), filesPerPartition = 8)
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    val total = table.currentDataFiles.size
+    val kept = table.filesOverlappingColumn("event_id", 0L, maxId / 16).size
+    table.readColumnRange("event_id", 0L, maxId / 16).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .withColumn("pruned", lit(kept < total))
+  }
+
   /** The audit trail as a queryable table (reference audit_log.json,
     * `lakehouse_pipeline.py:97-107`): two pipeline runs — full ingest,
     * then a fully-deduped re-ingest — audited as (run_seq, rows).
@@ -425,6 +448,17 @@ object LakeOps {
       Some("""SELECT count(*) AS n_rows,
              |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
              |FROM events WHERE event_id % 7 <> 0""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_zorder",
+      zorderFlow,
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       true AS pruned
+             |FROM events
+             |WHERE event_id >= 0
+             |  AND event_id <= (SELECT max(event_id) FROM events) // 16""".stripMargin)
     ),
 
     QuerySpec(
