@@ -230,6 +230,29 @@ object SimilaritySearch {
       .filter(col("sim") >= threshold)
   }
 
+  /** End-to-end EMBEDDING corpus dedup — the semantic twin of
+    * [[graft.ops.DedupOps.dedupCorpus]]: cosine near-dup pairs →
+    * connected-component closure → keep the min-id representative per
+    * cluster → anti-join the losers out. Returns the surviving corpus.
+    * `lsh = true` (default) generates candidates by multi-table LSH
+    * collision (the 100 TB path — cost follows collisions, not n²) and
+    * verifies them with exact cosine before the closure, so precision
+    * is exact and only LSH recall is probabilistic; `lsh = false` is
+    * the exact all-pairs baseline for oracle-scale validation.
+    */
+  def dedupCorpusEmbeddings(
+      vectors: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.9,
+      lsh: Boolean = true): DataFrame = {
+    val pairs =
+      (if (lsh) nearDupPairsLsh(vectors, idCol, vecCol, threshold)
+       else nearDupPairs(vectors, idCol, vecCol, threshold))
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    graft.ops.DedupOps.dedupByPairs(vectors, pairs, idCol)
+  }
+
   /** All-pairs near-duplicates above a cosine threshold. Exact O(n²)
     * variant for oracle-checkable sizes; the scale path is
     * [[nearDupPairsLsh]].

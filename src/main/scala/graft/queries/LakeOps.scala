@@ -407,6 +407,34 @@ object LakeOps {
       .withColumn("replay_skipped", lit(replay.isEmpty))
   }
 
+  /** Incremental mirror flow (bronze → gold materialization): two
+    * appends into a source table, a mirror step after each, a
+    * maintenance compaction wedged in the delta range, and a final idle
+    * step that must no-op. The destination must equal the full events
+    * set exactly once — the watermark committed atomically with each
+    * delta is what rules duplicates out.
+    */
+  def mirrorFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ev = graft.Tables.t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
+    val wh = freshWarehouse("graft-mi")
+    val src = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(wh, "bronze"), ev.schema, Some("ts"))
+    val dst = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(wh, "gold"), ev.schema, Some("ts"))
+    src.append(ev.filter(col("event_id") % 2 === 0))
+    val first = graft.stream.LakehouseMirror.step(src, dst, "gold")
+    src.append(ev.filter(col("event_id") % 2 === 1))
+    src.compact() // maintenance inside the next delta range: skipped
+    val second = graft.stream.LakehouseMirror.step(src, dst, "gold")
+    val idle = graft.stream.LakehouseMirror.step(src, dst, "gold")
+    dst.read().agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .withColumn("stepped_clean",
+        lit(first.isDefined && second.isDefined && idle.isEmpty))
+  }
+
   /** Incremental append-scan flow: three appends with a compaction
     * wedged in the middle; the delta from the first snapshot must
     * contain exactly the rows of appends two and three (the compaction
@@ -448,6 +476,15 @@ object LakeOps {
       Some("""SELECT count(*) AS n_rows,
              |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
              |FROM events WHERE event_id % 7 <> 0""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_mirror",
+      mirrorFlow,
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       true AS stepped_clean
+             |FROM events""".stripMargin)
     ),
 
     QuerySpec(

@@ -86,6 +86,43 @@ object VectorOps {
     ),
 
     QuerySpec(
+      "q_vec_dedup_corpus",
+      // semantic corpus dedup: cosine near-dup pairs (exact variant so
+      // DuckDB can reproduce the pair set) → component closure →
+      // keep-min representative → anti-join; the surviving id set is
+      // value-checked against a DuckDB recursive CTE. The LSH variant
+      // of the same composition is the scale path (candidates by
+      // collision, exact-cosine verification) and is covered by the
+      // q_vec_lsh_contract subset gate.
+      (s, dir) =>
+        graft.ops.SimilaritySearch
+          .dedupCorpusEmbeddings(
+            t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4, lsh = false)
+          .select(col("vec_id")).orderBy("vec_id"),
+      Some("""WITH RECURSIVE v AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+             |), e AS (
+             |  SELECT a.vec_id AS da, b.vec_id AS db
+             |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+             |  WHERE list_dot_product(a.vec, b.vec)
+             |        / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) >= 0.4
+             |), und AS (
+             |  SELECT da AS a, db AS b FROM e
+             |  UNION ALL
+             |  SELECT db, da FROM e
+             |), reach(node, lab) AS (
+             |  SELECT a, a FROM und
+             |  UNION
+             |  SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node
+             |), losers AS (
+             |  SELECT node FROM reach GROUP BY node HAVING node <> min(lab)
+             |)
+             |SELECT vec_id FROM embeddings
+             |WHERE vec_id NOT IN (SELECT node FROM losers)
+             |ORDER BY vec_id""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_vec_ann_lsh",
       (s, dir) => {
         // 16 tables × 4 planes: measured recall@5 = 0.88–0.91 at

@@ -102,4 +102,30 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
     assert(pairs.forall(r => r.getDouble(2) >= 0.4))
   }
+
+  test("embedding corpus dedup keeps exactly one representative per planted cluster") {
+    // three exact copies of vec 0, two of vec 1 (plus the originals),
+    // re-idded above the corpus range — each planted cluster must
+    // collapse to its minimum id (the original)
+    val planted = emb.limit(2).collect()
+    val copies = Seq(
+      (1000L, planted(0).getSeq[Float](1)), (1001L, planted(0).getSeq[Float](1)),
+      (1002L, planted(1).getSeq[Float](1))
+    ).toDF("vec_id", "embedding")
+    val corpus = emb.select($"vec_id", $"embedding").unionByName(copies)
+
+    val survivors = SimilaritySearch
+      .dedupCorpusEmbeddings(corpus, threshold = 0.999, lsh = false)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!survivors.exists(_ >= 1000L), "planted copies must be dropped")
+    assert(survivors.contains(0L) && survivors.contains(1L), "originals survive")
+
+    // LSH variant: survivors are a superset (missed candidates stay),
+    // and never drop anything the exact path kept
+    val lshSurvivors = SimilaritySearch
+      .dedupCorpusEmbeddings(corpus, threshold = 0.999, lsh = true)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.subsetOf(lshSurvivors),
+      "LSH dedup must only err toward keeping documents")
+  }
 }
