@@ -137,6 +137,34 @@ object TextAnalysis {
       round(topFrac, 4).as("top_token_frac"))
   }
 
+  /** Gopher/MassiveText-style composite quality GATE — the keep/drop
+    * decision a pretraining pipeline actually applies, composed from
+    * the signals above: minimum length, lexical diversity
+    * (type–token ratio), and two repetition caps. Thresholds compare
+    * against the ROUNDED (4 dp) signal columns so any engine
+    * recomputing the signals lands on the same side of every boundary.
+    * Pure projection + filter: runs at scan speed, no shuffle; at
+    * 100 TB this is the map-side gate in front of every downstream op.
+    */
+  def gopherFilter(
+      df: DataFrame,
+      textCol: String = "text",
+      minTokens: Long = 20L,
+      minTypeTokenRatio: Double = 0.35,
+      maxTopTokenFrac: Double = 0.12,
+      maxDup2GramFrac: Double = 0.06): DataFrame = {
+    val base = df.withColumn("__graft_toks", tokens(col(textCol)))
+    val sig = base.select(
+      (Seq(col("*")) ++ qualityColumns(col(textCol)) ++
+        repetitionColumns(col("__graft_toks"))): _*)
+    sig.filter(
+      col("n_tokens") >= minTokens &&
+        col("type_token_ratio") >= minTypeTokenRatio &&
+        col("top_token_frac") <= maxTopTokenFrac &&
+        col("dup_2gram_frac") <= maxDup2GramFrac)
+      .drop("__graft_toks")
+  }
+
   /** Exact content fingerprint — MD5 over the raw text bytes. */
   def fingerprint(text: Column): Column = md5(text.cast(BinaryType))
 

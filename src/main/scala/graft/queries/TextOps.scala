@@ -481,6 +481,46 @@ object TextOps {
     ),
 
     QuerySpec(
+      "q_text_quality_filter",
+      // the composite Gopher-style GATE over the per-doc signals: both
+      // engines recompute length/diversity/repetition and must agree on
+      // every keep/drop decision (thresholds compare rounded signals,
+      // so boundary docs cannot land on different sides)
+      (s, dir) =>
+        TextAnalysis.gopherFilter(t(s, dir, "documents"))
+          .select(col("doc_id"), col("n_tokens"), col("type_token_ratio"),
+            col("top_token_frac"), col("dup_2gram_frac"))
+          .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split(text,' '), t -> length(t)>0) AS tk
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id, tk,
+             |    list_transform(range(1, CASE WHEN length(tk)-1 >= 1 THEN length(tk) ELSE 1 END),
+             |                   i -> tk[i] || ' ' || tk[i+1]) AS g2
+             |  FROM tk
+             |), m AS (
+             |  SELECT doc_id,
+             |    CAST(length(tk) AS BIGINT) AS n_tokens,
+             |    round(CAST(length(list_distinct(tk)) AS DOUBLE)
+             |          / CAST(length(tk) AS DOUBLE), 4) AS type_token_ratio,
+             |    round(CASE WHEN length(tk) > 0 THEN
+             |      CAST(list_max(list_transform(list_distinct(tk),
+             |             x -> length(list_filter(tk, y -> y = x)))) AS DOUBLE)
+             |        / CAST(length(tk) AS DOUBLE) ELSE 0.0 END, 4) AS top_token_frac,
+             |    round(CASE WHEN length(g2) > 0 THEN
+             |      CAST(length(g2) - length(list_distinct(g2)) AS DOUBLE)
+             |        / CAST(length(g2) AS DOUBLE) ELSE 0.0 END, 4) AS dup_2gram_frac
+             |  FROM g
+             |)
+             |SELECT doc_id, n_tokens, type_token_ratio, top_token_frac, dup_2gram_frac
+             |FROM m
+             |WHERE n_tokens >= 20 AND type_token_ratio >= 0.35
+             |  AND top_token_frac <= 0.12 AND dup_2gram_frac <= 0.06
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_text_line_dedup",
       // C4/CCNet-style cross-corpus duplicated-line removal: segment
       // each doc into 8-token lines, drop every line present in more

@@ -69,6 +69,16 @@ class LineDedupSpec extends SparkSpec {
     assert(out(1).getString(1) == "iota kappa lambda mu nu xi omicron pi")
   }
 
+  test("gopherFilter drops short, low-diversity and repetitive docs") {
+    val good = (1 to 40).map(i => s"w$i").mkString(" ") // diverse, long enough
+    val short = "one two three"
+    val stuffed = (("spam " * 30) + (1 to 20).map(i => s"x$i").mkString(" ")).trim
+    val docs = Seq((1L, good), (2L, short), (3L, stuffed)).toDF("doc_id", "text")
+    val kept = TextAnalysis.gopherFilter(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"expected only the good doc, got $kept")
+  }
+
   test("redactPii scrubs emails, IPs and phones but not lookalikes") {
     val df = Seq(
       "mail a.b-c@ex.co now",
