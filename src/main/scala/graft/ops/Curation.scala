@@ -133,6 +133,63 @@ object Curation {
     *
     * Adds `n_tokens`, `excl_tokens`, `shard_id` columns.
     */
+  /** The END-TO-END corpus curation pipeline — every stage shipped by
+    * this engine, composed in the order a pretraining data team runs
+    * them, each stage feeding the next:
+    *
+    *   1. quality GATE ([[TextAnalysis.gopherFilter]]) — scan-speed
+    *      keep/drop on length/diversity/repetition, before anything
+    *      expensive sees a byte it will discard;
+    *   2. PII redaction ([[TextAnalysis.redactPii]]) — projection;
+    *   3. cross-corpus line dedup ([[DedupOps.dedupLinesTokenized]]) —
+    *      boilerplate removal (two shuffles on line text);
+    *   4. document-level near-dup removal ([[DedupOps.dedupCorpus]] /
+    *      [[DedupOps.dedupCorpusLsh]]) over the CLEANED text;
+    *   5. deterministic downsampling ([[sampleByHash]]) — a pure
+    *      predicate, so re-runs and incremental ingests agree.
+    *
+    * Returns (id, text_clean). Deterministic end to end: no RNG, no
+    * collect, every shuffle on a derived equality key — re-running on
+    * the same corpus yields the byte-identical result (spec-asserted).
+    * Each stage is independently value-checked against DuckDB by its
+    * own registered query; this composition exists so callers get the
+    * pipeline as ONE call instead of hand-wiring five.
+    */
+  def curateCorpus(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tokensPerLine: Int = 8,
+      lineMaxDocFreq: Int = 1,
+      nearDupThreshold: Double = 0.5,
+      sampleRate: Double = 1.0,
+      lshNearDup: Boolean = false,
+      nearDupBlockCol: Option[String] = None): DataFrame = {
+    require(sampleRate > 0.0 && sampleRate <= 1.0, "sampleRate must be in (0, 1]")
+    val gated = TextAnalysis.gopherFilter(docs, textCol)
+      .select(docs.columns.map(col).toIndexedSeq: _*) // drop signal columns
+    val redacted = gated.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+    val lineDeduped = DedupOps
+      .dedupLinesTokenized(redacted, idCol, textCol, tokensPerLine, lineMaxDocFreq)
+      .withColumnRenamed("text_clean", textCol)
+    val base = nearDupBlockCol match {
+      case Some(blk) =>
+        // blocking column (e.g. source/language) carried from the input
+        lineDeduped.join(docs.select(col(idCol), col(blk)), Seq(idCol))
+      case None => lineDeduped.withColumn("__graft_block", lit(1))
+    }
+    val blockCol = nearDupBlockCol.getOrElse("__graft_block")
+    val deduped =
+      (if (lshNearDup)
+        DedupOps.dedupCorpusLsh(base, idCol, textCol, threshold = nearDupThreshold)
+      else
+        DedupOps.dedupCorpus(base, blockCol, idCol, textCol,
+          minJaccard = nearDupThreshold))
+        .select(col(idCol), col(textCol))
+    if (sampleRate >= 1.0) deduped
+    else deduped.filter(uniformGate(col(idCol)) < lit(sampleRate))
+  }
+
   def packShards(
       df: DataFrame,
       partitionCols: Seq[String],

@@ -481,6 +481,93 @@ object TextOps {
     ),
 
     QuerySpec(
+      "q_text_curation_pipeline",
+      // the WHOLE curation pipeline as one oracle-checked query:
+      // quality gate → PII redaction → cross-corpus line dedup →
+      // source-blocked near-dup dedup → deterministic 80% downsample.
+      // DuckDB recomputes every stage in sequence; a semantic drift in
+      // ANY stage (or in how they compose — e.g. line dedup counting
+      // doc-frequency over the pre-gate corpus instead of the gated
+      // one) breaks the hash match. Redaction is an identity on this
+      // corpus (no PII in the synthetic documents, which lets the
+      // oracle reuse the token lists); if the testdata ever gains PII
+      // the mismatch would surface here rather than pass silently.
+      (s, dir) =>
+        graft.ops.Curation.curateCorpus(
+          t(s, dir, "documents"),
+          nearDupThreshold = 0.5,
+          sampleRate = 0.8,
+          nearDupBlockCol = Some("source"))
+          .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE tk0 AS (
+             |  SELECT doc_id, source,
+             |         list_filter(string_split(text,' '), t -> length(t)>0) AS tk
+             |  FROM documents
+             |), sig AS (
+             |  SELECT doc_id, source, tk,
+             |    list_transform(range(1, CASE WHEN length(tk)-1 >= 1 THEN length(tk) ELSE 1 END),
+             |                   i -> tk[i] || ' ' || tk[i+1]) AS g2
+             |  FROM tk0
+             |), gated AS (
+             |  SELECT doc_id, source, tk FROM sig
+             |  WHERE CAST(length(tk) AS BIGINT) >= 20
+             |    AND round(CAST(length(list_distinct(tk)) AS DOUBLE)
+             |              / CAST(length(tk) AS DOUBLE), 4) >= 0.35
+             |    AND round(CASE WHEN length(tk) > 0 THEN
+             |      CAST(list_max(list_transform(list_distinct(tk),
+             |             x -> length(list_filter(tk, y -> y = x)))) AS DOUBLE)
+             |        / CAST(length(tk) AS DOUBLE) ELSE 0.0 END, 4) <= 0.12
+             |    AND round(CASE WHEN length(g2) > 0 THEN
+             |      CAST(length(g2) - length(list_distinct(g2)) AS DOUBLE)
+             |        / CAST(length(g2) AS DOUBLE) ELSE 0.0 END, 4) <= 0.06
+             |), toks AS (
+             |  SELECT doc_id, source, unnest(tk) AS tok, generate_subscripts(tk, 1) AS ord
+             |  FROM gated
+             |), lines AS (
+             |  SELECT doc_id, source, CAST((ord-1)//8 AS BIGINT) AS line_no,
+             |         string_agg(tok, ' ' ORDER BY ord) AS line
+             |  FROM toks GROUP BY 1, 2, 3
+             |), dfreq AS (
+             |  SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) <= 1
+             |), clean AS (
+             |  SELECT l.doc_id, l.source, string_agg(l.line, ' ' ORDER BY l.line_no) AS text
+             |  FROM lines l JOIN dfreq USING (line) GROUP BY 1, 2
+             |), ctk AS (
+             |  SELECT doc_id, source,
+             |    list_distinct(list_transform(
+             |      range(1, CASE WHEN length(tk2) - 2 >= 1 THEN length(tk2) - 1 ELSE 1 END),
+             |      i -> tk2[i] || ' ' || tk2[i+1] || ' ' || tk2[i+2])) AS grams
+             |  FROM (SELECT doc_id, source,
+             |               list_filter(string_split(text,' '), t -> length(t)>0) AS tk2
+             |        FROM clean)
+             |  WHERE length(grams) > 0
+             |), p AS (
+             |  SELECT a.doc_id AS da, b.doc_id AS db,
+             |         length(list_filter(a.grams, x -> list_contains(b.grams, x))) AS nc,
+             |         length(a.grams) + length(b.grams)
+             |         - length(list_filter(a.grams, x -> list_contains(b.grams, x))) AS nu
+             |  FROM ctk a JOIN ctk b ON a.source = b.source AND a.doc_id < b.doc_id
+             |), e AS (
+             |  SELECT da, db FROM p WHERE nc >= 1 AND round(CAST(nc AS DOUBLE) / nu, 4) >= 0.5
+             |), und AS (
+             |  SELECT da AS a, db AS b FROM e
+             |  UNION ALL
+             |  SELECT db, da FROM e
+             |), reach(node, lab) AS (
+             |  SELECT a, a FROM und
+             |  UNION
+             |  SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node
+             |), losers AS (
+             |  SELECT node FROM reach GROUP BY node HAVING node <> min(lab)
+             |)
+             |SELECT doc_id, text FROM clean
+             |WHERE doc_id NOT IN (SELECT node FROM losers)
+             |  AND ${graft.ops.Curation.uniformGateSql("doc_id::VARCHAR")} < 0.8
+             |ORDER BY doc_id""".stripMargin),
+      bench = true
+    ),
+
+    QuerySpec(
       "q_text_quality_filter",
       // the composite Gopher-style GATE over the per-doc signals: both
       // engines recompute length/diversity/repetition and must agree on
