@@ -1233,7 +1233,13 @@ final class LakehouseTable(
       nowMs: Long = System.currentTimeMillis(),
       retentionMs: Long = 7L * 24 * 3600 * 1000,
       keepLast: Int = 2,
-      maxDeleteFiles: Int = 4): MaintenanceReport = {
+      maxDeleteFiles: Int = 4,
+      /** Non-empty ⇒ the compaction step rewrites z-ordered on these
+        * columns ([[compactZOrder]]) instead of time-sorted — a table
+        * declares its cluster keys once and every maintenance cycle
+        * preserves multi-column skipping.
+        */
+      zOrderCols: Seq[String] = Nil): MaintenanceReport = {
     val files = currentDataFiles
     val nPartDirs = math.max(1,
       files.map(f => f.path.split("/").dropRight(1).mkString("/")).distinct.size)
@@ -1245,7 +1251,11 @@ final class LakehouseTable(
     val compacted =
       if (!wantsCompact) false
       else
-        try { compact(compactTo); true }
+        try {
+          if (zOrderCols.nonEmpty) compactZOrder(zOrderCols, math.max(compactTo, 1))
+          else compact(compactTo)
+          true
+        }
         catch { case _: ConcurrentCommitException => false } // lost the race; next cycle
     val chain = metadata.currentSnapshot.map(s => log.readManifestList(s).size).getOrElse(0)
     val folded =

@@ -172,12 +172,22 @@ object Curation {
     val lineDeduped = DedupOps
       .dedupLinesTokenized(redacted, idCol, textCol, tokensPerLine, lineMaxDocFreq)
       .withColumnRenamed("text_clean", textCol)
-    val base = nearDupBlockCol match {
+    val joined = nearDupBlockCol match {
       case Some(blk) =>
         // blocking column (e.g. source/language) carried from the input
         lineDeduped.join(docs.select(col(idCol), col(blk)), Seq(idCol))
       case None => lineDeduped.withColumn("__graft_block", lit(1))
     }
+    // Materialize the cleaned corpus ONCE: the near-dup stage references
+    // it from both sides of its gram self-join and again as the
+    // anti-join target — without this, every branch replans the whole
+    // gate→segment→df-count→reassemble subtree and the pipeline goes
+    // ~8× slower (measured 50 s vs ~6 s at sf0.1). MEMORY_AND_DISK, not
+    // localCheckpoint: recomputable under eviction, spill-safe at scale.
+    // The handle stays cached for the caller's actions on the returned
+    // frame; session-level sweeps (Bench does this between queries) or
+    // spark.catalog.clearCache() reclaim it.
+    val base = joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blockCol = nearDupBlockCol.getOrElse("__graft_block")
     val deduped =
       (if (lshNearDup)

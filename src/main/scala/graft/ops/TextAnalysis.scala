@@ -118,13 +118,23 @@ object TextAnalysis {
     */
   def repetitionColumns(toks: Column): Seq[Column] = {
     val nTok = size(toks).cast(LongType)
-    def gramList(k: Int) = transform(
-      positions(size(toks) - (k - 1)),
-      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))
+    // SINGLE-REFERENCE DISCIPLINE: higher-order array functions run
+    // interpreted (outside whole-stage codegen) with no common-
+    // subexpression elimination, and Catalyst freely inlines projection
+    // aliases into pushed-down predicates — so every textual reference
+    // to a gram-building expression is a full re-evaluation. The naive
+    // `(size(g) - size(distinct(g))) / size(g)` references g three
+    // times (plus the emptiness guard: four), which measured 14-19 s
+    // at sf0.1 where ~2 s is the honest cost. Cure: size(g) is known
+    // arithmetically (max(0, nTok-k+1) — gramList yields one gram per
+    // window position), so the ONLY reference to g left is the
+    // size(array_distinct(g)) it genuinely needs. Staging g as its own
+    // projection does NOT work here: a filter on the fraction pushes
+    // through the projection and re-inlines the alias.
     def dupFrac(k: Int) = {
-      val g = gramList(k)
-      when(size(g) > 0,
-        (size(g) - size(array_distinct(g))).cast(DoubleType) / size(g).cast(DoubleType))
+      val nG = greatest(lit(0L), nTok - (k - 1)).cast(DoubleType)
+      when(nG > 0,
+        (nG - size(array_distinct(gramList(toks, k))).cast(DoubleType)) / nG)
         .otherwise(lit(0.0))
     }
     val topCount = array_max(transform(
@@ -136,6 +146,10 @@ object TextAnalysis {
       round(dupFrac(3), 4).as("dup_3gram_frac"),
       round(topFrac, 4).as("top_token_frac"))
   }
+
+  private def gramList(toks: Column, k: Int): Column = transform(
+    positions(size(toks) - (k - 1)),
+    i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))
 
   /** Gopher/MassiveText-style composite quality GATE — the keep/drop
     * decision a pretraining pipeline actually applies, composed from

@@ -88,6 +88,20 @@ class ZOrderSpec extends SparkSpec {
     assert(plain.readColumnRange("EventId", 0L, 249L).count() == expect)
   }
 
+  test("maintain with zOrderCols compacts z-ordered and records bounds") {
+    val df = corpus
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("zo"), "maint"), df.schema, Some("DateTime"))
+    (0 until 6).foreach(i => t.append(df.filter($"EventId" % 6 === i)))
+    val report = t.maintain(retentionMs = 0L, zOrderCols = Seq("DateTime", "EventId"),
+      compactTo = 8)
+    assert(report.compacted, "small-file pressure must trigger the z-order rewrite")
+    assert(t.currentDataFiles.forall(
+      _.extraBounds.exists(_.exists(_.column == "EventId"))),
+      "maintenance compaction must preserve the cluster-column bounds")
+    assert(t.read().count() == df.count())
+  }
+
   test("z-order compaction folds pending MoR deletes like plain compaction") {
     val df = corpus.limit(500)
     val t = LakehouseTable.createIfNotExists(
