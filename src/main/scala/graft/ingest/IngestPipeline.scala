@@ -59,6 +59,11 @@ final case class IngestConfig(
       *    re-reads the file but every key already exists.
       *  - "upsert": last write wins — a copy-on-write merge replaces the
       *    existing rows (file-surgical, see LakehouseTable.merge).
+      *  - "mor-upsert": last write wins via merge-on-read — one commit
+      *    of batch + equality-delete key mask, ZERO existing files
+      *    rewritten (LakehouseTable.morMerge). The CDC shape when
+      *    updates are frequent and small relative to the table; reads
+      *    pay a broadcast anti-join until maintenance folds the masks.
       */
     duplicateKeyPolicy: String = "drop"
 )
@@ -233,14 +238,17 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
   private def writeBatch(table: LakehouseTable, keyed: DataFrame): Long = {
     val deduped = Dedup.withinBatch(keyed, Seq(cfg.timeColumn))
     cfg.duplicateKeyPolicy match {
-      case "upsert" =>
+      case "upsert" | "mor-upsert" =>
         // report the batch's OWN contribution, not merge's addedRows —
         // the rewritten files also carry untouched survivor rows, which
         // would inflate per-file counts relative to the drop policy and
         // the reference's accounting (ADVICE r2). deduped derives from
         // the cached `df`, so the count is a cheap second pass.
         val n = deduped.count()
-        if (n > 0) table.merge(deduped, cfg.timeColumn)
+        if (n > 0) {
+          if (cfg.duplicateKeyPolicy == "mor-upsert") table.morMerge(deduped, cfg.timeColumn)
+          else table.merge(deduped, cfg.timeColumn)
+        }
         n
       case _ =>
         val fresh = Dedup.dropExisting(deduped, table, cfg.timeColumn)
@@ -321,7 +329,7 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
             cfg.partitionGranularity)
           val deduped = Dedup.withinBatch(keyed, Seq(cfg.timeColumn))
           val toWrite = cfg.duplicateKeyPolicy match {
-            case "upsert" => deduped
+            case "upsert" | "mor-upsert" => deduped
             case _ => Dedup.dropExisting(deduped, table, cfg.timeColumn)
           }
           // one cheap grouped count (inputs cached) recovers the
@@ -330,8 +338,11 @@ final class IngestPipeline(spark: SparkSession, cfg: IngestConfig) {
             .map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
           if (counts.values.sum > 0) {
             val batch = toWrite.drop("__src")
-            if (cfg.duplicateKeyPolicy == "upsert") table.merge(batch, cfg.timeColumn)
-            else table.append(batch)
+            cfg.duplicateKeyPolicy match {
+              case "mor-upsert" => table.morMerge(batch, cfg.timeColumn)
+              case "upsert" => table.merge(batch, cfg.timeColumn)
+              case _ => table.append(batch)
+            }
           }
           counts
         }

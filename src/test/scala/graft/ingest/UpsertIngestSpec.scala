@@ -36,4 +36,21 @@ class UpsertIngestSpec extends SparkSpec {
     assert(t.count() === 120L) // still one row per key
     assert(t.filter($"Bid" >= 9000.0).count() === 120L) // all values updated
   }
+
+  test("mor-upsert policy: same result as upsert with zero data files rewritten") {
+    val p = new IngestPipeline(spark,
+      IngestConfig(warehouseDir = tmpDir("mups"), minRows = 10L,
+        duplicateKeyPolicy = "mor-upsert"))
+    p.ingestBatch("sym", batch(0.0))
+    val table = p.catalog.loadTable("gold.sym")
+    val filesBefore = table.currentDataFiles.map(_.path).toSet
+
+    p.ingestBatch("sym", batch(9000.0))
+    val t = table.read()
+    assert(t.count() === 120L)
+    assert(t.filter($"Bid" >= 9000.0).count() === 120L)
+    assert(filesBefore.subsetOf(table.currentDataFiles.map(_.path).toSet),
+      "merge-on-read must keep the original files in place")
+    assert(table.currentDeleteFiles.nonEmpty, "the mask rides a delete file")
+  }
 }
