@@ -40,6 +40,20 @@ final class LakehouseTable(
   private val deletesDir = new Path(tableDir, "deletes")
 
   def metadata: TableMetadata = log.read()
+
+  /** The commit-expectation version AND the metadata derived from that
+    * SAME version, read once. Every commit path must take both from
+    * here: reading `metadata` (which resolves the current version
+    * internally) and then `log.currentVersion` separately leaves a
+    * microsecond window where a foreign commit lands between the two
+    * reads — the CAS would then succeed against the NEW version while
+    * committing a snapshot list copied from the OLD one, silently
+    * dropping the foreign snapshot (ADVICE r6).
+    */
+  private def versionedMeta: (Long, TableMetadata) = {
+    val v = log.currentVersion
+    (v, log.readVersion(v))
+  }
   def schema: StructType = StructType.fromDDL(metadata.schemaDdl)
   def snapshots: Seq[Snapshot] = metadata.snapshots
 
@@ -161,7 +175,12 @@ final class LakehouseTable(
                   spark.read.parquet(new Path(tableDir, d.path).toString)
                     .select(col(d.key).as(curKey)))
                   .reduce(_ unionByName _)
-                df.join(keys, Seq(curKey), "left_anti")
+                // delete-key files are metadata-scale by construction
+                // (that is why MoR wins over COW), so pin the broadcast
+                // instead of trusting AQE size estimates — a sort-merge
+                // fallback here would shuffle the DATA side per delete
+                // commit (plan-asserted in MorDeleteSpec)
+                df.join(broadcast(keys), Seq(curKey), "left_anti")
               }
           }
         }.reduce(_ unionByName _)
@@ -232,8 +251,14 @@ final class LakehouseTable(
     *   - a MoR upsert ([[morMerge]]: parent manifests intact, delete
     *     set grew, batch appended) throws by default; with
     *     `emitUpserts = true` its added files are emitted — the
-    *     new-row-image stream a CDC consumer applies idempotently by
-    *     key.
+    *     new-row-image stream a CDC consumer applies BY KEY, KEEPING
+    *     THE IMAGE WITH THE HIGHEST `_commit_seq`: in that mode every
+    *     emitted row carries a `_commit_seq` column (the id of the
+    *     snapshot that committed it), because two upserts of the same
+    *     key inside one range are otherwise indistinguishable and a
+    *     consumer could apply the stale image last (ADVICE r6). Costs
+    *     one parquet relation per snapshot in the range instead of one
+    *     total — ranges are poll-interval-sized in practice.
     *
     * Walks the parent chain from `to` back to `from`, so an expired
     * snapshot INSIDE the range (whose added rows would be silently
@@ -260,7 +285,7 @@ final class LakehouseTable(
         s"snapshot chain from $toSnapshotId back to $fromSnapshotId is broken " +
           "(a snapshot inside the range expired, or from is not an ancestor of to) — "
           + "the delta would be incomplete")
-    val files = chain.reverseIterator.flatMap { s =>
+    val perSnapshot: Seq[(Snapshot, Seq[DataFile])] = chain.reverseIterator.map { s =>
       val parent = s.parentId.flatMap(meta.snapshotById)
       val parentData = parent.map(p => log.readManifestList(p).map(_.path).toSet).getOrElse(Set.empty)
       val selfRefs = log.readManifestList(s).map(_.path).toSet
@@ -282,16 +307,28 @@ final class LakehouseTable(
       // zero addedRows — moved, not added)
       val rewriteOnly = s.addedRows == 0L &&
         Set("compact", "rewrite-manifests").contains(s.operation)
-      if (pureAppend) s.addedManifest.map(log.readManifest).getOrElse(Nil)
-      else if (upsertShaped && emitUpserts) log.readManifest(s.addedManifest.get)
-      else if (rewriteOnly) Nil // compaction / manifest fold: rows moved, none added
-      else throw new UnsupportedOperationException(
-        s"incremental read across snapshot ${s.id} ('${s.operation}'): the commit " +
-          "removed or rewrote rows, which an append-scan cannot express" +
-          (if (upsertShaped) " (pass emitUpserts = true to stream upsert row images)"
-           else ""))
+      val files =
+        if (pureAppend) s.addedManifest.map(log.readManifest).getOrElse(Nil)
+        else if (upsertShaped && emitUpserts) log.readManifest(s.addedManifest.get)
+        else if (rewriteOnly) Nil // compaction / manifest fold: rows moved, none added
+        else throw new UnsupportedOperationException(
+          s"incremental read across snapshot ${s.id} ('${s.operation}'): the commit " +
+            "removed or rewrote rows, which an append-scan cannot express" +
+            (if (upsertShaped) " (pass emitUpserts = true to stream upsert row images)"
+             else ""))
+      s -> files
     }.toSeq
-    readFiles(files)
+    if (!emitUpserts) readFiles(perSnapshot.flatMap(_._2))
+    else {
+      // one relation per contributing snapshot, each stamped with its
+      // commit sequence — the ordering column a by-key consumer keeps
+      // max-_commit_seq over (see scaladoc). Snapshot ids are strictly
+      // increasing, so the stamp IS the data sequence.
+      perSnapshot.filter(_._2.nonEmpty)
+        .map { case (s, fs) => readFiles(fs).withColumn("_commit_seq", lit(s.id)) }
+        .reduceOption(_ unionByName _)
+        .getOrElse(readFiles(Nil).withColumn("_commit_seq", lit(null).cast("long")))
+    }
   }
 
   /** Incremental append-scan from a snapshot to the current one. */
@@ -422,7 +459,10 @@ final class LakehouseTable(
     */
   def append(df: DataFrame, operation: String = "append"): Snapshot = {
     val moved = writeStaged(metadata, df)
-    withCommitRetry(commitAppend(metadata, log.currentVersion, moved, operation))
+    withCommitRetry {
+      val (v, meta) = versionedMeta
+      commitAppend(meta, v, moved, operation)
+    }
   }
 
   /** Exactly-once streaming append for foreachBatch sinks: commit the
@@ -448,17 +488,36 @@ final class LakehouseTable(
     // replay of it is harmless by construction
     if (moved.isEmpty) return None
     val snap = withCommitRetry {
-      val meta = metadata
+      val (v, meta) = versionedMeta
       if (meta.streamWatermarks.get(queryId).exists(_ >= batchId)) null
       else {
         val stamped = meta.copy(streamProgress =
           Some(meta.streamWatermarks + (queryId -> batchId)))
-        commitAppend(stamped, log.currentVersion, moved, "stream-append")
+        commitAppend(stamped, v, moved, "stream-append")
       }
     }
     // a lost race against our own replay leaves the moved files
     // unreferenced — same crash-leftover class removeOrphanedFiles reaps
     Option(snap)
+  }
+
+  /** Advance a streaming consumer's watermark WITHOUT appending data —
+    * a metadata-only commit. The missing half of [[appendStream]] for
+    * batches that transform to empty: without it, a selective
+    * table-to-table pipeline ([[graft.stream.LakehouseMirror]]) whose
+    * filter drops an entire delta would re-plan and re-transform that
+    * same ever-growing delta on every subsequent step (ADVICE r6).
+    * Monotone: a batchId at or below the recorded watermark no-ops
+    * (returns false), so replays are as harmless as in appendStream.
+    */
+  def advanceStreamWatermark(queryId: String, batchId: Long): Boolean = {
+    require(queryId.nonEmpty, "queryId must be non-empty")
+    if (metadata.streamWatermarks.get(queryId).exists(_ >= batchId)) return false
+    evolveMetadata { meta =>
+      if (meta.streamWatermarks.get(queryId).exists(_ >= batchId)) meta // lost race: no-op
+      else meta.copy(streamProgress = Some(meta.streamWatermarks + (queryId -> batchId)))
+    }
+    true
   }
 
   /** Bounded optimistic rebase-retry for COMMUTING commits. Appends and
@@ -528,7 +587,10 @@ final class LakehouseTable(
         StructType(frozen.fields ++ added.map(_.copy(nullable = true))).toDDL)
     }
     val moved = writeStaged(evolved(metadata), df)
-    withCommitRetry(commitAppend(evolved(metadata), log.currentVersion, moved, operation))
+    withCommitRetry {
+      val (v, meta) = versionedMeta
+      commitAppend(evolved(meta), v, moved, operation)
+    }
   }
 
   /** Metadata-only column rename (Iceberg RenameColumn analog, within a
@@ -595,9 +657,10 @@ final class LakehouseTable(
   private def evolveMetadata(f: TableMetadata => TableMetadata): Unit = {
     var attempt = 0
     while (true) {
-      val version = log.currentVersion
+      val (version, meta) = versionedMeta
       try {
-        log.commit(version, f(metadata))
+        val next = f(meta)
+        if (next != meta) log.commit(version, next) // no-op evolution: skip the commit
         return
       } catch {
         case e: ConcurrentCommitException =>
@@ -618,7 +681,10 @@ final class LakehouseTable(
   def appendIfNonEmpty(df: DataFrame, operation: String = "append"): Option[Snapshot] = {
     val moved = writeStaged(metadata, df)
     if (moved.isEmpty) None
-    else Some(withCommitRetry(commitAppend(metadata, log.currentVersion, moved, operation)))
+    else Some(withCommitRetry {
+      val (v, meta) = versionedMeta
+      commitAppend(meta, v, moved, operation)
+    })
   }
 
   /** Partition-derive + write the batch to a staging dir, move the part
@@ -825,8 +891,7 @@ final class LakehouseTable(
     * insert, breaking the no-duplicate-key invariant.
     */
   def merge(batch: DataFrame, key: String): Snapshot = {
-    val meta = metadata
-    val version = log.currentVersion
+    val (version, meta) = versionedMeta
     val current = meta.currentSnapshot.getOrElse(return append(batch, "merge"))
     val refsWithFiles = log.readManifestList(current).map(r => r -> log.readManifest(r.path))
 
@@ -887,8 +952,7 @@ final class LakehouseTable(
     * old snapshots keep the pre-delete data.
     */
   def delete(predicate: org.apache.spark.sql.Column): Snapshot = {
-    val meta = metadata
-    val version = log.currentVersion
+    val (version, meta) = versionedMeta
     val current = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("cannot delete from an empty table"))
     val refsWithFiles = log.readManifestList(current).map(r => r -> log.readManifest(r.path))
@@ -943,8 +1007,7 @@ final class LakehouseTable(
     * onto rows the planner never saw.
     */
   def morDeleteKeys(keys: DataFrame, key: String): Snapshot = {
-    val meta = metadata
-    val version = log.currentVersion
+    val (version, meta) = versionedMeta
     val current = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("cannot delete from an empty table"))
     val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
@@ -968,8 +1031,7 @@ final class LakehouseTable(
     * Same precondition as [[merge]]: the batch must be unique on `key`.
     */
   def morMerge(batch: DataFrame, key: String): Snapshot = {
-    val meta = metadata
-    val version = log.currentVersion
+    val (version, meta) = versionedMeta
     val current = meta.currentSnapshot.getOrElse(return append(batch, "mor-merge"))
     val moved = writeStaged(meta, batch)
     val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
@@ -1040,7 +1102,7 @@ final class LakehouseTable(
     */
   def compact(filesPerPartition: Int = 1): Snapshot = {
     require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
-    val meta = metadata
+    val (version, meta) = versionedMeta
     val current = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("cannot compact an empty table"))
     val currentFiles = dataFiles(current)
@@ -1048,7 +1110,6 @@ final class LakehouseTable(
     // doubles as the delete-fold: output files contain only live rows
     // and the new snapshot clears its delete set
     val df = readWithDeletes(currentFiles, liveDeleteFiles(current))
-    val version = log.currentVersion
 
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val stagingName = s".staging-${UUID.randomUUID().toString.take(8)}"
@@ -1131,7 +1192,7 @@ final class LakehouseTable(
   def compactZOrder(zCols: Seq[String], filesPerPartition: Int = 4): Snapshot = {
     require(zCols.nonEmpty, "compactZOrder needs at least one cluster column")
     require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
-    val meta = metadata
+    val (version, meta) = versionedMeta
     val current = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("cannot compact an empty table"))
     val schemaByName = readSchema.fields.map(f => f.name -> f.dataType).toMap
@@ -1139,7 +1200,6 @@ final class LakehouseTable(
       s"z-order column '$c' is not a table column"))
     val currentFiles = dataFiles(current)
     val df = readWithDeletes(currentFiles, liveDeleteFiles(current))
-    val version = log.currentVersion
 
     // bounds pass: min/max of each z-column's long-comparable rep
     val reps = zCols.map(c => ZOrder.rep(col(c), schemaByName(c)))
@@ -1277,8 +1337,7 @@ final class LakehouseTable(
     * cost recurring on every future read.
     */
   def rewriteManifests(): Snapshot = withCommitRetry {
-    val meta = metadata
-    val version = log.currentVersion
+    val (version, meta) = versionedMeta
     val current = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("cannot rewrite manifests of an empty table"))
     val files = dataFiles(current)
@@ -1444,8 +1503,7 @@ final class LakehouseTable(
       keepLast: Int = 2): (Seq[Long], Seq[String]) = {
     var attempt = 0
     while (true) {
-      val meta = metadata
-      val version = log.currentVersion
+      val (version, meta) = versionedMeta
       if (meta.snapshots.size <= 1) return (Nil, Nil)
 
       // tie-break on id: appends in the same millisecond must still rank

@@ -20,6 +20,12 @@ import org.apache.spark.sql.types._
   * Everything reproduces bit-identically in DuckDB, so the query suite
   * gets full value-level oracles (see CurationOps).
   */
+/** A curated corpus plus the release of the cache backing it — call
+  * `release()` once the frame's consuming action finishes (idempotent;
+  * see [[Curation.curateCorpusManaged]]).
+  */
+final case class CuratedCorpus(frame: DataFrame, release: () => Unit)
+
 object Curation {
 
   /** Deterministic uniform variate in [0,1): the top 32 bits of
@@ -164,7 +170,31 @@ object Curation {
       nearDupThreshold: Double = 0.5,
       sampleRate: Double = 1.0,
       lshNearDup: Boolean = false,
-      nearDupBlockCol: Option[String] = None): DataFrame = {
+      nearDupBlockCol: Option[String] = None): DataFrame =
+    curateCorpusManaged(docs, idCol, textCol, tokensPerLine, lineMaxDocFreq,
+      nearDupThreshold, sampleRate, lshNearDup, nearDupBlockCol).frame
+
+  /** [[curateCorpus]] with an explicit cache-release handle (ADVICE r6):
+    * the pipeline persists its multiply-referenced cleaned corpus, and
+    * the returned frame still reads through that cache, so the release
+    * can only be the CALLER's move — after the frame's consuming action
+    * (an auto-release listener cannot work here: the near-dup stage's
+    * own iterative jobs are also "consuming actions" and would trip it
+    * mid-pipeline, recomputing the corpus every round). A loop over
+    * corpora calls `release()` per iteration instead of a session-wide
+    * `spark.catalog.clearCache()`; releasing before/during an action is
+    * safe (MEMORY_AND_DISK is recomputable), just slower.
+    */
+  def curateCorpusManaged(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tokensPerLine: Int = 8,
+      lineMaxDocFreq: Int = 1,
+      nearDupThreshold: Double = 0.5,
+      sampleRate: Double = 1.0,
+      lshNearDup: Boolean = false,
+      nearDupBlockCol: Option[String] = None): CuratedCorpus = {
     require(sampleRate > 0.0 && sampleRate <= 1.0, "sampleRate must be in (0, 1]")
     val gated = TextAnalysis.gopherFilter(docs, textCol)
       .select(docs.columns.map(col).toIndexedSeq: _*) // drop signal columns
@@ -185,8 +215,8 @@ object Curation {
     // ~8× slower (measured 50 s vs ~6 s at sf0.1). MEMORY_AND_DISK, not
     // localCheckpoint: recomputable under eviction, spill-safe at scale.
     // The handle stays cached for the caller's actions on the returned
-    // frame; session-level sweeps (Bench does this between queries) or
-    // spark.catalog.clearCache() reclaim it.
+    // frame; CuratedCorpus.release() (or a session-level sweep —
+    // Bench does this between queries) reclaims it.
     val base = joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blockCol = nearDupBlockCol.getOrElse("__graft_block")
     val deduped =
@@ -196,8 +226,10 @@ object Curation {
         DedupOps.dedupCorpus(base, blockCol, idCol, textCol,
           minJaccard = nearDupThreshold))
         .select(col(idCol), col(textCol))
-    if (sampleRate >= 1.0) deduped
-    else deduped.filter(uniformGate(col(idCol)) < lit(sampleRate))
+    val sampled =
+      if (sampleRate >= 1.0) deduped
+      else deduped.filter(uniformGate(col(idCol)) < lit(sampleRate))
+    CuratedCorpus(sampled, () => { base.unpersist(blocking = false); () })
   }
 
   def packShards(

@@ -46,6 +46,14 @@ object LakehouseMirror {
       case Some(l) => src.readIncremental(l, curId)
       case None => src.timeTravel(curId) // first sync: full snapshot image
     }
-    dst.appendStream(consumerId, curId, transform(delta))
+    val committed = dst.appendStream(consumerId, curId, transform(delta))
+    // a non-empty source delta whose TRANSFORM is empty commits nothing,
+    // so the watermark must advance by metadata-only commit — otherwise
+    // every later step re-plans and re-transforms the same growing delta
+    // (unbounded rework for a selective filter; ADVICE r6). A replayed
+    // batchId inside advanceStreamWatermark no-ops, keeping this safe
+    // against a concurrent step of the same consumer.
+    if (committed.isEmpty) dst.advanceStreamWatermark(consumerId, curId)
+    committed
   }
 }

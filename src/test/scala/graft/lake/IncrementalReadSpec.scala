@@ -74,6 +74,25 @@ class IncrementalReadSpec extends SparkSpec {
     assert(images.select("Bid").collect().map(_.getDouble(0)).toSet == Set(102.0, 103.0))
   }
 
+  test("emitUpserts stamps _commit_seq so conflicting images order (ADVICE r6)") {
+    val t = fresh("seqstamp")
+    val s1 = t.append(df(0 until 4))
+    // two upserts of the SAME key in one range: without a sequence
+    // column the two row images are indistinguishable and a by-key
+    // consumer can persist the stale one
+    t.morMerge(df(Seq(2)).withColumn("Bid", lit(100.0)), "DateTime")
+    t.morMerge(df(Seq(2)).withColumn("Bid", lit(200.0)), "DateTime")
+    val images = t.readIncremental(s1.id, t.metadata.currentSnapshotId.get, emitUpserts = true)
+    assert(images.columns.contains("_commit_seq"))
+    val byKey = images.filter(col("EventId") === 2L)
+      .select("_commit_seq", "Bid").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byKey.size == 2, "both images must be emitted")
+    // keep-max-seq resolves to the LATEST image
+    assert(byKey(byKey.keySet.max) == 200.0)
+    assert(byKey(byKey.keySet.min) == 100.0)
+  }
+
   test("an expired from-snapshot fails instead of returning a wrong delta") {
     val t = fresh("expired")
     val s1 = t.append(df(Seq(0)))

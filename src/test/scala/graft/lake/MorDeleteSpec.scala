@@ -69,6 +69,19 @@ class MorDeleteSpec extends SparkSpec {
     assert(t.metadata.currentSnapshot.get.operation == "mor-merge")
   }
 
+  test("read-side anti-join broadcasts the delete-key side (plan-asserted)") {
+    val t = fresh("bcast")
+    t.append(df(0 until 20))
+    t.morDeleteKeys(df(Seq(3, 7)).select("EventId"), "EventId")
+    val read = t.read()
+    read.count() // finalize the adaptive plan before inspecting it
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected a BroadcastHashJoin LeftAnti for the delete mask, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "delete mask must never fall back to sort-merge")
+  }
+
   test("time travel to the pre-delete snapshot sees the masked rows") {
     val t = fresh("tt")
     t.append(df(0 until 8))

@@ -54,6 +54,23 @@ class LakehouseMirrorSpec extends SparkSpec {
     assert(dst.read().count() == 4)
   }
 
+  test("an empty-after-transform delta still advances the watermark (ADVICE r6)") {
+    val src = fresh("esrc"); val dst = fresh("edst")
+    src.append(df(0 until 4))
+    LakehouseMirror.step(src, dst, "odds", _.filter($"EventId" % 2 === 1))
+    // a delta the filter drops ENTIRELY: no data commit, but the
+    // watermark must still move, or every later step re-transforms it
+    src.append(df(Seq(6, 8)))
+    assert(LakehouseMirror.step(src, dst, "odds",
+      _.filter($"EventId" % 2 === 1)).isEmpty)
+    assert(dst.metadata.streamWatermarks("odds") == src.metadata.currentSnapshotId.get,
+      "watermark must advance past the empty-transform delta")
+    // and the next step plans from the advanced watermark: only the new rows
+    src.append(df(Seq(9)))
+    LakehouseMirror.step(src, dst, "odds", _.filter($"EventId" % 2 === 1))
+    assert(ids(dst) == Set(1L, 3L, 9L))
+  }
+
   test("transforms apply per step; independent consumers keep their own offsets") {
     val src = fresh("tsrc"); val dstA = fresh("tdstA"); val dstB = fresh("tdstB")
     src.append(df(0 until 10))
