@@ -151,10 +151,7 @@ final class LakehouseTable(
         * fact.
         */
       tagFileColumn: Option[String] = None): DataFrame = {
-    def raw(fs: Seq[DataFile]): DataFrame = {
-      val base = readFiles(fs)
-      tagFileColumn.map(c => base.withColumn(c, input_file_name())).getOrElse(base)
-    }
+    def raw(fs: Seq[DataFile]): DataFrame = readFiles(fs, tagFileColumn)
     if (dels.isEmpty || files.isEmpty) raw(files)
     else {
       val delSeqs = dels.map(_.seq).distinct.sorted
@@ -187,20 +184,60 @@ final class LakehouseTable(
     }
   }
 
-  private def readFiles(files: Seq[DataFile]): DataFrame =
+  /** Build the DataFrame over an explicit file list, grouped BY
+    * PARTITION SPEC: files written under different layouts (after
+    * [[evolvePartitionSpec]]) cannot share one parquet relation — the
+    * hive-dir recovery would see conflicting partition columns — so
+    * each spec's files become their own relation, projected to the
+    * CURRENT default spec's view (its derived columns recomputed from
+    * the source column where the group's dirs don't carry them; the
+    * derivation is the same expression the writer used, so recomputed
+    * and dir-recovered values agree by construction), then unioned.
+    * Single-spec tables (the overwhelmingly common case) keep the
+    * one-relation plan unchanged.
+    *
+    * `tagColumn`, when set, attaches `input_file_name()` PER GROUP —
+    * Spark rejects the expression once a projection mixes file
+    * sources, so it must ride each raw scan, never the union.
+    */
+  private def readFiles(
+      files: Seq[DataFile], tagColumn: Option[String] = None): DataFrame =
     if (files.isEmpty) {
       // empty table: preserve schema + partition columns
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
+      tagColumn.map(c => empty.withColumn(c, input_file_name())).getOrElse(empty)
     } else {
-      val aliases = metadata.aliasMap
-      // basePath makes Spark recover the hive-style partition columns from
-      // the explicit file list (no directory listing — the manifest IS the
-      // listing, which is what keeps planning O(metadata) at 100 TB).
+      val meta = metadata
+      val outCols = readSchema.fieldNames.toIndexedSeq.map(col) ++ tagColumn.map(col)
+      files.groupBy(_.specIdOrZero).toSeq.sortBy(_._1)
+        .map { case (sid, fs) =>
+          readSpecGroup(meta, meta.specById(sid), fs, tagColumn).select(outCols: _*)
+        }
+        .reduce(_ unionByName _)
+    }
+
+  /** One spec's files as one parquet relation (see [[readFiles]]). */
+  private def readSpecGroup(
+      meta: TableMetadata,
+      spec: PartitionSpec,
+      files: Seq[DataFile],
+      tagColumn: Option[String]): DataFrame = {
+    val aliases = meta.aliasMap
+    val frozen = StructType.fromDDL(meta.schemaDdl)
+    // THIS group's layout: frozen columns + the spec's derived dir columns
+    val logical = spec.fields.foldLeft(frozen)((s, f) =>
+      if (s.fieldNames.contains(f.name)) s else s.add(f.name, "int", nullable = true))
+    val paths = files.map(f => new Path(tableDir, f.path).toString)
+    // basePath makes Spark recover the hive-style partition columns from
+    // the explicit file list (no directory listing — the manifest IS the
+    // listing, which is what keeps planning O(metadata) at 100 TB).
+    val base =
       if (aliases.isEmpty)
         spark.read
           .option("basePath", dataDir.toString)
-          .schema(readSchema)
-          .parquet(files.map(f => new Path(tableDir, f.path).toString): _*)
+          .schema(logical)
+          .parquet(paths: _*)
       else {
         // renamed columns: request BOTH the current and every historical
         // physical name (parquet null-fills whichever a file lacks), then
@@ -211,7 +248,6 @@ final class LakehouseTable(
         // to post-scan filtering (the coalesce hides it from the parquet
         // reader) — the partition source can't be renamed, so time
         // pruning never pays this.
-        val logical = readSchema
         val physical = StructType(logical.fields.flatMap { f =>
           f +: aliases.getOrElse(f.name, Nil)
             .map(a => StructField(a, f.dataType, nullable = true))
@@ -219,14 +255,19 @@ final class LakehouseTable(
         spark.read
           .option("basePath", dataDir.toString)
           .schema(physical)
-          .parquet(files.map(f => new Path(tableDir, f.path).toString): _*)
+          .parquet(paths: _*)
           .select(logical.fields.map { f =>
             val as = aliases.getOrElse(f.name, Nil)
             if (as.isEmpty) col(f.name)
             else coalesce((f.name +: as).map(col): _*).as(f.name)
           }.toIndexedSeq: _*)
       }
-    }
+    val tagged = tagColumn.map(c => base.withColumn(c, input_file_name())).getOrElse(base)
+    // surface the CURRENT default layout on every group
+    meta.defaultSpec.fields.foldLeft(tagged)((df, f) =>
+      if (df.columns.contains(f.name)) df
+      else df.withColumn(f.name, LakehouseTable.partitionExpr(f.transform, col(f.source))))
+  }
 
   /** Incremental append-scan (Iceberg's incremental read analog): the
     * rows ADDED by the snapshots in `(fromSnapshotId, toSnapshotId]` —
@@ -405,6 +446,73 @@ final class LakehouseTable(
     read().filter(bucketPred && col(src).isin(values: _*))
   }
 
+  /** Current-snapshot files consistent with equality constraints on
+    * partition columns, composed with an optional time range — the
+    * two-dimension pruning a composite spec (`identity(symbol) +
+    * day(ts)`) exists for. Three metadata-side levels, none touching
+    * Spark planning:
+    *
+    *   1. time range → manifest-list bounds, then per-file footer
+    *      bounds ([[filesOverlapping]] — spec-independent: the stats
+    *      key never changes across spec epochs);
+    *   2. equality → the file's own PATH SEGMENTS (`symbol=AAPL`):
+    *      the hive dir encodes the partition tuple, so an identity-dim
+    *      constraint drops whole directories without opening a footer;
+    *   3. a file whose spec epoch lacks the constrained dimension
+    *      cannot be skipped on it (kept — the exact predicate in
+    *      [[readPartition]] still filters its rows).
+    *
+    * `equalValues` keys are table COLUMNS (an identity partition field
+    * is its source column); constraints on non-partition columns prune
+    * nothing here but still filter exactly in the read APIs.
+    */
+  def filesForQuery(
+      equalValues: Map[String, Any],
+      timeRangeUs: Option[(Long, Long)] = None): Seq[DataFile] = {
+    val meta = metadata
+    val frozenCols = StructType.fromDDL(meta.schemaDdl).fieldNames.toSet
+    equalValues.keys.foreach(k =>
+      require(frozenCols.contains(k), s"'$k' is not a table column"))
+    val wanted = equalValues.map { case (k, v) =>
+      k -> LakehouseTable.escapeDirValue(String.valueOf(v)) }
+    val base = timeRangeUs match {
+      case Some((lo, hi)) => filesOverlapping(lo, hi)
+      case None => currentDataFiles
+    }
+    base.filter { f =>
+      val segs = f.partitionSegments
+      wanted.forall { case (k, v) => segs.get(k).forall(_ == v) }
+    }
+  }
+
+  /** Equality read over the identity dimension(s) of a composite spec:
+    * plan only the partition dirs matching `equalValues`
+    * ([[filesForQuery]]), then apply the exact predicate.
+    */
+  def readPartition(equalValues: Map[String, Any]): DataFrame = {
+    require(equalValues.nonEmpty, "readPartition needs at least one constraint")
+    readWithDeletes(filesForQuery(equalValues), currentDeleteFiles)
+      .filter(equalValues.map { case (k, v) => col(k) === lit(v) }.reduce(_ && _))
+  }
+
+  /** The composite lookup both dimensions exist for: identity equality
+    * AND a time range (epoch micros, inclusive), pruned independently —
+    * dir segments drop the foreign symbols, footer stats drop the
+    * foreign time — then filtered exactly. At 100 TB this is the
+    * difference between scanning one symbol-week and scanning the
+    * table.
+    */
+  def readPartitionRange(
+      equalValues: Map[String, Any], loUs: Long, hiUs: Long): DataFrame = {
+    val key = metadata.statsSource.getOrElse(throw new IllegalStateException(
+      "range read needs a declared time/stats source column"))
+    val files = filesForQuery(equalValues, Some((loUs, hiUs)))
+    val timePred = unix_micros(col(key)).between(loUs, hiUs)
+    val pred = equalValues.map { case (k, v) => col(k) === lit(v) }
+      .foldLeft(timePred)(_ && _)
+    readWithDeletes(files, currentDeleteFiles).filter(pred)
+  }
+
   /** True unless EVERY row group's bloom filter rejects every key. A
     * missing bloom (pre-bloom files, non-INT64 key) can never skip.
     */
@@ -575,13 +683,17 @@ final class LakehouseTable(
         frozen.fieldNames.contains(f.name) || meta.partitionColumns.contains(f.name))
       // never adopt a name that old data files still carry: a dropped
       // name would RESURRECT its pre-drop bytes; a renamed column's
-      // historical name would fork it into two columns on read
-      val forbidden = meta.tombstones ++ meta.historicalNames
+      // historical name would fork it into two columns on read; a
+      // RETIRED partition-dir name (pre-evolution spec) would collide
+      // with the dir recovery of that spec's files
+      val forbidden = meta.tombstones ++ meta.historicalNames ++
+        meta.specList.flatMap(_.fieldNames).filterNot(frozen.fieldNames.contains)
       val collisions = added.map(_.name).filter(forbidden.contains)
       require(collisions.isEmpty,
         s"cannot adopt column(s) ${collisions.mkString(", ")}: the name was " +
-          "dropped or renamed away and still exists in old data files " +
-          "(re-adding it would resurrect their bytes)")
+          "dropped or renamed away (re-adding it would resurrect the bytes " +
+          "old data files still carry), or serves as a partition-directory " +
+          "column of files already written")
       if (added.isEmpty) meta
       else meta.copy(schemaDdl =
         StructType(frozen.fields ++ added.map(_.copy(nullable = true))).toDDL)
@@ -610,9 +722,10 @@ final class LakehouseTable(
       require(frozen.fieldNames.contains(oldName), s"no such column '$oldName'")
       require(oldName != newName, "rename to the same name is a no-op")
       require(!frozen.fieldNames.contains(newName), s"column '$newName' already exists")
-      require(!meta.partitionColumns.contains(oldName) &&
-        !meta.partitionTransform.contains(oldName),
-        s"cannot rename partition source/column '$oldName'")
+      require(!meta.partitionTransform.contains(oldName) &&
+        !meta.specList.exists(s =>
+          s.fields.exists(f => f.source == oldName || f.name == oldName)),
+        s"cannot rename partition source/column '$oldName' (any spec epoch)")
       require(!meta.tombstones.contains(newName),
         s"'$newName' was dropped earlier; reusing it would resurrect the " +
           "old bytes still present in pre-drop data files")
@@ -639,9 +752,10 @@ final class LakehouseTable(
     evolveMetadata { meta =>
       val frozen = StructType.fromDDL(meta.schemaDdl)
       require(frozen.fieldNames.contains(name), s"no such column '$name'")
-      require(!meta.partitionColumns.contains(name) &&
-        !meta.partitionTransform.contains(name),
-        s"cannot drop partition source/column '$name'")
+      require(!meta.partitionTransform.contains(name) &&
+        !meta.specList.exists(s =>
+          s.fields.exists(f => f.source == name || f.name == name)),
+        s"cannot drop partition source/column '$name' (any spec epoch)")
       require(frozen.fields.length > 1, "cannot drop the last column")
       val newTombs = (meta.tombstones + name) ++ meta.aliasMap.getOrElse(name, Nil)
       meta.copy(
@@ -649,6 +763,76 @@ final class LakehouseTable(
         renamedFrom = Some(meta.aliasMap - name).filter(_.nonEmpty),
         droppedColumns = Some(newTombs.toSeq.sorted))
     }
+
+  /** Partition-spec evolution (Iceberg's evolve-spec analog): a
+    * METADATA-ONLY commit that appends a new [[PartitionSpec]] and
+    * re-points the default — no data file moves. Files keep the spec id
+    * they were written under, so reads plan each epoch with its own
+    * hive-dir layout ([[readFiles]]) while exposing the NEW spec's
+    * derived columns uniformly (recomputed from the source column for
+    * old files — same expression the writer uses, so values agree by
+    * construction). This is the one layout change a long-lived
+    * time-series table cannot avoid: a year-partitioned table whose
+    * daily volume grows 100× evolves to `day` dirs and only NEW data
+    * pays the finer fan-out; the reference hardcodes year forever
+    * (`lakehouse_pipeline.py:373-382`).
+    *
+    * `spec` is (source column, transform) pairs, e.g.
+    * `Seq("symbol" -> "identity", "ts" -> "day")`. Constraints:
+    * the TIME dimension cannot move to a different source column
+    * (per-file key stats are recorded for one column table-wide —
+    * [[TableMetadata.statsSource]]), and derived names must not
+    * collide with data columns or tombstones. Commutes with appends;
+    * an append racing the evolution lands under whichever spec its
+    * commit's metadata read saw — both are valid layouts of its rows.
+    *
+    * Returns the new spec id.
+    */
+  def evolvePartitionSpec(spec: Seq[(String, String)]): Int = {
+    require(spec.nonEmpty, "evolved spec needs at least one field")
+    val fields = spec.map { case (s, t) => LakehouseTable.specField(s, t) }
+    var newId = 0
+    evolveMetadata { meta =>
+      val frozen = StructType.fromDDL(meta.schemaDdl)
+      require(fields.map(_.name).distinct.size == fields.size,
+        "duplicate partition field names")
+      fields.foreach { f =>
+        require(frozen.fieldNames.contains(f.source),
+          s"partition source '${f.source}' is not a table column")
+        if (f.transform != "identity")
+          require(!frozen.fieldNames.contains(f.name),
+            s"derived partition column '${f.name}' collides with a data column")
+        require(!meta.tombstones.contains(f.name) && !meta.historicalNames.contains(f.name),
+          s"partition column '${f.name}' collides with a dropped/renamed " +
+            "column whose bytes old data files still carry")
+      }
+      require(fields != meta.defaultSpec.fields,
+        "evolved spec is identical to the current default")
+      val timeField = fields.find(f => LakehouseTable.TimeTransforms.contains(f.transform))
+      meta.statsSource.foreach { cur =>
+        timeField.foreach(tf => require(tf.source == cur,
+          s"spec evolution cannot move the time dimension off '$cur': per-file " +
+            "key stats are recorded for that column table-wide"))
+      }
+      // the stats key is sticky: once set it never changes (old files'
+      // bounds would silently refer to the wrong column); a previously
+      // unpartitioned table adopts one now (its old files carry no
+      // bounds — "cannot skip", conservative and correct)
+      val newStats = meta.statsSource
+        .orElse(timeField.map(_.source))
+        .orElse(fields.headOption.map(_.source))
+      val nid = meta.specList.map(_.id).max + 1
+      newId = nid
+      meta.copy(
+        partitionColumns = fields.map(_.name),
+        partitionTransform = newStats,
+        partitionGranularity =
+          Some(timeField.map(_.transform).getOrElse(fields.head.transform)),
+        partitionSpecs = Some(meta.specList :+ PartitionSpec(nid, fields)),
+        defaultSpecId = Some(nid))
+    }
+    newId
+  }
 
   /** Bounded rebase-retry for metadata-only schema evolution commits:
     * `f` is re-applied to FRESH metadata on every attempt, so its
@@ -694,11 +878,13 @@ final class LakehouseTable(
     */
   private def writeStaged(meta: TableMetadata, df: DataFrame): Seq[DataFile] = {
     validateSchema(meta, df)
-    val withPart = (meta.partitionTransform, meta.partitionColumns) match {
-      case (Some(ts), Seq(pc)) if !df.columns.contains(pc) =>
-        df.withColumn(pc, LakehouseTable.partitionExpr(meta.granularity, col(ts)))
-      case _ => df
-    }
+    val spec = meta.defaultSpec
+    // derive every absent partition column of the default spec (identity
+    // fields are real data columns, always present; time/bucket fields
+    // derive from their source)
+    val withPart = spec.fields.foldLeft(df)((d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, LakehouseTable.partitionExpr(f.transform, col(f.source))))
     // INT64 micros, not the deprecated INT96 default: footer min/max
     // stats for INT96 are opaque binary, which would disable the
     // manifest's file-skipping bounds
@@ -706,9 +892,9 @@ final class LakehouseTable(
     val stagingName = s".staging-${UUID.randomUUID().toString.take(8)}"
     val staging = new Path(tableDir, stagingName)
     val writer = withBloomOption(meta, withPart.write.mode("overwrite"))
-    (if (meta.partitionColumns.nonEmpty) writer.partitionBy(meta.partitionColumns: _*) else writer)
+    (if (spec.fields.nonEmpty) writer.partitionBy(spec.fieldNames: _*) else writer)
       .parquet(staging.toString)
-    moveStaged(staging)
+    moveStaged(meta, staging)
   }
 
   /** Native parquet bloom filter on the key column: min/max bounds
@@ -824,8 +1010,10 @@ final class LakehouseTable(
     * buys read-side file skipping). Part names carry a write-UUID so
     * files from different commits never collide.
     */
-  private def moveStaged(staging: Path, extraStatCols: Seq[String] = Nil): Seq[DataFile] = {
-    val keyCol = metadata.partitionTransform
+  private def moveStaged(
+      meta: TableMetadata, staging: Path, extraStatCols: Seq[String] = Nil): Seq[DataFile] = {
+    val keyCol = meta.statsSource
+    val sid = if (meta.defaultSpec.fields.nonEmpty) Some(meta.defaultSpec.id) else None
     val stagingQ = fs.makeQualified(staging) // listFiles returns qualified paths
     val parts = scala.collection.mutable.ArrayBuffer.empty[Path]
     val it = fs.listFiles(staging, true)
@@ -850,7 +1038,8 @@ final class LakehouseTable(
         throw new IllegalStateException(s"failed to move $src -> $dest")
       val (rows, mn, mx, extra) = footerInfo(dest, keyCol, extraStatCols)
       DataFile(s"data/${if (relDir.isEmpty) "" else relDir}$name", rows, mn, mx,
-        extraBounds = if (extra.isEmpty) None else Some(extra))
+        extraBounds = if (extra.isEmpty) None else Some(extra),
+        specId = sid)
     }
     fs.delete(staging, true)
     moved
@@ -1121,49 +1310,54 @@ final class LakehouseTable(
     // a partition dir all span the dir's full time range and the
     // two-level file skipping (SnapshotLog.filesOverlapping) degrades
     // to scan-everything-within-partition after every maintenance run.
-    val sortKey = meta.partitionTransform
-    val writer = (meta.partitionColumns, sortKey) match {
-      case (Seq(pc), key) if filesPerPartition == 1 =>
-        // hash-repartition on the partition column: each partition value
-        // lands in exactly one task → one file per partition dir
-        key.map(k => df.repartition(col(pc)).sortWithinPartitions(col(pc), col(k)))
-          .getOrElse(df.repartition(col(pc)))
-          .write.mode("overwrite").partitionBy(pc)
-      case (Seq(pc), Some(key)) =>
+    // a composite spec sorts (partition cols..., time key); dedupe in
+    // case the key is itself a partition column (identity on time)
+    val sortKey = meta.statsSource
+    val pcs = meta.partitionColumns
+    def sortCols(key: Option[String]): Seq[org.apache.spark.sql.Column] =
+      (pcs ++ key.filterNot(pcs.contains)).map(col)
+    val writer = (pcs, sortKey) match {
+      case (Nil, key) if filesPerPartition == 1 =>
+        key.map(k => df.coalesce(1).sortWithinPartitions(col(k)))
+          .getOrElse(df.coalesce(1)).write.mode("overwrite")
+      case (Nil, Some(key)) =>
+        df.repartitionByRange(filesPerPartition, col(key))
+          .sortWithinPartitions(col(key)).write.mode("overwrite")
+      case (Nil, None) => df.repartition(filesPerPartition).write.mode("overwrite")
+      case (cols, key) if filesPerPartition == 1 =>
+        // hash-repartition on the partition columns: each partition
+        // tuple lands in exactly one task → one file per partition dir
+        key.map(_ => df.repartition(cols.map(col): _*).sortWithinPartitions(sortCols(key): _*))
+          .getOrElse(df.repartition(cols.map(col): _*))
+          .write.mode("overwrite").partitionBy(cols: _*)
+      case (cols, Some(_)) =>
         // one writer task cannot absorb a year of data at 100 TB: fan
-        // each partition value out over ~filesPerPartition parallel
-        // writers. Range-fan on (partition, time key) — NOT a content
-        // hash: the partition value is monotone in the key, so global
-        // range partitioning gives each task one contiguous key slice,
-        // making sibling files' footer ranges near-DISJOINT (a hash
-        // bucket would smear the dir's full range across every file).
-        // numPartitions is explicit: a bare repartition-by-column is an
-        // AQE-coalescible shuffle that would merge the small cells right
-        // back into one task.
+        // each partition tuple out over ~filesPerPartition parallel
+        // writers. Range-fan on (partition cols..., time key) — NOT a
+        // content hash: the partition value is monotone in the key, so
+        // global range partitioning gives each task one contiguous key
+        // slice, making sibling files' footer ranges near-DISJOINT (a
+        // hash bucket would smear the dir's full range across every
+        // file). numPartitions is explicit: a bare repartition-by-column
+        // is an AQE-coalescible shuffle that would merge the small cells
+        // right back into one task.
         val nPartDirs = math.max(1,
           currentFiles.map(f => f.path.split("/").dropRight(1).mkString("/")).distinct.size)
-        df.repartitionByRange(nPartDirs * filesPerPartition, col(pc), col(key))
-          .sortWithinPartitions(col(pc), col(key))
-          .write.mode("overwrite").partitionBy(pc)
-      case (Seq(pc), None) =>
+        df.repartitionByRange(nPartDirs * filesPerPartition, sortCols(sortKey): _*)
+          .sortWithinPartitions(sortCols(sortKey): _*)
+          .write.mode("overwrite").partitionBy(cols: _*)
+      case (cols, None) =>
         // no declared time key → fall back to deterministic content-hash
         // fan-out (task-retry stable); nothing to sort by.
         val nPartDirs = math.max(1,
           currentFiles.map(f => f.path.split("/").dropRight(1).mkString("/")).distinct.size)
         val bucket = pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(filesPerPartition))
-        df.repartition(nPartDirs * filesPerPartition, col(pc), bucket)
-          .write.mode("overwrite").partitionBy(pc)
-      case (_, key) if filesPerPartition == 1 =>
-        key.map(k => df.coalesce(1).sortWithinPartitions(col(k)))
-          .getOrElse(df.coalesce(1)).write.mode("overwrite")
-      case (_, Some(key)) =>
-        df.repartitionByRange(filesPerPartition, col(key))
-          .sortWithinPartitions(col(key)).write.mode("overwrite")
-      case _ => df.repartition(filesPerPartition).write.mode("overwrite")
+        df.repartition(nPartDirs * filesPerPartition, cols.map(col) :+ bucket: _*)
+          .write.mode("overwrite").partitionBy(cols: _*)
     }
     withBloomOption(meta, writer).parquet(staging.toString)
 
-    val moved = moveStaged(staging)
+    val moved = moveStaged(meta, staging)
     // manifest-list REPLACES the previous one (addedRows 0: a compaction
     // moves rows, it does not add any). totalRows is recounted from the
     // output: with MoR deletes folded it is the first commit whose
@@ -1226,24 +1420,24 @@ final class LakehouseTable(
     // inserted and the files land z-clustered without materializing __z
     val zc = col("__graft_z")
     val sorted = meta.partitionColumns match {
-      case Seq(pc) =>
-        df.withColumn("__graft_z", zv)
-          .repartitionByRange(n, col(pc), zc)
-          .sortWithinPartitions(col(pc), zc)
-          .drop("__graft_z")
-      case _ =>
+      case Nil =>
         df.withColumn("__graft_z", zv)
           .repartitionByRange(n, zc)
           .sortWithinPartitions(zc)
           .drop("__graft_z")
+      case cols =>
+        df.withColumn("__graft_z", zv)
+          .repartitionByRange(n, cols.map(col) :+ zc: _*)
+          .sortWithinPartitions(cols.map(col) :+ zc: _*)
+          .drop("__graft_z")
     }
     val writer = sorted.write.mode("overwrite")
     (meta.partitionColumns match {
-      case Seq(pc) => withBloomOption(meta, writer).partitionBy(pc)
-      case _ => withBloomOption(meta, writer)
+      case Nil => withBloomOption(meta, writer)
+      case cols => withBloomOption(meta, writer).partitionBy(cols: _*)
     }).parquet(staging.toString)
 
-    val moved = moveStaged(staging, extraStatCols = zCols)
+    val moved = moveStaged(meta, staging, extraStatCols = zCols)
     commitSnapshot(meta, version, moved, "compact", Some(Nil),
       totalRows = moved.map(_.rows).sum, addedRowsOverride = Some(0L),
       deletesOverride = Some(Nil))
@@ -1592,7 +1786,43 @@ object LakehouseTable {
     */
   val Granularities: Set[String] = Set("year", "month", "day", "hour", "identity")
 
+  /** The transforms that derive a MONOTONE int from a timestamp source
+    * (the time dimension of a spec); identity and bucket[N] are the
+    * non-time transforms.
+    */
+  val TimeTransforms: Set[String] = Set("year", "month", "day", "hour")
+
   private val BucketPattern = """bucket\[(\d{1,6})\]""".r
+
+  /** Build one partition-spec field, deriving the physical dir-column
+    * name from source + transform (identity keeps the source name —
+    * the column is real data; derived transforms suffix it).
+    */
+  def specField(source: String, transform: String): PartitionField = {
+    require(isValidGranularity(transform),
+      s"unsupported partition transform '$transform' " +
+        s"(one of ${Granularities.mkString(", ")}, or bucket[N])")
+    val name = transform match {
+      case "identity" => source
+      case t if bucketCount(t).isDefined => s"${source}_bucket"
+      case t => s"${source}_$t"
+    }
+    PartitionField(source, transform, name)
+  }
+
+  /** Hive-style partition-path escaping of a dir VALUE — mirrors what
+    * Spark's file committer writes (ExternalCatalogUtils.escapePathName
+    * semantics: control chars and path-hostile punctuation become %XX),
+    * so [[LakehouseTable.filesForQuery]] compares apples to apples.
+    */
+  def escapeDirValue(s: String): String = {
+    def needsEscaping(c: Char): Boolean =
+      c < ' ' || c == '"' || c == '#' || c == '%' || c == '\'' || c == '*' ||
+        c == '/' || c == ':' || c == '=' || c == '?' || c == '\\' ||
+        c == '\u007F' || c == '{' || c == '[' || c == ']' || c == '^'
+    if (!s.exists(needsEscaping)) s
+    else s.flatMap(c => if (needsEscaping(c)) f"%%${c.toInt}%02X" else c.toString)
+  }
 
   /** Bucket count of a `bucket[N]` granularity, None for the rest. */
   def bucketCount(granularity: String): Option[Int] = granularity match {
@@ -1646,25 +1876,63 @@ object LakehouseTable {
     require(isValidGranularity(granularity),
       s"unsupported partition granularity '$granularity' " +
         s"(one of ${Granularities.mkString(", ")}, or bucket[N])")
+    createWithSpec(spark, tableDir, schema,
+      partitionSource.map(src => Seq(src -> granularity)).getOrElse(Nil))
+  }
+
+  /** CREATE TABLE IF NOT EXISTS with a COMPOSITE partition spec —
+    * `spec` is (source column, transform) pairs applied left to right,
+    * e.g. `Seq("symbol" -> "identity", "ts" -> "day")` for the layout a
+    * 100 TB deployment wants instead of table-per-symbol
+    * (`lakehouse_pipeline.py:328-331` creates one table per symbol
+    * precisely because PyIceberg's create there binds one transform).
+    * Dir layout nests in field order (`symbol=AAPL/ts_day=20260812/`);
+    * reads prune the identity dims by path segment and the time dim by
+    * footer stats, independently ([[LakehouseTable.filesForQuery]]).
+    * The first time-transform field's source becomes the table's stats
+    * key (footer min/max + bloom).
+    */
+  def createIfNotExists(
+      spark: SparkSession,
+      tableDir: Path,
+      schema: StructType,
+      spec: Seq[(String, String)]): LakehouseTable =
+    createWithSpec(spark, tableDir, schema, spec)
+
+  private def createWithSpec(
+      spark: SparkSession,
+      tableDir: Path,
+      schema: StructType,
+      spec: Seq[(String, String)]): LakehouseTable = {
     val log = new SnapshotLog(tableDir, spark.sessionState.newHadoopConf())
     if (!log.exists) {
-      val (partCols, transform) = partitionSource match {
-        case Some(ts) if granularity == "identity" => (Seq(ts), Some(ts))
-        case Some(ts) if bucketCount(granularity).isDefined =>
-          // dir-name-safe suffix (no brackets in hive paths)
-          (Seq(s"${ts}_bucket"), Some(ts))
-        case Some(ts) => (Seq(s"${ts}_$granularity"), Some(ts))
-        case None => (Nil, None)
+      val fields = spec.map { case (s, t) => specField(s, t) }
+      require(fields.map(_.name).distinct.size == fields.size,
+        "duplicate partition field names")
+      fields.foreach { f =>
+        require(schema.fieldNames.contains(f.source),
+          s"partition source '${f.source}' is not a table column")
+        if (f.transform != "identity")
+          require(!schema.fieldNames.contains(f.name),
+            s"derived partition column '${f.name}' collides with a data column")
       }
+      val timeField = fields.find(f => TimeTransforms.contains(f.transform))
+      // stats/bloom key: the time dimension when one exists; a single
+      // non-time field keeps the legacy behavior (stats on its source)
+      val statsSrc = timeField.map(_.source)
+        .orElse(if (fields.size == 1) Some(fields.head.source) else None)
       log.create(TableMetadata(
         formatVersion = 2,
         name = tableDir.getName,
         schemaDdl = schema.toDDL,
-        partitionColumns = partCols,
-        partitionTransform = transform,
+        partitionColumns = fields.map(_.name),
+        partitionTransform = statsSrc,
         snapshots = Nil,
         currentSnapshotId = None,
-        partitionGranularity = partitionSource.map(_ => granularity)))
+        partitionGranularity = timeField.map(_.transform)
+          .orElse(fields.headOption.map(_.transform)),
+        partitionSpecs = Some(Seq(PartitionSpec(0, fields))),
+        defaultSpecId = Some(0)))
     }
     new LakehouseTable(spark, tableDir, log)
   }

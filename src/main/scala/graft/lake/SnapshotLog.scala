@@ -43,6 +43,25 @@ import java.util.UUID
   * year-partition directory pruning, and evaluated before Spark ever
   * sees a path.
   */
+/** One field of a partition spec: `transform(source) AS name`. The
+  * name is the physical hive-dir column (`symbol` for identity,
+  * `ts_day` / `user_id_bucket` for derived transforms). Iceberg's
+  * PartitionField analog, keyed by column NAME (this format's id).
+  */
+final case class PartitionField(source: String, transform: String, name: String)
+
+/** A versioned partition spec (Iceberg partition-spec analog): the
+  * composite layout `fields` data files are written under. Specs are
+  * append-only — [[LakehouseTable.evolvePartitionSpec]] adds a new one
+  * and re-points the default; files remember the spec they were
+  * written under ([[DataFile.specId]]), so readers plan each file with
+  * ITS OWN layout and a year-partitioned table can grow day dirs
+  * mid-life without rewriting a byte.
+  */
+final case class PartitionSpec(id: Int, fields: Seq[PartitionField]) {
+  def fieldNames: Seq[String] = fields.map(_.name)
+}
+
 final case class DataFile(
     path: String,
     rows: Long,
@@ -66,13 +85,33 @@ final case class DataFile(
       * Absent on normally-written files ⇒ such a file can never be
       * skipped on a secondary column — additive and safe.
       */
-    extraBounds: Option[Seq[ColumnBounds]] = None
+    extraBounds: Option[Seq[ColumnBounds]] = None,
+    /** Id of the [[PartitionSpec]] this file was written under. Absent
+      * (pre-round-7 metadata, or unpartitioned tables) means spec 0 —
+      * additive, no format bump. Readers group files by spec id so a
+      * mixed-layout table (post-evolution) plans each group with its
+      * own hive-dir recovery and pruning.
+      */
+    specId: Option[Int] = None
 ) {
   def overlaps(loUs: Long, hiUs: Long): Boolean = (minKeyUs, maxKeyUs) match {
     case (Some(lo), Some(hi)) => hi >= loUs && lo <= hiUs
     case _ => true // no stats ⇒ cannot skip
   }
   def seqOrMin: Long = seq.getOrElse(Long.MinValue)
+  def specIdOrZero: Int = specId.getOrElse(0)
+
+  /** The `name=value` partition-dir segments encoded in this file's
+    * path (everything between `data/` and the file name). Metadata-side
+    * identity/derived-dim pruning reads these — the path IS the
+    * partition tuple, no footer open needed.
+    */
+  def partitionSegments: Map[String, String] =
+    path.split("/").dropRight(1).iterator.filter(_.contains("="))
+      .map { seg =>
+        val i = seg.indexOf('=')
+        seg.substring(0, i) -> seg.substring(i + 1)
+      }.toMap
 
   /** Whether the file may contain values of `column` in [lo, hi] —
     * true when no bounds were recorded (cannot skip what was never
@@ -208,7 +247,16 @@ final case class TableMetadata(
       * in-flight batch) sees its batchId already recorded and becomes a
       * no-op instead of a duplicate append. Additive field.
       */
-    streamProgress: Option[Map[String, Long]] = None
+    streamProgress: Option[Map[String, Long]] = None,
+    /** Versioned partition specs (round 7, additive): the full history
+      * of layouts files were written under, and the id of the spec new
+      * writes use. Absent ⇒ the single legacy spec derived from
+      * `partitionColumns`/`partitionTransform`/`partitionGranularity`
+      * (which stay populated, mirroring the DEFAULT spec, so every
+      * pre-round-7 code path keeps reading the same answers).
+      */
+    partitionSpecs: Option[Seq[PartitionSpec]] = None,
+    defaultSpecId: Option[Int] = None
 ) {
   def currentSnapshot: Option[Snapshot] =
     currentSnapshotId.flatMap(id => snapshots.find(_.id == id))
@@ -220,6 +268,36 @@ final case class TableMetadata(
   def historicalNames: Set[String] = aliasMap.values.flatten.toSet
   def tags: Map[String, Long] = refs.getOrElse(Map.empty)
   def streamWatermarks: Map[String, Long] = streamProgress.getOrElse(Map.empty)
+
+  /** All partition specs, deriving the legacy single-field encoding as
+    * spec 0 when the explicit list is absent (pre-round-7 tables).
+    */
+  def specList: Seq[PartitionSpec] = partitionSpecs.getOrElse {
+    val fields = (partitionTransform, partitionColumns) match {
+      case (Some(src), Seq(pc)) => Seq(PartitionField(src, granularity, pc))
+      case _ => Nil
+    }
+    Seq(PartitionSpec(0, fields))
+  }
+
+  /** The spec new writes go under (the newest by default). */
+  def defaultSpec: PartitionSpec = {
+    val id = defaultSpecId.getOrElse(specList.map(_.id).max)
+    specById(id)
+  }
+
+  def specById(id: Int): PartitionSpec =
+    specList.find(_.id == id).getOrElse(
+      throw new IllegalStateException(s"unknown partition spec id $id " +
+        s"(known: ${specList.map(_.id).mkString(", ")}) — corrupt metadata?"))
+
+  /** The column per-file footer key stats (minKeyUs/maxKeyUs) are
+    * recorded for — the time dimension of the layout. Mirrors the
+    * legacy `partitionTransform` field, which stays the storage of
+    * record so pre-round-7 stats keep their meaning; spec evolution
+    * must preserve it ([[LakehouseTable.evolvePartitionSpec]]).
+    */
+  def statsSource: Option[String] = partitionTransform
 }
 
 /** A commit lost the optimistic race: the version pointer moved (or a

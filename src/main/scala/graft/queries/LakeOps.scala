@@ -456,6 +456,76 @@ object LakeOps {
       sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
   }
 
+  /** Composite partition spec (VERDICT r6 #1): ONE table partitioned
+    * `identity(event_type) + day(ts)` — the layout that replaces the
+    * reference's table-per-symbol fan-out — ingested per type so files
+    * never straddle the identity dim, then answered through
+    * [[LakehouseTable.readPartitionRange]]: the identity dim prunes by
+    * path segment, the time dim by footer stats, BOTH before Spark
+    * plans. The per-day counts/sums for one event type over one week
+    * must equal DuckDB filtering the raw parquet; `pruned_both` pins
+    * that each dimension alone drops files and the composition drops
+    * more.
+    */
+  def compositePartitionFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ev = graft.Tables.t(s, dir, "events")
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+    val table = LakehouseTable.createIfNotExists(
+      s, new Path(freshWarehouse("graft-cm"), "events_by_type"), ev.schema,
+      Seq("event_type" -> "identity", "ts" -> "day"))
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    types.foreach(t => table.append(ev.filter(col("event_type") === t)))
+    def us(d: String): Long =
+      java.time.LocalDateTime.parse(d).toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val (lo, hi) = (us("2024-01-08T00:00:00"), us("2024-01-14T23:59:59.999999"))
+    val total = table.currentDataFiles.size
+    val bySym = table.filesForQuery(Map("event_type" -> "purchase")).size
+    val byTime = table.filesForQuery(Map.empty, Some((lo, hi))).size
+    val both = table.filesForQuery(Map("event_type" -> "purchase"), Some((lo, hi))).size
+    val prunedBoth = bySym < total && byTime < total && both < math.min(bySym, byTime)
+    table.readPartitionRange(Map("event_type" -> "purchase"), lo, hi)
+      .groupBy(col("ts_day").cast(LongType).as("ts_day"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .withColumn("pruned_both", lit(prunedBoth))
+      .orderBy("ts_day")
+  }
+
+  /** Partition-spec evolution (VERDICT r6 #2): ingest January's first
+    * half into a YEAR-partitioned table, evolve the spec to DAY —
+    * metadata-only, zero files moved — ingest the second half under
+    * day dirs, and aggregate BY the current spec's derived day column
+    * across both epochs. Old files re-derive `ts_day` from `ts`, new
+    * files recover it from their dirs; the totals must equal DuckDB
+    * deriving the day from raw timestamps, proving the mixed-layout
+    * read loses nothing and the two derivations agree. `n_specs` and
+    * `epochs_intact` pin that both layouts coexist on disk.
+    */
+  def specEvolutionFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ev = graft.Tables.t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
+    val table = LakehouseTable.createIfNotExists(
+      s, new Path(freshWarehouse("graft-se"), "events_evolved"), ev.schema, Some("ts"), "year")
+    table.append(ev.filter(dayofmonth(col("ts")) <= 15))
+    table.evolvePartitionSpec(Seq("ts" -> "day"))
+    table.append(ev.filter(dayofmonth(col("ts")) > 15))
+    val files = table.currentDataFiles
+    val epochsIntact =
+      files.exists(f => f.specIdOrZero == 0 && f.path.startsWith("data/ts_year=")) &&
+        files.exists(f => f.specIdOrZero == 1 && f.path.startsWith("data/ts_day=")) &&
+        files.forall(f => f.specIdOrZero != 0 || f.path.startsWith("data/ts_year="))
+    table.read()
+      .groupBy(col("ts_day").cast(LongType).as("ts_day"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .withColumn("n_specs", lit(table.metadata.specList.size.toLong))
+      .withColumn("epochs_intact", lit(epochsIntact))
+      .orderBy("ts_day")
+  }
+
   /** Copy-on-write DELETE: drop every 7th event, read back totals. */
   def deleteFlow(s: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
@@ -470,6 +540,31 @@ object LakeOps {
   }
 
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q_lake_composite_partition",
+      compositePartitionFlow,
+      Some("""SELECT CAST((year(ts)*100 + month(ts))*100 + day(ts) AS BIGINT) AS ts_day,
+             |       count(*) AS n_rows,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       true AS pruned_both
+             |FROM events
+             |WHERE event_type = 'purchase'
+             |  AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+             |  AND ts <= TIMESTAMP '2024-01-14 23:59:59.999999'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_spec_evolution",
+      specEvolutionFlow,
+      Some("""SELECT CAST((year(ts)*100 + month(ts))*100 + day(ts) AS BIGINT) AS ts_day,
+             |       count(*) AS n_rows,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       CAST(2 AS BIGINT) AS n_specs,
+             |       true AS epochs_intact
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     QuerySpec(
       "q_lake_delete",
       deleteFlow,
