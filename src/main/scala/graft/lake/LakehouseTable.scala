@@ -166,18 +166,23 @@ final class LakehouseTable(
           else {
             val applicableSeqs = delSeqs.takeRight(nApplicable).toSet
             val applicable = dels.filter(d => applicableSeqs.contains(d.seq))
-            applicable.groupBy(d => toCurrent.getOrElse(d.key, d.key))
-              .foldLeft(raw(group)) { case (df, (curKey, ds)) =>
+            // group by the RESOLVED key column list: a composite delete
+            // masks a row only when every component matches, so files
+            // keyed on different column sets anti-join separately
+            applicable.groupBy(d => d.keyCols.map(k => toCurrent.getOrElse(k, k)))
+              .foldLeft(raw(group)) { case (df, (curKeys, ds)) =>
                 val keys = ds.map(d =>
                   spark.read.parquet(new Path(tableDir, d.path).toString)
-                    .select(col(d.key).as(curKey)))
+                    .select(d.keyCols.zip(curKeys).map {
+                      case (hist, cur) => col(hist).as(cur)
+                    }: _*))
                   .reduce(_ unionByName _)
                 // delete-key files are metadata-scale by construction
                 // (that is why MoR wins over COW), so pin the broadcast
                 // instead of trusting AQE size estimates — a sort-merge
                 // fallback here would shuffle the DATA side per delete
                 // commit (plan-asserted in MorDeleteSpec)
-                df.join(broadcast(keys), Seq(curKey), "left_anti")
+                df.join(broadcast(keys), curKeys, "left_anti")
               }
           }
         }.reduce(_ unionByName _)
@@ -1195,12 +1200,24 @@ final class LakehouseTable(
     * caller must re-plan — a rebase would silently widen the delete
     * onto rows the planner never saw.
     */
-  def morDeleteKeys(keys: DataFrame, key: String): Snapshot = {
+  def morDeleteKeys(keys: DataFrame, key: String): Snapshot =
+    morDeleteKeys(keys, Seq(key))
+
+  /** COMPOSITE-key merge-on-read delete: a row is masked when ALL of
+    * `keyCols` match a key tuple — the compound-key retraction
+    * (`DELETE WHERE user_id = u AND source = s`) that single-column
+    * equality would otherwise force onto the COW path (VERDICT r6 #4).
+    * Same sequence semantics, same O(deleted keys) write, same
+    * broadcast anti-join read (now on the composite), same fold under
+    * compaction. Null in ANY component never matches (SQL equality),
+    * so such tuples are dropped at write.
+    */
+  def morDeleteKeys(keys: DataFrame, keyCols: Seq[String]): Snapshot = {
     val (version, meta) = versionedMeta
     val current = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("cannot delete from an empty table"))
     val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
-    val newDeletes = writeDeleteFiles(meta, keys, key, snapId)
+    val newDeletes = writeDeleteFiles(meta, keys, keyCols, snapId)
     if (newDeletes.isEmpty) return current // no non-null keys: nothing to do
     commitSnapshot(meta, version, Nil, "mor-delete", replaceRefs = None,
       totalRows = current.totalRows,
@@ -1219,12 +1236,20 @@ final class LakehouseTable(
     *
     * Same precondition as [[merge]]: the batch must be unique on `key`.
     */
-  def morMerge(batch: DataFrame, key: String): Snapshot = {
+  def morMerge(batch: DataFrame, key: String): Snapshot =
+    morMerge(batch, Seq(key))
+
+  /** Composite-key MoR upsert: the batch must be unique on the
+    * composite `keyCols`; pre-existing rows matching a batch tuple on
+    * ALL components are masked, the batch appends. See the single-key
+    * scaladoc for sequence semantics.
+    */
+  def morMerge(batch: DataFrame, keyCols: Seq[String]): Snapshot = {
     val (version, meta) = versionedMeta
     val current = meta.currentSnapshot.getOrElse(return append(batch, "mor-merge"))
     val moved = writeStaged(meta, batch)
     val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
-    val newDeletes = writeDeleteFiles(meta, batch, key, snapId)
+    val newDeletes = writeDeleteFiles(meta, batch, keyCols, snapId)
     commitSnapshot(meta, version, moved, "mor-merge", replaceRefs = None,
       totalRows = current.totalRows + moved.map(_.rows).sum,
       deletesOverride = Some(liveDeleteFiles(current) ++ newDeletes))
@@ -1239,11 +1264,16 @@ final class LakehouseTable(
     * [[delete]] instead, which also skips the read-side join tax.
     */
   private def writeDeleteFiles(
-      meta: TableMetadata, keys: DataFrame, key: String, snapId: Long): Seq[DeleteFile] = {
-    require(StructType.fromDDL(meta.schemaDdl).fieldNames.contains(key),
-      s"delete key '$key' is not a column of the table schema")
+      meta: TableMetadata, keys: DataFrame, keyCols: Seq[String], snapId: Long): Seq[DeleteFile] = {
+    require(keyCols.nonEmpty, "delete needs at least one key column")
+    require(keyCols.distinct.size == keyCols.size, "duplicate delete key columns")
+    val frozenNames = StructType.fromDDL(meta.schemaDdl).fieldNames.toSet
+    keyCols.foreach(k => require(frozenNames.contains(k),
+      s"delete key '$k' is not a column of the table schema"))
     val staging = new Path(tableDir, s".staging-${UUID.randomUUID().toString.take(8)}")
-    keys.select(col(key)).filter(col(key).isNotNull).distinct()
+    keys.select(keyCols.map(col): _*)
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .distinct()
       .coalesce(1)
       .write.mode("overwrite").parquet(staging.toString)
     val parts = {
@@ -1264,7 +1294,8 @@ final class LakehouseTable(
       val (rows, _, _) = footerStats(dest, None)
       // an all-null key batch writes an empty part: nothing to delete
       if (rows == 0L) { fs.delete(dest, false); None }
-      else Some(DeleteFile(s"deletes/${dest.getName}", rows, key, snapId))
+      else Some(DeleteFile(s"deletes/${dest.getName}", rows, keyCols.head, snapId,
+        keys = if (keyCols.size == 1) None else Some(keyCols)))
     }
     fs.delete(staging, true)
     moved

@@ -144,8 +144,18 @@ final case class DeleteFile(
     path: String,
     rows: Long,
     key: String,
-    seq: Long
-)
+    seq: Long,
+    /** Full COMPOSITE key column list (round 7, additive): present only
+      * for multi-column equality deletes — a row is masked when ALL
+      * components match. Absent ⇔ the single-column `key` (pre-round-7
+      * files read unchanged; single-key writes stay byte-identical).
+      * Names are AT-WRITE-TIME, resolved through the alias map on read
+      * like `key`.
+      */
+    keys: Option[Seq[String]] = None
+) {
+  def keyCols: Seq[String] = keys.getOrElse(Seq(key))
+}
 
 /** Pointer to one manifest file plus roll-up stats over its entries.
   * The key bounds are the union of the member files' bounds (None if

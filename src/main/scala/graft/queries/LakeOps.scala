@@ -384,6 +384,41 @@ object LakeOps {
       .withColumn("no_rewrite", lit(noRewrite))
   }
 
+  /** Composite-key MoR flow (VERDICT r6 #4): the table keyed on
+    * (user_id, event_type) — a compound retraction single-column
+    * equality cannot express. MoR-DELETE every pair seen among
+    * event_id % 97 == 0 rows (masks ALL rows of those pairs), then
+    * MoR-MERGE one aggregated row per pair for event_id % 101 == 1
+    * (masks the pair's remaining history, appends the rollup). DuckDB
+    * recomputes the same delete-then-upsert algebra with correlated
+    * NOT EXISTS on BOTH components; totals must agree exactly —
+    * proving the composite anti-join masks full-tuple matches only,
+    * and the upsert's own batch survives its own mask.
+    */
+  def morCompositeFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ev = graft.Tables.t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+    val table = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(freshWarehouse("graft-mc"), "events"), ev.schema, Some("ts"))
+    table.append(ev)
+    val evAll = graft.Tables.t(s, dir, "events")
+    table.morDeleteKeys(
+      evAll.filter(col("event_id") % 97 === 0).select("user_id", "event_type"),
+      Seq("user_id", "event_type"))
+    val upserts = evAll.filter(col("event_id") % 101 === 1)
+      .groupBy("user_id", "event_type")
+      .agg(
+        max(col("ts")).as("ts"),
+        (sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType) + 100000.0).as("value"))
+      .select("user_id", "event_type", "ts", "value")
+    table.morMerge(upserts, Seq("user_id", "event_type"))
+    table.read().agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("value") >= 100000.0, 1)).as("n_upserted"),
+      sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+  }
+
   /** Exactly-once streaming-sink flow: two micro-batches land via
     * [[LakehouseTable.appendStream]], then batch 1 is REPLAYED (Spark's
     * at-least-once foreachBatch failure mode after a restart). The
@@ -619,6 +654,30 @@ object LakeOps {
              |                     AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
              |       true AS no_rewrite
              |FROM events WHERE event_id % 7 <> 0 OR event_id % 5 = 0""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_mor_composite",
+      morCompositeFlow,
+      Some("""WITH del AS (
+             |  SELECT DISTINCT user_id, event_type FROM events WHERE event_id % 97 = 0
+             |), upd AS (
+             |  SELECT user_id, event_type, max(ts) AS ts,
+             |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) + 100000.0 AS value
+             |  FROM events WHERE event_id % 101 = 1 GROUP BY 1, 2
+             |), survivors AS (
+             |  SELECT e.user_id, e.event_type, e.ts, e.value FROM events e
+             |  WHERE NOT EXISTS (SELECT 1 FROM del d
+             |                    WHERE d.user_id = e.user_id AND d.event_type = e.event_type)
+             |    AND NOT EXISTS (SELECT 1 FROM upd u
+             |                    WHERE u.user_id = e.user_id AND u.event_type = e.event_type)
+             |), final AS (
+             |  SELECT * FROM survivors UNION ALL SELECT * FROM upd
+             |)
+             |SELECT count(*) AS n_rows,
+             |       CAST(sum(CASE WHEN value >= 100000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_upserted,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM final""".stripMargin)
     ),
 
     QuerySpec(

@@ -148,6 +148,56 @@ class MorDeleteSpec extends SparkSpec {
     assert(t.read().count() == 8)
   }
 
+  test("composite-key delete masks only full-tuple matches") {
+    val t = fresh("comp")
+    // EventId repeats across two Bid groups: (EventId, Bid) is the key
+    val rows = (0 until 10).map(i =>
+      (Timestamp.valueOf(f"2024-01-01 00:00:00.$i%06d"), (i % 5).toLong, (i / 5).toDouble))
+      .toDF("DateTime", "EventId", "Bid")
+    t.append(rows)
+    t.morDeleteKeys(
+      Seq((2L, 0.0), (3L, 1.0)).toDF("EventId", "Bid"), Seq("EventId", "Bid"))
+    val left = t.read().select("EventId", "Bid").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(left.size == 8, "exactly the two full tuples are masked")
+    assert(!left.contains((2L, 0.0)) && !left.contains((3L, 1.0)))
+    assert(left.contains((2L, 1.0)) && left.contains((3L, 0.0)),
+      "partial matches (one component only) must survive")
+    assert(t.currentDeleteFiles.head.keyCols == Seq("EventId", "Bid"))
+  }
+
+  test("composite-key morMerge upserts by full tuple and folds under compaction") {
+    val t = fresh("compmerge")
+    val rows = (0 until 8).map(i =>
+      (Timestamp.valueOf(f"2024-01-01 00:00:00.$i%06d"), (i % 4).toLong, (i / 4).toDouble))
+      .toDF("DateTime", "EventId", "Bid")
+    t.append(rows)
+    // upsert keyed on (EventId, Bid): replaces exactly the (1, 0.0) row
+    val batch = Seq((Timestamp.valueOf("2024-01-02 00:00:00"), 1L, 0.0))
+      .toDF("DateTime", "EventId", "Bid")
+    t.morMerge(batch, Seq("EventId", "Bid"))
+    assert(t.read().count() == 8)
+    assert(t.read().filter(col("EventId") === 1L && col("Bid") === 0.0)
+      .select("DateTime").head().getTimestamp(0) ==
+      Timestamp.valueOf("2024-01-02 00:00:00"), "the new image wins")
+    assert(t.read().filter(col("EventId") === 1L && col("Bid") === 1.0).count() == 1,
+      "same EventId under the other Bid is untouched")
+    t.compact()
+    assert(t.currentDeleteFiles.isEmpty)
+    assert(t.read().count() == 8)
+  }
+
+  test("null in any composite component never matches") {
+    val t = fresh("compnull")
+    t.append(df(0 until 5))
+    val before = t.metadata.currentSnapshot.get.id
+    t.morDeleteKeys(
+      Seq((Option.empty[Long], 2.0)).toDF("EventId", "Bid"),
+      Seq("EventId", "Bid"))
+    assert(t.metadata.currentSnapshot.get.id == before, "all-null-component tuple: no-op")
+    assert(t.read().count() == 5)
+  }
+
   test("morMerge into an empty table degrades to a plain append") {
     val t = fresh("empty")
     t.morMerge(df(0 until 5), "DateTime")
