@@ -84,9 +84,14 @@ final class LakehouseTable(
     readSnapshot(Some(metadata.snapshotById(snapshotId).getOrElse(
       throw new NoSuchElementException(s"snapshot $snapshotId not found"))))
 
-  /** Time travel: the newest snapshot committed at or before `tsMs`. */
+  /** Time travel: the newest MAIN-lineage snapshot committed at or
+    * before `tsMs`. Snapshots still marked with a branch (staged,
+    * unpublished — or staged and dropped) are not main history;
+    * [[fastForward]] clears the marker on publish, admitting them here.
+    */
   def asOf(tsMs: Long): DataFrame =
-    readSnapshot(metadata.snapshots.filter(_.timestampMs <= tsMs)
+    readSnapshot(metadata.snapshots
+      .filter(s => s.branch.isEmpty && s.timestampMs <= tsMs)
       .sortBy(_.timestampMs).lastOption)
 
   /** Named snapshot refs currently defined (Iceberg tags). */
@@ -119,6 +124,105 @@ final class LakehouseTable(
   def readTag(name: String): DataFrame =
     timeTravel(metadata.tags.getOrElse(name,
       throw new NoSuchElementException(s"no such tag '$name'")))
+
+  // ---- branch refs / write-audit-publish --------------------------------
+
+  /** Live branch refs: name → head snapshot id. */
+  def branches: Map[String, Long] = metadata.branches
+
+  /** Cut a branch at a snapshot (Iceberg branch ref analog) — the
+    * staging half of WRITE-AUDIT-PUBLISH: an ingest commits its batch
+    * to the branch ([[appendToBranch]]), audits it ([[readBranch]] +
+    * whatever QC applies), and only then publishes via [[fastForward]]
+    * — a bad batch is dropped with [[dropBranch]] and main's readers
+    * NEVER saw a byte of it. Branch snapshots (heads and intermediate
+    * commits alike) are expiry-protected while the branch lives;
+    * dropping the branch releases them to the reaper. Metadata-only.
+    */
+  def createBranch(name: String, fromSnapshotId: Long): Unit = {
+    require(name.nonEmpty, "branch name must be non-empty")
+    evolveMetadata { meta =>
+      require(meta.snapshotById(fromSnapshotId).isDefined,
+        s"cannot branch from unknown snapshot $fromSnapshotId")
+      require(!meta.branches.contains(name), s"branch '$name' already exists")
+      require(!meta.tags.contains(name), s"a tag named '$name' already exists")
+      meta.copy(branchRefs = Some(meta.branches + (name -> fromSnapshotId)))
+    }
+  }
+
+  /** Cut a branch at the current main head. */
+  def createBranch(name: String): Unit =
+    createBranch(name, metadata.currentSnapshotId.getOrElse(
+      throw new IllegalStateException(
+        "cannot branch an empty table (append an initial snapshot first)")))
+
+  /** The table as of a branch's head. */
+  def readBranch(name: String): DataFrame =
+    timeTravel(metadata.branches.getOrElse(name,
+      throw new NoSuchElementException(s"no such branch '$name'")))
+
+  /** Append a batch to a BRANCH: a full commit (staged files, manifest,
+    * snapshot record) whose parent is the branch head — only the
+    * branch ref advances; main and its readers are untouched.
+    * Rebase-retries like [[append]] (branch appends commute with main
+    * commits and with other branches' commits; two writers on the SAME
+    * branch serialize by rebase onto the fresh head).
+    */
+  def appendToBranch(branch: String, df: DataFrame, operation: String = "append"): Snapshot = {
+    val moved = writeStaged(metadata, df)
+    withCommitRetry {
+      val (v, meta) = versionedMeta
+      val head = meta.snapshotById(meta.branches.getOrElse(branch,
+        throw new NoSuchElementException(s"no such branch '$branch'")))
+        .getOrElse(throw new IllegalStateException(
+          s"branch '$branch' head is missing from the snapshot list"))
+      commitSnapshot(meta, v, moved, operation, replaceRefs = None,
+        totalRows = head.totalRows + moved.map(_.rows).sum,
+        branch = Some(branch))
+    }
+  }
+
+  /** PUBLISH a branch: point main at the branch head. Valid only when
+    * main's current head is an ancestor of the branch head (a true
+    * fast-forward — Iceberg's fastForward semantics); if main advanced
+    * since the branch was cut, the publish refuses and the caller
+    * re-stages against fresh main. The adopted snapshots' branch
+    * markers are cleared in the same commit, so they join main's
+    * `asOf` lineage and age out under normal retention. The branch ref
+    * stays (now at parity with main) until [[dropBranch]].
+    * Returns the published head snapshot id.
+    */
+  def fastForward(branch: String): Long = {
+    var published = 0L
+    evolveMetadata { meta =>
+      val headId = meta.branches.getOrElse(branch,
+        throw new NoSuchElementException(s"no such branch '$branch'"))
+      val ancestry = Iterator.iterate(meta.snapshotById(headId))(
+        _.flatMap(_.parentId).flatMap(meta.snapshotById))
+        .takeWhile(_.isDefined).flatten.map(_.id).toSet
+      require(meta.currentSnapshotId.forall(ancestry.contains),
+        s"cannot fast-forward '$branch': main head ${meta.currentSnapshotId.orNull} " +
+          s"is not an ancestor of branch head $headId (main advanced since the " +
+          "branch was cut — drop the branch and re-stage against fresh main)")
+      published = headId
+      if (meta.currentSnapshotId.contains(headId)) meta // already published: no-op
+      else meta.copy(
+        currentSnapshotId = Some(headId),
+        snapshots = meta.snapshots.map(s =>
+          if (s.branch.contains(branch) && ancestry.contains(s.id)) s.copy(branch = None)
+          else s))
+    }
+    published
+  }
+
+  /** Drop a branch ref: its unpublished snapshots lose expiry
+    * protection and age out like any other history.
+    */
+  def dropBranch(name: String): Unit =
+    evolveMetadata { meta =>
+      require(meta.branches.contains(name), s"no such branch '$name'")
+      meta.copy(branchRefs = Some(meta.branches - name).filter(_.nonEmpty))
+    }
 
   private def readSnapshot(snap: Option[Snapshot]): DataFrame =
     readWithDeletes(
@@ -974,8 +1078,19 @@ final class LakehouseTable(
         * passes Some(Nil) — it folds deletes into the rewrite — and the
         * MoR paths pass parent's + their new delete files.
         */
-      deletesOverride: Option[Seq[DeleteFile]] = None): Snapshot = {
-    val parent = meta.currentSnapshot
+      deletesOverride: Option[Seq[DeleteFile]] = None,
+      /** When set, the commit's parent is the BRANCH head and only the
+        * branch ref moves — main's pointer (and every main reader) is
+        * untouched until [[fastForward]] publishes the branch.
+        */
+      branch: Option[String] = None): Snapshot = {
+    val parent = branch match {
+      case Some(b) => Some(meta.snapshotById(meta.branches.getOrElse(b,
+        throw new NoSuchElementException(s"no such branch '$b'")))
+        .getOrElse(throw new IllegalStateException(
+          s"branch '$b' head is missing from the snapshot list")))
+      case None => meta.currentSnapshot
+    }
     val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
     // stamp the data sequence: equality deletes apply only to files with
     // a smaller seq, so every added file carries its commit's snapshot id
@@ -997,10 +1112,17 @@ final class LakehouseTable(
       addedManifest = addedRef.map(_.path),
       addedFilesCount = moved.size,
       addedRows = addedRowsOverride.getOrElse(moved.map(_.rows).sum),
-      totalRows = totalRows)
-    log.commit(version, meta.copy(
-      snapshots = meta.snapshots :+ snap,
-      currentSnapshotId = Some(snap.id)))
+      totalRows = totalRows,
+      branch = branch)
+    val next = branch match {
+      case Some(b) => meta.copy(
+        snapshots = meta.snapshots :+ snap,
+        branchRefs = Some(meta.branches + (b -> snap.id)))
+      case None => meta.copy(
+        snapshots = meta.snapshots :+ snap,
+        currentSnapshotId = Some(snap.id))
+    }
+    log.commit(version, next)
     snap
   }
 
@@ -1735,9 +1857,13 @@ final class LakehouseTable(
       // newest-last deterministically
       val byNewest = meta.snapshots.sortBy(s => (-s.timestampMs, -s.id))
       // tagged snapshots are pinned by name (reproducibility refs) —
-      // expiry must never age them out from under a consumer
+      // expiry must never age them out from under a consumer. A LIVE
+      // branch pins its whole staged chain (head + intermediates), so
+      // write-audit-publish survives a maintenance cycle mid-audit;
+      // dropBranch releases the chain to the reaper.
       val protectedIds = byNewest.take(keepLast).map(_.id).toSet ++
-        meta.currentSnapshotId ++ meta.tags.values
+        meta.currentSnapshotId ++ meta.tags.values ++ meta.branches.values ++
+        meta.snapshots.filter(_.branch.exists(meta.branches.contains)).map(_.id)
       val cutoff = nowMs - retentionMs
       val expired = meta.snapshots.filter(s => !protectedIds.contains(s.id) && s.timestampMs < cutoff)
       if (expired.isEmpty) return (Nil, Nil)

@@ -211,7 +211,14 @@ final case class Snapshot(
     addedManifest: Option[String],
     addedFilesCount: Int,
     addedRows: Long,
-    totalRows: Long
+    totalRows: Long,
+    /** The branch this snapshot was committed to (round 7, additive):
+      * None ⇔ main. [[LakehouseTable.fastForward]] clears the marker
+      * when a branch is adopted into main; `asOf` and expiry use it to
+      * keep unpublished staging commits out of main's lineage and out
+      * of the reaper while their branch lives.
+      */
+    branch: Option[String] = None
 )
 
 final case class TableMetadata(
@@ -266,7 +273,14 @@ final case class TableMetadata(
       * pre-round-7 code path keeps reading the same answers).
       */
     partitionSpecs: Option[Seq[PartitionSpec]] = None,
-    defaultSpecId: Option[Int] = None
+    defaultSpecId: Option[Int] = None,
+    /** Branch refs (round 7, additive): branch name → head snapshot id
+      * — the second Iceberg ref type next to tags. A branch head moves
+      * with each [[LakehouseTable.appendToBranch]]; readers of main
+      * never see branch snapshots until [[LakehouseTable.fastForward]]
+      * publishes them — the write-audit-publish gate.
+      */
+    branchRefs: Option[Map[String, Long]] = None
 ) {
   def currentSnapshot: Option[Snapshot] =
     currentSnapshotId.flatMap(id => snapshots.find(_.id == id))
@@ -277,6 +291,7 @@ final case class TableMetadata(
   /** Every historical physical name still present in old data files. */
   def historicalNames: Set[String] = aliasMap.values.flatten.toSet
   def tags: Map[String, Long] = refs.getOrElse(Map.empty)
+  def branches: Map[String, Long] = branchRefs.getOrElse(Map.empty)
   def streamWatermarks: Map[String, Long] = streamProgress.getOrElse(Map.empty)
 
   /** All partition specs, deriving the legacy single-field encoding as

@@ -384,6 +384,44 @@ object LakeOps {
       .withColumn("no_rewrite", lit(noRewrite))
   }
 
+  /** Write-audit-publish flow (VERDICT r6 #5): the odd half of events
+    * is STAGED on a branch (main's snapshot pointer provably
+    * unmoved), audited, and fast-forwarded into main; a poisoned batch
+    * (negated values) is then staged on a second branch, fails the
+    * audit, and is dropped — main must end exactly equal to DuckDB
+    * over the raw events, with `staged_invisible` pinning that staging
+    * never moved main and `bad_blocked` that the audit caught the
+    * poison before publish.
+    */
+  def wapFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ev = graft.Tables.t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
+    val table = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(freshWarehouse("graft-wp"), "events"), ev.schema, Some("ts"))
+    table.append(ev.filter(col("event_id") % 2 === 0))
+    val mainBefore = table.metadata.currentSnapshotId
+
+    table.createBranch("ingest")
+    table.appendToBranch("ingest", ev.filter(col("event_id") % 2 === 1))
+    val stagedInvisible = table.metadata.currentSnapshotId == mainBefore
+    val goodAudit = table.readBranch("ingest").filter(col("value") < 0).count() == 0L
+    require(goodAudit, "audit of the good batch must pass")
+    table.fastForward("ingest")
+    table.dropBranch("ingest")
+
+    table.createBranch("ingest2")
+    table.appendToBranch("ingest2",
+      ev.filter(col("event_id") % 2 === 1).withColumn("value", -abs(col("value")) - 1.0))
+    val badBlocked = table.readBranch("ingest2").filter(col("value") < 0).count() > 0L
+    table.dropBranch("ingest2")
+
+    table.read().agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .withColumn("staged_invisible", lit(stagedInvisible))
+      .withColumn("bad_blocked", lit(badBlocked))
+  }
+
   /** Composite-key MoR flow (VERDICT r6 #4): the table keyed on
     * (user_id, event_type) — a compound retraction single-column
     * equality cannot express. MoR-DELETE every pair seen among
@@ -654,6 +692,16 @@ object LakeOps {
              |                     AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
              |       true AS no_rewrite
              |FROM events WHERE event_id % 7 <> 0 OR event_id % 5 = 0""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_wap",
+      wapFlow,
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       true AS staged_invisible,
+             |       true AS bad_blocked
+             |FROM events""".stripMargin)
     ),
 
     QuerySpec(
