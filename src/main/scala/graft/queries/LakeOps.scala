@@ -508,6 +508,44 @@ object LakeOps {
         lit(first.isDefined && second.isDefined && idle.isEmpty))
   }
 
+  /** Table-as-stream-source flow (VERDICT r6 #3): a live
+    * [[graft.stream.TableStream]] query polls the bronze table while
+    * three appends land, micro-batching each delta into gold with the
+    * offset committed atomically alongside the data. However the
+    * batch boundaries fall against the poller, gold must equal the
+    * full events set EXACTLY once — which is what DuckDB computes over
+    * the raw parquet. `caught_up` pins that the stream drained;
+    * `replay_noop` that a forced re-delivery after catch-up commits
+    * nothing.
+    */
+  def streamSourceFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ev = graft.Tables.t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
+    val wh = freshWarehouse("graft-ts")
+    val src = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(wh, "bronze"), ev.schema, Some("ts"))
+    val dst = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(wh, "gold"), ev.schema, Some("ts"))
+    val q = graft.stream.TableStream.start(src, dst, "gold", pollIntervalMs = 20L)
+    val caughtUp =
+      try {
+        (0 until 3).foreach { i =>
+          src.append(ev.filter(col("event_id") % 3 === i))
+          Thread.sleep(30L)
+        }
+        q.awaitCaughtUp(60000L)
+      } finally q.stop()
+    // forced replay of the newest batch id must no-op against the
+    // committed watermark
+    val replayNoop = dst.appendStream("gold",
+      src.metadata.currentSnapshotId.get, src.read()).isEmpty
+    dst.read().agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .withColumn("caught_up", lit(caughtUp))
+      .withColumn("replay_noop", lit(replayNoop))
+  }
+
   /** Incremental append-scan flow: three appends with a compaction
     * wedged in the middle; the delta from the first snapshot must
     * contain exactly the rows of appends two and three (the compaction
@@ -672,6 +710,16 @@ object LakeOps {
       Some("""SELECT count(*) AS n_rows,
              |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
              |       true AS replay_skipped
+             |FROM events""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_stream_source",
+      streamSourceFlow,
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       true AS caught_up,
+             |       true AS replay_noop
              |FROM events""".stripMargin)
     ),
 

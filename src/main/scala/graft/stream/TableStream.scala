@@ -1,0 +1,185 @@
+package graft.stream
+
+import graft.lake.{LakehouseTable, TableMetadata}
+import org.apache.spark.sql.DataFrame
+
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+
+/** TABLE-AS-STREAM-SOURCE: a managed micro-batch query that turns a
+  * [[LakehouseTable]]'s snapshot history into a stream of deltas — the
+  * consumption half of CDC that Iceberg's Spark streaming read
+  * provides, and the piece that supersedes hand-scheduling
+  * [[LakehouseMirror.step]] (VERDICT r6 #3).
+  *
+  * Each trigger plans the delta `(lastDelivered, to]` from added
+  * manifests alone ([[LakehouseTable.readIncremental]] — O(changed
+  * data), never a rescan), applies `transform`, and commits it to the
+  * destination with [[LakehouseTable.appendStream]] — the OFFSET (the
+  * delivered snapshot id) rides in the destination's metadata IN THE
+  * SAME ATOMIC COMMIT as the data it produced. That placement is the
+  * whole design: there is no Spark checkpoint directory to drift from
+  * the sink state, no two-phase protocol, and a crash at ANY point
+  * either committed the batch (watermark moved) or didn't (delta
+  * re-derived next trigger). Restarting a query with the same
+  * `consumerId` resumes exactly where the destination says it stopped.
+  *
+  * Rate limiting: `maxSnapshotsPerBatch` bounds each micro-batch to at
+  * most that many source commits (Iceberg's max-files-per-micro-batch
+  * analog) — a consumer resuming after downtime catches up in bounded
+  * steps instead of one unbounded batch. The first sync (no watermark
+  * yet) ships the full current snapshot image as one batch, like
+  * Iceberg's initial stream position.
+  *
+  * Failure handling: a failing trigger (source expiry broke the
+  * incremental chain, a row-removing commit in the range, transient
+  * I/O) is recorded in [[TableStreamQuery.lastError]] and retried with
+  * linear backoff; the query never silently skips a delta. Source
+  * retention must outlast consumer lag — expiry inside the undelivered
+  * range fails loudly by [[LakehouseTable.readIncremental]]'s contract.
+  */
+object TableStream {
+
+  /** Start a polled micro-batch query mirroring `src` into `dst`.
+    * `consumerId` must be stable across restarts and unique per
+    * destination (it keys the exactly-once watermark). `transform`
+    * runs per micro-batch; with `emitUpserts = true`, MoR-upsert
+    * commits stream row images carrying `_commit_seq` and the
+    * transform owns reconciling them to the destination schema.
+    */
+  def start(
+      src: LakehouseTable,
+      dst: LakehouseTable,
+      consumerId: String,
+      transform: DataFrame => DataFrame = identity,
+      pollIntervalMs: Long = 200L,
+      maxSnapshotsPerBatch: Int = Int.MaxValue,
+      emitUpserts: Boolean = false): TableStreamQuery = {
+    require(consumerId.nonEmpty, "consumerId must be non-empty")
+    require(pollIntervalMs > 0, "pollIntervalMs must be positive")
+    require(maxSnapshotsPerBatch >= 1, "maxSnapshotsPerBatch must be >= 1")
+    val q = new TableStreamQuery(
+      src, dst, consumerId, transform, pollIntervalMs, maxSnapshotsPerBatch, emitUpserts)
+    q.startThread()
+    q
+  }
+
+  /** The newest deliverable snapshot at most `maxSnaps` commits past
+    * `from` on the main chain (newest-first walk, bounded by the
+    * chain's length — metadata-only).
+    */
+  private[stream] def boundedTo(
+      meta: TableMetadata, fromId: Long, curId: Long, maxSnaps: Int): Long = {
+    if (maxSnaps == Int.MaxValue) return curId
+    val newestFirst = Iterator.iterate(meta.snapshotById(curId))(
+      _.flatMap(_.parentId).flatMap(meta.snapshotById))
+      .takeWhile(s => s.isDefined && s.get.id != fromId)
+      .flatten.map(_.id).toSeq
+    newestFirst.reverse.take(maxSnaps).lastOption.getOrElse(curId)
+  }
+}
+
+/** Handle to a running [[TableStream]] query. */
+final class TableStreamQuery private[stream] (
+    src: LakehouseTable,
+    dst: LakehouseTable,
+    consumerId: String,
+    transform: DataFrame => DataFrame,
+    pollIntervalMs: Long,
+    maxSnapshotsPerBatch: Int,
+    emitUpserts: Boolean) {
+
+  @volatile private var stopped = false
+  private val committed = new AtomicLong(0L)
+  private val err = new AtomicReference[Option[Throwable]](None)
+  private var thread: Thread = _
+
+  /** Micro-batches committed to the destination so far (excludes
+    * empty-transform watermark bumps).
+    */
+  def batchesCommitted: Long = committed.get()
+
+  /** The most recent trigger failure, cleared by the next success. */
+  def lastError: Option[Throwable] = err.get()
+
+  def isActive: Boolean = thread != null && thread.isAlive
+
+  /** One trigger: deliver at most `maxSnapshotsPerBatch` source
+    * commits. Returns true when the watermark moved (data or
+    * metadata-only). Public for deterministic driving in tests.
+    */
+  def step(): Boolean = {
+    val meta = src.metadata
+    val curId = meta.currentSnapshotId.getOrElse(return false) // empty source
+    val last = dst.metadata.streamWatermarks.get(consumerId)
+    if (last.exists(_ >= curId)) return false // caught up
+    val toId = last match {
+      case Some(l) => TableStream.boundedTo(meta, l, curId, maxSnapshotsPerBatch)
+      case None => curId // first sync: one full image
+    }
+    val delta = last match {
+      case Some(l) => src.readIncremental(l, toId, emitUpserts)
+      case None => src.timeTravel(toId)
+    }
+    val snap = dst.appendStream(consumerId, toId, transform(delta))
+    if (snap.isDefined) committed.incrementAndGet()
+    // a delta that transforms to empty still advances the offset, or
+    // every later trigger would re-plan the same growing range
+    else dst.advanceStreamWatermark(consumerId, toId)
+    true
+  }
+
+  private[stream] def startThread(): Unit = {
+    thread = new Thread(() => runLoop(), s"graft-table-stream-$consumerId")
+    thread.setDaemon(true)
+    thread.start()
+  }
+
+  private def runLoop(): Unit = {
+    var failures = 0
+    while (!stopped) {
+      val progressed =
+        try {
+          val p = step()
+          err.set(None); failures = 0
+          p
+        } catch {
+          case _: InterruptedException => return
+          case scala.util.control.NonFatal(e) =>
+            err.set(Some(e))
+            failures += 1
+            false
+        }
+      if (!progressed && !stopped) {
+        try Thread.sleep(pollIntervalMs * math.min(1 + failures, 10))
+        catch { case _: InterruptedException => return }
+      }
+    }
+  }
+
+  /** Block until the destination's watermark reaches the source's
+    * CURRENT snapshot (everything available now is delivered) or the
+    * timeout passes; true on caught-up. The source may keep moving —
+    * this is Spark's processAllAvailable shape, not quiescence.
+    */
+  def awaitCaughtUp(timeoutMs: Long = 30000L): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      val curId = src.metadata.currentSnapshotId
+      val wm = dst.metadata.streamWatermarks.get(consumerId)
+      if (curId.forall(id => wm.exists(_ >= id))) return true
+      Thread.sleep(25L)
+    }
+    false
+  }
+
+  /** Stop the query (the in-flight trigger completes its commit or
+    * fails — never half-delivers) and join the thread.
+    */
+  def stop(): Unit = {
+    stopped = true
+    if (thread != null) {
+      thread.interrupt()
+      thread.join(10000L)
+    }
+  }
+}
