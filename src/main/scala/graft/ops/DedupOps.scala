@@ -434,10 +434,15 @@ object DedupOps {
     // (deterministic; no getPersistentRDDs diffing, which would
     // mis-attribute ids under concurrent queries). Reliable checkpoints
     // aren't block-persisted, so there unpersist is a harmless no-op.
+    // quietly: the "lineage truncated, cannot be recomputed" WARN this
+    // unpersist triggers is the EXPECTED outcome (the blocks are
+    // superseded; release order is spec-asserted), not data loss —
+    // clamp it so a CC run doesn't spray dozens of scary lines
     def release(df: DataFrame): Unit =
       df.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }.foreach(_.unpersist(blocking = false))
+      }.foreach(r => graft.util.QuietLogs.quietly(graft.util.QuietLogs.SparkRddPackage)(
+        r.unpersist(blocking = false)))
     def signature(df: DataFrame): (Long, Long) = {
       val r = df.agg(
         count(lit(1)),
