@@ -254,11 +254,21 @@ final class LakehouseTable(
         * than one file source, so the COW paths cannot add it after the
         * fact.
         */
-      tagFileColumn: Option[String] = None): DataFrame = {
-    def raw(fs: Seq[DataFile]): DataFrame = readFiles(fs, tagFileColumn)
-    if (dels.isEmpty || files.isEmpty) raw(files)
+      tagFileColumn: Option[String] = None,
+      /** When set, RETAIN the per-row (file path, row index) helper
+        * columns under these names in the output — the write side of
+        * positional deletes reads through this to name the rows a
+        * predicate selected.
+        */
+      keepPosColumns: Option[(String, String)] = None): DataFrame = {
+    // positional deletes bind to exact files, not sequences: they ride
+    // every raw scan; equality deletes keep the seq-suffix grouping
+    val (posDels, eqDels) = dels.partition(_.isPositional)
+    def raw(fs: Seq[DataFile]): DataFrame =
+      readFiles(fs, tagFileColumn, posDels, keepPosColumns)
+    if (eqDels.isEmpty || files.isEmpty) raw(files)
     else {
-      val delSeqs = dels.map(_.seq).distinct.sorted
+      val delSeqs = eqDels.map(_.seq).distinct.sorted
       // reverse alias map: a delete file written before a rename stores
       // the then-current (now historical) column name
       val toCurrent: Map[String, String] = metadata.aliasMap.flatMap {
@@ -269,7 +279,7 @@ final class LakehouseTable(
           if (nApplicable == 0) raw(group)
           else {
             val applicableSeqs = delSeqs.takeRight(nApplicable).toSet
-            val applicable = dels.filter(d => applicableSeqs.contains(d.seq))
+            val applicable = eqDels.filter(d => applicableSeqs.contains(d.seq))
             // group by the RESOLVED key column list: a composite delete
             // masks a row only when every component matches, so files
             // keyed on different column sets anti-join separately
@@ -310,28 +320,56 @@ final class LakehouseTable(
     * sources, so it must ride each raw scan, never the union.
     */
   private def readFiles(
-      files: Seq[DataFile], tagColumn: Option[String] = None): DataFrame =
+      files: Seq[DataFile],
+      tagColumn: Option[String] = None,
+      posDeletes: Seq[DeleteFile] = Nil,
+      keepPosColumns: Option[(String, String)] = None): DataFrame = {
+    val posNames = keepPosColumns.getOrElse(("__graft_pos_path", "__graft_pos_idx"))
+    val needPos = posDeletes.nonEmpty || keepPosColumns.isDefined
     if (files.isEmpty) {
       // empty table: preserve schema + partition columns
-      val empty = spark.createDataFrame(
+      var empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
-      tagColumn.map(c => empty.withColumn(c, input_file_name())).getOrElse(empty)
+      tagColumn.foreach(c => empty = empty.withColumn(c, input_file_name()))
+      if (keepPosColumns.isDefined)
+        empty = empty
+          .withColumn(posNames._1, lit(null).cast("string"))
+          .withColumn(posNames._2, lit(null).cast("long"))
+      empty
     } else {
       val meta = metadata
-      val outCols = readSchema.fieldNames.toIndexedSeq.map(col) ++ tagColumn.map(col)
-      files.groupBy(_.specIdOrZero).toSeq.sortBy(_._1)
+      val outCols = readSchema.fieldNames.toIndexedSeq.map(col) ++ tagColumn.map(col) ++
+        (if (needPos) Seq(col(posNames._1), col(posNames._2)) else Nil)
+      val unioned = files.groupBy(_.specIdOrZero).toSeq.sortBy(_._1)
         .map { case (sid, fs) =>
-          readSpecGroup(meta, meta.specById(sid), fs, tagColumn).select(outCols: _*)
+          readSpecGroup(meta, meta.specById(sid), fs, tagColumn,
+            if (needPos) Some(posNames) else None).select(outCols: _*)
         }
         .reduce(_ unionByName _)
+      // positional mask: one broadcast anti-join on (file path, row
+      // index) over the union — the helper columns were materialized on
+      // each raw scan (metadata columns resolve only there)
+      val masked =
+        if (posDeletes.isEmpty) unioned
+        else {
+          val positions = posDeletes.map(d =>
+            spark.read.parquet(new Path(tableDir, d.path).toString)
+              .select(col("file_path").as(posNames._1), col("row_index").as(posNames._2)))
+            .reduce(_ unionByName _)
+          unioned.join(broadcast(positions), Seq(posNames._1, posNames._2), "left_anti")
+        }
+      if (keepPosColumns.isDefined) masked
+      else masked.drop(posNames._1, posNames._2)
     }
+  }
 
   /** One spec's files as one parquet relation (see [[readFiles]]). */
   private def readSpecGroup(
       meta: TableMetadata,
       spec: PartitionSpec,
       files: Seq[DataFile],
-      tagColumn: Option[String]): DataFrame = {
+      tagColumn: Option[String],
+      posColumns: Option[(String, String)] = None): DataFrame = {
     val aliases = meta.aliasMap
     val frozen = StructType.fromDDL(meta.schemaDdl)
     // THIS group's layout: frozen columns + the spec's derived dir columns
@@ -372,8 +410,16 @@ final class LakehouseTable(
           }.toIndexedSeq: _*)
       }
     val tagged = tagColumn.map(c => base.withColumn(c, input_file_name())).getOrElse(base)
+    // per-row position helpers for positional deletes: the _metadata
+    // struct resolves only against the file source, so it must be
+    // projected here, never after the spec-group union
+    val positioned = posColumns.map { case (p, i) =>
+      tagged
+        .withColumn(p, col("_metadata.file_path"))
+        .withColumn(i, col("_metadata.row_index"))
+    }.getOrElse(tagged)
     // surface the CURRENT default layout on every group
-    meta.defaultSpec.fields.foldLeft(tagged)((df, f) =>
+    meta.defaultSpec.fields.foldLeft(positioned)((df, f) =>
       if (df.columns.contains(f.name)) df
       else df.withColumn(f.name, LakehouseTable.partitionExpr(f.transform, col(f.source))))
   }
@@ -1344,6 +1390,66 @@ final class LakehouseTable(
     commitSnapshot(meta, version, Nil, "mor-delete", replaceRefs = None,
       totalRows = current.totalRows,
       deletesOverride = Some(liveDeleteFiles(current) ++ newDeletes))
+  }
+
+  /** POSITIONAL merge-on-read DELETE (Iceberg v2 positional-delete
+    * analog): evaluate `predicate` over the current visible rows and
+    * commit ONE tiny parquet of (file_path, row_index) pairs naming
+    * exactly the selected rows — `DELETE WHERE source = 'x' AND day = d`
+    * at low selectivity without rewriting a data file and WITHOUT
+    * needing a key column (the equality path [[morDeleteKeys]] masks by
+    * key; this masks by position, so arbitrary predicates work).
+    * Readers anti-join every scan on the position pair (broadcast);
+    * compaction folds positions away like equality deletes.
+    *
+    * Cost model: the delete file is O(matched rows) — the read-side
+    * scan to FIND the positions is paid once here (pruned like any
+    * query), and a predicate matching a large fraction of the table
+    * should be a COW [[delete]] instead (smaller masks, no join tax).
+    * Rows already masked (equality or positional) are not re-selected.
+    * Positions bind to the exact files scanned: a row re-appended later
+    * (new file) is live, a file rewritten by compaction/COW makes its
+    * positions inert — same row-level outcome either way. Like the COW
+    * path, no commit retry: a lost race means the predicate must be
+    * re-planned. NULL-predicate rows survive (SQL DELETE semantics).
+    */
+  def morDeleteWhere(predicate: org.apache.spark.sql.Column): Snapshot = {
+    val (version, meta) = versionedMeta
+    val current = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("cannot delete from an empty table"))
+    val (p, i) = ("__graft_pos_path", "__graft_pos_idx")
+    val visible = readWithDeletes(dataFiles(current), liveDeleteFiles(current),
+      keepPosColumns = Some((p, i)))
+    val positions = visible.filter(predicate)
+      .select(col(p).as("file_path"), col(i).as("row_index"))
+    val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+    val staging = new Path(tableDir, s".staging-${UUID.randomUUID().toString.take(8)}")
+    positions.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val parts = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+      val it = fs.listFiles(staging, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) buf += st.getPath
+      }
+      buf.toSeq
+    }
+    fs.mkdirs(deletesDir)
+    val moved = parts.zipWithIndex.flatMap { case (src, idx) =>
+      val dest = new Path(deletesDir,
+        s"posdelete-$snapId-${UUID.randomUUID().toString.take(8)}-$idx.parquet")
+      if (!fs.rename(src, dest))
+        throw new IllegalStateException(s"failed to move $src -> $dest")
+      val (rows, _, _) = footerStats(dest, None)
+      if (rows == 0L) { fs.delete(dest, false); None } // nothing matched
+      else Some(DeleteFile(s"deletes/${dest.getName}", rows, "file_path", snapId,
+        kind = Some("pos")))
+    }
+    fs.delete(staging, true)
+    if (moved.isEmpty) return current
+    commitSnapshot(meta, version, Nil, "mor-delete", replaceRefs = None,
+      totalRows = current.totalRows,
+      deletesOverride = Some(liveDeleteFiles(current) ++ moved))
   }
 
   /** Merge-on-read MERGE (upsert) on `key`: ONE commit that appends the

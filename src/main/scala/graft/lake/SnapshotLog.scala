@@ -152,9 +152,22 @@ final case class DeleteFile(
       * Names are AT-WRITE-TIME, resolved through the alias map on read
       * like `key`.
       */
-    keys: Option[Seq[String]] = None
+    keys: Option[Seq[String]] = None,
+    /** Delete-file kind (round 7, additive). Absent ⇔ "eq" (equality
+      * keys — every pre-round-7 file). "pos" ⇔ POSITIONAL: the parquet
+      * holds (file_path, row_index) pairs naming exact rows of exact
+      * data files — written by [[LakehouseTable.morDeleteWhere]] for
+      * low-selectivity predicate deletes that would otherwise force a
+      * COW rewrite. Positions bind to the named file regardless of
+      * sequence (a file rewritten by compaction/COW simply stops being
+      * scanned, making its positions inert); like Iceberg's positional
+      * delete files, the stored paths are the scan-reported absolute
+      * URIs, so a relocated table must rewrite its delete files.
+      */
+    kind: Option[String] = None
 ) {
   def keyCols: Seq[String] = keys.getOrElse(Seq(key))
+  def isPositional: Boolean = kind.contains("pos")
 }
 
 /** Pointer to one manifest file plus roll-up stats over its entries.

@@ -384,6 +384,38 @@ object LakeOps {
       .withColumn("no_rewrite", lit(noRewrite))
   }
 
+  /** Positional MoR delete flow: `DELETE WHERE event_type = 'error'
+    * AND value < 100` — a compound predicate on NON-key columns, the
+    * retraction shape that previously forced a COW rewrite. The commit
+    * writes one (file_path, row_index) parquet and zero data files
+    * (`no_rewrite` pins it); the masked read's totals must equal DuckDB
+    * filtering the raw parquet with NOT(predicate); compaction then
+    * folds the positions (`folded`) with identical totals
+    * (`fold_invariant`).
+    */
+  def morPositionalFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ev = graft.Tables.t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val table = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(freshWarehouse("graft-pd"), "events"), ev.schema, Some("ts"))
+    (0 until 3).foreach(i => table.append(ev.filter(col("event_id") % 3 === i)))
+    val filesBefore = table.currentDataFiles.map(_.path).toSet
+    table.morDeleteWhere(col("event_type") === "error" && col("value") < 100.0)
+    val noRewrite = table.currentDataFiles.map(_.path).toSet == filesBefore
+    def totals = table.read().agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+    val masked = totals.head()
+    table.compact()
+    val folded = table.currentDeleteFiles.isEmpty
+    val after = totals.head()
+    s.createDataFrame(java.util.Arrays.asList(masked), totals.schema)
+      .withColumn("no_rewrite", lit(noRewrite))
+      .withColumn("folded", lit(folded))
+      .withColumn("fold_invariant", lit(masked == after))
+  }
+
   /** Write-audit-publish flow (VERDICT r6 #5): the odd half of events
     * is STAGED on a branch (main's snapshot pointer provably
     * unmoved), audited, and fast-forwarded into main; a poisoned batch
@@ -740,6 +772,16 @@ object LakeOps {
              |                     AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
              |       true AS no_rewrite
              |FROM events WHERE event_id % 7 <> 0 OR event_id % 5 = 0""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_mor_positional",
+      morPositionalFlow,
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       true AS no_rewrite, true AS folded, true AS fold_invariant
+             |FROM events
+             |WHERE (event_type = 'error' AND value < 100.0) IS NOT TRUE""".stripMargin)
     ),
 
     QuerySpec(
