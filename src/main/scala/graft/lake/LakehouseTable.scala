@@ -630,14 +630,31 @@ final class LakehouseTable(
       require(frozenCols.contains(k), s"'$k' is not a table column"))
     val wanted = equalValues.map { case (k, v) =>
       k -> LakehouseTable.escapeDirValue(String.valueOf(v)) }
-    val base = timeRangeUs match {
-      case Some((lo, hi)) => filesOverlapping(lo, hi)
-      case None => currentDataFiles
-    }
-    base.filter { f =>
-      val segs = f.partitionSegments
-      wanted.forall { case (k, v) => segs.get(k).forall(_ == v) }
-    }
+    // manifest-LIST level first: time bounds AND per-manifest partition
+    // value summaries drop whole manifests unopened — at 10⁶ files the
+    // difference between touching one symbol's manifests and parsing
+    // every file path in the table
+    manifestsForQuery(equalValues, timeRangeUs)
+      .flatMap(r => log.readManifest(r.path))
+      .filter(f => timeRangeUs.forall { case (lo, hi) => f.overlaps(lo, hi) })
+      .filter { f =>
+        val segs = f.partitionSegments
+        wanted.forall { case (k, v) => segs.get(k).forall(_ == v) }
+      }
+  }
+
+  /** Manifests of the current snapshot a [[filesForQuery]]-shaped query
+    * would OPEN — exposed so specs (and operators) can see the
+    * manifest-level pruning, not just the file-level result.
+    */
+  def manifestsForQuery(
+      equalValues: Map[String, Any],
+      timeRangeUs: Option[(Long, Long)] = None): Seq[ManifestRef] = {
+    val wanted = equalValues.map { case (k, v) =>
+      k -> LakehouseTable.escapeDirValue(String.valueOf(v)) }
+    metadata.currentSnapshot.map(log.readManifestList).getOrElse(Nil)
+      .filter(r => timeRangeUs.forall { case (lo, hi) => r.overlaps(lo, hi) })
+      .filter(r => wanted.forall { case (k, v) => r.mayContainPartitionValue(k, v) })
   }
 
   /** Equality read over the identity dimension(s) of a composite spec:
@@ -666,6 +683,56 @@ final class LakehouseTable(
     val pred = equalValues.map { case (k, v) => col(k) === lit(v) }
       .foldLeft(timePred)(_ && _)
     readWithDeletes(files, currentDeleteFiles).filter(pred)
+  }
+
+  /** METADATA INSPECTION TABLES (Iceberg's `table.snapshots` /
+    * `table.files` / … analog): the table's own bookkeeping as
+    * DataFrames, so operational questions — which partitions are hot,
+    * how skewed are file sizes, what does the snapshot audit trail say,
+    * which refs pin what — are answered with the same query engine as
+    * the data. All driver-side metadata (O(snapshots) / O(files) rows
+    * by the format's design), localized into a DataFrame; no data file
+    * is opened.
+    *
+    * Names: `snapshots`, `files` (current snapshot's data files, with
+    * parsed partition tuple), `manifests`, `deletes`, `partitions`
+    * (per-tuple roll-up), `refs` (tags + branches).
+    */
+  def metadataTable(name: String): DataFrame = {
+    val meta = metadata
+    import spark.implicits._
+    name match {
+      case "snapshots" =>
+        meta.snapshots.map(s => (s.id, s.parentId, s.timestampMs, s.operation,
+          s.addedFilesCount.toLong, s.addedRows, s.totalRows,
+          s.branch.getOrElse(""), meta.currentSnapshotId.contains(s.id)))
+          .toDF("snapshot_id", "parent_id", "timestamp_ms", "operation",
+            "added_files", "added_rows", "total_rows", "branch", "is_current")
+      case "files" =>
+        currentDataFiles.map(f => (f.path, f.specIdOrZero, f.rows,
+          f.minKeyUs, f.maxKeyUs, f.seqOrMin, f.partitionSegments))
+          .toDF("path", "spec_id", "rows", "min_key_us", "max_key_us", "seq", "partition")
+      case "manifests" =>
+        meta.currentSnapshot.map(log.readManifestList).getOrElse(Nil)
+          .map(r => (r.path, r.files.toLong, r.rows, r.minKeyUs, r.maxKeyUs,
+            r.partitionValues.getOrElse(Map.empty[String, Seq[String]])))
+          .toDF("path", "files", "rows", "min_key_us", "max_key_us", "partition_values")
+      case "deletes" =>
+        currentDeleteFiles.map(d => (d.path, d.rows,
+          if (d.isPositional) "positional" else "equality", d.keyCols, d.seq))
+          .toDF("path", "rows", "kind", "key_columns", "seq")
+      case "partitions" =>
+        currentDataFiles.groupBy(_.partitionSegments).toSeq
+          .map { case (tuple, fs) => (tuple, fs.size.toLong, fs.map(_.rows).sum) }
+          .toDF("partition", "files", "rows")
+      case "refs" =>
+        (meta.tags.toSeq.map { case (n, id) => (n, "tag", id) } ++
+          meta.branches.toSeq.map { case (n, id) => (n, "branch", id) })
+          .toDF("name", "type", "snapshot_id")
+      case other => throw new IllegalArgumentException(
+        s"unknown metadata table '$other' (one of: snapshots, files, " +
+          "manifests, deletes, partitions, refs)")
+    }
   }
 
   /** True unless EVERY row group's bloom filter rejects every key. A

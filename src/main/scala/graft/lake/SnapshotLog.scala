@@ -180,12 +180,33 @@ final case class ManifestRef(
     files: Int,
     rows: Long,
     minKeyUs: Option[Long],
-    maxKeyUs: Option[Long]
+    maxKeyUs: Option[Long],
+    /** Distinct partition-dir values per partition column across this
+      * manifest's files (round 7, additive), capped at
+      * [[SnapshotLog.MaxSummaryValues]] per column — a column whose
+      * manifest exceeds the cap is OMITTED (cannot skip on it), so the
+      * summary stays O(1) bytes however many files the manifest holds.
+      * The identity-dim analog of the time bounds above: an equality
+      * query drops whole manifests UNOPENED when its value is absent
+      * from the recorded set ([[LakehouseTable.filesForQuery]]).
+      */
+    partitionValues: Option[Map[String, Seq[String]]] = None
 ) {
   def overlaps(loUs: Long, hiUs: Long): Boolean = (minKeyUs, maxKeyUs) match {
     case (Some(lo), Some(hi)) => hi >= loUs && lo <= hiUs
     case _ => true
   }
+
+  /** May this manifest contain a file whose dir for `column` is
+    * `value`? True when no summary was recorded for the column
+    * (pre-round-7 manifests, over-cap cardinality, or files without
+    * that dir level).
+    */
+  def mayContainPartitionValue(column: String, value: String): Boolean =
+    partitionValues.flatMap(_.get(column)) match {
+      case Some(vs) => vs.contains(value)
+      case None => true
+    }
 }
 
 /** JSON envelope of a manifest file. */
@@ -463,6 +484,12 @@ object SnapshotLog {
     */
   val DefaultStaleCommitThresholdMs: Long = 5 * 60 * 1000L
 
+  /** Cap on distinct partition-dir values summarized per column per
+    * manifest ([[ManifestRef.partitionValues]]): above it the column is
+    * omitted (prune disabled, never wrong) so summaries stay O(1).
+    */
+  val MaxSummaryValues: Int = 32
+
   /** Version files retained behind the pointer. Superseded `v{N}.json`
     * are pure history — reads resolve through VERSION, time travel is
     * snapshot-id-based within the CURRENT metadata — so without pruning
@@ -559,7 +586,22 @@ final class SnapshotLog(
       if (files.forall(f => f.minKeyUs.isDefined && f.maxKeyUs.isDefined))
         (Some(files.flatMap(_.minKeyUs).min), Some(files.flatMap(_.maxKeyUs).max))
       else (None, None)
-    ManifestRef(s"metadata/$name", files.size, files.map(_.rows).sum, bounds._1, bounds._2)
+    // per-column dir-value roll-up: summarized only when EVERY member
+    // file carries the dir level (else skipping the manifest on an
+    // absent value could skip a file that has no value at all) and the
+    // cardinality fits the cap
+    val segCols = files.flatMap(_.partitionSegments.keys).distinct
+    val summary = segCols.flatMap { c =>
+      val vs = files.map(_.partitionSegments.get(c))
+      if (vs.exists(_.isEmpty)) None
+      else {
+        val distinct = vs.flatten.distinct
+        if (distinct.size > SnapshotLog.MaxSummaryValues) None
+        else Some(c -> distinct.sorted)
+      }
+    }.toMap
+    ManifestRef(s"metadata/$name", files.size, files.map(_.rows).sum, bounds._1, bounds._2,
+      partitionValues = if (summary.isEmpty) None else Some(summary))
   }
 
   /** Read one manifest's data files (path is table-relative). */

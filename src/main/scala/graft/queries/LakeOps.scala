@@ -384,6 +384,29 @@ object LakeOps {
       .withColumn("no_rewrite", lit(noRewrite))
   }
 
+  /** Metadata inspection tables: two appends into a DAY-partitioned
+    * table plus a tag and a branch, then the operational questions
+    * answered FROM THE METADATA TABLES ALONE — total data rows from
+    * `files`, partition count from `partitions`, snapshot/ref counts —
+    * cross-checked against DuckDB computing the first two from the raw
+    * parquet (the file row-counts and day-dir tuples must roll up to
+    * exactly the ingested data).
+    */
+  def metadataTablesFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ev = graft.Tables.t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
+    val table = LakehouseTable.createIfNotExists(
+      s, new Path(freshWarehouse("graft-md"), "events"), ev.schema, Some("ts"), "day")
+    table.append(ev.filter(col("event_id") % 2 === 0))
+    table.append(ev.filter(col("event_id") % 2 === 1))
+    table.tagSnapshot("audit", table.snapshots.head.id)
+    table.createBranch("staging")
+    table.metadataTable("files").agg(sum(col("rows")).as("data_rows"))
+      .crossJoin(table.metadataTable("partitions").agg(count(lit(1)).as("n_partitions")))
+      .crossJoin(table.metadataTable("snapshots").agg(count(lit(1)).as("n_snapshots")))
+      .crossJoin(table.metadataTable("refs").agg(count(lit(1)).as("n_refs")))
+  }
+
   /** Positional MoR delete flow: `DELETE WHERE event_type = 'error'
     * AND value < 100` — a compound predicate on NON-key columns, the
     * retraction shape that previously forced a COW rewrite. The commit
@@ -772,6 +795,15 @@ object LakeOps {
              |                     AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
              |       true AS no_rewrite
              |FROM events WHERE event_id % 7 <> 0 OR event_id % 5 = 0""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_metadata",
+      metadataTablesFlow,
+      Some("""SELECT (SELECT count(*) FROM events) AS data_rows,
+             |       (SELECT count(DISTINCT CAST(ts AS DATE)) FROM events) AS n_partitions,
+             |       CAST(2 AS BIGINT) AS n_snapshots,
+             |       CAST(2 AS BIGINT) AS n_refs""".stripMargin)
     ),
 
     QuerySpec(

@@ -70,6 +70,14 @@ class CompositePartitionSpec extends SparkSpec {
     val both = t.filesForQuery(Map("symbol" -> "AAPL"), Some(day2))
     assert(both.nonEmpty && both.size < bySymbol.size && both.size < byTime.size,
       "composed pruning must be the intersection, strictly finer than either dim")
+
+    // manifest-LIST level: each per-symbol append wrote one manifest
+    // whose partition-value summary names exactly one symbol, so a
+    // symbol query OPENS one manifest — the rest are skipped unread
+    val openedAll = t.manifestsForQuery(Map.empty).size
+    val openedOne = t.manifestsForQuery(Map("symbol" -> "AAPL")).size
+    assert(openedAll == 3 && openedOne == 1,
+      s"summary pruning must drop whole manifests ($openedAll -> $openedOne)")
   }
 
   test("readPartitionRange answers exactly and plans only the pruned files") {

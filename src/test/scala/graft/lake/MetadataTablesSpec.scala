@@ -1,0 +1,67 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Metadata inspection tables: driver bookkeeping surfaced as
+  * queryable DataFrames, consistent with the table state that produced
+  * it.
+  */
+class MetadataTablesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(ids: Seq[Int]) =
+    ids.map(i => (Timestamp.valueOf(f"2024-01-01 00:00:00.$i%06d"), i.toLong, i.toDouble))
+      .toDF("DateTime", "EventId", "Bid")
+
+  test("snapshots/files/deletes/refs tables reflect the operations that built them") {
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("meta"), "t"), df(Seq(0)).schema, Some("DateTime"))
+    t.append(df(0 until 6))
+    t.morDeleteKeys(df(Seq(1)).select("EventId"), "EventId")
+    t.morDeleteWhere(col("Bid") === 4.0)
+    t.tagSnapshot("pin", t.snapshots.head.id)
+    t.createBranch("stage")
+
+    val snaps = t.metadataTable("snapshots")
+    assert(snaps.count() == 3)
+    assert(snaps.filter(col("is_current")).count() == 1)
+    assert(snaps.select("operation").collect().map(_.getString(0)).count(_ == "mor-delete") == 2)
+
+    val files = t.metadataTable("files")
+    assert(files.agg(sum("rows")).head().getLong(0) == 6L)
+    assert(files.select("partition").head().getMap[String, String](0)
+      .keys.toSet == Set("DateTime_year"))
+
+    val dels = t.metadataTable("deletes")
+    assert(dels.select("kind").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("equality", "positional"))
+
+    val refs = t.metadataTable("refs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(refs == Set(("pin", "tag"), ("stage", "branch")))
+
+    val parts = t.metadataTable("partitions")
+    assert(parts.count() == 1 && parts.select("files").head().getLong(0) >= 1L)
+
+    intercept[IllegalArgumentException](t.metadataTable("nope"))
+  }
+
+  test("manifests table carries the pruning summaries") {
+    val src = Seq(("A", Timestamp.valueOf("2024-01-01 01:00:00"), 1.0),
+      ("B", Timestamp.valueOf("2024-01-02 01:00:00"), 2.0)).toDF("sym", "ts", "v")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("meta"), "m"), src.schema,
+      Seq("sym" -> "identity", "ts" -> "day"))
+    t.append(src.filter($"sym" === "A"))
+    t.append(src.filter($"sym" === "B"))
+    val m = t.metadataTable("manifests")
+    assert(m.count() == 2)
+    val sums = m.select("partition_values").collect()
+      .map(_.getMap[String, Seq[String]](0)("sym").head).toSet
+    assert(sums == Set("A", "B"), "each manifest summarizes its own symbol")
+  }
+}
