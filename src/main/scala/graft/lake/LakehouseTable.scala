@@ -1459,6 +1459,49 @@ final class LakehouseTable(
       deletesOverride = Some(liveDeleteFiles(current) ++ newDeletes))
   }
 
+  /** Exactly-once streaming MoR UPSERT — [[appendStream]]'s twin for
+    * keyed streams: ONE atomic commit carries the batch's files, the
+    * equality-delete mask of its keys, AND the `(queryId, batchId)`
+    * watermark, so a replayed delivery no-ops instead of double-masking
+    * and double-appending. This is the apply half of CDC mirroring
+    * ([[graft.stream.TableStream]] CDC mode): each micro-batch of row
+    * images lands as an upsert, exactly once.
+    *
+    * The delete keys are read back from the batch's own STAGED files
+    * (not by re-running the caller's plan, which could be
+    * nondeterministic), so mask and append always agree. Rebase-retry:
+    * an interleaved append's rows get a smaller sequence than the
+    * rebased commit, so the upsert masks them too — exactly
+    * last-writer-wins upsert semantics at commit order. The batch must
+    * be unique on `keyCols`.
+    */
+  def morMergeStream(
+      queryId: String, batchId: Long, batch: DataFrame, keyCols: Seq[String]): Option[Snapshot] = {
+    require(queryId.nonEmpty, "queryId must be non-empty")
+    if (metadata.streamWatermarks.get(queryId).exists(_ >= batchId)) return None
+    val moved = writeStaged(metadata, batch)
+    if (moved.isEmpty) return None // empty batch: nothing to mask or append
+    val stagedKeys = readFiles(moved).select(keyCols.map(col): _*)
+    val snap = withCommitRetry {
+      val (v, meta) = versionedMeta
+      if (meta.streamWatermarks.get(queryId).exists(_ >= batchId)) null
+      else {
+        val current = meta.currentSnapshot
+        val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+        // per-attempt delete file: its seq must equal the (rebased)
+        // commit's; a losing attempt's file is an unreferenced orphan,
+        // reaped like any crash leftover
+        val newDeletes = writeDeleteFiles(meta, stagedKeys, keyCols, snapId)
+        val stamped = meta.copy(streamProgress =
+          Some(meta.streamWatermarks + (queryId -> batchId)))
+        commitSnapshot(stamped, v, moved, "mor-merge", replaceRefs = None,
+          totalRows = current.map(_.totalRows).getOrElse(0L) + moved.map(_.rows).sum,
+          deletesOverride = Some(current.map(liveDeleteFiles).getOrElse(Nil) ++ newDeletes))
+      }
+    }
+    Option(snap)
+  }
+
   /** POSITIONAL merge-on-read DELETE (Iceberg v2 positional-delete
     * analog): evaluate `predicate` over the current visible rows and
     * commit ONE tiny parquet of (file_path, row_index) pairs naming

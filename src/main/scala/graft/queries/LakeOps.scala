@@ -601,6 +601,44 @@ object LakeOps {
       .withColumn("replay_noop", lit(replayNoop))
   }
 
+  /** CDC-apply flow: the bronze table takes an append and TWO
+    * overlapping MoR upsert waves (every 5th event +1000, then every
+    * 7th +2000 — keys divisible by 35 are upserted twice); a live
+    * [[graft.stream.TableStream]] CDC query mirrors it into a keyed
+    * gold table, reducing each range's row images to the newest per
+    * key and applying them as exactly-once MoR upserts. However the
+    * micro-batches split, gold must converge to the final per-key
+    * state — the CASE expression DuckDB computes directly (for a
+    * double-upserted key, the later wave's image must win).
+    */
+  def cdcApplyFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ev = graft.Tables.t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
+    val wh = freshWarehouse("graft-cd")
+    val src = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(wh, "bronze"), ev.schema, Some("ts"))
+    val dst = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(wh, "gold"), ev.schema, Some("ts"))
+    val q = graft.stream.TableStream.startCdc(src, dst, "cdc", Seq("ts"), pollIntervalMs = 20L)
+    val caughtUp =
+      try {
+        src.append(ev)
+        Thread.sleep(30L)
+        src.morMerge(graft.ingest.Dedup.withinBatch(
+          ev.filter(col("event_id") % 5 === 0).withColumn("value", col("value") + 1000.0),
+          Seq("ts")), "ts")
+        Thread.sleep(30L)
+        src.morMerge(graft.ingest.Dedup.withinBatch(
+          ev.filter(col("event_id") % 7 === 0).withColumn("value", col("value") + 2000.0),
+          Seq("ts")), "ts")
+        q.awaitCaughtUp(60000L)
+      } finally q.stop()
+    dst.read().agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .withColumn("caught_up", lit(caughtUp))
+  }
+
   /** Incremental append-scan flow: three appends with a compaction
     * wedged in the middle; the delta from the first snapshot must
     * contain exactly the rows of appends two and three (the compaction
@@ -765,6 +803,17 @@ object LakeOps {
       Some("""SELECT count(*) AS n_rows,
              |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
              |       true AS replay_skipped
+             |FROM events""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_cdc_apply",
+      cdcApplyFlow,
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(CAST(CASE WHEN event_id % 7 = 0 THEN value + 2000.0
+             |                          WHEN event_id % 5 = 0 THEN value + 1000.0
+             |                          ELSE value END AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       true AS caught_up
              |FROM events""".stripMargin)
     ),
 

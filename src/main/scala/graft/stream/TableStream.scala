@@ -58,7 +58,41 @@ object TableStream {
     require(pollIntervalMs > 0, "pollIntervalMs must be positive")
     require(maxSnapshotsPerBatch >= 1, "maxSnapshotsPerBatch must be >= 1")
     val q = new TableStreamQuery(
-      src, dst, consumerId, transform, pollIntervalMs, maxSnapshotsPerBatch, emitUpserts)
+      src, dst, consumerId, transform, pollIntervalMs, maxSnapshotsPerBatch,
+      emitUpserts, cdcKeys = None)
+    q.startThread()
+    q
+  }
+
+  /** CDC-APPLY mode: mirror a KEYED source (maintained by
+    * [[LakehouseTable.morMerge]]-style upserts) into a destination
+    * that stays keyed. Each trigger streams the range's upsert row
+    * images ([[LakehouseTable.readIncremental]] with `emitUpserts`),
+    * keeps the max-`_commit_seq` image per key (two upserts of one key
+    * in a range resolve to the latest — the ADVICE r6 ordering put to
+    * work), applies `transform`, and lands the batch as an exactly-once
+    * MoR upsert ([[LakehouseTable.morMergeStream]]: files + mask +
+    * offset in one commit). End-to-end: upsert the source N times,
+    * the destination always converges to one row per key with the
+    * newest image — never an append-log of stale versions.
+    * Delete-only source commits are not expressible as images and fail
+    * the trigger loudly (same contract as Iceberg's streaming read).
+    */
+  def startCdc(
+      src: LakehouseTable,
+      dst: LakehouseTable,
+      consumerId: String,
+      keyCols: Seq[String],
+      transform: DataFrame => DataFrame = identity,
+      pollIntervalMs: Long = 200L,
+      maxSnapshotsPerBatch: Int = Int.MaxValue): TableStreamQuery = {
+    require(consumerId.nonEmpty, "consumerId must be non-empty")
+    require(keyCols.nonEmpty, "CDC mode needs at least one key column")
+    require(pollIntervalMs > 0, "pollIntervalMs must be positive")
+    require(maxSnapshotsPerBatch >= 1, "maxSnapshotsPerBatch must be >= 1")
+    val q = new TableStreamQuery(
+      src, dst, consumerId, transform, pollIntervalMs, maxSnapshotsPerBatch,
+      emitUpserts = true, cdcKeys = Some(keyCols))
     q.startThread()
     q
   }
@@ -86,7 +120,8 @@ final class TableStreamQuery private[stream] (
     transform: DataFrame => DataFrame,
     pollIntervalMs: Long,
     maxSnapshotsPerBatch: Int,
-    emitUpserts: Boolean) {
+    emitUpserts: Boolean,
+    cdcKeys: Option[Seq[String]] = None) {
 
   @volatile private var stopped = false
   private val committed = new AtomicLong(0L)
@@ -120,7 +155,24 @@ final class TableStreamQuery private[stream] (
       case Some(l) => src.readIncremental(l, toId, emitUpserts)
       case None => src.timeTravel(toId)
     }
-    val snap = dst.appendStream(consumerId, toId, transform(delta))
+    val snap = cdcKeys match {
+      case Some(keys) =>
+        // keep the newest image per key: within one range, later
+        // upserts of a key supersede earlier ones (_commit_seq orders
+        // them); the first sync is a plain keyed snapshot image
+        val reduced =
+          if (!delta.columns.contains("_commit_seq")) delta
+          else {
+            import org.apache.spark.sql.expressions.Window
+            import org.apache.spark.sql.functions.{col, desc, row_number}
+            val w = Window.partitionBy(keys.map(col): _*).orderBy(desc("_commit_seq"))
+            delta.withColumn("__graft_rn", row_number().over(w))
+              .filter(col("__graft_rn") === 1)
+              .drop("__graft_rn", "_commit_seq")
+          }
+        dst.morMergeStream(consumerId, toId, transform(reduced), keys)
+      case None => dst.appendStream(consumerId, toId, transform(delta))
+    }
     if (snap.isDefined) committed.incrementAndGet()
     // a delta that transforms to empty still advances the offset, or
     // every later trigger would re-plan the same growing range

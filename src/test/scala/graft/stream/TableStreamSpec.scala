@@ -94,6 +94,51 @@ class TableStreamSpec extends SparkSpec {
     assert(dst.metadata.streamWatermarks("m") == src.metadata.currentSnapshotId.get)
   }
 
+  test("CDC apply: racing upserts converge to the newest image per key") {
+    val src = fresh("cdc-src"); val dst = fresh("cdc-dst")
+    src.append(df(0 until 8))
+    val q = TableStream.startCdc(src, dst, "cdc", Seq("EventId"), pollIntervalMs = 10L)
+    try {
+      // five generations of upserts racing the poller: key k's Bid
+      // ends at k + 100 * gen for whatever gen last touched it
+      (1 to 5).foreach { gen =>
+        val batch = df(Seq(gen, gen + 3)) // overlapping key sets per gen
+          .withColumn("Bid", col("EventId") + lit(gen * 100.0))
+        src.morMerge(batch, "EventId")
+        Thread.sleep(20L)
+      }
+      assert(q.awaitCaughtUp(30000L), s"stream must catch up (lastError=${q.lastError})")
+      val got = dst.read().select("EventId", "Bid").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // keys 0..7 from the seed, plus key 8 INSERTED by gen5's upsert
+      // (gen 5 touches {5, 8}; an upsert inserts unseen keys)
+      assert(got.size == 9, "destination stays keyed: one row per key")
+      // last generation touching each key wins
+      val lastGen = (0L to 8L).map(k =>
+        k -> (1 to 5).filter(g => g.toLong == k || (g + 3).toLong == k).maxOption).toMap
+      lastGen.foreach { case (k, gen) =>
+        val want = gen.map(g => k + 100.0 * g).getOrElse(k.toDouble)
+        assert(got(k) == want, s"key $k: got ${got(k)}, want $want (gen $gen)")
+      }
+    } finally q.stop()
+  }
+
+  test("CDC replay safety: a re-delivered upsert batch no-ops") {
+    val src = fresh("cdcr-src"); val dst = fresh("cdcr-dst")
+    src.append(df(0 until 3))
+    val q = TableStream.startCdc(src, dst, "cdc", Seq("EventId"), pollIntervalMs = 10L)
+    try {
+      src.morMerge(df(Seq(1)).withColumn("Bid", lit(999.0)), "EventId")
+      assert(q.awaitCaughtUp(10000L))
+    } finally q.stop()
+    val before = dst.read().count()
+    // crash-replay of the last batch id
+    assert(dst.morMergeStream("cdc", src.metadata.currentSnapshotId.get,
+      src.read(), Seq("EventId")).isEmpty)
+    assert(dst.read().count() == before)
+    assert(dst.read().filter(col("EventId") === 1L).head().getDouble(2) == 999.0)
+  }
+
   test("maintenance commits inside the range are skipped, not duplicated") {
     val src = fresh("mt-src"); val dst = fresh("mt-dst")
     src.append(df(0 until 3))
