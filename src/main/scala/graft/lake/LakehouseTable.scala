@@ -125,6 +125,42 @@ final class LakehouseTable(
     timeTravel(metadata.tags.getOrElse(name,
       throw new NoSuchElementException(s"no such tag '$name'")))
 
+  // ---- table properties / rollback --------------------------------------
+
+  /** Current table properties (see [[TableMetadata.tableProperties]]
+    * for the engine-recognized keys).
+    */
+  def properties: Map[String, String] = metadata.props
+
+  /** Set a table property — metadata-only, rebase-retried. */
+  def setProperty(key: String, value: String): Unit = {
+    require(key.nonEmpty, "property key must be non-empty")
+    evolveMetadata(meta =>
+      meta.copy(tableProperties = Some(meta.props + (key -> value))))
+  }
+
+  /** Remove a table property (no-op when absent). */
+  def unsetProperty(key: String): Unit =
+    evolveMetadata(meta =>
+      meta.copy(tableProperties = Some(meta.props - key).filter(_.nonEmpty)))
+
+  /** ROLLBACK main to an earlier snapshot (Iceberg
+    * rollback_to_snapshot analog): metadata-only — the bad commits'
+    * snapshots stay in history for the post-mortem (and for time
+    * travel) until retention ages them out; new appends parent from
+    * the restored snapshot. The target must be MAIN history (published
+    * — not a staged branch snapshot).
+    */
+  def rollbackTo(snapshotId: Long): Unit =
+    evolveMetadata { meta =>
+      val snap = meta.snapshotById(snapshotId).getOrElse(
+        throw new NoSuchElementException(s"snapshot $snapshotId not found"))
+      require(snap.branch.isEmpty,
+        s"snapshot $snapshotId is staged on branch '${snap.branch.get}' — " +
+          "publish it with fastForward instead of rolling back to it")
+      meta.copy(currentSnapshotId = Some(snapshotId))
+    }
+
   // ---- branch refs / write-audit-publish --------------------------------
 
   /** Live branch refs: name → head snapshot id. */
@@ -1107,13 +1143,29 @@ final class LakehouseTable(
     val withPart = spec.fields.foldLeft(df)((d, f) =>
       if (d.columns.contains(f.name)) d
       else d.withColumn(f.name, LakehouseTable.partitionExpr(f.transform, col(f.source))))
+    // Declared write sort order ("write.sort-order" property): task-
+    // local sort — no shuffle added, so footer/page stats line up with
+    // the sort columns from the FIRST write instead of waiting for a
+    // compaction (Iceberg sort-order with distribution-mode=none). The
+    // partition columns prefix the sort so the writer's own required
+    // ordering is satisfied and no second sort destroys this one.
+    val sortCols = meta.props.get("write.sort-order")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val sorted =
+      if (sortCols.isEmpty) withPart
+      else {
+        sortCols.foreach(c => require(withPart.columns.contains(c),
+          s"write.sort-order column '$c' is not a column of the batch"))
+        withPart.sortWithinPartitions(
+          (spec.fieldNames ++ sortCols).distinct.map(col): _*)
+      }
     // INT64 micros, not the deprecated INT96 default: footer min/max
     // stats for INT96 are opaque binary, which would disable the
     // manifest's file-skipping bounds
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val stagingName = s".staging-${UUID.randomUUID().toString.take(8)}"
     val staging = new Path(tableDir, stagingName)
-    val writer = withBloomOption(meta, withPart.write.mode("overwrite"))
+    val writer = withBloomOption(meta, sorted.write.mode("overwrite"))
     (if (spec.fields.nonEmpty) writer.partitionBy(spec.fieldNames: _*) else writer)
       .parquet(staging.toString)
     moveStaged(meta, staging)
@@ -1867,8 +1919,8 @@ final class LakehouseTable(
     val nPartDirs = math.max(1,
       files.map(f => f.path.split("/").dropRight(1).mkString("/")).distinct.size)
     // delete-file pressure counts as compaction pressure: every live
-    // equality-delete file is a read-side anti-join every query pays
-    // until a compaction folds it
+    // equality/positional-delete file is a read-side anti-join every
+    // query pays until a compaction folds it
     val wantsCompact = files.size > nPartDirs.toLong * maxFilesPerPartition ||
       currentDeleteFiles.size > maxDeleteFiles
     val compacted =
@@ -1888,6 +1940,28 @@ final class LakehouseTable(
         catch { case _: ConcurrentCommitException => false }
     val (expired, deleted) = expireSnapshots(nowMs, retentionMs, keepLast)
     MaintenanceReport(compacted, folded, expired.size, deleted.size)
+  }
+
+  /** [[maintain]] with every threshold resolved from TABLE PROPERTIES
+    * (engine keys in [[TableMetadata.tableProperties]]'s scaladoc;
+    * unset keys fall back to [[maintain]]'s defaults) — the
+    * deployment shape: policy declared once on the table, every
+    * scheduler runs the same zero-argument call.
+    */
+  def maintainFromProperties(nowMs: Long = System.currentTimeMillis()): MaintenanceReport = {
+    val p = metadata.props
+    def intOf(k: String, dflt: Int): Int = p.get(k).map(_.trim.toInt).getOrElse(dflt)
+    def longOf(k: String, dflt: Long): Long = p.get(k).map(_.trim.toLong).getOrElse(dflt)
+    maintain(
+      maxFilesPerPartition = intOf("compaction.max-files-per-partition", 4),
+      compactTo = intOf("compaction.target-files", 1),
+      maxManifests = intOf("compaction.max-manifests", 8),
+      nowMs = nowMs,
+      retentionMs = longOf("retention.ms", 7L * 24 * 3600 * 1000),
+      keepLast = intOf("retention.keep-last", 2),
+      maxDeleteFiles = intOf("compaction.max-delete-files", 4),
+      zOrderCols = p.get("zorder.columns")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
   }
 
   /** Metadata-only manifest compaction (Iceberg's RewriteManifests

@@ -314,7 +314,20 @@ final case class TableMetadata(
       * never see branch snapshots until [[LakehouseTable.fastForward]]
       * publishes them — the write-audit-publish gate.
       */
-    branchRefs: Option[Map[String, Long]] = None
+    branchRefs: Option[Map[String, Long]] = None,
+    /** Free-form table properties (round 7, additive — Iceberg table
+      * properties analog). Engine-recognized keys:
+      * `retention.ms`, `retention.keep-last` (expiry policy),
+      * `compaction.max-files-per-partition`, `compaction.target-files`,
+      * `compaction.max-manifests`, `compaction.max-delete-files`,
+      * `zorder.columns` (comma-separated) — all consumed by
+      * [[LakehouseTable.maintainFromProperties]] so a deployment
+      * declares its policy ONCE on the table instead of wiring
+      * parameters through every scheduler; `write.sort-order`
+      * (comma-separated columns) — task-local sort applied on every
+      * append for tight footer bounds from the first write.
+      */
+    tableProperties: Option[Map[String, String]] = None
 ) {
   def currentSnapshot: Option[Snapshot] =
     currentSnapshotId.flatMap(id => snapshots.find(_.id == id))
@@ -326,6 +339,7 @@ final case class TableMetadata(
   def historicalNames: Set[String] = aliasMap.values.flatten.toSet
   def tags: Map[String, Long] = refs.getOrElse(Map.empty)
   def branches: Map[String, Long] = branchRefs.getOrElse(Map.empty)
+  def props: Map[String, String] = tableProperties.getOrElse(Map.empty)
   def streamWatermarks: Map[String, Long] = streamProgress.getOrElse(Map.empty)
 
   /** All partition specs, deriving the legacy single-field encoding as

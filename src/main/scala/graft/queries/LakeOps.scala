@@ -384,6 +384,29 @@ object LakeOps {
       .withColumn("no_rewrite", lit(noRewrite))
   }
 
+  /** Rollback flow: a good batch, then a bad batch, then
+    * [[LakehouseTable.rollbackTo]] the good snapshot — reads must show
+    * exactly the good half (DuckDB over the raw parquet), while the bad
+    * snapshot remains in history for the post-mortem (`bad_kept`) and
+    * still time-travels (`bad_readable`).
+    */
+  def rollbackFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ev = graft.Tables.t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
+    val table = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(freshWarehouse("graft-rb"), "events"), ev.schema, Some("ts"))
+    val good = table.append(ev.filter(col("event_id") % 2 === 0))
+    val bad = table.append(ev.filter(col("event_id") % 2 === 1))
+    table.rollbackTo(good.id)
+    val badKept = table.snapshots.exists(_.id == bad.id)
+    val badReadable = table.timeTravel(bad.id).count() == ev.count()
+    table.read().agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .withColumn("bad_kept", lit(badKept))
+      .withColumn("bad_readable", lit(badReadable))
+  }
+
   /** Metadata inspection tables: two appends into a DAY-partitioned
     * table plus a tag and a branch, then the operational questions
     * answered FROM THE METADATA TABLES ALONE — total data rows from
@@ -844,6 +867,15 @@ object LakeOps {
              |                     AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
              |       true AS no_rewrite
              |FROM events WHERE event_id % 7 <> 0 OR event_id % 5 = 0""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_rollback",
+      rollbackFlow,
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       true AS bad_kept, true AS bad_readable
+             |FROM events WHERE event_id % 2 = 0""".stripMargin)
     ),
 
     QuerySpec(

@@ -1,0 +1,82 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Table properties, policy-driven maintenance, rollback, and the
+  * declared write sort order.
+  */
+class TablePropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(ids: Seq[Int]) =
+    ids.map(i => (Timestamp.valueOf(f"2024-01-01 00:00:00.$i%06d"), i.toLong, i.toDouble))
+      .toDF("DateTime", "EventId", "Bid")
+
+  private def fresh(name: String): LakehouseTable =
+    LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("props"), name), df(Seq(0)).schema, Some("DateTime"))
+
+  test("properties set/unset round-trip and survive commits") {
+    val t = fresh("roundtrip")
+    t.setProperty("retention.keep-last", "3")
+    t.setProperty("write.sort-order", "EventId")
+    t.append(df(0 until 4))
+    assert(t.properties == Map("retention.keep-last" -> "3", "write.sort-order" -> "EventId"))
+    t.unsetProperty("write.sort-order")
+    assert(t.properties == Map("retention.keep-last" -> "3"))
+    t.unsetProperty("nope") // absent: no-op, no error
+  }
+
+  test("maintainFromProperties honors the declared policy") {
+    val t = fresh("policy")
+    t.setProperty("retention.ms", "0")
+    t.setProperty("retention.keep-last", "2")
+    t.setProperty("compaction.max-files-per-partition", "2")
+    (0 until 4).foreach(i => t.append(df(Seq(i)).coalesce(1))) // 4 files, 1 partition
+    val r = t.maintainFromProperties()
+    assert(r.compacted, "4 files > 2/partition must trigger compaction")
+    assert(r.expiredSnapshots > 0, "zero retention with keep-last 2 must expire")
+    assert(t.read().count() == 4)
+  }
+
+  test("rollback restores an earlier snapshot; history survives for audit") {
+    val t = fresh("rollback")
+    val s1 = t.append(df(0 until 3))
+    t.append(df(3 until 6))
+    t.rollbackTo(s1.id)
+    assert(t.read().select("EventId").collect().map(_.getLong(0)).toSet ==
+      Set(0L, 1L, 2L), "rollback restores the old state")
+    assert(t.snapshots.size == 2, "the rolled-over snapshot stays for the post-mortem")
+    // new writes parent from the restored snapshot
+    val s3 = t.append(df(Seq(10)))
+    assert(s3.parentId.contains(s1.id))
+    assert(t.read().count() == 4)
+    // a staged branch snapshot cannot be a rollback target
+    t.createBranch("b")
+    val staged = t.appendToBranch("b", df(Seq(99)))
+    val e = intercept[IllegalArgumentException](t.rollbackTo(staged.id))
+    assert(e.getMessage.contains("staged on branch"))
+  }
+
+  test("write.sort-order sorts rows within every written file") {
+    val t = fresh("sorted")
+    t.setProperty("write.sort-order", "Bid")
+    // reversed, shuffled input across 4 tasks
+    t.append(df((0 until 64).reverse).repartition(4))
+    val fs = t.currentDataFiles
+    assert(fs.nonEmpty)
+    fs.foreach { f =>
+      val bids = spark.read.parquet(new Path(t.tableDir, f.path).toString)
+        .select("Bid").collect().map(_.getDouble(0)).toSeq
+      assert(bids == bids.sorted, s"rows in ${f.path} must be sorted on Bid")
+    }
+    // unknown sort column fails loudly at write
+    t.setProperty("write.sort-order", "Nope")
+    val e = intercept[IllegalArgumentException](t.append(df(Seq(1))))
+    assert(e.getMessage.contains("write.sort-order"))
+  }
+}
