@@ -1143,22 +1143,39 @@ final class LakehouseTable(
     val withPart = spec.fields.foldLeft(df)((d, f) =>
       if (d.columns.contains(f.name)) d
       else d.withColumn(f.name, LakehouseTable.partitionExpr(f.transform, col(f.source))))
-    // Declared write sort order ("write.sort-order" property): task-
-    // local sort — no shuffle added, so footer/page stats line up with
-    // the sort columns from the FIRST write instead of waiting for a
-    // compaction (Iceberg sort-order with distribution-mode=none). The
-    // partition columns prefix the sort so the writer's own required
-    // ordering is satisfied and no second sort destroys this one.
+    // Declared write distribution ("write.distribution-mode" property,
+    // Iceberg's analog): `none` (default) writes with the incoming
+    // partitioning — every task emits a file for every partition cell
+    // it holds, so a poorly-clustered upstream sprays small files;
+    // `hash` repartitions on the partition columns first (one task per
+    // cell → one file per cell per append — small-files prevention at
+    // WRITE time instead of waiting for compaction); `range` range-
+    // partitions on (partition cols..., sort cols) for near-disjoint
+    // footer spans across sibling files.
     val sortCols = meta.props.get("write.sort-order")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    sortCols.foreach(c => require(withPart.columns.contains(c),
+      s"write.sort-order column '$c' is not a column of the batch"))
+    val distributed = meta.props.getOrElse("write.distribution-mode", "none") match {
+      case "none" => withPart
+      case "hash" if spec.fields.nonEmpty =>
+        withPart.repartition(spec.fieldNames.map(col): _*)
+      case "range" if spec.fields.nonEmpty || sortCols.nonEmpty =>
+        withPart.repartitionByRange((spec.fieldNames ++ sortCols).distinct.map(col): _*)
+      case "hash" | "range" => withPart // unpartitioned, unsorted: nothing to distribute on
+      case other => throw new IllegalArgumentException(
+        s"unknown write.distribution-mode '$other' (one of: none, hash, range)")
+    }
+    // Declared write sort order ("write.sort-order"): task-local sort —
+    // footer/page stats line up with the sort columns from the FIRST
+    // write instead of waiting for a compaction (Iceberg sort-order).
+    // The partition columns prefix the sort so the writer's own
+    // required ordering is satisfied and no second sort destroys this
+    // one.
     val sorted =
-      if (sortCols.isEmpty) withPart
-      else {
-        sortCols.foreach(c => require(withPart.columns.contains(c),
-          s"write.sort-order column '$c' is not a column of the batch"))
-        withPart.sortWithinPartitions(
-          (spec.fieldNames ++ sortCols).distinct.map(col): _*)
-      }
+      if (sortCols.isEmpty) distributed
+      else distributed.sortWithinPartitions(
+        (spec.fieldNames ++ sortCols).distinct.map(col): _*)
     // INT64 micros, not the deprecated INT96 default: footer min/max
     // stats for INT96 are opaque binary, which would disable the
     // manifest's file-skipping bounds

@@ -118,6 +118,26 @@ class BranchWapSpec extends SparkSpec {
     assert(t.fastForward("b") == t.metadata.currentSnapshotId.get)
   }
 
+  test("branch appends race main appends: both land, neither clobbers") {
+    val t = fresh("parallel")
+    t.append(df(0 until 2))
+    t.createBranch("b")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fMain = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = (0 until 4).foreach(i => t.append(df(Seq(100 + i))))
+      })
+      val fBranch = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = (0 until 4).foreach(i => t.appendToBranch("b", df(Seq(200 + i))))
+      })
+      fMain.get(); fBranch.get()
+    } finally pool.shutdown()
+    assert(ids(t.read()) == Set(0L, 1L) ++ (100L until 104L),
+      "main sees its own appends and nothing staged")
+    assert(ids(t.readBranch("b")) == Set(0L, 1L) ++ (200L until 204L),
+      "the branch accumulated every staged append despite the race")
+  }
+
   test("two branches stage independently; publishing one leaves the other intact") {
     val t = fresh("two")
     t.append(df(0 until 2))

@@ -62,6 +62,30 @@ class TablePropertiesSpec extends SparkSpec {
     assert(e.getMessage.contains("staged on branch"))
   }
 
+  test("write.distribution-mode=hash writes one file per partition cell") {
+    val src = (for { sym <- Seq("A", "B", "C"); i <- 0 until 8 }
+      yield (sym, Timestamp.valueOf(f"2024-01-0${i % 4 + 1} 0$i:00:00"), i.toDouble))
+      .toDF("sym", "ts", "v")
+    def build(name: String, mode: Option[String]): Int = {
+      val t = LakehouseTable.createIfNotExists(
+        spark, new Path(tmpDir("props"), name), src.schema,
+        Seq("sym" -> "identity", "ts" -> "day"))
+      mode.foreach(m => t.setProperty("write.distribution-mode", m))
+      t.append(src.repartition(8)) // poorly-clustered upstream
+      t.currentDataFiles.size
+    }
+    val sprayed = build("dist-none", None)
+    val hashed = build("dist-hash", Some("hash"))
+    val cells = 12 // 3 symbols × 4 days
+    assert(hashed == cells, s"hash distribution → one file per cell, got $hashed")
+    assert(sprayed > hashed, s"none-mode sprays ($sprayed) more files than hash ($hashed)")
+    // unknown mode fails loudly
+    val t = fresh("dist-bad")
+    t.setProperty("write.distribution-mode", "nope")
+    val e = intercept[IllegalArgumentException](t.append(df(Seq(1))))
+    assert(e.getMessage.contains("distribution-mode"))
+  }
+
   test("write.sort-order sorts rows within every written file") {
     val t = fresh("sorted")
     t.setProperty("write.sort-order", "Bid")
