@@ -131,4 +131,48 @@ class ConcurrentCommitSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("concurrent commit"))
   }
+
+  test("double delivery of one stream batch: exactly one of two racing commits lands") {
+    val dir = new Path(tmpDir("ccs"), "t5")
+    LakehouseTable.createIfNotExists(spark, dir, mkRows(0 until 1).schema, Some("DateTime"))
+    val handles = Seq(LakehouseTable.load(spark, dir), LakehouseTable.load(spark, dir))
+    val batch = mkRows(0 until 40)
+    val start = new CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // two unsynchronized deliveries of the SAME (queryId, batchId) —
+    // Spark's at-least-once foreachBatch after a zombie-executor
+    // restart. The watermark re-check inside the rebase-retry is what
+    // must make them mutually exclusive.
+    val threads = handles.map(t => new Thread(() => {
+      start.await()
+      try results.add(t.appendStream("q", 7L, batch).isDefined)
+      catch { case e: Throwable => errors.add(e) }
+    }))
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(errors.isEmpty, s"racing delivery failed: ${errors.toArray.mkString("; ")}")
+    assert(results.toArray.count(_ == true.asInstanceOf[AnyRef]) == 1,
+      "exactly one delivery may commit")
+    val reloaded = LakehouseTable.load(spark, dir)
+    assert(reloaded.read().count() == 40, "no duplicated rows")
+    assert(reloaded.metadata.streamWatermarks("q") == 7L)
+
+    // same guarantee for the MoR upsert variant
+    val mor = Seq(LakehouseTable.load(spark, dir), LakehouseTable.load(spark, dir))
+    val upsert = mkRows(0 until 10).withColumn("Bid", org.apache.spark.sql.functions.lit(999.0))
+    val start2 = new CountDownLatch(1)
+    val results2 = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    val threads2 = mor.map(t => new Thread(() => {
+      start2.await()
+      try results2.add(t.morMergeStream("q", 8L, upsert, Seq("DateTime")).isDefined)
+      catch { case e: Throwable => errors.add(e) }
+    }))
+    threads2.foreach(_.start()); start2.countDown(); threads2.foreach(_.join())
+    assert(errors.isEmpty, s"racing upsert failed: ${errors.toArray.mkString("; ")}")
+    assert(results2.toArray.count(_ == true.asInstanceOf[AnyRef]) == 1,
+      "exactly one upsert delivery may commit")
+    val after = LakehouseTable.load(spark, dir)
+    assert(after.read().count() == 40, "upsert replaces, never duplicates")
+    assert(after.read().filter($"Bid" === 999.0).count() == 10)
+  }
 }
