@@ -178,8 +178,16 @@ final class LakehouseTable(
   def createBranch(name: String, fromSnapshotId: Long): Unit = {
     require(name.nonEmpty, "branch name must be non-empty")
     evolveMetadata { meta =>
-      require(meta.snapshotById(fromSnapshotId).isDefined,
-        s"cannot branch from unknown snapshot $fromSnapshotId")
+      val from = meta.snapshotById(fromSnapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot branch from unknown snapshot $fromSnapshotId"))
+      // branches cut from PUBLISHED history only: branching off another
+      // branch's staged snapshot would let fastForward adopt a lineage
+      // still carrying the foreign branch's marker — invisible to asOf
+      // and unprotected once that branch drops (r7 review)
+      require(from.branch.isEmpty,
+        s"cannot branch from snapshot $fromSnapshotId: it is staged on " +
+          s"branch '${from.branch.get}' (publish it first)")
       require(!meta.branches.contains(name), s"branch '$name' already exists")
       require(!meta.tags.contains(name), s"a tag named '$name' already exists")
       meta.copy(branchRefs = Some(meta.branches + (name -> fromSnapshotId)))
@@ -297,13 +305,32 @@ final class LakehouseTable(
         * predicate selected.
         */
       keepPosColumns: Option[(String, String)] = None): DataFrame = {
-    // positional deletes bind to exact files, not sequences: they ride
-    // every raw scan; equality deletes keep the seq-suffix grouping
+    // positional deletes bind to exact files, not sequences: the
+    // helper columns ride every raw scan (metadata columns resolve
+    // only there) but the mask itself applies ONCE over the final
+    // union — rebuilding it per seq-group would re-read and re-ship
+    // the same position set K times
     val (posDels, eqDels) = dels.partition(_.isPositional)
+    val posNames = keepPosColumns.getOrElse(("__graft_pos_path", "__graft_pos_idx"))
+    val needPos = posDels.nonEmpty || keepPosColumns.isDefined
     def raw(fs: Seq[DataFile]): DataFrame =
-      readFiles(fs, tagFileColumn, posDels, keepPosColumns)
-    if (eqDels.isEmpty || files.isEmpty) raw(files)
-    else {
+      readFiles(fs, tagFileColumn, if (needPos) Some(posNames) else None)
+    def finish(unioned: DataFrame): DataFrame = {
+      val masked =
+        if (posDels.isEmpty) unioned
+        else {
+          val positions = posDels.map(d =>
+            spark.read.parquet(new Path(tableDir, d.path).toString)
+              .select(col("file_path").as(posNames._1), col("row_index").as(posNames._2)))
+            .reduce(_ unionByName _)
+          unioned.join(maybeBroadcast(positions, posDels.map(_.rows).sum),
+            Seq(posNames._1, posNames._2), "left_anti")
+        }
+      if (keepPosColumns.isDefined || !needPos) masked
+      else masked.drop(posNames._1, posNames._2)
+    }
+    if (eqDels.isEmpty || files.isEmpty) finish(raw(files))
+    else finish {
       val delSeqs = eqDels.map(_.seq).distinct.sorted
       // reverse alias map: a delete file written before a rename stores
       // the then-current (now historical) column name
@@ -327,17 +354,30 @@ final class LakehouseTable(
                       case (hist, cur) => col(hist).as(cur)
                     }: _*))
                   .reduce(_ unionByName _)
-                // delete-key files are metadata-scale by construction
-                // (that is why MoR wins over COW), so pin the broadcast
-                // instead of trusting AQE size estimates — a sort-merge
-                // fallback here would shuffle the DATA side per delete
-                // commit (plan-asserted in MorDeleteSpec)
-                df.join(broadcast(keys), curKeys, "left_anti")
+                // delete-key files are metadata-scale in the intended
+                // regime (that is why MoR wins over COW), so pin the
+                // broadcast instead of trusting AQE size estimates — a
+                // sort-merge fallback would shuffle the DATA side per
+                // delete commit (plan-asserted in MorDeleteSpec). The
+                // pin is GATED on the exact key count the metadata
+                // already records: a pathological delete set keeps
+                // AQE's graceful shuffle instead of a forced
+                // multi-GB broadcast (r7 review)
+                df.join(maybeBroadcast(keys, ds.map(_.rows).sum), curKeys, "left_anti")
               }
           }
         }.reduce(_ unionByName _)
     }
   }
+
+  /** Broadcast hint gated on a row count the metadata already knows
+    * exactly: below the threshold the hint is pinned (AQE size
+    * ESTIMATES can misjudge and fall back to shuffling the data side);
+    * above it the hint is withheld so AQE degrades gracefully instead
+    * of forcing a driver-OOM-sized broadcast.
+    */
+  private def maybeBroadcast(df: DataFrame, exactRows: Long): DataFrame =
+    if (exactRows <= LakehouseTable.MaxBroadcastDeleteRows) broadcast(df) else df
 
   /** Build the DataFrame over an explicit file list, grouped BY
     * PARTITION SPEC: files written under different layouts (after
@@ -358,46 +398,34 @@ final class LakehouseTable(
   private def readFiles(
       files: Seq[DataFile],
       tagColumn: Option[String] = None,
-      posDeletes: Seq[DeleteFile] = Nil,
-      keepPosColumns: Option[(String, String)] = None): DataFrame = {
-    val posNames = keepPosColumns.getOrElse(("__graft_pos_path", "__graft_pos_idx"))
-    val needPos = posDeletes.nonEmpty || keepPosColumns.isDefined
+      /** When set, materialize (file path, row index) helper columns
+        * under these names on every raw scan — positional-delete
+        * masking and the morDeleteWhere write side read through them.
+        * The MASK itself is the caller's job ([[readWithDeletes]]).
+        */
+      posColumns: Option[(String, String)] = None): DataFrame =
     if (files.isEmpty) {
       // empty table: preserve schema + partition columns
       var empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
       tagColumn.foreach(c => empty = empty.withColumn(c, input_file_name()))
-      if (keepPosColumns.isDefined)
+      posColumns.foreach { case (p, i) =>
         empty = empty
-          .withColumn(posNames._1, lit(null).cast("string"))
-          .withColumn(posNames._2, lit(null).cast("long"))
+          .withColumn(p, lit(null).cast("string"))
+          .withColumn(i, lit(null).cast("long"))
+      }
       empty
     } else {
       val meta = metadata
       val outCols = readSchema.fieldNames.toIndexedSeq.map(col) ++ tagColumn.map(col) ++
-        (if (needPos) Seq(col(posNames._1), col(posNames._2)) else Nil)
-      val unioned = files.groupBy(_.specIdOrZero).toSeq.sortBy(_._1)
+        posColumns.toSeq.flatMap { case (p, i) => Seq(col(p), col(i)) }
+      files.groupBy(_.specIdOrZero).toSeq.sortBy(_._1)
         .map { case (sid, fs) =>
-          readSpecGroup(meta, meta.specById(sid), fs, tagColumn,
-            if (needPos) Some(posNames) else None).select(outCols: _*)
+          readSpecGroup(meta, meta.specById(sid), fs, tagColumn, posColumns)
+            .select(outCols: _*)
         }
         .reduce(_ unionByName _)
-      // positional mask: one broadcast anti-join on (file path, row
-      // index) over the union — the helper columns were materialized on
-      // each raw scan (metadata columns resolve only there)
-      val masked =
-        if (posDeletes.isEmpty) unioned
-        else {
-          val positions = posDeletes.map(d =>
-            spark.read.parquet(new Path(tableDir, d.path).toString)
-              .select(col("file_path").as(posNames._1), col("row_index").as(posNames._2)))
-            .reduce(_ unionByName _)
-          unioned.join(broadcast(positions), Seq(posNames._1, posNames._2), "left_anti")
-        }
-      if (keepPosColumns.isDefined) masked
-      else masked.drop(posNames._1, posNames._2)
     }
-  }
 
   /** One spec's files as one parquet relation (see [[readFiles]]). */
   private def readSpecGroup(
@@ -575,7 +603,11 @@ final class LakehouseTable(
     * planning involved.
     */
   def filesOverlapping(loUs: Long, hiUs: Long): Seq[DataFile] =
-    metadata.currentSnapshot.map { s =>
+    filesOverlappingIn(metadata.currentSnapshot, loUs, hiUs)
+
+  private def filesOverlappingIn(
+      snap: Option[Snapshot], loUs: Long, hiUs: Long): Seq[DataFile] =
+    snap.map { s =>
       log.readManifestList(s)
         .filter(_.overlaps(loUs, hiUs))
         .flatMap(r => log.readManifest(r.path).filter(_.overlaps(loUs, hiUs)))
@@ -591,10 +623,16 @@ final class LakehouseTable(
     * point lookups over interleaved writers.
     */
   def filesContainingAnyKey(keysUs: Seq[Long]): Seq[DataFile] = {
+    val meta = metadata
+    filesContainingAnyKeyIn(meta, meta.currentSnapshot, keysUs)
+  }
+
+  private def filesContainingAnyKeyIn(
+      meta: TableMetadata, snap: Option[Snapshot], keysUs: Seq[Long]): Seq[DataFile] = {
     if (keysUs.isEmpty) return Nil
-    val keyCol = metadata.partitionTransform.getOrElse(
+    val keyCol = meta.partitionTransform.getOrElse(
       throw new IllegalStateException("point skipping needs a partition-source key column"))
-    val ranged = metadata.currentSnapshot.map { s =>
+    val ranged = snap.map { s =>
       log.readManifestList(s)
         .filter(r => keysUs.exists(k => r.overlaps(k, k)))
         .flatMap(r => log.readManifest(r.path).filter(f => keysUs.exists(k => f.overlaps(k, k))))
@@ -606,12 +644,18 @@ final class LakehouseTable(
   }
 
   /** Read only the rows matching the given point keys, scanning only
-    * bloom-surviving files.
+    * bloom-surviving files. Files and deletes derive from ONE
+    * metadata read, so a concurrent commit (e.g. a compaction folding
+    * the delete set) cannot pair old files with a newer, emptier
+    * delete set and resurrect masked rows.
     */
   def readPoints(keysUs: Seq[Long]): DataFrame = {
-    val keyCol = metadata.partitionTransform.getOrElse(
+    val meta = metadata
+    val snap = meta.currentSnapshot
+    val keyCol = meta.partitionTransform.getOrElse(
       throw new IllegalStateException("point lookup needs a partition-source key column"))
-    readWithDeletes(filesContainingAnyKey(keysUs), currentDeleteFiles)
+    readWithDeletes(filesContainingAnyKeyIn(meta, snap, keysUs),
+      snap.map(liveDeleteFiles).getOrElse(Nil))
       .filter(unix_micros(col(keyCol)).isin(keysUs: _*))
   }
 
@@ -661,6 +705,14 @@ final class LakehouseTable(
       equalValues: Map[String, Any],
       timeRangeUs: Option[(Long, Long)] = None): Seq[DataFile] = {
     val meta = metadata
+    filesForQueryIn(meta, meta.currentSnapshot, equalValues, timeRangeUs)
+  }
+
+  private def filesForQueryIn(
+      meta: TableMetadata,
+      snap: Option[Snapshot],
+      equalValues: Map[String, Any],
+      timeRangeUs: Option[(Long, Long)]): Seq[DataFile] = {
     val frozenCols = StructType.fromDDL(meta.schemaDdl).fieldNames.toSet
     equalValues.keys.foreach(k =>
       require(frozenCols.contains(k), s"'$k' is not a table column"))
@@ -670,7 +722,7 @@ final class LakehouseTable(
     // value summaries drop whole manifests unopened — at 10⁶ files the
     // difference between touching one symbol's manifests and parsing
     // every file path in the table
-    manifestsForQuery(equalValues, timeRangeUs)
+    manifestsForQueryIn(snap, wanted, timeRangeUs)
       .flatMap(r => log.readManifest(r.path))
       .filter(f => timeRangeUs.forall { case (lo, hi) => f.overlaps(lo, hi) })
       .filter { f =>
@@ -685,21 +737,30 @@ final class LakehouseTable(
     */
   def manifestsForQuery(
       equalValues: Map[String, Any],
-      timeRangeUs: Option[(Long, Long)] = None): Seq[ManifestRef] = {
-    val wanted = equalValues.map { case (k, v) =>
-      k -> LakehouseTable.escapeDirValue(String.valueOf(v)) }
-    metadata.currentSnapshot.map(log.readManifestList).getOrElse(Nil)
+      timeRangeUs: Option[(Long, Long)] = None): Seq[ManifestRef] =
+    manifestsForQueryIn(metadata.currentSnapshot,
+      equalValues.map { case (k, v) => k -> LakehouseTable.escapeDirValue(String.valueOf(v)) },
+      timeRangeUs)
+
+  private def manifestsForQueryIn(
+      snap: Option[Snapshot],
+      wanted: Map[String, String],
+      timeRangeUs: Option[(Long, Long)]): Seq[ManifestRef] =
+    snap.map(log.readManifestList).getOrElse(Nil)
       .filter(r => timeRangeUs.forall { case (lo, hi) => r.overlaps(lo, hi) })
       .filter(r => wanted.forall { case (k, v) => r.mayContainPartitionValue(k, v) })
-  }
 
   /** Equality read over the identity dimension(s) of a composite spec:
     * plan only the partition dirs matching `equalValues`
-    * ([[filesForQuery]]), then apply the exact predicate.
+    * ([[filesForQuery]]), then apply the exact predicate. Files and
+    * deletes derive from one metadata read (see [[readPoints]]).
     */
   def readPartition(equalValues: Map[String, Any]): DataFrame = {
     require(equalValues.nonEmpty, "readPartition needs at least one constraint")
-    readWithDeletes(filesForQuery(equalValues), currentDeleteFiles)
+    val meta = metadata
+    val snap = meta.currentSnapshot
+    readWithDeletes(filesForQueryIn(meta, snap, equalValues, None),
+      snap.map(liveDeleteFiles).getOrElse(Nil))
       .filter(equalValues.map { case (k, v) => col(k) === lit(v) }.reduce(_ && _))
   }
 
@@ -712,13 +773,15 @@ final class LakehouseTable(
     */
   def readPartitionRange(
       equalValues: Map[String, Any], loUs: Long, hiUs: Long): DataFrame = {
-    val key = metadata.statsSource.getOrElse(throw new IllegalStateException(
+    val meta = metadata
+    val snap = meta.currentSnapshot
+    val key = meta.statsSource.getOrElse(throw new IllegalStateException(
       "range read needs a declared time/stats source column"))
-    val files = filesForQuery(equalValues, Some((loUs, hiUs)))
+    val files = filesForQueryIn(meta, snap, equalValues, Some((loUs, hiUs)))
     val timePred = unix_micros(col(key)).between(loUs, hiUs)
     val pred = equalValues.map { case (k, v) => col(k) === lit(v) }
       .foldLeft(timePred)(_ && _)
-    readWithDeletes(files, currentDeleteFiles).filter(pred)
+    readWithDeletes(files, snap.map(liveDeleteFiles).getOrElse(Nil)).filter(pred)
   }
 
   /** METADATA INSPECTION TABLES (Iceberg's `table.snapshots` /
@@ -804,8 +867,13 @@ final class LakehouseTable(
     * files that contain that hour, no matter how many live in the
     * partition.
     */
-  def readRange(loUs: Long, hiUs: Long): DataFrame =
-    readWithDeletes(filesOverlapping(loUs, hiUs), currentDeleteFiles)
+  def readRange(loUs: Long, hiUs: Long): DataFrame = {
+    // one snapshot capture: files and deletes must come from the SAME
+    // table state (see readPoints)
+    val snap = metadata.currentSnapshot
+    readWithDeletes(filesOverlappingIn(snap, loUs, hiUs),
+      snap.map(liveDeleteFiles).getOrElse(Nil))
+  }
 
   /** Schema as read back, including the derived partition column. */
   private def readSchema: StructType = {
@@ -879,11 +947,19 @@ final class LakehouseTable(
   def advanceStreamWatermark(queryId: String, batchId: Long): Boolean = {
     require(queryId.nonEmpty, "queryId must be non-empty")
     if (metadata.streamWatermarks.get(queryId).exists(_ >= batchId)) return false
+    // the result reflects what the COMMITTED closure did: a racer that
+    // advanced the watermark between our pre-check and the commit turns
+    // this call into a no-op, and it must report false
+    var advanced = false
     evolveMetadata { meta =>
-      if (meta.streamWatermarks.get(queryId).exists(_ >= batchId)) meta // lost race: no-op
-      else meta.copy(streamProgress = Some(meta.streamWatermarks + (queryId -> batchId)))
+      if (meta.streamWatermarks.get(queryId).exists(_ >= batchId)) {
+        advanced = false; meta // lost race: no-op
+      } else {
+        advanced = true
+        meta.copy(streamProgress = Some(meta.streamWatermarks + (queryId -> batchId)))
+      }
     }
-    true
+    advanced
   }
 
   /** Bounded optimistic rebase-retry for COMMUTING commits. Appends and
@@ -1894,9 +1970,13 @@ final class LakehouseTable(
     * skipping via [[filesOverlappingColumn]], then the exact predicate.
     * The time key keeps its own finer path ([[readRange]]).
     */
-  def readColumnRange(column: String, lo: Long, hi: Long): DataFrame =
-    readWithDeletes(filesOverlappingColumn(column, lo, hi), currentDeleteFiles)
+  def readColumnRange(column: String, lo: Long, hi: Long): DataFrame = {
+    // one snapshot capture: files and deletes from the same state
+    val snap = metadata.currentSnapshot
+    val files = snap.map(dataFiles).getOrElse(Nil).filter(_.overlapsColumn(column, lo, hi))
+    readWithDeletes(files, snap.map(liveDeleteFiles).getOrElse(Nil))
       .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
 
   /** One-call table maintenance — the job a deployment schedules beside
     * a live ingest. In order:
@@ -2236,6 +2316,14 @@ object LakehouseTable {
     * simultaneous writers; beyond that, serialize the callers.
     */
   val CommitRetries: Int = 5
+
+  /** Delete-mask build sides at or below this many rows keep a pinned
+    * broadcast (a few-million-key mask is tens of MB — well inside
+    * executor budgets); larger masks fall back to AQE's choice. Keys
+    * and positions are counted exactly in the commit metadata, so the
+    * gate costs nothing at plan time.
+    */
+  val MaxBroadcastDeleteRows: Long = 4L * 1000 * 1000
 
   /** Supported partition granularities, in coarse→fine order; the first
     * four derive an integer column from a timestamp source (Iceberg's

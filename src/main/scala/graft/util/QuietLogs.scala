@@ -11,10 +11,20 @@ package graft.util
   */
 object QuietLogs {
 
+  // serializes overlapping quietly() scopes: log4j2 config is
+  // process-global, so an unsynchronized second caller would capture
+  // the first caller's clamped ERROR as "previous" and restore it
+  // permanently. The lock also means the clamp window covers another
+  // thread's unrelated warnings — accepted and documented: scopes are
+  // microseconds (an unpersist call), and the clamped package logs
+  // nothing actionable at WARN besides the expected message.
+  private val lock = new Object
+
   /** Run `body` with `loggerName` (a logger or package) clamped to
     * ERROR, restoring the previous effective level afterwards.
+    * Process-global and serialized; keep scopes tight.
     */
-  def quietly[T](loggerName: String)(body: => T): T = {
+  def quietly[T](loggerName: String)(body: => T): T = lock.synchronized {
     val restore: Option[() => Unit] =
       try {
         val prev = org.apache.logging.log4j.LogManager.getLogger(loggerName).getLevel

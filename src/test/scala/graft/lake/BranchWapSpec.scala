@@ -116,6 +116,11 @@ class BranchWapSpec extends SparkSpec {
     intercept[NoSuchElementException](t.fastForward("nope"))
     // publishing a branch at parity with main is a no-op, not an error
     assert(t.fastForward("b") == t.metadata.currentSnapshotId.get)
+    // branches cut from published history only: a snapshot staged on
+    // another branch cannot seed a new branch
+    val staged = t.appendToBranch("b", df(Seq(50)))
+    val e3 = intercept[IllegalArgumentException](t.createBranch("b2", staged.id))
+    assert(e3.getMessage.contains("staged on"))
   }
 
   test("branch appends race main appends: both land, neither clobbers") {
