@@ -624,6 +624,38 @@ object LakeOps {
       .withColumn("replay_noop", lit(replayNoop))
   }
 
+  /** Incremental-rollup flow ([[graft.stream.IncrementalRollup]]):
+    * a per-event_type materialized aggregate maintained across three
+    * chunked appends with O(delta) refreshes — including a refresh
+    * that spans two source commits and a compaction wedged mid-stream.
+    * The maintained state must equal the one-shot GROUP BY DuckDB
+    * computes over the raw parquet; `refreshed_clean` pins that each
+    * refresh reported progress and the caught-up refresh no-opped.
+    */
+  def incrementalRollupFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import graft.stream.IncrementalRollup
+    val ev = graft.Tables.t(s, dir, "events")
+      .select(col("event_type"), col("ts"), col("value"))
+    val d = IncrementalRollup.RollupDef(
+      keys = Seq("event_type"), sumCols = Seq("value"), minMaxCols = Seq("value"))
+    val wh = freshWarehouse("graft-ir")
+    val src = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(wh, "bronze"), ev.schema, Some("ts"))
+    val dst = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(wh, "gold"), IncrementalRollup.aggregate(ev.limit(0), d).schema, None)
+    src.append(ev.filter(col("event_id") % 3 === 0))
+    val first = IncrementalRollup.step(src, dst, "mv", d)
+    src.append(ev.filter(col("event_id") % 3 === 1))
+    src.compact() // maintenance inside the refresh range: contributes no rows
+    src.append(ev.filter(col("event_id") % 3 === 2))
+    val second = IncrementalRollup.step(src, dst, "mv", d) // 3-commit delta
+    val idle = !IncrementalRollup.step(src, dst, "mv", d)
+    IncrementalRollup.readRollup(dst, d)
+      .withColumn("refreshed_clean", lit(first && second && idle))
+      .orderBy("event_type")
+  }
+
   /** CDC-apply flow: the bronze table takes an append and TWO
     * overlapping MoR upsert waves (every 5th event +1000, then every
     * 7th +2000 — keys divisible by 35 are upserted twice); a live
@@ -827,6 +859,16 @@ object LakeOps {
              |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
              |       true AS replay_skipped
              |FROM events""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_incremental_rollup",
+      incrementalRollupFlow,
+      Some("""SELECT event_type, count(*) AS n_rows,
+             |       min("value") AS min_value, max("value") AS max_value,
+             |       CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       true AS refreshed_clean
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
     QuerySpec(

@@ -6,7 +6,7 @@ package graft.queries
 object Registry {
   def all: Seq[QuerySpec] =
     Relational.specs ++ LakeOps.specs ++ TextOps.specs ++ VectorOps.specs ++
-      ExtendedOps.specs ++ CurationOps.specs
+      ExtendedOps.specs ++ CurationOps.specs ++ TimeSeriesOps.specs
 
   def byName(name: String): QuerySpec =
     all.find(_.name == name).getOrElse(sys.error(s"unknown query: $name"))

@@ -1,0 +1,97 @@
+package graft.stream
+
+import graft.SparkSpec
+import graft.lake.LakehouseTable
+import graft.stream.IncrementalRollup.RollupDef
+import org.apache.hadoop.fs.Path
+
+class IncrementalRollupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(name: String, schema: org.apache.spark.sql.types.StructType) =
+    LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("rollup"), name), schema, None)
+
+  private val d = RollupDef(
+    keys = Seq("sym"), sumCols = Seq("px"), minMaxCols = Seq("px"))
+
+  private def src(rows: Seq[(String, Long, Double)]): LakehouseTable = {
+    val df = rows.toDF("sym", "ts_us", "px")
+    val t = freshTable("bronze", df.schema)
+    t.append(df)
+    t
+  }
+
+  private def rollupState(dst: LakehouseTable): Map[String, (Long, Long, Double, Double)] =
+    dst.read().collect().map(r => r.getAs[String]("sym") ->
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_px"),
+        r.getAs[Double]("min_px"), r.getAs[Double]("max_px"))).toMap
+
+  test("state after incremental refreshes equals the one-shot aggregate") {
+    val bronze = src(Seq(("a", 1L, 1.5), ("a", 2L, 2.5), ("b", 3L, 10.0)))
+    val gold = freshTable("gold",
+      IncrementalRollup.aggregate(bronze.read(), d).schema)
+
+    assert(IncrementalRollup.step(bronze, gold, "mv", d)) // full first image
+    bronze.append(Seq(("a", 4L, 4.0), ("c", 5L, 7.0)).toDF("sym", "ts_us", "px"))
+    bronze.append(Seq(("c", 6L, 1.0)).toDF("sym", "ts_us", "px"))
+    assert(IncrementalRollup.step(bronze, gold, "mv", d)) // two commits, one delta
+
+    val expected = IncrementalRollup.aggregate(bronze.read(), d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rollupState(gold) == expected)
+    // spot-check the merged math: a = 1.5+2.5+4.0, scaled
+    assert(rollupState(gold)("a") == ((3L, 80000L, 1.5, 4.0)))
+  }
+
+  test("caught-up refresh is a no-op and replayed delivery cannot double-apply") {
+    val bronze = src(Seq(("a", 1L, 1.0)))
+    val gold = freshTable("gold",
+      IncrementalRollup.aggregate(bronze.read(), d).schema)
+    assert(IncrementalRollup.step(bronze, gold, "mv", d))
+    assert(!IncrementalRollup.step(bronze, gold, "mv", d)) // watermark holds
+    // crash-replay of the already-committed batch id must no-op at the sink
+    val batchId = bronze.metadata.currentSnapshotId.get
+    val replay = gold.morMergeStream("mv",
+      batchId, IncrementalRollup.aggregate(bronze.read(), d), d.keys)
+    assert(replay.isEmpty)
+    assert(rollupState(gold)("a") == ((1L, 10000L, 1.0, 1.0)))
+  }
+
+  test("untouched keys are not rewritten by a refresh") {
+    val bronze = src(Seq(("a", 1L, 1.0), ("b", 2L, 2.0)))
+    val gold = freshTable("gold",
+      IncrementalRollup.aggregate(bronze.read(), d).schema)
+    IncrementalRollup.step(bronze, gold, "mv", d)
+    val filesBefore = gold.metadata.currentSnapshot.get.totalRows
+    bronze.append(Seq(("b", 3L, 3.0)).toDF("sym", "ts_us", "px"))
+    IncrementalRollup.step(bronze, gold, "mv", d)
+    // only b's image was upserted; a's stored row survives merge-on-read
+    assert(rollupState(gold) ==
+      Map("a" -> ((1L, 10000L, 1.0, 1.0)), "b" -> ((2L, 50000L, 2.0, 3.0))))
+  }
+
+  test("maintenance-only source commits advance the watermark without data") {
+    val bronze = src(Seq(("a", 1L, 1.0), ("a", 2L, 2.0)))
+    val gold = freshTable("gold",
+      IncrementalRollup.aggregate(bronze.read(), d).schema)
+    IncrementalRollup.step(bronze, gold, "mv", d)
+    bronze.compact() // rewrite-only commit: delta must aggregate to nothing
+    assert(IncrementalRollup.step(bronze, gold, "mv", d)) // watermark moves
+    assert(!IncrementalRollup.step(bronze, gold, "mv", d))
+    assert(rollupState(gold)("a") == ((2L, 30000L, 1.0, 2.0)))
+  }
+
+  test("a row-rewriting source commit fails the refresh loudly") {
+    val bronze = src(Seq(("a", 1L, 1.0), ("b", 2L, 2.0)))
+    val gold = freshTable("gold",
+      IncrementalRollup.aggregate(bronze.read(), d).schema)
+    IncrementalRollup.step(bronze, gold, "mv", d)
+    bronze.delete(org.apache.spark.sql.functions.col("sym") === "a") // COW rewrite
+    val e = intercept[Exception] {
+      IncrementalRollup.step(bronze, gold, "mv", d)
+    }
+    assert(e.getMessage.contains("removed or rewrote"))
+  }
+}
