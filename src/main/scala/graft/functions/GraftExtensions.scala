@@ -12,10 +12,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * or via [[GraftExtensions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.expressions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // SQL-catalog read path: expand graft relations into the native
+    // merge-on-read-aware plan (see graft.sql.GraftRelationExpansion)
+    ext.injectPostHocResolutionRule(session => graft.sql.GraftRelationExpansion(session))
+  }
 }
 
 object GraftExtensions {

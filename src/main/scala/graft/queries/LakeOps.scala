@@ -656,6 +656,46 @@ object LakeOps {
       .orderBy("event_type")
   }
 
+  /** SQL-catalog flow ([[graft.sql.GraftCatalog]]): the whole
+    * DDL/DML/read lifecycle through `spark.sql` only — CREATE
+    * NAMESPACE/TABLE (day-partitioned), two INSERT INTO halves, a
+    * merge-on-read upsert through the DataFrame API that the SQL reads
+    * must resolve (the expansion rule splices in the native
+    * delete-masking plan), an aggregate over the live table, and a
+    * `VERSION AS OF 1` count proving time travel pins the first
+    * insert. Catalog names are per-invocation (the session caches
+    * catalog instances by name, and each run gets a fresh warehouse).
+    */
+  private val sqlCatalogRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+  def sqlCatalogFlow(s: SparkSession, dir: String): DataFrame = {
+    val wh = freshWarehouse("graft-sq")
+    val cat = s"graft_sql_${sqlCatalogRuns.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gold")
+    s.sql(s"""CREATE TABLE $cat.gold.events
+             |(event_id BIGINT, ts TIMESTAMP, value DOUBLE)
+             |PARTITIONED BY (days(ts))""".stripMargin)
+    graft.Tables.t(s, dir, "events")
+      .select(col("event_id"), col("ts").cast(TimestampType).as("ts"), col("value"))
+      .createOrReplaceTempView("graft_sql_src")
+    s.sql(s"INSERT INTO $cat.gold.events SELECT * FROM graft_sql_src WHERE event_id % 2 = 0")
+    s.sql(s"INSERT INTO $cat.gold.events SELECT * FROM graft_sql_src WHERE event_id % 2 = 1")
+    // MoR upsert via the table API; the SQL aggregate below must see it
+    val lt = graft.lake.LakehouseTable.load(
+      s, new org.apache.hadoop.fs.Path(wh, "gold/events"))
+    lt.morMerge(
+      s.table("graft_sql_src").filter(col("event_id") % 10 === 0)
+        .withColumn("value", col("value") + 1000.0),
+      Seq("event_id"))
+    s.sql(
+      s"""SELECT count(*) AS n_rows,
+         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         |FROM $cat.gold.events""".stripMargin)
+      .crossJoin(s.sql(
+        s"SELECT count(*) AS v1_rows FROM $cat.gold.events VERSION AS OF 1"))
+  }
+
   /** CDC-apply flow: the bronze table takes an append and TWO
     * overlapping MoR upsert waves (every 5th event +1000, then every
     * 7th +2000 — keys divisible by 35 are upserted twice); a live
@@ -858,6 +898,16 @@ object LakeOps {
       Some("""SELECT count(*) AS n_rows,
              |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
              |       true AS replay_skipped
+             |FROM events""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_sql_catalog",
+      sqlCatalogFlow,
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(CAST(CASE WHEN event_id % 10 = 0 THEN value + 1000.0
+             |                          ELSE value END AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       (SELECT count(*) FROM events WHERE event_id % 2 = 0) AS v1_rows
              |FROM events""".stripMargin)
     ),
 

@@ -1,0 +1,313 @@
+package graft.sql
+
+import graft.lake.LakehouseTable
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** SQL-catalog surface for lakehouse tables: registers the engine as a
+  * Spark `TableCatalog` so the full SQL DDL/DML surface works against
+  * graft tables —
+  *
+  * {{{
+  * spark.sql.catalog.graft           = graft.sql.GraftCatalog
+  * spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  * spark.sql.extensions              = graft.functions.GraftExtensions
+  *
+  * CREATE TABLE graft.gold.ticks (symbol STRING, ts TIMESTAMP_NTZ,
+  *   px DOUBLE) PARTITIONED BY (symbol, days(ts));
+  * INSERT INTO graft.gold.ticks SELECT ...;
+  * SELECT ... FROM graft.gold.ticks WHERE ts >= ...;
+  * SELECT ... FROM graft.gold.ticks VERSION AS OF 3;
+  * }}}
+  *
+  * Architecture (Spark-first, no reader reimplementation): reads do NOT
+  * go through a custom DSv2 `Batch` — [[GraftRelationExpansion]] (a
+  * resolution rule injected by `graft.functions.GraftExtensions`)
+  * replaces every graft relation with the exact logical plan
+  * [[LakehouseTable.read]] builds, so SQL reads inherit the whole
+  * native read path with full fidelity: manifest-pruned file listings,
+  * per-spec partition-dir recovery, rename alias-coalescing,
+  * sequence-gated merge-on-read delete masking, and time travel. The
+  * expanded plan bottoms out in plain parquet relations, so Catalyst
+  * pushdown/pruning and whole-stage codegen apply unchanged — a
+  * `WHERE` lands in `PushedFilters` exactly as it does for the
+  * DataFrame API. Writes use Spark's V1 write fallback
+  * ([[InsertableRelation]]): `INSERT INTO` drives [[LakehouseTable
+  * .append]], i.e. the same atomic CAS-committed snapshot protocol,
+  * QC'd stats and partition fan-out as every other writer — not a
+  * second write path to keep correct.
+  *
+  * The catalog resolves tables directly from the warehouse directory
+  * layout (`warehouse/namespace/table/metadata/`) — the same truth the
+  * Python-side reference keeps in its catalog db, without a second
+  * registry that could drift from the directories.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs = warehouse.getFileSystem(spark.sessionState.newHadoopConf())
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val wh = options.get("warehouse")
+    require(wh != null && wh.nonEmpty,
+      s"spark.sql.catalog.$name.warehouse must point at the warehouse directory")
+    warehouse = new Path(wh)
+  }
+
+  override def name(): String = catalogName
+
+  private def nsPath(ns: Array[String]): Path =
+    ns.foldLeft(warehouse)((p, seg) => new Path(p, seg))
+
+  private def tablePath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace), ident.name)
+
+  private def isTableDir(p: Path): Boolean =
+    fs.exists(new Path(p, "metadata"))
+
+  // ---- namespaces -------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    if (!fs.exists(warehouse)) Array.empty
+    else fs.listStatus(warehouse).filter(_.isDirectory)
+      .map(s => Array(s.getPath.getName)).sortBy(_.head)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Array.empty // single-level namespaces
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.nonEmpty && fs.exists(nsPath(namespace)) &&
+      !isTableDir(nsPath(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Map("location" -> nsPath(namespace).toString).asJava
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit = {
+    require(namespace.length == 1,
+      s"graft namespaces are single-level, got ${namespace.mkString(".")}")
+    fs.mkdirs(nsPath(namespace))
+  }
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val p = nsPath(namespace)
+    if (!cascade && fs.listStatus(p).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+    fs.delete(p, true)
+  }
+
+  // ---- tables -----------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(nsPath(namespace)).filter(s => s.isDirectory && isTableDir(s.getPath))
+      .map(s => Identifier.of(namespace, s.getPath.getName)).sortBy(_.name)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(tablePath(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    GraftSqlTable(LakehouseTable.load(spark, tablePath(ident)), pinnedSnapshot = None)
+  }
+
+  /** `VERSION AS OF <snapshot-id>` time travel. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val lt = LakehouseTable.load(spark, tablePath(ident))
+    val id = try version.toLong catch {
+      case _: NumberFormatException =>
+        lt.tags.getOrElse(version, // tags are named versions
+          throw new NoSuchElementException(
+            s"'$version' is neither a snapshot id nor a tag of ${ident.name}"))
+    }
+    GraftSqlTable(lt, pinnedSnapshot = Some(id))
+  }
+
+  /** `TIMESTAMP AS OF` time travel (Spark hands micros since epoch). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val lt = LakehouseTable.load(spark, tablePath(ident))
+    val tsMs = timestamp / 1000L
+    val snap = lt.metadata.snapshots
+      .filter(s => s.branch.isEmpty && s.timestampMs <= tsMs)
+      .sortBy(_.timestampMs).lastOption.getOrElse(
+        throw new NoSuchElementException(
+          s"no snapshot of ${ident.name} at or before timestamp $tsMs ms"))
+    GraftSqlTable(lt, pinnedSnapshot = Some(snap.id))
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (tableExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    val spec = partitions.toSeq.map(GraftCatalog.toSpecField)
+    val lt = LakehouseTable.createIfNotExists(spark, tablePath(ident), schema, spec)
+    properties.asScala.filterNot { case (k, _) => GraftCatalog.ReservedProps(k) }
+      .foreach { case (k, v) => lt.setProperty(k, v) }
+    GraftSqlTable(lt, pinnedSnapshot = None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val lt = LakehouseTable.load(spark, tablePath(ident))
+    changes.foreach {
+      case p: TableChange.SetProperty => lt.setProperty(p.property, p.value)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change $other is not supported through SQL — " +
+          "schema evolution runs through the LakehouseTable API")
+    }
+    GraftSqlTable(lt, pinnedSnapshot = None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) return false
+    fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    // a table dir is self-contained (metadata paths are relative), so a
+    // rename is one filesystem move — same-warehouse only
+    if (!fs.rename(tablePath(oldIdent), tablePath(newIdent)))
+      throw new IllegalStateException(
+        s"rename ${oldIdent.name} -> ${newIdent.name} failed")
+  }
+}
+
+object GraftCatalog {
+  private val ReservedProps = Set("provider", "location", "owner", "comment")
+
+  /** Spark partition `Transform` → the engine's (source, transform) spec
+    * field encoding (`LakehouseTable.createIfNotExists`).
+    */
+  private[sql] def toSpecField(t: Transform): (String, String) = {
+    def ref: String = {
+      val refs = t.references()
+      require(refs.length == 1 && refs.head.fieldNames.length == 1,
+        s"partition transform $t must reference exactly one top-level column")
+      refs.head.fieldNames.head
+    }
+    t.name() match {
+      case "identity" => ref -> "identity"
+      case "years" => ref -> "year"
+      case "months" => ref -> "month"
+      case "days" => ref -> "day"
+      case "hours" => ref -> "hour"
+      case "bucket" =>
+        val n = t.arguments().collectFirst {
+          case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            lit.value().asInstanceOf[Number].intValue()
+        }.getOrElse(throw new IllegalArgumentException(s"bucket transform $t has no width"))
+        ref -> s"bucket[$n]"
+      case other =>
+        throw new UnsupportedOperationException(s"partition transform '$other' is not supported")
+    }
+  }
+
+  /** The engine's spec field → Spark `Transform` (for `Table.partitioning`). */
+  private[sql] def toTransform(source: String, transform: String): Transform =
+    transform match {
+      case "identity" => Expressions.identity(source)
+      case "year" => Expressions.years(source)
+      case "month" => Expressions.months(source)
+      case "day" => Expressions.days(source)
+      case "hour" => Expressions.hours(source)
+      case b if b.startsWith("bucket[") =>
+        Expressions.bucket(b.stripPrefix("bucket[").stripSuffix("]").toInt, source)
+      case other =>
+        throw new IllegalStateException(s"unknown stored transform '$other'")
+    }
+}
+
+/** DSv2 handle for one lakehouse table (optionally pinned to a snapshot
+  * by time travel). Reads are expanded by [[GraftRelationExpansion]] —
+  * the `ScanBuilder` here only fires when that rule is missing, and
+  * fails with setup instructions instead of reading wrong data (a table
+  * with live merge-on-read deletes NEEDS the native read path).
+  */
+final case class GraftSqlTable(
+    lt: LakehouseTable,
+    pinnedSnapshot: Option[Long]) extends Table with SupportsRead with SupportsWrite {
+
+  /** The native read plan this table's SQL relation expands into. */
+  def readDF(): DataFrame =
+    pinnedSnapshot.map(lt.timeTravel).getOrElse(lt.read())
+
+  override def name(): String =
+    lt.metadata.name + pinnedSnapshot.map(v => s"@v$v").getOrElse("")
+
+  /** HIDDEN PARTITIONING (Iceberg semantics): the SQL schema is the
+    * frozen logical schema only — derived partition columns (`ts_day`,
+    * bucket dims) are layout, not data, so `INSERT INTO` supplies data
+    * columns and `SELECT *` returns them; the write path derives the
+    * layout columns itself. (Identity-partition sources are ordinary
+    * data columns and stay visible.)
+    */
+  override lazy val schema: StructType =
+    StructType.fromDDL(lt.metadata.schemaDdl)
+
+  override def partitioning(): Array[Transform] =
+    lt.metadata.defaultSpec.fields
+      .map(f => GraftCatalog.toTransform(f.source, f.transform)).toArray
+
+  override def properties(): util.Map[String, String] = lt.properties.asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    throw new IllegalStateException(
+      "graft SQL reads require the expansion rule: set " +
+        "spark.sql.extensions=graft.functions.GraftExtensions on the session " +
+        "(the rule replaces graft relations with the native merge-on-read-" +
+        "aware plan; a bare file scan could silently resurrect deleted rows)")
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedSnapshot.isEmpty, "cannot write to a time-travel relation")
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data: DataFrame, overwrite: Boolean) => {
+            if (overwrite) throw new UnsupportedOperationException(
+              "INSERT OVERWRITE is not supported — use MoR/COW delete + append")
+            lt.append(data)
+          }
+      }
+    }
+  }
+}

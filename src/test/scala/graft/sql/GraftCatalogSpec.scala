@@ -1,0 +1,131 @@
+package graft.sql
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  /** Register a throwaway catalog instance and return its name. */
+  private def freshCatalog(): String = {
+    n += 1
+    val cat = s"gsql$n"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmpDir("gsql-wh"))
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gold")
+    cat
+  }
+
+  private def mkTicks(cat: String): Unit = {
+    spark.sql(s"""CREATE TABLE $cat.gold.ticks
+      (sym STRING, ts_us BIGINT, px DOUBLE) PARTITIONED BY (sym)""")
+    Seq(("a", 1L, 10.0), ("a", 2L, 11.0), ("b", 3L, 20.0))
+      .toDF("sym", "ts_us", "px").createOrReplaceTempView("ticks_src")
+    spark.sql(s"INSERT INTO $cat.gold.ticks SELECT * FROM ticks_src")
+  }
+
+  test("CREATE TABLE + INSERT INTO + SELECT roundtrip through pure SQL") {
+    val cat = freshCatalog()
+    mkTicks(cat)
+    val rows = spark.sql(s"SELECT sym, ts_us, px FROM $cat.gold.ticks ORDER BY ts_us")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(("a", 1L, 10.0), ("a", 2L, 11.0), ("b", 3L, 20.0)))
+    // DDL surface resolves through the catalog
+    assert(spark.sql(s"SHOW TABLES IN $cat.gold").collect().map(_.getString(1)).contains("ticks"))
+  }
+
+  test("SQL reads resolve merge-on-read upserts (full native-path fidelity)") {
+    val cat = freshCatalog()
+    mkTicks(cat)
+    // upsert through the DataFrame API; SQL must see the masked result
+    val lt = graft.lake.LakehouseTable.load(spark,
+      new org.apache.hadoop.fs.Path(
+        spark.conf.get(s"spark.sql.catalog.$cat.warehouse"), "gold/ticks"))
+    lt.morMerge(Seq(("a", 2L, 99.0)).toDF("sym", "ts_us", "px"), Seq("sym", "ts_us"))
+    val px = spark.sql(s"SELECT px FROM $cat.gold.ticks WHERE ts_us = 2")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(px == Seq(99.0))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gold.ticks").head().getLong(0) == 3L)
+  }
+
+  test("filters reach the parquet scan through the SQL surface") {
+    val cat = freshCatalog()
+    mkTicks(cat)
+    val df = spark.sql(s"SELECT px FROM $cat.gold.ticks WHERE ts_us >= 2")
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, s"expected a parquet file scan in:\n$plan")
+    assert(scans.exists(_.dataFilters.nonEmpty),
+      s"expected pushed data filters, got: ${scans.map(_.dataFilters)}")
+    // column pruning: the scan must not read sym (partition dim) or more
+    assert(scans.forall(_.requiredSchema.fieldNames.toSet.subsetOf(Set("ts_us", "px"))),
+      s"over-wide read schema: ${scans.map(_.requiredSchema.fieldNames.toSeq)}")
+  }
+
+  test("VERSION AS OF pins a snapshot; tags resolve as named versions") {
+    val cat = freshCatalog()
+    mkTicks(cat) // snapshot 1
+    spark.sql(s"INSERT INTO $cat.gold.ticks VALUES ('c', 9, 30.0)") // snapshot 2
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gold.ticks VERSION AS OF 1")
+      .head().getLong(0) == 3L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gold.ticks").head().getLong(0) == 4L)
+    val lt = graft.lake.LakehouseTable.load(spark,
+      new org.apache.hadoop.fs.Path(
+        spark.conf.get(s"spark.sql.catalog.$cat.warehouse"), "gold/ticks"))
+    lt.tagSnapshot("audited", 1L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gold.ticks VERSION AS OF 'audited'")
+      .head().getLong(0) == 3L)
+  }
+
+  test("INSERT INTO a graft source expands the read but not the write target") {
+    val cat = freshCatalog()
+    mkTicks(cat)
+    // self-referential insert: FROM leg expands, INTO leg stays a relation
+    spark.sql(s"""INSERT INTO $cat.gold.ticks
+      SELECT sym, ts_us + 100, px FROM $cat.gold.ticks WHERE sym = 'b'""")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gold.ticks").head().getLong(0) == 4L)
+    assert(spark.sql(s"SELECT ts_us FROM $cat.gold.ticks WHERE sym='b' ORDER BY ts_us")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L, 103L))
+  }
+
+  test("composite partition spec round-trips through SQL DDL") {
+    val cat = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.gold.ev
+      (sym STRING, ts TIMESTAMP_NTZ, v DOUBLE) PARTITIONED BY (sym, days(ts))""")
+    val lt = graft.lake.LakehouseTable.load(spark,
+      new org.apache.hadoop.fs.Path(
+        spark.conf.get(s"spark.sql.catalog.$cat.warehouse"), "gold/ev"))
+    assert(lt.metadata.defaultSpec.fields.map(f => (f.source, f.transform)) ==
+      Seq(("sym", "identity"), ("ts", "day")))
+    // and back out through SHOW CREATE-ish surface (partitioning())
+    val t = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("gold"), "ev"))
+    assert(t.partitioning().map(_.toString).toSeq == Seq("identity(sym)", "days(ts)"))
+  }
+
+  test("DROP TABLE and table-not-found surface as standard SQL errors") {
+    val cat = freshCatalog()
+    mkTicks(cat)
+    spark.sql(s"DROP TABLE $cat.gold.ticks")
+    val e = intercept[Exception](spark.sql(s"SELECT * FROM $cat.gold.ticks").collect())
+    assert(e.getMessage.toLowerCase.contains("table") ||
+      e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+  }
+
+  test("subqueries over graft relations expand too") {
+    val cat = freshCatalog()
+    mkTicks(cat)
+    val top = spark.sql(
+      s"""SELECT sym, px FROM $cat.gold.ticks t
+         |WHERE px = (SELECT max(px) FROM $cat.gold.ticks t2 WHERE t2.sym = t.sym)
+         |ORDER BY sym""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(top.toSeq == Seq(("a", 11.0), ("b", 20.0)))
+  }
+}
