@@ -263,6 +263,10 @@ object GraftCatalog {
 final case class GraftSqlTable(
     lt: LakehouseTable,
     pinnedSnapshot: Option[Long]) extends Table with SupportsRead with SupportsWrite {
+  // DELETE FROM is handled by GraftRelationExpansion → GraftDeleteCommand
+  // (not SupportsDelete: Spark's row-level path still scans the target
+  // relation, which would need a real DSv2 Batch — the command keeps the
+  // whole write on the engine's own commit protocol instead)
 
   /** The native read plan this table's SQL relation expands into. */
   def readDF(): DataFrame =

@@ -1,11 +1,11 @@
 package graft.sql
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Expands every [[GraftSqlTable]] relation into the table's NATIVE read
   * plan (view-expansion style): the plan [[graft.lake.LakehouseTable
@@ -27,32 +27,152 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
 
   override def apply(plan: LogicalPlan): LogicalPlan = expand(plan)
 
+  /** Peel SubqueryAlias wrappers (they keep the child's attribute ids). */
+  private object Aliased {
+    def unapply(plan: LogicalPlan): Option[DataSourceV2Relation] = plan match {
+      case SubqueryAlias(_, child) => unapply(child)
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSqlTable] => Some(r)
+      case _ => None
+    }
+  }
+
+  /** Conservative [lo, hi] micros bounds the filter imposes on the
+    * table's stats/time column — ONLY conjuncts of the shape
+    * `ts <cmp> timestamp-literal` contribute (anything else is ignored,
+    * which can only widen the range: pruning stays an over-approximation
+    * and the untouched Filter above re-applies exact semantics).
+    */
+  private def timeBounds(cond: Expression, timeCol: String): (Option[Long], Option[Long]) = {
+    def micros(l: Literal): Option[Long] = l.dataType match {
+      case TimestampType | TimestampNTZType => Some(l.value.asInstanceOf[Long])
+      case _ => None
+    }
+    def isTime(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == timeCol
+      case _ => false
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    var lo: Option[Long] = None
+    var hi: Option[Long] = None
+    def tightenLo(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
+    def tightenHi(v: Long): Unit = hi = Some(hi.fold(v)(math.min(_, v)))
+    conjuncts(cond).foreach {
+      case GreaterThanOrEqual(t, l: Literal) if isTime(t) => micros(l).foreach(tightenLo)
+      case GreaterThan(t, l: Literal) if isTime(t) => micros(l).foreach(v => tightenLo(v + 1))
+      case LessThanOrEqual(t, l: Literal) if isTime(t) => micros(l).foreach(tightenHi)
+      case LessThan(t, l: Literal) if isTime(t) => micros(l).foreach(v => tightenHi(v - 1))
+      case EqualTo(t, l: Literal) if isTime(t) =>
+        micros(l).foreach { v => tightenLo(v); tightenHi(v) }
+      case GreaterThanOrEqual(l: Literal, t) if isTime(t) => micros(l).foreach(tightenHi)
+      case GreaterThan(l: Literal, t) if isTime(t) => micros(l).foreach(v => tightenHi(v - 1))
+      case LessThanOrEqual(l: Literal, t) if isTime(t) => micros(l).foreach(tightenLo)
+      case LessThan(l: Literal, t) if isTime(t) => micros(l).foreach(v => tightenLo(v + 1))
+      case EqualTo(l: Literal, t) if isTime(t) =>
+        micros(l).foreach { v => tightenLo(v); tightenHi(v) }
+      case _ => ()
+    }
+    (lo, hi)
+  }
+
+  /** The native frame for a relation, manifest-range-pruned when an
+    * enclosing filter bounds the time column (Iceberg-style hidden-
+    * partitioning pushdown: the predicate prunes the FILE LIST from
+    * manifest stats before Spark ever plans the scan — at 100 TB this
+    * is the difference between planning 40 files and 40 000).
+    */
+  private def nativeDF(g: GraftSqlTable, filter: Option[Expression]): DataFrame = {
+    val prunable = g.pinnedSnapshot.isEmpty // time travel reads pinned state
+    val range = for {
+      cond <- filter if prunable
+      timeCol <- g.lt.metadata.partitionTransform
+      bounds = timeBounds(cond, timeCol)
+      if bounds._1.isDefined || bounds._2.isDefined
+    } yield bounds
+    range match {
+      case Some((lo, hi)) =>
+        g.lt.readRange(lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))
+      case None => g.readDF()
+    }
+  }
+
   private def expand(plan: LogicalPlan): LogicalPlan = {
     val expanded = plan match {
       case w: V2WriteCommand =>
         // the write TARGET stays a relation (its V1 write path needs it);
         // the source query leg still expands (INSERT INTO t SELECT FROM t)
         w.withNewChildren(w.children.map(c => if (c eq w.table) c else expand(c)))
+      case org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable(Aliased(r), cond) =>
+        // DELETE FROM → the native copy-on-write file-surgical delete.
+        // Translated here (not via SupportsDelete) because Spark's
+        // delete path still runs scan pushdown against the target
+        // relation, which would need a real DSv2 Batch; a command keeps
+        // the whole row-level write on the engine's own commit protocol.
+        GraftDeleteCommand(r.table.asInstanceOf[GraftSqlTable], cond)
+      case f @ Filter(cond, Aliased(r)) =>
+        // filter directly over the relation: expand WITH manifest
+        // pruning, keep the exact filter on top
+        f.copy(child = expandRelation(r, Some(cond)))
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSqlTable] =>
-        val child = r.table.asInstanceOf[GraftSqlTable].readDF().queryExecution.analyzed
-        // project BY NAME onto the relation's attribute ids: the native
-        // plan also carries derived partition-layout columns, which the
-        // SQL schema hides (Iceberg-style hidden partitioning) — they are
-        // simply not selected here, and Catalyst prunes them away
-        Project(
-          r.output.map { target =>
-            val src = child.output.find(_.name == target.name).getOrElse(
-              throw new IllegalStateException(
-                s"expansion schema drift: '${target.name}' missing from " +
-                  s"native plan columns ${child.output.map(_.name).mkString(", ")}"))
-            Alias(src, target.name)(exprId = target.exprId)
-          },
-          child)
+        expandRelation(r, filter = None)
       case other => other.mapChildren(expand)
     }
     // subquery plans live inside expressions, not children
     expanded.transformExpressionsDown {
       case se: SubqueryExpression => se.withNewPlan(expand(se.plan))
     }
+  }
+
+  private def expandRelation(
+      r: DataSourceV2Relation, filter: Option[Expression]): LogicalPlan = {
+    val child = nativeDF(r.table.asInstanceOf[GraftSqlTable], filter)
+      .queryExecution.analyzed
+    // project BY NAME onto the relation's attribute ids: the native
+    // plan also carries derived partition-layout columns, which the
+    // SQL schema hides (Iceberg-style hidden partitioning) — they are
+    // simply not selected here, and Catalyst prunes them away
+    Project(
+      r.output.map { target =>
+        val src = child.output.find(_.name == target.name).getOrElse(
+          throw new IllegalStateException(
+            s"expansion schema drift: '${target.name}' missing from " +
+              s"native plan columns ${child.output.map(_.name).mkString(", ")}"))
+        Alias(src, target.name)(exprId = target.exprId)
+      },
+      child)
+  }
+}
+
+/** `DELETE FROM <graft table> WHERE <cond>` as a driver command over the
+  * native copy-on-write delete: the predicate is translated through
+  * Spark's standard source-filter translation, then applied with
+  * [[graft.lake.LakehouseTable.delete]] — untouched files carry over,
+  * only files whose stats admit matching rows are rewritten, and the
+  * commit is a snapshot like any other (time travel sees the pre-image).
+  * Conditions with no source-filter form (subqueries, UDF predicates)
+  * fail loudly rather than deleting the wrong rows.
+  */
+case class GraftDeleteCommand(
+    table: GraftSqlTable,
+    condition: Expression)
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    require(table.pinnedSnapshot.isEmpty, "cannot delete from a time-travel relation")
+    if (condition.exists(_.isInstanceOf[SubqueryExpression]))
+      throw new UnsupportedOperationException(
+        s"DELETE with a subquery condition is not supported: ${condition.sql} — " +
+          "use the LakehouseTable API (delete/morDeleteKeys) for subquery deletes")
+    // the condition was parsed from SQL and is fully resolved against the
+    // table's own columns, so its SQL rendering round-trips faithfully —
+    // once qualifiers are stripped (the delete re-resolves against the
+    // bare table frame, where `catalog.ns.table.col` has no meaning)
+    val bare = condition.transform {
+      case a: AttributeReference => a.withQualifier(Nil)
+    }
+    table.lt.delete(org.apache.spark.sql.functions.expr(bare.sql))
+    Nil
   }
 }

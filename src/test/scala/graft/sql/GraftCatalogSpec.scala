@@ -118,6 +118,49 @@ class GraftCatalogSpec extends SparkSpec {
       e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
   }
 
+  test("DELETE FROM runs the native copy-on-write delete") {
+    val cat = freshCatalog()
+    mkTicks(cat)
+    spark.sql(s"DELETE FROM $cat.gold.ticks WHERE sym = 'a' AND ts_us >= 2")
+    val rows = spark.sql(s"SELECT sym, ts_us FROM $cat.gold.ticks ORDER BY ts_us")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("a", 1L), ("b", 3L)))
+    // the delete is a real snapshot: time travel still sees the pre-state
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gold.ticks VERSION AS OF 1")
+      .head().getLong(0) == 3L)
+  }
+
+  test("a time predicate prunes the file list from manifest stats") {
+    val cat = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.gold.ev
+      (id BIGINT, ts TIMESTAMP, v DOUBLE) PARTITIONED BY (days(ts))""")
+    // two inserts with disjoint time ranges → disjoint file sets
+    spark.sql(s"""INSERT INTO $cat.gold.ev VALUES
+      (1, TIMESTAMP '2024-01-01 10:00:00', 1.0),
+      (2, TIMESTAMP '2024-01-02 10:00:00', 2.0)""")
+    spark.sql(s"""INSERT INTO $cat.gold.ev VALUES
+      (3, TIMESTAMP '2024-01-20 10:00:00', 3.0),
+      (4, TIMESTAMP '2024-01-21 10:00:00', 4.0)""")
+
+    def filesScanned(sql: String): Int = {
+      val plan = spark.sql(sql).queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collect { case f: FileSourceScanExec => f }
+        .map(_.relation.location.inputFiles.length).sum
+    }
+    val all = filesScanned(s"SELECT v FROM $cat.gold.ev")
+    val pruned = filesScanned(
+      s"SELECT v FROM $cat.gold.ev WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'")
+    assert(all > pruned && pruned > 0,
+      s"expected manifest pruning to cut the file list ($all -> $pruned)")
+    // and the filtered read is still exact
+    assert(spark.sql(
+      s"SELECT id FROM $cat.gold.ev WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L, 4L))
+  }
+
   test("subqueries over graft relations expand too") {
     val cat = freshCatalog()
     mkTicks(cat)
