@@ -1559,6 +1559,60 @@ final class LakehouseTable(
       totalRows = keptRows + moved.map(_.rows).sum)
   }
 
+  /** Copy-on-write UPDATE: rewrite ONLY the data files that can contain
+    * a matching row, applying `set` assignments where `predicate` is
+    * TRUE and carrying every other row through byte-identical. The same
+    * file-surgical shape as [[delete]] — untouched files (the vast
+    * majority under a selective predicate) move by manifest reference,
+    * zero bytes rewritten. Rows where the predicate evaluates NULL keep
+    * their original values (SQL UPDATE semantics: NULL is not TRUE).
+    *
+    * Updating a partition SOURCE column re-derives the layout for the
+    * rewritten rows (the staging write recomputes derived dirs from
+    * values), so rows migrate partitions correctly; derived layout
+    * columns themselves cannot be assigned.
+    */
+  def update(predicate: org.apache.spark.sql.Column, set: Map[String, org.apache.spark.sql.Column]): Snapshot = {
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    val (version, meta) = versionedMeta
+    val current = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("cannot update an empty table"))
+    val frozen = StructType.fromDDL(meta.schemaDdl).fieldNames.toSet
+    val derived = derivedPartitionColumns(meta).toSet
+    set.keys.foreach { c =>
+      require(frozen.contains(c), s"unknown column in UPDATE SET: '$c'")
+      require(!derived.contains(c), s"cannot assign derived partition column '$c'")
+    }
+    val refsWithFiles = log.readManifestList(current).map(r => r -> log.readManifest(r.path))
+
+    val hitPaths = readWithDeletes(dataFiles(current), liveDeleteFiles(current),
+        Some("__graft_file"))
+      .filter(predicate)
+      .select("__graft_file").distinct()
+      .collect().map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath).toSet
+    val rewrite = refsWithFiles.flatMap(_._2).filter(f =>
+      hitPaths.contains(fs.makeQualified(new Path(tableDir, f.path)).toUri.getPath))
+    val rewritePaths = rewrite.map(_.path).toSet
+
+    val hit = coalesce(predicate, lit(false))
+    val base = readWithDeletes(rewrite, liveDeleteFiles(current))
+      .drop(derivedPartitionColumns(meta): _*)
+    val rewritten = base.select(base.columns.toIndexedSeq.map { c =>
+      set.get(c) match {
+        case Some(v) => when(hit, v).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    val moved = writeStaged(meta, rewritten)
+
+    val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+    val keptRefs = rewriteRefs(refsWithFiles, rewritePaths, snapId)
+    val keptRows = refsWithFiles.flatMap(_._2)
+      .filterNot(f => rewritePaths.contains(f.path)).map(_.rows).sum
+    commitSnapshot(meta, version, moved, "update", Some(keptRefs),
+      totalRows = keptRows + moved.map(_.rows).sum)
+  }
+
   /** Merge-on-read DELETE by key (Iceberg v2 equality-delete analog):
     * instead of rewriting every data file that contains a matched row
     * (the copy-on-write [[delete]] path), commit ONE tiny parquet file

@@ -696,6 +696,35 @@ object LakeOps {
         s"SELECT count(*) AS v1_rows FROM $cat.gold.events VERSION AS OF 1"))
   }
 
+  /** SQL row-level DML flow: ingest events through INSERT INTO, then a
+    * copy-on-write UPDATE (every 10th event +1000) and DELETE (every
+    * 7th event removed) through plain `spark.sql` — both file-surgical
+    * snapshots on the native commit protocol. DuckDB recomputes the
+    * final state with a CASE + WHERE over the raw parquet; any drift in
+    * predicate semantics (incl. the NULL-survivor rule) breaks the hash.
+    */
+  def sqlDmlFlow(s: SparkSession, dir: String): DataFrame = {
+    val wh = freshWarehouse("graft-sd")
+    val cat = s"graft_sql_${sqlCatalogRuns.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gold")
+    s.sql(s"""CREATE TABLE $cat.gold.events
+             |(event_id BIGINT, ts TIMESTAMP, value DOUBLE)
+             |PARTITIONED BY (days(ts))""".stripMargin)
+    graft.Tables.t(s, dir, "events")
+      .select(col("event_id"), col("ts").cast(TimestampType).as("ts"), col("value"))
+      .createOrReplaceTempView("graft_dml_src")
+    s.sql(s"INSERT INTO $cat.gold.events SELECT * FROM graft_dml_src")
+    s.sql(s"UPDATE $cat.gold.events SET value = value + 1000.0 WHERE event_id % 10 = 0")
+    s.sql(s"DELETE FROM $cat.gold.events WHERE event_id % 7 = 0")
+    s.sql(
+      s"""SELECT count(*) AS n_rows,
+         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+         |       CAST(count(CASE WHEN value >= 1000.0 THEN 1 END) AS BIGINT) AS n_updated
+         |FROM $cat.gold.events""".stripMargin)
+  }
+
   /** CDC-apply flow: the bronze table takes an append and TWO
     * overlapping MoR upsert waves (every 5th event +1000, then every
     * 7th +2000 — keys divisible by 35 are upserted twice); a live
@@ -909,6 +938,17 @@ object LakeOps {
              |                          ELSE value END AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
              |       (SELECT count(*) FROM events WHERE event_id % 2 = 0) AS v1_rows
              |FROM events""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_sql_dml",
+      sqlDmlFlow,
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(CAST(CASE WHEN event_id % 10 = 0 THEN value + 1000.0
+             |                          ELSE value END AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       CAST(count(CASE WHEN (CASE WHEN event_id % 10 = 0 THEN value + 1000.0
+             |                                  ELSE value END) >= 1000.0 THEN 1 END) AS BIGINT) AS n_updated
+             |FROM events WHERE event_id % 7 <> 0""".stripMargin)
     ),
 
     QuerySpec(

@@ -104,6 +104,10 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         // the write TARGET stays a relation (its V1 write path needs it);
         // the source query leg still expands (INSERT INTO t SELECT FROM t)
         w.withNewChildren(w.children.map(c => if (c eq w.table) c else expand(c)))
+      case org.apache.spark.sql.catalyst.plans.logical.UpdateTable(Aliased(r), assignments, cond) =>
+        // UPDATE ... SET ... WHERE → the native copy-on-write
+        // file-surgical update (same interception rationale as DELETE)
+        GraftUpdateCommand(r.table.asInstanceOf[GraftSqlTable], assignments, cond)
       case org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable(Aliased(r), cond) =>
         // DELETE FROM → the native copy-on-write file-surgical delete.
         // Translated here (not via SupportsDelete) because Spark's
@@ -154,6 +158,45 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
   * Conditions with no source-filter form (subqueries, UDF predicates)
   * fail loudly rather than deleting the wrong rows.
   */
+/** `UPDATE <graft table> SET ... WHERE ...` as a driver command over the
+  * native copy-on-write update ([[graft.lake.LakehouseTable.update]]):
+  * only files whose stats admit matching rows are rewritten; assignment
+  * and predicate expressions are re-rendered from their resolved SQL
+  * form (they were parsed from SQL against this table's own columns, so
+  * the round-trip is faithful once qualifiers are stripped). Subquery
+  * conditions/values fail loudly.
+  */
+case class GraftUpdateCommand(
+    table: GraftSqlTable,
+    assignments: Seq[org.apache.spark.sql.catalyst.plans.logical.Assignment],
+    condition: Option[Expression])
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    require(table.pinnedSnapshot.isEmpty, "cannot update a time-travel relation")
+    def bareSql(e: Expression): String = {
+      if (e.exists(_.isInstanceOf[SubqueryExpression]))
+        throw new UnsupportedOperationException(
+          s"UPDATE with a subquery is not supported: ${e.sql} — " +
+            "use the LakehouseTable API (merge/morMerge) for subquery-driven updates")
+      e.transform { case a: AttributeReference => a.withQualifier(Nil) }.sql
+    }
+    val set = assignments.map { a =>
+      val name = a.key match {
+        case attr: AttributeReference => attr.name
+        case other => throw new UnsupportedOperationException(
+          s"only top-level columns can be assigned, got: ${other.sql}")
+      }
+      name -> org.apache.spark.sql.functions.expr(bareSql(a.value))
+    }.toMap
+    val pred = condition
+      .map(c => org.apache.spark.sql.functions.expr(bareSql(c)))
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    table.lt.update(pred, set)
+    Nil
+  }
+}
+
 case class GraftDeleteCommand(
     table: GraftSqlTable,
     condition: Expression)

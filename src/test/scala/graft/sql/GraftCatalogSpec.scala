@@ -130,6 +130,18 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) == 3L)
   }
 
+  test("UPDATE ... SET runs the native copy-on-write update") {
+    val cat = freshCatalog()
+    mkTicks(cat)
+    spark.sql(s"UPDATE $cat.gold.ticks SET px = px * 10 WHERE sym = 'a' AND ts_us >= 2")
+    val rows = spark.sql(s"SELECT ts_us, px FROM $cat.gold.ticks ORDER BY ts_us")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((1L, 10.0), (2L, 110.0), (3L, 20.0)))
+    // a real snapshot: pre-image still reachable
+    assert(spark.sql(s"SELECT px FROM $cat.gold.ticks VERSION AS OF 1 WHERE ts_us = 2")
+      .head().getDouble(0) == 11.0)
+  }
+
   test("a time predicate prunes the file list from manifest stats") {
     val cat = freshCatalog()
     spark.sql(s"""CREATE TABLE $cat.gold.ev
