@@ -137,8 +137,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     isTableDir(tablePath(ident))
 
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    GraftSqlTable(LakehouseTable.load(spark, tablePath(ident)), pinnedSnapshot = None)
+    if (tableExists(ident))
+      return GraftSqlTable(LakehouseTable.load(spark, tablePath(ident)), pinnedSnapshot = None)
+    // Iceberg-style metadata tables: `cat.ns.table.snapshots` arrives as
+    // Identifier(namespace = [ns, table], name = "snapshots")
+    if (ident.namespace.length >= 2 && GraftCatalog.MetaTables(ident.name)) {
+      val base = Identifier.of(ident.namespace.dropRight(1), ident.namespace.last)
+      if (tableExists(base))
+        return GraftMetadataTable(
+          LakehouseTable.load(spark, tablePath(base)), ident.name)
+    }
+    throw new NoSuchTableException(ident)
   }
 
   /** `VERSION AS OF <snapshot-id>` time travel. */
@@ -212,6 +221,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 object GraftCatalog {
   private val ReservedProps = Set("provider", "location", "owner", "comment")
 
+  /** Metadata-table suffixes served as `cat.ns.table.<name>`
+    * ([[LakehouseTable.metadataTable]]).
+    */
+  private[sql] val MetaTables =
+    Set("snapshots", "files", "manifests", "deletes", "partitions", "refs")
+
   /** Spark partition `Transform` → the engine's (source, transform) spec
     * field encoding (`LakehouseTable.createIfNotExists`).
     */
@@ -260,16 +275,44 @@ object GraftCatalog {
   * fails with setup instructions instead of reading wrong data (a table
   * with live merge-on-read deletes NEEDS the native read path).
   */
+/** A catalog table whose SQL relation [[GraftRelationExpansion]] expands
+  * into a native DataFrame plan.
+  */
+sealed trait GraftReadableTable extends Table with SupportsRead {
+  /** The native read plan this table's SQL relation expands into. */
+  def readDF(): DataFrame
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    throw new IllegalStateException(
+      "graft SQL reads require the expansion rule: set " +
+        "spark.sql.extensions=graft.functions.GraftExtensions on the session " +
+        "(the rule replaces graft relations with the native merge-on-read-" +
+        "aware plan; a bare file scan could silently resurrect deleted rows)")
+}
+
+/** Metadata inspection table (`cat.ns.table.snapshots` …): the table's
+  * own bookkeeping as a read-only SQL relation
+  * ([[LakehouseTable.metadataTable]]) — driver-metadata-sized by the
+  * format's design, no data file opened.
+  */
+final case class GraftMetadataTable(
+    lt: LakehouseTable, metaName: String) extends GraftReadableTable {
+  override def readDF(): DataFrame = lt.metadataTable(metaName)
+  override def name(): String = s"${lt.metadata.name}.$metaName"
+  override lazy val schema: StructType = readDF().schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+}
+
 final case class GraftSqlTable(
     lt: LakehouseTable,
-    pinnedSnapshot: Option[Long]) extends Table with SupportsRead with SupportsWrite {
+    pinnedSnapshot: Option[Long]) extends GraftReadableTable with SupportsWrite {
   // DELETE FROM is handled by GraftRelationExpansion → GraftDeleteCommand
   // (not SupportsDelete: Spark's row-level path still scans the target
   // relation, which would need a real DSv2 Batch — the command keeps the
   // whole write on the engine's own commit protocol instead)
 
-  /** The native read plan this table's SQL relation expands into. */
-  def readDF(): DataFrame =
+  override def readDF(): DataFrame =
     pinnedSnapshot.map(lt.timeTravel).getOrElse(lt.read())
 
   override def name(): String =
@@ -293,13 +336,6 @@ final case class GraftSqlTable(
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
-
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    throw new IllegalStateException(
-      "graft SQL reads require the expansion rule: set " +
-        "spark.sql.extensions=graft.functions.GraftExtensions on the session " +
-        "(the rule replaces graft relations with the native merge-on-read-" +
-        "aware plan; a bare file scan could silently resurrect deleted rows)")
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedSnapshot.isEmpty, "cannot write to a time-travel relation")

@@ -36,6 +36,14 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
     }
   }
 
+  /** Any expandable graft relation (data or metadata table). */
+  private object Readable {
+    def unapply(plan: LogicalPlan): Option[DataSourceV2Relation] = plan match {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftReadableTable] => Some(r)
+      case _ => None
+    }
+  }
+
   /** Conservative [lo, hi] micros bounds the filter imposes on the
     * table's stats/time column — ONLY conjuncts of the shape
     * `ts <cmp> timestamp-literal` contribute (anything else is ignored,
@@ -119,7 +127,7 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         // filter directly over the relation: expand WITH manifest
         // pruning, keep the exact filter on top
         f.copy(child = expandRelation(r, Some(cond)))
-      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSqlTable] =>
+      case Readable(r) =>
         expandRelation(r, filter = None)
       case other => other.mapChildren(expand)
     }
@@ -131,8 +139,12 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
 
   private def expandRelation(
       r: DataSourceV2Relation, filter: Option[Expression]): LogicalPlan = {
-    val child = nativeDF(r.table.asInstanceOf[GraftSqlTable], filter)
-      .queryExecution.analyzed
+    val df = r.table match {
+      case g: GraftSqlTable => nativeDF(g, filter)
+      case m: GraftMetadataTable => m.readDF()
+      case other => throw new IllegalStateException(s"unexpected graft table $other")
+    }
+    val child = df.queryExecution.analyzed
     // project BY NAME onto the relation's attribute ids: the native
     // plan also carries derived partition-layout columns, which the
     // SQL schema hides (Iceberg-style hidden partitioning) — they are

@@ -173,6 +173,23 @@ class GraftCatalogSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(3L, 4L))
   }
 
+  test("metadata tables are queryable as cat.ns.table.<name>") {
+    val cat = freshCatalog()
+    mkTicks(cat) // 1 insert = snapshot 1
+    spark.sql(s"INSERT INTO $cat.gold.ticks VALUES ('c', 9, 30.0)") // snapshot 2
+    val snaps = spark.sql(
+      s"SELECT snapshot_id, operation, is_current FROM $cat.gold.ticks.snapshots ORDER BY snapshot_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(snaps.toSeq == Seq((1L, "append", false), (2L, "append", true)))
+    // files: per-partition row counts visible through SQL
+    val fileRows = spark.sql(
+      s"SELECT sum(rows) FROM $cat.gold.ticks.files").head().getLong(0)
+    assert(fileRows == 4L)
+    // partitions roll-up joins against the data like any relation
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gold.ticks.partitions")
+      .head().getLong(0) == 3L) // sym=a, sym=b, sym=c
+  }
+
   test("subqueries over graft relations expand too") {
     val cat = freshCatalog()
     mkTicks(cat)
