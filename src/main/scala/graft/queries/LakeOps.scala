@@ -697,11 +697,13 @@ object LakeOps {
   }
 
   /** SQL row-level DML flow: ingest events through INSERT INTO, then a
-    * copy-on-write UPDATE (every 10th event +1000) and DELETE (every
-    * 7th event removed) through plain `spark.sql` — both file-surgical
-    * snapshots on the native commit protocol. DuckDB recomputes the
-    * final state with a CASE + WHERE over the raw parquet; any drift in
-    * predicate semantics (incl. the NULL-survivor rule) breaks the hash.
+    * copy-on-write UPDATE (every 10th event +1000), a DELETE (every 7th
+    * event removed), and a MERGE (every surviving 13th event set to
+    * -1.5; every 11th event re-inserted under a shifted id) through
+    * plain `spark.sql` — file-surgical / merge-on-read snapshots on the
+    * native commit protocol. DuckDB recomputes the final state with
+    * CASE + WHERE + UNION over the raw parquet; any drift in predicate,
+    * matched/not-matched, or MoR masking semantics breaks the hash.
     */
   def sqlDmlFlow(s: SparkSession, dir: String): DataFrame = {
     val wh = freshWarehouse("graft-sd")
@@ -719,9 +721,20 @@ object LakeOps {
     s.sql(s"UPDATE $cat.gold.events SET value = value + 1000.0 WHERE event_id % 10 = 0")
     s.sql(s"DELETE FROM $cat.gold.events WHERE event_id % 7 = 0")
     s.sql(
+      s"""MERGE INTO $cat.gold.events t
+         |USING (SELECT event_id, ts, -1.5 AS value FROM graft_dml_src
+         |       WHERE event_id % 13 = 0 AND event_id % 7 <> 0
+         |       UNION ALL
+         |       SELECT event_id + 10000000, ts, 42.0 FROM graft_dml_src
+         |       WHERE event_id % 11 = 0) s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(
       s"""SELECT count(*) AS n_rows,
          |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
-         |       CAST(count(CASE WHEN value >= 1000.0 THEN 1 END) AS BIGINT) AS n_updated
+         |       CAST(count(CASE WHEN value >= 1000.0 THEN 1 END) AS BIGINT) AS n_updated,
+         |       CAST(count(CASE WHEN value = -1.5 THEN 1 END) AS BIGINT) AS n_merged
          |FROM $cat.gold.events""".stripMargin)
   }
 
@@ -943,12 +956,21 @@ object LakeOps {
     QuerySpec(
       "q_lake_sql_dml",
       sqlDmlFlow,
-      Some("""SELECT count(*) AS n_rows,
-             |       CAST(sum(CAST(CASE WHEN event_id % 10 = 0 THEN value + 1000.0
-             |                          ELSE value END AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
-             |       CAST(count(CASE WHEN (CASE WHEN event_id % 10 = 0 THEN value + 1000.0
-             |                                  ELSE value END) >= 1000.0 THEN 1 END) AS BIGINT) AS n_updated
-             |FROM events WHERE event_id % 7 <> 0""".stripMargin)
+      Some("""WITH survivors AS (
+             |  SELECT event_id,
+             |         CASE WHEN event_id % 10 = 0 THEN value + 1000.0 ELSE value END AS value
+             |  FROM events WHERE event_id % 7 <> 0),
+             |merged AS (
+             |  SELECT event_id,
+             |         CASE WHEN event_id % 13 = 0 THEN -1.5 ELSE value END AS value
+             |  FROM survivors
+             |  UNION ALL
+             |  SELECT event_id + 10000000, 42.0 FROM events WHERE event_id % 11 = 0)
+             |SELECT count(*) AS n_rows,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       CAST(count(CASE WHEN value >= 1000.0 THEN 1 END) AS BIGINT) AS n_updated,
+             |       CAST(count(CASE WHEN value = -1.5 THEN 1 END) AS BIGINT) AS n_merged
+             |FROM merged""".stripMargin)
     ),
 
     QuerySpec(

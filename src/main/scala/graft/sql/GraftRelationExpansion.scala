@@ -112,6 +112,14 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         // the write TARGET stays a relation (its V1 write path needs it);
         // the source query leg still expands (INSERT INTO t SELECT FROM t)
         w.withNewChildren(w.children.map(c => if (c eq w.table) c else expand(c)))
+      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
+          if Aliased.unapply(m.targetTable).isDefined =>
+        // MERGE INTO (upsert shape) → the native merge-on-read upsert;
+        // the SOURCE leg may reference graft tables and expands here
+        GraftMergeCommand(
+          Aliased.unapply(m.targetTable).get.table.asInstanceOf[GraftSqlTable],
+          expand(m.sourceTable), m.mergeCondition,
+          m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions)
       case org.apache.spark.sql.catalyst.plans.logical.UpdateTable(Aliased(r), assignments, cond) =>
         // UPDATE ... SET ... WHERE → the native copy-on-write
         // file-surgical update (same interception rationale as DELETE)
@@ -205,6 +213,101 @@ case class GraftUpdateCommand(
       .map(c => org.apache.spark.sql.functions.expr(bareSql(c)))
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     table.lt.update(pred, set)
+    Nil
+  }
+}
+
+/** `MERGE INTO <graft table> USING <source> ON <keys> WHEN MATCHED THEN
+  * UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — the canonical upsert —
+  * as the native merge-on-read upsert ([[graft.lake.LakehouseTable
+  * .morMerge]]): one commit of the source batch plus a key mask,
+  * O(source) bytes written, zero target files rewritten (the 100 TB
+  * shape; compaction folds the mask later). Requirements, each failing
+  * loudly: the ON condition is a conjunction of same-named
+  * target-column = source-column equalities; the matched action is an
+  * unconditional full-row UPDATE and the not-matched action an
+  * unconditional full-row INSERT (star actions arrive here already
+  * expanded by the analyzer — identity mappings are verified
+  * per-column); no not-matched-by-source clauses; and source keys must
+  * be unique (ANSI MERGE forbids two source rows updating one target
+  * row — checked with one aggregate before the write).
+  */
+case class GraftMergeCommand(
+    table: GraftSqlTable,
+    source: LogicalPlan,
+    mergeCondition: Expression,
+    matchedActions: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+    notMatchedActions: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+    notMatchedBySourceActions: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction])
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+
+  import org.apache.spark.sql.catalyst.plans.logical.{InsertAction, UpdateAction}
+
+  private def unsupported(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"MERGE INTO supports the upsert shape only (ON same-named key equality, " +
+        s"WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT *): $what — " +
+        "use the LakehouseTable API (merge/morMerge/morDeleteKeys) for other shapes")
+
+  override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    require(table.pinnedSnapshot.isEmpty, "cannot merge into a time-travel relation")
+    val targetCols = table.schema.fieldNames.toSeq
+    val sourceAttrs = source.output
+
+    // ON: conjunction of target.k = source.k (same name, either side order)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val srcIds = sourceAttrs.map(_.exprId).toSet
+    val keyCols = conjuncts(mergeCondition).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if a.name == b.name && srcIds.contains(a.exprId) != srcIds.contains(b.exprId) =>
+        a.name
+      case other => unsupported(s"ON conjunct '${other.sql}'")
+    }
+    if (keyCols.isEmpty) unsupported("empty ON condition")
+
+    // actions: unconditional identity-star update + insert (the analyzer
+    // expands `SET *` to per-column assignments and may wrap the source
+    // side in a widening cast — accepted; the source frame is cast to
+    // the target schema below, so what lands matches what was matched)
+    def srcName(v: Expression): Option[String] = v match {
+      case a: AttributeReference => Some(a.name)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => srcName(c.child)
+      case _ => None
+    }
+    def identityStar(assignments: Seq[org.apache.spark.sql.catalyst.plans.logical.Assignment],
+        what: String): Unit = {
+      val mapped = assignments.map { a =>
+        (a.key, srcName(a.value)) match {
+          case (k: AttributeReference, Some(src)) if k.name == src => k.name
+          case _ => unsupported(s"$what assignment '${a.key.sql} = ${a.value.sql}'")
+        }
+      }
+      if (mapped.sorted != targetCols.sorted)
+        unsupported(s"$what must assign every column exactly once (got ${mapped.mkString(", ")})")
+    }
+    (matchedActions, notMatchedActions, notMatchedBySourceActions) match {
+      case (Seq(UpdateAction(None, up, _)), Seq(InsertAction(None, ins)), Seq()) =>
+        identityStar(up, "WHEN MATCHED UPDATE")
+        identityStar(ins, "WHEN NOT MATCHED INSERT")
+      case _ => unsupported(
+        s"${matchedActions.size} matched / ${notMatchedActions.size} not-matched / " +
+          s"${notMatchedBySourceActions.size} not-matched-by-source action(s)")
+    }
+
+    val srcDF = org.apache.spark.sql.graftbridge.PlanToFrame(session, source)
+      .select(table.schema.fields.toIndexedSeq.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
+    // ANSI MERGE: two source rows may not address one target row
+    val dupKeys = srcDF.groupBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      .count().filter(org.apache.spark.sql.functions.col("count") > 1).limit(1).count()
+    if (dupKeys > 0)
+      throw new IllegalStateException(
+        s"MERGE source has duplicate keys on (${keyCols.mkString(", ")}) — " +
+          "ANSI MERGE forbids multiple source rows per target row")
+    table.lt.morMerge(srcDF, keyCols)
     Nil
   }
 }

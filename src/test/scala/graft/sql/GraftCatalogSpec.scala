@@ -173,6 +173,43 @@ class GraftCatalogSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(3L, 4L))
   }
 
+  test("MERGE INTO upserts through the native merge-on-read path") {
+    val cat = freshCatalog()
+    mkTicks(cat)
+    Seq(("a", 2L, 99.0), ("z", 50L, 5.0)).toDF("sym", "ts_us", "px")
+      .createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO $cat.gold.ticks t USING merge_src s
+         |ON t.sym = s.sym AND t.ts_us = s.ts_us
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql(s"SELECT sym, ts_us, px FROM $cat.gold.ticks ORDER BY ts_us")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(
+      ("a", 1L, 10.0), ("a", 2L, 99.0), ("b", 3L, 20.0), ("z", 50L, 5.0)))
+    // merge-on-read shape: the upsert wrote a key mask, not rewritten files
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gold.ticks.deletes").head().getLong(0) >= 1)
+  }
+
+  test("MERGE rejects duplicate source keys and non-upsert shapes loudly") {
+    val cat = freshCatalog()
+    mkTicks(cat)
+    Seq(("a", 2L, 1.0), ("a", 2L, 2.0)).toDF("sym", "ts_us", "px")
+      .createOrReplaceTempView("merge_dup")
+    val dup = intercept[Exception](spark.sql(
+      s"""MERGE INTO $cat.gold.ticks t USING merge_dup s
+         |ON t.sym = s.sym AND t.ts_us = s.ts_us
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(dup.getMessage.contains("duplicate source keys") ||
+      dup.getMessage.contains("duplicate keys"))
+    val shape = intercept[Exception](spark.sql(
+      s"""MERGE INTO $cat.gold.ticks t USING merge_dup s
+         |ON t.sym = s.sym AND t.ts_us = s.ts_us
+         |WHEN MATCHED THEN DELETE""".stripMargin))
+    assert(shape.getMessage.contains("upsert shape"))
+  }
+
   test("metadata tables are queryable as cat.ns.table.<name>") {
     val cat = freshCatalog()
     mkTicks(cat) // 1 insert = snapshot 1
