@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.{HashingTF, RegexTokenizer}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Model-based document quality scoring — the fastText-style classifier
+  * gate every large LLM-corpus pipeline runs after the heuristic gates
+  * (CCNet's LM filter, fastText quality classifiers): train a linear
+  * model on hashed bag-of-words features over a SMALL labeled sample,
+  * then score the full corpus at scan speed.
+  *
+  * The 100 TB shape is the split between the two halves:
+  *
+  *   - [[train]] runs MLlib (tokenizer → hashing-TF → logistic
+  *     regression) on the labeled sample — driver-coordinated, sample-
+  *     sized, executed once.
+  *   - [[scoreWithWeights]] needs NO MLlib at inference: the exported
+  *     weight vector rides the plan as a literal array and the logit is
+  *     one codegen'd higher-order-function pass per document — token →
+  *     murmur3 → weight lookup → sum. No shuffle, no UDF, no model
+  *     object on executors; 100 TB scores at scan speed. Parity with
+  *     the MLlib model is exact by construction: Spark SQL `hash()` IS
+  *     HashingTF's MurmurHash3(seed 42) on UTF-8 bytes, and
+  *     `pmod(h, dims)` IS its non-negative index mapping (asserted to
+  *     1e-6 in QualityClassifierSpec — only float summation order
+  *     differs).
+  *
+  * [[scorePortable]] is the oracle-checkable twin (engine-portable
+  * PolyHash indices, integer weights derived from the index by a fixed
+  * formula, exact integer logits) — same plan shape, every value
+  * reproducible in DuckDB.
+  */
+object QualityClassifier {
+
+  /** Fitted linear scorer: hashed-TF dims, per-index weights, intercept. */
+  final case class QualityModel(dims: Int, weights: Array[Double], intercept: Double)
+
+  private val TokenPattern = "\\s+"
+
+  /** Train tokenizer → HashingTF(dims) → logistic regression on
+    * `labelCol` (0/1) over `textCol`, returning the exported linear
+    * model. Run this on a labeled SAMPLE (thousands of rows), never the
+    * full corpus.
+    */
+  def train(
+      labeled: DataFrame,
+      textCol: String,
+      labelCol: String,
+      dims: Int = 1 << 12,
+      maxIter: Int = 25): QualityModel = {
+    val pipeline = new Pipeline().setStages(Array(
+      new RegexTokenizer().setInputCol(textCol).setOutputCol("__tokens")
+        .setPattern(TokenPattern).setToLowercase(false),
+      new HashingTF().setInputCol("__tokens").setOutputCol("__features")
+        .setNumFeatures(dims),
+      new LogisticRegression().setFeaturesCol("__features").setLabelCol(labelCol)
+        .setMaxIter(maxIter).setRegParam(1e-4)))
+    val model = pipeline.fit(labeled)
+    val lr = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    QualityModel(dims, lr.coefficients.toArray, lr.intercept)
+  }
+
+  /** Score `textCol` with an exported model: adds `quality_logit`
+    * (margin; sigmoid of it is the keep-probability) as ONE
+    * whole-stage-codegen HOF pass — `hash()` here is bit-identical to
+    * HashingTF's term hashing, so indices match the training features
+    * exactly.
+    */
+  def scoreWithWeights(df: DataFrame, textCol: String, m: QualityModel): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    def termIndex(c: Column): Column =
+      GraftShims.column(graft.functions.TermIndex(GraftShims.expression(c), m.dims))
+    val w = lit(m.weights)
+    val tokens = filter(split(col(textCol), TokenPattern), t => length(t) > 0)
+    val logit = aggregate(
+      transform(tokens, t => element_at(w, termIndex(t) + 1)),
+      lit(m.intercept),
+      (acc, x) => acc + x)
+    df.withColumn("quality_logit", logit)
+  }
+
+  /** Keep/drop gate at a probability threshold: logit > ln(p/(1-p)). */
+  def gate(df: DataFrame, textCol: String, m: QualityModel, keepProb: Double = 0.5): DataFrame = {
+    val threshold = math.log(keepProb / (1.0 - keepProb))
+    scoreWithWeights(df, textCol, m).filter(col("quality_logit") > threshold)
+  }
+
+  /** Engine-portable twin for the correctness gate: indices from the
+    * portable PolyHash, INTEGER weights derived from the index by
+    * `w(i) = ((i+1) * 2654435761) mod 1001 - 500`, logit as an exact
+    * long sum — every step reproducible in ANSI-ish SQL, so DuckDB
+    * value-checks the whole scoring plan shape (tokenize → hash → index
+    * → weight → sum) that the murmur3 variant runs in production.
+    */
+  def scorePortable(df: DataFrame, textCol: String, idCol: String, dims: Int): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    def polyHash(c: Column): Column =
+      GraftShims.column(graft.functions.PolyHash(GraftShims.expression(c)))
+    val tokens = filter(split(col(textCol), TokenPattern), t => length(t) > 0)
+    val logit = aggregate(
+      transform(tokens, t =>
+        ((polyHash(t) % dims + lit(1L)) * lit(2654435761L)) % 1001L - lit(500L)),
+      lit(0L),
+      (acc, x) => acc + x)
+    df.select(col(idCol), logit.cast(LongType).as("logit_scaled"))
+  }
+}

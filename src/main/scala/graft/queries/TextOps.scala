@@ -22,6 +22,33 @@ object TextOps {
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
+      "q_text_classifier_score",
+      (s, dir) =>
+        // scan-speed linear-classifier scoring (the fastText-style gate),
+        // portable-hash twin: PolyHash indices + integer formula weights
+        // make every logit an exact long DuckDB recomputes. The murmur3
+        // production variant is parity-tested against MLlib in
+        // QualityClassifierSpec.
+        graft.ops.QualityClassifier
+          .scorePortable(t(s, dir, "documents"), "text", "doc_id", dims = 4096)
+          .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+             |                             t -> length(t) > 0) AS tk
+             |  FROM documents),
+             |t2 AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+             |h AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+             |        list_transform(string_split(tok, ''), c -> ascii(c)::BIGINT)),
+             |        (a, b) -> (a*31 + b) % 1000000007) AS ph FROM t2),
+             |w AS (SELECT doc_id, ((ph % 4096 + 1) * 2654435761) % 1001 - 500 AS wt FROM h)
+             |SELECT d.doc_id, CAST(COALESCE(s.logit, 0) AS BIGINT) AS logit_scaled
+             |FROM documents d
+             |LEFT JOIN (SELECT doc_id, sum(wt) AS logit FROM w GROUP BY doc_id) s
+             |  USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_text_token_stats",
       (s, dir) =>
         t(s, dir, "documents")

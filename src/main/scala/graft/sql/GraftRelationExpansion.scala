@@ -297,7 +297,7 @@ case class GraftMergeCommand(
           s"${notMatchedBySourceActions.size} not-matched-by-source action(s)")
     }
 
-    val srcDF = org.apache.spark.sql.graftbridge.PlanToFrame(session, source)
+    val srcDF = org.apache.spark.sql.GraftShims.ofRows(session, source)
       .select(table.schema.fields.toIndexedSeq.map(f =>
         org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
     // ANSI MERGE: two source rows may not address one target row

@@ -10,4 +10,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Wrap an already-analyzed LogicalPlan as a DataFrame
+    * (`Dataset.ofRows` is `private[sql]`). Used by the SQL MERGE
+    * command, whose USING source arrives as a resolved plan that must
+    * feed the native upsert as a frame.
+    */
+  def ofRows(
+      session: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession], plan)
 }

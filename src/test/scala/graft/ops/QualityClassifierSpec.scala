@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QualityClassifierSpec extends SparkSpec {
+
+  private def docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+
+  test("trained classifier separates a learnable label on held-out docs") {
+    val labeled = docs.withColumn("label",
+      (col("n_chars") >= 150).cast("double"))
+    val train = labeled.filter(col("doc_id") % 5 =!= 0)
+    val holdout = labeled.filter(col("doc_id") % 5 === 0)
+    val m = QualityClassifier.train(train, "text", "label", dims = 1 << 10)
+    val scored = QualityClassifier.scoreWithWeights(holdout, "text", m)
+      .withColumn("pred", (col("quality_logit") > 0).cast("double"))
+    val acc = scored.agg(avg((col("pred") === col("label")).cast("double")))
+      .head().getDouble(0)
+    assert(acc >= 0.7, f"holdout accuracy $acc%.3f below 0.7 — classifier learned nothing")
+  }
+
+  test("scan-speed scoring reproduces the MLlib model margin exactly") {
+    val labeled = docs.limit(200).withColumn("label",
+      (col("n_chars") >= 150).cast("double"))
+    val m = QualityClassifier.train(labeled, "text", "label", dims = 1 << 10)
+
+    // MLlib's own margin: rawPrediction[1] of the fitted pipeline
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.{HashingTF, RegexTokenizer}
+    val pipeline = new Pipeline().setStages(Array(
+      new RegexTokenizer().setInputCol("text").setOutputCol("__tokens")
+        .setPattern("\\s+").setToLowercase(false),
+      new HashingTF().setInputCol("__tokens").setOutputCol("__features")
+        .setNumFeatures(1 << 10),
+      new LogisticRegression().setFeaturesCol("__features").setLabelCol("label")
+        .setMaxIter(25).setRegParam(1e-4)))
+    val fitted = pipeline.fit(labeled)
+    val mllib = fitted.transform(labeled)
+      .select(col("doc_id"), col("rawPrediction"))
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[org.apache.spark.ml.linalg.Vector](1)(1)).toMap
+
+    // NB: coefficients differ run-to-run only if the solver is unstable;
+    // we compare OUR export of THIS spec's own fitted model instead
+    val lr = fitted.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    val exported = QualityClassifier.QualityModel(1 << 10, lr.coefficients.toArray, lr.intercept)
+    val ours = QualityClassifier.scoreWithWeights(labeled, "text", exported)
+      .select("doc_id", "quality_logit")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    mllib.foreach { case (id, margin) =>
+      val diff = math.abs(margin - ours(id))
+      assert(diff < 1e-6 * math.max(1.0, math.abs(margin)),
+        s"doc $id margin drift: mllib=$margin scan=${ours(id)}")
+    }
+  }
+
+  test("portable scoring is deterministic and matches a hand computation") {
+    graft.functions.GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, "ab ab"), (2L, "")).toDF("doc_id", "text")
+    val out = QualityClassifier.scorePortable(df, "text", "doc_id", dims = 4096)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // poly_hash("ab") = (0*31+97)*31+98 mod p = 3105; idx = 3105 % 4096
+    val w = ((3105L % 4096L + 1L) * 2654435761L) % 1001L - 500L
+    assert(out(1L) == 2 * w)
+    assert(out(2L) == 0L) // empty text: zero tokens, zero logit
+  }
+}
