@@ -1039,6 +1039,53 @@ final class LakehouseTable(
     }
   }
 
+  /** Metadata-only ADD COLUMN (nullable; existing files null-fill it on
+    * read): the standalone form of the union-schema adoption
+    * [[appendEvolving]] performs, with the same resurrection/collision
+    * guards — a dropped or renamed-away name, or a retired
+    * partition-dir name, can never be re-adopted.
+    */
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): Unit = {
+    evolveMetadata { meta =>
+      val frozen = StructType.fromDDL(meta.schemaDdl)
+      require(!frozen.fieldNames.contains(name) && !meta.partitionColumns.contains(name),
+        s"column '$name' already exists")
+      val forbidden = meta.tombstones ++ meta.historicalNames ++
+        meta.specList.flatMap(_.fieldNames).filterNot(frozen.fieldNames.contains)
+      require(!forbidden.contains(name),
+        s"cannot adopt column '$name': the name was dropped or renamed away " +
+          "(re-adding it would resurrect the bytes old data files still carry), " +
+          "or serves as a partition-directory column of files already written")
+      meta.copy(schemaDdl =
+        StructType(frozen.fields :+ StructField(name, dataType, nullable = true)).toDDL)
+    }
+  }
+
+  /** TRUNCATE: one commit that carries no data files forward — the
+    * pre-image stays reachable by time travel until expiry, and an
+    * incremental read across the truncation refuses loudly (rows were
+    * removed; an append-scan cannot express that).
+    */
+  def truncate(): Snapshot =
+    withCommitRetry {
+      val (v, meta) = versionedMeta
+      commitSnapshot(meta, v, Nil, "truncate", Some(Nil),
+        totalRows = 0L, deletesOverride = Some(Nil))
+    }
+
+  /** INSERT OVERWRITE: replace the table's full contents with `df` in
+    * ONE atomic commit (truncate + append would expose an empty table
+    * between the two snapshots).
+    */
+  def overwrite(df: DataFrame): Snapshot = {
+    val moved = writeStaged(metadata, df)
+    withCommitRetry {
+      val (v, meta) = versionedMeta
+      commitSnapshot(meta, v, moved, "overwrite", Some(Nil),
+        totalRows = moved.map(_.rows).sum, deletesOverride = Some(Nil))
+    }
+  }
+
   /** Metadata-only column rename (Iceberg RenameColumn analog, within a
     * name-mapped format): no data file is touched — the old name joins
     * the column's alias list and every read coalesces newest-first

@@ -192,11 +192,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val lt = LakehouseTable.load(spark, tablePath(ident))
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"$what supports top-level columns only, got ${fieldNames.mkString(".")}")
+      fieldNames.head
+    }
     changes.foreach {
       case p: TableChange.SetProperty => lt.setProperty(p.property, p.value)
+      case a: TableChange.AddColumn =>
+        lt.addColumn(topLevel(a.fieldNames, "ADD COLUMN"), a.dataType)
+      case r: TableChange.RenameColumn =>
+        lt.renameColumn(topLevel(r.fieldNames, "RENAME COLUMN"), r.newName)
+      case d: TableChange.DeleteColumn =>
+        lt.dropColumn(topLevel(d.fieldNames, "DROP COLUMN"))
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change $other is not supported through SQL — " +
-          "schema evolution runs through the LakehouseTable API")
+          "other evolution runs through the LakehouseTable API")
     }
     GraftSqlTable(lt, pinnedSnapshot = None)
   }
@@ -306,11 +317,22 @@ final case class GraftMetadataTable(
 
 final case class GraftSqlTable(
     lt: LakehouseTable,
-    pinnedSnapshot: Option[Long]) extends GraftReadableTable with SupportsWrite {
+    pinnedSnapshot: Option[Long])
+  extends GraftReadableTable with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.TruncatableTable {
   // DELETE FROM is handled by GraftRelationExpansion → GraftDeleteCommand
   // (not SupportsDelete: Spark's row-level path still scans the target
   // relation, which would need a real DSv2 Batch — the command keeps the
   // whole write on the engine's own commit protocol instead)
+
+  /** `TRUNCATE TABLE`: one empty-content commit; pre-image reachable by
+    * time travel until expiry.
+    */
+  override def truncateTable(): Boolean = {
+    require(pinnedSnapshot.isEmpty, "cannot truncate a time-travel relation")
+    lt.truncate()
+    true
+  }
 
   override def readDF(): DataFrame =
     pinnedSnapshot.map(lt.timeTravel).getOrElse(lt.read())
@@ -335,17 +357,20 @@ final case class GraftSqlTable(
   override def properties(): util.Map[String, String] = lt.properties.asJava
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedSnapshot.isEmpty, "cannot write to a time-travel relation")
-    new WriteBuilder {
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var replaceAll = false
+      // INSERT OVERWRITE arrives as a truncate-marked write
+      override def truncate(): WriteBuilder = { replaceAll = true; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           (data: DataFrame, overwrite: Boolean) => {
-            if (overwrite) throw new UnsupportedOperationException(
-              "INSERT OVERWRITE is not supported — use MoR/COW delete + append")
-            lt.append(data)
+            if (replaceAll || overwrite) lt.overwrite(data)
+            else lt.append(data)
           }
       }
     }

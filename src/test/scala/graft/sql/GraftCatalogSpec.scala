@@ -227,6 +227,54 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) == 3L) // sym=a, sym=b, sym=c
   }
 
+  test("TRUNCATE and INSERT OVERWRITE replace contents atomically") {
+    val cat = freshCatalog()
+    mkTicks(cat)
+    spark.sql(s"INSERT OVERWRITE $cat.gold.ticks VALUES ('only', 100, 1.0)")
+    val rows = spark.sql(s"SELECT sym, ts_us FROM $cat.gold.ticks")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("only", 100L)))
+    // overwrite is one snapshot: the pre-image is still travel-able
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gold.ticks VERSION AS OF 1")
+      .head().getLong(0) == 3L)
+    spark.sql(s"TRUNCATE TABLE $cat.gold.ticks")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gold.ticks").head().getLong(0) == 0L)
+    // and the table accepts appends again after truncation
+    spark.sql(s"INSERT INTO $cat.gold.ticks VALUES ('post', 200, 2.0)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gold.ticks").head().getLong(0) == 1L)
+  }
+
+  test("ALTER TABLE add/rename/drop column map to native schema evolution") {
+    val cat = freshCatalog()
+    mkTicks(cat)
+    spark.sql(s"ALTER TABLE $cat.gold.ticks ADD COLUMN note STRING")
+    // existing rows null-fill the new column; new inserts carry it
+    spark.sql(s"INSERT INTO $cat.gold.ticks VALUES ('n', 50, 1.0, 'hello')")
+    val notes = spark.sql(s"SELECT note FROM $cat.gold.ticks ORDER BY ts_us")
+      .collect().map(r => Option(r.getString(0)))
+    assert(notes.toSeq == Seq(None, None, None, Some("hello")))
+    spark.sql(s"ALTER TABLE $cat.gold.ticks RENAME COLUMN note TO comment")
+    assert(spark.sql(s"SELECT comment FROM $cat.gold.ticks WHERE comment IS NOT NULL")
+      .head().getString(0) == "hello")
+    spark.sql(s"ALTER TABLE $cat.gold.ticks DROP COLUMN comment")
+    assert(!spark.sql(s"SELECT * FROM $cat.gold.ticks").columns.contains("comment"))
+  }
+
+  test("CREATE TABLE AS SELECT creates and fills in one statement") {
+    val cat = freshCatalog()
+    mkTicks(cat)
+    spark.sql(
+      s"""CREATE TABLE $cat.gold.high PARTITIONED BY (sym) AS
+         |SELECT sym, ts_us, px FROM $cat.gold.ticks WHERE px >= 11.0""".stripMargin)
+    val rows = spark.sql(s"SELECT sym, px FROM $cat.gold.high ORDER BY px")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq(("a", 11.0), ("b", 20.0)))
+    assert(graft.lake.LakehouseTable.load(spark,
+        new org.apache.hadoop.fs.Path(
+          spark.conf.get(s"spark.sql.catalog.$cat.warehouse"), "gold/high"))
+      .metadata.defaultSpec.fields.map(_.source) == Seq("sym"))
+  }
+
   test("subqueries over graft relations expand too") {
     val cat = freshCatalog()
     mkTicks(cat)
