@@ -43,6 +43,35 @@ object VectorOps {
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
+      "q_vec_cluster_assign",
+      (s, dir) => {
+        // nearest-centroid assignment (the scan side of SemDeDup-style
+        // cluster-then-filter): centroids are the first 8 vectors so
+        // DuckDB can derive them; the MLlib-trained literal-centroid
+        // variant is parity-tested in ClusteringSpec
+        val emb = t(s, dir, "embeddings")
+        graft.ops.Clustering.assignJoin(
+            emb, "vec_id", "embedding",
+            emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+          .select(col("vec_id"), col("cluster"), round(col("d2"), 4).as("d2"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+             |s AS (SELECT vec_id AS cluster, embedding::DOUBLE[] AS cvec
+             |      FROM embeddings WHERE vec_id < 8),
+             |d AS (SELECT v.vec_id, s.cluster,
+             |        list_dot_product(v.vec, v.vec)
+             |          - 2.0 * list_dot_product(v.vec, s.cvec)
+             |          + list_dot_product(s.cvec, s.cvec) AS d2
+             |      FROM v CROSS JOIN s),
+             |r AS (SELECT vec_id, cluster, d2,
+             |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rnk
+             |      FROM d)
+             |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, round(d2, 4) AS d2
+             |FROM r WHERE rnk = 1 ORDER BY vec_id""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_vec_cosine_topk",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")

@@ -127,6 +127,23 @@ object IncrementalRollup {
     }
   }
 
+  /** Managed continuous refresh: a daemon thread calling [[step]] on a
+    * poll interval with linear error backoff — the rollup analog of
+    * [[TableStream]]'s managed query (same exactly-once guarantees; the
+    * thread is just a scheduler around the idempotent step).
+    */
+  def start(
+      src: LakehouseTable,
+      dst: LakehouseTable,
+      consumerId: String,
+      d: RollupDef,
+      pollIntervalMs: Long = 200L): RollupQuery = {
+    require(pollIntervalMs > 0, "pollIntervalMs must be positive")
+    val q = new RollupQuery(src, dst, consumerId, d, pollIntervalMs)
+    q.startThread()
+    q
+  }
+
   /** Read the maintained rollup with scaled sums descaled to doubles
     * (`sum_<c>` → exact-integer / 1e4, one correctly-rounded division —
     * bit-stable across engines).
@@ -136,5 +153,69 @@ object IncrementalRollup {
       (col(s"sum_$c") / 10000.0).cast(DoubleType).as(s"sum_$c"))
     val keep = ("n_rows" +: d.minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c"))).map(col)
     dst.read().select((d.keys.map(col) ++ keep ++ descaled): _*)
+  }
+}
+
+/** Handle to a running [[IncrementalRollup.start]] maintainer. */
+final class RollupQuery private[stream] (
+    src: LakehouseTable,
+    dst: LakehouseTable,
+    consumerId: String,
+    d: IncrementalRollup.RollupDef,
+    pollIntervalMs: Long) {
+
+  @volatile private var stopped = false
+  private val refreshed = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val err = new java.util.concurrent.atomic.AtomicReference[Option[Throwable]](None)
+  private var thread: Thread = _
+
+  def refreshes: Long = refreshed.get()
+  def lastError: Option[Throwable] = err.get()
+  def isActive: Boolean = thread != null && thread.isAlive
+
+  private[stream] def startThread(): Unit = {
+    thread = new Thread(() => runLoop(), s"graft-rollup-$consumerId")
+    thread.setDaemon(true)
+    thread.start()
+  }
+
+  private def runLoop(): Unit = {
+    var failures = 0
+    while (!stopped) {
+      val progressed =
+        try {
+          val p = IncrementalRollup.step(src, dst, consumerId, d)
+          if (p) refreshed.incrementAndGet()
+          err.set(None); failures = 0
+          p
+        } catch {
+          case _: InterruptedException => return
+          case scala.util.control.NonFatal(e) =>
+            err.set(Some(e)); failures += 1; false
+        }
+      if (!progressed && !stopped) {
+        try Thread.sleep(pollIntervalMs * math.min(1 + failures, 10))
+        catch { case _: InterruptedException => return }
+      }
+    }
+  }
+
+  /** Block until the rollup's watermark reaches the source's CURRENT
+    * snapshot, or the timeout passes; true on caught-up.
+    */
+  def awaitCaughtUp(timeoutMs: Long = 30000L): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      val curId = src.metadata.currentSnapshotId
+      val wm = dst.metadata.streamWatermarks.get(consumerId)
+      if (curId.forall(id => wm.exists(_ >= id))) return true
+      Thread.sleep(25L)
+    }
+    false
+  }
+
+  def stop(): Unit = {
+    stopped = true
+    if (thread != null) { thread.interrupt(); thread.join(10000L) }
   }
 }

@@ -83,6 +83,26 @@ class IncrementalRollupSpec extends SparkSpec {
     assert(rollupState(gold)("a") == ((2L, 30000L, 1.0, 2.0)))
   }
 
+  test("managed maintainer converges against a live appender") {
+    val bronze = src(Seq(("a", 0L, 1.0)))
+    val gold = freshTable("gold",
+      IncrementalRollup.aggregate(bronze.read(), d).schema)
+    val q = IncrementalRollup.start(bronze, gold, "mv", d, pollIntervalMs = 20L)
+    try {
+      (1 to 4).foreach { i =>
+        bronze.append(Seq(("a", i.toLong, i.toDouble), ("b", i.toLong, 2.0 * i))
+          .toDF("sym", "ts_us", "px"))
+        Thread.sleep(15L)
+      }
+      assert(q.awaitCaughtUp(30000L), s"rollup never caught up: ${q.lastError}")
+    } finally q.stop()
+    val expected = IncrementalRollup.aggregate(bronze.read(), d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rollupState(gold) == expected)
+    assert(q.refreshes >= 1)
+  }
+
   test("a row-rewriting source commit fails the refresh loudly") {
     val bronze = src(Seq(("a", 1L, 1.0), ("b", 2L, 2.0)))
     val gold = freshTable("gold",
