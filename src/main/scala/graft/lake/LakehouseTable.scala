@@ -90,9 +90,16 @@ final class LakehouseTable(
     * [[fastForward]] clears the marker on publish, admitting them here.
     */
   def asOf(tsMs: Long): DataFrame =
-    readSnapshot(metadata.snapshots
+    readSnapshot(snapshotIdAsOf(tsMs).flatMap(metadata.snapshotById))
+
+  /** The newest MAIN-lineage snapshot id committed at or before `tsMs`
+    * — the single definition of "as of" lineage, shared by [[asOf]] and
+    * the SQL catalog's `TIMESTAMP AS OF`.
+    */
+  def snapshotIdAsOf(tsMs: Long): Option[Long] =
+    metadata.snapshots
       .filter(s => s.branch.isEmpty && s.timestampMs <= tsMs)
-      .sortBy(_.timestampMs).lastOption)
+      .sortBy(_.timestampMs).lastOption.map(_.id)
 
   /** Named snapshot refs currently defined (Iceberg tags). */
   def tags: Map[String, Long] = metadata.tags
@@ -1572,12 +1579,16 @@ final class LakehouseTable(
     * their surviving rows; untouched files (and manifests) carry over,
     * old snapshots keep the pre-delete data.
     */
-  def delete(predicate: org.apache.spark.sql.Column): Snapshot = {
-    val (version, meta) = versionedMeta
-    val current = meta.currentSnapshot.getOrElse(
-      throw new IllegalStateException("cannot delete from an empty table"))
+  /** Shared copy-on-write discovery: the manifest refs with their files,
+    * the files that can contain a predicate-matching row (one
+    * metadata-tagged scan; the collect is a FILE list, not data), and
+    * those files' path set. Used by [[delete]] and [[update]].
+    */
+  private def cowRewriteTargets(
+      current: Snapshot,
+      predicate: org.apache.spark.sql.Column)
+      : (Seq[(ManifestRef, Seq[DataFile])], Seq[DataFile], Set[String]) = {
     val refsWithFiles = log.readManifestList(current).map(r => r -> log.readManifest(r.path))
-
     val hitPaths = readWithDeletes(dataFiles(current), liveDeleteFiles(current),
         Some("__graft_file"))
       .filter(predicate)
@@ -1585,7 +1596,14 @@ final class LakehouseTable(
       .collect().map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath).toSet
     val rewrite = refsWithFiles.flatMap(_._2).filter(f =>
       hitPaths.contains(fs.makeQualified(new Path(tableDir, f.path)).toUri.getPath))
-    val rewritePaths = rewrite.map(_.path).toSet
+    (refsWithFiles, rewrite, rewrite.map(_.path).toSet)
+  }
+
+  def delete(predicate: org.apache.spark.sql.Column): Snapshot = {
+    val (version, meta) = versionedMeta
+    val current = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("cannot delete from an empty table"))
+    val (refsWithFiles, rewrite, rewritePaths) = cowRewriteTargets(current, predicate)
 
     // SQL DELETE removes rows where the predicate is TRUE; rows where it
     // evaluates to NULL must survive the rewrite (NOT(NULL) is NULL and
@@ -1630,26 +1648,20 @@ final class LakehouseTable(
       require(frozen.contains(c), s"unknown column in UPDATE SET: '$c'")
       require(!derived.contains(c), s"cannot assign derived partition column '$c'")
     }
-    val refsWithFiles = log.readManifestList(current).map(r => r -> log.readManifest(r.path))
+    val (refsWithFiles, rewrite, rewritePaths) = cowRewriteTargets(current, predicate)
 
-    val hitPaths = readWithDeletes(dataFiles(current), liveDeleteFiles(current),
-        Some("__graft_file"))
-      .filter(predicate)
-      .select("__graft_file").distinct()
-      .collect().map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath).toSet
-    val rewrite = refsWithFiles.flatMap(_._2).filter(f =>
-      hitPaths.contains(fs.makeQualified(new Path(tableDir, f.path)).toUri.getPath))
-    val rewritePaths = rewrite.map(_.path).toSet
-
+    // evaluate the predicate BEFORE projecting the derived layout
+    // columns away (matching delete()): a predicate on a derived
+    // partition column must resolve here too, not just in discovery
     val hit = coalesce(predicate, lit(false))
     val base = readWithDeletes(rewrite, liveDeleteFiles(current))
-      .drop(derivedPartitionColumns(meta): _*)
-    val rewritten = base.select(base.columns.toIndexedSeq.map { c =>
-      set.get(c) match {
-        case Some(v) => when(hit, v).otherwise(col(c)).as(c)
-        case None => col(c)
-      }
-    }: _*)
+    val rewritten = base.select(
+      base.columns.toIndexedSeq.filterNot(derived.contains).map { c =>
+        set.get(c) match {
+          case Some(v) => when(hit, v).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
     val moved = writeStaged(meta, rewritten)
 
     val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
@@ -1833,7 +1845,12 @@ final class LakehouseTable(
     val current = meta.currentSnapshot.getOrElse(return append(batch, "mor-merge"))
     val moved = writeStaged(meta, batch)
     val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
-    val newDeletes = writeDeleteFiles(meta, batch, keyCols, snapId)
+    // keys from the files just STAGED, not a re-evaluation of `batch`:
+    // a non-deterministic batch (sampled input) would otherwise stage
+    // one row set and mask a different one, leaving duplicates visible
+    // (same discipline as morMergeStream)
+    val stagedKeys = readFiles(moved).select(keyCols.map(col): _*)
+    val newDeletes = writeDeleteFiles(meta, stagedKeys, keyCols, snapId)
     commitSnapshot(meta, version, moved, "mor-merge", replaceRefs = None,
       totalRows = current.totalRows + moved.map(_.rows).sum,
       deletesOverride = Some(liveDeleteFiles(current) ++ newDeletes))

@@ -21,13 +21,14 @@ import org.apache.spark.sql.types.LongType
   *   - [[scoreWithWeights]] needs NO MLlib at inference: the exported
   *     weight vector rides the plan as a literal array and the logit is
   *     one codegen'd higher-order-function pass per document — token →
-  *     murmur3 → weight lookup → sum. No shuffle, no UDF, no model
+  *     hash → weight lookup → sum. No shuffle, no UDF, no model
   *     object on executors; 100 TB scores at scan speed. Parity with
-  *     the MLlib model is exact by construction: Spark SQL `hash()` IS
-  *     HashingTF's MurmurHash3(seed 42) on UTF-8 bytes, and
-  *     `pmod(h, dims)` IS its non-negative index mapping (asserted to
-  *     1e-6 in QualityClassifierSpec — only float summation order
-  *     differs).
+  *     the MLlib model is exact because term hashing goes through the
+  *     native [[graft.functions.TermIndex]] expression, which
+  *     reproduces HashingTF's `hashUnsafeBytes2` — NOT SQL `hash()`,
+  *     whose murmur3 variant diverges on tail bytes (see TermIndex
+  *     scaladoc). Asserted to 1e-6 in QualityClassifierSpec — only
+  *     float summation order differs.
   *
   * [[scorePortable]] is the oracle-checkable twin (engine-portable
   * PolyHash indices, integer weights derived from the index by a fixed

@@ -163,17 +163,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftSqlTable(lt, pinnedSnapshot = Some(id))
   }
 
-  /** `TIMESTAMP AS OF` time travel (Spark hands micros since epoch). */
+  /** `TIMESTAMP AS OF` time travel (Spark hands micros since epoch);
+    * lineage semantics are [[LakehouseTable.snapshotIdAsOf]]'s, shared
+    * with the DataFrame `asOf`.
+    */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val lt = LakehouseTable.load(spark, tablePath(ident))
     val tsMs = timestamp / 1000L
-    val snap = lt.metadata.snapshots
-      .filter(s => s.branch.isEmpty && s.timestampMs <= tsMs)
-      .sortBy(_.timestampMs).lastOption.getOrElse(
-        throw new NoSuchElementException(
-          s"no snapshot of ${ident.name} at or before timestamp $tsMs ms"))
-    GraftSqlTable(lt, pinnedSnapshot = Some(snap.id))
+    val id = lt.snapshotIdAsOf(tsMs).getOrElse(
+      throw new NoSuchElementException(
+        s"no snapshot of ${ident.name} at or before timestamp $tsMs ms"))
+    GraftSqlTable(lt, pinnedSnapshot = Some(id))
   }
 
   override def createTable(
@@ -200,6 +201,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     changes.foreach {
       case p: TableChange.SetProperty => lt.setProperty(p.property, p.value)
       case a: TableChange.AddColumn =>
+        // existing files null-fill an added column, so a NOT NULL
+        // constraint cannot be honored — reject rather than silently
+        // creating a nullable column under a non-null declaration
+        if (!a.isNullable) throw new UnsupportedOperationException(
+          s"ADD COLUMN ${a.fieldNames.mkString(".")} NOT NULL is not supported: " +
+            "existing data files null-fill added columns")
         lt.addColumn(topLevel(a.fieldNames, "ADD COLUMN"), a.dataType)
       case r: TableChange.RenameColumn =>
         lt.renameColumn(topLevel(r.fieldNames, "RENAME COLUMN"), r.newName)

@@ -300,14 +300,21 @@ case class GraftMergeCommand(
     val srcDF = org.apache.spark.sql.GraftShims.ofRows(session, source)
       .select(table.schema.fields.toIndexedSeq.map(f =>
         org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
-    // ANSI MERGE: two source rows may not address one target row
-    val dupKeys = srcDF.groupBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
-      .count().filter(org.apache.spark.sql.functions.col("count") > 1).limit(1).count()
-    if (dupKeys > 0)
-      throw new IllegalStateException(
-        s"MERGE source has duplicate keys on (${keyCols.mkString(", ")}) — " +
-          "ANSI MERGE forbids multiple source rows per target row")
-    table.lt.morMerge(srcDF, keyCols)
+      // evaluated by BOTH the dup check and the staging write — persist
+      // so an expensive or non-deterministic source runs once (morMerge
+      // itself derives the delete mask from the staged files, never
+      // from a re-evaluation)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ANSI MERGE: two source rows may not address one target row
+      val dupKeys = srcDF.groupBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
+        .count().filter(org.apache.spark.sql.functions.col("count") > 1).limit(1).count()
+      if (dupKeys > 0)
+        throw new IllegalStateException(
+          s"MERGE source has duplicate keys on (${keyCols.mkString(", ")}) — " +
+            "ANSI MERGE forbids multiple source rows per target row")
+      table.lt.morMerge(srcDF, keyCols)
+    } finally srcDF.unpersist(blocking = false)
     Nil
   }
 }

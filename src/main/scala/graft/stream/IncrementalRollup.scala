@@ -74,8 +74,11 @@ object IncrementalRollup {
     val old = state.select(
       (d.keys.map(col) ++ d.valueCols.map(c => col(c).as(s"__old_$c"))): _*)
     val merged = deltaAgg.join(old, d.keys, "left")
+    // coalesce BOTH sides: a delta whose values are all NULL for a key
+    // aggregates to sum = NULL (count still > 0), and NULL + stored
+    // would otherwise destroy the accumulated sum
     val sums = ("n_rows" +: d.sumCols.map("sum_" + _)).map(c =>
-      (col(c) + coalesce(col(s"__old_$c"), lit(0L))).as(c))
+      (coalesce(col(c), lit(0L)) + coalesce(col(s"__old_$c"), lit(0L))).as(c))
     val mins = d.minMaxCols.map(c => least(col(s"min_$c"), col(s"__old_min_$c")).as(s"min_$c"))
     val maxs = d.minMaxCols.map(c => greatest(col(s"max_$c"), col(s"__old_max_$c")).as(s"max_$c"))
     merged.select((d.keys.map(col) ++ sums ++ mins ++ maxs): _*)
