@@ -54,6 +54,48 @@ object TimeSeries {
         decSumD(col(priceCol)).as("notional"))
   }
 
+  /** VOLUME BARS (equal-notional bars): bars close when cumulative
+    * notional crosses `targetScaledNotional` (in 1e-4 price units) —
+    * the activity-clocked alternative to time bars that samples busy
+    * periods finely and quiet ones coarsely (standard in tick
+    * microstructure work). Bar assignment is pure integer arithmetic
+    * over an exact scaled cumulative sum (`(cum − v) div target`: a
+    * tick opens a new bar when the notional BEFORE it has crossed the
+    * target), so bar boundaries are engine-portable and
+    * oracle-checkable. One sort-shuffle for the cumulative sum, one
+    * hash aggregation for the bars — both keyed on the series.
+    *
+    * Emits per (series, bar_id): OHLC (timestamp-ordered), tick count,
+    * exact notional, and the bar's time span.
+    */
+  def volumeBars(
+      ticks: DataFrame,
+      seriesCol: String,
+      tsMicrosCol: String,
+      priceCol: String,
+      targetScaledNotional: Long): DataFrame = {
+    require(targetScaledNotional > 0, "target notional must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(seriesCol).orderBy(tsMicrosCol)
+    val withBar = ticks
+      .withColumn("__v", round(col(priceCol) * 10000.0).cast(LongType))
+      .withColumn("__cum", sum(col("__v")).over(w))
+      // integral `div`, never double division: a cum/target quotient a
+      // hair under an integer must truncate DOWN on both engines
+      .withColumn("bar_id", expr(s"(__cum - __v) div ${targetScaledNotional}L"))
+    withBar
+      .groupBy(col(seriesCol), col("bar_id"))
+      .agg(
+        min_by(col(priceCol), col(tsMicrosCol)).as("open"),
+        max(col(priceCol)).as("high"),
+        min(col(priceCol)).as("low"),
+        max_by(col(priceCol), col(tsMicrosCol)).as("close"),
+        count(lit(1)).as("n_ticks"),
+        (sum(col("__v")) / 10000.0).cast(org.apache.spark.sql.types.DoubleType).as("notional"),
+        min(col(tsMicrosCol)).as("bar_start_us"),
+        max(col(tsMicrosCol)).as("bar_end_us"))
+  }
+
   /** Regular-grid resample with last-known-value fill ("what was the last
     * tick at or before each grid point"). The grid spans
     * [hour-truncated global min ts, global max ts] in `stepMicros` steps,

@@ -49,6 +49,27 @@ object TextOps {
     ),
 
     QuerySpec(
+      "q_text_chunking",
+      (s, dir) =>
+        graft.ops.Chunking.chunkTokens(
+            t(s, dir, "documents"), "doc_id", "text", window = 16, overlap = 4)
+          .orderBy("doc_id", "chunk_idx"),
+      // stride 12: DuckDB's range(0, n, 12) is the same start set as
+      // Spark's sequence(0, n-1, 12); list_slice is 1-based inclusive
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+             |                             t -> length(t) > 0) AS tk
+             |  FROM documents),
+             |st AS (
+             |  SELECT doc_id, tk, unnest(range(0, len(tk), 12)) AS s
+             |  FROM toks WHERE len(tk) > 0)
+             |SELECT doc_id, CAST(s // 12 AS BIGINT) AS chunk_idx,
+             |       array_to_string(list_slice(tk, s + 1, s + 16), ' ') AS chunk,
+             |       CAST(least(16, len(tk) - s) AS BIGINT) AS n_tokens
+             |FROM st ORDER BY doc_id, chunk_idx""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_text_token_stats",
       (s, dir) =>
         t(s, dir, "documents")

@@ -122,6 +122,36 @@ object TimeSeriesOps {
     ),
 
     QuerySpec(
+      "q_ts_volume_bars",
+      (s, dir) =>
+        // ~10 bars per series at sf0.01 (total scaled notional ≈ 1e9 per
+        // type); the target is fixed, so bar COUNT scales with data —
+        // the activity-clock property
+        TimeSeries.volumeBars(
+            evMicros(s, dir).drop("event_id"),
+            seriesCol = "event_type", tsMicrosCol = "ts_us",
+            priceCol = "value", targetScaledNotional = 100000000L)
+          .orderBy("event_type", "bar_id"),
+      Some("""WITH o AS (
+             |  SELECT event_type, epoch_us(ts) AS ts_us, "value",
+             |         CAST(round("value" * 10000.0) AS BIGINT) AS v,
+             |         sum(CAST(round("value" * 10000.0) AS BIGINT)) OVER (
+             |           PARTITION BY event_type ORDER BY epoch_us(ts)) AS cum
+             |  FROM events),
+             |b AS (SELECT *, (cum - v) // 100000000 AS bar_id FROM o)
+             |SELECT event_type, bar_id,
+             |       arg_min("value", ts_us) AS "open",
+             |       max("value") AS high,
+             |       min("value") AS low,
+             |       arg_max("value", ts_us) AS "close",
+             |       count(*) AS n_ticks,
+             |       CAST(sum(v) AS DOUBLE) / 10000.0 AS notional,
+             |       min(ts_us) AS bar_start_us,
+             |       max(ts_us) AS bar_end_us
+             |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_ts_gap_fill",
       (s, dir) =>
         TimeSeries.resampleLastKnown(

@@ -51,6 +51,22 @@ class TimeSeriesSpec extends SparkSpec {
     assert(shuffles.size == 1, s"expected 1 shuffle, got:\n$plan")
   }
 
+  test("volumeBars close when cumulative notional crosses the target") {
+    // prices scaled 1e-4: target 50.0 → 500000 scaled
+    val ticks = Seq(
+      ("s", 1L, 30.0), ("s", 2L, 30.0), // bar 0: cum-before 0, 30 → closes past 50
+      ("s", 3L, 10.0), ("s", 4L, 20.0), // bar 1: cum-before 60, 70
+      ("s", 5L, 100.0) // bar 2 alone (cum-before 90 → bar 1? 90 div 50 = 1)
+    ).toDF("sym", "ts_us", "px")
+    val bars = TimeSeries.volumeBars(ticks, "sym", "ts_us", "px", 500000L)
+      .orderBy("bar_id")
+      .collect().map(r => (r.getLong(1), r.getLong(6), r.getDouble(7)))
+    // (bar_id, n_ticks, notional): 90 div 50 = 1 keeps tick 5 in bar 1
+    assert(bars.toSeq == Seq((0L, 2L, 60.0), (1L, 3L, 130.0)))
+    // conservation: notional across bars equals total input notional
+    assert(bars.map(_._3).sum == 190.0)
+  }
+
   test("resampleLastKnown fills forward and leaves pre-first-tick grid null") {
     val filled = TimeSeries.resampleLastKnown(
         ticks, "sym", "ts_us", "px", stepMicros = Bar)
