@@ -1589,7 +1589,31 @@ final class LakehouseTable(
       predicate: org.apache.spark.sql.Column)
       : (Seq[(ManifestRef, Seq[DataFile])], Seq[DataFile], Set[String]) = {
     val refsWithFiles = log.readManifestList(current).map(r => r -> log.readManifest(r.path))
-    val hitPaths = readWithDeletes(dataFiles(current), liveDeleteFiles(current),
+    // manifest-stats pre-prune of the DISCOVERY scan: a time-bounded
+    // predicate (`DELETE WHERE ts >= X`) only needs to probe files whose
+    // key range overlaps the bound — at 100 TB that is the difference
+    // between scanning a slice and scanning the table to find hit files.
+    // Bounds are conservative (PredicateBounds widens on anything it
+    // can't read), and the exact predicate still decides the hits.
+    // resolve the Column against a zero-row probe of the table schema —
+    // Spark 4 Column trees are opaque ColumnNodes until analysis, and
+    // the bounds extractor needs catalyst comparisons
+    def resolvedCond: Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+      val probe = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
+      probe.filter(predicate).queryExecution.analyzed match {
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) => Some(c)
+        case _ => None
+      }
+    }
+    val candidates = metadata.partitionTransform.flatMap { timeCol =>
+      resolvedCond.map(c => PredicateBounds.timeBounds(c, timeCol)).collect {
+        case (lo, hi) if lo.isDefined || hi.isDefined =>
+          filesOverlappingIn(Some(current),
+            lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))
+      }
+    }.getOrElse(dataFiles(current))
+    val hitPaths = readWithDeletes(candidates, liveDeleteFiles(current),
         Some("__graft_file"))
       .filter(predicate)
       .select("__graft_file").distinct()

@@ -44,47 +44,6 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
     }
   }
 
-  /** Conservative [lo, hi] micros bounds the filter imposes on the
-    * table's stats/time column — ONLY conjuncts of the shape
-    * `ts <cmp> timestamp-literal` contribute (anything else is ignored,
-    * which can only widen the range: pruning stays an over-approximation
-    * and the untouched Filter above re-applies exact semantics).
-    */
-  private def timeBounds(cond: Expression, timeCol: String): (Option[Long], Option[Long]) = {
-    def micros(l: Literal): Option[Long] = l.dataType match {
-      case TimestampType | TimestampNTZType => Some(l.value.asInstanceOf[Long])
-      case _ => None
-    }
-    def isTime(e: Expression): Boolean = e match {
-      case a: AttributeReference => a.name == timeCol
-      case _ => false
-    }
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
-    var lo: Option[Long] = None
-    var hi: Option[Long] = None
-    def tightenLo(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
-    def tightenHi(v: Long): Unit = hi = Some(hi.fold(v)(math.min(_, v)))
-    conjuncts(cond).foreach {
-      case GreaterThanOrEqual(t, l: Literal) if isTime(t) => micros(l).foreach(tightenLo)
-      case GreaterThan(t, l: Literal) if isTime(t) => micros(l).foreach(v => tightenLo(v + 1))
-      case LessThanOrEqual(t, l: Literal) if isTime(t) => micros(l).foreach(tightenHi)
-      case LessThan(t, l: Literal) if isTime(t) => micros(l).foreach(v => tightenHi(v - 1))
-      case EqualTo(t, l: Literal) if isTime(t) =>
-        micros(l).foreach { v => tightenLo(v); tightenHi(v) }
-      case GreaterThanOrEqual(l: Literal, t) if isTime(t) => micros(l).foreach(tightenHi)
-      case GreaterThan(l: Literal, t) if isTime(t) => micros(l).foreach(v => tightenHi(v - 1))
-      case LessThanOrEqual(l: Literal, t) if isTime(t) => micros(l).foreach(tightenLo)
-      case LessThan(l: Literal, t) if isTime(t) => micros(l).foreach(v => tightenLo(v + 1))
-      case EqualTo(l: Literal, t) if isTime(t) =>
-        micros(l).foreach { v => tightenLo(v); tightenHi(v) }
-      case _ => ()
-    }
-    (lo, hi)
-  }
-
   /** The native frame for a relation, manifest-range-pruned when an
     * enclosing filter bounds the time column (Iceberg-style hidden-
     * partitioning pushdown: the predicate prunes the FILE LIST from
@@ -96,7 +55,7 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
     val range = for {
       cond <- filter if prunable
       timeCol <- g.lt.metadata.partitionTransform
-      bounds = timeBounds(cond, timeCol)
+      bounds = graft.lake.PredicateBounds.timeBounds(cond, timeCol)
       if bounds._1.isDefined || bounds._2.isDefined
     } yield bounds
     range match {
