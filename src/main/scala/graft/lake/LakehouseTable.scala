@@ -89,17 +89,20 @@ final class LakehouseTable(
     * unpublished — or staged and dropped) are not main history;
     * [[fastForward]] clears the marker on publish, admitting them here.
     */
-  def asOf(tsMs: Long): DataFrame =
-    readSnapshot(snapshotIdAsOf(tsMs).flatMap(metadata.snapshotById))
+  def asOf(tsMs: Long): DataFrame = {
+    // ONE metadata read: resolving the id and reading the snapshot from
+    // separate reads would let a concurrent expiry turn a valid asOf
+    // into a silent empty frame
+    val meta = metadata
+    readSnapshot(LakehouseTable.mainSnapshotAsOf(meta, tsMs))
+  }
 
   /** The newest MAIN-lineage snapshot id committed at or before `tsMs`
     * — the single definition of "as of" lineage, shared by [[asOf]] and
     * the SQL catalog's `TIMESTAMP AS OF`.
     */
   def snapshotIdAsOf(tsMs: Long): Option[Long] =
-    metadata.snapshots
-      .filter(s => s.branch.isEmpty && s.timestampMs <= tsMs)
-      .sortBy(_.timestampMs).lastOption.map(_.id)
+    LakehouseTable.mainSnapshotAsOf(metadata, tsMs).map(_.id)
 
   /** Named snapshot refs currently defined (Iceberg tags). */
   def tags: Map[String, Long] = metadata.tags
@@ -1022,19 +1025,7 @@ final class LakehouseTable(
       val frozen = StructType.fromDDL(meta.schemaDdl)
       val added = batchFields.filterNot(f =>
         frozen.fieldNames.contains(f.name) || meta.partitionColumns.contains(f.name))
-      // never adopt a name that old data files still carry: a dropped
-      // name would RESURRECT its pre-drop bytes; a renamed column's
-      // historical name would fork it into two columns on read; a
-      // RETIRED partition-dir name (pre-evolution spec) would collide
-      // with the dir recovery of that spec's files
-      val forbidden = meta.tombstones ++ meta.historicalNames ++
-        meta.specList.flatMap(_.fieldNames).filterNot(frozen.fieldNames.contains)
-      val collisions = added.map(_.name).filter(forbidden.contains)
-      require(collisions.isEmpty,
-        s"cannot adopt column(s) ${collisions.mkString(", ")}: the name was " +
-          "dropped or renamed away (re-adding it would resurrect the bytes " +
-          "old data files still carry), or serves as a partition-directory " +
-          "column of files already written")
+      requireAdoptableNames(meta, frozen, added.map(_.name).toSeq)
       if (added.isEmpty) meta
       else meta.copy(schemaDdl =
         StructType(frozen.fields ++ added.map(_.copy(nullable = true))).toDDL)
@@ -1057,15 +1048,29 @@ final class LakehouseTable(
       val frozen = StructType.fromDDL(meta.schemaDdl)
       require(!frozen.fieldNames.contains(name) && !meta.partitionColumns.contains(name),
         s"column '$name' already exists")
-      val forbidden = meta.tombstones ++ meta.historicalNames ++
-        meta.specList.flatMap(_.fieldNames).filterNot(frozen.fieldNames.contains)
-      require(!forbidden.contains(name),
-        s"cannot adopt column '$name': the name was dropped or renamed away " +
-          "(re-adding it would resurrect the bytes old data files still carry), " +
-          "or serves as a partition-directory column of files already written")
+      requireAdoptableNames(meta, frozen, Seq(name))
       meta.copy(schemaDdl =
         StructType(frozen.fields :+ StructField(name, dataType, nullable = true)).toDDL)
     }
+  }
+
+  /** Shared resurrection/collision guard for column adoption
+    * ([[addColumn]] and [[appendEvolving]]): never adopt a name that
+    * old data files still carry — a dropped name would RESURRECT its
+    * pre-drop bytes; a renamed column's historical name would fork it
+    * into two columns on read; a RETIRED partition-dir name
+    * (pre-evolution spec) would collide with that spec's dir recovery.
+    */
+  private def requireAdoptableNames(
+      meta: TableMetadata, frozen: StructType, names: Seq[String]): Unit = {
+    val forbidden = meta.tombstones ++ meta.historicalNames ++
+      meta.specList.flatMap(_.fieldNames).filterNot(frozen.fieldNames.contains)
+    val collisions = names.filter(forbidden.contains)
+    require(collisions.isEmpty,
+      s"cannot adopt column(s) ${collisions.mkString(", ")}: the name was " +
+        "dropped or renamed away (re-adding it would resurrect the bytes " +
+        "old data files still carry), or serves as a partition-directory " +
+        "column of files already written")
   }
 
   /** TRUNCATE: one commit that carries no data files forward — the
@@ -1585,6 +1590,7 @@ final class LakehouseTable(
     * those files' path set. Used by [[delete]] and [[update]].
     */
   private def cowRewriteTargets(
+      meta: TableMetadata,
       current: Snapshot,
       predicate: org.apache.spark.sql.Column)
       : (Seq[(ManifestRef, Seq[DataFile])], Seq[DataFile], Set[String]) = {
@@ -1595,24 +1601,31 @@ final class LakehouseTable(
     // between scanning a slice and scanning the table to find hit files.
     // Bounds are conservative (PredicateBounds widens on anything it
     // can't read), and the exact predicate still decides the hits.
-    // resolve the Column against a zero-row probe of the table schema —
-    // Spark 4 Column trees are opaque ColumnNodes until analysis, and
-    // the bounds extractor needs catalyst comparisons
+    // Everything derives from the caller's versioned `meta` and the
+    // already-loaded refsWithFiles — no second log read to race a
+    // concurrent schema/spec commit, no manifest re-read.
+    // The Column resolves against a zero-row probe of the table schema
+    // first: Spark 4 Column trees are opaque ColumnNodes until analysis,
+    // and the bounds extractor needs catalyst comparisons.
     def resolvedCond: Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+      val probeSchema = meta.partitionColumns.foldLeft(
+        StructType.fromDDL(meta.schemaDdl))((s, c) =>
+        if (s.fieldNames.contains(c)) s else s.add(c, "int", nullable = true))
       val probe = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], probeSchema)
       probe.filter(predicate).queryExecution.analyzed match {
         case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) => Some(c)
         case _ => None
       }
     }
-    val candidates = metadata.partitionTransform.flatMap { timeCol =>
+    val candidates = meta.partitionTransform.flatMap { timeCol =>
       resolvedCond.map(c => PredicateBounds.timeBounds(c, timeCol)).collect {
         case (lo, hi) if lo.isDefined || hi.isDefined =>
-          filesOverlappingIn(Some(current),
-            lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))
+          val (l, h) = (lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))
+          refsWithFiles.filter(_._1.overlaps(l, h))
+            .flatMap(_._2.filter(_.overlaps(l, h)))
       }
-    }.getOrElse(dataFiles(current))
+    }.getOrElse(refsWithFiles.flatMap(_._2))
     val hitPaths = readWithDeletes(candidates, liveDeleteFiles(current),
         Some("__graft_file"))
       .filter(predicate)
@@ -1627,7 +1640,7 @@ final class LakehouseTable(
     val (version, meta) = versionedMeta
     val current = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("cannot delete from an empty table"))
-    val (refsWithFiles, rewrite, rewritePaths) = cowRewriteTargets(current, predicate)
+    val (refsWithFiles, rewrite, rewritePaths) = cowRewriteTargets(meta, current, predicate)
 
     // SQL DELETE removes rows where the predicate is TRUE; rows where it
     // evaluates to NULL must survive the rewrite (NOT(NULL) is NULL and
@@ -1672,7 +1685,7 @@ final class LakehouseTable(
       require(frozen.contains(c), s"unknown column in UPDATE SET: '$c'")
       require(!derived.contains(c), s"cannot assign derived partition column '$c'")
     }
-    val (refsWithFiles, rewrite, rewritePaths) = cowRewriteTargets(current, predicate)
+    val (refsWithFiles, rewrite, rewritePaths) = cowRewriteTargets(meta, current, predicate)
 
     // evaluate the predicate BEFORE projecting the derived layout
     // columns away (matching delete()): a predicate on a derived
@@ -2452,6 +2465,16 @@ final class LakehouseTable(
 }
 
 object LakehouseTable {
+
+  /** The newest MAIN-lineage snapshot committed at or before `tsMs`
+    * within one already-read metadata image (branch-staged snapshots
+    * are not main history until [[LakehouseTable.fastForward]] clears
+    * the marker).
+    */
+  private[lake] def mainSnapshotAsOf(meta: TableMetadata, tsMs: Long): Option[Snapshot] =
+    meta.snapshots
+      .filter(s => s.branch.isEmpty && s.timestampMs <= tsMs)
+      .sortBy(_.timestampMs).lastOption
 
   /** Rebase attempts for commuting commits before surfacing the
     * conflict (see withCommitRetry). 5 rebases absorb bursts of ~6

@@ -1,6 +1,5 @@
 package graft.lake
 
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
@@ -20,9 +19,13 @@ object PredicateBounds {
       case TimestampType | TimestampNTZType => Some(l.value.asInstanceOf[Long])
       case _ => None
     }
+    // resolved attributes only: both callers analyze the condition
+    // first (the expansion rule is post-resolution; the COW discovery
+    // resolves against a schema probe) — a name-suffix match on
+    // unresolved attributes could bind a QUALIFIED other-relation
+    // column and narrow the range incorrectly
     def isTime(e: Expression): Boolean = e match {
       case a: AttributeReference => a.name == timeCol
-      case a: UnresolvedAttribute => a.nameParts.lastOption.contains(timeCol)
       case _ => false
     }
     def conjuncts(e: Expression): Seq[Expression] = e match {

@@ -37,15 +37,25 @@ object Chunking {
     require(window > 0, "window must be positive")
     require(overlap >= 0 && overlap < window, "need 0 <= overlap < window")
     val stride = window - overlap
-    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
-    val n = size(toks)
+    // SINGLE-REFERENCE DISCIPLINE (see TextAnalysis.repetitionColumns):
+    // the tokenize expression is staged ONCE as a projection attribute
+    // under the Generate node; every later reference (size, slices) is
+    // a read of the materialized array, not a re-tokenization. A naive
+    // inline form re-ran split+filter 2 + 2·chunks times per row.
+    // (CollapseProject merges Project-over-Project but never inlines a
+    // projection into a Generate's generator, so the staging survives.)
+    val staged = df.select(
+      col(idCol),
+      filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("__graft_toks"))
+    val tk = col("__graft_toks")
+    val n = size(tk)
     val starts = when(n > 0, sequence(lit(0), n - 1, lit(stride)))
       .otherwise(array().cast("array<int>"))
     val chunks = transform(starts, s =>
       struct(
-        concat_ws(" ", slice(toks, s + 1, lit(window))).as("chunk"),
+        concat_ws(" ", slice(tk, s + 1, lit(window))).as("chunk"),
         least(lit(window), n - s).cast(LongType).as("n_tokens")))
-    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "c")))
+    staged.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "c")))
       .select(
         col(idCol),
         col("chunk_idx").cast(LongType).as("chunk_idx"),

@@ -203,15 +203,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case a: TableChange.AddColumn =>
         // existing files null-fill an added column, so a NOT NULL
         // constraint cannot be honored — reject rather than silently
-        // creating a nullable column under a non-null declaration
+        // creating a nullable column under a non-null declaration;
+        // FIRST/AFTER positions and comments are likewise rejected,
+        // not dropped (columns always append to the frozen schema)
         if (!a.isNullable) throw new UnsupportedOperationException(
           s"ADD COLUMN ${a.fieldNames.mkString(".")} NOT NULL is not supported: " +
             "existing data files null-fill added columns")
+        if (a.position != null) throw new UnsupportedOperationException(
+          s"ADD COLUMN ${a.fieldNames.mkString(".")} FIRST/AFTER is not supported: " +
+            "added columns append to the schema")
+        if (a.comment != null) throw new UnsupportedOperationException(
+          s"ADD COLUMN ${a.fieldNames.mkString(".")} COMMENT is not supported")
         lt.addColumn(topLevel(a.fieldNames, "ADD COLUMN"), a.dataType)
       case r: TableChange.RenameColumn =>
         lt.renameColumn(topLevel(r.fieldNames, "RENAME COLUMN"), r.newName)
       case d: TableChange.DeleteColumn =>
-        lt.dropColumn(topLevel(d.fieldNames, "DROP COLUMN"))
+        val name = topLevel(d.fieldNames, "DROP COLUMN")
+        val exists = StructType.fromDDL(lt.metadata.schemaDdl).fieldNames.contains(name)
+        if (exists) lt.dropColumn(name)
+        else if (!d.ifExists) throw new IllegalArgumentException(
+          s"DROP COLUMN: no such column '$name' (use IF EXISTS for a no-op)")
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change $other is not supported through SQL — " +
           "other evolution runs through the LakehouseTable API")

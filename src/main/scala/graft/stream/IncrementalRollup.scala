@@ -204,14 +204,26 @@ final class RollupQuery private[stream] (
   }
 
   /** Block until the rollup's watermark reaches the source's CURRENT
-    * snapshot, or the timeout passes; true on caught-up.
+    * snapshot, or the timeout passes; true on caught-up. Fails fast
+    * (throws the maintainer's error) when the loop is failing
+    * persistently or its thread died — a row-rewriting source commit
+    * would otherwise burn the whole timeout silently.
     */
   def awaitCaughtUp(timeoutMs: Long = 30000L): Boolean = {
     val deadline = System.currentTimeMillis() + timeoutMs
+    var consecutiveErrs = 0
     while (System.currentTimeMillis() < deadline) {
       val curId = src.metadata.currentSnapshotId
       val wm = dst.metadata.streamWatermarks.get(consumerId)
       if (curId.forall(id => wm.exists(_ >= id))) return true
+      err.get() match {
+        case Some(e) =>
+          consecutiveErrs += 1
+          // a few polls of grace for transient errors, then surface it
+          if (consecutiveErrs >= 10 || !isActive) throw e
+        case None => consecutiveErrs = 0
+      }
+      if (!isActive) return false
       Thread.sleep(25L)
     }
     false
