@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables.t
-import graft.ops.{Multimodal, SimilaritySearch}
+import graft.ops.{Multimodal, ProductQuantization, SimilaritySearch}
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity + multimodal plumbing over the embeddings /
@@ -185,6 +185,65 @@ object VectorOps {
       Some("""SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS n_returned,
              |       true AS hits_exact_top5
              |FROM embeddings WHERE vec_id < 20 ORDER BY q_id""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_vec_pq_adc",
+      (s, dir) => {
+        // product-quantized ADC search, full-value-checked: codebooks are
+        // the first-8 vectors' subvector slices (m=4 × dsub=16 over the
+        // 64-dim embeddings) so DuckDB can derive them; the MLlib-trained
+        // fit() path is parity-tested in ProductQuantizationSpec. The two
+        // collects are metadata-sized by construction (8 seed vectors +
+        // 10 probe vectors).
+        val emb = t(s, dir, "embeddings")
+        val seeds = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+          .select("embedding").collect()
+          .map(_.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+        val cb = ProductQuantization.Codebooks(4, 16,
+          (0 until 4).map(j => seeds.toSeq.map(_.slice(j * 16, (j + 1) * 16))))
+        val probes = emb.filter(col("vec_id") < 10).orderBy("vec_id")
+          .select("vec_id", "embedding").collect()
+          .map(r => (r.getLong(0), r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray))
+          .toSeq
+        val encoded = ProductQuantization.encode(emb, "embedding", cb)
+        ProductQuantization.searchADC(encoded, "vec_id", probes, cb, topK = 5)
+          .orderBy("q_id", "rnk")
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+             |js AS (SELECT unnest(generate_series(0, 3)) AS j),
+             |cb AS (SELECT js.j, v.vec_id AS code,
+             |         list_slice(v.vec, js.j*16 + 1, js.j*16 + 16) AS cvec
+             |       FROM v CROSS JOIN js WHERE v.vec_id < 8),
+             |sub AS (SELECT v.vec_id, js.j,
+             |          list_slice(v.vec, js.j*16 + 1, js.j*16 + 16) AS svec
+             |        FROM v CROSS JOIN js),
+             |ed AS (SELECT sub.vec_id, sub.j, cb.code,
+             |         list_dot_product(sub.svec, sub.svec)
+             |           - 2.0 * list_dot_product(sub.svec, cb.cvec)
+             |           + list_dot_product(cb.cvec, cb.cvec) AS d2
+             |       FROM sub JOIN cb ON sub.j = cb.j),
+             |enc AS (SELECT vec_id, j, code FROM (
+             |          SELECT vec_id, j, code,
+             |                 row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+             |          FROM ed) WHERE rn = 1),
+             |qs AS (SELECT v.vec_id AS q_id, js.j,
+             |         list_slice(v.vec, js.j*16 + 1, js.j*16 + 16) AS qvec
+             |       FROM v CROSS JOIN js WHERE v.vec_id < 10),
+             |dt AS (SELECT qs.q_id, qs.j, cb.code,
+             |         CAST(round((list_dot_product(qs.qvec, qs.qvec)
+             |           - 2.0 * list_dot_product(qs.qvec, cb.cvec)
+             |           + list_dot_product(cb.cvec, cb.cvec)) * 10000.0) AS BIGINT) AS d2s
+             |       FROM qs JOIN cb ON qs.j = cb.j),
+             |pairs AS (SELECT dt.q_id, enc.vec_id, sum(dt.d2s) AS s
+             |          FROM enc JOIN dt ON enc.j = dt.j AND enc.code = dt.code
+             |          GROUP BY dt.q_id, enc.vec_id),
+             |r AS (SELECT q_id, vec_id, s / 10000.0 AS adc_d2,
+             |        row_number() OVER (PARTITION BY q_id ORDER BY s, vec_id) AS rnk
+             |      FROM pairs)
+             |SELECT q_id, vec_id, CAST(rnk AS BIGINT) AS rnk, adc_d2
+             |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin),
+      bench = true
     ),
 
     QuerySpec(
