@@ -659,4 +659,72 @@ object DedupOps {
       dropDuplicatedLines(
         segmentTokenLines(docs, idCol, textCol, tokensPerLine), idCol, "line", maxDocFreq),
       idCol)
+
+  /** Span-level dedup — exact-substring removal at token granularity
+    * (the "dedup training data" pass that sits BETWEEN line dedup and
+    * document dedup): every SLIDING `window`-token span that occurs in
+    * at least `minDocs` distinct documents is boilerplate; all tokens
+    * covered by any occurrence of such a span are masked out and the
+    * document reassembled from the survivors. Sliding (not tumbling)
+    * windows catch a duplicated passage at ANY alignment — the property
+    * suffix-array substring dedup has and fixed-line segmentation lacks;
+    * run AFTER document-level dedup or verbatim twin documents will
+    * (correctly) erase each other.
+    *
+    * 100 TB shape: the span explode is a per-row projection fanning out
+    * W× (same cost class as [[shingles]]); duplicated-span discovery is
+    * one map-side-combinable hash aggregate on the span text; the
+    * mask-back is an equality join of span occurrences against the
+    * (small, df-filtered) duplicated-span set — AQE broadcasts it while
+    * it fits — then one per-doc aggregate of duplicated starts and a
+    * pure-projection token filter. Nothing collects; no pairwise
+    * comparison ever materializes. Exact span strings, not digests, for
+    * the same data-loss argument as [[dropDuplicatedLines]].
+    *
+    * Returns the full doc frame with `textCol` rebuilt from surviving
+    * tokens (single-space joined — same normalization both engines
+    * apply) plus `n_masked` (count of dropped tokens). Docs shorter
+    * than `window` pass through unmasked (normalized).
+    */
+  def maskDuplicatedSpans(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      window: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(minDocs >= 2, s"minDocs=$minDocs: a span is duplicated only across >=2 docs")
+    val w = window
+    val toks = docs.withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+
+    // (doc, start, span) for every sliding window — empty for short docs
+    val spans = toks
+      .select(col(idCol),
+        posexplode(
+          when(size(col("__toks")) >= w,
+            transform(sequence(lit(0), size(col("__toks")) - w),
+              p => array_join(slice(col("__toks"), p + lit(1), lit(w)), " ")))
+            .otherwise(array()))
+          .as(Seq("p", "span")))
+
+    val dupSpans = spans.select(col(idCol), col("span")).distinct()
+      .groupBy(col("span")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("span"))
+
+    // per-doc union of covered token positions (0-based), metadata-sized
+    // relative to the doc (bounded by its own token count)
+    val covered = spans.join(dupSpans, Seq("span"))
+      .groupBy(col(idCol))
+      .agg(array_distinct(flatten(collect_list(
+        sequence(col("p"), col("p") + lit(w - 1))))).as("__covered"))
+
+    toks.join(covered, Seq(idCol), "left")
+      .withColumn("__covered", coalesce(col("__covered"), array().cast("array<int>")))
+      .withColumn("__kept",
+        filter(col("__toks"), (_, i) => !array_contains(col("__covered"), i)))
+      .withColumn("n_masked", (size(col("__toks")) - size(col("__kept"))).cast(LongType))
+      .withColumn(textCol, array_join(col("__kept"), " "))
+      .drop("__toks", "__covered", "__kept")
+  }
 }

@@ -400,6 +400,87 @@ object TextOps {
     ),
 
     QuerySpec(
+      "q_text_span_dedup",
+      (s, dir) =>
+        graft.ops.DedupOps.maskDuplicatedSpans(
+          t(s, dir, "documents").select("doc_id", "text"),
+          window = 8, minDocs = 2)
+          .select("doc_id", "text", "n_masked")
+          .orderBy("doc_id"),
+      // identical algorithm: sliding 8-token spans, exact-string df >= 2,
+      // covered-position union, reassembly from surviving tokens
+      Some("""WITH toks AS (SELECT doc_id,
+             |          list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+             |        FROM documents),
+             |spans AS (SELECT doc_id, p, array_to_string(list_slice(tk, p + 1, p + 8), ' ') AS span
+             |          FROM (SELECT doc_id, tk,
+             |                  unnest(generate_series(0, len(tk) - 8)) AS p
+             |                FROM toks)),
+             |dup AS (SELECT span FROM (
+             |          SELECT span, count(DISTINCT doc_id) AS df FROM spans GROUP BY 1)
+             |        WHERE df >= 2),
+             |starts AS (SELECT DISTINCT s.doc_id, s.p FROM spans s JOIN dup USING (span)),
+             |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(p, p + 7)) AS i FROM starts),
+             |pos AS (SELECT doc_id, i, tk[i + 1] AS tok
+             |        FROM (SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 1)) AS i
+             |              FROM toks)),
+             |keep AS (SELECT p.doc_id, p.i, p.tok FROM pos p
+             |         LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.i = c.i
+             |         WHERE c.i IS NULL),
+             |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS txt, count(*) AS kept
+             |        FROM keep GROUP BY 1)
+             |SELECT t.doc_id, coalesce(a.txt, '') AS text,
+             |       CAST(len(t.tk) - coalesce(a.kept, 0) AS BIGINT) AS n_masked
+             |FROM toks t LEFT JOIN agg a USING (doc_id)
+             |ORDER BY t.doc_id""".stripMargin),
+      bench = true
+    ),
+
+    QuerySpec(
+      "q_text_bm25",
+      (s, dir) =>
+        graft.ops.Retrieval.bm25TopK(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq((0L, "spark window merge"), (1L, "customer join agg"),
+            (2L, "vector stream query data")),
+          topK = 10)
+          .orderBy("q_id", "rnk"),
+      // Same formula, same parenthesization, same 1e-4 pre-sum rounding.
+      // All literals that are inexact in binary (k1=1.2) are CAST to
+      // DOUBLE before arithmetic so DuckDB doesn't fold them in DECIMAL.
+      Some("""WITH q(q_id, qtext) AS (VALUES (0, 'spark window merge'),
+             |  (1, 'customer join agg'), (2, 'vector stream query data')),
+             |qt AS (SELECT DISTINCT q_id,
+             |         unnest(list_filter(string_split(qtext, ' '), t -> length(t) > 0)) AS term
+             |       FROM q),
+             |toks AS (SELECT doc_id,
+             |           len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS dl,
+             |           unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS term
+             |         FROM documents),
+             |post AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+             |         FROM toks GROUP BY 1, 2),
+             |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sdl
+             |          FROM (SELECT doc_id, max(dl) AS dl FROM post GROUP BY 1)),
+             |dfq AS (SELECT term, count(*) AS df FROM post
+             |        WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+             |sc AS (SELECT qt.q_id, post.doc_id,
+             |         CAST(round(
+             |           ln(1.0 + (stats.n - CAST(dfq.df AS DOUBLE) + 0.5) / (CAST(dfq.df AS DOUBLE) + 0.5))
+             |           * (CAST(post.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)
+             |              / (CAST(post.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+             |                 * (0.25 + 0.75 * (CAST(post.dl AS DOUBLE) / (stats.sdl / stats.n)))))
+             |           * 10000.0) AS BIGINT) AS s
+             |       FROM qt JOIN post USING (term) JOIN dfq USING (term) CROSS JOIN stats),
+             |agg AS (SELECT q_id, doc_id, sum(s) AS s FROM sc GROUP BY 1, 2),
+             |r AS (SELECT q_id, doc_id, s / 10000.0 AS score,
+             |        row_number() OVER (PARTITION BY q_id ORDER BY s DESC, doc_id) AS rnk
+             |      FROM agg)
+             |SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, CAST(rnk AS BIGINT) AS rnk, score
+             |FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin),
+      bench = true
+    ),
+
+    QuerySpec(
       "q_text_length_hist",
       (s, dir) =>
         t(s, dir, "documents")
