@@ -400,6 +400,42 @@ object TextOps {
     ),
 
     QuerySpec(
+      "q_text_lm_perplexity",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val m = graft.ops.NgramLM.fitBigrams(docs.filter(col("lang") === "en"))
+        graft.ops.NgramLM.scorePerplexity(docs, m).orderBy("doc_id")
+      },
+      // same model: add-one bigram LM fit on the en slice, scored over
+      // all docs; per-bigram ln rounds to 1e-4 longs before the sum
+      Some("""WITH toks AS (SELECT doc_id, lang,
+             |          list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+             |        FROM documents),
+             |refbi AS (SELECT tk[i + 1] AS w1, tk[i + 2] AS w2
+             |          FROM (SELECT tk, unnest(generate_series(0, len(tk) - 2)) AS i
+             |                FROM toks WHERE lang = 'en')),
+             |c12 AS (SELECT w1, w2, count(*) AS c FROM refbi GROUP BY 1, 2),
+             |c1 AS (SELECT w1, sum(c) AS c1 FROM c12 GROUP BY 1),
+             |voc AS (SELECT count(DISTINCT t) AS v FROM (
+             |          SELECT unnest(tk) AS t FROM toks WHERE lang = 'en')),
+             |docbi AS (SELECT doc_id, tk[i + 1] AS w1, tk[i + 2] AS w2
+             |          FROM (SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 2)) AS i
+             |                FROM toks)),
+             |sc AS (SELECT d.doc_id,
+             |         CAST(round(ln(CAST(coalesce(c12.c, 0) + 1 AS DOUBLE)
+             |                       / CAST(coalesce(c1.c1, 0) + voc.v AS DOUBLE)) * 10000.0)
+             |              AS BIGINT) AS s
+             |       FROM docbi d
+             |       LEFT JOIN c12 ON d.w1 = c12.w1 AND d.w2 = c12.w2
+             |       LEFT JOIN c1 ON d.w1 = c1.w1
+             |       CROSS JOIN voc),
+             |agg AS (SELECT doc_id, sum(s) AS s, count(*) AS n FROM sc GROUP BY 1)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
+             |       -(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0) AS avg_nll
+             |FROM agg ORDER BY doc_id""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_text_span_dedup",
       (s, dir) =>
         graft.ops.DedupOps.maskDuplicatedSpans(
