@@ -232,6 +232,69 @@ object Curation {
     CuratedCorpus(sampled, () => { base.unpersist(blocking = false); () })
   }
 
+  /** [[curateCorpus]] extended with the round-7 stages — the complete
+    * modern pretraining recipe in one call:
+    *
+    *   1–4. gate → redact → line dedup → near-dup (exactly
+    *        [[curateCorpusManaged]], sampling deferred);
+    *   5. span-level dedup ([[DedupOps.maskDuplicatedSpans]]) — cross-
+    *      document duplicated passages masked AFTER near-dup removal,
+    *      so verbatim twin documents are dropped as documents rather
+    *      than erasing each other span-by-span;
+    *   6. LM-perplexity filter ([[NgramLM]]) — a bigram model fit on
+    *      the `lmRefCol === lmRefValue` slice of the span-cleaned
+    *      survivors scores every survivor; docs above `maxAvgNll`
+    *      drop. Documents left with fewer than two tokens are
+    *      unscoreable and drop with them (an LM gate cannot pass what
+    *      it cannot score — the CCNet convention);
+    *   7. deterministic hash-gate downsample.
+    *
+    * Same management contract as [[curateCorpusManaged]]: the returned
+    * `release()` frees BOTH persisted diamonds (the cleaned corpus and
+    * the span-masked survivors — the latter is referenced by the LM
+    * fit, the scoring pass, and the survivor filter).
+    */
+  def curateCorpusFull(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tokensPerLine: Int = 8,
+      lineMaxDocFreq: Int = 1,
+      nearDupThreshold: Double = 0.5,
+      spanWindow: Int = 8,
+      spanMinDocs: Int = 2,
+      lmRefCol: String = "lang",
+      lmRefValue: String = "en",
+      maxAvgNll: Double = 4.0,
+      sampleRate: Double = 1.0,
+      lshNearDup: Boolean = false,
+      nearDupBlockCol: Option[String] = None): CuratedCorpus = {
+    val v1 = curateCorpusManaged(docs, idCol, textCol, tokensPerLine,
+      lineMaxDocFreq, nearDupThreshold, sampleRate = 1.0, lshNearDup,
+      nearDupBlockCol)
+    val spanned = DedupOps
+      .maskDuplicatedSpans(v1.frame, idCol, textCol, spanWindow, spanMinDocs)
+      .select(col(idCol), col(textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ref = spanned
+      .join(docs.select(col(idCol), col(lmRefCol)), Seq(idCol))
+      .filter(col(lmRefCol) === lmRefValue)
+    val model = NgramLM.fitBigrams(ref, textCol)
+    val kept = spanned.join(
+      NgramLM.scorePerplexity(spanned, model, idCol, textCol)
+        .filter(col("avg_nll") <= maxAvgNll)
+        .select(col(idCol)),
+      Seq(idCol), "left_semi")
+    val sampled =
+      if (sampleRate >= 1.0) kept
+      else kept.filter(uniformGate(col(idCol)) < lit(sampleRate))
+    CuratedCorpus(sampled, () => {
+      v1.release()
+      spanned.unpersist(blocking = false)
+      ()
+    })
+  }
+
   def packShards(
       df: DataFrame,
       partitionCols: Seq[String],

@@ -400,6 +400,135 @@ object TextOps {
     ),
 
     QuerySpec(
+      "q_text_curation_full",
+      // curateCorpus + the round-7 stages: … → near-dup → span-level
+      // dedup → LM-perplexity gate (threshold 3.55 ≈ the p92 of the
+      // post-pipeline nll distribution at sf0.01, so the tail actually
+      // drops). DuckDB recomputes all seven stages; drift in any stage
+      // OR in their composition breaks the hash.
+      (s, dir) => {
+        val c = graft.ops.Curation.curateCorpusFull(
+          t(s, dir, "documents"),
+          nearDupThreshold = 0.5,
+          maxAvgNll = 3.55,
+          nearDupBlockCol = Some("source"))
+        val out = c.frame.orderBy("doc_id")
+        // the gate's own cache sweep releases the pipeline diamonds
+        out
+      },
+      Some(s"""WITH RECURSIVE tk0 AS (
+             |  SELECT doc_id, source,
+             |         list_filter(string_split(text,' '), t -> length(t)>0) AS tk
+             |  FROM documents
+             |), sig AS (
+             |  SELECT doc_id, source, tk,
+             |    list_transform(range(1, CASE WHEN length(tk)-1 >= 1 THEN length(tk) ELSE 1 END),
+             |                   i -> tk[i] || ' ' || tk[i+1]) AS g2
+             |  FROM tk0
+             |), gated AS (
+             |  SELECT doc_id, source, tk FROM sig
+             |  WHERE CAST(length(tk) AS BIGINT) >= 20
+             |    AND round(CAST(length(list_distinct(tk)) AS DOUBLE)
+             |              / CAST(length(tk) AS DOUBLE), 4) >= 0.35
+             |    AND round(CASE WHEN length(tk) > 0 THEN
+             |      CAST(list_max(list_transform(list_distinct(tk),
+             |             x -> length(list_filter(tk, y -> y = x)))) AS DOUBLE)
+             |        / CAST(length(tk) AS DOUBLE) ELSE 0.0 END, 4) <= 0.12
+             |    AND round(CASE WHEN length(g2) > 0 THEN
+             |      CAST(length(g2) - length(list_distinct(g2)) AS DOUBLE)
+             |        / CAST(length(g2) AS DOUBLE) ELSE 0.0 END, 4) <= 0.06
+             |), toks AS (
+             |  SELECT doc_id, source, unnest(tk) AS tok, generate_subscripts(tk, 1) AS ord
+             |  FROM gated
+             |), lines AS (
+             |  SELECT doc_id, source, CAST((ord-1)//8 AS BIGINT) AS line_no,
+             |         string_agg(tok, ' ' ORDER BY ord) AS line
+             |  FROM toks GROUP BY 1, 2, 3
+             |), dfreq AS (
+             |  SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) <= 1
+             |), clean AS (
+             |  SELECT l.doc_id, l.source, string_agg(l.line, ' ' ORDER BY l.line_no) AS text
+             |  FROM lines l JOIN dfreq USING (line) GROUP BY 1, 2
+             |), ctk AS (
+             |  SELECT doc_id, source,
+             |    list_distinct(list_transform(
+             |      range(1, CASE WHEN length(tk2) - 2 >= 1 THEN length(tk2) - 1 ELSE 1 END),
+             |      i -> tk2[i] || ' ' || tk2[i+1] || ' ' || tk2[i+2])) AS grams
+             |  FROM (SELECT doc_id, source,
+             |               list_filter(string_split(text,' '), t -> length(t)>0) AS tk2
+             |        FROM clean)
+             |  WHERE length(grams) > 0
+             |), p AS (
+             |  SELECT a.doc_id AS da, b.doc_id AS db,
+             |         length(list_filter(a.grams, x -> list_contains(b.grams, x))) AS nc,
+             |         length(a.grams) + length(b.grams)
+             |         - length(list_filter(a.grams, x -> list_contains(b.grams, x))) AS nu
+             |  FROM ctk a JOIN ctk b ON a.source = b.source AND a.doc_id < b.doc_id
+             |), e AS (
+             |  SELECT da, db FROM p WHERE nc >= 1 AND round(CAST(nc AS DOUBLE) / nu, 4) >= 0.5
+             |), und AS (
+             |  SELECT da AS a, db AS b FROM e
+             |  UNION ALL
+             |  SELECT db, da FROM e
+             |), reach(node, lab) AS (
+             |  SELECT a, a FROM und
+             |  UNION
+             |  SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node
+             |), losers AS (
+             |  SELECT node FROM reach GROUP BY node HAVING node <> min(lab)
+             |), surv AS (
+             |  SELECT doc_id, text FROM clean WHERE doc_id NOT IN (SELECT node FROM losers)
+             |), stoks AS (
+             |  SELECT doc_id, list_filter(string_split(text,' '), t->length(t)>0) AS tk FROM surv
+             |), sspans AS (
+             |  SELECT doc_id, p, array_to_string(list_slice(tk, p+1, p+8),' ') AS span
+             |  FROM (SELECT doc_id, tk, unnest(generate_series(0, len(tk)-8)) AS p FROM stoks)
+             |), sdup AS (
+             |  SELECT span FROM (SELECT span, count(DISTINCT doc_id) AS df FROM sspans GROUP BY 1)
+             |  WHERE df >= 2
+             |), sstarts AS (
+             |  SELECT DISTINCT s.doc_id, s.p FROM sspans s JOIN sdup USING (span)
+             |), scov AS (
+             |  SELECT DISTINCT doc_id, unnest(generate_series(p, p + 7)) AS i FROM sstarts
+             |), spos AS (
+             |  SELECT doc_id, i, tk[i + 1] AS tok
+             |  FROM (SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 1)) AS i FROM stoks)
+             |), skeep AS (
+             |  SELECT p.doc_id, p.i, p.tok FROM spos p
+             |  LEFT JOIN scov c ON p.doc_id = c.doc_id AND p.i = c.i WHERE c.i IS NULL
+             |), sagg AS (
+             |  SELECT doc_id, string_agg(tok,' ' ORDER BY i) AS text FROM skeep GROUP BY 1
+             |), masked AS (
+             |  SELECT t.doc_id, coalesce(a.text,'') AS text FROM stoks t LEFT JOIN sagg a USING (doc_id)
+             |), mtk AS (
+             |  SELECT m.doc_id, d.lang, list_filter(string_split(m.text,' '), t->length(t)>0) AS tk
+             |  FROM masked m JOIN documents d USING (doc_id)
+             |), refbi AS (
+             |  SELECT tk[i + 1] AS w1, tk[i + 2] AS w2
+             |  FROM (SELECT tk, unnest(generate_series(0, len(tk) - 2)) AS i FROM mtk WHERE lang = 'en')
+             |), c12 AS (SELECT w1, w2, count(*) AS c FROM refbi GROUP BY 1, 2),
+             |c1 AS (SELECT w1, sum(c) AS c1 FROM c12 GROUP BY 1),
+             |voc AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(tk) AS t FROM mtk WHERE lang = 'en')),
+             |docbi AS (
+             |  SELECT doc_id, tk[i + 1] AS w1, tk[i + 2] AS w2
+             |  FROM (SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 2)) AS i FROM mtk)
+             |), sc2 AS (
+             |  SELECT d.doc_id,
+             |    CAST(round(ln(CAST(coalesce(c12.c, 0) + 1 AS DOUBLE)
+             |                  / CAST(coalesce(c1.c1, 0) + voc.v AS DOUBLE)) * 10000.0) AS BIGINT) AS s
+             |  FROM docbi d
+             |  LEFT JOIN c12 ON d.w1 = c12.w1 AND d.w2 = c12.w2
+             |  LEFT JOIN c1 ON d.w1 = c1.w1
+             |  CROSS JOIN voc
+             |), agg2 AS (SELECT doc_id, sum(s) AS s, count(*) AS n FROM sc2 GROUP BY 1),
+             |scored AS (SELECT doc_id, -(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0) AS avg_nll
+             |           FROM agg2)
+             |SELECT m.doc_id, m.text FROM masked m
+             |JOIN scored USING (doc_id) WHERE avg_nll <= 3.55
+             |ORDER BY m.doc_id""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_text_lm_perplexity",
       (s, dir) => {
         val docs = t(s, dir, "documents")
