@@ -544,6 +544,22 @@ object Relational {
     ),
 
     QuerySpec(
+      "q_agg_heavy_hitters",
+      (s, dir) =>
+        // two-pass exact heavy hitters: a Misra–Gries sketch nominates
+        // ≤ ⌈1/phi⌉ candidates (the shuffle carries per-partition
+        // summaries, never raw keys), then exact counts over only the
+        // candidates apply the threshold. The MG mergeability guarantee
+        // makes the output EXACT and merge-order-independent, so the
+        // oracle is the plain GROUP BY … HAVING it replaces at scale
+        graft.ops.Sketches.heavyHitters(t(s, dir, "events"), "user_id", 0.008)
+          .orderBy("user_id"),
+      Some("""SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+             |HAVING count(*) > CAST(floor(0.008 * (SELECT count(*) FROM events)) AS BIGINT)
+             |ORDER BY user_id""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_priority_late_orders",
       (s, dir) => {
         // TPC-H Q4 shape: EXISTS-correlated semi join between orders and
