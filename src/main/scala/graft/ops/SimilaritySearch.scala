@@ -253,6 +253,73 @@ object SimilaritySearch {
     graft.ops.DedupOps.dedupByPairs(vectors, pairs, idCol)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-partitioned
+    * semantic dedup. Assign every vector to its nearest centroid, find
+    * cosine near-duplicates WITHIN each cluster only, then collapse each
+    * duplicate group to its min-id representative ([[graft.ops.DedupOps
+    * .dedupByPairs]] closure → anti-join).
+    *
+    * This is the scale answer to [[nearDupPairs]]'s O(n²): the pair join
+    * is an EQUALITY join on cluster id, so work is Σ|cluster|² — at 10⁹
+    * docs with 10⁵ balanced clusters that is 10⁴× less than all-pairs,
+    * and the shuffle is keyed by cluster, never a cartesian. The
+    * documented approximation: near-dups whose members land in
+    * DIFFERENT clusters survive (the paper accepts this; k trades
+    * recall against cost).
+    *
+    * Production path: centroids fit on a sample ([[Clustering.fitKMeans]])
+    * ride as literals, assignment is a pure projection. Oracle path
+    * ([[semDedupJoin]]): table-resident seed centroids, same distance
+    * and tie rules, so DuckDB can replay assignment, pair set, and
+    * closure exactly.
+    */
+  def semDedup(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Array[Double]],
+      threshold: Double): DataFrame = {
+    val assigned = graft.ops.Clustering.assignLiteral(vectors, vecCol, centroids)
+    dedupWithinClusters(assigned, idCol, vecCol, threshold)
+  }
+
+  /** [[semDedup]] with table-resident centroids — the oracle-checkable
+    * twin (same cluster assignment as [[Clustering.assignJoin]]).
+    */
+  def semDedupJoin(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      seeds: DataFrame,
+      seedIdCol: String,
+      seedVecCol: String,
+      threshold: Double): DataFrame = {
+    val assigned = graft.ops.Clustering
+      .assignJoin(vectors, idCol, vecCol, seeds, seedIdCol, seedVecCol)
+      .select(col(idCol), col("cluster"))
+      .join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
+    dedupWithinClusters(assigned, idCol, vecCol, threshold)
+  }
+
+  private def dedupWithinClusters(
+      assigned: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = assigned.select(col("cluster").as("__c"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"), norm(col(vecCol)).as("norm_a"))
+    val b = assigned.select(col("cluster").as("__c"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"), norm(col(vecCol)).as("norm_b"))
+    val pairs = a.join(b, "__c")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b"))).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    graft.ops.DedupOps.dedupByPairs(
+      assigned.select(col(idCol), col("cluster"), col(vecCol)), pairs, idCol)
+  }
+
   /** All-pairs near-duplicates above a cosine threshold. Exact O(n²)
     * variant for oracle-checkable sizes; the scale path is
     * [[nearDupPairsLsh]].

@@ -152,6 +152,62 @@ object VectorOps {
     ),
 
     QuerySpec(
+      "q_vec_semdedup",
+      // SemDeDup: nearest-centroid assignment (table-resident seeds so
+      // DuckDB can replay it) restricts the near-dup pair search to
+      // same-cluster pairs — Σ|cluster|² work instead of n², the join
+      // keyed by cluster id. At this SF the within-cluster edge set is
+      // 20 of the 59 all-pairs edges, so the survivor set provably
+      // exercises the cluster partition (differs from q_vec_dedup_corpus)
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        graft.ops.SimilaritySearch
+          .semDedupJoin(emb, "vec_id", "embedding",
+            emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+            threshold = 0.4)
+          .select(col("vec_id"), col("cluster"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH RECURSIVE v AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+             |), s AS (
+             |  SELECT vec_id AS cluster, embedding::DOUBLE[] AS cvec
+             |  FROM embeddings WHERE vec_id < 8
+             |), d AS (
+             |  SELECT v.vec_id, s.cluster,
+             |    list_dot_product(v.vec, v.vec)
+             |      - 2.0 * list_dot_product(v.vec, s.cvec)
+             |      + list_dot_product(s.cvec, s.cvec) AS d2
+             |  FROM v CROSS JOIN s
+             |), asg AS (
+             |  SELECT vec_id, cluster FROM (
+             |    SELECT vec_id, cluster,
+             |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rnk
+             |    FROM d) WHERE rnk = 1
+             |), e AS (
+             |  SELECT a.vec_id AS da, b.vec_id AS db
+             |  FROM v a JOIN asg aa ON a.vec_id = aa.vec_id
+             |  JOIN asg bb ON aa.cluster = bb.cluster
+             |  JOIN v b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
+             |  WHERE list_dot_product(a.vec, b.vec)
+             |        / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) >= 0.4
+             |), und AS (
+             |  SELECT da AS a, db AS b FROM e
+             |  UNION ALL
+             |  SELECT db, da FROM e
+             |), reach(node, lab) AS (
+             |  SELECT a, a FROM und
+             |  UNION
+             |  SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node
+             |), losers AS (
+             |  SELECT node FROM reach GROUP BY node HAVING node <> min(lab)
+             |)
+             |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM asg
+             |WHERE vec_id NOT IN (SELECT node FROM losers)
+             |ORDER BY vec_id""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_vec_ann_lsh",
       (s, dir) => {
         // 16 tables × 4 planes: measured recall@5 = 0.88–0.91 at
