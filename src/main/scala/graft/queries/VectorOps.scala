@@ -152,6 +152,52 @@ object VectorOps {
     ),
 
     QuerySpec(
+      "q_vec_sq_ann",
+      // int8 scalar quantization (faiss SQ8 shape): per-dim min/max fit,
+      // affine encode to 0..255 codes, code-space squared-L2 search —
+      // every stage integer-exact or single-IEEE-op deterministic, so
+      // DuckDB recomputes fit + encode + search on raw data and the
+      // WHOLE algebra value-checks (no contract fallback needed). The
+      // exact-rerank production shape is spec-tested with a measured
+      // recall floor in ScalarQuantizationSpec.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val p = graft.ops.ScalarQuantization.fit(emb, "embedding")
+        val probes = emb.filter(col("vec_id") < 10).orderBy("vec_id")
+          .select("vec_id", "embedding").collect()
+          .map(r => (r.getLong(0), r.getAs[collection.Seq[Float]]("embedding").map(_.toDouble).toArray))
+          .toSeq
+        val encoded = graft.ops.ScalarQuantization.encode(emb, "embedding", p)
+        graft.ops.ScalarQuantization.search(encoded, "vec_id", probes, p, topK = 5)
+          .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"), col("code_d2"))
+          .orderBy("q_id", "rnk")
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+             |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+             |elem AS (SELECT v.vec_id, dims.d, v.vec[dims.d] AS x FROM v CROSS JOIN dims),
+             |st AS (SELECT d, min(x) AS mn, max(x) AS mx FROM elem GROUP BY d),
+             |enc AS (
+             |  SELECT e.vec_id, e.d,
+             |    CAST(greatest(0, least(255,
+             |      floor((e.x - st.mn)
+             |            * (CASE WHEN st.mx > st.mn THEN 255.0 / (st.mx - st.mn) ELSE 0 END)
+             |            + 0.5))) AS BIGINT) AS c
+             |  FROM elem e JOIN st USING (d)),
+             |pair AS (
+             |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+             |         CAST(sum((q.c - n.c) * (q.c - n.c)) AS BIGINT) AS code_d2
+             |  FROM enc q JOIN enc n USING (d)
+             |  WHERE q.vec_id < 10
+             |  GROUP BY 1, 2),
+             |r AS (
+             |  SELECT q_id, n_id, code_d2,
+             |         row_number() OVER (PARTITION BY q_id ORDER BY code_d2, n_id) AS rnk
+             |  FROM pair)
+             |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, code_d2
+             |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_vec_semdedup",
       // SemDeDup: nearest-centroid assignment (table-resident seeds so
       // DuckDB can replay it) restricts the near-dup pair search to
