@@ -656,6 +656,37 @@ object LakeOps {
       .orderBy("event_type")
   }
 
+  /** [[incrementalRollupFlow]] with a mergeable HLL distinct-count
+    * column: "unique users per event type" maintained O(delta) per
+    * refresh — the aggregate COUNT DISTINCT could never give a rollup
+    * (exact per-key distinct sets aren't mergeable; sketches are). At
+    * this cardinality (≤150 uids) the DataSketches estimate is exact,
+    * so the oracle value-checks it against COUNT(DISTINCT …).
+    */
+  def rollupDistinctFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import graft.stream.IncrementalRollup
+    val ev = graft.Tables.t(s, dir, "events")
+      .select(col("event_type"), col("ts"), col("value"), col("user_id"))
+    val d = IncrementalRollup.RollupDef(
+      keys = Seq("event_type"), sumCols = Seq("value"),
+      distinctCols = Seq("user_id"))
+    val wh = freshWarehouse("graft-ird")
+    val src = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(wh, "bronze"), ev.schema, Some("ts"))
+    val dst = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(wh, "gold"), IncrementalRollup.aggregate(ev.limit(0), d).schema, None)
+    src.append(ev.filter(col("event_id") % 3 === 0))
+    val first = IncrementalRollup.step(src, dst, "mv", d)
+    src.append(ev.filter(col("event_id") % 3 === 1))
+    src.append(ev.filter(col("event_id") % 3 === 2))
+    val second = IncrementalRollup.step(src, dst, "mv", d)
+    val idle = !IncrementalRollup.step(src, dst, "mv", d)
+    IncrementalRollup.readRollup(dst, d)
+      .withColumn("refreshed_clean", lit(first && second && idle))
+      .orderBy("event_type")
+  }
+
   /** SQL-catalog flow ([[graft.sql.GraftCatalog]]): the whole
     * DDL/DML/read lifecycle through `spark.sql` only — CREATE
     * NAMESPACE/TABLE (day-partitioned), two INSERT INTO halves, a
@@ -979,6 +1010,16 @@ object LakeOps {
       Some("""SELECT event_type, count(*) AS n_rows,
              |       min("value") AS min_value, max("value") AS max_value,
              |       CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       true AS refreshed_clean
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_rollup_distinct",
+      rollupDistinctFlow,
+      Some("""SELECT event_type, count(*) AS n_rows,
+             |       CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       count(DISTINCT user_id) AS nd_user_id,
              |       true AS refreshed_clean
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),

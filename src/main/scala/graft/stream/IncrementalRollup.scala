@@ -41,22 +41,36 @@ object IncrementalRollup {
   /** What the rollup maintains: one row per distinct `keys` value with
     * `n_rows` (count), `sum_<c>` for each of `sumCols` (exact unscaled
     * 1e-4 longs — see `Relational.decSumD` for the determinism and
-    * overflow argument), and `min_<c>` / `max_<c>` for `minMaxCols`.
+    * overflow argument), `min_<c>` / `max_<c>` for `minMaxCols`, and
+    * `hll_<c>` for each of `distinctCols` — a DataSketches HLL sketch
+    * of the column's distinct values, stored as a binary column.
+    *
+    * The sketch is the one aggregate in the monoid that COUNT DISTINCT
+    * could never be: exact per-key distinct counts are not mergeable
+    * (the sets themselves would have to be stored), but HLL union is —
+    * so "daily unique users" stays O(delta) per refresh at any history
+    * length, the entire point of the rollup. Estimates surface via
+    * [[readRollup]] as `nd_<c>`; DataSketches HLL is EXACT below its
+    * promotion threshold (hundreds of distinct values at the default
+    * lgK) and within ~1.6% rsd beyond it.
     */
   final case class RollupDef(
       keys: Seq[String],
       sumCols: Seq[String] = Nil,
-      minMaxCols: Seq[String] = Nil) {
+      minMaxCols: Seq[String] = Nil,
+      distinctCols: Seq[String] = Nil) {
     require(keys.nonEmpty, "rollup needs at least one key column")
 
     private[stream] def aggExprs: Seq[Column] =
       count(lit(1)).as("n_rows") +:
         (sumCols.map(c => sum(round(col(c) * 10000.0).cast(LongType)).as(s"sum_$c")) ++
-          minMaxCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))))
+          minMaxCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+          distinctCols.map(c => hll_sketch_agg(col(c)).as(s"hll_$c")))
 
     private[stream] def valueCols: Seq[String] =
       "n_rows" +: (sumCols.map("sum_" + _) ++
-        minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c")))
+        minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c")) ++
+        distinctCols.map("hll_" + _))
   }
 
   /** The delta's partial aggregate — also the full-recompute shape a
@@ -81,7 +95,16 @@ object IncrementalRollup {
       (coalesce(col(c), lit(0L)) + coalesce(col(s"__old_$c"), lit(0L))).as(c))
     val mins = d.minMaxCols.map(c => least(col(s"min_$c"), col(s"__old_min_$c")).as(s"min_$c"))
     val maxs = d.minMaxCols.map(c => greatest(col(s"max_$c"), col(s"__old_max_$c")).as(s"max_$c"))
-    merged.select((d.keys.map(col) ++ sums ++ mins ++ maxs): _*)
+    // sketch union with null guards on BOTH sides: a brand-new key has
+    // no stored sketch, and a delta whose values are all NULL for a key
+    // aggregates to a NULL sketch
+    val hlls = d.distinctCols.map { c =>
+      val fresh = col(s"hll_$c")
+      val old = col(s"__old_hll_$c")
+      when(old.isNull, fresh).when(fresh.isNull, old)
+        .otherwise(hll_union(fresh, old)).as(s"hll_$c")
+    }
+    merged.select((d.keys.map(col) ++ sums ++ mins ++ maxs ++ hlls): _*)
   }
 
   /** One refresh: merge everything the source committed past this
@@ -155,7 +178,9 @@ object IncrementalRollup {
     val descaled = d.sumCols.map(c =>
       (col(s"sum_$c") / 10000.0).cast(DoubleType).as(s"sum_$c"))
     val keep = ("n_rows" +: d.minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c"))).map(col)
-    dst.read().select((d.keys.map(col) ++ keep ++ descaled): _*)
+    val estimates = d.distinctCols.map(c =>
+      hll_sketch_estimate(col(s"hll_$c")).as(s"nd_$c"))
+    dst.read().select((d.keys.map(col) ++ keep ++ descaled ++ estimates): _*)
   }
 }
 

@@ -103,6 +103,26 @@ class IncrementalRollupSpec extends SparkSpec {
     assert(q.refreshes >= 1)
   }
 
+  test("distinct-count sketch column merges across refreshes; estimate exact at small cardinality") {
+    val dd = RollupDef(keys = Seq("sym"), sumCols = Nil, minMaxCols = Nil,
+      distinctCols = Seq("uid"))
+    val rows1 = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 7L))
+    val rows2 = Seq(("a", 2L), ("a", 3L), ("b", 7L), ("b", 8L), ("c", 1L))
+    val df1 = rows1.toDF("sym", "uid")
+    val bronze = freshTable("bronze", df1.schema)
+    bronze.append(df1)
+    val gold = freshTable("gold",
+      IncrementalRollup.aggregate(bronze.read(), dd).schema)
+    assert(IncrementalRollup.step(bronze, gold, "mv", dd))
+    bronze.append(rows2.toDF("sym", "uid"))
+    assert(IncrementalRollup.step(bronze, gold, "mv", dd))
+    // overlap across the two refreshes (a:2, b:7) must not double-count
+    val got = IncrementalRollup.readRollup(gold, dd).collect()
+      .map(r => r.getAs[String]("sym") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("nd_uid"))).toMap
+    assert(got == Map("a" -> ((5L, 3L)), "b" -> ((3L, 2L)), "c" -> ((1L, 1L))), s"got $got")
+  }
+
   test("a row-rewriting source commit fails the refresh loudly") {
     val bronze = src(Seq(("a", 1L, 1.0), ("b", 2L, 2.0)))
     val gold = freshTable("gold",
