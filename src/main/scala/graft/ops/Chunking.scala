@@ -62,4 +62,85 @@ object Chunking {
         col("c.chunk").as("chunk"),
         col("c.n_tokens").as("n_tokens"))
   }
+
+  /** GPT-style sequence packing (concat-then-chunk): concatenate every
+    * document's tokens in `idCol` order into one global stream, then cut
+    * it into fixed `blockSize` blocks — the layout a pretraining run
+    * actually consumes ([[chunkTokens]] windows WITHIN documents;
+    * packing crosses document boundaries so no block is padded). A
+    * document-separator token, when wanted, is the caller's upstream
+    * `concat(text, ' <eos>')`.
+    *
+    * The hard part at scale is the GLOBAL token offset of each document
+    * — a naive `sum() OVER (ORDER BY id)` plans a single-partition
+    * window. Instead, the classic two-level prefix sum:
+    *
+    *   1. per-doc token counts (one scan, the tokenize HOF referenced
+    *      once);
+    *   2. docs bucket by id range (`nBuckets` equal-width spans —
+    *      uneven under id skew, which hurts nothing but balance); the
+    *      per-BUCKET totals (≤ `nBuckets` rows) prefix-sum on the
+    *      driver and broadcast back;
+    *   3. each doc's start = its bucket's prefix + a running sum
+    *      WITHIN its bucket (a window partitioned by bucket — bounded,
+    *      parallel);
+    *   4. tokens explode with per-doc ordinals, global position =
+    *      doc start + ordinal, and blocks reassemble with one
+    *      group-by on `block_id` (the one unavoidable token shuffle —
+    *      reassembly must co-locate a block's tokens).
+    *
+    * Output: (`block_id`, `text`, `n_tokens`), every block exactly
+    * `blockSize` tokens except the last. Deterministic in the corpus
+    * regardless of bucketing or partitioning: the bucket scheme only
+    * changes HOW the prefix is computed, never its value.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockSize: Int,
+      nBuckets: Int = 64): DataFrame = {
+    require(blockSize > 0, "blockSize must be positive")
+    require(nBuckets > 0, "nBuckets must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val staged = df.select(
+      col(idCol).cast(LongType).as("__id"),
+      filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("__toks"))
+    val counts = staged.select(col("__id"), size(col("__toks")).cast(LongType).as("__n"))
+    val mm = counts.agg(min("__id"), max("__id"), count(lit(1))).head()
+    val empty = spark.emptyDataset[(Long, String, Long)]
+      .toDF("block_id", "text", "n_tokens")
+    if (mm.getLong(2) == 0L) return empty
+    val lo = mm.getLong(0)
+    val width = math.max(1L, (mm.getLong(1) - lo) / nBuckets + 1L)
+    val withB = counts.withColumn("__b",
+      floor((col("__id") - lit(lo)) / lit(width.toDouble)).cast(LongType))
+    val totals = withB.groupBy("__b").agg(sum("__n").as("__bn"))
+      .orderBy("__b").collect()
+    var acc = 0L
+    val prefix = totals.map { r =>
+      val p = (r.getLong(0), acc)
+      acc += r.getLong(1)
+      p
+    }.toSeq.toDF("__b", "__p")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__b").orderBy("__id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = withB.join(broadcast(prefix), Seq("__b"))
+      .withColumn("__start", col("__p") + coalesce(sum(col("__n")).over(w), lit(0L)))
+      .select(col("__id"), col("__start"))
+    val exploded = staged
+      .select(col("__id"), posexplode(col("__toks")).as(Seq("__ord", "__tok")))
+    exploded.join(offsets, Seq("__id"))
+      .withColumn("__pos", col("__start") + col("__ord"))
+      .groupBy(floor(col("__pos") / lit(blockSize.toDouble)).cast(LongType).as("block_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+            s => s.getField("__tok")),
+          " ").as("text"),
+        count(lit(1)).as("n_tokens"))
+  }
 }

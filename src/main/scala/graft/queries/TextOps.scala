@@ -400,6 +400,37 @@ object TextOps {
     ),
 
     QuerySpec(
+      "q_text_pack_sequences",
+      // GPT-style sequence packing: concat all docs' tokens in doc_id
+      // order, cut into 512-token blocks. DuckDB replays the global
+      // prefix-sum + reassembly, so block boundaries, contents, and the
+      // short final block are all value-checked
+      (s, dir) =>
+        graft.ops.Chunking.packSequences(
+            t(s, dir, "documents"), "doc_id", "text", blockSize = 512)
+          .orderBy("block_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+             |  FROM documents
+             |), off AS (
+             |  SELECT doc_id,
+             |         coalesce(sum(length(tk)) OVER (ORDER BY doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+             |  FROM tk
+             |), pos AS (
+             |  SELECT o.start + t.ord - 1 AS p, t.tok
+             |  FROM (SELECT doc_id, unnest(tk) AS tok,
+             |               generate_subscripts(tk, 1) AS ord FROM tk) t
+             |  JOIN off o USING (doc_id)
+             |)
+             |SELECT CAST(p // 512 AS BIGINT) AS block_id,
+             |       string_agg(tok, ' ' ORDER BY p) AS text,
+             |       count(*) AS n_tokens
+             |FROM pos GROUP BY 1 ORDER BY block_id""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_text_curation_full",
       // curateCorpus + the round-7 stages: … → near-dup → span-level
       // dedup → LM-perplexity gate (threshold 3.55 ≈ the p92 of the

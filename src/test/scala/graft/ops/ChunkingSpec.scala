@@ -32,4 +32,46 @@ class ChunkingSpec extends SparkSpec {
     // token conservation: sum of chunk sizes equals document tokens
     assert(out.map(_._3).sum == 5L)
   }
+
+  test("packSequences crosses document boundaries; last block short") {
+    val docs = Seq(
+      (10L, "a b c"),
+      (20L, "d e"),
+      (30L, ""),          // empty doc: occupies no positions
+      (40L, "f g h i j")
+    ).toDF("doc_id", "text")
+    val got = Chunking.packSequences(docs, "doc_id", "text", blockSize = 4)
+      .orderBy("block_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (0L, "a b c d", 4L),   // doc 10 + start of doc 20
+      (1L, "e f g h", 4L),   // doc 20 tail + doc 40
+      (2L, "i j", 2L)))
+  }
+
+  test("packSequences is invariant to bucketing and partitioning") {
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    def run(buckets: Int, parts: Int) =
+      Chunking.packSequences(docs.repartition(parts), "doc_id", "text",
+          blockSize = 128, nBuckets = buckets)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val a = run(1, 3)
+    assert(a == run(7, 11))
+    assert(a.nonEmpty)
+    // every block except the single last one is exactly full
+    val short = a.filter(_._3 != 128L)
+    assert(short.size <= 1 && short.forall(_._1 == a.map(_._1).max))
+    // token conservation across the whole corpus
+    import org.apache.spark.sql.functions.{col, filter, length, size, split, sum}
+    val total = docs.select(
+      size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+        .cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(a.toSeq.map(_._3).sum == total)
+  }
+
+  test("packSequences on an empty corpus is empty") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Chunking.packSequences(docs, "doc_id", "text", 8).collect().isEmpty)
+  }
 }
