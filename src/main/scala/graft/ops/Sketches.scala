@@ -140,7 +140,16 @@ object Sketches {
       df.select(col(keyCol)).limit(0).groupBy(keyCol)
         .agg(count(lit(1)).as("cnt"))
     } else {
-      df.filter(col(keyCol).cast("string").isin(candidates: _*))
+      // cast the string candidates back to the key's NATIVE type on the
+      // driver (a LocalRelation job, no scan) so the verify pass filters
+      // with a typed In — pushable to the parquet scan's dictionary /
+      // bloom machinery, which `cast(key AS string) IN (…)` is not
+      val spark = df.sparkSession
+      import spark.implicits._
+      val keyType = df.schema(keyCol).dataType
+      val typed = candidates.toDF("__c")
+        .select(col("__c").cast(keyType)).collect().map(_.get(0))
+      df.filter(col(keyCol).isin(typed: _*))
         .groupBy(keyCol)
         .agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") > threshold)

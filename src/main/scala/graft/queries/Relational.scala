@@ -556,7 +556,8 @@ object Relational {
           .orderBy("user_id"),
       Some("""SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
              |HAVING count(*) > CAST(floor(0.008 * (SELECT count(*) FROM events)) AS BIGINT)
-             |ORDER BY user_id""".stripMargin)
+             |ORDER BY user_id""".stripMargin),
+      bench = true
     ),
 
     QuerySpec(

@@ -400,6 +400,41 @@ object TextOps {
     ),
 
     QuerySpec(
+      "q_text_vocab_encode",
+      // frequency-ranked vocabulary + order-preserving id encoding (the
+      // tokenize-to-ids bridge before packing): rank order (freq DESC,
+      // token ASC) is a deterministic total order both engines agree
+      // on, so ids — and therefore every encoded array — value-check
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val vocab = graft.ops.Vocabulary.build(docs, "text", maxSize = 10000)
+        graft.ops.Vocabulary.encode(docs, "doc_id", "text", vocab)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+             |  FROM documents
+             |), toks AS (
+             |  SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS ord
+             |  FROM tk
+             |), cnt AS (
+             |  SELECT tok, count(*) AS c FROM toks GROUP BY 1
+             |), voc AS (
+             |  SELECT tok,
+             |         CAST(row_number() OVER (ORDER BY c DESC, tok) - 1 AS BIGINT) AS tid
+             |  FROM cnt
+             |), enc AS (
+             |  SELECT t.doc_id, list(v.tid ORDER BY t.ord) AS token_ids
+             |  FROM toks t JOIN voc v ON t.tok = v.tok GROUP BY 1
+             |)
+             |SELECT k.doc_id,
+             |       coalesce(e.token_ids, CAST([] AS BIGINT[])) AS token_ids,
+             |       CAST(coalesce(length(e.token_ids), 0) AS BIGINT) AS n_tokens
+             |FROM tk k LEFT JOIN enc e USING (doc_id) ORDER BY doc_id""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_text_pack_sequences",
       // GPT-style sequence packing: concat all docs' tokens in doc_id
       // order, cut into 512-token blocks. DuckDB replays the global
@@ -427,7 +462,8 @@ object TextOps {
              |SELECT CAST(p // 512 AS BIGINT) AS block_id,
              |       string_agg(tok, ' ' ORDER BY p) AS text,
              |       count(*) AS n_tokens
-             |FROM pos GROUP BY 1 ORDER BY block_id""".stripMargin)
+             |FROM pos GROUP BY 1 ORDER BY block_id""".stripMargin),
+      bench = true
     ),
 
     QuerySpec(

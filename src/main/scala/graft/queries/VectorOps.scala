@@ -194,7 +194,8 @@ object VectorOps {
              |         row_number() OVER (PARTITION BY q_id ORDER BY code_d2, n_id) AS rnk
              |  FROM pair)
              |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, code_d2
-             |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)
+             |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin),
+      bench = true
     ),
 
     QuerySpec(
@@ -250,7 +251,8 @@ object VectorOps {
              |)
              |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM asg
              |WHERE vec_id NOT IN (SELECT node FROM losers)
-             |ORDER BY vec_id""".stripMargin)
+             |ORDER BY vec_id""".stripMargin),
+      bench = true
     ),
 
     QuerySpec(

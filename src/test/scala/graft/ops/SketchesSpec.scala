@@ -69,6 +69,24 @@ class SketchesSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("on a parquet source the verify pass result matches exact, and its typed In predicate is pushable") {
+    val ev = graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
+    val phi = 0.01
+    val n = ev.count()
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > math.floor(phi * n).toLong)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Sketches.heavyHitters(ev, "user_id", phi)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exact && got.nonEmpty)
+    // the design decision heavyHitters relies on: a typed In on the
+    // native column reaches the scan as a pushed filter (a
+    // cast-to-string comparison would not)
+    val plan = ev.filter(col("user_id").isin(1L, 2L, 3L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(user_id"), plan)
+  }
+
   test("non-string keys verify against their native type; empty frame yields empty result") {
     val longs = (1 to 100).flatMap(i => Seq.fill(if (i <= 3) 30 else 1)(i.toLong))
       .toDF("id")
