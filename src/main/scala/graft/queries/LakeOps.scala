@@ -41,7 +41,7 @@ object LakeOps {
       } catch { case _: Throwable => () }
     }))
 
-  private def freshWarehouse(prefix: String): String = {
+  private[queries] def freshWarehouse(prefix: String): String = {
     val dir = Files.createTempDirectory(prefix)
     tempWarehouses.synchronized { tempWarehouses += dir }
     dir.toString

@@ -1023,6 +1023,198 @@ object TextOps {
              |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
              |    '\+\d{1,3}-\d{3}-\d{3,6}', '<PHONE>', 'g') AS text_redacted
              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_text_dedup_incremental",
+      incrementalDedupFlow,
+      Some(incrementalDedupOracle),
+      bench = true
+    ),
+
+    QuerySpec(
+      "q_text_dedup_stream",
+      streamDedupFlow,
+      Some(streamDedupOracle)
     )
   )
+
+  /** Incremental LSH-index dedup flow ([[graft.stream.DedupIndex]]): the
+    * documents table arrives as three batches (tertiles by doc id — the
+    * ntile window is the TEST's arrival simulator, not part of the
+    * operator; a real pipeline feeds real micro-batches). Each step
+    * probes a persistent lakehouse band index with one equality join,
+    * accepts first-seen docs, and appends its signatures exactly-once.
+    * Batch 3 is then crash-REPLAYED: it must return the same survivor
+    * set and grow the index by nothing (`replay_ok` pins both).
+    *
+    * The oracle recomputes survivors GLOBALLY — one DuckDB NOT EXISTS
+    * over the full corpus's portable-minhash bands ordered by doc id —
+    * so a hash match proves the incremental, index-backed computation
+    * equals the one-shot batch dedup exactly (the property that lets a
+    * 100 TB pipeline dedup per-arrival instead of re-running all-pairs).
+    */
+  private def incrementalDedupFlow(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val docs = t(s, dir, "documents")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    val batched = docs
+      .select(col("doc_id"), col("text"))
+      .withColumn("batch", ntile(3).over(w).cast(LongType))
+    // portable-minhash banding (same formulation as q_text_minhash_portable,
+    // long rows instead of wide columns) so DuckDB can reproduce every sig
+    def portableBands(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val sig = DedupOps.minHashSignaturesPortable(d)
+      val bandStructs = (0 until 4).map(j => struct(
+        lit(j.toLong).as("band_id"),
+        ((col(s"h${2 * j}") * 31L + col(s"h${2 * j + 1}")) % 1000000007L).as("band_sig")))
+      sig.select(col("id").as("doc_id"), explode(array(bandStructs: _*)).as("b"))
+        .select(col("doc_id"), col("b.band_id").as("band_id"),
+          col("b.band_sig").as("band_sig"))
+    }
+    val index = graft.stream.DedupIndex.createIndex(
+      s, new Path(LakeOps.freshWarehouse("graft-di"), "dedup_index"))
+    val perBatch = (1L to 3L).map { b =>
+      val part = batched.filter(col("batch") === b).drop("batch")
+      graft.stream.DedupIndex.step(index, portableBands(part), "dedup", b)
+        .withColumn("batch", lit(b))
+    }
+    val rowsBefore = index.read().count()
+    val replayed = graft.stream.DedupIndex.step(
+      index, portableBands(batched.filter(col("batch") === 3L).drop("batch")), "dedup", 3L)
+    val replayOk = replayed.count() == perBatch.last.count() &&
+      index.read().count() == rowsBefore
+    perBatch.reduce(_ unionByName _)
+      .withColumn("replay_ok", lit(replayOk))
+      .orderBy("doc_id")
+  }
+
+  /** LIVE continuous-dedup race ([[graft.stream.DedupStream]]): a real
+    * poller thread dedups the documents table as it streams raw→clean
+    * through a persistent band index, while three in-doc-id-order
+    * appends land against it. Micro-batch boundaries are whatever the
+    * race produces — the oracle can still value-check the result
+    * because first-seen-wins over (batch, doc id) is INVARIANT to
+    * contiguous batching when arrival follows doc-id order: any merge
+    * of adjacent batches preserves the global doc-id order, so the
+    * survivor set equals the one global NOT EXISTS DuckDB computes.
+    * `caught_up` pins that the stream actually drained.
+    */
+  private def streamDedupFlow(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    val batched = docs.withColumn("batch", ntile(3).over(w).cast(LongType))
+    def portableBands(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val sig = DedupOps.minHashSignaturesPortable(d)
+      val bandStructs = (0 until 4).map(j => struct(
+        lit(j.toLong).as("band_id"),
+        ((col(s"h${2 * j}") * 31L + col(s"h${2 * j + 1}")) % 1000000007L).as("band_sig")))
+      sig.select(col("id").as("doc_id"), explode(array(bandStructs: _*)).as("b"))
+        .select(col("doc_id"), col("b.band_id").as("band_id"),
+          col("b.band_sig").as("band_sig"))
+    }
+    val wh = LakeOps.freshWarehouse("graft-ds")
+    val src = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(wh, "raw"), docs.schema, None)
+    val dst = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(wh, "clean"), docs.schema, None)
+    val index = graft.stream.DedupIndex.createIndex(s, new Path(wh, "index"))
+    val q = graft.stream.DedupStream.start(
+      src, dst, index, "clean", portableBands, pollIntervalMs = 20L)
+    val caughtUp =
+      try {
+        (1L to 3L).foreach { b =>
+          src.append(batched.filter(col("batch") === b).drop("batch"))
+          Thread.sleep(30L)
+        }
+        q.awaitCaughtUp(120000L)
+      } finally q.stop()
+    dst.read().select("doc_id")
+      .withColumn("caught_up", lit(caughtUp))
+      .orderBy("doc_id")
+  }
+
+  private def streamDedupOracle: String = {
+    val mins = (0 until 8)
+      .map(i => s"min((${2 * i + 3}::BIGINT*g64 + ${5 * i + 7}) % 1000000007) AS h$i")
+      .mkString(",\n         ")
+    val bandSelects = (0 until 4)
+      .map(j => s"SELECT doc_id, ${j}::BIGINT AS band_id, " +
+        s"(h${2 * j}*31 + h${2 * j + 1}) % 1000000007 AS band_sig FROM s")
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, CASE WHEN length(tk) - 2 >= 1 THEN length(tk) - 1 ELSE 1 END),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS gram
+       |  FROM toks
+       |), h AS (
+       |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(string_split(gram, ''), c -> ascii(c)::BIGINT)),
+       |    (a, b) -> (a*31 + b) % 1000000007) AS g64
+       |  FROM g
+       |), s AS (
+       |  SELECT doc_id,
+       |         $mins
+       |  FROM h GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |), surv AS (
+       |  SELECT d.doc_id FROM documents d
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM bands a JOIN bands m
+       |      ON a.band_id = m.band_id AND a.band_sig = m.band_sig
+       |     AND a.doc_id < m.doc_id
+       |    WHERE m.doc_id = d.doc_id)
+       |)
+       |SELECT doc_id, TRUE AS caught_up
+       |FROM surv ORDER BY doc_id""".stripMargin
+  }
+
+  private def incrementalDedupOracle: String = {
+    val mins = (0 until 8)
+      .map(i => s"min((${2 * i + 3}::BIGINT*g64 + ${5 * i + 7}) % 1000000007) AS h$i")
+      .mkString(",\n         ")
+    val bandSelects = (0 until 4)
+      .map(j => s"SELECT doc_id, ${j}::BIGINT AS band_id, " +
+        s"(h${2 * j}*31 + h${2 * j + 1}) % 1000000007 AS band_sig FROM s")
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, CASE WHEN length(tk) - 2 >= 1 THEN length(tk) - 1 ELSE 1 END),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS gram
+       |  FROM toks
+       |), h AS (
+       |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(string_split(gram, ''), c -> ascii(c)::BIGINT)),
+       |    (a, b) -> (a*31 + b) % 1000000007) AS g64
+       |  FROM g
+       |), s AS (
+       |  SELECT doc_id,
+       |         $mins
+       |  FROM h GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |), nt AS (
+       |  SELECT doc_id, CAST(ntile(3) OVER (ORDER BY doc_id) AS BIGINT) AS batch
+       |  FROM documents
+       |), surv AS (
+       |  SELECT DISTINCT b.doc_id FROM bands b
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM bands a JOIN bands m
+       |      ON a.band_id = m.band_id AND a.band_sig = m.band_sig
+       |     AND a.doc_id < m.doc_id
+       |    WHERE m.doc_id = b.doc_id)
+       |)
+       |SELECT surv.doc_id, nt.batch, TRUE AS replay_ok
+       |FROM surv JOIN nt USING (doc_id) ORDER BY surv.doc_id""".stripMargin
+  }
 }

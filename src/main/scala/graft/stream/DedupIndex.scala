@@ -1,0 +1,195 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.lake.LakehouseTable
+
+/** Incremental corpus dedup against a PERSISTENT LSH band index.
+  *
+  * The batch dedup operators ([[graft.ops.DedupOps.dedupCorpus]],
+  * `dedupCorpusLsh`) answer "dedup THIS corpus" with a self-join over the
+  * whole corpus — the right shape for a one-shot clean, the wrong one for
+  * continuous ingest: re-running all-pairs over corpus ∪ batch on every
+  * arrival is O(total²) work for O(batch) new data. The shape a 100 TB
+  * ingest pipeline actually runs is an INDEX: band signatures of everything
+  * seen so far persisted in a lakehouse table, each new batch probing it
+  * with one equality join and appending its own signatures exactly-once.
+  * (The reference has no streaming dedup at all — its per-run anti-join on
+  * event ids, `lakehouse_pipeline.py:245-253`, is the exact-key analog of
+  * what this generalizes to near-duplicates.)
+  *
+  * Semantics — ONLINE FIRST-SEEN-WINS, order-free within a batch:
+  * a document is accepted iff no strictly-earlier document (earlier batch,
+  * or same batch with a smaller doc id) shares ANY (band_id, band_sig)
+  * with it. "Earlier" counts every processed document, accepted or not —
+  * a rejected near-duplicate still poisons later lookalikes, exactly as a
+  * Bloom/band index that records all seen content behaves. That choice is
+  * what makes the operator incrementally computable AND globally
+  * order-free: running it batch-by-batch yields byte-identical survivors
+  * to one global pass ordered by doc id (`q_text_dedup_incremental`
+  * proves this equivalence against a DuckDB NOT EXISTS over the full
+  * corpus).
+  *
+  * Exactly-once and replay: index rows are stamped with their batch id and
+  * committed via [[LakehouseTable.appendStream]], whose per-query watermark
+  * swallows crash-replays. History is read as `batch_id < thisBatch`, so a
+  * REPLAYED step returns the same survivor set it originally produced even
+  * though its own signatures are already in the index — the stamp, not
+  * timing, defines "earlier".
+  *
+  * 100 TB shape: the probe is one equality join on (band_id, band_sig) —
+  * no all-pairs anywhere. The index table is `bucket[N]`-partitioned on
+  * band_sig, so files cluster by signature hash: compaction keeps each
+  * bucket's rows together, manifest pruning bounds the slice of index any
+  * probe task reads, and the probe join co-partitions with the table
+  * layout instead of reshuffling the full history. Steps cost
+  * O(batch · bands) probe rows against an index read that prunes to the
+  * touched buckets.
+  */
+object DedupIndex {
+
+  /** Schema of the persisted index: one row per (document, band). */
+  val indexSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("band_id", LongType),
+    StructField("band_sig", LongType),
+    StructField("batch_id", LongType)))
+
+  /** Create (or reopen) a band index table under `tableDir`,
+    * bucket-partitioned on band_sig so probe joins align with file layout.
+    */
+  def createIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: org.apache.hadoop.fs.Path,
+      buckets: Int = 8): LakehouseTable =
+    LakehouseTable.createIfNotExists(
+      spark, tableDir, indexSchema, Seq("band_sig" -> s"bucket[$buckets]"))
+
+  /** One incremental step: dedup `batchBands` (rows of doc_id, band_id,
+    * band_sig — e.g. [[graft.ops.DedupOps.lshBands]] output renamed, or
+    * the portable-minhash banding) against everything the index has seen
+    * in batches before `batchId`, then persist this batch's signatures
+    * exactly-once under (queryId, batchId).
+    *
+    * Returns the surviving doc ids (one column, `doc_id`). The frame is
+    * lazy but deterministic under re-evaluation: history is pinned by the
+    * `batch_id < batchId` stamp, not by when the read plans.
+    */
+  def step(
+      index: LakehouseTable,
+      batchBands: DataFrame,
+      queryId: String,
+      batchId: Long,
+      settledBefore: Option[Long] = None): DataFrame = {
+    val (bands, dropped) = probeAndCommit(
+      index, batchBands, queryId, batchId, settledBefore)
+    bands.select("doc_id").distinct()
+      .join(dropped, Seq("doc_id"), "left_anti")
+  }
+
+  /** The complement of [[step]]: the doc ids REJECTED by this batch's
+    * probe (duplicate of history or of a smaller-id batch member).
+    * Consumers that must pass through documents with no signature rows
+    * at all (too short to shingle — nothing to match, so not a
+    * duplicate) anti-join their delta against this instead of
+    * semi-joining against [[step]]'s survivors; [[DedupStream]] does.
+    * Commits the index append exactly like [[step]] — call one or the
+    * other per batch, not both.
+    */
+  def stepDropped(
+      index: LakehouseTable,
+      batchBands: DataFrame,
+      queryId: String,
+      batchId: Long,
+      settledBefore: Option[Long] = None): DataFrame =
+    probeAndCommit(index, batchBands, queryId, batchId, settledBefore)._2
+
+  private def probeAndCommit(
+      index: LakehouseTable,
+      batchBands: DataFrame,
+      queryId: String,
+      batchId: Long,
+      settledBefore: Option[Long]): (DataFrame, DataFrame) = {
+    val bands = batchBands.select(
+      col("doc_id").cast(LongType).as("doc_id"),
+      col("band_id").cast(LongType).as("band_id"),
+      col("band_sig").cast(LongType).as("band_sig"))
+
+    // Seen-before probe: one equality semi-join against prior batches.
+    // History must exclude rows belonging to the CURRENT batch's docs:
+    // in a clean run batches are disjoint and the exclusion is a no-op,
+    // but after a crash between the index commit and the consumer's
+    // commit ([[DedupStream]]), the retried trigger can span a LARGER
+    // delta under a new batch id — and without the exclusion the
+    // half-committed batch's signatures would poison its own re-run
+    // (its docs collide with themselves; worse, a smaller-id newcomer
+    // sharing a band kills BOTH copies: the old doc intra-batch, the
+    // newcomer against the ghost signature). Excluding current-batch
+    // doc ids makes the retry compute first-seen-wins over the merged
+    // delta exactly as if it were the batch originally delivered —
+    // crash-consistent with no recovery protocol. `settledBefore` (the
+    // consumer's committed watermark) bounds the exclusion work: stamps
+    // at or below it are provably from disjoint, delivered batches, so
+    // the doc-id anti-join runs only against the at-most-one-crashed-
+    // batch sliver above it — O(batch) rows, not O(index).
+    val prior = index.read().filter(col("batch_id") < lit(batchId))
+    val batchDocs = bands.select("doc_id").distinct()
+    val history = settledBefore match {
+      case Some(wm) =>
+        prior.filter(col("batch_id") <= lit(wm)).select("band_id", "band_sig")
+          .unionByName(
+            prior.filter(col("batch_id") > lit(wm))
+              .join(batchDocs, Seq("doc_id"), "left_anti")
+              .select("band_id", "band_sig"))
+      case None =>
+        prior.join(batchDocs, Seq("doc_id"), "left_anti")
+          .select("band_id", "band_sig")
+    }
+    val hitHistory = bands
+      .join(history, Seq("band_id", "band_sig"), "left_semi")
+      .select("doc_id")
+
+    // intra-batch: a doc loses any bucket where a smaller doc id sits
+    val bucketMin = bands
+      .groupBy("band_id", "band_sig")
+      .agg(min(col("doc_id")).as("first_doc"))
+    val hitIntra = bands
+      .join(bucketMin, Seq("band_id", "band_sig"))
+      .filter(col("first_doc") < col("doc_id"))
+      .select("doc_id")
+
+    val dropped = hitHistory.union(hitIntra).distinct()
+
+    // persist this batch's signatures; the watermark makes replays no-op
+    index.appendStream(queryId, batchId, bands.withColumn("batch_id", lit(batchId)))
+    (bands, dropped)
+  }
+
+  /** Index maintenance: collapse the table to ONE row per distinct
+    * (band_id, band_sig), keeping the minimum doc id and batch id.
+    * Probes only test signature membership, so the index need never be
+    * larger than the distinct-signature set — without this, a corpus
+    * with heavy duplication (the whole reason to dedup) grows the index
+    * O(all seen docs · bands) instead of O(distinct sigs).
+    *
+    * Replay safety: a future step `b` filters `batch_id < b`; keeping
+    * the MIN batch id per signature can only keep a signature visible
+    * for every filter that saw it before, and a replayed PAST batch `k`
+    * sees exactly the signature set it originally did — a sig first
+    * seen in `j < k` collapses to `batch_id = j` (still `< k`, still
+    * visible), one first seen in `k` itself collapses to `batch_id = k`
+    * (still excluded, as its own batch). Survivor sets are therefore
+    * byte-identical across compaction (spec-asserted), and the
+    * overwrite commit preserves stream watermarks, so the exactly-once
+    * guard is untouched.
+    */
+  def compactIndex(index: LakehouseTable): Long = {
+    val compacted = index.read()
+      .groupBy("band_id", "band_sig")
+      .agg(min(col("doc_id")).as("doc_id"), min(col("batch_id")).as("batch_id"))
+      .select("doc_id", "band_id", "band_sig", "batch_id")
+    index.overwrite(compacted).id
+  }
+}

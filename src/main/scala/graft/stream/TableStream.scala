@@ -58,8 +58,33 @@ object TableStream {
     require(pollIntervalMs > 0, "pollIntervalMs must be positive")
     require(maxSnapshotsPerBatch >= 1, "maxSnapshotsPerBatch must be >= 1")
     val q = new TableStreamQuery(
+      src, dst, consumerId, (df, _) => transform(df), pollIntervalMs,
+      maxSnapshotsPerBatch, emitUpserts, cdcKeys = None)
+    q.startThread()
+    q
+  }
+
+  /** [[start]] with a BATCH-AWARE transform: the function also receives
+    * the micro-batch's id (the delivered source snapshot id — the same
+    * value committed as the destination watermark). This is the hook a
+    * stateful per-batch stage needs to coordinate its own exactly-once
+    * side effects with the delivery, e.g. [[DedupStream]] committing
+    * probe signatures to a [[DedupIndex]] under the identical
+    * (consumerId, batchId) before the survivors land.
+    */
+  def startBatchAware(
+      src: LakehouseTable,
+      dst: LakehouseTable,
+      consumerId: String,
+      transform: (DataFrame, Long) => DataFrame,
+      pollIntervalMs: Long = 200L,
+      maxSnapshotsPerBatch: Int = Int.MaxValue): TableStreamQuery = {
+    require(consumerId.nonEmpty, "consumerId must be non-empty")
+    require(pollIntervalMs > 0, "pollIntervalMs must be positive")
+    require(maxSnapshotsPerBatch >= 1, "maxSnapshotsPerBatch must be >= 1")
+    val q = new TableStreamQuery(
       src, dst, consumerId, transform, pollIntervalMs, maxSnapshotsPerBatch,
-      emitUpserts, cdcKeys = None)
+      emitUpserts = false, cdcKeys = None)
     q.startThread()
     q
   }
@@ -91,8 +116,8 @@ object TableStream {
     require(pollIntervalMs > 0, "pollIntervalMs must be positive")
     require(maxSnapshotsPerBatch >= 1, "maxSnapshotsPerBatch must be >= 1")
     val q = new TableStreamQuery(
-      src, dst, consumerId, transform, pollIntervalMs, maxSnapshotsPerBatch,
-      emitUpserts = true, cdcKeys = Some(keyCols))
+      src, dst, consumerId, (df, _) => transform(df), pollIntervalMs,
+      maxSnapshotsPerBatch, emitUpserts = true, cdcKeys = Some(keyCols))
     q.startThread()
     q
   }
@@ -117,7 +142,7 @@ final class TableStreamQuery private[stream] (
     src: LakehouseTable,
     dst: LakehouseTable,
     consumerId: String,
-    transform: DataFrame => DataFrame,
+    transform: (DataFrame, Long) => DataFrame,
     pollIntervalMs: Long,
     maxSnapshotsPerBatch: Int,
     emitUpserts: Boolean,
@@ -170,8 +195,8 @@ final class TableStreamQuery private[stream] (
               .filter(col("__graft_rn") === 1)
               .drop("__graft_rn", "_commit_seq")
           }
-        dst.morMergeStream(consumerId, toId, transform(reduced), keys)
-      case None => dst.appendStream(consumerId, toId, transform(delta))
+        dst.morMergeStream(consumerId, toId, transform(reduced, toId), keys)
+      case None => dst.appendStream(consumerId, toId, transform(delta, toId))
     }
     if (snap.isDefined) committed.incrementAndGet()
     // a delta that transforms to empty still advances the offset, or

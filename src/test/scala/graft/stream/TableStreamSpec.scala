@@ -55,7 +55,7 @@ class TableStreamSpec extends SparkSpec {
     assert(q0.awaitCaughtUp(10000L)); q0.stop()
     // source advances by 5 commits while the consumer is down
     (1 to 5).foreach(i => src.append(df(Seq(i))))
-    val q = new TableStreamQuery(src, dst, "m", identity, 10L, 1, false)
+    val q = new TableStreamQuery(src, dst, "m", (d, _) => d, 10L, 1, false)
     // drive deterministically: each step may deliver at most ONE commit
     var steps = 0
     while (q.step()) steps += 1
@@ -83,7 +83,7 @@ class TableStreamSpec extends SparkSpec {
     val src = fresh("empty-src"); val dst = fresh("empty-dst")
     src.append(df(Seq(1, 3))) // odds only
     val q = new TableStreamQuery(
-      src, dst, "m", (d: org.apache.spark.sql.DataFrame) => d.filter($"EventId" % 2 === 0),
+      src, dst, "m", (d, _) => d.filter($"EventId" % 2 === 0),
       10L, Int.MaxValue, false)
     q.step()
     assert(dst.read().count() == 0)
@@ -142,7 +142,7 @@ class TableStreamSpec extends SparkSpec {
   test("maintenance commits inside the range are skipped, not duplicated") {
     val src = fresh("mt-src"); val dst = fresh("mt-dst")
     src.append(df(0 until 3))
-    val q = new TableStreamQuery(src, dst, "m", identity, 10L, Int.MaxValue, false)
+    val q = new TableStreamQuery(src, dst, "m", (d, _) => d, 10L, Int.MaxValue, false)
     q.step()
     src.append(df(3 until 5))
     src.compact()
