@@ -231,6 +231,25 @@ object DedupOps {
     exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
   }
 
+  /** [[minHashSignaturesPortable]] folded to LONG band rows
+    * (doc_id, band_id, band_sig): band j pairs signature slots 2j and
+    * 2j+1 through the same `(h·31 + h') mod 1e9+7` fold as the wide
+    * `q_text_minhash_portable` form — every value DuckDB-reproducible,
+    * and the row shape [[graft.stream.DedupIndex]] probes and persists.
+    */
+  def minHashBandsPortable(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sig = minHashSignaturesPortable(docs, idCol, textCol)
+    val bandStructs = (0 until 4).map(j => struct(
+      lit(j.toLong).as("band_id"),
+      ((col(s"h${2 * j}") * 31L + col(s"h${2 * j + 1}")) % 1000000007L).as("band_sig")))
+    sig.select(col("id").as("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band_id").as("band_id"),
+        col("b.band_sig").as("band_sig"))
+  }
+
   /** SimHash over [[polyHash]] token hashes (30 usable bits), in the same
     * aggregation form as [[simHashDf]] — fully oracle-checkable.
     */

@@ -1036,6 +1036,12 @@ object TextOps {
       "q_text_dedup_stream",
       streamDedupFlow,
       Some(streamDedupOracle)
+    ),
+
+    QuerySpec(
+      "q_text_curation_stream",
+      streamCurationFlow,
+      Some(streamCurationOracle)
     )
   )
 
@@ -1062,27 +1068,19 @@ object TextOps {
     val batched = docs
       .select(col("doc_id"), col("text"))
       .withColumn("batch", ntile(3).over(w).cast(LongType))
-    // portable-minhash banding (same formulation as q_text_minhash_portable,
-    // long rows instead of wide columns) so DuckDB can reproduce every sig
-    def portableBands(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val sig = DedupOps.minHashSignaturesPortable(d)
-      val bandStructs = (0 until 4).map(j => struct(
-        lit(j.toLong).as("band_id"),
-        ((col(s"h${2 * j}") * 31L + col(s"h${2 * j + 1}")) % 1000000007L).as("band_sig")))
-      sig.select(col("id").as("doc_id"), explode(array(bandStructs: _*)).as("b"))
-        .select(col("doc_id"), col("b.band_id").as("band_id"),
-          col("b.band_sig").as("band_sig"))
-    }
     val index = graft.stream.DedupIndex.createIndex(
       s, new Path(LakeOps.freshWarehouse("graft-di"), "dedup_index"))
     val perBatch = (1L to 3L).map { b =>
       val part = batched.filter(col("batch") === b).drop("batch")
-      graft.stream.DedupIndex.step(index, portableBands(part), "dedup", b)
+      graft.stream.DedupIndex.step(
+          index, DedupOps.minHashBandsPortable(part), "dedup", b)
         .withColumn("batch", lit(b))
     }
     val rowsBefore = index.read().count()
     val replayed = graft.stream.DedupIndex.step(
-      index, portableBands(batched.filter(col("batch") === 3L).drop("batch")), "dedup", 3L)
+      index,
+      DedupOps.minHashBandsPortable(batched.filter(col("batch") === 3L).drop("batch")),
+      "dedup", 3L)
     val replayOk = replayed.count() == perBatch.last.count() &&
       index.read().count() == rowsBefore
     perBatch.reduce(_ unionByName _)
@@ -1107,15 +1105,6 @@ object TextOps {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
     val batched = docs.withColumn("batch", ntile(3).over(w).cast(LongType))
-    def portableBands(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val sig = DedupOps.minHashSignaturesPortable(d)
-      val bandStructs = (0 until 4).map(j => struct(
-        lit(j.toLong).as("band_id"),
-        ((col(s"h${2 * j}") * 31L + col(s"h${2 * j + 1}")) % 1000000007L).as("band_sig")))
-      sig.select(col("id").as("doc_id"), explode(array(bandStructs: _*)).as("b"))
-        .select(col("doc_id"), col("b.band_id").as("band_id"),
-          col("b.band_sig").as("band_sig"))
-    }
     val wh = LakeOps.freshWarehouse("graft-ds")
     val src = graft.lake.LakehouseTable.createIfNotExists(
       s, new Path(wh, "raw"), docs.schema, None)
@@ -1123,7 +1112,7 @@ object TextOps {
       s, new Path(wh, "clean"), docs.schema, None)
     val index = graft.stream.DedupIndex.createIndex(s, new Path(wh, "index"))
     val q = graft.stream.DedupStream.start(
-      src, dst, index, "clean", portableBands, pollIntervalMs = 20L)
+      src, dst, index, "clean", DedupOps.minHashBandsPortable(_), pollIntervalMs = 20L)
     val caughtUp =
       try {
         (1L to 3L).foreach { b =>
@@ -1174,6 +1163,110 @@ object TextOps {
        |)
        |SELECT doc_id, TRUE AS caught_up
        |FROM surv ORDER BY doc_id""".stripMargin
+  }
+
+  /** LIVE continuous-curation race ([[graft.stream.CurationStream]]):
+    * gate → redact → index-dedup riding the raw→clean stream while
+    * three in-order appends land. The oracle recomputes the whole
+    * composition globally in DuckDB — gate signals on RAW text, dedup
+    * signatures on REDACTED text, survivors via one NOT EXISTS — so a
+    * drift in any stage OR in their composition breaks the hash. Same
+    * batching-invariance argument as `q_text_dedup_stream`.
+    */
+  private def streamCurationFlow(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    val batched = docs.withColumn("batch", ntile(3).over(w).cast(LongType))
+    val wh = LakeOps.freshWarehouse("graft-cs")
+    val src = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(wh, "raw"), docs.schema, None)
+    val dst = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(wh, "clean"), docs.schema, None)
+    val index = graft.stream.DedupIndex.createIndex(s, new Path(wh, "index"))
+    val q = graft.stream.CurationStream.start(
+      src, dst, index, "curate",
+      bandsOf = Some(DedupOps.minHashBandsPortable(_)), pollIntervalMs = 20L)
+    val caughtUp =
+      try {
+        (1L to 3L).foreach { b =>
+          src.append(batched.filter(col("batch") === b).drop("batch"))
+          Thread.sleep(30L)
+        }
+        q.awaitCaughtUp(120000L)
+      } finally q.stop()
+    dst.read().select(col("doc_id"), col("text").as("text_clean"))
+      .withColumn("caught_up", lit(caughtUp))
+      .orderBy("doc_id")
+  }
+
+  private def streamCurationOracle: String = {
+    val mins = (0 until 8)
+      .map(i => s"min((${2 * i + 3}::BIGINT*g64 + ${5 * i + 7}) % 1000000007) AS h$i")
+      .mkString(",\n         ")
+    val bandSelects = (0 until 4)
+      .map(j => s"SELECT doc_id, ${j}::BIGINT AS band_id, " +
+        s"(h${2 * j}*31 + h${2 * j + 1}) % 1000000007 AS band_sig FROM s")
+      .mkString("\n  UNION ALL ")
+    s"""WITH tk0 AS (
+       |  SELECT doc_id, list_filter(string_split(text,' '), t -> length(t)>0) AS tk
+       |  FROM documents
+       |), sig AS (
+       |  SELECT doc_id, tk,
+       |    list_transform(range(1, CASE WHEN length(tk)-1 >= 1 THEN length(tk) ELSE 1 END),
+       |                   i -> tk[i] || ' ' || tk[i+1]) AS g2
+       |  FROM tk0
+       |), keep AS (
+       |  SELECT doc_id FROM sig
+       |  WHERE CAST(length(tk) AS BIGINT) >= 20
+       |    AND round(CAST(length(list_distinct(tk)) AS DOUBLE)
+       |              / CAST(length(tk) AS DOUBLE), 4) >= 0.35
+       |    AND round(CASE WHEN length(tk) > 0 THEN
+       |      CAST(list_max(list_transform(list_distinct(tk),
+       |             x -> length(list_filter(tk, y -> y = x)))) AS DOUBLE)
+       |        / CAST(length(tk) AS DOUBLE) ELSE 0.0 END, 4) <= 0.12
+       |    AND round(CASE WHEN length(g2) > 0 THEN
+       |      CAST(length(g2) - length(list_distinct(g2)) AS DOUBLE)
+       |        / CAST(length(g2) AS DOUBLE) ELSE 0.0 END, 4) <= 0.06
+       |), red AS (
+       |  SELECT d.doc_id,
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(d.text,
+       |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+       |      '\\+\\d{1,3}-\\d{3}-\\d{3,6}', '<PHONE>', 'g') AS text
+       |  FROM documents d JOIN keep USING (doc_id)
+       |), toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+       |  FROM red
+       |), g AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, CASE WHEN length(tk) - 2 >= 1 THEN length(tk) - 1 ELSE 1 END),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS gram
+       |  FROM toks
+       |), h AS (
+       |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(string_split(gram, ''), c -> ascii(c)::BIGINT)),
+       |    (a, b) -> (a*31 + b) % 1000000007) AS g64
+       |  FROM g
+       |), s AS (
+       |  SELECT doc_id,
+       |         $mins
+       |  FROM h GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |), surv AS (
+       |  SELECT r.doc_id FROM red r
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM bands a JOIN bands m
+       |      ON a.band_id = m.band_id AND a.band_sig = m.band_sig
+       |     AND a.doc_id < m.doc_id
+       |    WHERE m.doc_id = r.doc_id)
+       |)
+       |SELECT surv.doc_id, red.text AS text_clean, TRUE AS caught_up
+       |FROM surv JOIN red USING (doc_id) ORDER BY surv.doc_id""".stripMargin
   }
 
   private def incrementalDedupOracle: String = {
