@@ -774,6 +774,29 @@ final class LakehouseTable(
       .filter(equalValues.map { case (k, v) => col(k) === lit(v) }.reduce(_ && _))
   }
 
+  /** [[readPartition]] over a VALUE SET: plan only the partition dirs
+    * whose identity dimension matches ANY of `values` — the read an
+    * inverted-list index probe wants ([[graft.ops.VectorIndex]]: probed
+    * list ids in, only those lists' files opened). Same two metadata
+    * pruning levels as [[filesForQuery]] (manifest partition-value
+    * summaries, then path segments), one exact `isin` after.
+    */
+  def readPartitionIn(column: String, values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "readPartitionIn needs at least one value")
+    val meta = metadata
+    val snap = meta.currentSnapshot
+    require(StructType.fromDDL(meta.schemaDdl).fieldNames.contains(column),
+      s"'$column' is not a table column")
+    val wanted = values.map(v =>
+      LakehouseTable.escapeDirValue(String.valueOf(v))).toSet
+    val manifests = snap.map(log.readManifestList).getOrElse(Nil)
+      .filter(r => wanted.exists(v => r.mayContainPartitionValue(column, v)))
+    val files = manifests.flatMap(r => log.readManifest(r.path))
+      .filter(f => f.partitionSegments.get(column).forall(wanted.contains))
+    readWithDeletes(files, snap.map(liveDeleteFiles).getOrElse(Nil))
+      .filter(col(column).isin(values: _*))
+  }
+
   /** The composite lookup both dimensions exist for: identity equality
     * AND a time range (epoch micros, inclusive), pruned independently —
     * dir segments drop the foreign symbols, footer stats drop the

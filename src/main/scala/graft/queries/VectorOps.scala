@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables.t
-import graft.ops.{Multimodal, ProductQuantization, SimilaritySearch}
+import graft.ops.{Multimodal, ProductQuantization, SimilaritySearch, VectorIndex}
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity + multimodal plumbing over the embeddings /
@@ -288,6 +288,48 @@ object VectorOps {
       },
       Some("""SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS n_returned,
              |       true AS hits_exact_top5
+             |FROM embeddings WHERE vec_id < 20 ORDER BY q_id""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_vec_ann_persistent",
+      (s, dir) => {
+        // persistent IVF (two lakehouse tables, inverted lists
+        // identity-partitioned on list_id) must return EXACTLY what the
+        // in-memory ivfSearch returns over the same persisted state —
+        // partition pruning changes where bytes come from, never the
+        // answer. matches_memory is a per-probe symmetric-difference
+        // check on (q_id, n_id, rnk); the oracle asserts it as a
+        // constant, so any divergence (or a short result) breaks the
+        // hash. Recall itself is floored by q_vec_ann_ivf (same
+        // quantizer family).
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val c = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+        val wh = LakeOps.freshWarehouse("graft-vecidx")
+        val idx = VectorIndex.build(
+          s, new org.apache.hadoop.fs.Path(wh, "ivf"), c, nLists = 16)
+        val mem = SimilaritySearch.IvfIndex(
+          idx.vectors.read(), idx.centroids.read(), nLists = 16)
+        val pers = VectorIndex.search(idx, q, k = 5, nProbe = 8)
+          .select("q_id", "n_id", "rnk")
+        val inMem = SimilaritySearch.ivfSearch(mem, q, k = 5, nProbe = 8)
+          .select("q_id", "n_id", "rnk")
+        val extra = pers.join(inMem, Seq("q_id", "n_id", "rnk"), "left_anti")
+          .groupBy("q_id").agg(count(lit(1)).as("n_extra"))
+        val missing = inMem.join(pers, Seq("q_id", "n_id", "rnk"), "left_anti")
+          .groupBy("q_id").agg(count(lit(1)).as("n_missing"))
+        pers.groupBy("q_id").agg(count(lit(1)).as("n_returned"))
+          .join(extra, Seq("q_id"), "left")
+          .join(missing, Seq("q_id"), "left")
+          .select(col("q_id"), col("n_returned"),
+            (coalesce(col("n_extra"), lit(0L)) === 0L &&
+              coalesce(col("n_missing"), lit(0L)) === 0L).as("matches_memory"))
+          .orderBy("q_id")
+      },
+      Some("""SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS n_returned,
+             |       true AS matches_memory
              |FROM embeddings WHERE vec_id < 20 ORDER BY q_id""".stripMargin)
     ),
 
