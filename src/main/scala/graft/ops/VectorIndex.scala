@@ -73,6 +73,35 @@ object VectorIndex {
     idx
   }
 
+  /** [[build]] variant over a LAKEHOUSE source table, wired for
+    * [[sync]]: the quantizer fits on the source's current snapshot, but
+    * the initial list load ships through the first sync step — so the
+    * source snapshot id is recorded as the consumer watermark in the
+    * same commit, and later [[sync]] calls deliver exactly the source
+    * commits since (never a duplicate of the seed image). Use this when
+    * the corpus keeps growing; [[build]] when indexing a static frame.
+    */
+  def buildFrom(
+      src: LakehouseTable,
+      dir: Path,
+      idCol: String,
+      vecCol: String,
+      nLists: Int = 16,
+      seed: Long = 42L,
+      consumerId: String = "vector-index"): PersistentIvf = {
+    val cand = src.read().select(
+      col(idCol).cast(LongType).as("n_id"),
+      col(vecCol).cast(ArrayType(FloatType)).as("n_vec"))
+    val fit = SimilaritySearch.ivfFit(cand, nLists, seed)
+    val idx = create(src.spark, dir)
+    idx.centroids.append(conform(fit.centroids, centroidsSchema))
+    // fit.assigned is deliberately discarded: the seed rows flow through
+    // sync's assignLiteral path (parity with model.transform is pinned
+    // by ClusteringSpec), buying the atomic watermark-with-data commit
+    sync(src, idx, idCol, vecCol, consumerId)
+    idx
+  }
+
   /** Create-or-open the two index tables under `dir`. */
   def create(spark: SparkSession, dir: Path): PersistentIvf =
     PersistentIvf(
@@ -102,6 +131,49 @@ object VectorIndex {
       .withColumn("list_id", col("cluster"))
     idx.vectors.append(conform(assigned, vectorsSchema))
     ()
+  }
+
+  /** Remove vectors by id as a merge-on-read equality delete: one
+    * metadata-sized delete file, NO inverted-list rewrite — removed ids
+    * disappear from every subsequent [[search]] (the probed-list read
+    * rides [[LakehouseTable.readWithDeletes]]) and fold out physically
+    * at the next compaction. `ids` is a 1-column frame of n_id values.
+    */
+  def remove(idx: PersistentIvf, ids: DataFrame): Unit = {
+    idx.vectors.morDeleteKeys(
+      ids.select(col(ids.columns.head).cast(LongType).as("n_id")), "n_id")
+    ()
+  }
+
+  /** Keep the index fresh against a GROWING source table, exactly once:
+    * one [[graft.stream.LakehouseMirror.step]] whose transform is the
+    * frozen-quantizer assignment. The source snapshot id rides the
+    * index table's own commit as the consumer watermark, so a crash
+    * between "assign" and "record offset" is unrepresentable — the
+    * delta is either committed (watermark moved) or re-derived next
+    * call. Rows indexed exactly once, no refit, no full rescan: the
+    * delta plan reads only the source commits since the last sync.
+    *
+    * `src` must carry `(idCol: long-castable, vecCol: array<float>)`.
+    */
+  def sync(
+      src: LakehouseTable,
+      idx: PersistentIvf,
+      idCol: String,
+      vecCol: String,
+      consumerId: String = "vector-index"): Option[graft.lake.Snapshot] = {
+    val cents = idx.centroids.read().orderBy("list_id").collect()
+      .map(_.getAs[Seq[Double]]("centroid").toArray)
+    require(cents.nonEmpty, "index has no centroids — build() it first")
+    graft.stream.LakehouseMirror.step(src, idx.vectors, consumerId, delta => {
+      val batch = delta.select(
+        col(idCol).cast(LongType).as("n_id"),
+        col(vecCol).cast(ArrayType(FloatType)).as("n_vec"))
+      conform(
+        Clustering.assignLiteral(batch, "n_vec", cents.toSeq)
+          .withColumn("list_id", col("cluster")),
+        vectorsSchema)
+    })
   }
 
   /** Probe-and-score, reading only the probed lists' files. Identical

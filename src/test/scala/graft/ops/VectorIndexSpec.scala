@@ -79,4 +79,67 @@ class VectorIndexSpec extends SparkSpec {
     val res = VectorIndex.search(reopened, queries20, k = 3, nProbe = 2)
     assert(res.groupBy("q_id").count().filter(col("count") =!= 3).count() == 0)
   }
+
+  test("remove drops ids from search via a MoR delete, no list rewrite") {
+    import spark.implicits._
+    val idx = VectorIndex.build(
+      spark, new Path(tmpDir("vecidx-remove"), "ivf"), corpus, nLists = 4)
+    val filesBefore = idx.vectors.currentDataFiles.map(_.path).toSet
+
+    val victims = VectorIndex.search(idx, queries20, k = 3, nProbe = 4)
+      .select("n_id").distinct().limit(5).collect().map(_.getLong(0)).toSeq
+    VectorIndex.remove(idx, victims.toDF("n_id"))
+
+    val after = VectorIndex.search(idx, queries20, k = 3, nProbe = 4)
+      .select("n_id").collect().map(_.getLong(0)).toSet
+    assert(victims.forall(v => !after.contains(v)),
+      s"removed ids must not be returned (leaked: ${victims.filter(after.contains)})")
+    assert(idx.vectors.currentDataFiles.map(_.path).toSet == filesBefore,
+      "equality delete must not rewrite any inverted-list file")
+  }
+
+  test("buildFrom + sync index a growing source exactly once") {
+    import graft.lake.LakehouseTable
+    import org.apache.spark.sql.types._
+    val root = tmpDir("vecidx-sync")
+    val srcSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val src = LakehouseTable.createIfNotExists(
+      spark, new Path(root, "src"), srcSchema, Nil)
+    val all = emb.select(col("vec_id"),
+      col("embedding").cast(ArrayType(FloatType)).as("embedding"))
+    src.append(all.filter(col("vec_id") < 60))
+
+    val idx = VectorIndex.buildFrom(
+      src, new Path(root, "ivf"), "vec_id", "embedding", nLists = 4)
+    assert(idx.vectors.read().count() == 60,
+      "the seed image must ship through the first sync, once")
+
+    // grow the source across two commits; one sync picks up both
+    src.append(all.filter(col("vec_id") >= 60 && col("vec_id") < 80))
+    src.append(all.filter(col("vec_id") >= 80 && col("vec_id") < 90))
+    assert(VectorIndex.sync(src, idx, "vec_id", "embedding").nonEmpty)
+    val ids = idx.vectors.read().select("n_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.length == 90 && ids.distinct.length == 90,
+      s"every source row indexed exactly once (got ${ids.length}, ${ids.distinct.length} distinct)")
+
+    // idempotent: nothing new → no commit, no duplicates
+    assert(VectorIndex.sync(src, idx, "vec_id", "embedding").isEmpty)
+    assert(idx.vectors.read().count() == 90)
+
+    // synced rows sit where the frozen quantizer puts them
+    val cents = idx.centroids.read().orderBy("list_id").collect()
+      .map(_.getAs[Seq[Double]]("centroid").toArray).toSeq
+    val expect = Clustering.assignLiteral(
+        all.filter(col("vec_id") >= 60 && col("vec_id") < 90)
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_vec")),
+        "n_vec", cents)
+      .select(col("n_id"), col("cluster").cast("long").as("list_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = idx.vectors.read().filter(col("n_id") >= 60)
+      .select("n_id", "list_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, "sync must assign against the frozen centroids")
+  }
 }
