@@ -19,6 +19,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // testdata parquet stores naive timestamp[us]; read it as TIMESTAMP
+      // (session tz = UTC) so epoch extraction (unix_micros) works and the
+      // values match the oracle's naive-as-UTC interpretation
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()

@@ -3,6 +3,7 @@ package graft.ingest
 import graft.lake.LakehouseTable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
 
 /** Unbounded-history deduplication against the table's full live data —
   * the reference's `deduplicate`
@@ -31,7 +32,7 @@ object Dedup {
     // year-partition pruning, which it subsumes)
     val pruned = if (meta.partitionTransform.contains(key)) {
       val Array(lo, hi) = newDf
-        .agg(min(unix_micros(col(key))), max(unix_micros(col(key))))
+        .agg(min(unix_micros(col(key).cast(TimestampType))), max(unix_micros(col(key).cast(TimestampType))))
         .head().toSeq.toArray
       (lo, hi) match {
         case (l: Long, h: Long) => table.readRange(l, h)

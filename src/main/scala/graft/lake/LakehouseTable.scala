@@ -3,7 +3,7 @@ package graft.lake
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
 
 import java.util.UUID
 
@@ -666,7 +666,7 @@ final class LakehouseTable(
       throw new IllegalStateException("point lookup needs a partition-source key column"))
     readWithDeletes(filesContainingAnyKeyIn(meta, snap, keysUs),
       snap.map(liveDeleteFiles).getOrElse(Nil))
-      .filter(unix_micros(col(keyCol)).isin(keysUs: _*))
+      .filter(unix_micros(col(keyCol).cast(TimestampType)).isin(keysUs: _*))
   }
 
   /** Equality-key read on a bucket[N]-partitioned table: each key's
@@ -811,7 +811,7 @@ final class LakehouseTable(
     val key = meta.statsSource.getOrElse(throw new IllegalStateException(
       "range read needs a declared time/stats source column"))
     val files = filesForQueryIn(meta, snap, equalValues, Some((loUs, hiUs)))
-    val timePred = unix_micros(col(key)).between(loUs, hiUs)
+    val timePred = unix_micros(col(key).cast(TimestampType)).between(loUs, hiUs)
     val pred = equalValues.map { case (k, v) => col(k) === lit(v) }
       .foldLeft(timePred)(_ && _)
     readWithDeletes(files, snap.map(liveDeleteFiles).getOrElse(Nil)).filter(pred)
@@ -1564,7 +1564,7 @@ final class LakehouseTable(
     val candidates =
       if (meta.partitionTransform.contains(key) && srcIsTimestamp) {
         val Array(lo, hi) = batch
-          .agg(min(unix_micros(col(key))), max(unix_micros(col(key))))
+          .agg(min(unix_micros(col(key).cast(TimestampType))), max(unix_micros(col(key).cast(TimestampType))))
           .head().toSeq.toArray
         (lo, hi) match {
           case (l: java.lang.Long, h: java.lang.Long) =>

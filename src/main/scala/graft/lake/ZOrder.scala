@@ -33,7 +33,10 @@ object ZOrder {
     * harmless).
     */
   def rep(c: Column, dt: DataType): Column = dt match {
-    case TimestampType | TimestampNTZType => unix_micros(c).cast("double")
+    // NTZ first casts to TIMESTAMP (session tz, UTC across graft) —
+    // unix_micros itself rejects TIMESTAMP_NTZ input
+    case TimestampType | TimestampNTZType =>
+      unix_micros(c.cast(TimestampType)).cast("double")
     case _ => c.cast("double")
   }
 

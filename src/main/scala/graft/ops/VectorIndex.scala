@@ -87,18 +87,28 @@ object VectorIndex {
       idCol: String,
       vecCol: String,
       nLists: Int = 16,
-      seed: Long = 42L,
-      consumerId: String = "vector-index"): PersistentIvf = {
-    val cand = src.read().select(
-      col(idCol).cast(LongType).as("n_id"),
-      col(vecCol).cast(ArrayType(FloatType)).as("n_vec"))
-    val fit = SimilaritySearch.ivfFit(cand, nLists, seed)
+      seed: Long = 42L): PersistentIvf = {
+    require(src.metadata.currentSnapshot.nonEmpty,
+      s"source table ${src.tableDir} is empty — nothing to fit the quantizer on")
     val idx = create(src.spark, dir)
-    idx.centroids.append(conform(fit.centroids, centroidsSchema))
+    // idempotence / crash-safety (ADVICE r7): create() is
+    // createIfNotExists, so a re-run (e.g. after a crash between the
+    // centroid commit and the first sync) must NOT fit and append a
+    // second centroid set — duplicate list_ids would desynchronize
+    // sync's positional assignLiteral indexing from the stored ids and
+    // silently mis-assign every synced row. An existing centroid set is
+    // reused as the frozen quantizer; only the sync step runs again.
+    if (idx.centroids.metadata.currentSnapshot.isEmpty) {
+      val cand = src.read().select(
+        col(idCol).cast(LongType).as("n_id"),
+        col(vecCol).cast(ArrayType(FloatType)).as("n_vec"))
+      val fit = SimilaritySearch.ivfFit(cand, nLists, seed)
+      idx.centroids.append(conform(fit.centroids, centroidsSchema))
+    }
     // fit.assigned is deliberately discarded: the seed rows flow through
     // sync's assignLiteral path (parity with model.transform is pinned
     // by ClusteringSpec), buying the atomic watermark-with-data commit
-    sync(src, idx, idCol, vecCol, consumerId)
+    sync(src, idx, idCol, vecCol)
     idx
   }
 
@@ -160,8 +170,13 @@ object VectorIndex {
       src: LakehouseTable,
       idx: PersistentIvf,
       idCol: String,
-      vecCol: String,
-      consumerId: String = "vector-index"): Option[graft.lake.Snapshot] = {
+      vecCol: String): Option[graft.lake.Snapshot] = {
+    // the consumer id is DERIVED, not a parameter (ADVICE r7): a
+    // buildFrom/sync pair called with different ids would miss the
+    // watermark and re-ship the full seed image as duplicates. The
+    // watermark lives in the index's own metadata, so a constant is
+    // already unique per index.
+    val consumerId = "vector-index"
     val cents = idx.centroids.read().orderBy("list_id").collect()
       .map(_.getAs[Seq[Double]]("centroid").toArray)
     require(cents.nonEmpty, "index has no centroids — build() it first")

@@ -408,7 +408,15 @@ object TextOps {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val vocab = graft.ops.Vocabulary.build(docs, "text", maxSize = 10000)
+        // the id array is value-checked as a CSV string: the driver's
+        // pandas-side compare sorts every output column, and a list
+        // column is unhashable there (broke CORRECTNESS_r07) — the csv
+        // serialization is order-exact, so nothing is lost
         graft.ops.Vocabulary.encode(docs, "doc_id", "text", vocab)
+          .select(col("doc_id"),
+            array_join(expr("transform(token_ids, x -> cast(x AS string))"), ",")
+              .as("token_ids_csv"),
+            col("n_tokens"))
           .orderBy("doc_id")
       },
       Some("""WITH tk AS (
@@ -429,7 +437,7 @@ object TextOps {
              |  FROM toks t JOIN voc v ON t.tok = v.tok GROUP BY 1
              |)
              |SELECT k.doc_id,
-             |       coalesce(e.token_ids, CAST([] AS BIGINT[])) AS token_ids,
+             |       array_to_string(coalesce(e.token_ids, CAST([] AS BIGINT[])), ',') AS token_ids_csv,
              |       CAST(coalesce(length(e.token_ids), 0) AS BIGINT) AS n_tokens
              |FROM tk k LEFT JOIN enc e USING (doc_id) ORDER BY doc_id""".stripMargin)
     ),

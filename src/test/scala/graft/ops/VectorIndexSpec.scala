@@ -142,4 +142,50 @@ class VectorIndexSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expect, "sync must assign against the frozen centroids")
   }
+
+  test("buildFrom re-run is idempotent: no duplicate centroid set, no duplicate rows") {
+    import graft.lake.LakehouseTable
+    import org.apache.spark.sql.types._
+    val root = tmpDir("vecidx-rerun")
+    val srcSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val src = LakehouseTable.createIfNotExists(
+      spark, new Path(root, "src"), srcSchema, Nil)
+    src.append(emb.select(col("vec_id"),
+      col("embedding").cast(ArrayType(FloatType)).as("embedding"))
+      .filter(col("vec_id") < 40))
+
+    val idx = VectorIndex.buildFrom(
+      src, new Path(root, "ivf"), "vec_id", "embedding", nLists = 4)
+    val centsBefore = idx.centroids.read().orderBy("list_id").collect().toSeq
+    assert(centsBefore.map(_.getLong(0)) == (0L until 4L),
+      "one centroid row per list, ids dense")
+
+    // crash-recovery shape: the same buildFrom runs again over the same
+    // dir — centroids must be REUSED (not re-fit and re-appended, which
+    // would desync positional assignment), and no row ships twice
+    val again = VectorIndex.buildFrom(
+      src, new Path(root, "ivf"), "vec_id", "embedding", nLists = 4)
+    assert(again.centroids.read().orderBy("list_id").collect().toSeq == centsBefore,
+      "re-run must not append a second centroid set")
+    val ids = again.vectors.read().select("n_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.length == 40 && ids.distinct.length == 40,
+      s"re-run must not duplicate seed rows (got ${ids.length})")
+  }
+
+  test("buildFrom on an empty source fails fast with a clear message") {
+    import graft.lake.LakehouseTable
+    import org.apache.spark.sql.types._
+    val root = tmpDir("vecidx-empty")
+    val src = LakehouseTable.createIfNotExists(
+      spark, new Path(root, "src"),
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))), Nil)
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.buildFrom(src, new Path(root, "ivf"), "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("empty"), s"opaque error: ${e.getMessage}")
+  }
 }
