@@ -624,6 +624,55 @@ object LakeOps {
       .withColumn("replay_noop", lit(replayNoop))
   }
 
+  /** Structured-Streaming lakehouse round trip
+    * ([[graft.stream.GraftTableSourceProvider]]): bronze → gold through
+    * `spark.readStream.format("graft-table")` feeding
+    * `writeStream.format("graft-table")` — snapshot diffs as
+    * micro-batches on the way in (batch 0 = the table image, then pure
+    * metadata deltas), atomic exactly-once snapshot commits on the way
+    * out. The query is STOPPED and restarted from its checkpoint with a
+    * commit landing while it is down, so the count/sum oracle pins
+    * resume-without-replay, and a forced re-delivery of the last batch
+    * id pins the sink ledger's idempotence.
+    */
+  def readStreamFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = graft.Tables.t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
+    val wh = freshWarehouse("graft-rss")
+    val src = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(wh, "bronze"), ev.schema, Some("ts"))
+    val dst = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(wh, "gold"), ev.schema, Some("ts"))
+    def start() = s.readStream.format("graft-table")
+      .option("path", src.tableDir.toString).load()
+      .writeStream.format("graft-table")
+      .option("path", dst.tableDir.toString)
+      .option("queryId", "gold")
+      .option("checkpointLocation", s"$wh/ckpt")
+      .trigger(Trigger.ProcessingTime(20L))
+      .start()
+    src.append(ev.filter(col("event_id") % 3 === 0))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // image delivered, consumer goes down
+    src.append(ev.filter(col("event_id") % 3 === 1)) // commit while down
+    val q2 = start()
+    val restartedClean =
+      try {
+        q2.processAllAvailable() // checkpoint resume picks up the missed delta
+        src.append(ev.filter(col("event_id") % 3 === 2)) // and a live one
+        q2.processAllAvailable()
+        q2.exception.isEmpty
+      } finally q2.stop()
+    val replayNoop = dst.appendStream("gold",
+      dst.metadata.streamWatermarks("gold"), src.read()).isEmpty
+    dst.read().agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .withColumn("restarted_clean", lit(restartedClean))
+      .withColumn("replay_noop", lit(replayNoop))
+  }
+
   /** Incremental-rollup flow ([[graft.stream.IncrementalRollup]]):
     * a per-event_type materialized aggregate maintained across three
     * chunked appends with O(delta) refreshes — including a refresh
@@ -1041,6 +1090,16 @@ object LakeOps {
       Some("""SELECT count(*) AS n_rows,
              |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
              |       true AS caught_up,
+             |       true AS replay_noop
+             |FROM events""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_readstream",
+      readStreamFlow,
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       true AS restarted_clean,
              |       true AS replay_noop
              |FROM events""".stripMargin)
     ),

@@ -1,0 +1,230 @@
+package graft.stream
+
+import graft.lake.{LakehouseTable, TableMetadata}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graft.StreamShim
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Lakehouse tables as FIRST-CLASS Structured Streaming endpoints —
+  * `spark.readStream.format("graft-table")` turns snapshot diffs into
+  * micro-batches (the consumption half of CDC that Iceberg's Spark
+  * streaming read provides; [[TableStream]] is the self-scheduled
+  * poll-loop sibling, this is the idiomatic Spark surface), and
+  * `df.writeStream.format("graft-table")` lands micro-batches as
+  * exactly-once atomic snapshot commits.
+  *
+  * Source contract (offsets ARE snapshot ids):
+  *
+  *   - an offset is a committed snapshot id; `getBatch((a, b])` is
+  *     [[LakehouseTable.readIncremental]] — pure metadata planning, the
+  *     added manifests of the range are the file list, nothing is
+  *     diffed. At 100 TB a trigger reads ONLY the new files;
+  *   - batch 0 is the full table image pinned at the first offset
+  *     (`startingOffset=earliest`, default) or nothing
+  *     (`startingOffset=latest` — deltas only, from the snapshot
+  *     current when the query started). The Spark checkpoint then owns
+  *     resume: a restart replays `(checkpointed, current]` exactly;
+  *   - `maxSnapshotsPerTrigger=N` caps a trigger's delta at N source
+  *     commits (rate limiting for catch-up after downtime); the batch-0
+  *     image is never capped (it is one atomic image, not a range);
+  *   - `emitUpserts=true` additionally streams merge-on-read upsert row
+  *     images, each stamped `_commit_seq` (the committing snapshot id)
+  *     so a by-key consumer keeps the max-sequence image; plain
+  *     append-only mode throws on such commits rather than silently
+  *     missing rewritten rows — [[LakehouseTable.readIncremental]]'s
+  *     classification, inherited unchanged.
+  *
+  * The micro-batch DataFrames keep the native read path's plan shape
+  * (parquet leaf relations — [[StreamShim.asStreaming]] only re-tags
+  * them), so filter pushdown and codegen hold per micro-batch.
+  *
+  * Sink contract: `option("queryId", stable-name)` keys
+  * [[LakehouseTable.appendStream]]'s exactly-once ledger — a replayed
+  * micro-batch after a crash finds its (queryId, batchId) already
+  * committed and no-ops. Only `OutputMode.Append` is accepted: the sink
+  * writes snapshots, it cannot retract rows an Update/Complete mode
+  * would re-deliver.
+  */
+class GraftTableSourceProvider
+    extends StreamSourceProvider with StreamSinkProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  private def pathOf(parameters: Map[String, String]): Path =
+    new Path(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "option 'path' (the lakehouse table dir) is required")))
+
+  private def emitUpserts(parameters: Map[String, String]): Boolean =
+    parameters.get("emitUpserts").exists(_.toBoolean)
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val table = LakehouseTable.load(sqlContext.sparkSession, pathOf(parameters))
+    (shortName(), GraftTableSource.sourceSchema(table.schema, emitUpserts(parameters)))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftTableSource(
+      sqlContext.sparkSession,
+      pathOf(parameters),
+      emitUpserts = emitUpserts(parameters),
+      startFromLatest = parameters.get("startingOffset") match {
+        case None | Some("earliest") => false
+        case Some("latest") => true
+        case Some(other) => throw new IllegalArgumentException(
+          s"startingOffset must be 'earliest' or 'latest', got '$other'")
+      },
+      maxSnapshotsPerTrigger = parameters.get("maxSnapshotsPerTrigger").map { v =>
+        val n = v.toInt
+        require(n > 0, s"maxSnapshotsPerTrigger must be positive, got $n")
+        n
+      })
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-table sink supports Append output mode only, got $outputMode")
+    new GraftTableSink(
+      sqlContext.sparkSession,
+      pathOf(parameters),
+      parameters.getOrElse("queryId",
+        throw new IllegalArgumentException(
+          "option 'queryId' (stable exactly-once ledger key) is required")))
+  }
+}
+
+/** A snapshot id as a streaming offset. */
+case class GraftTableOffset(snapshotId: Long) extends OffsetV1 {
+  override def json: String = snapshotId.toString
+}
+
+object GraftTableSource {
+  def sourceSchema(tableSchema: StructType, emitUpserts: Boolean): StructType =
+    if (emitUpserts) tableSchema.add("_commit_seq", LongType, nullable = true)
+    else tableSchema
+}
+
+class GraftTableSource(
+    spark: SparkSession,
+    tableDir: Path,
+    emitUpserts: Boolean,
+    startFromLatest: Boolean,
+    maxSnapshotsPerTrigger: Option[Int]) extends Source {
+
+  private val table = LakehouseTable.load(spark, tableDir)
+
+  override val schema: StructType =
+    GraftTableSource.sourceSchema(table.schema, emitUpserts)
+
+  /** Highest snapshot id already handed out as a batch end (exclusive
+    * base of the next delta). Rebuilt from the checkpoint on restart:
+    * the replayed getBatch's `end` lands here before any new offer.
+    */
+  private var lastEnd: Option[Long] = None
+
+  /** `latest` start: deltas begin at the snapshot current when the
+    * query started — captured ONCE so the semantics don't drift if
+    * getOffset first runs after more commits.
+    */
+  private val baseAtStart: Option[Long] =
+    if (startFromLatest) table.metadata.currentSnapshotId else None
+
+  /** Main-ancestry ids in (base, cur], oldest first. Throws when `base`
+    * is not an ancestor (expired mid-range) — a capped offer must never
+    * silently skip a commit.
+    */
+  private def chainAfter(meta: TableMetadata, cur: Long, base: Long): Seq[Long] = {
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var at = meta.snapshotById(cur)
+    while (at.exists(_.id != base)) {
+      ids += at.get.id
+      at = at.get.parentId.flatMap(meta.snapshotById)
+    }
+    if (at.isEmpty) throw new IllegalStateException(
+      s"snapshot $base is no longer an ancestor of $cur (expired mid-stream?) — " +
+        "the delta would be incomplete")
+    ids.reverse.toSeq
+  }
+
+  override def getOffset: Option[OffsetV1] = {
+    val meta = table.metadata // fresh log read — the table may have advanced
+    meta.currentSnapshotId.flatMap { cur =>
+      lastEnd.orElse(baseAtStart) match {
+        case Some(base) if base == cur => None // nothing new
+        case Some(base) =>
+          val end = maxSnapshotsPerTrigger match {
+            case Some(max) => chainAfter(meta, cur, base).take(max).last
+            case None => cur
+          }
+          Some(GraftTableOffset(end))
+        case None => Some(GraftTableOffset(cur)) // batch 0: one atomic image, uncapped
+      }
+    }
+  }
+
+  private def sid(o: OffsetV1): Long = o.json.toLong
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val endId = sid(end)
+    val base = start.map(sid).orElse(baseAtStart)
+    val batch = base match {
+      case Some(b) if b == endId => // restart edge: already-delivered range
+        spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+      case Some(b) =>
+        table.readIncremental(b, endId, emitUpserts)
+      case None =>
+        val image = table.timeTravel(endId)
+        if (emitUpserts) image.withColumn("_commit_seq", lit(endId)) else image
+    }
+    lastEnd = Some(math.max(endId, lastEnd.getOrElse(Long.MinValue)))
+    // pin column order to the declared source schema, then re-tag the
+    // leaves streaming (MicroBatchExecution asserts isStreaming)
+    StreamShim.asStreaming(batch.select(schema.fieldNames.map(col).toSeq: _*))
+  }
+
+  override def commit(end: OffsetV1): Unit = () // resume state lives in the checkpoint
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftTableSource[$tableDir]"
+}
+
+/** Exactly-once streaming sink: each micro-batch is one atomic snapshot
+  * commit carrying its (queryId, batchId) watermark —
+  * [[LakehouseTable.appendStream]], so a crash-replayed batch no-ops.
+  */
+class GraftTableSink(
+    spark: SparkSession,
+    tableDir: Path,
+    queryId: String) extends Sink {
+
+  private val table = LakehouseTable.load(spark, tableDir)
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the incoming frame is a streaming plan over this micro-batch; pin
+    // its RDD under a batch-tagged node before driving the table write
+    table.appendStream(queryId, batchId, StreamShim.asBatch(data))
+    ()
+  }
+
+  override def name(): String = s"GraftTableSink[$tableDir]"
+
+  override def toString: String = name()
+}
