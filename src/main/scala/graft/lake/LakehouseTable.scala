@@ -535,11 +535,12 @@ final class LakehouseTable(
     * missing from the delta) breaks the walk and throws instead of
     * returning an incomplete diff.
     */
-  def readIncremental(
-      fromSnapshotId: Long,
-      toSnapshotId: Long,
-      emitUpserts: Boolean = false): DataFrame = {
-    val meta = metadata
+  /** Main-ancestry snapshots in `(from, to]`, oldest first. Throws when
+    * the parent walk cannot reach `from` — an expired snapshot inside
+    * the range would make any incremental result silently incomplete.
+    */
+  private def snapshotChain(
+      meta: TableMetadata, fromSnapshotId: Long, toSnapshotId: Long): Seq[Snapshot] = {
     require(meta.snapshotById(fromSnapshotId).isDefined,
       s"from-snapshot $fromSnapshotId not found (expired?)")
     val chain = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
@@ -555,7 +556,16 @@ final class LakehouseTable(
         s"snapshot chain from $toSnapshotId back to $fromSnapshotId is broken " +
           "(a snapshot inside the range expired, or from is not an ancestor of to) — "
           + "the delta would be incomplete")
-    val perSnapshot: Seq[(Snapshot, Seq[DataFile])] = chain.reverseIterator.map { s =>
+    chain.reverseIterator.toSeq
+  }
+
+  def readIncremental(
+      fromSnapshotId: Long,
+      toSnapshotId: Long,
+      emitUpserts: Boolean = false): DataFrame = {
+    val meta = metadata
+    val perSnapshot: Seq[(Snapshot, Seq[DataFile])] =
+      snapshotChain(meta, fromSnapshotId, toSnapshotId).map { s =>
       val parent = s.parentId.flatMap(meta.snapshotById)
       val parentData = parent.map(p => log.readManifestList(p).map(_.path).toSet).getOrElse(Set.empty)
       val selfRefs = log.readManifestList(s).map(_.path).toSet
@@ -606,6 +616,113 @@ final class LakehouseTable(
     readIncremental(fromSnapshotId,
       metadata.currentSnapshotId.getOrElse(
         throw new IllegalStateException("empty table has no current snapshot")))
+
+  /** CHANGE DATA FEED over `(from, to]` — the row-level change stream
+    * (Delta CDF / Iceberg changelog analog) a downstream keyed consumer
+    * applies instead of rescanning the table. Every emitted row carries
+    *
+    *   - `_change_type`: `insert` (pure append), `upsert` (merge-on-read
+    *     upsert post-image), or `delete` (merge-on-read delete
+    *     PRE-image — the full deleted row, not just its key);
+    *   - `_commit_seq`: the committing snapshot id (strictly increasing,
+    *     so it doubles as the apply order).
+    *
+    * By-key apply: for each key keep the max-`_commit_seq` event; a
+    * `delete` means absent, anything else means that image — the fold
+    * reproduces the table's end state exactly (spec-pinned).
+    *
+    * Delete pre-images cost one PRUNED parent read per delete commit:
+    * equality deletes semi-join the parent's visible rows on the key
+    * files (broadcast, metadata-sized — the same join the masking read
+    * pays), positional deletes semi-join on the (file, row) pairs. A
+    * commit mixing both dedups on position so a doubly-masked row emits
+    * once. Copy-on-write commits (COW merge/delete/update, overwrite,
+    * truncate) still throw: they rewrite files without recording which
+    * rows changed, and diffing images is a table scan in disguise —
+    * the MoR paths exist precisely to keep changes row-addressable.
+    */
+  def readChangeFeed(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    val meta = metadata
+    val frames = snapshotChain(meta, fromSnapshotId, toSnapshotId).flatMap { s =>
+      val parent = s.parentId.flatMap(meta.snapshotById)
+      val parentData = parent.map(p => log.readManifestList(p).map(_.path).toSet).getOrElse(Set.empty)
+      val selfRefs = log.readManifestList(s).map(_.path).toSet
+      val parentDelPaths = parent.map(p => liveDeleteFiles(p).map(_.path).toSet).getOrElse(Set.empty)
+      val selfDelFiles = liveDeleteFiles(s)
+      val selfDels = selfDelFiles.map(_.path).toSet
+      val dataIntact = parentData.subsetOf(selfRefs) &&
+        (selfRefs -- parentData).subsetOf(s.addedManifest.toSet)
+      val pureAppend = dataIntact && selfDels == parentDelPaths
+      val upsertShaped = dataIntact && parentDelPaths.subsetOf(selfDels) &&
+        s.addedManifest.isDefined
+      val deleteShaped = parentData == selfRefs && s.addedManifest.isEmpty &&
+        parentDelPaths.subsetOf(selfDels) && selfDels != parentDelPaths
+      val rewriteOnly = s.addedRows == 0L &&
+        Set("compact", "rewrite-manifests").contains(s.operation)
+      val typed: Option[DataFrame] =
+        if (pureAppend)
+          s.addedManifest.map(log.readManifest).filter(_.nonEmpty)
+            .map(fs => readFiles(fs).withColumn("_change_type", lit("insert")))
+        else if (upsertShaped)
+          Some(readFiles(log.readManifest(s.addedManifest.get))
+            .withColumn("_change_type", lit("upsert")))
+        else if (deleteShaped)
+          parent.map(p => deletePreImages(
+              p, selfDelFiles.filterNot(d => parentDelPaths.contains(d.path)))
+            .withColumn("_change_type", lit("delete")))
+        else if (rewriteOnly) None
+        else throw new UnsupportedOperationException(
+          s"change feed across snapshot ${s.id} ('${s.operation}'): the commit " +
+            "rewrote files without row-level change records — route deletes/upserts " +
+            "through the merge-on-read paths (morDeleteKeys/morDeleteWhere/morMerge) " +
+            "to keep the table change-feedable")
+      typed.map(_.withColumn("_commit_seq", lit(s.id)))
+    }
+    frames.reduceOption(_ unionByName _).getOrElse(
+      readFiles(Nil)
+        .withColumn("_change_type", lit(null).cast("string"))
+        .withColumn("_commit_seq", lit(null).cast("long")))
+  }
+
+  /** The parent-visible rows a delete commit's new delete files mask —
+    * the `delete` pre-images of [[readChangeFeed]]. Equality files
+    * semi-join on their (rename-resolved) key columns; positional files
+    * on the (file, row) pair; a row matched by both emits once.
+    */
+  private def deletePreImages(parent: Snapshot, newDels: Seq[DeleteFile]): DataFrame = {
+    val posNames = ("__graft_cdc_path", "__graft_cdc_idx")
+    val (posDels, eqDels) = newDels.partition(_.isPositional)
+    val visible = readWithDeletes(dataFiles(parent), liveDeleteFiles(parent),
+      keepPosColumns = Some(posNames))
+    val toCurrent: Map[String, String] = metadata.aliasMap.flatMap {
+      case (cur, hist) => hist.map(_ -> cur)
+    }
+    val eqSelected = eqDels
+      .groupBy(d => d.keyCols.map(k => toCurrent.getOrElse(k, k))).toSeq
+      .map { case (curKeys, ds) =>
+        val keys = ds.map(d =>
+          spark.read.parquet(new Path(tableDir, d.path).toString)
+            .select(d.keyCols.zip(curKeys).map {
+              case (hist, cur) => col(hist).as(cur)
+            }: _*))
+          .reduce(_ unionByName _)
+        visible.join(maybeBroadcast(keys, ds.map(_.rows).sum), curKeys, "left_semi")
+      }
+    val posSelected = if (posDels.isEmpty) Nil else Seq {
+      val positions = posDels.map(d =>
+        spark.read.parquet(new Path(tableDir, d.path).toString)
+          .select(col("file_path").as(posNames._1), col("row_index").as(posNames._2)))
+        .reduce(_ unionByName _)
+      visible.join(maybeBroadcast(positions, posDels.map(_.rows).sum),
+        Seq(posNames._1, posNames._2), "left_semi")
+    }
+    val selected = (eqSelected ++ posSelected).reduce(_ unionByName _)
+    val once =
+      if (eqSelected.size + posSelected.size > 1)
+        selected.dropDuplicates(posNames._1, posNames._2)
+      else selected
+    once.drop(posNames._1, posNames._2)
+  }
 
   /** Current-snapshot files whose key-column stats overlap [loUs, hiUs]
     * — two-level metadata skipping: manifest-list bounds drop whole

@@ -673,6 +673,50 @@ object LakeOps {
       .withColumn("replay_noop", lit(replayNoop))
   }
 
+  /** Change-data-feed flow ([[graft.lake.LakehouseTable.readChangeFeed]]):
+    * seed a table, then append + merge-on-read upsert + merge-on-read
+    * delete, and read the row-level change stream of that range. The
+    * by-key max-`_commit_seq` fold (delete ⇒ absent) over seed image +
+    * feed must reproduce the table's end state EXACTLY — `fold_matches`
+    * pins the frame-level equality, and the count/sum/type-count oracle
+    * recomputes the expected end state and event counts from the raw
+    * events in DuckDB.
+    */
+  def changeFeedFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
+    val wh = freshWarehouse("graft-cdf")
+    val t = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(wh, "bronze"), ev.schema, Some("ts"))
+    t.append(ev.filter(col("event_id") % 3 =!= 2))
+    val from = t.metadata.currentSnapshotId.get
+    t.append(ev.filter(col("event_id") % 3 === 2))
+    t.morMerge(ev.filter(col("event_id") % 10 === 0)
+      .withColumn("value", col("value") + lit(1000.0)), "event_id")
+    t.morDeleteKeys(ev.filter(col("event_id") % 7 === 0).select("event_id"), "event_id")
+    val cdf = t.readChangeFeed(from, t.metadata.currentSnapshotId.get)
+    val seed = t.timeTravel(from)
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_seq", lit(from))
+    val w = Window.partitionBy("event_id").orderBy(col("_commit_seq").desc)
+    val folded = seed.unionByName(cdf)
+      .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .filter(col("_change_type") =!= "delete")
+      .select("event_id", "ts", "value")
+    val end = t.read().select("event_id", "ts", "value")
+    val foldMatches = folded.exceptAll(end).isEmpty && end.exceptAll(folded).isEmpty
+    val byType = cdf.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    folded.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .withColumn("n_insert", lit(byType.getOrElse("insert", 0L)))
+      .withColumn("n_upsert", lit(byType.getOrElse("upsert", 0L)))
+      .withColumn("n_delete", lit(byType.getOrElse("delete", 0L)))
+      .withColumn("fold_matches", lit(foldMatches))
+  }
+
   /** Incremental-rollup flow ([[graft.stream.IncrementalRollup]]):
     * a per-event_type materialized aggregate maintained across three
     * chunked appends with O(delta) refreshes — including a refresh
@@ -1092,6 +1136,22 @@ object LakeOps {
              |       true AS caught_up,
              |       true AS replay_noop
              |FROM events""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_changefeed",
+      changeFeedFlow,
+      Some("""WITH ended AS (
+             |  SELECT event_id,
+             |         CASE WHEN event_id % 10 = 0 THEN value + 1000.0 ELSE value END AS value
+             |  FROM events WHERE event_id % 7 <> 0)
+             |SELECT count(*) AS n_rows,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       (SELECT count(*) FROM events WHERE event_id % 3 = 2) AS n_insert,
+             |       (SELECT count(*) FROM events WHERE event_id % 10 = 0) AS n_upsert,
+             |       (SELECT count(*) FROM events WHERE event_id % 7 = 0) AS n_delete,
+             |       true AS fold_matches
+             |FROM ended""".stripMargin)
     ),
 
     QuerySpec(

@@ -37,7 +37,13 @@ import org.apache.spark.sql.types.{LongType, StructType}
   *     so a by-key consumer keeps the max-sequence image; plain
   *     append-only mode throws on such commits rather than silently
   *     missing rewritten rows — [[LakehouseTable.readIncremental]]'s
-  *     classification, inherited unchanged.
+  *     classification, inherited unchanged;
+  *   - `changeFeed=true` upgrades the stream to a full change data feed
+  *     ([[LakehouseTable.readChangeFeed]]): every row carries
+  *     `_change_type` (`insert`/`upsert`/`delete` — deletes as full
+  *     PRE-images) and `_commit_seq`; the by-key max-sequence fold
+  *     (delete ⇒ absent) reproduces the table's end state. Batch 0's
+  *     image rows arrive as `insert`s.
   *
   * The micro-batch DataFrames keep the native read path's plan shape
   * (parquet leaf relations — [[StreamShim.asStreaming]] only re-tags
@@ -63,13 +69,21 @@ class GraftTableSourceProvider
   private def emitUpserts(parameters: Map[String, String]): Boolean =
     parameters.get("emitUpserts").exists(_.toBoolean)
 
+  private def changeFeed(parameters: Map[String, String]): Boolean = {
+    val cf = parameters.get("changeFeed").exists(_.toBoolean)
+    require(!(cf && emitUpserts(parameters)),
+      "changeFeed=true subsumes emitUpserts — set only one")
+    cf
+  }
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val table = LakehouseTable.load(sqlContext.sparkSession, pathOf(parameters))
-    (shortName(), GraftTableSource.sourceSchema(table.schema, emitUpserts(parameters)))
+    (shortName(), GraftTableSource.sourceSchema(
+      table.schema, emitUpserts(parameters), changeFeed(parameters)))
   }
 
   override def createSource(
@@ -82,6 +96,7 @@ class GraftTableSourceProvider
       sqlContext.sparkSession,
       pathOf(parameters),
       emitUpserts = emitUpserts(parameters),
+      changeFeed = changeFeed(parameters),
       startFromLatest = parameters.get("startingOffset") match {
         case None | Some("earliest") => false
         case Some("latest") => true
@@ -116,8 +131,15 @@ case class GraftTableOffset(snapshotId: Long) extends OffsetV1 {
 }
 
 object GraftTableSource {
-  def sourceSchema(tableSchema: StructType, emitUpserts: Boolean): StructType =
-    if (emitUpserts) tableSchema.add("_commit_seq", LongType, nullable = true)
+  def sourceSchema(
+      tableSchema: StructType,
+      emitUpserts: Boolean,
+      changeFeed: Boolean = false): StructType =
+    if (changeFeed)
+      tableSchema
+        .add("_change_type", org.apache.spark.sql.types.StringType, nullable = true)
+        .add("_commit_seq", LongType, nullable = true)
+    else if (emitUpserts) tableSchema.add("_commit_seq", LongType, nullable = true)
     else tableSchema
 }
 
@@ -125,13 +147,14 @@ class GraftTableSource(
     spark: SparkSession,
     tableDir: Path,
     emitUpserts: Boolean,
+    changeFeed: Boolean,
     startFromLatest: Boolean,
     maxSnapshotsPerTrigger: Option[Int]) extends Source {
 
   private val table = LakehouseTable.load(spark, tableDir)
 
   override val schema: StructType =
-    GraftTableSource.sourceSchema(table.schema, emitUpserts)
+    GraftTableSource.sourceSchema(table.schema, emitUpserts, changeFeed)
 
   /** Highest snapshot id already handed out as a batch end (exclusive
     * base of the next delta). Rebuilt from the checkpoint on restart:
@@ -187,11 +210,17 @@ class GraftTableSource(
     val batch = base match {
       case Some(b) if b == endId => // restart edge: already-delivered range
         spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+      case Some(b) if changeFeed =>
+        table.readChangeFeed(b, endId)
       case Some(b) =>
         table.readIncremental(b, endId, emitUpserts)
       case None =>
         val image = table.timeTravel(endId)
-        if (emitUpserts) image.withColumn("_commit_seq", lit(endId)) else image
+        if (changeFeed)
+          image.withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_seq", lit(endId))
+        else if (emitUpserts) image.withColumn("_commit_seq", lit(endId))
+        else image
     }
     lastEnd = Some(math.max(endId, lastEnd.getOrElse(Long.MinValue)))
     // pin column order to the declared source schema, then re-tag the

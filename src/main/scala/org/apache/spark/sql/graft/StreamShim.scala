@@ -27,11 +27,30 @@ object StreamShim {
 
   def asStreaming(df: DataFrame): DataFrame = {
     val ds = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
-    val tagged = ds.queryExecution.analyzed.transform {
-      case lr: LogicalRelation if !lr.isStreaming => lr.copy(isStreaming = true)
-      case lr: LocalRelation if !lr.isStreaming => lr.copy(isStreaming = true)
-    }
-    Dataset.ofRows(ds.sparkSession.asInstanceOf[SparkSession], tagged)
+    val analyzed = ds.queryExecution.analyzed
+    val needsWrap = analyzed.collectFirst {
+      // a join whose leaves are streaming-tagged would plan as a
+      // STATEFUL streaming join (and e.g. reject the LeftAnti the
+      // merge-on-read delete mask uses) — but the join here is plain
+      // batch work scoped to one micro-batch
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      // a LogicalRDD leaf (the empty-delta frame) has no copyable
+      // isStreaming flag from outside its second parameter list
+      case r: LogicalRDD => r
+    }.isDefined
+    if (needsWrap)
+      // pin the batch's physical RDD under one streaming-tagged
+      // LogicalRDD: the batch plan inside (pushdown, broadcasts,
+      // codegen) is already optimized; only the micro-batch boundary
+      // node changes.
+      Dataset.ofRows(ds.sparkSession,
+        LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds, isStreaming = true))
+    else
+      Dataset.ofRows(ds.sparkSession.asInstanceOf[SparkSession],
+        analyzed.transform {
+          case lr: LogicalRelation if !lr.isStreaming => lr.copy(isStreaming = true)
+          case lr: LocalRelation if !lr.isStreaming => lr.copy(isStreaming = true)
+        })
   }
 
   def asBatch(df: DataFrame): DataFrame = {

@@ -1,0 +1,116 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** [[LakehouseTable.readChangeFeed]]: row-level insert/upsert/delete
+  * events whose by-key max-sequence fold reproduces the table exactly —
+  * deletes as full pre-images, COW rewrites refused loudly.
+  */
+class ChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(ids: Seq[Int], bid: Int => Double = _.toDouble) =
+    ids.map(i => (Timestamp.valueOf(f"2024-01-01 00:00:00.$i%06d"), i.toLong, bid(i)))
+      .toDF("DateTime", "EventId", "Bid")
+
+  private def fresh(name: String): LakehouseTable =
+    LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("cdf"), name), df(Seq(0)).schema, Some("DateTime"))
+
+  /** By-key CDC apply: keep each key's max-_commit_seq event; delete ⇒
+    * absent, else the image.
+    */
+  private def fold(cdf: org.apache.spark.sql.DataFrame): Map[Long, Double] = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("EventId").orderBy(col("_commit_seq").desc)
+    cdf.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .filter(col("_change_type") =!= "delete")
+      .select("EventId", "Bid").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  private def state(t: LakehouseTable): Map[Long, Double] =
+    t.read().select("EventId", "Bid").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("insert + upsert + equality-delete + positional-delete fold to the table state") {
+    val t = fresh("mix")
+    t.append(df(0 until 6))
+    val from = t.metadata.currentSnapshotId.get
+    t.append(df(6 until 9))                                   // insert
+    t.morMerge(df(Seq(1, 6), _ => 500.0), "EventId")          // upsert (update 1,6)
+    t.morDeleteKeys(Seq(2L).toDF("EventId"), "EventId")       // equality delete
+    t.morDeleteWhere(col("EventId") === 7L)                   // positional delete
+    t.morMerge(df(Seq(2), _ => 900.0), "EventId")             // re-insert a deleted key
+    val cdf = t.readChangeFeed(from, t.metadata.currentSnapshotId.get)
+
+    val types = cdf.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types("insert") == 3L, s"3 appended rows, got $types")
+    assert(types("upsert") == 3L, s"2 + 1 upsert images, got $types")
+    assert(types("delete") == 2L, s"one eq + one pos pre-image, got $types")
+
+    // delete events carry the FULL pre-image, not just the key
+    val preImages = cdf.filter(col("_change_type") === "delete")
+      .select("EventId", "Bid").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(preImages == Map(2L -> 2.0, 7L -> 7.0),
+      s"pre-images must show the deleted rows' values, got $preImages")
+
+    // the by-key fold over (seed image + feed) reproduces the table
+    val seed = t.timeTravel(from)
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_seq", lit(from))
+    assert(fold(seed.unionByName(cdf)) == state(t),
+      "CDC fold must reproduce the table's end state")
+  }
+
+  test("a COW rewrite refuses the change feed loudly") {
+    val t = fresh("cow")
+    t.append(df(0 until 4))
+    val from = t.metadata.currentSnapshotId.get
+    t.update(col("EventId") === 1L, Map("Bid" -> lit(99.0))) // COW rewrite
+    val e = intercept[UnsupportedOperationException] {
+      t.readChangeFeed(from, t.metadata.currentSnapshotId.get).count()
+    }
+    assert(e.getMessage.contains("merge-on-read"),
+      s"error must route the caller to the MoR paths: ${e.getMessage}")
+  }
+
+  test("compaction inside the range is skipped; the feed stays exact") {
+    val t = fresh("compact")
+    t.append(df(0 until 4))
+    val from = t.metadata.currentSnapshotId.get
+    t.append(df(4 until 6))
+    t.morDeleteKeys(Seq(0L).toDF("EventId"), "EventId")
+    t.compact()
+    t.append(df(6 until 8))
+    val cdf = t.readChangeFeed(from, t.metadata.currentSnapshotId.get)
+    val seed = t.timeTravel(from)
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_seq", lit(from))
+    assert(fold(seed.unionByName(cdf)) == state(t),
+      "compaction moves rows, changes nothing — the fold must still match")
+    assert(cdf.filter(col("_change_type") === "delete").count() == 1L)
+  }
+
+  test("a composite-key delete's pre-images resolve through the key columns") {
+    val withSrc = df(0 until 6).withColumn("Src", concat(lit("s"), col("EventId") % 2))
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("cdf"), "composite"), withSrc.schema, Some("DateTime"))
+    t.append(withSrc)
+    val from = t.metadata.currentSnapshotId.get
+    t.morDeleteKeys(
+      Seq((2L, "s0"), (3L, "s1")).toDF("EventId", "Src"), Seq("EventId", "Src"))
+    val dels = t.readChangeFeed(from, t.metadata.currentSnapshotId.get)
+      .filter(col("_change_type") === "delete")
+      .select("EventId", "Src").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(dels == Set((2L, "s0"), (3L, "s1")),
+      s"composite-key pre-images must match on ALL components, got $dels")
+  }
+}

@@ -184,6 +184,107 @@ class GraftTableSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("changeFeed stream: insert/upsert/delete events fold to the table state") {
+    val root = tmpDir("gts-cdf")
+    val src = fresh(root, "src")
+    src.append(df(0 until 6))
+    val q = readStream(src, "changeFeed" -> "true")
+      .writeStream.format("memory").queryName("gts_cdf")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.ProcessingTime(10L))
+      .start()
+    try {
+      q.processAllAvailable()
+      src.append(df(6 until 8))
+      src.morMerge(df(Seq(1, 6)).withColumn("Bid", lit(500.0)), "EventId")
+      src.morDeleteKeys(Seq(2L).toDF("EventId"), "EventId")
+      q.processAllAvailable()
+      val events = spark.sql(
+        "SELECT EventId, Bid, _change_type, _commit_seq FROM gts_cdf").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3)))
+      // by-key apply: max-seq event wins; delete ⇒ absent
+      val folded = events.groupBy(_._1).flatMap { case (k, es) =>
+        val last = es.maxBy(_._4)
+        if (last._3 == "delete") None else Some(k -> last._2)
+      }
+      val want = src.read().select("EventId", "Bid").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(folded == want, s"CDC fold must reproduce the table: got $folded want $want")
+      assert(events.exists(_._3 == "delete"), "the delete pre-image must stream")
+    } finally q.stop()
+  }
+
+  test("compaction mid-stream is skipped, not re-delivered") {
+    val root = tmpDir("gts-compact")
+    val src = fresh(root, "src")
+    src.append(df(0 until 3))
+    val q = readStream(src)
+      .writeStream.format("memory").queryName("gts_compact")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.ProcessingTime(10L))
+      .start()
+    try {
+      q.processAllAvailable()
+      src.append(df(3 until 5))
+      src.compact()
+      src.rewriteManifests()
+      src.append(df(5 until 7))
+      q.processAllAvailable()
+      val got = memIds("gts_compact")
+      assert(got.size == got.distinct.size && got.toSet == (0L until 7L).toSet,
+        s"compaction moves every row — none may re-deliver, got $got")
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment join keeps the delta-only scan") {
+    val root = tmpDir("gts-join")
+    val src = fresh(root, "src")
+    src.append(df(0 until 6))
+    val dim = Seq((0L, "even"), (1L, "odd")).toDF("parity", "label")
+    val q = readStream(src)
+      .join(broadcast(dim), col("EventId") % 2 === col("parity"))
+      .select($"EventId", $"label")
+      .writeStream.format("memory").queryName("gts_join")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.ProcessingTime(10L))
+      .start()
+    try {
+      q.processAllAvailable()
+      src.append(df(6 until 8))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT EventId, label FROM gts_join").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == (0L until 8L).map(i => i -> (if (i % 2 == 0) "even" else "odd")).toMap)
+    } finally q.stop()
+  }
+
+  test("watermarked window aggregation runs stateful over table micro-batches") {
+    val root = tmpDir("gts-window")
+    val src = fresh(root, "src")
+    // two one-minute buckets of events
+    val rows = (0 until 6).map(i =>
+      (Timestamp.valueOf(f"2024-01-01 00:0${i / 3}%d:0$i%d"), i.toLong, i.toDouble))
+      .toDF("DateTime", "EventId", "Bid")
+    src.append(rows)
+    val q = readStream(src)
+      .withWatermark("DateTime", "10 minutes")
+      .groupBy(window($"DateTime", "1 minute"))
+      .agg(count(lit(1)).as("n"), sum($"Bid").as("s"))
+      .select(col("window.start").as("ws"), col("n"), col("s"))
+      .writeStream.format("memory").queryName("gts_window")
+      .outputMode("update")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.ProcessingTime(10L))
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT ws, n, s FROM gts_window").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set(("2024-01-01 00:00:00.0", 3L, 3.0), ("2024-01-01 00:01:00.0", 3L, 12.0)),
+        s"stateful windowed agg must work over snapshot micro-batches, got $got")
+    } finally q.stop()
+  }
+
   test("graft-table writeStream sink: table-to-table streaming with atomic commits") {
     val root = tmpDir("gts-sink")
     val src = fresh(root, "src")
