@@ -1937,6 +1937,56 @@ final class LakehouseTable(
     Option(snap)
   }
 
+  /** Exactly-once streaming CDC APPLY — [[morMergeStream]] extended
+    * with tombstones, so ONE atomic commit absorbs a mixed micro-batch
+    * of upsert images AND deletions (the per-key fold of a change feed,
+    * [[readChangeFeed]]): the images' files are appended, an
+    * equality-delete mask covers the images' keys PLUS the deleted
+    * keys, and the `(queryId, batchId)` watermark rides the same
+    * commit. A crash between "apply upserts" and "apply deletes" is
+    * unrepresentable — the two-commit alternative would leave exactly
+    * that torn state. Replayed batches no-op on the watermark.
+    *
+    * `images` must be unique on `keyCols`; `deleteKeys` carries the
+    * key columns of keys whose FINAL event in the batch was a delete
+    * (keys also present in `images` would resurrect — the fold already
+    * guarantees disjointness). Empty images + empty deletes advance
+    * the watermark without a data commit.
+    */
+  def morApplyStream(
+      queryId: String,
+      batchId: Long,
+      images: DataFrame,
+      deleteKeys: DataFrame,
+      keyCols: Seq[String]): Option[Snapshot] = {
+    require(queryId.nonEmpty, "queryId must be non-empty")
+    if (metadata.streamWatermarks.get(queryId).exists(_ >= batchId)) return None
+    val moved = writeStaged(metadata, images)
+    val tombstones = deleteKeys.select(keyCols.map(col): _*)
+    if (moved.isEmpty && tombstones.isEmpty) {
+      advanceStreamWatermark(queryId, batchId)
+      return None
+    }
+    val maskKeys =
+      if (moved.isEmpty) tombstones
+      else readFiles(moved).select(keyCols.map(col): _*).unionByName(tombstones)
+    val snap = withCommitRetry {
+      val (v, meta) = versionedMeta
+      if (meta.streamWatermarks.get(queryId).exists(_ >= batchId)) null
+      else {
+        val current = meta.currentSnapshot
+        val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+        val newDeletes = writeDeleteFiles(meta, maskKeys, keyCols, snapId)
+        val stamped = meta.copy(streamProgress =
+          Some(meta.streamWatermarks + (queryId -> batchId)))
+        commitSnapshot(stamped, v, moved, "cdc-apply", replaceRefs = None,
+          totalRows = current.map(_.totalRows).getOrElse(0L) + moved.map(_.rows).sum,
+          deletesOverride = Some(current.map(liveDeleteFiles).getOrElse(Nil) ++ newDeletes))
+      }
+    }
+    Option(snap)
+  }
+
   /** POSITIONAL merge-on-read DELETE (Iceberg v2 positional-delete
     * analog): evaluate `predicate` over the current visible rows and
     * commit ONE tiny parquet of (file_path, row_index) pairs naming

@@ -717,6 +717,55 @@ object LakeOps {
       .withColumn("fold_matches", lit(foldMatches))
   }
 
+  /** Delete-aware streaming CDC replication: bronze → gold through
+    * `readStream(changeFeed=true)` feeding the `cdcApply` sink — every
+    * micro-batch folds to per-key final events and lands as ONE atomic
+    * [[graft.lake.LakehouseTable.morApplyStream]] commit (images +
+    * tombstones + watermark together). Bronze takes an insert wave, a
+    * merge-on-read upsert wave, and a merge-on-read delete wave while
+    * the stream runs; the replica must converge to bronze's exact
+    * content (`converged` pins frame equality; count/sum recomputed by
+    * DuckDB from the raw events).
+    */
+  def cdcReplicationFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = graft.Tables.t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
+    val wh = freshWarehouse("graft-repl")
+    val src = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(wh, "bronze"), ev.schema, Some("ts"))
+    val dst = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(wh, "gold"), ev.schema, Some("ts"))
+    src.append(ev)
+    val q = s.readStream.format("graft-table")
+      .option("path", src.tableDir.toString)
+      .option("changeFeed", "true").load()
+      .writeStream.format("graft-table")
+      .option("path", dst.tableDir.toString)
+      .option("queryId", "mirror")
+      .option("cdcApply", "true").option("keys", "event_id")
+      .option("checkpointLocation", s"$wh/ckpt")
+      .trigger(Trigger.ProcessingTime(20L))
+      .start()
+    try {
+      q.processAllAvailable() // image replicated
+      src.append(ev.filter(col("event_id") % 11 === 0)
+        .select((col("event_id") + lit(10000000L)).as("event_id"),
+          col("ts"), lit(42.0).as("value")))
+      src.morMerge(ev.filter(col("event_id") % 10 === 0)
+        .withColumn("value", col("value") + lit(1000.0)), "event_id")
+      src.morDeleteKeys(ev.filter(col("event_id") % 7 === 0).select("event_id"), "event_id")
+      q.processAllAvailable()
+    } finally q.stop()
+    val a = src.read().select("event_id", "ts", "value")
+    val b = dst.read().select("event_id", "ts", "value")
+    val converged = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    b.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .withColumn("converged", lit(converged))
+  }
+
   /** Incremental-rollup flow ([[graft.stream.IncrementalRollup]]):
     * a per-event_type materialized aggregate maintained across three
     * chunked appends with O(delta) refreshes — including a refresh
@@ -1151,6 +1200,22 @@ object LakeOps {
              |       (SELECT count(*) FROM events WHERE event_id % 10 = 0) AS n_upsert,
              |       (SELECT count(*) FROM events WHERE event_id % 7 = 0) AS n_delete,
              |       true AS fold_matches
+             |FROM ended""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_cdc_replication",
+      cdcReplicationFlow,
+      Some("""WITH ended AS (
+             |  SELECT event_id,
+             |         CASE WHEN event_id % 10 = 0 THEN value + 1000.0 ELSE value END AS value
+             |  FROM events WHERE event_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT event_id + 10000000, 42.0 AS value
+             |  FROM events WHERE event_id % 11 = 0)
+             |SELECT count(*) AS n_rows,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       true AS converged
              |FROM ended""".stripMargin)
     ),
 

@@ -4,7 +4,7 @@ import graft.lake.{LakehouseTable, TableMetadata}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, row_number}
 import org.apache.spark.sql.graft.StreamShim
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
@@ -116,12 +116,18 @@ class GraftTableSourceProvider
       outputMode: OutputMode): Sink = {
     require(outputMode == OutputMode.Append(),
       s"graft-table sink supports Append output mode only, got $outputMode")
+    val keys = parameters.get("keys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val cdcApply = parameters.get("cdcApply").exists(_.toBoolean)
+    require(!cdcApply || keys.nonEmpty,
+      "cdcApply=true needs option 'keys' (comma-separated key columns)")
     new GraftTableSink(
       sqlContext.sparkSession,
       pathOf(parameters),
       parameters.getOrElse("queryId",
         throw new IllegalArgumentException(
-          "option 'queryId' (stable exactly-once ledger key) is required")))
+          "option 'queryId' (stable exactly-once ledger key) is required")),
+      cdcApplyKeys = if (cdcApply) Some(keys) else None)
   }
 }
 
@@ -238,18 +244,61 @@ class GraftTableSource(
 /** Exactly-once streaming sink: each micro-batch is one atomic snapshot
   * commit carrying its (queryId, batchId) watermark —
   * [[LakehouseTable.appendStream]], so a crash-replayed batch no-ops.
+  *
+  * With `cdcApplyKeys` set (options `cdcApply=true`, `keys=...`), the
+  * sink instead expects a CHANGE FEED (`_change_type`/`_commit_seq`
+  * columns — the `changeFeed=true` source provides them), folds each
+  * micro-batch to its per-key final event, and lands images + deletions
+  * in ONE atomic [[LakehouseTable.morApplyStream]] commit — a complete
+  * delete-aware table-to-table CDC replication:
+  *
+  * {{{
+  * spark.readStream.format("graft-table")
+  *   .option("path", src).option("changeFeed", "true").load()
+  *   .writeStream.format("graft-table")
+  *   .option("path", dst).option("queryId", "mirror")
+  *   .option("cdcApply", "true").option("keys", "event_id")
+  *   .option("checkpointLocation", ckpt).start()
+  * }}}
   */
 class GraftTableSink(
     spark: SparkSession,
     tableDir: Path,
-    queryId: String) extends Sink {
+    queryId: String,
+    cdcApplyKeys: Option[Seq[String]] = None) extends Sink {
 
   private val table = LakehouseTable.load(spark, tableDir)
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the incoming frame is a streaming plan over this micro-batch; pin
     // its RDD under a batch-tagged node before driving the table write
-    table.appendStream(queryId, batchId, StreamShim.asBatch(data))
+    val batch = StreamShim.asBatch(data)
+    cdcApplyKeys match {
+      case None => table.appendStream(queryId, batchId, batch)
+      case Some(keys) =>
+        require(batch.columns.contains("_change_type") &&
+          batch.columns.contains("_commit_seq"),
+          "cdcApply sink needs a change feed input — read the source " +
+            "with option changeFeed=true")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col("_commit_seq").desc)
+        // per-key final event of the batch; persisted because images and
+        // tombstones both read it (the fold is batch-sized, tiny
+        // relative to the corpus it summarizes)
+        val last = batch.withColumn("__graft_r", row_number().over(w))
+          .filter(col("__graft_r") === 1).drop("__graft_r")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val tableCols = batch.columns.filterNot(
+            Set("_change_type", "_commit_seq")).toSeq
+          table.morApplyStream(queryId, batchId,
+            images = last.filter(col("_change_type") =!= "delete")
+              .select(tableCols.map(col): _*),
+            deleteKeys = last.filter(col("_change_type") === "delete")
+              .select(keys.map(col): _*),
+            keyCols = keys)
+        } finally last.unpersist(blocking = false)
+    }
     ()
   }
 

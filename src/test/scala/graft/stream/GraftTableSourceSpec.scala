@@ -285,6 +285,44 @@ class GraftTableSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("changeFeed → cdcApply: delete-aware table-to-table CDC replication") {
+    val root = tmpDir("gts-repl")
+    val src = fresh(root, "src")
+    val dst = fresh(root, "dst")
+    src.append(df(0 until 6))
+    val q = readStream(src, "changeFeed" -> "true")
+      .writeStream.format("graft-table")
+      .option("path", dst.tableDir.toString)
+      .option("queryId", "mirror")
+      .option("cdcApply", "true").option("keys", "EventId")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.ProcessingTime(10L))
+      .start()
+    def snapshot(t: graft.lake.LakehouseTable): Map[Long, Double] =
+      t.read().select("EventId", "Bid").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    try {
+      q.processAllAvailable()
+      assert(snapshot(dst) == snapshot(src), "batch 0 replicates the image")
+      // one micro-batch carrying insert + upsert + delete, including a
+      // key UPSERTED THEN DELETED inside the same batch (the fold must
+      // let the delete win)
+      src.append(df(6 until 8))
+      src.morMerge(df(Seq(1, 3)).withColumn("Bid", lit(500.0)), "EventId")
+      src.morDeleteKeys(Seq(2L, 3L).toDF("EventId"), "EventId")
+      q.processAllAvailable()
+      assert(snapshot(dst) == snapshot(src),
+        s"replica must converge: dst=${snapshot(dst)} src=${snapshot(src)}")
+      assert(!snapshot(dst).contains(3L), "upsert-then-delete folds to delete")
+      // crash-replay of the last applied batch id must no-op
+      val before = dst.metadata.currentSnapshotId
+      assert(dst.morApplyStream("mirror", dst.metadata.streamWatermarks("mirror"),
+        df(Seq(0)), spark.emptyDataFrame.selectExpr("CAST(1 AS BIGINT) AS EventId").limit(0),
+        Seq("EventId")).isEmpty)
+      assert(dst.metadata.currentSnapshotId == before)
+    } finally q.stop()
+  }
+
   test("graft-table writeStream sink: table-to-table streaming with atomic commits") {
     val root = tmpDir("gts-sink")
     val src = fresh(root, "src")
