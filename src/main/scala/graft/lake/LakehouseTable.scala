@@ -236,6 +236,37 @@ final class LakehouseTable(
     }
   }
 
+  /** Exactly-once streaming append onto a BRANCH — [[appendStream]]'s
+    * write-audit-publish form: micro-batches STAGE on the branch (the
+    * batch files, the advanced branch ref, and the `(queryId, batchId)`
+    * watermark in one atomic commit; replays no-op), main's readers see
+    * nothing until an auditor [[fastForward]]s. This is the streaming
+    * shape of WAP: the ingest never publishes, the audit step does.
+    */
+  def appendStreamToBranch(
+      queryId: String, batchId: Long, branch: String, df: DataFrame): Option[Snapshot] = {
+    require(queryId.nonEmpty, "queryId must be non-empty")
+    if (metadata.streamWatermarks.get(queryId).exists(_ >= batchId)) return None
+    val moved = writeStaged(metadata, df)
+    if (moved.isEmpty) return None
+    val snap = withCommitRetry {
+      val (v, meta) = versionedMeta
+      if (meta.streamWatermarks.get(queryId).exists(_ >= batchId)) null
+      else {
+        val head = meta.snapshotById(meta.branches.getOrElse(branch,
+          throw new NoSuchElementException(s"no such branch '$branch'")))
+          .getOrElse(throw new IllegalStateException(
+            s"branch '$branch' head is missing from the snapshot list"))
+        val stamped = meta.copy(streamProgress =
+          Some(meta.streamWatermarks + (queryId -> batchId)))
+        commitSnapshot(stamped, v, moved, "stream-append", replaceRefs = None,
+          totalRows = head.totalRows + moved.map(_.rows).sum,
+          branch = Some(branch))
+      }
+    }
+    Option(snap)
+  }
+
   /** PUBLISH a branch: point main at the branch head. Valid only when
     * main's current head is an ancestor of the branch head (a true
     * fast-forward — Iceberg's fastForward semantics); if main advanced

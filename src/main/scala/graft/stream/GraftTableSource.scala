@@ -121,13 +121,17 @@ class GraftTableSourceProvider
     val cdcApply = parameters.get("cdcApply").exists(_.toBoolean)
     require(!cdcApply || keys.nonEmpty,
       "cdcApply=true needs option 'keys' (comma-separated key columns)")
+    val branch = parameters.get("branch").filter(_.nonEmpty)
+    require(!(cdcApply && branch.isDefined),
+      "cdcApply targets main's merge-on-read path — it cannot stage on a branch")
     new GraftTableSink(
       sqlContext.sparkSession,
       pathOf(parameters),
       parameters.getOrElse("queryId",
         throw new IllegalArgumentException(
           "option 'queryId' (stable exactly-once ledger key) is required")),
-      cdcApplyKeys = if (cdcApply) Some(keys) else None)
+      cdcApplyKeys = if (cdcApply) Some(keys) else None,
+      branch = branch)
   }
 }
 
@@ -265,7 +269,11 @@ class GraftTableSink(
     spark: SparkSession,
     tableDir: Path,
     queryId: String,
-    cdcApplyKeys: Option[Seq[String]] = None) extends Sink {
+    cdcApplyKeys: Option[Seq[String]] = None,
+    /** Stage micro-batches on this branch instead of publishing to main
+      * (streaming write-audit-publish — an auditor fastForwards).
+      */
+    branch: Option[String] = None) extends Sink {
 
   private val table = LakehouseTable.load(spark, tableDir)
 
@@ -273,9 +281,10 @@ class GraftTableSink(
     // the incoming frame is a streaming plan over this micro-batch; pin
     // its RDD under a batch-tagged node before driving the table write
     val batch = StreamShim.asBatch(data)
-    cdcApplyKeys match {
-      case None => table.appendStream(queryId, batchId, batch)
-      case Some(keys) =>
+    (cdcApplyKeys, branch) match {
+      case (None, Some(b)) => table.appendStreamToBranch(queryId, batchId, b, batch)
+      case (None, None) => table.appendStream(queryId, batchId, batch)
+      case (Some(keys), _) =>
         require(batch.columns.contains("_change_type") &&
           batch.columns.contains("_commit_seq"),
           "cdcApply sink needs a change feed input — read the source " +

@@ -323,6 +323,62 @@ class GraftTableSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming write-audit-publish: micro-batches stage on a branch until fastForward") {
+    val root = tmpDir("gts-wap")
+    val src = fresh(root, "src")
+    val dst = fresh(root, "dst")
+    src.append(df(0 until 3))
+    dst.append(df(Seq(99))) // published baseline main readers see
+    dst.createBranch("staging")
+    val q = readStream(src)
+      .writeStream.format("graft-table")
+      .option("path", dst.tableDir.toString)
+      .option("queryId", "wap")
+      .option("branch", "staging")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.ProcessingTime(10L))
+      .start()
+    try {
+      q.processAllAvailable()
+      src.append(df(3 until 5))
+      q.processAllAvailable()
+      // main saw NOTHING of the stream; the branch carries everything
+      assert(dst.read().select("EventId").collect().map(_.getLong(0)).toSeq == Seq(99L),
+        "staged micro-batches must be invisible to main")
+      val staged = dst.readBranch("staging").select("EventId").collect()
+        .map(_.getLong(0)).toSet
+      assert(staged == Set(99L, 0L, 1L, 2L, 3L, 4L))
+      // audit passes → publish; main adopts the staged lineage atomically
+      dst.fastForward("staging")
+      assert(dst.read().select("EventId").collect().map(_.getLong(0)).toSet == staged)
+    } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow: one-shot backfill drains the backlog and terminates") {
+    val root = tmpDir("gts-avnow")
+    val src = fresh(root, "src")
+    val dst = fresh(root, "dst")
+    src.append(df(0 until 4))
+    src.append(df(4 until 6))
+    def backfill(): Unit = {
+      val q = readStream(src, "maxSnapshotsPerTrigger" -> "1")
+        .writeStream.format("graft-table")
+        .option("path", dst.tableDir.toString)
+        .option("queryId", "avnow")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000L), "AvailableNow must self-terminate")
+    }
+    backfill() // cron-style run 1: image + pending deltas, then exit
+    assert(dst.read().count() == 6L)
+    src.append(df(6 until 8)) // backlog accumulates between runs
+    backfill() // cron-style run 2 picks up exactly the backlog
+    val got = dst.read().select("EventId").collect().map(_.getLong(0)).toSeq
+    assert(got.size == got.distinct.size && got.toSet == (0L until 8L).toSet,
+      s"periodic AvailableNow backfills must stay exactly-once, got $got")
+  }
+
   test("graft-table writeStream sink: table-to-table streaming with atomic commits") {
     val root = tmpDir("gts-sink")
     val src = fresh(root, "src")
