@@ -379,6 +379,37 @@ class GraftTableSourceSpec extends SparkSpec {
       s"periodic AvailableNow backfills must stay exactly-once, got $got")
   }
 
+  test("mid-stream ADD COLUMN: pinned schema keeps flowing; restart sees the new column") {
+    val root = tmpDir("gts-evo")
+    val src = fresh(root, "src")
+    src.append(df(0 until 3))
+    def run(name: String) = readStream(src)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", s"$root/ckpt-$name") // memory sink: fresh ckpt per run
+      .trigger(Trigger.ProcessingTime(10L))
+      .start()
+    val q1 = run("gts_evo1")
+    try {
+      q1.processAllAvailable()
+      src.addColumn("Venue", org.apache.spark.sql.types.StringType)
+      src.append(df(3 until 5).withColumn("Venue", lit("X")))
+      q1.processAllAvailable()
+      // the running query's schema was pinned at start: rows flow, the
+      // new column is simply not projected (Spark SS contract — schema
+      // changes surface on restart)
+      assert(memIds("gts_evo1").toSet == (0L until 5L).toSet)
+      assert(!spark.table("gts_evo1").columns.contains("Venue"))
+    } finally q1.stop()
+    val q2 = run("gts_evo2")
+    try {
+      q2.processAllAvailable()
+      val venues = spark.sql("SELECT EventId, Venue FROM gts_evo2").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(venues(4L).contains("X") && venues(0L).isEmpty,
+        s"a restarted query reads the evolved schema (nulls backfilled), got $venues")
+    } finally q2.stop()
+  }
+
   test("graft-table writeStream sink: table-to-table streaming with atomic commits") {
     val root = tmpDir("gts-sink")
     val src = fresh(root, "src")
