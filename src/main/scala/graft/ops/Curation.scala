@@ -198,7 +198,16 @@ object Curation {
     require(sampleRate > 0.0 && sampleRate <= 1.0, "sampleRate must be in (0, 1]")
     val gated = TextAnalysis.gopherFilter(docs, textCol)
       .select(docs.columns.map(col).toIndexedSeq: _*) // drop signal columns
-    val redacted = gated.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+    // gate + redact is the pipeline's per-row-priciest projection (the
+    // Gopher signals' HOFs plus three regex passes), and line dedup
+    // references its output from BOTH sides of the doc-frequency
+    // semi-join — unpersisted, the whole gate subtree replays per
+    // branch (measured ~5 s of the sf0.1 pipeline's wall). Same
+    // MEMORY_AND_DISK/caller-release contract as the cleaned-corpus
+    // diamond below.
+    val redacted = gated
+      .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lineDeduped = DedupOps
       .dedupLinesTokenized(redacted, idCol, textCol, tokensPerLine, lineMaxDocFreq)
       .withColumnRenamed("text_clean", textCol)
@@ -229,7 +238,11 @@ object Curation {
     val sampled =
       if (sampleRate >= 1.0) deduped
       else deduped.filter(uniformGate(col(idCol)) < lit(sampleRate))
-    CuratedCorpus(sampled, () => { base.unpersist(blocking = false); () })
+    CuratedCorpus(sampled, () => {
+      base.unpersist(blocking = false)
+      redacted.unpersist(blocking = false)
+      ()
+    })
   }
 
   /** [[curateCorpus]] extended with the round-7 stages — the complete
@@ -250,9 +263,10 @@ object Curation {
     *   7. deterministic hash-gate downsample.
     *
     * Same management contract as [[curateCorpusManaged]]: the returned
-    * `release()` frees BOTH persisted diamonds (the cleaned corpus and
-    * the span-masked survivors — the latter is referenced by the LM
-    * fit, the scoring pass, and the survivor filter).
+    * `release()` frees ALL persisted diamonds (the gate+redact
+    * projection, the cleaned corpus, and the span-masked survivors —
+    * the last is referenced by the LM fit, the scoring pass, and the
+    * survivor filter).
     */
   def curateCorpusFull(
       docs: DataFrame,

@@ -105,11 +105,9 @@ object TextAnalysis {
     * `toks` MUST be a MATERIALIZED tokens column (aliased in a previous
     * projection) — the lambdas below reference it, and referencing an
     * unaliased tokenization expression inside a HOF re-evaluates it per
-    * element (same pitfall as [[winnowShingleHashes]]). `top_token_frac`
-    * is O(tokens × types) per document — fine at real document lengths
-    * (a projection, no shuffle); a corpus of pathological multi-MB
-    * single-doc blobs would want the explode+groupBy formulation
-    * instead.
+    * element (same pitfall as [[winnowShingleHashes]]). All three
+    * signals are O(n log n) per document or better (a projection, no
+    * shuffle).
     *
     *   - `dup_2gram_frac` / `dup_3gram_frac`: 1 − distinct/total
     *     n-grams (0 for docs too short to have any).
@@ -137,8 +135,25 @@ object TextAnalysis {
         (nG - size(array_distinct(gramList(toks, k))).cast(DoubleType)) / nG)
         .otherwise(lit(0.0))
     }
-    val topCount = array_max(transform(
-      array_distinct(toks), x => size(filter(toks, y => y === x))))
+    // most-frequent-token count as the longest equal-run of the SORTED
+    // token list — one O(n log n) sort + one O(n) fold, replacing the
+    // original O(tokens × types) distinct×filter scan. Value-identical
+    // on every doc (parity-checked corpus-wide); a modest win at the
+    // testdata's doc lengths, but it removes the quadratic cliff the
+    // old formulation hit on long repetitive documents — the shape a
+    // boilerplate-heavy 100 TB crawl actually contains. The run/best
+    // expressions inside the fold are O(1) per element, so their double
+    // reference is exempt from the single-reference discipline above.
+    val topCount = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     val topFrac = when(nTok > 0,
       topCount.cast(DoubleType) / nTok.cast(DoubleType)).otherwise(lit(0.0))
     Seq(

@@ -53,19 +53,21 @@ class CurateFullSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
-  test("release frees both persisted diamonds") {
+  test("release frees all persisted diamonds") {
     val c = Curation.curateCorpusFull(corpus, maxAvgNll = 4.2)
     c.frame.count()
     def live() = spark.sparkContext.getPersistentRDDs.size
     // the CC loop's final-round checkpoint residue stays by design (the
     // Bench/session sweep owns it — see connectedComponents scaladoc);
-    // release() must drop exactly the two pipeline diamonds
+    // release() must drop exactly the three pipeline diamonds (the
+    // gate+redact projection, the cleaned corpus, the span-masked
+    // survivors)
     val before = live()
-    assert(before >= 2, s"expected both diamonds persisted pre-release, got $before")
+    assert(before >= 3, s"expected the three diamonds persisted pre-release, got $before")
     c.release()
     val deadline = System.nanoTime() + 10_000_000_000L
-    while (live() > before - 2 && System.nanoTime() < deadline) Thread.sleep(100)
-    assert(live() == before - 2,
-      s"expected release to free the two diamonds ($before -> ${before - 2}), got ${live()}")
+    while (live() > before - 3 && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(live() == before - 3,
+      s"expected release to free the three diamonds ($before -> ${before - 3}), got ${live()}")
   }
 }
