@@ -130,6 +130,28 @@ final class LakehouseTable(
       meta.copy(refs = Some(meta.tags - name).filter(_.nonEmpty))
     }
 
+  /** Consumer-lease pin: record that a streaming consumer's resume
+    * point is `snapshotId`, protecting the WHOLE `snapshotId → head`
+    * main-ancestry segment from [[expireSnapshots]] — a plain tag pins
+    * one snapshot, but an incremental resume must WALK the parent chain
+    * from the current head back to its offset, so any expired snapshot
+    * inside the segment breaks the consumer even though its own offset
+    * survives (the chain walk throws and the consumer must re-image).
+    * Stored as a `stream-pin/<consumerId>` tag; re-pinning advances it
+    * (call from the consumer's commit path, monotonically). A lagging
+    * consumer therefore holds back expiry — by design, the same
+    * trade-off Kafka retention vs consumer lag forces; decommission the
+    * consumer with [[dropStreamPin]] to release the chain.
+    */
+  def pinStreamOffset(consumerId: String, snapshotId: Long): Unit = {
+    require(consumerId.nonEmpty, "consumerId must be non-empty")
+    tagSnapshot(s"stream-pin/$consumerId", snapshotId)
+  }
+
+  /** Release a decommissioned consumer's chain protection. */
+  def dropStreamPin(consumerId: String): Unit =
+    removeTag(s"stream-pin/$consumerId")
+
   /** Time travel by tag name. */
   def readTag(name: String): DataFrame =
     timeTravel(metadata.tags.getOrElse(name,
@@ -2624,9 +2646,17 @@ final class LakehouseTable(
       // branch pins its whole staged chain (head + intermediates), so
       // write-audit-publish survives a maintenance cycle mid-audit;
       // dropBranch releases the chain to the reaper.
+      // a stream-pin tag protects its whole pin→head segment, not just
+      // the pinned id: snapshot ids increase strictly along the parent
+      // chain, so id >= the oldest pin covers every snapshot an
+      // incremental resume's chain walk can touch (see pinStreamOffset)
+      val pinFloor = meta.tags.collect {
+        case (n, id) if n.startsWith("stream-pin/") => id
+      }.minOption
       val protectedIds = byNewest.take(keepLast).map(_.id).toSet ++
         meta.currentSnapshotId ++ meta.tags.values ++ meta.branches.values ++
-        meta.snapshots.filter(_.branch.exists(meta.branches.contains)).map(_.id)
+        meta.snapshots.filter(_.branch.exists(meta.branches.contains)).map(_.id) ++
+        pinFloor.map(p => meta.snapshots.filter(_.id >= p).map(_.id)).getOrElse(Nil)
       val cutoff = nowMs - retentionMs
       val expired = meta.snapshots.filter(s => !protectedIds.contains(s.id) && s.timestampMs < cutoff)
       if (expired.isEmpty) return (Nil, Nil)

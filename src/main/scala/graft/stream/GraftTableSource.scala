@@ -107,7 +107,15 @@ class GraftTableSourceProvider
         val n = v.toInt
         require(n > 0, s"maxSnapshotsPerTrigger must be positive, got $n")
         n
-      })
+      },
+      // the pin id derives from the query's checkpoint metadata path —
+      // the one identity that is stable across restarts AND unique per
+      // query (two queries over one table never share a checkpoint)
+      pinConsumerId = if (parameters.get("pinOffsets").exists(_.toBoolean))
+        Some("ckpt-" + java.security.MessageDigest.getInstance("MD5")
+          .digest(metadataPath.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16))
+      else None)
 
   override def createSink(
       sqlContext: SQLContext,
@@ -159,7 +167,14 @@ class GraftTableSource(
     emitUpserts: Boolean,
     changeFeed: Boolean,
     startFromLatest: Boolean,
-    maxSnapshotsPerTrigger: Option[Int]) extends Source {
+    maxSnapshotsPerTrigger: Option[Int],
+    /** When set (option `pinOffsets=true`), each committed offset is
+      * recorded as a consumer-lease pin on the SOURCE table
+      * ([[LakehouseTable.pinStreamOffset]]), so snapshot expiry can
+      * never reap the resume chain out from under a lagging or stopped
+      * consumer. Decommission with `dropStreamPin(<this id>)`.
+      */
+    pinConsumerId: Option[String] = None) extends Source {
 
   private val table = LakehouseTable.load(spark, tableDir)
 
@@ -233,12 +248,22 @@ class GraftTableSource(
         else image
     }
     lastEnd = Some(math.max(endId, lastEnd.getOrElse(Long.MinValue)))
+    // lease floor: a resume can never need snapshots below this batch's
+    // START (the chain walk runs (start, end] and stops AT start), and
+    // `start` is already durable in the offset log by the time getBatch
+    // runs — so advancing the pin here is safe AND guaranteed to happen
+    // at least once per batch (the engine defers commit() to the next
+    // trigger, which a stopped query never runs)
+    pinConsumerId.foreach(table.pinStreamOffset(_, base.getOrElse(endId)))
     // pin column order to the declared source schema, then re-tag the
     // leaves streaming (MicroBatchExecution asserts isStreaming)
     StreamShim.asStreaming(batch.select(schema.fieldNames.map(col).toSeq: _*))
   }
 
-  override def commit(end: OffsetV1): Unit = () // resume state lives in the checkpoint
+  override def commit(end: OffsetV1): Unit =
+    // resume state lives in the checkpoint; with pinOffsets the source
+    // additionally advances the lease to the committed offset
+    pinConsumerId.foreach(table.pinStreamOffset(_, sid(end)))
 
   override def stop(): Unit = ()
 

@@ -410,6 +410,45 @@ class GraftTableSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("pinOffsets leases the resume chain against snapshot expiry") {
+    val root = tmpDir("gts-pin")
+    val src = fresh(root, "src")
+    val dst = fresh(root, "dst")
+    src.append(df(0 until 3))
+    def run() = readStream(src, "pinOffsets" -> "true")
+      .writeStream.format("graft-table")
+      .option("path", dst.tableDir.toString)
+      .option("queryId", "pin")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.ProcessingTime(10L))
+      .start()
+    val q1 = run()
+    try { q1.processAllAvailable() } finally q1.stop()
+    val pins = src.tags.keys.filter(_.startsWith("stream-pin/")).toSeq
+    assert(pins.size == 1, s"commit must lease the offset, got tags ${src.tags.keys}")
+
+    // consumer goes down; source takes 4 more commits, then an
+    // AGGRESSIVE expiry (everything old, keep 1) runs maintenance
+    (3 until 7).foreach(i => src.append(df(Seq(i))))
+    val farFuture = System.currentTimeMillis() + 365L * 24 * 3600 * 1000
+    val (expired, _) = src.expireSnapshots(nowMs = farFuture, retentionMs = 0L, keepLast = 1)
+    assert(expired.isEmpty,
+      s"the lease must hold back expiry of the pin→head chain, expired=$expired")
+
+    // the restarted consumer resumes exactly — nothing was reaped
+    val q2 = run()
+    try {
+      q2.processAllAvailable()
+      val got = dst.read().select("EventId").collect().map(_.getLong(0)).toSeq
+      assert(got.size == got.distinct.size && got.toSet == (0L until 7L).toSet, s"got $got")
+    } finally q2.stop()
+
+    // decommission: drop the lease and the chain becomes reapable
+    src.dropStreamPin(pins.head.stripPrefix("stream-pin/"))
+    val (expired2, _) = src.expireSnapshots(nowMs = farFuture, retentionMs = 0L, keepLast = 1)
+    assert(expired2.nonEmpty, "released chain must be expirable again")
+  }
+
   test("graft-table writeStream sink: table-to-table streaming with atomic commits") {
     val root = tmpDir("gts-sink")
     val src = fresh(root, "src")
