@@ -737,6 +737,35 @@ final class LakehouseTable(
         .withColumn("_commit_seq", lit(null).cast("long")))
   }
 
+  /** [[readChangeFeed]] with a TIMESTAMP lower bound (Delta CDF's
+    * `startingTimestamp` analog): changes committed strictly AFTER the
+    * newest main snapshot at-or-before `tsMs`, up to the current head.
+    * A timestamp before the table's first commit has no resolvable
+    * anchor (the feed cannot express "and also the first snapshot as
+    * inserts") — it throws; read the image via [[asOf]]/[[read]] and
+    * switch to the feed from there.
+    */
+  def readChangeFeedSince(tsMs: Long): DataFrame = {
+    val meta = metadata
+    val from = LakehouseTable.mainSnapshotAsOf(meta, tsMs).map(_.id).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot at or before $tsMs — the table starts later; read the " +
+          "image (asOf/read) and follow the feed from its snapshot instead"))
+    readChangeFeed(from, meta.currentSnapshotId.getOrElse(from))
+  }
+
+  /** [[readIncremental]] with a timestamp lower bound — same anchor
+    * resolution as [[readChangeFeedSince]].
+    */
+  def readIncrementalSince(tsMs: Long, emitUpserts: Boolean = false): DataFrame = {
+    val meta = metadata
+    val from = LakehouseTable.mainSnapshotAsOf(meta, tsMs).map(_.id).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot at or before $tsMs — the table starts later; read the " +
+          "image (asOf/read) and follow the delta from its snapshot instead"))
+    readIncremental(from, meta.currentSnapshotId.getOrElse(from), emitUpserts)
+  }
+
   /** The parent-visible rows a delete commit's new delete files mask —
     * the `delete` pre-images of [[readChangeFeed]]. Equality files
     * semi-join on their (rename-resolved) key columns; positional files

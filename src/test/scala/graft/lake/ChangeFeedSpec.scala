@@ -98,6 +98,25 @@ class ChangeFeedSpec extends SparkSpec {
     assert(cdf.filter(col("_change_type") === "delete").count() == 1L)
   }
 
+  test("timestamp-anchored feed: changes after the as-of snapshot; pre-table times throw") {
+    val t = fresh("since")
+    t.append(df(0 until 3))
+    val ts1 = t.metadata.currentSnapshot.get.timestampMs
+    Thread.sleep(5)
+    t.append(df(3 until 5))
+    // incremental twin resolves the same anchor (checked while the
+    // range is still append-only)
+    assert(t.readIncrementalSince(ts1).select("EventId").collect()
+      .map(_.getLong(0)).toSet == Set(3L, 4L))
+    t.morDeleteKeys(Seq(0L).toDF("EventId"), "EventId")
+    val since = t.readChangeFeedSince(ts1)
+      .select("EventId", "_change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(since == Map(3L -> "insert", 4L -> "insert", 0L -> "delete"), s"got $since")
+    val e = intercept[IllegalArgumentException] { t.readChangeFeedSince(ts1 - 10000) }
+    assert(e.getMessage.contains("starts later"))
+  }
+
   test("a composite-key delete's pre-images resolve through the key columns") {
     val withSrc = df(0 until 6).withColumn("Src", concat(lit("s"), col("EventId") % 2))
     val t = LakehouseTable.createIfNotExists(
