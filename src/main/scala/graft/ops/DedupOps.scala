@@ -224,8 +224,17 @@ object DedupOps {
       textCol: String = "text",
       numHashes: Int = 8,
       shingleK: Int = 3): DataFrame = {
-    val exploded = explodeGrams(shingled(docs, None, idCol, textCol, shingleK), col("id"))
-      .select(col("id"), polyHash(col("gram")).as("g"))
+    // gram hashes come straight off the token array in one generated
+    // loop (PolyGramHashes) — bit-equal to hashing the concat_ws gram
+    // strings, which the interpreted transform+concat_ws path built one
+    // allocation at a time (the measured bottleneck of this signature
+    // pass). Duplicate grams stay: every column below is a MIN, and min
+    // over a multiset equals min over its set.
+    val exploded = docs
+      .select(col(idCol).as("id"),
+        graft.functions.PolyGramHashes(
+          TextAnalysis.tokens(col(textCol)), shingleK).as("gs"))
+      .select(col("id"), explode(col("gs")).as("g"))
     val minCols = (0 until numHashes).map(i =>
       min((col("g") * lit(2L * i + 3) + lit(5L * i + 7)) % lit(1000000007L)).as(s"h$i"))
     exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
