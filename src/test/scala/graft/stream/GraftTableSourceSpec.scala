@@ -449,6 +449,31 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(expired2.nonEmpty, "released chain must be expirable again")
   }
 
+  test("filters push into the micro-batch parquet scan (plan-asserted)") {
+    val root = tmpDir("gts-push")
+    val src = fresh(root, "src")
+    src.append(df(0 until 10))
+    val q = readStream(src)
+      .filter($"EventId" > 3L)
+      .writeStream.format("memory").queryName("gts_push")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.ProcessingTime(10L))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(memIds("gts_push").toSet == (4L until 10L).toSet)
+      val plan = q match {
+        case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+          w.streamingQuery.lastExecution.executedPlan.toString
+      }
+      // leaf-tagged micro-batch plans are ordinary parquet scans: the
+      // filter must reach the reader as a pushed filter, not run as a
+      // post-scan Filter only
+      assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(EventId,3)"),
+        s"expected the EventId filter in PushedFilters, plan:\n$plan")
+    } finally q.stop()
+  }
+
   test("graft-table writeStream sink: table-to-table streaming with atomic commits") {
     val root = tmpDir("gts-sink")
     val src = fresh(root, "src")
