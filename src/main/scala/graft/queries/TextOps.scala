@@ -1073,9 +1073,15 @@ object TextOps {
     import org.apache.hadoop.fs.Path
     val docs = t(s, dir, "documents")
     val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    // both diamonds persisted (tiny: 3-column corpus slice; survivor id
+    // lists): `batched` is referenced by four band computations and each
+    // step's survivor frame is read twice (replay comparison + final
+    // union) — unpersisted, the probe joins and the global-ntile arrival
+    // simulator replay per reference. Session sweep (Bench) reclaims.
     val batched = docs
       .select(col("doc_id"), col("text"))
       .withColumn("batch", ntile(3).over(w).cast(LongType))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val index = graft.stream.DedupIndex.createIndex(
       s, new Path(LakeOps.freshWarehouse("graft-di"), "dedup_index"))
     val perBatch = (1L to 3L).map { b =>
@@ -1083,6 +1089,7 @@ object TextOps {
       graft.stream.DedupIndex.step(
           index, DedupOps.minHashBandsPortable(part), "dedup", b)
         .withColumn("batch", lit(b))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val rowsBefore = index.read().count()
     val replayed = graft.stream.DedupIndex.step(
