@@ -194,6 +194,19 @@ class GraftTableSource(
   private val baseAtStart: Option[Long] =
     if (startFromLatest) table.metadata.currentSnapshotId else None
 
+  /** Last lease value written — a pin is a metadata COMMIT on the
+    * source table, so an unchanged or regressing target (restart
+    * replays, repeated empty polls) must not re-commit it.
+    */
+  private var lastPinned: Option[Long] = None
+
+  private def advanceLease(target: Long): Unit = pinConsumerId.foreach { id =>
+    if (!lastPinned.exists(_ >= target)) {
+      table.pinStreamOffset(id, target)
+      lastPinned = Some(target)
+    }
+  }
+
   /** Main-ancestry ids in (base, cur], oldest first. Throws when `base`
     * is not an ancestor (expired mid-range) — a capped offer must never
     * silently skip a commit.
@@ -254,7 +267,7 @@ class GraftTableSource(
     // runs — so advancing the pin here is safe AND guaranteed to happen
     // at least once per batch (the engine defers commit() to the next
     // trigger, which a stopped query never runs)
-    pinConsumerId.foreach(table.pinStreamOffset(_, base.getOrElse(endId)))
+    advanceLease(base.getOrElse(endId))
     // pin column order to the declared source schema, then re-tag the
     // leaves streaming (MicroBatchExecution asserts isStreaming)
     StreamShim.asStreaming(batch.select(schema.fieldNames.map(col).toSeq: _*))
@@ -263,7 +276,7 @@ class GraftTableSource(
   override def commit(end: OffsetV1): Unit =
     // resume state lives in the checkpoint; with pinOffsets the source
     // additionally advances the lease to the committed offset
-    pinConsumerId.foreach(table.pinStreamOffset(_, sid(end)))
+    advanceLease(sid(end))
 
   override def stop(): Unit = ()
 
