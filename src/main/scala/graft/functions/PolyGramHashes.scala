@@ -29,8 +29,10 @@ import org.apache.spark.sql.types._
   * of the hashes, and min over a multiset equals min over its set, so
   * the distinct the string form applied was semantically inert.
   *
-  * A null token element hashes as the empty string (defensive —
-  * [[graft.ops.TextAnalysis.tokens]] never produces one).
+  * A null token element contributes nothing — neither chars nor a
+  * separator slot — exactly `concat_ws`'s null handling, so the
+  * bit-equality holds even for caller-supplied arrays with nulls
+  * ([[graft.ops.TextAnalysis.tokens]] itself never produces one).
   */
 case class PolyGramHashes(child: Expression, k: Int) extends UnaryExpression {
 
@@ -53,10 +55,14 @@ case class PolyGramHashes(child: Expression, k: Int) extends UnaryExpression {
     var i = 0
     while (i < m) {
       var h = 0L
+      var wrote = false
       var j = 0
       while (j < k) {
-        if (j > 0) h = (h * 31L + 32L) % 1000000007L
+        // concat_ws semantics exactly: a null element contributes
+        // NOTHING — neither its chars nor a separator slot
         if (!arr.isNullAt(i + j)) {
+          if (wrote) h = (h * 31L + 32L) % 1000000007L
+          wrote = true
           val s = arr.getUTF8String(i + j).toString
           var ci = 0
           while (ci < s.length) {
@@ -84,15 +90,18 @@ case class PolyGramHashes(child: Expression, k: Int) extends UnaryExpression {
       val s = ctx.freshName("s")
       val ci = ctx.freshName("ci")
       val cp = ctx.freshName("cp")
+      val wrote = ctx.freshName("wrote")
       s"""
          |int $n = $c.numElements();
          |int $m = $n - ${k - 1}; if ($m < 0) $m = 0;
          |long[] $out = new long[$m];
          |for (int $i = 0; $i < $m; $i++) {
          |  long $h = 0L;
+         |  boolean $wrote = false;
          |  for (int $j = 0; $j < $k; $j++) {
-         |    if ($j > 0) $h = ($h * 31L + 32L) % 1000000007L;
          |    if (!$c.isNullAt($i + $j)) {
+         |      if ($wrote) $h = ($h * 31L + 32L) % 1000000007L;
+         |      $wrote = true;
          |      java.lang.String $s = $c.getUTF8String($i + $j).toString();
          |      int $ci = 0;
          |      while ($ci < $s.length()) {

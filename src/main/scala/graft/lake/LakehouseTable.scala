@@ -642,8 +642,21 @@ final class LakehouseTable(
         Set("compact", "rewrite-manifests").contains(s.operation)
       val files =
         if (pureAppend) s.addedManifest.map(log.readManifest).getOrElse(Nil)
-        else if (upsertShaped && emitUpserts) log.readManifest(s.addedManifest.get)
-        else if (rewriteOnly) Nil // compaction / manifest fold: rows moved, none added
+        else if (upsertShaped && emitUpserts) {
+          // a MIXED commit (morApplyStream: images + tombstones) masks
+          // more keys than its batch re-inserts; the extra keys are
+          // DELETIONS an upsert-image stream cannot express — emitting
+          // just the images would leave consumers holding stale rows
+          // forever. Row counts are metadata: a plain morMerge masks
+          // exactly its (unique, non-null) batch keys.
+          val newDelRows = liveDeleteFiles(s)
+            .filterNot(d => parentDels.contains(d.path)).map(_.rows).sum
+          if (newDelRows > s.addedRows) throw new UnsupportedOperationException(
+            s"incremental read across snapshot ${s.id} ('${s.operation}'): the commit " +
+              "carries tombstoned deletions beyond its upsert images — use " +
+              "readChangeFeed, which emits them as delete pre-images")
+          log.readManifest(s.addedManifest.get)
+        } else if (rewriteOnly) Nil // compaction / manifest fold: rows moved, none added
         else throw new UnsupportedOperationException(
           s"incremental read across snapshot ${s.id} ('${s.operation}'): the commit " +
             "removed or rewrote rows, which an append-scan cannot express" +
@@ -716,10 +729,27 @@ final class LakehouseTable(
         if (pureAppend)
           s.addedManifest.map(log.readManifest).filter(_.nonEmpty)
             .map(fs => readFiles(fs).withColumn("_change_type", lit("insert")))
-        else if (upsertShaped)
-          Some(readFiles(log.readManifest(s.addedManifest.get))
-            .withColumn("_change_type", lit("upsert")))
-        else if (deleteShaped)
+        else if (upsertShaped) {
+          val images = readFiles(log.readManifest(s.addedManifest.get))
+          val upserts = images.withColumn("_change_type", lit("upsert"))
+          // a MIXED commit ([[morApplyStream]]: images + tombstones in
+          // one snapshot) masks MORE keys than its batch re-inserts —
+          // those extra keys are deletions and MUST emit as delete
+          // pre-images, or a second-tier feed consumer keeps their
+          // stale images forever. A plain morMerge masks exactly its
+          // batch keys (unique, non-null), so the metadata row counts
+          // decide for free whether the exclusion join is even needed.
+          val newDels = selfDelFiles.filterNot(d => parentDelPaths.contains(d.path))
+          val tombstoned = newDels.map(_.rows).sum > s.addedRows
+          val withDeletes = parent match {
+            case Some(p) if tombstoned =>
+              upserts.unionByName(
+                deletePreImages(p, newDels, excludeKeysOf = Some((images, s.addedRows)))
+                  .withColumn("_change_type", lit("delete")))
+            case _ => upserts
+          }
+          Some(withDeletes)
+        } else if (deleteShaped)
           parent.map(p => deletePreImages(
               p, selfDelFiles.filterNot(d => parentDelPaths.contains(d.path)))
             .withColumn("_change_type", lit("delete")))
@@ -770,8 +800,17 @@ final class LakehouseTable(
     * the `delete` pre-images of [[readChangeFeed]]. Equality files
     * semi-join on their (rename-resolved) key columns; positional files
     * on the (file, row) pair; a row matched by both emits once.
+    * `excludeKeysOf` (a frame carrying the current-name key columns —
+    * the mixed commit's own image batch) subtracts keys the commit
+    * re-inserted: masked-and-replaced is an upsert, not a delete.
     */
-  private def deletePreImages(parent: Snapshot, newDels: Seq[DeleteFile]): DataFrame = {
+  private def deletePreImages(
+      parent: Snapshot,
+      newDels: Seq[DeleteFile],
+      /** (frame, exact row count) — the count gates the broadcast like
+        * every delete-side join here.
+        */
+      excludeKeysOf: Option[(DataFrame, Long)] = None): DataFrame = {
     val posNames = ("__graft_cdc_path", "__graft_cdc_idx")
     val (posDels, eqDels) = newDels.partition(_.isPositional)
     val visible = readWithDeletes(dataFiles(parent), liveDeleteFiles(parent),
@@ -788,7 +827,13 @@ final class LakehouseTable(
               case (hist, cur) => col(hist).as(cur)
             }: _*))
           .reduce(_ unionByName _)
-        visible.join(maybeBroadcast(keys, ds.map(_.rows).sum), curKeys, "left_semi")
+        val sel = visible.join(maybeBroadcast(keys, ds.map(_.rows).sum), curKeys, "left_semi")
+        excludeKeysOf match {
+          case Some((ex, exRows)) =>
+            sel.join(maybeBroadcast(ex.select(curKeys.map(col): _*).distinct(), exRows),
+              curKeys, "left_anti")
+          case None => sel
+        }
       }
     val posSelected = if (posDels.isEmpty) Nil else Seq {
       val positions = posDels.map(d =>

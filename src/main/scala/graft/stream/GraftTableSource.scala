@@ -91,18 +91,24 @@ class GraftTableSourceProvider
       metadataPath: String,
       schema: Option[StructType],
       providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    val latest = parameters.get("startingOffset") match {
+      case None | Some("earliest") => false
+      case Some("latest") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"startingOffset must be 'earliest' or 'latest', got '$other'")
+    }
     new GraftTableSource(
       sqlContext.sparkSession,
       pathOf(parameters),
       emitUpserts = emitUpserts(parameters),
       changeFeed = changeFeed(parameters),
-      startFromLatest = parameters.get("startingOffset") match {
-        case None | Some("earliest") => false
-        case Some("latest") => true
-        case Some(other) => throw new IllegalArgumentException(
-          s"startingOffset must be 'earliest' or 'latest', got '$other'")
-      },
+      // resolved ONCE per query lifetime and persisted under the
+      // checkpoint: a restart must not re-anchor "latest" at the new head
+      latestBase = if (latest)
+        Some(GraftTableSource.resolveLatestBase(
+          sqlContext.sparkSession, pathOf(parameters), metadataPath))
+      else None,
       maxSnapshotsPerTrigger = parameters.get("maxSnapshotsPerTrigger").map { v =>
         val n = v.toInt
         require(n > 0, s"maxSnapshotsPerTrigger must be positive, got $n")
@@ -116,6 +122,7 @@ class GraftTableSourceProvider
           .digest(metadataPath.getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(16))
       else None)
+  }
 
   override def createSink(
       sqlContext: SQLContext,
@@ -159,6 +166,39 @@ object GraftTableSource {
         .add("_commit_seq", LongType, nullable = true)
     else if (emitUpserts) tableSchema.add("_commit_seq", LongType, nullable = true)
     else tableSchema
+
+  /** Resolve-and-PERSIST the `latest` starting base under the query's
+    * metadata path. The base must be decided exactly once per query
+    * lifetime: a restarted run that recomputed "current head" would
+    * either silently skip the crashed run's first delta (head
+    * unchanged → empty replay) or walk an impossible chain (head
+    * advanced past the checkpointed end → broken-chain throw). -1
+    * encodes "table was empty at start" (restart replays resolve as
+    * the batch-0 image, which equals everything since an empty start).
+    */
+  def resolveLatestBase(
+      spark: SparkSession, tableDir: Path, metadataPath: String): Option[Long] = {
+    val dir = new Path(metadataPath)
+    val f = new Path(dir, "graft-latest-base")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(f)) {
+      val in = fs.open(f)
+      val v = try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+      if (v < 0) None else Some(v)
+    } else {
+      val cur = LakehouseTable.load(spark, tableDir).metadata.currentSnapshotId
+      fs.mkdirs(dir)
+      val tmp = new Path(dir, s"graft-latest-base.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(cur.getOrElse(-1L).toString.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, f)) {
+        // lost a (theoretical) race: trust the winner's value
+        fs.delete(tmp, false)
+        return resolveLatestBase(spark, tableDir, metadataPath)
+      }
+      cur
+    }
+  }
 }
 
 class GraftTableSource(
@@ -166,7 +206,11 @@ class GraftTableSource(
     tableDir: Path,
     emitUpserts: Boolean,
     changeFeed: Boolean,
-    startFromLatest: Boolean,
+    /** `Some(base)` = latest mode with its checkpoint-persisted anchor
+      * (`Some(None)` when the table was empty at first start); `None` =
+      * earliest mode.
+      */
+    latestBase: Option[Option[Long]],
     maxSnapshotsPerTrigger: Option[Int],
     /** When set (option `pinOffsets=true`), each committed offset is
       * recorded as a consumer-lease pin on the SOURCE table
@@ -187,12 +231,11 @@ class GraftTableSource(
     */
   private var lastEnd: Option[Long] = None
 
-  /** `latest` start: deltas begin at the snapshot current when the
-    * query started — captured ONCE so the semantics don't drift if
-    * getOffset first runs after more commits.
+  /** `latest` start: deltas begin at the checkpoint-persisted anchor
+    * ([[GraftTableSource.resolveLatestBase]]) — NOT the head at
+    * (re)start, which would skip or break a crashed run's replay.
     */
-  private val baseAtStart: Option[Long] =
-    if (startFromLatest) table.metadata.currentSnapshotId else None
+  private val baseAtStart: Option[Long] = latestBase.flatten
 
   /** Last lease value written — a pin is a metadata COMMIT on the
     * source table, so an unchanged or regressing target (restart
@@ -207,21 +250,35 @@ class GraftTableSource(
     }
   }
 
-  /** Main-ancestry ids in (base, cur], oldest first. Throws when `base`
-    * is not an ancestor (expired mid-range) — a capped offer must never
-    * silently skip a commit.
+  /** Cached pending main-ancestry ids (oldest first, all newer than the
+    * delivered base) — without it, every capped trigger during a long
+    * catch-up re-walks the whole remaining backlog just to take(max),
+    * O(lag²) driver metadata lookups across the catch-up.
+    */
+  private var pending: Vector[Long] = Vector.empty
+
+  /** Main-ancestry ids in (base, cur], oldest first — amortized: only
+    * ids newer than the cached chain's head are walked per call; a
+    * lineage change under the cache (rollback) falls back to a full
+    * rebuild. Throws when `base` is not an ancestor (expired
+    * mid-range) — a capped offer must never silently skip a commit.
     */
   private def chainAfter(meta: TableMetadata, cur: Long, base: Long): Seq[Long] = {
-    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    pending = pending.dropWhile(_ <= base)
+    val anchor = pending.lastOption.getOrElse(base)
+    val fresh = scala.collection.mutable.ArrayBuffer.empty[Long]
     var at = meta.snapshotById(cur)
-    while (at.exists(_.id != base)) {
-      ids += at.get.id
+    while (at.exists(s => s.id != anchor && s.id != base)) {
+      fresh += at.get.id
       at = at.get.parentId.flatMap(meta.snapshotById)
     }
     if (at.isEmpty) throw new IllegalStateException(
       s"snapshot $base is no longer an ancestor of $cur (expired mid-stream?) — " +
         "the delta would be incomplete")
-    ids.reverse.toSeq
+    pending =
+      if (at.exists(_.id == base) && anchor != base) fresh.reverseIterator.toVector // rollback: rebuild
+      else pending ++ fresh.reverseIterator
+    pending
   }
 
   override def getOffset: Option[OffsetV1] = {

@@ -55,7 +55,22 @@ object StreamShim {
 
   def asBatch(df: DataFrame): DataFrame = {
     val ds = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
-    Dataset.ofRows(ds.sparkSession,
-      LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds, isStreaming = false))
+    ds.queryExecution match {
+      case _: org.apache.spark.sql.execution.streaming.runtime.IncrementalExecution =>
+        // engine-delivered micro-batch: its execution already carries
+        // the stateful operators' state stores — pin ITS rdd; re-planning
+        // from the logical plan would re-run stateful ops stateless
+        Dataset.ofRows(ds.sparkSession,
+          LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds, isStreaming = false))
+      case _ =>
+        // a fresh streaming-tagged wrapper (e.g. a Source.getBatch
+        // result outside an engine, as the specs replay them): just
+        // drop the tags — the plan is ordinary batch work
+        Dataset.ofRows(ds.sparkSession.asInstanceOf[SparkSession],
+          ds.queryExecution.analyzed.transform {
+            case lr: LogicalRelation if lr.isStreaming => lr.copy(isStreaming = false)
+            case lr: LocalRelation if lr.isStreaming => lr.copy(isStreaming = false)
+          })
+    }
   }
 }

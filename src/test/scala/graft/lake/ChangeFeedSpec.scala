@@ -117,6 +117,33 @@ class ChangeFeedSpec extends SparkSpec {
     assert(e.getMessage.contains("starts later"))
   }
 
+  test("a mixed cdc-apply commit feeds tombstones as deletes, not silently as nothing") {
+    val t = fresh("mixed-apply")
+    t.append(df(0 until 6))
+    val from = t.metadata.currentSnapshotId.get
+    // one atomic commit: images for 1,2 plus a tombstone for 4 — the
+    // replica shape a chained (second-tier) CDC consumer reads
+    t.morApplyStream("m", 1L,
+      images = df(Seq(1, 2)).withColumn("Bid", lit(700.0)),
+      deleteKeys = Seq(4L).toDF("EventId"),
+      keyCols = Seq("EventId"))
+    val cdf = t.readChangeFeed(from, t.metadata.currentSnapshotId.get)
+    val events = cdf.select("EventId", "Bid", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(events == Set((1L, 700.0, "upsert"), (2L, 700.0, "upsert"), (4L, 4.0, "delete")),
+      s"tombstoned key must emit a delete PRE-image, got $events")
+    val seed = t.timeTravel(from)
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_seq", lit(from))
+    assert(fold(seed.unionByName(cdf)) == state(t),
+      "the chained fold must reproduce the replica exactly")
+    // the upsert-image-only stream cannot express the tombstone: loud, not lossy
+    val e = intercept[UnsupportedOperationException] {
+      t.readIncremental(from, t.metadata.currentSnapshotId.get, emitUpserts = true).count()
+    }
+    assert(e.getMessage.contains("readChangeFeed"), e.getMessage)
+  }
+
   test("a composite-key delete's pre-images resolve through the key columns") {
     val withSrc = df(0 until 6).withColumn("Src", concat(lit("s"), col("EventId") % 2))
     val t = LakehouseTable.createIfNotExists(

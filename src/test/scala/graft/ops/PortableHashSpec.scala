@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 /** Pins the portable polynomial hash to its documented constants — the
   * DuckDB oracles for q_text_minhash_portable / q_text_simhash_portable
@@ -29,6 +29,33 @@ class PortableHashSpec extends SparkSpec {
         DedupOps.polyHashHof(col("s")).as("hof"))
       .as[(Long, Long)].collect()
     both.zip(samples).foreach { case ((n, h), s) => assert(n === h, s"input '$s'") }
+  }
+
+  test("poly_gram_hashes is bit-equal to hashing concat_ws grams, nulls included") {
+    val cases: Seq[Seq[String]] = Seq(
+      Seq("a", "b", "c", "d"),
+      Seq("a", null, "b"),          // null skips char AND separator slot
+      Seq(null, null, null),
+      Seq("hello", "wörld", "x"),
+      Seq("a", "b"),                // shorter than k -> empty output
+      Nil)
+    val df = cases.toDF("toks")
+    val native = df.select(
+      graft.functions.PolyGramHashes(col("toks"), 3).as("gs"))
+      .as[Seq[Long]].collect().toSeq
+    val viaStrings = df.select(
+      when(size(col("toks")) >= 3,
+        transform(
+          sequence(lit(0), size(col("toks")) - 3),
+          i => DedupOps.polyHash(concat_ws(" ",
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2),
+            element_at(col("toks"), i + 3)))))
+        .otherwise(array().cast("array<bigint>")).as("gs"))
+      .as[Seq[Long]].collect().toSeq
+    cases.indices.foreach { i =>
+      assert(native(i) == viaStrings(i), s"case $i: ${cases(i)}")
+    }
   }
 
   test("saltedJoin rejects join types that would duplicate small-side rows") {

@@ -474,6 +474,30 @@ class GraftTableSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("latest-mode crash replay keeps its anchored base (no skip, no broken chain)") {
+    val root = tmpDir("gts-lbase")
+    val src = fresh(root, "src")
+    src.append(df(0 until 3)) // pre-start history: must never stream
+    val params = Map("path" -> src.tableDir.toString, "startingOffset" -> "latest")
+    val provider = new GraftTableSourceProvider
+    val metaPath = s"$root/ckpt/sources/0"
+    val s1 = provider.createSource(spark.sqlContext, metaPath, None, "graft-table", params)
+    // two commits land; the engine offers an offset and writes it to the
+    // WAL, then CRASHES before the batch commits
+    src.append(df(Seq(3)))
+    src.append(df(Seq(4)))
+    val end = s1.getOffset.get
+    // while down, the table advances further
+    src.append(df(Seq(5)))
+    // restart: a fresh source instance replays the WAL batch (start=None)
+    val s2 = provider.createSource(spark.sqlContext, metaPath, None, "graft-table", params)
+    val replay = org.apache.spark.sql.graft.StreamShim.asBatch(
+      s2.asInstanceOf[GraftTableSource].getBatch(None, end))
+      .select("EventId").collect().map(_.getLong(0)).toSet
+    assert(replay == Set(3L, 4L),
+      s"replay must deliver exactly the anchored (base, end] delta, got $replay")
+  }
+
   test("graft-table writeStream sink: table-to-table streaming with atomic commits") {
     val root = tmpDir("gts-sink")
     val src = fresh(root, "src")
