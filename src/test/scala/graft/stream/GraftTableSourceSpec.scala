@@ -474,6 +474,41 @@ class GraftTableSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdcApply replicates on a composite key") {
+    val root = tmpDir("gts-ck")
+    val withSrc = df(0 until 6).withColumn("Venue", concat(lit("v"), $"EventId" % 2))
+    val src = graft.lake.LakehouseTable.createIfNotExists(
+      spark, new org.apache.hadoop.fs.Path(root, "src"), withSrc.schema, Some("DateTime"))
+    val dst = graft.lake.LakehouseTable.createIfNotExists(
+      spark, new org.apache.hadoop.fs.Path(root, "dst"), withSrc.schema, Some("DateTime"))
+    src.append(withSrc)
+    val q = spark.readStream.format("graft-table")
+      .option("path", src.tableDir.toString).option("changeFeed", "true").load()
+      .writeStream.format("graft-table")
+      .option("path", dst.tableDir.toString)
+      .option("queryId", "ck").option("cdcApply", "true")
+      .option("keys", "EventId,Venue")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.ProcessingTime(10L))
+      .start()
+    def snap(t: graft.lake.LakehouseTable) =
+      t.read().select("EventId", "Venue", "Bid").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    try {
+      q.processAllAvailable()
+      src.morMerge(
+        df(Seq(1, 2)).withColumn("Venue", concat(lit("v"), $"EventId" % 2))
+          .withColumn("Bid", lit(900.0)),
+        Seq("EventId", "Venue"))
+      src.morDeleteKeys(
+        Seq((4L, "v0")).toDF("EventId", "Venue"), Seq("EventId", "Venue"))
+      q.processAllAvailable()
+      assert(snap(dst) == snap(src),
+        s"composite-key replica must converge: dst=${snap(dst)} src=${snap(src)}")
+      assert(!snap(dst).contains((4L, "v0")))
+    } finally q.stop()
+  }
+
   test("latest-mode crash replay keeps its anchored base (no skip, no broken chain)") {
     val root = tmpDir("gts-lbase")
     val src = fresh(root, "src")
