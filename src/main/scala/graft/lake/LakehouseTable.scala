@@ -647,8 +647,12 @@ final class LakehouseTable(
           // more keys than its batch re-inserts; the extra keys are
           // DELETIONS an upsert-image stream cannot express — emitting
           // just the images would leave consumers holding stale rows
-          // forever. Row counts are metadata: a plain morMerge masks
-          // exactly its (unique, non-null) batch keys.
+          // forever. Row counts are metadata, and for 'cdc-apply'
+          // commits they are EXACT: morApplyStream rejects null-keyed
+          // and duplicate-keyed images at write time, so its mask rows
+          // equal image rows + tombstone rows and the comparison below
+          // cannot under-count. A plain morMerge masks exactly its
+          // (unique, non-null) batch keys.
           val newDelRows = liveDeleteFiles(s)
             .filterNot(d => parentDels.contains(d.path)).map(_.rows).sum
           if (newDelRows > s.addedRows) throw new UnsupportedOperationException(
@@ -736,11 +740,19 @@ final class LakehouseTable(
           // one snapshot) masks MORE keys than its batch re-inserts —
           // those extra keys are deletions and MUST emit as delete
           // pre-images, or a second-tier feed consumer keeps their
-          // stale images forever. A plain morMerge masks exactly its
-          // batch keys (unique, non-null), so the metadata row counts
-          // decide for free whether the exclusion join is even needed.
+          // stale images forever. Classification is by the OPERATION
+          // LABEL: morApplyStream is the only writer of mixed commits
+          // and stamps 'cdc-apply', so every cdc-apply commit takes the
+          // exclusion-join path (harmless when tombstone-free — every
+          // masked key is then an image key and the anti-join emits
+          // nothing). The row-count test stays as a backstop for any
+          // unlabeled commit whose mask provably exceeds its images;
+          // it is NOT trusted to prove absence (dropped null/dup keys
+          // could shrink the mask — morApplyStream now rejects those,
+          // but the label keeps correctness independent of that guard).
           val newDels = selfDelFiles.filterNot(d => parentDelPaths.contains(d.path))
-          val tombstoned = newDels.map(_.rows).sum > s.addedRows
+          val tombstoned = s.operation == "cdc-apply" ||
+            newDels.map(_.rows).sum > s.addedRows
           val withDeletes = parent match {
             case Some(p) if tombstoned =>
               upserts.unionByName(
@@ -2094,6 +2106,36 @@ final class LakehouseTable(
       advanceStreamWatermark(queryId, batchId)
       return None
     }
+    // The documented preconditions (non-null, unique image keys;
+    // non-null tombstone keys) are load-bearing for change-feed
+    // classification: writeDeleteFiles silently drops null keys and
+    // distincts, so a violating batch would shrink the mask below the
+    // image count and make the commit's deletions invisible to any
+    // count-based reader. Enforce them loudly here — one aggregate over
+    // the micro-batch-sized key frames; a throw leaves only staged
+    // orphans, reaped like any crash leftover.
+    val anyNullKey = keyCols.map(col(_).isNull).reduce(_ || _)
+    if (moved.nonEmpty) {
+      val ik = readFiles(moved).select(keyCols.map(col): _*)
+      val stats = ik.agg(
+        count(lit(1)).as("total"),
+        count(when(!anyNullKey, 1)).as("nonNull"),
+        countDistinct(keyCols.head, keyCols.tail: _*).as("distinct")).head()
+      val (total, nonNull, dist) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+      if (nonNull != total) throw new IllegalArgumentException(
+        s"morApplyStream: ${total - nonNull} upsert image(s) with null key " +
+          s"column(s) ${keyCols.mkString("(", ", ", ")")} — null-keyed rows " +
+          "cannot be masked or change-fed; filter or key them upstream")
+      if (dist != total) throw new IllegalArgumentException(
+        s"morApplyStream: upsert images are not unique on " +
+          s"${keyCols.mkString("(", ", ", ")")} ($total rows, $dist distinct " +
+          "keys) — fold the batch to one image per key before applying")
+    }
+    val tombstoneNulls = tombstones.filter(anyNullKey).count()
+    if (tombstoneNulls > 0) throw new IllegalArgumentException(
+      s"morApplyStream: $tombstoneNulls delete key(s) with null key column(s) " +
+        s"${keyCols.mkString("(", ", ", ")")} — null keys never match an " +
+        "equality mask, so the deletion would be silently lost")
     val maskKeys =
       if (moved.isEmpty) tombstones
       else readFiles(moved).select(keyCols.map(col): _*).unionByName(tombstones)
@@ -2721,16 +2763,30 @@ final class LakehouseTable(
       // write-audit-publish survives a maintenance cycle mid-audit;
       // dropBranch releases the chain to the reaper.
       // a stream-pin tag protects its whole pin→head segment, not just
-      // the pinned id: snapshot ids increase strictly along the parent
-      // chain, so id >= the oldest pin covers every snapshot an
-      // incremental resume's chain walk can touch (see pinStreamOffset)
+      // the pinned id — every snapshot an incremental resume's chain
+      // walk can touch (see pinStreamOffset). The segment is computed
+      // by WALKING the main ancestry from head down to the oldest pin
+      // (ids decrease strictly along parents, so the walk stops at the
+      // floor): rolled-back or abandoned lineages that merely happen to
+      // carry ids above the floor are NOT on any resume path — a
+      // consumer's chain walk from the pin can only traverse head's
+      // ancestors — so they age out normally instead of being
+      // blanket-retained.
       val pinFloor = meta.tags.collect {
         case (n, id) if n.startsWith("stream-pin/") => id
       }.minOption
+      val pinSegment: Set[Long] = pinFloor match {
+        case None => Set.empty
+        case Some(floor) =>
+          val byId = meta.snapshots.map(s => s.id -> s).toMap
+          Iterator.iterate(meta.currentSnapshotId.flatMap(byId.get))(
+              _.flatMap(_.parentId).flatMap(byId.get))
+            .takeWhile(_.exists(_.id >= floor)).flatMap(_.map(_.id)).toSet
+      }
       val protectedIds = byNewest.take(keepLast).map(_.id).toSet ++
         meta.currentSnapshotId ++ meta.tags.values ++ meta.branches.values ++
         meta.snapshots.filter(_.branch.exists(meta.branches.contains)).map(_.id) ++
-        pinFloor.map(p => meta.snapshots.filter(_.id >= p).map(_.id)).getOrElse(Nil)
+        pinSegment
       val cutoff = nowMs - retentionMs
       val expired = meta.snapshots.filter(s => !protectedIds.contains(s.id) && s.timestampMs < cutoff)
       if (expired.isEmpty) return (Nil, Nil)

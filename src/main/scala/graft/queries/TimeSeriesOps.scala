@@ -138,7 +138,7 @@ object TimeSeriesOps {
              |         sum(CAST(round("value" * 10000.0) AS BIGINT)) OVER (
              |           PARTITION BY event_type ORDER BY epoch_us(ts)) AS cum
              |  FROM events),
-             |b AS (SELECT *, (cum - v) // 100000000 AS bar_id FROM o)
+             |b AS (SELECT *, CAST((cum - v) // 100000000 AS BIGINT) AS bar_id FROM o)
              |SELECT event_type, bar_id,
              |       arg_min("value", ts_us) AS "open",
              |       max("value") AS high,

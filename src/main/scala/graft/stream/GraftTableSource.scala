@@ -4,7 +4,7 @@ import graft.lake.{LakehouseTable, TableMetadata}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
-import org.apache.spark.sql.functions.{col, lit, row_number}
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit, rank}
 import org.apache.spark.sql.graft.StreamShim
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
@@ -175,6 +175,16 @@ object GraftTableSource {
     * advanced past the checkpointed end → broken-chain throw). -1
     * encodes "table was empty at start" (restart replays resolve as
     * the batch-0 image, which equals everything since an empty start).
+    *
+    * Durability note: the anchor is persisted create-tmp + rename,
+    * which is atomic on HDFS/local filesystems but NOT on object
+    * stores (S3A emulates rename as copy+delete). That is acceptable
+    * under Structured Streaming's own contract — one driver per
+    * checkpoint location at a time (the same assumption the offset
+    * log relies on); two drivers racing one checkpoint are already
+    * undefined behavior upstream of this file. Stray
+    * `graft-latest-base.tmp-*` files from a crash between create and
+    * rename are swept on the next resolve.
     */
   def resolveLatestBase(
       spark: SparkSession, tableDir: Path, metadataPath: String): Option[Long] = {
@@ -188,6 +198,11 @@ object GraftTableSource {
     } else {
       val cur = LakehouseTable.load(spark, tableDir).metadata.currentSnapshotId
       fs.mkdirs(dir)
+      // sweep tmp files orphaned by a crash between create and rename —
+      // they are never read (only the renamed final name is), so
+      // deletion is always safe
+      Option(fs.globStatus(new Path(dir, "graft-latest-base.tmp-*")))
+        .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, false))
       val tmp = new Path(dir, s"graft-latest-base.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       val out = fs.create(tmp, true)
       try out.write(cur.getOrElse(-1L).toString.getBytes("UTF-8")) finally out.close()
@@ -388,11 +403,28 @@ class GraftTableSink(
           .partitionBy(keys.map(col): _*).orderBy(col("_commit_seq").desc)
         // per-key final event of the batch; persisted because images and
         // tombstones both read it (the fold is batch-sized, tiny
-        // relative to the corpus it summarizes)
-        val last = batch.withColumn("__graft_r", row_number().over(w))
+        // relative to the corpus it summarizes). rank(), not
+        // row_number(): a tie at the max _commit_seq means an upstream
+        // commit carried duplicate-keyed events (precondition
+        // violation) — rank keeps BOTH tied rows so the guard below
+        // surfaces it as an error instead of row_number silently
+        // crowning an arbitrary winner and diverging the replica.
+        val last = batch.withColumn("__graft_r", rank().over(w))
           .filter(col("__graft_r") === 1).drop("__graft_r")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
+          val foldStats = last.agg(
+            count(lit(1)).as("total"),
+            countDistinct(keys.head, keys.tail: _*).as("distinct")).head()
+          if (foldStats.getLong(0) != foldStats.getLong(1))
+            throw new IllegalStateException(
+              s"cdcApply sink: micro-batch $batchId folds to " +
+                s"${foldStats.getLong(0)} rows but only " +
+                s"${foldStats.getLong(1)} distinct keys " +
+                s"${keys.mkString("(", ", ", ")")} — an upstream commit " +
+                "carried duplicate-keyed (or null-keyed) events for the " +
+                "same key at the same _commit_seq; refusing to replicate " +
+                "a nondeterministic fold")
           val tableCols = batch.columns.filterNot(
             Set("_change_type", "_commit_seq")).toSeq
           table.morApplyStream(queryId, batchId,

@@ -16,7 +16,17 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   *     `MicroBatchExecution`'s sanity assert accepts the micro-batch.
   *     The tag changes NOTHING about planning — the leaves stay plain
   *     parquet relations, so pushdown, pruning and whole-stage codegen
-  *     apply to each micro-batch exactly as to a batch read.
+  *     apply to each micro-batch exactly as to a batch read. This holds
+  *     for APPEND-ONLY deltas (the common steady-state batch), which
+  *     take the leaf re-tag path below. A join-bearing micro-batch
+  *     (MoR delete masks, change-feed pre-images) is instead pinned as
+  *     a pre-optimized `LogicalRDD` — the join itself was planned with
+  *     full pushdown into its own scans, but filters/projections the
+  *     DOWNSTREAM streaming query adds cannot push through that
+  *     boundary into the parquet scans. Perf-only, micro-batch-scoped;
+  *     a consumer that needs scan-level pushdown over heavy downstream
+  *     predicates should read append-only deltas (emitUpserts=false)
+  *     or filter before the feed via the source options.
   *   - [[asBatch]] is `ForeachBatchSink`'s trick: pin the micro-batch's
   *     physical RDD under a fresh batch-tagged `LogicalRDD`, so a sink
   *     can drive a normal batch write from a streaming plan (directly

@@ -144,6 +144,57 @@ class ChangeFeedSpec extends SparkSpec {
     assert(e.getMessage.contains("readChangeFeed"), e.getMessage)
   }
 
+  test("a tombstone-free cdc-apply commit feeds pure upserts (label over-trigger is harmless)") {
+    val t = fresh("apply-clean")
+    t.append(df(0 until 4))
+    val from = t.metadata.currentSnapshotId.get
+    // cdc-apply with images only: the label routes it through the
+    // exclusion join, which must emit ZERO delete events
+    t.morApplyStream("m", 1L,
+      images = df(Seq(1, 2)).withColumn("Bid", lit(50.0)),
+      deleteKeys = df(Seq.empty[Int]).select("EventId"),
+      keyCols = Seq("EventId"))
+    val cdf = t.readChangeFeed(from, t.metadata.currentSnapshotId.get)
+    val types = cdf.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types == Map("upsert" -> 2L),
+      s"no tombstones ⇒ no delete events, got $types")
+    val seed = t.timeTravel(from)
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_seq", lit(from))
+    assert(fold(seed.unionByName(cdf)) == state(t))
+  }
+
+  test("morApplyStream rejects null-keyed and duplicate-keyed batches loudly") {
+    val t = fresh("apply-guard")
+    t.append(df(0 until 4))
+    // null-keyed image: would vanish from the delete mask and corrupt
+    // count-based feed classification downstream
+    val nullImg = df(Seq(1)).withColumn("EventId", lit(null).cast("long"))
+    val e1 = intercept[IllegalArgumentException] {
+      t.morApplyStream("g", 1L, images = nullImg,
+        deleteKeys = df(Seq.empty[Int]).select("EventId"), keyCols = Seq("EventId"))
+    }
+    assert(e1.getMessage.contains("null key"), e1.getMessage)
+    // duplicate-keyed images: the per-key fold precondition
+    val e2 = intercept[IllegalArgumentException] {
+      t.morApplyStream("g", 2L, images = df(Seq(1)).unionByName(df(Seq(1))),
+        deleteKeys = df(Seq.empty[Int]).select("EventId"), keyCols = Seq("EventId"))
+    }
+    assert(e2.getMessage.contains("not unique"), e2.getMessage)
+    // null tombstone key: the deletion would silently never match
+    val e3 = intercept[IllegalArgumentException] {
+      t.morApplyStream("g", 3L, images = df(Seq.empty[Int]),
+        deleteKeys = Seq[Option[Long]](None).toDF("EventId"), keyCols = Seq("EventId"))
+    }
+    assert(e3.getMessage.contains("null key"), e3.getMessage)
+    // nothing committed, no watermark advanced: batch 1 applies cleanly after fixes
+    assert(t.metadata.streamWatermarks.get("g").isEmpty)
+    t.morApplyStream("g", 1L, images = df(Seq(1), _ => 42.0),
+      deleteKeys = df(Seq.empty[Int]).select("EventId"), keyCols = Seq("EventId"))
+    assert(state(t)(1L) == 42.0)
+  }
+
   test("a composite-key delete's pre-images resolve through the key columns") {
     val withSrc = df(0 until 6).withColumn("Src", concat(lit("s"), col("EventId") % 2))
     val t = LakehouseTable.createIfNotExists(

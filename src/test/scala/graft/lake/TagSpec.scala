@@ -58,4 +58,29 @@ class TagSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.removeTag("absent"))
     intercept[NoSuchElementException](t.readTag("absent"))
   }
+
+  test("stream pin protects only the main-ancestry pin→head segment, not abandoned lineages") {
+    val t = fresh("pin-segment")
+    val s1 = t.append(df(Seq(0)))
+    t.pinStreamOffset("consumer", s1.id)
+    // two commits that will be ROLLED BACK — ids above the pin floor
+    // but off the resume path once main rewinds
+    val bad1 = t.append(df(Seq(1)))
+    val bad2 = t.append(df(Seq(2)))
+    t.rollbackTo(s1.id)
+    // fresh main lineage on top of the pin
+    val good = t.append(df(Seq(3)))
+    val head = t.append(df(Seq(4)))
+
+    val (expired, _) = t.expireSnapshots(
+      nowMs = System.currentTimeMillis() + 1000L, retentionMs = 0L, keepLast = 1)
+    // the resume chain walk (pin → head) can only touch head's
+    // ancestors: s1, good, head survive; the abandoned commits age out
+    assert(Set(bad1.id, bad2.id).subsetOf(expired.toSet),
+      s"abandoned lineage above the pin floor must expire, expired=$expired")
+    assert(!expired.contains(s1.id) && !expired.contains(good.id) && !expired.contains(head.id),
+      s"pin→head main ancestry must survive, expired=$expired")
+    // the consumer's resume read still works end-to-end
+    assert(t.readIncremental(s1.id, head.id).count() == 2L)
+  }
 }

@@ -323,6 +323,32 @@ class GraftTableSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdcApply refuses a nondeterministic fold (duplicate keys at one _commit_seq)") {
+    val root = tmpDir("gts-dupguard")
+    val dst = fresh(root, "dst")
+    val sink = new GraftTableSink(spark, dst.tableDir, "dup", Some(Seq("EventId")))
+    // a (corrupt) feed batch where key 1 carries TWO upsert images at
+    // the same _commit_seq: no deterministic winner exists — the sink
+    // must throw, not crown one arbitrarily and diverge the replica
+    val corrupt = df(Seq(1)).withColumn("Bid", lit(10.0))
+      .unionByName(df(Seq(1)).withColumn("Bid", lit(20.0)))
+      .withColumn("_change_type", lit("upsert"))
+      .withColumn("_commit_seq", lit(7L))
+    val e = intercept[IllegalStateException] { sink.addBatch(0L, corrupt) }
+    assert(e.getMessage.contains("distinct keys"), e.getMessage)
+    assert(dst.metadata.currentSnapshotId.isEmpty, "nothing may commit")
+    // a clean batch with DIFFERENT _commit_seqs for the same key is the
+    // normal fold: max seq wins deterministically
+    val clean = df(Seq(1)).withColumn("Bid", lit(10.0))
+      .withColumn("_change_type", lit("upsert")).withColumn("_commit_seq", lit(7L))
+      .unionByName(df(Seq(1)).withColumn("Bid", lit(20.0))
+        .withColumn("_change_type", lit("upsert")).withColumn("_commit_seq", lit(8L)))
+    sink.addBatch(1L, clean)
+    val got = dst.read().select("EventId", "Bid").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 20.0), s"max-seq image must win, got $got")
+  }
+
   test("streaming write-audit-publish: micro-batches stage on a branch until fastForward") {
     val root = tmpDir("gts-wap")
     val src = fresh(root, "src")
