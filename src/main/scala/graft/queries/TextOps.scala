@@ -1086,20 +1086,35 @@ object TextOps {
       s, new Path(LakeOps.freshWarehouse("graft-di"), "dedup_index"))
     val perBatch = (1L to 3L).map { b =>
       val part = batched.filter(col("batch") === b).drop("batch")
+      // settledBefore = b-1: every earlier batch is fully delivered when
+      // the next arrives in this simulator, so the probe skips the
+      // crash-sliver doc exclusion entirely (DedupIndex scaladoc)
       graft.stream.DedupIndex.step(
-          index, DedupOps.minHashBandsPortable(part), "dedup", b)
+          index, DedupOps.minHashBandsPortable(part), "dedup", b,
+          settledBefore = Some(b - 1))
         .withColumn("batch", lit(b))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    val rowsBefore = index.read().count()
+    // index growth is tracked in snapshot metadata — zero-job reads
+    def indexRows: Long =
+      index.metadata.currentSnapshot.map(_.totalRows).getOrElse(0L)
+    val rowsBefore = indexRows
     val replayed = graft.stream.DedupIndex.step(
       index,
       DedupOps.minHashBandsPortable(batched.filter(col("batch") === 3L).drop("batch")),
-      "dedup", 3L)
-    val replayOk = replayed.count() == perBatch.last.count() &&
-      index.read().count() == rowsBefore
+      "dedup", 3L, settledBefore = Some(2L))
+    // the replay comparison rides the SAME job as the output (scalar
+    // aggregates cross-joined onto the union) instead of two extra
+    // sequential count() jobs ahead of it; the index-growth half of the
+    // invariant is metadata, checked eagerly above
+    val indexOk = indexRows == rowsBefore
+    val replayCheck = replayed.agg(count(lit(1)).as("__replay_n")).crossJoin(
+      perBatch.last.agg(count(lit(1)).as("__orig_n")))
     perBatch.reduce(_ unionByName _)
-      .withColumn("replay_ok", lit(replayOk))
+      .crossJoin(broadcast(replayCheck))
+      .withColumn("replay_ok",
+        col("__replay_n") === col("__orig_n") && lit(indexOk))
+      .drop("__replay_n", "__orig_n")
       .orderBy("doc_id")
   }
 

@@ -67,11 +67,12 @@ object DedupIndex {
     LakehouseTable.createIfNotExists(
       spark, tableDir, indexSchema, Seq("band_sig" -> s"bucket[$buckets]"))
 
-  /** One incremental step: dedup `batchBands` (rows of doc_id, band_id,
-    * band_sig — e.g. [[graft.ops.DedupOps.lshBands]] output renamed, or
-    * the portable-minhash banding) against everything the index has seen
-    * in batches before `batchId`, then persist this batch's signatures
-    * exactly-once under (queryId, batchId).
+  /** One incremental step: persist `batchBands` (rows of doc_id,
+    * band_id, band_sig — e.g. [[graft.ops.DedupOps.lshBands]] output
+    * renamed, or the portable-minhash banding) exactly-once under
+    * (queryId, batchId), then dedup them against everything the index
+    * has seen in batches before `batchId` — the probe reads the
+    * just-committed files, so signatures are computed once per step.
     *
     * Returns the surviving doc ids (one column, `doc_id`). The frame is
     * lazy but deterministic under re-evaluation: history is pinned by the
@@ -112,12 +113,38 @@ object DedupIndex {
       queryId: String,
       batchId: Long,
       settledBefore: Option[Long]): (DataFrame, DataFrame) = {
-    val bands = batchBands.select(
+    val staged = batchBands.select(
       col("doc_id").cast(LongType).as("doc_id"),
       col("band_id").cast(LongType).as("band_id"),
       col("band_sig").cast(LongType).as("band_sig"))
 
-    // Seen-before probe: one equality semi-join against prior batches.
+    // COMMIT FIRST, probe from the committed files: the exactly-once
+    // staged append is the single materialization of this batch's
+    // signatures — the probe's three consumers (history semi-join,
+    // bucket-min aggregate, survivor projection) then read them back
+    // from the index's columnar files instead of re-deriving
+    // shingle→minhash per join (previously up to 3× recompute per
+    // step). Order is safe under every replay shape: a same-batch-id
+    // replay no-ops on the watermark and reads the original commit's
+    // rows; a crash-retry under a NEW batch id re-appends the merged
+    // delta under the new stamp (duplicate signature rows are harmless
+    // membership-wise and collapse in [[compactIndex]]), so the
+    // `batch_id = batchId` read below always holds exactly this
+    // step's bands.
+    index.appendStream(queryId, batchId, staged.withColumn("batch_id", lit(batchId)))
+    val committed = index.read()
+    val bands = committed.filter(col("batch_id") === lit(batchId))
+      .select("doc_id", "band_id", "band_sig")
+
+    // Seen-before probe, shaped so the INDEX IS ONLY EVER SCANNED,
+    // never shuffled: every join against history broadcasts the
+    // micro-batch-sized side (a trigger's bands fit the driver by the
+    // micro-batch contract), so the index scan is a map-side hash
+    // probe — one pass over the (bucket-pruned) files, zero exchange
+    // of index rows. All shuffles below are O(batch). That is both the
+    // 100 TB shape (the index dwarfs any delta) and the local win (the
+    // previous formulation shuffled the full history per step).
+    //
     // History must exclude rows belonging to the CURRENT batch's docs:
     // in a clean run batches are disjoint and the exclusion is a no-op,
     // but after a crash between the index commit and the consumer's
@@ -130,40 +157,36 @@ object DedupIndex {
     // doc ids makes the retry compute first-seen-wins over the merged
     // delta exactly as if it were the batch originally delivered —
     // crash-consistent with no recovery protocol. `settledBefore` (the
-    // consumer's committed watermark) bounds the exclusion work: stamps
-    // at or below it are provably from disjoint, delivered batches, so
-    // the doc-id anti-join runs only against the at-most-one-crashed-
-    // batch sliver above it — O(batch) rows, not O(index).
-    val prior = index.read().filter(col("batch_id") < lit(batchId))
+    // consumer's committed watermark) bounds the exclusion: stamps at
+    // or below it are provably from disjoint, delivered batches and
+    // skip the doc-id check entirely.
+    val prior = committed.filter(col("batch_id") < lit(batchId))
     val batchDocs = bands.select("doc_id").distinct()
-    val history = settledBefore match {
-      case Some(wm) =>
-        prior.filter(col("batch_id") <= lit(wm)).select("band_id", "band_sig")
-          .unionByName(
-            prior.filter(col("batch_id") > lit(wm))
-              .join(batchDocs, Seq("doc_id"), "left_anti")
-              .select("band_id", "band_sig"))
-      case None =>
-        prior.join(batchDocs, Seq("doc_id"), "left_anti")
-          .select("band_id", "band_sig")
-    }
-    val hitHistory = bands
-      .join(history, Seq("band_id", "band_sig"), "left_semi")
+    val batchSigs = bands.select("band_id", "band_sig").distinct()
+    val wmLit = lit(settledBefore.getOrElse(Long.MinValue))
+    // history signatures this batch collides with: semi-probe keeps the
+    // output batch-bounded even when a hot signature occurs millions of
+    // times in history
+    val seenSigs = prior
+      .join(broadcast(batchSigs), Seq("band_id", "band_sig"), "left_semi")
+      .join(broadcast(batchDocs.withColumn("__graft_cur", lit(true))),
+        Seq("doc_id"), "left")
+      .filter(col("batch_id") <= wmLit || col("__graft_cur").isNull)
+      .select("band_id", "band_sig")
+      .distinct()
+    // a doc is dropped iff ANY of its buckets was seen in history or
+    // holds a smaller same-batch doc id; the intra rule rides a window
+    // over the same (band, sig) clustering instead of a second
+    // aggregate+join over the batch
+    val wSig = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_id", "band_sig")
+    val dropped = bands
+      .withColumn("__graft_first", min(col("doc_id")).over(wSig))
+      .join(broadcast(seenSigs.withColumn("__graft_seen", lit(true))),
+        Seq("band_id", "band_sig"), "left")
+      .filter(col("__graft_seen").isNotNull || col("__graft_first") < col("doc_id"))
       .select("doc_id")
-
-    // intra-batch: a doc loses any bucket where a smaller doc id sits
-    val bucketMin = bands
-      .groupBy("band_id", "band_sig")
-      .agg(min(col("doc_id")).as("first_doc"))
-    val hitIntra = bands
-      .join(bucketMin, Seq("band_id", "band_sig"))
-      .filter(col("first_doc") < col("doc_id"))
-      .select("doc_id")
-
-    val dropped = hitHistory.union(hitIntra).distinct()
-
-    // persist this batch's signatures; the watermark makes replays no-op
-    index.appendStream(queryId, batchId, bands.withColumn("batch_id", lit(batchId)))
+      .distinct()
     (bands, dropped)
   }
 
