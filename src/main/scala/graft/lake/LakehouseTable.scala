@@ -400,6 +400,12 @@ final class LakehouseTable(
       val toCurrent: Map[String, String] = metadata.aliasMap.flatMap {
         case (cur, hist) => hist.map(_ -> cur)
       }
+      // a delete file written before widenColumn stores the then-narrow
+      // key type; cast to the current type so the anti-join compares
+      // like-for-like (int→long / float→double are value-preserving)
+      val curTypes: Map[String, org.apache.spark.sql.types.DataType] =
+        StructType.fromDDL(metadata.schemaDdl).fields
+          .map(f => f.name -> f.dataType).toMap
       files.groupBy(f => delSeqs.count(_ > f.seqOrMin)).toSeq.sortBy(_._1)
         .map { case (nApplicable, group) =>
           if (nApplicable == 0) raw(group)
@@ -413,8 +419,10 @@ final class LakehouseTable(
               .foldLeft(raw(group)) { case (df, (curKeys, ds)) =>
                 val keys = ds.map(d =>
                   spark.read.parquet(new Path(tableDir, d.path).toString)
-                    .select(d.keyCols.zip(curKeys).map {
-                      case (hist, cur) => col(hist).as(cur)
+                    .select(d.keyCols.zip(curKeys).map { case (hist, cur) =>
+                      curTypes.get(cur)
+                        .map(t => col(hist).cast(t).as(cur))
+                        .getOrElse(col(hist).as(cur))
                     }: _*))
                   .reduce(_ unionByName _)
                 // delete-key files are metadata-scale in the intended
@@ -1293,7 +1301,17 @@ final class LakehouseTable(
     * validated (same name+type, none missing). Earlier data files simply
     * lack the new columns, which the parquet reader surfaces as nulls —
     * so old snapshots and time travel keep working under the widened
-    * read schema. Column drops and retypes remain rejected.
+    * read schema.
+    *
+    * Type handling follows Iceberg's promotion rules in both
+    * directions: a batch column carrying a LOSSLESS widening of the
+    * table type (int→long, float→double — [[LakehouseTable.Widenings]])
+    * promotes the TABLE in the same atomic commit (the upstream
+    * "`Bid` upgraded from float to double mid-history" case, no
+    * rewrite); a batch column NARROWER than the table type is upcast
+    * on write (a lagging producer keeps working after the table
+    * widened). Column drops and every other retype remain rejected —
+    * [[widenColumn]] is the explicit standalone form.
     */
   def appendEvolving(df: DataFrame, operation: String = "append"): Snapshot = {
     val batchFields = df.schema.fields
@@ -1305,11 +1323,36 @@ final class LakehouseTable(
       val added = batchFields.filterNot(f =>
         frozen.fieldNames.contains(f.name) || meta.partitionColumns.contains(f.name))
       requireAdoptableNames(meta, frozen, added.map(_.name).toSeq)
-      if (added.isEmpty) meta
+      val widened = frozen.fields.map { f =>
+        batchFields.find(b => b.name == f.name &&
+            LakehouseTable.Widenings.contains(f.dataType -> b.dataType))
+          .map { b =>
+            require(!meta.partitionTransform.contains(f.name) &&
+              !meta.specList.exists(s =>
+                s.fields.exists(pf => pf.source == f.name || pf.name == f.name)),
+              s"batch widens partition source/column '${f.name}' " +
+                s"(${f.dataType.simpleString} -> ${b.dataType.simpleString}); " +
+                "partition typing is frozen — cast the batch down instead")
+            f.copy(dataType = b.dataType)
+          }
+          .getOrElse(f)
+      }
+      if (added.isEmpty && widened.sameElements(frozen.fields)) meta
       else meta.copy(schemaDdl =
-        StructType(frozen.fields ++ added.map(_.copy(nullable = true))).toDDL)
+        StructType(widened ++ added.map(_.copy(nullable = true))).toDDL)
     }
-    val moved = writeStaged(evolved(metadata), df)
+    // upcast batch columns the TABLE already widened past (never the
+    // reverse — evolved() above promotes the table for wide batches,
+    // so after both steps batch and schema agree exactly)
+    def upcast(meta: TableMetadata, d: DataFrame): DataFrame = {
+      val types = StructType.fromDDL(meta.schemaDdl)
+        .fields.map(f => f.name -> f.dataType).toMap
+      val needs = d.schema.fields.filter(f => types.get(f.name)
+        .exists(t => LakehouseTable.Widenings.contains(f.dataType -> t)))
+      needs.foldLeft(d)((acc, f) => acc.withColumn(f.name, col(f.name).cast(types(f.name))))
+    }
+    val m0 = evolved(metadata)
+    val moved = writeStaged(m0, upcast(m0, df))
     withCommitRetry {
       val (v, meta) = versionedMeta
       commitAppend(evolved(meta), v, moved, operation)
@@ -1434,6 +1477,40 @@ final class LakehouseTable(
         schemaDdl = StructType(frozen.fields.filterNot(_.name == name)).toDDL,
         renamedFrom = Some(meta.aliasMap - name).filter(_.nonEmpty),
         droppedColumns = Some(newTombs.toSeq.sorted))
+    }
+
+  /** Metadata-only type widening (Iceberg's `update_column` primitive
+    * promotion, which the reference inherits via PyIceberg): promote a
+    * column int→long or float→double WITHOUT touching any data file —
+    * the widened type lands in the schema, new appends write the wide
+    * physical type, and old files' narrow physical columns are read
+    * natively under the wide logical type (Spark's parquet readers
+    * perform the widening conversion; exercised by WidenSpec across
+    * both epochs). The promotion set is exactly Iceberg's lossless
+    * pairs — anything else (narrowing, cross-family) is refused loudly,
+    * since a lossy retype would need a full rewrite to stay truthful.
+    *
+    * Refused for partition sources/columns of any spec epoch and for
+    * the footer-stats key: dir derivation, bucket hashing, bloom
+    * probes, and per-file bounds are all bound to the physical type
+    * those files were written with.
+    */
+  def widenColumn(name: String, to: org.apache.spark.sql.types.DataType): Unit =
+    evolveMetadata { meta =>
+      val frozen = StructType.fromDDL(meta.schemaDdl)
+      val field = frozen.fields.find(_.name == name)
+        .getOrElse(throw new IllegalArgumentException(s"no such column '$name'"))
+      require(!meta.partitionTransform.contains(name) &&
+        !meta.specList.exists(s =>
+          s.fields.exists(f => f.source == name || f.name == name)),
+        s"cannot retype partition source/column '$name' (any spec epoch)")
+      require(LakehouseTable.Widenings.contains(field.dataType -> to),
+        s"cannot retype '$name' ${field.dataType.simpleString} -> " +
+          s"${to.simpleString}: only lossless widenings " +
+          "(int -> bigint, float -> double) are metadata-only; anything " +
+          "else would misread the bytes old data files still carry")
+      meta.copy(schemaDdl = StructType(frozen.fields.map(f =>
+        if (f.name == name) f.copy(dataType = to) else f)).toDDL)
     }
 
   /** Partition-spec evolution (Iceberg's evolve-spec analog): a
@@ -1645,14 +1722,21 @@ final class LakehouseTable(
     if (got != frozen) {
       val missing = frozen.keySet -- got.keySet
       val extra = got.keySet -- frozen.keySet
-      val retyped = frozen.keySet.intersect(got.keySet)
+      val retypedKeys = frozen.keySet.intersect(got.keySet)
         .filter(k => frozen(k) != got(k))
+      val retyped = retypedKeys
         .map(k => s"$k: ${frozen(k).simpleString} -> ${got(k).simpleString}")
+      val widenHint = retypedKeys.exists(k =>
+        LakehouseTable.Widenings.contains(frozen(k) -> got(k)) ||
+          LakehouseTable.Widenings.contains(got(k) -> frozen(k)))
       throw new IllegalArgumentException(
         s"batch schema does not match the table's frozen schema" +
           (if (missing.nonEmpty) s"; missing: ${missing.mkString(", ")}" else "") +
           (if (extra.nonEmpty) s"; unexpected: ${extra.mkString(", ")}" else "") +
-          (if (retyped.nonEmpty) s"; retyped: ${retyped.mkString(", ")}" else ""))
+          (if (retyped.nonEmpty) s"; retyped: ${retyped.mkString(", ")}" else "") +
+          (if (widenHint) "; a lossless int->long / float->double mismatch " +
+            "can be absorbed by appendEvolving (auto-promote/upcast) or an " +
+            "explicit widenColumn" else ""))
     }
   }
 
@@ -2870,6 +2954,17 @@ object LakehouseTable {
     * gate costs nothing at plan time.
     */
   val MaxBroadcastDeleteRows: Long = 4L * 1000 * 1000
+
+  /** The lossless metadata-only type promotions ([[LakehouseTable
+    * .widenColumn]]): Iceberg's primitive promotion set as it applies
+    * to this engine's type lattice. Parquet readers widen the narrow
+    * physical column to the wide logical type natively, so a promoted
+    * column needs no rewrite and every epoch reads correctly.
+    */
+  val Widenings: Set[(org.apache.spark.sql.types.DataType,
+                      org.apache.spark.sql.types.DataType)] = Set(
+    org.apache.spark.sql.types.IntegerType -> org.apache.spark.sql.types.LongType,
+    org.apache.spark.sql.types.FloatType -> org.apache.spark.sql.types.DoubleType)
 
   /** Supported partition granularities, in coarse→fine order; the first
     * four derive an integer column from a timestamp source (Iceberg's

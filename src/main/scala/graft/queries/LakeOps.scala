@@ -238,6 +238,47 @@ object LakeOps {
       java.util.Arrays.asList(r1, r2), afterRename.schema).orderBy("stage")
   }
 
+  /** Type-widening flow (VERDICT r8 #6, PyIceberg `update_column`
+    * promotion): append half the events under NARROW physical types
+    * (int32 scaled value, float32 value), promote both columns
+    * int→long / float→double (metadata-only — no file rewrite; the
+    * flow asserts the data-file set is untouched), refuse the
+    * narrowing retype, then append the other half WIDE and aggregate
+    * across both physical epochs. The sums must equal DuckDB running
+    * the same narrow-then-widen arithmetic over the raw parquet —
+    * proving the widened read loses no precision on either epoch.
+    */
+  def widenFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ev = graft.Tables.t(s, dir, "events").select(
+      col("event_id"), col("ts"),
+      // floor, not round: identical for every IEEE double in both engines
+      floor(col("value") * 100).cast(IntegerType).as("v_scaled"),
+      col("value").cast(FloatType).as("v_f32"))
+    val tableDir = new Path(freshWarehouse("graft-wd"), "events_widened")
+    val table = LakehouseTable.createIfNotExists(
+      s, tableDir, ev.schema, Some("ts"), "year")
+    table.append(ev.filter(col("event_id") % 2 === 0)) // narrow epoch
+    val filesBefore = table.currentDataFiles.map(_.path).toSet
+    table.widenColumn("v_scaled", LongType)
+    table.widenColumn("v_f32", DoubleType)
+    val metadataOnly = table.currentDataFiles.map(_.path).toSet == filesBefore
+    val narrowRefused =
+      try { table.widenColumn("v_scaled", IntegerType); false }
+      catch { case _: IllegalArgumentException => true }
+    table.append(ev.filter(col("event_id") % 2 =!= 0) // wide epoch
+      .withColumn("v_scaled", col("v_scaled").cast(LongType))
+      .withColumn("v_f32", col("v_f32").cast(DoubleType)))
+    table.read().agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("v_scaled")).as("sum_scaled"),
+      // f32→decimal is tie-free (no float32 lands exactly on a 4-decimal
+      // midpoint — midpoints are not dyadic), so both engines round alike
+      sum(col("v_f32").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_f32"))
+      .withColumn("metadata_only", lit(metadataOnly))
+      .withColumn("narrow_refused", lit(narrowRefused))
+  }
+
   /** Composite maintenance cycle: six 1-file appends build small-file
     * pressure; `maintain` compacts, then (after one more append ages
     * the last pre-compaction snapshot out of keepLast) a second cycle
@@ -1380,6 +1421,17 @@ object LakeOps {
              |SELECT CAST(2 AS BIGINT), count(*),
              |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
              |FROM events ORDER BY stage""".stripMargin)
+    ),
+    QuerySpec(
+      "q_lake_widen",
+      widenFlow,
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(CAST(floor("value" * 100) AS INT)) AS BIGINT)
+             |         AS sum_scaled,
+             |       CAST(sum(CAST(CAST("value" AS REAL) AS DECIMAL(18,4)))
+             |         AS DOUBLE) AS sum_f32,
+             |       true AS metadata_only, true AS narrow_refused
+             |FROM events""".stripMargin)
     ),
     QuerySpec(
       "q_lake_bucket_partition",
