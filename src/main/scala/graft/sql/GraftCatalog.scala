@@ -53,13 +53,44 @@ import scala.jdk.CollectionConverters._
   * Python-side reference keeps in its catalog db, without a second
   * registry that could drift from the directories.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
 
   private def spark: SparkSession = SparkSession.active
   private def fs = warehouse.getFileSystem(spark.sessionState.newHadoopConf())
+
+  // ---- procedures (CALL graft.system.<proc>) ----------------------------
+
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"graft procedures live in the 'system' namespace " +
+        s"(CALL $catalogName.system.<name>), got " +
+        s"'${(ident.namespace :+ ident.name).mkString(".")}'")
+    GraftProcedures.byName.get(ident.name)
+      .map(_(this))
+      .getOrElse(throw new NoSuchElementException(
+        s"no such procedure '$catalogName.system.${ident.name}' " +
+          s"(available: ${GraftProcedures.all.map(_._1).mkString(", ")})"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.all.map { case (n, _) => Identifier.of(Array("system"), n) }.toArray
+    else Array.empty
+
+  /** Resolve 'namespace.table' (or a bare table name directly under the
+    * warehouse) to its native handle — the procedures' entry point.
+    */
+  private[sql] def lakeTable(name: String): LakehouseTable = {
+    val parts = name.split("\\.").map(_.trim).filter(_.nonEmpty)
+    require(parts.length == 1 || parts.length == 2,
+      s"expected 'namespace.table', got '$name'")
+    val ident = Identifier.of(parts.dropRight(1), parts.last)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    LakehouseTable.load(spark, tablePath(ident))
+  }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name

@@ -1,0 +1,111 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.lake.LakehouseTable
+import org.apache.hadoop.fs.Path
+
+/** `CALL graft.system.*` maintenance procedures: each drives the same
+  * native path the DataFrame API uses and reports one summary row.
+  */
+class GraftProceduresSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  private def freshCatalog(): String = {
+    n += 1
+    val cat = s"gproc$n"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmpDir("gproc-wh"))
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gold")
+    cat
+  }
+
+  private def lt(cat: String, tbl: String = "ticks"): LakehouseTable =
+    LakehouseTable.load(spark,
+      new Path(spark.conf.get(s"spark.sql.catalog.$cat.warehouse"), s"gold/$tbl"))
+
+  /** Seed a table with `appends` one-file commits of 3 rows each. */
+  private def mkTicks(cat: String, appends: Int): Unit = {
+    spark.sql(s"""CREATE TABLE $cat.gold.ticks
+      (sym STRING, ts_us BIGINT, px DOUBLE) PARTITIONED BY (sym)""")
+    val t = lt(cat)
+    (0 until appends).foreach(i =>
+      t.append(Seq(("a", i * 3L, 1.0), ("a", i * 3L + 1, 2.0), ("b", i * 3L + 2, 3.0))
+        .toDF("sym", "ts_us", "px").coalesce(1)))
+  }
+
+  test("rewrite_data_files compacts and reports the file delta") {
+    val cat = freshCatalog()
+    mkTicks(cat, appends = 4) // 2 partition dirs × 4 files
+    val r = spark.sql(
+      s"CALL $cat.system.rewrite_data_files(table => 'gold.ticks')").head()
+    assert(r.getInt(0) == 8 && r.getInt(1) == 2, s"unexpected report $r")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gold.ticks").head().getLong(0) == 12L)
+  }
+
+  test("expire_snapshots honors retention and keep_last; positional args work") {
+    val cat = freshCatalog()
+    mkTicks(cat, appends = 4) // 4 append snapshots (+1 compaction none)
+    val r = spark.sql(
+      s"CALL $cat.system.expire_snapshots('gold.ticks', 0, 2)").head()
+    assert(r.getInt(0) == 2, s"expected 2 expired, got $r") // 4 snaps, keep newest 2
+    assert(r.getInt(2) == 2)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gold.ticks").head().getLong(0) == 12L)
+  }
+
+  test("rollback_to_snapshot restores an earlier head") {
+    val cat = freshCatalog()
+    mkTicks(cat, appends = 3)
+    val first = lt(cat).snapshots.head.id
+    val r = spark.sql(
+      s"CALL $cat.system.rollback_to_snapshot('gold.ticks', $first)").head()
+    assert(r.getLong(1) == first)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gold.ticks").head().getLong(0) == 3L)
+  }
+
+  test("zorder compacts on the declared columns; maintain runs the property cycle") {
+    val cat = freshCatalog()
+    mkTicks(cat, appends = 5)
+    val rz = spark.sql(
+      s"CALL $cat.system.zorder('gold.ticks', 'ts_us,px', 1)").head()
+    // range partitioning targets nDirs*target tasks; a range boundary may
+    // straddle a dir, so the bound is approximate — but far below the 10
+    // input files
+    assert(rz.getInt(0) <= 4, s"expected ~1 file per dir, got $rz")
+    // property-driven cycle: nothing left to compact, expiry fires
+    lt(cat).setProperty("retention.ms", "0")
+    val rm = spark.sql(s"CALL $cat.system.maintain('gold.ticks')").head()
+    assert(!rm.getBoolean(0) && rm.getInt(2) > 0, s"unexpected maintain report $rm")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gold.ticks").head().getLong(0) == 15L)
+  }
+
+  test("rewrite_manifests folds the chain; remove_orphan_files reaps strays") {
+    val cat = freshCatalog()
+    mkTicks(cat, appends = 3)
+    spark.sql(s"CALL $cat.system.rewrite_manifests('gold.ticks')")
+    val t = lt(cat)
+    assert(t.log.readManifestList(t.metadata.currentSnapshot.get).size == 1)
+    // plant an orphan where data files live
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val orphan = new java.io.File(s"$wh/gold/ticks/data/sym=a/orphan.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    val r = spark.sql(s"CALL $cat.system.remove_orphan_files('gold.ticks')").head()
+    assert(r.getInt(0) >= 1 && !orphan.exists())
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gold.ticks").head().getLong(0) == 9L)
+  }
+
+  test("unknown procedure and bad namespace fail loudly; SHOW PROCEDURES lists all") {
+    val cat = freshCatalog()
+    val e = intercept[Exception](spark.sql(s"CALL $cat.system.no_such_proc('x')"))
+    // Spark wraps the catalog's error in FAILED_TO_LOAD_ROUTINE; our
+    // actionable message (with the available list) rides the cause chain
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    assert(messages.contains("FAILED_TO_LOAD_ROUTINE") ||
+      messages.contains("no such procedure"), messages)
+    val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system")
+      .collect().map(_.toString).mkString
+    GraftProcedures.all.map(_._1).foreach(p =>
+      assert(listed.contains(p), s"missing $p in SHOW PROCEDURES"))
+  }
+}
