@@ -1082,16 +1082,30 @@ object TextOps {
       .select(col("doc_id"), col("text"))
       .withColumn("batch", ntile(3).over(w).cast(LongType))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signatures for the WHOLE corpus in one wave: the shingle→minhash
+    // pass is history-independent, so computing it per step would just
+    // split one parallel job into three sequential ones — only the
+    // probe/commit sequencing below is inherently ordered
+    val allBands = DedupOps.minHashBandsPortable(batched)
+      .join(batched.select(col("doc_id"), col("batch")), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val index = graft.stream.DedupIndex.createIndex(
       s, new Path(LakeOps.freshWarehouse("graft-di"), "dedup_index"))
+    // the exactly-once commits are the ONLY inherently sequential part;
+    // every batch's survivors then derive from ONE persisted read of the
+    // final index (batch_id stamps make the history filters
+    // time-invariant — DedupIndex.commitBatch scaladoc), replacing
+    // three per-step file reads with a shared cached scan
+    (1L to 3L).foreach(b => graft.stream.DedupIndex.commitBatch(
+      index, allBands.filter(col("batch") === b).drop("batch"), "dedup", b))
+    val committed = index.read()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perBatch = (1L to 3L).map { b =>
-      val part = batched.filter(col("batch") === b).drop("batch")
       // settledBefore = b-1: every earlier batch is fully delivered when
       // the next arrives in this simulator, so the probe skips the
       // crash-sliver doc exclusion entirely (DedupIndex scaladoc)
-      graft.stream.DedupIndex.step(
-          index, DedupOps.minHashBandsPortable(part), "dedup", b,
-          settledBefore = Some(b - 1))
+      graft.stream.DedupIndex.survivorsFromCommitted(
+          committed, b, settledBefore = Some(b - 1), priorSettled = true)
         .withColumn("batch", lit(b))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
@@ -1099,9 +1113,11 @@ object TextOps {
     def indexRows: Long =
       index.metadata.currentSnapshot.map(_.totalRows).getOrElse(0L)
     val rowsBefore = indexRows
+    // the replay goes through the FULL step path (commit + probe), so
+    // the watermark no-op and the read-back probe stay exercised
     val replayed = graft.stream.DedupIndex.step(
       index,
-      DedupOps.minHashBandsPortable(batched.filter(col("batch") === 3L).drop("batch")),
+      allBands.filter(col("batch") === 3L).drop("batch"),
       "dedup", 3L, settledBefore = Some(2L))
     // the replay comparison rides the SAME job as the output (scalar
     // aggregates cross-joined onto the union) instead of two extra

@@ -63,9 +63,18 @@ object DedupIndex {
   def createIndex(
       spark: org.apache.spark.sql.SparkSession,
       tableDir: org.apache.hadoop.fs.Path,
-      buckets: Int = 8): LakehouseTable =
-    LakehouseTable.createIfNotExists(
+      buckets: Int = 8): LakehouseTable = {
+    val t = LakehouseTable.createIfNotExists(
       spark, tableDir, indexSchema, Seq("band_sig" -> s"bucket[$buckets]"))
+    // hash write distribution: each append clusters on the bucket dirs
+    // first, so a commit lands ONE file per touched bucket instead of
+    // (write tasks × buckets) — without it a 32-task micro-batch sprays
+    // up to 256 tiny files per step and the per-commit footer-stats
+    // pass dominates the step. The added shuffle is O(batch).
+    if (!t.metadata.props.contains("write.distribution-mode"))
+      t.setProperty("write.distribution-mode", "hash")
+    t
+  }
 
   /** One incremental step: persist `batchBands` (rows of doc_id,
     * band_id, band_sig — e.g. [[graft.ops.DedupOps.lshBands]] output
@@ -107,17 +116,56 @@ object DedupIndex {
       settledBefore: Option[Long] = None): DataFrame =
     probeAndCommit(index, batchBands, queryId, batchId, settledBefore)._2
 
+  /** Commit a batch's signatures exactly-once WITHOUT probing — the
+    * first half of [[step]], exposed for callers that sequence several
+    * arrivals and then derive every batch's survivors from ONE read of
+    * the final index ([[survivorsFromCommitted]]): the `batch_id`
+    * stamps make history filters time-invariant, so a probe computed
+    * against any LATER committed state returns byte-identical
+    * survivors — and the shared scan replaces K per-step file reads.
+    */
+  def commitBatch(
+      index: LakehouseTable,
+      batchBands: DataFrame,
+      queryId: String,
+      batchId: Long): Unit = {
+    val staged = batchBands.select(
+      col("doc_id").cast(LongType).as("doc_id"),
+      col("band_id").cast(LongType).as("band_id"),
+      col("band_sig").cast(LongType).as("band_sig"))
+    index.appendStream(queryId, batchId, staged.withColumn("batch_id", lit(batchId)))
+    ()
+  }
+
+  /** Survivors of batch `batchId` derived from `committed` — any read
+    * of the index taken AT or AFTER that batch's commit (a caller
+    * sequencing several commits passes one final — ideally persisted —
+    * read for all of them). Time-invariance argument in
+    * [[commitBatch]]'s scaladoc.
+    */
+  def survivorsFromCommitted(
+      committed: DataFrame,
+      batchId: Long,
+      settledBefore: Option[Long] = None,
+      /** Pass true ONLY when every batch before `batchId` was fully
+        * delivered AND settled (no crash slivers — e.g. a sequential
+        * backfill): skips the current-batch doc-exclusion join, which
+        * the settledness makes a provable no-op. [[step]] derives the
+        * equivalent proof automatically from the index watermark.
+        */
+      priorSettled: Boolean = false): DataFrame = {
+    val (bands, dropped) =
+      probeCommitted(committed, batchId, settledBefore, priorSettled)
+    bands.select("doc_id").distinct()
+      .join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   private def probeAndCommit(
       index: LakehouseTable,
       batchBands: DataFrame,
       queryId: String,
       batchId: Long,
       settledBefore: Option[Long]): (DataFrame, DataFrame) = {
-    val staged = batchBands.select(
-      col("doc_id").cast(LongType).as("doc_id"),
-      col("band_id").cast(LongType).as("band_id"),
-      col("band_sig").cast(LongType).as("band_sig"))
-
     // COMMIT FIRST, probe from the committed files: the exactly-once
     // staged append is the single materialization of this batch's
     // signatures — the probe's three consumers (history semi-join,
@@ -131,8 +179,29 @@ object DedupIndex {
     // membership-wise and collapse in [[compactIndex]]), so the
     // `batch_id = batchId` read below always holds exactly this
     // step's bands.
-    index.appendStream(queryId, batchId, staged.withColumn("batch_id", lit(batchId)))
-    val committed = index.read()
+    // fast-path detection BEFORE our own commit moves the watermark:
+    // the index's appendStream watermark is the max stamp it holds, so
+    // watermark <= settledBefore proves every prior row's stamp is at
+    // or below the consumer's settled point — the doc-exclusion filter
+    // below would pass every row, and its broadcast build can be
+    // skipped. A crash-sliver (index committed, consumer didn't settle)
+    // leaves the watermark ABOVE settledBefore, so the slow path
+    // engages exactly when the exclusion can matter; the flag never
+    // changes results, only the plan.
+    val priorSettled = index.metadata.streamWatermarks.get(queryId)
+      .forall(_ <= settledBefore.getOrElse(Long.MinValue))
+    commitBatch(index, batchBands, queryId, batchId)
+    probeCommitted(index.read(), batchId, settledBefore, priorSettled)
+  }
+
+  private def probeCommitted(
+      committed: DataFrame,
+      batchId: Long,
+      settledBefore: Option[Long],
+      /** Caller-proven "every prior stamp <= settledBefore": skip the
+        * current-batch doc-exclusion join (a no-op under the proof).
+        */
+      priorSettled: Boolean = false): (DataFrame, DataFrame) = {
     val bands = committed.filter(col("batch_id") === lit(batchId))
       .select("doc_id", "band_id", "band_sig")
 
@@ -167,11 +236,13 @@ object DedupIndex {
     // history signatures this batch collides with: semi-probe keeps the
     // output batch-bounded even when a hot signature occurs millions of
     // times in history
-    val seenSigs = prior
+    val seenRaw = prior
       .join(broadcast(batchSigs), Seq("band_id", "band_sig"), "left_semi")
-      .join(broadcast(batchDocs.withColumn("__graft_cur", lit(true))),
-        Seq("doc_id"), "left")
-      .filter(col("batch_id") <= wmLit || col("__graft_cur").isNull)
+    val seenSigs = (if (priorSettled) seenRaw
+      else seenRaw
+        .join(broadcast(batchDocs.withColumn("__graft_cur", lit(true))),
+          Seq("doc_id"), "left")
+        .filter(col("batch_id") <= wmLit || col("__graft_cur").isNull))
       .select("band_id", "band_sig")
       .distinct()
     // a doc is dropped iff ANY of its buckets was seen in history or
