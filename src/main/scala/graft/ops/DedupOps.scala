@@ -713,13 +713,36 @@ object DedupOps {
     * tokens (single-space joined — same normalization both engines
     * apply) plus `n_masked` (count of dropped tokens). Docs shorter
     * than `window` pass through unmasked (normalized).
+    *
+    * VARIABLE-LENGTH equivalence: the covered-position union IS
+    * maximal-extent removal of every duplicated substring of length
+    * ≥ `window` — a duplicated M-token passage (M ≥ window) has every
+    * one of its sliding windows duplicated, so the union covers all M
+    * tokens; conversely a token is covered only if some duplicated
+    * window (hence a ≥window duplicated substring) contains it. This is
+    * the published exact-substring dedup semantics (Lee et al. 2022's
+    * suffix-array ExactSubstr, at minimum match length = `window`
+    * tokens) re-expressed as a hash aggregate + equality join instead
+    * of a single-node suffix array. `keepFirst = true` adds the
+    * paper's keep-one-copy refinement: each duplicated span's
+    * earliest document (smallest `idCol`) keeps its occurrence, so the
+    * content survives exactly once in the corpus instead of vanishing
+    * from every copy; later documents still mask it. A token in the
+    * earliest doc is masked only if an OVERLAPPING duplicated span
+    * owned by a different doc covers it — deterministic under any
+    * execution order.
     */
   def maskDuplicatedSpans(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       window: Int = 8,
-      minDocs: Int = 2): DataFrame = {
+      minDocs: Int = 2,
+      /** Keep the smallest-id document's copy of each duplicated span
+        * (Lee et al.'s keep-one-occurrence form) instead of masking
+        * every copy.
+        */
+      keepFirst: Boolean = false): DataFrame = {
     require(window >= 1, "window must be >= 1")
     require(minDocs >= 2, s"minDocs=$minDocs: a span is duplicated only across >=2 docs")
     val w = window
@@ -736,13 +759,17 @@ object DedupOps {
           .as(Seq("p", "span")))
 
     val dupSpans = spans.select(col(idCol), col("span")).distinct()
-      .groupBy(col("span")).agg(count(lit(1)).as("__df"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("__df"), min(col(idCol)).as("__owner"))
       .filter(col("__df") >= minDocs)
-      .select(col("span"))
+      .select(col("span") +: (if (keepFirst) Seq(col("__owner")) else Nil): _*)
 
     // per-doc union of covered token positions (0-based), metadata-sized
     // relative to the doc (bounded by its own token count)
-    val covered = spans.join(dupSpans, Seq("span"))
+    val hits = spans.join(dupSpans, Seq("span"))
+    val maskedHits =
+      if (keepFirst) hits.filter(col(idCol) =!= col("__owner")) else hits
+    val covered = maskedHits
       .groupBy(col(idCol))
       .agg(array_distinct(flatten(collect_list(
         sequence(col("p"), col("p") + lit(w - 1))))).as("__covered"))

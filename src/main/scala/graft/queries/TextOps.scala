@@ -677,6 +677,45 @@ object TextOps {
     ),
 
     QuerySpec(
+      "q_text_span_keepfirst",
+      (s, dir) =>
+        graft.ops.DedupOps.maskDuplicatedSpans(
+          t(s, dir, "documents").select("doc_id", "text"),
+          window = 8, minDocs = 2, keepFirst = true)
+          .select("doc_id", "text", "n_masked")
+          .orderBy("doc_id"),
+      // same algorithm as q_text_span_dedup plus the keep-one-copy rule:
+      // each duplicated span's smallest-doc_id occurrence is exempt
+      Some("""WITH toks AS (SELECT doc_id,
+             |          list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+             |        FROM documents),
+             |spans AS (SELECT doc_id, p, array_to_string(list_slice(tk, p + 1, p + 8), ' ') AS span
+             |          FROM (SELECT doc_id, tk,
+             |                  unnest(generate_series(0, len(tk) - 8)) AS p
+             |                FROM toks)),
+             |dup AS (SELECT span, owner FROM (
+             |          SELECT span, count(DISTINCT doc_id) AS df,
+             |                 min(doc_id) AS owner
+             |          FROM spans GROUP BY 1)
+             |        WHERE df >= 2),
+             |starts AS (SELECT DISTINCT s.doc_id, s.p FROM spans s
+             |           JOIN dup USING (span) WHERE s.doc_id <> dup.owner),
+             |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(p, p + 7)) AS i FROM starts),
+             |pos AS (SELECT doc_id, i, tk[i + 1] AS tok
+             |        FROM (SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 1)) AS i
+             |              FROM toks)),
+             |keep AS (SELECT p.doc_id, p.i, p.tok FROM pos p
+             |         LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.i = c.i
+             |         WHERE c.i IS NULL),
+             |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS txt, count(*) AS kept
+             |        FROM keep GROUP BY 1)
+             |SELECT t.doc_id, coalesce(a.txt, '') AS text,
+             |       CAST(len(t.tk) - coalesce(a.kept, 0) AS BIGINT) AS n_masked
+             |FROM toks t LEFT JOIN agg a USING (doc_id)
+             |ORDER BY t.doc_id""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_text_bm25",
       (s, dir) =>
         graft.ops.Retrieval.bm25TopK(

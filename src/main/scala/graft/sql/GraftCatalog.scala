@@ -254,6 +254,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         if (exists) lt.dropColumn(name)
         else if (!d.ifExists) throw new IllegalArgumentException(
           s"DROP COLUMN: no such column '$name' (use IF EXISTS for a no-op)")
+      case u: TableChange.UpdateColumnType =>
+        // ALTER COLUMN x TYPE BIGINT/DOUBLE: metadata-only for the
+        // lossless promotion set; widenColumn refuses everything else
+        lt.widenColumn(topLevel(u.fieldNames, "ALTER COLUMN TYPE"), u.newDataType)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change $other is not supported through SQL — " +
           "other evolution runs through the LakehouseTable API")

@@ -48,6 +48,34 @@ class SpanDedupSpec extends SparkSpec {
     assert(out == 0L)
   }
 
+  test("keepFirst exempts the smallest-id doc's copy; later copies still mask") {
+    val out = DedupOps.maskDuplicatedSpans(corpus, window = 8, minDocs = 2,
+        keepFirst = true)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // doc 0 owns the shared passage (smallest id) and keeps it
+    assert(out(0) == ((0L, s"alpha beta $passage gamma delta", 0L)))
+    assert(out(1) == ((1L, "zeta eta theta iota kappa lambda", 8L)))
+    assert(out(2) == ((2L, "mu nu xi omicron pi rho sigma tau upsilon", 0L)))
+  }
+
+  test("keepFirst masks an owner's token when an overlapping span is owned elsewhere") {
+    import spark.implicits._
+    // doc 1 owns no 8-window of its own: every window it carries also
+    // exists in doc 0 (a strict superstring), so ownership of all
+    // shared windows goes to doc 0 — doc 1 is fully masked, doc 0 kept
+    val long = s"$passage nine ten"
+    val docs = Seq(
+      (0L, s"aa bb $long cc"),
+      (1L, long)).toDF("doc_id", "text")
+    val out = DedupOps.maskDuplicatedSpans(docs, window = 8, minDocs = 2,
+        keepFirst = true)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out(0) == ((0L, s"aa bb $long cc", 0L)))
+    assert(out(1) == ((1L, "", 10L)))
+  }
+
   test("whitespace normalization is the only change for untouched docs") {
     import spark.implicits._
     val docs = Seq((0L, "a  b   c"), (1L, "d e")).toDF("doc_id", "text")

@@ -94,6 +94,32 @@ class GraftProceduresSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $cat.gold.ticks").head().getLong(0) == 9L)
   }
 
+  test("ALTER COLUMN TYPE widens through SQL; narrowing refused") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.gold.w (k BIGINT, qty INT, px FLOAT)")
+    Seq((1L, 2, 1.5f), (2L, 3, 2.5f)).toDF("k", "qty", "px")
+      .createOrReplaceTempView("w_src")
+    spark.sql(s"INSERT INTO $cat.gold.w SELECT * FROM w_src")
+    spark.sql(s"ALTER TABLE $cat.gold.w ALTER COLUMN qty TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $cat.gold.w ALTER COLUMN px TYPE DOUBLE")
+    val row = spark.sql(s"SELECT sum(qty), sum(px) FROM $cat.gold.w").head()
+    assert(row.getLong(0) == 5L && row.getDouble(1) == 4.0)
+    assert(spark.table(s"$cat.gold.w").schema("qty").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // narrowing dies in Spark's own analyzer (only up-casts reach the
+    // catalog at all)
+    val e1 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.gold.w ALTER COLUMN qty TYPE INT"))
+    assert(e1.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), e1.getMessage)
+    // int->double passes Spark's up-cast check but is NOT in the
+    // lossless metadata-only promotion set — widenColumn refuses it
+    val e2 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.gold.w ALTER COLUMN k TYPE DOUBLE"))
+    val messages = Iterator.iterate(e2: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf(_: Any)).mkString("\n")
+    assert(messages.contains("lossless"), messages)
+  }
+
   test("unknown procedure and bad namespace fail loudly; SHOW PROCEDURES lists all") {
     val cat = freshCatalog()
     val e = intercept[Exception](spark.sql(s"CALL $cat.system.no_such_proc('x')"))
