@@ -2480,6 +2480,63 @@ final class LakehouseTable(
       deletesOverride = Some(Nil))
   }
 
+  /** Binpack compaction (Iceberg `rewrite_data_files` binpack analog):
+    * rewrite ONLY the partition dirs carrying small-file pressure
+    * (more than `filesPerPartition` files) and carry every other data
+    * file — and every untouched MANIFEST — into the new snapshot by
+    * reference. [[compact]] is a full-table rewrite: the right verb
+    * for folding MoR deletes or re-sorting everything, and a
+    * non-starter as ROUTINE maintenance at 100 TB, where a nightly
+    * cycle must touch the handful of dirs yesterday's appends
+    * fragmented, not re-shuffle the table. This is that routine verb;
+    * `maintain` uses it automatically when there is no delete-fold
+    * pressure.
+    *
+    * Rewritten rows are read through the pending MoR deletes (the new
+    * files carry a fresh data sequence, so the masks no longer apply
+    * to them); the delete set itself is CARRIED FORWARD — it still
+    * gates the untouched files. Returns the current snapshot unchanged
+    * (no commit) when no dir is over pressure.
+    */
+  def compactBinpack(filesPerPartition: Int = 1): Snapshot = {
+    require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    val (version, meta) = versionedMeta
+    val current = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("cannot compact an empty table"))
+    val refsWithFiles = log.readManifestList(current).map(r => r -> log.readManifest(r.path))
+    val files = refsWithFiles.flatMap(_._2)
+    def dirOf(f: DataFile): String = f.path.split("/").dropRight(1).mkString("/")
+    val pressured = files.groupBy(dirOf)
+      .filter { case (_, fs) => fs.size > filesPerPartition }
+    if (pressured.isEmpty) return current
+    val rewrite = pressured.values.flatten.toSeq
+    val rewritePaths = rewrite.map(_.path).toSet
+
+    val df = readWithDeletes(rewrite, liveDeleteFiles(current))
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val stagingName = s".staging-${UUID.randomUUID().toString.take(8)}"
+    val staging = new Path(tableDir, stagingName)
+    // same sort-on-write discipline as [[compact]]: range-fan over
+    // (partition cols, time key) keeps sibling footer ranges
+    // near-disjoint so two-level skipping survives the rewrite
+    val pcs = meta.partitionColumns
+    val scols = (pcs ++ meta.statsSource.filterNot(pcs.contains)).map(col)
+    val n = math.max(1, pressured.size * filesPerPartition)
+    val sorted =
+      if (scols.nonEmpty)
+        df.repartitionByRange(n, scols: _*).sortWithinPartitions(scols: _*)
+      else df.repartition(n)
+    val writer = withBloomOption(meta, sorted.write.mode("overwrite"))
+    (if (pcs.nonEmpty) writer.partitionBy(pcs: _*) else writer).parquet(staging.toString)
+
+    val moved = moveStaged(meta, staging)
+    val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+    val keptRefs = rewriteRefs(refsWithFiles, rewritePaths, snapId)
+    val keptRows = files.filterNot(f => rewritePaths.contains(f.path)).map(_.rows).sum
+    commitSnapshot(meta, version, moved, "compact", Some(keptRefs),
+      totalRows = keptRows + moved.map(_.rows).sum, addedRowsOverride = Some(0L))
+  }
+
   /** Z-order compaction (Delta/Iceberg OPTIMIZE ZORDER BY analog):
     * rewrite the current snapshot clustered on the MORTON INTERLEAVING
     * of `zCols`, so per-file footer ranges stay tight on EVERY z-column
@@ -2616,14 +2673,20 @@ final class LakehouseTable(
     // delete-file pressure counts as compaction pressure: every live
     // equality/positional-delete file is a read-side anti-join every
     // query pays until a compaction folds it
+    val deletePressure = currentDeleteFiles.size > maxDeleteFiles
     val wantsCompact = files.size > nPartDirs.toLong * maxFilesPerPartition ||
-      currentDeleteFiles.size > maxDeleteFiles
+      deletePressure
     val compacted =
       if (!wantsCompact) false
       else
         try {
+          // delete pressure (or declared z-clustering) needs the FULL
+          // rewrite — that is what folds the masks / re-clusters; pure
+          // small-file pressure takes the binpack path, which touches
+          // only the over-pressure dirs (the routine 100 TB shape)
           if (zOrderCols.nonEmpty) compactZOrder(zOrderCols, math.max(compactTo, 1))
-          else compact(compactTo)
+          else if (deletePressure) compact(compactTo)
+          else compactBinpack(math.max(compactTo, 1))
           true
         }
         catch { case _: ConcurrentCommitException => false } // lost the race; next cycle

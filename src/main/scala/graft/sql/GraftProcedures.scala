@@ -85,15 +85,20 @@ private[sql] abstract class GraftProcedure(cat: GraftCatalog)
     }.toArray[Any])
 }
 
-/** Iceberg `rewrite_data_files`: compact small files (and fold any live
-  * MoR delete masks) down to `target_files` per partition dir.
+/** Iceberg `rewrite_data_files` (binpack, Iceberg's default strategy):
+  * rewrite only the partition dirs over `target_files`, carrying every
+  * well-sized file and untouched manifest by reference. `full => true`
+  * forces the whole-table rewrite ([[LakehouseTable.compact]] — the
+  * delete-fold / global re-sort verb).
   */
 private[sql] final class RewriteDataFiles(cat: GraftCatalog) extends GraftProcedure(cat) {
   override def name(): String = "rewrite_data_files"
   override def parameters(): Array[ProcedureParameter] = Array(
     param0,
     ProcedureParameter.in("target_files", IntegerType).defaultValue("1")
-      .comment("output files per partition dir").build())
+      .comment("output files per partition dir").build(),
+    ProcedureParameter.in("full", BooleanType).defaultValue("false")
+      .comment("true = full-table rewrite (folds MoR deletes)").build())
   override val outputSchema: StructType = StructType(Seq(
     StructField("files_before", IntegerType, nullable = false),
     StructField("files_after", IntegerType, nullable = false),
@@ -101,7 +106,9 @@ private[sql] final class RewriteDataFiles(cat: GraftCatalog) extends GraftProced
   override def run(input: InternalRow): InternalRow = {
     val t = table(input)
     val before = t.currentDataFiles.size
-    val snap = t.compact(math.max(1, input.getInt(1)))
+    val target = math.max(1, input.getInt(1))
+    val snap =
+      if (input.getBoolean(2)) t.compact(target) else t.compactBinpack(target)
     row(before, t.currentDataFiles.size, snap.id)
   }
 }

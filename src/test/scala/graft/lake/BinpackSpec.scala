@@ -1,0 +1,80 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Binpack compaction: only over-pressure partition dirs rewrite;
+  * well-sized files and their manifests carry by reference, MoR
+  * deletes keep gating the untouched files.
+  */
+class BinpackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(year: Int, ids: Seq[Int]) =
+    ids.map(i => (Timestamp.valueOf(f"$year-01-01 00:00:00.$i%06d"), i.toLong, i.toDouble))
+      .toDF("DateTime", "k", "v")
+
+  private def fresh(name: String): LakehouseTable =
+    LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("binpack"), name), df(2024, Seq(0)).schema, Some("DateTime"))
+
+  test("only the pressured dir rewrites; the quiet dir's file and manifest carry by reference") {
+    val t = fresh("partial")
+    (0 until 4).foreach(i => t.append(df(2024, Seq(i)).coalesce(1))) // 4 files in 2024
+    t.append(df(2025, 10 until 14).coalesce(1)) // 1 file in 2025
+    val quietFile = t.currentDataFiles.find(_.path.contains("2025")).get
+
+    val snap = t.compactBinpack(filesPerPartition = 1)
+    val after = t.currentDataFiles
+    assert(after.count(_.path.contains("DateTime_year=2024")) == 1, after.map(_.path))
+    assert(after.exists(_.path == quietFile.path), "quiet dir's file must be untouched")
+    // untouched manifest carried by REFERENCE: the quiet file's original
+    // manifest still appears in the new snapshot's list
+    val refs = t.log.readManifestList(snap).map(_.path)
+    val quietManifest = t.snapshots.find(s =>
+      s.addedManifest.exists(m => t.log.readManifest(m).exists(_.path == quietFile.path)))
+      .flatMap(_.addedManifest).get
+    assert(refs.contains(quietManifest), s"$quietManifest not in $refs")
+    assert(t.read().count() == 8)
+    assert(t.read().agg(sum("k")).head().getLong(0) ==
+      (0 until 4).sum + (10 until 14).sum)
+  }
+
+  test("no pressure is a no-op: same snapshot, no commit") {
+    val t = fresh("noop")
+    t.append(df(2024, 0 until 4).coalesce(1))
+    val before = t.metadata.currentSnapshot.get.id
+    val snap = t.compactBinpack(filesPerPartition = 1)
+    assert(snap.id == before && t.snapshots.size == 1) // just the append
+  }
+
+  test("MoR deletes fold into rewritten files and keep gating untouched ones") {
+    val t = fresh("mor")
+    (0 until 3).foreach(i => t.append(df(2024, Seq(i)).coalesce(1)))
+    t.append(df(2025, 10 until 13).coalesce(1))
+    t.morDeleteKeys(Seq(1L, 11L).toDF("k"), "k") // one key per dir
+    val snap = t.compactBinpack(filesPerPartition = 1) // only 2024 over pressure
+    assert(t.liveDeleteFiles(snap).nonEmpty,
+      "delete set must carry forward for the untouched dir")
+    val ks = t.read().select("k").as[Long].collect().sorted.toSeq
+    assert(ks == Seq(0L, 2L, 10L, 12L), ks)
+    // the rewritten dir's masked row is physically gone
+    val y2024 = t.currentDataFiles.filter(_.path.contains("2024"))
+    assert(y2024.map(_.rows).sum == 2L)
+    // a post-compaction re-append of a deleted key is LIVE (fresh seq)
+    t.append(df(2024, Seq(1)).coalesce(1))
+    assert(t.read().filter(col("k") === 1L).count() == 1L)
+  }
+
+  test("time travel still sees the pre-binpack layout") {
+    val t = fresh("tt")
+    (0 until 3).foreach(i => t.append(df(2024, Seq(i)).coalesce(1)))
+    val pre = t.metadata.currentSnapshot.get.id
+    t.compactBinpack(filesPerPartition = 1)
+    assert(t.timeTravel(pre).count() == 3)
+    assert(t.dataFiles(t.metadata.snapshotById(pre).get).size == 3)
+  }
+}
