@@ -677,6 +677,46 @@ object TextOps {
     ),
 
     QuerySpec(
+      "q_text_bpe",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        // learn (one agg + vocabulary-scale driver loop), then encode as
+        // a codegen projection; the oracle checks the word-count stage
+        // exactly and pins the encode-phase invariants as contract
+        // booleans (byte-exact reconstruction; subword count strictly
+        // between word count and char count — DuckDB cannot run the
+        // merge loop itself)
+        val model = graft.ops.BpeTokenizer.learn(docs, numMerges = 200)
+        val checked = docs
+          .select(
+            graft.ops.TextAnalysis.tokens(col("text")).as("w"),
+            graft.ops.BpeTokenizer.encodeText(col("text"), model).as("sub"))
+          .select(
+            (array_join(col("w"), "") === array_join(col("sub"), "")).as("ok"),
+            size(col("w")).cast(org.apache.spark.sql.types.LongType).as("nw"),
+            size(col("sub")).cast(org.apache.spark.sql.types.LongType).as("ns"),
+            aggregate(col("w"), lit(0L), (a, x) => a + length(x)).as("nc"))
+          .agg(min("ok").as("ok"), sum("nw").as("nw"),
+            sum("ns").as("ns"), sum("nc").as("nc"))
+          .select(
+            col("ok").as("reconstruction_ok"),
+            (col("ns") >= col("nw") && col("ns") < col("nc")).as("compresses"))
+        graft.ops.BpeTokenizer.wordCounts(docs)
+          .orderBy(col("n").desc, col("word").asc).limit(10)
+          .crossJoin(broadcast(checked))
+          .orderBy(col("n").desc, col("word").asc)
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(list_filter(string_split(text, ' '),
+             |                t -> length(t) > 0)) AS word
+             |  FROM documents),
+             |wc AS (SELECT word, count(*) AS n FROM toks GROUP BY 1)
+             |SELECT word, n, true AS reconstruction_ok, true AS compresses
+             |FROM wc ORDER BY n DESC, word ASC LIMIT 10""".stripMargin),
+      bench = true
+    ),
+
+    QuerySpec(
       "q_text_span_keepfirst",
       (s, dir) =>
         graft.ops.DedupOps.maskDuplicatedSpans(
