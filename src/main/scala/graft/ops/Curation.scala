@@ -324,4 +324,66 @@ object Curation {
       .withColumn("excl_tokens", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("shard_id", expr(s"excl_tokens div ${budget}L"))
   }
+
+  /** Quality-ordered data selection under a TOKEN budget — "train on
+    * the best N-token subset": take documents in (score desc, id asc)
+    * order while the inclusive running token total stays within
+    * `budget`. The curation step that turns a scored corpus into an
+    * actual training set when compute, not data, is the constraint.
+    *
+    * The greedy prefix needs a GLOBAL running sum over the score
+    * order, and a naive `sum() OVER (ORDER BY score DESC)` plans a
+    * single-partition window — the 100 TB killer. Same cure as
+    * [[Chunking.packSequences]]: a two-level prefix sum. Documents
+    * bucket by score range (equal-width over [min,max], descending);
+    * per-BUCKET token totals (≤ `nBuckets` rows — metadata-scale)
+    * prefix-sum on the driver and broadcast back; each document's
+    * global cumulative = its bucket's prefix + an inclusive running
+    * sum WITHIN the bucket (a bounded, parallel window). The result is
+    * deterministic in the data — the bucket scheme changes how the
+    * prefix is computed, never its value — and ties inside a score
+    * break on `idCol` ascending.
+    *
+    * Returns the selected documents with their inclusive global
+    * `cum_tokens` (≤ `budget` by construction).
+    */
+  def selectByTokenBudget(
+      docs: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      tokens: Column,
+      budget: Long,
+      nBuckets: Int = 256): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    require(nBuckets > 0, "nBuckets must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val staged = docs
+      .withColumn("__n", tokens.cast(LongType))
+      .withColumn("__s", col(scoreCol).cast(DoubleType))
+    val mm = staged.agg(min("__s"), max("__s"), count(lit(1))).head()
+    if (mm.getLong(2) == 0L) return staged.limit(0)
+      .withColumn("cum_tokens", lit(0L)).drop("__n", "__s")
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val width = math.max((hi - lo) / nBuckets, java.lang.Double.MIN_NORMAL)
+    // bucket 0 = highest scores; the max itself clamps into bucket 0
+    val withB = staged.withColumn("__b",
+      least(floor((lit(hi) - col("__s")) / lit(width)), lit(nBuckets - 1L))
+        .cast(LongType))
+    val totals = withB.groupBy("__b").agg(sum("__n").as("__bn"))
+      .orderBy("__b").collect()
+    var acc = 0L
+    val prefix = totals.map { r =>
+      val p = (r.getLong(0), acc)
+      acc += r.getLong(1)
+      p
+    }.toSeq.toDF("__b", "__p")
+    val w = Window.partitionBy("__b")
+      .orderBy(col("__s").desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(broadcast(prefix), Seq("__b"))
+      .withColumn("cum_tokens", col("__p") + sum(col("__n")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__b", "__p", "__n", "__s")
+  }
 }

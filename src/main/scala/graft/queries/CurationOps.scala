@@ -96,6 +96,37 @@ object CurationOps {
               |       excl_tokens // $shardBudget AS shard_id
               |FROM p ORDER BY doc_id""".stripMargin),
       bench = true
+    ),
+
+    QuerySpec(
+      // quality-ordered selection under a token budget: greedy prefix of
+      // the (n_chars desc, doc_id asc) order while inclusive cumulative
+      // tokens <= 15000. The engine computes the global cumsum with the
+      // two-level prefix sum (no single-partition window); the oracle's
+      // one global window proves the distributed form computes the same
+      // prefix exactly.
+      "q_text_token_budget",
+      (s, dir) =>
+        Curation.selectByTokenBudget(
+            t(s, dir, "documents").select("doc_id", "n_chars", "text"),
+            idCol = "doc_id", scoreCol = "n_chars",
+            tokens = TextAnalysis.tokenCount(col("text")), budget = 15000L)
+          .select(col("doc_id"), col("n_chars"), col("cum_tokens"))
+          .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, n_chars,
+             |         CAST(length(list_filter(string_split(text, ' '),
+             |                                 t -> length(t) > 0)) AS BIGINT) AS ntok
+             |  FROM documents
+             |), c AS (
+             |  SELECT doc_id, n_chars,
+             |         CAST(sum(ntok) OVER (ORDER BY n_chars DESC, doc_id ASC
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |           AS BIGINT) AS cum_tokens
+             |  FROM d
+             |)
+             |SELECT doc_id, n_chars, cum_tokens FROM c
+             |WHERE cum_tokens <= 15000 ORDER BY doc_id""".stripMargin)
     )
   )
 }

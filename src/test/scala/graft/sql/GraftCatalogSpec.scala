@@ -26,6 +26,17 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $cat.gold.ticks SELECT * FROM ticks_src")
   }
 
+  test("CTAS and RTAS roundtrip through the v1 write fallback") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.gold.ct AS " +
+      "SELECT id AS k, CAST(id * 2.0 AS DOUBLE) AS v FROM range(10)")
+    val r = spark.sql(s"SELECT count(*), sum(v) FROM $cat.gold.ct").head()
+    assert(r.getLong(0) == 10L && r.getDouble(1) == 90.0)
+    spark.sql(s"REPLACE TABLE $cat.gold.ct AS SELECT id AS k FROM range(3)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gold.ct").head().getLong(0) == 3L)
+    assert(spark.table(s"$cat.gold.ct").columns.toSeq == Seq("k"))
+  }
+
   test("CREATE TABLE + INSERT INTO + SELECT roundtrip through pure SQL") {
     val cat = freshCatalog()
     mkTicks(cat)
