@@ -475,6 +475,36 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(expired2.nonEmpty, "released chain must be expirable again")
   }
 
+  test("filters push into a JOIN-bearing MoR-delta batch's data scan (plan-asserted)") {
+    val root = tmpDir("gts-push-mor")
+    val src = fresh(root, "src")
+    src.append(df(0 until 10))
+    val q = readStream(src, "changeFeed" -> "true")
+      .filter($"EventId" > 3L)
+      .writeStream.format("memory").queryName("gts_push_mor")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.ProcessingTime(10L))
+      .start()
+    try {
+      q.processAllAvailable()
+      // a delete makes the NEXT batch a join (pre-image mask) — the
+      // shape the old shim pinned pre-optimized, stopping downstream
+      // pushdown at the LogicalRDD boundary
+      src.morDeleteKeys(Seq(5L).toDF("EventId"), "EventId")
+      q.processAllAvailable()
+      val plan = q match {
+        case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+          w.streamingQuery.lastExecution.executedPlan.toString
+      }
+      assert(plan.contains("Join") || plan.contains("BroadcastHashJoin"),
+        s"expected the delete batch to carry a join, plan:\n$plan")
+      // spine tagging keeps the parquet leaves pushdown-capable: the
+      // downstream filter reaches the reader even through the join
+      assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(EventId,3)"),
+        s"expected the EventId filter in PushedFilters through the join, plan:\n$plan")
+    } finally q.stop()
+  }
+
   test("filters push into the micro-batch parquet scan (plan-asserted)") {
     val root = tmpDir("gts-push")
     val src = fresh(root, "src")
