@@ -34,6 +34,39 @@ object BpeTokenizer {
     def mergedUnits: Seq[String] = merges.map { case (l, r) => l + r }.distinct
   }
 
+  /** Persist a learned model as one crash-safe JSON file (train once,
+    * encode from any later job): the standard `merges.txt` content —
+    * rank-ordered pairs — in JSON form, written through the same
+    * atomic tmp+rename protocol as the lakehouse ancillary state.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, model: BpeModel, path: String): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val json = JsonMethods.compact(JsonMethods.render(
+      ("format" -> "graft-bpe-v1") ~
+        ("merges" -> model.merges.map { case (l, r) => Seq(l, r) })))
+    graft.lake.AtomicState.write(fs, p, json)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): BpeModel = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val content = graft.lake.AtomicState.read(fs, p).getOrElse(
+      throw new java.io.FileNotFoundException(s"no BPE model at $path"))
+    val j = JsonMethods.parse(content)
+    require((j \ "format") == JString("graft-bpe-v1"),
+      s"$path is not a graft-bpe-v1 model file")
+    val merges = (j \ "merges").asInstanceOf[JArray].arr.map {
+      case JArray(List(JString(l), JString(r))) => (l, r)
+      case other => throw new IllegalArgumentException(s"bad merge entry $other")
+    }
+    BpeModel(merges)
+  }
+
   /** Word-type counts — the learn phase's one corpus pass, exposed for
     * oracle checking and reuse (same tokenization as every text op:
     * whitespace split, empties dropped).

@@ -110,6 +110,28 @@ class WidenSpec extends SparkSpec {
     assert(e.getMessage.contains("widenColumn"))
   }
 
+  test("rename then widen: historical-alias files read under the widened type") {
+    val t = fresh("rnw")
+    t.append(df32(0 until 5)) // physical: qty int32
+    t.renameColumn("qty", "quantity")
+    t.widenColumn("quantity", LongType)
+    t.widenColumn("px", DoubleType)
+    // new epoch: physical quantity int64
+    t.append(df64(5 until 10).withColumnRenamed("qty", "quantity"))
+    val out = t.read()
+    assert(out.schema("quantity").dataType == LongType)
+    assert(out.agg(sum("quantity")).head().getLong(0) == (0 until 10).map(_.toLong).sum)
+    // and the reverse order: widen first, then rename
+    val t2 = fresh("wnr")
+    t2.append(df32(0 until 5))
+    t2.widenColumn("qty", LongType)
+    t2.widenColumn("px", DoubleType)
+    t2.renameColumn("qty", "quantity")
+    t2.append(df64(5 until 10).withColumnRenamed("qty", "quantity"))
+    assert(t2.read().agg(sum("quantity")).head().getLong(0) ==
+      (0 until 10).map(_.toLong).sum)
+  }
+
   test("equality deletes written pre-widening still mask post-widening") {
     val t = fresh("mor")
     t.append(df32(0 until 10))

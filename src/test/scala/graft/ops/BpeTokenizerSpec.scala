@@ -56,6 +56,19 @@ class BpeTokenizerSpec extends SparkSpec {
       s"subword count $ns must sit strictly between word count $nw and char count $nc")
   }
 
+  test("save/load roundtrips the model; loading garbage fails loudly") {
+    val model = BpeTokenizer.BpeModel(Seq(("e", "s"), ("es", "t"), ("l", "o")))
+    val path = s"${tmpDir("bpe")}/model.json"
+    BpeTokenizer.save(spark, model, path)
+    assert(BpeTokenizer.load(spark, path) == model)
+    val bad = s"${tmpDir("bpe")}/bad.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad),
+      """{"format":"something-else","merges":[]}""".getBytes)
+    intercept[IllegalArgumentException](BpeTokenizer.load(spark, bad))
+    intercept[java.io.FileNotFoundException](
+      BpeTokenizer.load(spark, s"${tmpDir("bpe")}/absent.json"))
+  }
+
   test("empty merge budget degrades to codepoint splitting") {
     val model = BpeTokenizer.BpeModel(Nil)
     val out = Seq((1L, "ab c")).toDF("id", "text")
