@@ -2215,14 +2215,21 @@ final class LakehouseTable(
           s"${keyCols.mkString("(", ", ", ")")} ($total rows, $dist distinct " +
           "keys) — fold the batch to one image per key before applying")
     }
-    val tombstoneNulls = tombstones.filter(anyNullKey).count()
-    if (tombstoneNulls > 0) throw new IllegalArgumentException(
-      s"morApplyStream: $tombstoneNulls delete key(s) with null key column(s) " +
-        s"${keyCols.mkString("(", ", ", ")")} — null keys never match an " +
-        "equality mask, so the deletion would be silently lost")
+    // the tombstone null guard rides the delete-write job itself (the
+    // raise wraps the key projection, so column pruning cannot elide
+    // it) instead of a separate pre-count pass — one fewer job per
+    // trigger, same loud contract: writeDeleteFiles would otherwise
+    // drop null keys silently and the deletion would be lost
+    val guardedTombstones = tombstones.select(keyCols.map(k =>
+      when(col(k).isNull,
+        raise_error(lit(s"morApplyStream: delete key with null key column " +
+          s"'$k' of ${keyCols.mkString("(", ", ", ")")} — null keys never " +
+          "match an equality mask, so the deletion would be silently lost"))
+          .cast(tombstones.schema(k).dataType))
+        .otherwise(col(k)).as(k)): _*)
     val maskKeys =
-      if (moved.isEmpty) tombstones
-      else readFiles(moved).select(keyCols.map(col): _*).unionByName(tombstones)
+      if (moved.isEmpty) guardedTombstones
+      else readFiles(moved).select(keyCols.map(col): _*).unionByName(guardedTombstones)
     val snap = withCommitRetry {
       val (v, meta) = versionedMeta
       if (meta.streamWatermarks.get(queryId).exists(_ >= batchId)) null

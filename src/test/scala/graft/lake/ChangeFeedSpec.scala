@@ -182,12 +182,17 @@ class ChangeFeedSpec extends SparkSpec {
         deleteKeys = df(Seq.empty[Int]).select("EventId"), keyCols = Seq("EventId"))
     }
     assert(e2.getMessage.contains("not unique"), e2.getMessage)
-    // null tombstone key: the deletion would silently never match
-    val e3 = intercept[IllegalArgumentException] {
+    // null tombstone key: the deletion would silently never match — the
+    // guard now raises INSIDE the delete-write job (one fewer job per
+    // trigger), so it surfaces as a Spark job failure carrying the
+    // message in its cause chain
+    val e3 = intercept[Exception] {
       t.morApplyStream("g", 3L, images = df(Seq.empty[Int]),
         deleteKeys = Seq[Option[Long]](None).toDF("EventId"), keyCols = Seq("EventId"))
     }
-    assert(e3.getMessage.contains("null key"), e3.getMessage)
+    val msgs3 = Iterator.iterate(e3: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf(_: Any)).mkString("\n")
+    assert(msgs3.contains("null key"), msgs3)
     // nothing committed, no watermark advanced: batch 1 applies cleanly after fixes
     assert(t.metadata.streamWatermarks.get("g").isEmpty)
     t.morApplyStream("g", 1L, images = df(Seq(1), _ => 42.0),
