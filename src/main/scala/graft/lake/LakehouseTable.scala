@@ -322,6 +322,63 @@ final class LakehouseTable(
     published
   }
 
+  /** Re-apply an APPEND-shaped snapshot's added files onto the CURRENT
+    * head as a new commit (Iceberg `cherrypick_snapshot` analog) — the
+    * write-audit-publish escape hatch when main advanced after the
+    * branch was cut: [[fastForward]] rightly refuses (main head is no
+    * longer an ancestor), and cherry-pick replays the audited append
+    * on fresh main by REFERENCE — a new manifest pointing at the same
+    * data files, no bytes moved. Expiry keeps those files alive for as
+    * long as ANY retained snapshot's manifests reference the paths, so
+    * the source lineage can age out (or its branch be dropped) without
+    * reaping the replayed data.
+    *
+    * Only append-shaped snapshots are pickable, checked STRUCTURALLY
+    * against the parent (its manifest-list must be parent's plus the
+    * own added manifest; its delete set must equal the parent's):
+    * row-removing or file-replacing commits (COW surgery, compaction,
+    * MoR masks, truncate) are entangled with their parent state, and
+    * replaying them elsewhere is semantically undefined. When the
+    * parent is already expired the structural check degrades to the
+    * operation label. A snapshot already in main's ancestry is refused
+    * — picking it would duplicate its rows.
+    */
+  def cherrypickSnapshot(snapshotId: Long): Snapshot = withCommitRetry {
+    val (v, meta) = versionedMeta
+    val src = meta.snapshotById(snapshotId).getOrElse(
+      throw new NoSuchElementException(s"snapshot $snapshotId not found"))
+    val addedRef = src.addedManifest.getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot $snapshotId added no files — nothing to cherry-pick"))
+    val mainAncestry = Iterator.iterate(meta.currentSnapshot)(
+      _.flatMap(_.parentId).flatMap(meta.snapshotById))
+      .takeWhile(_.isDefined).flatten.map(_.id).toSet
+    require(!mainAncestry.contains(snapshotId),
+      s"snapshot $snapshotId is already in main's ancestry — cherry-picking " +
+        "it would duplicate its rows")
+    src.parentId.flatMap(meta.snapshotById) match {
+      case Some(parent) =>
+        val parentRefs = log.readManifestList(parent).map(_.path)
+        val srcRefs = log.readManifestList(src).map(_.path)
+        require(srcRefs.toSet == (parentRefs :+ addedRef).toSet &&
+            srcRefs.size == parentRefs.size + 1,
+          s"snapshot $snapshotId is not append-shaped (it replaced or " +
+            "dropped manifests of its parent) — only pure appends replay " +
+            "safely onto a different head")
+        val parentDels = liveDeleteFiles(parent).map(_.path).toSet
+        require(liveDeleteFiles(src).map(_.path).toSet == parentDels,
+          s"snapshot $snapshotId changed the delete set — MoR-bearing " +
+            "commits are entangled with their parent state and cannot " +
+            "be cherry-picked")
+      case None =>
+        require(Set("append", "stream-append")(src.operation),
+          s"snapshot $snapshotId's parent is expired and its operation " +
+            s"'${src.operation}' is not append-shaped")
+    }
+    val files = log.readManifest(addedRef)
+    commitAppend(meta, v, files, "cherrypick")
+  }
+
   /** Drop a branch ref: its unpublished snapshots lose expiry
     * protection and age out like any other history.
     */

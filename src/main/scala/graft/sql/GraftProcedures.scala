@@ -40,6 +40,7 @@ private[sql] object GraftProcedures {
     "rewrite_data_files" -> (new RewriteDataFiles(_)),
     "expire_snapshots" -> (new ExpireSnapshots(_)),
     "rollback_to_snapshot" -> (new RollbackToSnapshot(_)),
+    "cherrypick_snapshot" -> (new CherrypickSnapshot(_)),
     "zorder" -> (new ZOrderFiles(_)),
     "rewrite_manifests" -> (new RewriteManifests(_)),
     "remove_orphan_files" -> (new RemoveOrphanFiles(_)),
@@ -146,6 +147,23 @@ private[sql] final class RollbackToSnapshot(cat: GraftCatalog) extends GraftProc
     val target = input.getLong(1)
     t.rollbackTo(target)
     row(prev.orNull, target)
+  }
+}
+
+/** Iceberg `cherrypick_snapshot`: replay an append-shaped snapshot
+  * (e.g. an audited branch commit fastForward can no longer publish)
+  * onto the current head by reference.
+  */
+private[sql] final class CherrypickSnapshot(cat: GraftCatalog) extends GraftProcedure(cat) {
+  override def name(): String = "cherrypick_snapshot"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param0, ProcedureParameter.in("snapshot_id", LongType).build())
+  override val outputSchema: StructType = StructType(Seq(
+    StructField("source_snapshot_id", LongType, nullable = false),
+    StructField("current_snapshot_id", LongType, nullable = false)))
+  override def run(input: InternalRow): InternalRow = {
+    val src = input.getLong(1)
+    row(src, table(input).cherrypickSnapshot(src).id)
   }
 }
 
