@@ -429,15 +429,44 @@ trait PointerStore {
 final class FsPointerStore(metaDir: Path, fsOf: () => FileSystem) extends PointerStore {
   private def versionFile = new Path(metaDir, "VERSION")
 
+  /** Concurrent READERS are not serialized against the commit lock, so
+    * a read can land inside a same-JVM writer's delete→rename window:
+    * `exists` passes and `open` throws, or — worse — `exists` returns
+    * false and a naive read reports the table EMPTY mid-commit (the
+    * root cause of a suite-load flake where a streaming poll saw
+    * "VERSION does not exist"). The window is disambiguated by the
+    * in-flight `VERSION.tmp.*` file: absent pointer + no tmp is a
+    * genuinely uncommitted table; absent pointer + tmp means retry —
+    * and if the window never closes (writer died between delete and
+    * rename), the reader PROMOTES the newest tmp, whose content is
+    * complete by construction, mirroring AtomicState's recovery.
+    */
   override def read(): Option[Long] = {
     val fs = fsOf()
-    if (!fs.exists(versionFile)) None
-    else {
-      val in = new BufferedReader(
-        new InputStreamReader(fs.open(versionFile), StandardCharsets.UTF_8))
-      try Some(in.readLine().trim.toLong)
-      finally in.close()
+    var attempt = 0
+    while (true) {
+      try {
+        val in = new BufferedReader(
+          new InputStreamReader(fs.open(versionFile), StandardCharsets.UTF_8))
+        try return Some(in.readLine().trim.toLong)
+        finally in.close()
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          val tmps = fs.globStatus(new Path(metaDir, "VERSION.tmp.*"))
+          if (tmps == null || tmps.isEmpty) return None // pre-first-commit table
+          attempt += 1
+          if (attempt > 10) {
+            // stale swap window: promote the newest staged pointer (a
+            // racing writer/reader rename just makes this loop again)
+            val newest = tmps.maxBy(_.getPath.getName.stripPrefix("VERSION.tmp.").toLong)
+            fs.rename(newest.getPath, versionFile)
+          }
+          if (attempt > 50) throw new IllegalStateException(
+            s"version pointer at $versionFile unreadable: swap window never closed")
+          Thread.sleep(math.min(2L * attempt, 20L))
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   override def compareAndSwap(expected: Option[Long], next: Long): Boolean = {
@@ -449,9 +478,13 @@ final class FsPointerStore(metaDir: Path, fsOf: () => FileSystem) extends Pointe
       try out.write(next.toString.getBytes(StandardCharsets.UTF_8))
       finally out.close()
       fs.delete(versionFile, false) // rename-over is not portable across FS impls
-      if (!fs.rename(tmp, versionFile))
-        throw new IllegalStateException(s"failed to swap version pointer to v$next")
-      true
+      if (!fs.rename(tmp, versionFile)) {
+        // a reader may have PROMOTED our completed tmp inside the
+        // window (see read()): the swap then already happened with our
+        // content — treat as success instead of failing the commit
+        if (read().contains(next)) { fs.delete(tmp, false); true }
+        else throw new IllegalStateException(s"failed to swap version pointer to v$next")
+      } else true
     }
   }
 }

@@ -91,6 +91,77 @@ object QualityClassifier {
     scoreWithWeights(df, textCol, m).filter(col("quality_logit") > threshold)
   }
 
+  /** Fitted K-class linear scorer: per-class weight rows + intercepts
+    * over the same hashed-TF features; `labels` in the (sorted,
+    * deterministic) index order the trainer used.
+    */
+  final case class MultiClassModel(
+      dims: Int,
+      labels: Seq[String],
+      weights: Seq[Array[Double]],
+      intercepts: Array[Double])
+
+  /** Multinomial extension of [[train]] — the model-based LANGUAGE-ID
+    * (or any K-way document routing) pass: fit multinomial logistic
+    * regression over hashed bag-of-words on a labeled sample, export
+    * the K weight rows. Label→index mapping is the SORTED distinct
+    * label set, not StringIndexer's frequency order, so the exported
+    * model is deterministic in the sample's content.
+    */
+  def trainMultiClass(
+      labeled: DataFrame,
+      textCol: String,
+      labelCol: String,
+      dims: Int = 1 << 12,
+      maxIter: Int = 25): MultiClassModel = {
+    val labels = labeled.select(col(labelCol)).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(labels.size >= 2, s"need >= 2 classes, got $labels")
+    val toIdx = labels.zipWithIndex
+      .foldLeft(lit(-1.0)) { case (acc, (l, i)) =>
+        when(col(labelCol) === l, lit(i.toDouble)).otherwise(acc)
+      }
+    val pipeline = new Pipeline().setStages(Array(
+      new RegexTokenizer().setInputCol(textCol).setOutputCol("__tokens")
+        .setPattern(TokenPattern).setToLowercase(false),
+      new HashingTF().setInputCol("__tokens").setOutputCol("__features")
+        .setNumFeatures(dims),
+      new LogisticRegression().setFeaturesCol("__features").setLabelCol("__label")
+        .setFamily("multinomial").setMaxIter(maxIter).setRegParam(1e-4)))
+    val model = pipeline.fit(labeled.withColumn("__label", toIdx))
+    val lr = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    val k = labels.size
+    val cm = lr.coefficientMatrix // k x dims
+    val rows = (0 until k).map(r => Array.tabulate(dims)(c => cm(r, c)))
+    MultiClassModel(dims, labels, rows, lr.interceptVector.toArray)
+  }
+
+  /** K-way classification at scan speed — [[scoreWithWeights]]'s
+    * multi-class twin: K codegen'd HOF passes (one per class row, K is
+    * small) produce the logit array; `predicted_label` is the argmax
+    * (first-max on exact ties, deterministic). No MLlib, no UDF, no
+    * shuffle at inference.
+    */
+  def classifyWithWeights(
+      df: DataFrame, textCol: String, m: MultiClassModel): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    def termIndex(c: Column): Column =
+      GraftShims.column(graft.functions.TermIndex(GraftShims.expression(c), m.dims))
+    val tokens = filter(split(col(textCol), TokenPattern), t => length(t) > 0)
+    val logits = m.weights.zipWithIndex.map { case (wk, k) =>
+      aggregate(
+        transform(tokens, t => element_at(lit(wk), termIndex(t) + 1)),
+        lit(m.intercepts(k)),
+        (acc, x) => acc + x)
+    }
+    val arr = array(logits: _*)
+    df.withColumn("label_logits", arr)
+      .withColumn("predicted_label",
+        element_at(lit(m.labels.toArray),
+          array_position(arr, array_max(arr)).cast("int")))
+  }
+
   /** Engine-portable twin for the correctness gate: indices from the
     * portable PolyHash, INTEGER weights derived from the index by
     * `w(i) = ((i+1) * 2654435761) mod 1001 - 500`, logit as an exact

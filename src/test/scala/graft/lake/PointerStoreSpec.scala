@@ -48,6 +48,57 @@ class PointerStoreSpec extends SparkSpec {
     assert(s.compareAndSwap(Some(0L), 1L) && s.read().contains(1L))
   }
 
+  test("concurrent readers never throw or read stale during swaps") {
+    // the suite-load flake this guards: a reader landing inside the
+    // writer's delete->rename window used to THROW "VERSION does not
+    // exist" (exists→open TOCTOU); read() now retries through the
+    // window using the in-flight tmp as the disambiguator. A rare None
+    // remains legal at the store level — SnapshotLog.currentVersion
+    // scan-recovers it — but values, when present, must never be stale.
+    val dir = new Path(tmpDir("ptr"), "race/metadata")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(dir)
+    val s = new FsPointerStore(dir, () => dir.getFileSystem(spark.sessionState.newHadoopConf()))
+    assert(s.compareAndSwap(None, 1L))
+    @volatile var stop = false
+    @volatile var bad: Option[String] = None
+    val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+    val readers = (0 until 4).map(_ => new Thread(() => {
+      while (!stop && bad.isEmpty) {
+        try s.read() match {
+          case Some(v) if v < 1L => bad = Some(s"stale value $v")
+          case Some(_) => seen.incrementAndGet()
+          case None => () // legal mid-window; scan-recovered upstairs
+        } catch { case e: Throwable => bad = Some(s"read threw: $e") }
+      }
+    }))
+    readers.foreach(_.start())
+    try {
+      var v = 1L
+      while (v < 400 && bad.isEmpty) {
+        assert(s.compareAndSwap(Some(v), v + 1), s"swap $v lost unexpectedly")
+        v += 1
+      }
+    } finally { stop = true; readers.foreach(_.join()) }
+    assert(bad.isEmpty, bad.getOrElse(""))
+    assert(seen.get() > 0L, "readers must have observed values")
+  }
+
+  test("a crashed swap window recovers: readers promote the completed tmp") {
+    val dir = new Path(tmpDir("ptr"), "crash/metadata")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(dir)
+    val s = new FsPointerStore(dir, () => dir.getFileSystem(spark.sessionState.newHadoopConf()))
+    assert(s.compareAndSwap(None, 7L))
+    // simulate a writer that died between delete and rename: staged tmp
+    // for v8 present, VERSION gone
+    val tmp = new Path(dir, "VERSION.tmp.8")
+    val out = fs.create(tmp, true); out.write("8".getBytes); out.close()
+    fs.delete(new Path(dir, "VERSION"), false)
+    assert(s.read().contains(8L), "reader must promote the completed staged pointer")
+    assert(fs.exists(new Path(dir, "VERSION")))
+  }
+
   test("two writers through one CAS store: rebase-retry lands both, no lost update") {
     val dir = new Path(tmpDir("ptr"), "t1")
     LakehouseTable.createIfNotExists(spark, dir, mkRows(0 until 1).schema, Some("DateTime"))

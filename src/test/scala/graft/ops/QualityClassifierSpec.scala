@@ -58,6 +58,34 @@ class QualityClassifierSpec extends SparkSpec {
     }
   }
 
+  test("multi-class: distinct-vocab languages classify at 100% held-out") {
+    import spark.implicits._
+    // three synthetic languages with disjoint word pools (the engine's
+    // own testdata carries RANDOM lang labels over one shared
+    // vocabulary — unlearnable by construction — so the multi-class
+    // contract is pinned here on a corpus where the signal exists)
+    val pools = Map(
+      "aa" -> Vector("rot", "grun", "blau", "gelb", "weiss"),
+      "bb" -> Vector("uno", "dos", "tres", "cuatro", "cinco"),
+      "cc" -> Vector("ichi", "ni", "san", "yon", "go"))
+    val docs = (0 until 120).map { i =>
+      val lang = Seq("aa", "bb", "cc")(i % 3)
+      val p = pools(lang)
+      val text = (0 until 12).map(j => p((i * 7 + j * 3) % p.size)).mkString(" ")
+      (i.toLong, text, lang)
+    }.toDF("doc_id", "text", "lang")
+    val model = QualityClassifier.trainMultiClass(
+      docs.filter($"doc_id" % 2 === 0), "text", "lang", dims = 1 << 10)
+    assert(model.labels == Seq("aa", "bb", "cc")) // sorted, deterministic
+    val heldOut = QualityClassifier.classifyWithWeights(
+        docs.filter($"doc_id" % 2 === 1), "text", model)
+      .select("lang", "predicted_label")
+      .collect()
+    assert(heldOut.nonEmpty)
+    heldOut.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"misclassified held-out doc: label=${r.getString(0)} pred=${r.getString(1)}"))
+  }
+
   test("portable scoring is deterministic and matches a hand computation") {
     graft.functions.GraftExtensions.register(spark)
     import spark.implicits._
