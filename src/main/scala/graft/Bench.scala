@@ -183,12 +183,22 @@ object Bench {
     val commitSec = graft.lake.CommitMetrics.totalSec(dstKey) - imageCommitSec
     val commits = graft.lake.CommitMetrics.commits(dstKey)
     val triggers = prog.length
+    // NOTE: numInputRows counts rows read by the feed's STREAMING-
+    // TAGGED parquet leaves (spine tagging, round 9) — scan volume,
+    // not emitted feed rows
     val rows = prog.map(_.numInputRows).sum
     // stream-side time only (the wall window also contains the SOURCE's
     // delta-producing jobs): Spark's own per-trigger total, split into
     // the graft-specific parts
     val triggerExecSec = dur("triggerExecution")
     val converged = src.read().count() == dst.read().count()
+    // the fixture is two full lakehouse tables + a checkpoint — clean
+    // up so repeated bench runs don't fill the tmp volume
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
     f"""{"image_sec":$imageSec%.3f,"delta_triggers":$triggers,"delta_rows":$rows,"dst_commits":$commits,"delta_wall_sec":$wall%.3f,"trigger_exec_sec":$triggerExecSec%.3f,"per_trigger_sec":${triggerExecSec / math.max(1, triggers)}%.3f,"planning_sec":$planningSec%.3f,"commit_sec":$commitSec%.3f,"exec_sec":${math.max(0.0, triggerExecSec - planningSec - commitSec)}%.3f,"converged":$converged}"""
   } catch {
     case e: Throwable =>
@@ -227,6 +237,11 @@ object Bench {
     }
     val seq = mode(batched = false)
     val bat = mode(batched = true)
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
     f"""{"sequential_sec":$seq%.3f,"batched_sec":$bat%.3f,"files":$nFiles,"rows":$rows}"""
   } catch {
     case e: Throwable =>

@@ -352,10 +352,17 @@ final class LakehouseTable(
         s"snapshot $snapshotId added no files — nothing to cherry-pick"))
     val mainAncestry = Iterator.iterate(meta.currentSnapshot)(
       _.flatMap(_.parentId).flatMap(meta.snapshotById))
-      .takeWhile(_.isDefined).flatten.map(_.id).toSet
-    require(!mainAncestry.contains(snapshotId),
+      .takeWhile(_.isDefined).flatten.toSeq
+    require(!mainAncestry.exists(_.id == snapshotId),
       s"snapshot $snapshotId is already in main's ancestry — cherry-picking " +
         "it would duplicate its rows")
+    // idempotence: a RETRIED pick of the same source (runbook re-run,
+    // client timeout) must refuse, not silently double the rows — the
+    // replay commit records its source id exactly for this check
+    mainAncestry.find(_.sourceSnapshotId.contains(snapshotId)).foreach(prior =>
+      throw new IllegalArgumentException(
+        s"snapshot $snapshotId was already cherry-picked as snapshot " +
+          s"${prior.id} — picking it again would duplicate its rows"))
     src.parentId.flatMap(meta.snapshotById) match {
       case Some(parent) =>
         val parentRefs = log.readManifestList(parent).map(_.path)
@@ -376,7 +383,10 @@ final class LakehouseTable(
             s"'${src.operation}' is not append-shaped")
     }
     val files = log.readManifest(addedRef)
-    commitAppend(meta, v, files, "cherrypick")
+    commitSnapshot(meta, v, files, "cherrypick", replaceRefs = None,
+      totalRows = meta.currentSnapshot.map(_.totalRows).getOrElse(0L) +
+        files.map(_.rows).sum,
+      sourceSnapshotId = Some(snapshotId))
   }
 
   /** Drop a branch ref: its unpublished snapshots lose expiry
@@ -1820,7 +1830,11 @@ final class LakehouseTable(
         * branch ref moves — main's pointer (and every main reader) is
         * untouched until [[fastForward]] publishes the branch.
         */
-      branch: Option[String] = None): Snapshot = CommitMetrics.timed(tableDir.toString) {
+      branch: Option[String] = None,
+      /** Cherry-pick provenance: the replayed source snapshot's id —
+        * the idempotence token (see [[cherrypickSnapshot]]).
+        */
+      sourceSnapshotId: Option[Long] = None): Snapshot = CommitMetrics.timed(tableDir.toString) {
     val parent = branch match {
       case Some(b) => Some(meta.snapshotById(meta.branches.getOrElse(b,
         throw new NoSuchElementException(s"no such branch '$b'")))
@@ -1850,7 +1864,8 @@ final class LakehouseTable(
       addedFilesCount = moved.size,
       addedRows = addedRowsOverride.getOrElse(moved.map(_.rows).sum),
       totalRows = totalRows,
-      branch = branch)
+      branch = branch,
+      sourceSnapshotId = sourceSnapshotId)
     val next = branch match {
       case Some(b) => meta.copy(
         snapshots = meta.snapshots :+ snap,
@@ -2562,8 +2577,20 @@ final class LakehouseTable(
     * gates the untouched files. Returns the current snapshot unchanged
     * (no commit) when no dir is over pressure.
     */
-  def compactBinpack(filesPerPartition: Int = 1): Snapshot = {
+  def compactBinpack(
+      filesPerPartition: Int = 1,
+      /** Dirs with MORE files than this rewrite; the rest carry by
+        * reference. Defaults to the output target, but [[maintain]]
+        * passes its own (looser) trigger threshold — conflating the
+        * two would turn any over-threshold TABLE into a near-full
+        * rewrite of every dir holding more than the output target.
+        */
+      pressureThreshold: Option[Int] = None): Snapshot = {
     require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    val threshold = pressureThreshold.getOrElse(filesPerPartition)
+    require(threshold >= filesPerPartition,
+      s"pressureThreshold $threshold below the output target $filesPerPartition " +
+        "would rewrite dirs into MORE files than triggered the rewrite")
     val (version, meta) = versionedMeta
     val current = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("cannot compact an empty table"))
@@ -2571,7 +2598,7 @@ final class LakehouseTable(
     val files = refsWithFiles.flatMap(_._2)
     def dirOf(f: DataFile): String = f.path.split("/").dropRight(1).mkString("/")
     val pressured = files.groupBy(dirOf)
-      .filter { case (_, fs) => fs.size > filesPerPartition }
+      .filter { case (_, fs) => fs.size > threshold }
     if (pressured.isEmpty) return current
     val rewrite = pressured.values.flatten.toSeq
     val rewritePaths = rewrite.map(_.path).toSet
@@ -2747,11 +2774,23 @@ final class LakehouseTable(
           // delete pressure (or declared z-clustering) needs the FULL
           // rewrite — that is what folds the masks / re-clusters; pure
           // small-file pressure takes the binpack path, which touches
-          // only the over-pressure dirs (the routine 100 TB shape)
-          if (zOrderCols.nonEmpty) compactZOrder(zOrderCols, math.max(compactTo, 1))
-          else if (deletePressure) compact(compactTo)
-          else compactBinpack(math.max(compactTo, 1))
-          true
+          // only the over-pressure dirs (the routine 100 TB shape).
+          // Note the global trigger implies at least one dir is over
+          // the per-dir threshold (pigeonhole), so the binpack is
+          // never vacuous — the head check keeps the report honest
+          // regardless.
+          if (zOrderCols.nonEmpty) { compactZOrder(zOrderCols, math.max(compactTo, 1)); true }
+          else if (deletePressure) { compact(compactTo); true }
+          else {
+            val before = metadata.currentSnapshot.map(_.id)
+            val s = compactBinpack(math.max(compactTo, 1),
+              // pressure = the maintenance trigger, NOT the output
+              // target: only dirs actually over the per-dir budget
+              // rewrite; acceptable dirs carry by reference
+              pressureThreshold =
+                Some(math.max(maxFilesPerPartition, math.max(compactTo, 1))))
+            !before.contains(s.id)
+          }
         }
         catch { case _: ConcurrentCommitException => false } // lost the race; next cycle
     val chain = metadata.currentSnapshot.map(s => log.readManifestList(s).size).getOrElse(0)

@@ -252,7 +252,14 @@ final case class Snapshot(
       * keep unpublished staging commits out of main's lineage and out
       * of the reaper while their branch lives.
       */
-    branch: Option[String] = None
+    branch: Option[String] = None,
+    /** For `cherrypick` commits (round 9, additive): the snapshot whose
+      * added files this commit replays — the idempotence token
+      * [[LakehouseTable.cherrypickSnapshot]] checks so a retried pick
+      * of the same source refuses instead of silently duplicating rows
+      * (Iceberg's source-snapshot-id summary analog).
+      */
+    sourceSnapshotId: Option[Long] = None
 )
 
 final case class TableMetadata(

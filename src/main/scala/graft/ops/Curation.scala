@@ -361,9 +361,17 @@ object Curation {
     val staged = docs
       .withColumn("__n", tokens.cast(LongType))
       .withColumn("__s", col(scoreCol).cast(DoubleType))
-    val mm = staged.agg(min("__s"), max("__s"), count(lit(1))).head()
+    val mm = staged.agg(min("__s"), max("__s"), count(lit(1)),
+      count(when(col("__s").isNull || col("__n").isNull, 1))).head()
     if (mm.getLong(2) == 0L) return staged.limit(0)
       .withColumn("cum_tokens", lit(0L)).drop("__n", "__s")
+    // a null score has NO position in the quality order and a null
+    // token count no mass — refuse loudly instead of surfacing as an
+    // opaque null-bucket NPE (a failed upstream scorer is common;
+    // the caller decides whether to filter or fix it)
+    require(mm.getLong(3) == 0L,
+      s"selectByTokenBudget: ${mm.getLong(3)} document(s) with null " +
+        s"'$scoreCol' or null token count — filter or re-score them first")
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     val width = math.max((hi - lo) / nBuckets, java.lang.Double.MIN_NORMAL)
     // bucket 0 = highest scores; the max itself clamps into bucket 0

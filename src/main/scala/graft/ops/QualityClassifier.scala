@@ -114,8 +114,11 @@ object QualityClassifier {
       labelCol: String,
       dims: Int = 1 << 12,
       maxIter: Int = 25): MultiClassModel = {
-    val labels = labeled.select(col(labelCol)).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+    val raw = labeled.select(col(labelCol)).distinct().collect().map(_.getString(0))
+    require(!raw.contains(null),
+      s"trainMultiClass: null '$labelCol' label(s) in the sample — a null " +
+        "class has no index; filter or label those rows first")
+    val labels = raw.sorted.toSeq
     require(labels.size >= 2, s"need >= 2 classes, got $labels")
     val toIdx = labels.zipWithIndex
       .foldLeft(lit(-1.0)) { case (acc, (l, i)) =>

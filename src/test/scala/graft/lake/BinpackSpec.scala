@@ -43,6 +43,26 @@ class BinpackSpec extends SparkSpec {
       (0 until 4).sum + (10 until 14).sum)
   }
 
+  test("pressure threshold is separate from the output target") {
+    // one dir at 5 files, one at 3: threshold 4 rewrites ONLY the first,
+    // down to 1 file — the 3-file dir is acceptable and carries over
+    // (passing the output target as the threshold would rewrite both)
+    val t = fresh("thresh")
+    (0 until 5).foreach(i => t.append(df(2024, Seq(i)).coalesce(1)))
+    (0 until 3).foreach(i => t.append(df(2025, Seq(10 + i)).coalesce(1)))
+    val quiet = t.currentDataFiles.filter(_.path.contains("2025")).map(_.path).toSet
+    t.compactBinpack(filesPerPartition = 1, pressureThreshold = Some(4))
+    val after = t.currentDataFiles
+    assert(after.count(_.path.contains("2024")) == 1)
+    assert(after.filter(_.path.contains("2025")).map(_.path).toSet == quiet,
+      "under-threshold dir must carry by reference")
+    assert(t.read().count() == 8)
+    // a threshold below the output target is refused (it would rewrite
+    // dirs into MORE files than triggered the rewrite)
+    intercept[IllegalArgumentException](
+      t.compactBinpack(filesPerPartition = 4, pressureThreshold = Some(2)))
+  }
+
   test("no pressure is a no-op: same snapshot, no commit") {
     val t = fresh("noop")
     t.append(df(2024, 0 until 4).coalesce(1))

@@ -40,6 +40,24 @@ class CherrypickSpec extends SparkSpec {
     assert(t.read().count() == 9, "cherry-picked rows must survive source expiry")
   }
 
+  test("a retried pick of the same source refuses instead of duplicating rows") {
+    val t = fresh("retry")
+    t.append(df(0 until 3))
+    t.createBranch("b")
+    val staged = t.appendToBranch("b", df(10 until 12))
+    t.append(df(3 until 5))
+    t.cherrypickSnapshot(staged.id)
+    assert(t.read().count() == 7)
+    // runbook re-run / client-timeout retry: must refuse loudly
+    val e = intercept[IllegalArgumentException](t.cherrypickSnapshot(staged.id))
+    assert(e.getMessage.contains("already cherry-picked"), e.getMessage)
+    assert(t.read().count() == 7, "retry must not have duplicated rows")
+    // and picking the pick is caught by the ancestry guard
+    val picked = t.metadata.currentSnapshot.get
+    assert(picked.sourceSnapshotId.contains(staged.id))
+    intercept[IllegalArgumentException](t.cherrypickSnapshot(picked.id))
+  }
+
   test("refuses ancestry duplicates, row-removing shapes, and unknown ids") {
     val t = fresh("refuse")
     val s1 = t.append(df(0 until 4))
