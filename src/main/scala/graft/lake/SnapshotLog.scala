@@ -451,14 +451,16 @@ final class FsPointerStore(metaDir: Path, fsOf: () => FileSystem) extends Pointe
   override def read(): Option[Long] = {
     val fs = fsOf()
     var attempt = 0
-    while (true) {
+    var last: Throwable = null
+    while (attempt <= 50) {
       try {
         val in = new BufferedReader(
           new InputStreamReader(fs.open(versionFile), StandardCharsets.UTF_8))
         try return Some(in.readLine().trim.toLong)
         finally in.close()
       } catch {
-        case _: java.io.FileNotFoundException =>
+        case e: java.io.FileNotFoundException =>
+          last = e
           val tmps = fs.globStatus(new Path(metaDir, "VERSION.tmp.*"))
           if (tmps == null || tmps.isEmpty) return None // pre-first-commit table
           attempt += 1
@@ -468,12 +470,20 @@ final class FsPointerStore(metaDir: Path, fsOf: () => FileSystem) extends Pointe
             val newest = tmps.maxBy(_.getPath.getName.stripPrefix("VERSION.tmp.").toLong)
             fs.rename(newest.getPath, versionFile)
           }
-          if (attempt > 50) throw new IllegalStateException(
-            s"version pointer at $versionFile unreadable: swap window never closed")
+          Thread.sleep(math.min(2L * attempt, 20L))
+        // checksummed local FS updates the .crc sidecar NON-atomically
+        // with the rename, so a reader can open the fresh pointer
+        // against the stale sidecar — transient by the same argument
+        // as the FNFE window; a real persistent corruption exhausts
+        // the retries and surfaces below with the cause attached
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          last = e
+          attempt += 1
           Thread.sleep(math.min(2L * attempt, 20L))
       }
     }
-    throw new IllegalStateException("unreachable")
+    throw new IllegalStateException(
+      s"version pointer at $versionFile unreadable after $attempt attempts", last)
   }
 
   override def compareAndSwap(expected: Option[Long], next: Long): Boolean = {

@@ -279,6 +279,41 @@ object LakeOps {
       .withColumn("narrow_refused", lit(narrowRefused))
   }
 
+  /** Cherry-pick flow (round 9): half the events land on main, the
+    * other half stages on an audit branch; main then ADVANCES (a third
+    * slice), so fastForward must refuse — and cherrypickSnapshot
+    * replays the audited append by reference. The final aggregate must
+    * equal DuckDB over the full raw input (no row lost, none
+    * duplicated), with the refusal, the retry-idempotence refusal, and
+    * the metadata-only property pinned as booleans.
+    */
+  def cherrypickFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ev = graft.Tables.t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("value"))
+    val table = LakehouseTable.createIfNotExists(
+      s, new Path(freshWarehouse("graft-cp"), "events_cp"), ev.schema, Some("ts"), "year")
+    table.append(ev.filter(col("event_id") % 3 === 0))
+    table.createBranch("audit")
+    val staged = table.appendToBranch("audit", ev.filter(col("event_id") % 3 === 1))
+    table.append(ev.filter(col("event_id") % 3 === 2)) // main advances
+    val ffRefused =
+      try { table.fastForward("audit"); false }
+      catch { case _: IllegalArgumentException => true }
+    val stagedFiles = table.dataFiles(staged).map(_.path).toSet
+    table.cherrypickSnapshot(staged.id)
+    val byReference = stagedFiles.subsetOf(table.currentDataFiles.map(_.path).toSet)
+    val retryRefused =
+      try { table.cherrypickSnapshot(staged.id); false }
+      catch { case _: IllegalArgumentException => true }
+    table.read().agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .withColumn("ff_refused", lit(ffRefused))
+      .withColumn("by_reference", lit(byReference))
+      .withColumn("retry_refused", lit(retryRefused))
+  }
+
   private val sqlMaintainN = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Pure-SQL maintenance (VERDICT r8 #7): the whole cycle — create,
@@ -1458,6 +1493,15 @@ object LakeOps {
              |SELECT CAST(2 AS BIGINT), count(*),
              |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
              |FROM events ORDER BY stage""".stripMargin)
+    ),
+    QuerySpec(
+      "q_lake_cherrypick",
+      cherrypickFlow,
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       true AS ff_refused, true AS by_reference,
+             |       true AS retry_refused
+             |FROM events""".stripMargin)
     ),
     QuerySpec(
       "q_lake_sql_maintain",
