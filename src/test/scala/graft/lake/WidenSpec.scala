@@ -132,6 +132,24 @@ class WidenSpec extends SparkSpec {
       (0 until 10).map(_.toLong).sum)
   }
 
+  test("incremental reads and the change feed span a widening cleanly") {
+    val t = fresh("inc")
+    val s1 = t.append(df32(0 until 4))
+    t.widenColumn("qty", LongType)
+    t.widenColumn("px", DoubleType)
+    val s2 = t.append(df64(4 until 7))
+    // the delta across the widening surfaces ONLY the new rows, typed wide
+    val delta = t.readIncremental(s1.id, s2.id)
+    assert(delta.schema("qty").dataType == LongType)
+    assert(delta.select("qty").as[Long].collect().sorted.toSeq == Seq(4L, 5L, 6L))
+    // change feed across the same range: three wide-typed inserts
+    val feed = t.readChangeFeed(s1.id, s2.id)
+    assert(feed.schema("qty").dataType == LongType)
+    val events = feed.select("_change_type", "qty").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(events == Seq(("insert", 4L), ("insert", 5L), ("insert", 6L)), events)
+  }
+
   test("equality deletes written pre-widening still mask post-widening") {
     val t = fresh("mor")
     t.append(df32(0 until 10))
