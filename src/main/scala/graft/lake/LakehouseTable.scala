@@ -1743,7 +1743,18 @@ final class LakehouseTable(
     val writer = withBloomOption(meta, sorted.write.mode("overwrite"))
     (if (spec.fields.nonEmpty) writer.partitionBy(spec.fieldNames: _*) else writer)
       .parquet(staging.toString)
-    moveStaged(meta, staging)
+    // Declared stats columns ("write.stats-columns", Iceberg
+    // metrics-columns / Delta dataSkippingNumIndexedCols analog):
+    // per-file min/max for these SECONDARY columns ride every append's
+    // manifest entry — [[readColumnRange]]/[[filesOverlappingColumn]]
+    // skipping from the FIRST write, without waiting for a z-order
+    // rewrite to earn the bounds. Unknown/unsupported columns degrade
+    // to no bounds for that column (skipping is an optimization, never
+    // a correctness assumption — footerInfo poisons rather than
+    // narrows).
+    val statsCols = meta.props.get("write.stats-columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    moveStaged(meta, staging, extraStatCols = statsCols)
   }
 
   /** Native parquet bloom filter on the key column: min/max bounds

@@ -332,7 +332,13 @@ final case class TableMetadata(
       * declares its policy ONCE on the table instead of wiring
       * parameters through every scheduler; `write.sort-order`
       * (comma-separated columns) — task-local sort applied on every
-      * append for tight footer bounds from the first write.
+      * append for tight footer bounds from the first write;
+      * `write.distribution-mode` (`none`/`hash`/`range`) — pre-write
+      * clustering on the partition cells; `write.stats-columns`
+      * (comma-separated) — per-file min/max bounds for these SECONDARY
+      * columns recorded in every append's manifest entry
+      * (metadata-level skipping via `readColumnRange` from the first
+      * write, the Iceberg metrics-columns analog).
       */
     tableProperties: Option[Map[String, String]] = None
 ) {

@@ -86,6 +86,26 @@ class TablePropertiesSpec extends SparkSpec {
     assert(e.getMessage.contains("distribution-mode"))
   }
 
+  test("write.stats-columns records secondary bounds on plain appends") {
+    val t = fresh("stats-cols")
+    t.setProperty("write.stats-columns", "EventId")
+    // two disjoint EventId bands, one append each
+    t.append(df(0 until 10).coalesce(1))
+    t.append(df(100 until 110).coalesce(1))
+    val files = t.currentDataFiles
+    assert(files.forall(_.extraBounds.exists(_.exists(_.column == "EventId"))),
+      s"every appended file must carry EventId bounds, got $files")
+    // metadata skipping works WITHOUT any z-order rewrite
+    val hit = t.filesOverlappingColumn("EventId", 100L, 200L)
+    assert(hit.size == 1 && hit.head.rows == 10L, hit)
+    assert(t.readColumnRange("EventId", 100L, 200L).count() == 10L)
+    // an undeclared table keeps the conservative no-bounds behavior
+    val u = fresh("no-stats")
+    u.append(df(0 until 5).coalesce(1))
+    assert(u.filesOverlappingColumn("EventId", 1000L, 2000L).size == 1,
+      "files without bounds are always kept — skipping is earned, not assumed")
+  }
+
   test("write.sort-order sorts rows within every written file") {
     val t = fresh("sorted")
     t.setProperty("write.sort-order", "Bid")
