@@ -119,6 +119,12 @@ final class LakehouseTable(
     evolveMetadata { meta =>
       require(meta.snapshotById(snapshotId).isDefined,
         s"cannot tag unknown snapshot $snapshotId")
+      // tags and branches share the `VERSION AS OF '<name>'` namespace
+      // (GraftCatalog resolves tags first) — a collision would silently
+      // shadow the branch, so refuse it on BOTH creation paths
+      // (createBranch enforces the mirror-image check)
+      require(!meta.branches.contains(name),
+        s"a branch named '$name' already exists")
       meta.copy(refs = Some(meta.tags + (name -> snapshotId)))
     }
   }
@@ -1263,6 +1269,85 @@ final class LakehouseTable(
     }
   }
 
+  /** Import EXISTING parquet files into the table without rewriting a
+    * byte of data (Iceberg's `add_files` / `migrate` analog — the
+    * onboarding path for a dataset that already exists as parquet:
+    * at 100 TB, re-writing data that is already columnar and
+    * well-placed is the difference between a metadata-only migration
+    * and days of cluster time).
+    *
+    * `stagedDir` must contain parquet files laid out in the table's
+    * partition-directory convention (`symbol=AAPL/ts_day=20240301/
+    * part-*.parquet` for an (identity(symbol), day(ts)) spec — day
+    * values are [[partitionExpr]]'s int form); files in
+    * unrecognized/missing partition dirs still read correctly — they
+    * just earn no partition pruning (partition segments are an
+    * optimization, never a correctness gate, exactly as for native
+    * writes). Files are MOVED (renamed — same-filesystem staging, the
+    * contract every staging dir here already has), footer-statted
+    * (row counts, time-key and declared stats-column bounds — imported
+    * files get first-class file skipping), and committed through the
+    * same atomic snapshot protocol as [[append]]. A crash mid-move
+    * leaves unreferenced files in data/ — the same reapable-orphan
+    * class as a crashed native write.
+    *
+    * Schema contract (validated, not trusted): the first staged file's
+    * footer must carry exactly the table's stored-file columns — the
+    * frozen schema minus identity-partition sources (those live in the
+    * directory name, as in native writes) — and a one-row probe read
+    * under the frozen schema surfaces physical-type mismatches loudly
+    * (e.g. INT32 where the table reads INT64) before anything moves.
+    * Remaining files are statted individually but share the probe's
+    * verdict: heterogeneous stragglers surface at read time, Iceberg's
+    * own add_files trust boundary. Basenames must be unique vs. the
+    * destination dirs (native writes guarantee this with write-UUIDs;
+    * importers should too).
+    */
+  def addFiles(stagedDir: Path, operation: String = "add-files"): Snapshot = {
+    val meta0 = metadata
+    val identitySources =
+      meta0.defaultSpec.fields.filter(_.transform == "identity").map(_.source).toSet
+    val expected = StructType(StructType.fromDDL(meta0.schemaDdl)
+      .fields.filterNot(f => identitySources.contains(f.name)).toSeq)
+    val firstFile = {
+      val it = fs.listFiles(stagedDir, true)
+      var found: Option[Path] = None
+      while (found.isEmpty && it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) found = Some(st.getPath)
+      }
+      found.getOrElse(throw new IllegalArgumentException(
+        s"addFiles: no parquet files under $stagedDir"))
+    }
+    val fileCols = {
+      val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(firstFile, conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        in.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
+      } finally in.close()
+    }
+    require(fileCols.toSet == expected.fieldNames.toSet,
+      s"addFiles: staged file columns ${fileCols.sorted.mkString("(", ", ", ")")} " +
+        s"do not match the table's stored-file columns " +
+        s"${expected.fieldNames.sorted.mkString("(", ", ", ")")} " +
+        "(frozen schema minus identity-partition sources)")
+    // physical-type probe: parquet lets a missing/retyped column hide
+    // until scan time — force one row through the frozen read schema now
+    // (basePath = the file's own dir, so Spark does not re-infer the
+    // staged partition dirs as data columns)
+    spark.read.schema(expected)
+      .option("basePath", firstFile.getParent.toString)
+      .parquet(firstFile.toString).limit(1).collect()
+    val statsCols = meta0.props.get("write.stats-columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val moved = moveStaged(meta0, stagedDir, extraStatCols = statsCols)
+    withCommitRetry {
+      val (v, meta) = versionedMeta
+      commitAppend(meta, v, moved, operation)
+    }
+  }
+
   /** Exactly-once streaming append for foreachBatch sinks: commit the
     * micro-batch AND advance this query's batch watermark in ONE atomic
     * metadata commit, so a replayed batch (Structured Streaming
@@ -2264,7 +2349,18 @@ final class LakehouseTable(
       batchId: Long,
       images: DataFrame,
       deleteKeys: DataFrame,
-      keyCols: Seq[String]): Option[Snapshot] = {
+      keyCols: Seq[String],
+      /** `true` = the caller ATTESTS that `images` (a) re-evaluates
+        * deterministically (e.g. it projects a persisted frame) and
+        * (b) is already non-null and unique on `keyCols` (e.g. its own
+        * fold guard raises on violation). Skips the staged-file
+        * re-read validation aggregate AND derives the equality mask
+        * from the `images` plan instead of re-reading the staged
+        * parquet — two fewer Spark jobs on every micro-batch, the bulk
+        * of the CDC per-trigger exec tail (VERDICT r9 #5). The default
+        * keeps the full re-read checks for callers that cannot attest.
+        */
+      stableValidatedImages: Boolean = false): Option[Snapshot] = {
     require(queryId.nonEmpty, "queryId must be non-empty")
     if (metadata.streamWatermarks.get(queryId).exists(_ >= batchId)) return None
     val moved = writeStaged(metadata, images)
@@ -2282,7 +2378,7 @@ final class LakehouseTable(
     // the micro-batch-sized key frames; a throw leaves only staged
     // orphans, reaped like any crash leftover.
     val anyNullKey = keyCols.map(col(_).isNull).reduce(_ || _)
-    if (moved.nonEmpty) {
+    if (moved.nonEmpty && !stableValidatedImages) {
       val ik = readFiles(moved).select(keyCols.map(col): _*)
       val stats = ik.agg(
         count(lit(1)).as("total"),
@@ -2310,9 +2406,17 @@ final class LakehouseTable(
           "match an equality mask, so the deletion would be silently lost"))
           .cast(tombstones.schema(k).dataType))
         .otherwise(col(k)).as(k)): _*)
-    val maskKeys =
-      if (moved.isEmpty) guardedTombstones
-      else readFiles(moved).select(keyCols.map(col): _*).unionByName(guardedTombstones)
+    // mask keys: re-reading the staged parquet pins exactly what was
+    // written even under a nondeterministic input plan; an attesting
+    // caller (persisted fold) skips that re-read and projects the keys
+    // straight off the images plan — batch-sized either way, but the
+    // re-read is a whole extra Spark job per trigger
+    val imageKeys =
+      if (moved.isEmpty) None
+      else if (stableValidatedImages) Some(images.select(keyCols.map(col): _*))
+      else Some(readFiles(moved).select(keyCols.map(col): _*))
+    val maskKeys = imageKeys
+      .map(_.unionByName(guardedTombstones)).getOrElse(guardedTombstones)
     val snap = withCommitRetry {
       val (v, meta) = versionedMeta
       if (meta.streamWatermarks.get(queryId).exists(_ >= batchId)) null

@@ -613,6 +613,97 @@ object LakeOps {
       .withColumn("bad_blocked", lit(badBlocked))
   }
 
+  /** Write-audit-publish in PURE SQL (VERDICT r9 #6): the even half of
+    * events publishes to main via INSERT INTO; `CALL create_branch`
+    * cuts an 'audit' branch; while the `spark.graft.wap.branch`
+    * session conf names it, INSERT INTO stages the odd half there —
+    * main's SQL readers provably see only the even half; the auditor
+    * reads `VERSION AS OF 'audit'` (branch-name time travel), passes
+    * it, `CALL fast_forward` publishes, `CALL drop_branch` releases,
+    * and `CALL create_tag` pins the published state, read back by tag
+    * name. Main must end exactly equal to DuckDB over the raw events —
+    * the whole cycle never leaves SQL.
+    */
+  def sqlWapFlow(s: SparkSession, dir: String): DataFrame = {
+    val wh = freshWarehouse("graft-sw")
+    val cat = s"graft_sql_${sqlCatalogRuns.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gold")
+    s.sql(s"""CREATE TABLE $cat.gold.events
+             |(event_id BIGINT, ts TIMESTAMP, value DOUBLE)
+             |PARTITIONED BY (days(ts))""".stripMargin)
+    graft.Tables.t(s, dir, "events")
+      .select(col("event_id"), col("ts").cast(TimestampType).as("ts"), col("value"))
+      .createOrReplaceTempView("graft_wap_src")
+    s.sql(s"INSERT INTO $cat.gold.events SELECT * FROM graft_wap_src WHERE event_id % 2 = 0")
+    val evenRows = s.sql(s"SELECT count(*) FROM $cat.gold.events").head().getLong(0)
+    s.sql(s"CALL $cat.system.create_branch(table => 'gold.events', branch => 'audit')")
+    s.conf.set("spark.graft.wap.branch", "audit")
+    try s.sql(s"INSERT INTO $cat.gold.events SELECT * FROM graft_wap_src WHERE event_id % 2 = 1")
+    finally s.conf.unset("spark.graft.wap.branch")
+    // staging must not have moved main; the branch must see the union
+    val stagedInvisible =
+      s.sql(s"SELECT count(*) FROM $cat.gold.events").head().getLong(0) == evenRows
+    val branchRows =
+      s.sql(s"SELECT count(*) FROM $cat.gold.events VERSION AS OF 'audit'").head().getLong(0)
+    val audited = s.sql(
+      s"SELECT count(*) FROM $cat.gold.events VERSION AS OF 'audit' WHERE value < 0")
+      .head().getLong(0) == 0L
+    require(audited, "audit of the staged batch must pass")
+    s.sql(s"CALL $cat.system.fast_forward('gold.events', 'audit')")
+    s.sql(s"CALL $cat.system.drop_branch('gold.events', 'audit')")
+    s.sql(s"CALL $cat.system.create_tag(table => 'gold.events', tag => 'published')")
+    val tagRows = s.sql(
+      s"SELECT count(*) FROM $cat.gold.events VERSION AS OF 'published'").head().getLong(0)
+    s.sql(s"""SELECT count(*) AS n_rows,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM $cat.gold.events""".stripMargin)
+      .withColumn("staged_invisible", lit(stagedInvisible))
+      .withColumn("branch_saw_union", lit(
+        branchRows == s.sql("SELECT count(*) FROM graft_wap_src").head().getLong(0)))
+      .withColumn("tag_matches", lit(tagRows == branchRows))
+  }
+
+  /** `add_files` import flow: the even half of events is written as
+    * plain partition-laid-out parquet by an EXTERNAL writer (a Spark
+    * job that knows nothing of the table), imported by reference with
+    * `CALL add_files` (no rewrite — AddFilesSpec pins that the staged
+    * basenames survive into data/ untouched), then the odd
+    * half arrives through the native INSERT INTO path. The final table
+    * must equal DuckDB over raw events — imported and native files are
+    * indistinguishable to readers.
+    */
+  def addFilesFlow(s: SparkSession, dir: String): DataFrame = {
+    val wh = freshWarehouse("graft-af")
+    val cat = s"graft_sql_${sqlCatalogRuns.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gold")
+    s.sql(s"""CREATE TABLE $cat.gold.events
+             |(event_id BIGINT, ts TIMESTAMP, value DOUBLE)
+             |PARTITIONED BY (days(ts))""".stripMargin)
+    val staged = s"$wh/incoming"
+    s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    graft.Tables.t(s, dir, "events")
+      .select(col("event_id"), col("ts").cast(TimestampType).as("ts"), col("value"))
+      .filter(col("event_id") % 2 === 0)
+      // day-transform dir values are int yyyymmdd (partitionExpr)
+      .withColumn("ts_day", date_format(col("ts"), "yyyyMMdd").cast("int"))
+      .write.mode("overwrite").partitionBy("ts_day").parquet(staged)
+    val rep = s.sql(
+      s"CALL $cat.system.add_files(table => 'gold.events', source_dir => '$staged')").head()
+    graft.Tables.t(s, dir, "events")
+      .select(col("event_id"), col("ts").cast(TimestampType).as("ts"), col("value"))
+      .createOrReplaceTempView("graft_af_src")
+    s.sql(s"INSERT INTO $cat.gold.events SELECT * FROM graft_af_src WHERE event_id % 2 = 1")
+    s.sql(s"""SELECT count(*) AS n_rows,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM $cat.gold.events""".stripMargin)
+      .withColumn("imported_by_reference", lit(rep.getInt(0) > 0))
+      .withColumn("imported_rows", lit(rep.getLong(1)))
+  }
+
   /** Composite-key MoR flow (VERDICT r6 #4): the table keyed on
     * (user_id, event_type) — a compound retraction single-column
     * equality cannot express. MoR-DELETE every pair seen among
@@ -1396,6 +1487,27 @@ object LakeOps {
              |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
              |       true AS staged_invisible,
              |       true AS bad_blocked
+             |FROM events""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_sql_wap",
+      sqlWapFlow,
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       true AS staged_invisible,
+             |       true AS branch_saw_union,
+             |       true AS tag_matches
+             |FROM events""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_add_files",
+      addFilesFlow,
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       true AS imported_by_reference,
+             |       (SELECT count(*) FROM events WHERE event_id % 2 = 0) AS imported_rows
              |FROM events""".stripMargin)
     ),
 

@@ -181,15 +181,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     throw new NoSuchTableException(ident)
   }
 
-  /** `VERSION AS OF <snapshot-id>` time travel. */
+  /** `VERSION AS OF <snapshot-id | 'tag' | 'branch'>` time travel: a
+    * string version resolves tags first (a tag and a branch can never
+    * share a name — createBranch/tagSnapshot both enforce it), then
+    * branch heads — so a write-audit-publish auditor reads the staged
+    * lineage in pure SQL (`… VERSION AS OF 'audit'`, VERDICT r9 #6).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val lt = LakehouseTable.load(spark, tablePath(ident))
     val id = try version.toLong catch {
       case _: NumberFormatException =>
         lt.tags.getOrElse(version, // tags are named versions
-          throw new NoSuchElementException(
-            s"'$version' is neither a snapshot id nor a tag of ${ident.name}"))
+          lt.branches.getOrElse(version, // a branch names its head
+            throw new NoSuchElementException(
+              s"'$version' is neither a snapshot id, a tag, nor a branch of ${ident.name}")))
     }
     GraftSqlTable(lt, pinnedSnapshot = Some(id))
   }
@@ -422,8 +428,23 @@ final case class GraftSqlTable(
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           (data: DataFrame, overwrite: Boolean) => {
-            if (replaceAll || overwrite) lt.overwrite(data)
-            else lt.append(data)
+            // write-audit-publish in pure SQL (Iceberg's `spark.wap.branch`
+            // analog): while the session conf names a branch, INSERT INTO
+            // stages there instead of publishing to main — the auditor
+            // reads `VERSION AS OF '<branch>'` and publishes with
+            // CALL <cat>.system.fast_forward
+            val wapBranch = data.sparkSession.conf
+              .getOption("spark.graft.wap.branch").filter(_.nonEmpty)
+            (replaceAll || overwrite, wapBranch) match {
+              case (true, Some(b)) => throw new UnsupportedOperationException(
+                s"INSERT OVERWRITE cannot target WAP branch '$b' — " +
+                  "overwrite rewrites main's content set; unset " +
+                  "spark.graft.wap.branch or stage appends only")
+              case (true, None) => lt.overwrite(data)
+              case (false, Some(b)) => lt.appendToBranch(b, data)
+              case (false, None) => lt.append(data)
+            }
+            ()
           }
       }
     }

@@ -44,7 +44,13 @@ private[sql] object GraftProcedures {
     "zorder" -> (new ZOrderFiles(_)),
     "rewrite_manifests" -> (new RewriteManifests(_)),
     "remove_orphan_files" -> (new RemoveOrphanFiles(_)),
-    "maintain" -> (new Maintain(_)))
+    "maintain" -> (new Maintain(_)),
+    "add_files" -> (new AddFiles(_)),
+    "create_branch" -> (new CreateBranch(_)),
+    "drop_branch" -> (new DropBranch(_)),
+    "create_tag" -> (new CreateTag(_)),
+    "drop_tag" -> (new DropTag(_)),
+    "fast_forward" -> (new FastForward(_)))
 
   val byName: Map[String, GraftCatalog => UnboundProcedure] = all.toMap
 }
@@ -206,6 +212,126 @@ private[sql] final class RemoveOrphanFiles(cat: GraftCatalog) extends GraftProce
     StructField("deleted_files", IntegerType, nullable = false)))
   override def run(input: InternalRow): InternalRow =
     row(table(input).removeOrphanedFiles().size)
+}
+
+/** Iceberg `add_files`: import existing parquet files (laid out in the
+  * table's partition-dir convention) into the table by reference — no
+  * data rewrite ([[LakehouseTable.addFiles]]). The SQL onboarding path
+  * for a dataset that already exists as parquet.
+  */
+private[sql] final class AddFiles(cat: GraftCatalog) extends GraftProcedure(cat) {
+  override def name(): String = "add_files"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param0,
+    ProcedureParameter.in("source_dir", StringType)
+      .comment("directory of parquet files in the table's partition layout " +
+        "(files are MOVED into the table)").build())
+  override val outputSchema: StructType = StructType(Seq(
+    StructField("added_files", IntegerType, nullable = false),
+    StructField("added_rows", LongType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false)))
+  override def run(input: InternalRow): InternalRow = {
+    val snap = table(input).addFiles(
+      new org.apache.hadoop.fs.Path(input.getUTF8String(1).toString))
+    row(snap.addedFilesCount, snap.addedRows, snap.id)
+  }
+}
+
+/** Branch/tag ref DDL (VERDICT r9 #6): Iceberg spells these `ALTER
+  * TABLE … CREATE BRANCH/TAG` through its SQL-parser extension; this
+  * engine's SQL home for ref management is the procedures catalog —
+  * each verb drives the ONE native ref path the DataFrame API uses,
+  * and `VERSION AS OF '<branch-or-tag>'` reads the refs back, so the
+  * whole write-audit-publish cycle runs in pure SQL
+  * (`q_lake_sql_wap`).
+  */
+private[sql] final class CreateBranch(cat: GraftCatalog) extends GraftProcedure(cat) {
+  override def name(): String = "create_branch"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param0,
+    ProcedureParameter.in("branch", StringType).build(),
+    ProcedureParameter.in("snapshot_id", LongType).defaultValue("-1")
+      .comment("branch point; -1 = current main head").build())
+  override val outputSchema: StructType = StructType(Seq(
+    StructField("branch", StringType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false)))
+  override def run(input: InternalRow): InternalRow = {
+    val t = table(input)
+    val name = input.getUTF8String(1).toString
+    val id = input.getLong(2)
+    if (id < 0) t.createBranch(name) else t.createBranch(name, id)
+    row(name, t.branches(name))
+  }
+}
+
+private[sql] final class DropBranch(cat: GraftCatalog) extends GraftProcedure(cat) {
+  override def name(): String = "drop_branch"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param0, ProcedureParameter.in("branch", StringType).build())
+  override val outputSchema: StructType = StructType(Seq(
+    StructField("branch", StringType, nullable = false),
+    StructField("dropped", BooleanType, nullable = false)))
+  override def run(input: InternalRow): InternalRow = {
+    val name = input.getUTF8String(1).toString
+    table(input).dropBranch(name)
+    row(name, true)
+  }
+}
+
+private[sql] final class CreateTag(cat: GraftCatalog) extends GraftProcedure(cat) {
+  override def name(): String = "create_tag"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param0,
+    ProcedureParameter.in("tag", StringType).build(),
+    ProcedureParameter.in("snapshot_id", LongType).defaultValue("-1")
+      .comment("snapshot to pin; -1 = current main head").build())
+  override val outputSchema: StructType = StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false)))
+  override def run(input: InternalRow): InternalRow = {
+    val t = table(input)
+    val name = input.getUTF8String(1).toString
+    val id = input.getLong(2) match {
+      case n if n >= 0 => n
+      case _ => t.metadata.currentSnapshotId.getOrElse(
+        throw new IllegalStateException("cannot tag an empty table"))
+    }
+    t.tagSnapshot(name, id)
+    row(name, id)
+  }
+}
+
+private[sql] final class DropTag(cat: GraftCatalog) extends GraftProcedure(cat) {
+  override def name(): String = "drop_tag"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param0, ProcedureParameter.in("tag", StringType).build())
+  override val outputSchema: StructType = StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("dropped", BooleanType, nullable = false)))
+  override def run(input: InternalRow): InternalRow = {
+    val name = input.getUTF8String(1).toString
+    table(input).removeTag(name)
+    row(name, true)
+  }
+}
+
+/** Publish a branch to main ([[LakehouseTable.fastForward]] — refuses
+  * unless main's head is an ancestor of the branch head, Iceberg's own
+  * fast-forward contract; `cherrypick_snapshot` is the escape hatch).
+  */
+private[sql] final class FastForward(cat: GraftCatalog) extends GraftProcedure(cat) {
+  override def name(): String = "fast_forward"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param0, ProcedureParameter.in("branch", StringType).build())
+  override val outputSchema: StructType = StructType(Seq(
+    StructField("previous_snapshot_id", LongType, nullable = true),
+    StructField("current_snapshot_id", LongType, nullable = false)))
+  override def run(input: InternalRow): InternalRow = {
+    val t = table(input)
+    val prev = t.metadata.currentSnapshotId
+    val published = t.fastForward(input.getUTF8String(1).toString)
+    row(prev.orNull, published)
+  }
 }
 
 /** The deployment shape: one call runs the whole policy-driven cycle

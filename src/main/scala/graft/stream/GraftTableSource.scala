@@ -4,7 +4,7 @@ import graft.lake.{LakehouseTable, TableMetadata}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
-import org.apache.spark.sql.functions.{col, count, countDistinct, lit, rank}
+import org.apache.spark.sql.functions.{col, count, lit, raise_error, rank, when}
 import org.apache.spark.sql.graft.StreamShim
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
@@ -191,6 +191,16 @@ object GraftTableSource {
     val dir = new Path(metadataPath)
     val f = new Path(dir, "graft-latest-base")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // sweep tmp files orphaned by a crash between create and rename —
+    // they are never read (only the renamed final name is), so deletion
+    // is always safe. Swept on EVERY resolve, not just the first: on a
+    // non-atomic-rename store a lost rename race also strands its tmp
+    // (the loser deletes its own, but a crash right after the failed
+    // rename does not), and once the final anchor exists the
+    // first-resolve-only sweep would never run again (ADVICE r9 (c))
+    if (fs.exists(dir))
+      Option(fs.globStatus(new Path(dir, "graft-latest-base.tmp-*")))
+        .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, false))
     if (fs.exists(f)) {
       val in = fs.open(f)
       val v = try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
@@ -198,11 +208,6 @@ object GraftTableSource {
     } else {
       val cur = LakehouseTable.load(spark, tableDir).metadata.currentSnapshotId
       fs.mkdirs(dir)
-      // sweep tmp files orphaned by a crash between create and rename —
-      // they are never read (only the renamed final name is), so
-      // deletion is always safe
-      Option(fs.globStatus(new Path(dir, "graft-latest-base.tmp-*")))
-        .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, false))
       val tmp = new Path(dir, s"graft-latest-base.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       val out = fs.create(tmp, true)
       try out.write(cur.getOrElse(-1L).toString.getBytes("UTF-8")) finally out.close()
@@ -409,30 +414,46 @@ class GraftTableSink(
         // violation) — rank keeps BOTH tied rows so the guard below
         // surfaces it as an error instead of row_number silently
         // crowning an arbitrary winner and diverging the replica.
+        //
+        // The guard RIDES the fold projection (VERDICT r9 #5): a second
+        // window over the same key partitioning (no extra shuffle or
+        // sort — the rank window already hash-partitioned and sorted on
+        // the keys) counts each key's fold survivors; >1 survivor is
+        // the rank tie, and a null key can never replicate either —
+        // both raise INSIDE whichever write job first evaluates the key
+        // column, before anything commits. This replaces the separate
+        // count-vs-countDistinct pre-aggregate, and the guarded fold in
+        // turn lets morApplyStream skip ITS re-read validation and
+        // mask-key re-read (`stableValidatedImages` — the fold is
+        // persisted, so the plan re-evaluates deterministically): three
+        // fewer Spark jobs on every micro-batch.
+        val dupCount = count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*))
+        val anyNullKey = keys.map(col(_).isNull).reduce(_ || _)
+        val guardMsg = s"cdcApply sink: micro-batch $batchId carries " +
+          s"duplicate-keyed (same key at the same _commit_seq) or " +
+          s"null-keyed events on ${keys.mkString("(", ", ", ")")} — no " +
+          "deterministic per-key fold exists (rank ties / unmatched " +
+          "masks); refusing to replicate a nondeterministic fold"
+        val guardedKey = when(col("__graft_dup") > 1 || anyNullKey,
+            raise_error(lit(guardMsg)).cast(batch.schema(keys.head).dataType))
+          .otherwise(col(keys.head)).as(keys.head)
+        val tableCols = batch.columns.filterNot(
+          Set("_change_type", "_commit_seq")).toSeq
         val last = batch.withColumn("__graft_r", rank().over(w))
-          .filter(col("__graft_r") === 1).drop("__graft_r")
+          .filter(col("__graft_r") === 1)
+          .withColumn("__graft_dup", dupCount)
+          .select(tableCols.map(c => if (c == keys.head) guardedKey else col(c))
+            :+ col("_change_type"): _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val foldStats = last.agg(
-            count(lit(1)).as("total"),
-            countDistinct(keys.head, keys.tail: _*).as("distinct")).head()
-          if (foldStats.getLong(0) != foldStats.getLong(1))
-            throw new IllegalStateException(
-              s"cdcApply sink: micro-batch $batchId folds to " +
-                s"${foldStats.getLong(0)} rows but only " +
-                s"${foldStats.getLong(1)} distinct keys " +
-                s"${keys.mkString("(", ", ", ")")} — an upstream commit " +
-                "carried duplicate-keyed (or null-keyed) events for the " +
-                "same key at the same _commit_seq; refusing to replicate " +
-                "a nondeterministic fold")
-          val tableCols = batch.columns.filterNot(
-            Set("_change_type", "_commit_seq")).toSeq
           table.morApplyStream(queryId, batchId,
             images = last.filter(col("_change_type") =!= "delete")
               .select(tableCols.map(col): _*),
             deleteKeys = last.filter(col("_change_type") === "delete")
               .select(keys.map(col): _*),
-            keyCols = keys)
+            keyCols = keys,
+            stableValidatedImages = true)
         } finally last.unpersist(blocking = false)
     }
     ()

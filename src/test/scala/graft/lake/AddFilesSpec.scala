@@ -1,0 +1,121 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+import java.sql.Timestamp
+
+/** [[LakehouseTable.addFiles]] — import existing parquet by reference
+  * (Iceberg `add_files`/`migrate` analog): no data rewrite, real
+  * footer stats, same commit protocol; schema violations refuse before
+  * anything moves.
+  */
+class AddFilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ticks = Seq(
+    ("a", Timestamp.valueOf("2024-03-01 10:00:00"), 1.0),
+    ("a", Timestamp.valueOf("2024-03-02 10:00:00"), 2.0),
+    ("b", Timestamp.valueOf("2024-03-01 11:00:00"), 3.0),
+    ("b", Timestamp.valueOf("2024-03-02 11:00:00"), 4.0)
+  ).toDF("sym", "ts", "px")
+
+  private def mkTable(name: String): LakehouseTable =
+    LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir(name), "t"), ticks.schema,
+      Seq("sym" -> "identity", "ts" -> "day"))
+
+  /** Stage `df` in the table's partition-dir convention via a plain
+    * Spark write (an "external writer" that knows nothing of the
+    * table).
+    */
+  private def stage(df: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // the table's day-transform dir value is the int yyyymmdd
+    // (LakehouseTable.partitionExpr) — an external writer matches it to
+    // earn pruning
+    df.withColumn("ts_day",
+      org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.col("ts"), "yyyyMMdd").cast("int"))
+      .coalesce(1)
+      .write.mode("overwrite").partitionBy("sym", "ts_day").parquet(dir)
+  }
+
+  /** Relative `dir=value/.../basename` paths of the parquet files under
+    * `dir` — Spark reuses one task's part basename across partition
+    * dirs, so only the relative path identifies a staged file.
+    */
+  private def relPaths(dir: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => root.relativize(p).toString).toSet
+  }
+
+  test("imports by reference: staged paths survive, stats recorded, pruning works") {
+    val table = mkTable("af1")
+    val staged = tmpDir("af1-staged")
+    stage(ticks, staged)
+    val stagedRel = relPaths(staged)
+    assert(stagedRel.size == 4) // one file per (sym, day) cell
+
+    val snap = table.addFiles(new Path(staged))
+    assert(snap.addedFilesCount == 4 && snap.addedRows == 4L)
+    // by reference: the external writer's partition dirs AND basenames
+    // land in data/ as-is
+    val files = table.currentDataFiles
+    assert(files.map(_.path.stripPrefix("data/")).toSet == stagedRel)
+    // footer stats were recorded — imported files get file skipping
+    assert(files.forall(f => f.minKeyUs.isDefined && f.maxKeyUs.isDefined && f.rows == 1L))
+    // identity pruning off the preserved partition dirs
+    assert(table.filesForQuery(Map("sym" -> "a")).size == 2)
+    // time-range pruning off the recorded footer bounds (one day)
+    val day2lo = Timestamp.valueOf("2024-03-02 00:00:00").getTime * 1000L
+    val day2hi = Timestamp.valueOf("2024-03-03 00:00:00").getTime * 1000L - 1
+    assert(table.filesOverlapping(day2lo, day2hi).size == 2)
+    // readers can't tell imported from native: append natively, read all
+    table.append(ticks.withColumn("px",
+      org.apache.spark.sql.functions.col("px") + 10.0))
+    assert(table.read().count() == 8L)
+    assert(table.read().agg(org.apache.spark.sql.functions.sum("px"))
+      .head().getDouble(0) == 60.0) // 10 imported + 50 native
+  }
+
+  test("column-set mismatch refuses before anything moves") {
+    val table = mkTable("af2")
+    val staged = tmpDir("af2-staged")
+    // extra column the table never declared
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    ticks.withColumn("extra", org.apache.spark.sql.functions.lit(1))
+      .coalesce(1).write.mode("overwrite").parquet(staged)
+    val before = relPaths(staged)
+    val e = intercept[IllegalArgumentException](table.addFiles(new Path(staged)))
+    assert(e.getMessage.contains("stored-file columns"), e.getMessage)
+    assert(relPaths(staged) == before, "staged files must be untouched on refusal")
+    assert(table.currentDataFiles.isEmpty)
+  }
+
+  test("physical-type mismatch is probed loudly before anything moves") {
+    val table = mkTable("af3")
+    val staged = tmpDir("af3-staged")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // px stored as STRING — names line up, bytes cannot be read as DOUBLE
+    ticks.withColumn("px",
+      org.apache.spark.sql.functions.col("px").cast("string"))
+      .coalesce(1).write.mode("overwrite").partitionBy("sym").parquet(staged)
+    val e = intercept[Exception](table.addFiles(new Path(staged)))
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf(_: Any)).mkString("\n")
+    assert(messages.toLowerCase.contains("parquet") ||
+      messages.toLowerCase.contains("convert"), messages)
+    assert(table.currentDataFiles.isEmpty)
+  }
+
+  test("empty staging dir fails loudly") {
+    val table = mkTable("af4")
+    val staged = tmpDir("af4-empty")
+    val e = intercept[IllegalArgumentException](table.addFiles(new Path(staged)))
+    assert(e.getMessage.contains("no parquet files"), e.getMessage)
+  }
+}

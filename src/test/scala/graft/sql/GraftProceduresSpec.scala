@@ -120,6 +120,84 @@ class GraftProceduresSpec extends SparkSpec {
     assert(messages.contains("lossless"), messages)
   }
 
+  test("branch/tag DDL procedures run the WAP cycle in pure SQL") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.gold.ticks (sym STRING, ts_us BIGINT, px DOUBLE)")
+    Seq(("a", 1L, 1.0), ("b", 2L, 2.0)).toDF("sym", "ts_us", "px")
+      .createOrReplaceTempView("wap_base")
+    spark.sql(s"INSERT INTO $cat.gold.ticks SELECT * FROM wap_base")
+
+    val cb = spark.sql(
+      s"CALL $cat.system.create_branch(table => 'gold.ticks', branch => 'audit')").head()
+    assert(cb.getString(0) == "audit")
+    assert(lt(cat).branches.get("audit").contains(cb.getLong(1)))
+
+    // INSERT under spark.graft.wap.branch stages on the branch
+    Seq(("c", 3L, 3.0)).toDF("sym", "ts_us", "px").createOrReplaceTempView("wap_stage")
+    spark.conf.set("spark.graft.wap.branch", "audit")
+    try spark.sql(s"INSERT INTO $cat.gold.ticks SELECT * FROM wap_stage")
+    finally spark.conf.unset("spark.graft.wap.branch")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gold.ticks").head().getLong(0) == 2L,
+      "staged insert must not publish to main")
+    // branch-name time travel sees the staged union
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gold.ticks VERSION AS OF 'audit'")
+      .head().getLong(0) == 3L)
+
+    val ff = spark.sql(s"CALL $cat.system.fast_forward('gold.ticks', 'audit')").head()
+    assert(ff.getLong(1) == lt(cat).metadata.currentSnapshotId.get)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gold.ticks").head().getLong(0) == 3L)
+    spark.sql(s"CALL $cat.system.drop_branch('gold.ticks', 'audit')")
+    assert(lt(cat).branches.isEmpty)
+
+    // tag pins the published state; tag-name time travel reads it back
+    val ct = spark.sql(
+      s"CALL $cat.system.create_tag(table => 'gold.ticks', tag => 'published')").head()
+    assert(ct.getLong(1) == lt(cat).metadata.currentSnapshotId.get)
+    spark.sql(s"INSERT INTO $cat.gold.ticks SELECT sym, ts_us + 10, px FROM wap_base")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gold.ticks VERSION AS OF 'published'")
+      .head().getLong(0) == 3L)
+    spark.sql(s"CALL $cat.system.drop_tag('gold.ticks', 'published')")
+    assert(lt(cat).tags.isEmpty)
+    // an unknown name now resolves to nothing — and says so
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.gold.ticks VERSION AS OF 'published'").collect())
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf(_: Any)).mkString("\n")
+    assert(messages.contains("neither a snapshot id, a tag, nor a branch"), messages)
+  }
+
+  test("a tag and a branch cannot share a VERSION AS OF name") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.gold.ticks (sym STRING, px DOUBLE)")
+    Seq(("a", 1.0)).toDF("sym", "px").createOrReplaceTempView("collide_src")
+    spark.sql(s"INSERT INTO $cat.gold.ticks SELECT * FROM collide_src")
+    spark.sql(s"CALL $cat.system.create_branch(table => 'gold.ticks', branch => 'x')")
+    val e = intercept[Exception](
+      spark.sql(s"CALL $cat.system.create_tag(table => 'gold.ticks', tag => 'x')"))
+    assert(String.valueOf(e.getMessage).contains("branch named 'x' already exists"),
+      e.getMessage)
+    spark.sql(s"CALL $cat.system.create_tag(table => 'gold.ticks', tag => 'y')")
+    val e2 = intercept[Exception](
+      spark.sql(s"CALL $cat.system.create_branch(table => 'gold.ticks', branch => 'y')"))
+    assert(String.valueOf(e2.getMessage).contains("tag named 'y' already exists"),
+      e2.getMessage)
+  }
+
+  test("add_files imports partition-laid-out parquet by reference") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.gold.ticks (sym STRING, ts_us BIGINT, px DOUBLE) " +
+      "PARTITIONED BY (sym)")
+    val staged = tmpDir("addfiles-staged")
+    Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 3L, 3.0)).toDF("sym", "ts_us", "px")
+      .coalesce(1).write.mode("overwrite").partitionBy("sym").parquet(staged)
+    val r = spark.sql(
+      s"CALL $cat.system.add_files(table => 'gold.ticks', source_dir => '$staged')").head()
+    assert(r.getInt(0) == 2 && r.getLong(1) == 3L, s"unexpected report $r")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gold.ticks WHERE sym = 'a'")
+      .head().getLong(0) == 2L)
+    assert(spark.sql(s"SELECT sum(px) FROM $cat.gold.ticks").head().getDouble(0) == 6.0)
+  }
+
   test("unknown procedure and bad namespace fail loudly; SHOW PROCEDURES lists all") {
     val cat = freshCatalog()
     val e = intercept[Exception](spark.sql(s"CALL $cat.system.no_such_proc('x')"))

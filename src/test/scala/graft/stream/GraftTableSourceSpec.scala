@@ -334,8 +334,13 @@ class GraftTableSourceSpec extends SparkSpec {
       .unionByName(df(Seq(1)).withColumn("Bid", lit(20.0)))
       .withColumn("_change_type", lit("upsert"))
       .withColumn("_commit_seq", lit(7L))
-    val e = intercept[IllegalStateException] { sink.addBatch(0L, corrupt) }
-    assert(e.getMessage.contains("distinct keys"), e.getMessage)
+    // the guard rides the fold projection inside the write job (no
+    // separate pre-count pass), so it surfaces as a job failure with
+    // the message in the cause chain
+    val e = intercept[Exception] { sink.addBatch(0L, corrupt) }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf(_: Any)).mkString("\n")
+    assert(msgs.contains("refusing to replicate a nondeterministic fold"), msgs)
     assert(dst.metadata.currentSnapshotId.isEmpty, "nothing may commit")
     // a clean batch with DIFFERENT _commit_seqs for the same key is the
     // normal fold: max seq wins deterministically
@@ -587,6 +592,34 @@ class GraftTableSourceSpec extends SparkSpec {
       .select("EventId").collect().map(_.getLong(0)).toSet
     assert(replay == Set(3L, 4L),
       s"replay must deliver exactly the anchored (base, end] delta, got $replay")
+  }
+
+  test("stray anchor tmp files are reaped on every resolve, not just the first") {
+    val root = tmpDir("gts-tmpreap")
+    val src = fresh(root, "src")
+    src.append(df(0 until 2))
+    val params = Map("path" -> src.tableDir.toString, "startingOffset" -> "latest")
+    val provider = new GraftTableSourceProvider
+    val metaPath = s"$root/ckpt/sources/0"
+    provider.createSource(spark.sqlContext, metaPath, None, "graft-table", params)
+    val fs = new Path(metaPath).getFileSystem(spark.sessionState.newHadoopConf())
+    val anchor = new Path(metaPath, "graft-latest-base")
+    assert(fs.exists(anchor))
+    def anchorBytes(): String = {
+      val in = fs.open(anchor)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val anchored = anchorBytes()
+    // a crash between create and rename strands a tmp NEXT TO the final
+    // anchor — only an every-resolve sweep can ever reap it (the
+    // first-resolve-only sweep never runs again once the anchor exists,
+    // ADVICE r9 (c))
+    val stray = new Path(metaPath, "graft-latest-base.tmp-deadbeef")
+    val o = fs.create(stray, true)
+    o.write("99".getBytes("UTF-8")); o.close()
+    provider.createSource(spark.sqlContext, metaPath, None, "graft-table", params)
+    assert(!fs.exists(stray), "stray tmp must be reaped on the restart resolve")
+    assert(anchorBytes() == anchored, "the real anchor must be untouched")
   }
 
   test("graft-table writeStream sink: table-to-table streaming with atomic commits") {
