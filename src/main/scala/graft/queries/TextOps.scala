@@ -20,6 +20,16 @@ object TextOps {
   private val allStop = TextAnalysis.stopwords.values.flatten.toSeq.distinct.sorted
   private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
 
+  /** Literal merge chain for `q_text_bpe_encode` — English digraphs
+    * plus three compound merges, each compound operand produced at an
+    * earlier rank than every merge consuming it (the property that
+    * makes the oracle's rank-ordered replay equivalent to the
+    * expression's min-rank loop; see the query comment).
+    */
+  private[queries] val BpeProbeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "e" -> "r", "i" -> "n", "a" -> "n", "o" -> "n", "r" -> "e",
+    "th" -> "e", "an" -> "d", "in" -> "g", "s" -> "t", "e" -> "n", "o" -> "r")
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
       "q_text_classifier_score",
@@ -714,6 +724,70 @@ object TextOps {
              |SELECT word, n, true AS reconstruction_ok, true AS compresses
              |FROM wc ORDER BY n DESC, word ASC LIMIT 10""".stripMargin),
       bench = true
+    ),
+
+    QuerySpec(
+      "q_text_bpe_encode",
+      (s, dir) => {
+        // VALUE-checks the codegen encode path (VERDICT r9 #7): a
+        // LITERAL merge list (training's learned merges cannot be
+        // derived in a static oracle, but the encode loop can be
+        // replayed exactly), applied by the native BpeEncode expression
+        // to the corpus's 200 most frequent words; DuckDB replays the
+        // merges with a recursive CTE. Equivalence argument for the
+        // rank-ordered replay vs the expression's min-rank-present
+        // loop: applying merge k creates only pairs involving the new
+        // symbol l_k||r_k, and no merge of rank < k references that
+        // symbol (checked for this list: each compound operand — th,
+        // in, an — is produced by an EARLIER rank than every merge
+        // consuming it), so ascending-rank single passes and the
+        // min-rank loop compute identical subwords; within one pass
+        // both sides merge occurrences left-to-right, non-overlapping.
+        val model = graft.ops.BpeTokenizer.BpeModel(TextOps.BpeProbeMerges)
+        val sub = graft.ops.BpeTokenizer.encode(array(col("word")), model)
+        graft.ops.BpeTokenizer
+          .wordCounts(t(s, dir, "documents").select("doc_id", "text"))
+          .orderBy(col("n").desc, col("word").asc).limit(200)
+          .select(
+            col("word"), col("n"),
+            array_join(sub, ",").as("subwords"),
+            size(sub).cast(LongType).as("n_sub"))
+          .orderBy(col("n").desc, col("word").asc)
+      },
+      Some {
+        val mergeRows = TextOps.BpeProbeMerges.zipWithIndex
+          .map { case ((l, r), i) => s"(${i + 1}, '$l', '$r')" }.mkString(", ")
+        val n = TextOps.BpeProbeMerges.size
+        // acc encodes the symbol list as chr(31)-separated text; one
+        // recursive step applies merge rank step+1 left-to-right
+        // (merging = appending WITHOUT the separator)
+        s"""WITH RECURSIVE wc AS (
+           |  SELECT word, count(*) AS n FROM (
+           |    SELECT unnest(list_filter(string_split(text, ' '),
+           |                  t -> length(t) > 0)) AS word
+           |    FROM documents) GROUP BY 1),
+           |top AS (SELECT word, n FROM wc ORDER BY n DESC, word ASC LIMIT 200),
+           |merges(rank, l, r) AS (VALUES $mergeRows),
+           |enc AS (
+           |  SELECT word, n,
+           |         chr(31) || array_to_string(string_split(word, ''), chr(31)) AS acc,
+           |         0 AS step
+           |  FROM top
+           |  UNION ALL
+           |  SELECT e.word, e.n,
+           |         list_reduce(
+           |           list_prepend('', list_filter(string_split(e.acc, chr(31)),
+           |                                        x -> x <> '')),
+           |           (a, b) -> CASE WHEN ends_with(a, chr(31) || m.l) AND b = m.r
+           |                     THEN a || b ELSE a || chr(31) || b END) AS acc,
+           |         e.step + 1
+           |  FROM enc e JOIN merges m ON m.rank = e.step + 1
+           |  WHERE e.step < $n)
+           |SELECT word, CAST(n AS BIGINT) AS n,
+           |       array_to_string(list_filter(string_split(acc, chr(31)), x -> x <> ''), ',') AS subwords,
+           |       CAST(len(list_filter(string_split(acc, chr(31)), x -> x <> '')) AS BIGINT) AS n_sub
+           |FROM enc WHERE step = $n ORDER BY n DESC, word ASC""".stripMargin
+      }
     ),
 
     QuerySpec(
