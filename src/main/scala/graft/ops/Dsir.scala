@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al.,
+  * NeurIPS 2023): keep the raw-corpus documents whose hashed-n-gram
+  * distribution most resembles a TARGET corpus. Both distributions are
+  * bag-of-hashed-ngrams models (unigrams + bigrams hashed into
+  * `buckets` cells, add-one smoothed); a document's importance weight
+  * is `log w(x) = Σ_f c_f(x) · (log p_f − log q_f)` where p is the
+  * target model and q the raw model. The published method resamples by
+  * these weights; [[select]] takes the deterministic top-k (the
+  * resampling variance exists to de-bias repeated draws — for a single
+  * selection pass, top-k by weight is the standard deployment and the
+  * only oracle-checkable one).
+  *
+  * 100 TB shape: each model is ONE map-side-combined aggregate whose
+  * shuffle carries at most `buckets` rows; scoring explodes features
+  * once and joins the broadcast `buckets`-row ratio table, then one
+  * hash aggregate per doc. No all-pairs stage; the only sort is the
+  * final top-k. Model totals are two single-row aggregates
+  * (metadata-scale collects).
+  *
+  * Determinism for the oracle: features hash with the engine-portable
+  * [[graft.functions.PolyHash]]; each bucket's log-ratio rounds to a
+  * 1e-4-scaled LONG before per-doc weighting, so the per-doc sum is
+  * integer arithmetic and DuckDB's replay is bit-identical (the same
+  * pre-sum rounding contract as the n-gram LM perplexity oracle).
+  */
+object Dsir {
+
+  /** Hashed feature buckets (unigrams + bigrams of whitespace tokens)
+    * of a text column — `array<long>` with one entry per occurrence.
+    */
+  private[ops] def featureBuckets(text: Column, buckets: Int): Column = {
+    val toks = filter(split(text, "\\s+"), t => length(t) > 0)
+    val bigrams = when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(toks, bigrams),
+      g => graft.functions.PolyHash(g) % buckets)
+  }
+
+  private def bucketCounts(
+      df: DataFrame, textCol: String, buckets: Int): DataFrame =
+    df.select(explode(featureBuckets(col(textCol), buckets)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+
+  /** Per-document importance scores: `(idCol, log_ratio)` over the
+    * whole corpus (a document with no features scores 0.0).
+    * `log_ratio` is exactly `s / 10000.0` of the integer per-bucket
+    * rounded sum — deterministic across engines and partitionings.
+    */
+  def scores(
+      corpus: DataFrame,
+      target: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      buckets: Int = 4096): DataFrame = {
+    val p = bucketCounts(target, textCol, buckets).withColumnRenamed("c", "cp")
+    val q = bucketCounts(corpus, textCol, buckets).withColumnRenamed("c", "cq")
+    // model totals: single-row aggregates (driver scalars, model-fit time)
+    val np = target.select(explode(featureBuckets(col(textCol), buckets)))
+      .count().toDouble
+    val nq = corpus.select(explode(featureBuckets(col(textCol), buckets)))
+      .count().toDouble
+    // every scorable feature is a CORPUS feature by construction, so q
+    // is the spine; target-only buckets can never be referenced
+    val ratios = q.join(p, Seq("bucket"), "left")
+      .na.fill(0L, Seq("cp"))
+      .select(col("bucket"),
+        round((log((col("cp") + 1.0) / (np + buckets)) -
+          log((col("cq") + 1.0) / (nq + buckets))) * 10000.0)
+          .cast(LongType).as("delta"))
+    val summed = corpus
+      .select(col(idCol), explode(featureBuckets(col(textCol), buckets)).as("bucket"))
+      .join(broadcast(ratios), "bucket")
+      .groupBy(idCol).agg(sum("delta").as("s"))
+    corpus.select(col(idCol))
+      .join(summed, Seq(idCol), "left")
+      .na.fill(0L, Seq("s"))
+      .select(col(idCol), (col("s").cast("double") / 10000.0).as("log_ratio"))
+  }
+
+  /** Deterministic DSIR selection: the `k` highest-importance documents
+    * (ties broken by id). Returns `(idCol, log_ratio, rank)`. The cut
+    * is `orderBy(...).limit(k)` — Spark plans TakeOrdered (per-partition
+    * top-k + driver merge), never a global sort shuffle; the rank
+    * window then runs over k rows only.
+    */
+  def select(
+      corpus: DataFrame,
+      target: DataFrame,
+      k: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      buckets: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scores(corpus, target, idCol, textCol, buckets)
+      .orderBy(col("log_ratio").desc, col(idCol).asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("log_ratio").desc, col(idCol).asc)))
+  }
+}

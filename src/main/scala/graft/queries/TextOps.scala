@@ -727,6 +727,48 @@ object TextOps {
     ),
 
     QuerySpec(
+      "q_text_dsir",
+      (s, dir) => {
+        // DSIR importance scores (Xie et al. 2023): target model = the
+        // English slice, raw model = the whole corpus; hashed unigram+
+        // bigram features via the portable PolyHash so DuckDB replays
+        // the entire fit+score algebra value-exactly (per-bucket
+        // log-ratios round to 1e-4 longs BEFORE the per-doc sum)
+        val docs = t(s, dir, "documents")
+        graft.ops.Dsir.scores(
+          docs.select("doc_id", "text"),
+          docs.filter(col("lang") === "en").select("text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang,
+             |         list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tk
+             |  FROM documents),
+             |uni AS (SELECT doc_id, lang, unnest(tk) AS g FROM toks),
+             |bi AS (SELECT doc_id, lang, tk[i + 1] || ' ' || tk[i + 2] AS g
+             |       FROM (SELECT doc_id, lang, tk, unnest(generate_series(0, len(tk) - 2)) AS i
+             |             FROM toks)),
+             |feats AS (SELECT doc_id, lang,
+             |            list_reduce(list_prepend(0::BIGINT,
+             |              list_transform(string_split(g, ''), c -> ascii(c)::BIGINT)),
+             |              (a, b) -> (a*31 + b) % 1000000007) % 4096 AS bucket
+             |          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+             |p AS (SELECT bucket, count(*) AS cp FROM feats WHERE lang = 'en' GROUP BY 1),
+             |q AS (SELECT bucket, count(*) AS cq FROM feats GROUP BY 1),
+             |np AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM feats WHERE lang = 'en'),
+             |nq AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM feats),
+             |ratio AS (SELECT q.bucket,
+             |            CAST(round((ln((coalesce(p.cp, 0) + 1.0) / (np.n + 4096.0))
+             |                        - ln((q.cq + 1.0) / (nq.n + 4096.0))) * 10000.0) AS BIGINT) AS delta
+             |          FROM q LEFT JOIN p USING (bucket) CROSS JOIN np CROSS JOIN nq),
+             |sc AS (SELECT f.doc_id, sum(r.delta) AS s FROM feats f JOIN ratio r USING (bucket) GROUP BY 1)
+             |SELECT d.doc_id, CAST(coalesce(s.s, 0) AS DOUBLE) / 10000.0 AS log_ratio
+             |FROM documents d LEFT JOIN sc s USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin),
+      bench = true
+    ),
+
+    QuerySpec(
       "q_text_bpe_encode",
       (s, dir) => {
         // VALUE-checks the codegen encode path (VERDICT r9 #7): a
