@@ -96,9 +96,14 @@ object Bench {
       val times = scala.collection.mutable.ArrayBuffer.empty[Option[Double]]
       val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
       def take(): Unit = { loads += loadAvg(); times += timeOnce(q) }
+      // converged = the two fastest agree within 25% OR 150 ms —
+      // sub-second queries carry ABSOLUTE scheduler jitter (~0.1 s)
+      // that a pure ratio test would chase with pointless resamples
+      // (the first r10 run resampled 19 of 33 queries, most of them
+      // sub-second)
       def converged: Boolean = {
         val ok = times.flatten.sorted
-        ok.size >= 2 && ok(1) <= ok(0) * 1.25
+        ok.size >= 2 && (ok(1) <= ok(0) * 1.25 || ok(1) - ok(0) <= 0.150)
       }
       take(); take()
       while (times.size < maxSamples && times.forall(_.isDefined) && !converged)
@@ -280,6 +285,8 @@ object Bench {
     val table = graft.lake.LakehouseTable.createIfNotExists(
       spark, new Path(tmp.toString, "plan"), proto.schema,
       Seq("symbol" -> "identity", "ts" -> "day"))
+    // local-disk fixture: widen the per-file rename+footer loop
+    table.setProperty("write.move-parallelism", "48")
     val day0 = java.time.LocalDate.of(2024, 3, 1).toEpochDay * 86400L
     // The fixture lands through [[graft.lake.LakehouseTable.addFiles]]:
     // one per-day template file Spark-written once, fanned out by

@@ -2001,7 +2001,13 @@ final class LakehouseTable(
     // metadata-only but the footer open is a real read, and at
     // large fan-out (compaction) or many-file appends the serial loop
     // dominates commit latency. Hadoop FileSystem ops are thread-safe.
-    val moved = graft.util.BoundedPar.map(parts.toSeq) { src =>
+    // The width is a table property ("write.move-parallelism", default
+    // 16): local disks take 32-64 happily, while an object store's
+    // request-rate limits may want the default or lower — the same
+    // knob split Iceberg exposes via worker-pool sizing.
+    val movePar = math.min(64, math.max(1,
+      meta.props.get("write.move-parallelism").map(_.trim.toInt).getOrElse(16)))
+    val moved = graft.util.BoundedPar.map(parts.toSeq, parallelism = movePar) { src =>
       val name = src.getName
       val rel = src.toString.stripPrefix(stagingQ.toString + "/")
       require(rel != src.toString, s"staging prefix mismatch for $src")

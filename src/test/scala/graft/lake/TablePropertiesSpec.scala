@@ -43,6 +43,19 @@ class TablePropertiesSpec extends SparkSpec {
     assert(t.read().count() == 4)
   }
 
+  test("write.move-parallelism widens the commit move loop; results unchanged") {
+    val t = fresh("movepar")
+    t.setProperty("write.move-parallelism", "4")
+    t.append(df(0 until 40).repartition(8)) // multi-file commit through the narrowed pool
+    assert(t.currentDataFiles.size == 8)
+    assert(t.read().count() == 40L)
+    assert(t.currentDataFiles.forall(f => f.minKeyUs.isDefined && f.maxKeyUs.isDefined))
+    // out-of-range values clamp to [1, 64] instead of breaking commits
+    t.setProperty("write.move-parallelism", "10000")
+    t.append(df(40 until 44).coalesce(1))
+    assert(t.read().count() == 44L)
+  }
+
   test("rollback restores an earlier snapshot; history survives for audit") {
     val t = fresh("rollback")
     val s1 = t.append(df(0 until 3))
