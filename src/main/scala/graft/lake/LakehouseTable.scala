@@ -1873,15 +1873,34 @@ final class LakehouseTable(
     * must match exactly; nullability may differ; the derived partition
     * column may or may not be present.
     */
+  /** Nullability-normalized type: "nullability may differ" must hold
+    * for NESTED nullability too — a map<long,long> column built by
+    * map_from_entries carries valueContainsNull=false while the DDL
+    * round-trip parses it back as true; both read identically from
+    * parquet, so neither difference is a schema violation.
+    */
+  private def nullNormalized(
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    dt match {
+      case StructType(fields) => StructType(fields.map(f =>
+        f.copy(dataType = nullNormalized(f.dataType), nullable = true)))
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        org.apache.spark.sql.types.ArrayType(nullNormalized(et), containsNull = true)
+      case org.apache.spark.sql.types.MapType(kt, vt, _) =>
+        org.apache.spark.sql.types.MapType(
+          nullNormalized(kt), nullNormalized(vt), valueContainsNull = true)
+      case other => other
+    }
+
   private def validateSchema(meta: TableMetadata, df: DataFrame): Unit = {
     val frozen = StructType.fromDDL(meta.schemaDdl)
-      .fields.map(f => f.name -> f.dataType).toMap
+      .fields.map(f => f.name -> nullNormalized(f.dataType)).toMap
     // exclude only DERIVED partition columns: an identity partition
     // column is part of the frozen schema and must be present+typed
     val derived = derivedPartitionColumns(meta).toSet
     val got = df.schema.fields
       .filterNot(f => derived.contains(f.name))
-      .map(f => f.name -> f.dataType).toMap
+      .map(f => f.name -> nullNormalized(f.dataType)).toMap
     if (got != frozen) {
       val missing = frozen.keySet -- got.keySet
       val extra = got.keySet -- frozen.keySet

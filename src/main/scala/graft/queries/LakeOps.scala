@@ -1033,6 +1033,40 @@ object LakeOps {
       .orderBy("event_type")
   }
 
+  /** Quantile-sketch rollup flow: the maintained gold table carries a
+    * mergeable integer-exact HDR histogram of `value` per event_type
+    * ([[graft.ops.HdrQuantile]]), refreshed incrementally across three
+    * source commits; p50/p95 surface from the stored sketch. DuckDB
+    * replays the ENTIRE algebra value-exactly — bucket ids from
+    * `bin()` length + integer shifts, rank selection, midpoint
+    * estimates — because the sketch is a pure function of the multiset
+    * (the reason this scheme was chosen over t-digest/KLL, which are
+    * merge-order dependent and could never be hash-compared).
+    */
+  def rollupQuantileFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import graft.stream.IncrementalRollup
+    val ev = graft.Tables.t(s, dir, "events")
+      .select(col("event_type"), col("ts"), col("value"))
+    val d = IncrementalRollup.RollupDef(
+      keys = Seq("event_type"), sumCols = Seq("value"),
+      quantileCols = Seq("value"), quantiles = Seq(0.5, 0.95))
+    val wh = freshWarehouse("graft-irq")
+    val src = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(wh, "bronze"), ev.schema, Some("ts"))
+    val dst = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(wh, "gold"), IncrementalRollup.aggregate(ev.limit(0), d).schema, None)
+    src.append(ev.filter(col("event_id") % 3 === 0))
+    val first = IncrementalRollup.step(src, dst, "mvq", d)
+    src.append(ev.filter(col("event_id") % 3 === 1))
+    src.append(ev.filter(col("event_id") % 3 === 2))
+    val second = IncrementalRollup.step(src, dst, "mvq", d)
+    val idle = !IncrementalRollup.step(src, dst, "mvq", d)
+    IncrementalRollup.readRollup(dst, d)
+      .withColumn("refreshed_clean", lit(first && second && idle))
+      .orderBy("event_type")
+  }
+
   /** SQL-catalog flow ([[graft.sql.GraftCatalog]]): the whole
     * DDL/DML/read lifecycle through `spark.sql` only — CREATE
     * NAMESPACE/TABLE (day-partitioned), two INSERT INTO halves, a
@@ -1358,6 +1392,54 @@ object LakeOps {
              |       CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
              |       true AS refreshed_clean
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_rollup_quantile",
+      rollupQuantileFlow,
+      // full value-level replay of the HDR sketch algebra: 1e-4-scaled
+      // longs → signed bucket ids (bin() length + integer shift), per
+      // (event_type, id) counts, rank = max(ceil(q·total), 1) over the
+      // id-ascending cumulative sum, midpoint estimate in exact integer
+      // arithmetic, /10000.0 descale
+      Some("""WITH sv AS (
+             |  SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS v
+             |  FROM events WHERE value IS NOT NULL),
+             |ids AS (
+             |  SELECT event_type,
+             |         CASE WHEN abs(v) < 128 THEN CASE WHEN v < 0 THEN -abs(v) ELSE abs(v) END
+             |              ELSE (CASE WHEN v < 0 THEN -1 ELSE 1 END) *
+             |                   (((length(bin(abs(v))) - 1 - 6) * 64) + 64 +
+             |                    ((abs(v) >> greatest(length(bin(abs(v))) - 1 - 6, 0)) & 63))
+             |         END AS id
+             |  FROM sv),
+             |h AS (SELECT event_type, id, count(*) AS n FROM ids GROUP BY 1, 2),
+             |tot AS (SELECT event_type, sum(n) AS total FROM h GROUP BY 1),
+             |cum AS (SELECT event_type, id,
+             |               sum(n) OVER (PARTITION BY event_type ORDER BY id) AS c
+             |        FROM h),
+             |pick AS (SELECT c.event_type, q.q, min(c.id) AS id
+             |         FROM cum c JOIN tot USING (event_type)
+             |         CROSS JOIN (VALUES (0.5), (0.95)) q(q)
+             |         WHERE c.c >= greatest(CAST(ceil(q.q * tot.total) AS BIGINT), 1)
+             |         GROUP BY 1, 2),
+             |est AS (
+             |  SELECT event_type, q,
+             |         (CASE WHEN id < 0 THEN -1 ELSE 1 END) *
+             |         CASE WHEN abs(id) < 128 THEN abs(id)
+             |              ELSE (((abs(id) - 64) % 64 + 64) << ((abs(id) - 64) // 64))
+             |                   + (1 << (((abs(id) - 64) // 64) - 1))
+             |         END AS v
+             |  FROM pick),
+             |agg AS (SELECT event_type, count(*) AS n_rows,
+             |               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |        FROM events GROUP BY 1)
+             |SELECT a.event_type, a.n_rows, a.sum_value,
+             |       CAST(max(CASE WHEN e.q = 0.5 THEN e.v END) AS DOUBLE) / 10000.0 AS p50_value,
+             |       CAST(max(CASE WHEN e.q = 0.95 THEN e.v END) AS DOUBLE) / 10000.0 AS p95_value,
+             |       true AS refreshed_clean
+             |FROM agg a JOIN est e USING (event_type)
+             |GROUP BY 1, 2, 3 ORDER BY a.event_type""".stripMargin)
     ),
 
     QuerySpec(

@@ -58,8 +58,24 @@ object IncrementalRollup {
       keys: Seq[String],
       sumCols: Seq[String] = Nil,
       minMaxCols: Seq[String] = Nil,
-      distinctCols: Seq[String] = Nil) {
+      distinctCols: Seq[String] = Nil,
+      /** Columns maintaining a mergeable quantile sketch `qh_<c>` — an
+        * integer-exact HDR histogram ([[graft.ops.HdrQuantile]]) stored
+        * as a `map<long,long>` of bucket→count over the column's 1e-4-
+        * scaled non-null values. Chosen over t-digest/KLL because it is
+        * a PURE function of the multiset (merge-order independent), so
+        * the maintained state is deterministic and the estimates are
+        * value-level oracle-checkable; error ≤ ~0.8% of the value.
+        * Merging is key-wise count addition (`map_zip_with`).
+        */
+      quantileCols: Seq[String] = Nil,
+      /** Quantiles [[readRollup]] surfaces per quantile column, as
+        * `p<nn>_<c>` (e.g. `p50_value`).
+        */
+      quantiles: Seq[Double] = Seq(0.5, 0.95)) {
     require(keys.nonEmpty, "rollup needs at least one key column")
+    require(quantiles.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1], got $quantiles")
 
     private[stream] def aggExprs: Seq[Column] =
       count(lit(1)).as("n_rows") +:
@@ -70,14 +86,35 @@ object IncrementalRollup {
     private[stream] def valueCols: Seq[String] =
       "n_rows" +: (sumCols.map("sum_" + _) ++
         minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c")) ++
-        distinctCols.map("hll_" + _))
+        distinctCols.map("hll_" + _) ++
+        quantileCols.map("qh_" + _))
   }
 
   /** The delta's partial aggregate — also the full-recompute shape a
-    * test compares the maintained state against.
+    * test compares the maintained state against. Quantile sketch
+    * columns aggregate in a second grouped pass per column
+    * ((keys, bucket) counts → bucket map — the histogram build is a
+    * two-level aggregation by nature; the shuffle is bounded by
+    * #keys × #occupied buckets, and occupied buckets are at most a few
+    * thousand per key by construction) left-joined onto the base
+    * aggregate: a key whose delta values are all NULL keeps a NULL
+    * sketch, exactly like the HLL column.
     */
-  def aggregate(df: DataFrame, d: RollupDef): DataFrame =
-    df.groupBy(d.keys.map(col): _*).agg(d.aggExprs.head, d.aggExprs.tail: _*)
+  def aggregate(df: DataFrame, d: RollupDef): DataFrame = {
+    val base = df.groupBy(d.keys.map(col): _*).agg(d.aggExprs.head, d.aggExprs.tail: _*)
+    d.quantileCols.foldLeft(base) { (acc, c) =>
+      val sketch = df
+        .filter(col(c).isNotNull)
+        .groupBy((d.keys.map(col) :+
+          graft.ops.HdrQuantile.bucketId(round(col(c) * 10000.0).cast(LongType))
+            .as("__qb")): _*)
+        .agg(count(lit(1)).as("__qn"))
+        .groupBy(d.keys.map(col): _*)
+        .agg(map_from_entries(array_sort(collect_list(struct(col("__qb"), col("__qn")))))
+          .as(s"qh_$c"))
+      acc.join(sketch, d.keys, "left")
+    }
+  }
 
   /** Monoid-merge a delta aggregate into stored state: addition for
     * count/sums, least/greatest for min/max (both skip the null a
@@ -104,7 +141,17 @@ object IncrementalRollup {
       when(old.isNull, fresh).when(fresh.isNull, old)
         .otherwise(hll_union(fresh, old)).as(s"hll_$c")
     }
-    merged.select((d.keys.map(col) ++ sums ++ mins ++ maxs ++ hlls): _*)
+    // histogram merge is key-wise count addition — map_zip_with keys
+    // the union of both maps, null counts on either side coalesce to 0
+    val qhs = d.quantileCols.map { c =>
+      val fresh = col(s"qh_$c")
+      val old = col(s"__old_qh_$c")
+      when(old.isNull, fresh).when(fresh.isNull, old)
+        .otherwise(map_zip_with(fresh, old,
+          (_, a, b) => coalesce(a, lit(0L)) + coalesce(b, lit(0L))))
+        .as(s"qh_$c")
+    }
+    merged.select((d.keys.map(col) ++ sums ++ mins ++ maxs ++ hlls ++ qhs): _*)
   }
 
   /** One refresh: merge everything the source committed past this
@@ -180,7 +227,13 @@ object IncrementalRollup {
     val keep = ("n_rows" +: d.minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c"))).map(col)
     val estimates = d.distinctCols.map(c =>
       hll_sketch_estimate(col(s"hll_$c")).as(s"nd_$c"))
-    dst.read().select((d.keys.map(col) ++ keep ++ descaled ++ estimates): _*)
+    // quantiles fold over the stored bucket map per row — a pure
+    // projection (no shuffle); the scaled-long estimate descales with
+    // the same one correctly-rounded division as the sums
+    val qs = for (c <- d.quantileCols; q <- d.quantiles) yield
+      (graft.ops.HdrQuantile.quantileFromMap(col(s"qh_$c"), q) / 10000.0)
+        .cast(DoubleType).as(f"p${math.round(q * 100)}%d_$c")
+    dst.read().select((d.keys.map(col) ++ keep ++ descaled ++ estimates ++ qs): _*)
   }
 }
 

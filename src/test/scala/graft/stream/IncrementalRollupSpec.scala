@@ -123,6 +123,44 @@ class IncrementalRollupSpec extends SparkSpec {
     assert(got == Map("a" -> ((5L, 3L)), "b" -> ((3L, 2L)), "c" -> ((1L, 1L))), s"got $got")
   }
 
+  test("quantile sketch column: incremental state equals one-shot; estimates within bound") {
+    import org.apache.spark.sql.functions._
+    val dq = RollupDef(keys = Seq("sym"), quantileCols = Seq("px"),
+      quantiles = Seq(0.5, 0.95))
+    // skewed per-key distributions, refreshed in three waves
+    def wave(w: Int) = (1 to 200).map(i =>
+      ("s" + (i % 2), (w * 1000 + i).toLong, (i * i * (w + 1)).toDouble / 7.0))
+    val bronze = src(wave(0))
+    val gold = freshTable("gold-q",
+      IncrementalRollup.aggregate(bronze.read(), dq).schema)
+    assert(IncrementalRollup.step(bronze, gold, "mvq", dq))
+    bronze.append(wave(1).toDF("sym", "ts_us", "px"))
+    bronze.append(wave(2).toDF("sym", "ts_us", "px"))
+    assert(IncrementalRollup.step(bronze, gold, "mvq", dq))
+
+    // merged-across-refreshes histogram == the one-shot full aggregate
+    // (the sketch is a pure function of the multiset)
+    val maintained = gold.read().select("sym", "qh_px").collect()
+      .map(r => r.getString(0) -> r.getMap[Long, Long](1).toMap).toMap
+    val oneShot = IncrementalRollup.aggregate(bronze.read(), dq)
+      .select("sym", "qh_px").collect()
+      .map(r => r.getString(0) -> r.getMap[Long, Long](1).toMap).toMap
+    assert(maintained == oneShot, "merge-order independence must hold exactly")
+
+    // surfaced quantiles within the half-bucket relative bound of exact
+    val got = IncrementalRollup.readRollup(gold, dq).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("p50_px"), r.getAs[Double]("p95_px")))
+      .toMap
+    val all = (wave(0) ++ wave(1) ++ wave(2)).groupBy(_._1)
+      .view.mapValues(_.map(t => math.round(t._3 * 10000.0)).sorted).toMap
+    for ((sym, (p50, p95)) <- got; (q, est) <- Seq(0.5 -> p50, 0.95 -> p95)) {
+      val vs = all(sym)
+      val exact = vs(math.max(1, math.ceil(q * vs.size).toInt) - 1) / 10000.0
+      assert(math.abs(est - exact) / exact <= 1.0 / (2 * graft.ops.HdrQuantile.M) + 1e-9,
+        s"$sym q=$q: est $est vs exact $exact")
+    }
+  }
+
   test("a row-rewriting source commit fails the refresh loudly") {
     val bronze = src(Seq(("a", 1L, 1.0), ("b", 2L, 2.0)))
     val gold = freshTable("gold",
