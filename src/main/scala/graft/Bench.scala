@@ -268,16 +268,22 @@ object Bench {
     * identity-dim-pruned, (iii) time-range-pruned — and (iv) the full
     * scan again after `rewriteManifests` folds the manifest chain.
     * Reported times are the median of 5 calls (warm metadata — the
-    * steady state of a long-lived session; the first cold call rides
-    * along as `*_cold_ms`). File counts ride along so the record shows
-    * the pruning RATIO, not just the latency.
+    * steady state of a long-lived session; the first-ever call rides
+    * along as `full_scan_cold_ms` — later shapes inherit its warmed
+    * caches, so they report warm numbers only). File counts ride along
+    * so the record shows the pruning RATIO, not just the latency.
     */
   private def planningLatency(spark: SparkSession): String = try {
     import org.apache.spark.sql.functions._
     import org.apache.hadoop.fs.Path
     val nSymbols = 25
     val nDays = 10
-    val copiesPerCell = 40 // nSymbols * nDays * copiesPerCell = 10^4 files
+    // SPARK_GRAFT_PLAN_FILES rescales the fixture (default 10^4; a
+    // 10^5 judge rerun is ~10x the build time, planning timings scale
+    // with manifest entries)
+    val targetFiles = sys.env.get("SPARK_GRAFT_PLAN_FILES")
+      .map(_.toInt).getOrElse(10000)
+    val copiesPerCell = math.max(1, targetFiles / (nSymbols * nDays))
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench-plan")
     val tBuild = System.nanoTime()
     val proto = spark.range(1).select(
@@ -346,9 +352,13 @@ object Bench {
       (cold, warm, n)
     }
     val oneDay = (day0 + 3 * 86400L) * 1000000L -> (day0 + 4 * 86400L - 1) * 1000000L
+    // only the FIRST shape's first call is genuinely cold — it warms
+    // the manifest/metadata caches for everything after, so the later
+    // shapes report warm medians only (a "cold" label on them would
+    // understate real cold latency; review r10)
     val (fullCold, fullMs, fullN) = timePlan(() => table.filesForQuery(Map.empty).size)
-    val (idCold, idMs, idN) = timePlan(() => table.filesForQuery(Map("symbol" -> "S7")).size)
-    val (trCold, trMs, trN) =
+    val (_, idMs, idN) = timePlan(() => table.filesForQuery(Map("symbol" -> "S7")).size)
+    val (_, trMs, trN) =
       timePlan(() => table.filesForQuery(Map.empty, Some(oneDay)).size)
     table.rewriteManifests()
     val (_, foldedMs, foldedN) = timePlan(() => table.filesForQuery(Map.empty).size)
@@ -357,7 +367,7 @@ object Bench {
       java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverseIterator
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     } catch { case _: Throwable => () }
-    f"""{"files":$nFiles,"commits":$nDays,"build_sec":$buildSec%.3f,"full_scan_ms":$fullMs%.1f,"full_scan_cold_ms":$fullCold%.1f,"full_files":$fullN,"identity_ms":$idMs%.1f,"identity_cold_ms":$idCold%.1f,"identity_files":$idN,"timerange_ms":$trMs%.1f,"timerange_cold_ms":$trCold%.1f,"timerange_files":$trN,"folded_full_scan_ms":$foldedMs%.1f,"folded_files":$foldedN}"""
+    f"""{"files":$nFiles,"commits":$nDays,"build_sec":$buildSec%.3f,"full_scan_ms":$fullMs%.1f,"full_scan_cold_ms":$fullCold%.1f,"full_files":$fullN,"identity_ms":$idMs%.1f,"identity_files":$idN,"timerange_ms":$trMs%.1f,"timerange_files":$trN,"folded_full_scan_ms":$foldedMs%.1f,"folded_files":$foldedN}"""
   } catch {
     case e: Throwable =>
       System.err.println(s"[bench] planning latency failed: ${e.getMessage}")

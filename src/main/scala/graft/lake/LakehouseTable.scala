@@ -1279,11 +1279,16 @@ final class LakehouseTable(
     * `stagedDir` must contain parquet files laid out in the table's
     * partition-directory convention (`symbol=AAPL/ts_day=20240301/
     * part-*.parquet` for an (identity(symbol), day(ts)) spec — day
-    * values are [[partitionExpr]]'s int form); files in
-    * unrecognized/missing partition dirs still read correctly — they
-    * just earn no partition pruning (partition segments are an
-    * optimization, never a correctness gate, exactly as for native
-    * writes). Files are MOVED (renamed — same-filesystem staging, the
+    * values are [[partitionExpr]]'s int form). DERIVED-transform dirs
+    * (day/month/bucket…) are an optimization: a missing or misspelled
+    * one only loses pruning, because the source column lives in the
+    * file. IDENTITY dirs are a correctness REQUIREMENT — the identity
+    * column is NOT stored in the file (matching native layout), the
+    * directory IS the value, so every staged file must sit under a
+    * `<source>=` dir for each identity field (validated; a violating
+    * layout refuses before anything moves — the column would otherwise
+    * read as NULL for every imported row). Files are MOVED (renamed —
+    * same-filesystem staging, the
     * contract every staging dir here already has), footer-statted
     * (row counts, time-key and declared stats-column bounds — imported
     * files get first-class file skipping), and committed through the
@@ -1309,15 +1314,33 @@ final class LakehouseTable(
       meta0.defaultSpec.fields.filter(_.transform == "identity").map(_.source).toSet
     val expected = StructType(StructType.fromDDL(meta0.schemaDdl)
       .fields.filterNot(f => identitySources.contains(f.name)).toSeq)
-    val firstFile = {
+    val stagedQ = fs.makeQualified(stagedDir)
+    val staged = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[Path]
       val it = fs.listFiles(stagedDir, true)
-      var found: Option[Path] = None
-      while (found.isEmpty && it.hasNext) {
+      while (it.hasNext) {
         val st = it.next()
-        if (st.getPath.getName.endsWith(".parquet")) found = Some(st.getPath)
+        if (st.getPath.getName.endsWith(".parquet")) b += st.getPath
       }
-      found.getOrElse(throw new IllegalArgumentException(
-        s"addFiles: no parquet files under $stagedDir"))
+      b.toSeq
+    }
+    val firstFile = staged.headOption.getOrElse(throw new IllegalArgumentException(
+      s"addFiles: no parquet files under $stagedDir"))
+    // identity dirs are a correctness gate (see scaladoc): the column
+    // exists ONLY in the directory name, so every file must carry one
+    staged.foreach { p =>
+      val rel = p.toString.stripPrefix(stagedQ.toString + "/")
+      val dirKeys = rel.split("/").dropRight(1)
+        .flatMap(_.split("=", 2) match {
+          case Array(k, _) => Some(k)
+          case _ => None
+        }).toSet
+      identitySources.filterNot(dirKeys.contains).foreach(src =>
+        throw new IllegalArgumentException(
+          s"addFiles: staged file '$rel' is not under a '$src=' partition dir — " +
+            s"'$src' is identity-partitioned, so the directory IS the value " +
+            "(it is not stored in the file); importing this layout would read " +
+            s"'$src' as NULL for every imported row"))
     }
     val fileCols = {
       val in = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -2024,8 +2047,14 @@ final class LakehouseTable(
     // 16): local disks take 32-64 happily, while an object store's
     // request-rate limits may want the default or lower — the same
     // knob split Iceberg exposes via worker-pool sizing.
-    val movePar = math.min(64, math.max(1,
-      meta.props.get("write.move-parallelism").map(_.trim.toInt).getOrElse(16)))
+    val movePar = meta.props.get("write.move-parallelism").map { v =>
+      val n = try v.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"table property write.move-parallelism must be an integer, got '$v' — " +
+            "unset or fix the property (writes are refused until then)")
+      }
+      math.min(64, math.max(1, n))
+    }.getOrElse(16)
     val moved = graft.util.BoundedPar.map(parts.toSeq, parallelism = movePar) { src =>
       val name = src.getName
       val rel = src.toString.stripPrefix(stagingQ.toString + "/")
@@ -2034,6 +2063,17 @@ final class LakehouseTable(
       val destDir = if (relDir.isEmpty) dataDir else new Path(dataDir, relDir.stripSuffix("/"))
       fs.mkdirs(destDir)
       val dest = new Path(destDir, name)
+      // POSIX rename CLOBBERS an existing destination (HDFS refuses) —
+      // without this check a re-run import with stable basenames would
+      // silently replace a live data file while its old manifest entry
+      // (row count, bounds) keeps describing vanished bytes (review
+      // r10). Native writes carry write-UUIDs so this never fires for
+      // them; importers get a loud refusal instead of corruption.
+      if (fs.exists(dest))
+        throw new IllegalStateException(
+          s"refusing to move $src over existing $dest — staged basenames " +
+            "must be unique per destination dir (native writes use " +
+            "write-UUID part names; importers must too)")
       if (!fs.rename(src, dest))
         throw new IllegalStateException(s"failed to move $src -> $dest")
       val (rows, mn, mx, extra) = footerInfo(dest, keyCol, extraStatCols)

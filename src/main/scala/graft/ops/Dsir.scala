@@ -62,24 +62,40 @@ object Dsir {
       idCol: String = "doc_id",
       textCol: String = "text",
       buckets: Int = 4096): DataFrame = {
+    // each model is fit in ONE corpus scan: the bucket aggregates are
+    // persisted (≤`buckets` rows each), the totals sum those cached
+    // rows instead of re-tokenizing the corpus, and the ratio table is
+    // materialized to the driver (bucket-bounded = metadata-scale) so
+    // both caches release before the scoring scan — which is then the
+    // only other pass over the corpus
     val p = bucketCounts(target, textCol, buckets).withColumnRenamed("c", "cp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = bucketCounts(corpus, textCol, buckets).withColumnRenamed("c", "cq")
-    // model totals: single-row aggregates (driver scalars, model-fit time)
-    val np = target.select(explode(featureBuckets(col(textCol), buckets)))
-      .count().toDouble
-    val nq = corpus.select(explode(featureBuckets(col(textCol), buckets)))
-      .count().toDouble
-    // every scorable feature is a CORPUS feature by construction, so q
-    // is the spine; target-only buckets can never be referenced
-    val ratios = q.join(p, Seq("bucket"), "left")
-      .na.fill(0L, Seq("cp"))
-      .select(col("bucket"),
-        round((log((col("cp") + 1.0) / (np + buckets)) -
-          log((col("cq") + 1.0) / (nq + buckets))) * 10000.0)
-          .cast(LongType).as("delta"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ratioLocal = try {
+      val np = Option(p.agg(sum("cp")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L).toDouble
+      val nq = Option(q.agg(sum("cq")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L).toDouble
+      // every scorable feature is a CORPUS feature by construction, so
+      // q is the spine; target-only buckets can never be referenced.
+      // The delta is computed by SPARK's round (collected afterwards),
+      // so its HALF_UP semantics stay bit-identical to the oracle's.
+      val ratios = q.join(p, Seq("bucket"), "left")
+        .na.fill(0L, Seq("cp"))
+        .select(col("bucket"),
+          round((log((col("cp") + 1.0) / (np + buckets)) -
+            log((col("cq") + 1.0) / (nq + buckets))) * 10000.0)
+            .cast(LongType).as("delta"))
+      corpus.sparkSession.createDataFrame(
+        java.util.Arrays.asList(ratios.collect(): _*), ratios.schema)
+    } finally {
+      p.unpersist(blocking = false)
+      q.unpersist(blocking = false)
+    }
     val summed = corpus
       .select(col(idCol), explode(featureBuckets(col(textCol), buckets)).as("bucket"))
-      .join(broadcast(ratios), "bucket")
+      .join(broadcast(ratioLocal), "bucket")
       .groupBy(idCol).agg(sum("delta").as("s"))
     corpus.select(col(idCol))
       .join(summed, Seq(idCol), "left")

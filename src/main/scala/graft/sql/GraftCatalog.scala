@@ -291,6 +291,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 object GraftCatalog {
   private val ReservedProps = Set("provider", "location", "owner", "comment")
 
+  /** Refuse non-append SQL writes while a WAP branch conf is active:
+    * branches stage APPEND-shaped commits only, so UPDATE / DELETE /
+    * MERGE / TRUNCATE cannot be audited there — running them would
+    * silently bypass the write-audit-publish gate by mutating main
+    * while the user believes everything is staging (review r10).
+    */
+  private[sql] def refuseUnderWapBranch(
+      session: SparkSession, what: String): Unit =
+    session.conf.getOption("spark.graft.wap.branch").filter(_.nonEmpty)
+      .foreach(b => throw new UnsupportedOperationException(
+        s"$what cannot run while spark.graft.wap.branch ('$b') is set: " +
+          "branches stage append-shaped commits only, so a row-level " +
+          "write cannot stage there and would silently bypass the WAP " +
+          "audit by mutating main — unset the conf to write to main " +
+          "deliberately"))
+
   /** Metadata-table suffixes served as `cat.ns.table.<name>`
     * ([[LakehouseTable.metadataTable]]).
     */
@@ -389,6 +405,7 @@ final case class GraftSqlTable(
     */
   override def truncateTable(): Boolean = {
     require(pinnedSnapshot.isEmpty, "cannot truncate a time-travel relation")
+    GraftCatalog.refuseUnderWapBranch(SparkSession.active, "TRUNCATE TABLE")
     lt.truncate()
     true
   }

@@ -153,6 +153,7 @@ case class GraftUpdateCommand(
 
   override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
     require(table.pinnedSnapshot.isEmpty, "cannot update a time-travel relation")
+    GraftCatalog.refuseUnderWapBranch(session, "UPDATE")
     def bareSql(e: Expression): String = {
       if (e.exists(_.isInstanceOf[SubqueryExpression]))
         throw new UnsupportedOperationException(
@@ -210,6 +211,7 @@ case class GraftMergeCommand(
 
   override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
     require(table.pinnedSnapshot.isEmpty, "cannot merge into a time-travel relation")
+    GraftCatalog.refuseUnderWapBranch(session, "MERGE INTO")
     val targetCols = table.schema.fieldNames.toSeq
     val sourceAttrs = source.output
 
@@ -285,6 +287,7 @@ case class GraftDeleteCommand(
 
   override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
     require(table.pinnedSnapshot.isEmpty, "cannot delete from a time-travel relation")
+    GraftCatalog.refuseUnderWapBranch(session, "DELETE")
     if (condition.exists(_.isInstanceOf[SubqueryExpression]))
       throw new UnsupportedOperationException(
         s"DELETE with a subquery condition is not supported: ${condition.sql} — " +

@@ -112,7 +112,14 @@ object IncrementalRollup {
         .groupBy(d.keys.map(col): _*)
         .agg(map_from_entries(array_sort(collect_list(struct(col("__qb"), col("__qn")))))
           .as(s"qh_$c"))
-      acc.join(sketch, d.keys, "left")
+        .select((d.keys.map(k => col(k).as(s"__qk_$k")) :+ col(s"qh_$c")): _*)
+      // NULL-SAFE key equality (<=>): groupBy treats NULL as a real
+      // group, so a null-keyed group with non-null values has a sketch
+      // here — a plain equi-join would drop it and surface NULL
+      // quantiles beside its own n_rows/sums (review r10)
+      val cond = d.keys.map(k => acc(k) <=> sketch(s"__qk_$k")).reduce(_ && _)
+      acc.join(sketch, cond, "left")
+        .drop(d.keys.map(k => s"__qk_$k"): _*)
     }
   }
 

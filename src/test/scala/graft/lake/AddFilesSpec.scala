@@ -88,7 +88,7 @@ class AddFilesSpec extends SparkSpec {
     // extra column the table never declared
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     ticks.withColumn("extra", org.apache.spark.sql.functions.lit(1))
-      .coalesce(1).write.mode("overwrite").parquet(staged)
+      .coalesce(1).write.mode("overwrite").partitionBy("sym").parquet(staged)
     val before = relPaths(staged)
     val e = intercept[IllegalArgumentException](table.addFiles(new Path(staged)))
     assert(e.getMessage.contains("stored-file columns"), e.getMessage)
@@ -117,5 +117,45 @@ class AddFilesSpec extends SparkSpec {
     val staged = tmpDir("af4-empty")
     val e = intercept[IllegalArgumentException](table.addFiles(new Path(staged)))
     assert(e.getMessage.contains("no parquet files"), e.getMessage)
+  }
+
+  test("a missing identity partition dir refuses — the dir IS the column value") {
+    val table = mkTable("af5")
+    val staged = tmpDir("af5-noident")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // correct file columns (ts, px) but NO sym= dir: importing would
+    // read sym as NULL for every row
+    ticks.drop("sym")
+      .withColumn("ts_day",
+        org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.col("ts"), "yyyyMMdd").cast("int"))
+      .coalesce(1).write.mode("overwrite").partitionBy("ts_day").parquet(staged)
+    val e = intercept[IllegalArgumentException](table.addFiles(new Path(staged)))
+    assert(e.getMessage.contains("identity-partitioned"), e.getMessage)
+    assert(table.currentDataFiles.isEmpty)
+  }
+
+  test("re-importing an already-imported basename refuses instead of clobbering") {
+    val table = mkTable("af6")
+    val staged = tmpDir("af6-staged")
+    stage(ticks, staged)
+    table.addFiles(new Path(staged))
+    val rowsAfterFirst = table.read().count()
+    // a re-run importer with STABLE basenames lands the same relative
+    // path again: POSIX rename would silently replace the live file
+    // while its manifest entry keeps describing the old bytes — the
+    // move loop must refuse before the table's metadata goes stale
+    val live = table.currentDataFiles.head
+    val rel = live.path.stripPrefix("data/")
+    val srcBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(table.tableDir.toUri.getPath, "data", rel))
+    val restagedRoot = tmpDir("af6-restaged")
+    val staged2 = java.nio.file.Paths.get(restagedRoot, rel)
+    java.nio.file.Files.createDirectories(staged2.getParent)
+    java.nio.file.Files.write(staged2, srcBytes)
+    val e = intercept[IllegalStateException](
+      table.addFiles(new Path(restagedRoot)))
+    assert(e.getMessage.contains("refusing to move"), e.getMessage)
+    assert(table.read().count() == rowsAfterFirst, "live data must be untouched")
   }
 }

@@ -54,6 +54,14 @@ class TablePropertiesSpec extends SparkSpec {
     t.setProperty("write.move-parallelism", "10000")
     t.append(df(40 until 44).coalesce(1))
     assert(t.read().count() == 44L)
+    // a non-numeric value refuses writes with a message NAMING the
+    // property (not a bare NumberFormatException)
+    t.setProperty("write.move-parallelism", "4x")
+    val e = intercept[IllegalArgumentException](t.append(df(44 until 46).coalesce(1)))
+    assert(e.getMessage.contains("write.move-parallelism"), e.getMessage)
+    t.unsetProperty("write.move-parallelism")
+    t.append(df(44 until 46).coalesce(1))
+    assert(t.read().count() == 46L)
   }
 
   test("rollback restores an earlier snapshot; history survives for audit") {

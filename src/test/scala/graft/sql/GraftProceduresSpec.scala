@@ -166,6 +166,41 @@ class GraftProceduresSpec extends SparkSpec {
     assert(messages.contains("neither a snapshot id, a tag, nor a branch"), messages)
   }
 
+  test("row-level SQL writes refuse under spark.graft.wap.branch instead of bypassing the audit") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.gold.ticks (sym STRING, ts_us BIGINT, px DOUBLE)")
+    Seq(("a", 1L, 1.0), ("b", 2L, 2.0)).toDF("sym", "ts_us", "px")
+      .createOrReplaceTempView("wapguard_src")
+    spark.sql(s"INSERT INTO $cat.gold.ticks SELECT * FROM wapguard_src")
+    spark.sql(s"CALL $cat.system.create_branch(table => 'gold.ticks', branch => 'audit')")
+    spark.conf.set("spark.graft.wap.branch", "audit")
+    try {
+      // a branch stages APPEND-shaped commits only — UPDATE/DELETE/
+      // MERGE/TRUNCATE under the conf would write straight to main
+      // while the user believes everything is staging
+      def refuses(sql: String): Unit = {
+        val e = intercept[Exception](spark.sql(sql))
+        val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).map(String.valueOf(_: Any)).mkString("\n")
+        assert(msgs.contains("spark.graft.wap.branch"), s"$sql: $msgs")
+      }
+      refuses(s"UPDATE $cat.gold.ticks SET px = px + 1.0 WHERE sym = 'a'")
+      refuses(s"DELETE FROM $cat.gold.ticks WHERE sym = 'a'")
+      refuses(s"""MERGE INTO $cat.gold.ticks t
+                 |USING (SELECT 'c' AS sym, CAST(3 AS BIGINT) AS ts_us, 3.0 AS px) s
+                 |ON t.sym = s.sym
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      refuses(s"TRUNCATE TABLE $cat.gold.ticks")
+      // main is untouched; appends still stage on the branch
+      assert(spark.sql(s"SELECT sum(px) FROM $cat.gold.ticks").head().getDouble(0) == 3.0)
+    } finally spark.conf.unset("spark.graft.wap.branch")
+    spark.sql(s"CALL $cat.system.drop_branch('gold.ticks', 'audit')")
+    // without the conf the same statements run fine
+    spark.sql(s"UPDATE $cat.gold.ticks SET px = px + 1.0 WHERE sym = 'a'")
+    assert(spark.sql(s"SELECT sum(px) FROM $cat.gold.ticks").head().getDouble(0) == 4.0)
+  }
+
   test("a tag and a branch cannot share a VERSION AS OF name") {
     val cat = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.gold.ticks (sym STRING, px DOUBLE)")

@@ -161,6 +161,17 @@ class IncrementalRollupSpec extends SparkSpec {
     }
   }
 
+  test("a null-keyed group keeps its quantile sketch (null-safe sketch join)") {
+    val dq = RollupDef(keys = Seq("sym"), quantileCols = Seq("px"), quantiles = Seq(0.5))
+    val rows = Seq((Option("a"), 1L, 10.0), (None, 2L, 20.0), (None, 3L, 30.0))
+      .toDF("sym", "ts_us", "px")
+    val agg = IncrementalRollup.aggregate(rows, dq).collect()
+      .map(r => Option(r.getString(0)) -> r.isNullAt(r.fieldIndex("qh_px"))).toMap
+    assert(agg(Some("a")) == false)
+    assert(agg(None) == false,
+      "the NULL key group has non-null values — its sketch must survive the join")
+  }
+
   test("a row-rewriting source commit fails the refresh loudly") {
     val bronze = src(Seq(("a", 1L, 1.0), ("b", 2L, 2.0)))
     val gold = freshTable("gold",
