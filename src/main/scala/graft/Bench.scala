@@ -323,6 +323,8 @@ object Bench {
     }
     // template dirs keep the ISO date the Spark write produced
     def tplDayStr(d: Int) = java.time.LocalDate.of(2024, 3, 1).plusDays(d).toString
+    var copySec = 0.0
+    var importSec = 0.0
     (0 until nDays).foreach { d =>
       val tpl = fs.listStatus(new Path(s"$tmp/templates/ts_day=${tplDayStr(d)}"))
         .map(_.getPath).find(_.getName.endsWith(".parquet")).get
@@ -332,13 +334,17 @@ object Bench {
       }
       val staging = new Path(s"$tmp/stage-$d")
       val cells = for (k <- 0 until nSymbols; i <- 0 until copiesPerCell) yield (k, i)
+      val t0 = System.nanoTime()
       // parallelism 32: local-disk 2 KB creates, not object-store calls
       graft.util.BoundedPar.map(cells, parallelism = 32) { case (k, i) =>
         val out = fs.create(
           new Path(staging, s"symbol=S$k/ts_day=${dayStr(d)}/part-$d-$k-$i.parquet"), true)
         try out.write(bytes) finally out.close()
       }
+      val t1 = System.nanoTime()
       table.addFiles(staging)
+      copySec += (t1 - t0) / 1e9
+      importSec += (System.nanoTime() - t1) / 1e9
     }
     val buildSec = (System.nanoTime() - tBuild) / 1e9
     val nFiles = table.currentDataFiles.size
@@ -367,7 +373,7 @@ object Bench {
       java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverseIterator
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     } catch { case _: Throwable => () }
-    f"""{"files":$nFiles,"commits":$nDays,"build_sec":$buildSec%.3f,"full_scan_ms":$fullMs%.1f,"full_scan_cold_ms":$fullCold%.1f,"full_files":$fullN,"identity_ms":$idMs%.1f,"identity_files":$idN,"timerange_ms":$trMs%.1f,"timerange_files":$trN,"folded_full_scan_ms":$foldedMs%.1f,"folded_files":$foldedN}"""
+    f"""{"files":$nFiles,"commits":$nDays,"build_sec":$buildSec%.3f,"build_copy_sec":$copySec%.3f,"build_import_sec":$importSec%.3f,"full_scan_ms":$fullMs%.1f,"full_scan_cold_ms":$fullCold%.1f,"full_files":$fullN,"identity_ms":$idMs%.1f,"identity_files":$idN,"timerange_ms":$trMs%.1f,"timerange_files":$trN,"folded_full_scan_ms":$foldedMs%.1f,"folded_files":$foldedN}"""
   } catch {
     case e: Throwable =>
       System.err.println(s"[bench] planning latency failed: ${e.getMessage}")

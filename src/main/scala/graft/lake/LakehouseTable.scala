@@ -1359,16 +1359,24 @@ final class LakehouseTable(
     // until scan time — force one row through the frozen read schema now
     // (basePath = the file's own dir, so Spark does not re-infer the
     // staged partition dirs as data columns)
+    val tProbe = System.nanoTime()
     spark.read.schema(expected)
       .option("basePath", firstFile.getParent.toString)
       .parquet(firstFile.toString).limit(1).collect()
+    val tMove = System.nanoTime()
     val statsCols = meta0.props.get("write.stats-columns")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val moved = moveStaged(meta0, stagedDir, extraStatCols = statsCols)
-    withCommitRetry {
+    val moved = moveStaged(meta0, stagedDir, extraStatCols = statsCols,
+      preListed = Some(staged))
+    val tCommit = System.nanoTime()
+    val snap = withCommitRetry {
       val (v, meta) = versionedMeta
       commitAppend(meta, v, moved, operation)
     }
+    if (sys.env.contains("GRAFT_ADDFILES_TIMING"))
+      System.err.println(f"[addFiles] probe ${(tMove - tProbe) / 1e9}%.2f " +
+        f"move ${(tCommit - tMove) / 1e9}%.2f commit ${(System.nanoTime() - tCommit) / 1e9}%.2f")
+    snap
   }
 
   /** Exactly-once streaming append for foreachBatch sinks: commit the
@@ -2028,16 +2036,30 @@ final class LakehouseTable(
     * files from different commits never collide.
     */
   private def moveStaged(
-      meta: TableMetadata, staging: Path, extraStatCols: Seq[String] = Nil): Seq[DataFile] = {
+      meta: TableMetadata, staging: Path, extraStatCols: Seq[String] = Nil,
+      /** Already-qualified staged paths from a caller that listed the
+        * dir itself (addFiles' validation pass) — Hadoop's checksummed
+        * LocalFileSystem spends ~4.5 ms PER FILE on a recursive
+        * listing, so a second walk of a 10^3-file import would double
+        * its wall time for nothing.
+        */
+      preListed: Option[Seq[Path]] = None): Seq[DataFile] = {
     val keyCol = meta.statsSource
     val sid = if (meta.defaultSpec.fields.nonEmpty) Some(meta.defaultSpec.id) else None
+    val tList = System.nanoTime()
     val stagingQ = fs.makeQualified(staging) // listFiles returns qualified paths
-    val parts = scala.collection.mutable.ArrayBuffer.empty[Path]
-    val it = fs.listFiles(staging, true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.getPath.getName.endsWith(".parquet")) parts += st.getPath
+    val parts = preListed.getOrElse {
+      val b = scala.collection.mutable.ArrayBuffer.empty[Path]
+      val it = fs.listFiles(staging, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) b += st.getPath
+      }
+      b.toSeq
     }
+    val tMoveLoop = System.nanoTime()
+    val renameNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val footerNs = new java.util.concurrent.atomic.AtomicLong(0L)
     // rename + footer-stats in bounded parallel: a commit of N files
     // otherwise pays N sequential driver round trips — the move is
     // metadata-only but the footer open is a real read, and at
@@ -2074,14 +2096,23 @@ final class LakehouseTable(
           s"refusing to move $src over existing $dest — staged basenames " +
             "must be unique per destination dir (native writes use " +
             "write-UUID part names; importers must too)")
+      val tR = System.nanoTime()
       if (!fs.rename(src, dest))
         throw new IllegalStateException(s"failed to move $src -> $dest")
+      val tF = System.nanoTime()
       val (rows, mn, mx, extra) = footerInfo(dest, keyCol, extraStatCols)
+      renameNs.addAndGet(tF - tR)
+      footerNs.addAndGet(System.nanoTime() - tF)
       DataFile(s"data/${if (relDir.isEmpty) "" else relDir}$name", rows, mn, mx,
         extraBounds = if (extra.isEmpty) None else Some(extra),
         specId = sid)
     }
     fs.delete(staging, true)
+    if (sys.env.contains("GRAFT_ADDFILES_TIMING"))
+      System.err.println(f"[moveStaged] n=${parts.size} par=$movePar " +
+        f"list ${(tMoveLoop - tList) / 1e9}%.2f " +
+        f"loop ${(System.nanoTime() - tMoveLoop) / 1e9}%.2f " +
+        f"(rename-sum ${renameNs.get / 1e9}%.2f footer-sum ${footerNs.get / 1e9}%.2f)")
     moved
   }
 
