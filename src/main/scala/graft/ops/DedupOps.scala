@@ -174,6 +174,74 @@ object DedupOps {
         (coalesce(col("contaminated_grams"), lit(0L)) > 0L).as("is_contaminated"))
   }
 
+  /** Distinct portable-hash 3-gram set per doc — the exact-verification
+    * currency of [[contaminatedDocsFuzzy]] (PolyGramHashes values are
+    * bit-equal to polyHash over the gram strings, so DuckDB replays the
+    * sets; hash collisions merge identically on both engines).
+    */
+  private def portableGramSet(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        graft.functions.PolyGramHashes(TextAnalysis.tokens(col(textCol)), 3).as("gs"))
+      .select(col("id"), explode(col("gs")).as("g")).distinct()
+
+  /** FUZZY benchmark decontamination (MinHash-LSH vs the eval set):
+    * [[contaminatedDocs]] catches verbatim k-gram leakage; this form
+    * catches NEAR-duplicates of benchmark documents — light paraphrase,
+    * whitespace/punctuation drift — the eval-decontamination shape
+    * NeMo-Curator/Dolma run alongside the exact pass. A corpus doc is
+    * contaminated when its exact 3-gram Jaccard similarity to ANY
+    * benchmark doc reaches `threshold`.
+    *
+    * Shape at 100 TB: the benchmark side (signatures, bands, gram sets,
+    * counts) is eval-suite-sized and BROADCASTS; the corpus pays one
+    * signature pass and one gram-set pass, candidates come from a
+    * banded equality join against the broadcast benchmark bands (never
+    * corpus×corpus), and the exact-Jaccard verification touches only
+    * candidate docs' grams (semi-join pruned). Portable hashing
+    * end-to-end, so the whole pipeline — signatures, banding,
+    * candidates, verification — is value-checkable in DuckDB
+    * (`q_text_decontaminate_fuzzy`).
+    */
+  def contaminatedDocsFuzzy(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.8): DataFrame = {
+    val cb = minHashBandsPortable(corpus, idCol, textCol)
+    val bb = minHashBandsPortable(benchmark, idCol, textCol)
+      .withColumnRenamed("doc_id", "bench_id")
+    val cand = cb.join(broadcast(bb), Seq("band_id", "band_sig"))
+      .select(col("doc_id").as("cid"), col("bench_id")).distinct()
+    val bg = portableGramSet(benchmark, idCol, textCol)
+    // corpus gram sets restricted to candidate docs before any counting
+    val cg = portableGramSet(corpus, idCol, textCol)
+      .join(cand.select(col("cid").as("id")).distinct(), Seq("id"), "left_semi")
+    val cn = cg.groupBy("id").agg(count(lit(1)).as("n_a"))
+    val bn = bg.groupBy("id").agg(count(lit(1)).as("n_b"))
+    val common = cand
+      .join(cg.withColumnRenamed("id", "cid"), Seq("cid"))
+      .join(broadcast(bg.select(col("id").as("bench_id"), col("g"))),
+        Seq("bench_id", "g"))
+      .groupBy("cid", "bench_id").agg(count(lit(1)).as("n_common"))
+    val jac = common
+      .join(cn.withColumnRenamed("id", "cid"), Seq("cid"))
+      .join(broadcast(bn.withColumnRenamed("id", "bench_id")), Seq("bench_id"))
+      .select(col("cid"),
+        round(col("n_common").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType), 4).as("j"))
+    val perDoc = jac.groupBy("cid").agg(
+      max(col("j")).as("best_jaccard"),
+      count(when(col("j") >= threshold, 1)).as("fuzzy_matches"))
+    corpus.select(col(idCol))
+      .join(perDoc.withColumnRenamed("cid", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+        coalesce(col("fuzzy_matches"), lit(0L)).as("fuzzy_matches"),
+        (coalesce(col("fuzzy_matches"), lit(0L)) > 0L).as("is_contaminated"))
+  }
+
   /** MinHash signatures: `numHashes` permutations approximated by
     * re-hashing a single xxhash64 of each shingle with the permutation
     * index (`xxhash64(g64, i)` — fixed-width long hashing, far cheaper

@@ -394,6 +394,83 @@ object TextOps {
     ),
 
     QuerySpec(
+      // FUZZY decontamination: corpus docs whose exact 3-gram Jaccard
+      // to ANY benchmark doc (doc_id % 50 = 0 stands in for the eval
+      // suite) reaches 0.5, candidates from portable MinHash-LSH bands
+      // — signatures, banding, candidate join, and exact verification
+      // all replayed value-exactly by the oracle
+      "q_text_decontaminate_fuzzy",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        DedupOps.contaminatedDocsFuzzy(
+          docs.select("doc_id", "text"),
+          docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text"),
+          threshold = 0.5)
+          .orderBy("doc_id")
+      },
+      Some {
+        val mins = (0 until 8)
+          .map(i => s"min((${2 * i + 3}::BIGINT*g64 + ${5 * i + 7}) % 1000000007) AS h$i")
+          .mkString(",\n         ")
+        val bandRows = (0 until 4)
+          .map(j => s"SELECT doc_id, $j AS band_id, " +
+            s"(h${2 * j}*31 + h${2 * j + 1}) % 1000000007 AS band_sig FROM s")
+          .mkString("\n  UNION ALL ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+           |  FROM documents
+           |), g AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(1, CASE WHEN length(tk) - 2 >= 1 THEN length(tk) - 1 ELSE 1 END),
+           |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS gram
+           |  FROM toks
+           |), h AS (
+           |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+           |    list_transform(string_split(gram, ''), c -> ascii(c)::BIGINT)),
+           |    (a, b) -> (a*31 + b) % 1000000007) AS g64
+           |  FROM g
+           |), hd AS (
+           |  SELECT DISTINCT doc_id, g64 FROM h
+           |), s AS (
+           |  SELECT doc_id,
+           |         $mins
+           |  FROM h GROUP BY doc_id
+           |), bands AS (
+           |  $bandRows
+           |), cand AS (
+           |  SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bench_id
+           |  FROM bands c JOIN bands b USING (band_id, band_sig)
+           |  WHERE b.doc_id % 50 = 0
+           |), cn AS (
+           |  SELECT doc_id AS cid, count(*) AS n_a FROM hd GROUP BY 1
+           |), bn AS (
+           |  SELECT doc_id AS bench_id, count(*) AS n_b FROM hd
+           |  WHERE doc_id % 50 = 0 GROUP BY 1
+           |), common AS (
+           |  SELECT cand.cid, cand.bench_id, count(*) AS n_common
+           |  FROM cand
+           |  JOIN hd ca ON ca.doc_id = cand.cid
+           |  JOIN hd ba ON ba.doc_id = cand.bench_id AND ba.g64 = ca.g64
+           |  GROUP BY 1, 2
+           |), jac AS (
+           |  SELECT cid, round(CAST(n_common AS DOUBLE)
+           |         / CAST(n_a + n_b - n_common AS DOUBLE), 4) AS j
+           |  FROM common JOIN cn USING (cid) JOIN bn USING (bench_id)
+           |), perdoc AS (
+           |  SELECT cid, max(j) AS best_jaccard,
+           |         count(CASE WHEN j >= 0.5 THEN 1 END) AS fuzzy_matches
+           |  FROM jac GROUP BY 1
+           |)
+           |SELECT d.doc_id,
+           |       coalesce(p.best_jaccard, 0.0) AS best_jaccard,
+           |       CAST(coalesce(p.fuzzy_matches, 0) AS BIGINT) AS fuzzy_matches,
+           |       coalesce(p.fuzzy_matches, 0) > 0 AS is_contaminated
+           |FROM documents d LEFT JOIN perdoc p ON p.cid = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      }
+    ),
+
+    QuerySpec(
       "q_text_word_freq",
       (s, dir) =>
         t(s, dir, "documents")

@@ -161,6 +161,28 @@ class DedupOpsSpec extends SparkSpec {
     assert(out(0).getLong(1) == 1L && out(3).getLong(1) == 1L)
   }
 
+  test("fuzzy decontamination flags near-duplicates of benchmark docs, not mere overlap") {
+    val benchText = "the quick brown fox jumps over the lazy dog every single morning"
+    val corpus = Seq(
+      (1L, benchText), // verbatim leak: jaccard 1.0
+      // light paraphrase: one word changed near the end — most 3-grams shared
+      (2L, "the quick brown fox jumps over the lazy dog every single evening"),
+      // shares a phrase but mostly different: below threshold
+      (3L, "the quick brown fox is a common typing exercise used by many"),
+      (4L, "completely unrelated text about distributed aggregation plans"),
+      (5L, "")).toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val out = DedupOps.contaminatedDocsFuzzy(corpus, bench, threshold = 0.5)
+      .orderBy("doc_id").collect()
+    val flags = out.map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(flags(1L) && flags(2L), s"verbatim and paraphrase must flag: ${out.mkString(", ")}")
+    assert(!flags(3L) && !flags(4L) && !flags(5L),
+      s"partial overlap / unrelated / empty must pass: ${out.mkString(", ")}")
+    val best = out.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(best(1L) == 1.0)
+    assert(best(2L) > 0.5 && best(2L) < 1.0, s"paraphrase jaccard: ${best(2L)}")
+  }
+
   test("repetitionColumns measure duplicate n-grams and the top-token share") {
     val df = Seq(
       (1L, "a a a a"), // every 2/3-gram duplicated, top token = all
