@@ -368,12 +368,16 @@ object Bench {
       timePlan(() => table.filesForQuery(Map.empty, Some(oneDay)).size)
     table.rewriteManifests()
     val (_, foldedMs, foldedN) = timePlan(() => table.filesForQuery(Map.empty).size)
+    // partition-clustered rewrite: one manifest per symbol — identity
+    // planning then opens ONE manifest instead of scanning every entry
+    table.rewriteManifests(clusterBy = Some("symbol"))
+    val (_, clIdMs, clIdN) = timePlan(() => table.filesForQuery(Map("symbol" -> "S7")).size)
     try {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverseIterator
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     } catch { case _: Throwable => () }
-    f"""{"files":$nFiles,"commits":$nDays,"build_sec":$buildSec%.3f,"build_copy_sec":$copySec%.3f,"build_import_sec":$importSec%.3f,"full_scan_ms":$fullMs%.1f,"full_scan_cold_ms":$fullCold%.1f,"full_files":$fullN,"identity_ms":$idMs%.1f,"identity_files":$idN,"timerange_ms":$trMs%.1f,"timerange_files":$trN,"folded_full_scan_ms":$foldedMs%.1f,"folded_files":$foldedN}"""
+    f"""{"files":$nFiles,"commits":$nDays,"build_sec":$buildSec%.3f,"build_copy_sec":$copySec%.3f,"build_import_sec":$importSec%.3f,"full_scan_ms":$fullMs%.1f,"full_scan_cold_ms":$fullCold%.1f,"full_files":$fullN,"identity_ms":$idMs%.1f,"identity_files":$idN,"timerange_ms":$trMs%.1f,"timerange_files":$trN,"folded_full_scan_ms":$foldedMs%.1f,"folded_files":$foldedN,"clustered_identity_ms":$clIdMs%.1f,"clustered_identity_files":$clIdN}"""
   } catch {
     case e: Throwable =>
       System.err.println(s"[bench] planning latency failed: ${e.getMessage}")

@@ -3044,15 +3044,41 @@ final class LakehouseTable(
     * well-sized on disk only needs its metadata folded. The commit
     * writes one manifest of O(live files) entries once, instead of that
     * cost recurring on every future read.
+    *
+    * `clusterBy` (Iceberg clusters rewrite_manifests output by
+    * partition the same way): ONE manifest per distinct value of that
+    * partition-dir segment instead of one global manifest — each
+    * manifest's recorded partition-value summary then holds exactly one
+    * value, so an identity-constrained `filesForQuery` drops every
+    * other partition's manifest UNOPENED. At 10⁵+ files this turns
+    * identity-dim planning from O(all manifest entries) into
+    * O(partition's entries) + one manifest-list scan: appends land
+    * commit-shaped (each spans many partitions — summaries cannot
+    * prune), and this rewrite re-shapes the metadata to match the read
+    * pattern, exactly like z-order re-shapes the data. Files without
+    * the segment group into one catch-all manifest (they were never
+    * skippable on that dim).
     */
-  def rewriteManifests(): Snapshot = withCommitRetry {
+  def rewriteManifests(clusterBy: Option[String] = None): Snapshot = withCommitRetry {
     val (version, meta) = versionedMeta
     val current = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("cannot rewrite manifests of an empty table"))
+    clusterBy.foreach(c => require(
+      meta.partitionColumns.contains(c),
+      s"clusterBy column '$c' is not a partition field of this table " +
+        s"(fields: ${meta.partitionColumns.mkString(", ")})"))
     val files = dataFiles(current)
     val dels = liveDeleteFiles(current) // metadata-only: deletes carry over untouched
     val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
-    val refs = if (files.isEmpty) Nil else Seq(log.writeManifest(snapId, files))
+    val refs =
+      if (files.isEmpty) Nil
+      else clusterBy match {
+        case None => Seq(log.writeManifest(snapId, files))
+        case Some(c) =>
+          files.groupBy(_.partitionSegments.get(c)).toSeq
+            .sortBy { case (k, _) => (k.isEmpty, k.getOrElse("")) }
+            .map { case (_, fs) => log.writeManifest(snapId, fs) }
+      }
     val listPath =
       if (refs.nonEmpty || dels.nonEmpty) Some(log.writeManifestList(snapId, refs, dels))
       else None

@@ -198,11 +198,18 @@ private[sql] final class ZOrderFiles(cat: GraftCatalog) extends GraftProcedure(c
 
 private[sql] final class RewriteManifests(cat: GraftCatalog) extends GraftProcedure(cat) {
   override def name(): String = "rewrite_manifests"
-  override def parameters(): Array[ProcedureParameter] = Array(param0)
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param0,
+    ProcedureParameter.in("cluster_by", StringType).defaultValue("''")
+      .comment("partition field to cluster output manifests by " +
+        "(one manifest per value — manifest-level identity pruning); " +
+        "empty = one global manifest").build())
   override val outputSchema: StructType = StructType(Seq(
     StructField("snapshot_id", LongType, nullable = false)))
-  override def run(input: InternalRow): InternalRow =
-    row(table(input).rewriteManifests().id)
+  override def run(input: InternalRow): InternalRow = {
+    val cb = Option(input.getUTF8String(1)).map(_.toString.trim).filter(_.nonEmpty)
+    row(table(input).rewriteManifests(cb).id)
+  }
 }
 
 private[sql] final class RemoveOrphanFiles(cat: GraftCatalog) extends GraftProcedure(cat) {

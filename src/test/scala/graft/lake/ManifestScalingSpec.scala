@@ -91,6 +91,38 @@ class ManifestScalingSpec extends SparkSpec {
     assert(table.timeTravel(snap.parentId.get).count() == 100L)
   }
 
+  test("clusterBy rewrite: identity planning opens only the value's manifest") {
+    val dir = new Path(tmpDir("mscale"), "clustered")
+    val rows = (0 until 300).map(i =>
+      (s"S${i % 3}", Timestamp.valueOf(f"2024-01-01 00:${(i / 60) % 60}%02d:${i % 60}%02d.0"),
+        i.toDouble))
+    val df0 = rows.take(1).toDF("sym", "DateTime", "Bid")
+    val table = LakehouseTable.createIfNotExists(
+      spark, dir, df0.schema, Seq("sym" -> "identity", "DateTime" -> "day"))
+    // 5 commit-shaped appends, each spanning ALL symbols: per-commit
+    // manifests carry every symbol, so identity planning must open all
+    (0 until 5).foreach(b => table.append(
+      rows.slice(b * 60, (b + 1) * 60).toDF("sym", "DateTime", "Bid").coalesce(2)))
+    val before = table.manifestsForQuery(Map("sym" -> "S1"))
+    assert(before.size == 5, s"commit-shaped manifests cannot prune, got ${before.size}")
+
+    val snap = table.rewriteManifests(clusterBy = Some("sym"))
+    assert(snap.operation == "rewrite-manifests")
+    // one manifest per symbol; the constrained query now opens ONE
+    val all = table.log.readManifestList(table.metadata.currentSnapshot.get)
+    assert(all.size == 3, s"expected one manifest per symbol, got ${all.size}")
+    val after = table.manifestsForQuery(Map("sym" -> "S1"))
+    assert(after.size == 1, s"identity planning must open 1 manifest, got ${after.size}")
+    // results are unchanged — the rewrite moved metadata, not truth
+    assert(table.filesForQuery(Map("sym" -> "S1")).map(_.rows).sum == 100L)
+    assert(table.read().count() == 300L)
+    assert(table.timeTravel(snap.parentId.get).count() == 300L)
+    // an unknown cluster column refuses
+    val e = intercept[IllegalArgumentException](
+      table.rewriteManifests(clusterBy = Some("nope")))
+    assert(e.getMessage.contains("not a partition field"), e.getMessage)
+  }
+
   test("superseded version files are pruned; pointer recovery still works") {
     val dir = new Path(tmpDir("mscale"), "t3")
     val first = batch(0)
