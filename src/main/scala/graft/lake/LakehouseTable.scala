@@ -1279,15 +1279,23 @@ final class LakehouseTable(
     * `stagedDir` must contain parquet files laid out in the table's
     * partition-directory convention (`symbol=AAPL/ts_day=20240301/
     * part-*.parquet` for an (identity(symbol), day(ts)) spec — day
-    * values are [[partitionExpr]]'s int form). DERIVED-transform dirs
-    * (day/month/bucket…) are an optimization: a missing or misspelled
-    * one only loses pruning, because the source column lives in the
-    * file. IDENTITY dirs are a correctness REQUIREMENT — the identity
-    * column is NOT stored in the file (matching native layout), the
-    * directory IS the value, so every staged file must sit under a
-    * `<source>=` dir for each identity field (validated; a violating
-    * layout refuses before anything moves — the column would otherwise
-    * read as NULL for every imported row). Files are MOVED (renamed —
+    * values are [[partitionExpr]]'s int form). EVERY partition dir is
+    * a correctness requirement, not just pruning (ADVICE r10): the
+    * read path RECOVERS partition columns from the directory name
+    * ([[readSpecGroup]] — identity columns are not stored in the file
+    * at all, and derived columns present as a dir are trusted over
+    * recomputation), so a missing dir null-fills the column for every
+    * imported row and a wrong value mislabels them in query-visible
+    * output AND in pruning. All dirs are therefore validated before
+    * anything moves: identity dirs for presence (the value cannot be
+    * cross-checked — the file carries no copy), time-transform dirs
+    * (year/month/day/hour) for presence AND value — the transform of
+    * the file's own footer min/max of the source column must both
+    * equal the dir value, which also refuses files that SPAN
+    * partitions — and `bucket[N]` dirs for presence and range
+    * ([0, N); the per-row hash cannot be recomputed from footer
+    * stats, so an in-range bucket value is trusted — Iceberg's own
+    * add_files trust boundary). Files are MOVED (renamed —
     * same-filesystem staging, the
     * contract every staging dir here already has), footer-statted
     * (row counts, time-key and declared stats-column bounds — imported
@@ -1366,8 +1374,71 @@ final class LakehouseTable(
     val tMove = System.nanoTime()
     val statsCols = meta0.props.get("write.stats-columns")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    // footer-stat the staged files IN PLACE (rename does not change the
+    // bytes, so moveStaged reuses these — one footer read per file
+    // total) and validate derived partition dirs BEFORE anything moves:
+    // the read path trusts a present dir over recomputing the derived
+    // column (see scaladoc), so a wrong/missing dir would mislabel or
+    // null the column for every imported row (ADVICE r10)
+    val derivedFields = meta0.defaultSpec.fields.filter(_.transform != "identity")
+    val timeSources = derivedFields
+      .filter(f => LakehouseTable.TimeTransforms.contains(f.transform))
+      .map(_.source).distinct
+    val keyCol = meta0.statsSource
+    val statExtras = (statsCols ++ timeSources.filterNot(keyCol.contains)).distinct
+    val preStats = graft.util.BoundedPar
+      .map(staged, parallelism = moveParallelism(meta0)) { p =>
+        p -> footerInfo(p, keyCol, statExtras)
+      }.toMap
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    staged.foreach { p =>
+      val rel = p.toString.stripPrefix(stagedQ.toString + "/")
+      val segs = rel.split("/").dropRight(1)
+        .flatMap(_.split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }).toMap
+      val (_, mn, mx, extra) = preStats(p)
+      derivedFields.foreach { f =>
+        val dirVal = segs.getOrElse(f.name, throw new IllegalArgumentException(
+          s"addFiles: staged file '$rel' has no '${f.name}=' partition dir — " +
+            s"readers recover '${f.name}' from the directory name, so importing " +
+            "this layout would read it as NULL for every imported row (write " +
+            s"the dir as ${f.transform}(${f.source}) in the table's int form)"))
+        if (LakehouseTable.TimeTransforms.contains(f.transform)) {
+          val bounds =
+            if (keyCol.contains(f.source)) mn.zip(mx)
+            else extra.find(_.column == f.source).map(b => (b.min, b.max))
+          val (lo, hi) = bounds.getOrElse(throw new IllegalArgumentException(
+            s"addFiles: staged file '$rel' carries no usable footer statistics " +
+              s"for '${f.source}', so its '${f.name}=$dirVal' dir cannot be " +
+              "validated — refuse rather than trust (re-write the file with " +
+              "column statistics enabled)"))
+          val dLo = LakehouseTable.derivedTimeValue(f.transform, lo, zone)
+          val dHi = LakehouseTable.derivedTimeValue(f.transform, hi, zone)
+          if (dLo != dHi) throw new IllegalArgumentException(
+            s"addFiles: staged file '$rel' spans ${f.name} values $dLo..$dHi — " +
+              "a file must lie entirely inside its partition dir, or rows past " +
+              "the boundary are mislabeled in the recovered column and skipped " +
+              "by pruning")
+          if (dirVal != dLo.toString) throw new IllegalArgumentException(
+            s"addFiles: staged file '$rel' sits under '${f.name}=$dirVal' but its " +
+              s"'${f.source}' footer bounds derive ${f.name}=$dLo — the dir value " +
+              "is recovered as the column at read time, so importing it would " +
+              "mislabel every row in the file")
+        } else LakehouseTable.bucketCount(f.transform).foreach { n =>
+          val ok = dirVal.nonEmpty && dirVal.forall(_.isDigit) && {
+            val v = try dirVal.toInt catch { case _: NumberFormatException => -1 }
+            v >= 0 && v < n
+          }
+          if (!ok) throw new IllegalArgumentException(
+            s"addFiles: staged file '$rel' has bucket dir '${f.name}=$dirVal' " +
+              s"outside [0, $n) — not a value ${f.transform}(${f.source}) can produce")
+        }
+      }
+    }
     val moved = moveStaged(meta0, stagedDir, extraStatCols = statsCols,
-      preListed = Some(staged))
+      preListed = Some(staged), preStats = Some(preStats))
     val tCommit = System.nanoTime()
     val snap = withCommitRetry {
       val (v, meta) = versionedMeta
@@ -2035,6 +2106,21 @@ final class LakehouseTable(
     * buys read-side file skipping). Part names carry a write-UUID so
     * files from different commits never collide.
     */
+  /** Bounded width of the per-file rename/footer loops ("write.
+    * move-parallelism", default 16): local disks take 32-64 happily,
+    * while an object store's request-rate limits may want the default
+    * or lower — the same knob Iceberg exposes via worker-pool sizing.
+    */
+  private def moveParallelism(meta: TableMetadata): Int =
+    meta.props.get("write.move-parallelism").map { v =>
+      val n = try v.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"table property write.move-parallelism must be an integer, got '$v' — " +
+            "unset or fix the property (writes are refused until then)")
+      }
+      math.min(64, math.max(1, n))
+    }.getOrElse(16)
+
   private def moveStaged(
       meta: TableMetadata, staging: Path, extraStatCols: Seq[String] = Nil,
       /** Already-qualified staged paths from a caller that listed the
@@ -2043,7 +2129,16 @@ final class LakehouseTable(
         * listing, so a second walk of a 10^3-file import would double
         * its wall time for nothing.
         */
-      preListed: Option[Seq[Path]] = None): Seq[DataFile] = {
+      preListed: Option[Seq[Path]] = None,
+      /** Footer stats already computed on the STAGED paths (addFiles'
+        * derived-dir validation pass) — rename does not change the
+        * bytes, so reusing them keeps the import at one footer read
+        * per file. Extra bounds are re-filtered to `extraStatCols`
+        * here: the validation pass requests additional columns whose
+        * bounds must NOT leak into the stored manifest entries.
+        */
+      preStats: Option[Map[Path, (Long, Option[Long], Option[Long], Seq[ColumnBounds])]] =
+        None): Seq[DataFile] = {
     val keyCol = meta.statsSource
     val sid = if (meta.defaultSpec.fields.nonEmpty) Some(meta.defaultSpec.id) else None
     val tList = System.nanoTime()
@@ -2065,18 +2160,7 @@ final class LakehouseTable(
     // metadata-only but the footer open is a real read, and at
     // large fan-out (compaction) or many-file appends the serial loop
     // dominates commit latency. Hadoop FileSystem ops are thread-safe.
-    // The width is a table property ("write.move-parallelism", default
-    // 16): local disks take 32-64 happily, while an object store's
-    // request-rate limits may want the default or lower — the same
-    // knob split Iceberg exposes via worker-pool sizing.
-    val movePar = meta.props.get("write.move-parallelism").map { v =>
-      val n = try v.trim.toInt catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"table property write.move-parallelism must be an integer, got '$v' — " +
-            "unset or fix the property (writes are refused until then)")
-      }
-      math.min(64, math.max(1, n))
-    }.getOrElse(16)
+    val movePar = moveParallelism(meta)
     val moved = graft.util.BoundedPar.map(parts.toSeq, parallelism = movePar) { src =>
       val name = src.getName
       val rel = src.toString.stripPrefix(stagingQ.toString + "/")
@@ -2100,7 +2184,11 @@ final class LakehouseTable(
       if (!fs.rename(src, dest))
         throw new IllegalStateException(s"failed to move $src -> $dest")
       val tF = System.nanoTime()
-      val (rows, mn, mx, extra) = footerInfo(dest, keyCol, extraStatCols)
+      val (rows, mn, mx, extra) = preStats.flatMap(_.get(src)) match {
+        case Some((r, a, b, ex)) =>
+          (r, a, b, ex.filter(c => extraStatCols.contains(c.column)))
+        case None => footerInfo(dest, keyCol, extraStatCols)
+      }
       renameNs.addAndGet(tF - tR)
       footerNs.addAndGet(System.nanoTime() - tF)
       DataFile(s"data/${if (relDir.isEmpty) "" else relDir}$name", rows, mn, mx,
@@ -3455,6 +3543,28 @@ object LakehouseTable {
       case other => throw new IllegalArgumentException(
         s"no derivation for partition granularity '$other'")
     }
+
+  /** Driver-side twin of the TIME cases of [[partitionExpr]]: the
+    * derived int for an epoch-micros value under `zone` (callers pass
+    * the session time zone so import validation agrees with what the
+    * native write path would have derived for the same instant).
+    * Bucket transforms have no driver-side twin — the per-row hash is
+    * not a function of footer bounds.
+    */
+  def derivedTimeValue(transform: String, epochUs: Long, zone: java.time.ZoneId): Int = {
+    val ldt = java.time.Instant
+      .ofEpochSecond(Math.floorDiv(epochUs, 1000000L), Math.floorMod(epochUs, 1000000L) * 1000L)
+      .atZone(zone).toLocalDateTime
+    transform match {
+      case "year" => ldt.getYear
+      case "month" => ldt.getYear * 100 + ldt.getMonthValue
+      case "day" => (ldt.getYear * 100 + ldt.getMonthValue) * 100 + ldt.getDayOfMonth
+      case "hour" =>
+        ((ldt.getYear * 100 + ldt.getMonthValue) * 100 + ldt.getDayOfMonth) * 100 + ldt.getHour
+      case other => throw new IllegalArgumentException(
+        s"no driver-side derivation for partition transform '$other'")
+    }
+  }
 
   /** CREATE TABLE IF NOT EXISTS semantics (reference `create_table` in
     * try/except, `lakehouse_pipeline.py:275-284`): no-op when the log

@@ -190,8 +190,18 @@ object DedupOps {
     * catches NEAR-duplicates of benchmark documents — light paraphrase,
     * whitespace/punctuation drift — the eval-decontamination shape
     * NeMo-Curator/Dolma run alongside the exact pass. A corpus doc is
-    * contaminated when its exact 3-gram Jaccard similarity to ANY
-    * benchmark doc reaches `threshold`.
+    * flagged when its exact 3-gram Jaccard similarity to a CANDIDATE
+    * benchmark doc reaches `threshold`, where candidates come from a
+    * fixed 8-hash/4-band MinHash-LSH pass — so recall is PROBABILISTIC
+    * in the usual LSH sense, not exhaustive: a pair at true Jaccard j
+    * surfaces with probability 1-(1-j²)⁴ (bands of 2 rows), ≈ 68% at
+    * j = 0.5, ≈ 97% at j = 0.8, → 1 as j → 1. `threshold` tunes only
+    * the exact-verify gate, NOT the banding: lowering it below ~0.7
+    * widens the verified set but near-threshold true contaminations
+    * can still be missed at the candidate stage. Precision is exact
+    * (every flagged doc really clears the verified Jaccard); treat
+    * recall as the LSH bound above, and run [[contaminatedDocs]]
+    * alongside for the verbatim-leak guarantee.
     *
     * Shape at 100 TB: the benchmark side (signatures, bands, gram sets,
     * counts) is eval-suite-sized and BROADCASTS; the corpus pays one

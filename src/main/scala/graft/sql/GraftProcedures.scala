@@ -238,6 +238,11 @@ private[sql] final class AddFiles(cat: GraftCatalog) extends GraftProcedure(cat)
     StructField("added_rows", LongType, nullable = false),
     StructField("snapshot_id", LongType, nullable = false)))
   override def run(input: InternalRow): InternalRow = {
+    // same silent-WAP-bypass class as UPDATE/DELETE/MERGE (ADVICE r10):
+    // an import mid-staging would commit straight to main while the
+    // user believes everything is going through the branch audit
+    GraftCatalog.refuseUnderWapBranch(
+      org.apache.spark.sql.SparkSession.active, "CALL add_files")
     val snap = table(input).addFiles(
       new org.apache.hadoop.fs.Path(input.getUTF8String(1).toString))
     row(snap.addedFilesCount, snap.addedRows, snap.id)

@@ -135,6 +135,59 @@ class AddFilesSpec extends SparkSpec {
     assert(table.currentDataFiles.isEmpty)
   }
 
+  test("a missing DERIVED partition dir refuses — readers recover the column from the dir") {
+    val table = mkTable("af7")
+    val staged = tmpDir("af7-noderived")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // correct file columns (ts, px) and the identity dir, but NO
+    // ts_day= dir: the read path null-fills the recovered column
+    ticks.coalesce(1).write.mode("overwrite").partitionBy("sym").parquet(staged)
+    val e = intercept[IllegalArgumentException](table.addFiles(new Path(staged)))
+    assert(e.getMessage.contains("no 'ts_day='"), e.getMessage)
+    assert(table.currentDataFiles.isEmpty)
+  }
+
+  test("a derived dir whose value contradicts the footer bounds refuses (ADVICE r10)") {
+    val table = mkTable("af8")
+    val staged = tmpDir("af8-wrongday")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // dir says the day AFTER the rows' actual day — readers would
+    // recover ts_day one day off for every imported row
+    ticks.withColumn("ts_day",
+      org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.col("ts"), "yyyyMMdd").cast("int") + 1)
+      .coalesce(1).write.mode("overwrite").partitionBy("sym", "ts_day").parquet(staged)
+    val e = intercept[IllegalArgumentException](table.addFiles(new Path(staged)))
+    assert(e.getMessage.contains("footer bounds derive"), e.getMessage)
+    assert(table.currentDataFiles.isEmpty)
+  }
+
+  test("a file spanning two partition values under one day dir refuses") {
+    val table = mkTable("af9")
+    val staged = tmpDir("af9-spanning")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // both days' rows forced under ts_day=20240301: rows of 03-02 would
+    // be mislabeled and silently skipped by ts_day pruning
+    ticks.withColumn("ts_day", org.apache.spark.sql.functions.lit(20240301))
+      .coalesce(1).write.mode("overwrite").partitionBy("sym", "ts_day").parquet(staged)
+    val e = intercept[IllegalArgumentException](table.addFiles(new Path(staged)))
+    assert(e.getMessage.contains("spans"), e.getMessage)
+    assert(table.currentDataFiles.isEmpty)
+  }
+
+  test("bucket dirs are range-checked at import") {
+    val df = ticks.withColumnRenamed("sym", "k")
+    val table = LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("af10"), "t"), df.schema, Seq("k" -> "bucket[4]"))
+    val staged = tmpDir("af10-staged")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    df.withColumn("k_bucket", org.apache.spark.sql.functions.lit(9))
+      .coalesce(1).write.mode("overwrite").partitionBy("k_bucket").parquet(staged)
+    val e = intercept[IllegalArgumentException](table.addFiles(new Path(staged)))
+    assert(e.getMessage.contains("outside [0, 4)"), e.getMessage)
+    assert(table.currentDataFiles.isEmpty)
+  }
+
   test("re-importing an already-imported basename refuses instead of clobbering") {
     val table = mkTable("af6")
     val staged = tmpDir("af6-staged")

@@ -192,6 +192,13 @@ class GraftProceduresSpec extends SparkSpec {
                  |WHEN MATCHED THEN UPDATE SET *
                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       refuses(s"TRUNCATE TABLE $cat.gold.ticks")
+      // a by-reference import is the same bypass class (ADVICE r10):
+      // it commits straight to main while the user believes everything
+      // is staging on the branch
+      val stagedWap = tmpDir("wap-addfiles")
+      Seq(("c", 3L, 3.0)).toDF("sym", "ts_us", "px")
+        .coalesce(1).write.mode("overwrite").parquet(stagedWap)
+      refuses(s"CALL $cat.system.add_files(table => 'gold.ticks', source_dir => '$stagedWap')")
       // main is untouched; appends still stage on the branch
       assert(spark.sql(s"SELECT sum(px) FROM $cat.gold.ticks").head().getDouble(0) == 3.0)
     } finally spark.conf.unset("spark.graft.wap.branch")
