@@ -12,7 +12,12 @@ final case class MaintenanceReport(
     compacted: Boolean,
     manifestsFolded: Boolean,
     expiredSnapshots: Int,
-    deletedFiles: Int)
+    deletedFiles: Int,
+    /** The fold was a partition-CLUSTERED rewrite (one manifest per
+      * value of the declared cluster column) — see
+      * [[LakehouseTable.maintain]]'s `clusterManifestsBy`.
+      */
+    manifestsClustered: Boolean = false)
 
 /** A snapshot-versioned, year-partitioned parquet table — the engine's
   * native equivalent of the reference's Iceberg tables
@@ -3056,7 +3061,24 @@ final class LakehouseTable(
         * declares its cluster keys once and every maintenance cycle
         * preserves multi-column skipping.
         */
-      zOrderCols: Seq[String] = Nil): MaintenanceReport = {
+      zOrderCols: Seq[String] = Nil,
+      /** Set ⇒ the manifest-fold step CLUSTERS by this partition
+        * column ([[rewriteManifests]]`(clusterBy)`) instead of folding
+        * into one global manifest, and fires on CLUSTER PRESSURE: an
+        * identity-constrained plan on value v must open every manifest
+        * whose summary contains v plus every manifest with no summary
+        * for the column at all (appends land commit-shaped, spanning
+        * many values — their summaries cannot prune), so the step
+        * re-folds when the worst value's open count, or the number of
+        * multi-value/unsummarized manifests, exceeds
+        * `maxManifestsPerClusterValue`. Without this, the 8.7×
+        * identity-planning win of a clustered rewrite (r10) decays
+        * back to commit-shaped metadata as appends accumulate — and a
+        * PLAIN fold would actively destroy the clustering, so when set
+        * it replaces the global fold entirely.
+        */
+      clusterManifestsBy: Option[String] = None,
+      maxManifestsPerClusterValue: Int = 2): MaintenanceReport = {
     val files = currentDataFiles
     val nPartDirs = math.max(1,
       files.map(f => f.path.split("/").dropRight(1).mkString("/")).distinct.size)
@@ -3092,14 +3114,37 @@ final class LakehouseTable(
           }
         }
         catch { case _: ConcurrentCommitException => false } // lost the race; next cycle
-    val chain = metadata.currentSnapshot.map(s => log.readManifestList(s).size).getOrElse(0)
-    val folded =
-      if (compacted || chain <= maxManifests) false
-      else
-        try { rewriteManifests(); true }
-        catch { case _: ConcurrentCommitException => false }
+    val refs = metadata.currentSnapshot.map(log.readManifestList).getOrElse(Nil)
+    val (folded, clustered) = clusterManifestsBy match {
+      case Some(c) =>
+        // cluster pressure from manifest-LIST summaries only (no
+        // manifest opens). Per manifest the summary for c is: absent
+        // (unsummarized — opened by EVERY identity plan), single-value
+        // (clustered), or multi-value (opened for each listed value).
+        // Worst-value opens = max over v of |summaries containing v| +
+        // |unsummarized|; mis-shaped = |multi-value or unsummarized|
+        // (the churn trigger for commit-accumulated chains).
+        val perCol = refs.map(_.partitionValues.flatMap(_.get(c)))
+        val unsummarized = perCol.count(_.isEmpty)
+        val worstOpens = perCol.flatten.flatten
+          .groupBy(identity).values.map(_.size).maxOption.getOrElse(0) + unsummarized
+        val misShaped = perCol.count(_.forall(_.size != 1))
+        val fire = !compacted &&
+          math.max(worstOpens, misShaped) > maxManifestsPerClusterValue
+        if (!fire) (false, false)
+        else
+          try { rewriteManifests(clusterBy = Some(c)); (true, true) }
+          catch { case _: ConcurrentCommitException => (false, false) }
+      case None =>
+        val folded =
+          if (compacted || refs.size <= maxManifests) false
+          else
+            try { rewriteManifests(); true }
+            catch { case _: ConcurrentCommitException => false }
+        (folded, false)
+    }
     val (expired, deleted) = expireSnapshots(nowMs, retentionMs, keepLast)
-    MaintenanceReport(compacted, folded, expired.size, deleted.size)
+    MaintenanceReport(compacted, folded, expired.size, deleted.size, clustered)
   }
 
   /** [[maintain]] with every threshold resolved from TABLE PROPERTIES
@@ -3121,7 +3166,9 @@ final class LakehouseTable(
       keepLast = intOf("retention.keep-last", 2),
       maxDeleteFiles = intOf("compaction.max-delete-files", 4),
       zOrderCols = p.get("zorder.columns")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+      clusterManifestsBy = p.get("manifests.cluster-by").map(_.trim).filter(_.nonEmpty),
+      maxManifestsPerClusterValue = intOf("manifests.max-per-value", 2))
   }
 
   /** Metadata-only manifest compaction (Iceberg's RewriteManifests

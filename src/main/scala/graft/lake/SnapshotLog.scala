@@ -327,7 +327,11 @@ final case class TableMetadata(
       * `retention.ms`, `retention.keep-last` (expiry policy),
       * `compaction.max-files-per-partition`, `compaction.target-files`,
       * `compaction.max-manifests`, `compaction.max-delete-files`,
-      * `zorder.columns` (comma-separated) — all consumed by
+      * `zorder.columns` (comma-separated),
+      * `manifests.cluster-by` (partition column: the manifest-fold
+      * step becomes a partition-clustered rewrite, firing on cluster
+      * pressure), `manifests.max-per-value` (that pressure threshold,
+      * default 2) — all consumed by
       * [[LakehouseTable.maintainFromProperties]] so a deployment
       * declares its policy ONCE on the table instead of wiring
       * parameters through every scheduler; `write.sort-order`
@@ -569,6 +573,65 @@ object SnapshotLog {
     * recover-by-scan path always finds a committed version.
     */
   val DefaultKeepVersions: Int = 10
+
+  // ---- planning cache (VERDICT r10 #3) -----------------------------------
+  //
+  // JVM-global LRU of PARSED manifest / manifest-list files, keyed by
+  // fully-qualified path. Manifests and manifest-lists are IMMUTABLE —
+  // written once under a uuid-suffixed name, never rewritten (expiry
+  // deletes them, which invalidates here) — so a path-keyed cache needs
+  // no snapshot-version invalidation at all: a concurrent commit writes
+  // NEW paths, its manifest list references them, and the unchanged
+  // manifests it carries by reference keep serving from cache. This is
+  // what makes repeated `filesForQuery` calls on an unchanged (or
+  // incrementally appended) snapshot O(pruning) instead of O(re-parse):
+  // an interactive session's second query re-pays only the version-file
+  // read (O(snapshots), tiny), not the O(files) manifest JSON parse.
+  // Version files are NOT cached: they are the one mutable-ish surface
+  // (commit healing can rewrite bytes on object stores) and they are
+  // O(snapshots)-sized anyway.
+  //
+  // Weight = parsed DataFile/ManifestRef entries, bounded by
+  // `maxPlanningCacheWeight` (default 250k entries ≈ low hundreds of MB
+  // worst case — driver-side, deliberately generous so a 10⁵-file table
+  // plans entirely from memory). Access is driver-side planning, so one
+  // lock is fine.
+  private final case class CacheEntry(weight: Long, value: AnyRef)
+  private val cacheLock = new Object
+  private val cacheMap =
+    new java.util.LinkedHashMap[String, CacheEntry](256, 0.75f, true)
+  private var cacheWeight = 0L
+  @volatile var maxPlanningCacheWeight: Long = 250000L
+  /** Cache-miss counter: parses actually performed (specs + bench). */
+  val manifestParseCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[lake] def cacheGet(key: String): Option[AnyRef] =
+    cacheLock.synchronized(Option(cacheMap.get(key)).map(_.value))
+
+  private[lake] def cachePut(key: String, weight: Long, value: AnyRef): Unit =
+    cacheLock.synchronized {
+      val w = math.max(1L, weight)
+      if (w > maxPlanningCacheWeight) return
+      val prev = cacheMap.put(key, CacheEntry(w, value))
+      cacheWeight += w - Option(prev).map(_.weight).getOrElse(0L)
+      val it = cacheMap.entrySet().iterator()
+      while (cacheWeight > maxPlanningCacheWeight && it.hasNext) {
+        val e = it.next(); cacheWeight -= e.getValue.weight; it.remove()
+      }
+    }
+
+  private[lake] def cacheInvalidate(key: String): Unit =
+    cacheLock.synchronized {
+      Option(cacheMap.remove(key)).foreach(e => cacheWeight -= e.weight)
+    }
+
+  /** Drop every cached parse (tests; bench cold-path measurement). */
+  def clearPlanningCache(): Unit =
+    cacheLock.synchronized { cacheMap.clear(); cacheWeight = 0L }
+
+  /** (cached files+refs entries, distinct cached metadata files). */
+  def planningCacheStats: (Long, Int) =
+    cacheLock.synchronized((cacheWeight, cacheMap.size()))
 }
 
 /** Atomic versioned metadata log under `<tableDir>/metadata/`. Each
@@ -648,10 +711,16 @@ final class SnapshotLog(
     * rolled-up stats. The uuid suffix keeps a retried commit (after a
     * crash that orphaned the first attempt's manifest) from colliding.
     */
+  /** Fully-qualified cache key of a table-relative metadata path. */
+  private def cacheKey(relPath: String): String =
+    fs.makeQualified(new Path(tableDir, relPath)).toString
+
   def writeManifest(snapId: Long, files: Seq[DataFile]): ManifestRef = {
     require(files.nonEmpty, "refusing to write an empty manifest")
     val name = s"manifest-$snapId-${UUID.randomUUID().toString.take(8)}.json"
     writeJsonStr(new Path(metaDir, name), Serialization.writePretty(ManifestData(files)))
+    // write-through: the commit's own planning never re-parses its output
+    SnapshotLog.cachePut(cacheKey(s"metadata/$name"), files.size.toLong, files)
     val bounds =
       if (files.forall(f => f.minKeyUs.isDefined && f.maxKeyUs.isDefined))
         (Some(files.flatMap(_.minKeyUs).min), Some(files.flatMap(_.maxKeyUs).max))
@@ -674,11 +743,25 @@ final class SnapshotLog(
       partitionValues = if (summary.isEmpty) None else Some(summary))
   }
 
-  /** Read one manifest's data files (path is table-relative). */
+  /** Read one manifest's data files (path is table-relative). Parses
+    * once per JVM per manifest file — see the planning cache in the
+    * companion; manifests are immutable so the cached parse is the
+    * file's one true content.
+    */
   def readManifest(path: String): Seq[DataFile] = {
-    val in = fs.open(new Path(tableDir, path))
-    try Serialization.read[ManifestData](new InputStreamReader(in, StandardCharsets.UTF_8)).files
-    finally in.close()
+    val key = cacheKey(path)
+    SnapshotLog.cacheGet(key) match {
+      case Some(v) => v.asInstanceOf[Seq[DataFile]]
+      case None =>
+        SnapshotLog.manifestParseCount.incrementAndGet()
+        val in = fs.open(new Path(tableDir, path))
+        val files =
+          try Serialization.read[ManifestData](
+            new InputStreamReader(in, StandardCharsets.UTF_8)).files
+          finally in.close()
+        SnapshotLog.cachePut(key, files.size.toLong, files)
+        files
+    }
   }
 
   /** Write a snapshot's manifest-list; returns its table-relative path.
@@ -690,15 +773,27 @@ final class SnapshotLog(
     val name = s"snap-$snapId-${UUID.randomUUID().toString.take(8)}.json"
     val data = ManifestListData(refs, if (deletes.isEmpty) None else Some(deletes))
     writeJsonStr(new Path(metaDir, name), Serialization.writePretty(data))
+    SnapshotLog.cachePut(cacheKey(s"metadata/$name"),
+      (refs.size + data.liveDeletes.size).toLong, data)
     s"metadata/$name"
   }
 
   def readManifestListData(snap: Snapshot): ManifestListData =
     snap.manifestList.map { p =>
-      val in = fs.open(new Path(tableDir, p))
-      try Serialization.read[ManifestListData](
-        new InputStreamReader(in, StandardCharsets.UTF_8))
-      finally in.close()
+      val key = cacheKey(p)
+      SnapshotLog.cacheGet(key) match {
+        case Some(v) => v.asInstanceOf[ManifestListData]
+        case None =>
+          SnapshotLog.manifestParseCount.incrementAndGet()
+          val in = fs.open(new Path(tableDir, p))
+          val data =
+            try Serialization.read[ManifestListData](
+              new InputStreamReader(in, StandardCharsets.UTF_8))
+            finally in.close()
+          SnapshotLog.cachePut(key,
+            (data.manifests.size + data.liveDeletes.size).toLong, data)
+          data
+      }
     }.getOrElse(ManifestListData(Nil))
 
   def readManifestList(snap: Snapshot): Seq[ManifestRef] =
@@ -712,8 +807,10 @@ final class SnapshotLog(
     readManifestList(snap).flatMap(r => readManifest(r.path))
 
   /** Delete a table-relative metadata file (expiry reaping). */
-  def deleteMetaFile(path: String): Unit =
+  def deleteMetaFile(path: String): Unit = {
+    SnapshotLog.cacheInvalidate(cacheKey(path))
     fs.delete(new Path(tableDir, path), false)
+  }
 
   // ---- version layer -----------------------------------------------------
 

@@ -357,9 +357,11 @@ private[sql] final class Maintain(cat: GraftCatalog) extends GraftProcedure(cat)
     StructField("compacted", BooleanType, nullable = false),
     StructField("manifests_folded", BooleanType, nullable = false),
     StructField("expired_snapshots", IntegerType, nullable = false),
-    StructField("deleted_files", IntegerType, nullable = false)))
+    StructField("deleted_files", IntegerType, nullable = false),
+    StructField("manifests_clustered", BooleanType, nullable = false)))
   override def run(input: InternalRow): InternalRow = {
     val r = table(input).maintainFromProperties()
-    row(r.compacted, r.manifestsFolded, r.expiredSnapshots, r.deletedFiles)
+    row(r.compacted, r.manifestsFolded, r.expiredSnapshots, r.deletedFiles,
+      r.manifestsClustered)
   }
 }

@@ -64,6 +64,39 @@ class TablePropertiesSpec extends SparkSpec {
     assert(t.read().count() == 46L)
   }
 
+  test("manifests.cluster-by auto-clusters on pressure through zero-arg maintenance") {
+    val src = (for { sym <- Seq("A", "B", "C"); i <- 0 until 4 }
+      yield (sym, Timestamp.valueOf(s"2024-01-01 0$i:00:00"), i.toDouble))
+      .toDF("sym", "ts", "v")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("props"), "cluster"), src.schema,
+      Seq("sym" -> "identity", "ts" -> "day"))
+    t.setProperty("manifests.cluster-by", "sym")
+    t.setProperty("compaction.max-files-per-partition", "100") // isolate the fold step
+    (0 until 5).foreach(_ => t.append(src))
+    // commit-shaped chain: an identity plan on one symbol opens EVERY manifest
+    assert(t.manifestsForQuery(Map("sym" -> "A")).size == 5)
+    val r = t.maintainFromProperties()
+    assert(r.manifestsClustered && r.manifestsFolded, s"unexpected $r")
+    // identity planning now opens ONLY the value's manifest, holding only its files
+    val opened = t.manifestsForQuery(Map("sym" -> "A"))
+    assert(opened.size == 1, s"expected 1 manifest for sym=A, got ${opened.size}")
+    assert(t.log.readManifest(opened.head.path)
+      .forall(_.partitionSegments.get("sym").contains("A")))
+    assert(t.read().count() == 60L)
+    // already clustered: an immediate re-run must not churn
+    assert(!t.maintainFromProperties().manifestsClustered)
+    // one commit-shaped append stays under the default pressure (2)…
+    t.append(src)
+    assert(!t.maintainFromProperties().manifestsClustered)
+    // …a second pushes the worst value to 3 opens and re-fires
+    t.append(src)
+    val r3 = t.maintainFromProperties()
+    assert(r3.manifestsClustered, s"pressure 3 > 2 must re-cluster, got $r3")
+    assert(t.manifestsForQuery(Map("sym" -> "B")).size == 1)
+    assert(t.read().count() == 84L)
+  }
+
   test("rollback restores an earlier snapshot; history survives for audit") {
     val t = fresh("rollback")
     val s1 = t.append(df(0 until 3))
