@@ -3,7 +3,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times the headline (bench-flagged) queries at
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  * SPARK_GRAFT_SF_DIR.
+  *
+  * Output discipline (VERDICT r10 #1): the driver keeps only the LAST
+  * 2000 chars of stdout, so the FINAL printed line is a compact
+  * headline JSON — total, per-query minima, failures, fixture headline
+  * numbers, loadavg — guaranteed to survive the tail-truncation. The
+  * bulky per-sample/per-load maps and full fixture breakdowns go to an
+  * EARLIER stdout line and to a sidecar file (`bench_detail.json`, or
+  * $SPARK_GRAFT_BENCH_DETAIL), so no information is lost — it just
+  * stops riding in the crush zone.
   *
   * Each query is materialized through the noop sink — unlike `count()`,
   * this executes the full projection (count() lets Catalyst skip column
@@ -52,8 +61,7 @@ object Bench {
     }
     // a failed query reports null (not its near-zero abort time) and is
     // excluded from the total, so a regression can never read as a speedup;
-    // each query is timed twice and the minimum reported — single-shot
-    // numbers on a shared box carry 20-50% scheduler noise
+    // single-shot numbers on a shared box carry 20-50% scheduler noise
     def timeOnce(q: queries.QuerySpec): Option[Double] = {
       val t0 = System.nanoTime()
       val out =
@@ -69,9 +77,9 @@ object Bench {
       out
     }
     // Self-identification (VERDICT r6 #6): BOTH raw samples per query
-    // and the box's 1-minute loadavg at start and end ride in the JSON,
-    // so a contended driver run (r5 AND r6 both recorded phantom
-    // regressions a quiet-box judge rerun then had to clear) is
+    // and the box's 1-minute loadavg at start and end ride in the
+    // detail record, so a contended driver run (r5 AND r6 both recorded
+    // phantom regressions a quiet-box judge rerun then had to clear) is
     // detectable from the record alone: high/ramping loadavg or a wide
     // sample spread means distrust the absolute numbers.
     def loadAvg(): Double =
@@ -87,10 +95,11 @@ object Bench {
     // transient load spike that poisons samples 1-2 is outrun by
     // samples 3-4. Sustained whole-run contention cannot be outrun by
     // any local policy, so the record also carries the 1-min loadavg
-    // read BEFORE each sample ("load" field, parallel to "samples"):
-    // on this 32-thread runner the bench's own work sustains a loadavg
-    // near the core count, so readings well above it mean external
-    // load — distrust the absolutes and rerun on a quiet box.
+    // read BEFORE each sample ("load" field, parallel to "samples").
+    // NOTE for cross-round deltas (ADVICE r10): pre-r10 records were
+    // min-of-exactly-2 — for resampled queries min-over-4 is biased
+    // low vs those records; compare min of the first two samples (the
+    // data is in "samples") when reading pre-r10 deltas.
     val maxSamples = 4
     def sampleQuery(q: queries.QuerySpec): (Seq[Option[Double]], Seq[Double]) = {
       val times = scala.collection.mutable.ArrayBuffer.empty[Option[Double]]
@@ -118,7 +127,7 @@ object Bench {
     val qs = results
       .map { case (k, vs, _) =>
         val best = if (vs.forall(_.isDefined)) Some(vs.flatten.min) else None
-        "\"" + k + "\":" + num(best)
+        "\"" + k + "\":" + best.map(x => f"$x%.2f").getOrElse("null")
       }
       .mkString("{", ",", "}")
     val samples = results
@@ -139,15 +148,15 @@ object Bench {
     // split), then ingest, then the 10^4-file planning fixture LAST —
     // its build churn (file creates, GC) would otherwise pollute the
     // cdc numbers that follow it
-    val cdc = cdcStreamThroughput(spark, sfDir)
-    val ingest = ingestThroughput(spark, sfDir)
-    val planning = planningLatency(spark)
+    val (cdcCompact, cdcDetail) = cdcStreamThroughput(spark, sfDir)
+    val (ingestCompact, ingestDetail) = ingestThroughput(spark, sfDir)
+    val (planCompact, planDetail) = planningLatency(spark)
     val loadEnd = loadAvg()
     // Sample-asymmetry record (VERDICT r8 #8): cache-heavy composed
     // queries (q_text_curation_pipeline) show a 2-4x first/second sample
     // spread — the between-query sweep unpersists every shared diamond,
     // so sample 2 rebuilds them while the JVM is still releasing sample
-    // 1's cached blocks (GC + eviction churn). Min-of-two reports the
+    // 1's cached blocks (GC + eviction churn). Min-of-samples reports the
     // steady-state number; a wide spread THERE is measurement artifact,
     // not regression (adjudicated in VERDICT r6 and r8).
     val sampleNote = "cache-heavy queries (curation pipeline) run one sample " +
@@ -157,103 +166,148 @@ object Bench {
       "on those entries is artifact, not regression. Sampling is adaptive " +
       "(up to 4) until the two fastest samples agree within 25%; 'load' " +
       "records the 1-min loadavg before each sample - readings well above " +
-      "the 32-core bench's own sustained load mean external contention"
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samples,"load":$loadPerSample,"resampled":$resampled,"failed":$failed,"ingest":$ingest,"planning":$planning,"cdc_stream":$cdc,"sample_note":"$sampleNote","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"sf":"$sfDir"}""")
+      "the 32-core bench's own sustained load mean external contention. " +
+      "POLICY NOTE (ADVICE r10): pre-r10 records were min-of-exactly-2; " +
+      "for resampled queries min-over-4 is biased low vs those records - " +
+      "compare min of the first two samples when reading pre-r10 deltas. " +
+      "cdc_stream and planning headline numbers are min-of-two independent " +
+      "measurement windows/sweeps since r11 (single-shot before)"
+    val detail = f"""{"metric":"detail","samples":$samples,"load":$loadPerSample,"resampled":$resampled,"cdc_stream":$cdcDetail,"ingest":$ingestDetail,"planning":$planDetail,"sample_note":"$sampleNote","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"sf":"$sfDir"}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    val detailWritten =
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+          (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        true
+      } catch { case _: Throwable => false }
+    // detail first (full record for untruncated logs), compact headline
+    // LAST — the line the driver's 2000-char tail must preserve whole
+    println(detail)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"cdc_stream":$cdcCompact,"ingest":$ingestCompact,"planning":$planCompact,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"detail_file":"${if (detailWritten) detailPath else ""}","sf":"$sfDir"}""")
     spark.stop()
   }
 
   /** Streaming CDC replication cost (VERDICT r8 #5): ONE
     * `changeFeed=true → cdcApply=true` streaming query first replicates
     * the full events image (reported as `image_sec`), then — while it
-    * runs — the source takes 9 delta commits (3 cycles of append / MoR
+    * runs — the source takes delta commits (cycles of append / MoR
     * upsert / MoR delete) drained at `maxSnapshotsPerTrigger=1`, so
     * every source commit becomes its own micro-batch: the per-trigger
-    * overhead a 100×-scale adopter asks about first. The delta-phase
-    * wall time is split three ways: source metadata planning
-    * (latestOffset + getBatch + queryPlanning from Spark's own
-    * per-trigger accounting), the destination's atomic snapshot-commit
-    * tail ([[graft.lake.CommitMetrics]], keyed by table so the
-    * source's own delta commits don't pollute it), and the remainder
-    * (the per-batch Spark jobs: fold, stage write, mask read-back).
-    * Reported separately from the query total so rounds stay
-    * comparable.
+    * overhead a 100×-scale adopter asks about first.
+    *
+    * Hardening (VERDICT r10 #8): the WHOLE fixture runs TWICE — fresh
+    * source/destination tables and an identical 3-cycle delta workload
+    * each time — and the headline is the faster run's numbers, splits
+    * kept consistent with that same run (the query sampler's principle:
+    * one run poisoned by a transient load spike no longer defines the
+    * record — r10's three same-round runs spread 1.33–2.42 s purely
+    * with box load). Two SAME-SHAPE runs are comparable in a way two
+    * successive windows of one run are not: a second window inherits
+    * the first's accumulated MoR masks and snapshot chain, so its
+    * per-trigger cost is genuinely higher — state growth, not noise.
+    * Both runs ride in the detail record. Per-run stream time splits
+    * three ways: source metadata planning (latestOffset + getBatch +
+    * queryPlanning from Spark's own per-trigger accounting), the
+    * destination's atomic snapshot-commit tail
+    * ([[graft.lake.CommitMetrics]], keyed by table so the source's own
+    * delta commits don't pollute it), and the remainder (the per-batch
+    * Spark jobs: fold, stage write, mask read-back). Reported
+    * separately from the query total so rounds stay comparable.
     */
-  private def cdcStreamThroughput(spark: SparkSession, sfDir: String): String = try {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.streaming.Trigger
-    import org.apache.hadoop.fs.Path
-    val ev = graft.Tables.t(spark, sfDir, "events")
-      .select(col("event_id"), col("ts"), col("value"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-bench-cdc")
-    val src = graft.lake.LakehouseTable.createIfNotExists(
-      spark, new Path(tmp.toString, "bronze"), ev.schema, Some("ts"))
-    val dst = graft.lake.LakehouseTable.createIfNotExists(
-      spark, new Path(tmp.toString, "gold"), ev.schema, Some("ts"))
-    src.append(ev) // base image
-    graft.lake.CommitMetrics.reset()
-    val dstKey = dst.tableDir.toString
-    val tImg = System.nanoTime()
-    val q = spark.readStream.format("graft-table")
-      .option("path", src.tableDir.toString)
-      .option("changeFeed", "true")
-      .option("maxSnapshotsPerTrigger", "1")
-      .load()
-      .writeStream.format("graft-table")
-      .option("path", dst.tableDir.toString)
-      .option("queryId", "bench-mirror")
-      .option("cdcApply", "true").option("keys", "event_id")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .trigger(Trigger.ProcessingTime(5L))
-      .start()
-    val (wall, imageSec, imageBatch, imageCommitSec) =
+  private def cdcStreamThroughput(
+      spark: SparkSession, sfDir: String): (String, String) = {
+    final case class CdcRun(
+        imageSec: Double, triggers: Int, rows: Long, wallSec: Double,
+        execSec: Double, perTrigger: Double, planningSec: Double,
+        commitSec: Double, dstCommits: Long, converged: Boolean)
+    def runOnce(): Option[CdcRun] = try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.hadoop.fs.Path
+      val ev = graft.Tables.t(spark, sfDir, "events")
+        .select(col("event_id"), col("ts"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bench-cdc")
+      val src = graft.lake.LakehouseTable.createIfNotExists(
+        spark, new Path(tmp.toString, "bronze"), ev.schema, Some("ts"))
+      val dst = graft.lake.LakehouseTable.createIfNotExists(
+        spark, new Path(tmp.toString, "gold"), ev.schema, Some("ts"))
+      src.append(ev) // base image
+      graft.lake.CommitMetrics.reset()
+      val dstKey = dst.tableDir.toString
+      val tImg = System.nanoTime()
+      val q = spark.readStream.format("graft-table")
+        .option("path", src.tableDir.toString)
+        .option("changeFeed", "true")
+        .option("maxSnapshotsPerTrigger", "1")
+        .load()
+        .writeStream.format("graft-table")
+        .option("path", dst.tableDir.toString)
+        .option("queryId", "bench-mirror")
+        .option("cdcApply", "true").option("keys", "event_id")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.ProcessingTime(5L))
+        .start()
+      val (wall, imageSec, imageBatch, imageCommitSec) =
+        try {
+          q.processAllAvailable() // base image replicated
+          val imageSec = (System.nanoTime() - tImg) / 1e9
+          val imageBatch = q.lastProgress.batchId
+          val commitSec0 = graft.lake.CommitMetrics.totalSec(dstKey)
+          val t0 = System.nanoTime()
+          (0 until 3).foreach { i =>
+            src.append(ev.filter(col("event_id") % 97 === i)
+              .select((col("event_id") + lit((i + 1) * 10000000L)).as("event_id"),
+                col("ts"), col("value")))
+            src.morMerge(ev.filter(col("event_id") % 89 === i)
+              .withColumn("value", col("value") + lit(1.0)), "event_id")
+            src.morDeleteKeys(ev.filter(col("event_id") % 83 === i)
+              .select("event_id"), "event_id")
+            q.processAllAvailable() // 3 pending commits -> 3 micro-batches
+          }
+          ((System.nanoTime() - t0) / 1e9, imageSec, imageBatch, commitSec0)
+        } finally q.stop()
+      val prog = q.recentProgress.filter(p => p.batchId > imageBatch && p.numInputRows > 0)
+      def dur(key: String): Double = prog.flatMap(p =>
+        Option(p.durationMs.get(key)).map(_.doubleValue / 1e3)).sum
+      val planningSec = dur("latestOffset") + dur("getOffset") +
+        dur("getBatch") + dur("queryPlanning")
+      // delta-phase commit tail only: the image batch's share subtracted
+      val commitSec = graft.lake.CommitMetrics.totalSec(dstKey) - imageCommitSec
+      val triggers = prog.length
+      // NOTE: numInputRows counts rows read by the feed's STREAMING-
+      // TAGGED parquet leaves (spine tagging, round 9) — scan volume,
+      // not emitted feed rows
+      val rows = prog.map(_.numInputRows).sum
+      // stream-side time only (the wall window also contains the
+      // SOURCE's delta-producing jobs): Spark's own per-trigger total
+      val execTotal = dur("triggerExecution")
+      val converged = src.read().count() == dst.read().count()
+      val dstCommits = graft.lake.CommitMetrics.commits(dstKey)
+      // the fixture is two full lakehouse tables + a checkpoint — clean
+      // up so repeated bench runs don't fill the tmp volume
       try {
-        q.processAllAvailable() // base image replicated
-        val imageSec = (System.nanoTime() - tImg) / 1e9
-        val imageBatch = q.lastProgress.batchId
-        val commitSec0 = graft.lake.CommitMetrics.totalSec(dstKey)
-        val t0 = System.nanoTime()
-        (0 until 3).foreach { i =>
-          src.append(ev.filter(col("event_id") % 97 === i)
-            .select((col("event_id") + lit((i + 1) * 10000000L)).as("event_id"),
-              col("ts"), col("value")))
-          src.morMerge(ev.filter(col("event_id") % 89 === i)
-            .withColumn("value", col("value") + lit(1.0)), "event_id")
-          src.morDeleteKeys(ev.filter(col("event_id") % 83 === i)
-            .select("event_id"), "event_id")
-          q.processAllAvailable() // 3 pending commits -> 3 micro-batches
-        }
-        ((System.nanoTime() - t0) / 1e9, imageSec, imageBatch, commitSec0)
-      } finally q.stop()
-    val prog = q.recentProgress.filter(p => p.batchId > imageBatch && p.numInputRows > 0)
-    def dur(key: String): Double = prog.flatMap(p =>
-      Option(p.durationMs.get(key)).map(_.doubleValue / 1e3)).sum
-    val planningSec = dur("latestOffset") + dur("getOffset") +
-      dur("getBatch") + dur("queryPlanning")
-    // delta-phase commit tail only: the image batch's share is subtracted
-    val commitSec = graft.lake.CommitMetrics.totalSec(dstKey) - imageCommitSec
-    val commits = graft.lake.CommitMetrics.commits(dstKey)
-    val triggers = prog.length
-    // NOTE: numInputRows counts rows read by the feed's STREAMING-
-    // TAGGED parquet leaves (spine tagging, round 9) — scan volume,
-    // not emitted feed rows
-    val rows = prog.map(_.numInputRows).sum
-    // stream-side time only (the wall window also contains the SOURCE's
-    // delta-producing jobs): Spark's own per-trigger total, split into
-    // the graft-specific parts
-    val triggerExecSec = dur("triggerExecution")
-    val converged = src.read().count() == dst.read().count()
-    // the fixture is two full lakehouse tables + a checkpoint — clean
-    // up so repeated bench runs don't fill the tmp volume
-    try {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverseIterator
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    } catch { case _: Throwable => () }
-    f"""{"image_sec":$imageSec%.3f,"delta_triggers":$triggers,"delta_rows":$rows,"dst_commits":$commits,"delta_wall_sec":$wall%.3f,"trigger_exec_sec":$triggerExecSec%.3f,"per_trigger_sec":${triggerExecSec / math.max(1, triggers)}%.3f,"planning_sec":$planningSec%.3f,"commit_sec":$commitSec%.3f,"exec_sec":${math.max(0.0, triggerExecSec - planningSec - commitSec)}%.3f,"converged":$converged}"""
-  } catch {
-    case e: Throwable =>
-      System.err.println(s"[bench] cdc stream failed: ${e.getMessage}")
-      "{}"
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+      Some(CdcRun(imageSec, triggers, rows, wall, execTotal,
+        execTotal / math.max(1, triggers), planningSec, commitSec,
+        dstCommits, converged))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] cdc stream failed: ${e.getMessage}")
+        None
+    }
+    def runJson(r: CdcRun): String =
+      f"""{"image_sec":${r.imageSec}%.3f,"delta_triggers":${r.triggers},"delta_rows":${r.rows},"delta_wall_sec":${r.wallSec}%.3f,"trigger_exec_sec":${r.execSec}%.3f,"per_trigger_sec":${r.perTrigger}%.3f,"planning_sec":${r.planningSec}%.3f,"commit_sec":${r.commitSec}%.3f,"exec_sec":${math.max(0.0, r.execSec - r.planningSec - r.commitSec)}%.3f,"dst_commits":${r.dstCommits},"converged":${r.converged}}"""
+    val runs = Seq(runOnce(), runOnce()).flatten
+    if (runs.isEmpty) ("{}", "{}")
+    else {
+      val best = runs.minBy(_.perTrigger)
+      val compact = f"""{"per_trigger_sec":${best.perTrigger}%.3f,"image_sec":${runs.map(_.imageSec).min}%.3f,"planning_sec":${best.planningSec}%.3f,"commit_sec":${best.commitSec}%.3f,"exec_sec":${math.max(0.0, best.execSec - best.planningSec - best.commitSec)}%.3f,"triggers":${best.triggers},"converged":${runs.forall(_.converged)},"runs":${runs.size}}"""
+      val detail = s"""{"runs":[${runs.map(runJson).mkString(",")}],"per_trigger_sec_min":${f"${best.perTrigger}%.3f"}}"""
+      (compact, detail)
+    }
   }
 
   /** Metadata-planning latency at file-count scale (VERDICT r9 #4):
@@ -263,17 +317,25 @@ object Bench {
     * The fixture builds a (identity(symbol), day(ts)) table of 10⁴
     * real parquet files (25 symbols × 10 day-commits × 40 files per
     * cell, imported via `addFiles`), then times
-    * [[graft.lake.LakehouseTable.filesForQuery]] for the three
-    * planning shapes a reader issues: (i) full scan, (ii)
-    * identity-dim-pruned, (iii) time-range-pruned — and (iv) the full
-    * scan again after `rewriteManifests` folds the manifest chain.
-    * Reported times are the median of 5 calls (warm metadata — the
-    * steady state of a long-lived session; the first-ever call rides
-    * along as `full_scan_cold_ms` — later shapes inherit its warmed
-    * caches, so they report warm numbers only). File counts ride along
-    * so the record shows the pruning RATIO, not just the latency.
+    * [[graft.lake.LakehouseTable.filesForQuery]] for the planning
+    * shapes a reader issues: (i) full scan, (ii) identity-dim-pruned,
+    * (iii) time-range-pruned, (iv) identity after the POLICY-path
+    * clustered manifest rewrite (`manifests.cluster-by` property +
+    * zero-arg `maintainFromProperties`, VERDICT r10 #2 — not a manual
+    * rewrite call), and (v) the full scan after a plain manifest fold.
+    *
+    * Two measurement modes per shape since r11 (VERDICT r10 #3):
+    * `*_ms` clears the parsed-manifest cache before every call — the
+    * parse-per-plan cost, comparable with pre-r11 rounds — and
+    * `*_cached_ms` repeats the call against the warm JVM-global cache,
+    * the steady state of an interactive session (O(pruning), not
+    * O(parse)). Each mode's number is the median of 5 calls, and the
+    * WHOLE sweep runs twice with the per-field MIN reported
+    * (VERDICT r10 #8: the fixture was single-shot and inherited load
+    * noise). File counts ride along so the record shows the pruning
+    * RATIO, not just the latency.
     */
-  private def planningLatency(spark: SparkSession): String = try {
+  private def planningLatency(spark: SparkSession): (String, String) = try {
     import org.apache.spark.sql.functions._
     import org.apache.hadoop.fs.Path
     val nSymbols = 25
@@ -348,40 +410,67 @@ object Bench {
     }
     val buildSec = (System.nanoTime() - tBuild) / 1e9
     val nFiles = table.currentDataFiles.size
-    def timePlan(run: () => Int): (Double, Double, Int) = {
-      val t0 = System.nanoTime()
-      val n = run()
-      val cold = (System.nanoTime() - t0) / 1e6
-      val warm = (0 until 5).map { _ =>
-        val t = System.nanoTime(); run(); (System.nanoTime() - t) / 1e6
-      }.sorted.apply(2)
-      (cold, warm, n)
+    def time1(run: () => Int): Double = {
+      val t = System.nanoTime(); run(); (System.nanoTime() - t) / 1e6
     }
+    def med5(f: () => Double): Double = (0 until 5).map(_ => f()).sorted.apply(2)
+    // parse mode = pre-r11 semantics (every call re-parses manifests);
+    // cached mode = warm planning cache, the interactive steady state
+    def parseMs(run: () => Int): Double =
+      med5(() => { graft.lake.SnapshotLog.clearPlanningCache(); time1(run) })
+    def cachedMs(run: () => Int): Double = { run(); med5(() => time1(run)) }
+    val fullRun = () => table.filesForQuery(Map.empty).size
+    val idRun = () => table.filesForQuery(Map("symbol" -> "S7")).size
     val oneDay = (day0 + 3 * 86400L) * 1000000L -> (day0 + 4 * 86400L - 1) * 1000000L
-    // only the FIRST shape's first call is genuinely cold — it warms
-    // the manifest/metadata caches for everything after, so the later
-    // shapes report warm medians only (a "cold" label on them would
-    // understate real cold latency; review r10)
-    val (fullCold, fullMs, fullN) = timePlan(() => table.filesForQuery(Map.empty).size)
-    val (_, idMs, idN) = timePlan(() => table.filesForQuery(Map("symbol" -> "S7")).size)
-    val (_, trMs, trN) =
-      timePlan(() => table.filesForQuery(Map.empty, Some(oneDay)).size)
+    val trRun = () => table.filesForQuery(Map.empty, Some(oneDay)).size
+    // genuinely cold: first-ever planning call on this table, nothing
+    // warmed (later shapes inherit its warmed FS metadata — they report
+    // warm medians only; review r10)
+    graft.lake.SnapshotLog.clearPlanningCache()
+    val tCold = System.nanoTime()
+    val fullN = fullRun()
+    val fullCold = (System.nanoTime() - tCold) / 1e6
+    def sweep(): Map[String, Double] = Map(
+      "full" -> parseMs(fullRun), "full_cached" -> cachedMs(fullRun),
+      "identity" -> parseMs(idRun), "identity_cached" -> cachedMs(idRun),
+      "timerange" -> parseMs(trRun))
+    // two independent sweeps, per-field min (VERDICT r10 #8)
+    val s1 = sweep(); val s2 = sweep()
+    def m(k: String): Double = math.min(s1(k), s2(k))
+    val idN = idRun()
+    val trN = trRun()
+    // POLICY-path clustering (VERDICT r10 #2): declared once on the
+    // table, fired by zero-arg maintenance on cluster pressure — the
+    // commit-shaped 10-manifest chain is exactly the shape that decays
+    // identity planning, and exactly what the pressure heuristic sees.
+    // Compaction is suppressed (the fixture's 40 tiny files per dir
+    // would otherwise trigger a data rewrite the measurement never
+    // reads).
+    table.setProperty("manifests.cluster-by", "symbol")
+    table.setProperty("compaction.max-files-per-partition", "1000000")
+    val maint = table.maintainFromProperties()
+    val policyClustered = maint.manifestsClustered
+    val c1 = Map("cl" -> parseMs(idRun), "cl_cached" -> cachedMs(idRun))
+    val c2 = Map("cl" -> parseMs(idRun), "cl_cached" -> cachedMs(idRun))
+    def mc(k: String): Double = math.min(c1(k), c2(k))
+    val clIdN = idRun()
+    // plain fold last (it DESTROYS the clustering — ordered after the
+    // clustered measurements for exactly that reason)
     table.rewriteManifests()
-    val (_, foldedMs, foldedN) = timePlan(() => table.filesForQuery(Map.empty).size)
-    // partition-clustered rewrite: one manifest per symbol — identity
-    // planning then opens ONE manifest instead of scanning every entry
-    table.rewriteManifests(clusterBy = Some("symbol"))
-    val (_, clIdMs, clIdN) = timePlan(() => table.filesForQuery(Map("symbol" -> "S7")).size)
+    val foldedMs = math.min(parseMs(fullRun), parseMs(fullRun))
+    val foldedN = fullRun()
     try {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverseIterator
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     } catch { case _: Throwable => () }
-    f"""{"files":$nFiles,"commits":$nDays,"build_sec":$buildSec%.3f,"build_copy_sec":$copySec%.3f,"build_import_sec":$importSec%.3f,"full_scan_ms":$fullMs%.1f,"full_scan_cold_ms":$fullCold%.1f,"full_files":$fullN,"identity_ms":$idMs%.1f,"identity_files":$idN,"timerange_ms":$trMs%.1f,"timerange_files":$trN,"folded_full_scan_ms":$foldedMs%.1f,"folded_files":$foldedN,"clustered_identity_ms":$clIdMs%.1f,"clustered_identity_files":$clIdN}"""
+    val compact = f"""{"files":$nFiles,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"identity_ms":${m("identity")}%.1f,"timerange_ms":${m("timerange")}%.1f,"clustered_identity_ms":${mc("cl")}%.1f,"policy_clustered":$policyClustered,"folded_full_scan_ms":$foldedMs%.1f}"""
+    val detail = f"""{"files":$nFiles,"commits":$nDays,"build_sec":$buildSec%.3f,"build_copy_sec":$copySec%.3f,"build_import_sec":$importSec%.3f,"full_scan_cold_ms":$fullCold%.1f,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"full_files":$fullN,"identity_ms":${m("identity")}%.1f,"identity_cached_ms":${m("identity_cached")}%.1f,"identity_files":$idN,"timerange_ms":${m("timerange")}%.1f,"timerange_files":$trN,"policy_clustered":$policyClustered,"clustered_identity_ms":${mc("cl")}%.1f,"clustered_identity_cached_ms":${mc("cl_cached")}%.1f,"clustered_identity_files":$clIdN,"folded_full_scan_ms":$foldedMs%.1f,"folded_files":$foldedN,"sweeps":2}"""
+    (compact, detail)
   } catch {
     case e: Throwable =>
       System.err.println(s"[bench] planning latency failed: ${e.getMessage}")
-      "{}"
+      ("{}", "{}")
   }
 
   /** Batched-vs-sequential ingest throughput: the same file set (events
@@ -392,7 +481,8 @@ object Bench {
     * SEPARATE JSON field so the query `total` stays comparable across
     * rounds. Failure → {} rather than poisoning the bench line.
     */
-  private def ingestThroughput(spark: SparkSession, sfDir: String): String = try {
+  private def ingestThroughput(
+      spark: SparkSession, sfDir: String): (String, String) = try {
     import org.apache.spark.sql.functions._
     import graft.ingest.{IngestConfig, IngestPipeline}
     val nFiles = 16
@@ -420,10 +510,11 @@ object Bench {
       java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverseIterator
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     } catch { case _: Throwable => () }
-    f"""{"sequential_sec":$seq%.3f,"batched_sec":$bat%.3f,"files":$nFiles,"rows":$rows}"""
+    val j = f"""{"sequential_sec":$seq%.3f,"batched_sec":$bat%.3f,"files":$nFiles,"rows":$rows}"""
+    (j, j)
   } catch {
     case e: Throwable =>
       System.err.println(s"[bench] ingest throughput failed: ${e.getMessage}")
-      "{}"
+      ("{}", "{}")
   }
 }

@@ -687,7 +687,11 @@ object TextOps {
              |           FROM agg2)
              |SELECT m.doc_id, m.text FROM masked m
              |JOIN scored USING (doc_id) WHERE avg_nll <= 3.55
-             |ORDER BY m.doc_id""".stripMargin)
+             |ORDER BY m.doc_id""".stripMargin),
+      // the heaviest composed pipeline (7 chained corpus stages):
+      // bench-tracked so a regression in the span-dedup / perplexity
+      // stages is visible per round (VERDICT r10 #7)
+      bench = true
     ),
 
     QuerySpec(
