@@ -482,17 +482,39 @@ object VectorOps {
       "q_multimodal_features",
       (s, dir) =>
         Multimodal
-          .extractFeatures(Multimodal.mediaFromDocuments(s, t(s, dir, "documents")))
+          .extractFeatures(Multimodal.mediaFromDocuments(t(s, dir, "documents")))
           .orderBy("media_id"),
-      // oracle predicts the deterministic decode stub from the raw bytes:
-      // width = 16 + len%64, height = 16 + first_byte%64, frames = 1 + len%8
-      Some("""SELECT doc_id AS media_id,
-             |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-             |       CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS width,
-             |       CAST(16 + ascii(substr(text, 1, 1)) % 64 AS BIGINT) AS height,
-             |       CAST(1 + octet_length(encode(text)) % 8 AS BIGINT) AS n_frames,
-             |       'text/plain;src=' || source AS mime
-             |FROM documents ORDER BY media_id""".stripMargin)
+      // The REAL codec round-trip, value-checked from the same bytes
+      // (VERDICT r10 #5): each doc's UTF-8 bytes become a concatenated
+      // binary-PPM (P6) stream — width 4+L%5, height 3+L%4, frames
+      // 1+L%3, 11-byte header per frame, pixels = the doc bytes read
+      // front-to-back zero-padded — and the Spark side REPORTS ONLY
+      // WHAT ITS PARSER DECODES. DuckDB independently recomputes the
+      // decoded stats (dims from L, pixel byte sum via hex-pair
+      // extraction over the first min(L, F·P) source bytes), so a
+      // decode bug in header parsing, frame advance, or pixel offsets
+      // breaks the hash.
+      Some("""WITH b AS (SELECT doc_id, source, hex(encode(text)) AS hx,
+             |                  octet_length(encode(text)) AS L
+             |           FROM documents),
+             |par AS (SELECT doc_id, source, hx, L,
+             |               4 + L % 5 AS w, 3 + L % 4 AS h, 1 + L % 3 AS F
+             |        FROM b),
+             |st AS (SELECT doc_id, source, w, h, F, w*h*3 AS P,
+             |        CAST(coalesce(list_sum(list_transform(
+             |          range(1, CAST(least(L, F*w*h*3) AS INT) + 1),
+             |          i -> 16*(strpos('0123456789ABCDEF', hx[2*i-1])-1)
+             |               + strpos('0123456789ABCDEF', hx[2*i]) - 1)), 0) AS BIGINT) AS pixel_sum
+             |       FROM par)
+             |SELECT doc_id AS media_id,
+             |       CAST(F * (11 + P) AS BIGINT) AS byte_len,
+             |       CAST(w AS BIGINT) AS width,
+             |       CAST(h AS BIGINT) AS height,
+             |       CAST(F AS BIGINT) AS n_frames,
+             |       pixel_sum,
+             |       round(CAST(pixel_sum AS DOUBLE) / (F * P), 4) AS pixel_mean,
+             |       'image/x-portable-pixmap;src=' || source AS mime
+             |FROM st ORDER BY media_id""".stripMargin)
     ),
 
     QuerySpec(
@@ -500,9 +522,12 @@ object VectorOps {
       (s, dir) =>
         Multimodal
           .sampleFrames(Multimodal.extractFeatures(
-            Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))))
+            Multimodal.mediaFromDocuments(t(s, dir, "documents"))))
           .orderBy("media_id", "frame_idx"),
-      Some("""SELECT doc_id AS media_id, unnest(range(0, 1 + octet_length(encode(text)) % 8, 2)) AS frame_idx
+      // frame count comes from the DECODER (frames actually parsed out
+      // of the P6 stream), predicted independently here as 1 + L%3
+      Some("""SELECT doc_id AS media_id,
+             |       unnest(range(0, 1 + octet_length(encode(text)) % 3, 2)) AS frame_idx
              |FROM documents ORDER BY media_id, frame_idx""".stripMargin)
     )
   )
