@@ -150,6 +150,7 @@ object Bench {
     // cdc numbers that follow it
     val (cdcCompact, cdcDetail) = cdcStreamThroughput(spark, sfDir)
     val (ingestCompact, ingestDetail) = ingestThroughput(spark, sfDir)
+    val kbJson = keyBloomSkipping(spark, sfDir)
     val (planCompact, planDetail) = planningLatency(spark)
     val loadEnd = loadAvg()
     // Sample-asymmetry record (VERDICT r8 #8): cache-heavy composed
@@ -172,7 +173,7 @@ object Bench {
       "compare min of the first two samples when reading pre-r10 deltas. " +
       "cdc_stream and planning headline numbers are min-of-two independent " +
       "measurement windows/sweeps since r11 (single-shot before)"
-    val detail = f"""{"metric":"detail","samples":$samples,"load":$loadPerSample,"resampled":$resampled,"cdc_stream":$cdcDetail,"ingest":$ingestDetail,"planning":$planDetail,"sample_note":"$sampleNote","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"sf":"$sfDir"}"""
+    val detail = f"""{"metric":"detail","samples":$samples,"load":$loadPerSample,"resampled":$resampled,"cdc_stream":$cdcDetail,"ingest":$ingestDetail,"key_bloom":$kbJson,"planning":$planDetail,"sample_note":"$sampleNote","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     val detailWritten =
       try {
@@ -183,7 +184,7 @@ object Bench {
     // detail first (full record for untruncated logs), compact headline
     // LAST — the line the driver's 2000-char tail must preserve whole
     println(detail)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"cdc_stream":$cdcCompact,"ingest":$ingestCompact,"planning":$planCompact,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"detail_file":"${if (detailWritten) detailPath else ""}","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"cdc_stream":$cdcCompact,"ingest":$ingestCompact,"key_bloom":$kbJson,"planning":$planCompact,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"detail_file":"${if (detailWritten) detailPath else ""}","sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -308,6 +309,66 @@ object Bench {
       val detail = s"""{"runs":[${runs.map(runJson).mkString(",")}],"per_trigger_sec_min":${f"${best.perTrigger}%.3f"}}"""
       (compact, detail)
     }
+  }
+
+  /** Manifest key-bloom build-side skipping (VERDICT r10 #6): the
+    * dedup shape min/max bounds CANNOT prune — files whose key ranges
+    * fully interleave (here: one append hash-distributed into 32
+    * key-disjoint files, each spanning the whole time range) — probed
+    * with an incoming batch that re-ingests exactly ONE file's keys
+    * (the retried-upstream-shard shape). Reports candidate/kept/
+    * skipped counts (skips are bloom-provable: the spec suite proves
+    * zero false negatives) and the distributed probe's wall time
+    * (min of 3).
+    *
+    * SIZING, the honest part: batch-vs-file skipping needs the
+    * per-key false-positive rate below ~1/|batch| (a file survives if
+    * ANY batch key false-hits), so the property is sized ≈ 64-80 bits
+    * per expected key per file — here 2¹⁸ bits = 32 KiB of manifest
+    * per ~3k-key file (k=4 ⇒ fpp ≈ 5e-6 ⇒ a 3k-key foreign batch
+    * keeps a keyless file with probability ~1.5%). Inline manifest
+    * blooms therefore suit the bounded-keys-per-file regime (exactly
+    * where file-count pressure makes skipping matter); multi-million-
+    * key files would need a sidecar blob instead — documented, not
+    * attempted.
+    */
+  private def keyBloomSkipping(spark: SparkSession, sfDir: String): String = try {
+    import org.apache.spark.sql.functions._
+    import org.apache.hadoop.fs.Path
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench-bloom")
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .select(col("ts"), col("value")).where(col("ts").isNotNull)
+    val table = graft.lake.LakehouseTable.createIfNotExists(
+      spark, new Path(tmp.toString, "t"), ev.schema, Some("ts"))
+    table.setProperty("write.key-bloom.bits", "262144")
+    val tBuild = System.nanoTime()
+    // hash-repartition on the key: 32 KEY-DISJOINT files whose time
+    // ranges all interleave — bounds keep all 32, blooms must do the work
+    table.append(ev.repartition(32, col("ts")))
+    val buildSec = (System.nanoTime() - tBuild) / 1e9
+    val candidates = table.currentDataFiles
+    // the batch: exactly one live file's keys re-ingested
+    val batch = spark.read
+      .parquet(new Path(table.tableDir, candidates.head.path).toString)
+      .select(unix_micros(col("ts")).as("_ku"))
+    def probeOnce(): (Int, Int, Double) = {
+      val t0 = System.nanoTime()
+      val (kept, skipped) = table.bloomSurvivors(candidates, batch)
+      ((kept.size, skipped, (System.nanoTime() - t0) / 1e3 / 1e3))
+    }
+    val probes = (0 until 3).map(_ => probeOnce())
+    val (kept, skipped, _) = probes.head
+    val probeMs = probes.map(_._3).min
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+    f"""{"files":${candidates.size},"kept":$kept,"skipped":$skipped,"probe_ms":$probeMs%.1f,"build_sec":$buildSec%.3f}"""
+  } catch {
+    case e: Throwable =>
+      System.err.println(s"[bench] key bloom skipping failed: ${e.getMessage}")
+      "{}"
   }
 
   /** Metadata-planning latency at file-count scale (VERDICT r9 #4):

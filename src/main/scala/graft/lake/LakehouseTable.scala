@@ -965,6 +965,68 @@ final class LakehouseTable(
         .flatMap(r => log.readManifest(r.path).filter(_.overlaps(loUs, hiUs)))
     }.getOrElse(Nil)
 
+  /** The subset of `files` whose MANIFEST bloom ([[KeyBloom]], written
+    * when `write.key-bloom.bits` is set) may contain ANY key of the
+    * batch — the ingest-dedup build-side pruner (SURVEY §7.5 /
+    * VERDICT r10 #6). `keysUs` is a one-column DataFrame of key micros
+    * (same encoding as the manifest min/max bounds: `unix_micros` for
+    * time keys, the raw long otherwise). The probe is DISTRIBUTED and
+    * codegen'd: the blooms broadcast as a tiny (files × words) frame,
+    * each batch row evaluates k bit tests per candidate file, and only
+    * the ≤|files| hit ids return to the driver — no key is ever
+    * collected. Files without a bloom (imports, pre-bloom commits, a
+    * foreign hash count) are always kept; a bloom has no false
+    * negatives, so a skipped file provably shares no key with the
+    * batch. Returns (kept files, skipped count).
+    */
+  def bloomSurvivors(files: Seq[DataFile], keysUs: DataFrame): (Seq[DataFile], Int) = {
+    val (withB, withoutB) =
+      files.partition(_.keyBloom.exists(_.hashes == LakehouseTable.KeyBloomHashes))
+    if (withB.isEmpty) return (files, 0)
+    val schema = StructType(Seq(
+      StructField("_bi", org.apache.spark.sql.types.IntegerType, nullable = false),
+      StructField("_bm", org.apache.spark.sql.types.LongType, nullable = false),
+      StructField("_bw", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false), nullable = false)))
+    val bloomRows = withB.zipWithIndex.map { case (f, i) =>
+      val b = f.keyBloom.get
+      org.apache.spark.sql.Row(i, b.bits.toLong, b.wordArray.toSeq)
+    }
+    val bloomDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(bloomRows, 1), schema)
+    // k bit probes as ONE codegen'd predicate: bit p of the filter is
+    // (word[p DIV 64] >> (p % 64)) & 1 with p = pmod(xxhash64(ku, i), m).
+    // The i literal must stay INT — xxhash64 hashes by type, and the
+    // write side hashes lit(i: Int).
+    val pred = (0 until LakehouseTable.KeyBloomHashes).map(i =>
+      s"(shiftright(element_at(_bw, CAST(pmod(xxhash64(_ku, $i), _bm) DIV 64 AS INT) + 1), " +
+        s"CAST(pmod(xxhash64(_ku, $i), _bm) % 64 AS INT)) & 1) = 1")
+      .mkString(" AND ")
+    val hits = keysUs
+      .select(col(keysUs.columns.head).cast("long").as("_ku"))
+      .where(col("_ku").isNotNull)
+      .crossJoin(broadcast(bloomDf))
+      .where(expr(pred))
+      .select("_bi").distinct().collect().map(_.getInt(0)).toSet
+    val kept = withoutB ++ withB.zipWithIndex.collect { case (f, i) if hits(i) => f }
+    (kept, withB.size - hits.size)
+  }
+
+  /** [[readRange]] additionally pruned by the per-file manifest blooms
+    * against the batch's own keys: within-bounds files sharing no key
+    * with `keysUs` are never opened. The ingest-dedup build side
+    * ([[graft.ingest.Dedup.dropExisting]]) at 100 TB: time bounds prune
+    * to the overlapping days, the blooms prune to the handful of files
+    * that actually collide. Degrades to exactly [[readRange]] (no extra
+    * Spark job) when no candidate carries a bloom.
+    */
+  def readRangeForKeys(loUs: Long, hiUs: Long, keysUs: DataFrame): DataFrame = {
+    // one snapshot capture: files and deletes from the SAME state
+    val snap = metadata.currentSnapshot
+    val (kept, _) = bloomSurvivors(filesOverlappingIn(snap, loUs, hiUs), keysUs)
+    readWithDeletes(kept, snap.map(liveDeleteFiles).getOrElse(Nil))
+  }
+
   /** Files that MAY contain at least one of the given point keys
     * (epoch micros of the partition-source column) — three pruning
     * levels, all metadata-side: manifest-list bounds, per-file bounds,
@@ -1946,7 +2008,75 @@ final class LakehouseTable(
     // narrows).
     val statsCols = meta.props.get("write.stats-columns")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    moveStaged(meta, staging, extraStatCols = statsCols)
+    attachKeyBlooms(meta, moveStaged(meta, staging, extraStatCols = statsCols))
+  }
+
+  /** Record a MANIFEST-resident [[KeyBloom]] per just-written file when
+    * `write.key-bloom.bits` is set (m bits, clamped to [64, 2²⁰] and
+    * rounded to a multiple of 64; k = [[LakehouseTable.KeyBloomHashes]]
+    * probes). One extra Spark pass over the key column of the files the
+    * write just produced (page-cache-warm), fully declarative: each key
+    * explodes to its k bit positions, `collect_set` per file keeps the
+    * shuffle at ≤m positions per file regardless of row count, and the
+    * driver folds positions into the ≤(m/8)-byte bit array that rides
+    * the manifest entry. Paid only by tables that opt in — the cost a
+    * 100 TB ingest trades for never opening within-bounds build-side
+    * files that share no key with the batch ([[bloomSurvivors]]).
+    * Null keys set no bits (an anti-join on NULL never matches). Runs
+    * on every writeStaged path — appends, streams, branch stages,
+    * compaction rewrites — so maintenance preserves skipping; addFiles
+    * imports stay metadata-only and carry no bloom (always kept).
+    */
+  private def attachKeyBlooms(meta: TableMetadata, moved: Seq[DataFile]): Seq[DataFile] = {
+    val bitsProp = meta.props.get("write.key-bloom.bits").map { v =>
+      try v.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"table property write.key-bloom.bits must be an integer, got '$v'")
+      }
+    }.getOrElse(0)
+    val keyColOpt = meta.statsSource
+    if (bitsProp <= 0 || keyColOpt.isEmpty || moved.isEmpty) return moved
+    val keyCol = keyColOpt.get
+    val frozen = StructType.fromDDL(meta.schemaDdl)
+    val identitySources =
+      meta.defaultSpec.fields.filter(_.transform == "identity").map(_.source).toSet
+    // an identity key lives in the directory name, not the file
+    if (identitySources.contains(keyCol) || !frozen.fieldNames.contains(keyCol))
+      return moved
+    val m = (math.max(64, math.min(1 << 20, bitsProp)) + 63) / 64 * 64
+    val k = LakehouseTable.KeyBloomHashes
+    // key micros = the manifest-bounds encoding: unix_micros for time
+    // keys, the raw long otherwise (probe callers pass the same)
+    val ku = (frozen(keyCol).dataType match {
+      case TimestampType | org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(keyCol).cast(TimestampType))
+      case _ => col(keyCol).cast("long")
+    }).as("_ku")
+    val expected = StructType(
+      frozen.fields.filterNot(f => identitySources.contains(f.name)).toSeq)
+    val paths = moved.map(f => new Path(tableDir, f.path).toString)
+    val posArr = array((0 until k).map(i =>
+      pmod(xxhash64(col("_ku"), lit(i)), lit(m.toLong))): _*)
+    val byFile: Map[String, Seq[Long]] = spark.read.schema(expected)
+      .option("basePath", dataDir.toString).parquet(paths: _*)
+      .select(input_file_name().as("_f"), ku)
+      // explode_outer keeps all-null-key files as a group with an empty
+      // set — their (correct) all-zero bloom skips them for every batch
+      .select(col("_f"), explode_outer(when(col("_ku").isNotNull, posArr)).as("_p"))
+      .groupBy("_f").agg(collect_set(col("_p")).as("_ps"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    moved.map { f =>
+      // input_file_name URIs end with the table-relative path; a file
+      // the job did not see (0-row edge) keeps no bloom = never skipped
+      byFile.collectFirst { case (uri, ps) if uri.endsWith("/" + f.path) => ps } match {
+        case None => f
+        case Some(ps) =>
+          val words = new Array[Long](m / 64)
+          ps.foreach(p => words((p >> 6).toInt) |= 1L << (p & 63))
+          f.copy(keyBloom = Some(KeyBloom.fromWords(m, k, words)))
+      }
+    }
   }
 
   /** Native parquet bloom filter on the key column: min/max bounds
@@ -3516,6 +3646,13 @@ object LakehouseTable {
     * apply.
     */
   val Granularities: Set[String] = Set("year", "month", "day", "hour", "identity")
+
+  /** Probe count of the manifest-resident [[KeyBloom]] (fixed: the
+    * write side hashes `xxhash64(ku, i)` for i in [0, k) and the probe
+    * predicate is generated for the same k — a file recorded with a
+    * different count is conservatively never skipped).
+    */
+  val KeyBloomHashes: Int = 4
 
   /** The transforms that derive a MONOTONE int from a timestamp source
     * (the time dimension of a spec); identity and bucket[N] are the

@@ -92,7 +92,20 @@ final case class DataFile(
       * mixed-layout table (post-evolution) plans each group with its
       * own hive-dir recovery and pruning.
       */
-    specId: Option[Int] = None
+    specId: Option[Int] = None,
+    /** MANIFEST-resident bloom filter over this file's key values
+      * (round 11, SURVEY §7.5 / VERDICT r10 #6), recorded by appends
+      * when `write.key-bloom.bits` is set. Complements the parquet
+      * bloom at the file footer: the footer bloom needs a per-file
+      * open and a driver-enumerable key list ([[LakehouseTable
+      * .filesContainingAnyKey]]); THIS one rides in the already-parsed
+      * manifest entry and is probed DISTRIBUTED against a whole
+      * incoming batch, so the ingest-dedup build side can drop
+      * within-time-bounds files that share no key with the batch
+      * without opening them at all. Absent ⇒ never skipped on keys —
+      * additive, no format bump.
+      */
+    keyBloom: Option[KeyBloom] = None
 ) {
   def overlaps(loUs: Long, hiUs: Long): Boolean = (minKeyUs, maxKeyUs) match {
     case (Some(lo), Some(hi)) => hi >= loUs && lo <= hiUs
@@ -128,6 +141,31 @@ final case class DataFile(
   * double columns floor/ceil outward, timestamps are epoch micros).
   */
 final case class ColumnBounds(column: String, min: Long, max: Long)
+
+/** A per-data-file key-membership bloom stored in the manifest entry:
+  * `bits` is the filter size m (a multiple of 64), `hashes` the probe
+  * count k, and `words` the base64 of the m/64 big-endian longs. Bit p
+  * of the filter is `(word[p / 64] >> (p % 64)) & 1`; probe i of key
+  * micros ku is `pmod(xxhash64(ku, i), m)` — Spark's xxhash64, so the
+  * probe side evaluates as a codegen'd Column expression over a whole
+  * batch with no UDF. No false negatives by construction; a false
+  * positive only costs reading a file the anti-join then ignores.
+  */
+final case class KeyBloom(bits: Int, hashes: Int, words: String) {
+  def wordArray: Array[Long] = {
+    val bytes = java.util.Base64.getDecoder.decode(words)
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(buf.getLong)
+  }
+}
+
+object KeyBloom {
+  def fromWords(bits: Int, hashes: Int, arr: Array[Long]): KeyBloom = {
+    val buf = java.nio.ByteBuffer.allocate(arr.length * 8)
+    arr.foreach(buf.putLong)
+    KeyBloom(bits, hashes, java.util.Base64.getEncoder.encodeToString(buf.array()))
+  }
+}
 
 /** An equality-delete file (Iceberg v2 merge-on-read analog): a parquet
   * file of KEY VALUES whose matching rows are logically deleted from
@@ -342,7 +380,12 @@ final case class TableMetadata(
       * (comma-separated) — per-file min/max bounds for these SECONDARY
       * columns recorded in every append's manifest entry
       * (metadata-level skipping via `readColumnRange` from the first
-      * write, the Iceberg metrics-columns analog).
+      * write, the Iceberg metrics-columns analog);
+      * `write.key-bloom.bits` — record a [[KeyBloom]] of the key
+      * column per written file in the manifest (m bits each; one extra
+      * key-column pass per write), letting the ingest-dedup build side
+      * skip within-time-bounds files that share no key with the
+      * incoming batch ([[LakehouseTable.bloomSurvivors]]).
       */
     tableProperties: Option[Map[String, String]] = None
 ) {
