@@ -202,7 +202,17 @@ final case class DeleteFile(
       * delete files, the stored paths are the scan-reported absolute
       * URIs, so a relocated table must rewrite its delete files.
       */
-    kind: Option[String] = None
+    kind: Option[String] = None,
+    /** DDL of the parquet schema this delete file was written with
+      * (round 11, additive): readers pin it via `spark.read.schema(...)`
+      * so mask reads skip footer schema inference — the change feed and
+      * every masked scan re-read the live masks on each query/trigger,
+      * and the per-mask inference was a measurable slice of the CDC
+      * per-trigger tail. Names/types are AT-WRITE-TIME (the alias map
+      * and widening cast still apply after the read, as for `key`).
+      * Absent (pre-round-11 entries) ⇒ infer from the footer as before.
+      */
+    keySchemaDdl: Option[String] = None
 ) {
   def keyCols: Seq[String] = keys.getOrElse(Seq(key))
   def isPositional: Boolean = kind.contains("pos")
