@@ -3132,7 +3132,7 @@ final class LakehouseTable(
     }
     withBloomOption(meta, writer).parquet(staging.toString)
 
-    val moved = moveStaged(meta, staging)
+    val moved = attachKeyBlooms(meta, moveStaged(meta, staging))
     // manifest-list REPLACES the previous one (addedRows 0: a compaction
     // moves rows, it does not add any). totalRows is recounted from the
     // output: with MoR deletes folded it is the first commit whose
@@ -3204,7 +3204,7 @@ final class LakehouseTable(
     val writer = withBloomOption(meta, sorted.write.mode("overwrite"))
     (if (pcs.nonEmpty) writer.partitionBy(pcs: _*) else writer).parquet(staging.toString)
 
-    val moved = moveStaged(meta, staging)
+    val moved = attachKeyBlooms(meta, moveStaged(meta, staging))
     val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
     val keptRefs = rewriteRefs(refsWithFiles, rewritePaths, snapId)
     val keptRows = files.filterNot(f => rewritePaths.contains(f.path)).map(_.rows).sum
@@ -3281,7 +3281,7 @@ final class LakehouseTable(
       case cols => withBloomOption(meta, writer).partitionBy(cols: _*)
     }).parquet(staging.toString)
 
-    val moved = moveStaged(meta, staging, extraStatCols = zCols)
+    val moved = attachKeyBlooms(meta, moveStaged(meta, staging, extraStatCols = zCols))
     commitSnapshot(meta, version, moved, "compact", Some(Nil),
       totalRows = moved.map(_.rows).sum, addedRowsOverride = Some(0L),
       deletesOverride = Some(Nil))

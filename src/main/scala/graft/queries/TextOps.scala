@@ -1095,6 +1095,107 @@ object TextOps {
     ),
 
     QuerySpec(
+      // MEASURED LSH recall curve (ADVICE r10: the fixed 8-hash/4-band
+      // MinHash surfaces a pair at true Jaccard j with probability
+      // ≈ 1-(1-j²)⁴ — ~68% at j=0.5 — and callers must not read the
+      // exact-verify stage as a completeness guarantee). This query
+      // turns that documented bound into a per-corpus ARTIFACT: for
+      // every gram-sharing pair, bucket the exact 3-gram Jaccard and
+      // report the fraction the portable banding actually surfaced
+      // next to the theoretical expectation — the calibration table an
+      // operator reads before choosing a dedup threshold. Both sides
+      // are deterministic (polyHash grams replay in DuckDB), so recall
+      // itself is value-checked. Scale shape: exact pairs come from the
+      // df-capped gram join (the q_text_ngram_jaccard path), candidates
+      // from the banded equality self-join — calibration runs on a
+      // sample corpus by construction, never the full 100 TB.
+      "q_text_lsh_calibration",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = DedupOps.ngramJaccardPairs(docs, blockCol = "source")
+        val bands = DedupOps.minHashBandsPortable(docs)
+        val cands = bands.as("a").join(bands.as("b"),
+            col("a.band_id") === col("b.band_id") &&
+              col("a.band_sig") === col("b.band_sig") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+          .withColumn("hit", lit(1L))
+        val expected10k = round(
+          (lit(1.0) - pow(lit(1.0) - col("jaccard") * col("jaccard"), 4.0)) * 10000.0)
+          .cast("long")
+        pairs
+          .withColumn("j_bucket", floor(col("jaccard") * 10).cast("int"))
+          .withColumn("e10k", expected10k)
+          .join(cands, Seq("doc_a", "doc_b"), "left")
+          .groupBy("j_bucket")
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_surfaced"),
+            round(sum(coalesce(col("hit"), lit(0L))).cast("double")
+              / count(lit(1)), 4).as("recall"),
+            // unscaled-long sum + one division: float-order-free
+            round(sum(col("e10k")).cast("double")
+              / (count(lit(1)) * 10000.0), 4).as("expected_recall"))
+          .orderBy("j_bucket")
+      },
+      Some {
+        val mins = (0 until 8)
+          .map(i => s"min((${2 * i + 3}::BIGINT*g64 + ${5 * i + 7}) % 1000000007) AS h$i")
+          .mkString(", ")
+        val bandRows = (0 until 4)
+          .map(j => s"SELECT doc_id, $j AS band_id, (h${2 * j}*31 + h${2 * j + 1}) % 1000000007 AS band_sig FROM s")
+          .mkString("\n             |  UNION ALL ")
+        s"""WITH toks AS (
+           |  SELECT source, doc_id,
+           |         list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+           |  FROM documents
+           |), g AS (
+           |  SELECT source, doc_id,
+           |         list_distinct(list_transform(
+           |           range(1, CASE WHEN length(tk) - 2 >= 1 THEN length(tk) - 1 ELSE 1 END),
+           |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS grams
+           |  FROM toks
+           |  WHERE length(grams) > 0
+           |), p AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |         length(list_filter(a.grams, x -> list_contains(b.grams, x))) AS nc,
+           |         length(a.grams) + length(b.grams)
+           |         - length(list_filter(a.grams, x -> list_contains(b.grams, x))) AS nu
+           |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+           |), pj AS (
+           |  SELECT doc_a, doc_b, round(CAST(nc AS DOUBLE) / CAST(nu AS DOUBLE), 4) AS jaccard
+           |  FROM p WHERE nc >= 1
+           |), eg AS (
+           |  SELECT doc_id, unnest(grams) AS gram FROM g
+           |), h AS (
+           |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+           |    list_transform(string_split(gram, ''), c -> ascii(c)::BIGINT)),
+           |    (a, b) -> (a*31 + b) % 1000000007) AS g64
+           |  FROM eg
+           |), s AS (
+           |  SELECT doc_id, $mins FROM h GROUP BY doc_id
+           |), bands AS (
+           |  $bandRows
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+           |   AND a.doc_id < b.doc_id
+           |)
+           |SELECT CAST(floor(jaccard * 10) AS INT) AS j_bucket,
+           |       count(*) AS n_pairs,
+           |       CAST(sum(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_surfaced,
+           |       round(CAST(sum(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+           |             / count(*), 4) AS recall,
+           |       round(CAST(sum(CAST(round((1 - power(1 - jaccard*jaccard, 4)) * 10000) AS BIGINT)) AS DOUBLE)
+           |             / (count(*) * 10000.0), 4) AS expected_recall
+           |FROM pj LEFT JOIN cand c USING (doc_a, doc_b)
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }
+    ),
+
+    QuerySpec(
       "q_text_simhash_portable",
       (s, dir) =>
         DedupOps.simHashPortableDf(t(s, dir, "documents"))

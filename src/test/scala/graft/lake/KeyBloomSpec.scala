@@ -104,6 +104,23 @@ class KeyBloomSpec extends SparkSpec {
     assert(kept.isEmpty && skipped == 1)
   }
 
+  test("compaction rewrites keep recording blooms (maintenance preserves skipping)") {
+    val t = mkTable("kb7", Some(4096))
+    (0 until 4).foreach(r => t.append(residue(r)))
+    t.compact()
+    val files = t.currentDataFiles
+    assert(files.nonEmpty && files.forall(_.keyBloom.isDefined),
+      "compacted files must carry fresh blooms — a compaction that dropped " +
+        "them would silently disable build-side skipping")
+    // the compacted bloom still answers for every original key
+    val keys = (0 until 160).map(usOf).toDF("_ku")
+    val (kept, _) = t.bloomSurvivors(files, keys)
+    val keptKeys = kept.flatMap(f =>
+      spark.read.parquet(new Path(t.tableDir, f.path).toString)
+        .select(unix_micros(col("DateTime"))).as[Long].collect())
+    assert((0 until 160).map(usOf).forall(keptKeys.contains))
+  }
+
   test("blooms survive the JSON manifest round-trip bit-for-bit") {
     val t = mkTable("kb6", Some(256))
     t.append(residue(3))

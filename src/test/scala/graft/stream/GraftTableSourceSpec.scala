@@ -323,6 +323,49 @@ class GraftTableSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdcApply replication converges across interleaved source maintenance") {
+    // the bounded-state story at 100 TB: per-trigger cost grows with the
+    // source's accumulated MoR masks, and MAINTENANCE is what bounds it —
+    // so the feed must survive a mid-replication compaction that folds
+    // those masks (a rewrite-only commit: rows moved, none added) without
+    // re-delivering or missing a row
+    val root = tmpDir("gts-repl-maint")
+    val src = fresh(root, "src")
+    val dst = fresh(root, "dst")
+    src.append(df(0 until 8))
+    val q = readStream(src, "changeFeed" -> "true")
+      .writeStream.format("graft-table")
+      .option("path", dst.tableDir.toString)
+      .option("queryId", "mirror-m")
+      .option("cdcApply", "true").option("keys", "EventId")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.ProcessingTime(10L))
+      .start()
+    def snapshot(t: graft.lake.LakehouseTable): Map[Long, Double] =
+      t.read().select("EventId", "Bid").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    try {
+      q.processAllAvailable()
+      src.morMerge(df(Seq(1, 4)).withColumn("Bid", lit(100.0)), "EventId")
+      src.morDeleteKeys(Seq(2L).toDF("EventId"), "EventId")
+      q.processAllAvailable()
+      assert(snapshot(dst) == snapshot(src), "pre-maintenance convergence")
+      // fold the source's masks mid-replication
+      def liveMasks = src.metadata.currentSnapshot.map(src.liveDeleteFiles(_).size).getOrElse(0)
+      assert(liveMasks > 0, "fixture must have live masks to fold")
+      src.compact()
+      assert(liveMasks == 0, "compaction folds the masks away")
+      // deltas AFTER the fold: pre-images now come from the compacted,
+      // mask-free parent
+      src.morMerge(df(Seq(5)).withColumn("Bid", lit(200.0)), "EventId")
+      src.morDeleteKeys(Seq(6L).toDF("EventId"), "EventId")
+      q.processAllAvailable()
+      assert(snapshot(dst) == snapshot(src),
+        s"replica must converge across the fold: dst=${snapshot(dst)} src=${snapshot(src)}")
+      assert(snapshot(dst)(5L) == 200.0 && !snapshot(dst).contains(6L))
+    } finally q.stop()
+  }
+
   test("cdcApply refuses a nondeterministic fold (duplicate keys at one _commit_seq)") {
     val root = tmpDir("gts-dupguard")
     val dst = fresh(root, "dst")
