@@ -120,6 +120,74 @@ object Retrieval {
         (col("s") / 10000.0).as("score"))
   }
 
+  /** Query-term OVERLAP retrieval over a postings frame: rank documents
+    * by how many DISTINCT query terms they contain — the cheap
+    * high-recall lexical list a fusion pass pairs with BM25 (overlap
+    * surfaces docs whose matched terms BM25's idf weighting down-ranks).
+    * Same scale shape as [[searchPostings]]: query terms broadcast onto
+    * the postings, one (query, doc) aggregate, per-query window — and
+    * the score is an integer count, so the ranking involves no floating
+    * point at all. Returns (`q_id`, idCol, `rnk`, `overlap`); ties to
+    * the lower doc id.
+    */
+  def overlapTopK(
+      post: DataFrame,
+      idCol: String,
+      queries: Seq[(Long, String)],
+      topK: Int): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    val spark = post.sparkSession
+    import spark.implicits._
+    val qterms = queries
+      .flatMap { case (qid, text) =>
+        text.split(" ").iterator.filter(_.nonEmpty).toSet[String].map(qid -> _)
+      }
+      .toDF("q_id", "term")
+    // (doc, term) is unique in postings ⇒ matched-row count IS the
+    // distinct-term overlap
+    val per = post.join(broadcast(qterms), Seq("term"))
+      .groupBy(col("q_id"), col(idCol))
+      .agg(count(lit(1)).as("overlap"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("overlap").desc, col(idCol))
+    per.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col(idCol), col("rnk"), col("overlap"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of ranked lists: each
+    * input frame carries (`q_id`, idCol, `rnk`) and contributes
+    * 1/(k + rnk) per (query, doc); documents are re-ranked by the sum.
+    * The standard way to combine retrievers with incomparable score
+    * scales (BM25 + overlap here; BM25 + dense cosine in a corpus with
+    * doc-aligned embeddings) — only RANKS cross the fusion boundary.
+    *
+    * Scale shape: inputs are already per-query top-k (tiny by
+    * contract), so the fusion is a union + one small aggregate + one
+    * per-query window — no corpus access at all. Determinism: each
+    * contribution is rounded to a 1e-6-scaled long BEFORE the sum
+    * (integer addition is order-free), the final score is that exact
+    * long divided once; ties rank to the lower doc id.
+    */
+  def rrfFuse(
+      lists: Seq[DataFrame],
+      idCol: String,
+      topK: Int,
+      kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    val contrib = lists.map(_.select(col("q_id"), col(idCol),
+      round(lit(1000000.0) / (lit(kRrf) + col("rnk"))).cast(LongType).as("c")))
+    val fused = contrib.reduce(_ unionByName _)
+      .groupBy(col("q_id"), col(idCol))
+      .agg(sum(col("c")).as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("s").desc, col(idCol))
+    fused.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col(idCol), col("rnk"),
+        (col("s") / 1000000.0).as("rrf"))
+  }
+
   /** Convenience: build the index and search it in one call. */
   def bm25TopK(
       docs: DataFrame,

@@ -1291,7 +1291,73 @@ object LakeOps {
       sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
   }
 
+  /** Manifest key-bloom dedup contract (round 11, SURVEY §7.5): build a
+    * bloom-enabled table whose files are KEY-DISJOINT but fully
+    * time-INTERLEAVED — rows grouped into files by second-of-minute, so
+    * every file's [min ts, max ts] spans the whole table and bounds
+    * pruning keeps ALL of them — then dedup-ingest a batch of half
+    * already-present rows (seconds 0–14) and half genuinely new rows
+    * (seconds 45–59, shifted ~100 years of exact days out — day
+    * arithmetic, no leap-day clamping divergence). The bloom path must
+    *
+    *   - drop every already-present row and keep every new one — the
+    *     row-level outcome DuckDB recomputes independently (a single
+    *     false-negative skip would leak an old row into the survivors
+    *     and break the count/sum/bounds),
+    *   - actually SKIP files (engine-side counter: the batch's keys
+    *     live in at most two second-groups, so most of the interleaved
+    *     files provably share no key with it),
+    *
+    * with bounds-cannot-prune asserted so the skips are attributable to
+    * the blooms alone.
+    */
+  def keyBloomFlow(s: SparkSession, dir: String): DataFrame = {
+    val root = freshWarehouse("graft-kb")
+    val ev = graft.Tables.t(s, dir, "events")
+      .select(col("ts"), col("value")).where(col("ts").isNotNull)
+    val table = LakehouseTable.createIfNotExists(
+      s, new org.apache.hadoop.fs.Path(root, "t"), ev.schema, Some("ts"))
+    table.setProperty("write.key-bloom.bits", "262144")
+    // files keyed by second-of-minute group: key-disjoint, time-interleaved
+    table.append(ev.repartition(8, floor(second(col("ts")) / 8)))
+    val batch = ev.filter(second(col("ts")) < 15)
+      .unionByName(ev.filter(second(col("ts")) >= 45)
+        .withColumn("ts", col("ts") + expr("INTERVAL 36500 DAYS")))
+    val survivors = graft.ingest.Dedup.dropExisting(batch, table, "ts")
+      .agg(
+        count(lit(1)).as("n_survivors"),
+        min(unix_micros(col("ts"))).as("min_ts_us"),
+        max(unix_micros(col("ts"))).as("max_ts_us"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+    // engine-side skip accounting, on the same candidates the dedup saw
+    val Array(lo, hi) = batch
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head().toSeq.toArray.map(_.asInstanceOf[Long])
+    val candidates = table.filesOverlapping(lo, hi)
+    val (_, skipped) = table.bloomSurvivors(
+      candidates, batch.select(unix_micros(col("ts")).as("_ku")))
+    survivors.select(
+      col("n_survivors"), col("min_ts_us"), col("max_ts_us"), col("sum_value"),
+      lit(candidates.size == table.currentDataFiles.size).as("bounds_cannot_prune"),
+      lit(skipped > 0).as("bloom_skipped_files"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q_lake_key_bloom",
+      keyBloomFlow,
+      Some("""WITH b AS (
+             |  SELECT ts + INTERVAL 36500 DAYS AS ts, value
+             |  FROM events WHERE ts IS NOT NULL AND second(ts) >= 45
+             |)
+             |SELECT count(*) AS n_survivors,
+             |       min(epoch_us(ts)) AS min_ts_us,
+             |       max(epoch_us(ts)) AS max_ts_us,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       true AS bounds_cannot_prune,
+             |       true AS bloom_skipped_files
+             |FROM b""".stripMargin)
+    ),
     QuerySpec(
       "q_lake_composite_partition",
       compositePartitionFlow,

@@ -997,6 +997,72 @@ object TextOps {
     ),
 
     QuerySpec(
+      // Hybrid retrieval via reciprocal-rank fusion: BM25 and
+      // distinct-term-overlap lists over the SAME postings index, fused
+      // by 1/(60+rank) — the standard way to combine retrievers whose
+      // score scales are incomparable (only ranks cross the boundary).
+      // Both input lists and the fusion are individually deterministic
+      // (scaled-long sums, integer overlap, lower-doc-id ties), so the
+      // whole two-retriever pipeline is value-checked end to end.
+      "q_text_rrf_fusion",
+      (s, dir) => {
+        val qs = Seq((0L, "spark window merge"), (1L, "customer join agg"),
+          (2L, "vector stream query data"))
+        val post = graft.ops.Retrieval.postings(t(s, dir, "documents"), "doc_id", "text")
+        graft.ops.Retrieval.rrfFuse(
+          Seq(graft.ops.Retrieval.searchPostings(post, "doc_id", qs, topK = 10),
+            graft.ops.Retrieval.overlapTopK(post, "doc_id", qs, topK = 10)),
+          "doc_id", topK = 5)
+          .orderBy("q_id", "rnk")
+      },
+      Some("""WITH q(q_id, qtext) AS (VALUES (0, 'spark window merge'),
+             |  (1, 'customer join agg'), (2, 'vector stream query data')),
+             |qt AS (SELECT DISTINCT q_id,
+             |         unnest(list_filter(string_split(qtext, ' '), t -> length(t) > 0)) AS term
+             |       FROM q),
+             |toks AS (SELECT doc_id,
+             |           len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS dl,
+             |           unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS term
+             |         FROM documents),
+             |post AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+             |         FROM toks GROUP BY 1, 2),
+             |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sdl
+             |          FROM (SELECT doc_id, max(dl) AS dl FROM post GROUP BY 1)),
+             |dfq AS (SELECT term, count(*) AS df FROM post
+             |        WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+             |sc AS (SELECT qt.q_id, post.doc_id,
+             |         CAST(round(
+             |           ln(1.0 + (stats.n - CAST(dfq.df AS DOUBLE) + 0.5) / (CAST(dfq.df AS DOUBLE) + 0.5))
+             |           * (CAST(post.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)
+             |              / (CAST(post.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+             |                 * (0.25 + 0.75 * (CAST(post.dl AS DOUBLE) / (stats.sdl / stats.n)))))
+             |           * 10000.0) AS BIGINT) AS s
+             |       FROM qt JOIN post USING (term) JOIN dfq USING (term) CROSS JOIN stats),
+             |agg AS (SELECT q_id, doc_id, sum(s) AS s FROM sc GROUP BY 1, 2),
+             |bm AS (SELECT q_id, doc_id,
+             |         row_number() OVER (PARTITION BY q_id ORDER BY s DESC, doc_id) AS rnk
+             |       FROM agg),
+             |ovr AS (SELECT q_id, doc_id, count(*) AS ov
+             |        FROM qt JOIN post USING (term) GROUP BY 1, 2),
+             |ovrr AS (SELECT q_id, doc_id,
+             |          row_number() OVER (PARTITION BY q_id ORDER BY ov DESC, doc_id) AS rnk
+             |         FROM ovr),
+             |lists AS (
+             |  SELECT q_id, doc_id, CAST(round(1000000.0 / (60 + rnk)) AS BIGINT) AS c
+             |  FROM bm WHERE rnk <= 10
+             |  UNION ALL
+             |  SELECT q_id, doc_id, CAST(round(1000000.0 / (60 + rnk)) AS BIGINT)
+             |  FROM ovrr WHERE rnk <= 10
+             |),
+             |f AS (SELECT q_id, doc_id, sum(c) AS s FROM lists GROUP BY 1, 2),
+             |fr AS (SELECT q_id, doc_id, CAST(s AS DOUBLE) / 1000000.0 AS rrf,
+             |         row_number() OVER (PARTITION BY q_id ORDER BY s DESC, doc_id) AS rnk
+             |       FROM f)
+             |SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, CAST(rnk AS BIGINT) AS rnk, rrf
+             |FROM fr WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_text_length_hist",
       (s, dir) =>
         t(s, dir, "documents")

@@ -93,4 +93,43 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(run() == run())
   }
+
+  test("overlapTopK ranks by distinct matched terms, ties to lower doc id") {
+    val post = Retrieval.postings(corpus, "doc_id", "text")
+    val rows = Retrieval.overlapTopK(post, "doc_id", Seq((0L, "spark window merge")), topK = 10)
+      .orderBy("rnk").collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 0: spark+merge=2; doc 1: spark+window=2; doc 2: window+merge=2; doc 3: 0
+    // all tie at overlap 2 → doc-id order; duplicate terms inside a doc count once
+    assert(rows.toSeq == Seq((0L, 1L, 2L), (1L, 2L, 2L), (2L, 3L, 2L)))
+  }
+
+  test("rrfFuse sums 1/(60+rank) across lists; docs on both lists outrank single-list docs") {
+    import spark.implicits._
+    // hand-built rank lists: doc 10 is rank 2 on BOTH lists,
+    // doc 11 is rank 1 on only one — fusion must put 10 first
+    // (1/62 + 1/62 = 0.032258 > 1/61 = 0.016393)
+    val a = Seq((0L, 11L, 1L), (0L, 10L, 2L)).toDF("q_id", "doc_id", "rnk")
+    val b = Seq((0L, 12L, 1L), (0L, 10L, 2L)).toDF("q_id", "doc_id", "rnk")
+    val fused = Retrieval.rrfFuse(Seq(a, b), "doc_id", topK = 10)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(fused.map(_._1).toSeq == Seq(10L, 11L, 12L))
+    // exact scaled-long arithmetic: round(1e6/62)*2 = 32258, round(1e6/61) = 16393
+    assert(fused(0)._3 == 0.032258 && fused(1)._3 == 0.016393)
+    // equal-score ties (docs 11 and 12, both rank-1 on one list) break to lower id
+    assert(fused(1)._1 < fused(2)._1 && fused(1)._3 == fused(2)._3)
+  }
+
+  test("fusion pipeline is deterministic and touches no corpus after the lists") {
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val qs = Seq((0L, "spark window merge"), (1L, "customer join agg"))
+    val post = Retrieval.postings(docs, "doc_id", "text")
+    def run() = Retrieval.rrfFuse(
+      Seq(Retrieval.searchPostings(post, "doc_id", qs, topK = 10),
+        Retrieval.overlapTopK(post, "doc_id", qs, topK = 10)),
+      "doc_id", topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(run() == run())
+    assert(run().nonEmpty)
+  }
 }
