@@ -1170,13 +1170,21 @@ final class LakehouseTable(
     // value summaries drop whole manifests unopened — at 10⁶ files the
     // difference between touching one symbol's manifests and parsing
     // every file path in the table
-    manifestsForQueryIn(snap, wanted, timeRangeUs)
+    val opened = manifestsForQueryIn(snap, wanted, timeRangeUs)
       .flatMap(r => log.readManifest(r.path))
-      .filter(f => timeRangeUs.forall { case (lo, hi) => f.overlaps(lo, hi) })
-      .filter { f =>
-        val segs = f.partitionSegments
-        wanted.forall { case (k, v) => segs.get(k).forall(_ == v) }
-      }
+    // skip no-op per-entry passes: an unfiltered scan's answer IS the
+    // concatenated manifests, and at 10⁵ cached entries the trivially-
+    // true filter closures (and the path parse they force) were most of
+    // the warm planning time
+    val timed = timeRangeUs match {
+      case None => opened
+      case Some((lo, hi)) => opened.filter(_.overlaps(lo, hi))
+    }
+    if (wanted.isEmpty) timed
+    else timed.filter { f =>
+      val segs = f.partitionSegments
+      wanted.forall { case (k, v) => segs.get(k).forall(_ == v) }
+    }
   }
 
   /** Manifests of the current snapshot a [[filesForQuery]]-shaped query

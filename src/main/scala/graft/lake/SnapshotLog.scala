@@ -119,7 +119,14 @@ final case class DataFile(
     * identity/derived-dim pruning reads these — the path IS the
     * partition tuple, no footer open needed.
     */
-  def partitionSegments: Map[String, String] =
+  /** `lazy val`, not `def`: entries live in the JVM-global planning
+    * cache, so the path parse is paid once per file per JVM instead of
+    * once per file PER QUERY — at 10⁵ cached entries the re-parse was
+    * the dominant term of warm identity-pruned planning. (json4s
+    * serializes constructor fields only, so the memo never reaches the
+    * manifest JSON.)
+    */
+  lazy val partitionSegments: Map[String, String] =
     path.split("/").dropRight(1).iterator.filter(_.contains("="))
       .map { seg =>
         val i = seg.indexOf('=')

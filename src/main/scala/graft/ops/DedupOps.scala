@@ -754,6 +754,44 @@ object DedupOps {
           s => s.getField(lineCol)),
         sep).as(outCol))
 
+  /** INTRA-document duplicated-line removal — the RefinedWeb-style
+    * line-wise correction that complements [[dropDuplicatedLines]]
+    * (cross-corpus): within ONE document, keep only the FIRST
+    * occurrence of each repeated line (chat transcripts, scraped pages
+    * with repeated widgets, and degenerate generations repeat lines
+    * inside a single doc; the cross-corpus doc-frequency filter cannot
+    * see them because df counts DISTINCT docs).
+    *
+    * 100 TB shape: one window min over (doc, line) — hash-partitioned
+    * on the same keys the reassembly aggregate uses, so the second
+    * stage reuses the exchange; no corpus-wide state, every group is
+    * doc-local.
+    */
+  def dedupLinesWithinDoc(
+      lines: DataFrame,
+      idCol: String = "doc_id",
+      orderCol: String = "line_no",
+      lineCol: String = "line"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col(lineCol))
+    lines.withColumn("__first", min(col(orderCol)).over(w))
+      .filter(col(orderCol) === col("__first"))
+      .drop("__first")
+  }
+
+  /** Composed intra-doc repetition removal: segment to token lines →
+    * keep first occurrence per doc → reassemble in order.
+    */
+  def removeIntraDocRepetition(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tokensPerLine: Int = 8): DataFrame =
+    reassembleLines(
+      dedupLinesWithinDoc(
+        segmentTokenLines(docs, idCol, textCol, tokensPerLine), idCol),
+      idCol)
+
   /** The composed operator: segment → corpus-df filter → reassemble. */
   def dedupLinesTokenized(
       docs: DataFrame,

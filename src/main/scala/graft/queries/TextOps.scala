@@ -1449,6 +1449,34 @@ object TextOps {
     ),
 
     QuerySpec(
+      "q_text_intradoc_dedup",
+      // RefinedWeb-style INTRA-document repetition removal: within one
+      // doc keep only the first occurrence of each repeated 4-token
+      // line (cross-corpus line dedup can't see these — its doc
+      // frequency counts distinct docs). 4-token lines, not 8, so the
+      // synthetic corpus actually exhibits intra-doc repeats.
+      (s, dir) =>
+        DedupOps.removeIntraDocRepetition(
+          t(s, dir, "documents"), tokensPerLine = 4)
+          .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         unnest(list_filter(string_split(text,' '), x -> length(x)>0)) AS tok,
+             |         generate_subscripts(list_filter(string_split(text,' '), x -> length(x)>0), 1) AS ord
+             |  FROM documents
+             |), lines AS (
+             |  SELECT doc_id, CAST((ord-1)//4 AS BIGINT) AS line_no,
+             |         string_agg(tok, ' ' ORDER BY ord) AS line
+             |  FROM toks GROUP BY 1, 2
+             |), firsts AS (
+             |  SELECT doc_id, line, min(line_no) AS line_no
+             |  FROM lines GROUP BY 1, 2
+             |)
+             |SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS text_clean
+             |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_text_pii",
       // PII scrub: inject a deterministic email / IPv4 / phone tail per
       // doc (the corpus carries none), redact, and value-check the

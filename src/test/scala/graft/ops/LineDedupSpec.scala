@@ -69,6 +69,19 @@ class LineDedupSpec extends SparkSpec {
     assert(out(1).getString(1) == "iota kappa lambda mu nu xi omicron pi")
   }
 
+  test("removeIntraDocRepetition keeps the first occurrence of a within-doc repeat") {
+    // doc 1 repeats "a b" (lines 0 and 2); doc 2 shares "a b" with doc 1
+    // but has no internal repeat — cross-doc presence must NOT drop it
+    val docs = Seq(
+      (1L, "a b c d a b e f"),
+      (2L, "a b x y")).toDF("doc_id", "text")
+    val out = DedupOps.removeIntraDocRepetition(docs, tokensPerLine = 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(
+      (1L, "a b c d e f"), // second "a b" removed, order preserved
+      (2L, "a b x y")))    // untouched: intra-doc dedup is doc-local
+  }
+
   test("gopherFilter drops short, low-diversity and repetitive docs") {
     val good = (1 to 40).map(i => s"w$i").mkString(" ") // diverse, long enough
     val short = "one two three"

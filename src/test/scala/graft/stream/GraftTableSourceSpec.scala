@@ -366,6 +366,48 @@ class GraftTableSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("two-tier CDC chain: bronze -> silver -> gold converges end to end") {
+    // the silver table's commits are 'cdc-apply' (images + tombstones in
+    // ONE snapshot) — the gold feed must classify them through the
+    // exclusion-join path: masked-and-replaced keys emit as upserts,
+    // masked-only keys as delete pre-images. This is the replication
+    // topology a real deployment chains (region -> hub -> serving).
+    val root = tmpDir("gts-chain")
+    val bronze = fresh(root, "bronze")
+    val silver = fresh(root, "silver")
+    val gold = fresh(root, "gold")
+    bronze.append(df(0 until 8))
+    def mirror(src: LakehouseTable, dst: LakehouseTable, name: String) =
+      readStream(src, "changeFeed" -> "true")
+        .writeStream.format("graft-table")
+        .option("path", dst.tableDir.toString)
+        .option("queryId", name)
+        .option("cdcApply", "true").option("keys", "EventId")
+        .option("checkpointLocation", s"$root/ckpt-$name")
+        .trigger(Trigger.ProcessingTime(10L))
+        .start()
+    val q1 = mirror(bronze, silver, "tier1")
+    val q2 = mirror(silver, gold, "tier2")
+    def snapshot(t: graft.lake.LakehouseTable): Map[Long, Double] =
+      t.read().select("EventId", "Bid").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      assert(snapshot(gold) == snapshot(bronze), "images chain through")
+      // mixed workload: insert + upsert + delete, including
+      // upsert-then-delete of key 3 inside one drain
+      bronze.append(df(8 until 10))
+      bronze.morMerge(df(Seq(1, 3)).withColumn("Bid", lit(500.0)), "EventId")
+      bronze.morDeleteKeys(Seq(2L, 3L).toDF("EventId"), "EventId")
+      q1.processAllAvailable(); q2.processAllAvailable()
+      assert(snapshot(silver) == snapshot(bronze), "tier 1 converges")
+      assert(snapshot(gold) == snapshot(bronze),
+        s"tier 2 must converge through cdc-apply commits: " +
+          s"gold=${snapshot(gold)} bronze=${snapshot(bronze)}")
+      assert(snapshot(gold)(1L) == 500.0 && !snapshot(gold).contains(3L))
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("cdcApply refuses a nondeterministic fold (duplicate keys at one _commit_seq)") {
     val root = tmpDir("gts-dupguard")
     val dst = fresh(root, "dst")
