@@ -143,4 +143,59 @@ object Chunking {
           " ").as("text"),
         count(lit(1)).as("n_tokens"))
   }
+
+  /** CONTENT-DEFINED chunking (FastCDC/Rabin idea at token granularity):
+    * a chunk boundary falls after token `p` exactly when the k-token
+    * gram ENDING at `p` hashes to 0 mod `modulus` — boundaries are a
+    * function of local content, not of position, so an edit moves only
+    * the chunks around it while fixed-size chunking reshuffles every
+    * chunk after the edit point. The chunking that keeps chunk-level
+    * dedup and embedding caches stable across document revisions — the
+    * property [[chunkTokens]] (position-based) cannot offer.
+    *
+    * Expected chunk length ≈ `modulus` tokens (geometric); `minLen` is
+    * deliberately NOT implemented — a min-length rule re-introduces
+    * position dependence at exactly the boundaries stability is for.
+    *
+    * Shape: one projection computes the gram hashes natively
+    * ([[graft.functions.PolyGramHashes]] — the same codegen loop the
+    * MinHash pipeline uses, so boundaries are engine-portable), one
+    * `posexplode`, one per-document window prefix-sum (doc-local sort),
+    * one hash aggregate that reuses the window's partitioning. No
+    * corpus-wide state; scan-speed at 100 TB.
+    */
+  def contentDefinedChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      modulus: Int = 8): DataFrame = {
+    require(k >= 1, "gram size k must be >= 1")
+    require(modulus >= 2, "modulus must be >= 2")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val exploded = df
+      .select(col(idCol), toks.as("__toks"),
+        graft.functions.PolyGramHashes(toks, k).as("__gs"))
+      .select(col(idCol), col("__gs"),
+        posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+      // boundary AFTER token p ⇔ the gram ending at p (start p-k+1,
+      // 1-based element index p-k+2) hashes ≡ 0 (mod modulus)
+      .withColumn("__b",
+        when(col("__pos") >= k - 1 &&
+          element_at(col("__gs"), col("__pos") - lit(k - 2)) % modulus === 0L, 1L)
+          .otherwise(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    exploded
+      .withColumn("chunk_id", coalesce(sum(col("__b")).over(w), lit(0L)))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+            s => s.getField("__tok")),
+          " ").as("text"),
+        count(lit(1)).as("n_tokens"))
+  }
 }

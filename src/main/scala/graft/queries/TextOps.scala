@@ -1449,6 +1449,44 @@ object TextOps {
     ),
 
     QuerySpec(
+      "q_text_cdc_chunk",
+      // content-defined chunking: boundaries where the 3-gram ending at
+      // a token hashes ≡ 0 (mod 8) — edit-stable chunk borders (the
+      // chunking that keeps chunk dedup / embedding caches valid across
+      // document revisions). polyHash grams replay exactly in DuckDB,
+      // so chunk borders AND contents are value-checked.
+      (s, dir) =>
+        graft.ops.Chunking.contentDefinedChunks(
+          t(s, dir, "documents"), "doc_id", "text", k = 3, modulus = 8)
+          .orderBy("doc_id", "chunk_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split(text,' '), t -> length(t) > 0) AS tk
+             |  FROM documents
+             |), pos AS (
+             |  SELECT doc_id, tk, unnest(tk) AS tok, generate_subscripts(tk, 1) AS ord FROM tk
+             |), fl AS (
+             |  SELECT doc_id, ord, tok,
+             |    CASE WHEN ord >= 3 AND
+             |      list_reduce(list_prepend(0::BIGINT,
+             |        list_transform(string_split(
+             |          array_to_string(list_slice(tk, ord - 2, ord), ' '), ''),
+             |          c -> ascii(c)::BIGINT)),
+             |        (a, b) -> (a*31 + b) % 1000000007) % 8 = 0
+             |    THEN 1 ELSE 0 END AS b
+             |  FROM pos
+             |), ch AS (
+             |  SELECT doc_id, ord, tok,
+             |    coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY ord
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+             |  FROM fl
+             |)
+             |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             |       string_agg(tok, ' ' ORDER BY ord) AS text,
+             |       count(*) AS n_tokens
+             |FROM ch GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_text_intradoc_dedup",
       // RefinedWeb-style INTRA-document repetition removal: within one
       // doc keep only the first occurrence of each repeated 4-token

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class ChunkingSpec extends SparkSpec {
   import spark.implicits._
@@ -73,5 +74,43 @@ class ChunkingSpec extends SparkSpec {
   test("packSequences on an empty corpus is empty") {
     val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Chunking.packSequences(docs, "doc_id", "text", 8).collect().isEmpty)
+  }
+
+  test("contentDefinedChunks partitions every token exactly once, in order") {
+    val text = (0 until 120).map(i => s"w${(i * 7) % 23}").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = Chunking.contentDefinedChunks(docs, "doc_id", "text", k = 3, modulus = 4)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(chunks.length > 1, "modulus 4 over 120 tokens must cut somewhere")
+    assert(chunks.map(_._1).toSeq == chunks.indices.map(_.toLong), "dense chunk ids")
+    assert(chunks.map(_._2).mkString(" ") == text, "concatenation restores the doc")
+    assert(chunks.map(_._3).sum == 120L)
+  }
+
+  test("contentDefinedChunks boundaries are edit-stable (the property position chunking lacks)") {
+    val base = (0 until 150).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, "prefix tokens added up front " + base))
+      .toDF("doc_id", "text")
+    def chunksOf(id: Long) = Chunking
+      .contentDefinedChunks(docs.filter(col("doc_id") === id), "doc_id", "text",
+        k = 3, modulus = 4)
+      .orderBy("chunk_id").collect().map(_.getString(2)).toSeq
+    val orig = chunksOf(1L)
+    val edited = chunksOf(2L)
+    assert(orig.length > 2)
+    // every chunk of the original past its FIRST boundary reappears
+    // verbatim in the prefixed document: boundaries realign on content
+    // within one chunk of the edit. Fixed-size chunking (chunkTokens)
+    // shifts every chunk after the edit — assert the contrast.
+    val stable = orig.drop(1)
+    assert(stable.forall(edited.contains),
+      s"content-defined chunks must survive a prefix edit:\n$orig\nvs\n$edited")
+    val fixedOrig = Chunking.chunkTokens(docs.filter(col("doc_id") === 1L),
+      "doc_id", "text", window = 4, overlap = 0).collect().map(_.getString(2)).toSet
+    val fixedEdited = Chunking.chunkTokens(docs.filter(col("doc_id") === 2L),
+      "doc_id", "text", window = 4, overlap = 0).collect().map(_.getString(2)).toSet
+    assert((fixedOrig -- fixedEdited).size > fixedOrig.size / 2,
+      "position-based chunks should mostly NOT survive the same edit (5-token prefix shift)")
   }
 }
