@@ -792,6 +792,42 @@ object DedupOps {
         segmentTokenLines(docs, idCol, textCol, tokensPerLine), idCol),
       idCol)
 
+  /** Corpus-wide CHUNK-level dedup over content-defined chunks — the
+    * composition [[graft.ops.Chunking.contentDefinedChunks]] exists
+    * for: because chunk borders realign on content, the same repeated
+    * passage chunks identically in every document that carries it
+    * (fixed-size chunking would cut it at a different alignment per
+    * doc and the duplicates would never collide), so ONE keep-first
+    * pass over chunk text removes every cross-document repeated
+    * passage. Keep-first is (doc id, chunk id) lexicographic; docs
+    * whose every chunk was seen earlier do not reappear (the line-dedup
+    * convention).
+    *
+    * 100 TB shape: one shuffle on chunk text for the keep-first window
+    * (hash the text to a fingerprint upstream if chunks are wide), one
+    * doc-local reassembly aggregate. No pairwise joins anywhere.
+    */
+  def dedupContentChunks(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3,
+      modulus: Int = 8): DataFrame = {
+    val chunks = graft.ops.Chunking.contentDefinedChunks(docs, idCol, textCol, k, modulus)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("text")).orderBy(col(idCol), col("chunk_id"))
+    chunks.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("chunk_id"), col("text")))),
+            s => s.getField("text")),
+          " ").as("text_clean"),
+        count(lit(1)).as("n_chunks"))
+  }
+
   /** The composed operator: segment → corpus-df filter → reassemble. */
   def dedupLinesTokenized(
       docs: DataFrame,

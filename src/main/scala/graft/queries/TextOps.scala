@@ -1487,6 +1487,50 @@ object TextOps {
     ),
 
     QuerySpec(
+      "q_text_cdc_chunk_dedup",
+      // the composition content-defined chunking exists for: repeated
+      // passages chunk identically in every doc that carries them, so
+      // one keep-first pass over chunk text removes cross-document
+      // repetition — no pairwise join, no position sensitivity
+      (s, dir) =>
+        DedupOps.dedupContentChunks(
+          t(s, dir, "documents"), "doc_id", "text", k = 3, modulus = 8)
+          .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split(text,' '), t -> length(t) > 0) AS tk
+             |  FROM documents
+             |), pos AS (
+             |  SELECT doc_id, tk, unnest(tk) AS tok, generate_subscripts(tk, 1) AS ord FROM tk
+             |), fl AS (
+             |  SELECT doc_id, ord, tok,
+             |    CASE WHEN ord >= 3 AND
+             |      list_reduce(list_prepend(0::BIGINT,
+             |        list_transform(string_split(
+             |          array_to_string(list_slice(tk, ord - 2, ord), ' '), ''),
+             |          c -> ascii(c)::BIGINT)),
+             |        (a, b) -> (a*31 + b) % 1000000007) % 8 = 0
+             |    THEN 1 ELSE 0 END AS b
+             |  FROM pos
+             |), ch AS (
+             |  SELECT doc_id, ord, tok,
+             |    coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY ord
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+             |  FROM fl
+             |), chunks AS (
+             |  SELECT doc_id, chunk_id, string_agg(tok, ' ' ORDER BY ord) AS text
+             |  FROM ch GROUP BY 1, 2
+             |), kept AS (
+             |  SELECT doc_id, chunk_id, text FROM (
+             |    SELECT doc_id, chunk_id, text,
+             |      row_number() OVER (PARTITION BY text ORDER BY doc_id, chunk_id) AS rn
+             |    FROM chunks) WHERE rn = 1
+             |)
+             |SELECT doc_id, string_agg(text, ' ' ORDER BY chunk_id) AS text_clean,
+             |       count(*) AS n_chunks
+             |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_text_intradoc_dedup",
       // RefinedWeb-style INTRA-document repetition removal: within one
       // doc keep only the first occurrence of each repeated 4-token

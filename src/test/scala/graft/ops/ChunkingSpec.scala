@@ -113,4 +113,27 @@ class ChunkingSpec extends SparkSpec {
     assert((fixedOrig -- fixedEdited).size > fixedOrig.size / 2,
       "position-based chunks should mostly NOT survive the same edit (5-token prefix shift)")
   }
+
+  test("dedupContentChunks removes a shared passage that sits at DIFFERENT offsets") {
+    // the motivating case: two docs carry the same 60-token passage at
+    // different positions — fixed-size chunking cuts it at different
+    // alignments per doc (duplicates never collide); content-defined
+    // chunks realign, so keep-first removes the second copy
+    val passage = (0 until 60).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $passage z1 z2"),
+      (2L, s"b1 b2 b3 b4 b5 b6 b7 $passage y1")).toDF("doc_id", "text")
+    val out = DedupOps.dedupContentChunks(docs, "doc_id", "text", k = 3, modulus = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val doc2 = out(2L)
+    // doc 2 keeps its unique head/tail but loses the interior of the
+    // shared passage (boundary chunks may differ — they span the splice)
+    assert(doc2.contains("b1"), "doc 2's unique prefix survives")
+    val interior = (20 until 40).map(i => s"p$i")
+    assert(!interior.forall(doc2.split(" ").contains),
+      s"the shared passage interior must dedup out of doc 2, got: $doc2")
+    // doc 1 (the keep-first winner) keeps the full passage
+    assert((0 until 60).map(i => s"p$i").forall(out(1L).split(" ").contains))
+  }
 }
