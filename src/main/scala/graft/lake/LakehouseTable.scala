@@ -1087,7 +1087,16 @@ final class LakehouseTable(
     }.getOrElse(Nil)
     ranged.filter { f =>
       val inRange = keysUs.filter(k => f.overlaps(k, k))
-      bloomMayContain(new Path(tableDir, f.path), keyCol, inRange)
+      // manifest bloom first (round 11): zero-I/O — rejects a
+      // within-bounds file from the already-parsed manifest entry
+      // before the footer+bitset read below is even attempted. Files
+      // without a bloom (or a foreign probe count) fall through.
+      val manifestMaybe = f.keyBloom match {
+        case Some(b) if b.hashes == LakehouseTable.KeyBloomHashes =>
+          inRange.exists(b.mightContain)
+        case _ => true
+      }
+      manifestMaybe && bloomMayContain(new Path(tableDir, f.path), keyCol, inRange)
     }
   }
 

@@ -159,11 +159,35 @@ final case class ColumnBounds(column: String, min: Long, max: Long)
   * positive only costs reading a file the anti-join then ignores.
   */
 final case class KeyBloom(bits: Int, hashes: Int, words: String) {
-  def wordArray: Array[Long] = {
+  lazy val wordArray: Array[Long] = {
     val bytes = java.util.Base64.getDecoder.decode(words)
     val buf = java.nio.ByteBuffer.wrap(bytes)
     Array.fill(bytes.length / 8)(buf.getLong)
   }
+
+  /** The k probe bit-positions of a key — DRIVER-side, bit-identical to
+    * the distributed predicate's `pmod(xxhash64(ku, i), m)`: Spark's
+    * multi-arg xxhash64 folds left with seed 42, hashing the LONG key
+    * then the INT probe index, so the replication calls the same
+    * catalyst `XXH64` kernels in the same order. Parity is spec-pinned
+    * against the SQL expression (KeyBloomSpec), because a silent
+    * divergence here would turn into false-negative skips.
+    */
+  private[lake] def probePositions(keyUs: Long): Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val base = XXH64.hashLong(keyUs, 42L)
+    Array.tabulate(hashes)(i =>
+      java.lang.Math.floorMod(XXH64.hashInt(i, base), bits.toLong))
+  }
+
+  /** Driver-side membership probe — lets metadata-only planning (point
+    * lookups over a driver-enumerable key list) consult the manifest
+    * bloom BEFORE any footer open. No false negatives, same as the
+    * distributed probe.
+    */
+  def mightContain(keyUs: Long): Boolean =
+    probePositions(keyUs).forall(p =>
+      ((wordArray((p >> 6).toInt) >> (p & 63)) & 1L) == 1L)
 }
 
 object KeyBloom {

@@ -121,6 +121,40 @@ class KeyBloomSpec extends SparkSpec {
     assert((0 until 160).map(usOf).forall(keptKeys.contains))
   }
 
+  test("driver-side probe positions are bit-identical to the SQL predicate's") {
+    // the parity that makes zero-I/O manifest-bloom point skipping safe:
+    // a divergence between the catalyst XXH64 replication and the SQL
+    // xxhash64(ku, i) expression would become false-negative skips
+    val m = 4096L
+    val keys: Seq[Long] = (Seq(0L, -1L, Long.MaxValue, Long.MinValue) ++
+      (1 to 60).map(j => j * 982451653L - 31L * j * j)).distinct
+    val probe = KeyBloom(m.toInt, LakehouseTable.KeyBloomHashes, "")
+    val cols = (0 until LakehouseTable.KeyBloomHashes).map(i =>
+      pmod(xxhash64(col("k"), lit(i)), lit(m)).as(s"p$i")) :+ col("k")
+    keys.toDF("k").select(cols: _*).collect().foreach { r =>
+      val k = r.getLong(LakehouseTable.KeyBloomHashes)
+      val sql = (0 until LakehouseTable.KeyBloomHashes).map(r.getLong(_))
+      assert(probe.probePositions(k).toSeq == sql,
+        s"probe positions diverge for key $k")
+    }
+  }
+
+  test("point-lookup planning skips bloom-excluded files without a footer open") {
+    val t = mkTable("kb8", Some(4096))
+    (0 until 4).foreach(r => t.append(residue(r)))
+    // keys of residue 1 only: ranges interleave (every file overlaps),
+    // but only file r=1 can contain them
+    val keys = Seq(usOf(1), usOf(5), usOf(9))
+    val files = t.filesContainingAnyKey(keys)
+    val present = files.flatMap(f =>
+      spark.read.parquet(new Path(t.tableDir, f.path).toString)
+        .select(unix_micros(col("DateTime"))).as[Long].collect())
+    assert(keys.forall(present.contains), "no false-negative point skips")
+    assert(files.size < 4, "manifest blooms must reject interleaved keyless files")
+    // a key nobody holds plans zero files
+    assert(t.filesContainingAnyKey(Seq(usOf(999999))).isEmpty)
+  }
+
   test("blooms survive the JSON manifest round-trip bit-for-bit") {
     val t = mkTable("kb6", Some(256))
     t.append(residue(3))
