@@ -1017,6 +1017,14 @@ final class LakehouseTable(
     val (withB, withoutB) =
       files.partition(_.keyBloom.exists(_.hashes == LakehouseTable.KeyBloomHashes))
     if (withB.isEmpty) return (files, 0)
+    // an empty (or all-null) key frame carries NO pruning information —
+    // without this check it would "skip" every bloom-carrying file and
+    // silently return a partial range to any caller outside the dedup
+    // shape (ADVICE r11). A limit(1) existence probe, not a full count.
+    val keyFrame = keysUs
+      .select(col(keysUs.columns.head).cast("long").as("_ku"))
+      .where(col("_ku").isNotNull)
+    if (keyFrame.isEmpty) return (files, 0)
     val schema = StructType(Seq(
       StructField("_bi", org.apache.spark.sql.types.IntegerType, nullable = false),
       StructField("_bm", org.apache.spark.sql.types.LongType, nullable = false),
@@ -1036,9 +1044,7 @@ final class LakehouseTable(
       s"(shiftright(element_at(_bw, CAST(pmod(xxhash64(_ku, $i), _bm) DIV 64 AS INT) + 1), " +
         s"CAST(pmod(xxhash64(_ku, $i), _bm) % 64 AS INT)) & 1) = 1")
       .mkString(" AND ")
-    val hits = keysUs
-      .select(col(keysUs.columns.head).cast("long").as("_ku"))
-      .where(col("_ku").isNotNull)
+    val hits = keyFrame
       .crossJoin(broadcast(bloomDf))
       .where(expr(pred))
       .select("_bi").distinct().collect().map(_.getInt(0)).toSet
@@ -1532,8 +1538,19 @@ final class LakehouseTable(
               s"for '${f.source}', so its '${f.name}=$dirVal' dir cannot be " +
               "validated — refuse rather than trust (re-write the file with " +
               "column statistics enabled)"))
-          val dLo = LakehouseTable.derivedTimeValue(f.transform, lo, zone)
-          val dHi = LakehouseTable.derivedTimeValue(f.transform, hi, zone)
+          // TimestampNTZ footer micros are zone-less LOCAL micros —
+          // partitionExpr derives year/month/day from the local fields,
+          // so validation must too: re-interpreting them as epoch
+          // instants through the session zone would shift day/hour
+          // boundaries in non-UTC sessions and refuse (or mislabel)
+          // valid imports (ADVICE r11)
+          val srcZone =
+            if (expected.fields.exists(fd => fd.name == f.source &&
+                fd.dataType == org.apache.spark.sql.types.TimestampNTZType))
+              java.time.ZoneOffset.UTC
+            else zone
+          val dLo = LakehouseTable.derivedTimeValue(f.transform, lo, srcZone)
+          val dHi = LakehouseTable.derivedTimeValue(f.transform, hi, srcZone)
           if (dLo != dHi) throw new IllegalArgumentException(
             s"addFiles: staged file '$rel' spans ${f.name} values $dLo..$dHi — " +
               "a file must lie entirely inside its partition dir, or rows past " +
@@ -2118,10 +2135,18 @@ final class LakehouseTable(
       .groupBy("_f").agg(collect_set(col("_p")).as("_ps"))
       .collect()
       .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // input_file_name returns URI-ESCAPED paths — a partition value
+    // containing a space/'%'/'#' would never suffix-match the raw
+    // manifest path, silently disabling the bloom for that file
+    // (ADVICE r11) — so decode to the raw path form before matching
+    val decoded = byFile.map { case (uri, ps) =>
+      val raw = try new java.net.URI(uri).getPath catch { case _: Exception => uri }
+      raw -> ps
+    }
     moved.map { f =>
-      // input_file_name URIs end with the table-relative path; a file
-      // the job did not see (0-row edge) keeps no bloom = never skipped
-      byFile.collectFirst { case (uri, ps) if uri.endsWith("/" + f.path) => ps } match {
+      // decoded URIs end with the table-relative path; a file the job
+      // did not see (0-row edge) keeps no bloom = never skipped
+      decoded.collectFirst { case (path, ps) if path.endsWith("/" + f.path) => ps } match {
         case None => f
         case Some(ps) =>
           val words = new Array[Long](m / 64)
@@ -2842,7 +2867,7 @@ final class LakehouseTable(
       .unionByName(guardedTombstones.withColumn(marker, lit("d")))
     val nameId = metadata.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
     val staged = stageMasksByMarker(marked, marker, nameId)
-    val imageRows = staged.collectFirst { case ("i", _, rows, _) => rows }.getOrElse(0L)
+    val imageRows = staged.collect { case ("i", _, rows, _) => rows }.sum
     val moved = if (imageRows == 0L) Nil else writeStaged(metadata, images)
     if (staged.isEmpty && moved.isEmpty) {
       advanceStreamWatermark(queryId, batchId)
@@ -2885,11 +2910,16 @@ final class LakehouseTable(
       marked.coalesce(1).write.mode("overwrite").partitionBy(marker))
       .parquet(staging.toString)
     fs.mkdirs(deletesDir)
+    // EVERY parquet part moves, not just the first: coalesce(1) still
+    // emits multiple parts per partition under maxRecordsPerFile (or a
+    // future writer change), and a dropped part would silently lose
+    // mask keys from the attested CDC path (ADVICE r11). One DeleteFile
+    // per part — the caller sums rows per marker.
     val out = Seq("i", "d").flatMap { m =>
       val dir = new Path(staging, s"$marker=$m")
-      if (!fs.exists(dir)) None
-      else fs.listStatus(dir).map(_.getPath)
-        .find(_.getName.endsWith(".parquet"))
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).map(_.getPath).toSeq
+        .filter(_.getName.endsWith(".parquet"))
         .flatMap { src =>
           val dest = new Path(deletesDir,
             s"delete-$nameId-${UUID.randomUUID().toString.take(8)}-$m.parquet")

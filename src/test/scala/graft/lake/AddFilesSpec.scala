@@ -211,4 +211,27 @@ class AddFilesSpec extends SparkSpec {
     assert(e.getMessage.contains("refusing to move"), e.getMessage)
     assert(table.read().count() == rowsAfterFirst, "live data must be untouched")
   }
+
+  test("NTZ day validation derives from local fields, not session-zone instants (ADVICE r11)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // 02:30 LOCAL on 2024-03-01: re-read as an epoch instant through an
+    // America/New_York session, the same micros land on 2024-02-29 —
+    // the old derivation would refuse this perfectly valid import
+    val data = Seq("2024-03-01 02:30:00").toDF("s")
+      .select(col("s").cast("timestamp_ntz").as("ts"), lit(1.0).as("px"))
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("af-ntz"), "t"), data.schema, Some("ts"), "day")
+    val staged = tmpDir("af-ntz-staged")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    data.withColumn("ts_day", lit(20240301))
+      .coalesce(1).write.mode("overwrite").partitionBy("ts_day").parquet(staged)
+    val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val snap = t.addFiles(new Path(staged))
+      assert(snap.addedFilesCount == 1 && snap.addedRows == 1L)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevZone)
+    assert(t.read().count() == 1L)
+    assert(t.read().select("ts_day").head().getInt(0) == 20240301)
+  }
 }

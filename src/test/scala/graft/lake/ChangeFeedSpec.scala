@@ -215,4 +215,35 @@ class ChangeFeedSpec extends SparkSpec {
     assert(dels == Set((2L, "s0"), (3L, "s1")),
       s"composite-key pre-images must match on ALL components, got $dels")
   }
+
+  test("attested apply moves EVERY mask part under maxRecordsPerFile (ADVICE r11)") {
+    val t = fresh("multi-part-masks")
+    t.append(df(0 until 20))
+    val confKey = "spark.sql.files.maxRecordsPerFile"
+    val prev = spark.conf.getOption(confKey)
+    // force the coalesce(1) mask write to split into many parquet parts
+    spark.conf.set(confKey, "2")
+    try {
+      val images = df(0 until 8).withColumn("Bid", lit(99.0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      images.count()
+      try t.morApplyStream("mp", 1L, images = images,
+        deleteKeys = (10 until 16).map(_.toLong).toDF("EventId"),
+        keyCols = Seq("EventId"), stableValidatedImages = true)
+      finally images.unpersist(blocking = false)
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+    // the masks really did split — and every part survived the staging move
+    val masks = t.currentDeleteFiles
+    assert(masks.size >= 4, s"expected multiple mask parts per side, got ${masks.size}")
+    assert(masks.map(_.rows).sum == 8L + 6L,
+      s"mask rows must equal image + tombstone rows exactly, got ${masks.map(_.rows).sum}")
+    // row-level outcome: no upsert or deletion silently lost
+    val s = state(t)
+    assert((0 until 8).forall(i => s(i.toLong) == 99.0), s"upsert images lost: $s")
+    assert((10 until 16).forall(i => !s.contains(i.toLong)), s"tombstones lost: $s")
+    assert(s.size == 14, s"expected 14 live keys, got ${s.size}")
+  }
 }

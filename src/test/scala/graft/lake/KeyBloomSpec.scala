@@ -170,4 +170,43 @@ class KeyBloomSpec extends SparkSpec {
     val (kept, _) = t.bloomSurvivors(Seq(reloaded), keys)
     assert(kept.size == 1)
   }
+
+  test("an empty or all-null key frame keeps every file (ADVICE r11)") {
+    val t = mkTable("kb8", Some(4096))
+    (0 until 3).foreach(r => t.append(residue(r)))
+    val candidates = t.filesOverlapping(usOf(0), usOf(200))
+    assert(candidates.size == 3)
+    // no keys ⇒ no pruning information ⇒ nothing may be skipped: a
+    // caller outside the dedup shape would otherwise get a silently
+    // partial range read
+    val empty = Seq.empty[Long].toDF("_ku")
+    val (k1, s1) = t.bloomSurvivors(candidates, empty)
+    assert(k1.size == 3 && s1 == 0)
+    val allNull = Seq[Option[Long]](None, None).toDF("_ku")
+    val (k2, s2) = t.bloomSurvivors(candidates, allNull)
+    assert(k2.size == 3 && s2 == 0)
+    assert(t.readRangeForKeys(usOf(0), usOf(200), empty).count() ==
+      t.readRange(usOf(0), usOf(200)).count())
+  }
+
+  test("blooms attach under partition dirs needing URI escaping (ADVICE r11)") {
+    // input_file_name() URI-escapes paths — a space in an identity
+    // partition value must not silently disable the bloom for its files
+    val data = (0 until 8).map(i =>
+      ("A B", Timestamp.valueOf(f"2024-01-01 00:00:00.$i%06d"), i.toDouble))
+      .toDF("Sym", "DateTime", "Bid")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("kb-esc"), "t"), data.schema,
+      Seq("Sym" -> "identity", "DateTime" -> "day"))
+    t.setProperty("write.key-bloom.bits", "4096")
+    t.append(data)
+    val files = t.currentDataFiles
+    assert(files.nonEmpty && files.forall(f => f.path.contains("Sym=A B")))
+    assert(files.forall(_.keyBloom.isDefined),
+      s"escaped dir broke bloom attachment: " +
+        files.map(f => f.path -> f.keyBloom.isDefined).mkString(", "))
+    // and the attached bloom answers: a foreign key skips the file
+    val (kept, skipped) = t.bloomSurvivors(files, Seq(usOf(999999)).toDF("_ku"))
+    assert(skipped == files.size, s"kept=${kept.size} skipped=$skipped")
+  }
 }
