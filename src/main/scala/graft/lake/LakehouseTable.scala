@@ -1122,6 +1122,23 @@ final class LakehouseTable(
       .filter(unix_micros(col(keyCol).cast(TimestampType)).isin(keysUs: _*))
   }
 
+  /** [[readPoints]] WITHOUT the final key filter: scans only the
+    * point-surviving files (manifest bounds → manifest bloom → parquet
+    * footer bloom) plus the live delete masks, returning a SUPERSET of
+    * the point rows. The SQL expansion rule splices this under the
+    * query's own exact predicate (which re-applies on top), so it must
+    * not guess the predicate's key encoding — and unlike [[readPoints]]
+    * it is correct for integral key columns too, where a timestamp
+    * cast would mangle the filter. Empty `keysUs` (a contradictory
+    * IN-list intersection) plans zero files.
+    */
+  def readPointsPruned(keysUs: Seq[Long]): DataFrame = {
+    val meta = metadata
+    val snap = meta.currentSnapshot
+    readWithDeletes(filesContainingAnyKeyIn(meta, snap, keysUs),
+      snap.map(liveDeleteFiles).getOrElse(Nil))
+  }
+
   /** Equality-key read on a bucket[N]-partitioned table: each key's
     * bucket is derived with the same stable hash used at write time, the
     * derived literals constant-fold, and hive-dir partition pruning

@@ -1,7 +1,7 @@
 package graft.lake
 
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
-import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType, TimestampType}
 
 /** Conservative [lo, hi] epoch-micros bounds a predicate imposes on a
   * named time column — ONLY conjuncts of the shape
@@ -52,5 +52,72 @@ object PredicateBounds {
       case _ => ()
     }
     (lo, hi)
+  }
+
+  /** Cap on the extracted point-key set: the per-file manifest/footer
+    * probe is O(files × keys) driver-side, so a pathological IN list
+    * falls back to range pruning instead of a quadratic planning pass.
+    */
+  val MaxPointKeys: Int = 1024
+
+  /** The EXACT finite key set a predicate's conjuncts pin the key
+    * column to, in the manifest-stats encoding (epoch micros for
+    * timestamp keys — NTZ literals already carry zone-less local
+    * micros, matching the footer bounds — the raw value for integral
+    * keys): `k = lit` and `k IN (lits)` conjuncts contribute; several
+    * such conjuncts intersect. None ⇔ no conjunct pins a finite set
+    * (range pruning still applies via [[timeBounds]]). Only fully
+    * literal (after constant-folding implicit casts) sets qualify —
+    * anything else would under-approximate and skip live files.
+    * Strictly tighter than the conjunct it came from, so callers may
+    * prune files to those possibly containing a listed key and let the
+    * exact predicate re-filter rows on top.
+    */
+  def pointKeysUs(cond: Expression, keyCol: String): Option[Seq[Long]] = {
+    // the analyzer's IN coercion wraps BOTH sides in casts — including
+    // a no-op same-type cast around the key attribute itself; only the
+    // trivial (same-type) wrap is safe to see through, a real cast
+    // changes the comparison's value space
+    def isKey(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == keyCol
+      case c: Cast if c.dataType == c.child.dataType => isKey(c.child)
+      case _ => false
+    }
+    // the analyzer wraps IN-list / equality literals in implicit casts
+    // (e.g. INT literal vs BIGINT column); fold them here — this rule
+    // runs before the optimizer's constant folding
+    def asLit(e: Expression): Option[Literal] = e match {
+      case l: Literal => Some(l)
+      case c: Cast if c.child.isInstanceOf[Literal] || c.foldable =>
+        try Some(Literal.create(c.eval(), c.dataType)) catch { case _: Exception => None }
+      case _ => None
+    }
+    def keyUs(l: Literal): Option[Long] = (l.dataType, l.value) match {
+      case (_, null) => None // = NULL / IN (NULL) never matches a row
+      case (TimestampType | TimestampNTZType, v) => Some(v.asInstanceOf[Long])
+      case (LongType, v) => Some(v.asInstanceOf[Long])
+      case (IntegerType, v) => Some(v.asInstanceOf[Int].toLong)
+      case _ => None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val sets: Seq[Set[Long]] = conjuncts(cond).flatMap {
+      case EqualTo(t, v) if isKey(t) => asLit(v).flatMap(keyUs).map(Set(_))
+      case EqualTo(v, t) if isKey(t) => asLit(v).flatMap(keyUs).map(Set(_))
+      case In(t, vs) if vs.nonEmpty && isKey(t) =>
+        // every IN element must fold to a usable literal, or the set
+        // under-approximates; dropping NULL elements is safe (x IN
+        // (..., NULL) matches only on the non-null elements)
+        val keys = vs.map(v => asLit(v) match {
+          case None => None // non-literal element: unusable conjunct
+          case Some(l) if l.value == null => Some(None) // dropped, safe
+          case Some(l) => keyUs(l).map(Some(_))
+        })
+        if (keys.forall(_.isDefined)) Some(keys.flatten.flatten.toSet) else None
+      case _ => None
+    }
+    sets.reduceOption(_ intersect _).map(_.toSeq.sorted)
   }
 }

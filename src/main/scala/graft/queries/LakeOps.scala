@@ -1342,7 +1342,84 @@ object LakeOps {
       lit(skipped > 0).as("bloom_skipped_files"))
   }
 
+  /** SQL point-lookup skipping through the manifest key blooms (round
+    * 12, VERDICT r11 #1): the key-bloom fixture shape — files
+    * KEY-DISJOINT but fully time-INTERLEAVED (rows grouped by
+    * second-of-minute, so every file's [min ts, max ts] spans the whole
+    * table and bounds pruning keeps ALL of them) — queried through PURE
+    * `spark.sql` with an IN-list of keys from ONE second-group (the
+    * dashboard point-lookup shape). The expansion rule must extract the
+    * point keys from the predicate, prune the planned file list through
+    * the per-file blooms ([[graft.lake.LakehouseTable
+    * .readPointsPruned]]), and still return exactly DuckDB's answer —
+    * a false-negative skip would drop rows from the aggregate. Plan
+    * accounting rides as booleans: bounds alone keep every file,
+    * and the files actually planned fall below that.
+    */
+  def sqlPointSkipFlow(s: SparkSession, dir: String): DataFrame = {
+    val wh = freshWarehouse("graft-ps")
+    val cat = s"graft_sql_${sqlCatalogRuns.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gold")
+    val ev = graft.Tables.t(s, dir, "events")
+      .select(col("ts").cast(TimestampType).as("ts"), col("value"))
+      .where(col("ts").isNotNull)
+    val table = LakehouseTable.createIfNotExists(
+      s, new org.apache.hadoop.fs.Path(wh, "gold/pts"), ev.schema, Some("ts"))
+    table.setProperty("write.key-bloom.bits", "262144")
+    // files keyed by second-of-minute group: key-disjoint, time-interleaved
+    table.append(ev.repartition(8, floor(second(col("ts")) / 8)))
+    // the 5 earliest distinct keys of one second-group — the IN list a
+    // dashboard sends; the oracle derives the same 5 via a subquery
+    val keyRows = ev.filter(second(col("ts")) === 7)
+      .select(col("ts"), unix_micros(col("ts")).as("us"))
+      .distinct().orderBy("ts").limit(5).collect()
+    val inList = keyRows.map(r => s"TIMESTAMP '${r.getTimestamp(0)}'").mkString(", ")
+    val q = s.sql(
+      s"""SELECT count(*) AS n_rows,
+         |       min(unix_micros(ts)) AS min_ts_us,
+         |       max(unix_micros(ts)) AS max_ts_us,
+         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         |FROM $cat.gold.pts
+         |WHERE ts IN ($inList)""".stripMargin)
+    // plan accounting on the SAME query: the expansion already resolved
+    // the file list, so the executed plan's scan exposes exactly the
+    // files point pruning kept
+    val scanned = {
+      val plan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .map(_.relation.location.inputFiles.length).sum
+    }
+    val keysUs = keyRows.map(_.getLong(1))
+    val candidates = table.filesOverlapping(keysUs.min, keysUs.max).size
+    q.withColumn("bounds_cannot_prune",
+        lit(candidates == table.currentDataFiles.size))
+      .withColumn("bloom_pruned_files", lit(scanned < candidates))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q_lake_sql_point_skip",
+      sqlPointSkipFlow,
+      Some("""WITH k AS (
+             |  SELECT DISTINCT ts FROM events
+             |  WHERE ts IS NOT NULL AND second(ts) = 7
+             |  ORDER BY ts LIMIT 5
+             |)
+             |SELECT count(*) AS n_rows,
+             |       min(epoch_us(ts)) AS min_ts_us,
+             |       max(epoch_us(ts)) AS max_ts_us,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       true AS bounds_cannot_prune,
+             |       true AS bloom_pruned_files
+             |FROM events WHERE ts IN (SELECT ts FROM k)""".stripMargin)
+    ),
+
     QuerySpec(
       "q_lake_key_bloom",
       keyBloomFlow,

@@ -49,12 +49,33 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
     * partitioning pushdown: the predicate prunes the FILE LIST from
     * manifest stats before Spark ever plans the scan — at 100 TB this
     * is the difference between planning 40 files and 40 000).
+    *
+    * A filter pinning the key column to a FINITE literal set (`k = v`,
+    * `k IN (...)`) prunes harder: through the per-file manifest blooms
+    * and parquet footer blooms ([[graft.lake.LakehouseTable
+    * .readPointsPruned]]), which reject files whose [min, max] admits
+    * the key but whose content provably lacks it — the dashboard
+    * point-lookup shape, where min/max bounds keep every interleaved
+    * writer's file and the blooms keep almost none (VERDICT r11 #1).
+    * Both prunings are over-approximations of the file list only; the
+    * exact predicate always re-applies above the splice.
     */
   private def nativeDF(g: GraftSqlTable, filter: Option[Expression]): DataFrame = {
     val prunable = g.pinnedSnapshot.isEmpty // time travel reads pinned state
+    val keyCol = g.lt.metadata.partitionTransform
+    val points = for {
+      cond <- filter if prunable
+      k <- keyCol
+      keys <- graft.lake.PredicateBounds.pointKeysUs(cond, k)
+      if keys.size <= graft.lake.PredicateBounds.MaxPointKeys
+    } yield keys
+    points match {
+      case Some(keys) => return g.lt.readPointsPruned(keys)
+      case None => ()
+    }
     val range = for {
       cond <- filter if prunable
-      timeCol <- g.lt.metadata.partitionTransform
+      timeCol <- keyCol
       bounds = graft.lake.PredicateBounds.timeBounds(cond, timeCol)
       if bounds._1.isDefined || bounds._2.isDefined
     } yield bounds

@@ -59,4 +59,52 @@ class PredicateBoundsSpec extends SparkSpec {
     t.delete(col("ts") >= lit(t0) && col("ts") < lit(t1)) // only id=2 in range
     assert(t.read().select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
   }
+
+  // ---- pointKeysUs (round 12, SQL point-key skipping) ----------------------
+
+  private def points(c: org.apache.spark.sql.Column, keyCol: String = "ts") = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("id", LongType),
+      StructField("sym", StringType)))
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val cond = probe.filter(c).queryExecution.analyzed match {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(e, _) => e
+      case other => fail(s"no Filter in $other")
+    }
+    PredicateBounds.pointKeysUs(cond, keyCol)
+  }
+
+  test("equality and IN-list conjuncts pin finite key sets") {
+    assert(points(col("ts") === lit(t0)) == Some(Seq(us(t0))))
+    assert(points(lit(t0) === col("ts")) == Some(Seq(us(t0))))
+    assert(points(col("ts").isin(t0, t1)) == Some(Seq(us(t0), us(t1)).sorted))
+    // extra conjuncts on other columns don't disturb the set
+    assert(points(col("ts").isin(t0, t1) && col("sym") === "a")
+      == Some(Seq(us(t0), us(t1)).sorted))
+    // several point conjuncts intersect
+    assert(points(col("ts").isin(t0, t1) && col("ts") === lit(t1)) == Some(Seq(us(t1))))
+    assert(points(col("ts") === lit(t0) && col("ts") === lit(t1)) == Some(Seq.empty))
+  }
+
+  test("integral keys extract raw values; analyzer casts fold") {
+    // id BIGINT compared against INT literals: the analyzer wraps the
+    // literals in casts — they must still fold to usable keys
+    assert(points(col("id").isin(5, 9), keyCol = "id") == Some(Seq(5L, 9L)))
+    assert(points(col("id") === 7, keyCol = "id") == Some(Seq(7L)))
+  }
+
+  test("anything non-finite yields None; NULL elements drop safely") {
+    // a range is not a point set
+    assert(points(col("ts") >= lit(t0)).isEmpty)
+    // disjunctions never extract
+    assert(points(col("ts") === lit(t0) || col("sym") === "a").isEmpty)
+    // another column's equality is not this key's
+    assert(points(col("sym") === "a").isEmpty)
+    // IN with a NULL element: the null can never match — dropped
+    assert(points(col("ts").isin(t0, null)) == Some(Seq(us(t0))))
+    // = NULL matches nothing and pins nothing
+    assert(points(col("ts") === lit(null).cast("timestamp")).isEmpty)
+  }
 }
