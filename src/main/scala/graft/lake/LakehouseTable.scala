@@ -994,9 +994,8 @@ final class LakehouseTable(
   private def filesOverlappingIn(
       snap: Option[Snapshot], loUs: Long, hiUs: Long): Seq[DataFile] =
     snap.map { s =>
-      log.readManifestList(s)
-        .filter(_.overlaps(loUs, hiUs))
-        .flatMap(r => log.readManifest(r.path).filter(_.overlaps(loUs, hiUs)))
+      log.readManifests(log.readManifestList(s).filter(_.overlaps(loUs, hiUs)))
+        .flatten.filter(_.overlaps(loUs, hiUs))
     }.getOrElse(Nil)
 
   /** The subset of `files` whose MANIFEST bloom ([[KeyBloom]], written
@@ -1087,9 +1086,9 @@ final class LakehouseTable(
     val keyCol = meta.partitionTransform.getOrElse(
       throw new IllegalStateException("point skipping needs a partition-source key column"))
     val ranged = snap.map { s =>
-      log.readManifestList(s)
-        .filter(r => keysUs.exists(k => r.overlaps(k, k)))
-        .flatMap(r => log.readManifest(r.path).filter(f => keysUs.exists(k => f.overlaps(k, k))))
+      log.readManifests(
+          log.readManifestList(s).filter(r => keysUs.exists(k => r.overlaps(k, k))))
+        .flatten.filter(f => keysUs.exists(k => f.overlaps(k, k)))
     }.getOrElse(Nil)
     ranged.filter { f =>
       val inRange = keysUs.filter(k => f.overlaps(k, k))
@@ -1202,8 +1201,8 @@ final class LakehouseTable(
     // value summaries drop whole manifests unopened — at 10⁶ files the
     // difference between touching one symbol's manifests and parsing
     // every file path in the table
-    val opened = manifestsForQueryIn(snap, wanted, timeRangeUs)
-      .flatMap(r => log.readManifest(r.path))
+    val opened = log.readManifests(
+      manifestsForQueryIn(snap, wanted, timeRangeUs)).flatten
     // skip no-op per-entry passes: an unfiltered scan's answer IS the
     // concatenated manifests, and at 10⁵ cached entries the trivially-
     // true filter closures (and the path parse they force) were most of
@@ -1269,7 +1268,7 @@ final class LakehouseTable(
       LakehouseTable.escapeDirValue(String.valueOf(v))).toSet
     val manifests = snap.map(log.readManifestList).getOrElse(Nil)
       .filter(r => wanted.exists(v => r.mayContainPartitionValue(column, v)))
-    val files = manifests.flatMap(r => log.readManifest(r.path))
+    val files = log.readManifests(manifests).flatten
       .filter(f => f.partitionSegments.get(column).forall(wanted.contains))
     readWithDeletes(files, snap.map(liveDeleteFiles).getOrElse(Nil))
       .filter(col(column).isin(values: _*))

@@ -648,6 +648,12 @@ object SnapshotLog {
     */
   val MaxSummaryValues: Int = 32
 
+  /** Pool width for cold manifest parses ([[SnapshotLog.readManifests]])
+    * — json parsing is CPU-bound on local FS, I/O-bound on object
+    * stores; 32 covers both without unbounded store connections.
+    */
+  val ManifestParseParallelism: Int = 32
+
   /** Version files retained behind the pointer. Superseded `v{N}.json`
     * are pure history — reads resolve through VERSION, time travel is
     * snapshot-id-based within the CURRENT metadata — so without pruning
@@ -883,12 +889,29 @@ final class SnapshotLog(
   def readManifestList(snap: Snapshot): Seq[ManifestRef] =
     readManifestListData(snap).manifests
 
+  /** Read several manifests, fanning COLD parses out over a bounded
+    * pool (VERDICT r11 #4): manifests are independent immutable files,
+    * and the first plan after a JVM restart otherwise pays a serial
+    * ~8 µs/entry JSON loop — ~6-8 s at 10⁶ files. Warm calls (every
+    * ref cached) stay on the serial fast path: no pool churn on the
+    * interactive steady state, and the cache keeps each file's parse
+    * a one-time cost either way. Order-preserving, first failure
+    * propagates unchanged (BoundedPar contract).
+    */
+  def readManifests(refs: Seq[ManifestRef]): Seq[Seq[DataFile]] = {
+    val anyCold = refs.lengthCompare(1) > 0 &&
+      refs.exists(r => SnapshotLog.cacheGet(cacheKey(r.path)).isEmpty)
+    if (!anyCold) refs.map(r => readManifest(r.path))
+    else graft.util.BoundedPar.map(refs,
+      parallelism = SnapshotLog.ManifestParseParallelism)(r => readManifest(r.path))
+  }
+
   /** The full data-file inventory of a snapshot (all manifests,
     * concatenated). Metadata-sized; used by readers that need the whole
     * table — range queries should prune on ManifestRef bounds first.
     */
   def dataFiles(snap: Snapshot): Seq[DataFile] =
-    readManifestList(snap).flatMap(r => readManifest(r.path))
+    readManifests(readManifestList(snap)).flatten
 
   /** Delete a table-relative metadata file (expiry reaping). */
   def deleteMetaFile(path: String): Unit = {

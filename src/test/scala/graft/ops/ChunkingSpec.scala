@@ -136,4 +136,42 @@ class ChunkingSpec extends SparkSpec {
     // doc 1 (the keep-first winner) keeps the full passage
     assert((0 until 60).map(i => s"p$i").forall(out(1L).split(" ").contains))
   }
+
+  test("dedupContentChunks keep-first is a combinable aggregate, not a hot-key window") {
+    // pathological corpus: ONE boilerplate chunk in every document —
+    // under the former row_number window all 200 occurrences sorted on
+    // a single task; the aggregate form partial-combines them map-side
+    // (VERDICT r11 #2)
+    val boiler = (0 until 30).map(i => s"w$i").mkString(" ")
+    val docs = (1L to 200L).map(d => (d, s"u${d}a u${d}b u${d}c $boiler"))
+      .toDF("doc_id", "text").repartition(8)
+    val out = DedupOps.dedupContentChunks(docs, "doc_id", "text", k = 3, modulus = 4)
+    // plan shape: the only windows are the chunker's own DOC-LOCAL
+    // prefix sums — nothing windows on the chunk text (the hot key);
+    // keep-first runs as a two-phase hash aggregate, so per-reduce-
+    // group input is bounded by the map task count, not the occurrence
+    // count
+    val windows = out.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(w => w.partitionSpec.exists(
+        _.references.exists(_.name == "doc_id")) &&
+        !w.partitionSpec.exists(_.references.exists(_.name == "text"))),
+      s"keep-first must not window on chunk text:\n" +
+        windows.map(_.partitionSpec.mkString(", ")).mkString("\n"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && plan.contains("partial_min"),
+      s"expected a partial+final hash-aggregate keep-first:\n$plan")
+    // value shape: doc 1 keeps the boilerplate interior, every later
+    // doc keeps its unique tokens and loses the shared chunk's interior
+    val byDoc = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byDoc.size == 200)
+    assert((0 until 30).map(i => s"w$i").count(byDoc(1L).split(" ").contains) >= 25,
+      s"keep-first winner must retain the passage: ${byDoc(1L)}")
+    val interior = (10 until 20).map(i => s"w$i")
+    assert((2L to 200L).forall(d => !interior.forall(byDoc(d).split(" ").contains)),
+      "every non-first doc must lose the shared chunk interior")
+    assert((2L to 200L).forall(d => byDoc(d).contains(s"u${d}a")),
+      "unique content always survives")
+  }
 }

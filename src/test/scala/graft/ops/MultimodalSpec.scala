@@ -86,4 +86,86 @@ class MultimodalSpec extends SparkSpec {
     assert(f.getAs[Long]("pixel_sum") == 0L)
     assert(f.getAs[Double]("pixel_mean") == 0.0)
   }
+
+  // ---- WAV PCM (round 12): the second real codec ---------------------------
+
+  test("WAV round-trip: decoded stats match an independent recomputation") {
+    val expected = docs.collect().map { r =>
+      val bytes = r.getAs[String]("text").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val l = bytes.length
+      val sr = 8000 + (l % 5) * 1000
+      val ch = 1 + l % 2
+      val s0 = (l + 1) / 2
+      val s = s0 + ((ch - s0 % ch) % ch)
+      def byteAt(j: Int): Int = if (j < l) bytes(j) & 0xff else 0
+      val samples = (0 until s).map { i =>
+        val v = byteAt(2 * i) | (byteAt(2 * i + 1) << 8)
+        if (v >= 32768) v - 65536 else v
+      }
+      r.getAs[Long]("doc_id") ->
+        ((44L + s * 2, sr.toLong, ch.toLong, (s / ch).toLong,
+          (s / ch).toLong * 1000000L / sr,
+          samples.map(v => math.abs(v).toLong).sum,
+          if (samples.isEmpty) 0L else samples.map(v => math.abs(v).toLong).max))
+    }.toMap
+    val feats = Multimodal
+      .extractAudioFeatures(Multimodal.audioFromDocuments(docs)).collect()
+    assert(feats.length == expected.size)
+    feats.foreach { r =>
+      val (bl, sr, ch, fr, du, as_, pk) = expected(r.getAs[Long]("media_id"))
+      assert(r.getAs[Long]("byte_len") == bl)
+      assert(r.getAs[Long]("sample_rate") == sr && r.getAs[Long]("channels") == ch)
+      assert(r.getAs[Long]("n_frames") == fr && r.getAs[Long]("duration_us") == du)
+      assert(r.getAs[Long]("abs_sum") == as_, s"abs_sum of ${r.getAs[Long]("media_id")}")
+      assert(r.getAs[Long]("peak") == pk)
+      assert(r.getAs[String]("mime").startsWith("audio/wav"))
+    }
+  }
+
+  test("the WAV parser skips unknown chunks and honors the odd-size pad byte") {
+    val base = Multimodal.encodeWavPcm(Array[Byte](1, 2, 3, 4), 8000, 1)
+    // splice an odd-sized LIST chunk (3 bytes + 1 pad) between fmt and data
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val extra = "LIST".getBytes(ascii) ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](7, 8, 9, 0) // size 3, padded to 4
+    val spliced = base.slice(0, 36) ++ extra ++ base.slice(36, base.length)
+    // fix the RIFF size for the inserted bytes
+    val sz = spliced.length - 8
+    spliced(4) = (sz & 0xff).toByte; spliced(5) = ((sz >> 8) & 0xff).toByte
+    spliced(6) = ((sz >> 16) & 0xff).toByte; spliced(7) = ((sz >> 24) & 0xff).toByte
+    val s = Multimodal.decodeWav(spliced)
+    assert(s.sampleRate == 8000 && s.channels == 1 && s.nFrames == 2L)
+    // samples: 0x0201=513, 0x0403=1027
+    assert(s.absSum == 513L + 1027L && s.peak == 1027)
+  }
+
+  test("malformed WAV payloads refuse loudly (the real-decoder contract)") {
+    val good = Multimodal.encodeWavPcm(Array[Byte](1, 2, 3, 4), 8000, 1)
+    def corrupt(f: Array[Byte] => Array[Byte]): Unit = {
+      val bad = f(good.clone())
+      intercept[IllegalArgumentException](Multimodal.decodeWav(bad))
+    }
+    corrupt { b => b(0) = 'X'; b } // wrong RIFF magic
+    corrupt { b => b(8) = 'X'; b } // wrong WAVE form
+    corrupt { b => b(20) = 3; b } // IEEE-float format tag, not PCM
+    corrupt { b => b(34) = 8; b } // 8-bit samples unsupported
+    corrupt(b => b.dropRight(1)) // truncated data chunk (RIFF size disagrees)
+    corrupt(b => b.slice(0, 36) ++ b.slice(36, b.length) ++ b.slice(36, b.length)) // 2nd data
+    intercept[IllegalArgumentException](Multimodal.decodeWav(Array.emptyByteArray))
+  }
+
+  test("negative samples decode signed: 0xFFFF is -1, not 65535") {
+    val payload = Multimodal.encodeWavPcm(Array[Byte](-1, -1, 0, -128), 8000, 1)
+    val s = Multimodal.decodeWav(payload)
+    // 0xFFFF → -1 (|v|=1); 0x8000 → -32768
+    assert(s.absSum == 1L + 32768L && s.peak == 32768)
+  }
+
+  test("stereo pads to whole frames; empty data is a valid zero-duration WAV") {
+    // 3 source bytes → 2 samples, padded to 2 (one stereo frame)
+    val st = Multimodal.decodeWav(Multimodal.encodeWavPcm(Array[Byte](1, 2, 3), 44100, 2))
+    assert(st.channels == 2 && st.nFrames == 1L)
+    val empty = Multimodal.decodeWav(Multimodal.encodeWavPcm(Array.emptyByteArray, 8000, 1))
+    assert(empty.nFrames == 0L && empty.absSum == 0L && empty.peak == 0)
+  }
 }
