@@ -1,6 +1,6 @@
 package graft.lake
 
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType, TimestampType}
 
 /** Conservative [lo, hi] epoch-micros bounds a predicate imposes on a
@@ -54,9 +54,13 @@ object PredicateBounds {
     (lo, hi)
   }
 
-  /** Cap on the extracted point-key set: the per-file manifest/footer
-    * probe is O(files × keys) driver-side, so a pathological IN list
-    * falls back to range pruning instead of a quadratic planning pass.
+  /** Threshold between point-probe shapes: up to this many keys the
+    * driver probes per-file manifest AND parquet-footer blooms
+    * (O(files × keys), worth it for the exact footer-level skips); past
+    * it [[graft.lake.LakehouseTable.readPointsPruned]] switches to
+    * binary-searched bounds plus the DISTRIBUTED manifest-bloom probe,
+    * so a pathological IN list never costs a quadratic planning pass
+    * but still prunes below the bounds-only candidate set.
     */
   val MaxPointKeys: Int = 1024
 
@@ -64,13 +68,18 @@ object PredicateBounds {
     * column to, in the manifest-stats encoding (epoch micros for
     * timestamp keys — NTZ literals already carry zone-less local
     * micros, matching the footer bounds — the raw value for integral
-    * keys): `k = lit` and `k IN (lits)` conjuncts contribute; several
-    * such conjuncts intersect. None ⇔ no conjunct pins a finite set
-    * (range pruning still applies via [[timeBounds]]). Only fully
-    * literal (after constant-folding implicit casts) sets qualify —
-    * anything else would under-approximate and skip live files.
-    * Strictly tighter than the conjunct it came from, so callers may
-    * prune files to those possibly containing a listed key and let the
+    * keys): `k = lit` and `k IN (lits)` contribute; `AND` intersects
+    * (either side alone already bounds the row's key), `OR` unions —
+    * but only when EVERY branch pins a finite set, since one unpinned
+    * disjunct admits arbitrary keys (`k = a OR k = b` and
+    * `k IN (...) OR k IN (...)`, the hand-written dashboard shapes,
+    * now point-prune instead of falling back to the [a, b] range —
+    * VERDICT r12 #6). None ⇔ the condition pins no finite set (range
+    * pruning still applies via [[timeBounds]]). Only fully literal
+    * (after constant-folding implicit casts) sets qualify — anything
+    * else would under-approximate and skip live files. Strictly
+    * tighter than the condition it came from, so callers may prune
+    * files to those possibly containing a listed key and let the
     * exact predicate re-filter rows on top.
     */
   def pointKeysUs(cond: Expression, keyCol: String): Option[Seq[Long]] = {
@@ -99,11 +108,17 @@ object PredicateBounds {
       case (IntegerType, v) => Some(v.asInstanceOf[Int].toLong)
       case _ => None
     }
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
-    val sets: Seq[Set[Long]] = conjuncts(cond).flatMap {
+    def pin(e: Expression): Option[Set[Long]] = e match {
+      case And(l, r) => (pin(l), pin(r)) match {
+        // a row passing the And passes both sides, so its key lies in
+        // the intersection; one pinned side alone already bounds it
+        case (Some(a), Some(b)) => Some(a intersect b)
+        case (a, b) => a.orElse(b)
+      }
+      case Or(l, r) =>
+        // a row passing the Or passes SOME branch: the union is exact
+        // only when every branch pins — one unpinned branch admits any key
+        for { a <- pin(l); b <- pin(r) } yield a union b
       case EqualTo(t, v) if isKey(t) => asLit(v).flatMap(keyUs).map(Set(_))
       case EqualTo(v, t) if isKey(t) => asLit(v).flatMap(keyUs).map(Set(_))
       case In(t, vs) if vs.nonEmpty && isKey(t) =>
@@ -118,6 +133,6 @@ object PredicateBounds {
         if (keys.forall(_.isDefined)) Some(keys.flatten.flatten.toSet) else None
       case _ => None
     }
-    sets.reduceOption(_ intersect _).map(_.toSeq.sorted)
+    pin(cond).map(_.toSeq.sorted)
   }
 }

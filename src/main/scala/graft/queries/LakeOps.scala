@@ -1356,6 +1356,20 @@ object LakeOps {
     * accounting rides as booleans: bounds alone keep every file,
     * and the files actually planned fall below that.
     */
+  /** Plan accounting: the data files the query's executed plan actually
+    * scans — the expansion already resolved the file list, so the scan
+    * exposes exactly what point pruning kept.
+    */
+  private def scannedFiles(df: DataFrame): Int = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .map(_.relation.location.inputFiles.length).sum
+  }
+
   def sqlPointSkipFlow(s: SparkSession, dir: String): DataFrame = {
     val wh = freshWarehouse("graft-ps")
     val cat = s"graft_sql_${sqlCatalogRuns.incrementAndGet()}"
@@ -1375,7 +1389,19 @@ object LakeOps {
     val keyRows = ev.filter(second(col("ts")) === 7)
       .select(col("ts"), unix_micros(col("ts")).as("us"))
       .distinct().orderBy("ts").limit(5).collect()
-    val inList = keyRows.map(r => s"TIMESTAMP '${r.getTimestamp(0)}'").mkString(", ")
+    // literals rendered from the collected micros in the SESSION zone —
+    // java.sql.Timestamp.toString formats in the JVM default zone, and
+    // Spark parses TIMESTAMP literals in the session zone, so the two
+    // diverging would make the IN list select different instants than
+    // the oracle's subquery-derived keys (ADVICE r12)
+    val zone = java.time.ZoneId.of(s.sessionState.conf.sessionLocalTimeZone)
+    val litFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    val inList = keyRows.map { r =>
+      val ldt = java.time.Instant.EPOCH
+        .plus(r.getLong(1), java.time.temporal.ChronoUnit.MICROS)
+        .atZone(zone).toLocalDateTime
+      s"TIMESTAMP '${litFmt.format(ldt)}'"
+    }.mkString(", ")
     val q = s.sql(
       s"""SELECT count(*) AS n_rows,
          |       min(unix_micros(ts)) AS min_ts_us,
@@ -1383,26 +1409,92 @@ object LakeOps {
          |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          |FROM $cat.gold.pts
          |WHERE ts IN ($inList)""".stripMargin)
-    // plan accounting on the SAME query: the expansion already resolved
-    // the file list, so the executed plan's scan exposes exactly the
-    // files point pruning kept
-    val scanned = {
-      val plan = q.queryExecution.executedPlan match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          a.executedPlan
-        case p => p
-      }
-      plan.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
-        .map(_.relation.location.inputFiles.length).sum
-    }
+    val scanned = scannedFiles(q)
+    // OR-of-equalities probe (VERDICT r12 #6): the SAME keys split into
+    // two IN lists joined by OR — the hand-written dashboard shape.
+    // pointKeysUs must union the branch sets, so the count matches the
+    // single IN list exactly AND the planned files still bloom-prune
+    // below the bounds-only candidate set.
+    val lits = inList.split(", ")
+    val orQ = s.sql(
+      s"""SELECT count(*) AS or_n_rows FROM $cat.gold.pts
+         |WHERE ts IN (${lits.take(2).mkString(", ")})
+         |   OR ts IN (${lits.drop(2).mkString(", ")})""".stripMargin)
+    val orScanned = scannedFiles(orQ)
     val keysUs = keyRows.map(_.getLong(1))
     val candidates = table.filesOverlapping(keysUs.min, keysUs.max).size
+    q.withColumn("bounds_cannot_prune",
+        lit(candidates == table.currentDataFiles.size))
+      .withColumn("bloom_pruned_files", lit(scanned < candidates))
+      .crossJoin(orQ)
+      .withColumn("or_bloom_pruned_files", lit(orScanned < candidates))
+  }
+
+  /** SQL point-lookup skipping on a SECONDARY stats column (round 13,
+    * VERDICT r12 #3): the table is TIME-keyed, but the dashboard
+    * predicate pins `user_id` — a declared `write.stats-columns` column
+    * carrying per-file [min, max] bounds and (new) a manifest bloom
+    * sized by `write.column-bloom.bits`. Files are user-residue
+    * disjoint yet interleaved in BOTH the time and user_id ranges, so
+    * neither bounds dimension can prune; the column blooms must reject
+    * the shared-nothing files, and the query must still return exactly
+    * DuckDB's answer (the exact predicate re-applies above the splice —
+    * a false-negative skip would drop rows from every aggregate). Plan
+    * accounting rides as booleans, as in [[sqlPointSkipFlow]].
+    */
+  def sqlSecondarySkipFlow(s: SparkSession, dir: String): DataFrame = {
+    val wh = freshWarehouse("graft-ss")
+    val cat = s"graft_sql_${sqlCatalogRuns.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gold")
+    val ev = graft.Tables.t(s, dir, "events")
+      .select(col("ts").cast(TimestampType).as("ts"), col("user_id"), col("value"))
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+    val table = LakehouseTable.createIfNotExists(
+      s, new org.apache.hadoop.fs.Path(wh, "gold/sts"), ev.schema, Some("ts"))
+    table.setProperty("write.stats-columns", "user_id")
+    table.setProperty("write.column-bloom.bits", "262144")
+    // files grouped by user-id residue: user-disjoint, both-interleaved
+    table.append(ev.repartition(8, pmod(col("user_id"), lit(8))))
+    // the 5 smallest user ids of one residue class — the IN list a
+    // dashboard sends; the oracle derives the same 5 via a subquery
+    val ids = ev.filter(pmod(col("user_id"), lit(8)) === 3)
+      .select("user_id").distinct().orderBy("user_id").limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    val q = s.sql(
+      s"""SELECT count(*) AS n_rows,
+         |       min(user_id) AS min_uid,
+         |       max(user_id) AS max_uid,
+         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         |FROM $cat.gold.sts
+         |WHERE user_id IN (${ids.mkString(", ")})""".stripMargin)
+    val scanned = scannedFiles(q)
+    val candidates = table.filesOverlappingColumn("user_id", ids.min, ids.max).size
     q.withColumn("bounds_cannot_prune",
         lit(candidates == table.currentDataFiles.size))
       .withColumn("bloom_pruned_files", lit(scanned < candidates))
   }
 
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q_lake_sql_secondary_skip",
+      sqlSecondarySkipFlow,
+      Some("""WITH k AS (
+             |  SELECT DISTINCT user_id FROM events
+             |  WHERE user_id IS NOT NULL AND user_id % 8 = 3
+             |  ORDER BY user_id LIMIT 5
+             |)
+             |SELECT count(*) AS n_rows,
+             |       min(user_id) AS min_uid,
+             |       max(user_id) AS max_uid,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       true AS bounds_cannot_prune,
+             |       true AS bloom_pruned_files
+             |FROM events
+             |WHERE ts IS NOT NULL AND user_id IN (SELECT user_id FROM k)""".stripMargin)
+    ),
+
     QuerySpec(
       "q_lake_sql_point_skip",
       sqlPointSkipFlow,
@@ -1416,7 +1508,9 @@ object LakeOps {
              |       max(epoch_us(ts)) AS max_ts_us,
              |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
              |       true AS bounds_cannot_prune,
-             |       true AS bloom_pruned_files
+             |       true AS bloom_pruned_files,
+             |       count(*) AS or_n_rows,
+             |       true AS or_bloom_pruned_files
              |FROM events WHERE ts IN (SELECT ts FROM k)""".stripMargin)
     ),
 

@@ -95,10 +95,27 @@ class PredicateBoundsSpec extends SparkSpec {
     assert(points(col("id") === 7, keyCol = "id") == Some(Seq(7L)))
   }
 
+  test("OR branches union their point sets when every branch pins the key") {
+    // k = a OR k = b — the hand-written dashboard shape (VERDICT r12 #6)
+    assert(points(col("ts") === lit(t0) || col("ts") === lit(t1))
+      == Some(Seq(us(t0), us(t1)).sorted))
+    // IN-list branches union too
+    assert(points(col("ts").isin(t0) || col("ts").isin(t1))
+      == Some(Seq(us(t0), us(t1)).sorted))
+    // a branch with extra conjuncts still pins (And keeps the tighter side)
+    assert(points((col("ts") === lit(t0) && col("sym") === "a") || col("ts") === lit(t1))
+      == Some(Seq(us(t0), us(t1)).sorted))
+    // an OR under a conjunction intersects with its sibling
+    assert(points((col("ts") === lit(t0) || col("ts") === lit(t1)) && col("ts") === lit(t1))
+      == Some(Seq(us(t1))))
+    // one unpinned branch admits arbitrary keys — no extraction
+    assert(points(col("ts") === lit(t0) || col("ts") >= lit(t1)).isEmpty)
+  }
+
   test("anything non-finite yields None; NULL elements drop safely") {
     // a range is not a point set
     assert(points(col("ts") >= lit(t0)).isEmpty)
-    // disjunctions never extract
+    // a disjunct on another column never pins this key
     assert(points(col("ts") === lit(t0) || col("sym") === "a").isEmpty)
     // another column's equality is not this key's
     assert(points(col("sym") === "a").isEmpty)

@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Negative-path table for BOTH real codecs (round 13, VERDICT r12 #8):
+  * every malformed-input class the scaladoc promises a refusal for is
+  * pinned here WITH its message fragment, so a parser "fix" that turns
+  * a loud refusal into a silent misparse (the classic codec CVE shape —
+  * lying sizes, truncated chunks, odd lengths) breaks a named row of
+  * this table instead of shipping. Complements MultimodalSpec's
+  * happy-path round-trips; no Spark session needed — the decoders are
+  * plain byte-array functions by design.
+  */
+class MultimodalFuzzSpec extends AnyFunSuite {
+
+  private def ascii(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  // ---- PPM ----------------------------------------------------------------
+
+  private val ppmCases: Seq[(String, Array[Byte], String)] = Seq(
+    ("wrong magic", ascii("P5\n2 2\n255\n" + "x" * 12), "magic"),
+    ("empty payload", Array.emptyByteArray, "empty payload"),
+    ("zero width", ascii("P6\n0 2\n255\n"), "non-positive dimensions"),
+    ("zero height", ascii("P6\n2 0\n255\n"), "non-positive dimensions"),
+    ("maxval above one byte", ascii("P6\n1 1\n65535\n" + "xxx"), "maxval"),
+    ("zero maxval", ascii("P6\n1 1\n0\n" + "xxx"), "maxval"),
+    ("non-decimal header token", ascii("P6\nab 2\n255\n"), "decimal"),
+    ("header value overflow", ascii("P6\n99999999999 1\n255\n"), "overflows"),
+    ("missing separator before pixels", ascii("P6\n1 1\n255") ++
+      Array[Byte](-1, 1, 2, 3), "whitespace"),
+    ("truncated pixel payload", ascii("P6\n4 4\n255\nxy"), "truncated"),
+    ("header cut mid-comment", ascii("P6\n1 1\n# a comment that never ends"),
+      "decimal"),
+    ("trailing garbage after a valid frame",
+      Multimodal.encodePpmStream(ascii("hello world"), 1, 1, 1) ++ ascii("JUNK"),
+      "magic"))
+
+  ppmCases.foreach { case (name, bytes, fragment) =>
+    test(s"PPM refuses: $name") {
+      val e = intercept[IllegalArgumentException](Multimodal.decodeFrames(bytes))
+      assert(e.getMessage.contains(fragment),
+        s"expected '$fragment' in: ${e.getMessage}")
+      assert(e.getMessage.contains("at byte"), "refusal must carry the byte offset")
+    }
+  }
+
+  // ---- WAV ----------------------------------------------------------------
+
+  /** Hand-rolled RIFF builder so each structural field can lie
+    * independently (the encoder can't produce these shapes).
+    */
+  private def riff(chunks: Seq[(String, Array[Byte])],
+      riffSizeDelta: Long = 0L, form: String = "WAVE"): Array[Byte] = {
+    val body = chunks.flatMap { case (id, c) =>
+      val hdr = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      hdr.put(ascii(id)); hdr.putInt(c.length)
+      hdr.array().toSeq ++ c.toSeq ++ (if (c.length % 2 == 1) Seq(0.toByte) else Nil)
+    }.toArray
+    val out = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(ascii("RIFF")); out.putInt((4 + body.length + riffSizeDelta).toInt)
+    out.put(ascii(form)); out.put(body)
+    out.array()
+  }
+
+  /** A consistent 16-bit PCM fmt chunk; override one field to lie. */
+  private def fmt(channels: Int = 1, sampleRate: Int = 8000,
+      blockAlign: Int = -1, byteRate: Long = -1L, bits: Int = 16,
+      formatTag: Int = 1): Array[Byte] = {
+    val ba = if (blockAlign >= 0) blockAlign else channels * 2
+    val br = if (byteRate >= 0) byteRate else sampleRate.toLong * ba
+    val b = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putShort(formatTag.toShort); b.putShort(channels.toShort)
+    b.putInt(sampleRate); b.putInt(br.toInt)
+    b.putShort(ba.toShort); b.putShort(bits.toShort)
+    b.array()
+  }
+
+  /** Rewrite the RIFF size field to match the actual byte length, so a
+    * structurally-corrupt TAIL is reached by the chunk walk instead of
+    * tripping the outer size check first.
+    */
+  private def fixRiffSize(bytes: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(4, bytes.length - 8)
+    bytes
+  }
+
+  private val fourFrames = Array[Byte](1, 0, 2, 0, 3, 0, 4, 0)
+
+  private val wavCases: Seq[(String, Array[Byte], String)] = Seq(
+    ("truncated header", ascii("RIFF1234"), "truncated"),
+    ("wrong magic", ascii("RIFX") ++
+      riff(Seq("fmt " -> fmt(), "data" -> fourFrames)).drop(4), "RIFF"),
+    ("wrong form type", riff(Seq("fmt " -> fmt(), "data" -> fourFrames),
+      form = "AVI "), "WAVE"),
+    ("lying RIFF size", riff(Seq("fmt " -> fmt(), "data" -> fourFrames),
+      riffSizeDelta = 7L), "disagrees"),
+    ("chunk overruns payload", fixRiffSize(
+      riff(Seq("fmt " -> fmt())) ++ ascii("data") ++
+        Array[Byte](-1, -1, 0, 0)), "overruns"),
+    ("truncated chunk header", fixRiffSize(
+      riff(Seq("fmt " -> fmt())) ++ ascii("dat")), "truncated"),
+    ("fmt chunk too short", riff(Seq("fmt " -> fmt().take(12),
+      "data" -> fourFrames)), "too short"),
+    ("non-PCM format tag", riff(Seq("fmt " -> fmt(formatTag = 3),
+      "data" -> fourFrames)), "not PCM"),
+    ("zero channels", riff(Seq("fmt " -> fmt(channels = 0, blockAlign = 2),
+      "data" -> fourFrames)), "zero channels"),
+    ("zero sample rate", riff(Seq("fmt " -> fmt(sampleRate = 0),
+      "data" -> fourFrames)), "sample rate"),
+    ("8-bit samples", riff(Seq("fmt " -> fmt(bits = 8),
+      "data" -> fourFrames)), "16-bit"),
+    ("inconsistent block align", riff(Seq("fmt " -> fmt(blockAlign = 3),
+      "data" -> fourFrames)), "block align"),
+    ("inconsistent byte rate", riff(Seq("fmt " -> fmt(byteRate = 1L),
+      "data" -> fourFrames)), "byte rate"),
+    ("data before fmt", riff(Seq("data" -> fourFrames, "fmt " -> fmt())),
+      "before fmt"),
+    ("second data chunk", riff(Seq("fmt " -> fmt(),
+      "data" -> fourFrames, "data" -> fourFrames)), "second data"),
+    ("data not whole frames", riff(Seq("fmt " -> fmt(channels = 2),
+      "data" -> Array[Byte](1, 0))), "whole frames"),
+    ("no fmt chunk", riff(Seq("LIST" -> Array[Byte](1, 2))), "no fmt"),
+    ("no data chunk", riff(Seq("fmt " -> fmt())), "no data"))
+
+  wavCases.foreach { case (name, bytes, fragment) =>
+    test(s"WAV refuses: $name") {
+      val e = intercept[IllegalArgumentException](Multimodal.decodeWav(bytes))
+      assert(e.getMessage.contains(fragment),
+        s"expected '$fragment' in: ${e.getMessage}")
+      assert(e.getMessage.contains("at byte"), "refusal must carry the byte offset")
+    }
+  }
+
+  test("the fuzz table's GOOD twins still decode (the cases fail for the stated reason)") {
+    // each structural lie above is one mutation away from this valid file
+    val ok = Multimodal.decodeWav(riff(Seq("fmt " -> fmt(), "data" -> fourFrames)))
+    assert(ok.nFrames == 4 && ok.channels == 1 && ok.sampleRate == 8000)
+    val ppm = Multimodal.decodeFrames(
+      Multimodal.encodePpmStream(ascii("hello world"), 2, 2, 2))
+    assert(ppm.nFrames == 2 && ppm.width == 2)
+  }
+}
