@@ -1210,8 +1210,15 @@ final class LakehouseTable(
     * manifest-LIST level exists for secondary columns — the list
     * summarizes key bounds only — so every manifest parses; entries
     * are cached, and the per-file checks are metadata-side.
+    * `timeRangeUs` composes the predicate's TIME-key bounds on top
+    * (`WHERE ts >= … AND uid = 5`): the key dimension prunes by the
+    * per-file key bounds it already has, so neither dimension's
+    * pruning is forfeited to the other.
     */
-  def readPointsOn(column: String, keysUs: Seq[Long]): DataFrame = {
+  def readPointsOn(
+      column: String,
+      keysUs: Seq[Long],
+      timeRangeUs: Option[(Long, Long)] = None): DataFrame = {
     val meta = metadata
     val snap = meta.currentSnapshot
     require(StructType.fromDDL(meta.schemaDdl).fieldNames.contains(column),
@@ -1219,15 +1226,17 @@ final class LakehouseTable(
     val files =
       if (keysUs.isEmpty) Nil
       else snap.map(dataFiles).getOrElse(Nil).filter { f =>
-        val inRange = keysUs.filter(k => f.overlapsColumn(column, k, k))
-        inRange.nonEmpty && {
-          val manifestMaybe = resolvedColumnBloom(f, column) match {
-            case Some(b) if b.hashes == LakehouseTable.KeyBloomHashes =>
-              inRange.exists(b.mightContain)
-            case _ => true
+        timeRangeUs.forall { case (lo, hi) => f.overlaps(lo, hi) } && {
+          val inRange = keysUs.filter(k => f.overlapsColumn(column, k, k))
+          inRange.nonEmpty && {
+            val manifestMaybe = resolvedColumnBloom(f, column) match {
+              case Some(b) if b.hashes == LakehouseTable.KeyBloomHashes =>
+                inRange.exists(b.mightContain)
+              case _ => true
+            }
+            manifestMaybe &&
+              bloomMayContain(new Path(tableDir, f.path), column, inRange)
           }
-          manifestMaybe &&
-            bloomMayContain(new Path(tableDir, f.path), column, inRange)
         }
       }
     readWithDeletes(files, snap.map(liveDeleteFiles).getOrElse(Nil))

@@ -354,9 +354,17 @@ final case class ManifestData(
     bloomSidecar: Option[BloomSidecar] = None)
 
 /** The hoisted per-manifest sidecar shape of [[ManifestData]]'s compact
-  * bloom encoding.
+  * bloom encoding. When `base`/`stride` are present the offsets are
+  * ORDINAL — entry i's bloom lives at `base + i·stride`, and entries
+  * carry no per-file field at all (the per-commit common case: every
+  * staged file records a bloom, laid out uniformly, so the whole
+  * encoding collapses to this one header and manifest bytes match a
+  * bloom-less table's). Entries with explicit [[DataFile.keyBloomOff]]
+  * cover the non-uniform shapes.
   */
-final case class BloomSidecar(path: String, length: Int, bits: Int, hashes: Int)
+final case class BloomSidecar(
+    path: String, length: Int, bits: Int, hashes: Int,
+    base: Option[Long] = None, stride: Option[Long] = None)
 
 /** JSON envelope of a manifest-list (snap-*.json) file. `deletes` is
   * the snapshot's LIVE equality-delete files (additive field: absent in
@@ -883,7 +891,22 @@ final class SnapshotLog(
     val data =
       if (shapes.size == 1) {
         val (p, l, b, h) = shapes.head
-        ManifestData(
+        // ordinal form: every entry carries a bloom and the offsets are
+        // an arithmetic sequence (the uniform per-commit layout) —
+        // entries then serialize NOTHING per file, only this header
+        val offs = files.map(_.keyBloomRef.map(_.offset))
+        val ordinal = offs.forall(_.isDefined) && {
+          val o = offs.flatten
+          val stride = if (o.size > 1) o(1) - o(0) else 0L
+          o.zipWithIndex.forall { case (v, i) => v == o.head + i * stride }
+        }
+        if (ordinal) {
+          val o = offs.flatten
+          val stride = if (o.size > 1) o(1) - o(0) else 0L
+          ManifestData(
+            files.map(_.copy(keyBloomRef = None)),
+            Some(BloomSidecar(p, l, b, h, base = Some(o.head), stride = Some(stride))))
+        } else ManifestData(
           files.map(f => f.keyBloomRef match {
             case Some(r) => f.copy(keyBloomRef = None, keyBloomOff = Some(r.offset))
             case None => f
@@ -933,8 +956,16 @@ final class SnapshotLog(
             new InputStreamReader(in, StandardCharsets.UTF_8))
           finally in.close()
         // resolve the compact sidecar form back into full refs — no
-        // consumer downstream of the parse ever sees keyBloomOff
+        // consumer downstream of the parse ever sees keyBloomOff or the
+        // ordinal header
         val files = data.bloomSidecar match {
+          case Some(h) if h.base.isDefined =>
+            val base = h.base.get
+            val stride = h.stride.getOrElse(0L)
+            data.files.zipWithIndex.map { case (f, i) =>
+              f.copy(keyBloomRef = Some(
+                BloomRef(h.path, base + i * stride, h.length, h.bits, h.hashes)))
+            }
           case Some(h) => data.files.map(f => f.keyBloomOff match {
             case Some(off) => f.copy(keyBloomOff = None,
               keyBloomRef = Some(BloomRef(h.path, off, h.length, h.bits, h.hashes)))

@@ -88,7 +88,15 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
       statsCols.iterator
         .flatMap(c => graft.lake.PredicateBounds.pointKeysUs(cond, c).map(c -> _))
         .find(_._2.size <= graft.lake.PredicateBounds.MaxPointKeys)
-        .foreach { case (c, keys) => return g.lt.readPointsOn(c, keys) }
+        .foreach { case (c, keys) =>
+          // compose the predicate's TIME-key bounds on top (WHERE
+          // ts >= … AND uid = 5): neither dimension's pruning is
+          // forfeited to the other
+          val tr = keyCol.map(k => graft.lake.PredicateBounds.timeBounds(cond, k))
+            .filter(b => b._1.isDefined || b._2.isDefined)
+            .map(b => (b._1.getOrElse(Long.MinValue), b._2.getOrElse(Long.MaxValue)))
+          return g.lt.readPointsOn(c, keys, tr)
+        }
     }
     val range = for {
       cond <- filter if prunable

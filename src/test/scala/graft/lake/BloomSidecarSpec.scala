@@ -127,6 +127,50 @@ class BloomSidecarSpec extends SparkSpec {
     assert(skipped == 1)
   }
 
+  test("manifest bloom encodings round-trip: ordinal, explicit, mixed, fat") {
+    val conf = spark.sessionState.newHadoopConf()
+    def mk(i: Int, ref: Option[BloomRef]) = DataFile(
+      s"data/f$i.parquet", 10L, Some(i.toLong), Some(i + 1L), keyBloomRef = ref)
+    val fs = new Path("/").getFileSystem(conf)
+    def readText(rel: String, dir: Path): String = {
+      val in = fs.open(new Path(dir, rel))
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val tdir = new Path(tmpDir("bs-enc"), "t")
+    val log2 = new SnapshotLog(tdir, conf)
+    def check(snapId: Long, files: Seq[DataFile],
+        expectJson: String => Unit): Unit = {
+      val ref = log2.writeManifest(snapId, files)
+      expectJson(readText(ref.path, tdir))
+      SnapshotLog.clearPlanningCache()
+      assert(log2.readManifest(ref.path) == files,
+        s"manifest $snapId did not round-trip")
+    }
+    val shape = (off: Long) =>
+      Some(BloomRef("metadata/blooms/a.bin", off, 512, 4096, 5))
+    // ordinal: uniform arithmetic offsets ⇒ only the header serializes
+    check(1, (0 until 4).map(i => mk(i, shape(i * 512L))), { json =>
+      assert(json.contains("\"base\""), "ordinal form must carry base/stride")
+      assert(!json.contains("keyBloomOff") && !json.contains("keyBloomRef"),
+        "ordinal form must serialize nothing per entry")
+    })
+    // explicit: one shape, non-arithmetic offsets ⇒ per-entry keyBloomOff
+    check(2, Seq(mk(0, shape(0L)), mk(1, shape(512L)), mk(2, shape(2048L))), { json =>
+      assert(json.contains("keyBloomOff"))
+      assert(!json.contains("keyBloomRef"))
+    })
+    // mixed: a bloom-less file breaks the ordinal layout, not the compact one
+    check(3, Seq(mk(0, shape(0L)), mk(1, None), mk(2, shape(1024L))), { json =>
+      assert(json.contains("keyBloomOff") && !json.contains("\"base\""))
+    })
+    // fat: two sidecar paths cannot share a header (a fold of two commits)
+    check(4, Seq(mk(0, shape(0L)),
+      mk(1, Some(BloomRef("metadata/blooms/b.bin", 0L, 512, 4096, 5)))), { json =>
+      assert(json.contains("keyBloomRef") && !json.contains("bloomSidecar"))
+    })
+  }
+
   test("an unknown location value refuses loudly") {
     val t = mkTable("bs5", Some("puffin"))
     val e = intercept[IllegalArgumentException](t.append(residue(0)))

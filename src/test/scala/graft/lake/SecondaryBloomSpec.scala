@@ -96,6 +96,39 @@ class SecondaryBloomSpec extends SparkSpec {
     assert(uids.contains(6L) && uids.contains(10L))
   }
 
+  test("readPointsOn composes the time-key bounds: both dimensions prune") {
+    // files TIME-disjoint (file r covers its own second) with uid
+    // residues interleaved: uids 6 and 10 live only in the second-2
+    // file, which the uid blooms keep — a time window excluding second
+    // 2 must still remove it (the range term composes ON TOP of the
+    // bloom term rather than being forfeited to it)
+    val t = mkTable("sb6", Some(4096))
+    val rows = (0 until 4).flatMap { r =>
+      (0 until 40).map(i =>
+        (Timestamp.valueOf(f"2024-01-01 00:00:0$r.$i%06d"), (4 * i + r).toLong,
+          i.toDouble))
+    }.toDF("ts", "uid", "v")
+    (0 until 4).foreach(r =>
+      t.append(rows.filter(second(col("ts")) === r).coalesce(1)))
+    assert(t.currentDataFiles.size == 4)
+    def planned(range: Option[(Long, Long)]): Int =
+      t.readPointsOn("uid", Seq(6L, 10L), range).queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.relation.location.inputFiles.length).sum
+    // uid 6 = 4·1+2, uid 10 = 4·2+2: both in the second-2 file; the
+    // blooms alone keep exactly it
+    assert(planned(None) == 1)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    // window over seconds 0-1 only: excludes the bloom-kept file
+    assert(planned(Some((base, base + 1999999L))) == 0,
+      "the time window must remove even a bloom-hit file")
+    // window covering second 2: keeps it (and rows come back)
+    assert(planned(Some((base, base + 2999999L))) == 1)
+    val uids = t.readPointsOn("uid", Seq(6L, 10L), Some((base, base + 2999999L)))
+      .select("uid").as[Long].collect().toSet
+    assert(uids.contains(6L) && uids.contains(10L))
+  }
+
   test("readPointsOn with no keys plans zero files; unknown column refuses") {
     val t = mkTable("sb5", Some(4096))
     t.append(residue(0))
