@@ -1059,9 +1059,21 @@ final class LakehouseTable(
     f.colBlooms.flatMap(_.find(_.column == column))
       .flatMap(cb => cb.bloom.orElse(cb.ref.flatMap(loadBloomRef)))
 
-  def bloomSurvivors(files: Seq[DataFile], keysUs: DataFrame): (Seq[DataFile], Int) = {
+  def bloomSurvivors(files: Seq[DataFile], keysUs: DataFrame): (Seq[DataFile], Int) =
+    bloomSurvivorsBy(files, keysUs, resolvedKeyBloom)
+
+  /** [[bloomSurvivors]] against an arbitrary per-file bloom — the same
+    * distributed probe reused for SECONDARY-column blooms
+    * (`bloomOf = resolvedColumnBloom(_, column)`), so a large IN list
+    * on a stats column prunes through the identical codegen'd path the
+    * key column uses.
+    */
+  private[lake] def bloomSurvivorsBy(
+      files: Seq[DataFile],
+      keysUs: DataFrame,
+      bloomOf: DataFile => Option[KeyBloom]): (Seq[DataFile], Int) = {
     val resolved = files.map(f =>
-      f -> resolvedKeyBloom(f).filter(_.hashes == LakehouseTable.KeyBloomHashes))
+      f -> bloomOf(f).filter(_.hashes == LakehouseTable.KeyBloomHashes))
     val withB = resolved.collect { case (f, Some(b)) => (f, b) }
     val withoutB = resolved.collect { case (f, None) => f }
     if (withB.isEmpty) return (files, 0)
@@ -1213,7 +1225,10 @@ final class LakehouseTable(
     * `timeRangeUs` composes the predicate's TIME-key bounds on top
     * (`WHERE ts >= … AND uid = 5`): the key dimension prunes by the
     * per-file key bounds it already has, so neither dimension's
-    * pruning is forfeited to the other.
+    * pruning is forfeited to the other. Past
+    * [[PredicateBounds.MaxPointKeys]] the per-key driver probe gives
+    * way to binary-searched bounds + the distributed column-bloom
+    * probe, exactly mirroring [[readPointsPruned]]'s large-IN path.
     */
   def readPointsOn(
       column: String,
@@ -1223,20 +1238,39 @@ final class LakehouseTable(
     val snap = meta.currentSnapshot
     require(StructType.fromDDL(meta.schemaDdl).fieldNames.contains(column),
       s"'$column' is not a table column")
+    val ranged = snap.map(dataFiles).getOrElse(Nil)
+      .filter(f => timeRangeUs.forall { case (lo, hi) => f.overlaps(lo, hi) })
     val files =
       if (keysUs.isEmpty) Nil
-      else snap.map(dataFiles).getOrElse(Nil).filter { f =>
-        timeRangeUs.forall { case (lo, hi) => f.overlaps(lo, hi) } && {
-          val inRange = keysUs.filter(k => f.overlapsColumn(column, k, k))
-          inRange.nonEmpty && {
-            val manifestMaybe = resolvedColumnBloom(f, column) match {
-              case Some(b) if b.hashes == LakehouseTable.KeyBloomHashes =>
-                inRange.exists(b.mightContain)
-              case _ => true
-            }
-            manifestMaybe &&
-              bloomMayContain(new Path(tableDir, f.path), column, inRange)
+      else if (keysUs.size > PredicateBounds.MaxPointKeys) {
+        // past the cap: binary-searched bounds + the DISTRIBUTED probe
+        // against the column blooms — the same shape as the key path's
+        // large-IN fallback, footer blooms skipped (VERDICT r12 #7)
+        val sorted = keysUs.distinct.sorted.toArray
+        def anyIn(f: DataFile): Boolean =
+          f.extraBounds.flatMap(_.find(_.column == column)) match {
+            case Some(b) =>
+              val i = java.util.Arrays.binarySearch(sorted, b.min)
+              val idx = if (i >= 0) i else -i - 1
+              idx < sorted.length && sorted(idx) <= b.max
+            case None => true // no stats ⇒ cannot skip
           }
+        val keyDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(sorted.toSeq.map(org.apache.spark.sql.Row(_)),
+            math.max(1, sorted.length / 65536 + 1)),
+          StructType(Seq(StructField("_k",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+        bloomSurvivorsBy(ranged.filter(anyIn), keyDf, resolvedColumnBloom(_, column))._1
+      } else ranged.filter { f =>
+        val inRange = keysUs.filter(k => f.overlapsColumn(column, k, k))
+        inRange.nonEmpty && {
+          val manifestMaybe = resolvedColumnBloom(f, column) match {
+            case Some(b) if b.hashes == LakehouseTable.KeyBloomHashes =>
+              inRange.exists(b.mightContain)
+            case _ => true
+          }
+          manifestMaybe &&
+            bloomMayContain(new Path(tableDir, f.path), column, inRange)
         }
       }
     readWithDeletes(files, snap.map(liveDeleteFiles).getOrElse(Nil))

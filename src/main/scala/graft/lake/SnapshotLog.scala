@@ -351,7 +351,15 @@ final case class ManifestData(
       * downstream sees the compact form. A folded manifest mixing
       * several commits' sidecars falls back to fat per-entry refs.
       */
-    bloomSidecar: Option[BloomSidecar] = None)
+    bloomSidecar: Option[BloomSidecar] = None,
+    /** The SECONDARY-column analog of [[bloomSidecar]]'s ordinal form:
+      * when every entry carries the same column set with uniform
+      * sidecar shapes and arithmetic offsets, one header per column
+      * replaces every entry's [[ColumnBloom]] list. Always ordinal
+      * (there is no explicit-offset middle form for columns — mixed
+      * layouts just keep the fat per-entry refs).
+      */
+    colBloomSidecars: Option[Seq[ColBloomHeader]] = None)
 
 /** The hoisted per-manifest sidecar shape of [[ManifestData]]'s compact
   * bloom encoding. When `base`/`stride` are present the offsets are
@@ -365,6 +373,13 @@ final case class ManifestData(
 final case class BloomSidecar(
     path: String, length: Int, bits: Int, hashes: Int,
     base: Option[Long] = None, stride: Option[Long] = None)
+
+/** One secondary column's hoisted ordinal sidecar shape: entry i's
+  * bloom for `column` lives at `base + i·stride` of `path`.
+  */
+final case class ColBloomHeader(
+    column: String, path: String, length: Int, bits: Int, hashes: Int,
+    base: Long, stride: Long)
 
 /** JSON envelope of a manifest-list (snap-*.json) file. `deletes` is
   * the snapshot's LIVE equality-delete files (additive field: absent in
@@ -886,33 +901,60 @@ final class SnapshotLog(
     // hoist a single shared sidecar shape out of the entries (compact
     // form — see ManifestData.bloomSidecar); mixed shapes (a fold of
     // several commits) keep the fat per-entry refs
+    def arithmetic(offs: Seq[Long]): Option[(Long, Long)] = {
+      val stride = if (offs.size > 1) offs(1) - offs(0) else 0L
+      if (offs.zipWithIndex.forall { case (v, i) => v == offs.head + i * stride })
+        Some((offs.head, stride))
+      else None
+    }
     val shapes = files.flatMap(_.keyBloomRef)
       .map(r => (r.path, r.length, r.bits, r.hashes)).distinct
-    val data =
+    val (keyFiles, keyHdr) =
       if (shapes.size == 1) {
         val (p, l, b, h) = shapes.head
         // ordinal form: every entry carries a bloom and the offsets are
         // an arithmetic sequence (the uniform per-commit layout) —
         // entries then serialize NOTHING per file, only this header
         val offs = files.map(_.keyBloomRef.map(_.offset))
-        val ordinal = offs.forall(_.isDefined) && {
-          val o = offs.flatten
-          val stride = if (o.size > 1) o(1) - o(0) else 0L
-          o.zipWithIndex.forall { case (v, i) => v == o.head + i * stride }
+        offs.flatten match {
+          case o if o.size == files.size && arithmetic(o).isDefined =>
+            val (base, stride) = arithmetic(o).get
+            (files.map(_.copy(keyBloomRef = None)),
+              Some(BloomSidecar(p, l, b, h, base = Some(base), stride = Some(stride))))
+          case _ =>
+            (files.map(f => f.keyBloomRef match {
+              case Some(r) => f.copy(keyBloomRef = None, keyBloomOff = Some(r.offset))
+              case None => f
+            }), Some(BloomSidecar(p, l, b, h)))
         }
-        if (ordinal) {
-          val o = offs.flatten
-          val stride = if (o.size > 1) o(1) - o(0) else 0L
-          ManifestData(
-            files.map(_.copy(keyBloomRef = None)),
-            Some(BloomSidecar(p, l, b, h, base = Some(o.head), stride = Some(stride))))
-        } else ManifestData(
-          files.map(f => f.keyBloomRef match {
-            case Some(r) => f.copy(keyBloomRef = None, keyBloomOff = Some(r.offset))
-            case None => f
-          }),
-          Some(BloomSidecar(p, l, b, h)))
-      } else ManifestData(files)
+      } else (files, None)
+    // the column analog (ordinal-only): every entry carries the SAME
+    // column set, all sidecar refs, uniform per-column shape, offsets
+    // arithmetic — anything else keeps the fat per-entry lists
+    val entryCols = keyFiles.map(_.colBlooms.getOrElse(Nil))
+    val colHdrs: Option[Seq[ColBloomHeader]] =
+      if (entryCols.exists(_.isEmpty) || entryCols.isEmpty) None
+      else {
+        val names = entryCols.head.map(_.column)
+        val uniform = entryCols.forall(cbs =>
+          cbs.map(_.column) == names && cbs.forall(cb => cb.ref.isDefined && cb.bloom.isEmpty))
+        if (!uniform) None
+        else {
+          val headers = names.map { c =>
+            val refs = entryCols.map(_.find(_.column == c).get.ref.get)
+            val sh = refs.map(r => (r.path, r.length, r.bits, r.hashes)).distinct
+            if (sh.size != 1) None
+            else arithmetic(refs.map(_.offset)).map { case (base, stride) =>
+              ColBloomHeader(c, sh.head._1, sh.head._2, sh.head._3, sh.head._4, base, stride)
+            }
+          }
+          if (headers.forall(_.isDefined)) Some(headers.flatten) else None
+        }
+      }
+    val data = colHdrs match {
+      case Some(_) => ManifestData(keyFiles.map(_.copy(colBlooms = None)), keyHdr, colHdrs)
+      case None => ManifestData(keyFiles, keyHdr)
+    }
     writeJsonStr(new Path(metaDir, name), Serialization.writePretty(data))
     // write-through (with the RESOLVED refs, the form readManifest
     // returns): the commit's own planning never re-parses its output
@@ -955,10 +997,10 @@ final class SnapshotLog(
           try Serialization.read[ManifestData](
             new InputStreamReader(in, StandardCharsets.UTF_8))
           finally in.close()
-        // resolve the compact sidecar form back into full refs — no
+        // resolve the compact sidecar forms back into full refs — no
         // consumer downstream of the parse ever sees keyBloomOff or the
-        // ordinal header
-        val files = data.bloomSidecar match {
+        // ordinal headers
+        val keyResolved = data.bloomSidecar match {
           case Some(h) if h.base.isDefined =>
             val base = h.base.get
             val stride = h.stride.getOrElse(0L)
@@ -972,6 +1014,14 @@ final class SnapshotLog(
             case None => f
           })
           case None => data.files
+        }
+        val files = data.colBloomSidecars match {
+          case Some(hs) => keyResolved.zipWithIndex.map { case (f, i) =>
+            f.copy(colBlooms = Some(hs.map(h => ColumnBloom(h.column,
+              ref = Some(BloomRef(h.path, h.base + i * h.stride,
+                h.length, h.bits, h.hashes))))))
+          }
+          case None => keyResolved
         }
         SnapshotLog.cachePut(key, files.size.toLong, files)
         files

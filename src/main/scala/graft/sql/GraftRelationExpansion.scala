@@ -77,17 +77,16 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
     // a point predicate on a declared SECONDARY stats column (round 13,
     // VERDICT r12 #3): no manifest-list level exists for it, but the
     // per-file bounds + column blooms + footer blooms still prune the
-    // file list. First pinned column wins; the per-key driver probe is
-    // capped at MaxPointKeys (no distributed fallback for secondary
-    // columns — past the cap the exact filter alone is cheaper than an
-    // uncapped planning pass).
+    // file list. First pinned column wins; past MaxPointKeys
+    // readPointsOn switches to the distributed column-bloom probe,
+    // mirroring the key path.
     for (cond <- filter if prunable) {
       val statsCols = g.lt.metadata.props.get("write.stats-columns").toSeq
         .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
         .filterNot(keyCol.contains)
       statsCols.iterator
         .flatMap(c => graft.lake.PredicateBounds.pointKeysUs(cond, c).map(c -> _))
-        .find(_._2.size <= graft.lake.PredicateBounds.MaxPointKeys)
+        .nextOption()
         .foreach { case (c, keys) =>
           // compose the predicate's TIME-key bounds on top (WHERE
           // ts >= … AND uid = 5): neither dimension's pruning is

@@ -169,6 +169,24 @@ class BloomSidecarSpec extends SparkSpec {
       mk(1, Some(BloomRef("metadata/blooms/b.bin", 0L, 512, 4096, 5)))), { json =>
       assert(json.contains("keyBloomRef") && !json.contains("bloomSidecar"))
     })
+    // ordinal COLUMN blooms: same column set, uniform shape, arithmetic
+    // offsets ⇒ one ColBloomHeader per column, nothing per entry
+    def mkCols(i: Int) = mk(i, shape(i * 1536L)).copy(colBlooms = Some(Seq(
+      ColumnBloom("uid",
+        ref = Some(BloomRef("metadata/blooms/a.bin", i * 1536L + 512, 512, 4096, 5))),
+      ColumnBloom("v",
+        ref = Some(BloomRef("metadata/blooms/a.bin", i * 1536L + 1024, 512, 4096, 5))))))
+    check(5, (0 until 4).map(mkCols), { json =>
+      assert(json.contains("colBloomSidecars"))
+      assert(!json.contains("colBlooms") && !json.contains("\"offset\""),
+        "ordinal column form must serialize nothing per entry")
+    })
+    // a non-uniform column set keeps the fat per-entry lists
+    check(6, Seq(mkCols(0), mkCols(1).copy(colBlooms = Some(Seq(
+      ColumnBloom("uid",
+        ref = Some(BloomRef("metadata/blooms/a.bin", 99L, 512, 4096, 5))))))), { json =>
+      assert(json.contains("colBlooms") && !json.contains("colBloomSidecars"))
+    })
   }
 
   test("an unknown location value refuses loudly") {

@@ -129,6 +129,27 @@ class SecondaryBloomSpec extends SparkSpec {
     assert(uids.contains(6L) && uids.contains(10L))
   }
 
+  test("a large secondary IN list routes through the distributed column-bloom probe") {
+    // > MaxPointKeys keys: 40 real residue-2 uids (in-bounds for EVERY
+    // file — the residues interleave) plus ~1100 out-of-range fillers.
+    // The large path must bounds-prune the fillers cheaply and let the
+    // DISTRIBUTED column blooms reject the three shared-nothing files.
+    val t = mkTable("sb7", Some(4096))
+    (0 until 4).foreach(r => t.append(residue(r)))
+    val real = (0 until 40).map(i => 4L * i + 2)
+    val fillers = (200L until 1300L)
+    val keys = real ++ fillers
+    assert(keys.size > PredicateBounds.MaxPointKeys)
+    val df = t.readPointsOn("uid", keys)
+    val scanned = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.map(_.relation.location.inputFiles.length).sum
+    assert(scanned < 4 && scanned >= 1,
+      s"distributed column probe must prune below 4 bounds-kept files, planned $scanned")
+    val uids = df.select("uid").as[Long].collect().toSet
+    assert(real.forall(uids.contains), "every real key's row must survive")
+  }
+
   test("readPointsOn with no keys plans zero files; unknown column refuses") {
     val t = mkTable("sb5", Some(4096))
     t.append(residue(0))
