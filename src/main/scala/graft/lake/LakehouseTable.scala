@@ -2819,6 +2819,66 @@ final class LakehouseTable(
     * metadata-tagged scan; the collect is a FILE list, not data), and
     * those files' path set. Used by [[delete]] and [[update]].
     */
+  /** Resolve a user predicate Column against a zero-row probe of the
+    * table schema (plus derived partition columns): Spark 4 Column
+    * trees are opaque ColumnNodes until analysis, and the bounds/point
+    * extractors need catalyst comparisons.
+    */
+  private def resolvePredicate(
+      meta: TableMetadata, predicate: org.apache.spark.sql.Column)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    val probeSchema = meta.partitionColumns.foldLeft(
+      StructType.fromDDL(meta.schemaDdl))((s, c) =>
+      if (s.fieldNames.contains(c)) s else s.add(c, "int", nullable = true))
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], probeSchema)
+    probe.filter(predicate).queryExecution.analyzed match {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) => Some(c)
+      case _ => None
+    }
+  }
+
+  /** The files a COW delete/update's DISCOVERY scan must probe for
+    * `cond` — None ⇔ the condition constrains nothing extractable
+    * (scan everything). A finite point set on the key (`DELETE WHERE
+    * ts IN (…)` — the targeted-erasure shape) prunes through manifest
+    * bounds, manifest/sidecar key blooms, and parquet footer blooms,
+    * exactly like the read-side point path; a range prunes through
+    * bounds. Both are over-approximations — the exact predicate still
+    * decides the hit files — so a bloom false positive only costs
+    * scanning one extra candidate.
+    */
+  private[lake] def cowDiscoveryCandidates(
+      refsWithFiles: Seq[(ManifestRef, Seq[DataFile])],
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      timeCol: String): Option[Seq[DataFile]] = {
+    PredicateBounds.pointKeysUs(cond, timeCol) match {
+      case Some(keys) if keys.size <= PredicateBounds.MaxPointKeys =>
+        Some(refsWithFiles
+          .filter { case (r, _) => keys.exists(k => r.overlaps(k, k)) }
+          .flatMap(_._2.filter { f =>
+            val inRange = keys.filter(k => f.overlaps(k, k))
+            inRange.nonEmpty && {
+              val manifestMaybe = resolvedKeyBloom(f) match {
+                case Some(b) if b.hashes == LakehouseTable.KeyBloomHashes =>
+                  inRange.exists(b.mightContain)
+                case _ => true
+              }
+              manifestMaybe &&
+                bloomMayContain(new Path(tableDir, f.path), timeCol, inRange)
+            }
+          }))
+      case _ =>
+        PredicateBounds.timeBounds(cond, timeCol) match {
+          case (lo, hi) if lo.isDefined || hi.isDefined =>
+            val (l, h) = (lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))
+            Some(refsWithFiles.filter(_._1.overlaps(l, h))
+              .flatMap(_._2.filter(_.overlaps(l, h))))
+          case _ => None
+        }
+    }
+  }
+
   private def cowRewriteTargets(
       meta: TableMetadata,
       current: Snapshot,
@@ -2834,27 +2894,9 @@ final class LakehouseTable(
     // Everything derives from the caller's versioned `meta` and the
     // already-loaded refsWithFiles — no second log read to race a
     // concurrent schema/spec commit, no manifest re-read.
-    // The Column resolves against a zero-row probe of the table schema
-    // first: Spark 4 Column trees are opaque ColumnNodes until analysis,
-    // and the bounds extractor needs catalyst comparisons.
-    def resolvedCond: Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
-      val probeSchema = meta.partitionColumns.foldLeft(
-        StructType.fromDDL(meta.schemaDdl))((s, c) =>
-        if (s.fieldNames.contains(c)) s else s.add(c, "int", nullable = true))
-      val probe = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], probeSchema)
-      probe.filter(predicate).queryExecution.analyzed match {
-        case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) => Some(c)
-        case _ => None
-      }
-    }
     val candidates = meta.partitionTransform.flatMap { timeCol =>
-      resolvedCond.map(c => PredicateBounds.timeBounds(c, timeCol)).collect {
-        case (lo, hi) if lo.isDefined || hi.isDefined =>
-          val (l, h) = (lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))
-          refsWithFiles.filter(_._1.overlaps(l, h))
-            .flatMap(_._2.filter(_.overlaps(l, h)))
-      }
+      resolvePredicate(meta, predicate)
+        .flatMap(c => cowDiscoveryCandidates(refsWithFiles, c, timeCol))
     }.getOrElse(refsWithFiles.flatMap(_._2))
     val hitPaths = readWithDeletes(candidates, liveDeleteFiles(current),
         Some("__graft_file"))
@@ -3267,7 +3309,19 @@ final class LakehouseTable(
     val current = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("cannot delete from an empty table"))
     val (p, i) = ("__graft_pos_path", "__graft_pos_idx")
-    val visible = readWithDeletes(dataFiles(current), liveDeleteFiles(current),
+    // same discovery pruning as the COW paths: a positional delete only
+    // needs to probe files that can contain a predicate-true row —
+    // point predicates prune through bounds + blooms, ranges through
+    // bounds. Safe because a skipped file provably has no hit, so no
+    // position of it could ever enter the mask.
+    val scanned = meta.partitionTransform.flatMap { timeCol =>
+      resolvePredicate(meta, predicate).flatMap { c =>
+        val refsWithFiles = log.readManifestList(current)
+          .map(r => r -> log.readManifest(r.path))
+        cowDiscoveryCandidates(refsWithFiles, c, timeCol)
+      }
+    }.getOrElse(dataFiles(current))
+    val visible = readWithDeletes(scanned, liveDeleteFiles(current),
       keepPosColumns = Some((p, i)))
     val positions = visible.filter(predicate)
       .select(col(p).as("file_path"), col(i).as("row_index"))

@@ -1,6 +1,6 @@
 package graft.lake
 
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType, TimestampType}
 
 /** Conservative [lo, hi] epoch-micros bounds a predicate imposes on a
@@ -121,6 +121,11 @@ object PredicateBounds {
         for { a <- pin(l); b <- pin(r) } yield a union b
       case EqualTo(t, v) if isKey(t) => asLit(v).flatMap(keyUs).map(Set(_))
       case EqualTo(v, t) if isKey(t) => asLit(v).flatMap(keyUs).map(Set(_))
+      // k <=> lit with a NON-NULL literal is plain equality for pruning
+      // (the key column's NULL rows can never match it); <=> NULL pins
+      // nothing extractable here — keyUs drops the null literal
+      case EqualNullSafe(t, v) if isKey(t) => asLit(v).flatMap(keyUs).map(Set(_))
+      case EqualNullSafe(v, t) if isKey(t) => asLit(v).flatMap(keyUs).map(Set(_))
       case In(t, vs) if vs.nonEmpty && isKey(t) =>
         // every IN element must fold to a usable literal, or the set
         // under-approximates; dropping NULL elements is safe (x IN

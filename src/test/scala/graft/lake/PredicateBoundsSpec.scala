@@ -60,6 +60,40 @@ class PredicateBoundsSpec extends SparkSpec {
     assert(t.read().select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("COW delete discovery point-prunes through the key blooms") {
+    import spark.implicits._
+    // 8 key-disjoint files whose µs ranges fully interleave (file r
+    // holds ids ≡ r mod 8): bounds keep all 8 for any in-range point,
+    // so a candidate count below 8 is the blooms' doing
+    def tsOf(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:00.${3 * i}%06d")
+    val data = (0 until 64).map(i => (tsOf(i), i.toLong, i.toDouble))
+      .toDF("ts", "id", "v")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new org.apache.hadoop.fs.Path(tmpDir("cowp"), "t"), data.schema, Some("ts"))
+    t.setProperty("write.key-bloom.bits", "4096")
+    (0 until 8).foreach(r => t.append(data.filter(col("id") % 8 === r).coalesce(1)))
+    assert(t.currentDataFiles.size == 8)
+    // the DISCOVERY candidate set for `DELETE WHERE ts IN (ids 3, 11)`
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], data.schema)
+    val cond = probe.filter(col("ts").isin(tsOf(3), tsOf(11)))
+      .queryExecution.analyzed match {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(e, _) => e
+      case other => fail(s"no Filter in $other")
+    }
+    val snap = t.metadata.currentSnapshot.get
+    val refsWithFiles = t.log.readManifestList(snap)
+      .map(r => r -> t.log.readManifest(r.path))
+    val cands = t.cowDiscoveryCandidates(refsWithFiles, cond, "ts")
+      .getOrElse(fail("point predicate must constrain the discovery"))
+    assert(cands.size < 8 && cands.size >= 1,
+      s"expected bloom-pruned discovery below the 8 bounds-kept files, got ${cands.size}")
+    // and the delete itself stays exact through the pruned discovery
+    t.delete(col("ts").isin(tsOf(3), tsOf(11)))
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq
+      == (0L until 64L).filterNot(Set(3L, 11L)).toSeq)
+  }
+
   // ---- pointKeysUs (round 12, SQL point-key skipping) ----------------------
 
   private def points(c: org.apache.spark.sql.Column, keyCol: String = "ts") = {
@@ -110,6 +144,15 @@ class PredicateBoundsSpec extends SparkSpec {
       == Some(Seq(us(t1))))
     // one unpinned branch admits arbitrary keys — no extraction
     assert(points(col("ts") === lit(t0) || col("ts") >= lit(t1)).isEmpty)
+  }
+
+  test("null-safe equality pins like equality; <=> NULL stays unextracted") {
+    assert(points(col("ts") <=> lit(t0)) == Some(Seq(us(t0))))
+    assert(points(col("ts") <=> lit(t0) || col("ts") === lit(t1))
+      == Some(Seq(us(t0), us(t1)).sorted))
+    // ts <=> NULL matches the NULL rows — a finite key set would
+    // wrongly prune the files holding them; must not extract
+    assert(points(col("ts") <=> lit(null).cast("timestamp")).isEmpty)
   }
 
   test("anything non-finite yields None; NULL elements drop safely") {
