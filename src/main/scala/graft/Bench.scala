@@ -507,6 +507,13 @@ object Bench {
     val idRun = () => table.filesForQuery(Map("symbol" -> "S7")).size
     val oneDay = (day0 + 3 * 86400L) * 1000000L -> (day0 + 4 * 86400L - 1) * 1000000L
     val trRun = () => table.filesForQuery(Map.empty, Some(oneDay)).size
+    // single-key point planning on a BLOOM-LESS table: bounds keep the
+    // key's whole day (10³ template copies at the default fixture), so
+    // this times the worst case — a parquet footer probe per candidate,
+    // fanned out over the bounded pool (round 13). Bloom-carrying
+    // tables reject candidates from the manifest entry instead.
+    val pointKey = (day0 + 3 * 86400L + 5 * 60L) * 1000000L
+    val ptRun = () => table.filesContainingAnyKey(Seq(pointKey)).size
     // genuinely cold: first-ever planning call on this table, nothing
     // warmed (later shapes inherit its warmed FS metadata — they report
     // warm medians only; review r10)
@@ -517,12 +524,13 @@ object Bench {
     def sweep(): Map[String, Double] = Map(
       "full" -> parseMs(fullRun), "full_cached" -> cachedMs(fullRun),
       "identity" -> parseMs(idRun), "identity_cached" -> cachedMs(idRun),
-      "timerange" -> parseMs(trRun))
+      "timerange" -> parseMs(trRun), "point" -> cachedMs(ptRun))
     // two independent sweeps, per-field min (VERDICT r10 #8)
     val s1 = sweep(); val s2 = sweep()
     def m(k: String): Double = math.min(s1(k), s2(k))
     val idN = idRun()
     val trN = trRun()
+    val ptN = ptRun()
     // POLICY-path clustering (VERDICT r10 #2): declared once on the
     // table, fired by zero-arg maintenance on cluster pressure — the
     // commit-shaped 10-manifest chain is exactly the shape that decays
@@ -592,8 +600,8 @@ object Bench {
       java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverseIterator
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     } catch { case _: Throwable => () }
-    val compact = f"""{"files":$nFiles,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"identity_ms":${m("identity")}%.1f,"timerange_ms":${m("timerange")}%.1f,"clustered_identity_ms":${mc("cl")}%.1f,"policy_clustered":$policyClustered,"folded_full_scan_ms":$foldedMs%.1f,$bloomShapes}"""
-    val detail = f"""{"files":$nFiles,"commits":$nDays,"build_sec":$buildSec%.3f,"build_copy_sec":$copySec%.3f,"build_import_sec":$importSec%.3f,"full_scan_cold_ms":$fullCold%.1f,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"full_files":$fullN,"identity_ms":${m("identity")}%.1f,"identity_cached_ms":${m("identity_cached")}%.1f,"identity_files":$idN,"timerange_ms":${m("timerange")}%.1f,"timerange_files":$trN,"policy_clustered":$policyClustered,"clustered_identity_ms":${mc("cl")}%.1f,"clustered_identity_cached_ms":${mc("cl_cached")}%.1f,"clustered_identity_files":$clIdN,"folded_full_scan_ms":$foldedMs%.1f,"folded_files":$foldedN,"sweeps":2,$bloomShapes}"""
+    val compact = f"""{"files":$nFiles,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"identity_ms":${m("identity")}%.1f,"timerange_ms":${m("timerange")}%.1f,"point_ms":${m("point")}%.1f,"clustered_identity_ms":${mc("cl")}%.1f,"policy_clustered":$policyClustered,"folded_full_scan_ms":$foldedMs%.1f,$bloomShapes}"""
+    val detail = f"""{"files":$nFiles,"commits":$nDays,"build_sec":$buildSec%.3f,"build_copy_sec":$copySec%.3f,"build_import_sec":$importSec%.3f,"full_scan_cold_ms":$fullCold%.1f,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"full_files":$fullN,"identity_ms":${m("identity")}%.1f,"identity_cached_ms":${m("identity_cached")}%.1f,"identity_files":$idN,"timerange_ms":${m("timerange")}%.1f,"timerange_files":$trN,"point_ms":${m("point")}%.1f,"point_files":$ptN,"policy_clustered":$policyClustered,"clustered_identity_ms":${mc("cl")}%.1f,"clustered_identity_cached_ms":${mc("cl_cached")}%.1f,"clustered_identity_files":$clIdN,"folded_full_scan_ms":$foldedMs%.1f,"folded_files":$foldedN,"sweeps":2,$bloomShapes}"""
     (compact, detail)
   } catch {
     case e: Throwable =>

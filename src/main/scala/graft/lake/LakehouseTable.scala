@@ -1156,19 +1156,12 @@ final class LakehouseTable(
           log.readManifestList(s).filter(r => keysUs.exists(k => r.overlaps(k, k))))
         .flatten.filter(f => keysUs.exists(k => f.overlaps(k, k)))
     }.getOrElse(Nil)
-    ranged.filter { f =>
-      val inRange = keysUs.filter(k => f.overlaps(k, k))
-      // manifest bloom first (round 11): zero-I/O — rejects a
-      // within-bounds file from the already-parsed manifest entry
-      // before the footer+bitset read below is even attempted. Files
-      // without a bloom (or a foreign probe count) fall through.
-      val manifestMaybe = resolvedKeyBloom(f) match {
-        case Some(b) if b.hashes == LakehouseTable.KeyBloomHashes =>
-          inRange.exists(b.mightContain)
-        case _ => true
-      }
-      manifestMaybe && bloomMayContain(new Path(tableDir, f.path), keyCol, inRange)
-    }
+    // manifest bloom first (round 11): zero-I/O — rejects a
+    // within-bounds file from the already-parsed manifest entry before
+    // the footer+bitset read is even attempted. Files without a bloom
+    // (or a foreign probe count) fall through to the footer.
+    bloomPointSurvivors(ranged,
+      f => keysUs.filter(k => f.overlaps(k, k)), resolvedKeyBloom, keyCol)
   }
 
   /** Read only the rows matching the given point keys, scanning only
@@ -1261,18 +1254,9 @@ final class LakehouseTable(
           StructType(Seq(StructField("_k",
             org.apache.spark.sql.types.LongType, nullable = false))))
         bloomSurvivorsBy(ranged.filter(anyIn), keyDf, resolvedColumnBloom(_, column))._1
-      } else ranged.filter { f =>
-        val inRange = keysUs.filter(k => f.overlapsColumn(column, k, k))
-        inRange.nonEmpty && {
-          val manifestMaybe = resolvedColumnBloom(f, column) match {
-            case Some(b) if b.hashes == LakehouseTable.KeyBloomHashes =>
-              inRange.exists(b.mightContain)
-            case _ => true
-          }
-          manifestMaybe &&
-            bloomMayContain(new Path(tableDir, f.path), column, inRange)
-        }
-      }
+      } else bloomPointSurvivors(ranged,
+        f => keysUs.filter(k => f.overlapsColumn(column, k, k)),
+        resolvedColumnBloom(_, column), column)
     readWithDeletes(files, snap.map(liveDeleteFiles).getOrElse(Nil))
   }
 
@@ -1522,9 +1506,11 @@ final class LakehouseTable(
   /** True unless EVERY row group's bloom filter rejects every key. A
     * missing bloom (pre-bloom files, non-INT64 key) can never skip.
     */
-  private def bloomMayContain(p: Path, keyCol: String, keysUs: Seq[Long]): Boolean = {
+  private def bloomMayContain(p: Path, keyCol: String, keysUs: Seq[Long],
+      hconf: org.apache.hadoop.conf.Configuration = null): Boolean = {
     val in = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p,
+        if (hconf != null) hconf else conf))
     try {
       val blocks = in.getFooter.getBlocks
       var mayContain = false
@@ -2819,6 +2805,42 @@ final class LakehouseTable(
     * metadata-tagged scan; the collect is a FILE list, not data), and
     * those files' path set. Used by [[delete]] and [[update]].
     */
+  /** The per-file point-probe shared by every ≤MaxPointKeys path (read,
+    * secondary read, COW discovery): in-bounds keys → manifest/sidecar
+    * bloom → parquet footer bloom. Candidate sets past a handful of
+    * files fan the probes out over a bounded pool (the readManifests
+    * pattern): each footer probe is a driver-side seek+read, and a
+    * point lookup over a bloom-less day of 10⁵ files would otherwise
+    * pay them SERIALLY — the dominant planning term at that scale.
+    * Order-preserving; results identical to the serial path.
+    */
+  private def bloomPointSurvivors(
+      files: Seq[DataFile],
+      inRangeOf: DataFile => Seq[Long],
+      bloomOf: DataFile => Option[KeyBloom],
+      footerCol: String): Seq[DataFile] = {
+    // ONE Hadoop conf for the whole batch: `conf` is a fresh full copy
+    // per call, which at a 10³-candidate probe set dominated the probe
+    // itself (~1 ms/copy vs ~0.2 ms/footer on warm local disk)
+    val hconf = conf
+    def keep(f: DataFile): Boolean = {
+      val inRange = inRangeOf(f)
+      inRange.nonEmpty && {
+        val manifestMaybe = bloomOf(f) match {
+          case Some(b) if b.hashes == LakehouseTable.KeyBloomHashes =>
+            inRange.exists(b.mightContain)
+          case _ => true
+        }
+        manifestMaybe &&
+          bloomMayContain(new Path(tableDir, f.path), footerCol, inRange, hconf)
+      }
+    }
+    if (files.lengthCompare(8) <= 0) files.filter(keep)
+    else graft.util.BoundedPar
+      .map(files, parallelism = SnapshotLog.ManifestParseParallelism)(f => f -> keep(f))
+      .collect { case (f, true) => f }
+  }
+
   /** Resolve a user predicate Column against a zero-row probe of the
     * table schema (plus derived partition columns): Spark 4 Column
     * trees are opaque ColumnNodes until analysis, and the bounds/point
@@ -2854,20 +2876,11 @@ final class LakehouseTable(
       timeCol: String): Option[Seq[DataFile]] = {
     PredicateBounds.pointKeysUs(cond, timeCol) match {
       case Some(keys) if keys.size <= PredicateBounds.MaxPointKeys =>
-        Some(refsWithFiles
-          .filter { case (r, _) => keys.exists(k => r.overlaps(k, k)) }
-          .flatMap(_._2.filter { f =>
-            val inRange = keys.filter(k => f.overlaps(k, k))
-            inRange.nonEmpty && {
-              val manifestMaybe = resolvedKeyBloom(f) match {
-                case Some(b) if b.hashes == LakehouseTable.KeyBloomHashes =>
-                  inRange.exists(b.mightContain)
-                case _ => true
-              }
-              manifestMaybe &&
-                bloomMayContain(new Path(tableDir, f.path), timeCol, inRange)
-            }
-          }))
+        Some(bloomPointSurvivors(
+          refsWithFiles
+            .filter { case (r, _) => keys.exists(k => r.overlaps(k, k)) }
+            .flatMap(_._2),
+          f => keys.filter(k => f.overlaps(k, k)), resolvedKeyBloom, timeCol))
       case _ =>
         PredicateBounds.timeBounds(cond, timeCol) match {
           case (lo, hi) if lo.isDefined || hi.isDefined =>

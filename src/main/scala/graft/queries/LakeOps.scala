@@ -1278,6 +1278,42 @@ object LakeOps {
       .orderBy("ts_day")
   }
 
+  /** Targeted point DELETE through the pruned discovery (round 13,
+    * VERDICT r12 follow-on): the GDPR-erasure shape — `DELETE WHERE
+    * ts IN (five keys)` on a key-bloom table whose files are
+    * key-disjoint but fully time-interleaved, so the discovery scan's
+    * bounds keep every file and only the blooms focus it. The COW
+    * rewrite must remove EXACTLY the five keys' rows (DuckDB recomputes
+    * the survivors' count/bounds/sum independently — a discovery
+    * false-negative would leave a deleted row alive, a rewrite bug
+    * would drop innocents), and the rewrite must be file-surgical:
+    * every non-hit file survives by manifest reference, byte-identical.
+    */
+  def pointDeleteFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ev = graft.Tables.t(s, dir, "events")
+      .select(col("ts").cast(TimestampType).as("ts"), col("value"))
+      .where(col("ts").isNotNull)
+    val table = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(freshWarehouse("graft-pd"), "events"), ev.schema, Some("ts"))
+    table.setProperty("write.key-bloom.bits", "262144")
+    table.append(ev.repartition(8, floor(second(col("ts")) / 8)))
+    val keyTs = ev.filter(second(col("ts")) === 7)
+      .select("ts").distinct().orderBy("ts").limit(5)
+      .collect().map(_.getTimestamp(0)).toSeq
+    val beforePaths = table.currentDataFiles.map(_.path).toSet
+    table.delete(col("ts").isin(keyTs: _*))
+    val afterPaths = table.currentDataFiles.map(_.path).toSet
+    // file-surgical: only the files that really held a key were rewritten
+    val rewritten = (beforePaths -- afterPaths).size
+    table.read().agg(
+        count(lit(1)).as("n_rows"),
+        min(unix_micros(col("ts"))).as("min_ts_us"),
+        max(unix_micros(col("ts"))).as("max_ts_us"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .withColumn("file_surgical", lit(rewritten < beforePaths.size))
+  }
+
   /** Copy-on-write DELETE: drop every 7th event, read back totals. */
   def deleteFlow(s: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
@@ -1552,6 +1588,23 @@ object LakeOps {
              |       CAST(2 AS BIGINT) AS n_specs,
              |       true AS epochs_intact
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_point_delete",
+      pointDeleteFlow,
+      Some("""WITH k AS (
+             |  SELECT DISTINCT ts FROM events
+             |  WHERE ts IS NOT NULL AND second(ts) = 7
+             |  ORDER BY ts LIMIT 5
+             |)
+             |SELECT count(*) AS n_rows,
+             |       min(epoch_us(ts)) AS min_ts_us,
+             |       max(epoch_us(ts)) AS max_ts_us,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       true AS file_surgical
+             |FROM events
+             |WHERE ts IS NOT NULL AND ts NOT IN (SELECT ts FROM k)""".stripMargin)
     ),
 
     QuerySpec(

@@ -160,6 +160,29 @@ class SqlPointSkipSpec extends SparkSpec {
       == (3L until 4096L by 8L).toSeq)
   }
 
+  test("past 8 candidates the footer probes fan out in parallel, results identical") {
+    // 16 interleaved key-disjoint files: the candidate set (16 > the
+    // serial threshold) takes the BoundedPar probe path; the planned
+    // files and rows must be exactly what the serial path would keep
+    val (cat, wh) = freshCatalog()
+    val data = (0 until 128).map(i => (tsOfId(i), i.toLong, i.toDouble))
+      .toDF("ts", "id", "v")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/ptp"), data.schema, Some("ts"))
+    t.setProperty("write.key-bloom.bits", "8192")
+    (0 until 16).foreach(r =>
+      t.append(data.filter(col("id") % 16 === r).coalesce(1)))
+    assert(t.currentDataFiles.size == 16)
+    // ids 5 and 21 live only in the residue-5 file; bounds keep all 16
+    assert(t.filesOverlapping(baseUs + 3 * 5, baseUs + 3 * 21).size == 16)
+    val q = s"SELECT id FROM $cat.gold.ptp " +
+      s"WHERE ts IN (${tsLitOfId(5)}, ${tsLitOfId(21)})"
+    val scanned = filesScanned(q)
+    assert(scanned < 16 && scanned >= 1,
+      s"parallel probe must prune below the 16 bounds-kept files, planned $scanned")
+    assert(spark.sql(q).collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 21L))
+  }
+
   test("point skipping respects merge-on-read deletes and time travel pins") {
     val (cat, wh) = freshCatalog()
     val t = mkInterleaved(cat, wh, "ptd")
