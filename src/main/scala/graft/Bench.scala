@@ -187,7 +187,10 @@ object Bench {
       "2-4x another: the between-query state sweep unpersists shared " +
       "diamonds, so a later run rebuilds them under the prior run's " +
       "GC/eviction churn; min-of-samples reports steady state - wide spread " +
-      "on those entries is artifact, not regression. Sampling is adaptive " +
+      "on those entries is artifact, not regression. Since r13 those " +
+      "entries take one UNTIMED warm-up at the bench SF before sampling, " +
+      "so their recorded samples should sit in the steady band. " +
+      "Sampling is adaptive " +
       "(up to 4) until the two fastest samples agree within 25%; 'load' " +
       "records the 1-min loadavg before each sample - readings well above " +
       "the 32-core bench's own sustained load mean external contention. " +

@@ -1024,7 +1024,10 @@ final class LakehouseTable(
   private def loadBloomRef(r: BloomRef): Option[KeyBloom] = {
     if (r.length <= 0 || r.length % 8 != 0 || r.bits != r.length * 8) return None
     val abs = fs.makeQualified(new Path(tableDir, r.path))
-    val key = (abs.toString, r.offset)
+    // length is part of the key: two (corrupt) manifests aliasing one
+    // (path, offset) with different lengths must never serve each other
+    // a wrong-sized bloom — that could turn into a false-negative skip
+    val key = (s"${abs.toString}#${r.length}", r.offset)
     Option(LakehouseTable.bloomRefCache.get(key)).orElse {
       val loaded = try {
         val in = fs.open(abs)
@@ -1072,8 +1075,15 @@ final class LakehouseTable(
       files: Seq[DataFile],
       keysUs: DataFrame,
       bloomOf: DataFile => Option[KeyBloom]): (Seq[DataFile], Int) = {
-    val resolved = files.map(f =>
-      f -> bloomOf(f).filter(_.hashes == LakehouseTable.KeyBloomHashes))
+    // sidecar refs resolve with one seek+read each on a cold cache —
+    // fan the resolution out like the footer probes, or a 10⁵-candidate
+    // large-IN probe would pay them serially before the first Spark job
+    val resolved =
+      if (files.lengthCompare(8) <= 0)
+        files.map(f => f -> bloomOf(f).filter(_.hashes == LakehouseTable.KeyBloomHashes))
+      else graft.util.BoundedPar.map(files,
+        parallelism = SnapshotLog.ManifestParseParallelism)(f =>
+        f -> bloomOf(f).filter(_.hashes == LakehouseTable.KeyBloomHashes))
     val withB = resolved.collect { case (f, Some(b)) => (f, b) }
     val withoutB = resolved.collect { case (f, None) => f }
     if (withB.isEmpty) return (files, 0)

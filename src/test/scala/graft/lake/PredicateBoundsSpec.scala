@@ -88,6 +88,10 @@ class PredicateBoundsSpec extends SparkSpec {
       .getOrElse(fail("point predicate must constrain the discovery"))
     assert(cands.size < 8 && cands.size >= 1,
       s"expected bloom-pruned discovery below the 8 bounds-kept files, got ${cands.size}")
+    // update shares the same discovery: a point UPDATE stays exact too
+    t.update(col("ts").isin(tsOf(5), tsOf(13)), Map("v" -> lit(-1.0)))
+    assert(t.read().filter(col("v") === -1.0).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(5L, 13L))
     // and the delete itself stays exact through the pruned discovery
     t.delete(col("ts").isin(tsOf(3), tsOf(11)))
     assert(t.read().select("id").as[Long].collect().sorted.toSeq
