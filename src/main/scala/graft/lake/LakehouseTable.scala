@@ -2468,6 +2468,13 @@ final class LakehouseTable(
       meta.props.get("write.stats-columns").toSeq
         .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))).distinct
     cols.foreach(k => writer.option(s"parquet.bloom.filter.enabled#$k", "true"))
+    // ADAPTIVE sizing (round 13): without an NDV hint parquet writes
+    // every bloom at the fixed 1 MiB maximum — measured 1,049,340 B
+    // files holding ~1 KiB of data, and a ~10 ms footer+bitset probe
+    // apiece. Adaptive keeps candidate blooms during the write and
+    // emits the smallest whose capacity covers the chunk's observed
+    // NDV at the target FPP, so bloom bytes scale with the data.
+    if (cols.nonEmpty) writer.option("parquet.bloom.filter.adaptive.enabled", "true")
     writer
   }
 
@@ -2829,10 +2836,12 @@ final class LakehouseTable(
       inRangeOf: DataFile => Seq[Long],
       bloomOf: DataFile => Option[KeyBloom],
       footerCol: String): Seq[DataFile] = {
-    // ONE Hadoop conf for the whole batch: `conf` is a fresh full copy
-    // per call, which at a 10³-candidate probe set dominated the probe
-    // itself (~1 ms/copy vs ~0.2 ms/footer on warm local disk)
-    val hconf = conf
+    // ONE Hadoop conf PER THREAD for the whole batch: `conf` is a fresh
+    // full copy per call (~1 ms, more than the footer read), and a
+    // single conf shared across the pool serializes on Configuration's
+    // synchronized property reads — with 32 probe threads the "parallel"
+    // sweep was running at near-serial speed
+    val tlConf = ThreadLocal.withInitial[org.apache.hadoop.conf.Configuration](() => conf)
     def keep(f: DataFile): Boolean = {
       val inRange = inRangeOf(f)
       inRange.nonEmpty && {
@@ -2842,7 +2851,7 @@ final class LakehouseTable(
           case _ => true
         }
         manifestMaybe &&
-          bloomMayContain(new Path(tableDir, f.path), footerCol, inRange, hconf)
+          bloomMayContain(new Path(tableDir, f.path), footerCol, inRange, tlConf.get())
       }
     }
     if (files.lengthCompare(8) <= 0) files.filter(keep)
