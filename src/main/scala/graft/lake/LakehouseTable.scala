@@ -1715,7 +1715,8 @@ final class LakehouseTable(
           case Array(k, v) => Some(k -> v)
           case _ => None
         }).toMap
-      val (_, mn, mx, extra) = preStats(p)
+      val fi = preStats(p)
+      val (mn, mx, extra) = (fi.minKey, fi.maxKey, fi.bounds)
       derivedFields.foreach { f =>
         val dirVal = segs.getOrElse(f.name, throw new IllegalArgumentException(
           s"addFiles: staged file '$rel' has no '${f.name}=' partition dir — " +
@@ -2655,8 +2656,7 @@ final class LakehouseTable(
         * here: the validation pass requests additional columns whose
         * bounds must NOT leak into the stored manifest entries.
         */
-      preStats: Option[Map[Path, (Long, Option[Long], Option[Long], Seq[ColumnBounds])]] =
-        None): Seq[DataFile] = {
+      preStats: Option[Map[Path, FooterInfo]] = None): Seq[DataFile] = {
     val keyCol = meta.statsSource
     val sid = if (meta.defaultSpec.fields.nonEmpty) Some(meta.defaultSpec.id) else None
     val tList = System.nanoTime()
@@ -2702,16 +2702,20 @@ final class LakehouseTable(
       if (!fs.rename(src, dest))
         throw new IllegalStateException(s"failed to move $src -> $dest")
       val tF = System.nanoTime()
-      val (rows, mn, mx, extra) = preStats.flatMap(_.get(src)) match {
-        case Some((r, a, b, ex)) =>
-          (r, a, b, ex.filter(c => extraStatCols.contains(c.column)))
+      val fi = preStats.flatMap(_.get(src)) match {
+        case Some(pre) =>
+          pre.copy(bounds = pre.bounds.filter(c => extraStatCols.contains(c.column)))
         case None => footerInfo(dest, keyCol, extraStatCols)
       }
       renameNs.addAndGet(tF - tR)
       footerNs.addAndGet(System.nanoTime() - tF)
-      DataFile(s"data/${if (relDir.isEmpty) "" else relDir}$name", rows, mn, mx,
-        extraBounds = if (extra.isEmpty) None else Some(extra),
-        specId = sid)
+      DataFile(s"data/${if (relDir.isEmpty) "" else relDir}$name",
+        fi.rows, fi.minKey, fi.maxKey,
+        extraBounds = if (fi.bounds.isEmpty) None else Some(fi.bounds),
+        specId = sid,
+        // Some(Nil) is a PROOF of no footer blooms (the point probe
+        // skips the footer open); None = pre-r13 entry, probe as before
+        fbCols = Some(fi.bloomCols))
     }
     fs.delete(staging, true)
     if (sys.env.contains("GRAFT_ADDFILES_TIMING"))
@@ -2850,8 +2854,13 @@ final class LakehouseTable(
             inRange.exists(b.mightContain)
           case _ => true
         }
-        manifestMaybe &&
-          bloomMayContain(new Path(tableDir, f.path), footerCol, inRange, tlConf.get())
+        manifestMaybe && (f.fbCols match {
+          // a recorded footer-bloom column list that lacks this column
+          // is a PROOF the footer cannot reject — keep without opening
+          case Some(cols) if !cols.contains(footerCol) => true
+          case _ =>
+            bloomMayContain(new Path(tableDir, f.path), footerCol, inRange, tlConf.get())
+        })
       }
     }
     if (files.lengthCompare(8) <= 0) files.filter(keep)
@@ -3956,8 +3965,8 @@ final class LakehouseTable(
     * surface as longs). No data pages are touched.
     */
   private def footerStats(p: Path, keyCol: Option[String]): (Long, Option[Long], Option[Long]) = {
-    val (rows, mn, mx, _) = footerInfo(p, keyCol, Nil)
-    (rows, mn, mx)
+    val fi = footerInfo(p, keyCol, Nil)
+    (fi.rows, fi.minKey, fi.maxKey)
   }
 
   /** Conservative long bounds of `cols` from a parquet footer (INT64 /
@@ -3967,12 +3976,22 @@ final class LakehouseTable(
     */
   private def footerColumnBounds(p: Path, cols: Seq[String]): Seq[ColumnBounds] = {
     if (cols.isEmpty) return Nil
-    footerInfo(p, None, cols)._4
+    footerInfo(p, None, cols).bounds
   }
 
+  /** One footer read's worth of manifest-entry inputs. `bloomCols` =
+    * columns carrying a parquet bloom filter in EVERY row group (the
+    * only shape the point probe can reject on — one bloom-less group
+    * keeps the whole file); recorded into [[DataFile.fbCols]] so point
+    * planning can skip the footer open entirely for files that
+    * provably cannot prune.
+    */
+  private final case class FooterInfo(
+      rows: Long, minKey: Option[Long], maxKey: Option[Long],
+      bounds: Seq[ColumnBounds], bloomCols: Seq[String])
+
   private def footerInfo(
-      p: Path, keyCol: Option[String], extraCols: Seq[String])
-      : (Long, Option[Long], Option[Long], Seq[ColumnBounds]) = {
+      p: Path, keyCol: Option[String], extraCols: Seq[String]): FooterInfo = {
     val in = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
     try {
@@ -3985,9 +4004,13 @@ final class LakehouseTable(
       // narrow and metadata skipping would silently drop rows
       val poisoned = scala.collection.mutable.Set.empty[String]
       val extraSet = extraCols.toSet
+      val bloomBlocks = scala.collection.mutable.Map.empty[String, Int]
+      val nBlocks = in.getFooter.getBlocks.size()
       in.getFooter.getBlocks.forEach { b =>
         b.getColumns.forEach { c =>
           val name = c.getPath.toDotString
+          if (c.getBloomFilterOffset >= 0)
+            bloomBlocks(name) = bloomBlocks.getOrElse(name, 0) + 1
           val st = c.getStatistics
           if (keyCol.contains(name) && st != null && st.hasNonNullValue) {
             (st.genericGetMin, st.genericGetMax) match {
@@ -4023,7 +4046,8 @@ final class LakehouseTable(
       }
       val boundsOut = extraCols.filterNot(poisoned.contains)
         .flatMap(c => extras.get(c).map { case (mn, mx) => ColumnBounds(c, mn, mx) })
-      (rows, lo, hi, boundsOut)
+      FooterInfo(rows, lo, hi, boundsOut,
+        bloomBlocks.collect { case (c, n) if n == nBlocks => c }.toSeq.sorted)
     } finally in.close()
   }
 

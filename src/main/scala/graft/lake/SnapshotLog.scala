@@ -133,7 +133,17 @@ final case class DataFile(
       * non-integral columns record no bloom. Absent ⇒ never
       * bloom-skipped on secondary columns — additive, no format bump.
       */
-    colBlooms: Option[Seq[ColumnBloom]] = None
+    colBlooms: Option[Seq[ColumnBloom]] = None,
+    /** Columns carrying a parquet FOOTER bloom in every row group of
+      * this file, recorded at write/import time from the footer the
+      * stats pass reads anyway (round 13). `Some(Nil)` is a PROOF of
+      * absence: point planning skips the footer open for a column not
+      * listed — a bloom-less import of 10³ files was paying 10³
+      * pointless footer reads per point lookup. Absent (pre-r13
+      * manifests) ⇒ unknown, probe as before — additive, no format
+      * bump.
+      */
+    fbCols: Option[Seq[String]] = None
 ) {
   def overlaps(loUs: Long, hiUs: Long): Boolean = (minKeyUs, maxKeyUs) match {
     case (Some(lo), Some(hi)) => hi >= loUs && lo <= hiUs

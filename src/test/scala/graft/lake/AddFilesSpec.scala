@@ -53,6 +53,32 @@ class AddFilesSpec extends SparkSpec {
       .map(p => root.relativize(p).toString).toSet
   }
 
+  test("entries record footer-bloom columns; bloom-less imports never open footers for points") {
+    // external writers don't enable parquet blooms — the import must
+    // record that PROOF (fbCols = empty) so every later point lookup
+    // skips the footer open instead of paying one read per candidate
+    val table = mkTable("af-fb")
+    val staged = tmpDir("af-fb-staged")
+    stage(ticks, staged)
+    table.addFiles(new Path(staged))
+    assert(table.currentDataFiles.forall(_.fbCols.contains(Nil)),
+      s"imports must prove footer-bloom absence: " +
+        table.currentDataFiles.map(_.fbCols).mkString(", "))
+    // point planning still returns every bounds-kept file (nothing can
+    // prune it further) and never fails on the missing blooms
+    val k = Timestamp.valueOf("2024-03-01 10:00:00").getTime * 1000L
+    val hit = table.filesContainingAnyKey(Seq(k))
+    assert(hit.nonEmpty && hit.forall(_.overlaps(k, k)))
+    // native appends DO bloom the key column and record it
+    val df = ticks.select("ts", "px")
+    val nt = LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("af-fb-nat"), "t"), df.schema, Some("ts"))
+    nt.append(df)
+    assert(nt.currentDataFiles.forall(_.fbCols.exists(_.contains("ts"))),
+      s"native writes must record the key's footer bloom: " +
+        nt.currentDataFiles.map(_.fbCols).mkString(", "))
+  }
+
   test("imports by reference: staged paths survive, stats recorded, pruning works") {
     val table = mkTable("af1")
     val staged = tmpDir("af1-staged")
