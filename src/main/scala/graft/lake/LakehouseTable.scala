@@ -1022,12 +1022,18 @@ final class LakehouseTable(
     * optimization and a bad sidecar must not poison correctness.
     */
   private def loadBloomRef(r: BloomRef): Option[KeyBloom] = {
-    if (r.length <= 0 || r.length % 8 != 0 || r.bits != r.length * 8) return None
+    // the write side caps blooms at 1<<20 bits (128 KiB); a ref past
+    // that is corrupt/hostile metadata, and trusting its length would
+    // allocate r.length bytes per probe AND cache them (ADVICE r13)
+    if (r.length <= 0 || r.length > (1 << 20) / 8 ||
+      r.length % 8 != 0 || r.bits != r.length * 8) return None
     val abs = fs.makeQualified(new Path(tableDir, r.path))
-    // length is part of the key: two (corrupt) manifests aliasing one
-    // (path, offset) with different lengths must never serve each other
-    // a wrong-sized bloom — that could turn into a false-negative skip
-    val key = (s"${abs.toString}#${r.length}", r.offset)
+    // length AND hashes are part of the key: two (corrupt) manifests
+    // aliasing one (path, offset) with different shapes must never
+    // serve each other a bloom labeled with the first loader's probe
+    // count — that could pass the probe-shape gate downstream and turn
+    // into a false-negative skip (ADVICE r13 closed the hashes half)
+    val key = (s"${abs.toString}#${r.length}#${r.hashes}", r.offset)
     Option(LakehouseTable.bloomRefCache.get(key)).orElse {
       val loaded = try {
         val in = fs.open(abs)
@@ -1094,8 +1100,16 @@ final class LakehouseTable(
     // persisted first, so an expensive uncached key lineage (e.g. an
     // ingest batch on the readRangeForKeys hot path) is computed once,
     // not once for the probe and again for the bloom join (ADVICE r12).
+    // a STRING key frame keeps its type (round 14): xxhash64 hashes by
+    // type, so casting string keys to (null) longs would probe garbage;
+    // the write side hashed the raw string bytes and the predicate
+    // below evaluates the same typed kernel
+    val rawKey = keysUs.schema.head.dataType match {
+      case org.apache.spark.sql.types.StringType => col(keysUs.columns.head)
+      case _ => col(keysUs.columns.head).cast("long")
+    }
     val keyFrame = keysUs
-      .select(col(keysUs.columns.head).cast("long").as("_ku"))
+      .select(rawKey.as("_ku"))
       .where(col("_ku").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1105,11 +1119,6 @@ final class LakehouseTable(
         StructField("_bm", org.apache.spark.sql.types.LongType, nullable = false),
         StructField("_bw", org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.LongType, containsNull = false), nullable = false)))
-      val bloomRows = withB.zipWithIndex.map { case ((_, b), i) =>
-        org.apache.spark.sql.Row(i, b.bits.toLong, b.wordArray.toSeq)
-      }
-      val bloomDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(bloomRows, 1), schema)
       // k bit probes as ONE codegen'd predicate: bit p of the filter is
       // (word[p DIV 64] >> (p % 64)) & 1 with p = pmod(xxhash64(ku, i), m).
       // The i literal must stay INT — xxhash64 hashes by type, and the
@@ -1118,10 +1127,36 @@ final class LakehouseTable(
         s"(shiftright(element_at(_bw, CAST(pmod(xxhash64(_ku, $i), _bm) DIV 64 AS INT) + 1), " +
           s"CAST(pmod(xxhash64(_ku, $i), _bm) % 64 AS INT)) & 1) = 1")
         .mkString(" AND ")
-      val hits = keyFrame
-        .crossJoin(broadcast(bloomDf))
-        .where(expr(pred))
-        .select("_bi").distinct().collect().map(_.getInt(0)).toSet
+      // the bloom frame BROADCASTS — chunk it by word bytes so an
+      // arbitrary SQL IN list over a huge table (tens of thousands of
+      // candidates × up to 128 KiB of words each, since the SQL path
+      // carries no candidate cap) can never route an unbounded byte
+      // blob through one driver-side broadcast (ADVICE r13). One probe
+      // job per ≤64 MiB chunk; hits union across chunks, so the result
+      // is identical to the single-shot probe.
+      val maxChunkBytes = 64L << 20
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[(DataFile, KeyBloom)])]
+      var start = 0
+      var bytes = 0L
+      withB.zipWithIndex.foreach { case ((_, b), i) =>
+        val w = b.wordArray.length.toLong * 8
+        if (bytes + w > maxChunkBytes && i > start) {
+          chunks += ((start, withB.slice(start, i))); start = i; bytes = 0L
+        }
+        bytes += w
+      }
+      chunks += ((start, withB.drop(start)))
+      val hits = chunks.iterator.flatMap { case (base, chunk) =>
+        val bloomRows = chunk.zipWithIndex.map { case ((_, b), i) =>
+          org.apache.spark.sql.Row(base + i, b.bits.toLong, b.wordArray.toSeq)
+        }
+        val bloomDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(bloomRows, 1), schema)
+        keyFrame
+          .crossJoin(broadcast(bloomDf))
+          .where(expr(pred))
+          .select("_bi").distinct().collect().map(_.getInt(0))
+      }.toSet
       val kept = withoutB ++ withB.zipWithIndex.collect { case ((f, _), i) if hits(i) => f }
       (kept, withB.size - hits.size)
     } finally keyFrame.unpersist()
@@ -1236,38 +1271,192 @@ final class LakehouseTable(
   def readPointsOn(
       column: String,
       keysUs: Seq[Long],
+      timeRangeUs: Option[(Long, Long)] = None): DataFrame =
+    readPointsMulti(None, Seq(column -> keysUs), Nil, timeRangeUs)
+
+  /** [[readPointsOn]] for a STRING stats column (round 14, VERDICT
+    * r13 #1) — the commonest real secondary lookup (`WHERE url = '…'`,
+    * `WHERE doc_id IN ('a','b')`) gets the same three-level pruning:
+    * truncated per-file string bounds ([[ColumnBounds]]), the
+    * manifest/sidecar column bloom (xxhash64 over UTF-8 bytes), and
+    * the parquet footer bloom (BINARY/string physical columns). All
+    * comparisons are code-point order ≡ UTF-8 byte order — the order
+    * the footer stats were taken in.
+    */
+  def readPointsOnString(
+      column: String,
+      keys: Seq[String],
+      timeRangeUs: Option[(Long, Long)] = None): DataFrame =
+    readPointsMulti(None, Nil, Seq(column -> keys), timeRangeUs)
+
+  /** The COMPOSED point read (round 14, VERDICT r13 #3/#4): every
+    * pinned dimension of one predicate — the partition-source key
+    * (`keyPointsUs`), LONG/time secondary stats columns (`longDims`),
+    * STRING secondary stats columns (`strDims`) — prunes the SAME
+    * candidate file set, narrowed sequentially, so `WHERE ts IN (…)
+    * AND uid IN (…)` keeps only files surviving BOTH dimensions
+    * instead of forfeiting one to the other. Planning is
+    * metadata-first at every level:
+    *
+    *   1. manifest-LIST: key bounds, the per-manifest secondary
+    *      roll-ups ([[ManifestRef.columnBounds]]) and the time range
+    *      drop whole manifests UNOPENED — before round 14 a secondary
+    *      point lookup parsed every manifest because the list
+    *      summarized key bounds only (the full cold-parse term at
+    *      10⁶ files);
+    *   2. per-file bounds (key stats, [[ColumnBounds]] incl. truncated
+    *      string bounds);
+    *   3. manifest/sidecar blooms, then parquet footer blooms — via
+    *      the driver probe ladder up to
+    *      [[PredicateBounds.MaxPointKeys]] keys per dimension, the
+    *      binary-searched bounds + DISTRIBUTED bloom probe past it.
+    *
+    * Every level is an over-approximation of the file list only; the
+    * exact predicate re-applies above the splice. Returns a SUPERSET
+    * of the matching rows (live delete masks applied).
+    */
+  def readPointsMulti(
+      keyPointsUs: Option[Seq[Long]],
+      longDims: Seq[(String, Seq[Long])],
+      strDims: Seq[(String, Seq[String])],
       timeRangeUs: Option[(Long, Long)] = None): DataFrame = {
     val meta = metadata
     val snap = meta.currentSnapshot
-    require(StructType.fromDDL(meta.schemaDdl).fieldNames.contains(column),
-      s"'$column' is not a table column")
-    val ranged = snap.map(dataFiles).getOrElse(Nil)
-      .filter(f => timeRangeUs.forall { case (lo, hi) => f.overlaps(lo, hi) })
-    val files =
-      if (keysUs.isEmpty) Nil
-      else if (keysUs.size > PredicateBounds.MaxPointKeys) {
-        // past the cap: binary-searched bounds + the DISTRIBUTED probe
-        // against the column blooms — the same shape as the key path's
-        // large-IN fallback, footer blooms skipped (VERDICT r12 #7)
-        val sorted = keysUs.distinct.sorted.toArray
-        def anyIn(f: DataFile): Boolean =
-          f.extraBounds.flatMap(_.find(_.column == column)) match {
-            case Some(b) =>
-              val i = java.util.Arrays.binarySearch(sorted, b.min)
-              val idx = if (i >= 0) i else -i - 1
-              idx < sorted.length && sorted(idx) <= b.max
-            case None => true // no stats ⇒ cannot skip
-          }
-        val keyDf = spark.createDataFrame(
-          spark.sparkContext.parallelize(sorted.toSeq.map(org.apache.spark.sql.Row(_)),
-            math.max(1, sorted.length / 65536 + 1)),
-          StructType(Seq(StructField("_k",
-            org.apache.spark.sql.types.LongType, nullable = false))))
-        bloomSurvivorsBy(ranged.filter(anyIn), keyDf, resolvedColumnBloom(_, column))._1
-      } else bloomPointSurvivors(ranged,
-        f => keysUs.filter(k => f.overlapsColumn(column, k, k)),
-        resolvedColumnBloom(_, column), column)
+    val files = multiPointSurvivors(meta, snap, keyPointsUs, longDims, strDims, timeRangeUs)
     readWithDeletes(files, snap.map(liveDeleteFiles).getOrElse(Nil))
+  }
+
+  /** Metadata-only planning surface of the secondary point path: the
+    * files a `column IN (keysUs)` lookup keeps, through manifest-list
+    * roll-up bounds → per-file bounds → column blooms → footer blooms.
+    * No Spark planning involved — what specs and the planning bench
+    * measure.
+    */
+  def filesForPointsOn(
+      column: String,
+      keysUs: Seq[Long],
+      timeRangeUs: Option[(Long, Long)] = None): Seq[DataFile] = {
+    val meta = metadata
+    multiPointSurvivors(
+      meta, meta.currentSnapshot, None, Seq(column -> keysUs), Nil, timeRangeUs)
+  }
+
+  private def multiPointSurvivors(
+      meta: TableMetadata,
+      snap: Option[Snapshot],
+      keyPointsUs: Option[Seq[Long]],
+      longDims: Seq[(String, Seq[Long])],
+      strDims: Seq[(String, Seq[String])],
+      timeRangeUs: Option[(Long, Long)]): Seq[DataFile] = {
+    val frozen = StructType.fromDDL(meta.schemaDdl).fieldNames.toSet
+    (longDims.map(_._1) ++ strDims.map(_._1)).foreach(c =>
+      require(frozen.contains(c), s"'$c' is not a table column"))
+    // an empty pinned set on any dimension is a contradiction
+    // (`k IN ()` after intersection): zero files, zero rows
+    if (keyPointsUs.exists(_.isEmpty) || longDims.exists(_._2.isEmpty) ||
+      strDims.exists(_._2.isEmpty))
+      return Nil
+
+    val sortedKey = keyPointsUs.map(_.distinct.sorted.toArray)
+    val sortedLong = longDims.map { case (c, ks) => (c, ks.distinct.sorted.toArray) }
+    val sortedStr = strDims.map { case (c, ks) =>
+      val arr = ks.distinct.toArray
+      java.util.Arrays.sort(arr, ColumnBounds.cpCompare(_, _))
+      (c, arr)
+    }
+    def keyAnyIn(minUs: Option[Long], maxUs: Option[Long]): Boolean =
+      sortedKey.forall { sorted =>
+        (minUs, maxUs) match {
+          case (Some(lo), Some(hi)) =>
+            val i = java.util.Arrays.binarySearch(sorted, lo)
+            val idx = if (i >= 0) i else -i - 1
+            idx < sorted.length && sorted(idx) <= hi
+          case _ => true
+        }
+      }
+
+    // 1. manifest-LIST pruning across EVERY pinned dimension
+    val refs = snap.map(log.readManifestList).getOrElse(Nil)
+      .filter(r => timeRangeUs.forall { case (lo, hi) => r.overlaps(lo, hi) })
+      .filter(r => keyAnyIn(r.minKeyUs, r.maxKeyUs))
+      .filter(r => sortedLong.forall { case (c, ks) => r.mayContainColumnLongs(c, ks) })
+      .filter(r => sortedStr.forall { case (c, ks) => r.mayContainColumnStrings(c, ks) })
+
+    // 2. per-file bounds (cheap, all dims) on the opened manifests
+    var files = log.readManifests(refs).flatten
+      .filter(f => timeRangeUs.forall { case (lo, hi) => f.overlaps(lo, hi) })
+      .filter(f => keyAnyIn(f.minKeyUs, f.maxKeyUs))
+
+    // 3. bloom ladders, sequentially narrowing — per-file decisions are
+    // independent, so filtering the running survivor set gives exactly
+    // the intersection of the per-dimension survivor sets
+    def longKeyFrame(sorted: Array[Long]): DataFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize(sorted.toSeq.map(org.apache.spark.sql.Row(_)),
+        math.max(1, sorted.length / 65536 + 1)),
+      StructType(Seq(StructField("_k",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+
+    sortedKey.foreach { sorted =>
+      val keyCol = meta.partitionTransform.getOrElse(
+        throw new IllegalStateException("point skipping needs a partition-source key column"))
+      files =
+        if (sorted.length > PredicateBounds.MaxPointKeys)
+          bloomSurvivors(files, longKeyFrame(sorted))._1
+        else bloomPointSurvivors(files,
+          f => sorted.toSeq.filter(k => f.overlaps(k, k)), resolvedKeyBloom, keyCol)
+    }
+    sortedLong.foreach { case (c, sorted) =>
+      if (files.nonEmpty) {
+        files =
+          if (sorted.length > PredicateBounds.MaxPointKeys) {
+            // past the cap: binary-searched bounds + the DISTRIBUTED
+            // probe against the column blooms, footer blooms skipped
+            // (VERDICT r12 #7 rationale)
+            def anyIn(f: DataFile): Boolean =
+              f.extraBounds.flatMap(_.find(b => b.column == c && !b.isString)) match {
+                case Some(b) =>
+                  val i = java.util.Arrays.binarySearch(sorted, b.min)
+                  val idx = if (i >= 0) i else -i - 1
+                  idx < sorted.length && sorted(idx) <= b.max
+                case None => true
+              }
+            bloomSurvivorsBy(files.filter(anyIn), longKeyFrame(sorted),
+              resolvedColumnBloom(_, c))._1
+          } else bloomPointSurvivors(files,
+            f => sorted.toSeq.filter(k => f.overlapsColumn(c, k, k)),
+            resolvedColumnBloom(_, c), c)
+      }
+    }
+    sortedStr.foreach { case (c, sorted) =>
+      if (files.nonEmpty) {
+        files =
+          if (sorted.length > PredicateBounds.MaxPointKeys) {
+            def anyIn(f: DataFile): Boolean =
+              f.extraBounds.flatMap(_.find(b => b.column == c && b.isString)) match {
+                case Some(b) =>
+                  var a = 0
+                  var z = sorted.length
+                  val lo = b.minS.get
+                  while (a < z) {
+                    val m = (a + z) >>> 1
+                    if (ColumnBounds.cpCompare(sorted(m), lo) < 0) a = m + 1 else z = m
+                  }
+                  a < sorted.length &&
+                    b.maxS.forall(hi => ColumnBounds.cpCompare(sorted(a), hi) <= 0)
+                case None => true
+              }
+            val keyDf = spark.createDataFrame(
+              spark.sparkContext.parallelize(sorted.toSeq.map(org.apache.spark.sql.Row(_)),
+                math.max(1, sorted.length / 65536 + 1)),
+              StructType(Seq(StructField("_k",
+                org.apache.spark.sql.types.StringType, nullable = false))))
+            bloomSurvivorsBy(files.filter(anyIn), keyDf, resolvedColumnBloom(_, c))._1
+          } else bloomPointSurvivorsStr(files,
+            f => sorted.toSeq.filter(k => f.mayContainColumnString(c, k)),
+            resolvedColumnBloom(_, c), c)
+      }
+    }
+    files
   }
 
   /** [[filesContainingAnyKeyIn]] for key sets past
@@ -1540,6 +1729,42 @@ final class LakehouseTable(
           val bloom = in.getBloomFilterDataReader(block).readBloomFilter(chunk.get())
           if (bloom == null) mayContain = true
           else mayContain = keysUs.exists(k => bloom.findHash(bloom.hash(k)))
+        }
+        b += 1
+      }
+      mayContain
+    } finally in.close()
+  }
+
+  /** [[bloomMayContain]] for STRING keys (round 14): the column's
+    * physical type must be BINARY under a string logical type — the
+    * shape Spark writes StringType as, and the value space parquet's
+    * own bloom hashed at write time. Any other shape keeps the file.
+    */
+  private def bloomMayContainStr(p: Path, keyCol: String, keys: Seq[String],
+      hconf: org.apache.hadoop.conf.Configuration = null): Boolean = {
+    val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p,
+        if (hconf != null) hconf else conf))
+    try {
+      val blocks = in.getFooter.getBlocks
+      var mayContain = false
+      var b = 0
+      while (!mayContain && b < blocks.size()) {
+        val block = blocks.get(b)
+        val chunk = block.getColumns.stream()
+          .filter(c => c.getPath.toDotString == keyCol).findFirst()
+        if (!chunk.isPresent) mayContain = true
+        else if (chunk.get().getPrimitiveType.getPrimitiveTypeName !=
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY ||
+          chunk.get().getPrimitiveType.getLogicalTypeAnnotation !=
+            org.apache.parquet.schema.LogicalTypeAnnotation.stringType())
+          mayContain = true
+        else {
+          val bloom = in.getBloomFilterDataReader(block).readBloomFilter(chunk.get())
+          if (bloom == null) mayContain = true
+          else mayContain = keys.exists(k => bloom.findHash(
+            bloom.hash(org.apache.parquet.io.api.Binary.fromString(k))))
         }
         b += 1
       }
@@ -2311,35 +2536,42 @@ final class LakehouseTable(
     val identitySources =
       meta.defaultSpec.fields.filter(_.transform == "identity").map(_.source).toSet
     // a bloomable column: lives in the file (identity keys are dir
-    // names), and carries the manifest-stats LONG encoding — a string
-    // column's cast would null out and record an all-zero bloom that
-    // falsely skips every probe
-    def bloomable(c: String): Boolean =
+    // names), and carries a hashable manifest encoding — the LONG
+    // encoding for numeric/time columns, raw UTF-8 bytes for STRING
+    // secondary columns (round 14: xxhash64 hashes by type, and the
+    // probe side replicates each typed kernel). Other types would cast
+    // to null and record an all-zero bloom that falsely skips.
+    def bloomable(c: String, strings: Boolean): Boolean =
       !identitySources.contains(c) && frozen.fieldNames.contains(c) &&
         (frozen(c).dataType match {
           case TimestampType | org.apache.spark.sql.types.TimestampNTZType |
                org.apache.spark.sql.types.LongType |
                org.apache.spark.sql.types.IntegerType => true
+          case org.apache.spark.sql.types.StringType => strings
           case _ => false
         })
-    val keyCol = meta.statsSource.filter(_ => keyBits > 0).filter(bloomable)
+    val keyCol = meta.statsSource.filter(_ => keyBits > 0)
+      .filter(bloomable(_, strings = false))
     // declared secondary stats columns get their own blooms (round 13,
     // VERDICT r12 #3) — the same single pass, sized by column-bloom.bits
     val colCols =
       if (colBits <= 0) Nil
       else meta.props.get("write.stats-columns")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-        .filter(bloomable).filterNot(keyCol.contains)
+        .filter(bloomable(_, strings = true)).filterNot(keyCol.contains)
     val bloomCols: Seq[(String, Int)] =
       keyCol.map(_ -> keyBits).toSeq ++ colCols.map(_ -> colBits)
     if (bloomCols.isEmpty) return moved
     def mOf(bits: Int): Int = (math.max(64, math.min(1 << 20, bits)) + 63) / 64 * 64
     val k = LakehouseTable.KeyBloomHashes
-    // column micros = the manifest-bounds encoding: unix_micros for time
-    // columns, the raw long otherwise (probe callers pass the same)
+    // column encoding = the manifest-bounds encoding: unix_micros for
+    // time columns, the raw long for integrals, the string ITSELF for
+    // string columns — xxhash64 hashes its UTF-8 bytes, and the driver
+    // probe replicates that with XXH64.hashUTF8String
     def enc(c: String) = frozen(c).dataType match {
       case TimestampType | org.apache.spark.sql.types.TimestampNTZType =>
         unix_micros(col(c).cast(TimestampType))
+      case org.apache.spark.sql.types.StringType => col(c)
       case _ => col(c).cast("long")
     }
     val expected = StructType(
@@ -2839,7 +3071,30 @@ final class LakehouseTable(
       files: Seq[DataFile],
       inRangeOf: DataFile => Seq[Long],
       bloomOf: DataFile => Option[KeyBloom],
-      footerCol: String): Seq[DataFile] = {
+      footerCol: String): Seq[DataFile] =
+    bloomPointSurvivorsGen[Long](files, inRangeOf, bloomOf, footerCol,
+      (b, k) => b.mightContain(k), bloomMayContain)
+
+  /** [[bloomPointSurvivors]] for STRING point keys (round 14): the
+    * identical bounds → manifest/sidecar bloom → footer bloom ladder,
+    * with each probe evaluated in the string kernels.
+    */
+  private def bloomPointSurvivorsStr(
+      files: Seq[DataFile],
+      inRangeOf: DataFile => Seq[String],
+      bloomOf: DataFile => Option[KeyBloom],
+      footerCol: String): Seq[DataFile] =
+    bloomPointSurvivorsGen[String](files, inRangeOf, bloomOf, footerCol,
+      (b, k) => b.mightContainString(k), bloomMayContainStr)
+
+  private def bloomPointSurvivorsGen[K](
+      files: Seq[DataFile],
+      inRangeOf: DataFile => Seq[K],
+      bloomOf: DataFile => Option[KeyBloom],
+      footerCol: String,
+      manifestProbe: (KeyBloom, K) => Boolean,
+      footerProbe: (Path, String, Seq[K], org.apache.hadoop.conf.Configuration) => Boolean)
+      : Seq[DataFile] = {
     // ONE Hadoop conf PER THREAD for the whole batch: `conf` is a fresh
     // full copy per call (~1 ms, more than the footer read), and a
     // single conf shared across the pool serializes on Configuration's
@@ -2851,7 +3106,7 @@ final class LakehouseTable(
       inRange.nonEmpty && {
         val manifestMaybe = bloomOf(f) match {
           case Some(b) if b.hashes == LakehouseTable.KeyBloomHashes =>
-            inRange.exists(b.mightContain)
+            inRange.exists(manifestProbe(b, _))
           case _ => true
         }
         manifestMaybe && (f.fbCols match {
@@ -2859,7 +3114,7 @@ final class LakehouseTable(
           // is a PROOF the footer cannot reject — keep without opening
           case Some(cols) if !cols.contains(footerCol) => true
           case _ =>
-            bloomMayContain(new Path(tableDir, f.path), footerCol, inRange, tlConf.get())
+            footerProbe(new Path(tableDir, f.path), footerCol, inRange, tlConf.get())
         })
       }
     }
@@ -3929,7 +4184,42 @@ final class LakehouseTable(
       meta.partitionColumns.contains(c),
       s"clusterBy column '$c' is not a partition field of this table " +
         s"(fields: ${meta.partitionColumns.mkString(", ")})"))
-    val files = dataFiles(current)
+    val files0 = dataFiles(current)
+    // fbCols BACKFILL (round 14, VERDICT r13 #5): entries from pre-r13
+    // commits (absent field) pay a speculative footer open on EVERY
+    // point lookup forever — the manifest rewrite is the natural
+    // amortization point, since it rewrites their metadata anyway. One
+    // bounded-pool footer read per unstamped file, paid once; the
+    // stamped presence proof then answers point planning from the
+    // manifest alone (`Some(Nil)` proves bloom-less). An unreadable
+    // footer leaves the entry unstamped — probed as before, never
+    // wrongly proven bloom-less.
+    val files =
+      if (files0.forall(_.fbCols.isDefined)) files0
+      else {
+        val tlConf = ThreadLocal.withInitial[org.apache.hadoop.conf.Configuration](() => conf)
+        graft.util.BoundedPar.map(files0,
+          parallelism = SnapshotLog.ManifestParseParallelism) { f =>
+          if (f.fbCols.isDefined) f
+          else try {
+            val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new Path(tableDir, f.path), tlConf.get()))
+            try {
+              val nBlocks = in.getFooter.getBlocks.size()
+              val counts = scala.collection.mutable.Map.empty[String, Int]
+              in.getFooter.getBlocks.forEach(_.getColumns.forEach { c =>
+                if (c.getBloomFilterOffset >= 0) {
+                  val n = c.getPath.toDotString
+                  counts(n) = counts.getOrElse(n, 0) + 1
+                }
+              })
+              f.copy(fbCols = Some(
+                counts.collect { case (c, n) if n == nBlocks => c }.toSeq.sorted))
+            } finally in.close()
+          } catch { case _: java.io.IOException => f }
+        }
+      }
     val dels = liveDeleteFiles(current) // metadata-only: deletes carry over untouched
     val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
     val refs =
@@ -3999,6 +4289,7 @@ final class LakehouseTable(
       var lo: Option[Long] = None
       var hi: Option[Long] = None
       val extras = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      val extrasS = scala.collection.mutable.Map.empty[String, (String, String)]
       // a row group whose stats are missing (not provably all-null)
       // poisons the column: bounds from the other groups would be too
       // narrow and metadata skipping would silently drop rows
@@ -4033,22 +4324,87 @@ final class LakehouseTable(
                   Some((math.floor(mnv.doubleValue).toLong, math.ceil(mxv.doubleValue).toLong))
                 case _ => None
               }
-              asLong match {
-                case Some((mn, mx)) =>
+              // STRING stats (round 14): BINARY min/max under a string
+              // logical type, decoded STRICTLY — parquet's own stats
+              // truncation increments raw bytes, which can leave
+              // non-UTF-8 sequences whose lossy decode (U+FFFD) is NOT
+              // order-faithful and could narrow the upper bound; a
+              // malformed value poisons the column instead
+              val asStr: Option[(String, String)] =
+                if (asLong.isDefined) None
+                else (st.genericGetMin, st.genericGetMax) match {
+                  case (mnv: org.apache.parquet.io.api.Binary,
+                        mxv: org.apache.parquet.io.api.Binary)
+                      if c.getPrimitiveType.getLogicalTypeAnnotation ==
+                        org.apache.parquet.schema.LogicalTypeAnnotation.stringType() =>
+                    def strict(bin: org.apache.parquet.io.api.Binary): Option[String] =
+                      try {
+                        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+                          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+                          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+                        Some(dec.decode(bin.toByteBuffer).toString)
+                      } catch { case _: java.nio.charset.CharacterCodingException => None }
+                    for { mn <- strict(mnv); mx <- strict(mxv) } yield (mn, mx)
+                  case _ => None
+                }
+              (asLong, asStr) match {
+                case (Some((mn, mx)), _) =>
                   val cur = extras.get(name)
                   extras(name) = (cur.fold(mn)(c => math.min(c._1, mn)),
                     cur.fold(mx)(c => math.max(c._2, mx)))
-                case None => poisoned += name // unsupported type
+                case (None, Some((mn, mx))) =>
+                  val cur = extrasS.get(name)
+                  extrasS(name) = (
+                    cur.fold(mn)(c =>
+                      if (ColumnBounds.cpCompare(mn, c._1) < 0) mn else c._1),
+                    cur.fold(mx)(c =>
+                      if (ColumnBounds.cpCompare(mx, c._2) > 0) mx else c._2))
+                case _ => poisoned += name // unsupported type / bad bytes
               }
             } else if (!allNull) poisoned += name // stats absent, values unknown
           }
         }
       }
       val boundsOut = extraCols.filterNot(poisoned.contains)
-        .flatMap(c => extras.get(c).map { case (mn, mx) => ColumnBounds(c, mn, mx) })
+        .flatMap { c =>
+          extras.get(c).map { case (mn, mx) => ColumnBounds(c, mn, mx) }
+            .orElse(extrasS.get(c).map { case (mn, mx) =>
+              // truncated at manifest-entry time (Iceberg truncate(16)
+              // analog): minS is a prefix (≤ every value), maxS an
+              // inclusive conservative upper bound or absent
+              ColumnBounds(c, 0L, 0L,
+                minS = Some(ColumnBounds.truncLower(mn)),
+                maxS = ColumnBounds.truncUpper(mx))
+            })
+        }
       FooterInfo(rows, lo, hi, boundsOut,
         bloomBlocks.collect { case (c, n) if n == nBlocks => c }.toSeq.sorted)
     } finally in.close()
+  }
+
+  /** Bloom-sidecar storage accounting (round 14, VERDICT r13 #8):
+    * (bytes of sidecar files still referenced by SOME snapshot's
+    * manifests, total sidecar bytes on disk). The difference is
+    * orphaned generations — sidecars whose every referencing snapshot
+    * expired (or whose commit crashed) — the drift an operator watches
+    * at 10⁶ files so bloom storage doesn't grow unbounded between
+    * [[removeOrphanedFiles]] runs, which reap exactly that difference.
+    */
+  def sidecarUsage(): (Long, Long) = {
+    val snaps = metadata.snapshots
+    val live = snaps.flatMap(dataFiles).flatMap(f =>
+      f.keyBloomRef.map(_.path).toSeq ++
+        f.colBlooms.toSeq.flatten.flatMap(_.ref.map(_.path))).toSet
+    val dir = new Path(tableDir, "metadata/blooms")
+    if (!fs.exists(dir)) (0L, 0L)
+    else {
+      val sts = fs.listStatus(dir).filter(_.getPath.getName.endsWith(".bin"))
+      val total = sts.map(_.getLen).sum
+      val liveBytes = sts
+        .filter(st => live.contains("metadata/blooms/" + st.getPath.getName))
+        .map(_.getLen).sum
+      (liveBytes, total)
+    }
   }
 
   /** Delete data files on disk referenced by NO snapshot — crash

@@ -140,4 +140,51 @@ object PredicateBounds {
     }
     pin(cond).map(_.toSeq.sorted)
   }
+
+  /** [[pointKeysUs]] for a STRING column (round 14, VERDICT r13 #1):
+    * the exact finite STRING set the conjuncts pin `keyCol` to — the
+    * `WHERE url = '…'` / `WHERE doc_id IN ('a','b')` dashboard shapes.
+    * Same conservative algebra: AND intersects, OR unions only when
+    * every branch pins, NULL literals drop safely, any non-foldable
+    * element kills the set. None ⇔ no finite set pinned.
+    */
+  def pointKeyStrings(cond: Expression, keyCol: String): Option[Seq[String]] = {
+    def isKey(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == keyCol
+      case c: Cast if c.dataType == c.child.dataType => isKey(c.child)
+      case _ => false
+    }
+    def asLit(e: Expression): Option[Literal] = e match {
+      case l: Literal => Some(l)
+      case c: Cast if c.child.isInstanceOf[Literal] || c.foldable =>
+        try Some(Literal.create(c.eval(), c.dataType)) catch { case _: Exception => None }
+      case _ => None
+    }
+    def keyStr(l: Literal): Option[String] = (l.dataType, l.value) match {
+      case (_, null) => None // = NULL / IN (NULL) never matches a row
+      case (org.apache.spark.sql.types.StringType, v) => Some(v.toString)
+      case _ => None
+    }
+    def pin(e: Expression): Option[Set[String]] = e match {
+      case And(l, r) => (pin(l), pin(r)) match {
+        case (Some(a), Some(b)) => Some(a intersect b)
+        case (a, b) => a.orElse(b)
+      }
+      case Or(l, r) =>
+        for { a <- pin(l); b <- pin(r) } yield a union b
+      case EqualTo(t, v) if isKey(t) => asLit(v).flatMap(keyStr).map(Set(_))
+      case EqualTo(v, t) if isKey(t) => asLit(v).flatMap(keyStr).map(Set(_))
+      case EqualNullSafe(t, v) if isKey(t) => asLit(v).flatMap(keyStr).map(Set(_))
+      case EqualNullSafe(v, t) if isKey(t) => asLit(v).flatMap(keyStr).map(Set(_))
+      case In(t, vs) if vs.nonEmpty && isKey(t) =>
+        val keys = vs.map(v => asLit(v) match {
+          case None => None // non-literal element: unusable conjunct
+          case Some(l) if l.value == null => Some(None) // dropped, safe
+          case Some(l) => keyStr(l).map(Some(_))
+        })
+        if (keys.forall(_.isDefined)) Some(keys.flatten.flatten.toSet) else None
+      case _ => None
+    }
+    pin(cond).map(_.toSeq.sorted)
+  }
 }

@@ -177,15 +177,117 @@ final case class DataFile(
     */
   def overlapsColumn(column: String, lo: Long, hi: Long): Boolean =
     extraBounds.flatMap(_.find(_.column == column)) match {
-      case Some(b) => b.max >= lo && b.min <= hi
-      case None => true
+      // a STRING-typed entry bounds another value space — a long probe
+      // against it cannot skip (and vice versa in mayContainString)
+      case Some(b) if !b.isString => b.max >= lo && b.min <= hi
+      case _ => true
     }
+
+  /** Whether the file may contain the STRING value `s` in `column` —
+    * true when no string bounds were recorded (numeric entry, no entry,
+    * pre-round-14 manifest).
+    */
+  def mayContainColumnString(column: String, s: String): Boolean =
+    extraBounds.flatMap(_.find(_.column == column))
+      .forall(_.mayContainString(s))
 }
 
-/** Conservative [min, max] of one column within one data file (longs;
-  * double columns floor/ceil outward, timestamps are epoch micros).
+/** Conservative [min, max] of one column within one data file. Two
+  * encodings share the class (manifest JSON stays one shape):
+  *
+  *   - NUMERIC (minS empty): `min`/`max` longs — double columns
+  *     floor/ceil outward, timestamps are epoch micros.
+  *   - STRING (`minS` set, round 14 — Iceberg truncate(16) bounds
+  *     analog): `minS` is the column minimum TRUNCATED to
+  *     [[ColumnBounds.TruncateCodePoints]] code points (a prefix is ≤
+  *     the full string, so the lower bound stays safe) and `maxS` an
+  *     INCLUSIVE conservative upper bound — the exact maximum when it
+  *     fits, else the truncated prefix with its last code point
+  *     incremented (any string sharing the prefix compares below it);
+  *     `maxS` absent ⇔ unbounded above (every code point of the
+  *     prefix was already U+10FFFF — cannot increment). The long
+  *     fields are 0 and never consulted. Comparisons are CODE POINT
+  *     order ≡ UTF-8 unsigned byte order, the order parquet footer
+  *     stats and DuckDB use — `String.compareTo` (UTF-16 code units)
+  *     would rank supplementary characters below U+E000..U+FFFF and
+  *     could skip live files.
+  *
+  * Additive: pre-round-14 manifests parse with minS/maxS absent.
   */
-final case class ColumnBounds(column: String, min: Long, max: Long)
+final case class ColumnBounds(
+    column: String, min: Long, max: Long,
+    minS: Option[String] = None, maxS: Option[String] = None) {
+  def isString: Boolean = minS.isDefined
+
+  /** May a file with these STRING bounds contain `s`? True for a
+    * numeric entry probed with a string (cannot skip what was bounded
+    * in another type's space).
+    */
+  def mayContainString(s: String): Boolean = minS match {
+    case None => true
+    case Some(lo) =>
+      ColumnBounds.cpCompare(s, lo) >= 0 &&
+        maxS.forall(hi => ColumnBounds.cpCompare(s, hi) <= 0)
+  }
+}
+
+object ColumnBounds {
+  /** Stored string-bound length cap, in code points (Iceberg's
+    * `write.metadata.metrics.truncate(16)` default): a url/doc-id
+    * column must not bloat every manifest entry with full values.
+    */
+  val TruncateCodePoints: Int = 16
+
+  /** Code-point comparison ≡ UTF-8 unsigned byte order. */
+  def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Lower bound: the first [[TruncateCodePoints]] code points — a
+    * prefix of the minimum is ≤ every value in the file.
+    */
+  def truncLower(s: String): String = {
+    val n = s.codePointCount(0, s.length)
+    if (n <= TruncateCodePoints) s
+    else s.substring(0, s.offsetByCodePoints(0, TruncateCodePoints))
+  }
+
+  /** Inclusive upper bound within the cap: the exact maximum when it
+    * fits; else the truncated prefix with its rightmost incrementable
+    * code point bumped (skipping the surrogate gap — lone surrogates
+    * are not valid scalar values) and the tail dropped, which bounds
+    * every string sharing the prefix from above. None ⇔ no such code
+    * point (all U+10FFFF) — unbounded above, bounds cannot skip.
+    */
+  def truncUpper(s: String): Option[String] = {
+    val n = s.codePointCount(0, s.length)
+    if (n <= TruncateCodePoints) return Some(s)
+    val cps = new Array[Int](TruncateCodePoints)
+    var i = 0
+    var k = 0
+    while (k < TruncateCodePoints) {
+      cps(k) = s.codePointAt(i); i += Character.charCount(cps(k)); k += 1
+    }
+    var last = TruncateCodePoints - 1
+    while (last >= 0 && cps(last) >= Character.MAX_CODE_POINT) last -= 1
+    if (last < 0) None
+    else {
+      val bumped = cps(last) + 1
+      cps(last) = if (bumped >= Character.MIN_SURROGATE.toInt &&
+        bumped <= Character.MAX_SURROGATE.toInt) 0xE000 else bumped
+      Some(new String(cps, 0, last + 1))
+    }
+  }
+}
 
 /** A per-data-file key-membership bloom stored in the manifest entry:
   * `bits` is the filter size m (a multiple of 64), `hashes` the probe
@@ -225,6 +327,28 @@ final case class KeyBloom(bits: Int, hashes: Int, words: String) {
     */
   def mightContain(keyUs: Long): Boolean =
     probePositions(keyUs).forall(p =>
+      ((wordArray((p >> 6).toInt) >> (p & 63)) & 1L) == 1L)
+
+  /** [[probePositions]] for a STRING key (round 14): bit-identical to
+    * `pmod(xxhash64(stringCol, i), m)` — Spark's multi-arg xxhash64
+    * folds left with seed 42, hashing the string's UTF-8 bytes
+    * (`XXH64.hashUTF8String`, the same kernel the codegen'd expression
+    * calls) then the INT probe index. Parity is spec-pinned against
+    * the SQL expression (KeyBloomSpec), like the long path.
+    */
+  private[lake] def probePositionsStr(key: String): Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val base = XXH64.hashUTF8String(
+      org.apache.spark.unsafe.types.UTF8String.fromString(key), 42L)
+    Array.tabulate(hashes)(i =>
+      java.lang.Math.floorMod(XXH64.hashInt(i, base), bits.toLong))
+  }
+
+  /** Driver-side STRING membership probe — [[mightContain]] for the
+    * string-typed secondary stats columns (url/doc-id lookups).
+    */
+  def mightContainString(key: String): Boolean =
+    probePositionsStr(key).forall(p =>
       ((wordArray((p >> 6).toInt) >> (p & 63)) & 1L) == 1L)
 }
 
@@ -328,7 +452,20 @@ final case class ManifestRef(
       * query drops whole manifests UNOPENED when its value is absent
       * from the recorded set ([[LakehouseTable.filesForQuery]]).
       */
-    partitionValues: Option[Map[String, Seq[String]]] = None
+    partitionValues: Option[Map[String, Seq[String]]] = None,
+    /** Roll-up [min, max] per declared SECONDARY stats column across
+      * this manifest's files (round 14, VERDICT r13 #3) — recorded only
+      * when EVERY member file carries bounds for the column (else a
+      * skip could drop an unbounded member). The secondary analog of
+      * the key bounds above: a point lookup on `user_id`/`url` drops
+      * whole manifests UNOPENED, instead of parsing every manifest
+      * because the list summarized key bounds only. String entries
+      * roll up in code-point order with the members' truncation
+      * semantics intact (min of prefix-lower-bounds is still a lower
+      * bound; an unbounded member's maxS poisons the roll-up's maxS).
+      * Additive: absent in pre-round-14 lists ⇔ cannot skip.
+      */
+    columnBounds: Option[Seq[ColumnBounds]] = None
 ) {
   def overlaps(loUs: Long, hiUs: Long): Boolean = (minKeyUs, maxKeyUs) match {
     case (Some(lo), Some(hi)) => hi >= loUs && lo <= hiUs
@@ -343,6 +480,37 @@ final case class ManifestRef(
   def mayContainPartitionValue(column: String, value: String): Boolean =
     partitionValues.flatMap(_.get(column)) match {
       case Some(vs) => vs.contains(value)
+      case None => true
+    }
+
+  /** May this manifest contain ANY of the (sorted ascending) LONG keys
+    * in `column`? True when no roll-up was recorded (cannot skip).
+    */
+  def mayContainColumnLongs(column: String, sortedKeys: Array[Long]): Boolean =
+    columnBounds.flatMap(_.find(b => b.column == column && !b.isString)) match {
+      case Some(b) =>
+        val i = java.util.Arrays.binarySearch(sortedKeys, b.min)
+        val idx = if (i >= 0) i else -i - 1
+        idx < sortedKeys.length && sortedKeys(idx) <= b.max
+      case None => true
+    }
+
+  /** [[mayContainColumnLongs]] for STRING keys (sorted in code-point
+    * order ascending).
+    */
+  def mayContainColumnStrings(column: String, sortedKeys: Array[String]): Boolean =
+    columnBounds.flatMap(_.find(b => b.column == column && b.isString)) match {
+      case Some(b) =>
+        // smallest key ≥ minS; within bounds if ≤ maxS (absent ⇔ +∞)
+        var a = 0
+        var z = sortedKeys.length
+        val lo = b.minS.get
+        while (a < z) {
+          val m = (a + z) >>> 1
+          if (ColumnBounds.cpCompare(sortedKeys(m), lo) < 0) a = m + 1 else z = m
+        }
+        a < sortedKeys.length &&
+          b.maxS.forall(hi => ColumnBounds.cpCompare(sortedKeys(a), hi) <= 0)
       case None => true
     }
 }
@@ -987,8 +1155,31 @@ final class SnapshotLog(
         else Some(c -> distinct.sorted)
       }
     }.toMap
+    // SECONDARY-column roll-up (round 14): per column, only when every
+    // member carries same-typed bounds — one unbounded (or other-typed)
+    // member means a list-level skip could drop its rows
+    val statCols = files.flatMap(_.extraBounds.getOrElse(Nil).map(_.column)).distinct
+    val colRollup = statCols.flatMap { c =>
+      val per = files.map(_.extraBounds.flatMap(_.find(_.column == c)))
+      if (per.exists(_.isEmpty)) None
+      else {
+        val bs = per.flatten
+        if (bs.forall(!_.isString))
+          Some(ColumnBounds(c, bs.map(_.min).min, bs.map(_.max).max))
+        else if (bs.forall(_.isString)) {
+          val lo = bs.map(_.minS.get).reduce((a, b) =>
+            if (ColumnBounds.cpCompare(a, b) <= 0) a else b)
+          val hi =
+            if (bs.exists(_.maxS.isEmpty)) None
+            else Some(bs.map(_.maxS.get).reduce((a, b) =>
+              if (ColumnBounds.cpCompare(a, b) >= 0) a else b))
+          Some(ColumnBounds(c, 0L, 0L, minS = Some(lo), maxS = hi))
+        } else None
+      }
+    }
     ManifestRef(s"metadata/$name", files.size, files.map(_.rows).sum, bounds._1, bounds._2,
-      partitionValues = if (summary.isEmpty) None else Some(summary))
+      partitionValues = if (summary.isEmpty) None else Some(summary),
+      columnBounds = if (colRollup.isEmpty) None else Some(colRollup))
   }
 
   /** Read one manifest's data files (path is table-relative). Parses
