@@ -123,50 +123,88 @@ object Bench {
     // execution at the bench SF absorbs that churn so the recorded
     // samples measure the steady state the min was always meant to pick.
     val cacheHeavy = Set("q_text_curation_full", "q_text_curation_pipeline")
-    def sampleQuery(q: queries.QuerySpec): (Seq[Option[Double]], Seq[Double]) = {
+    // Per-sample load gating (VERDICT r13 #2): the r13 record STARTED
+    // quiet (2.51) but the box ramped to 8.02 mid-run and poisoned one
+    // query's samples — the third consecutive round costing a judge
+    // re-measurement. So the start-of-run gate repeats before EVERY
+    // timed sample: wait (bounded) for the box to quiet, and if it
+    // never does, mark that sample CONTENDED. Contended samples are
+    // excluded from the reported min whenever at least one quiet
+    // sample exists, and per-query flags ride the record — a poisoned
+    // sample can no longer define a recorded per-query value.
+    final case class QueryRecord(
+        name: String, times: Seq[Option[Double]], loads: Seq[Double],
+        contendedSamples: Seq[Boolean]) {
+      def quietTimes: Seq[Double] =
+        times.zip(contendedSamples).collect { case (Some(t), false) => t }
+      /** min over quiet samples; falls back to contended-only (flagged). */
+      def best: Option[Double] =
+        if (times.exists(_.isEmpty)) None
+        else if (quietTimes.nonEmpty) Some(quietTimes.min)
+        else Some(times.flatten.min)
+      def allContended: Boolean = quietTimes.isEmpty
+    }
+    def sampleQuery(q: queries.QuerySpec): QueryRecord = {
       val times = scala.collection.mutable.ArrayBuffer.empty[Option[Double]]
       val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
-      def take(): Unit = { loads += loadAvg(); times += timeOnce(q) }
+      val flags = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+      def take(): Unit = {
+        // bounded per-sample wait: 6 × 10 s — long enough to outlast a
+        // transient spike, short enough that a sustained ramp just
+        // flags the samples instead of stalling the run
+        var waits = 0
+        while (loadAvg() > LoadGate && waits < 6) {
+          System.err.println(
+            f"[bench] ${q.name}: loadavg ${loadAvg()}%.2f above gate — waiting 10 s")
+          Thread.sleep(10000)
+          waits += 1
+        }
+        val l = loadAvg()
+        loads += l
+        flags += l > LoadGate
+        times += timeOnce(q)
+      }
       if (cacheHeavy(q.name)) timeOnce(q) // untimed warm-up, result discarded
-      // converged = the two fastest agree within 25% OR 150 ms —
-      // sub-second queries carry ABSOLUTE scheduler jitter (~0.1 s)
-      // that a pure ratio test would chase with pointless resamples
-      // (the first r10 run resampled 19 of 33 queries, most of them
-      // sub-second)
+      // converged = the two fastest QUIET samples agree within 25% OR
+      // 150 ms — sub-second queries carry ABSOLUTE scheduler jitter
+      // (~0.1 s) that a pure ratio test would chase with pointless
+      // resamples; contended samples cannot certify reproducibility
       def converged: Boolean = {
-        val ok = times.flatten.sorted
+        val ok = times.zip(flags).collect { case (Some(t), false) => t }.sorted
         ok.size >= 2 && (ok(1) <= ok(0) * 1.25 || ok(1) - ok(0) <= 0.150)
       }
       take(); take()
-      while (times.size < maxSamples && times.forall(_.isDefined) && !converged)
+      // contended samples don't count toward the budget (they can't
+      // converge), but the total attempts stay bounded either way
+      while (times.zip(flags).count(!_._2) < maxSamples &&
+        times.size < maxSamples + 2 && times.forall(_.isDefined) && !converged)
         take()
-      (times.toSeq, loads.toSeq)
+      QueryRecord(q.name, times.toSeq, loads.toSeq, flags.toSeq)
     }
-    val results: Seq[(String, Seq[Option[Double]], Seq[Double])] = specs.map { q =>
-      val (ts, ls) = sampleQuery(q)
-      (q.name, ts, ls)
-    }
+    val results: Seq[QueryRecord] = specs.map(sampleQuery)
     def num(v: Option[Double]): String = v.map(x => f"$x%.3f").getOrElse("null")
     val qs = results
-      .map { case (k, vs, _) =>
-        val best = if (vs.forall(_.isDefined)) Some(vs.flatten.min) else None
-        "\"" + k + "\":" + best.map(x => f"$x%.2f").getOrElse("null")
-      }
+      .map(r => "\"" + r.name + "\":" + r.best.map(x => f"$x%.2f").getOrElse("null"))
       .mkString("{", ",", "}")
     val samples = results
-      .map { case (k, vs, _) => "\"" + k + "\":[" + vs.map(num).mkString(",") + "]" }
+      .map(r => "\"" + r.name + "\":[" + r.times.map(num).mkString(",") + "]")
       .mkString("{", ",", "}")
     val loadPerSample = results
-      .map { case (k, _, ls) =>
-        "\"" + k + "\":[" + ls.map(l => f"$l%.2f").mkString(",") + "]"
-      }
+      .map(r => "\"" + r.name + "\":[" + r.loads.map(l => f"$l%.2f").mkString(",") + "]")
       .mkString("{", ",", "}")
+    val contendedPerSample = results
+      .map(r => "\"" + r.name + "\":[" + r.contendedSamples.mkString(",") + "]")
+      .mkString("{", ",", "}")
+    // queries whose EVERY sample ran above the gate: their recorded
+    // value is contended-only — do not compare it across rounds
+    val contendedQueries = results.collect { case r if r.allContended => "\"" + r.name + "\"" }
+      .mkString("[", ",", "]")
     // queries that needed extra samples: the transient-contention flag
-    val resampled = results.collect { case (k, vs, _) if vs.size > 2 => "\"" + k + "\"" }
+    val resampled = results.collect { case r if r.times.size > 2 => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
-    val failed = results.collect { case (k, vs, _) if vs.exists(_.isEmpty) => "\"" + k + "\"" }
+    val failed = results.collect { case r if r.times.exists(_.isEmpty) => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, vs, _) if vs.forall(_.isDefined) => vs.flatten.min }.sum
+    val total = results.flatMap(_.best).sum
     // section order matters: cdc first (latency-sensitive per-trigger
     // split), then ingest, then the 10^4-file planning fixture LAST —
     // its build churn (file creates, GC) would otherwise pollute the
@@ -184,22 +222,20 @@ object Bench {
     // steady-state number; a wide spread THERE is measurement artifact,
     // not regression (adjudicated in VERDICT r6 and r8).
     val sampleNote = "cache-heavy queries (curation pipeline) run one sample " +
-      "2-4x another: the between-query state sweep unpersists shared " +
-      "diamonds, so a later run rebuilds them under the prior run's " +
-      "GC/eviction churn; min-of-samples reports steady state - wide spread " +
-      "on those entries is artifact, not regression. Since r13 those " +
-      "entries take one UNTIMED warm-up at the bench SF before sampling, " +
-      "so their recorded samples should sit in the steady band. " +
-      "Sampling is adaptive " +
-      "(up to 4) until the two fastest samples agree within 25%; 'load' " +
-      "records the 1-min loadavg before each sample - readings well above " +
-      "the 32-core bench's own sustained load mean external contention. " +
-      "POLICY NOTE (ADVICE r10): pre-r10 records were min-of-exactly-2; " +
-      "for resampled queries min-over-4 is biased low vs those records - " +
-      "compare min of the first two samples when reading pre-r10 deltas. " +
-      "cdc_stream and planning headline numbers are min-of-two independent " +
-      "measurement windows/sweeps since r11 (single-shot before)"
-    val detail = f"""{"metric":"detail","samples":$samples,"load":$loadPerSample,"resampled":$resampled,"cdc_stream":$cdcDetail,"ingest":$ingestDetail,"key_bloom":$kbJson,"planning":$planDetail,"sample_note":"$sampleNote","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"contended":$contended,"sf":"$sfDir"}"""
+      "2-4x another: they run one UNTIMED warm-up at the bench SF, so " +
+      "recorded samples sit in the steady band; a wide spread there is " +
+      "GC/eviction artifact, not regression. Sampling is adaptive (up " +
+      "to 4 quiet samples) until the two fastest QUIET samples agree " +
+      "within 25% or 150 ms. Each sample is load-gated: the run waits " +
+      "(bounded) for 1-min loadavg to drop below the gate, else marks " +
+      "the sample contended ('contended_samples', parallel to " +
+      "'samples'/'load'); contended samples are excluded from the " +
+      "reported min whenever a quiet sample exists, and " +
+      "'contended_queries' lists entries whose value is contended-only " +
+      "- do not compare those across rounds. cdc_stream and planning " +
+      "headline numbers are min-of-two independent measurement " +
+      "windows/sweeps"
+    val detail = f"""{"metric":"detail","samples":$samples,"load":$loadPerSample,"contended_samples":$contendedPerSample,"resampled":$resampled,"cdc_stream":$cdcDetail,"ingest":$ingestDetail,"key_bloom":$kbJson,"planning":$planDetail,"sample_note":"$sampleNote","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"contended":$contended,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     val detailWritten =
       try {
@@ -210,7 +246,7 @@ object Bench {
     // detail first (full record for untruncated logs), compact headline
     // LAST — the line the driver's 2000-char tail must preserve whole
     println(detail)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"cdc_stream":$cdcCompact,"ingest":$ingestCompact,"key_bloom":$kbJson,"planning":$planCompact,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"contended":$contended,"detail_file":"${if (detailWritten) detailPath else ""}","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"contended_queries":$contendedQueries,"cdc_stream":$cdcCompact,"ingest":$ingestCompact,"key_bloom":$kbJson,"planning":$planCompact,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"contended":$contended,"detail_file":"${if (detailWritten) detailPath else ""}","sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -442,6 +478,11 @@ object Bench {
       Seq("symbol" -> "identity", "ts" -> "day"))
     // local-disk fixture: widen the per-file rename+footer loop
     table.setProperty("write.move-parallelism", "48")
+    // declared secondary stats column (round 14): imports record
+    // per-file `value` bounds AND each commit's manifest rolls them up
+    // to the manifest list, so the secondary point row below prunes
+    // manifests UNOPENED — pre-r14, a secondary lookup parsed all 10
+    table.setProperty("write.stats-columns", "value")
     val day0 = java.time.LocalDate.of(2024, 3, 1).toEpochDay * 86400L
     // The fixture lands through [[graft.lake.LakehouseTable.addFiles]]:
     // one per-day template file Spark-written once, fanned out by
@@ -517,6 +558,11 @@ object Bench {
     // tables reject candidates from the manifest entry instead.
     val pointKey = (day0 + 3 * 86400L + 5 * 60L) * 1000000L
     val ptRun = () => table.filesContainingAnyKey(Seq(pointKey)).size
+    // SECONDARY point planning (round 14, VERDICT r13 #3): a lookup on
+    // the declared stats column — day 3's value band, so the
+    // manifest-list roll-up keeps 1 of 10 manifests; measured COLD
+    // (parse mode) because the roll-up exists to avoid cold parses
+    val secRun = () => table.filesForPointsOn("value", Seq(3L * 50 + 23)).size
     // genuinely cold: first-ever planning call on this table, nothing
     // warmed (later shapes inherit its warmed FS metadata — they report
     // warm medians only; review r10)
@@ -527,13 +573,23 @@ object Bench {
     def sweep(): Map[String, Double] = Map(
       "full" -> parseMs(fullRun), "full_cached" -> cachedMs(fullRun),
       "identity" -> parseMs(idRun), "identity_cached" -> cachedMs(idRun),
-      "timerange" -> parseMs(trRun), "point" -> cachedMs(ptRun))
+      "timerange" -> parseMs(trRun), "point" -> cachedMs(ptRun),
+      "secondary_point" -> parseMs(secRun))
     // two independent sweeps, per-field min (VERDICT r10 #8)
     val s1 = sweep(); val s2 = sweep()
     def m(k: String): Double = math.min(s1(k), s2(k))
     val idN = idRun()
     val trN = trRun()
     val ptN = ptRun()
+    val secN = secRun()
+    // manifests a cold secondary lookup actually parses (list excluded):
+    // the roll-up's whole point is that this stays ≪ the commit count
+    val secManifests = {
+      graft.lake.SnapshotLog.clearPlanningCache()
+      val before = graft.lake.SnapshotLog.manifestParseCount.get()
+      secRun()
+      (graft.lake.SnapshotLog.manifestParseCount.get() - before - 1).max(0)
+    }
     // POLICY-path clustering (VERDICT r10 #2): declared once on the
     // table, fired by zero-arg maintenance on cluster pressure — the
     // commit-shaped 10-manifest chain is exactly the shape that decays
@@ -603,8 +659,8 @@ object Bench {
       java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverseIterator
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     } catch { case _: Throwable => () }
-    val compact = f"""{"files":$nFiles,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"identity_ms":${m("identity")}%.1f,"timerange_ms":${m("timerange")}%.1f,"point_ms":${m("point")}%.1f,"clustered_identity_ms":${mc("cl")}%.1f,"policy_clustered":$policyClustered,"folded_full_scan_ms":$foldedMs%.1f,$bloomShapes}"""
-    val detail = f"""{"files":$nFiles,"commits":$nDays,"build_sec":$buildSec%.3f,"build_copy_sec":$copySec%.3f,"build_import_sec":$importSec%.3f,"full_scan_cold_ms":$fullCold%.1f,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"full_files":$fullN,"identity_ms":${m("identity")}%.1f,"identity_cached_ms":${m("identity_cached")}%.1f,"identity_files":$idN,"timerange_ms":${m("timerange")}%.1f,"timerange_files":$trN,"point_ms":${m("point")}%.1f,"point_files":$ptN,"policy_clustered":$policyClustered,"clustered_identity_ms":${mc("cl")}%.1f,"clustered_identity_cached_ms":${mc("cl_cached")}%.1f,"clustered_identity_files":$clIdN,"folded_full_scan_ms":$foldedMs%.1f,"folded_files":$foldedN,"sweeps":2,$bloomShapes}"""
+    val compact = f"""{"files":$nFiles,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"identity_ms":${m("identity")}%.1f,"timerange_ms":${m("timerange")}%.1f,"point_ms":${m("point")}%.1f,"secondary_point_ms":${m("secondary_point")}%.1f,"secondary_manifests_parsed":$secManifests,"clustered_identity_ms":${mc("cl")}%.1f,"policy_clustered":$policyClustered,"folded_full_scan_ms":$foldedMs%.1f,$bloomShapes}"""
+    val detail = f"""{"files":$nFiles,"commits":$nDays,"build_sec":$buildSec%.3f,"build_copy_sec":$copySec%.3f,"build_import_sec":$importSec%.3f,"full_scan_cold_ms":$fullCold%.1f,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"full_files":$fullN,"identity_ms":${m("identity")}%.1f,"identity_cached_ms":${m("identity_cached")}%.1f,"identity_files":$idN,"timerange_ms":${m("timerange")}%.1f,"timerange_files":$trN,"point_ms":${m("point")}%.1f,"point_files":$ptN,"secondary_point_ms":${m("secondary_point")}%.1f,"secondary_point_files":$secN,"secondary_manifests_parsed":$secManifests,"policy_clustered":$policyClustered,"clustered_identity_ms":${mc("cl")}%.1f,"clustered_identity_cached_ms":${mc("cl_cached")}%.1f,"clustered_identity_files":$clIdN,"folded_full_scan_ms":$foldedMs%.1f,"folded_files":$foldedN,"sweeps":2,$bloomShapes}"""
     (compact, detail)
   } catch {
     case e: Throwable =>
