@@ -143,4 +143,44 @@ class MultimodalFuzzSpec extends AnyFunSuite {
       Multimodal.encodePpmStream(ascii("hello world"), 2, 2, 2))
     assert(ppm.nFrames == 2 && ppm.width == 2)
   }
+
+  // ---- PNG (round 14: the ImageIO production-decoder modality) -----------
+
+  private lazy val goodPng = Multimodal.encodePng(ascii("hello png world"), 4, 3)
+
+  private val pngCases: Seq[(String, Array[Byte], String)] = Seq(
+    ("empty payload", Array.emptyByteArray, "empty payload"),
+    ("not an image container", ascii("this is prose, not pixels"), "unrecognized"),
+    ("PPM bytes through the image decoder",
+      Multimodal.encodePpmStream(ascii("hello"), 2, 2, 1), "unrecognized"),
+    ("PNG magic alone, no chunks", Array[Byte](0x89.toByte, 'P', 'N', 'G',
+      0x0d, 0x0a, 0x1a, 0x0a), "corrupt image stream"),
+    ("IHDR truncated mid-chunk", goodPng.take(20), "corrupt image stream"),
+    // -12 would only drop IEND, which the JDK reader tolerates; -24
+    // cuts into the IDAT deflate stream itself
+    ("pixel data truncated", goodPng.take(goodPng.length - 24), "corrupt image stream"),
+    ("IDAT bytes flipped", {
+      val b = goodPng.clone()
+      // flip bytes well inside the compressed stream, past the 33-byte
+      // signature+IHDR prefix — CRC/inflate must catch it
+      (40 until math.min(48, b.length - 8)).foreach(i => b(i) = (~b(i)).toByte)
+      b
+    }, "corrupt image stream"))
+
+  pngCases.foreach { case (name, bytes, fragment) =>
+    test(s"PNG refuses: $name") {
+      val e = intercept[IllegalArgumentException](Multimodal.decodeImage(bytes))
+      assert(e.getMessage.contains(fragment),
+        s"expected '$fragment' in: ${e.getMessage}")
+    }
+  }
+
+  test("the PNG good twin round-trips losslessly through ImageIO") {
+    val data = ascii("hello png world")
+    val (w, h, sum) = Multimodal.decodeImage(goodPng)
+    assert(w == 4 && h == 3)
+    // lossless: decoded channel sum = sum of the source bytes that fit
+    // (4·3·3 = 36 slots ≥ 15 bytes, zero-pad contributes 0)
+    assert(sum == data.map(_ & 0xff).map(_.toLong).sum)
+  }
 }
