@@ -3175,6 +3175,70 @@ final class LakehouseTable(
     }
   }
 
+  /** [[cowDiscoveryCandidates]] composed across EVERY extractable
+    * dimension of the predicate (round 14): the time key as before,
+    * PLUS the declared secondary stats columns — point sets (long and
+    * string: `DELETE WHERE user_id IN (…)` is the actual GDPR-erasure
+    * shape on a time-keyed table, and before this it scanned the whole
+    * table to find hit files) prune through bounds + column blooms +
+    * footer blooms; ranges prune through bounds; an over-cap point set
+    * degrades to its [min, max] envelope. Sequential narrowing, so
+    * `WHERE ts >= … AND user_id = 42` composes. None ⇔ no dimension
+    * extracted anything (scan everything).
+    */
+  private[lake] def cowDiscoveryCandidatesAll(
+      meta: TableMetadata,
+      refsWithFiles: Seq[(ManifestRef, Seq[DataFile])],
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[Seq[DataFile]] = {
+    var cur: Option[Seq[DataFile]] = meta.partitionTransform
+      .flatMap(tc => cowDiscoveryCandidates(refsWithFiles, cond, tc))
+    def universe: Seq[DataFile] = cur.getOrElse(refsWithFiles.flatMap(_._2))
+    val schema = StructType.fromDDL(meta.schemaDdl)
+    val statsCols = meta.props.get("write.stats-columns").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .filterNot(meta.partitionTransform.contains)
+      .filter(schema.fieldNames.contains)
+    statsCols.foreach { c =>
+      if (schema(c).dataType == org.apache.spark.sql.types.StringType) {
+        PredicateBounds.pointKeyStrings(cond, c).foreach {
+          case keys if keys.size <= PredicateBounds.MaxPointKeys =>
+            cur = Some(bloomPointSurvivorsStr(universe,
+              f => keys.filter(k => f.mayContainColumnString(c, k)),
+              resolvedColumnBloom(_, c), c))
+          case keys =>
+            // over-cap: the [min, max] envelope in code-point order
+            // still bounds-prunes (no per-key probes)
+            val lo = keys.reduce((a, b) =>
+              if (ColumnBounds.cpCompare(a, b) <= 0) a else b)
+            val hi = keys.reduce((a, b) =>
+              if (ColumnBounds.cpCompare(a, b) >= 0) a else b)
+            cur = Some(universe.filter(f =>
+              f.extraBounds.flatMap(_.find(b => b.column == c && b.isString)).forall(b =>
+                ColumnBounds.cpCompare(hi, b.minS.get) >= 0 &&
+                  b.maxS.forall(mx => ColumnBounds.cpCompare(lo, mx) <= 0))))
+        }
+      } else {
+        PredicateBounds.pointKeysUs(cond, c) match {
+          case Some(keys) if keys.size <= PredicateBounds.MaxPointKeys =>
+            cur = Some(bloomPointSurvivors(universe,
+              f => keys.filter(k => f.overlapsColumn(c, k, k)),
+              resolvedColumnBloom(_, c), c))
+          case Some(keys) => // over-cap: [min, max] envelope
+            cur = Some(universe.filter(_.overlapsColumn(c, keys.min, keys.max)))
+          case None =>
+            PredicateBounds.rangeBounds(cond, c) match {
+              case (lo, hi) if lo.isDefined || hi.isDefined =>
+                cur = Some(universe.filter(_.overlapsColumn(c,
+                  lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))))
+              case _ => ()
+            }
+        }
+      }
+    }
+    cur
+  }
+
   private def cowRewriteTargets(
       meta: TableMetadata,
       current: Snapshot,
@@ -3190,10 +3254,9 @@ final class LakehouseTable(
     // Everything derives from the caller's versioned `meta` and the
     // already-loaded refsWithFiles — no second log read to race a
     // concurrent schema/spec commit, no manifest re-read.
-    val candidates = meta.partitionTransform.flatMap { timeCol =>
-      resolvePredicate(meta, predicate)
-        .flatMap(c => cowDiscoveryCandidates(refsWithFiles, c, timeCol))
-    }.getOrElse(refsWithFiles.flatMap(_._2))
+    val candidates = resolvePredicate(meta, predicate)
+      .flatMap(c => cowDiscoveryCandidatesAll(meta, refsWithFiles, c))
+      .getOrElse(refsWithFiles.flatMap(_._2))
     val hitPaths = readWithDeletes(candidates, liveDeleteFiles(current),
         Some("__graft_file"))
       .filter(predicate)
@@ -3610,12 +3673,10 @@ final class LakehouseTable(
     // point predicates prune through bounds + blooms, ranges through
     // bounds. Safe because a skipped file provably has no hit, so no
     // position of it could ever enter the mask.
-    val scanned = meta.partitionTransform.flatMap { timeCol =>
-      resolvePredicate(meta, predicate).flatMap { c =>
-        val refsWithFiles = log.readManifestList(current)
-          .map(r => r -> log.readManifest(r.path))
-        cowDiscoveryCandidates(refsWithFiles, c, timeCol)
-      }
+    val scanned = resolvePredicate(meta, predicate).flatMap { c =>
+      val refsWithFiles = log.readManifestList(current)
+        .map(r => r -> log.readManifest(r.path))
+      cowDiscoveryCandidatesAll(meta, refsWithFiles, c)
     }.getOrElse(dataFiles(current))
     val visible = readWithDeletes(scanned, liveDeleteFiles(current),
       keepPosColumns = Some((p, i)))
@@ -4008,6 +4069,33 @@ final class LakehouseTable(
     val files = snap.map(dataFiles).getOrElse(Nil).filter(_.overlapsColumn(column, lo, hi))
     readWithDeletes(files, snap.map(liveDeleteFiles).getOrElse(Nil))
       .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
+  /** [[readColumnRange]] WITHOUT the exact filter, composed across
+    * dimensions (round 14): scans only the files whose bounds overlap
+    * EVERY given secondary range AND the optional time range — the
+    * splice under a `WHERE uid BETWEEN a AND b [AND ts >= …]` query,
+    * where the exact predicate re-applies on top. Manifest-list level
+    * first (key bounds + the secondary roll-ups drop manifests
+    * unopened), then per-file bounds. Returns a SUPERSET of the
+    * matching rows (live delete masks applied). Range pruning is
+    * bounds-only by nature — blooms answer membership, not ranges.
+    */
+  def readColumnRangesPruned(
+      dims: Seq[(String, Long, Long)],
+      timeRangeUs: Option[(Long, Long)] = None): DataFrame = {
+    val meta = metadata
+    val snap = meta.currentSnapshot
+    val frozen = StructType.fromDDL(meta.schemaDdl).fieldNames.toSet
+    dims.foreach { case (c, _, _) =>
+      require(frozen.contains(c), s"'$c' is not a table column") }
+    val refs = snap.map(log.readManifestList).getOrElse(Nil)
+      .filter(r => timeRangeUs.forall { case (lo, hi) => r.overlaps(lo, hi) })
+      .filter(r => dims.forall { case (c, lo, hi) => r.mayContainColumnRange(c, lo, hi) })
+    val files = log.readManifests(refs).flatten
+      .filter(f => timeRangeUs.forall { case (lo, hi) => f.overlaps(lo, hi) })
+      .filter(f => dims.forall { case (c, lo, hi) => f.overlapsColumn(c, lo, hi) })
+    readWithDeletes(files, snap.map(liveDeleteFiles).getOrElse(Nil))
   }
 
   /** One-call table maintenance — the job a deployment schedules beside

@@ -14,6 +14,26 @@ import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType, Time
   */
 object PredicateBounds {
 
+  /** Pre-optimizer predicate normalization (round 14): the expansion
+    * rule runs before the optimizer, where `x BETWEEN a AND b` is
+    * still a RuntimeReplaceable node whose replacement the analyzer
+    * wraps in `With`/common-expression scaffolding — unwrap the
+    * replacement and inline the refs, so the bounds extractors see
+    * the plain >=/<= conjuncts. Without this, the commonest
+    * range-predicate spelling extracted nothing.
+    */
+  private def normalize(e: Expression): Expression = e match {
+    case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+      normalize(r.replacement)
+    case w: org.apache.spark.sql.catalyst.expressions.With =>
+      val defs = w.defs.map(d => d.id -> d.child).toMap
+      normalize(w.child.transformUp {
+        case ref: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
+          defs.getOrElse(ref.id, ref)
+      })
+    case other => other
+  }
+
   def timeBounds(cond: Expression, timeCol: String): (Option[Long], Option[Long]) = {
     def micros(l: Literal): Option[Long] = l.dataType match {
       case TimestampType | TimestampNTZType => Some(l.value.asInstanceOf[Long])
@@ -28,7 +48,7 @@ object PredicateBounds {
       case a: AttributeReference => a.name == timeCol
       case _ => false
     }
-    def conjuncts(e: Expression): Seq[Expression] = e match {
+    def conjuncts(e: Expression): Seq[Expression] = normalize(e) match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
@@ -49,6 +69,69 @@ object PredicateBounds {
       case LessThan(l: Literal, t) if isTime(t) => micros(l).foreach(v => tightenLo(v + 1))
       case EqualTo(l: Literal, t) if isTime(t) =>
         micros(l).foreach { v => tightenLo(v); tightenHi(v) }
+      case _ => ()
+    }
+    (lo, hi)
+  }
+
+  /** Conservative [lo, hi] bounds a predicate's conjuncts impose on a
+    * SECONDARY integral/time stats column, in the manifest-stats long
+    * encoding (round 14): the [[timeBounds]] shape generalized to
+    * LONG/INT literals (with the analyzer's implicit-cast wrapping
+    * folded, as in [[pointKeysUs]]) — what lets `WHERE uid BETWEEN a
+    * AND b` prune through per-file [[ColumnBounds]] and the
+    * manifest-list roll-ups. Double columns are deliberately excluded:
+    * their stored bounds are outward-rounded longs and a fractional
+    * literal's rounding direction depends on the comparison — not
+    * worth the trap surface for a column type rarely used as a range
+    * key. Anything unrecognized widens the range; the exact predicate
+    * re-applies above the splice.
+    */
+  def rangeBounds(cond: Expression, column: String): (Option[Long], Option[Long]) = {
+    def isCol(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == column
+      case c: Cast if c.dataType == c.child.dataType => isCol(c.child)
+      case _ => false
+    }
+    def asLit(e: Expression): Option[Literal] = e match {
+      case l: Literal => Some(l)
+      case c: Cast if c.child.isInstanceOf[Literal] || c.foldable =>
+        try Some(Literal.create(c.eval(), c.dataType)) catch { case _: Exception => None }
+      case _ => None
+    }
+    def longOf(e: Expression): Option[Long] = asLit(e).flatMap(l =>
+      (l.dataType, l.value) match {
+        case (_, null) => None
+        case (TimestampType | TimestampNTZType, v) => Some(v.asInstanceOf[Long])
+        case (LongType, v) => Some(v.asInstanceOf[Long])
+        case (IntegerType, v) => Some(v.asInstanceOf[Int].toLong)
+        case _ => None
+      })
+    def conjuncts(e: Expression): Seq[Expression] = normalize(e) match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    var lo: Option[Long] = None
+    var hi: Option[Long] = None
+    def tightenLo(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
+    def tightenHi(v: Long): Unit = hi = Some(hi.fold(v)(math.min(_, v)))
+    conjuncts(cond).foreach {
+      case GreaterThanOrEqual(t, v) if isCol(t) => longOf(v).foreach(tightenLo)
+      case GreaterThan(t, v) if isCol(t) =>
+        longOf(v).foreach(x => if (x < Long.MaxValue) tightenLo(x + 1))
+      case LessThanOrEqual(t, v) if isCol(t) => longOf(v).foreach(tightenHi)
+      case LessThan(t, v) if isCol(t) =>
+        longOf(v).foreach(x => if (x > Long.MinValue) tightenHi(x - 1))
+      case EqualTo(t, v) if isCol(t) =>
+        longOf(v).foreach { x => tightenLo(x); tightenHi(x) }
+      case GreaterThanOrEqual(v, t) if isCol(t) => longOf(v).foreach(tightenHi)
+      case GreaterThan(v, t) if isCol(t) =>
+        longOf(v).foreach(x => if (x > Long.MinValue) tightenHi(x - 1))
+      case LessThanOrEqual(v, t) if isCol(t) => longOf(v).foreach(tightenLo)
+      case LessThan(v, t) if isCol(t) =>
+        longOf(v).foreach(x => if (x < Long.MaxValue) tightenLo(x + 1))
+      case EqualTo(v, t) if isCol(t) =>
+        longOf(v).foreach { x => tightenLo(x); tightenHi(x) }
       case _ => ()
     }
     (lo, hi)

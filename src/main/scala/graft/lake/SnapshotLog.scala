@@ -495,6 +495,15 @@ final case class ManifestRef(
       case None => true
     }
 
+  /** May this manifest contain a file with a `column` value in
+    * [lo, hi]? True when no roll-up was recorded (cannot skip).
+    */
+  def mayContainColumnRange(column: String, lo: Long, hi: Long): Boolean =
+    columnBounds.flatMap(_.find(b => b.column == column && !b.isString)) match {
+      case Some(b) => b.max >= lo && b.min <= hi
+      case None => true
+    }
+
   /** [[mayContainColumnLongs]] for STRING keys (sorted in code-point
     * order ascending).
     */

@@ -1327,6 +1327,41 @@ object LakeOps {
       .withColumn("file_surgical", lit(rewritten < beforePaths.size))
   }
 
+  /** Targeted DELETE by SECONDARY key (round 14): `DELETE WHERE
+    * user_id IN (five ids)` on a TIME-keyed table — the actual GDPR
+    * erasure request shape (erase a user, not a timestamp). Files are
+    * user-residue disjoint but interleaved in BOTH the time and
+    * user_id ranges, so neither bounds dimension can focus the
+    * discovery scan: the secondary-column blooms must. The COW rewrite
+    * must remove exactly those users' rows (DuckDB recomputes the
+    * survivors) and stay file-surgical — before round 14 this shape
+    * scanned the whole table to find hit files.
+    */
+  def userDeleteFlow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ev = graft.Tables.t(s, dir, "events")
+      .select(col("ts").cast(TimestampType).as("ts"), col("user_id"), col("value"))
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+    val table = graft.lake.LakehouseTable.createIfNotExists(
+      s, new Path(freshWarehouse("graft-ud"), "events"), ev.schema, Some("ts"))
+    table.setProperty("write.stats-columns", "user_id")
+    table.setProperty("write.column-bloom.bits", "262144")
+    table.append(ev.repartition(8, pmod(col("user_id"), lit(8))))
+    val ids = ev.filter(pmod(col("user_id"), lit(8)) === 3)
+      .select("user_id").distinct().orderBy("user_id").limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    val beforePaths = table.currentDataFiles.map(_.path).toSet
+    table.delete(col("user_id").isin(ids: _*))
+    val afterPaths = table.currentDataFiles.map(_.path).toSet
+    val rewritten = (beforePaths -- afterPaths).size
+    table.read().agg(
+        count(lit(1)).as("n_rows"),
+        min(col("user_id")).as("min_uid"),
+        max(col("user_id")).as("max_uid"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .withColumn("file_surgical", lit(rewritten < beforePaths.size))
+  }
+
   /** Copy-on-write DELETE: drop every 7th event, read back totals. */
   def deleteFlow(s: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
@@ -1574,6 +1609,43 @@ object LakeOps {
       .withColumn("bloom_pruned_files", lit(scanned < candidates))
   }
 
+  /** SQL RANGE skipping on a secondary stats column (round 14): the
+    * `WHERE user_id BETWEEN a AND b` dashboard shape over a
+    * range-clustered layout — per-file [[graft.lake.ColumnBounds]]
+    * (and the manifest-list roll-ups) prune the file list
+    * bounds-only, no blooms involved (blooms answer membership, not
+    * ranges), and the answer must still be exactly DuckDB's. The
+    * band probed is derived from max(user_id) so the oracle
+    * recomputes it independently.
+    */
+  def sqlSecondaryRangeFlow(s: SparkSession, dir: String): DataFrame = {
+    val wh = freshWarehouse("graft-sr")
+    val cat = s"graft_sql_${sqlCatalogRuns.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gold")
+    val ev = graft.Tables.t(s, dir, "events")
+      .select(col("ts").cast(TimestampType).as("ts"), col("user_id"), col("value"))
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+    val table = LakehouseTable.createIfNotExists(
+      s, new org.apache.hadoop.fs.Path(wh, "gold/rng"), ev.schema, Some("ts"))
+    table.setProperty("write.stats-columns", "user_id")
+    // range-clustered files: each holds one contiguous user_id band
+    table.append(ev.repartitionByRange(8, col("user_id")))
+    val maxUid = ev.agg(max("user_id")).collect()(0).getLong(0)
+    val (lo, hi) = (maxUid / 4, maxUid / 4 + maxUid / 8)
+    val q = s.sql(
+      s"""SELECT count(*) AS n_rows,
+         |       min(user_id) AS min_uid,
+         |       max(user_id) AS max_uid,
+         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         |FROM $cat.gold.rng
+         |WHERE user_id BETWEEN $lo AND $hi""".stripMargin)
+    val scanned = scannedFiles(q)
+    q.withColumn("range_pruned_files",
+      lit(scanned < table.currentDataFiles.size))
+  }
+
   /** CROSS-DIMENSION point-set composition (round 14, VERDICT r13 #4):
     * files laid out on a (second-group × user-residue) grid, so a
     * predicate pinning BOTH `ts IN (…)` and `user_id IN (…)` must plan
@@ -1653,6 +1725,22 @@ object LakeOps {
              |       true AS bounds_cannot_prune,
              |       true AS bloom_pruned_files
              |FROM e WHERE uid_s IN (SELECT uid_s FROM k)""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_sql_secondary_range",
+      sqlSecondaryRangeFlow,
+      Some("""WITH e AS (
+             |  SELECT user_id, value FROM events
+             |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             |), m AS (SELECT max(user_id) AS mx FROM e)
+             |SELECT count(*) AS n_rows,
+             |       min(user_id) AS min_uid,
+             |       max(user_id) AS max_uid,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       true AS range_pruned_files
+             |FROM e, m
+             |WHERE user_id BETWEEN mx // 4 AND mx // 4 + mx // 8""".stripMargin)
     ),
 
     QuerySpec(
@@ -1772,6 +1860,24 @@ object LakeOps {
              |       true AS file_surgical
              |FROM events
              |WHERE ts IS NOT NULL AND ts NOT IN (SELECT ts FROM k)""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_user_delete",
+      userDeleteFlow,
+      Some("""WITH e AS (
+             |  SELECT user_id, value FROM events
+             |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             |), k AS (
+             |  SELECT DISTINCT user_id FROM e WHERE user_id % 8 = 3
+             |  ORDER BY user_id LIMIT 5
+             |)
+             |SELECT count(*) AS n_rows,
+             |       min(user_id) AS min_uid,
+             |       max(user_id) AS max_uid,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       true AS file_surgical
+             |FROM e WHERE user_id NOT IN (SELECT user_id FROM k)""".stripMargin)
     ),
 
     QuerySpec(

@@ -91,15 +91,30 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
       // per-dimension scaffolding)
       if (keyPoints.isDefined && longDims.isEmpty && strDims.isEmpty)
         return g.lt.readPointsPruned(keyPoints.get)
-      if (keyPoints.isDefined || longDims.nonEmpty || strDims.nonEmpty) {
-        // compose the predicate's TIME-key bounds on top (WHERE
-        // ts >= … AND uid = 5): neither dimension's pruning is
-        // forfeited to the other
-        val tr = keyCol.map(k => graft.lake.PredicateBounds.timeBounds(cond, k))
-          .filter(b => b._1.isDefined || b._2.isDefined)
-          .map(b => (b._1.getOrElse(Long.MinValue), b._2.getOrElse(Long.MaxValue)))
+      // compose the predicate's TIME-key bounds on top (WHERE
+      // ts >= … AND uid = 5): neither dimension's pruning is
+      // forfeited to the other
+      lazy val tr = keyCol.map(k => graft.lake.PredicateBounds.timeBounds(cond, k))
+        .filter(b => b._1.isDefined || b._2.isDefined)
+        .map(b => (b._1.getOrElse(Long.MinValue), b._2.getOrElse(Long.MaxValue)))
+      if (keyPoints.isDefined || longDims.nonEmpty || strDims.nonEmpty)
         return g.lt.readPointsMulti(keyPoints, longDims, strDims, tr)
-      }
+      // secondary RANGE pushdown (round 14): `WHERE uid BETWEEN a AND
+      // b` — bounds-only pruning through the per-file ColumnBounds and
+      // the manifest-list roll-ups, composed across every bounded
+      // stats column plus the key's time range. Reached only when no
+      // dimension pins a finite point set (points prune strictly
+      // harder: bounds AND blooms).
+      val rangeDims = statsCols
+        .filter(c => schema(c).dataType != org.apache.spark.sql.types.StringType)
+        .flatMap { c =>
+          val (lo, hi) = graft.lake.PredicateBounds.rangeBounds(cond, c)
+          if (lo.isDefined || hi.isDefined)
+            Some((c, lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue)))
+          else None
+        }
+      if (rangeDims.nonEmpty)
+        return g.lt.readColumnRangesPruned(rangeDims, tr)
     }
     val range = for {
       cond <- filter if prunable

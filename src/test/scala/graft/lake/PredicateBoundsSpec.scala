@@ -36,6 +36,16 @@ class PredicateBoundsSpec extends SparkSpec {
     assert(bounds(col("ts") === lit(t0)) == (Some(us(t0)), Some(us(t0))))
   }
 
+  test("BETWEEN extracts through the pre-optimizer RuntimeReplaceable wrap") {
+    // the analyzer leaves `ts BETWEEN a AND b` as a Between node whose
+    // replacement hides the >=/<= under With/common-expression refs —
+    // round 14 inlines them; before, the commonest range spelling
+    // extracted nothing and fell back to a full scan
+    assert(bounds(col("ts").between(lit(t0), lit(t1))) == (Some(us(t0)), Some(us(t1))))
+    val composed = bounds(col("ts").between(lit(t0), lit(t1)) && col("sym") === "a")
+    assert(composed == (Some(us(t0)), Some(us(t1))))
+  }
+
   test("anything non-extractable widens, never narrows") {
     // disjunction: neither side may tighten
     assert(bounds(col("ts") >= lit(t0) || col("sym") === "a") == (None, None))
