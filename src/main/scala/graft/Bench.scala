@@ -144,6 +144,11 @@ object Bench {
         else Some(times.flatten.min)
       def allContended: Boolean = quietTimes.isEmpty
     }
+    // GLOBAL gate-wait budget: a sustained external ramp must not turn
+    // 34 queries × bounded waits into an hour of stalling — past the
+    // budget, samples run immediately and carry their contended flag
+    // (the record stays honest, the run stays bounded)
+    val gateWaitBudget = new java.util.concurrent.atomic.AtomicLong(10 * 60 * 1000L)
     def sampleQuery(q: queries.QuerySpec): QueryRecord = {
       val times = scala.collection.mutable.ArrayBuffer.empty[Option[Double]]
       val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -153,10 +158,11 @@ object Bench {
         // transient spike, short enough that a sustained ramp just
         // flags the samples instead of stalling the run
         var waits = 0
-        while (loadAvg() > LoadGate && waits < 6) {
+        while (loadAvg() > LoadGate && waits < 6 && gateWaitBudget.get() > 0) {
           System.err.println(
             f"[bench] ${q.name}: loadavg ${loadAvg()}%.2f above gate — waiting 10 s")
           Thread.sleep(10000)
+          gateWaitBudget.addAndGet(-10000L)
           waits += 1
         }
         val l = loadAvg()

@@ -1319,10 +1319,17 @@ final class LakehouseTable(
       keyPointsUs: Option[Seq[Long]],
       longDims: Seq[(String, Seq[Long])],
       strDims: Seq[(String, Seq[String])],
-      timeRangeUs: Option[(Long, Long)] = None): DataFrame = {
+      timeRangeUs: Option[(Long, Long)] = None,
+      /** RANGE dims composed on top (round 14): `ts IN (…) AND uid >=
+        * 10` — bounds-only filters that ride the same candidate set,
+        * so a point dimension never forfeits a range dimension.
+        */
+      longRanges: Seq[(String, Long, Long)] = Nil,
+      strPrefixes: Seq[(String, String)] = Nil): DataFrame = {
     val meta = metadata
     val snap = meta.currentSnapshot
-    val files = multiPointSurvivors(meta, snap, keyPointsUs, longDims, strDims, timeRangeUs)
+    val files = multiPointSurvivors(meta, snap, keyPointsUs, longDims, strDims,
+      timeRangeUs, longRanges, strPrefixes)
     readWithDeletes(files, snap.map(liveDeleteFiles).getOrElse(Nil))
   }
 
@@ -1338,7 +1345,7 @@ final class LakehouseTable(
       timeRangeUs: Option[(Long, Long)] = None): Seq[DataFile] = {
     val meta = metadata
     multiPointSurvivors(
-      meta, meta.currentSnapshot, None, Seq(column -> keysUs), Nil, timeRangeUs)
+      meta, meta.currentSnapshot, None, Seq(column -> keysUs), Nil, timeRangeUs, Nil, Nil)
   }
 
   private def multiPointSurvivors(
@@ -1347,9 +1354,12 @@ final class LakehouseTable(
       keyPointsUs: Option[Seq[Long]],
       longDims: Seq[(String, Seq[Long])],
       strDims: Seq[(String, Seq[String])],
-      timeRangeUs: Option[(Long, Long)]): Seq[DataFile] = {
+      timeRangeUs: Option[(Long, Long)],
+      longRanges: Seq[(String, Long, Long)],
+      strPrefixes: Seq[(String, String)]): Seq[DataFile] = {
     val frozen = StructType.fromDDL(meta.schemaDdl).fieldNames.toSet
-    (longDims.map(_._1) ++ strDims.map(_._1)).foreach(c =>
+    (longDims.map(_._1) ++ strDims.map(_._1) ++
+      longRanges.map(_._1) ++ strPrefixes.map(_._1)).foreach(c =>
       require(frozen.contains(c), s"'$c' is not a table column"))
     // an empty pinned set on any dimension is a contradiction
     // (`k IN ()` after intersection): zero files, zero rows
@@ -1381,11 +1391,15 @@ final class LakehouseTable(
       .filter(r => keyAnyIn(r.minKeyUs, r.maxKeyUs))
       .filter(r => sortedLong.forall { case (c, ks) => r.mayContainColumnLongs(c, ks) })
       .filter(r => sortedStr.forall { case (c, ks) => r.mayContainColumnStrings(c, ks) })
+      .filter(r => longRanges.forall { case (c, lo, hi) => r.mayContainColumnRange(c, lo, hi) })
+      .filter(r => strPrefixes.forall { case (c, p) => r.mayContainColumnPrefix(c, p) })
 
     // 2. per-file bounds (cheap, all dims) on the opened manifests
     var files = log.readManifests(refs).flatten
       .filter(f => timeRangeUs.forall { case (lo, hi) => f.overlaps(lo, hi) })
       .filter(f => keyAnyIn(f.minKeyUs, f.maxKeyUs))
+      .filter(f => longRanges.forall { case (c, lo, hi) => f.overlapsColumn(c, lo, hi) })
+      .filter(f => strPrefixes.forall { case (c, p) => f.mayContainColumnPrefix(c, p) })
 
     // 3. bloom ladders, sequentially narrowing — per-file decisions are
     // independent, so filtering the running survivor set gives exactly
@@ -4083,18 +4097,24 @@ final class LakehouseTable(
     */
   def readColumnRangesPruned(
       dims: Seq[(String, Long, Long)],
-      timeRangeUs: Option[(Long, Long)] = None): DataFrame = {
+      timeRangeUs: Option[(Long, Long)] = None,
+      /** STRING-prefix dims (round 14): `url LIKE 'https://x/%'` —
+        * files whose string bounds cannot hold a prefixed value skip.
+        */
+      strPrefixes: Seq[(String, String)] = Nil): DataFrame = {
     val meta = metadata
     val snap = meta.currentSnapshot
     val frozen = StructType.fromDDL(meta.schemaDdl).fieldNames.toSet
-    dims.foreach { case (c, _, _) =>
-      require(frozen.contains(c), s"'$c' is not a table column") }
+    (dims.map(_._1) ++ strPrefixes.map(_._1)).foreach(c =>
+      require(frozen.contains(c), s"'$c' is not a table column"))
     val refs = snap.map(log.readManifestList).getOrElse(Nil)
       .filter(r => timeRangeUs.forall { case (lo, hi) => r.overlaps(lo, hi) })
       .filter(r => dims.forall { case (c, lo, hi) => r.mayContainColumnRange(c, lo, hi) })
+      .filter(r => strPrefixes.forall { case (c, p) => r.mayContainColumnPrefix(c, p) })
     val files = log.readManifests(refs).flatten
       .filter(f => timeRangeUs.forall { case (lo, hi) => f.overlaps(lo, hi) })
       .filter(f => dims.forall { case (c, lo, hi) => f.overlapsColumn(c, lo, hi) })
+      .filter(f => strPrefixes.forall { case (c, p) => f.mayContainColumnPrefix(c, p) })
     readWithDeletes(files, snap.map(liveDeleteFiles).getOrElse(Nil))
   }
 

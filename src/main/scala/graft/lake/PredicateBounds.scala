@@ -137,6 +137,44 @@ object PredicateBounds {
     (lo, hi)
   }
 
+  /** The narrowest LITERAL PREFIX a predicate's conjuncts pin a STRING
+    * column to (round 14): `url LIKE 'https://x/%'` (single trailing
+    * `%`, no other wildcards or escapes — anything fancier extracts
+    * nothing) and the DataFrame API's `startsWith`. The longest prefix
+    * wins when several conjuncts constrain the column (they must all
+    * hold, and for prefixes "all hold" means the longest one, when
+    * consistent — an inconsistent pair just keeps the longest, still
+    * conservative since pruning with EITHER valid prefix is sound).
+    * Callers prune files whose string bounds cannot contain any value
+    * with the prefix; the exact predicate re-applies above the splice.
+    */
+  def stringPrefix(cond: Expression, column: String): Option[String] = {
+    def isCol(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == column
+      case c: Cast if c.dataType == c.child.dataType => isCol(c.child)
+      case _ => false
+    }
+    def conjuncts(e: Expression): Seq[Expression] = normalize(e) match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def prefixOfPattern(p: String): Option[String] =
+      if (p.nonEmpty && p.last == '%' &&
+        !p.dropRight(1).exists(c => c == '%' || c == '_' || c == '\\'))
+        Some(p.dropRight(1))
+      else None
+    val prefixes = conjuncts(cond).flatMap {
+      case org.apache.spark.sql.catalyst.expressions.Like(t, Literal(v, _), escape)
+          if isCol(t) && v != null && escape == '\\' =>
+        prefixOfPattern(v.toString)
+      case org.apache.spark.sql.catalyst.expressions.StartsWith(t, Literal(v, _))
+          if isCol(t) && v != null =>
+        Some(v.toString)
+      case _ => None
+    }
+    prefixes.filter(_.nonEmpty).maxByOption(_.length)
+  }
+
   /** Threshold between point-probe shapes: up to this many keys the
     * driver probes per-file manifest AND parquet-footer blooms
     * (O(files × keys), worth it for the exact footer-level skips); past

@@ -190,6 +190,14 @@ final case class DataFile(
   def mayContainColumnString(column: String, s: String): Boolean =
     extraBounds.flatMap(_.find(_.column == column))
       .forall(_.mayContainString(s))
+
+  /** Whether the file may contain any `column` value with prefix `p`
+    * (the `LIKE 'prefix%'` per-file check) — true when no string
+    * bounds were recorded.
+    */
+  def mayContainColumnPrefix(column: String, p: String): Boolean =
+    extraBounds.flatMap(_.find(_.column == column))
+      .forall(_.mayContainPrefix(p))
 }
 
 /** Conservative [min, max] of one column within one data file. Two
@@ -228,6 +236,19 @@ final case class ColumnBounds(
     case Some(lo) =>
       ColumnBounds.cpCompare(s, lo) >= 0 &&
         maxS.forall(hi => ColumnBounds.cpCompare(s, hi) <= 0)
+  }
+
+  /** May a file with these STRING bounds contain ANY value with prefix
+    * `p` (round 14 — the `LIKE 'prefix%'` pruning predicate)? Prefixed
+    * values live in [p, prefixUpper(p)): some such value fits the
+    * bounds iff p ≤ max and prefixUpper(p) > min. True for numeric
+    * entries and when no upper exists for the prefix.
+    */
+  def mayContainPrefix(p: String): Boolean = minS match {
+    case None => true
+    case Some(lo) =>
+      maxS.forall(hi => ColumnBounds.cpCompare(p, hi) <= 0) &&
+        ColumnBounds.prefixUpper(p).forall(u => ColumnBounds.cpCompare(u, lo) > 0)
   }
 }
 
@@ -270,14 +291,23 @@ object ColumnBounds {
     */
   def truncUpper(s: String): Option[String] = {
     val n = s.codePointCount(0, s.length)
-    if (n <= TruncateCodePoints) return Some(s)
-    val cps = new Array[Int](TruncateCodePoints)
+    if (n <= TruncateCodePoints) Some(s)
+    else prefixUpper(s.substring(0, s.offsetByCodePoints(0, TruncateCodePoints)))
+  }
+
+  /** EXCLUSIVE upper bound of every string with prefix `p`: the
+    * rightmost incrementable code point bumped (surrogate gap
+    * skipped), tail dropped — any string starting with `p` compares
+    * strictly below it in code-point order. None ⇔ every code point
+    * is U+10FFFF (no finite upper bound exists).
+    */
+  def prefixUpper(p: String): Option[String] = {
+    val n = p.codePointCount(0, p.length)
+    val cps = new Array[Int](n)
     var i = 0
     var k = 0
-    while (k < TruncateCodePoints) {
-      cps(k) = s.codePointAt(i); i += Character.charCount(cps(k)); k += 1
-    }
-    var last = TruncateCodePoints - 1
+    while (k < n) { cps(k) = p.codePointAt(i); i += Character.charCount(cps(k)); k += 1 }
+    var last = n - 1
     while (last >= 0 && cps(last) >= Character.MAX_CODE_POINT) last -= 1
     if (last < 0) None
     else {
@@ -503,6 +533,13 @@ final case class ManifestRef(
       case Some(b) => b.max >= lo && b.min <= hi
       case None => true
     }
+
+  /** May this manifest contain a file with a `column` value carrying
+    * prefix `p`? True when no string roll-up was recorded.
+    */
+  def mayContainColumnPrefix(column: String, p: String): Boolean =
+    columnBounds.flatMap(_.find(b => b.column == column && b.isString))
+      .forall(_.mayContainPrefix(p))
 
   /** [[mayContainColumnLongs]] for STRING keys (sorted in code-point
     * order ascending).

@@ -1609,6 +1609,41 @@ object LakeOps {
       .withColumn("bloom_pruned_files", lit(scanned < candidates))
   }
 
+  /** SQL LIKE-'prefix%' skipping on a STRING stats column (round 14):
+    * the url/path dashboard shape — `WHERE uid_s LIKE 'u000000001%'`
+    * over a range-clustered string layout. The prefix pins the value
+    * band [prefix, prefixUpper(prefix)) in code-point order, and the
+    * truncated string bounds prune files bounds-only; the answer must
+    * still be exactly DuckDB's LIKE semantics.
+    */
+  def sqlPrefixSkipFlow(s: SparkSession, dir: String): DataFrame = {
+    val wh = freshWarehouse("graft-pfx")
+    val cat = s"graft_sql_${sqlCatalogRuns.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gold")
+    val ev = graft.Tables.t(s, dir, "events")
+      .select(col("ts").cast(TimestampType).as("ts"),
+        concat(lit("u"), lpad(col("user_id").cast("string"), 10, "0")).as("uid_s"),
+        col("value"))
+      .where(col("ts").isNotNull && col("uid_s").isNotNull)
+    val table = LakehouseTable.createIfNotExists(
+      s, new org.apache.hadoop.fs.Path(wh, "gold/pfx"), ev.schema, Some("ts"))
+    table.setProperty("write.stats-columns", "uid_s")
+    // range-clustered files: each holds one contiguous uid_s band
+    table.append(ev.repartitionByRange(8, col("uid_s")))
+    val q = s.sql(
+      s"""SELECT count(*) AS n_rows,
+         |       min(uid_s) AS min_uid,
+         |       max(uid_s) AS max_uid,
+         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         |FROM $cat.gold.pfx
+         |WHERE uid_s LIKE 'u000000001%'""".stripMargin)
+    val scanned = scannedFiles(q)
+    q.withColumn("prefix_pruned_files",
+      lit(scanned < table.currentDataFiles.size))
+  }
+
   /** SQL RANGE skipping on a secondary stats column (round 14): the
     * `WHERE user_id BETWEEN a AND b` dashboard shape over a
     * range-clustered layout — per-file [[graft.lake.ColumnBounds]]
@@ -1725,6 +1760,22 @@ object LakeOps {
              |       true AS bounds_cannot_prune,
              |       true AS bloom_pruned_files
              |FROM e WHERE uid_s IN (SELECT uid_s FROM k)""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_sql_prefix_skip",
+      sqlPrefixSkipFlow,
+      Some("""WITH e AS (
+             |  SELECT concat('u', lpad(CAST(user_id AS VARCHAR), 10, '0')) AS uid_s,
+             |         value
+             |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             |)
+             |SELECT count(*) AS n_rows,
+             |       min(uid_s) AS min_uid,
+             |       max(uid_s) AS max_uid,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       true AS prefix_pruned_files
+             |FROM e WHERE uid_s LIKE 'u000000001%'""".stripMargin)
     ),
 
     QuerySpec(

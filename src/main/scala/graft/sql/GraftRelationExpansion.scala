@@ -87,9 +87,28 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
       val longDims = statsCols
         .filter(c => schema(c).dataType != org.apache.spark.sql.types.StringType)
         .flatMap(c => graft.lake.PredicateBounds.pointKeysUs(cond, c).map(c -> _))
+      // secondary RANGE dims (round 14): `uid BETWEEN a AND b` on
+      // columns not already point-pinned — bounds-only pruning through
+      // the per-file ColumnBounds and the manifest-list roll-ups
+      val rangeDims = statsCols
+        .filter(c => schema(c).dataType != org.apache.spark.sql.types.StringType)
+        .filterNot(c => longDims.exists(_._1 == c))
+        .flatMap { c =>
+          val (lo, hi) = graft.lake.PredicateBounds.rangeBounds(cond, c)
+          if (lo.isDefined || hi.isDefined)
+            Some((c, lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue)))
+          else None
+        }
+      // STRING-prefix dims: `url LIKE 'https://x/%'` / startsWith on
+      // string stats columns not already point-pinned
+      val prefixDims = statsCols
+        .filter(c => schema(c).dataType == org.apache.spark.sql.types.StringType)
+        .filterNot(c => strDims.exists(_._1 == c))
+        .flatMap(c => graft.lake.PredicateBounds.stringPrefix(cond, c).map(c -> _))
       // key-only pins keep the dedicated path (identical pruning, no
       // per-dimension scaffolding)
-      if (keyPoints.isDefined && longDims.isEmpty && strDims.isEmpty)
+      if (keyPoints.isDefined && longDims.isEmpty && strDims.isEmpty &&
+        rangeDims.isEmpty && prefixDims.isEmpty)
         return g.lt.readPointsPruned(keyPoints.get)
       // compose the predicate's TIME-key bounds on top (WHERE
       // ts >= … AND uid = 5): neither dimension's pruning is
@@ -98,23 +117,10 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         .filter(b => b._1.isDefined || b._2.isDefined)
         .map(b => (b._1.getOrElse(Long.MinValue), b._2.getOrElse(Long.MaxValue)))
       if (keyPoints.isDefined || longDims.nonEmpty || strDims.nonEmpty)
-        return g.lt.readPointsMulti(keyPoints, longDims, strDims, tr)
-      // secondary RANGE pushdown (round 14): `WHERE uid BETWEEN a AND
-      // b` — bounds-only pruning through the per-file ColumnBounds and
-      // the manifest-list roll-ups, composed across every bounded
-      // stats column plus the key's time range. Reached only when no
-      // dimension pins a finite point set (points prune strictly
-      // harder: bounds AND blooms).
-      val rangeDims = statsCols
-        .filter(c => schema(c).dataType != org.apache.spark.sql.types.StringType)
-        .flatMap { c =>
-          val (lo, hi) = graft.lake.PredicateBounds.rangeBounds(cond, c)
-          if (lo.isDefined || hi.isDefined)
-            Some((c, lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue)))
-          else None
-        }
-      if (rangeDims.nonEmpty)
-        return g.lt.readColumnRangesPruned(rangeDims, tr)
+        return g.lt.readPointsMulti(keyPoints, longDims, strDims, tr,
+          longRanges = rangeDims, strPrefixes = prefixDims)
+      if (rangeDims.nonEmpty || prefixDims.nonEmpty)
+        return g.lt.readColumnRangesPruned(rangeDims, tr, strPrefixes = prefixDims)
     }
     val range = for {
       cond <- filter if prunable
