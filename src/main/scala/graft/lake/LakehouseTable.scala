@@ -178,8 +178,20 @@ final class LakehouseTable(
   /** Set a table property — metadata-only, rebase-retried. */
   def setProperty(key: String, value: String): Unit = {
     require(key.nonEmpty, "property key must be non-empty")
-    evolveMetadata(meta =>
-      meta.copy(tableProperties = Some(meta.props + (key -> value))))
+    evolveMetadata { meta =>
+      // a typo'd stats column would otherwise SILENTLY disable every
+      // bounds/bloom/point-skip investment for that column — the write
+      // side just records nothing and reads keep everything (round 14:
+      // refuse loudly at declaration time instead)
+      if (key == "write.stats-columns") {
+        val frozen = StructType.fromDDL(meta.schemaDdl).fieldNames.toSet
+        value.split(",").map(_.trim).filter(_.nonEmpty).foreach(c =>
+          require(frozen.contains(c),
+            s"write.stats-columns names unknown column '$c' " +
+              s"(table columns: ${frozen.toSeq.sorted.mkString(", ")})"))
+      }
+      meta.copy(tableProperties = Some(meta.props + (key -> value)))
+    }
   }
 
   /** Remove a table property (no-op when absent). */

@@ -107,6 +107,22 @@ class SecondaryRangeSpec extends SparkSpec {
     assert(t.read().filter(col("uid") === 2015L).count() == 0)
   }
 
+  test("the exact predicate still pushes into the parquet scan above the splice") {
+    // the splices replace only the FILE LIST — Catalyst must keep
+    // pushing the query's own filters into the scan (PushedFilters),
+    // or every surviving file would read all its row groups
+    val t = mkTable("sr-push")
+    val df = t.readColumnRangesPruned(Seq(("uid", 2010L, 2025L)))
+      .filter(col("uid").between(2010L, 2025L))
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val pushed = scans.flatMap(_.dataFilters).map(_.sql).mkString("; ")
+    assert(pushed.contains("uid"),
+      s"expected the uid range in the scan's data filters, got: $pushed")
+  }
+
   test("range dims compose with the time range and with each other") {
     val t = mkTable("sr-comp")
     // uid band 3 but a time range covering band 1 only: intersection

@@ -140,6 +140,15 @@ class TablePropertiesSpec extends SparkSpec {
     assert(e.getMessage.contains("distribution-mode"))
   }
 
+  test("write.stats-columns refuses unknown columns at declaration time") {
+    // a typo'd name would silently disable every bounds/bloom/point-
+    // skip investment for the column — refuse loudly instead (round 14)
+    val t = fresh("stats-typo")
+    val e = intercept[IllegalArgumentException](
+      t.setProperty("write.stats-columns", "EventId, evnt_id"))
+    assert(e.getMessage.contains("evnt_id"))
+  }
+
   test("write.stats-columns records secondary bounds on plain appends") {
     val t = fresh("stats-cols")
     t.setProperty("write.stats-columns", "EventId")
