@@ -1345,6 +1345,32 @@ final class LakehouseTable(
     readWithDeletes(files, snap.map(liveDeleteFiles).getOrElse(Nil))
   }
 
+  /** [[readPointsMulti]] against a PINNED snapshot (round 14): the
+    * identical pruning ladder over the snapshot's own files and live
+    * delete masks — `SELECT … VERSION AS OF v WHERE ts IN (…)`
+    * previously scanned the whole pinned state because the expansion
+    * rule skipped pruning for time travel entirely. Bounds/blooms ride
+    * per-file manifest entries, which are snapshot-specific by
+    * construction; a column renamed SINCE the snapshot just fails the
+    * bounds lookup by current name and keeps the file (conservative,
+    * same as current-snapshot reads of pre-rename files).
+    */
+  def readPointsMultiAt(
+      snapshotId: Long,
+      keyPointsUs: Option[Seq[Long]],
+      longDims: Seq[(String, Seq[Long])],
+      strDims: Seq[(String, Seq[String])],
+      timeRangeUs: Option[(Long, Long)] = None,
+      longRanges: Seq[(String, Long, Long)] = Nil,
+      strPrefixes: Seq[(String, String)] = Nil): DataFrame = {
+    val meta = metadata
+    val snap = Some(meta.snapshotById(snapshotId).getOrElse(
+      throw new NoSuchElementException(s"snapshot $snapshotId not found")))
+    val files = multiPointSurvivors(meta, snap, keyPointsUs, longDims, strDims,
+      timeRangeUs, longRanges, strPrefixes)
+    readWithDeletes(files, snap.map(liveDeleteFiles).getOrElse(Nil))
+  }
+
   /** Metadata-only planning surface of the secondary point path: the
     * files a `column IN (keysUs)` lookup keeps, through manifest-list
     * roll-up bounds → per-file bounds → column blooms → footer blooms.

@@ -1609,6 +1609,65 @@ object LakeOps {
       .withColumn("bloom_pruned_files", lit(scanned < candidates))
   }
 
+  /** TIME-TRAVEL point skipping (round 14): `VERSION AS OF v WHERE ts
+    * IN (…)` must prune through the PINNED snapshot's own manifests
+    * and blooms — before round 14 the expansion rule skipped pruning
+    * for time travel entirely and scanned the whole pinned state. The
+    * fixture appends a second batch AFTER pinning, so the pinned read
+    * must also exclude it: a key that exists only post-pin returns
+    * zero rows at v1 (`post_pin_rows`), and the pinned point answer
+    * matches DuckDB over the first batch alone.
+    */
+  def sqlTimetravelPointFlow(s: SparkSession, dir: String): DataFrame = {
+    val wh = freshWarehouse("graft-ttp")
+    val cat = s"graft_sql_${sqlCatalogRuns.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gold")
+    val ev = graft.Tables.t(s, dir, "events")
+      .select(col("ts").cast(TimestampType).as("ts"), col("value"))
+      .where(col("ts").isNotNull)
+    val table = LakehouseTable.createIfNotExists(
+      s, new org.apache.hadoop.fs.Path(wh, "gold/ttp"), ev.schema, Some("ts"))
+    table.setProperty("write.key-bloom.bits", "262144")
+    // batch A (seconds 0-29) in 8 key-disjoint, time-interleaved files
+    table.append(ev.filter(second(col("ts")) < 30)
+      .repartition(8, floor(second(col("ts")) / 4)))
+    val v1 = table.metadata.currentSnapshotId.get
+    val pinnedFiles = table.dataFiles(table.metadata.snapshotById(v1).get).size
+    // batch B lands AFTER the pin
+    table.append(ev.filter(second(col("ts")) >= 30)
+      .repartition(8, floor((second(col("ts")) - 30) / 4)))
+    val zone = java.time.ZoneId.of(s.sessionState.conf.sessionLocalTimeZone)
+    val litFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    def tsLit(us: Long): String = {
+      val ldt = java.time.Instant.EPOCH
+        .plus(us, java.time.temporal.ChronoUnit.MICROS).atZone(zone).toLocalDateTime
+      s"TIMESTAMP '${litFmt.format(ldt)}'"
+    }
+    val inList = ev.filter(second(col("ts")) === 7)
+      .select(unix_micros(col("ts")).as("us"))
+      .distinct().orderBy("us").limit(5)
+      .collect().map(r => tsLit(r.getLong(0))).mkString(", ")
+    val postPinLit = tsLit(ev.filter(second(col("ts")) === 45)
+      .select(unix_micros(col("ts"))).orderBy("unix_micros(ts)").limit(1)
+      .collect()(0).getLong(0))
+    val q = s.sql(
+      s"""SELECT count(*) AS n_rows,
+         |       min(unix_micros(ts)) AS min_ts_us,
+         |       max(unix_micros(ts)) AS max_ts_us,
+         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         |FROM $cat.gold.ttp VERSION AS OF $v1
+         |WHERE ts IN ($inList)""".stripMargin)
+    val q2 = s.sql(
+      s"""SELECT count(*) AS post_pin_rows
+         |FROM $cat.gold.ttp VERSION AS OF $v1
+         |WHERE ts IN ($postPinLit)""".stripMargin)
+    val scanned = scannedFiles(q)
+    q.crossJoin(q2)
+      .withColumn("pinned_pruned_files", lit(scanned < pinnedFiles))
+  }
+
   /** SQL LIKE-'prefix%' skipping on a STRING stats column (round 14):
     * the url/path dashboard shape — `WHERE uid_s LIKE 'u000000001%'`
     * over a range-clustered string layout. The prefix pins the value
@@ -1760,6 +1819,23 @@ object LakeOps {
              |       true AS bounds_cannot_prune,
              |       true AS bloom_pruned_files
              |FROM e WHERE uid_s IN (SELECT uid_s FROM k)""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_timetravel_point",
+      sqlTimetravelPointFlow,
+      Some("""WITH k AS (
+             |  SELECT DISTINCT ts FROM events
+             |  WHERE ts IS NOT NULL AND second(ts) = 7
+             |  ORDER BY ts LIMIT 5
+             |)
+             |SELECT count(*) AS n_rows,
+             |       min(epoch_us(ts)) AS min_ts_us,
+             |       max(epoch_us(ts)) AS max_ts_us,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       CAST(0 AS BIGINT) AS post_pin_rows,
+             |       true AS pinned_pruned_files
+             |FROM events WHERE ts IN (SELECT ts FROM k)""".stripMargin)
     ),
 
     QuerySpec(
