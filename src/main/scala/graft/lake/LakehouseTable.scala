@@ -2988,7 +2988,8 @@ final class LakehouseTable(
       val tF = System.nanoTime()
       val fi = preStats.flatMap(_.get(src)) match {
         case Some(pre) =>
-          pre.copy(bounds = pre.bounds.filter(c => extraStatCols.contains(c.column)))
+          pre.copy(bounds = pre.bounds.filter(c => extraStatCols.contains(c.column)),
+            nulls = pre.nulls.filter(c => extraStatCols.contains(c._1)))
         case None => footerInfo(dest, keyCol, extraStatCols)
       }
       renameNs.addAndGet(tF - tR)
@@ -2999,7 +3000,8 @@ final class LakehouseTable(
         specId = sid,
         // Some(Nil) is a PROOF of no footer blooms (the point probe
         // skips the footer open); None = pre-r13 entry, probe as before
-        fbCols = Some(fi.bloomCols))
+        fbCols = Some(fi.bloomCols),
+        colNulls = if (fi.nulls.isEmpty) None else Some(fi.nulls.toMap))
     }
     fs.delete(staging, true)
     if (sys.env.contains("GRAFT_ADDFILES_TIMING"))
@@ -4139,20 +4141,28 @@ final class LakehouseTable(
       /** STRING-prefix dims (round 14): `url LIKE 'https://x/%'` —
         * files whose string bounds cannot hold a prefixed value skip.
         */
-      strPrefixes: Seq[(String, String)] = Nil): DataFrame = {
+      strPrefixes: Seq[(String, String)] = Nil,
+      /** NULLNESS dims (round 14): `(column, true)` keeps only files
+        * that may hold a NULL in the column, `(column, false)` only
+        * files with a non-null — `WHERE c IS [NOT] NULL` pruning via
+        * the per-file/per-manifest null counts.
+        */
+      nullDims: Seq[(String, Boolean)] = Nil): DataFrame = {
     val meta = metadata
     val snap = meta.currentSnapshot
     val frozen = StructType.fromDDL(meta.schemaDdl).fieldNames.toSet
-    (dims.map(_._1) ++ strPrefixes.map(_._1)).foreach(c =>
+    (dims.map(_._1) ++ strPrefixes.map(_._1) ++ nullDims.map(_._1)).foreach(c =>
       require(frozen.contains(c), s"'$c' is not a table column"))
     val refs = snap.map(log.readManifestList).getOrElse(Nil)
       .filter(r => timeRangeUs.forall { case (lo, hi) => r.overlaps(lo, hi) })
       .filter(r => dims.forall { case (c, lo, hi) => r.mayContainColumnRange(c, lo, hi) })
       .filter(r => strPrefixes.forall { case (c, p) => r.mayContainColumnPrefix(c, p) })
+      .filter(r => nullDims.forall { case (c, w) => r.mayContainNullness(c, w) })
     val files = log.readManifests(refs).flatten
       .filter(f => timeRangeUs.forall { case (lo, hi) => f.overlaps(lo, hi) })
       .filter(f => dims.forall { case (c, lo, hi) => f.overlapsColumn(c, lo, hi) })
       .filter(f => strPrefixes.forall { case (c, p) => f.mayContainColumnPrefix(c, p) })
+      .filter(f => nullDims.forall { case (c, w) => f.mayContainNullness(c, w) })
     readWithDeletes(files, snap.map(liveDeleteFiles).getOrElse(Nil))
   }
 
@@ -4424,7 +4434,14 @@ final class LakehouseTable(
     */
   private final case class FooterInfo(
       rows: Long, minKey: Option[Long], maxKey: Option[Long],
-      bounds: Seq[ColumnBounds], bloomCols: Seq[String])
+      bounds: Seq[ColumnBounds], bloomCols: Seq[String],
+      /** Per-stats-column NULL counts (round 14, Iceberg
+        * null_value_counts analog), recorded only when every row group
+        * reports one — what lets an all-null file skip value probes
+        * (no bounds exist to skip on) and `IS [NOT] NULL` predicates
+        * prune at all.
+        */
+      nulls: Seq[(String, Long)] = Nil)
 
   private def footerInfo(
       p: Path, keyCol: Option[String], extraCols: Seq[String]): FooterInfo = {
@@ -4442,6 +4459,8 @@ final class LakehouseTable(
       val poisoned = scala.collection.mutable.Set.empty[String]
       val extraSet = extraCols.toSet
       val bloomBlocks = scala.collection.mutable.Map.empty[String, Int]
+      val nullsSum = scala.collection.mutable.Map.empty[String, Long]
+      val nullsUnknown = scala.collection.mutable.Set.empty[String]
       val nBlocks = in.getFooter.getBlocks.size()
       in.getFooter.getBlocks.forEach { b =>
         b.getColumns.forEach { c =>
@@ -4458,6 +4477,10 @@ final class LakehouseTable(
             }
           }
           if (extraSet.contains(name)) {
+            // NULL counts: summed only when every row group reports one
+            if (st != null && st.isNumNullsSet)
+              nullsSum(name) = nullsSum.getOrElse(name, 0L) + st.getNumNulls
+            else nullsUnknown += name
             val allNull = st != null && st.isNumNullsSet &&
               st.getNumNulls == b.getRowCount
             if (st != null && st.hasNonNullValue) {
@@ -4524,7 +4547,9 @@ final class LakehouseTable(
             })
         }
       FooterInfo(rows, lo, hi, boundsOut,
-        bloomBlocks.collect { case (c, n) if n == nBlocks => c }.toSeq.sorted)
+        bloomBlocks.collect { case (c, n) if n == nBlocks => c }.toSeq.sorted,
+        nulls = extraCols.filterNot(nullsUnknown.contains)
+          .flatMap(c => nullsSum.get(c).map(c -> _)))
     } finally in.close()
   }
 

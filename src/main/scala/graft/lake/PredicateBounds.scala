@@ -175,6 +175,30 @@ object PredicateBounds {
     prefixes.filter(_.nonEmpty).maxByOption(_.length)
   }
 
+  /** The NULLNESS a predicate's conjuncts pin `column` to (round 14):
+    * Some(true) ⇔ matching rows have `column IS NULL`, Some(false) ⇔
+    * `column IS NOT NULL`, None ⇔ neither written. Only the explicit
+    * IsNull/IsNotNull conjuncts count — this runs pre-optimizer, so no
+    * inferred constraints exist to confuse it. Conservative like every
+    * extractor here: pruning keeps any file that may hold a matching
+    * row; the exact predicate re-applies above the splice.
+    */
+  def nullness(cond: Expression, column: String): Option[Boolean] = {
+    def isCol(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == column
+      case c: Cast if c.dataType == c.child.dataType => isCol(c.child)
+      case _ => false
+    }
+    def conjuncts(e: Expression): Seq[Expression] = normalize(e) match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).collectFirst {
+      case org.apache.spark.sql.catalyst.expressions.IsNull(t) if isCol(t) => true
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(t) if isCol(t) => false
+    }
+  }
+
   /** Threshold between point-probe shapes: up to this many keys the
     * driver probes per-file manifest AND parquet-footer blooms
     * (O(files × keys), worth it for the exact footer-level skips); past

@@ -143,8 +143,23 @@ final case class DataFile(
       * manifests) ⇒ unknown, probe as before — additive, no format
       * bump.
       */
-    fbCols: Option[Seq[String]] = None
+    fbCols: Option[Seq[String]] = None,
+    /** Per-stats-column NULL counts (round 14, Iceberg
+      * null_value_counts analog), recorded from the same footer read
+      * as the bounds. Two prunings nothing else can make: an ALL-null
+      * file (which records no bounds at all — there is no min/max —
+      * and so was kept by every value probe) skips =/IN/range/LIKE
+      * probes on that column, and `IS [NOT] NULL` predicates prune at
+      * all (zero-null files for IS NULL, all-null files for IS NOT
+      * NULL). Absent ⇒ unknown, keep — additive, no format bump.
+      */
+    colNulls: Option[Map[String, Long]] = None
 ) {
+  /** The column is provably ALL NULL in this file — no non-null value
+    * probe (=/IN/range/LIKE) can match a row of it.
+    */
+  private def allNull(column: String): Boolean =
+    colNulls.exists(_.get(column).contains(rows)) && rows > 0
   def overlaps(loUs: Long, hiUs: Long): Boolean = (minKeyUs, maxKeyUs) match {
     case (Some(lo), Some(hi)) => hi >= loUs && lo <= hiUs
     case _ => true // no stats ⇒ cannot skip
@@ -176,19 +191,19 @@ final case class DataFile(
     * measured).
     */
   def overlapsColumn(column: String, lo: Long, hi: Long): Boolean =
-    extraBounds.flatMap(_.find(_.column == column)) match {
+    !allNull(column) && (extraBounds.flatMap(_.find(_.column == column)) match {
       // a STRING-typed entry bounds another value space — a long probe
       // against it cannot skip (and vice versa in mayContainString)
       case Some(b) if !b.isString => b.max >= lo && b.min <= hi
       case _ => true
-    }
+    })
 
   /** Whether the file may contain the STRING value `s` in `column` —
     * true when no string bounds were recorded (numeric entry, no entry,
     * pre-round-14 manifest).
     */
   def mayContainColumnString(column: String, s: String): Boolean =
-    extraBounds.flatMap(_.find(_.column == column))
+    !allNull(column) && extraBounds.flatMap(_.find(_.column == column))
       .forall(_.mayContainString(s))
 
   /** Whether the file may contain any `column` value with prefix `p`
@@ -196,8 +211,18 @@ final case class DataFile(
     * bounds were recorded.
     */
   def mayContainColumnPrefix(column: String, p: String): Boolean =
-    extraBounds.flatMap(_.find(_.column == column))
+    !allNull(column) && extraBounds.flatMap(_.find(_.column == column))
       .forall(_.mayContainPrefix(p))
+
+  /** May the file contain a row satisfying `column IS NULL` (wantNull)
+    * / `column IS NOT NULL` (!wantNull)? True when no null count was
+    * recorded.
+    */
+  def mayContainNullness(column: String, wantNull: Boolean): Boolean =
+    colNulls.flatMap(_.get(column)) match {
+      case Some(n) => if (wantNull) n > 0 else n < rows
+      case None => true
+    }
 }
 
 /** Conservative [min, max] of one column within one data file. Two
@@ -495,12 +520,31 @@ final case class ManifestRef(
       * bound; an unbounded member's maxS poisons the roll-up's maxS).
       * Additive: absent in pre-round-14 lists ⇔ cannot skip.
       */
-    columnBounds: Option[Seq[ColumnBounds]] = None
+    columnBounds: Option[Seq[ColumnBounds]] = None,
+    /** Total NULL count per stats column across this manifest's files
+      * (round 14), recorded only when every member records one. Lets
+      * `IS [NOT] NULL` and value probes drop whole manifests: zero
+      * total nulls kills IS NULL, all-null (= rows) kills IS NOT NULL
+      * and every value probe. Additive.
+      */
+    columnNulls: Option[Map[String, Long]] = None
 ) {
   def overlaps(loUs: Long, hiUs: Long): Boolean = (minKeyUs, maxKeyUs) match {
     case (Some(lo), Some(hi)) => hi >= loUs && lo <= hiUs
     case _ => true
   }
+
+  private def allNull(column: String): Boolean =
+    columnNulls.exists(_.get(column).contains(rows)) && rows > 0
+
+  /** May this manifest contain a row satisfying the nullness
+    * constraint on `column`? True when no roll-up was recorded.
+    */
+  def mayContainNullness(column: String, wantNull: Boolean): Boolean =
+    columnNulls.flatMap(_.get(column)) match {
+      case Some(n) => if (wantNull) n > 0 else n < rows
+      case None => true
+    }
 
   /** May this manifest contain a file whose dir for `column` is
     * `value`? True when no summary was recorded for the column
@@ -517,35 +561,39 @@ final case class ManifestRef(
     * in `column`? True when no roll-up was recorded (cannot skip).
     */
   def mayContainColumnLongs(column: String, sortedKeys: Array[Long]): Boolean =
-    columnBounds.flatMap(_.find(b => b.column == column && !b.isString)) match {
+    !allNull(column) &&
+    (columnBounds.flatMap(_.find(b => b.column == column && !b.isString)) match {
       case Some(b) =>
         val i = java.util.Arrays.binarySearch(sortedKeys, b.min)
         val idx = if (i >= 0) i else -i - 1
         idx < sortedKeys.length && sortedKeys(idx) <= b.max
       case None => true
-    }
+    })
 
   /** May this manifest contain a file with a `column` value in
     * [lo, hi]? True when no roll-up was recorded (cannot skip).
     */
   def mayContainColumnRange(column: String, lo: Long, hi: Long): Boolean =
-    columnBounds.flatMap(_.find(b => b.column == column && !b.isString)) match {
+    !allNull(column) &&
+    (columnBounds.flatMap(_.find(b => b.column == column && !b.isString)) match {
       case Some(b) => b.max >= lo && b.min <= hi
       case None => true
-    }
+    })
 
   /** May this manifest contain a file with a `column` value carrying
     * prefix `p`? True when no string roll-up was recorded.
     */
   def mayContainColumnPrefix(column: String, p: String): Boolean =
-    columnBounds.flatMap(_.find(b => b.column == column && b.isString))
+    !allNull(column) && columnBounds
+      .flatMap(_.find(b => b.column == column && b.isString))
       .forall(_.mayContainPrefix(p))
 
   /** [[mayContainColumnLongs]] for STRING keys (sorted in code-point
     * order ascending).
     */
   def mayContainColumnStrings(column: String, sortedKeys: Array[String]): Boolean =
-    columnBounds.flatMap(_.find(b => b.column == column && b.isString)) match {
+    !allNull(column) &&
+    (columnBounds.flatMap(_.find(b => b.column == column && b.isString)) match {
       case Some(b) =>
         // smallest key ≥ minS; within bounds if ≤ maxS (absent ⇔ +∞)
         var a = 0
@@ -558,7 +606,7 @@ final case class ManifestRef(
         a < sortedKeys.length &&
           b.maxS.forall(hi => ColumnBounds.cpCompare(sortedKeys(a), hi) <= 0)
       case None => true
-    }
+    })
 }
 
 /** JSON envelope of a manifest file. */
@@ -1223,9 +1271,17 @@ final class SnapshotLog(
         } else None
       }
     }
+    // NULL-count roll-up (round 14): per column, only when every
+    // member records one — a member with unknown nulls poisons the sum
+    val nullCols = files.flatMap(_.colNulls.getOrElse(Map.empty).keys).distinct
+    val nullRollup = nullCols.flatMap { c =>
+      val per = files.map(_.colNulls.flatMap(_.get(c)))
+      if (per.exists(_.isEmpty)) None else Some(c -> per.flatten.sum)
+    }.toMap
     ManifestRef(s"metadata/$name", files.size, files.map(_.rows).sum, bounds._1, bounds._2,
       partitionValues = if (summary.isEmpty) None else Some(summary),
-      columnBounds = if (colRollup.isEmpty) None else Some(colRollup))
+      columnBounds = if (colRollup.isEmpty) None else Some(colRollup),
+      columnNulls = if (nullRollup.isEmpty) None else Some(nullRollup))
   }
 
   /** Read one manifest's data files (path is table-relative). Parses

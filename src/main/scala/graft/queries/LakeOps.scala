@@ -1609,6 +1609,51 @@ object LakeOps {
       .withColumn("bloom_pruned_files", lit(scanned < candidates))
   }
 
+  /** NULL-count skipping (round 14, Iceberg null_value_counts analog):
+    * a nullable LONG column whose files split into all-null and
+    * zero-null groups. Three prunings the per-file null counts make
+    * that nothing else can: `IS NOT NULL` skips the all-null files,
+    * `IS NULL` skips the zero-null files, and a RANGE probe skips the
+    * all-null files even though they record no bounds at all (an
+    * all-null column has no min/max — before round 14 those files
+    * were kept by every value probe). All three answers must match
+    * DuckDB exactly.
+    */
+  def sqlNullSkipFlow(s: SparkSession, dir: String): DataFrame = {
+    val wh = freshWarehouse("graft-nsk")
+    val cat = s"graft_sql_${sqlCatalogRuns.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gold")
+    val base = graft.Tables.t(s, dir, "events")
+      .select(col("ts").cast(TimestampType).as("ts"), col("user_id"),
+        when(pmod(col("user_id"), lit(8)) < 4, col("user_id")).as("opt_uid"),
+        col("value"))
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+    val ev = base.select("ts", "opt_uid", "value")
+    val table = LakehouseTable.createIfNotExists(
+      s, new org.apache.hadoop.fs.Path(wh, "gold/nsk"), ev.schema, Some("ts"))
+    table.setProperty("write.stats-columns", "opt_uid")
+    // residue-grouped files: residues 0-3 carry opt_uid on every row,
+    // residues 4-7 are ALL NULL in it
+    table.append(base.repartition(8, pmod(col("user_id"), lit(8)))
+      .select("ts", "opt_uid", "value"))
+    val total = table.currentDataFiles.size
+    val qn = s.sql(
+      s"""SELECT count(*) AS n_not_null,
+         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_not_null
+         |FROM $cat.gold.nsk WHERE opt_uid IS NOT NULL""".stripMargin)
+    val qz = s.sql(
+      s"SELECT count(*) AS n_null FROM $cat.gold.nsk WHERE opt_uid IS NULL")
+    val qr = s.sql(
+      s"SELECT count(*) AS n_in_range FROM $cat.gold.nsk WHERE opt_uid >= 0")
+    val (sn, sz, sr) = (scannedFiles(qn), scannedFiles(qz), scannedFiles(qr))
+    qn.crossJoin(qz).crossJoin(qr)
+      .withColumn("notnull_pruned", lit(sn < total))
+      .withColumn("null_pruned", lit(sz < total))
+      .withColumn("range_skips_allnull", lit(sr < total))
+  }
+
   /** TIME-TRAVEL point skipping (round 14): `VERSION AS OF v WHERE ts
     * IN (…)` must prune through the PINNED snapshot's own manifests
     * and blooms — before round 14 the expansion rule skipped pruning
@@ -1819,6 +1864,24 @@ object LakeOps {
              |       true AS bounds_cannot_prune,
              |       true AS bloom_pruned_files
              |FROM e WHERE uid_s IN (SELECT uid_s FROM k)""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_sql_null_skip",
+      sqlNullSkipFlow,
+      Some("""WITH e AS (
+             |  SELECT CASE WHEN user_id % 8 < 4 THEN user_id END AS opt_uid,
+             |         value
+             |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             |)
+             |SELECT (SELECT count(*) FROM e WHERE opt_uid IS NOT NULL) AS n_not_null,
+             |       (SELECT CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+             |        FROM e WHERE opt_uid IS NOT NULL) AS sum_not_null,
+             |       (SELECT count(*) FROM e WHERE opt_uid IS NULL) AS n_null,
+             |       (SELECT count(*) FROM e WHERE opt_uid >= 0) AS n_in_range,
+             |       true AS notnull_pruned,
+             |       true AS null_pruned,
+             |       true AS range_skips_allnull""".stripMargin)
     ),
 
     QuerySpec(

@@ -104,6 +104,11 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         .filter(c => schema(c).dataType == org.apache.spark.sql.types.StringType)
         .filterNot(c => strDims.exists(_._1 == c))
         .flatMap(c => graft.lake.PredicateBounds.stringPrefix(cond, c).map(c -> _))
+      // NULLNESS dims: `WHERE c IS [NOT] NULL` on stats columns — the
+      // per-file null counts prune where bounds cannot (an all-null
+      // file records no bounds at all)
+      val nullDims = statsCols
+        .flatMap(c => graft.lake.PredicateBounds.nullness(cond, c).map(c -> _))
       // compose the predicate's TIME-key bounds on top (WHERE
       // ts >= … AND uid = 5): neither dimension's pruning is
       // forfeited to the other
@@ -129,8 +134,9 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
           if (keyPoints.isDefined || longDims.nonEmpty || strDims.nonEmpty)
             return g.lt.readPointsMulti(keyPoints, longDims, strDims, tr,
               longRanges = rangeDims, strPrefixes = prefixDims)
-          if (rangeDims.nonEmpty || prefixDims.nonEmpty)
-            return g.lt.readColumnRangesPruned(rangeDims, tr, strPrefixes = prefixDims)
+          if (rangeDims.nonEmpty || prefixDims.nonEmpty || nullDims.nonEmpty)
+            return g.lt.readColumnRangesPruned(rangeDims, tr,
+              strPrefixes = prefixDims, nullDims = nullDims)
       }
     }
     val range = for {
