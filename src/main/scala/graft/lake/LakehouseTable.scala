@@ -2308,11 +2308,24 @@ final class LakehouseTable(
         s"'$newName' is a historical name of a renamed column and still " +
           "exists in old data files")
       val aliasesOfOld = meta.aliasMap.getOrElse(oldName, Nil)
+      // declared property columns follow the rename (round 14): left
+      // stale, `write.stats-columns`/`zorder.columns`/sort-order would
+      // silently stop recording ANY stats on future writes — the exact
+      // misconfiguration trap setProperty refuses at declaration time
+      val renamedProps = meta.props.map {
+        case (k, v) if Set("write.stats-columns", "zorder.columns",
+          "write.sort-order", "manifests.cluster-by").contains(k) =>
+          k -> v.split(",").map(_.trim)
+            .map(c => if (c == oldName) newName else c).mkString(",")
+        case kv => kv
+      }
       meta.copy(
         schemaDdl = StructType(frozen.fields.map(f =>
           if (f.name == oldName) f.copy(name = newName) else f)).toDDL,
         renamedFrom = Some(
-          (meta.aliasMap - oldName) + (newName -> (oldName +: aliasesOfOld))))
+          (meta.aliasMap - oldName) + (newName -> (oldName +: aliasesOfOld))),
+        tableProperties = if (renamedProps.isEmpty) meta.tableProperties
+          else Some(renamedProps))
     }
 
   /** Logical column drop: the column leaves the schema (reads stop

@@ -55,6 +55,32 @@ class ColumnEvolutionSpec extends SparkSpec {
     assert(table.timeTravel(snap1.id).count() == 30)
   }
 
+  test("declared stats columns follow a rename; pre-rename bounds keep, post-rename prune") {
+    val dir = new Path(tmpDir("evo"), "stats-rename")
+    val t1 = mk(0 until 30, _.toDouble)
+    val table = LakehouseTable.createIfNotExists(spark, dir, t1.schema, Some("DateTime"))
+    table.setProperty("write.stats-columns", "id")
+    table.append(t1.coalesce(1))
+    table.renameColumn("id", "event_id")
+    // the property followed the rename — a stale "id" would silently
+    // stop recording stats on every future write
+    assert(table.metadata.props("write.stats-columns") == "event_id")
+    table.append(mk(1000 until 1030, _.toDouble)
+      .withColumnRenamed("id", "event_id").coalesce(1))
+    val files = table.currentDataFiles
+    // post-rename file records bounds under the NEW name
+    assert(files.exists(_.extraBounds.exists(_.exists(_.column == "event_id"))))
+    // a range probe by the new name: the pre-rename file's bounds are
+    // keyed by the old name — kept (conservative), never wrongly skipped
+    val df = table.readColumnRangesPruned(Seq(("event_id", 1000L, 1029L)))
+    assert(df.filter(org.apache.spark.sql.functions.col("event_id")
+      .between(1000L, 1029L)).count() == 30)
+    // and a probe entirely below the post-rename band skips that file
+    val low = table.readColumnRangesPruned(Seq(("event_id", 5000L, 6000L)))
+    assert(low.filter(org.apache.spark.sql.functions.col("event_id")
+      .between(5000L, 6000L)).count() == 0)
+  }
+
   test("rename chains: every historical physical name stays readable") {
     val dir = new Path(tmpDir("evo"), "chain")
     val t1 = mk(0 until 10, _ => 1.0)
