@@ -586,6 +586,16 @@ object Bench {
     }
     val buildSec = (System.nanoTime() - tBuild) / 1e9
     val nFiles = table.currentDataFiles.size
+    // COMPARABILITY NOTE (round 14): the fixture now declares a stats
+    // column, so every manifest entry carries bounds + null counts —
+    // cold parses (full_scan_ms, folded) pay for those bytes, and are
+    // NOT 1:1 comparable with pre-r14 records (r13 full_scan 16.0 ms
+    // was a stats-free fixture; the stats-free cold-parse baseline
+    // still rides in bloom_manifest.bloomless_parse_ms). The bytes are
+    // reported so the delta is attributable from the record alone.
+    val manifestBytes = fs.listStatus(
+      new Path(s"$tmp/plan/metadata")).filter(_.getPath.getName.startsWith("manifest-"))
+      .map(_.getLen).sum
     def time1(run: () => Int): Double = {
       val t = System.nanoTime(); run(); (System.nanoTime() - t) / 1e6
     }
@@ -707,8 +717,8 @@ object Bench {
       java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverseIterator
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     } catch { case _: Throwable => () }
-    val compact = f"""{"files":$nFiles,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"identity_ms":${m("identity")}%.1f,"timerange_ms":${m("timerange")}%.1f,"point_ms":${m("point")}%.1f,"secondary_point_ms":${m("secondary_point")}%.1f,"secondary_manifests_parsed":$secManifests,"clustered_identity_ms":${mc("cl")}%.1f,"policy_clustered":$policyClustered,"folded_full_scan_ms":$foldedMs%.1f,$bloomShapes}"""
-    val detail = f"""{"files":$nFiles,"commits":$nDays,"build_sec":$buildSec%.3f,"build_copy_sec":$copySec%.3f,"build_import_sec":$importSec%.3f,"full_scan_cold_ms":$fullCold%.1f,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"full_files":$fullN,"identity_ms":${m("identity")}%.1f,"identity_cached_ms":${m("identity_cached")}%.1f,"identity_files":$idN,"timerange_ms":${m("timerange")}%.1f,"timerange_files":$trN,"point_ms":${m("point")}%.1f,"point_files":$ptN,"secondary_point_ms":${m("secondary_point")}%.1f,"secondary_point_files":$secN,"secondary_manifests_parsed":$secManifests,"policy_clustered":$policyClustered,"clustered_identity_ms":${mc("cl")}%.1f,"clustered_identity_cached_ms":${mc("cl_cached")}%.1f,"clustered_identity_files":$clIdN,"folded_full_scan_ms":$foldedMs%.1f,"folded_files":$foldedN,"sweeps":2,$bloomShapes}"""
+    val compact = f"""{"files":$nFiles,"manifest_bytes":$manifestBytes,"stats_columns_declared":true,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"identity_ms":${m("identity")}%.1f,"timerange_ms":${m("timerange")}%.1f,"point_ms":${m("point")}%.1f,"secondary_point_ms":${m("secondary_point")}%.1f,"secondary_manifests_parsed":$secManifests,"clustered_identity_ms":${mc("cl")}%.1f,"policy_clustered":$policyClustered,"folded_full_scan_ms":$foldedMs%.1f,$bloomShapes}"""
+    val detail = f"""{"files":$nFiles,"manifest_bytes":$manifestBytes,"stats_columns_declared":true,"commits":$nDays,"build_sec":$buildSec%.3f,"build_copy_sec":$copySec%.3f,"build_import_sec":$importSec%.3f,"full_scan_cold_ms":$fullCold%.1f,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"full_files":$fullN,"identity_ms":${m("identity")}%.1f,"identity_cached_ms":${m("identity_cached")}%.1f,"identity_files":$idN,"timerange_ms":${m("timerange")}%.1f,"timerange_files":$trN,"point_ms":${m("point")}%.1f,"point_files":$ptN,"secondary_point_ms":${m("secondary_point")}%.1f,"secondary_point_files":$secN,"secondary_manifests_parsed":$secManifests,"policy_clustered":$policyClustered,"clustered_identity_ms":${mc("cl")}%.1f,"clustered_identity_cached_ms":${mc("cl_cached")}%.1f,"clustered_identity_files":$clIdN,"folded_full_scan_ms":$foldedMs%.1f,"folded_files":$foldedN,"sweeps":2,$bloomShapes}"""
     (compact, detail)
   } catch {
     case e: Throwable =>
