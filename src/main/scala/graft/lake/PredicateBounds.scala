@@ -137,6 +137,72 @@ object PredicateBounds {
     (lo, hi)
   }
 
+  /** Conservative STRING range a predicate's conjuncts impose on a
+    * string stats column (round 15, VERDICT r14 #3): the
+    * [[rangeBounds]] shape for string literals — `c >= 'a'`,
+    * `c BETWEEN 'a' AND 'b'`, `c < 'z'` — each bound carried as
+    * (value, inclusive) since strings admit no ±1 adjustment.
+    * Comparisons are [[ColumnBounds.cpCompare]] code-point order ≡
+    * UTF-8 byte order ≡ Spark's default UTF8_BINARY collation order,
+    * the order the stored bounds were taken in. Anything unrecognized
+    * widens the range; the exact predicate re-applies above the
+    * splice.
+    */
+  def stringRangeBounds(cond: Expression, column: String)
+      : (Option[(String, Boolean)], Option[(String, Boolean)]) = {
+    def isCol(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == column
+      case c: Cast if c.dataType == c.child.dataType => isCol(c.child)
+      case _ => false
+    }
+    def asLit(e: Expression): Option[Literal] = e match {
+      case l: Literal => Some(l)
+      case c: Cast if c.child.isInstanceOf[Literal] || c.foldable =>
+        try Some(Literal.create(c.eval(), c.dataType)) catch { case _: Exception => None }
+      case _ => None
+    }
+    def strOf(e: Expression): Option[String] = asLit(e).flatMap(l =>
+      (l.dataType, l.value) match {
+        case (_, null) => None
+        case (org.apache.spark.sql.types.StringType, v) => Some(v.toString)
+        case _ => None
+      })
+    def conjuncts(e: Expression): Seq[Expression] = normalize(e) match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    var lo: Option[(String, Boolean)] = None
+    var hi: Option[(String, Boolean)] = None
+    def tightenLo(v: String, incl: Boolean): Unit = lo = Some(lo match {
+      case None => (v, incl)
+      case Some((cur, ci)) =>
+        val c = ColumnBounds.cpCompare(v, cur)
+        if (c > 0) (v, incl) else if (c < 0) (cur, ci) else (cur, ci && incl)
+    })
+    def tightenHi(v: String, incl: Boolean): Unit = hi = Some(hi match {
+      case None => (v, incl)
+      case Some((cur, ci)) =>
+        val c = ColumnBounds.cpCompare(v, cur)
+        if (c < 0) (v, incl) else if (c > 0) (cur, ci) else (cur, ci && incl)
+    })
+    conjuncts(cond).foreach {
+      case GreaterThanOrEqual(t, v) if isCol(t) => strOf(v).foreach(tightenLo(_, true))
+      case GreaterThan(t, v) if isCol(t) => strOf(v).foreach(tightenLo(_, false))
+      case LessThanOrEqual(t, v) if isCol(t) => strOf(v).foreach(tightenHi(_, true))
+      case LessThan(t, v) if isCol(t) => strOf(v).foreach(tightenHi(_, false))
+      case EqualTo(t, v) if isCol(t) =>
+        strOf(v).foreach { s => tightenLo(s, true); tightenHi(s, true) }
+      case GreaterThanOrEqual(v, t) if isCol(t) => strOf(v).foreach(tightenHi(_, true))
+      case GreaterThan(v, t) if isCol(t) => strOf(v).foreach(tightenHi(_, false))
+      case LessThanOrEqual(v, t) if isCol(t) => strOf(v).foreach(tightenLo(_, true))
+      case LessThan(v, t) if isCol(t) => strOf(v).foreach(tightenLo(_, false))
+      case EqualTo(v, t) if isCol(t) =>
+        strOf(v).foreach { s => tightenLo(s, true); tightenHi(s, true) }
+      case _ => ()
+    }
+    (lo, hi)
+  }
+
   /** The narrowest LITERAL PREFIX a predicate's conjuncts pin a STRING
     * column to (round 14): `url LIKE 'https://x/%'` (single trailing
     * `%`, no other wildcards or escapes — anything fancier extracts

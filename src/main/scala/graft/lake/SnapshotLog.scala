@@ -214,6 +214,15 @@ final case class DataFile(
     !allNull(column) && extraBounds.flatMap(_.find(_.column == column))
       .forall(_.mayContainPrefix(p))
 
+  /** Whether the file may contain a `column` value inside the string
+    * range (round 15) — true when no string bounds were recorded.
+    */
+  def mayContainColumnStringRange(
+      column: String,
+      lo: Option[(String, Boolean)], hi: Option[(String, Boolean)]): Boolean =
+    !allNull(column) && extraBounds.flatMap(_.find(_.column == column))
+      .forall(_.mayContainStringRange(lo, hi))
+
   /** May the file contain a row satisfying `column IS NULL` (wantNull)
     * / `column IS NOT NULL` (!wantNull)? True when no null count was
     * recorded.
@@ -275,6 +284,35 @@ final case class ColumnBounds(
       maxS.forall(hi => ColumnBounds.cpCompare(p, hi) <= 0) &&
         ColumnBounds.prefixUpper(p).forall(u => ColumnBounds.cpCompare(u, lo) > 0)
   }
+
+  /** May a file with these STRING bounds contain a value inside the
+    * query range (round 15, VERDICT r14 #3 — `uid_s BETWEEN 'a' AND
+    * 'b'` / `url >= '…'` pruning)? Each bound is (value, inclusive).
+    * Truncation semantics: the query's UPPER bound tests against
+    * `minS` — a PREFIX of the true minimum, so minS ≤ every value and
+    * `minS > hi` proves every value > hi — and the query's LOWER bound
+    * tests against `maxS`, the inclusive conservative upper bound, so
+    * `maxS < lo` proves every value < lo. Comparing either query bound
+    * against the SAME-side file bound would skip live files (a
+    * truncated minS understates the minimum). True for numeric entries
+    * and whenever the deciding file bound is absent.
+    */
+  def mayContainStringRange(
+      lo: Option[(String, Boolean)], hi: Option[(String, Boolean)]): Boolean =
+    minS match {
+      case None => true
+      case Some(mn) =>
+        hi.forall { case (v, incl) =>
+          val c = ColumnBounds.cpCompare(mn, v)
+          if (incl) c <= 0 else c < 0
+        } &&
+          lo.forall { case (v, incl) =>
+            maxS.forall { mx =>
+              val c = ColumnBounds.cpCompare(mx, v)
+              if (incl) c >= 0 else c > 0
+            }
+          }
+    }
 }
 
 object ColumnBounds {
@@ -587,6 +625,19 @@ final case class ManifestRef(
     !allNull(column) && columnBounds
       .flatMap(_.find(b => b.column == column && b.isString))
       .forall(_.mayContainPrefix(p))
+
+  /** May this manifest contain a file with a `column` value inside the
+    * string range (round 15)? True when no string roll-up was recorded.
+    * The roll-up's minS is the min of member prefix-lower-bounds (≤
+    * every member value) and its maxS the max of member inclusive
+    * uppers, so the per-file truncation test applies unchanged.
+    */
+  def mayContainColumnStringRange(
+      column: String,
+      lo: Option[(String, Boolean)], hi: Option[(String, Boolean)]): Boolean =
+    !allNull(column) && columnBounds
+      .flatMap(_.find(b => b.column == column && b.isString))
+      .forall(_.mayContainStringRange(lo, hi))
 
   /** [[mayContainColumnLongs]] for STRING keys (sorted in code-point
     * order ascending).

@@ -1647,11 +1647,32 @@ object LakeOps {
       s"SELECT count(*) AS n_null FROM $cat.gold.nsk WHERE opt_uid IS NULL")
     val qr = s.sql(
       s"SELECT count(*) AS n_in_range FROM $cat.gold.nsk WHERE opt_uid >= 0")
-    val (sn, sz, sr) = (scannedFiles(qn), scannedFiles(qz), scannedFiles(qr))
-    qn.crossJoin(qz).crossJoin(qr)
+    // COMPOSED probe (round 15, VERDICT r14 #2): `ts IN (…) AND
+    // opt_uid IS NOT NULL` — a point dimension previously took the
+    // readPointsMulti branch and FORFEITED the nullness pruning; the
+    // ts bounds interleave across every residue file, so a scan below
+    // `total` here is the null counts' doing
+    val zone = java.time.ZoneId.of(s.sessionState.conf.sessionLocalTimeZone)
+    val litFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    val inTs = base.filter(second(col("ts")) === 7)
+      .select(unix_micros(col("ts")).as("us"))
+      .distinct().orderBy("us").limit(5)
+      .collect().map { r =>
+        val ldt = java.time.Instant.EPOCH
+          .plus(r.getLong(0), java.time.temporal.ChronoUnit.MICROS)
+          .atZone(zone).toLocalDateTime
+        s"TIMESTAMP '${litFmt.format(ldt)}'"
+      }.mkString(", ")
+    val qc = s.sql(
+      s"""SELECT count(*) AS n_composed FROM $cat.gold.nsk
+         |WHERE ts IN ($inTs) AND opt_uid IS NOT NULL""".stripMargin)
+    val (sn, sz, sr, sc) =
+      (scannedFiles(qn), scannedFiles(qz), scannedFiles(qr), scannedFiles(qc))
+    qn.crossJoin(qz).crossJoin(qr).crossJoin(qc)
       .withColumn("notnull_pruned", lit(sn < total))
       .withColumn("null_pruned", lit(sz < total))
       .withColumn("range_skips_allnull", lit(sr < total))
+      .withColumn("composed_pruned", lit(sc < total))
   }
 
   /** TIME-TRAVEL point skipping (round 14): `VERSION AS OF v WHERE ts
@@ -1785,6 +1806,54 @@ object LakeOps {
       lit(scanned < table.currentDataFiles.size))
   }
 
+  /** SQL RANGE skipping on a STRING stats column (round 15, VERDICT
+    * r14 #3): `WHERE uid_s BETWEEN 'a' AND 'b'` over a range-clustered
+    * string layout — the truncated per-file string bounds (and the
+    * manifest-list roll-ups) prune bounds-only, with the query's upper
+    * bound tested against each file's minS and its lower bound against
+    * maxS (the only truncation-safe direction). A half-open `>= AND <`
+    * band rides along to exercise the strict-bound extraction. Bands
+    * derive from max(user_id) so the oracle recomputes them; the
+    * fixed-width zero-padding makes string order ≡ numeric order.
+    */
+  def sqlStringRangeFlow(s: SparkSession, dir: String): DataFrame = {
+    val wh = freshWarehouse("graft-srg")
+    val cat = s"graft_sql_${sqlCatalogRuns.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gold")
+    val ev = graft.Tables.t(s, dir, "events")
+      .select(col("ts").cast(TimestampType).as("ts"),
+        concat(lit("u"), lpad(col("user_id").cast("string"), 10, "0")).as("uid_s"),
+        col("value"))
+      .where(col("ts").isNotNull && col("uid_s").isNotNull)
+    val table = LakehouseTable.createIfNotExists(
+      s, new org.apache.hadoop.fs.Path(wh, "gold/srg"), ev.schema, Some("ts"))
+    table.setProperty("write.stats-columns", "uid_s")
+    // range-clustered files: each holds one contiguous uid_s band
+    table.append(ev.repartitionByRange(8, col("uid_s")))
+    val maxUid = graft.Tables.t(s, dir, "events")
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+      .agg(max("user_id")).collect()(0).getLong(0)
+    def sLit(v: Long) = f"u$v%010d"
+    val (lo, hi) = (maxUid / 4, maxUid / 4 + maxUid / 8)
+    val q = s.sql(
+      s"""SELECT count(*) AS n_rows,
+         |       min(uid_s) AS min_uid,
+         |       max(uid_s) AS max_uid,
+         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         |FROM $cat.gold.srg
+         |WHERE uid_s BETWEEN '${sLit(lo)}' AND '${sLit(hi)}'""".stripMargin)
+    val q2 = s.sql(
+      s"""SELECT count(*) AS n_halfopen FROM $cat.gold.srg
+         |WHERE uid_s >= '${sLit(lo)}' AND uid_s < '${sLit(hi + 1)}'""".stripMargin)
+    val (s1, s2) = (scannedFiles(q), scannedFiles(q2))
+    val total = table.currentDataFiles.size
+    q.crossJoin(q2)
+      .withColumn("string_range_pruned", lit(s1 < total))
+      .withColumn("halfopen_pruned", lit(s2 < total))
+  }
+
   /** CROSS-DIMENSION point-set composition (round 14, VERDICT r13 #4):
     * files laid out on a (second-group × user-residue) grid, so a
     * predicate pinning BOTH `ts IN (…)` and `user_id IN (…)` must plan
@@ -1870,18 +1939,26 @@ object LakeOps {
       "q_lake_sql_null_skip",
       sqlNullSkipFlow,
       Some("""WITH e AS (
-             |  SELECT CASE WHEN user_id % 8 < 4 THEN user_id END AS opt_uid,
+             |  SELECT ts,
+             |         CASE WHEN user_id % 8 < 4 THEN user_id END AS opt_uid,
              |         value
              |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             |), k AS (
+             |  SELECT DISTINCT ts FROM e WHERE second(ts) = 7
+             |  ORDER BY ts LIMIT 5
              |)
              |SELECT (SELECT count(*) FROM e WHERE opt_uid IS NOT NULL) AS n_not_null,
              |       (SELECT CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
              |        FROM e WHERE opt_uid IS NOT NULL) AS sum_not_null,
              |       (SELECT count(*) FROM e WHERE opt_uid IS NULL) AS n_null,
              |       (SELECT count(*) FROM e WHERE opt_uid >= 0) AS n_in_range,
+             |       (SELECT count(*) FROM e
+             |        WHERE ts IN (SELECT ts FROM k) AND opt_uid IS NOT NULL)
+             |         AS n_composed,
              |       true AS notnull_pruned,
              |       true AS null_pruned,
-             |       true AS range_skips_allnull""".stripMargin)
+             |       true AS range_skips_allnull,
+             |       true AS composed_pruned""".stripMargin)
     ),
 
     QuerySpec(
@@ -1931,6 +2008,33 @@ object LakeOps {
              |       true AS range_pruned_files
              |FROM e, m
              |WHERE user_id BETWEEN mx // 4 AND mx // 4 + mx // 8""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_sql_string_range",
+      sqlStringRangeFlow,
+      Some("""WITH e AS (
+             |  SELECT concat('u', lpad(CAST(user_id AS VARCHAR), 10, '0')) AS uid_s,
+             |         value
+             |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             |), m AS (
+             |  SELECT concat('u', lpad(CAST(max(user_id) // 4 AS VARCHAR), 10, '0')) AS lo,
+             |         concat('u', lpad(CAST(max(user_id) // 4 + max(user_id) // 8
+             |           AS VARCHAR), 10, '0')) AS hi,
+             |         concat('u', lpad(CAST(max(user_id) // 4 + max(user_id) // 8 + 1
+             |           AS VARCHAR), 10, '0')) AS hix
+             |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             |)
+             |SELECT count(*) AS n_rows,
+             |       min(uid_s) AS min_uid,
+             |       max(uid_s) AS max_uid,
+             |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |       (SELECT count(*) FROM e, m WHERE uid_s >= lo AND uid_s < hix)
+             |         AS n_halfopen,
+             |       true AS string_range_pruned,
+             |       true AS halfopen_pruned
+             |FROM e, m
+             |WHERE uid_s BETWEEN lo AND hi""".stripMargin)
     ),
 
     QuerySpec(

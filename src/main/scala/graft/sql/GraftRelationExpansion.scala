@@ -104,6 +104,17 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         .filter(c => schema(c).dataType == org.apache.spark.sql.types.StringType)
         .filterNot(c => strDims.exists(_._1 == c))
         .flatMap(c => graft.lake.PredicateBounds.stringPrefix(cond, c).map(c -> _))
+      // STRING range dims (round 15): `uid_s BETWEEN 'a' AND 'b'` /
+      // `url >= '…'` on string stats columns not already point-pinned —
+      // bounds-only pruning over the truncated string bounds (prefix
+      // dims compose independently: both are conjuncts of one predicate)
+      val strRangeDims = statsCols
+        .filter(c => schema(c).dataType == org.apache.spark.sql.types.StringType)
+        .filterNot(c => strDims.exists(_._1 == c))
+        .flatMap { c =>
+          val (lo, hi) = graft.lake.PredicateBounds.stringRangeBounds(cond, c)
+          if (lo.isDefined || hi.isDefined) Some((c, lo, hi)) else None
+        }
       // NULLNESS dims: `WHERE c IS [NOT] NULL` on stats columns — the
       // per-file null counts prune where bounds cannot (an all-null
       // file records no bounds at all)
@@ -120,23 +131,31 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
           // TIME TRAVEL prunes too (round 14): the pinned snapshot's
           // own manifests/bounds/blooms drive the same ladder — before
           // this, `VERSION AS OF … WHERE ts IN (…)` scanned the whole
-          // pinned state
+          // pinned state. nullDims and string ranges included (round
+          // 15, VERDICT r14 #2/#3): every extracted dimension reaches
+          // the pinned ladder too.
           if (keyPoints.isDefined || longDims.nonEmpty || strDims.nonEmpty ||
-            rangeDims.nonEmpty || prefixDims.nonEmpty || tr.isDefined)
+            rangeDims.nonEmpty || prefixDims.nonEmpty || strRangeDims.nonEmpty ||
+            nullDims.nonEmpty || tr.isDefined)
             return g.lt.readPointsMultiAt(id, keyPoints, longDims, strDims, tr,
-              longRanges = rangeDims, strPrefixes = prefixDims)
+              longRanges = rangeDims, strPrefixes = prefixDims,
+              nullDims = nullDims, strRanges = strRangeDims)
         case None =>
           // key-only pins keep the dedicated path (identical pruning,
           // no per-dimension scaffolding)
           if (keyPoints.isDefined && longDims.isEmpty && strDims.isEmpty &&
-            rangeDims.isEmpty && prefixDims.isEmpty)
+            rangeDims.isEmpty && prefixDims.isEmpty && strRangeDims.isEmpty &&
+            nullDims.isEmpty)
             return g.lt.readPointsPruned(keyPoints.get)
           if (keyPoints.isDefined || longDims.nonEmpty || strDims.nonEmpty)
             return g.lt.readPointsMulti(keyPoints, longDims, strDims, tr,
-              longRanges = rangeDims, strPrefixes = prefixDims)
-          if (rangeDims.nonEmpty || prefixDims.nonEmpty || nullDims.nonEmpty)
+              longRanges = rangeDims, strPrefixes = prefixDims,
+              nullDims = nullDims, strRanges = strRangeDims)
+          if (rangeDims.nonEmpty || prefixDims.nonEmpty || strRangeDims.nonEmpty ||
+            nullDims.nonEmpty)
             return g.lt.readColumnRangesPruned(rangeDims, tr,
-              strPrefixes = prefixDims, nullDims = nullDims)
+              strPrefixes = prefixDims, nullDims = nullDims,
+              strRanges = strRangeDims)
       }
     }
     val range = for {

@@ -31,11 +31,12 @@ class FbColsBackfillSpec extends SparkSpec {
   private def usOf(micro: Int) =
     Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L + micro
 
-  /** Strip fbCols from every manifest of the current snapshot —
-    * simulates pre-r13 metadata (the field is additive, so the
-    * stripped JSON is exactly what an r12 writer produced).
+  /** Rewrite every manifest entry of the current snapshot through `fn`
+    * — simulates older-format metadata (the stripped fields are all
+    * additive, so the stripped JSON is exactly what an older writer
+    * produced).
     */
-  private def stripFbCols(t: LakehouseTable): Unit = {
+  private def stripEntries(t: LakehouseTable)(fn: DataFile => DataFile): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = t.tableDir.getFileSystem(conf)
     val log = new SnapshotLog(t.tableDir, conf)
@@ -47,7 +48,7 @@ class FbColsBackfillSpec extends SparkSpec {
           try Serialization.read[ManifestData](
             new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
           finally in.close()
-        val stripped = data.copy(files = data.files.map(_.copy(fbCols = None)))
+        val stripped = data.copy(files = data.files.map(fn))
         val out = fs.create(p, true)
         try out.write(Serialization.writePretty(stripped).getBytes(StandardCharsets.UTF_8))
         finally out.close()
@@ -55,6 +56,9 @@ class FbColsBackfillSpec extends SparkSpec {
     }
     SnapshotLog.clearPlanningCache()
   }
+
+  private def stripFbCols(t: LakehouseTable): Unit =
+    stripEntries(t)(_.copy(fbCols = None))
 
   test("rewriteManifests stamps footer-bloom presence on unstamped entries") {
     val t = LakehouseTable.createIfNotExists(
@@ -77,6 +81,61 @@ class FbColsBackfillSpec extends SparkSpec {
     val got = t.readPoints(keys).select(unix_micros(col("ts"))).as[Long]
       .collect().sorted.toSeq
     assert(got == keys.sorted)
+  }
+
+  // (ts, uid_s, uid): residue r of 4 per file; residue 3's uid_s is
+  // ALL NULL (the file records no string bounds — only its null count
+  // can skip it)
+  private def residueS(r: Int, n: Int = 40) =
+    (0 until n).map { i =>
+      val u = 4 * i + r
+      (Timestamp.valueOf(f"2024-01-01 00:00:00.$u%06d"),
+        if (r == 3) null else f"u$u%08d", u.toLong)
+    }.toDF("ts", "uid_s", "uid").coalesce(1)
+
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .map(_.relation.location.inputFiles.length).sum
+  }
+
+  test("rewrite backfills bounds, null counts, and the bloom proof in one footer pass") {
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("fbc3"), "t"), residueS(0).schema, Some("ts"))
+    t.setProperty("write.stats-columns", "uid_s,uid")
+    (0 until 4).foreach(r => t.append(residueS(r)))
+    val expect = t.read().orderBy("ts").collect().toSeq
+    // simulate pre-r14 metadata: no bloom proof, no secondary bounds,
+    // no null counts
+    stripEntries(t)(_.copy(fbCols = None, extraBounds = None, colNulls = None))
+    assert(t.currentDataFiles.forall(f =>
+      f.fbCols.isEmpty && f.extraBounds.isEmpty && f.colNulls.isEmpty),
+      "fixture: stripped manifests must read as pre-r14 entries")
+    t.rewriteManifests()
+    val stamped = t.currentDataFiles
+    assert(stamped.forall(_.fbCols.isDefined),
+      "one pass must stamp the footer-bloom presence proof")
+    assert(stamped.forall(_.colNulls.exists(_.contains("uid_s"))),
+      "one pass must stamp per-column null counts")
+    val allNullFiles = stamped.filter(f => f.colNulls.exists(_.get("uid_s").contains(f.rows)))
+    assert(allNullFiles.size == 1, "exactly one file is all-null in uid_s")
+    assert(stamped.filterNot(allNullFiles.contains).forall(_.extraBounds.exists(bs =>
+      bs.exists(b => b.column == "uid_s" && b.isString) &&
+        bs.exists(b => b.column == "uid" && !b.isString))),
+      "value-bearing files must regain string AND long bounds")
+    // answers unchanged by the backfill
+    assert(t.read().orderBy("ts").collect().toSeq == expect)
+    // and the backfilled metadata prunes again: uid=0 fits only residue
+    // 0's [0,156] bounds; u00000000 fits only its string bounds, with
+    // the all-null file skipped by its null count
+    assert(t.filesForPointsOn("uid", Seq(0L)).size == 1,
+      "long point lookup must plan exactly the one in-bounds file")
+    assert(plannedFiles(t.readPointsOnString("uid_s", Seq("u00000000"))) == 1,
+      "string point lookup must plan exactly the one in-bounds file")
   }
 
   test("already-stamped tables rewrite without touching footers") {

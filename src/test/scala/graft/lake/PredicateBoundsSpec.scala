@@ -169,6 +169,57 @@ class PredicateBoundsSpec extends SparkSpec {
     assert(points(col("ts") <=> lit(null).cast("timestamp")).isEmpty)
   }
 
+  // ---- stringRangeBounds (round 15, VERDICT r14 #3) ------------------------
+
+  private def strRange(c: org.apache.spark.sql.Column, column: String = "sym") = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("id", LongType),
+      StructField("sym", StringType)))
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val cond = probe.filter(c).queryExecution.analyzed match {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(e, _) => e
+      case other => fail(s"no Filter in $other")
+    }
+    PredicateBounds.stringRangeBounds(cond, column)
+  }
+
+  test("string comparisons extract bounds with inclusiveness") {
+    assert(strRange(col("sym") >= lit("a")) == (Some(("a", true)), None))
+    assert(strRange(col("sym") > lit("a")) == (Some(("a", false)), None))
+    assert(strRange(col("sym") <= lit("z")) == (None, Some(("z", true))))
+    assert(strRange(col("sym") < lit("z")) == (None, Some(("z", false))))
+    // BETWEEN through the RuntimeReplaceable/With scaffolding
+    assert(strRange(col("sym").between(lit("a"), lit("m")))
+      == (Some(("a", true)), Some(("m", true))))
+    // equality pins both sides
+    assert(strRange(col("sym") === lit("k"))
+      == (Some(("k", true)), Some(("k", true))))
+    // mirrored literal sides flip the comparison
+    assert(strRange(lit("a") <= col("sym")) == (Some(("a", true)), None))
+    assert(strRange(lit("z") > col("sym")) == (None, Some(("z", false))))
+  }
+
+  test("string bound conjuncts tighten; non-extractable shapes widen") {
+    // tighter value wins; equal values prefer the exclusive bound
+    assert(strRange(col("sym") >= lit("a") && col("sym") >= lit("b"))
+      == (Some(("b", true)), None))
+    assert(strRange(col("sym") >= lit("a") && col("sym") > lit("a"))
+      == (Some(("a", false)), None))
+    assert(strRange(col("sym") <= lit("z") && col("sym") < lit("m"))
+      == (None, Some(("m", false))))
+    // disjunctions, other columns, NULL literals never narrow
+    assert(strRange(col("sym") >= lit("a") || col("sym") <= lit("z")) == (None, None))
+    assert(strRange(col("ts") >= lit(t0)) == (None, None))
+    assert(strRange(col("sym") >= lit(null).cast("string")) == (None, None))
+    // comparison order is code-point order, not UTF-16: the
+    // supplementary-plane literal must rank ABOVE U+FFFD when tightening
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(strRange(col("sym") >= lit("a�") && col("sym") >= lit("a" + emoji))
+      == (Some(("a" + emoji, true)), None))
+  }
+
   test("anything non-finite yields None; NULL elements drop safely") {
     // a range is not a point set
     assert(points(col("ts") >= lit(t0)).isEmpty)
