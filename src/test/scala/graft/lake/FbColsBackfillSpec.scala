@@ -36,7 +36,9 @@ class FbColsBackfillSpec extends SparkSpec {
     * additive, so the stripped JSON is exactly what an older writer
     * produced).
     */
-  private def stripEntries(t: LakehouseTable)(fn: DataFile => DataFile): Unit = {
+  private def stripEntries(
+      t: LakehouseTable, dropStatsHeader: Boolean = false)(
+      fn: DataFile => DataFile): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = t.tableDir.getFileSystem(conf)
     val log = new SnapshotLog(t.tableDir, conf)
@@ -48,7 +50,8 @@ class FbColsBackfillSpec extends SparkSpec {
           try Serialization.read[ManifestData](
             new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
           finally in.close()
-        val stripped = data.copy(files = data.files.map(fn))
+        val stripped = data.copy(files = data.files.map(fn),
+          statsCols = if (dropStatsHeader) None else data.statsCols)
         val out = fs.create(p, true)
         try out.write(Serialization.writePretty(stripped).getBytes(StandardCharsets.UTF_8))
         finally out.close()
@@ -110,8 +113,9 @@ class FbColsBackfillSpec extends SparkSpec {
     (0 until 4).foreach(r => t.append(residueS(r)))
     val expect = t.read().orderBy("ts").collect().toSeq
     // simulate pre-r14 metadata: no bloom proof, no secondary bounds,
-    // no null counts
-    stripEntries(t)(_.copy(fbCols = None, extraBounds = None, colNulls = None))
+    // no null counts (the compact sv encoding drops with its header)
+    stripEntries(t, dropStatsHeader = true)(
+      _.copy(fbCols = None, extraBounds = None, colNulls = None, sv = None))
     assert(t.currentDataFiles.forall(f =>
       f.fbCols.isEmpty && f.extraBounds.isEmpty && f.colNulls.isEmpty),
       "fixture: stripped manifests must read as pre-r14 entries")

@@ -64,4 +64,46 @@ class MetadataTablesSpec extends SparkSpec {
       .map(_.getMap[String, Seq[String]](0)("sym").head).toSet
     assert(sums == Set("A", "B"), "each manifest summarizes its own symbol")
   }
+
+  test("storage table reports sidecar usage, metadata bytes, and cache stats") {
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("meta"), "st"), df(Seq(0)).schema, Some("DateTime"))
+    t.setProperty("write.key-bloom.bits", "4096")
+    t.setProperty("write.key-bloom.location", "sidecar")
+    t.append(df(0 until 6))
+    t.append(df(6 until 12))
+    val row = t.metadataTable("storage").head()
+    def l(name: String) = row.getLong(row.fieldIndex(name))
+    assert(l("data_files") == t.currentDataFiles.size.toLong)
+    assert(l("snapshots") == 2L)
+    assert(l("manifest_bytes") > 0L && l("manifest_list_bytes") > 0L &&
+      l("version_bytes") > 0L)
+    // both commits' sidecars are live — live == total, nothing orphaned
+    assert(l("bloom_bytes_total") > 0L)
+    assert(l("bloom_bytes_live") == l("bloom_bytes_total"))
+    // warm the planning cache, then the JVM-global occupancy is visible
+    t.read().count()
+    val row2 = t.metadataTable("storage").head()
+    assert(row2.getLong(row2.fieldIndex("jvm_cache_entries")) > 0L)
+    // compact (new files, new sidecar generation), then expire the
+    // pre-compaction snapshots: their generations orphan and the table
+    // reads live < total until the reaper runs
+    t.compact(1)
+    val (expired, _) = t.expireSnapshots(
+      nowMs = System.currentTimeMillis() + 30L * 24 * 3600 * 1000,
+      retentionMs = 0L, keepLast = 1)
+    assert(expired.nonEmpty)
+    val row3 = t.metadataTable("storage").head()
+    def l3(name: String) = row3.getLong(row3.fieldIndex(name))
+    assert(l3("bloom_bytes_live") < l3("bloom_bytes_total"),
+      "expired snapshots' sidecar generations must read as orphaned drift")
+    // and the SQL surface serves the same table as `cat.ns.t.storage`
+    val wh = tmpDir("meta-sql")
+    spark.conf.set("spark.sql.catalog.g_st", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.g_st.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g_st.ns")
+    df(0 until 4).writeTo("g_st.ns.obs").create()
+    val sqlRow = spark.sql("SELECT data_files, snapshots FROM g_st.ns.obs.storage").head()
+    assert(sqlRow.getLong(0) >= 1L && sqlRow.getLong(1) == 1L)
+  }
 }

@@ -183,4 +183,57 @@ class MultimodalFuzzSpec extends AnyFunSuite {
     // (4·3·3 = 36 slots ≥ 15 bytes, zero-pad contributes 0)
     assert(sum == data.map(_ & 0xff).map(_.toLong).sum)
   }
+
+  // ---- JPEG (round 15: the first LOSSY modality) --------------------------
+
+  private lazy val goodJpeg = Multimodal.encodeJpeg(ascii("hello jpeg world!"), 4, 3)
+
+  private val jpegCases: Seq[(String, Array[Byte], String)] = Seq(
+    ("SOI marker alone", Array[Byte](0xff.toByte, 0xd8.toByte), "corrupt image stream"),
+    ("header truncated mid-segment", goodJpeg.take(12), "corrupt image stream"),
+    ("marker bytes flipped", {
+      val b = goodJpeg.clone()
+      // corrupt the JFIF/quant segments right after SOI — structure,
+      // not just entropy data
+      (4 until math.min(10, b.length - 2)).foreach(i => b(i) = (~b(i)).toByte)
+      b
+    }, "corrupt image stream"))
+
+  jpegCases.foreach { case (name, bytes, fragment) =>
+    test(s"JPEG refuses: $name") {
+      val e = intercept[IllegalArgumentException](Multimodal.decodeImage(bytes))
+      assert(e.getMessage.contains(fragment),
+        s"expected '$fragment' in: ${e.getMessage}")
+    }
+  }
+
+  test("JPEG salvages truncated entropy data — a decoder property, pinned") {
+    // unlike PNG (CRC-checked chunks → truncation refuses), the JDK
+    // JPEG reader SALVAGES a scan cut mid-entropy-data: it decodes what
+    // arrived and zero-fills the rest. Pin the behavior so a decoder
+    // swap that changes it is noticed: dimensions still exact, no throw.
+    val (w, h, _) = Multimodal.decodeImage(goodJpeg.take(goodJpeg.length - 10))
+    assert(w == 4 && h == 3)
+  }
+
+  test("JPEG decode is lossy but mean-preserving within the declared band") {
+    // random-ish byte patterns across several sizes: decoded dimensions
+    // are exact and the decoded RGB mean stays inside JpegMeanBand of
+    // the source-byte mean — the contract q_multimodal_image3 pins
+    val rnd = new scala.util.Random(42)
+    (0 until 50).foreach { k =>
+      val l = 1 + rnd.nextInt(400)
+      val data = Array.fill(l)(rnd.nextInt(256).toByte)
+      val w = 4 + l % 5
+      val h = 3 + l % 4
+      val p = w * h * 3
+      val srcMean = data.take(p).map(_ & 0xff).sum.toDouble / p
+      val (dw, dh, sum) = Multimodal.decodeImage(Multimodal.encodeJpeg(data, w, h))
+      assert(dw == w && dh == h, s"case $k: dimensions must survive lossy decode")
+      val decodedMean = sum.toDouble / p
+      assert(math.abs(decodedMean - srcMean) <= Multimodal.JpegMeanBand,
+        f"case $k (${w}x$h, L=$l): decoded mean $decodedMean%.2f vs source " +
+          f"$srcMean%.2f exceeds the ${Multimodal.JpegMeanBand} band")
+    }
+  }
 }
