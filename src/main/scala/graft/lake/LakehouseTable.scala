@@ -3082,12 +3082,26 @@ final class LakehouseTable(
       refsWithFiles: Seq[(ManifestRef, Seq[DataFile])],
       rewritePaths: Set[String],
       newSnapId: Long): Seq[ManifestRef] =
-    refsWithFiles.flatMap { case (ref, files) =>
-      if (!files.exists(f => rewritePaths.contains(f.path))) Some(ref)
-      else {
-        val survivors = files.filterNot(f => rewritePaths.contains(f.path))
-        if (survivors.isEmpty) None else Some(log.writeManifest(newSnapId, survivors))
-      }
+    rewriteRefsLazy(
+      refsWithFiles.map { case (r, fs) => r -> Some(fs) }, rewritePaths, newSnapId)
+
+  /** [[rewriteRefs]] over LAZILY-opened manifests (round 15): a `None`
+    * file list means the manifest-list pre-prune proved the manifest
+    * holds no rewrite candidate — it carries over by reference without
+    * ever being parsed.
+    */
+  private def rewriteRefsLazy(
+      pairs: Seq[(ManifestRef, Option[Seq[DataFile]])],
+      rewritePaths: Set[String],
+      newSnapId: Long): Seq[ManifestRef] =
+    pairs.flatMap {
+      case (ref, None) => Some(ref)
+      case (ref, Some(files)) =>
+        if (!files.exists(f => rewritePaths.contains(f.path))) Some(ref)
+        else {
+          val survivors = files.filterNot(f => rewritePaths.contains(f.path))
+          if (survivors.isEmpty) None else Some(log.writeManifest(newSnapId, survivors))
+        }
     }
 
   /** Copy-on-write MERGE (upsert) on `key`: rows in the batch REPLACE
@@ -3316,12 +3330,12 @@ final class LakehouseTable(
       .filter(schema.fieldNames.contains)
     statsCols.foreach { c =>
       if (schema(c).dataType == org.apache.spark.sql.types.StringType) {
-        PredicateBounds.pointKeyStrings(cond, c).foreach {
-          case keys if keys.size <= PredicateBounds.MaxPointKeys =>
+        PredicateBounds.pointKeyStrings(cond, c) match {
+          case Some(keys) if keys.size <= PredicateBounds.MaxPointKeys =>
             cur = Some(bloomPointSurvivorsStr(universe,
               f => keys.filter(k => f.mayContainColumnString(c, k)),
               resolvedColumnBloom(_, c), c))
-          case keys =>
+          case Some(keys) =>
             // over-cap: the [min, max] envelope in code-point order
             // still bounds-prunes (no per-key probes)
             val lo = keys.reduce((a, b) =>
@@ -3332,6 +3346,18 @@ final class LakehouseTable(
               f.extraBounds.flatMap(_.find(b => b.column == c && b.isString)).forall(b =>
                 ColumnBounds.cpCompare(hi, b.minS.get) >= 0 &&
                   b.maxS.forall(mx => ColumnBounds.cpCompare(lo, mx) <= 0))))
+          case None =>
+            // no point set: string RANGES and LIKE-prefixes still
+            // bounds-prune (round 15 — `DELETE WHERE url >= '…'` /
+            // `url LIKE 'https://x/%'` discovery was a full scan)
+            PredicateBounds.stringRangeBounds(cond, c) match {
+              case (lo, hi) if lo.isDefined || hi.isDefined =>
+                cur = Some(universe.filter(
+                  _.mayContainColumnStringRange(c, lo, hi)))
+              case _ => ()
+            }
+            PredicateBounds.stringPrefix(cond, c).foreach(p =>
+              cur = Some(universe.filter(_.mayContainColumnPrefix(c, p))))
         }
       } else {
         PredicateBounds.pointKeysUs(cond, c) match {
@@ -3354,22 +3380,111 @@ final class LakehouseTable(
     cur
   }
 
+  /** Conservative manifest-LIST-level test: may ANY file of `r` hold a
+    * row matching `cond`? Composes every extractable dimension over the
+    * ref's roll-up stats — time-key points/ranges against the key
+    * bounds, finite sets on IDENTITY partition sources against the
+    * partition-value summaries, and declared stats columns against the
+    * column-bounds/null-count roll-ups (points, ranges, string ranges,
+    * prefixes, nullness). The COW-discovery analog of
+    * [[multiPointSurvivors]]'s step 1: a manifest this returns false
+    * for carries over UNOPENED (round 15 — at 10⁶ files the
+    * every-manifest cold parse was a targeted DELETE's dominant term).
+    * Any unextractable or unsummarized dimension answers true.
+    */
+  private def manifestMayMatch(
+      meta: TableMetadata, r: ManifestRef,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    val schema = StructType.fromDDL(meta.schemaDdl)
+    val keyOk = meta.partitionTransform.forall { tc =>
+      PredicateBounds.pointKeysUs(cond, tc) match {
+        case Some(keys) => keys.exists(k => r.overlaps(k, k))
+        case None =>
+          val (lo, hi) = PredicateBounds.timeBounds(cond, tc)
+          r.overlaps(lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))
+      }
+    }
+    if (!keyOk) return false
+    // a finite pinned set on an identity partition SOURCE prunes via
+    // the per-manifest partition-value summaries (dir values are the
+    // escaped source values for identity fields)
+    val idOk = meta.specList.flatMap(_.fields).distinct
+      .filter(_.transform == "identity")
+      .forall { f =>
+        val pinned: Option[Seq[String]] =
+          if (schema.fieldNames.contains(f.source) &&
+            schema(f.source).dataType == org.apache.spark.sql.types.StringType)
+            PredicateBounds.pointKeyStrings(cond, f.source)
+          else PredicateBounds.pointKeysUs(cond, f.source).map(_.map(String.valueOf))
+        pinned match {
+          case Some(vs) => vs.exists(v =>
+            r.mayContainPartitionValue(f.name, LakehouseTable.escapeDirValue(v)))
+          case None => true
+        }
+      }
+    if (!idOk) return false
+    val statsCols = meta.props.get("write.stats-columns").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .filter(schema.fieldNames.contains)
+    statsCols.forall { c =>
+      val nullOk = PredicateBounds.nullness(cond, c)
+        .forall(w => r.mayContainNullness(c, w))
+      val valOk =
+        if (schema(c).dataType == org.apache.spark.sql.types.StringType)
+          PredicateBounds.pointKeyStrings(cond, c) match {
+            case Some(keys) =>
+              val arr = keys.toArray
+              java.util.Arrays.sort(arr, ColumnBounds.cpCompare(_, _))
+              r.mayContainColumnStrings(c, arr)
+            case None =>
+              val (lo, hi) = PredicateBounds.stringRangeBounds(cond, c)
+              ((lo.isEmpty && hi.isEmpty) ||
+                r.mayContainColumnStringRange(c, lo, hi)) &&
+                PredicateBounds.stringPrefix(cond, c)
+                  .forall(p => r.mayContainColumnPrefix(c, p))
+          }
+        else
+          PredicateBounds.pointKeysUs(cond, c) match {
+            case Some(keys) =>
+              r.mayContainColumnLongs(c, keys.distinct.sorted.toArray)
+            case None =>
+              val (lo, hi) = PredicateBounds.rangeBounds(cond, c)
+              (lo.isEmpty && hi.isEmpty) || r.mayContainColumnRange(c,
+                lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))
+          }
+      nullOk && valOk
+    }
+  }
+
   private def cowRewriteTargets(
       meta: TableMetadata,
       current: Snapshot,
       predicate: org.apache.spark.sql.Column)
-      : (Seq[(ManifestRef, Seq[DataFile])], Seq[DataFile], Set[String]) = {
-    val refsWithFiles = log.readManifestList(current).map(r => r -> log.readManifest(r.path))
-    // manifest-stats pre-prune of the DISCOVERY scan: a time-bounded
-    // predicate (`DELETE WHERE ts >= X`) only needs to probe files whose
-    // key range overlaps the bound — at 100 TB that is the difference
-    // between scanning a slice and scanning the table to find hit files.
-    // Bounds are conservative (PredicateBounds widens on anything it
-    // can't read), and the exact predicate still decides the hits.
-    // Everything derives from the caller's versioned `meta` and the
-    // already-loaded refsWithFiles — no second log read to race a
-    // concurrent schema/spec commit, no manifest re-read.
-    val candidates = resolvePredicate(meta, predicate)
+      : (Seq[(ManifestRef, Option[Seq[DataFile]])], Seq[DataFile], Set[String]) = {
+    val refs = log.readManifestList(current)
+    val cond = resolvePredicate(meta, predicate)
+    // manifest-stats pre-prune of the DISCOVERY scan, now at BOTH
+    // metadata levels: manifests whose LIST roll-ups are disjoint from
+    // every extractable dimension carry over UNOPENED (None — round 15;
+    // before, every COW write parsed every manifest), and within the
+    // opened ones a time-bounded predicate (`DELETE WHERE ts >= X`)
+    // only probes files whose stats admit a hit. Bounds are
+    // conservative (PredicateBounds widens on anything it can't read),
+    // and the exact predicate still decides the hits. Everything
+    // derives from the caller's versioned `meta` — no second log read
+    // to race a concurrent schema/spec commit, no manifest re-read.
+    val openFlags = cond match {
+      case Some(c) => refs.map(r => manifestMayMatch(meta, r, c))
+      case None => refs.map(_ => true)
+    }
+    val opened = refs.zip(openFlags).collect { case (r, true) => r }
+    val parsedByPath = opened.zip(log.readManifests(opened))
+      .map { case (r, fs) => r.path -> fs }.toMap
+    val pairs = refs.zip(openFlags).map { case (r, o) =>
+      r -> (if (o) Some(parsedByPath(r.path)) else None)
+    }
+    val refsWithFiles = pairs.collect { case (r, Some(fs)) => r -> fs }
+    val candidates = cond
       .flatMap(c => cowDiscoveryCandidatesAll(meta, refsWithFiles, c))
       .getOrElse(refsWithFiles.flatMap(_._2))
     val hitPaths = readWithDeletes(candidates, liveDeleteFiles(current),
@@ -3379,7 +3494,7 @@ final class LakehouseTable(
       .collect().map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath).toSet
     val rewrite = refsWithFiles.flatMap(_._2).filter(f =>
       hitPaths.contains(fs.makeQualified(new Path(tableDir, f.path)).toUri.getPath))
-    (refsWithFiles, rewrite, rewrite.map(_.path).toSet)
+    (pairs, rewrite, rewrite.map(_.path).toSet)
   }
 
   def delete(predicate: org.apache.spark.sql.Column): Snapshot = {
@@ -3400,9 +3515,10 @@ final class LakehouseTable(
     val moved = writeStaged(meta, survivors) // empty when a file is fully deleted
 
     val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
-    val keptRefs = rewriteRefs(refsWithFiles, rewritePaths, snapId)
-    val keptRows = refsWithFiles.flatMap(_._2)
-      .filterNot(f => rewritePaths.contains(f.path)).map(_.rows).sum
+    val keptRefs = rewriteRefsLazy(refsWithFiles, rewritePaths, snapId)
+    // unopened manifests count through their roll-up rows (= Σ member
+    // rows by construction) — no parse needed for the bookkeeping either
+    val keptRows = refsWithFiles.map(_._1.rows).sum - rewrite.map(_.rows).sum
     commitSnapshot(meta, version, moved, "delete", Some(keptRefs),
       totalRows = keptRows + moved.map(_.rows).sum)
   }
@@ -3448,9 +3564,8 @@ final class LakehouseTable(
     val moved = writeStaged(meta, rewritten)
 
     val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
-    val keptRefs = rewriteRefs(refsWithFiles, rewritePaths, snapId)
-    val keptRows = refsWithFiles.flatMap(_._2)
-      .filterNot(f => rewritePaths.contains(f.path)).map(_.rows).sum
+    val keptRefs = rewriteRefsLazy(refsWithFiles, rewritePaths, snapId)
+    val keptRows = refsWithFiles.map(_._1.rows).sum - rewrite.map(_.rows).sum
     commitSnapshot(meta, version, moved, "update", Some(keptRefs),
       totalRows = keptRows + moved.map(_.rows).sum)
   }
@@ -3789,8 +3904,12 @@ final class LakehouseTable(
     // bounds. Safe because a skipped file provably has no hit, so no
     // position of it could ever enter the mask.
     val scanned = resolvePredicate(meta, predicate).flatMap { c =>
-      val refsWithFiles = log.readManifestList(current)
-        .map(r => r -> log.readManifest(r.path))
+      // manifest-LIST pre-prune first (round 15, like cowRewriteTargets):
+      // provably-disjoint manifests are never parsed, and a skipped
+      // manifest contributes no file to the mask scan by construction
+      val opened = log.readManifestList(current)
+        .filter(r => manifestMayMatch(meta, r, c))
+      val refsWithFiles = opened.zip(log.readManifests(opened))
       cowDiscoveryCandidatesAll(meta, refsWithFiles, c)
     }.getOrElse(dataFiles(current))
     val visible = readWithDeletes(scanned, liveDeleteFiles(current),

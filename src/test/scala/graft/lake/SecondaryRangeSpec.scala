@@ -107,6 +107,49 @@ class SecondaryRangeSpec extends SparkSpec {
     assert(t.read().filter(col("uid") === 2015L).count() == 0)
   }
 
+  test("COW discovery prunes on STRING range and prefix dimensions") {
+    // 4 range-clustered uid_s bands ("u%08d" zero-padded, one file per
+    // band of 40): a string range / LIKE-prefix delete's discovery scan
+    // must focus to the covering band instead of probing every file
+    val rows = (0 until 160).map { i =>
+      (Timestamp.valueOf(f"2024-01-01 00:00:00.$i%06d"), f"u$i%08d", i.toDouble)
+    }.toDF("ts", "uid_s", "value")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("sr-scow"), "t"), rows.schema, Some("ts"))
+    t.setProperty("write.stats-columns", "uid_s")
+    (0 until 4).foreach { g =>
+      t.append(rows.filter(col("value") >= g * 40 && col("value") < (g + 1) * 40)
+        .coalesce(1))
+    }
+    val log = new SnapshotLog(t.tableDir, spark.sessionState.newHadoopConf())
+    val refsWithFiles = t.metadata.currentSnapshot
+      .map(s => log.readManifestList(s).map(r => r -> log.readManifest(r.path)))
+      .getOrElse(Nil)
+    val probe = Seq((Timestamp.valueOf("2024-01-01 00:00:00"), "x", 0.0))
+      .toDF("ts", "uid_s", "value")
+    def cands(sql: String) = t.cowDiscoveryCandidatesAll(
+      t.metadata, refsWithFiles, resolved(probe, sql))
+    // a string BETWEEN band inside file 3's range keeps exactly it
+    assert(cands("uid_s >= 'u00000085' AND uid_s <= 'u00000100'")
+      .map(_.size).contains(1))
+    // a LIKE prefix covering values 120-129 keeps only band 4
+    assert(cands("uid_s LIKE 'u0000012%'").map(_.size).contains(1))
+    // strictly above the table maximum: zero candidates
+    assert(cands("uid_s > 'u00000159'").map(_.size).contains(0))
+    // and the end-to-end string-range delete stays exact — parsing
+    // ONLY the covering manifest (round 15: the manifest-list
+    // pre-prune carries provably-disjoint manifests over unopened;
+    // before, every COW write cold-parsed every manifest)
+    SnapshotLog.clearPlanningCache()
+    val before = SnapshotLog.manifestParseCount.get()
+    t.delete(col("uid_s") >= "u00000085" && col("uid_s") <= "u00000100")
+    val parsed = SnapshotLog.manifestParseCount.get() - before
+    assert(parsed <= 2,
+      s"expected ≤ 2 cold metadata parses (list + covering manifest), got $parsed")
+    assert(t.read().count() == 144)
+    assert(t.read().filter(col("uid_s") === "u00000090").count() == 0)
+  }
+
   test("the exact predicate still pushes into the parquet scan above the splice") {
     // the splices replace only the FILE LIST — Catalyst must keep
     // pushing the query's own filters into the scan (PushedFilters),
