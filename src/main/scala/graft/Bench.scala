@@ -60,13 +60,14 @@ object Bench {
     (oneT, (0 until minOf).map(_ => wideMs()).min)
   }
 
-  /** The ~60-100 ms pre-sample canary (round 15, VERDICT r14 #1): the
+  /** The ~120 ms pre-sample canary (round 15, VERDICT r14 #1): the
     * IDENTICAL workload as the start/end/probe canary (same pass
-    * count, so the recorded quiet band applies without scaling), one
-    * repetition instead of min-of-3 — single-rep noise is absorbed by
-    * the gate margins.
+    * count, so the recorded quiet band applies without scaling),
+    * min-of-2 instead of min-of-3 — a single rep taken right after a
+    * Spark query reads 30-90% high (GC, JIT churn) and false-flagged
+    * quiet samples; the min of two straddles the churn.
     */
-  private def miniCanary(): (Double, Double) = canaryOnce(passes = 20, minOf = 1)
+  private def miniCanary(): (Double, Double) = canaryOnce(passes = 20, minOf = 2)
 
   /** `SPARK_GRAFT_CANARY_PROBE=1 runMain graft.Bench` — print a quiet
     * band measured as the min over several full canaries, in the
@@ -224,15 +225,21 @@ object Bench {
         ("\"" + k + "\"\\s*:\\s*([0-9.]+)").r.findFirstMatchIn(src).map(_.group(1).toDouble)
       for { t <- field("hash_1t_ms_quiet"); r <- field("wide_over_1t_quiet") } yield (t, r)
     } catch { case _: Throwable => None }
-    // Margins are calibrated against two realities: single-rep
-    // mini-canary noise (~±15%), and CROSS-BOX drift — the band is
-    // recorded on one round's box and the driver may run on another,
-    // so a tight margin would flag healthy hardware variation. The
-    // wide-time check is ABSOLUTE (quiet 1t × quiet ratio), catching
-    // both a throttled thread pool and memory-bandwidth tenants; the
-    // 1t check separates "the box is slower" from "the box is full".
+    // Margins are calibrated against three realities: mini-canary
+    // noise (min-of-2, taken right after a Spark query — GC/JIT churn
+    // inflates reps), CROSS-BOX drift (the band is recorded on one
+    // round's box and the driver may run on another), and the signal
+    // itself. The wide-time check is ABSOLUTE (quiet 1t × quiet
+    // ratio × 1.3), catching both a throttled thread pool and
+    // memory-bandwidth tenants — the r14 signature. The 1t check
+    // separates "the box is slower" from "the box is full" and is
+    // deliberately looser (1.6×): single-thread speed barely moves
+    // under parallel contention, so a genuine 1t degradation that
+    // large means different/overcommitted hardware, while post-query
+    // JIT churn stays inside it (observed min-of-1 overshoot was up
+    // to 1.9×; min-of-2 halves it).
     val CanaryWideMargin = 1.3
-    val Canary1tMargin = 1.3
+    val Canary1tMargin = 1.6
     /** (contended?, 1t ms, wide/1t ratio) — (false, 0, 0) with no band. */
     def canaryGate(): (Boolean, Double, Double) = quietBand match {
       case None => (false, 0.0, 0.0)

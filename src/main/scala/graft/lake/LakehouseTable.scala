@@ -1350,12 +1350,20 @@ final class LakehouseTable(
         * carried as (column, lower, upper) with per-bound
         * inclusiveness; see [[PredicateBounds.stringRangeBounds]].
         */
-      strRanges: Seq[(String, Option[(String, Boolean)], Option[(String, Boolean)])] = Nil)
+      strRanges: Seq[(String, Option[(String, Boolean)], Option[(String, Boolean)])] = Nil,
+      /** IDENTITY partition dims (round 15): (dir column, ESCAPED
+        * wanted dir values) — `WHERE symbol IN ('A','B')` on an
+        * identity-partitioned table prunes manifests through the
+        * partition-value summaries and files through their path
+        * segments, composing with every other dimension. Values must
+        * already be [[LakehouseTable.escapeDirValue]]-escaped.
+        */
+      idDims: Seq[(String, Set[String])] = Nil)
       : DataFrame = {
     val meta = metadata
     val snap = meta.currentSnapshot
     val files = multiPointSurvivors(meta, snap, keyPointsUs, longDims, strDims,
-      timeRangeUs, longRanges, strPrefixes, nullDims, strRanges)
+      timeRangeUs, longRanges, strPrefixes, nullDims, strRanges, idDims)
     readWithDeletes(files, snap.map(liveDeleteFiles).getOrElse(Nil))
   }
 
@@ -1378,13 +1386,14 @@ final class LakehouseTable(
       longRanges: Seq[(String, Long, Long)] = Nil,
       strPrefixes: Seq[(String, String)] = Nil,
       nullDims: Seq[(String, Boolean)] = Nil,
-      strRanges: Seq[(String, Option[(String, Boolean)], Option[(String, Boolean)])] = Nil)
+      strRanges: Seq[(String, Option[(String, Boolean)], Option[(String, Boolean)])] = Nil,
+      idDims: Seq[(String, Set[String])] = Nil)
       : DataFrame = {
     val meta = metadata
     val snap = Some(meta.snapshotById(snapshotId).getOrElse(
       throw new NoSuchElementException(s"snapshot $snapshotId not found")))
     val files = multiPointSurvivors(meta, snap, keyPointsUs, longDims, strDims,
-      timeRangeUs, longRanges, strPrefixes, nullDims, strRanges)
+      timeRangeUs, longRanges, strPrefixes, nullDims, strRanges, idDims)
     readWithDeletes(files, snap.map(liveDeleteFiles).getOrElse(Nil))
   }
 
@@ -1413,7 +1422,8 @@ final class LakehouseTable(
       longRanges: Seq[(String, Long, Long)],
       strPrefixes: Seq[(String, String)],
       nullDims: Seq[(String, Boolean)] = Nil,
-      strRanges: Seq[(String, Option[(String, Boolean)], Option[(String, Boolean)])] = Nil)
+      strRanges: Seq[(String, Option[(String, Boolean)], Option[(String, Boolean)])] = Nil,
+      idDims: Seq[(String, Set[String])] = Nil)
       : Seq[DataFile] = {
     val frozen = StructType.fromDDL(meta.schemaDdl).fieldNames.toSet
     (longDims.map(_._1) ++ strDims.map(_._1) ++
@@ -1423,7 +1433,7 @@ final class LakehouseTable(
     // an empty pinned set on any dimension is a contradiction
     // (`k IN ()` after intersection): zero files, zero rows
     if (keyPointsUs.exists(_.isEmpty) || longDims.exists(_._2.isEmpty) ||
-      strDims.exists(_._2.isEmpty))
+      strDims.exists(_._2.isEmpty) || idDims.exists(_._2.isEmpty))
       return Nil
 
     val sortedKey = keyPointsUs.map(_.distinct.sorted.toArray)
@@ -1455,6 +1465,8 @@ final class LakehouseTable(
       .filter(r => nullDims.forall { case (c, w) => r.mayContainNullness(c, w) })
       .filter(r => strRanges.forall { case (c, lo, hi) =>
         r.mayContainColumnStringRange(c, lo, hi) })
+      .filter(r => idDims.forall { case (n, vs) =>
+        vs.exists(v => r.mayContainPartitionValue(n, v)) })
 
     // 2. per-file bounds (cheap, all dims) on the opened manifests
     var files = log.readManifests(refs).flatten
@@ -1465,6 +1477,8 @@ final class LakehouseTable(
       .filter(f => nullDims.forall { case (c, w) => f.mayContainNullness(c, w) })
       .filter(f => strRanges.forall { case (c, lo, hi) =>
         f.mayContainColumnStringRange(c, lo, hi) })
+      .filter(f => idDims.forall { case (n, vs) =>
+        f.partitionSegments.get(n).forall(vs.contains) })
 
     // 3. bloom ladders, sequentially narrowing — per-file decisions are
     // independent, so filtering the running survivor set gives exactly

@@ -120,6 +120,31 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
       // file records no bounds at all)
       val nullDims = statsCols
         .flatMap(c => graft.lake.PredicateBounds.nullness(cond, c).map(c -> _))
+      // IDENTITY partition dims (round 15): `WHERE symbol = 'A'` on an
+      // identity-partitioned table — the commonest dashboard constraint
+      // — previously fell to readDF() and parsed EVERY manifest at
+      // planning time, relying on Spark's dir pruning for the data I/O
+      // only; now the finite set prunes manifests through the
+      // partition-value summaries before any manifest is opened.
+      // String and integral sources only: a timestamp/double identity
+      // dir renders its value differently than the extracted literal,
+      // so extraction there could never match and is skipped.
+      val idDims = g.lt.metadata.specList.flatMap(_.fields).distinct
+        .filter(f => f.transform == "identity" &&
+          schema.fieldNames.contains(f.source))
+        .flatMap { f =>
+          val pinned: Option[Seq[String]] = schema(f.source).dataType match {
+            case org.apache.spark.sql.types.StringType =>
+              graft.lake.PredicateBounds.pointKeyStrings(cond, f.source)
+            case org.apache.spark.sql.types.LongType |
+                 org.apache.spark.sql.types.IntegerType =>
+              graft.lake.PredicateBounds.pointKeysUs(cond, f.source)
+                .map(_.map(String.valueOf))
+            case _ => None
+          }
+          pinned.map(vs =>
+            (f.name, vs.map(graft.lake.LakehouseTable.escapeDirValue).toSet))
+        }
       // compose the predicate's TIME-key bounds on top (WHERE
       // ts >= … AND uid = 5): neither dimension's pruning is
       // forfeited to the other
@@ -136,21 +161,22 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
           // the pinned ladder too.
           if (keyPoints.isDefined || longDims.nonEmpty || strDims.nonEmpty ||
             rangeDims.nonEmpty || prefixDims.nonEmpty || strRangeDims.nonEmpty ||
-            nullDims.nonEmpty || tr.isDefined)
+            nullDims.nonEmpty || idDims.nonEmpty || tr.isDefined)
             return g.lt.readPointsMultiAt(id, keyPoints, longDims, strDims, tr,
               longRanges = rangeDims, strPrefixes = prefixDims,
-              nullDims = nullDims, strRanges = strRangeDims)
+              nullDims = nullDims, strRanges = strRangeDims, idDims = idDims)
         case None =>
           // key-only pins keep the dedicated path (identical pruning,
           // no per-dimension scaffolding)
           if (keyPoints.isDefined && longDims.isEmpty && strDims.isEmpty &&
             rangeDims.isEmpty && prefixDims.isEmpty && strRangeDims.isEmpty &&
-            nullDims.isEmpty)
+            nullDims.isEmpty && idDims.isEmpty)
             return g.lt.readPointsPruned(keyPoints.get)
-          if (keyPoints.isDefined || longDims.nonEmpty || strDims.nonEmpty)
+          if (keyPoints.isDefined || longDims.nonEmpty || strDims.nonEmpty ||
+            idDims.nonEmpty)
             return g.lt.readPointsMulti(keyPoints, longDims, strDims, tr,
               longRanges = rangeDims, strPrefixes = prefixDims,
-              nullDims = nullDims, strRanges = strRangeDims)
+              nullDims = nullDims, strRanges = strRangeDims, idDims = idDims)
           if (rangeDims.nonEmpty || prefixDims.nonEmpty || strRangeDims.nonEmpty ||
             nullDims.nonEmpty)
             return g.lt.readColumnRangesPruned(rangeDims, tr,

@@ -244,6 +244,38 @@ class SqlPointSkipSpec extends SparkSpec {
     assert(spark.sql(qe).collect().map(_.getDouble(0)).toSeq == Seq(5.0))
   }
 
+  test("identity-partition equality prunes manifests at SQL planning time") {
+    // round 15: `WHERE sym = 's2'` on an identity+day table previously
+    // expanded to the FULL metadata read (every manifest parsed) and
+    // relied on Spark's dir pruning for data I/O only. One append per
+    // symbol makes each manifest single-symbol, so the parse count
+    // proves the list-level pruning.
+    val (cat, wh) = freshCatalog()
+    val rows = (0 until 160).map(i => (s"s${i % 4}", tsOfId(i), i.toDouble))
+      .toDF("sym", "ts", "value")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/ident"), rows.schema,
+      Seq("sym" -> "identity", "ts" -> "day"))
+    (0 until 4).foreach(k => t.append(rows.filter(col("sym") === s"s$k").coalesce(1)))
+    graft.lake.SnapshotLog.clearPlanningCache()
+    val before = graft.lake.SnapshotLog.manifestParseCount.get()
+    val df = spark.sql(s"SELECT count(*) FROM $cat.gold.ident WHERE sym = 's2'")
+    val parsed = graft.lake.SnapshotLog.manifestParseCount.get() - before
+    assert(parsed <= 2,
+      s"expected ≤ 2 cold metadata parses (list + s2's manifest), got $parsed")
+    assert(df.head().getLong(0) == 40L)
+    // IN sets union; a foreign value is a planning-time no-op
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.gold.ident WHERE sym IN ('s1', 's3')")
+      .head().getLong(0) == 80L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gold.ident WHERE sym = 'zz'")
+      .head().getLong(0) == 0L)
+    // composes with other dimensions (identity + time equality)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.gold.ident WHERE sym = 's2' AND ts = ${tsLitOfId(2)}")
+      .head().getLong(0) == 1L)
+  }
+
   test("bucket-partitioned long keys point-prune through SQL too") {
     val (cat, wh) = freshCatalog()
     val data = (0 until 64).map(i => (i.toLong * 10 + 1, i.toDouble)).toDF("uid", "v")
