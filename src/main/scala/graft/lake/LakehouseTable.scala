@@ -3338,6 +3338,30 @@ final class LakehouseTable(
       .flatMap(tc => cowDiscoveryCandidates(refsWithFiles, cond, tc))
     def universe: Seq[DataFile] = cur.getOrElse(refsWithFiles.flatMap(_._2))
     val schema = StructType.fromDDL(meta.schemaDdl)
+    // IDENTITY partition dims (round 15): a finite pinned set on an
+    // identity source drops files by their dir segments — no footer
+    // open, no bloom. `DELETE WHERE symbol = 'A'` on a multi-symbol
+    // manifest previously probed every member file. String/integral
+    // sources only (a timestamp/double identity dir renders its value
+    // differently than the extracted literal); files from spec epochs
+    // lacking the dir are kept.
+    meta.specList.flatMap(_.fields).distinct
+      .filter(f => f.transform == "identity" && schema.fieldNames.contains(f.source))
+      .foreach { f =>
+        val pinned: Option[Seq[String]] = schema(f.source).dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            PredicateBounds.pointKeyStrings(cond, f.source)
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType =>
+            PredicateBounds.pointKeysUs(cond, f.source).map(_.map(String.valueOf))
+          case _ => None
+        }
+        pinned.foreach { vs =>
+          val wanted = vs.map(LakehouseTable.escapeDirValue).toSet
+          cur = Some(universe.filter(
+            _.partitionSegments.get(f.name).forall(wanted.contains)))
+        }
+      }
     val statsCols = meta.props.get("write.stats-columns").toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
       .filterNot(meta.partitionTransform.contains)

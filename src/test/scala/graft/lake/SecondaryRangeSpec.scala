@@ -150,6 +150,35 @@ class SecondaryRangeSpec extends SparkSpec {
     assert(t.read().filter(col("uid_s") === "u00000090").count() == 0)
   }
 
+  test("COW discovery prunes on IDENTITY partition dimensions") {
+    // one multi-symbol commit (1 manifest, one file per sym dir): an
+    // identity-pinned delete must focus discovery to the symbol's own
+    // files via the dir segments — no footer opens
+    val rows = (0 until 160).map { i =>
+      (s"s${i % 4}", Timestamp.valueOf(f"2024-01-01 00:00:00.$i%06d"), i.toDouble)
+    }.toDF("sym", "ts", "value")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("sr-icow"), "t"), rows.schema,
+      Seq("sym" -> "identity", "ts" -> "day"))
+    t.append(rows.coalesce(1))
+    assert(t.currentDataFiles.size == 4)
+    val log = new SnapshotLog(t.tableDir, spark.sessionState.newHadoopConf())
+    val refsWithFiles = t.metadata.currentSnapshot
+      .map(s => log.readManifestList(s).map(r => r -> log.readManifest(r.path)))
+      .getOrElse(Nil)
+    val probe = Seq(("x", Timestamp.valueOf("2024-01-01 00:00:00"), 0.0))
+      .toDF("sym", "ts", "value")
+    def cands(sql: String) = t.cowDiscoveryCandidatesAll(
+      t.metadata, refsWithFiles, resolved(probe, sql))
+    assert(cands("sym = 's2'").map(_.size).contains(1))
+    assert(cands("sym IN ('s1', 's3')").map(_.size).contains(2))
+    assert(cands("sym = 'zz'").map(_.size).contains(0))
+    // end-to-end identity delete stays exact
+    t.delete(col("sym") === "s2")
+    assert(t.read().count() == 120)
+    assert(t.read().filter(col("sym") === "s2").count() == 0)
+  }
+
   test("the exact predicate still pushes into the parquet scan above the splice") {
     // the splices replace only the FILE LIST — Catalyst must keep
     // pushing the query's own filters into the scan (PushedFilters),
