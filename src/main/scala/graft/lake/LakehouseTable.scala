@@ -3139,29 +3139,7 @@ final class LakehouseTable(
     val (version, meta) = versionedMeta
     val current = meta.currentSnapshot.getOrElse(return append(batch, "merge"))
     val refsWithFiles = log.readManifestList(current).map(r => r -> log.readManifest(r.path))
-
-    // candidate files by the batch's key range — the manifest's
-    // epoch-micros footer stats exist only for a TIMESTAMP
-    // partition-source column; merging on any other key (including a
-    // bucket[N] table's non-time source) scans the whole manifest
-    // (the input_file_name narrowing below still keeps the REWRITE
-    // surgical)
-    val srcIsTimestamp = StructType.fromDDL(meta.schemaDdl).fields
-      .exists(f => f.name == key &&
-        (f.dataType == org.apache.spark.sql.types.TimestampType ||
-          f.dataType == org.apache.spark.sql.types.TimestampNTZType))
-    val candidates =
-      if (meta.partitionTransform.contains(key) && srcIsTimestamp) {
-        val Array(lo, hi) = batch
-          .agg(min(unix_micros(col(key).cast(TimestampType))), max(unix_micros(col(key).cast(TimestampType))))
-          .head().toSeq.toArray
-        (lo, hi) match {
-          case (l: java.lang.Long, h: java.lang.Long) =>
-            refsWithFiles.filter(_._1.overlaps(l, h))
-              .flatMap(_._2.filter(_.overlaps(l, h)))
-          case _ => refsWithFiles.flatMap(_._2)
-        }
-      } else refsWithFiles.flatMap(_._2)
+    val candidates = mergeCandidates(meta, refsWithFiles, batch, key)
 
     // narrow to files that really contain a matched key (file list is
     // metadata-sized — safe to collect). Reads apply any pending MoR
@@ -3188,6 +3166,119 @@ final class LakehouseTable(
       .filterNot(f => rewritePaths.contains(f.path)).map(_.rows).sum
     commitSnapshot(meta, version, moved, "merge", Some(keptRefs),
       totalRows = keptRows + moved.map(_.rows).sum)
+  }
+
+  /** The files a COW [[merge]]'s discovery scan must probe for the
+    * batch's keys (round 15 — before, only a TIME-column key pruned;
+    * an upsert on a business key scanned the whole table to find hit
+    * files). Sequentially-narrowing dimension ladder, every step a
+    * conservative over-approximation (the `input_file_name` narrowing
+    * keeps the REWRITE surgical regardless — this bounds the
+    * DISCOVERY SCAN, the read that found the hits):
+    *
+    *   - TIME partition-source key: manifest-list + per-file key
+    *     bounds over the batch's [min, max] micros (the pre-r15 path);
+    *   - declared stats column (long AND string): the batch's
+    *     [min, max] against the list roll-ups and per-file
+    *     [[ColumnBounds]] — string aggregation orders by UTF8 binary ≡
+    *     code-point order, the order the bounds were taken in — then
+    *     the DISTRIBUTED column-bloom probe over the batch keys;
+    *   - bucket[N] partition source: the batch's bucket set (≤ N by
+    *     construction) against the files' dir segments;
+    *   - identity partition source (string/integral): the batch's
+    *     distinct values against the dir segments, skipped past
+    *     [[PredicateBounds.MaxPointKeys]] distinct values (an
+    *     unbounded driver collect is never worth a prune).
+    */
+  private[lake] def mergeCandidates(
+      meta: TableMetadata,
+      refsWithFiles: Seq[(ManifestRef, Seq[DataFile])],
+      batch: DataFrame,
+      key: String): Seq[DataFile] = {
+    val schema = StructType.fromDDL(meta.schemaDdl)
+    val keyType = schema.fields.find(_.name == key).map(_.dataType)
+    var cur: Seq[DataFile] = refsWithFiles.flatMap(_._2)
+
+    val srcIsTimestamp = keyType.exists(t =>
+      t == org.apache.spark.sql.types.TimestampType ||
+        t == org.apache.spark.sql.types.TimestampNTZType)
+    if (meta.partitionTransform.contains(key) && srcIsTimestamp) {
+      val Array(lo, hi) = batch
+        .agg(min(unix_micros(col(key).cast(TimestampType))),
+          max(unix_micros(col(key).cast(TimestampType))))
+        .head().toSeq.toArray
+      (lo, hi) match {
+        case (l: java.lang.Long, h: java.lang.Long) =>
+          cur = refsWithFiles.filter(_._1.overlaps(l, h))
+            .flatMap(_._2.filter(_.overlaps(l, h)))
+        case _ => () // empty/all-null batch: nothing narrows
+      }
+    }
+
+    val statsCols = meta.props.get("write.stats-columns").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    if (statsCols.contains(key)) keyType match {
+      case Some(org.apache.spark.sql.types.LongType |
+                org.apache.spark.sql.types.IntegerType) =>
+        val Array(lo, hi) = batch
+          .agg(min(col(key).cast("long")), max(col(key).cast("long")))
+          .head().toSeq.toArray
+        (lo, hi) match {
+          case (l: java.lang.Long, h: java.lang.Long) =>
+            val keptRefs = refsWithFiles
+              .filter(_._1.mayContainColumnRange(key, l, h))
+              .flatMap(_._2).toSet
+            val bounded = cur.filter(f =>
+              keptRefs.contains(f) && f.overlapsColumn(key, l, h))
+            cur = bloomSurvivorsBy(bounded,
+              batch.select(col(key).cast("long").as("_k")).distinct(),
+              resolvedColumnBloom(_, key))._1
+          case _ => ()
+        }
+      case Some(org.apache.spark.sql.types.StringType) =>
+        val row = batch.agg(min(col(key)), max(col(key))).head()
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          val loB = Some((row.getString(0), true))
+          val hiB = Some((row.getString(1), true))
+          val keptRefs = refsWithFiles
+            .filter(_._1.mayContainColumnStringRange(key, loB, hiB))
+            .flatMap(_._2).toSet
+          val bounded = cur.filter(f =>
+            keptRefs.contains(f) && f.mayContainColumnStringRange(key, loB, hiB))
+          cur = bloomSurvivorsBy(bounded,
+            batch.select(col(key).as("_k")).distinct(),
+            resolvedColumnBloom(_, key))._1
+        }
+      case _ => ()
+    }
+
+    meta.specList.flatMap(_.fields).distinct
+      .filter(f => f.source == key &&
+        (f.transform == "identity" || f.transform.startsWith("bucket[")))
+      .foreach { f =>
+        val dirValues: Option[Set[String]] =
+          if (f.transform.startsWith("bucket[")) {
+            val bs = batch.select(
+              LakehouseTable.partitionExpr(f.transform, col(key)).cast("string"))
+              .distinct().collect().map(_.getString(0)).filter(_ != null)
+            Some(bs.map(LakehouseTable.escapeDirValue).toSet)
+          } else keyType match {
+            case Some(org.apache.spark.sql.types.StringType |
+                      org.apache.spark.sql.types.LongType |
+                      org.apache.spark.sql.types.IntegerType) =>
+              val vs = batch.select(col(key).cast("string")).distinct()
+                .limit(PredicateBounds.MaxPointKeys + 1)
+                .collect().map(_.getString(0)).filter(_ != null)
+              if (vs.length <= PredicateBounds.MaxPointKeys)
+                Some(vs.map(LakehouseTable.escapeDirValue).toSet)
+              else None
+            case _ => None // timestamp/double dirs render differently
+          }
+        dirValues.foreach { wanted =>
+          cur = cur.filter(_.partitionSegments.get(f.name).forall(wanted.contains))
+        }
+      }
+    cur
   }
 
   /** Copy-on-write DELETE: remove rows matching `predicate`. Surgical

@@ -74,6 +74,78 @@ class MergeSpec extends SparkSpec {
     assert(table.timeTravel(before.id).count() === 60L) // pre-delete intact
   }
 
+  test("merge discovery prunes on a declared stats-column key") {
+    // time-keyed table, upsert key = uid (a declared stats column with
+    // a column bloom): files are uid-residue disjoint with fully
+    // interleaved uid ranges, so bounds keep all 8 and any discovery
+    // drop is the bloom's — the business-key upsert shape that
+    // previously scanned every file to find hits
+    def part(r: Int) = (0 until 40).map { i =>
+      val u = 8 * i + r
+      (Timestamp.valueOf(f"2024-01-01 00:00:00.$u%06d"), u.toLong, u.toDouble)
+    }.toDF("ts", "uid", "v").coalesce(1)
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("merge-sk"), "t"), part(0).schema, Some("ts"))
+    t.setProperty("write.stats-columns", "uid")
+    t.setProperty("write.column-bloom.bits", "4096")
+    (0 until 8).foreach(r => t.append(part(r)))
+    val log = new SnapshotLog(t.tableDir, spark.sessionState.newHadoopConf())
+    val refsWithFiles = t.metadata.currentSnapshot
+      .map(s => log.readManifestList(s).map(r => r -> log.readManifest(r.path)))
+      .getOrElse(Nil)
+    // batch touches residue-3 uids only: bounds keep all 8, the bloom
+    // probe must drop most of the other residues
+    val batch = Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:01.0"), 3L, -1.0),
+      (Timestamp.valueOf("2024-01-01 00:00:01.0"), 11L, -2.0)).toDF("ts", "uid", "v")
+    val cands = t.mergeCandidates(t.metadata, refsWithFiles, batch, "uid")
+    assert(cands.size < 8 && cands.nonEmpty,
+      s"stats-column merge discovery must bloom-prune below 8 files, got ${cands.size}")
+    // and the merge itself stays exact through the pruned discovery
+    t.merge(batch, "uid")
+    val df = t.read()
+    assert(df.count() == 320L) // both keys existed: updates, no inserts
+    assert(df.filter(col("uid") === 3L).select("v").as[Double].head() == -1.0)
+    assert(df.filter(col("uid") === 11L).select("v").as[Double].head() == -2.0)
+  }
+
+  test("merge discovery prunes on bucket and identity partition sources") {
+    // bucket[4] on uid: candidates focus to the batch's bucket dirs
+    val data = (0 until 64).map(i => (i.toLong, i.toDouble)).toDF("uid", "v")
+    val tb = LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("merge-bk"), "t"), data.schema,
+      Seq("uid" -> "bucket[4]"))
+    tb.append(data)
+    val logB = new SnapshotLog(tb.tableDir, spark.sessionState.newHadoopConf())
+    val refsB = tb.metadata.currentSnapshot
+      .map(s => logB.readManifestList(s).map(r => r -> logB.readManifest(r.path)))
+      .getOrElse(Nil)
+    val batchB = Seq((5L, -5.0)).toDF("uid", "v")
+    val candsB = tb.mergeCandidates(tb.metadata, refsB, batchB, "uid")
+    val totalB = refsB.flatMap(_._2).size
+    assert(candsB.size < totalB,
+      s"bucket merge discovery must keep only the key's bucket dirs ($candsB of $totalB)")
+    tb.merge(batchB, "uid")
+    assert(tb.read().filter(col("uid") === 5L).select("v").as[Double].head() == -5.0)
+    assert(tb.read().count() == 64L)
+
+    // identity on sym: candidates focus to the batch's symbols
+    val rows = (0 until 80).map(i => (s"s${i % 4}", i.toLong, i.toDouble))
+      .toDF("sym", "uid", "v")
+    val ti = LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("merge-id"), "t"), rows.schema,
+      Seq("sym" -> "identity"))
+    ti.append(rows.coalesce(1))
+    val logI = new SnapshotLog(ti.tableDir, spark.sessionState.newHadoopConf())
+    val refsI = ti.metadata.currentSnapshot
+      .map(s => logI.readManifestList(s).map(r => r -> logI.readManifest(r.path)))
+      .getOrElse(Nil)
+    val batchI = Seq(("s2", 99L, -9.0)).toDF("sym", "uid", "v")
+    val candsI = ti.mergeCandidates(ti.metadata, refsI, batchI, "sym")
+    assert(candsI.size == 1,
+      s"identity merge discovery must keep only s2's file, got ${candsI.size}")
+  }
+
   test("merge into an empty table is a plain insert") {
     val dir = new Path(tmpDir("merge"), "t2")
     val data = rows(2020, 0 until 20)
