@@ -1268,10 +1268,10 @@ final class LakehouseTable(
     * for =/IN lookups on declared `write.stats-columns`. Three pruning
     * levels: the per-file [[ColumnBounds]] recorded at append time,
     * the manifest/sidecar column bloom (`write.column-bloom.bits`),
-    * and the parquet footer bloom (INT64 physical columns only). No
-    * manifest-LIST level exists for secondary columns — the list
-    * summarizes key bounds only — so every manifest parses; entries
-    * are cached, and the per-file checks are metadata-side.
+    * and the parquet footer bloom (INT64 physical columns only) —
+    * plus, since round 14, the manifest-LIST roll-ups
+    * ([[ManifestRef.columnBounds]]), which drop whole manifests
+    * UNOPENED before any of the per-file checks run.
     * `timeRangeUs` composes the predicate's TIME-key bounds on top
     * (`WHERE ts >= … AND uid = 5`): the key dimension prunes by the
     * per-file key bounds it already has, so neither dimension's

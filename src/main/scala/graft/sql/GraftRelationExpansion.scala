@@ -61,7 +61,10 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
     * exact predicate always re-applies above the splice.
     */
   private def nativeDF(g: GraftSqlTable, filter: Option[Expression]): DataFrame = {
-    val keyCol = g.lt.metadata.partitionTransform
+    // one metadata read for the whole extraction (the version file is
+    // small, but three reads per filtered relation add up on remote FS)
+    val meta = g.lt.metadata
+    val keyCol = meta.partitionTransform
     // EVERY pinned dimension of the predicate prunes (round 14,
     // VERDICT r13 #4): the partition-source key, LONG/time secondary
     // stats columns, and STRING secondary stats columns each
@@ -75,8 +78,8 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
       val keyPoints = keyCol.flatMap(k =>
         graft.lake.PredicateBounds.pointKeysUs(cond, k))
       val schema = org.apache.spark.sql.types.StructType
-        .fromDDL(g.lt.metadata.schemaDdl)
-      val statsCols = g.lt.metadata.props.get("write.stats-columns").toSeq
+        .fromDDL(meta.schemaDdl)
+      val statsCols = meta.props.get("write.stats-columns").toSeq
         .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
         .filterNot(keyCol.contains)
         .filter(schema.fieldNames.contains)
@@ -129,7 +132,7 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
       // String and integral sources only: a timestamp/double identity
       // dir renders its value differently than the extracted literal,
       // so extraction there could never match and is skipped.
-      val idDims = g.lt.metadata.specList.flatMap(_.fields).distinct
+      val idDims = meta.specList.flatMap(_.fields).distinct
         .filter(f => f.transform == "identity" &&
           schema.fieldNames.contains(f.source))
         .flatMap { f =>
