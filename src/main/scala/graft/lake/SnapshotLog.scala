@@ -1156,6 +1156,68 @@ object SnapshotLog {
   /** (cached files+refs entries, distinct cached metadata files). */
   def planningCacheStats: (Long, Int) =
     cacheLock.synchronized((cacheWeight, cacheMap.size()))
+
+  // ---- compact ordinal stats codec (round 15, VERDICT r14 #5) -------------
+  //
+  // One ;-joined group per hoisted header column:
+  //   `l:min:max[:nulls]` | `s:b64(minS):b64(maxS)|*[:nulls]` |
+  //   `n:nulls` | empty (nothing recorded).
+  // Base64 keeps arbitrary bound strings (delimiters, control chars,
+  // any unicode) out of the grammar; ':'/';' never occur in base64 or
+  // decimal output. Pure functions so the round-trip is
+  // property-testable independent of any filesystem.
+
+  private[lake] def encodeSv(cols: Seq[String], f: DataFile): Option[String] = {
+    def b64(s: String): String = java.util.Base64.getEncoder
+      .encodeToString(s.getBytes(StandardCharsets.UTF_8))
+    val groups = cols.map { c =>
+      val n = f.colNulls.flatMap(_.get(c)).map(":" + _).getOrElse("")
+      f.extraBounds.flatMap(_.find(_.column == c)) match {
+        case Some(b) if b.isString =>
+          "s:" + b64(b.minS.get) + ":" + b.maxS.map(b64).getOrElse("*") + n
+        case Some(b) => "l:" + b.min + ":" + b.max + n
+        case None if n.nonEmpty => "n" + n
+        case None => ""
+      }
+    }
+    if (groups.forall(_.isEmpty)) None else Some(groups.mkString(";"))
+  }
+
+  /** Inverse of [[encodeSv]] against the hoisted header. Throws on an
+    * unknown group kind — a corrupt manifest must fail loudly, not
+    * read as "no stats" (silently disabling pruning the writer earned).
+    */
+  private[lake] def decodeSv(cols: Seq[String], sv: String)
+      : (Option[Seq[ColumnBounds]], Option[Map[String, Long]]) = {
+    def unb64(s: String): String = new String(
+      java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+    val groups = sv.split(";", -1)
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[ColumnBounds]
+    val nulls = scala.collection.mutable.Map.empty[String, Long]
+    var i = 0
+    while (i < groups.length && i < cols.length) {
+      val g = groups(i)
+      if (g.nonEmpty) {
+        val p = g.split(":", -1)
+        p(0) match {
+          case "l" =>
+            bounds += ColumnBounds(cols(i), p(1).toLong, p(2).toLong)
+            if (p.length > 3) nulls(cols(i)) = p(3).toLong
+          case "s" =>
+            bounds += ColumnBounds(cols(i), 0L, 0L,
+              minS = Some(unb64(p(1))),
+              maxS = if (p(2) == "*") None else Some(unb64(p(2))))
+            if (p.length > 3) nulls(cols(i)) = p(3).toLong
+          case "n" => nulls(cols(i)) = p(1).toLong
+          case other => throw new IllegalStateException(
+            s"unknown stats-group kind '$other' in compact manifest encoding")
+        }
+      }
+      i += 1
+    }
+    (if (bounds.isEmpty) None else Some(bounds.toSeq),
+      if (nulls.isEmpty) None else Some(nulls.toMap))
+  }
 }
 
 /** Atomic versioned metadata log under `<tableDir>/metadata/`. Each
@@ -1308,24 +1370,10 @@ final class SnapshotLog(
     // byte-identical.
     val svCols = (entries0.flatMap(_.extraBounds.getOrElse(Nil).map(_.column)) ++
       entries0.flatMap(_.colNulls.getOrElse(Map.empty).keys)).distinct.sorted
-    def b64(s: String): String = java.util.Base64.getEncoder
-      .encodeToString(s.getBytes(StandardCharsets.UTF_8))
     val entries =
       if (svCols.isEmpty) entries0
-      else entries0.map { f =>
-        val groups = svCols.map { c =>
-          val n = f.colNulls.flatMap(_.get(c)).map(":" + _).getOrElse("")
-          f.extraBounds.flatMap(_.find(_.column == c)) match {
-            case Some(b) if b.isString =>
-              "s:" + b64(b.minS.get) + ":" + b.maxS.map(b64).getOrElse("*") + n
-            case Some(b) => "l:" + b.min + ":" + b.max + n
-            case None if n.nonEmpty => "n" + n
-            case None => ""
-          }
-        }
-        if (groups.forall(_.isEmpty)) f.copy(extraBounds = None, colNulls = None)
-        else f.copy(extraBounds = None, colNulls = None, sv = Some(groups.mkString(";")))
-      }
+      else entries0.map(f => f.copy(extraBounds = None, colNulls = None,
+        sv = SnapshotLog.encodeSv(svCols, f)))
     val data = ManifestData(entries, keyHdr, colHdrs,
       statsCols = if (svCols.isEmpty) None else Some(svCols))
     // compact JSON, not pretty: a manifest is the O(files) metadata
@@ -1433,39 +1481,12 @@ final class SnapshotLog(
         }
         // resolve the compact stats encoding (round 15): sv groups →
         // full ColumnBounds/null maps against the hoisted header
-        def unb64(s: String): String = new String(
-          java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
         val files = data.statsCols match {
           case Some(cols) => colResolved.map { f =>
             f.sv match {
               case Some(s) =>
-                val groups = s.split(";", -1)
-                val bounds = scala.collection.mutable.ArrayBuffer.empty[ColumnBounds]
-                val nulls = scala.collection.mutable.Map.empty[String, Long]
-                var i = 0
-                while (i < groups.length && i < cols.length) {
-                  val g = groups(i)
-                  if (g.nonEmpty) {
-                    val p = g.split(":", -1)
-                    p(0) match {
-                      case "l" =>
-                        bounds += ColumnBounds(cols(i), p(1).toLong, p(2).toLong)
-                        if (p.length > 3) nulls(cols(i)) = p(3).toLong
-                      case "s" =>
-                        bounds += ColumnBounds(cols(i), 0L, 0L,
-                          minS = Some(unb64(p(1))),
-                          maxS = if (p(2) == "*") None else Some(unb64(p(2))))
-                        if (p.length > 3) nulls(cols(i)) = p(3).toLong
-                      case "n" => nulls(cols(i)) = p(1).toLong
-                      case other => throw new IllegalStateException(
-                        s"unknown stats-group kind '$other' in manifest $path")
-                    }
-                  }
-                  i += 1
-                }
-                f.copy(sv = None,
-                  extraBounds = if (bounds.isEmpty) None else Some(bounds.toSeq),
-                  colNulls = if (nulls.isEmpty) None else Some(nulls.toMap))
+                val (bounds, nulls) = SnapshotLog.decodeSv(cols, s)
+                f.copy(sv = None, extraBounds = bounds, colNulls = nulls)
               case None => f
             }
           }
