@@ -737,6 +737,11 @@ object Bench {
     // manifest-list roll-up keeps 1 of 10 manifests; measured COLD
     // (parse mode) because the roll-up exists to avoid cold parses
     val secRun = () => table.filesForPointsOn("value", Seq(3L * 50 + 23)).size
+    // METADATA-aggregate answer (round 15): what `SELECT count(*)` costs
+    // through the SQL pushdown — a manifest-LIST read, ZERO manifest
+    // parses, constant in file count; the cold number vs full_scan_ms
+    // is the whole story at 10⁶ files
+    val aggRun = () => table.metadataAggInfo().map(_.rows.toInt).getOrElse(0)
     // genuinely cold: first-ever planning call on this table, nothing
     // warmed (later shapes inherit its warmed FS metadata — they report
     // warm medians only; review r10)
@@ -748,7 +753,8 @@ object Bench {
       "full" -> parseMs(fullRun), "full_cached" -> cachedMs(fullRun),
       "identity" -> parseMs(idRun), "identity_cached" -> cachedMs(idRun),
       "timerange" -> parseMs(trRun), "point" -> cachedMs(ptRun),
-      "secondary_point" -> parseMs(secRun))
+      "secondary_point" -> parseMs(secRun),
+      "metadata_agg" -> parseMs(aggRun))
     // two independent sweeps, per-field min (VERDICT r10 #8)
     val s1 = sweep(); val s2 = sweep()
     def m(k: String): Double = math.min(s1(k), s2(k))
@@ -871,8 +877,8 @@ object Bench {
       java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverseIterator
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     } catch { case _: Throwable => () }
-    val compact = f"""{"files":$nFiles,"manifest_bytes":$manifestBytes,"stats_columns_declared":true,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"identity_ms":${m("identity")}%.1f,"timerange_ms":${m("timerange")}%.1f,"point_ms":${m("point")}%.1f,"secondary_point_ms":${m("secondary_point")}%.1f,"secondary_manifests_parsed":$secManifests,"clustered_identity_ms":${mc("cl")}%.1f,"policy_clustered":$policyClustered,"folded_full_scan_ms":$foldedMs%.1f,$bloomShapes,$statsShapes}"""
-    val detail = f"""{"files":$nFiles,"manifest_bytes":$manifestBytes,"stats_columns_declared":true,"commits":$nDays,"build_sec":$buildSec%.3f,"build_copy_sec":$copySec%.3f,"build_import_sec":$importSec%.3f,"full_scan_cold_ms":$fullCold%.1f,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"full_files":$fullN,"identity_ms":${m("identity")}%.1f,"identity_cached_ms":${m("identity_cached")}%.1f,"identity_files":$idN,"timerange_ms":${m("timerange")}%.1f,"timerange_files":$trN,"point_ms":${m("point")}%.1f,"point_files":$ptN,"secondary_point_ms":${m("secondary_point")}%.1f,"secondary_point_files":$secN,"secondary_manifests_parsed":$secManifests,"policy_clustered":$policyClustered,"clustered_identity_ms":${mc("cl")}%.1f,"clustered_identity_cached_ms":${mc("cl_cached")}%.1f,"clustered_identity_files":$clIdN,"folded_full_scan_ms":$foldedMs%.1f,"folded_files":$foldedN,"sweeps":2,$bloomShapes,$statsShapes}"""
+    val compact = f"""{"files":$nFiles,"manifest_bytes":$manifestBytes,"stats_columns_declared":true,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"identity_ms":${m("identity")}%.1f,"timerange_ms":${m("timerange")}%.1f,"point_ms":${m("point")}%.1f,"secondary_point_ms":${m("secondary_point")}%.1f,"secondary_manifests_parsed":$secManifests,"metadata_agg_ms":${m("metadata_agg")}%.1f,"clustered_identity_ms":${mc("cl")}%.1f,"policy_clustered":$policyClustered,"folded_full_scan_ms":$foldedMs%.1f,$bloomShapes,$statsShapes}"""
+    val detail = f"""{"files":$nFiles,"manifest_bytes":$manifestBytes,"stats_columns_declared":true,"commits":$nDays,"build_sec":$buildSec%.3f,"build_copy_sec":$copySec%.3f,"build_import_sec":$importSec%.3f,"full_scan_cold_ms":$fullCold%.1f,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"full_files":$fullN,"identity_ms":${m("identity")}%.1f,"identity_cached_ms":${m("identity_cached")}%.1f,"identity_files":$idN,"timerange_ms":${m("timerange")}%.1f,"timerange_files":$trN,"point_ms":${m("point")}%.1f,"point_files":$ptN,"secondary_point_ms":${m("secondary_point")}%.1f,"secondary_point_files":$secN,"secondary_manifests_parsed":$secManifests,"metadata_agg_ms":${m("metadata_agg")}%.1f,"policy_clustered":$policyClustered,"clustered_identity_ms":${mc("cl")}%.1f,"clustered_identity_cached_ms":${mc("cl_cached")}%.1f,"clustered_identity_files":$clIdN,"folded_full_scan_ms":$foldedMs%.1f,"folded_files":$foldedN,"sweeps":2,$bloomShapes,$statsShapes}"""
     (compact, detail)
   } catch {
     case e: Throwable =>

@@ -19,6 +19,51 @@ final case class MaintenanceReport(
       */
     manifestsClustered: Boolean = false)
 
+/** Aggregate facts provable from one snapshot's manifest list — see
+  * [[LakehouseTable.metadataAggInfo]]. `keyBoundsUs` is the exact
+  * (min, max) of the partition-source key over all live rows (absent
+  * when any file lacks key bounds, or the table is empty); `colBounds`
+  * the exact extremes per fully-rolled-up non-string stats column in
+  * the manifest long encoding; `colNulls` the exact total null count
+  * per fully-counted stats column.
+  */
+final case class MetadataAggInfo(
+    rows: Long,
+    keyBoundsUs: Option[(Long, Long)],
+    colBounds: Map[String, (Long, Long)],
+    colNulls: Map[String, Long])
+
+object MetadataAggInfo {
+  /** The same facts computed from PER-FILE manifest entries (the
+    * identity-restricted subset path — list-level roll-ups cannot
+    * describe a subset). Complete-or-absent per fact, exactly like the
+    * list-level roll-ups: one unbounded/uncounted member drops that
+    * column's fact, never widens it.
+    */
+  def ofFiles(files: Seq[DataFile]): MetadataAggInfo = {
+    val rows = files.map(_.rows).sum
+    if (rows == 0L) return MetadataAggInfo(0L, None, Map.empty, Map.empty)
+    val keyBounds =
+      if (files.forall(f => f.minKeyUs.isDefined && f.maxKeyUs.isDefined))
+        Some((files.flatMap(_.minKeyUs).min, files.flatMap(_.maxKeyUs).max))
+      else None
+    val boundCols = files.flatMap(_.extraBounds.getOrElse(Nil))
+      .filter(!_.isString).map(_.column).distinct
+    val colBounds = boundCols.flatMap { c =>
+      val per = files.map(_.extraBounds.flatMap(_.find(b =>
+        b.column == c && !b.isString)))
+      if (per.exists(_.isEmpty)) None
+      else Some(c -> (per.flatten.map(_.min).min, per.flatten.map(_.max).max))
+    }.toMap
+    val nullCols = files.flatMap(_.colNulls.getOrElse(Map.empty).keys).distinct
+    val colNulls = nullCols.flatMap { c =>
+      val per = files.map(_.colNulls.flatMap(_.get(c)))
+      if (per.exists(_.isEmpty)) None else Some(c -> per.flatten.sum)
+    }.toMap
+    MetadataAggInfo(rows, keyBounds, colBounds, colNulls)
+  }
+}
+
 /** A snapshot-versioned, year-partitioned parquet table — the engine's
   * native equivalent of the reference's Iceberg tables
   * (`/root/reference/lakehouse_pipeline.py:275-284` create,
@@ -80,6 +125,113 @@ final class LakehouseTable(
   /** Live equality-delete files of the current snapshot. */
   def currentDeleteFiles: Seq[DeleteFile] =
     metadata.currentSnapshot.map(liveDeleteFiles).getOrElse(Nil)
+
+  /** Aggregate facts provable from the MANIFEST LIST alone (round 15
+    * extension — Iceberg's metadata-count analog): the answers to
+    * `count(*)` / `min(key)` / `max(key)` / `count(col)` /
+    * `min(col)` / `max(col)` that at 100 TB replace a full-table scan
+    * with one O(manifests) metadata read. `None` whenever the snapshot
+    * carries live merge-on-read delete files — a mask could logically
+    * remove any row, including an extreme, so NOTHING is provable
+    * until compaction folds the masks (copy-on-write deletes rewrite
+    * the inventory and stay provable).
+    *
+    * Soundness leans on the roll-up completeness invariants
+    * [[SnapshotLog.writeManifest]] maintains: list-level key bounds
+    * exist only when EVERY member file carries them (a file all-null
+    * on the key records none and poisons the roll-up — conservative),
+    * `columnBounds`/`columnNulls` likewise. `colBounds` carries only
+    * columns every ref bounds; values are in the manifest-stats long
+    * encoding (micros for timestamps, raw for integrals — doubles are
+    * floor/ceil-widened at record time, so callers must not serve
+    * them as exact extremes; the SQL rule type-guards). `colNulls`
+    * carries only columns every ref counts.
+    */
+  def metadataAggInfo(pinnedSnapshot: Option[Long] = None): Option[MetadataAggInfo] = {
+    val meta = metadata
+    val snapOpt = pinnedSnapshot match {
+      case Some(id) => Some(meta.snapshotById(id).getOrElse(return None))
+      case None => meta.currentSnapshot
+    }
+    snapOpt match {
+      case None => Some(MetadataAggInfo(0L, None, Map.empty, Map.empty))
+      case Some(snap) =>
+        val data = log.readManifestListData(snap)
+        if (data.liveDeletes.nonEmpty) return None
+        val refs = data.manifests
+        val rows = refs.map(_.rows).sum
+        if (rows == 0L) return Some(MetadataAggInfo(0L, None, Map.empty, Map.empty))
+        val keyBounds =
+          if (refs.forall(r => r.minKeyUs.isDefined && r.maxKeyUs.isDefined))
+            Some((refs.flatMap(_.minKeyUs).min, refs.flatMap(_.maxKeyUs).max))
+          else None
+        val boundCols = refs.flatMap(_.columnBounds.getOrElse(Nil))
+          .filter(!_.isString).map(_.column).distinct
+        val colBounds = boundCols.flatMap { c =>
+          val per = refs.map(_.columnBounds.flatMap(_.find(b =>
+            b.column == c && !b.isString)))
+          if (per.exists(_.isEmpty)) None
+          else Some(c -> (per.flatten.map(_.min).min, per.flatten.map(_.max).max))
+        }.toMap
+        val nullCols = refs.flatMap(_.columnNulls.getOrElse(Map.empty).keys).distinct
+        val colNulls = nullCols.flatMap { c =>
+          val per = refs.map(_.columnNulls.flatMap(_.get(c)))
+          if (per.exists(_.isEmpty)) None else Some(c -> per.flatten.sum)
+        }.toMap
+        Some(MetadataAggInfo(rows, keyBounds, colBounds, colNulls))
+    }
+  }
+
+  /** The snapshot's full per-file manifest entries when they are
+    * provably the complete row inventory — i.e. NO live merge-on-read
+    * delete files (a mask can logically remove any row). The
+    * per-partition-dir complement of [[metadataAggInfo]]: group-by
+    * metadata aggregation reads per-file rows/bounds/null-counts
+    * grouped by [[DataFile.partitionSegments]]. Parses manifests
+    * (cached), never data. `dirRestrict` narrows the PARSE SET through
+    * the manifest-list partition-value summaries first — a manifest
+    * whose recorded summary excludes every restricted value holds NO
+    * matching file (summaries are recorded only when every member
+    * carries the dir level), so an identity-restricted aggregate
+    * parses only the restriction's own manifests, exactly like the
+    * scan path.
+    */
+  def metadataFileEntries(
+      pinnedSnapshot: Option[Long] = None,
+      dirRestrict: Seq[(String, Set[String])] = Nil,
+      /** When set, manifests (and callers' files) provably outside this
+        * CLOSED key-micros range are dropped before parsing — they hold
+        * no row the range aggregate could count or scan.
+        */
+      keyRangeUs: Option[(Long, Long)] = None): Option[Seq[DataFile]] = {
+    val meta = metadata
+    val snapOpt = pinnedSnapshot match {
+      case Some(id) => Some(meta.snapshotById(id).getOrElse(return None))
+      case None => meta.currentSnapshot
+    }
+    snapOpt match {
+      case None => Some(Nil)
+      case Some(snap) =>
+        val data = log.readManifestListData(snap)
+        if (data.liveDeletes.nonEmpty) None
+        else {
+          val refs = data.manifests
+            .filter(r => dirRestrict.forall {
+              case (field, vals) => vals.exists(v => r.mayContainPartitionValue(field, v))
+            })
+            .filter(r => keyRangeUs.forall { case (lo, hi) => r.overlaps(lo, hi) })
+          Some(log.readManifests(refs).flatten)
+        }
+    }
+  }
+
+  /** DataFrame over an explicit file subset of the table, with NO
+    * merge-on-read masks applied — callers must have proven none are
+    * live (the metadata range aggregate gates on exactly that before
+    * scanning only its boundary files).
+    */
+  private[graft] def readFilesSubset(files: Seq[DataFile]): DataFrame =
+    readWithDeletes(files, Nil)
 
   /** DataFrame of the table at its current snapshot. */
   def read(): DataFrame = readSnapshot(metadata.currentSnapshot)
@@ -2999,6 +3151,14 @@ final class LakehouseTable(
       math.min(64, math.max(1, n))
     }.getOrElse(16)
 
+  /** The table's declared `write.stats-columns` — every rewrite path
+    * (append, compact, binpack, z-order) records bounds + null counts
+    * for these, so no maintenance verb ever downgrades skipping.
+    */
+  private def declaredStatsCols(meta: TableMetadata): Seq[String] =
+    meta.props.get("write.stats-columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
   private def moveStaged(
       meta: TableMetadata, staging: Path, extraStatCols: Seq[String] = Nil,
       /** Already-qualified staged paths from a caller that listed the
@@ -3064,7 +3224,8 @@ final class LakehouseTable(
       val fi = preStats.flatMap(_.get(src)) match {
         case Some(pre) =>
           pre.copy(bounds = pre.bounds.filter(c => extraStatCols.contains(c.column)),
-            nulls = pre.nulls.filter(c => extraStatCols.contains(c._1)))
+            nulls = pre.nulls.filter(c =>
+              extraStatCols.contains(c._1) || keyCol.contains(c._1)))
         case None => footerInfo(dest, keyCol, extraStatCols)
       }
       renameNs.addAndGet(tF - tR)
@@ -4258,7 +4419,13 @@ final class LakehouseTable(
     }
     withBloomOption(meta, writer).parquet(staging.toString)
 
-    val moved = attachKeyBlooms(meta, moveStaged(meta, staging))
+    // rewritten files KEEP the table's declared secondary stats (round
+    // 15): compaction previously recorded key bounds only, silently
+    // downgrading stats-column pruning (and the metadata-aggregate
+    // answers that ride the same roll-ups) until a later manifest
+    // rewrite backfilled the bounds from a second footer pass
+    val moved = attachKeyBlooms(meta,
+      moveStaged(meta, staging, extraStatCols = declaredStatsCols(meta)))
     // manifest-list REPLACES the previous one (addedRows 0: a compaction
     // moves rows, it does not add any). totalRows is recounted from the
     // output: with MoR deletes folded it is the first commit whose
@@ -4330,7 +4497,8 @@ final class LakehouseTable(
     val writer = withBloomOption(meta, sorted.write.mode("overwrite"))
     (if (pcs.nonEmpty) writer.partitionBy(pcs: _*) else writer).parquet(staging.toString)
 
-    val moved = attachKeyBlooms(meta, moveStaged(meta, staging))
+    val moved = attachKeyBlooms(meta,
+      moveStaged(meta, staging, extraStatCols = declaredStatsCols(meta)))
     val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
     val keptRefs = rewriteRefs(refsWithFiles, rewritePaths, snapId)
     val keptRows = files.filterNot(f => rewritePaths.contains(f.path)).map(_.rows).sum
@@ -4407,7 +4575,8 @@ final class LakehouseTable(
       case cols => withBloomOption(meta, writer).partitionBy(cols: _*)
     }).parquet(staging.toString)
 
-    val moved = attachKeyBlooms(meta, moveStaged(meta, staging, extraStatCols = zCols))
+    val moved = attachKeyBlooms(meta, moveStaged(meta, staging,
+      extraStatCols = (zCols ++ declaredStatsCols(meta)).distinct))
     commitSnapshot(meta, version, moved, "compact", Some(Nil),
       totalRows = moved.map(_.rows).sum, addedRowsOverride = Some(0L),
       deletesOverride = Some(Nil))
@@ -4804,11 +4973,18 @@ final class LakehouseTable(
               case _ => ()
             }
           }
-          if (extraSet.contains(name)) {
-            // NULL counts: summed only when every row group reports one
+          // NULL counts: summed only when every row group reports one.
+          // The KEY column's count rides along even when it is not a
+          // declared stats column (round 15): it is what lets a
+          // metadata aggregate count rows of a bounds-interior file
+          // exactly — `rows - keyNulls` — instead of scanning it (a
+          // file's key bounds say nothing about its null-key rows).
+          if (extraSet.contains(name) || keyCol.contains(name)) {
             if (st != null && st.isNumNullsSet)
               nullsSum(name) = nullsSum.getOrElse(name, 0L) + st.getNumNulls
             else nullsUnknown += name
+          }
+          if (extraSet.contains(name)) {
             val allNull = st != null && st.isNumNullsSet &&
               st.getNumNulls == b.getRowCount
             if (st != null && st.hasNonNullValue) {
@@ -4876,7 +5052,8 @@ final class LakehouseTable(
         }
       FooterInfo(rows, lo, hi, boundsOut,
         bloomBlocks.collect { case (c, n) if n == nBlocks => c }.toSeq.sorted,
-        nulls = extraCols.filterNot(nullsUnknown.contains)
+        nulls = (extraCols ++ keyCol.filterNot(extraCols.contains))
+          .filterNot(nullsUnknown.contains)
           .flatMap(c => nullsSum.get(c).map(c -> _)))
     } finally in.close()
   }
@@ -5216,6 +5393,29 @@ object LakehouseTable {
         c == '\u007F' || c == '{' || c == '[' || c == ']' || c == '^'
     if (!s.exists(needsEscaping)) s
     else s.flatMap(c => if (needsEscaping(c)) f"%%${c.toInt}%02X" else c.toString)
+  }
+
+  /** Inverse of [[escapeDirValue]] — decodes `%XX` byte escapes back to
+    * the original partition VALUE. `None` on a malformed escape (a
+    * truncated or non-hex `%` sequence): callers treating dir values as
+    * exact column values (metadata GROUP BY) must bail rather than
+    * serve a garbled group key.
+    */
+  def unescapeDirValue(s: String): Option[String] = {
+    if (!s.contains('%')) return Some(s)
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%') {
+        if (i + 3 > s.length) return None
+        val hex = s.substring(i + 1, i + 3)
+        val v = try Integer.parseInt(hex, 16) catch { case _: NumberFormatException => return None }
+        out.append(v.toChar)
+        i += 3
+      } else { out.append(c); i += 1 }
+    }
+    Some(out.toString)
   }
 
   /** Bucket count of a `bucket[N]` granularity, None for the rest. */

@@ -22,7 +22,7 @@ object PredicateBounds {
     * the plain >=/<= conjuncts. Without this, the commonest
     * range-predicate spelling extracted nothing.
     */
-  private def normalize(e: Expression): Expression = e match {
+  private[graft] def normalize(e: Expression): Expression = e match {
     case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
       normalize(r.replacement)
     case w: org.apache.spark.sql.catalyst.expressions.With =>

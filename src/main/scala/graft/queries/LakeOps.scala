@@ -1953,6 +1953,172 @@ object LakeOps {
       .withColumn("intersected_below_secondary_dim", lit(sBoth < sUid))
   }
 
+  /** Metadata-only aggregate pushdown (round 15 extension — Iceberg's
+    * metadata-count analog): an unfiltered `count(*) / count(col) /
+    * min / max` over a graft SQL table is answered from the manifest
+    * roll-ups alone — at 100 TB one manifest-list read instead of a
+    * 10⁶-file scan. The flow proves four facts, all riding the oracle
+    * hash: (i) the six-aggregate query matches DuckDB exactly AFTER a
+    * copy-on-write DELETE (the rewrite keeps the inventory provable),
+    * (ii) its plan scanned ZERO data files, (iii) time travel to the
+    * pre-delete snapshot is also metadata-only, and (iv) a live
+    * merge-on-read mask makes the SAME query fall back to an exact
+    * scan — a mask can remove any row, so nothing is provable until
+    * compaction folds it.
+    */
+  def sqlAggPushdownFlow(s: SparkSession, dir: String): DataFrame = {
+    val wh = freshWarehouse("graft-aggp")
+    val cat = s"graft_sql_${sqlCatalogRuns.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gold")
+    val ev = graft.Tables.t(s, dir, "events")
+      .select(col("ts").cast(TimestampType).as("ts"), col("user_id"),
+        when(pmod(col("user_id"), lit(8)) < 4, col("user_id")).as("opt_uid"),
+        col("value"))
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+    val table = LakehouseTable.createIfNotExists(
+      s, new org.apache.hadoop.fs.Path(wh, "gold/agg"), ev.schema, Some("ts"))
+    table.setProperty("write.stats-columns", "user_id,opt_uid")
+    // residue-split files: half are ALL-null on opt_uid (no bounds, but
+    // null counts = rows), so count(opt_uid) exercises the null
+    // roll-up path rather than riding on bounds presence
+    table.append(ev.repartition(8, pmod(col("user_id"), lit(8))))
+    val vPre = table.metadata.currentSnapshotId.get
+    s.sql(s"DELETE FROM $cat.gold.agg WHERE user_id % 10 = 3")
+    val q = s.sql(
+      s"""SELECT count(*) AS n_rows,
+         |       count(opt_uid) AS n_opt,
+         |       unix_micros(min(ts)) AS min_ts_us,
+         |       unix_micros(max(ts)) AS max_ts_us,
+         |       min(user_id) AS min_uid,
+         |       max(user_id) AS max_uid
+         |FROM $cat.gold.agg""".stripMargin)
+    val aggMetadataOnly = scannedFiles(q) == 0
+    val qTt = s.sql(
+      s"SELECT count(*) AS n_rows_pre FROM $cat.gold.agg VERSION AS OF $vPre")
+    val ttMetadataOnly = scannedFiles(qTt) == 0
+    // plans above are frozen at sql()-analysis time, so the mask below
+    // cannot leak into their answers; the post-mask query must WANT the
+    // mask — and therefore must scan
+    table.morDeleteKeys(
+      ev.filter(second(col("ts")) === 13).select("ts"), "ts")
+    val qMask = s.sql(s"SELECT count(*) AS n_rows_masked FROM $cat.gold.agg")
+    val maskFellBack = scannedFiles(qMask) > 0
+    q.crossJoin(qTt).crossJoin(qMask)
+      .withColumn("agg_metadata_only", lit(aggMetadataOnly))
+      .withColumn("tt_metadata_only", lit(ttMetadataOnly))
+      .withColumn("mask_fallback_scans", lit(maskFellBack))
+  }
+
+  /** GROUP BY an identity partition column answered from manifest
+    * entries alone (round 15 — the partition-level extension of
+    * [[sqlAggPushdownFlow]]): per-dir row counts ARE per-value counts
+    * under the identity invariant, so `SELECT sym, count(*), min/max …
+    * GROUP BY sym` — the per-symbol coverage dashboard — plans ZERO
+    * data files and no shuffle. `SELECT DISTINCT sym` rides the same
+    * path. A filtered variant must fall back to an exact scan: both
+    * plan facts ride the oracle hash next to the grouped values
+    * themselves.
+    */
+  def sqlGroupPushdownFlow(s: SparkSession, dir: String): DataFrame = {
+    val wh = freshWarehouse("graft-gagg")
+    val cat = s"graft_sql_${sqlCatalogRuns.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gold")
+    val ev = graft.Tables.t(s, dir, "events")
+      .select(
+        concat(lit("s"), pmod(col("user_id"), lit(8)).cast("string")).as("sym"),
+        col("ts").cast(TimestampType).as("ts"), col("user_id"),
+        when(pmod(col("user_id"), lit(8)) < 4, col("user_id")).as("opt_uid"),
+        col("value"))
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+    val table = LakehouseTable.createIfNotExists(
+      s, new org.apache.hadoop.fs.Path(wh, "gold/gagg"), ev.schema,
+      Seq("sym" -> "identity", "ts" -> "day"))
+    table.setProperty("write.stats-columns", "user_id,opt_uid")
+    // two commits → ≥2 files per symbol dir, so per-group facts fold
+    // across files, not just read one entry
+    (0 until 2).foreach(r =>
+      table.append(ev.filter(pmod(col("user_id"), lit(2)) === r)))
+    val qG = s.sql(
+      s"""SELECT sym, count(*) AS n_rows, count(opt_uid) AS n_opt,
+         |       unix_micros(min(ts)) AS mn_ts_us,
+         |       unix_micros(max(ts)) AS mx_ts_us,
+         |       min(user_id) AS mn_uid, max(user_id) AS mx_uid
+         |FROM $cat.gold.gagg GROUP BY sym""".stripMargin)
+    val gOnly = scannedFiles(qG) == 0
+    val qD = s.sql(s"SELECT DISTINCT sym FROM $cat.gold.gagg")
+    val dOnly = scannedFiles(qD) == 0 && qD.count() == 8
+    val qF = s.sql(
+      s"SELECT count(*) AS n FROM $cat.gold.gagg WHERE value > 0")
+    val fFellBack = scannedFiles(qF) > 0
+    val nFiltered = qF.head().getLong(0)
+    // a PURE identity restriction keeps the aggregate metadata-only:
+    // the dir's files hold exactly the dir value's rows
+    val qR = s.sql(
+      s"""SELECT count(*) AS n, max(user_id) AS mx
+         |FROM $cat.gold.gagg WHERE sym = 's3'""".stripMargin)
+    val rOnly = scannedFiles(qR) == 0
+    val rRow = qR.head()
+    // HYBRID time-range count (round 15): a range covering every file's
+    // bounds counts from metadata alone (scan 0); shaving one µs off
+    // both extremes makes the extreme files boundary-straddle — the
+    // hybrid scans ONLY those and adds the interior from metadata. The
+    // min/max probe itself is the min/max pushdown.
+    val mm = s.sql(
+      s"SELECT unix_micros(min(ts)) AS mn, unix_micros(max(ts)) AS mx FROM $cat.gold.gagg")
+    val mmOnly = scannedFiles(mm) == 0
+    val mmRow = mm.head()
+    val (mnUs, mxUs) = (mmRow.getLong(0), mmRow.getLong(1))
+    val zone = java.time.ZoneId.of(s.sessionState.conf.sessionLocalTimeZone)
+    val litFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    def tsLit(us: Long): String = {
+      val ldt = java.time.Instant.EPOCH
+        .plus(us, java.time.temporal.ChronoUnit.MICROS).atZone(zone).toLocalDateTime
+      s"TIMESTAMP '${litFmt.format(ldt)}'"
+    }
+    val qCover = s.sql(
+      s"""SELECT count(*) AS n FROM $cat.gold.gagg
+         |WHERE ts >= ${tsLit(mnUs)} AND ts <= ${tsLit(mxUs)}""".stripMargin)
+    val coverOnly = scannedFiles(qCover) == 0
+    val nCover = qCover.head().getLong(0)
+    val qStr = s.sql(
+      s"""SELECT count(*) AS n FROM $cat.gold.gagg
+         |WHERE ts >= ${tsLit(mnUs + 1)} AND ts <= ${tsLit(mxUs - 1)}""".stripMargin)
+    val sStr = scannedFiles(qStr)
+    val strBoundary = sStr > 0 && sStr < table.currentDataFiles.size
+    val nStr = qStr.head().getLong(0)
+    // GROUPED counts under a DAY-ALIGNED range (round 15): files are
+    // day-dir-bounded, so an aligned bound never splits one — every
+    // overlapping file is interior and the per-symbol counts stay
+    // metadata-only
+    val dayLoUs = (Math.floorDiv(mnUs, 86400000000L) + 1) * 86400000000L
+    val qGR = s.sql(
+      s"""SELECT sym, count(*) AS n FROM $cat.gold.gagg
+         |WHERE ts >= ${tsLit(dayLoUs)} GROUP BY sym""".stripMargin)
+    val grOnly = scannedFiles(qGR) == 0
+    val grAgg = qGR.agg(count(lit(1)).as("g"),
+      sum(col("n")).cast(LongType).as("r")).head()
+    qG.withColumn("n_filtered", lit(nFiltered))
+      .withColumn("n_sym3", lit(rRow.getLong(0)))
+      .withColumn("mx_sym3_uid", lit(rRow.getLong(1)))
+      .withColumn("n_cover", lit(nCover))
+      .withColumn("n_straddle", lit(nStr))
+      .withColumn("n_range_groups", lit(grAgg.getLong(0)))
+      .withColumn("n_range_rows", lit(grAgg.getLong(1)))
+      .withColumn("group_metadata_only", lit(gOnly))
+      .withColumn("distinct_metadata_only", lit(dOnly))
+      .withColumn("filtered_fallback_scans", lit(fFellBack))
+      .withColumn("restricted_metadata_only", lit(rOnly))
+      .withColumn("minmax_metadata_only", lit(mmOnly))
+      .withColumn("cover_metadata_only", lit(coverOnly))
+      .withColumn("straddle_boundary_scan", lit(strBoundary))
+      .withColumn("grouped_range_metadata_only", lit(grOnly))
+      .orderBy("sym") // the driver's hash is row-order-sensitive
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
       "q_lake_sql_string_skip",
@@ -2090,6 +2256,73 @@ object LakeOps {
              |       true AS halfopen_pruned
              |FROM e, m
              |WHERE uid_s BETWEEN lo AND hi""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_agg_pushdown",
+      sqlAggPushdownFlow,
+      Some("""WITH e AS (
+             |  SELECT ts, user_id,
+             |         CASE WHEN user_id % 8 < 4 THEN user_id END AS opt_uid
+             |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             |), s AS (
+             |  SELECT * FROM e WHERE user_id % 10 <> 3
+             |)
+             |SELECT (SELECT count(*) FROM s) AS n_rows,
+             |       (SELECT count(opt_uid) FROM s) AS n_opt,
+             |       (SELECT min(epoch_us(ts)) FROM s) AS min_ts_us,
+             |       (SELECT max(epoch_us(ts)) FROM s) AS max_ts_us,
+             |       (SELECT min(user_id) FROM s) AS min_uid,
+             |       (SELECT max(user_id) FROM s) AS max_uid,
+             |       (SELECT count(*) FROM e) AS n_rows_pre,
+             |       (SELECT count(*) FROM s WHERE second(ts) <> 13)
+             |         AS n_rows_masked,
+             |       true AS agg_metadata_only,
+             |       true AS tt_metadata_only,
+             |       true AS mask_fallback_scans""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_group_pushdown",
+      sqlGroupPushdownFlow,
+      Some("""WITH e AS (
+             |  SELECT concat('s', CAST(user_id % 8 AS VARCHAR)) AS sym,
+             |         ts, user_id,
+             |         CASE WHEN user_id % 8 < 4 THEN user_id END AS opt_uid,
+             |         value
+             |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             |)
+             |SELECT sym,
+             |       count(*) AS n_rows,
+             |       count(opt_uid) AS n_opt,
+             |       min(epoch_us(ts)) AS mn_ts_us,
+             |       max(epoch_us(ts)) AS mx_ts_us,
+             |       min(user_id) AS mn_uid,
+             |       max(user_id) AS mx_uid,
+             |       (SELECT count(*) FROM e WHERE value > 0) AS n_filtered,
+             |       (SELECT count(*) FROM e WHERE sym = 's3') AS n_sym3,
+             |       (SELECT max(user_id) FROM e WHERE sym = 's3') AS mx_sym3_uid,
+             |       (SELECT count(*) FROM e) AS n_cover,
+             |       (SELECT count(*) FROM e
+             |        WHERE ts > (SELECT min(ts) FROM e)
+             |          AND ts < (SELECT max(ts) FROM e)) AS n_straddle,
+             |       (SELECT count(*) FROM (
+             |          SELECT sym FROM e
+             |          WHERE ts >= date_trunc('day', (SELECT min(ts) FROM e))
+             |            + INTERVAL 1 DAY
+             |          GROUP BY sym)) AS n_range_groups,
+             |       (SELECT count(*) FROM e
+             |        WHERE ts >= date_trunc('day', (SELECT min(ts) FROM e))
+             |          + INTERVAL 1 DAY) AS n_range_rows,
+             |       true AS group_metadata_only,
+             |       true AS distinct_metadata_only,
+             |       true AS filtered_fallback_scans,
+             |       true AS restricted_metadata_only,
+             |       true AS minmax_metadata_only,
+             |       true AS cover_metadata_only,
+             |       true AS straddle_boundary_scan,
+             |       true AS grouped_range_metadata_only
+             |FROM e GROUP BY sym ORDER BY sym""".stripMargin)
     ),
 
     QuerySpec(

@@ -1,8 +1,9 @@
 package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias, V2WriteCommand}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NamedExpression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, OneRowRelation, Project, SubqueryAlias, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
@@ -32,6 +33,20 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
     def unapply(plan: LogicalPlan): Option[DataSourceV2Relation] = plan match {
       case SubqueryAlias(_, child) => unapply(child)
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSqlTable] => Some(r)
+      case _ => None
+    }
+  }
+
+  /** A graft data relation, optionally under a pure column-pruning
+    * Project (bare attribute refs keep the relation's expr ids, so an
+    * aggregate above resolves identically) — the shapes the metadata
+    * aggregate rewrite accepts as "directly over the table".
+    */
+  private object BareRelation {
+    def unapply(plan: LogicalPlan): Option[DataSourceV2Relation] = plan match {
+      case Aliased(r) => Some(r)
+      case Project(ps, Aliased(r)) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        Some(r)
       case _ => None
     }
   }
@@ -225,6 +240,76 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         // relation, which would need a real DSv2 Batch; a command keeps
         // the whole row-level write on the engine's own commit protocol.
         GraftDeleteCommand(r.table.asInstanceOf[GraftSqlTable], cond)
+      case agg @ Aggregate(_, _, BareRelation(r), _)
+          if r.table.isInstanceOf[GraftSqlTable] &&
+            session.conf.get("spark.graft.sql.metadata-aggregates", "true").toBoolean =>
+        // unfiltered whole-table aggregate: answered from manifest
+        // stats alone when provable (Iceberg metadata-count analog) —
+        // at 100 TB, `SELECT count(*) FROM t` becomes one manifest-list
+        // read instead of a 10⁶-file scan, and `GROUP BY <identity
+        // partition col>` (incl. SELECT DISTINCT) a manifest parse
+        // instead of a full-table shuffle. Falls through to the normal
+        // expansion whenever any aggregate isn't metadata-provable.
+        {
+          val gt = r.table.asInstanceOf[GraftSqlTable]
+          (if (agg.groupingExpressions.isEmpty) metadataAggregate(agg, gt)
+           else metadataGroupAggregate(agg, gt))
+            .getOrElse(agg.mapChildren(expand))
+        }
+      case agg @ Aggregate(_, _, Filter(cond, BareRelation(r)), _)
+          if r.table.isInstanceOf[GraftSqlTable] &&
+            session.conf.get("spark.graft.sql.metadata-aggregates", "true").toBoolean =>
+        // aggregate under a PURE identity-partition restriction
+        // (`WHERE sym = 'A'` / `sym IN (…)`): the identity invariant
+        // makes the file subset EXACT — a dir's files hold exactly the
+        // dir value's rows — so `SELECT count(*) FROM t WHERE sym='A'`
+        // (the per-symbol dashboard count) is still metadata-only.
+        // A key TIME-RANGE conjunct (`ts >= … AND ts < …`) switches
+        // count(*) to the HYBRID: bounds-interior files count from
+        // metadata, only boundary-straddling files scan. Any other
+        // predicate shape falls through to the pruned scan.
+        {
+          val gt = r.table.asInstanceOf[GraftSqlTable]
+          splitRestriction(cond, gt).flatMap {
+            case (ids, None) if ids.nonEmpty =>
+              if (agg.groupingExpressions.isEmpty)
+                metadataAggregate(agg, gt, Some(ids))
+              else metadataGroupAggregate(agg, gt, Some(ids))
+            case (ids, Some(range)) if agg.groupingExpressions.isEmpty =>
+              hybridRangeCount(agg, gt, r, cond, ids, range)
+            case (ids, Some(range)) =>
+              // grouped counts under a range: metadata-only when every
+              // overlapping file is bounds-interior (no straddlers)
+              metadataGroupAggregate(agg, gt,
+                Some(ids).filter(_.nonEmpty), Some(range))
+          }.getOrElse(agg.mapChildren(expand))
+        }
+      case d @ org.apache.spark.sql.catalyst.plans.logical.Distinct(child @ BareRelation(r))
+          if r.table.isInstanceOf[GraftSqlTable] &&
+            session.conf.get("spark.graft.sql.metadata-aggregates", "true").toBoolean =>
+        // SELECT DISTINCT k is still `Distinct` at analysis time
+        // (ReplaceDistinctWithAggregate is an optimizer rule) — treat
+        // it as the GROUP BY it will become
+        metadataGroupAggregate(
+          Aggregate(child.output, child.output, child),
+          r.table.asInstanceOf[GraftSqlTable])
+          .getOrElse(d.mapChildren(expand))
+      case d @ org.apache.spark.sql.catalyst.plans.logical.Distinct(
+          child @ Project(ps, Filter(cond, BareRelation(r))))
+          if ps.forall(_.isInstanceOf[AttributeReference]) &&
+            r.table.isInstanceOf[GraftSqlTable] &&
+            session.conf.get("spark.graft.sql.metadata-aggregates", "true").toBoolean =>
+        // DISTINCT under a pure identity restriction (`SELECT DISTINCT
+        // sym FROM t WHERE region = 'x'`) — the restricted file subset
+        // is exact, so the distinct dir values of that subset are the
+        // answer
+        {
+          val gt = r.table.asInstanceOf[GraftSqlTable]
+          identityRestriction(cond, gt).flatMap(rs =>
+            metadataGroupAggregate(
+              Aggregate(child.output, child.output, child), gt, Some(rs)))
+            .getOrElse(d.mapChildren(expand))
+        }
       case f @ Filter(cond, Aliased(r)) =>
         // filter directly over the relation: expand WITH manifest
         // pruning, keep the exact filter on top
@@ -237,6 +322,602 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
     expanded.transformExpressionsDown {
       case se: SubqueryExpression => se.withNewPlan(expand(se.plan))
     }
+  }
+
+  /** `SELECT count(*) / min(k) / max(k) / count(c) / min(c) / max(c)
+    * FROM t [VERSION AS OF v]` answered from manifest stats alone
+    * (round 15 — the Iceberg metadata-aggregate analog). Every
+    * [[org.apache.spark.sql.catalyst.expressions.aggregate
+    * .AggregateExpression]] in the list must be provable or the whole
+    * plan is left for the normal scan expansion — correctness never
+    * depends on this rewrite, it only removes the scan when the
+    * manifest roll-ups already hold the answer. Provable means:
+    * no live merge-on-read masks (a mask can remove any row, including
+    * an extreme), no FILTER clause, count of a non-null literal (=
+    * `count(*)`) or of a stats column with complete null roll-ups, and
+    * min/max of the partition-source key or of an integral/timestamp
+    * stats column with complete bounds roll-ups. Strings are excluded
+    * (their manifest bounds are TRUNCATED — a prefix is not the
+    * extreme); doubles are excluded (their bounds are floor/ceil
+    * widened at record time); renamed columns are excluded (pre-rename
+    * manifest entries carry the historical name, so the current name's
+    * roll-up is incomplete). Disabled by setting
+    * `spark.graft.sql.metadata-aggregates=false`.
+    */
+  /** The condition split into (pure identity restriction, pure key
+    * time-range): Some iff EVERY conjunct is one or the other —
+    * identity conjuncts are `col = lit` / `col IN (lits)` on identity
+    * partition columns of exact string/integral type (repeated columns
+    * intersect); range conjuncts are `</<=/>/>=/=/BETWEEN` bounds on
+    * the partition-source key against same-typed literals, normalized
+    * to ONE closed micros range (strict bounds shift by ±1 µs — exact
+    * for integral micros; a saturated shift bails). None for any other
+    * shape — a residual conjunct would make the file subset an
+    * over-approximation, which aggregation (unlike scan pruning) can
+    * never tolerate.
+    */
+  private def splitRestriction(cond: Expression, g: GraftSqlTable)
+      : Option[(Seq[(String, Set[String])], Option[(Long, Long)])] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val meta = g.lt.metadata
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl)
+    val idFields = meta.specList.flatMap(_.fields).distinct.filter(_.transform == "identity")
+    val keyCol = meta.statsSource
+      .filterNot(meta.aliasMap.contains)
+      .filter(schema.fieldNames.contains)
+      .filter(k => schema(k).dataType match {
+        case TimestampType | TimestampNTZType | LongType => true
+        case _ => false
+      })
+    def fieldFor(a: AttributeReference): Option[String] =
+      if (meta.aliasMap.contains(a.name) || !schema.fieldNames.contains(a.name)) None
+      else a.dataType match {
+        case StringType | LongType | IntegerType =>
+          idFields.find(_.source == a.name).map(_.name)
+        case _ => None
+      }
+    // the literal rendered exactly as the partition writer renders the
+    // dir value (String.valueOf, then hive escaping); null literals
+    // bail — `col = NULL` matches nothing and the optimizer folds it
+    def dirValue(a: AttributeReference, l: Literal): Option[String] =
+      if (l.value == null || l.dataType != a.dataType) None
+      else Some(graft.lake.LakehouseTable.escapeDirValue(l.value.toString))
+    def keyMicros(a: AttributeReference, l: Literal): Option[Long] =
+      if (!keyCol.contains(a.name) || l.value == null || l.dataType != a.dataType) None
+      else Some(l.value.asInstanceOf[Long])
+    def conjuncts(e: Expression): Seq[Expression] =
+      graft.lake.PredicateBounds.normalize(e) match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case o => Seq(o)
+      }
+    sealed trait Part
+    final case class IdPart(field: String, vals: Set[String]) extends Part
+    final case class RangePart(lo: Option[Long], hi: Option[Long]) extends Part
+    def eqPart(a: AttributeReference, l: Literal): Option[Part] =
+      (fieldFor(a), dirValue(a, l)) match {
+        case (Some(f), Some(v)) => Some(IdPart(f, Set(v)))
+        case _ => keyMicros(a, l).map(m => RangePart(Some(m), Some(m)))
+      }
+    def classify(e: Expression): Option[Part] = e match {
+      case EqualTo(a: AttributeReference, l: Literal) => eqPart(a, l)
+      case EqualTo(l: Literal, a: AttributeReference) => eqPart(a, l)
+      case org.apache.spark.sql.catalyst.expressions.In(a: AttributeReference, ls)
+          if ls.nonEmpty && ls.forall(_.isInstanceOf[Literal]) =>
+        fieldFor(a).flatMap { f =>
+          val vs = ls.map(l => dirValue(a, l.asInstanceOf[Literal]))
+          if (vs.exists(_.isEmpty)) None else Some(IdPart(f, vs.flatten.toSet))
+        }
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        keyMicros(a, l).map(m => RangePart(Some(m), None))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        keyMicros(a, l).filter(_ != Long.MaxValue).map(m => RangePart(Some(m + 1), None))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        keyMicros(a, l).map(m => RangePart(None, Some(m)))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        keyMicros(a, l).filter(_ != Long.MinValue).map(m => RangePart(None, Some(m - 1)))
+      // literal-first spellings mirror with flipped directions
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        keyMicros(a, l).map(m => RangePart(None, Some(m)))
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        keyMicros(a, l).filter(_ != Long.MinValue).map(m => RangePart(None, Some(m - 1)))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        keyMicros(a, l).map(m => RangePart(Some(m), None))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        keyMicros(a, l).filter(_ != Long.MaxValue).map(m => RangePart(Some(m + 1), None))
+      case _ => None
+    }
+    val parts = conjuncts(cond).map(e => classify(e).getOrElse(return None))
+    val idParts = parts.collect { case p: IdPart => (p.field, p.vals) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).reduce(_ intersect _))
+      .toSeq.sortBy(_._1)
+    val ranges = parts.collect { case p: RangePart => p }
+    val range =
+      if (ranges.isEmpty) None
+      else Some((ranges.flatMap(_.lo).foldLeft(Long.MinValue)(math.max),
+        ranges.flatMap(_.hi).foldLeft(Long.MaxValue)(math.min)))
+    if (idParts.isEmpty && range.isEmpty) None else Some((idParts, range))
+  }
+
+  /** [[splitRestriction]] narrowed to the pure-identity case — the
+    * shape the grouped paths and DISTINCT-under-filter accept.
+    */
+  private def identityRestriction(
+      cond: Expression, g: GraftSqlTable): Option[Seq[(String, Set[String])]] =
+    splitRestriction(cond, g).collect {
+      case (ids, None) if ids.nonEmpty => ids
+    }
+
+  /** `SELECT count(*) FROM t WHERE ts >= lo AND ts < hi` (the "count
+    * last N days" dashboard shape), HYBRID-answered: files whose key
+    * bounds sit ENTIRELY inside the closed range contribute
+    * `rows − keyNulls` from their manifest entries (the key-null count
+    * rides every footer read since round 15 — bounds say nothing about
+    * null-key rows, which the predicate excludes), files provably
+    * outside contribute nothing, and only the handful of
+    * boundary-straddling files are scanned with the exact predicate.
+    * At day-partitioned 100 TB that is two boundary days of I/O
+    * instead of the whole range. Composes with an identity restriction
+    * (`WHERE sym='A' AND ts >= …`). Emits a pure-metadata one-row plan
+    * when no boundary file exists; declines (normal pruned scan) when
+    * nothing is interior — the hybrid would then be the same scan with
+    * extra plan machinery. count(*) only: an extreme or a non-key
+    * count inside a range needs row-level information metadata cannot
+    * subset.
+    */
+  private def hybridRangeCount(
+      agg: Aggregate, g: GraftSqlTable, r: DataSourceV2Relation,
+      cond: Expression, idParts: Seq[(String, Set[String])],
+      range: (Long, Long)): Option[LogicalPlan] = {
+    val (lo, hi) = range
+    val countableOnly = !agg.aggregateExpressions.exists(_.exists {
+      case ae: AggregateExpression =>
+        ae.filter.isDefined || (ae.aggregateFunction match {
+          case Count(Seq(l: Literal)) => l.value == null || ae.isDistinct
+          case _ => true
+        })
+      case _ => false
+    })
+    if (!countableOnly) return None
+    val meta = g.lt.metadata
+    val keyCol = meta.statsSource.getOrElse(return None)
+    val entries0 = g.lt.metadataFileEntries(g.pinnedSnapshot,
+      dirRestrict = idParts, keyRangeUs = Some((lo, hi))).getOrElse(return None)
+    val entries =
+      if (idParts.isEmpty) entries0
+      else restrictEntries(entries0, idParts).getOrElse(return None)
+    var interior = 0L
+    val boundary = scala.collection.mutable.ArrayBuffer.empty[graft.lake.DataFile]
+    entries.foreach { f =>
+      (f.minKeyUs, f.maxKeyUs) match {
+        case (Some(mn), Some(mx)) if mx < lo || mn > hi => () // provably outside
+        case (Some(mn), Some(mx)) if mn >= lo && mx <= hi =>
+          f.colNulls.flatMap(_.get(keyCol)) match {
+            case Some(n) => interior += f.rows - n
+            case None => boundary += f // null-key share unknown → scan
+          }
+        case _ => boundary += f
+      }
+    }
+    if (boundary.isEmpty) {
+      val rewritten = agg.aggregateExpressions.map(_.transformUp {
+        case _: AggregateExpression => Literal(interior)
+      }.asInstanceOf[NamedExpression])
+      return Some(Project(rewritten, OneRowRelation()))
+    }
+    if (interior == 0L) return None // hybrid degenerates to the plain scan
+    val child0 = g.lt.readFilesSubset(boundary.toSeq).queryExecution.analyzed
+    // re-alias the subset scan to the relation's attribute ids so the
+    // ORIGINAL condition (and nothing else) applies verbatim on top
+    val reProj = Project(
+      r.output.map { target =>
+        val src = child0.output.find(_.name == target.name).getOrElse(return None)
+        Alias(src, target.name)(exprId = target.exprId)
+      }, child0)
+    val cntAlias = Alias(
+      Count(Literal(1)).toAggregateExpression(), "_graft_boundary_count")()
+    val inner = Aggregate(Nil, Seq(cntAlias), Filter(cond, reProj))
+    val cntAttr = cntAlias.toAttribute
+    val rewritten = agg.aggregateExpressions.map(_.transformUp {
+      case _: AggregateExpression =>
+        org.apache.spark.sql.catalyst.expressions.Add(Literal(interior), cntAttr)
+    }.asInstanceOf[NamedExpression])
+    Some(Project(rewritten, inner))
+  }
+
+  /** Data-independent answerability of every aggregate in the list —
+    * checked BEFORE any metadata is read, so an unanswerable SHAPE
+    * (sum/avg, FILTER clauses, count DISTINCT, non-attribute args)
+    * costs zero manifest parses on its way to the normal expansion.
+    * Data-dependent facts (roll-up completeness) still bail later.
+    */
+  private def aggShapesSupported(agg: Aggregate): Boolean =
+    !agg.aggregateExpressions.exists(_.exists {
+      case ae: AggregateExpression =>
+        ae.filter.isDefined || (ae.aggregateFunction match {
+          case Count(Seq(l: Literal)) => l.value == null || ae.isDistinct
+          case Count(Seq(_: AttributeReference)) => ae.isDistinct
+          case Min(_: AttributeReference) | Max(_: AttributeReference) => false
+          case _ => true
+        })
+      case _ => false
+    })
+
+  /** The entries surviving an identity restriction — None when any
+    * entry LACKS a restricted dir level (a pre-evolution file's rows
+    * carry unknown values, so the subset would not be provably exact).
+    */
+  private def restrictEntries(
+      entries: Seq[graft.lake.DataFile],
+      restrict: Seq[(String, Set[String])]): Option[Seq[graft.lake.DataFile]] =
+    Some(entries.filter { f =>
+      restrict.forall { case (field, vals) =>
+        f.partitionSegments.get(field) match {
+          case Some(seg) => vals.contains(seg)
+          case None => return None
+        }
+      }
+    })
+
+  private def metadataAggregate(
+      agg: Aggregate, g: GraftSqlTable,
+      restrict: Option[Seq[(String, Set[String])]] = None): Option[LogicalPlan] = {
+    if (!aggShapesSupported(agg)) return None
+    val info = restrict match {
+      case None => g.lt.metadataAggInfo(g.pinnedSnapshot).getOrElse(return None)
+      case Some(rs) =>
+        val entries = g.lt.metadataFileEntries(g.pinnedSnapshot, dirRestrict = rs)
+          .getOrElse(return None)
+        graft.lake.MetadataAggInfo.ofFiles(
+          restrictEntries(entries, rs).getOrElse(return None))
+    }
+    val meta = g.lt.metadata
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl)
+    val keyCol = meta.statsSource
+    // a renamed column's roll-ups may be split across its historical
+    // physical names — not provably complete under the current name
+    def renamed(name: String): Boolean = meta.aliasMap.contains(name)
+    def minMaxUs(name: String): Option[(Long, Long)] =
+      if (renamed(name)) None
+      else if (keyCol.contains(name)) info.keyBoundsUs
+      else info.colBounds.get(name)
+    // manifest long encoding → a literal of the column's own type;
+    // None for types whose encoding is widened or truncated (doubles,
+    // strings) — those must never be served as exact extremes
+    def exactLiteral(name: String, v: Long): Option[Literal] = {
+      if (!schema.fieldNames.contains(name)) return None
+      schema(name).dataType match {
+        case dt @ (TimestampType | TimestampNTZType) => Some(Literal(v, dt))
+        case org.apache.spark.sql.types.LongType => Some(Literal(v))
+        case org.apache.spark.sql.types.IntegerType
+            if v >= Int.MinValue && v <= Int.MaxValue => Some(Literal(v.toInt))
+        case _ => None
+      }
+    }
+    def answer(ae: AggregateExpression): Option[Expression] = {
+      if (ae.filter.isDefined) return None
+      ae.aggregateFunction match {
+        case Count(Seq(l: Literal)) if l.value != null && !ae.isDistinct =>
+          Some(Literal(info.rows))
+        case Count(Seq(a: AttributeReference)) if !ae.isDistinct =>
+          if (info.rows == 0L) Some(Literal(0L))
+          else if (renamed(a.name)) None
+          else info.colNulls.get(a.name).map(n => Literal(info.rows - n))
+        // min(DISTINCT x) ≡ min(x): isDistinct is irrelevant for extremes
+        case Min(a: AttributeReference) =>
+          if (info.rows == 0L) Some(Literal(null, a.dataType))
+          else minMaxUs(a.name).flatMap(b => exactLiteral(a.name, b._1))
+        case Max(a: AttributeReference) =>
+          if (info.rows == 0L) Some(Literal(null, a.dataType))
+          else minMaxUs(a.name).flatMap(b => exactLiteral(a.name, b._2))
+        case _ => None
+      }
+    }
+    var ok = true
+    val rewritten = agg.aggregateExpressions.map { ne =>
+      ne.transformUp {
+        case ae: AggregateExpression =>
+          answer(ae) match {
+            case Some(lit) => lit
+            case None => ok = false; ae
+          }
+      }.asInstanceOf[NamedExpression]
+    }
+    if (ok) Some(Project(rewritten, OneRowRelation())) else None
+  }
+
+  /** `SELECT k…, count(*) / count(c) / min / max FROM t GROUP BY k…`
+    * where every `k` is an IDENTITY partition column OR a supported
+    * time derivation of the partition-source key (`year(ts)`,
+    * `month(ts)`, `day(ts)`, `hour(ts)`, `CAST(ts AS DATE)` over a
+    * compatible dir granularity) — answered from per-file manifest
+    * entries grouped by their partition-dir segments (one cached
+    * manifest parse, zero data I/O, no shuffle). Covers `SELECT
+    * DISTINCT k` too (it analyzes to the same Aggregate). The identity
+    * invariant is what makes this exact: every row of a file carries
+    * the file's own dir value — and for time dirs, every row's
+    * derivation equals the dir int, which is strictly finer than any
+    * coarser requested derivation. Bails (→ normal scan) whenever that
+    * proof fails: live merge-on-read masks, an unsupported grouping
+    * shape/type, a renamed column, a file missing the dir level
+    * (pre-evolution spec), the null-sentinel dir
+    * (`__HIVE_DEFAULT_PARTITION__` cannot round-trip the value), an
+    * undecodable `%` escape or non-canonical dir rendering, a
+    * TimestampType derivation in a non-UTC session (dir ints are
+    * derived in the writer's session zone; the engine pins UTC), or
+    * any per-group aggregate whose bounds/null roll-ups are
+    * incomplete. Zero-row groups (a group of empty files) are
+    * dropped — a real GROUP BY emits no row for them.
+    */
+  private def metadataGroupAggregate(
+      agg: Aggregate, g: GraftSqlTable,
+      restrict: Option[Seq[(String, Set[String])]] = None,
+      /** A closed key-micros range conjunct (round 15): group counts
+        * stay metadata-only when EVERY overlapping file is
+        * bounds-interior with a known key-null count — each
+        * contributes `rows − keyNulls` to its group; one straddler (or
+        * any non-count aggregate, whose extreme could belong to an
+        * excluded row) bails to the scan.
+        */
+      keyRangeUs: Option[(Long, Long)] = None): Option[LogicalPlan] = {
+    if (!aggShapesSupported(agg)) return None
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType}
+    val meta = g.lt.metadata
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl)
+    val keyCol = meta.statsSource
+    val fields = meta.specList.flatMap(_.fields).distinct
+    /** One grouping dimension: the original grouping expression, the
+      * output attribute the rewritten plan exposes for it, the dir
+      * level it reads, the decode of a dir segment into the group's
+      * typed INTERNAL value, and (identity dims only) the bare column
+      * attribute — min/max/count of THAT column inside the group are
+      * the group value itself.
+      */
+    final case class GroupDim(
+        expr: Expression,
+        out: org.apache.spark.sql.catalyst.expressions.Attribute,
+        segName: String,
+        internal: String => Option[Any],
+        identityAttr: Option[AttributeReference])
+    // canonical-form round-trip required everywhere below: native
+    // writes render String.valueOf(value), so a non-canonical imported
+    // dir ("05", "+5") means the dir is NOT the value — bail, don't
+    // guess
+    def canonLong(v: String): Option[Long] = v.toLongOption.filter(_.toString == v)
+    def identityDim(a: AttributeReference): Option[GroupDim] = {
+      if (meta.aliasMap.contains(a.name)) return None
+      val f = fields.find(f => f.transform == "identity" && f.source == a.name)
+        .getOrElse(return None)
+      val conv: String => Option[Any] = a.dataType match {
+        case StringType => seg =>
+          graft.lake.LakehouseTable.unescapeDirValue(seg)
+            .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+        case LongType => seg => canonLong(seg).map(java.lang.Long.valueOf)
+        case IntegerType => seg =>
+          seg.toIntOption.filter(_.toString == seg).map(java.lang.Integer.valueOf)
+        case _ => return None
+      }
+      Some(GroupDim(a, a, f.name, conv, Some(a)))
+    }
+    // time derivations over the partition source: the dir int is the
+    // writer-session-local (year, month, day[, hour]) tuple, strictly
+    // finer than (or equal to) every supported derivation. The engine's
+    // own sessions all pin UTC; a TimestampType derivation in any other
+    // session zone could disagree with the dirs, so it bails (NTZ is
+    // wall-clock on both sides — always consistent).
+    def timeDim(e: Expression, i: Int): Option[GroupDim] = {
+      import org.apache.spark.sql.catalyst.expressions.{Cast, DayOfMonth, Hour, Month, Year}
+      // `year(ts)` over a timestamp analyzes to Year(Cast(ts, DATE)) —
+      // peel the implicit date cast (its zone is the session zone, the
+      // same one the UTC gate below pins)
+      object TsAttr {
+        def unapply(e2: Expression): Option[AttributeReference] = e2 match {
+          case a: AttributeReference => Some(a)
+          case Cast(a: AttributeReference, DateType, _, _) => Some(a)
+          case _ => None
+        }
+      }
+      val (a, granOk, derive): (AttributeReference, Set[String], (Long, String) => Any) =
+        e match {
+          case Year(TsAttr(a0)) =>
+            (a0, Set("year", "month", "day", "hour"), (v, g) => g match {
+              case "year" => v.toInt
+              case "month" => (v / 100).toInt
+              case "day" => (v / 10000).toInt
+              case "hour" => (v / 1000000).toInt
+            })
+          case Month(TsAttr(a0)) =>
+            (a0, Set("month", "day", "hour"), (v, g) => g match {
+              case "month" => (v % 100).toInt
+              case "day" => (v / 100 % 100).toInt
+              case "hour" => (v / 10000 % 100).toInt
+            })
+          case DayOfMonth(TsAttr(a0)) =>
+            (a0, Set("day", "hour"), (v, g) => g match {
+              case "day" => (v % 100).toInt
+              case "hour" => (v / 100 % 100).toInt
+            })
+          case Hour(TsAttr(a0), _) =>
+            (a0, Set("hour"), (v, _) => (v % 100).toInt)
+          case Cast(a0: AttributeReference, DateType, _, _) =>
+            (a0, Set("day", "hour"), (v, g) => {
+              val d = if (g == "day") v else v / 100
+              java.lang.Integer.valueOf(java.time.LocalDate
+                .of((d / 10000).toInt, (d / 100 % 100).toInt, (d % 100).toInt)
+                .toEpochDay.toInt)
+            })
+          case _ => return None
+        }
+      if (meta.aliasMap.contains(a.name)) return None
+      val tzOk = a.dataType match {
+        case TimestampNTZType => true
+        case TimestampType =>
+          session.sessionState.conf.sessionLocalTimeZone == "UTC"
+        case _ => false
+      }
+      if (!tzOk) return None
+      val f = fields.find(f => f.source == a.name && granOk.contains(f.transform))
+        .getOrElse(return None)
+      val conv: String => Option[Any] =
+        seg => canonLong(seg).map(v => derive(v, f.transform))
+      Some(GroupDim(e,
+        AttributeReference(s"_meta_grp_$i", e.dataType, nullable = false)(),
+        f.name, conv, None))
+    }
+    val dims: Seq[GroupDim] = agg.groupingExpressions.zipWithIndex.map {
+      case (a: AttributeReference, _) => identityDim(a).getOrElse(return None)
+      case (e, i) => timeDim(e, i).getOrElse(return None)
+    }
+    if (dims.isEmpty ||
+      dims.map(_.expr.canonicalized).distinct.size != dims.size)
+      return None
+    val entries0 = g.lt.metadataFileEntries(
+      g.pinnedSnapshot, dirRestrict = restrict.getOrElse(Nil),
+      keyRangeUs = keyRangeUs).getOrElse(return None)
+    val entries1 = restrict match {
+      case None => entries0
+      case Some(rs) => restrictEntries(entries0, rs).getOrElse(return None)
+    }
+    // under a range: drop provably-outside files, keep interior ones
+    // with their EFFECTIVE row count (rows − keyNulls: null-key rows
+    // fail the range predicate), and bail on any straddler or
+    // unknown-null interior file
+    val keyName = keyCol.getOrElse("")
+    val entries: Seq[(graft.lake.DataFile, Long)] = keyRangeUs match {
+      case None => entries1.map(f => (f, f.rows))
+      case Some(_) if keyCol.isEmpty => return None
+      case Some((lo, hi)) => entries1.flatMap { f =>
+        (f.minKeyUs, f.maxKeyUs) match {
+          case (Some(mn), Some(mx)) if mx < lo || mn > hi => None
+          case (Some(mn), Some(mx)) if mn >= lo && mx <= hi =>
+            f.colNulls.flatMap(_.get(keyName)) match {
+              case Some(n) => Some((f, f.rows - n))
+              case None => return None
+            }
+          case _ => return None
+        }
+      }
+    }
+    // group key = the DERIVED internal values (not the raw segments: a
+    // coarser derivation like month(ts) over day dirs must MERGE the
+    // dirs that share a derived value)
+    val keyed: Seq[(Seq[Any], (graft.lake.DataFile, Long))] = entries.map {
+      case (f, eff) =>
+        val key = dims.map { d =>
+          val seg = f.partitionSegments.getOrElse(d.segName, return None)
+          if (seg == "__HIVE_DEFAULT_PARTITION__") return None
+          d.internal(seg).getOrElse(return None)
+        }
+        (key, (f, eff))
+    }
+    def identityIdx(name: String): Option[Int] =
+      dims.indexWhere(_.identityAttr.exists(_.name == name)) match {
+        case -1 => None
+        case i => Some(i)
+      }
+    // a time dim on source `c` proves every grouped row has c non-null
+    // (a null c row would have landed in the sentinel dir)
+    def timeDimOnSource(name: String): Boolean =
+      dims.exists(d => d.identityAttr.isEmpty && (d.expr match {
+        case _ if d.segName.isEmpty => false
+        case e => e.references.exists(_.name == name)
+      }))
+    // per-group min/max from per-file bounds, complete-or-bail; the
+    // manifest long encoding converts to the column's INTERNAL value
+    // for exact integral/timestamp types only
+    def internalMinMax(
+        name: String, files: Seq[graft.lake.DataFile],
+        wantMin: Boolean): Option[Any] = {
+      if (meta.aliasMap.contains(name) || !schema.fieldNames.contains(name))
+        return None
+      val per: Seq[Option[Long]] =
+        if (keyCol.contains(name))
+          files.map(f => if (wantMin) f.minKeyUs else f.maxKeyUs)
+        else files.map(_.extraBounds.flatMap(_.find(b =>
+          b.column == name && !b.isString)).map(b => if (wantMin) b.min else b.max))
+      if (per.exists(_.isEmpty)) return None
+      val v = if (wantMin) per.flatten.min else per.flatten.max
+      schema(name).dataType match {
+        case TimestampType | TimestampNTZType => Some(java.lang.Long.valueOf(v))
+        case LongType => Some(java.lang.Long.valueOf(v))
+        case IntegerType if v >= Int.MinValue && v <= Int.MaxValue =>
+          Some(java.lang.Integer.valueOf(v.toInt))
+        case _ => None
+      }
+    }
+    def answerFor(
+        ae: AggregateExpression, key: Seq[Any],
+        group: Seq[(graft.lake.DataFile, Long)]): Option[Any] = {
+      if (ae.filter.isDefined) return None
+      val files = group.map(_._1)
+      val rows = group.map(_._2).sum
+      ae.aggregateFunction match {
+        case Count(Seq(l: Literal)) if l.value != null && !ae.isDistinct =>
+          Some(java.lang.Long.valueOf(rows))
+        // everything below needs row-level facts a RANGE subset cannot
+        // provide (an extreme or a null count could belong to an
+        // excluded row) — count(*) is the only range-safe group answer
+        case _ if keyRangeUs.isDefined => None
+        case Count(Seq(a: AttributeReference)) if !ae.isDistinct =>
+          // non-null throughout the group: an identity grouping column
+          // (null lands in the sentinel dir), or the source of a time
+          // grouping dim (same argument); else the null roll-ups
+          if (identityIdx(a.name).isDefined || timeDimOnSource(a.name))
+            Some(java.lang.Long.valueOf(rows))
+          else if (meta.aliasMap.contains(a.name)) None
+          else {
+            val per = files.map(_.colNulls.flatMap(_.get(a.name)))
+            if (per.exists(_.isEmpty)) None
+            else Some(java.lang.Long.valueOf(rows - per.flatten.sum))
+          }
+        case Min(a: AttributeReference) =>
+          identityIdx(a.name) match {
+            case Some(i) => Some(key(i))
+            case None => internalMinMax(a.name, files, wantMin = true)
+          }
+        case Max(a: AttributeReference) =>
+          identityIdx(a.name) match {
+            case Some(i) => Some(key(i))
+            case None => internalMinMax(a.name, files, wantMin = false)
+          }
+        case _ => None
+      }
+    }
+    val groups = keyed.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+      .filter { case (_, fs) => fs.map(_._2).sum > 0 }
+      .sortBy(_._1.map(String.valueOf(_: Any)).mkString("\u0000"))
+    // every DISTINCT aggregate expression becomes one synthetic column
+    // of the local relation; grouping refs resolve to the dims' output
+    // attributes (identity dims reuse the relation's own attribute)
+    val aggFns = scala.collection.mutable.ArrayBuffer.empty[AggregateExpression]
+    agg.aggregateExpressions.foreach(_.foreach {
+      case ae: AggregateExpression =>
+        if (!aggFns.exists(_.semanticEquals(ae))) aggFns += ae
+      case _ => ()
+    })
+    val synth = aggFns.zipWithIndex.map { case (ae, i) =>
+      AttributeReference(s"_meta_agg_$i", ae.dataType, ae.nullable)()
+    }.toSeq
+    val data: Seq[org.apache.spark.sql.catalyst.InternalRow] =
+      groups.map { case (k, fs) =>
+        val aggVals = aggFns.map(ae => answerFor(ae, k, fs).getOrElse(return None))
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          (k ++ aggVals).toArray[Any])
+      }
+    // two passes, aggregates FIRST: replacing a grouping expression
+    // inside an aggregate's argument (min(year(ts)) under GROUP BY
+    // year(ts)) would otherwise break the aggFns lookup
+    val rewritten = agg.aggregateExpressions.map { ne =>
+      val aggsReplaced = ne.transformUp {
+        case ae: AggregateExpression => synth(aggFns.indexWhere(_.semanticEquals(ae)))
+      }
+      aggsReplaced.transformUp {
+        case e if dims.exists(_.expr.semanticEquals(e)) =>
+          dims.find(_.expr.semanticEquals(e)).get.out
+      }.asInstanceOf[NamedExpression]
+    }
+    Some(Project(rewritten,
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+        dims.map(_.out) ++ synth, data)))
   }
 
   private def expandRelation(

@@ -137,7 +137,10 @@ class NullStatsSpec extends SparkSpec {
       spark, new Path(tmpDir("ns-none"), "t"), batch(0).schema, Some("ts"))
     t.append(batch(0))
     t.append(batch(1))
-    assert(t.currentDataFiles.forall(_.colNulls.isEmpty))
+    // the KEY column's null count rides every footer read (round 15,
+    // for the metadata range aggregates) — but no DECLARED column gets
+    // counts without a declaration
+    assert(t.currentDataFiles.forall(_.colNulls.forall(_.keySet == Set("ts"))))
     // no counts ⇒ BOTH files kept for IS NULL (superset: all 80 rows)
     assert(t.readColumnRangesPruned(Nil, None, Nil, Seq("uid" -> true)).count() == 80)
     // and the all-null file is kept for value probes too — the exact

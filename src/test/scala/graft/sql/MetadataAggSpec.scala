@@ -1,0 +1,515 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.lake.LakehouseTable
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Metadata-only aggregate pushdown (round 15 — Iceberg's
+  * metadata-count analog): an unfiltered `count(*) / count(col) /
+  * min / max` over a graft SQL relation is answered from the manifest
+  * roll-ups alone whenever that is PROVABLY exact, and falls back to
+  * the normal scan expansion in every case where it is not — live
+  * merge-on-read masks, string/double columns (truncated / widened
+  * bounds), renamed columns, FILTER clauses, count(DISTINCT). The
+  * fallback legs assert correctness too: the rewrite may only ever
+  * remove a scan, never change an answer.
+  */
+class MetadataAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  private def freshCatalog(): (String, String) = {
+    n += 1
+    val cat = s"gagg$n"
+    val wh = tmpDir("gagg-wh")
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gold")
+    (cat, wh)
+  }
+
+  private def filesScanned(df: DataFrame): Int = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect { case f: FileSourceScanExec => f }
+      .map(_.relation.location.inputFiles.length).sum
+  }
+
+  private def ts(i: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:00:${i / 60}%02d.${(i % 60) * 1000}%06d")
+
+  /** 60 rows over 4 files; uid = 100+i, s = "u%03d", opt null for odd i,
+    * d = i/10.0 — one table exercising every answerable and every
+    * refused column type.
+    */
+  private def mkTable(cat: String, wh: String, name: String): LakehouseTable = {
+    val data = (0 until 60)
+      .map(i => (ts(i), 100L + i, f"u$i%03d",
+        if (i % 2 == 1) None else Some(100L + i), i / 10.0))
+      .toDF("ts", "uid", "s", "opt", "d")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, s"gold/$name"), data.schema, Some("ts"))
+    t.setProperty("write.stats-columns", "uid,s,opt,d")
+    (0 until 4).foreach(r => t.append(data.filter(col("uid") % 4 === r)))
+    t
+  }
+
+  test("count/min/max over the key and long stats columns are metadata-only") {
+    val (cat, wh) = freshCatalog()
+    mkTable(cat, wh, "t1")
+    val q = spark.sql(
+      s"""SELECT count(*) AS n, count(opt) AS n_opt,
+         |       min(ts) AS min_ts, max(ts) AS max_ts,
+         |       min(uid) AS min_uid, max(uid) AS max_uid
+         |FROM $cat.gold.t1""".stripMargin)
+    assert(filesScanned(q) == 0, "whole-table aggregate must not plan a scan")
+    val r = q.head()
+    assert(r.getLong(0) == 60L)
+    assert(r.getLong(1) == 30L)
+    assert(r.getTimestamp(2) == ts(0))
+    assert(r.getTimestamp(3) == ts(59))
+    assert(r.getLong(4) == 100L)
+    assert(r.getLong(5) == 159L)
+  }
+
+  test("composed expressions over provable aggregates still push down") {
+    val (cat, wh) = freshCatalog()
+    mkTable(cat, wh, "t2")
+    val q = spark.sql(
+      s"""SELECT count(*) + 1 AS n1, unix_micros(max(ts)) AS mx,
+         |       CAST(min(uid) AS INT) AS mn
+         |FROM $cat.gold.t2""".stripMargin)
+    assert(filesScanned(q) == 0)
+    val r = q.head()
+    assert(r.getLong(0) == 61L)
+    assert(r.getLong(1) == ts(59).getTime * 1000L)
+    assert(r.getInt(2) == 100)
+  }
+
+  test("string and double extremes fall back to a scan and stay exact") {
+    val (cat, wh) = freshCatalog()
+    mkTable(cat, wh, "t3")
+    val qs = spark.sql(s"SELECT min(s) AS mn, max(s) AS mx FROM $cat.gold.t3")
+    assert(filesScanned(qs) > 0, "string bounds are truncated — must scan")
+    assert(qs.head().getString(0) == "u000" && qs.head().getString(1) == "u059")
+    val qd = spark.sql(s"SELECT min(d) AS mn, max(d) AS mx FROM $cat.gold.t3")
+    assert(filesScanned(qd) > 0, "double bounds are floor/ceil widened — must scan")
+    assert(qd.head().getDouble(0) == 0.0 && qd.head().getDouble(1) == 5.9)
+  }
+
+  test("FILTER clauses and count(DISTINCT) fall back; sum always falls back") {
+    val (cat, wh) = freshCatalog()
+    mkTable(cat, wh, "t4")
+    val qf = spark.sql(
+      s"SELECT count(*) FILTER (WHERE uid > 150) AS n FROM $cat.gold.t4")
+    assert(filesScanned(qf) > 0)
+    assert(qf.head().getLong(0) == 9L)
+    val qd = spark.sql(s"SELECT count(DISTINCT uid) AS n FROM $cat.gold.t4")
+    assert(filesScanned(qd) > 0)
+    assert(qd.head().getLong(0) == 60L)
+    val qsum = spark.sql(s"SELECT sum(uid) AS sm FROM $cat.gold.t4")
+    assert(filesScanned(qsum) > 0)
+    assert(qsum.head().getLong(0) == (100L to 159L).sum)
+  }
+
+  test("a live merge-on-read mask disables the pushdown until compaction") {
+    val (cat, wh) = freshCatalog()
+    val t = mkTable(cat, wh, "t5")
+    t.morDeleteKeys(Seq(ts(7)).toDF("ts"), "ts")
+    val q = spark.sql(s"SELECT count(*) AS n, max(uid) AS mx FROM $cat.gold.t5")
+    assert(filesScanned(q) > 0, "a mask can remove any row — nothing is provable")
+    assert(q.head().getLong(0) == 59L && q.head().getLong(1) == 159L)
+    // compaction folds the mask → provable again
+    t.compact()
+    val q2 = spark.sql(s"SELECT count(*) AS n, max(uid) AS mx FROM $cat.gold.t5")
+    assert(filesScanned(q2) == 0, "folded masks restore provability")
+    assert(q2.head().getLong(0) == 59L && q2.head().getLong(1) == 159L)
+  }
+
+  test("copy-on-write deletes keep the inventory provable") {
+    val (cat, wh) = freshCatalog()
+    mkTable(cat, wh, "t6")
+    spark.sql(s"DELETE FROM $cat.gold.t6 WHERE uid >= 155")
+    val q = spark.sql(
+      s"SELECT count(*) AS n, max(uid) AS mx, max(ts) AS mxt FROM $cat.gold.t6")
+    assert(filesScanned(q) == 0)
+    val r = q.head()
+    assert(r.getLong(0) == 55L)
+    assert(r.getLong(1) == 154L)
+    assert(r.getTimestamp(2) == ts(54))
+  }
+
+  test("time travel answers from the pinned snapshot's own roll-ups") {
+    val (cat, wh) = freshCatalog()
+    val t = mkTable(cat, wh, "t7")
+    val vPre = t.metadata.currentSnapshotId.get
+    spark.sql(s"DELETE FROM $cat.gold.t7 WHERE uid >= 150")
+    val q = spark.sql(
+      s"SELECT count(*) AS n, max(uid) AS mx FROM $cat.gold.t7 VERSION AS OF $vPre")
+    assert(filesScanned(q) == 0)
+    assert(q.head().getLong(0) == 60L && q.head().getLong(1) == 159L)
+    val qNow = spark.sql(s"SELECT count(*) AS n FROM $cat.gold.t7")
+    assert(filesScanned(qNow) == 0)
+    assert(qNow.head().getLong(0) == 50L)
+  }
+
+  test("an empty table answers count 0 and null extremes without a scan") {
+    val (cat, wh) = freshCatalog()
+    val proto = Seq((ts(0), 1L)).toDF("ts", "uid")
+    LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/t8"), proto.schema, Some("ts"))
+    val q = spark.sql(
+      s"SELECT count(*) AS n, min(ts) AS mn, max(uid) AS mx FROM $cat.gold.t8")
+    assert(filesScanned(q) == 0)
+    val r = q.head()
+    assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("a renamed stats column falls back (historical roll-up names)") {
+    val (cat, wh) = freshCatalog()
+    val t = mkTable(cat, wh, "t9")
+    t.renameColumn("uid", "uid2")
+    val q = spark.sql(s"SELECT min(uid2) AS mn, max(uid2) AS mx FROM $cat.gold.t9")
+    assert(filesScanned(q) > 0, "pre-rename manifest entries carry the old name")
+    assert(q.head().getLong(0) == 100L && q.head().getLong(1) == 159L)
+    // the key column is positional (minKeyUs), not name-keyed: a key
+    // rename keeps min/max(key) and count(*) metadata-only
+    val qk = spark.sql(s"SELECT count(*) AS n, max(ts) AS mx FROM $cat.gold.t9")
+    assert(filesScanned(qk) == 0)
+    assert(qk.head().getLong(0) == 60L)
+  }
+
+  test("the conf kill-switch restores the scan plan") {
+    val (cat, wh) = freshCatalog()
+    mkTable(cat, wh, "t10")
+    spark.conf.set("spark.graft.sql.metadata-aggregates", "false")
+    try {
+      val q = spark.sql(s"SELECT count(*) AS n FROM $cat.gold.t10")
+      assert(filesScanned(q) > 0)
+      assert(q.head().getLong(0) == 60L)
+    } finally spark.conf.unset("spark.graft.sql.metadata-aggregates")
+  }
+
+  /** identity(sym) × day(ts) table: 3 symbols × 20 rows, opt null for
+    * odd i, values escaped-hostile for one symbol ("a:b" needs %3A).
+    */
+  private def mkIdTable(cat: String, wh: String, name: String): LakehouseTable = {
+    val syms = Seq("alpha", "a:b", "z")
+    val data = (0 until 60)
+      .map(i => (syms(i % 3), ts(i), 100L + i,
+        if (i % 2 == 1) None else Some(100L + i)))
+      .toDF("sym", "ts", "uid", "opt")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, s"gold/$name"), data.schema,
+      Seq("sym" -> "identity", "ts" -> "day"))
+    t.setProperty("write.stats-columns", "uid,opt")
+    (0 until 2).foreach(r => t.append(data.filter(col("uid") % 2 === r)))
+    t
+  }
+
+  test("GROUP BY an identity column is metadata-only, escapes included") {
+    val (cat, wh) = freshCatalog()
+    mkIdTable(cat, wh, "g1")
+    val q = spark.sql(
+      s"""SELECT sym, count(*) AS n, count(opt) AS n_opt,
+         |       min(ts) AS mn_ts, max(ts) AS mx_ts,
+         |       min(uid) AS mn_uid, max(uid) AS mx_uid, max(sym) AS mx_sym
+         |FROM $cat.gold.g1 GROUP BY sym ORDER BY sym""".stripMargin)
+    assert(filesScanned(q) == 0, "identity group-by must not plan a scan")
+    val rs = q.collect()
+    assert(rs.map(_.getString(0)).toSeq == Seq("a:b", "alpha", "z"))
+    rs.foreach { r =>
+      assert(r.getLong(1) == 20L)
+      assert(r.getLong(2) == 10L)
+      assert(r.getString(7) == r.getString(0))
+    }
+    val ab = rs.find(_.getString(0) == "a:b").get // i % 3 == 1 → odd-ish mix
+    assert(ab.getTimestamp(3) == ts(1) && ab.getTimestamp(4) == ts(58))
+    assert(ab.getLong(5) == 101L && ab.getLong(6) == 158L)
+  }
+
+  test("SELECT DISTINCT over an identity column is metadata-only") {
+    val (cat, wh) = freshCatalog()
+    mkIdTable(cat, wh, "g2")
+    val q = spark.sql(s"SELECT DISTINCT sym FROM $cat.gold.g2")
+    assert(filesScanned(q) == 0)
+    assert(q.collect().map(_.getString(0)).sorted.toSeq == Seq("a:b", "alpha", "z"))
+  }
+
+  test("GROUP BY a non-partition column falls back and stays exact") {
+    val (cat, wh) = freshCatalog()
+    mkIdTable(cat, wh, "g3")
+    val q = spark.sql(
+      s"SELECT uid % 2 AS par, count(*) AS n FROM $cat.gold.g3 GROUP BY uid % 2")
+    assert(filesScanned(q) > 0)
+    assert(q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(0L -> 30L, 1L -> 30L))
+  }
+
+  test("null identity values (sentinel dir) disable the group pushdown") {
+    val (cat, wh) = freshCatalog()
+    val data = (0 until 20)
+      .map(i => (if (i % 5 == 0) None else Some(s"s${i % 2}"), ts(i), i.toLong))
+      .toDF("sym", "ts", "uid")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/g4"), data.schema,
+      Seq("sym" -> "identity", "ts" -> "day"))
+    t.append(data)
+    val q = spark.sql(
+      s"SELECT sym, count(*) AS n FROM $cat.gold.g4 GROUP BY sym")
+    assert(filesScanned(q) > 0, "the sentinel dir cannot round-trip a null")
+    val m = q.collect().map(r =>
+      Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
+    assert(m == Map("NULL" -> 4L, "s0" -> 8L, "s1" -> 8L))
+  }
+
+  test("group pushdown respects time travel and live masks") {
+    val (cat, wh) = freshCatalog()
+    val t = mkIdTable(cat, wh, "g5")
+    val vPre = t.metadata.currentSnapshotId.get
+    spark.sql(s"DELETE FROM $cat.gold.g5 WHERE sym = 'z'")
+    val qNow = spark.sql(
+      s"SELECT sym, count(*) AS n FROM $cat.gold.g5 GROUP BY sym")
+    assert(filesScanned(qNow) == 0)
+    assert(qNow.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("alpha" -> 20L, "a:b" -> 20L))
+    val qTt = spark.sql(
+      s"SELECT sym, count(*) AS n FROM $cat.gold.g5 VERSION AS OF $vPre GROUP BY sym")
+    assert(filesScanned(qTt) == 0)
+    assert(qTt.collect().map(_.getLong(1)).sum == 60L)
+    t.morDeleteKeys(Seq(ts(1)).toDF("ts"), "ts")
+    val qMask = spark.sql(
+      s"SELECT sym, count(*) AS n FROM $cat.gold.g5 GROUP BY sym")
+    assert(filesScanned(qMask) > 0, "a live mask disables group pushdown")
+    assert(qMask.collect().map(_.getLong(1)).sum == 39L)
+  }
+
+  /** identity(sym) × day(ts) spanning 3 days across 2 months: 60 rows,
+    * day = i % 3 of (2024-01-01, 2024-01-02, 2024-02-01), sym ∈ {x, y}.
+    */
+  private def dayTs(i: Int): Timestamp = {
+    val day = Seq("2024-01-01", "2024-01-02", "2024-02-01")(i % 3)
+    Timestamp.valueOf(f"$day 0${i % 10}:0${i % 6}:00.0")
+  }
+  private def mkDayTable(cat: String, wh: String, name: String): LakehouseTable = {
+    val data = (0 until 60)
+      .map(i => (if (i % 2 == 0) "x" else "y", dayTs(i), 100L + i))
+      .toDF("sym", "ts", "uid")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, s"gold/$name"), data.schema,
+      Seq("sym" -> "identity", "ts" -> "day"))
+    t.setProperty("write.stats-columns", "uid")
+    (0 until 2).foreach(r => t.append(data.filter(col("uid") % 2 === r)))
+    t
+  }
+
+  test("GROUP BY time derivations of the key is metadata-only") {
+    val (cat, wh) = freshCatalog()
+    mkDayTable(cat, wh, "d1")
+    val q = spark.sql(
+      s"""SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d,
+         |       count(*) AS n, count(ts) AS n_ts,
+         |       min(ts) AS mn, max(uid) AS mx_uid
+         |FROM $cat.gold.d1 GROUP BY year(ts), month(ts), day(ts)
+         |ORDER BY y, m, d""".stripMargin)
+    assert(filesScanned(q) == 0, "time-derived group-by must not plan a scan")
+    val rs = q.collect()
+    assert(rs.map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((2024, 1, 1), (2024, 1, 2), (2024, 2, 1)))
+    assert(rs.map(_.getLong(3)).toSeq == Seq(20L, 20L, 20L))
+    assert(rs.map(_.getLong(4)).toSeq == Seq(20L, 20L, 20L))
+    // day-group extremes come from per-file key bounds
+    assert(rs.head.getTimestamp(5) == dayTs(0))
+    assert(rs.map(_.getLong(6)).toSeq == Seq(157L, 158L, 159L))
+    // CAST(ts AS DATE) rides the same path
+    val qd = spark.sql(
+      s"""SELECT CAST(ts AS DATE) AS d, count(*) AS n
+         |FROM $cat.gold.d1 GROUP BY CAST(ts AS DATE) ORDER BY d""".stripMargin)
+    assert(filesScanned(qd) == 0)
+    assert(qd.collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq ==
+      Seq(("2024-01-01", 20L), ("2024-01-02", 20L), ("2024-02-01", 20L)))
+  }
+
+  test("time grouping composes with identity dims and restrictions") {
+    val (cat, wh) = freshCatalog()
+    mkDayTable(cat, wh, "d2")
+    val q = spark.sql(
+      s"""SELECT sym, CAST(ts AS DATE) AS d, count(*) AS n
+         |FROM $cat.gold.d2 GROUP BY sym, CAST(ts AS DATE)
+         |ORDER BY sym, d""".stripMargin)
+    assert(filesScanned(q) == 0)
+    assert(q.count() == 6)
+    assert(q.collect().map(_.getLong(2)).sum == 60L)
+    val qR = spark.sql(
+      s"""SELECT year(ts) AS y, month(ts) AS m, count(*) AS n
+         |FROM $cat.gold.d2 WHERE sym = 'x'
+         |GROUP BY year(ts), month(ts) ORDER BY y, m""".stripMargin)
+    assert(filesScanned(qR) == 0)
+    assert(qR.collect().map(r => (r.getInt(1), r.getLong(2))).toSeq ==
+      Seq((1, 20L), (2, 10L)))
+  }
+
+  test("a derivation finer than the dir granularity falls back, exact") {
+    val (cat, wh) = freshCatalog()
+    mkDayTable(cat, wh, "d3")
+    val q = spark.sql(
+      s"SELECT hour(ts) AS h, count(*) AS n FROM $cat.gold.d3 GROUP BY hour(ts)")
+    assert(filesScanned(q) > 0, "hour is finer than the day dirs")
+    assert(q.collect().map(_.getLong(1)).sum == 60L)
+  }
+
+  test("a covering time-range count is pure metadata; a straddling one scans only boundary files") {
+    val (cat, wh) = freshCatalog()
+    mkDayTable(cat, wh, "h1")
+    // range covers January exactly: every Jan file is bounds-interior,
+    // Feb files are provably outside — zero files scanned
+    val qCover = spark.sql(
+      s"""SELECT count(*) AS n FROM $cat.gold.h1
+         |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+         |  AND ts < TIMESTAMP '2024-02-01 00:00:00'""".stripMargin)
+    assert(filesScanned(qCover) == 0, "covering range must count from metadata alone")
+    assert(qCover.head().getLong(0) == 40L)
+    // lower bound splits Jan-01: its files straddle and scan; Jan-02
+    // and Feb-01 are interior — the hybrid scans ONLY the boundary day
+    val total = spark.sql(s"SELECT count(*) AS n FROM $cat.gold.h1").head().getLong(0)
+    assert(total == 60L)
+    val qStraddle = spark.sql(
+      s"""SELECT count(*) AS n FROM $cat.gold.h1
+         |WHERE ts >= TIMESTAMP '2024-01-01 00:03:00'""".stripMargin)
+    val scanned = filesScanned(qStraddle)
+    assert(scanned > 0 && scanned <= 2,
+      s"only the straddling day's files may scan, got $scanned")
+    val expected = (0 until 60).count(i => !dayTs(i).before(
+      Timestamp.valueOf("2024-01-01 00:03:00")))
+    assert(qStraddle.head().getLong(0) == expected)
+    // composed with an identity restriction
+    val qBoth = spark.sql(
+      s"""SELECT count(*) AS n FROM $cat.gold.h1
+         |WHERE sym = 'x' AND ts <= TIMESTAMP '2024-01-02 23:59:59'""".stripMargin)
+    assert(filesScanned(qBoth) == 0)
+    assert(qBoth.head().getLong(0) ==
+      (0 until 60).count(i => i % 2 == 0 && i % 3 != 2))
+    // count + sum under a range keeps the plain scan and stays exact
+    val qSum = spark.sql(
+      s"""SELECT count(*) AS n, sum(uid) AS s FROM $cat.gold.h1
+         |WHERE ts >= TIMESTAMP '2024-02-01 00:00:00'""".stripMargin)
+    assert(filesScanned(qSum) > 0)
+    assert(qSum.head().getLong(0) == 20L)
+  }
+
+  test("grouped counts under an aligned range are metadata-only; straddlers fall back") {
+    val (cat, wh) = freshCatalog()
+    mkDayTable(cat, wh, "h3")
+    // day-aligned lower bound: every overlapping file is interior
+    val q = spark.sql(
+      s"""SELECT sym, count(*) AS n FROM $cat.gold.h3
+         |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' GROUP BY sym""".stripMargin)
+    assert(filesScanned(q) == 0, "aligned grouped range must not plan a scan")
+    assert(q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("x" -> 20L, "y" -> 20L))
+    // time-derived grouping composes with the range too
+    val qT = spark.sql(
+      s"""SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM $cat.gold.h3
+         |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+         |GROUP BY CAST(ts AS DATE) ORDER BY d""".stripMargin)
+    assert(filesScanned(qT) == 0)
+    assert(qT.collect().map(_.getLong(1)).toSeq == Seq(20L, 20L))
+    // a bound splitting a file's span falls back to the scan, exact
+    val lo = Timestamp.valueOf("2024-01-02 00:05:00")
+    val qS = spark.sql(
+      s"""SELECT sym, count(*) AS n FROM $cat.gold.h3
+         |WHERE ts >= TIMESTAMP '$lo' GROUP BY sym""".stripMargin)
+    assert(filesScanned(qS) > 0, "a straddling file bails the grouped range")
+    val expected = (0 until 60).filterNot(i => dayTs(i).before(lo))
+      .groupBy(i => if (i % 2 == 0) "x" else "y").view.mapValues(_.size.toLong).toMap
+    assert(qS.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expected)
+  }
+
+  test("null-key rows never ride an interior count") {
+    val (cat, wh) = freshCatalog()
+    val data = (0 until 30)
+      .map(i => (if (i % 5 == 0) None else Some(dayTs(i)), 100L + i))
+      .toDF("ts", "uid")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/h2"), data.schema, Some("ts"))
+    t.append(data)
+    val q = spark.sql(
+      s"""SELECT count(*) AS n FROM $cat.gold.h2
+         |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'""".stripMargin)
+    val expected = (0 until 30).count(i => i % 5 != 0)
+    assert(q.head().getLong(0) == expected,
+      "null-ts rows are excluded by the predicate and must not be counted")
+  }
+
+  test("aggregates under a pure identity restriction stay metadata-only") {
+    val (cat, wh) = freshCatalog()
+    mkIdTable(cat, wh, "f1")
+    val q = spark.sql(
+      s"""SELECT count(*) AS n, count(opt) AS n_opt,
+         |       min(ts) AS mn_ts, max(uid) AS mx_uid
+         |FROM $cat.gold.f1 WHERE sym = 'a:b'""".stripMargin)
+    assert(filesScanned(q) == 0, "identity equality subsets files EXACTLY")
+    val r = q.head()
+    assert(r.getLong(0) == 20L && r.getLong(1) == 10L)
+    assert(r.getTimestamp(2) == ts(1) && r.getLong(3) == 158L)
+    val qIn = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.gold.f1 WHERE sym IN ('alpha', 'z')")
+    assert(filesScanned(qIn) == 0)
+    assert(qIn.head().getLong(0) == 40L)
+    // grouped + restricted composes
+    val qG = spark.sql(
+      s"""SELECT sym, count(*) AS n FROM $cat.gold.f1
+         |WHERE sym IN ('alpha', 'z') GROUP BY sym""".stripMargin)
+    assert(filesScanned(qG) == 0)
+    assert(qG.collect().map(r2 => r2.getString(0) -> r2.getLong(1)).toMap ==
+      Map("alpha" -> 20L, "z" -> 20L))
+    // a value matching no dir answers 0 without a scan
+    val q0 = spark.sql(s"SELECT count(*) AS n FROM $cat.gold.f1 WHERE sym = 'nope'")
+    assert(filesScanned(q0) == 0)
+    assert(q0.head().getLong(0) == 0L)
+  }
+
+  test("DISTINCT under an identity restriction is metadata-only") {
+    val (cat, wh) = freshCatalog()
+    mkIdTable(cat, wh, "f3")
+    val q = spark.sql(
+      s"SELECT DISTINCT sym FROM $cat.gold.f3 WHERE sym IN ('a:b', 'z', 'nope')")
+    assert(filesScanned(q) == 0)
+    assert(q.collect().map(_.getString(0)).sorted.toSeq == Seq("a:b", "z"))
+  }
+
+  test("non-identity or residual conjuncts fall back and stay exact") {
+    val (cat, wh) = freshCatalog()
+    mkIdTable(cat, wh, "f2")
+    val q1 = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.gold.f2 WHERE sym = 'z' AND uid > 140")
+    assert(filesScanned(q1) > 0, "the uid conjunct is not an identity restriction")
+    assert(q1.head().getLong(0) == (0 until 60).count(i => i % 3 == 2 && 100 + i > 140))
+    val q2 = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.gold.f2 WHERE sym != 'z'")
+    assert(filesScanned(q2) > 0, "negation is not a finite identity set")
+    assert(q2.head().getLong(0) == 40L)
+  }
+
+  test("metadataAggInfo reports exact roll-up facts") {
+    val (_, wh) = freshCatalog()
+    val t = mkTable("unused", wh, "t11")
+    val info = t.metadataAggInfo().get
+    assert(info.rows == 60L)
+    assert(info.keyBoundsUs.contains(
+      (ts(0).getTime * 1000L, ts(59).getTime * 1000L)))
+    assert(info.colBounds.get("uid").contains((100L, 159L)))
+    assert(info.colNulls.get("opt").contains(30L))
+    assert(!info.colBounds.contains("s"), "string bounds are not exact extremes")
+    t.morDeleteKeys(Seq(ts(3)).toDF("ts"), "ts")
+    assert(t.metadataAggInfo().isEmpty, "live masks make nothing provable")
+  }
+}
