@@ -31,7 +31,12 @@ final case class MetadataAggInfo(
     rows: Long,
     keyBoundsUs: Option[(Long, Long)],
     colBounds: Map[String, (Long, Long)],
-    colNulls: Map[String, Long])
+    colNulls: Map[String, Long],
+    /** EXACT double extremes per fully-double-rolled-up stats column
+      * (round 15): the long `colBounds` for a double column are
+      * floor/ceil-widened and must never be served as extremes.
+      */
+    colBoundsD: Map[String, (Double, Double)] = Map.empty)
 
 object MetadataAggInfo {
   /** The same facts computed from PER-FILE manifest entries (the
@@ -55,12 +60,19 @@ object MetadataAggInfo {
       if (per.exists(_.isEmpty)) None
       else Some(c -> (per.flatten.map(_.min).min, per.flatten.map(_.max).max))
     }.toMap
+    val colBoundsD = boundCols.flatMap { c =>
+      val per = files.map(_.extraBounds.flatMap(_.find(b =>
+        b.column == c && b.isDouble)))
+      if (per.exists(_.isEmpty)) None
+      else Some(c -> (per.flatten.map(_.minD.get).min,
+        per.flatten.map(_.maxD.get).max))
+    }.toMap
     val nullCols = files.flatMap(_.colNulls.getOrElse(Map.empty).keys).distinct
     val colNulls = nullCols.flatMap { c =>
       val per = files.map(_.colNulls.flatMap(_.get(c)))
       if (per.exists(_.isEmpty)) None else Some(c -> per.flatten.sum)
     }.toMap
-    MetadataAggInfo(rows, keyBounds, colBounds, colNulls)
+    MetadataAggInfo(rows, keyBounds, colBounds, colNulls, colBoundsD)
   }
 }
 
@@ -173,12 +185,19 @@ final class LakehouseTable(
           if (per.exists(_.isEmpty)) None
           else Some(c -> (per.flatten.map(_.min).min, per.flatten.map(_.max).max))
         }.toMap
+        val colBoundsD = boundCols.flatMap { c =>
+          val per = refs.map(_.columnBounds.flatMap(_.find(b =>
+            b.column == c && b.isDouble)))
+          if (per.exists(_.isEmpty)) None
+          else Some(c -> (per.flatten.map(_.minD.get).min,
+            per.flatten.map(_.maxD.get).max))
+        }.toMap
         val nullCols = refs.flatMap(_.columnNulls.getOrElse(Map.empty).keys).distinct
         val colNulls = nullCols.flatMap { c =>
           val per = refs.map(_.columnNulls.flatMap(_.get(c)))
           if (per.exists(_.isEmpty)) None else Some(c -> per.flatten.sum)
         }.toMap
-        Some(MetadataAggInfo(rows, keyBounds, colBounds, colNulls))
+        Some(MetadataAggInfo(rows, keyBounds, colBounds, colNulls, colBoundsD))
     }
   }
 
@@ -1934,9 +1953,18 @@ final class LakehouseTable(
           if (d.isPositional) "positional" else "equality", d.keyCols, d.seq))
           .toDF("path", "rows", "kind", "key_columns", "seq")
       case "partitions" =>
+        // per-partition key bounds ride along (round 15): the coverage
+        // question "which days does symbol X actually span" becomes one
+        // metadata-table query; bounds are null when any member file
+        // lacks them (all-null keys or pre-stats imports)
         currentDataFiles.groupBy(_.partitionSegments).toSeq
-          .map { case (tuple, fs) => (tuple, fs.size.toLong, fs.map(_.rows).sum) }
-          .toDF("partition", "files", "rows")
+          .map { case (tuple, fs) =>
+            val complete = fs.forall(f => f.minKeyUs.isDefined && f.maxKeyUs.isDefined)
+            (tuple, fs.size.toLong, fs.map(_.rows).sum,
+              if (complete) Some(fs.flatMap(_.minKeyUs).min) else None,
+              if (complete) Some(fs.flatMap(_.maxKeyUs).max) else None)
+          }
+          .toDF("partition", "files", "rows", "min_key_us", "max_key_us")
       case "refs" =>
         (meta.tags.toSeq.map { case (n, id) => (n, "tag", id) } ++
           meta.branches.toSeq.map { case (n, id) => (n, "branch", id) })
@@ -4632,13 +4660,19 @@ final class LakehouseTable(
         * [[ColumnBounds.mayContainStringRange]] for the truncation
         * semantics.
         */
-      strRanges: Seq[(String, Option[(String, Boolean)], Option[(String, Boolean)])] = Nil)
+      strRanges: Seq[(String, Option[(String, Boolean)], Option[(String, Boolean)])] = Nil,
+      /** DOUBLE range dims (round 15): `d BETWEEN 0.4 AND 0.6` — exact
+        * per-file/per-manifest double bounds, each bound (value,
+        * inclusive); legacy long-widened entries keep (cannot decide a
+        * sub-integer range in either direction).
+        */
+      dblRanges: Seq[(String, Option[(Double, Boolean)], Option[(Double, Boolean)])] = Nil)
       : DataFrame = {
     val meta = metadata
     val snap = meta.currentSnapshot
     val frozen = StructType.fromDDL(meta.schemaDdl).fieldNames.toSet
     (dims.map(_._1) ++ strPrefixes.map(_._1) ++ nullDims.map(_._1) ++
-      strRanges.map(_._1)).foreach(c =>
+      strRanges.map(_._1) ++ dblRanges.map(_._1)).foreach(c =>
       require(frozen.contains(c), s"'$c' is not a table column"))
     val refs = snap.map(log.readManifestList).getOrElse(Nil)
       .filter(r => timeRangeUs.forall { case (lo, hi) => r.overlaps(lo, hi) })
@@ -4647,6 +4681,8 @@ final class LakehouseTable(
       .filter(r => nullDims.forall { case (c, w) => r.mayContainNullness(c, w) })
       .filter(r => strRanges.forall { case (c, lo, hi) =>
         r.mayContainColumnStringRange(c, lo, hi) })
+      .filter(r => dblRanges.forall { case (c, lo, hi) =>
+        r.mayContainColumnDoubleRange(c, lo, hi) })
     val files = log.readManifests(refs).flatten
       .filter(f => timeRangeUs.forall { case (lo, hi) => f.overlaps(lo, hi) })
       .filter(f => dims.forall { case (c, lo, hi) => f.overlapsColumn(c, lo, hi) })
@@ -4654,6 +4690,8 @@ final class LakehouseTable(
       .filter(f => nullDims.forall { case (c, w) => f.mayContainNullness(c, w) })
       .filter(f => strRanges.forall { case (c, lo, hi) =>
         f.mayContainColumnStringRange(c, lo, hi) })
+      .filter(f => dblRanges.forall { case (c, lo, hi) =>
+        f.mayContainColumnDoubleRange(c, lo, hi) })
     readWithDeletes(files, snap.map(liveDeleteFiles).getOrElse(Nil))
   }
 
@@ -4950,6 +4988,7 @@ final class LakehouseTable(
       var hi: Option[Long] = None
       val extras = scala.collection.mutable.Map.empty[String, (Long, Long)]
       val extrasS = scala.collection.mutable.Map.empty[String, (String, String)]
+      val extrasD = scala.collection.mutable.Map.empty[String, (Double, Double)]
       // a row group whose stats are missing (not provably all-null)
       // poisons the column: bounds from the other groups would be too
       // narrow and metadata skipping would silently drop rows
@@ -4988,13 +5027,29 @@ final class LakehouseTable(
             val allNull = st != null && st.isNumNullsSet &&
               st.getNumNulls == b.getRowCount
             if (st != null && st.hasNonNullValue) {
+              // floating stats also fold EXACT extremes into extrasD
+              // (round 15): the widened longs keep every integer-space
+              // consumer conservative, the exact pair is what double
+              // range pruning and metadata min/max serve. NaN extremes
+              // poison (parquet's NaN ordering is undefined — bounds
+              // containing NaN prove nothing).
+              def foldD(mn: Double, mx: Double): Option[(Long, Long)] =
+                if (mn.isNaN || mx.isNaN) None
+                else {
+                  val cur = extrasD.get(name)
+                  extrasD(name) = (cur.fold(mn)(c => math.min(c._1, mn)),
+                    cur.fold(mx)(c => math.max(c._2, mx)))
+                  Some((math.floor(mn).toLong, math.ceil(mx).toLong))
+                }
               val asLong: Option[(Long, Long)] = (st.genericGetMin, st.genericGetMax) match {
                 case (mnv: java.lang.Long, mxv: java.lang.Long) =>
                   Some((mnv.longValue, mxv.longValue))
                 case (mnv: java.lang.Integer, mxv: java.lang.Integer) =>
                   Some((mnv.longValue, mxv.longValue))
                 case (mnv: java.lang.Double, mxv: java.lang.Double) =>
-                  Some((math.floor(mnv.doubleValue).toLong, math.ceil(mxv.doubleValue).toLong))
+                  foldD(mnv.doubleValue, mxv.doubleValue)
+                case (mnv: java.lang.Float, mxv: java.lang.Float) =>
+                  foldD(mnv.floatValue.toDouble, mxv.floatValue.toDouble)
                 case _ => None
               }
               // STRING stats (round 14): BINARY min/max under a string
@@ -5040,7 +5095,13 @@ final class LakehouseTable(
       }
       val boundsOut = extraCols.filterNot(poisoned.contains)
         .flatMap { c =>
-          extras.get(c).map { case (mn, mx) => ColumnBounds(c, mn, mx) }
+          extras.get(c).map { case (mn, mx) =>
+            extrasD.get(c) match {
+              case Some((dn, dx)) =>
+                ColumnBounds(c, mn, mx, minD = Some(dn), maxD = Some(dx))
+              case None => ColumnBounds(c, mn, mx)
+            }
+          }
             .orElse(extrasS.get(c).map { case (mn, mx) =>
               // truncated at manifest-entry time (Iceberg truncate(16)
               // analog): minS is a prefix (≤ every value), maxS an

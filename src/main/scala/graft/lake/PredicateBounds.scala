@@ -137,6 +137,69 @@ object PredicateBounds {
     (lo, hi)
   }
 
+  /** Conservative DOUBLE range a predicate's conjuncts impose on a
+    * double stats column (round 15): the [[rangeBounds]] shape for
+    * double literals — `d >= 0.4`, `d BETWEEN 0.4 AND 0.6`, `d = 0.5`
+    * — each bound carried as (value, inclusive) since doubles admit no
+    * ±1 adjustment. An integer-space range cannot decide sub-integer
+    * bounds, which is exactly why [[rangeBounds]] excludes doubles;
+    * this probes the EXACT [[ColumnBounds.minD]]/[[ColumnBounds.maxD]]
+    * recorded since round 15. NaN literals are dropped — a NaN range
+    * conjunct matches nothing, and dropping it only keeps more files.
+    */
+  def doubleRangeBounds(cond: Expression, column: String)
+      : (Option[(Double, Boolean)], Option[(Double, Boolean)]) = {
+    def isCol(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == column
+      case c: Cast if c.dataType == c.child.dataType => isCol(c.child)
+      case _ => false
+    }
+    def asLit(e: Expression): Option[Literal] = e match {
+      case l: Literal => Some(l)
+      case c: Cast if c.child.isInstanceOf[Literal] || c.foldable =>
+        try Some(Literal.create(c.eval(), c.dataType)) catch { case _: Exception => None }
+      case _ => None
+    }
+    def dblOf(e: Expression): Option[Double] = asLit(e).flatMap(l =>
+      (l.dataType, l.value) match {
+        case (_, null) => None
+        case (org.apache.spark.sql.types.DoubleType, v) =>
+          Some(v.asInstanceOf[Double]).filterNot(_.isNaN)
+        case _ => None
+      })
+    def conjuncts(e: Expression): Seq[Expression] = normalize(e) match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    var lo: Option[(Double, Boolean)] = None
+    var hi: Option[(Double, Boolean)] = None
+    // tighter lower = larger value; at a tie, exclusive beats inclusive
+    def tightenLo(v: Double, incl: Boolean): Unit = lo = Some(lo match {
+      case Some((c, ci)) if c > v || (c == v && (!ci || incl)) => (c, ci)
+      case _ => (v, incl)
+    })
+    def tightenHi(v: Double, incl: Boolean): Unit = hi = Some(hi match {
+      case Some((c, ci)) if c < v || (c == v && (!ci || incl)) => (c, ci)
+      case _ => (v, incl)
+    })
+    conjuncts(cond).foreach {
+      case GreaterThanOrEqual(t, v) if isCol(t) => dblOf(v).foreach(tightenLo(_, true))
+      case GreaterThan(t, v) if isCol(t) => dblOf(v).foreach(tightenLo(_, false))
+      case LessThanOrEqual(t, v) if isCol(t) => dblOf(v).foreach(tightenHi(_, true))
+      case LessThan(t, v) if isCol(t) => dblOf(v).foreach(tightenHi(_, false))
+      case EqualTo(t, v) if isCol(t) =>
+        dblOf(v).foreach { x => tightenLo(x, true); tightenHi(x, true) }
+      case GreaterThanOrEqual(v, t) if isCol(t) => dblOf(v).foreach(tightenHi(_, true))
+      case GreaterThan(v, t) if isCol(t) => dblOf(v).foreach(tightenHi(_, false))
+      case LessThanOrEqual(v, t) if isCol(t) => dblOf(v).foreach(tightenLo(_, true))
+      case LessThan(v, t) if isCol(t) => dblOf(v).foreach(tightenLo(_, false))
+      case EqualTo(v, t) if isCol(t) =>
+        dblOf(v).foreach { x => tightenLo(x, true); tightenHi(x, true) }
+      case _ => ()
+    }
+    (lo, hi)
+  }
+
   /** Conservative STRING range a predicate's conjuncts impose on a
     * string stats column (round 15, VERDICT r14 #3): the
     * [[rangeBounds]] shape for string literals — `c >= 'a'`,

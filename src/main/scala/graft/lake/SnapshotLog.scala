@@ -236,6 +236,15 @@ final case class DataFile(
     !allNull(column) && extraBounds.flatMap(_.find(_.column == column))
       .forall(_.mayContainStringRange(lo, hi))
 
+  /** Whether the file may contain a `column` value inside the DOUBLE
+    * range (round 15) — true when no exact double bounds were recorded.
+    */
+  def mayContainColumnDoubleRange(
+      column: String,
+      lo: Option[(Double, Boolean)], hi: Option[(Double, Boolean)]): Boolean =
+    !allNull(column) && extraBounds.flatMap(_.find(_.column == column))
+      .forall(_.mayContainDoubleRange(lo, hi))
+
   /** May the file contain a row satisfying `column IS NULL` (wantNull)
     * / `column IS NOT NULL` (!wantNull)? True when no null count was
     * recorded.
@@ -271,8 +280,33 @@ final case class DataFile(
   */
 final case class ColumnBounds(
     column: String, min: Long, max: Long,
-    minS: Option[String] = None, maxS: Option[String] = None) {
+    minS: Option[String] = None, maxS: Option[String] = None,
+    /** EXACT double bounds (round 15, additive): for a double/float
+      * stats column, `min`/`max` hold the floor/ceil-WIDENED longs
+      * (every pre-existing long consumer stays conservative-correct)
+      * while these carry the exact extremes — what double range
+      * pruning and metadata min/max answers need (a widened long can
+      * never be served as an extreme, and `d BETWEEN 0.4 AND 0.6`
+      * cannot prune in integer space at all). Absent on pre-round-15
+      * entries and non-floating columns.
+      */
+    minD: Option[Double] = None, maxD: Option[Double] = None) {
   def isString: Boolean = minS.isDefined
+  def isDouble: Boolean = minD.isDefined
+
+  /** May a file with these DOUBLE bounds contain a value inside the
+    * query range (each bound (value, inclusive))? True when exact
+    * double bounds are absent — long-widened legacy entries cannot
+    * decide a sub-integer range soundly in either direction.
+    */
+  def mayContainDoubleRange(
+      lo: Option[(Double, Boolean)], hi: Option[(Double, Boolean)]): Boolean =
+    (minD, maxD) match {
+      case (Some(mn), Some(mx)) =>
+        hi.forall { case (v, incl) => if (incl) mn <= v else mn < v } &&
+          lo.forall { case (v, incl) => if (incl) mx >= v else mx > v }
+      case _ => true
+    }
 
   /** May a file with these STRING bounds contain `s`? True for a
     * numeric entry probed with a string (cannot skip what was bounded
@@ -630,6 +664,18 @@ final case class ManifestRef(
       case Some(b) => b.max >= lo && b.min <= hi
       case None => true
     })
+
+  /** May this manifest contain a file with a `column` value inside the
+    * DOUBLE range? True when no exact double roll-up was recorded.
+    */
+  def mayContainColumnDoubleRange(
+      column: String,
+      lo: Option[(Double, Boolean)], hi: Option[(Double, Boolean)]): Boolean =
+    !allNull(column) &&
+      (columnBounds.flatMap(_.find(b => b.column == column && b.isDouble)) match {
+        case Some(b) => b.mayContainDoubleRange(lo, hi)
+        case None => true
+      })
 
   /** May this manifest contain a file with a `column` value carrying
     * prefix `p`? True when no string roll-up was recorded.
@@ -1175,6 +1221,12 @@ object SnapshotLog {
       f.extraBounds.flatMap(_.find(_.column == c)) match {
         case Some(b) if b.isString =>
           "s:" + b64(b.minS.get) + ":" + b.maxS.map(b64).getOrElse("*") + n
+        // doubles: exact extremes only — the widened longs are
+        // derivable (floor/ceil) and rebuilt at decode, so the group
+        // stays one pair wide. Double.toString round-trips exactly and
+        // never contains the ':'/';' delimiters.
+        case Some(b) if b.isDouble =>
+          "d:" + b.minD.get + ":" + b.maxD.get + n
         case Some(b) => "l:" + b.min + ":" + b.max + n
         case None if n.nonEmpty => "n" + n
         case None => ""
@@ -1207,6 +1259,12 @@ object SnapshotLog {
             bounds += ColumnBounds(cols(i), 0L, 0L,
               minS = Some(unb64(p(1))),
               maxS = if (p(2) == "*") None else Some(unb64(p(2))))
+            if (p.length > 3) nulls(cols(i)) = p(3).toLong
+          case "d" =>
+            val (mn, mx) = (p(1).toDouble, p(2).toDouble)
+            bounds += ColumnBounds(cols(i),
+              math.floor(mn).toLong, math.ceil(mx).toLong,
+              minD = Some(mn), maxD = Some(mx))
             if (p.length > 3) nulls(cols(i)) = p(3).toLong
           case "n" => nulls(cols(i)) = p(1).toLong
           case other => throw new IllegalStateException(
@@ -1411,7 +1469,12 @@ final class SnapshotLog(
       if (per.exists(_.isEmpty)) None
       else {
         val bs = per.flatten
-        if (bs.forall(!_.isString))
+        if (bs.forall(b => !b.isString && b.isDouble))
+          // all-double members: exact double roll-up (+ derived longs)
+          Some(ColumnBounds(c, bs.map(_.min).min, bs.map(_.max).max,
+            minD = Some(bs.map(_.minD.get).min),
+            maxD = Some(bs.map(_.maxD.get).max)))
+        else if (bs.forall(!_.isString))
           Some(ColumnBounds(c, bs.map(_.min).min, bs.map(_.max).max))
         else if (bs.forall(_.isString)) {
           val lo = bs.map(_.minS.get).reduce((a, b) =>

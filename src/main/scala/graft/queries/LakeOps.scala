@@ -2119,6 +2119,52 @@ object LakeOps {
       .orderBy("sym") // the driver's hash is row-order-sensitive
   }
 
+  /** EXACT double bounds (round 15): `value BETWEEN a AND b` on a
+    * double stats column prunes files through the exact per-file
+    * minD/maxD pair — the long-widened bounds used before round 15
+    * cannot decide a sub-integer range in either direction, so double
+    * ranges previously fell back to a full scan. The unfiltered
+    * min/max(value) probe rides the metadata-aggregate path off the
+    * same exact pair. Files are banded by VALUE quarters (append per
+    * band), so a (30%..45%)-of-range predicate provably lands inside
+    * one band: the plan boolean and both extremes ride the hash.
+    */
+  def sqlDoubleRangeFlow(s: SparkSession, dir: String): DataFrame = {
+    val wh = freshWarehouse("graft-dbl")
+    val cat = s"graft_sql_${sqlCatalogRuns.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gold")
+    val ev = graft.Tables.t(s, dir, "events")
+      .select(col("ts").cast(TimestampType).as("ts"), col("value"))
+      .where(col("ts").isNotNull)
+    val table = LakehouseTable.createIfNotExists(
+      s, new org.apache.hadoop.fs.Path(wh, "gold/dbl"), ev.schema, Some("ts"))
+    table.setProperty("write.stats-columns", "value")
+    val mmSrc = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx")).head()
+    val (mn, mx) = (mmSrc.getDouble(0), mmSrc.getDouble(1))
+    def t(frac: Double): Double = mn + (mx - mn) * frac
+    // four value-banded files: [mn,25%), [25%,50%), [50%,75%), [75%,mx]
+    val cuts = Seq(t(0.25), t(0.5), t(0.75))
+    table.append(ev.filter(col("value") < cuts(0)).coalesce(1))
+    table.append(ev.filter(col("value") >= cuts(0) && col("value") < cuts(1)).coalesce(1))
+    table.append(ev.filter(col("value") >= cuts(1) && col("value") < cuts(2)).coalesce(1))
+    table.append(ev.filter(col("value") >= cuts(2)).coalesce(1))
+    val totalFiles = table.currentDataFiles.size
+    val qMm = s.sql(
+      s"SELECT min(value) AS min_value, max(value) AS max_value FROM $cat.gold.dbl")
+    val mmOnly = scannedFiles(qMm) == 0
+    // the band (30%..45%) sits strictly inside the [25%,50%) file
+    val qBand = s.sql(
+      s"""SELECT count(*) AS n_band FROM $cat.gold.dbl
+         |WHERE value >= ${t(0.3)} AND value < ${t(0.45)}""".stripMargin)
+    val bandPruned = scannedFiles(qBand) < totalFiles
+    val qAll = s.sql(s"SELECT count(*) AS n_rows FROM $cat.gold.dbl")
+    qAll.crossJoin(qMm).crossJoin(qBand)
+      .withColumn("minmax_metadata_only", lit(mmOnly))
+      .withColumn("band_pruned_files", lit(bandPruned))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
       "q_lake_sql_string_skip",
@@ -2323,6 +2369,24 @@ object LakeOps {
              |       true AS straddle_boundary_scan,
              |       true AS grouped_range_metadata_only
              |FROM e GROUP BY sym ORDER BY sym""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_sql_double_range",
+      sqlDoubleRangeFlow,
+      Some("""WITH e AS (
+             |  SELECT ts, value FROM events WHERE ts IS NOT NULL
+             |), m AS (
+             |  SELECT min(value) AS mn, max(value) AS mx FROM e
+             |)
+             |SELECT (SELECT count(*) FROM e) AS n_rows,
+             |       (SELECT mn FROM m) AS min_value,
+             |       (SELECT mx FROM m) AS max_value,
+             |       (SELECT count(*) FROM e, m
+             |        WHERE value >= mn + (mx - mn) * 0.3
+             |          AND value < mn + (mx - mn) * 0.45) AS n_band,
+             |       true AS minmax_metadata_only,
+             |       true AS band_pruned_files""".stripMargin)
     ),
 
     QuerySpec(

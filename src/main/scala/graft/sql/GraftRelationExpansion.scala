@@ -138,6 +138,16 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
       // file records no bounds at all)
       val nullDims = statsCols
         .flatMap(c => graft.lake.PredicateBounds.nullness(cond, c).map(c -> _))
+      // DOUBLE range dims (round 15): `d BETWEEN 0.4 AND 0.6` on double
+      // stats columns — the integer-space rangeBounds deliberately
+      // excludes doubles (sub-integer bounds are undecidable in longs);
+      // these probe the EXACT double bounds recorded since round 15
+      val dblRangeDims = statsCols
+        .filter(c => schema(c).dataType == org.apache.spark.sql.types.DoubleType)
+        .flatMap { c =>
+          val (lo, hi) = graft.lake.PredicateBounds.doubleRangeBounds(cond, c)
+          if (lo.isDefined || hi.isDefined) Some((c, lo, hi)) else None
+        }
       // IDENTITY partition dims (round 15): `WHERE symbol = 'A'` on an
       // identity-partitioned table — the commonest dashboard constraint
       // — previously fell to readDF() and parsed EVERY manifest at
@@ -196,10 +206,10 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
               longRanges = rangeDims, strPrefixes = prefixDims,
               nullDims = nullDims, strRanges = strRangeDims, idDims = idDims)
           if (rangeDims.nonEmpty || prefixDims.nonEmpty || strRangeDims.nonEmpty ||
-            nullDims.nonEmpty)
+            nullDims.nonEmpty || dblRangeDims.nonEmpty)
             return g.lt.readColumnRangesPruned(rangeDims, tr,
               strPrefixes = prefixDims, nullDims = nullDims,
-              strRanges = strRangeDims)
+              strRanges = strRangeDims, dblRanges = dblRangeDims)
       }
     }
     val range = for {
@@ -468,43 +478,87 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
       agg: Aggregate, g: GraftSqlTable, r: DataSourceV2Relation,
       cond: Expression, idParts: Seq[(String, Set[String])],
       range: (Long, Long)): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Greatest, Least}
     val (lo, hi) = range
-    val countableOnly = !agg.aggregateExpressions.exists(_.exists {
-      case ae: AggregateExpression =>
-        ae.filter.isDefined || (ae.aggregateFunction match {
-          case Count(Seq(l: Literal)) => l.value == null || ae.isDistinct
-          case _ => true
-        })
-      case _ => false
-    })
-    if (!countableOnly) return None
     val meta = g.lt.metadata
     val keyCol = meta.statsSource.getOrElse(return None)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl)
+    val keyDt = if (schema.fieldNames.contains(keyCol)) schema(keyCol).dataType
+      else return None
+    def keyLit(v: Long): Literal = keyDt match {
+      case TimestampType | TimestampNTZType => Literal(v, keyDt)
+      case _ => Literal(v) // splitRestriction admits Long keys only otherwise
+    }
+    // range-answerable shapes: count(*) (interior rows are exact), and
+    // min/max of the KEY itself — a bounds-interior file's key extremes
+    // are real in-range values and never belong to a null-key row
+    sealed trait RShape
+    case object RCount extends RShape
+    case object RMin extends RShape
+    case object RMax extends RShape
+    def shapeOf(ae: AggregateExpression): Option[RShape] = {
+      if (ae.filter.isDefined) return None
+      ae.aggregateFunction match {
+        case Count(Seq(l: Literal)) if l.value != null && !ae.isDistinct =>
+          Some(RCount)
+        case Min(a: AttributeReference) if a.name == keyCol => Some(RMin)
+        case Max(a: AttributeReference) if a.name == keyCol => Some(RMax)
+        case _ => None
+      }
+    }
+    var shapesOk = true
+    val shapes = scala.collection.mutable.LinkedHashSet.empty[RShape]
+    agg.aggregateExpressions.foreach(_.foreach {
+      case ae: AggregateExpression =>
+        shapeOf(ae) match {
+          case Some(s) => shapes += s
+          case None => shapesOk = false
+        }
+      case _ => ()
+    })
+    if (!shapesOk || shapes.isEmpty) return None
+    val needRows = shapes.contains(RCount)
     val entries0 = g.lt.metadataFileEntries(g.pinnedSnapshot,
       dirRestrict = idParts, keyRangeUs = Some((lo, hi))).getOrElse(return None)
     val entries =
       if (idParts.isEmpty) entries0
       else restrictEntries(entries0, idParts).getOrElse(return None)
     var interior = 0L
+    var intMin: Option[Long] = None
+    var intMax: Option[Long] = None
     val boundary = scala.collection.mutable.ArrayBuffer.empty[graft.lake.DataFile]
     entries.foreach { f =>
       (f.minKeyUs, f.maxKeyUs) match {
         case (Some(mn), Some(mx)) if mx < lo || mn > hi => () // provably outside
         case (Some(mn), Some(mx)) if mn >= lo && mx <= hi =>
+          // a count needs the exact null-key share; extremes don't
+          // (bounds are over non-null keys by construction)
           f.colNulls.flatMap(_.get(keyCol)) match {
-            case Some(n) => interior += f.rows - n
-            case None => boundary += f // null-key share unknown → scan
+            case Some(n) =>
+              interior += f.rows - n
+              intMin = Some(intMin.fold(mn)(math.min(_, mn)))
+              intMax = Some(intMax.fold(mx)(math.max(_, mx)))
+            case None if needRows => boundary += f
+            case None =>
+              intMin = Some(intMin.fold(mn)(math.min(_, mn)))
+              intMax = Some(intMax.fold(mx)(math.max(_, mx)))
           }
         case _ => boundary += f
       }
     }
+    def interiorAnswer(ae: AggregateExpression): Expression = shapeOf(ae).get match {
+      case RCount => Literal(interior)
+      case RMin => intMin.map(keyLit).getOrElse(Literal(null, keyDt))
+      case RMax => intMax.map(keyLit).getOrElse(Literal(null, keyDt))
+    }
     if (boundary.isEmpty) {
       val rewritten = agg.aggregateExpressions.map(_.transformUp {
-        case _: AggregateExpression => Literal(interior)
+        case ae: AggregateExpression => interiorAnswer(ae)
       }.asInstanceOf[NamedExpression])
       return Some(Project(rewritten, OneRowRelation()))
     }
-    if (interior == 0L) return None // hybrid degenerates to the plain scan
+    if (interior == 0L && intMin.isEmpty)
+      return None // nothing interior: the hybrid degenerates to the plain scan
     val child0 = g.lt.readFilesSubset(boundary.toSeq).queryExecution.analyzed
     // re-alias the subset scan to the relation's attribute ids so the
     // ORIGINAL condition (and nothing else) applies verbatim on top
@@ -513,13 +567,32 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         val src = child0.output.find(_.name == target.name).getOrElse(return None)
         Alias(src, target.name)(exprId = target.exprId)
       }, child0)
-    val cntAlias = Alias(
-      Count(Literal(1)).toAggregateExpression(), "_graft_boundary_count")()
-    val inner = Aggregate(Nil, Seq(cntAlias), Filter(cond, reProj))
-    val cntAttr = cntAlias.toAttribute
+    val keyAttr = r.output.find(_.name == keyCol).getOrElse(return None)
+    val innerAliases: Map[RShape, Alias] = shapes.iterator.map {
+      case RCount => RCount ->
+        Alias(Count(Literal(1)).toAggregateExpression(), "_graft_boundary_count")()
+      case RMin => RMin ->
+        Alias(Min(keyAttr).toAggregateExpression(), "_graft_boundary_min")()
+      case RMax => RMax ->
+        Alias(Max(keyAttr).toAggregateExpression(), "_graft_boundary_max")()
+    }.toMap
+    val inner = Aggregate(Nil, innerAliases.values.toSeq, Filter(cond, reProj))
+    // combine the metadata interior with the boundary scan: Add for
+    // counts; Least/Greatest (both null-skipping) for extremes, so an
+    // empty side never poisons the other
+    def combined(ae: AggregateExpression): Expression = shapeOf(ae).get match {
+      case RCount => Add(Literal(interior), innerAliases(RCount).toAttribute)
+      case RMin => intMin match {
+        case Some(v) => Least(Seq(keyLit(v), innerAliases(RMin).toAttribute))
+        case None => innerAliases(RMin).toAttribute
+      }
+      case RMax => intMax match {
+        case Some(v) => Greatest(Seq(keyLit(v), innerAliases(RMax).toAttribute))
+        case None => innerAliases(RMax).toAttribute
+      }
+    }
     val rewritten = agg.aggregateExpressions.map(_.transformUp {
-      case _: AggregateExpression =>
-        org.apache.spark.sql.catalyst.expressions.Add(Literal(interior), cntAttr)
+      case ae: AggregateExpression => combined(ae)
     }.asInstanceOf[NamedExpression])
     Some(Project(rewritten, inner))
   }
@@ -581,8 +654,9 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
       else if (keyCol.contains(name)) info.keyBoundsUs
       else info.colBounds.get(name)
     // manifest long encoding → a literal of the column's own type;
-    // None for types whose encoding is widened or truncated (doubles,
-    // strings) — those must never be served as exact extremes
+    // None for types whose encoding is widened or truncated (strings;
+    // doubles are served from their EXACT pair below, never from the
+    // widened longs) — those must never be served as exact extremes
     def exactLiteral(name: String, v: Long): Option[Literal] = {
       if (!schema.fieldNames.contains(name)) return None
       schema(name).dataType match {
@@ -593,6 +667,15 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         case _ => None
       }
     }
+    def extreme(name: String, wantMin: Boolean): Option[Literal] =
+      if (renamed(name) || !schema.fieldNames.contains(name)) None
+      else schema(name).dataType match {
+        case org.apache.spark.sql.types.DoubleType =>
+          info.colBoundsD.get(name)
+            .map(b => Literal(if (wantMin) b._1 else b._2))
+        case _ => minMaxUs(name)
+          .flatMap(b => exactLiteral(name, if (wantMin) b._1 else b._2))
+      }
     def answer(ae: AggregateExpression): Option[Expression] = {
       if (ae.filter.isDefined) return None
       ae.aggregateFunction match {
@@ -605,10 +688,10 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         // min(DISTINCT x) ≡ min(x): isDistinct is irrelevant for extremes
         case Min(a: AttributeReference) =>
           if (info.rows == 0L) Some(Literal(null, a.dataType))
-          else minMaxUs(a.name).flatMap(b => exactLiteral(a.name, b._1))
+          else extreme(a.name, wantMin = true)
         case Max(a: AttributeReference) =>
           if (info.rows == 0L) Some(Literal(null, a.dataType))
-          else minMaxUs(a.name).flatMap(b => exactLiteral(a.name, b._2))
+          else extreme(a.name, wantMin = false)
         case _ => None
       }
     }
@@ -829,6 +912,16 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         wantMin: Boolean): Option[Any] = {
       if (meta.aliasMap.contains(name) || !schema.fieldNames.contains(name))
         return None
+      // doubles: the EXACT per-file pair only — widened longs are
+      // never extremes
+      if (schema(name).dataType == org.apache.spark.sql.types.DoubleType) {
+        val per = files.map(_.extraBounds.flatMap(_.find(b =>
+          b.column == name && b.isDouble))
+          .map(b => if (wantMin) b.minD.get else b.maxD.get))
+        if (per.exists(_.isEmpty)) return None
+        return Some(java.lang.Double.valueOf(
+          if (wantMin) per.flatten.min else per.flatten.max))
+      }
       val per: Seq[Option[Long]] =
         if (keyCol.contains(name))
           files.map(f => if (wantMin) f.minKeyUs else f.maxKeyUs)
@@ -853,9 +946,23 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
       ae.aggregateFunction match {
         case Count(Seq(l: Literal)) if l.value != null && !ae.isDistinct =>
           Some(java.lang.Long.valueOf(rows))
-        // everything below needs row-level facts a RANGE subset cannot
-        // provide (an extreme or a null count could belong to an
-        // excluded row) — count(*) is the only range-safe group answer
+        // under a RANGE, only facts that cannot belong to an excluded
+        // row survive: count(*) (effective rows), the KEY's own
+        // extremes (interior bounds are real in-range non-null-key
+        // values), and a grouping identity value (every in-range row
+        // of the group carries it); anything else bails
+        case Min(a: AttributeReference)
+            if keyRangeUs.isDefined && keyCol.contains(a.name) =>
+          internalMinMax(a.name, files, wantMin = true)
+        case Max(a: AttributeReference)
+            if keyRangeUs.isDefined && keyCol.contains(a.name) =>
+          internalMinMax(a.name, files, wantMin = false)
+        case Min(a: AttributeReference)
+            if keyRangeUs.isDefined && identityIdx(a.name).isDefined =>
+          Some(key(identityIdx(a.name).get))
+        case Max(a: AttributeReference)
+            if keyRangeUs.isDefined && identityIdx(a.name).isDefined =>
+          Some(key(identityIdx(a.name).get))
         case _ if keyRangeUs.isDefined => None
         case Count(Seq(a: AttributeReference)) if !ae.isDistinct =>
           // non-null throughout the group: an identity grouping column

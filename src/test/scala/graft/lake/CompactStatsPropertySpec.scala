@@ -25,17 +25,31 @@ object CompactStatsPropertySpec extends Properties("CompactStats") {
   /** One column's recorded facts: optional bounds (long or string) +
     * optional null count.
     */
+  private val boundDouble: Gen[Double] = Gen.frequency(
+    4 -> Gen.choose(-1.0e9, 1.0e9),
+    1 -> Gen.oneOf(0.0, -0.0, 1.0E-300, -2.75, 0.30000000000000004,
+      Double.MinPositiveValue, Double.MaxValue,
+      Double.PositiveInfinity, Double.NegativeInfinity))
+
   private val colFacts: Gen[(Option[ColumnBounds], Option[Long])] = for {
-    kind <- Gen.choose(0, 3)
+    kind <- Gen.choose(0, 4)
     lo <- Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
     span <- Gen.choose(0L, 1000000L)
     s1 <- boundString
     s2 <- boundString
+    d1 <- boundDouble
+    d2 <- boundDouble
     hasMax <- Gen.oneOf(true, false)
     nulls <- Gen.option(Gen.choose(0L, 100L))
   } yield kind match {
     case 0 => (None, nulls) // nothing or nulls-only
     case 1 => (Some(ColumnBounds("", lo, lo + span)), nulls)
+    case 4 =>
+      // doubles as footerInfo records them: exact pair + derived
+      // floor/ceil-widened longs (what decode rebuilds)
+      val (dn, dx) = if (d1 <= d2) (d1, d2) else (d2, d1)
+      (Some(ColumnBounds("", math.floor(dn).toLong, math.ceil(dx).toLong,
+        minD = Some(dn), maxD = Some(dx))), nulls)
     case _ =>
       val (mn, mx) =
         if (ColumnBounds.cpCompare(s1, s2) <= 0) (s1, s2) else (s2, s1)

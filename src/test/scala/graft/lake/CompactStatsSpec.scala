@@ -44,7 +44,15 @@ class CompactStatsSpec extends SparkSpec {
       entry(3),
       // string bounds with BOTH sides, no nulls
       entry(4).copy(extraBounds = Some(Seq(
-        ColumnBounds("url", 0L, 0L, minS = Some(""), maxS = Some("zz"))))))
+        ColumnBounds("url", 0L, 0L, minS = Some(""), maxS = Some("zz"))))),
+      // DOUBLE bounds (round 15): exact pair + derivable widened longs
+      // + nulls; extremes include negative, subnormal-ish and infinite
+      entry(5).copy(
+        extraBounds = Some(Seq(ColumnBounds("d", -3L, Long.MaxValue,
+          minD = Some(-2.75), maxD = Some(Double.PositiveInfinity)))),
+        colNulls = Some(Map("d" -> 4L))),
+      entry(6).copy(extraBounds = Some(Seq(
+        ColumnBounds("d", 0L, 1L, minD = Some(1.0E-300), maxD = Some(0.30000000000000004))))))
     val ref = slog.writeManifest(1L, files)
     SnapshotLog.clearPlanningCache()
     val back = slog.readManifest(ref.path)

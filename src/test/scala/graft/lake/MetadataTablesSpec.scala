@@ -46,6 +46,10 @@ class MetadataTablesSpec extends SparkSpec {
 
     val parts = t.metadataTable("partitions")
     assert(parts.count() == 1 && parts.select("files").head().getLong(0) >= 1L)
+    // per-partition key coverage (round 15): the bounds ride along
+    val span = parts.select("min_key_us", "max_key_us").head()
+    assert(!span.isNullAt(0) && !span.isNullAt(1) &&
+      span.getLong(0) <= span.getLong(1))
 
     intercept[IllegalArgumentException](t.metadataTable("nope"))
   }

@@ -94,15 +94,41 @@ class MetadataAggSpec extends SparkSpec {
     assert(r.getInt(2) == 100)
   }
 
-  test("string and double extremes fall back to a scan and stay exact") {
+  test("string extremes fall back; double extremes serve the exact pair") {
     val (cat, wh) = freshCatalog()
     mkTable(cat, wh, "t3")
     val qs = spark.sql(s"SELECT min(s) AS mn, max(s) AS mx FROM $cat.gold.t3")
     assert(filesScanned(qs) > 0, "string bounds are truncated — must scan")
     assert(qs.head().getString(0) == "u000" && qs.head().getString(1) == "u059")
+    // doubles carry EXACT minD/maxD since round 15 — the widened longs
+    // are never served, the exact pair is
     val qd = spark.sql(s"SELECT min(d) AS mn, max(d) AS mx FROM $cat.gold.t3")
-    assert(filesScanned(qd) > 0, "double bounds are floor/ceil widened — must scan")
+    assert(filesScanned(qd) == 0, "exact double bounds answer extremes from metadata")
     assert(qd.head().getDouble(0) == 0.0 && qd.head().getDouble(1) == 5.9)
+  }
+
+  test("double range predicates prune files through the exact bounds") {
+    val (cat, wh) = freshCatalog()
+    // d banded per file: file r holds d in [10r, 10r+5.9]
+    val data = (0 until 60).map(i => (ts(i), (i % 4) * 10.0 + (i / 4) * 0.4))
+      .toDF("ts", "d")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/t12"), data.schema, Some("ts"))
+    t.setProperty("write.stats-columns", "d")
+    (0 until 4).foreach(r =>
+      t.append(data.filter((col("d") / 10.0).cast("int") === r).coalesce(1)))
+    val q = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.gold.t12 WHERE d BETWEEN 10.3 AND 15.7")
+    assert(filesScanned(q) == 1, "only the d∈[10, 15.6] band's file may scan")
+    assert(q.head().getLong(0) ==
+      (0 until 60).count(i => {
+        val d = (i % 4) * 10.0 + (i / 4) * 0.4; d >= 10.3 && d <= 15.7
+      }))
+    // sub-integer band between two files' ranges: bounds prove empty
+    val q0 = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.gold.t12 WHERE d > 5.95 AND d < 9.9")
+    assert(filesScanned(q0) == 0, "a between-band double range prunes everything")
+    assert(q0.head().getLong(0) == 0L)
   }
 
   test("FILTER clauses and count(DISTINCT) fall back; sum always falls back") {
@@ -431,6 +457,49 @@ class MetadataAggSpec extends SparkSpec {
     val expected = (0 until 60).filterNot(i => dayTs(i).before(lo))
       .groupBy(i => if (i % 2 == 0) "x" else "y").view.mapValues(_.size.toLong).toMap
     assert(qS.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expected)
+  }
+
+  test("range extremes ride the hybrid: latest-before-X needs no scan when covered") {
+    val (cat, wh) = freshCatalog()
+    mkDayTable(cat, wh, "h4")
+    val janRows = (0 until 60).filter(i => i % 3 != 2)
+    // covering upper bound: Jan files interior, Feb provably outside —
+    // the watermark probe "latest event before X" is pure metadata
+    val qc = spark.sql(
+      s"""SELECT unix_micros(max(ts)) AS mx, count(*) AS n FROM $cat.gold.h4
+         |WHERE ts < TIMESTAMP '2024-02-01 00:00:00'""".stripMargin)
+    assert(filesScanned(qc) == 0)
+    val rc = qc.head()
+    assert(rc.getLong(0) == janRows.map(i => dayTs(i).getTime * 1000L).max)
+    assert(rc.getLong(1) == 40L)
+    // a straddling lower bound: interior extremes combine with the
+    // boundary scan's — still exact, still only boundary files read
+    val lo = Timestamp.valueOf("2024-01-01 00:03:00")
+    val qs = spark.sql(
+      s"""SELECT unix_micros(min(ts)) AS mn, unix_micros(max(ts)) AS mx,
+         |       count(*) AS n
+         |FROM $cat.gold.h4 WHERE ts >= TIMESTAMP '$lo'""".stripMargin)
+    val scanned = filesScanned(qs)
+    assert(scanned > 0 && scanned <= 2)
+    val inRange = (0 until 60).filter(i => !dayTs(i).before(lo))
+    val rs = qs.head()
+    assert(rs.getLong(0) == inRange.map(i => dayTs(i).getTime * 1000L).min)
+    assert(rs.getLong(1) == inRange.map(i => dayTs(i).getTime * 1000L).max)
+    assert(rs.getLong(2) == inRange.size)
+    // grouped key extremes under an aligned range stay metadata-only
+    val qg = spark.sql(
+      s"""SELECT sym, unix_micros(max(ts)) AS mx, count(*) AS n
+         |FROM $cat.gold.h4 WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+         |GROUP BY sym ORDER BY sym""".stripMargin)
+    assert(filesScanned(qg) == 0)
+    val exp = (0 until 60).filter(i => i % 3 != 0)
+      .groupBy(i => if (i % 2 == 0) "x" else "y").view
+      .mapValues(is => (is.map(i => dayTs(i).getTime * 1000L).max, is.size.toLong))
+      .toMap
+    qg.collect().foreach { r =>
+      val (mx, n) = exp(r.getString(0))
+      assert(r.getLong(1) == mx && r.getLong(2) == n)
+    }
   }
 
   test("null-key rows never ride an interior count") {
