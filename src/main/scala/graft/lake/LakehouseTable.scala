@@ -39,37 +39,52 @@ final case class MetadataAggInfo(
     colBoundsD: Map[String, (Double, Double)] = Map.empty)
 
 object MetadataAggInfo {
-  /** The same facts computed from PER-FILE manifest entries (the
-    * identity-restricted subset path — list-level roll-ups cannot
-    * describe a subset). Complete-or-absent per fact, exactly like the
-    * list-level roll-ups: one unbounded/uncounted member drops that
-    * column's fact, never widens it.
+  /** The facts from PER-FILE manifest entries (the restricted-subset
+    * path — list-level roll-ups cannot describe a subset).
     */
-  def ofFiles(files: Seq[DataFile]): MetadataAggInfo = {
-    val rows = files.map(_.rows).sum
+  def ofFiles(files: Seq[DataFile]): MetadataAggInfo =
+    fold(files)(_.rows, f => (f.minKeyUs, f.maxKeyUs), _.extraBounds, _.colNulls)
+
+  /** The facts from manifest-LIST roll-ups (the whole-snapshot path —
+    * no manifest parse at all).
+    */
+  private[lake] def ofRefs(refs: Seq[ManifestRef]): MetadataAggInfo =
+    fold(refs)(_.rows, r => (r.minKeyUs, r.maxKeyUs), _.columnBounds, _.columnNulls)
+
+  /** One complete-or-absent roll-up fold for both granularities: a
+    * single unbounded/uncounted member drops that column's fact, never
+    * widens it — the invariant every consumer's exactness rests on.
+    */
+  private def fold[T](xs: Seq[T])(
+      rowsOf: T => Long,
+      keyOf: T => (Option[Long], Option[Long]),
+      boundsOf: T => Option[Seq[ColumnBounds]],
+      nullsOf: T => Option[Map[String, Long]]): MetadataAggInfo = {
+    val rows = xs.map(rowsOf).sum
     if (rows == 0L) return MetadataAggInfo(0L, None, Map.empty, Map.empty)
+    val keys = xs.map(keyOf)
     val keyBounds =
-      if (files.forall(f => f.minKeyUs.isDefined && f.maxKeyUs.isDefined))
-        Some((files.flatMap(_.minKeyUs).min, files.flatMap(_.maxKeyUs).max))
+      if (keys.forall(k => k._1.isDefined && k._2.isDefined))
+        Some((keys.flatMap(_._1).min, keys.flatMap(_._2).max))
       else None
-    val boundCols = files.flatMap(_.extraBounds.getOrElse(Nil))
+    val boundCols = xs.flatMap(boundsOf(_).getOrElse(Nil))
       .filter(!_.isString).map(_.column).distinct
     val colBounds = boundCols.flatMap { c =>
-      val per = files.map(_.extraBounds.flatMap(_.find(b =>
+      val per = xs.map(boundsOf(_).flatMap(_.find(b =>
         b.column == c && !b.isString)))
       if (per.exists(_.isEmpty)) None
       else Some(c -> (per.flatten.map(_.min).min, per.flatten.map(_.max).max))
     }.toMap
     val colBoundsD = boundCols.flatMap { c =>
-      val per = files.map(_.extraBounds.flatMap(_.find(b =>
+      val per = xs.map(boundsOf(_).flatMap(_.find(b =>
         b.column == c && b.isDouble)))
       if (per.exists(_.isEmpty)) None
       else Some(c -> (per.flatten.map(_.minD.get).min,
         per.flatten.map(_.maxD.get).max))
     }.toMap
-    val nullCols = files.flatMap(_.colNulls.getOrElse(Map.empty).keys).distinct
+    val nullCols = xs.flatMap(nullsOf(_).getOrElse(Map.empty).keys).distinct
     val colNulls = nullCols.flatMap { c =>
-      val per = files.map(_.colNulls.flatMap(_.get(c)))
+      val per = xs.map(nullsOf(_).flatMap(_.get(c)))
       if (per.exists(_.isEmpty)) None else Some(c -> per.flatten.sum)
     }.toMap
     MetadataAggInfo(rows, keyBounds, colBounds, colNulls, colBoundsD)
@@ -169,35 +184,8 @@ final class LakehouseTable(
       case None => Some(MetadataAggInfo(0L, None, Map.empty, Map.empty))
       case Some(snap) =>
         val data = log.readManifestListData(snap)
-        if (data.liveDeletes.nonEmpty) return None
-        val refs = data.manifests
-        val rows = refs.map(_.rows).sum
-        if (rows == 0L) return Some(MetadataAggInfo(0L, None, Map.empty, Map.empty))
-        val keyBounds =
-          if (refs.forall(r => r.minKeyUs.isDefined && r.maxKeyUs.isDefined))
-            Some((refs.flatMap(_.minKeyUs).min, refs.flatMap(_.maxKeyUs).max))
-          else None
-        val boundCols = refs.flatMap(_.columnBounds.getOrElse(Nil))
-          .filter(!_.isString).map(_.column).distinct
-        val colBounds = boundCols.flatMap { c =>
-          val per = refs.map(_.columnBounds.flatMap(_.find(b =>
-            b.column == c && !b.isString)))
-          if (per.exists(_.isEmpty)) None
-          else Some(c -> (per.flatten.map(_.min).min, per.flatten.map(_.max).max))
-        }.toMap
-        val colBoundsD = boundCols.flatMap { c =>
-          val per = refs.map(_.columnBounds.flatMap(_.find(b =>
-            b.column == c && b.isDouble)))
-          if (per.exists(_.isEmpty)) None
-          else Some(c -> (per.flatten.map(_.minD.get).min,
-            per.flatten.map(_.maxD.get).max))
-        }.toMap
-        val nullCols = refs.flatMap(_.columnNulls.getOrElse(Map.empty).keys).distinct
-        val colNulls = nullCols.flatMap { c =>
-          val per = refs.map(_.columnNulls.flatMap(_.get(c)))
-          if (per.exists(_.isEmpty)) None else Some(c -> per.flatten.sum)
-        }.toMap
-        Some(MetadataAggInfo(rows, keyBounds, colBounds, colNulls, colBoundsD))
+        if (data.liveDeletes.nonEmpty) None
+        else Some(MetadataAggInfo.ofRefs(data.manifests))
     }
   }
 
@@ -1529,12 +1517,16 @@ final class LakehouseTable(
         * segments, composing with every other dimension. Values must
         * already be [[LakehouseTable.escapeDirValue]]-escaped.
         */
-      idDims: Seq[(String, Set[String])] = Nil)
+      idDims: Seq[(String, Set[String])] = Nil,
+      /** DOUBLE range dims (round 15): exact per-file double bounds
+        * compose with every pinned dimension too.
+        */
+      dblRanges: Seq[(String, Option[(Double, Boolean)], Option[(Double, Boolean)])] = Nil)
       : DataFrame = {
     val meta = metadata
     val snap = meta.currentSnapshot
     val files = multiPointSurvivors(meta, snap, keyPointsUs, longDims, strDims,
-      timeRangeUs, longRanges, strPrefixes, nullDims, strRanges, idDims)
+      timeRangeUs, longRanges, strPrefixes, nullDims, strRanges, idDims, dblRanges)
     readWithDeletes(files, snap.map(liveDeleteFiles).getOrElse(Nil))
   }
 
@@ -1558,13 +1550,14 @@ final class LakehouseTable(
       strPrefixes: Seq[(String, String)] = Nil,
       nullDims: Seq[(String, Boolean)] = Nil,
       strRanges: Seq[(String, Option[(String, Boolean)], Option[(String, Boolean)])] = Nil,
-      idDims: Seq[(String, Set[String])] = Nil)
+      idDims: Seq[(String, Set[String])] = Nil,
+      dblRanges: Seq[(String, Option[(Double, Boolean)], Option[(Double, Boolean)])] = Nil)
       : DataFrame = {
     val meta = metadata
     val snap = Some(meta.snapshotById(snapshotId).getOrElse(
       throw new NoSuchElementException(s"snapshot $snapshotId not found")))
     val files = multiPointSurvivors(meta, snap, keyPointsUs, longDims, strDims,
-      timeRangeUs, longRanges, strPrefixes, nullDims, strRanges, idDims)
+      timeRangeUs, longRanges, strPrefixes, nullDims, strRanges, idDims, dblRanges)
     readWithDeletes(files, snap.map(liveDeleteFiles).getOrElse(Nil))
   }
 
@@ -1594,12 +1587,13 @@ final class LakehouseTable(
       strPrefixes: Seq[(String, String)],
       nullDims: Seq[(String, Boolean)] = Nil,
       strRanges: Seq[(String, Option[(String, Boolean)], Option[(String, Boolean)])] = Nil,
-      idDims: Seq[(String, Set[String])] = Nil)
+      idDims: Seq[(String, Set[String])] = Nil,
+      dblRanges: Seq[(String, Option[(Double, Boolean)], Option[(Double, Boolean)])] = Nil)
       : Seq[DataFile] = {
     val frozen = StructType.fromDDL(meta.schemaDdl).fieldNames.toSet
     (longDims.map(_._1) ++ strDims.map(_._1) ++
       longRanges.map(_._1) ++ strPrefixes.map(_._1) ++
-      nullDims.map(_._1) ++ strRanges.map(_._1)).foreach(c =>
+      nullDims.map(_._1) ++ strRanges.map(_._1) ++ dblRanges.map(_._1)).foreach(c =>
       require(frozen.contains(c), s"'$c' is not a table column"))
     // an empty pinned set on any dimension is a contradiction
     // (`k IN ()` after intersection): zero files, zero rows
@@ -1636,6 +1630,8 @@ final class LakehouseTable(
       .filter(r => nullDims.forall { case (c, w) => r.mayContainNullness(c, w) })
       .filter(r => strRanges.forall { case (c, lo, hi) =>
         r.mayContainColumnStringRange(c, lo, hi) })
+      .filter(r => dblRanges.forall { case (c, lo, hi) =>
+        r.mayContainColumnDoubleRange(c, lo, hi) })
       .filter(r => idDims.forall { case (n, vs) =>
         vs.exists(v => r.mayContainPartitionValue(n, v)) })
 
@@ -1648,6 +1644,8 @@ final class LakehouseTable(
       .filter(f => nullDims.forall { case (c, w) => f.mayContainNullness(c, w) })
       .filter(f => strRanges.forall { case (c, lo, hi) =>
         f.mayContainColumnStringRange(c, lo, hi) })
+      .filter(f => dblRanges.forall { case (c, lo, hi) =>
+        f.mayContainColumnDoubleRange(c, lo, hi) })
       .filter(f => idDims.forall { case (n, vs) =>
         f.partitionSegments.get(n).forall(vs.contains) })
 
@@ -1818,7 +1816,7 @@ final class LakehouseTable(
     equalValues.keys.foreach(k =>
       require(frozenCols.contains(k), s"'$k' is not a table column"))
     val wanted = equalValues.map { case (k, v) =>
-      k -> LakehouseTable.escapeDirValue(String.valueOf(v)) }
+      k -> LakehouseTable.dirRendering(String.valueOf(v)) }
     // manifest-LIST level first: time bounds AND per-manifest partition
     // value summaries drop whole manifests unopened — at 10⁶ files the
     // difference between touching one symbol's manifests and parsing
@@ -1848,7 +1846,7 @@ final class LakehouseTable(
       equalValues: Map[String, Any],
       timeRangeUs: Option[(Long, Long)] = None): Seq[ManifestRef] =
     manifestsForQueryIn(metadata.currentSnapshot,
-      equalValues.map { case (k, v) => k -> LakehouseTable.escapeDirValue(String.valueOf(v)) },
+      equalValues.map { case (k, v) => k -> LakehouseTable.dirRendering(String.valueOf(v)) },
       timeRangeUs)
 
   private def manifestsForQueryIn(
@@ -1887,7 +1885,7 @@ final class LakehouseTable(
     require(StructType.fromDDL(meta.schemaDdl).fieldNames.contains(column),
       s"'$column' is not a table column")
     val wanted = values.map(v =>
-      LakehouseTable.escapeDirValue(String.valueOf(v))).toSet
+      LakehouseTable.dirRendering(String.valueOf(v))).toSet
     val manifests = snap.map(log.readManifestList).getOrElse(Nil)
       .filter(r => wanted.exists(v => r.mayContainPartitionValue(column, v)))
     val files = log.readManifests(manifests).flatten
@@ -2224,7 +2222,17 @@ final class LakehouseTable(
     val statExtras = (statsCols ++ timeSources.filterNot(keyCol.contains)).distinct
     val preStats = graft.util.BoundedPar
       .map(staged, parallelism = moveParallelism(meta0)) { p =>
-        p -> footerInfo(p, keyCol, statExtras)
+        val fi = footerInfo(p, keyCol, statExtras)
+        // FOREIGN footers: spec-compliant writers (arrow, parquet-rs)
+        // EXCLUDE NaN from double min/max stats, so an imported double
+        // bound may omit rows Spark's NaN-is-largest ordering matches
+        // (`d > x` is TRUE for NaN) — the exact pair AND its widened
+        // longs are both unsound to prune with. Engine-written files
+        // come from parquet-mr, whose NaN-polluted extremes surface AS
+        // NaN and self-poison in footerInfo; imports drop double
+        // bounds entirely (never skip what a foreign writer may have
+        // half-measured). Null counts keep: NaN is not null.
+        p -> fi.copy(bounds = fi.bounds.filterNot(_.isDouble))
       }.toMap
     val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
     staged.foreach { p =>
@@ -3450,7 +3458,7 @@ final class LakehouseTable(
             val bs = batch.select(
               LakehouseTable.partitionExpr(f.transform, col(key)).cast("string"))
               .distinct().collect().map(_.getString(0)).filter(_ != null)
-            Some(bs.map(LakehouseTable.escapeDirValue).toSet)
+            Some(bs.map(LakehouseTable.dirRendering).toSet)
           } else keyType match {
             case Some(org.apache.spark.sql.types.StringType |
                       org.apache.spark.sql.types.LongType |
@@ -3459,7 +3467,7 @@ final class LakehouseTable(
                 .limit(PredicateBounds.MaxPointKeys + 1)
                 .collect().map(_.getString(0)).filter(_ != null)
               if (vs.length <= PredicateBounds.MaxPointKeys)
-                Some(vs.map(LakehouseTable.escapeDirValue).toSet)
+                Some(vs.map(LakehouseTable.dirRendering).toSet)
               else None
             case _ => None // timestamp/double dirs render differently
           }
@@ -3637,7 +3645,7 @@ final class LakehouseTable(
           case _ => None
         }
         pinned.foreach { vs =>
-          val wanted = vs.map(LakehouseTable.escapeDirValue).toSet
+          val wanted = vs.map(LakehouseTable.dirRendering).toSet
           cur = Some(universe.filter(
             _.partitionSegments.get(f.name).forall(wanted.contains)))
         }
@@ -3736,7 +3744,7 @@ final class LakehouseTable(
           else PredicateBounds.pointKeysUs(cond, f.source).map(_.map(String.valueOf))
         pinned match {
           case Some(vs) => vs.exists(v =>
-            r.mayContainPartitionValue(f.name, LakehouseTable.escapeDirValue(v)))
+            r.mayContainPartitionValue(f.name, LakehouseTable.dirRendering(v)))
           case None => true
         }
       }
@@ -4898,10 +4906,16 @@ final class LakehouseTable(
           val fi = footerInfo(new Path(tableDir, f.path), None, statCols)
           // existing entries win (same footer, same values — but a
           // z-order column's bounds must not be clobbered by a pass
-          // that did not request it)
+          // that did not request it). Double bounds are NOT backfilled:
+          // this pass cannot tell an engine-written file from an
+          // addFiles import, and a foreign writer's double stats may
+          // exclude NaN rows (see the addFiles stats pass) — such files
+          // earn exact double bounds only when compaction rewrites them
+          // natively.
           val haveBounds = f.extraBounds.getOrElse(Nil)
           val mergedBounds = haveBounds ++
-            fi.bounds.filterNot(b => haveBounds.exists(_.column == b.column))
+            fi.bounds.filterNot(b =>
+              b.isDouble || haveBounds.exists(_.column == b.column))
           val haveNulls = f.colNulls.getOrElse(Map.empty)
           val mergedNulls = haveNulls ++
             fi.nulls.filterNot { case (c, _) => haveNulls.contains(c) }
@@ -5447,6 +5461,25 @@ object LakehouseTable {
     * semantics: control chars and path-hostile punctuation become %XX),
     * so [[LakehouseTable.filesForQuery]] compares apples to apples.
     */
+  /** The partition writer's sentinel dir for null partition values —
+    * AND for empty-string values: Spark's committer maps both to it.
+    */
+  val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** The dir name a row with this (non-null) partition value actually
+    * lives under: the committer maps the EMPTY string to the null
+    * sentinel, so dir-equality pruning must chase it there — comparing
+    * against the raw "" would silently drop the empty-string rows'
+    * files. Over-approximate SCAN pruning may use this freely (the
+    * sentinel dir also holds nulls, which the re-applied predicate
+    * drops); EXACT consumers (metadata aggregates) must instead refuse
+    * sentinel-ambiguous renderings.
+    */
+  def dirRendering(v: String): String = {
+    val e = escapeDirValue(v)
+    if (e.isEmpty) HiveDefaultPartition else e
+  }
+
   def escapeDirValue(s: String): String = {
     def needsEscaping(c: Char): Boolean =
       c < ' ' || c == '"' || c == '#' || c == '%' || c == '\'' || c == '*' ||

@@ -170,8 +170,12 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
                 .map(_.map(String.valueOf))
             case _ => None
           }
+          // dirRendering, not escapeDirValue: the committer maps the
+          // EMPTY string to the null sentinel dir, so `sym = ''` must
+          // keep the sentinel's files (the exact filter on top drops
+          // the null rows that share it)
           pinned.map(vs =>
-            (f.name, vs.map(graft.lake.LakehouseTable.escapeDirValue).toSet))
+            (f.name, vs.map(graft.lake.LakehouseTable.dirRendering).toSet))
         }
       // compose the predicate's TIME-key bounds on top (WHERE
       // ts >= … AND uid = 5): neither dimension's pruning is
@@ -189,22 +193,25 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
           // the pinned ladder too.
           if (keyPoints.isDefined || longDims.nonEmpty || strDims.nonEmpty ||
             rangeDims.nonEmpty || prefixDims.nonEmpty || strRangeDims.nonEmpty ||
-            nullDims.nonEmpty || idDims.nonEmpty || tr.isDefined)
+            nullDims.nonEmpty || idDims.nonEmpty || dblRangeDims.nonEmpty ||
+            tr.isDefined)
             return g.lt.readPointsMultiAt(id, keyPoints, longDims, strDims, tr,
               longRanges = rangeDims, strPrefixes = prefixDims,
-              nullDims = nullDims, strRanges = strRangeDims, idDims = idDims)
+              nullDims = nullDims, strRanges = strRangeDims, idDims = idDims,
+              dblRanges = dblRangeDims)
         case None =>
           // key-only pins keep the dedicated path (identical pruning,
           // no per-dimension scaffolding)
           if (keyPoints.isDefined && longDims.isEmpty && strDims.isEmpty &&
             rangeDims.isEmpty && prefixDims.isEmpty && strRangeDims.isEmpty &&
-            nullDims.isEmpty && idDims.isEmpty)
+            nullDims.isEmpty && idDims.isEmpty && dblRangeDims.isEmpty)
             return g.lt.readPointsPruned(keyPoints.get)
           if (keyPoints.isDefined || longDims.nonEmpty || strDims.nonEmpty ||
             idDims.nonEmpty)
             return g.lt.readPointsMulti(keyPoints, longDims, strDims, tr,
               longRanges = rangeDims, strPrefixes = prefixDims,
-              nullDims = nullDims, strRanges = strRangeDims, idDims = idDims)
+              nullDims = nullDims, strRanges = strRangeDims, idDims = idDims,
+              dblRanges = dblRangeDims)
           if (rangeDims.nonEmpty || prefixDims.nonEmpty || strRangeDims.nonEmpty ||
             nullDims.nonEmpty || dblRangeDims.nonEmpty)
             return g.lt.readColumnRangesPruned(rangeDims, tr,
@@ -334,26 +341,6 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
     }
   }
 
-  /** `SELECT count(*) / min(k) / max(k) / count(c) / min(c) / max(c)
-    * FROM t [VERSION AS OF v]` answered from manifest stats alone
-    * (round 15 — the Iceberg metadata-aggregate analog). Every
-    * [[org.apache.spark.sql.catalyst.expressions.aggregate
-    * .AggregateExpression]] in the list must be provable or the whole
-    * plan is left for the normal scan expansion — correctness never
-    * depends on this rewrite, it only removes the scan when the
-    * manifest roll-ups already hold the answer. Provable means:
-    * no live merge-on-read masks (a mask can remove any row, including
-    * an extreme), no FILTER clause, count of a non-null literal (=
-    * `count(*)`) or of a stats column with complete null roll-ups, and
-    * min/max of the partition-source key or of an integral/timestamp
-    * stats column with complete bounds roll-ups. Strings are excluded
-    * (their manifest bounds are TRUNCATED — a prefix is not the
-    * extreme); doubles are excluded (their bounds are floor/ceil
-    * widened at record time); renamed columns are excluded (pre-rename
-    * manifest entries carry the historical name, so the current name's
-    * roll-up is incomplete). Disabled by setting
-    * `spark.graft.sql.metadata-aggregates=false`.
-    */
   /** The condition split into (pure identity restriction, pure key
     * time-range): Some iff EVERY conjunct is one or the other —
     * identity conjuncts are `col = lit` / `col IN (lits)` on identity
@@ -388,10 +375,20 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
       }
     // the literal rendered exactly as the partition writer renders the
     // dir value (String.valueOf, then hive escaping); null literals
-    // bail — `col = NULL` matches nothing and the optimizer folds it
+    // bail — `col = NULL` matches nothing and the optimizer folds it.
+    // Sentinel-AMBIGUOUS renderings bail too: the committer maps BOTH
+    // null and '' to __HIVE_DEFAULT_PARTITION__, so dir equality can
+    // prove nothing exact for '' or for the sentinel literal itself —
+    // an aggregate served from that dir would count the other kind's
+    // rows (scan pruning may over-approximate there; exactness cannot)
     def dirValue(a: AttributeReference, l: Literal): Option[String] =
       if (l.value == null || l.dataType != a.dataType) None
-      else Some(graft.lake.LakehouseTable.escapeDirValue(l.value.toString))
+      else {
+        val rendered = graft.lake.LakehouseTable.escapeDirValue(l.value.toString)
+        if (rendered.isEmpty ||
+          rendered == graft.lake.LakehouseTable.HiveDefaultPartition) None
+        else Some(rendered)
+      }
     def keyMicros(a: AttributeReference, l: Literal): Option[Long] =
       if (!keyCol.contains(a.name) || l.value == null || l.dataType != a.dataType) None
       else Some(l.value.asInstanceOf[Long])
@@ -631,6 +628,26 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
       }
     })
 
+  /** `SELECT count(*) / min(k) / max(k) / count(c) / min(c) / max(c)
+    * FROM t [VERSION AS OF v] [WHERE <pure identity restriction>]`
+    * answered from manifest stats alone (round 15 — the Iceberg
+    * metadata-aggregate analog). Every [[AggregateExpression]] in the
+    * list must be provable or the whole plan is left for the normal
+    * scan expansion — correctness never depends on this rewrite, it
+    * only removes the scan when the roll-ups already hold the answer.
+    * Provable means: no live merge-on-read masks (a mask can remove
+    * any row, including an extreme), no FILTER clause, count of a
+    * non-null literal (= `count(*)`) or of a stats column with
+    * complete null roll-ups, and min/max of the partition-source key,
+    * of an integral/timestamp stats column with complete long
+    * roll-ups, or of a DOUBLE stats column with complete EXACT double
+    * roll-ups (the floor/ceil-widened longs are never served as
+    * extremes). Strings are excluded (their manifest bounds are
+    * TRUNCATED — a prefix is not the extreme); renamed columns are
+    * excluded (pre-rename manifest entries carry the historical name,
+    * so the current name's roll-up is incomplete). Disabled by setting
+    * `spark.graft.sql.metadata-aggregates=false`.
+    */
   private def metadataAggregate(
       agg: Aggregate, g: GraftSqlTable,
       restrict: Option[Seq[(String, Set[String])]] = None): Option[LogicalPlan] = {
@@ -887,7 +904,7 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
       case (f, eff) =>
         val key = dims.map { d =>
           val seg = f.partitionSegments.getOrElse(d.segName, return None)
-          if (seg == "__HIVE_DEFAULT_PARTITION__") return None
+          if (seg == graft.lake.LakehouseTable.HiveDefaultPartition) return None
           d.internal(seg).getOrElse(return None)
         }
         (key, (f, eff))

@@ -260,4 +260,38 @@ class AddFilesSpec extends SparkSpec {
     assert(t.read().count() == 1L)
     assert(t.read().select("ts_day").head().getInt(0) == 20240301)
   }
+
+  test("imports never carry double bounds - foreign stats may exclude NaN") {
+    // spec-compliant foreign writers (arrow, parquet-rs) EXCLUDE NaN
+    // from double min/max stats; Spark orders NaN as the LARGEST
+    // double, so pruning with such bounds would drop NaN rows. The
+    // import path therefore refuses double bounds wholesale - files
+    // earn them when compaction rewrites them natively.
+    val table = LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("af-dbl"), "t"), ticks.schema,
+      Seq("sym" -> "identity", "ts" -> "day"))
+    table.setProperty("write.stats-columns", "px")
+    val staged = tmpDir("af-dbl-staged")
+    stage(ticks, staged)
+    table.addFiles(new Path(staged))
+    val entries = table.currentDataFiles
+    assert(entries.nonEmpty)
+    assert(entries.forall(_.extraBounds.getOrElse(Nil).forall(!_.isDouble)),
+      "imported entries must carry no double bounds")
+    // and the backfill pass must not stamp them either
+    table.rewriteManifests()
+    assert(table.currentDataFiles
+      .forall(_.extraBounds.getOrElse(Nil).forall(!_.isDouble)),
+      "rewriteManifests must not backfill double bounds onto imports")
+    // conservative is still correct: a double range keeps the files
+    import org.apache.spark.sql.functions.col
+    assert(table.readColumnRangesPruned(Nil,
+      dblRanges = Seq(("px", Some((2.5, true)), Some((3.5, true)))))
+      .filter(col("px").between(2.5, 3.5)).count() == 1)
+    // a NATIVE append of the same shape does earn exact double bounds
+    table.append(ticks.withColumn("px", col("px") + 100.0).coalesce(1))
+    assert(table.currentDataFiles.exists(
+      _.extraBounds.getOrElse(Nil).exists(_.isDouble)),
+      "natively written files record the exact double pair")
+  }
 }

@@ -129,6 +129,19 @@ class MetadataAggSpec extends SparkSpec {
       s"SELECT count(*) AS n FROM $cat.gold.t12 WHERE d > 5.95 AND d < 9.9")
     assert(filesScanned(q0) == 0, "a between-band double range prunes everything")
     assert(q0.head().getLong(0) == 0L)
+    // composed with key points: ts(5) lives in band 1, ts(6) in band 2
+    // (footer blooms prune the points to exactly those two files) —
+    // the double dim must intersect the survivors down to band 1 alone
+    val qP = spark.sql(
+      s"""SELECT count(*) AS n FROM $cat.gold.t12
+         |WHERE ts IN (TIMESTAMP '${ts(5)}', TIMESTAMP '${ts(6)}')""".stripMargin)
+    assert(filesScanned(qP) == 2, "the two points keep their two band files")
+    val qC = spark.sql(
+      s"""SELECT count(*) AS n FROM $cat.gold.t12
+         |WHERE ts IN (TIMESTAMP '${ts(5)}', TIMESTAMP '${ts(6)}')
+         |  AND d BETWEEN 10.3 AND 15.7""".stripMargin)
+    assert(filesScanned(qC) == 1, "the double dim composes with the point dims")
+    assert(qC.head().getLong(0) == 1L)
   }
 
   test("FILTER clauses and count(DISTINCT) fall back; sum always falls back") {
@@ -295,6 +308,39 @@ class MetadataAggSpec extends SparkSpec {
     val m = q.collect().map(r =>
       Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
     assert(m == Map("NULL" -> 4L, "s0" -> 8L, "s1" -> 8L))
+  }
+
+  test("empty-string identity values share the null sentinel dir — exactness bails") {
+    val (cat, wh) = freshCatalog()
+    // the partition writer maps BOTH null and '' to
+    // __HIVE_DEFAULT_PARTITION__, so dir equality can prove nothing
+    // exact for either — but plain values stay provable
+    val data = Seq(
+      (Some(""), ts(0), 1L), (Some(""), ts(1), 2L),
+      (Some("a"), ts(2), 3L), (None, ts(3), 4L))
+      .toDF("sym", "ts", "uid")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/e1"), data.schema,
+      Seq("sym" -> "identity", "ts" -> "day"))
+    t.append(data)
+    // hive-partitioning semantics: an identity column lives only in
+    // the dir name, and the writer maps '' to the null sentinel — the
+    // rows READ BACK as null. The metadata path must agree with the
+    // scan (0), not count the sentinel dir's rows.
+    val qE = spark.sql(s"SELECT count(*) AS n FROM $cat.gold.e1 WHERE sym = ''")
+    assert(qE.head().getLong(0) == 0L, "'' round-trips to null under hive dirs")
+    assert(filesScanned(qE) > 0, "'' is sentinel-ambiguous — the exact path bails")
+    val qNull = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.gold.e1 WHERE sym IS NULL")
+    assert(qNull.head().getLong(0) == 3L, "both '' rows and the null row read as null")
+    val qSent = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.gold.e1 WHERE sym = '__HIVE_DEFAULT_PARTITION__'")
+    assert(qSent.head().getLong(0) == 0L,
+      "no row carries the sentinel literal — counting the sentinel dir would lie")
+    assert(filesScanned(qSent) > 0)
+    val qA = spark.sql(s"SELECT count(*) AS n FROM $cat.gold.e1 WHERE sym = 'a'")
+    assert(filesScanned(qA) == 0, "an unambiguous value stays metadata-only")
+    assert(qA.head().getLong(0) == 1L)
   }
 
   test("group pushdown respects time travel and live masks") {
