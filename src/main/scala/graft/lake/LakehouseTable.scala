@@ -3700,6 +3700,16 @@ final class LakehouseTable(
                   lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))))
               case _ => ()
             }
+            // DOUBLE ranges (round 15): `DELETE WHERE d BETWEEN 0.4
+            // AND 0.6` discovery prunes through the exact double
+            // bounds — the integer-space extraction above cannot
+            // decide sub-integer bounds
+            PredicateBounds.doubleRangeBounds(cond, c) match {
+              case (lo, hi) if lo.isDefined || hi.isDefined =>
+                cur = Some(universe.filter(
+                  _.mayContainColumnDoubleRange(c, lo, hi)))
+              case _ => ()
+            }
         }
       }
     }
@@ -3775,8 +3785,11 @@ final class LakehouseTable(
               r.mayContainColumnLongs(c, keys.distinct.sorted.toArray)
             case None =>
               val (lo, hi) = PredicateBounds.rangeBounds(cond, c)
-              (lo.isEmpty && hi.isEmpty) || r.mayContainColumnRange(c,
-                lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))
+              val (dLo, dHi) = PredicateBounds.doubleRangeBounds(cond, c)
+              ((lo.isEmpty && hi.isEmpty) || r.mayContainColumnRange(c,
+                lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))) &&
+                ((dLo.isEmpty && dHi.isEmpty) ||
+                  r.mayContainColumnDoubleRange(c, dLo, dHi))
           }
       nullOk && valOk
     }

@@ -107,6 +107,36 @@ class SecondaryRangeSpec extends SparkSpec {
     assert(t.read().filter(col("uid") === 2015L).count() == 0)
   }
 
+  test("COW discovery prunes on DOUBLE range dimensions") {
+    // 4 value-banded files, d in [4g, 4g+3.9] per band g — a
+    // sub-integer DELETE band must focus discovery through the exact
+    // double bounds (integer-space ranges cannot decide it)
+    val rows = (0 until 160).map(i =>
+      (Timestamp.valueOf(f"2024-01-01 00:00:00.$i%06d"), i.toLong, i * 0.1))
+      .toDF("ts", "uid", "d")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("sr-dcow"), "t"), rows.schema, Some("ts"))
+    t.setProperty("write.stats-columns", "d")
+    (0 until 4).foreach(g => t.append(
+      rows.filter(col("uid") >= g * 40 && col("uid") < (g + 1) * 40).coalesce(1)))
+    val log = new SnapshotLog(t.tableDir, spark.sessionState.newHadoopConf())
+    val refsWithFiles = t.metadata.currentSnapshot
+      .map(s => log.readManifestList(s).map(r => r -> log.readManifest(r.path)))
+      .getOrElse(Nil)
+    val probe = Seq((Timestamp.valueOf("2024-01-01 00:00:00"), 0L, 0.0))
+      .toDF("ts", "uid", "d")
+    def cands(sql: String) = t.cowDiscoveryCandidatesAll(
+      t.metadata, refsWithFiles, resolved(probe, sql))
+    assert(cands("d BETWEEN 4.5 AND 7.5").map(_.size).contains(1),
+      "a band inside one file's exact double range keeps only it")
+    assert(cands("d > 3.95 AND d < 3.99").map(_.size).contains(0),
+      "a between-band double range is a metadata no-op")
+    // end-to-end: the pruned discovery loses no rows
+    t.delete(col("d") > 15.85)
+    assert(t.read().count() == 159)
+    assert(t.read().agg(max(col("d"))).head().getDouble(0) < 15.85)
+  }
+
   test("COW discovery prunes on STRING range and prefix dimensions") {
     // 4 range-clustered uid_s bands ("u%08d" zero-padded, one file per
     // band of 40): a string range / LIKE-prefix delete's discovery scan
