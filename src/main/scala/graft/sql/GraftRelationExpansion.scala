@@ -45,10 +45,28 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
   private object BareRelation {
     def unapply(plan: LogicalPlan): Option[DataSourceV2Relation] = plan match {
       case Aliased(r) => Some(r)
-      case Project(ps, Aliased(r)) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-        Some(r)
+      case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        unapply(child)
+      case SubqueryAlias(_, child) => unapply(child)
       case _ => None
     }
+  }
+
+  /** A filtered graft relation under the wrappers a nested SELECT
+    * leaves behind — subquery aliases and pure column-pruning Projects
+    * above the Filter (both keep the relation's expr ids), so
+    * `SELECT count(*) FROM (SELECT sym FROM t WHERE sym='a') q`
+    * reaches the metadata-aggregate paths like its flat spelling.
+    */
+  private object FilteredBare {
+    def unapply(plan: LogicalPlan): Option[(Expression, DataSourceV2Relation)] =
+      plan match {
+        case Filter(cond, BareRelation(r)) => Some((cond, r))
+        case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+          unapply(child)
+        case SubqueryAlias(_, child) => unapply(child)
+        case _ => None
+      }
   }
 
   /** Any expandable graft relation (data or metadata table). */
@@ -273,7 +291,7 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
            else metadataGroupAggregate(agg, gt))
             .getOrElse(agg.mapChildren(expand))
         }
-      case agg @ Aggregate(_, _, Filter(cond, BareRelation(r)), _)
+      case agg @ Aggregate(_, _, FilteredBare(cond, r), _)
           if r.table.isInstanceOf[GraftSqlTable] &&
             session.conf.get("spark.graft.sql.metadata-aggregates", "true").toBoolean =>
         // aggregate under a PURE identity-partition restriction
@@ -312,9 +330,8 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
           r.table.asInstanceOf[GraftSqlTable])
           .getOrElse(d.mapChildren(expand))
       case d @ org.apache.spark.sql.catalyst.plans.logical.Distinct(
-          child @ Project(ps, Filter(cond, BareRelation(r))))
-          if ps.forall(_.isInstanceOf[AttributeReference]) &&
-            r.table.isInstanceOf[GraftSqlTable] &&
+          child @ FilteredBare(cond, r))
+          if r.table.isInstanceOf[GraftSqlTable] &&
             session.conf.get("spark.graft.sql.metadata-aggregates", "true").toBoolean =>
         // DISTINCT under a pure identity restriction (`SELECT DISTINCT
         // sym FROM t WHERE region = 'x'`) — the restricted file subset
@@ -327,6 +344,11 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
               Aggregate(child.output, child.output, child), gt, Some(rs)))
             .getOrElse(d.mapChildren(expand))
         }
+      // NOTE: DataFrame-API chains (`spark.table(t).select(k).distinct()`)
+      // cannot reach these rewrites by construction — `spark.table`
+      // analyzes (and expands) the bare relation in its own pass, so
+      // later operators build on the already-spliced scan. Only plans
+      // analyzed in ONE pass (SQL text, views) still hold the relation.
       case f @ Filter(cond, Aliased(r)) =>
         // filter directly over the relation: expand WITH manifest
         // pruning, keep the exact filter on top
