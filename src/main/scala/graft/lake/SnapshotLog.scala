@@ -154,6 +154,17 @@ final case class DataFile(
       * NULL). Absent ⇒ unknown, keep — additive, no format bump.
       */
     colNulls: Option[Map[String, Long]] = None,
+    /** EXACT per-file sums of the declared `write.sum-columns` (round
+      * 16, VERDICT r15 #7 — the per-file analog of the incremental
+      * rollups' scaled sums): computed by the engine's own write pass
+      * as an exact decimal over the integral column, recorded only
+      * when the file's true sum fits a Long (all-null files record 0 —
+      * the NULL answer is decided from [[colNulls]]). Sums are exact,
+      * so `sum(col)` over a fully-recorded snapshot is one metadata
+      * fold — complete-or-bail like every roll-up. Absent on imports
+      * (addFiles never reads data pages) and pre-round-16 entries.
+      */
+    colSums: Option[Map[String, Long]] = None,
     /** COMPACT on-disk form of [[extraBounds]] + [[colNulls]] (round
       * 15, VERDICT r14 #5): one short string per entry, ordinal
       * against the manifest-level [[ManifestData.statsCols]] header —
@@ -164,6 +175,9 @@ final case class DataFile(
       * in-memory consumers always read [[extraBounds]]/[[colNulls]].
       * Grammar, groups ;-joined in header-column order:
       * `l:min:max[:nulls]` | `s:b64(minS):b64(maxS)|*[:nulls]` |
+      * `S:mask:b64(minS):b64(maxS)|*[:nulls]` (round-16 exactness mask,
+      * 1 = min exact, 2 = max exact) | `d:minD:maxD[:nulls]` /
+      * `D:minD:maxD[:nulls]` (round-16 provenance-proven pair) |
       * `n:nulls` | empty (nothing recorded for the column).
       */
     sv: Option[String] = None
@@ -290,19 +304,59 @@ final case class ColumnBounds(
       * cannot prune in integer space at all). Absent on pre-round-15
       * entries and non-floating columns.
       */
-    minD: Option[Double] = None, maxD: Option[Double] = None) {
+    minD: Option[Double] = None, maxD: Option[Double] = None,
+    /** PROVENANCE of the exact double pair (round 16, VERDICT r15 #1/#2,
+      * additive): `Some(true)` ⇔ the bounds were read by gated round-16+
+      * code from a footer whose `created_by` proves NaN-safe statistics
+      * (parquet-mr includes NaN via `Math.min/max`, so a NaN-bearing
+      * file's extremes surface AS NaN and self-poison at the reader;
+      * arrow/parquet-rs EXCLUDE NaN, so their max understates what
+      * Spark's NaN-is-largest ordering matches). Absent ⇔ unproven —
+      * pre-round-16 metadata, or a roll-up with an unproven member.
+      * Consumers of the MAX side (`d > x` pruning, `max(d)` answers)
+      * must treat unproven pairs as absent: an unproven max may omit
+      * NaN rows that the predicate matches. The widened longs stay
+      * consultable for EQUALITY probes even unproven: no long literal
+      * equals NaN, so NaN-excluding stats cannot skip a matching row
+      * there. Option (not Boolean) so json4s omits the field entirely
+      * on unproven entries and pre-round-16 manifests parse unchanged.
+      */
+    dPv: Option[Boolean] = None,
+    /** STRING-bound exactness markers (round 16, VERDICT r15 #5,
+      * additive): `Some(true)` ⇔ the stored `minS`/`maxS` is the
+      * column's EXACT extreme in this file, not a truncated prefix /
+      * bumped upper bound — what lets `min(url_host)`/`max(sym)` join
+      * the metadata-aggregate answers for short-string columns. Only
+      * the engine's own write pass may claim it (value ≤
+      * [[ColumnBounds.TruncateCodePoints]] code points, parquet-mr
+      * footer, chunk-statistics truncation at its untruncated default
+      * — an IMPORTED footer's short max could itself be a foreign
+      * writer's bumped truncation, indistinguishable from a real
+      * value, so imports never claim). Absent ⇔ bound usable for
+      * pruning only, never served as an extreme.
+      */
+    minSE: Option[Boolean] = None, maxSE: Option[Boolean] = None) {
   def isString: Boolean = minS.isDefined
   def isDouble: Boolean = minD.isDefined
+
+  /** The exact double pair is provenance-proven NaN-safe (see [[dPv]]). */
+  def dProven: Boolean = dPv.contains(true)
+
+  /** The string bound is a proven exact extreme (see [[minSE]]). */
+  def minSExact: Boolean = minSE.contains(true)
+  def maxSExact: Boolean = maxSE.contains(true)
 
   /** May a file with these DOUBLE bounds contain a value inside the
     * query range (each bound (value, inclusive))? True when exact
     * double bounds are absent — long-widened legacy entries cannot
-    * decide a sub-integer range soundly in either direction.
+    * decide a sub-integer range soundly in either direction — or
+    * UNPROVEN (round 16): a foreign writer's NaN-excluding max could
+    * skip a file whose NaN rows satisfy `d > x`.
     */
   def mayContainDoubleRange(
       lo: Option[(Double, Boolean)], hi: Option[(Double, Boolean)]): Boolean =
     (minD, maxD) match {
-      case (Some(mn), Some(mx)) =>
+      case (Some(mn), Some(mx)) if dProven =>
         hi.forall { case (v, incl) => if (incl) mn <= v else mn < v } &&
           lo.forall { case (v, incl) => if (incl) mx >= v else mx > v }
       case _ => true
@@ -612,7 +666,23 @@ final case class ManifestRef(
       * total nulls kills IS NULL, all-null (= rows) kills IS NOT NULL
       * and every value probe. Additive.
       */
-    columnNulls: Option[Map[String, Long]] = None
+    columnNulls: Option[Map[String, Long]] = None,
+    /** Total EXACT sum per declared sum column across this manifest's
+      * files (round 16, VERDICT r15 #7), recorded only when every
+      * member records one AND the total fits a Long — what makes
+      * unfiltered `sum(col)` one manifest-LIST fold. Additive.
+      */
+    columnSums: Option[Map[String, Long]] = None,
+    /** Per-sum-column SIGN state of this manifest's contribution
+      * (round 16): 0 neutral (all members empty/all-null), 1
+      * non-negative, -1 non-positive; a column omitted ⇔ unknown/mixed.
+      * Computed per FILE then combined — a manifest mixing all-null
+      * and positive files is still provably non-negative, where the
+      * complete-or-absent bounds roll-up above cannot say so. What
+      * lets [[graft.lake.MetadataAggInfo.colSumSafe]] hold at the
+      * manifest-LIST level, serving ANSI sums with zero parses.
+      */
+    columnSumSigns: Option[Map[String, Int]] = None
 ) {
   def overlaps(loUs: Long, hiUs: Long): Boolean = (minKeyUs, maxKeyUs) match {
     case (Some(lo), Some(hi)) => hi >= loUs && lo <= hiUs
@@ -1207,6 +1277,9 @@ object SnapshotLog {
   //
   // One ;-joined group per hoisted header column:
   //   `l:min:max[:nulls]` | `s:b64(minS):b64(maxS)|*[:nulls]` |
+  //   `S:mask:b64(minS):b64(maxS)|*[:nulls]` (mask 1=min exact,
+  //   2=max exact — round 16) | `d:minD:maxD[:nulls]` (unproven) |
+  //   `D:minD:maxD[:nulls]` (provenance-proven — round 16) |
   //   `n:nulls` | empty (nothing recorded).
   // Base64 keeps arbitrary bound strings (delimiters, control chars,
   // any unicode) out of the grammar; ':'/';' never occur in base64 or
@@ -1218,17 +1291,31 @@ object SnapshotLog {
       .encodeToString(s.getBytes(StandardCharsets.UTF_8))
     val groups = cols.map { c =>
       val n = f.colNulls.flatMap(_.get(c)).map(":" + _).getOrElse("")
+      // a sum is representable only after a null count (the decoder
+      // reads positionally) — the write pass records both together
+      val sm =
+        if (n.isEmpty) ""
+        else f.colSums.flatMap(_.get(c)).map(":" + _).getOrElse("")
       f.extraBounds.flatMap(_.find(_.column == c)) match {
+        // exactness-marked strings ride kind 'S' with a bitmask
+        // (1 = min exact, 2 = max exact) so the unmarked common case
+        // stays byte-identical to the round-15 grammar
+        case Some(b) if b.isString && (b.minSExact || b.maxSExact) =>
+          val mask = (if (b.minSExact) 1 else 0) | (if (b.maxSExact) 2 else 0)
+          s"S:$mask:" + b64(b.minS.get) + ":" + b.maxS.map(b64).getOrElse("*") + n
         case Some(b) if b.isString =>
           "s:" + b64(b.minS.get) + ":" + b.maxS.map(b64).getOrElse("*") + n
         // doubles: exact extremes only — the widened longs are
         // derivable (floor/ceil) and rebuilt at decode, so the group
         // stays one pair wide. Double.toString round-trips exactly and
-        // never contains the ':'/';' delimiters.
+        // never contains the ':'/';' delimiters. Kind encodes the
+        // round-16 provenance bit: 'D' ⇔ the pair is proven NaN-safe
+        // (see [[ColumnBounds.dPv]]); 'd' ⇔ unproven (legacy parses
+        // re-serialized before a re-proving rewrite).
         case Some(b) if b.isDouble =>
-          "d:" + b.minD.get + ":" + b.maxD.get + n
-        case Some(b) => "l:" + b.min + ":" + b.max + n
-        case None if n.nonEmpty => "n" + n
+          (if (b.dProven) "D:" else "d:") + b.minD.get + ":" + b.maxD.get + n
+        case Some(b) => "l:" + b.min + ":" + b.max + n + sm
+        case None if n.nonEmpty => "n" + n + sm
         case None => ""
       }
     }
@@ -1240,12 +1327,13 @@ object SnapshotLog {
     * read as "no stats" (silently disabling pruning the writer earned).
     */
   private[lake] def decodeSv(cols: Seq[String], sv: String)
-      : (Option[Seq[ColumnBounds]], Option[Map[String, Long]]) = {
+      : (Option[Seq[ColumnBounds]], Option[Map[String, Long]], Option[Map[String, Long]]) = {
     def unb64(s: String): String = new String(
       java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
     val groups = sv.split(";", -1)
     val bounds = scala.collection.mutable.ArrayBuffer.empty[ColumnBounds]
     val nulls = scala.collection.mutable.Map.empty[String, Long]
+    val sums = scala.collection.mutable.Map.empty[String, Long]
     var i = 0
     while (i < groups.length && i < cols.length) {
       val g = groups(i)
@@ -1255,18 +1343,30 @@ object SnapshotLog {
           case "l" =>
             bounds += ColumnBounds(cols(i), p(1).toLong, p(2).toLong)
             if (p.length > 3) nulls(cols(i)) = p(3).toLong
+            if (p.length > 4) sums(cols(i)) = p(4).toLong
           case "s" =>
             bounds += ColumnBounds(cols(i), 0L, 0L,
               minS = Some(unb64(p(1))),
               maxS = if (p(2) == "*") None else Some(unb64(p(2))))
             if (p.length > 3) nulls(cols(i)) = p(3).toLong
-          case "d" =>
+          case "S" =>
+            val mask = p(1).toInt
+            bounds += ColumnBounds(cols(i), 0L, 0L,
+              minS = Some(unb64(p(2))),
+              maxS = if (p(3) == "*") None else Some(unb64(p(3))),
+              minSE = if ((mask & 1) != 0) Some(true) else None,
+              maxSE = if ((mask & 2) != 0) Some(true) else None)
+            if (p.length > 4) nulls(cols(i)) = p(4).toLong
+          case "d" | "D" =>
             val (mn, mx) = (p(1).toDouble, p(2).toDouble)
             bounds += ColumnBounds(cols(i),
               math.floor(mn).toLong, math.ceil(mx).toLong,
-              minD = Some(mn), maxD = Some(mx))
+              minD = Some(mn), maxD = Some(mx),
+              dPv = if (p(0) == "D") Some(true) else None)
             if (p.length > 3) nulls(cols(i)) = p(3).toLong
-          case "n" => nulls(cols(i)) = p(1).toLong
+          case "n" =>
+            nulls(cols(i)) = p(1).toLong
+            if (p.length > 2) sums(cols(i)) = p(2).toLong
           case other => throw new IllegalStateException(
             s"unknown stats-group kind '$other' in compact manifest encoding")
         }
@@ -1274,7 +1374,8 @@ object SnapshotLog {
       i += 1
     }
     (if (bounds.isEmpty) None else Some(bounds.toSeq),
-      if (nulls.isEmpty) None else Some(nulls.toMap))
+      if (nulls.isEmpty) None else Some(nulls.toMap),
+      if (sums.isEmpty) None else Some(sums.toMap))
   }
 }
 
@@ -1427,11 +1528,12 @@ final class SnapshotLog(
     // becomes ~20-30 B. Stats-free manifests carry no header and stay
     // byte-identical.
     val svCols = (entries0.flatMap(_.extraBounds.getOrElse(Nil).map(_.column)) ++
-      entries0.flatMap(_.colNulls.getOrElse(Map.empty).keys)).distinct.sorted
+      entries0.flatMap(_.colNulls.getOrElse(Map.empty).keys) ++
+      entries0.flatMap(_.colSums.getOrElse(Map.empty).keys)).distinct.sorted
     val entries =
       if (svCols.isEmpty) entries0
       else entries0.map(f => f.copy(extraBounds = None, colNulls = None,
-        sv = SnapshotLog.encodeSv(svCols, f)))
+        colSums = None, sv = SnapshotLog.encodeSv(svCols, f)))
     val data = ManifestData(entries, keyHdr, colHdrs,
       statsCols = if (svCols.isEmpty) None else Some(svCols))
     // compact JSON, not pretty: a manifest is the O(files) metadata
@@ -1470,10 +1572,13 @@ final class SnapshotLog(
       else {
         val bs = per.flatten
         if (bs.forall(b => !b.isString && b.isDouble))
-          // all-double members: exact double roll-up (+ derived longs)
+          // all-double members: exact double roll-up (+ derived longs);
+          // proven only when EVERY member is — one unproven member's
+          // NaN-excluding max poisons the roll-up's provenance
           Some(ColumnBounds(c, bs.map(_.min).min, bs.map(_.max).max,
             minD = Some(bs.map(_.minD.get).min),
-            maxD = Some(bs.map(_.maxD.get).max)))
+            maxD = Some(bs.map(_.maxD.get).max),
+            dPv = if (bs.forall(_.dProven)) Some(true) else None))
         else if (bs.forall(!_.isString))
           Some(ColumnBounds(c, bs.map(_.min).min, bs.map(_.max).max))
         else if (bs.forall(_.isString)) {
@@ -1483,7 +1588,12 @@ final class SnapshotLog(
             if (bs.exists(_.maxS.isEmpty)) None
             else Some(bs.map(_.maxS.get).reduce((a, b) =>
               if (ColumnBounds.cpCompare(a, b) >= 0) a else b))
-          Some(ColumnBounds(c, 0L, 0L, minS = Some(lo), maxS = hi))
+          // a side's roll-up is exact iff EVERY member's is: the min of
+          // exact minima is the exact minimum; one truncated member's
+          // prefix could understate it
+          Some(ColumnBounds(c, 0L, 0L, minS = Some(lo), maxS = hi,
+            minSE = if (bs.forall(_.minSExact)) Some(true) else None,
+            maxSE = if (hi.isDefined && bs.forall(_.maxSExact)) Some(true) else None))
         } else None
       }
     }
@@ -1494,10 +1604,31 @@ final class SnapshotLog(
       val per = files.map(_.colNulls.flatMap(_.get(c)))
       if (per.exists(_.isEmpty)) None else Some(c -> per.flatten.sum)
     }.toMap
+    // SUM roll-up (round 16): complete-or-absent like the rest, and
+    // additionally Long-representable-or-absent — per-file sums are
+    // exact, so a wrapped roll-up would silently break the ANSI
+    // no-overflow reasoning the serving side does
+    val sumCols = files.flatMap(_.colSums.getOrElse(Map.empty).keys).distinct
+    val sumRollup = sumCols.flatMap { c =>
+      val per = files.map(_.colSums.flatMap(_.get(c)))
+      if (per.exists(_.isEmpty)) None
+      else {
+        val tot = per.flatten.map(BigInt(_)).sum
+        if (tot.isValidLong) Some(c -> tot.toLong) else None
+      }
+    }.toMap
+    val sumSigns = sumRollup.keySet.toSeq.sorted.flatMap { c =>
+      val s = MetadataAggInfo.combineSigns(files.map(f =>
+        MetadataAggInfo.sumSignState(f.rows, f.colNulls.flatMap(_.get(c)),
+          f.extraBounds.flatMap(_.find(b => b.column == c && !b.isString)))))
+      if (s == 2) None else Some(c -> s)
+    }.toMap
     ManifestRef(s"metadata/$name", files.size, files.map(_.rows).sum, bounds._1, bounds._2,
       partitionValues = if (summary.isEmpty) None else Some(summary),
       columnBounds = if (colRollup.isEmpty) None else Some(colRollup),
-      columnNulls = if (nullRollup.isEmpty) None else Some(nullRollup))
+      columnNulls = if (nullRollup.isEmpty) None else Some(nullRollup),
+      columnSums = if (sumRollup.isEmpty) None else Some(sumRollup),
+      columnSumSigns = if (sumSigns.isEmpty) None else Some(sumSigns))
   }
 
   /** Read one manifest's data files (path is table-relative). Parses
@@ -1548,8 +1679,9 @@ final class SnapshotLog(
           case Some(cols) => colResolved.map { f =>
             f.sv match {
               case Some(s) =>
-                val (bounds, nulls) = SnapshotLog.decodeSv(cols, s)
-                f.copy(sv = None, extraBounds = bounds, colNulls = nulls)
+                val (bounds, nulls, sums) = SnapshotLog.decodeSv(cols, s)
+                f.copy(sv = None, extraBounds = bounds, colNulls = nulls,
+                  colSums = sums)
               case None => f
             }
           }

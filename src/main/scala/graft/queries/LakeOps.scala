@@ -1975,11 +1975,24 @@ object LakeOps {
     val ev = graft.Tables.t(s, dir, "events")
       .select(col("ts").cast(TimestampType).as("ts"), col("user_id"),
         when(pmod(col("user_id"), lit(8)) < 4, col("user_id")).as("opt_uid"),
+        // SHORT string (4 code points ≤ the truncate(16) cap): its
+        // native-write bounds carry the round-16 exactness markers, so
+        // min/max(tag) joins the metadata answers; `longtag` (> 16 cps
+        // everywhere) must BAIL to the scan — its manifest bounds are
+        // truncated prefixes, never extremes
+        concat(lit("t"), lpad(pmod(col("user_id"), lit(8)).cast("string"), 3, "0"))
+          .as("tag"),
+        concat(lit("long-prefix-padding-"),
+          lpad(pmod(col("user_id"), lit(8)).cast("string"), 3, "0")).as("longtag"),
         col("value"))
       .where(col("ts").isNotNull && col("user_id").isNotNull)
     val table = LakehouseTable.createIfNotExists(
       s, new org.apache.hadoop.fs.Path(wh, "gold/agg"), ev.schema, Some("ts"))
-    table.setProperty("write.stats-columns", "user_id,opt_uid")
+    table.setProperty("write.stats-columns", "user_id,opt_uid,tag,longtag")
+    // per-file exact sums (round 16): unfiltered sum(user_id) joins
+    // the metadata answers — including after the COW delete below,
+    // whose rewritten survivors re-earn their sums at write
+    table.setProperty("write.sum-columns", "user_id,opt_uid")
     // residue-split files: half are ALL-null on opt_uid (no bounds, but
     // null counts = rows), so count(opt_uid) exercises the null
     // roll-up path rather than riding on bounds presence
@@ -1995,6 +2008,29 @@ object LakeOps {
          |       max(user_id) AS max_uid
          |FROM $cat.gold.agg""".stripMargin)
     val aggMetadataOnly = scannedFiles(q) == 0
+    // SUM pushdown (round 16, VERDICT r15 #7): exact per-file sums —
+    // the nullable opt_uid leg exercises the all-null-file 0-recording
+    // and the NULL-decision from null counts
+    val qSum = s.sql(
+      s"""SELECT sum(user_id) AS sum_uid, sum(opt_uid) AS sum_opt
+         |FROM $cat.gold.agg""".stripMargin)
+    val sumMetadataOnly = scannedFiles(qSum) == 0
+    // STRING extremes (round 16, VERDICT r15 #5): exactness-marked
+    // short strings answer from metadata; truncated long strings bail
+    // to the scan — same values either way, the hash checks both
+    val qStr = s.sql(
+      s"SELECT min(tag) AS min_tag, max(tag) AS max_tag FROM $cat.gold.agg")
+    val strMetadataOnly = scannedFiles(qStr) == 0
+    val qLongStr = s.sql(
+      s"""SELECT min(longtag) AS min_longtag, max(longtag) AS max_longtag
+         |FROM $cat.gold.agg""".stripMargin)
+    val longStrBails = scannedFiles(qLongStr) > 0
+    // DataFrame-API route (round 16, VERDICT r15 #3): the bare
+    // relation stays unexpanded, so `spark.table(t).count()` reaches
+    // the same rewrite — value rides the hash, plan rides the boolean
+    val dfCount = s.table(s"$cat.gold.agg").count()
+    val dfCountMetadataOnly =
+      scannedFiles(s.table(s"$cat.gold.agg").groupBy().count()) == 0
     val qTt = s.sql(
       s"SELECT count(*) AS n_rows_pre FROM $cat.gold.agg VERSION AS OF $vPre")
     val ttMetadataOnly = scannedFiles(qTt) == 0
@@ -2005,8 +2041,14 @@ object LakeOps {
       ev.filter(second(col("ts")) === 13).select("ts"), "ts")
     val qMask = s.sql(s"SELECT count(*) AS n_rows_masked FROM $cat.gold.agg")
     val maskFellBack = scannedFiles(qMask) > 0
-    q.crossJoin(qTt).crossJoin(qMask)
+    q.crossJoin(qSum).crossJoin(qStr).crossJoin(qLongStr)
+      .crossJoin(qTt).crossJoin(qMask)
+      .withColumn("n_rows_df", lit(dfCount))
       .withColumn("agg_metadata_only", lit(aggMetadataOnly))
+      .withColumn("sum_metadata_only", lit(sumMetadataOnly))
+      .withColumn("string_extreme_metadata_only", lit(strMetadataOnly))
+      .withColumn("truncated_string_bails", lit(longStrBails))
+      .withColumn("df_count_metadata_only", lit(dfCountMetadataOnly))
       .withColumn("tt_metadata_only", lit(ttMetadataOnly))
       .withColumn("mask_fallback_scans", lit(maskFellBack))
   }
@@ -2038,6 +2080,7 @@ object LakeOps {
       s, new org.apache.hadoop.fs.Path(wh, "gold/gagg"), ev.schema,
       Seq("sym" -> "identity", "ts" -> "day"))
     table.setProperty("write.stats-columns", "user_id,opt_uid")
+    table.setProperty("write.sum-columns", "user_id,opt_uid")
     // two commits → ≥2 files per symbol dir, so per-group facts fold
     // across files, not just read one entry
     (0 until 2).foreach(r =>
@@ -2046,7 +2089,8 @@ object LakeOps {
       s"""SELECT sym, count(*) AS n_rows, count(opt_uid) AS n_opt,
          |       unix_micros(min(ts)) AS mn_ts_us,
          |       unix_micros(max(ts)) AS mx_ts_us,
-         |       min(user_id) AS mn_uid, max(user_id) AS mx_uid
+         |       min(user_id) AS mn_uid, max(user_id) AS mx_uid,
+         |       sum(user_id) AS sum_uid, sum(opt_uid) AS sum_opt
          |FROM $cat.gold.gagg GROUP BY sym""".stripMargin)
     val gOnly = scannedFiles(qG) == 0
     val qD = s.sql(s"SELECT DISTINCT sym FROM $cat.gold.gagg")
@@ -2309,7 +2353,12 @@ object LakeOps {
       sqlAggPushdownFlow,
       Some("""WITH e AS (
              |  SELECT ts, user_id,
-             |         CASE WHEN user_id % 8 < 4 THEN user_id END AS opt_uid
+             |         CASE WHEN user_id % 8 < 4 THEN user_id END AS opt_uid,
+             |         concat('t', lpad(CAST(user_id % 8 AS VARCHAR), 3, '0'))
+             |           AS tag,
+             |         concat('long-prefix-padding-',
+             |                lpad(CAST(user_id % 8 AS VARCHAR), 3, '0'))
+             |           AS longtag
              |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
              |), s AS (
              |  SELECT * FROM e WHERE user_id % 10 <> 3
@@ -2320,10 +2369,21 @@ object LakeOps {
              |       (SELECT max(epoch_us(ts)) FROM s) AS max_ts_us,
              |       (SELECT min(user_id) FROM s) AS min_uid,
              |       (SELECT max(user_id) FROM s) AS max_uid,
+             |       (SELECT CAST(sum(user_id) AS BIGINT) FROM s) AS sum_uid,
+             |       (SELECT CAST(sum(opt_uid) AS BIGINT) FROM s) AS sum_opt,
+             |       (SELECT min(tag) FROM s) AS min_tag,
+             |       (SELECT max(tag) FROM s) AS max_tag,
+             |       (SELECT min(longtag) FROM s) AS min_longtag,
+             |       (SELECT max(longtag) FROM s) AS max_longtag,
              |       (SELECT count(*) FROM e) AS n_rows_pre,
              |       (SELECT count(*) FROM s WHERE second(ts) <> 13)
              |         AS n_rows_masked,
+             |       (SELECT count(*) FROM s) AS n_rows_df,
              |       true AS agg_metadata_only,
+             |       true AS sum_metadata_only,
+             |       true AS string_extreme_metadata_only,
+             |       true AS truncated_string_bails,
+             |       true AS df_count_metadata_only,
              |       true AS tt_metadata_only,
              |       true AS mask_fallback_scans""".stripMargin)
     ),
@@ -2345,6 +2405,8 @@ object LakeOps {
              |       max(epoch_us(ts)) AS mx_ts_us,
              |       min(user_id) AS mn_uid,
              |       max(user_id) AS mx_uid,
+             |       CAST(sum(user_id) AS BIGINT) AS sum_uid,
+             |       CAST(sum(opt_uid) AS BIGINT) AS sum_opt,
              |       (SELECT count(*) FROM e WHERE value > 0) AS n_filtered,
              |       (SELECT count(*) FROM e WHERE sym = 's3') AS n_sym3,
              |       (SELECT max(user_id) FROM e WHERE sym = 's3') AS mx_sym3_uid,

@@ -356,25 +356,23 @@ object GraftCatalog {
     }
 }
 
-/** DSv2 handle for one lakehouse table (optionally pinned to a snapshot
-  * by time travel). Reads are expanded by [[GraftRelationExpansion]] —
-  * the `ScanBuilder` here only fires when that rule is missing, and
-  * fails with setup instructions instead of reading wrong data (a table
-  * with live merge-on-read deletes NEEDS the native read path).
-  */
 /** A catalog table whose SQL relation [[GraftRelationExpansion]] expands
-  * into a native DataFrame plan.
+  * into a native DataFrame plan. The `ScanBuilder` fires only for plans
+  * the rule leaves bare (the unexpanded `spark.table(t)` root, or a
+  * session without the extension rule at all) and serves them through
+  * [[GraftScanBuilder]]: provable ungrouped aggregates answer from
+  * manifest roll-ups as a [[org.apache.spark.sql.connector.read
+  * .LocalScan]] (DSv2 `SupportsPushDownAggregates`), everything else
+  * executes the native merge-on-read-aware [[readDF]] plan behind a V1
+  * bridge — correct where the pre-r16 builder could only fail with
+  * setup instructions.
   */
 sealed trait GraftReadableTable extends Table with SupportsRead {
   /** The native read plan this table's SQL relation expands into. */
   def readDF(): DataFrame
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    throw new IllegalStateException(
-      "graft SQL reads require the expansion rule: set " +
-        "spark.sql.extensions=graft.functions.GraftExtensions on the session " +
-        "(the rule replaces graft relations with the native merge-on-read-" +
-        "aware plan; a bare file scan could silently resurrect deleted rows)")
+    new GraftScanBuilder(this)
 }
 
 /** Metadata inspection table (`cat.ns.table.snapshots` …): the table's

@@ -26,7 +26,30 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
   */
 case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = expand(plan)
+  /** The bare `spark.table(t)` construction shape — a data relation and
+    * nothing above it — stays UNEXPANDED (round 16, VERDICT r15 #3):
+    * Datasets analyze eagerly per transformation, so expanding here
+    * would hide the relation from every LATER pass — `df.count()`,
+    * `df.agg(min/max)`, `df.groupBy(sym).count()`, `df.distinct()`
+    * would build over the already-spliced scan and pay it, where their
+    * SQL spellings answer from manifest roll-ups. Left bare, the next
+    * pass's operators sit directly over the relation and the SAME
+    * rewrites fire for the DataFrame API. A bare Dataset EXECUTED
+    * as-is (`spark.table(t).collect()`) reaches the optimizer as a
+    * DSv2 relation and reads through [[GraftScanBuilder]]'s V1
+    * fallback — the native merge-on-read-aware plan, not a raw file
+    * scan — so no path sees wrong data. Deliberately NOT extended to
+    * pure-projection roots: `SELECT v FROM t` executes directly from
+    * its own analysis, and deferring it would trade the codegen'd
+    * parquet scan for the fallback's Row bridge on a real dump shape —
+    * so `df.select(k).distinct()` (a transformation interposed before
+    * the aggregate) still pays the scan, like any other chain that
+    * transforms first.
+    */
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case Aliased(_) => plan
+    case _ => expand(plan)
+  }
 
   /** Peel SubqueryAlias wrappers (they keep the child's attribute ids). */
   private object Aliased {
@@ -191,9 +214,10 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
           // dirRendering, not escapeDirValue: the committer maps the
           // EMPTY string to the null sentinel dir, so `sym = ''` must
           // keep the sentinel's files (the exact filter on top drops
-          // the null rows that share it)
+          // the null rows that share it); dirRenderings plural keeps
+          // the pre-sentinel-fix '' summaries matching too (ADVICE r15)
           pinned.map(vs =>
-            (f.name, vs.map(graft.lake.LakehouseTable.dirRendering).toSet))
+            (f.name, vs.flatMap(graft.lake.LakehouseTable.dirRenderings).toSet))
         }
       // compose the predicate's TIME-key bounds on top (WHERE
       // ts >= … AND uid = 5): neither dimension's pruning is
@@ -344,11 +368,30 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
               Aggregate(child.output, child.output, child), gt, Some(rs)))
             .getOrElse(d.mapChildren(expand))
         }
-      // NOTE: DataFrame-API chains (`spark.table(t).select(k).distinct()`)
-      // cannot reach these rewrites by construction — `spark.table`
-      // analyzes (and expands) the bare relation in its own pass, so
-      // later operators build on the already-spliced scan. Only plans
-      // analyzed in ONE pass (SQL text, views) still hold the relation.
+      case d @ org.apache.spark.sql.catalyst.plans.logical.Deduplicate(
+          keys, child @ BareRelation(r))
+          if r.table.isInstanceOf[GraftSqlTable] &&
+            keys.map(_.exprId).toSet == child.output.map(_.exprId).toSet &&
+            session.conf.get("spark.graft.sql.metadata-aggregates", "true").toBoolean =>
+        // the DataFrame spelling of DISTINCT: `df.select(k).distinct()`
+        // / `df.dropDuplicates()` analyze to Deduplicate over ALL
+        // output columns, which is exactly the GROUP BY it would
+        // become — only the full-output form qualifies (a key SUBSET
+        // keeps arbitrary representatives of the other columns, not a
+        // grouping)
+        metadataGroupAggregate(
+          Aggregate(child.output, child.output, child),
+          r.table.asInstanceOf[GraftSqlTable])
+          .getOrElse(d.mapChildren(expand))
+      // DataFrame-API chains reach these rewrites since round 16: the
+      // bare `spark.table(t)` shape is left unexpanded (see [[apply]]),
+      // so the FIRST operator added to it analyzes directly over the
+      // relation — `df.count()`, `df.groupBy(sym).count()`,
+      // `df.select(sym).distinct()` all hit the cases above. Chains
+      // that interpose a transformation first (`df.filter(...).count()`)
+      // expand at the filter's own pass and still pay the (pruned)
+      // scan — only one-pass plans (SQL text, views) compose filters
+      // INTO the aggregate rewrites.
       case f @ Filter(cond, Aliased(r)) =>
         // filter directly over the relation: expand WITH manifest
         // pruning, keep the exact filter on top
@@ -629,6 +672,10 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
           case Count(Seq(l: Literal)) => l.value == null || ae.isDistinct
           case Count(Seq(_: AttributeReference)) => ae.isDistinct
           case Min(_: AttributeReference) | Max(_: AttributeReference) => false
+          // sum(col) is answerable since round 16 (per-file exact sums
+          // under `write.sum-columns`); sum(DISTINCT) never is
+          case org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
+            _: AttributeReference, _) => ae.isDistinct
           case _ => true
         })
       case _ => false
@@ -683,54 +730,27 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
           restrictEntries(entries, rs).getOrElse(return None))
     }
     val meta = g.lt.metadata
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl)
-    val keyCol = meta.statsSource
-    // a renamed column's roll-ups may be split across its historical
-    // physical names — not provably complete under the current name
-    def renamed(name: String): Boolean = meta.aliasMap.contains(name)
-    def minMaxUs(name: String): Option[(Long, Long)] =
-      if (renamed(name)) None
-      else if (keyCol.contains(name)) info.keyBoundsUs
-      else info.colBounds.get(name)
-    // manifest long encoding → a literal of the column's own type;
-    // None for types whose encoding is widened or truncated (strings;
-    // doubles are served from their EXACT pair below, never from the
-    // widened longs) — those must never be served as exact extremes
-    def exactLiteral(name: String, v: Long): Option[Literal] = {
-      if (!schema.fieldNames.contains(name)) return None
-      schema(name).dataType match {
-        case dt @ (TimestampType | TimestampNTZType) => Some(Literal(v, dt))
-        case org.apache.spark.sql.types.LongType => Some(Literal(v))
-        case org.apache.spark.sql.types.IntegerType
-            if v >= Int.MinValue && v <= Int.MaxValue => Some(Literal(v.toInt))
-        case _ => None
-      }
-    }
-    def extreme(name: String, wantMin: Boolean): Option[Literal] =
-      if (renamed(name) || !schema.fieldNames.contains(name)) None
-      else schema(name).dataType match {
-        case org.apache.spark.sql.types.DoubleType =>
-          info.colBoundsD.get(name)
-            .map(b => Literal(if (wantMin) b._1 else b._2))
-        case _ => minMaxUs(name)
-          .flatMap(b => exactLiteral(name, if (wantMin) b._1 else b._2))
-      }
+    // typed answers come from the shared core ([[MetadataAggFacts]]),
+    // so the DSv2 pushdown serves byte-identical values
+    val facts = new MetadataAggFacts(info, meta)
     def answer(ae: AggregateExpression): Option[Expression] = {
       if (ae.filter.isDefined) return None
       ae.aggregateFunction match {
         case Count(Seq(l: Literal)) if l.value != null && !ae.isDistinct =>
-          Some(Literal(info.rows))
+          Some(Literal(facts.countStar))
         case Count(Seq(a: AttributeReference)) if !ae.isDistinct =>
-          if (info.rows == 0L) Some(Literal(0L))
-          else if (renamed(a.name)) None
-          else info.colNulls.get(a.name).map(n => Literal(info.rows - n))
+          facts.countCol(a.name).map(Literal(_))
         // min(DISTINCT x) ≡ min(x): isDistinct is irrelevant for extremes
-        case Min(a: AttributeReference) =>
-          if (info.rows == 0L) Some(Literal(null, a.dataType))
-          else extreme(a.name, wantMin = true)
-        case Max(a: AttributeReference) =>
-          if (info.rows == 0L) Some(Literal(null, a.dataType))
-          else extreme(a.name, wantMin = false)
+        case Min(a: AttributeReference) => facts.extreme(a.name, wantMin = true)
+        case Max(a: AttributeReference) => facts.extreme(a.name, wantMin = false)
+        // ANSI/TRY sums may THROW/NULL on intermediate overflow where
+        // the exact total would not — the facts layer demands the
+        // sign-uniformity proof for those modes (LEGACY wraps, and the
+        // exact Long-fitting total IS the wrapped answer)
+        case org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
+            a: AttributeReference, ctx) if !ae.isDistinct =>
+          facts.sumCol(a.name, requireNoOverflowProof =
+            ctx.evalMode != org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
         case _ => None
       }
     }
@@ -879,8 +899,14 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
       if (!tzOk) return None
       val f = fields.find(f => f.source == a.name && granOk.contains(f.transform))
         .getOrElse(return None)
+      // ADVICE r15: truncating `/`+`%` mis-invert NEGATIVE dir ints
+      // (pre-1-CE timestamps) and a malformed-but-numeric imported dir
+      // (month 13) throws from LocalDate.of at planning time — both
+      // must BAIL to the scan like every other unprovable shape, so
+      // non-negative ints only and Try around the derivation
       val conv: String => Option[Any] =
-        seg => canonLong(seg).map(v => derive(v, f.transform))
+        seg => canonLong(seg).filter(_ >= 0L)
+          .flatMap(v => scala.util.Try(derive(v, f.transform)).toOption)
       Some(GroupDim(e,
         AttributeReference(s"_meta_grp_$i", e.dataType, nullable = false)(),
         f.name, conv, None))
@@ -951,11 +977,25 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         wantMin: Boolean): Option[Any] = {
       if (meta.aliasMap.contains(name) || !schema.fieldNames.contains(name))
         return None
+      // strings: exactness-marked engine-written bounds only (round
+      // 16) — a truncated prefix is never an extreme; code-point
+      // roll-up order ≡ UTF8_BINARY, the order min/max uses
+      if (schema(name).dataType == org.apache.spark.sql.types.StringType) {
+        val per = files.map(_.extraBounds.flatMap(_.find(b =>
+          b.column == name && b.isString &&
+            (if (wantMin) b.minSExact else b.maxSExact)))
+          .map(b => if (wantMin) b.minS.get else b.maxS.get))
+        if (per.exists(_.isEmpty)) return None
+        val best = per.flatten.reduce((a, b) =>
+          if (wantMin == (graft.lake.ColumnBounds.cpCompare(a, b) <= 0)) a else b)
+        return Some(org.apache.spark.unsafe.types.UTF8String.fromString(best))
+      }
       // doubles: the EXACT per-file pair only — widened longs are
-      // never extremes
+      // never extremes — and only PROVEN pairs (round 16): an unproven
+      // foreign max may omit the NaN a real max() would return
       if (schema(name).dataType == org.apache.spark.sql.types.DoubleType) {
         val per = files.map(_.extraBounds.flatMap(_.find(b =>
-          b.column == name && b.isDouble))
+          b.column == name && b.isDouble && b.dProven))
           .map(b => if (wantMin) b.minD.get else b.maxD.get))
         if (per.exists(_.isEmpty)) return None
         return Some(java.lang.Double.valueOf(
@@ -1024,6 +1064,37 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
           identityIdx(a.name) match {
             case Some(i) => Some(key(i))
             case None => internalMinMax(a.name, files, wantMin = false)
+          }
+        // grouped sum (round 16): Σ of the group's exact per-file sums
+        // — same complete-or-bail and mode gates as the ungrouped path
+        // ([[MetadataAggFacts.sumCol]] rationale); keyRangeUs already
+        // bailed above (an excluded row's value would be in the sum)
+        case org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
+            a: AttributeReference, ctx) if !ae.isDistinct =>
+          if (meta.aliasMap.contains(a.name) ||
+            !schema.fieldNames.contains(a.name)) None
+          else schema(a.name).dataType match {
+            case org.apache.spark.sql.types.LongType |
+                 org.apache.spark.sql.types.IntegerType =>
+              val sums = files.map(_.colSums.flatMap(_.get(a.name)))
+              val nullsPer = files.map(_.colNulls.flatMap(_.get(a.name)))
+              if (sums.exists(_.isEmpty) || nullsPer.exists(_.isEmpty)) None
+              else {
+                val tot = sums.flatten.map(BigInt(_)).sum
+                val modeOk =
+                  ctx.evalMode ==
+                    org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY ||
+                    graft.lake.MetadataAggInfo.combineSigns(files.map(f =>
+                      graft.lake.MetadataAggInfo.sumSignState(
+                        f.rows, f.colNulls.flatMap(_.get(a.name)),
+                        f.extraBounds.flatMap(_.find(b =>
+                          b.column == a.name && !b.isString))))) != 2
+                if (!tot.isValidLong || !modeOk) None
+                else if (nullsPer.flatten.sum == files.map(_.rows).sum)
+                  Some(null) // the group's values are all NULL
+                else Some(java.lang.Long.valueOf(tot.toLong))
+              }
+            case _ => None
           }
         case _ => None
       }

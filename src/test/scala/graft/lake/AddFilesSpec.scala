@@ -261,12 +261,12 @@ class AddFilesSpec extends SparkSpec {
     assert(t.read().select("ts_day").head().getInt(0) == 20240301)
   }
 
-  test("imports never carry double bounds - foreign stats may exclude NaN") {
-    // spec-compliant foreign writers (arrow, parquet-rs) EXCLUDE NaN
-    // from double min/max stats; Spark orders NaN as the LARGEST
-    // double, so pruning with such bounds would drop NaN rows. The
-    // import path therefore refuses double bounds wholesale - files
-    // earn them when compaction rewrites them natively.
+  test("imports keep double bounds from parquet-mr footers, PROVEN (round 16)") {
+    // parquet-mr folds stats through Math.min/max, so a NaN row
+    // poisons the recorded extremes to NaN and footerInfo drops them —
+    // its non-NaN double bounds are provably complete. A Spark-written
+    // history imported via addFiles therefore keeps its double-column
+    // skipping (round 15's blanket refusal lost it for every import).
     val table = LakehouseTable.createIfNotExists(
       spark, new Path(tmpDir("af-dbl"), "t"), ticks.schema,
       Seq("sym" -> "identity", "ts" -> "day"))
@@ -276,22 +276,156 @@ class AddFilesSpec extends SparkSpec {
     table.addFiles(new Path(staged))
     val entries = table.currentDataFiles
     assert(entries.nonEmpty)
-    assert(entries.forall(_.extraBounds.getOrElse(Nil).forall(!_.isDouble)),
-      "imported entries must carry no double bounds")
-    // and the backfill pass must not stamp them either
-    table.rewriteManifests()
-    assert(table.currentDataFiles
-      .forall(_.extraBounds.getOrElse(Nil).forall(!_.isDouble)),
-      "rewriteManifests must not backfill double bounds onto imports")
-    // conservative is still correct: a double range keeps the files
+    assert(entries.forall(_.extraBounds.getOrElse(Nil)
+      .exists(b => b.isDouble && b.dProven)),
+      s"parquet-mr imports must carry PROVEN double bounds: " +
+        entries.map(_.extraBounds).mkString(", "))
+    // and the pruning the bounds exist for works: the px=2.5..3.5 band
+    // lives in exactly one staged file
     import org.apache.spark.sql.functions.col
+    val kept = table.filesInDoubleRange("px", Some((2.5, true)), Some((3.5, true)))
+    assert(kept.size == 1, s"double range must prune to the one file: $kept")
     assert(table.readColumnRangesPruned(Nil,
       dblRanges = Seq(("px", Some((2.5, true)), Some((3.5, true)))))
       .filter(col("px").between(2.5, 3.5)).count() == 1)
-    // a NATIVE append of the same shape does earn exact double bounds
-    table.append(ticks.withColumn("px", col("px") + 100.0).coalesce(1))
-    assert(table.currentDataFiles.exists(
-      _.extraBounds.getOrElse(Nil).exists(_.isDouble)),
-      "natively written files record the exact double pair")
+  }
+
+  test("imports REFUSE double bounds from foreign created_by footers (round 16)") {
+    // an arrow/parquet-rs footer's double stats EXCLUDE NaN, so its max
+    // may omit rows Spark's NaN-is-largest ordering matches (`d > x` is
+    // TRUE for NaN). Forge the exact hazard: a file whose pages hold a
+    // NaN row but whose doctored stats say [0.1, 0.9], stamped with an
+    // arrow created_by — the import must record NO double bounds, and a
+    // `px > 5` probe must KEEP the file.
+    import org.apache.spark.sql.functions.{col, lit}
+    val data = Seq(
+      ("a", Timestamp.valueOf("2024-03-01 10:00:00"), 0.5),
+      ("a", Timestamp.valueOf("2024-03-01 11:00:00"), Double.NaN)
+    ).toDF("sym", "ts", "px")
+    val table = LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("af-foreign"), "t"), data.schema,
+      Seq("sym" -> "identity", "ts" -> "day"))
+    table.setProperty("write.stats-columns", "px")
+    val sparkOut = tmpDir("af-foreign-spark")
+    stage(data, sparkOut)
+    // forge every staged file into its "arrow-written" twin
+    val forgedRoot = java.nio.file.Paths.get(tmpDir("af-foreign-staged"))
+    val srcRoot = java.nio.file.Paths.get(sparkOut)
+    relPaths(sparkOut).foreach { rel =>
+      ParquetFooterForge.patch(srcRoot.resolve(rel), forgedRoot.resolve(rel)) { fmd =>
+        ParquetFooterForge.setCreatedBy(fmd,
+          "parquet-cpp-arrow version 15.0.0")
+        ParquetFooterForge.setDoubleStats(fmd, "px", 0.1, 0.9)
+      }
+    }
+    table.addFiles(new Path(forgedRoot.toString))
+    val entries = table.currentDataFiles
+    assert(entries.nonEmpty)
+    assert(entries.forall(_.extraBounds.getOrElse(Nil).forall(!_.isDouble)),
+      s"foreign-created_by imports must carry no double bounds: " +
+        entries.map(_.extraBounds).mkString(", "))
+    // the lying [0.1, 0.9] stats must not skip the NaN row under px > 5
+    assert(table.filesInDoubleRange("px", Some((5.0, false)), None).size
+      == entries.size, "a d > x probe must keep every foreign file")
+    // parquet ROW-GROUP pushdown trusts the doctored footer stats too —
+    // that layer is parquet-mr's to guard (PARQUET-1246 handles only
+    // NaN-POLLUTED stats, not NaN-EXCLUDING ones); disable it so the
+    // assertion isolates the engine's own metadata gate
+    withSqlConf("spark.sql.parquet.filterPushdown" -> "false") {
+      assert(table.read().filter(col("px") > lit(5.0)).count() == 1L,
+        "the NaN row satisfies px > 5 and must survive")
+    }
+    // the backfill pass re-reads the same foreign footer and must
+    // refuse again
+    table.rewriteManifests()
+    assert(table.currentDataFiles
+      .forall(_.extraBounds.getOrElse(Nil).forall(!_.isDouble)),
+      "rewriteManifests must not backfill foreign double bounds")
+  }
+
+  test("rewriteManifests re-proves or strips pre-r16 UNPROVEN double bounds (VERDICT r15 #2)") {
+    // seed the migration hazard directly: manifests carrying
+    // import-derived `d:` bounds (unproven — the pre-r16 shape) on a
+    // NaN-bearing file whose forged stats exclude the NaN. Consumers
+    // must already refuse the pair; the rewrite must strip it for the
+    // foreign file and re-prove it for the native one.
+    import org.apache.spark.sql.functions.{col, lit}
+    val data = Seq(
+      ("a", Timestamp.valueOf("2024-03-01 10:00:00"), 0.5),
+      ("a", Timestamp.valueOf("2024-03-01 11:00:00"), Double.NaN)
+    ).toDF("sym", "ts", "px")
+    val table = LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("af-sanitize"), "t"), data.schema,
+      Seq("sym" -> "identity", "ts" -> "day"))
+    table.setProperty("write.stats-columns", "px")
+    val sparkOut = tmpDir("af-sanitize-spark")
+    stage(data, sparkOut)
+    val forgedRoot = java.nio.file.Paths.get(tmpDir("af-sanitize-staged"))
+    val srcRoot = java.nio.file.Paths.get(sparkOut)
+    relPaths(sparkOut).foreach { rel =>
+      ParquetFooterForge.patch(srcRoot.resolve(rel), forgedRoot.resolve(rel)) { fmd =>
+        ParquetFooterForge.setCreatedBy(fmd, "parquet-cpp-arrow version 15.0.0")
+        ParquetFooterForge.setDoubleStats(fmd, "px", 0.1, 0.9)
+      }
+    }
+    table.addFiles(new Path(forgedRoot.toString))
+    // a clean NATIVE append alongside: its pair must survive the sweep
+    table.append(Seq(("b", Timestamp.valueOf("2024-03-02 10:00:00"), 7.0))
+      .toDF("sym", "ts", "px").coalesce(1))
+    // seed: replay the pre-r16 WRITER — a commit whose manifest carries
+    // the unsound pair on the foreign entries, written through the real
+    // serializer (dPv absent ⇒ the legacy 'd:' kind on disk)
+    locally {
+      val meta = table.metadata
+      val current = meta.currentSnapshot.get
+      val slog = new SnapshotLog(table.tableDir, spark.sessionState.newHadoopConf())
+      val seededFiles = table.currentDataFiles.map { f =>
+        if (f.extraBounds.getOrElse(Nil).exists(_.isDouble)) f
+        else f.copy(extraBounds = Some(f.extraBounds.getOrElse(Nil) :+
+          ColumnBounds("px", 0L, 1L, minD = Some(0.1), maxD = Some(0.9))))
+      }
+      val snapId = meta.snapshots.map(_.id).max + 1
+      val ref = slog.writeManifest(snapId, seededFiles)
+      val listPath = slog.writeManifestList(snapId, Seq(ref))
+      val snap = Snapshot(id = snapId, parentId = Some(current.id),
+        timestampMs = System.currentTimeMillis(), operation = "forge-pre-r16",
+        manifestList = Some(listPath), addedManifest = None,
+        addedFilesCount = 0, addedRows = 0L, totalRows = current.totalRows)
+      slog.commit(slog.currentVersion, meta.copy(
+        snapshots = meta.snapshots :+ snap, currentSnapshotId = Some(snap.id)))
+    }
+    val seeded = table.currentDataFiles
+    assert(seeded.exists(_.extraBounds.getOrElse(Nil)
+      .exists(b => b.isDouble && !b.dProven)), "seed must be unproven")
+    // CONSUMER gate: even before any rewrite, the unproven pair must
+    // not skip the NaN file under px > 5 — pre-gate, maxD=0.9 < 5
+    // dropped the file and the count read 1
+    assert(table.filesInDoubleRange("px", Some((5.0, false)), None).size
+      == seeded.size, "unproven pairs must be inert at planning time")
+    // parquet row-group pushdown off: the doctored footer stats would
+    // skip the NaN row at a layer below the one under test
+    withSqlConf("spark.sql.parquet.filterPushdown" -> "false") {
+      assert(table.readColumnRangesPruned(Nil,
+        dblRanges = Seq(("px", Some((5.0, false)), None)))
+        .filter(col("px") > lit(5.0)).count() == 2L,
+        "unproven pairs must be inert: NaN row + the native 7.0 row")
+    }
+    // the sweep: foreign entries lose the pair, native entries keep a
+    // PROVEN one re-read from their parquet-mr footer
+    table.rewriteManifests()
+    val after = table.currentDataFiles
+    assert(after.forall(_.extraBounds.getOrElse(Nil)
+      .forall(b => !b.isDouble || b.dProven)),
+      s"no unproven pair may survive the rewrite: " +
+        after.map(_.extraBounds).mkString(", "))
+    assert(after.exists(_.extraBounds.getOrElse(Nil)
+      .exists(b => b.isDouble && b.dProven)),
+      "the native file's pair must be re-proven, not stripped")
+    withSqlConf("spark.sql.parquet.filterPushdown" -> "false") {
+      assert(table.readColumnRangesPruned(Nil,
+        dblRanges = Seq(("px", Some((5.0, false)), None)))
+        .filter(col("px") > lit(5.0)).count() == 2L,
+        "answers unchanged after the sweep")
+    }
   }
 }

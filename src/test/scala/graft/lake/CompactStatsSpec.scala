@@ -52,7 +52,23 @@ class CompactStatsSpec extends SparkSpec {
           minD = Some(-2.75), maxD = Some(Double.PositiveInfinity)))),
         colNulls = Some(Map("d" -> 4L))),
       entry(6).copy(extraBounds = Some(Seq(
-        ColumnBounds("d", 0L, 1L, minD = Some(1.0E-300), maxD = Some(0.30000000000000004))))))
+        ColumnBounds("d", 0L, 1L, minD = Some(1.0E-300), maxD = Some(0.30000000000000004))))),
+      // round-16 kinds: PROVEN double pair ('D:'), exactness-masked
+      // strings ('S:' — min-only, max-only, both), and per-file SUMS
+      // riding the l:/n: groups after the null count
+      entry(7).copy(
+        extraBounds = Some(Seq(ColumnBounds("d", -3L, 4L,
+          minD = Some(-2.5), maxD = Some(3.25), dPv = Some(true)))),
+        colNulls = Some(Map("d" -> 1L))),
+      entry(8).copy(extraBounds = Some(Seq(
+        ColumnBounds("url", 0L, 0L, minS = Some("ab"), maxS = Some("zz"),
+          minSE = Some(true), maxSE = Some(true)),
+        ColumnBounds("tag", 0L, 0L, minS = Some("m"), maxS = None,
+          minSE = Some(true))))),
+      entry(9).copy(
+        extraBounds = Some(Seq(ColumnBounds("uid", -5L, 50L))),
+        colNulls = Some(Map("uid" -> 2L, "opt" -> 100L)),
+        colSums = Some(Map("uid" -> -123L, "opt" -> 0L))))
     val ref = slog.writeManifest(1L, files)
     SnapshotLog.clearPlanningCache()
     val back = slog.readManifest(ref.path)

@@ -94,17 +94,80 @@ class MetadataAggSpec extends SparkSpec {
     assert(r.getInt(2) == 100)
   }
 
-  test("string extremes fall back; double extremes serve the exact pair") {
+  test("SHORT string extremes are metadata-only; double extremes serve the exact pair") {
     val (cat, wh) = freshCatalog()
     mkTable(cat, wh, "t3")
+    // 4-code-point values fit the truncate(16) cap, so the native
+    // write marked them EXACT (round 16, VERDICT r15 #5) — extremes
+    // answer from the roll-ups
     val qs = spark.sql(s"SELECT min(s) AS mn, max(s) AS mx FROM $cat.gold.t3")
-    assert(filesScanned(qs) > 0, "string bounds are truncated — must scan")
+    assert(filesScanned(qs) == 0, "exactness-marked short strings answer from metadata")
     assert(qs.head().getString(0) == "u000" && qs.head().getString(1) == "u059")
     // doubles carry EXACT minD/maxD since round 15 — the widened longs
     // are never served, the exact pair is
     val qd = spark.sql(s"SELECT min(d) AS mn, max(d) AS mx FROM $cat.gold.t3")
     assert(filesScanned(qd) == 0, "exact double bounds answer extremes from metadata")
     assert(qd.head().getDouble(0) == 0.0 && qd.head().getDouble(1) == 5.9)
+  }
+
+  test("strings past the truncate(16) cap refuse metadata extremes — the bound is a prefix") {
+    val (cat, wh) = freshCatalog()
+    val data = (0 until 60)
+      .map(i => (ts(i), f"long-prefix-padding-u$i%03d"))
+      .toDF("ts", "s")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/tlong"), data.schema, Some("ts"))
+    t.setProperty("write.stats-columns", "s")
+    (0 until 4).foreach(r => t.append(
+      data.filter(pmod(hash(col("s")), lit(4)) === r).coalesce(1)))
+    val q = spark.sql(s"SELECT min(s) AS mn, max(s) AS mx FROM $cat.gold.tlong")
+    assert(filesScanned(q) > 0, "truncated bounds must never be served as extremes")
+    assert(q.head().getString(0) == "long-prefix-padding-u000")
+    assert(q.head().getString(1) == "long-prefix-padding-u059")
+    val info = t.metadataAggInfo().get
+    assert(info.colMinS.isEmpty && info.colMaxS.isEmpty,
+      "no exactness marker may exist for over-cap strings")
+  }
+
+  test("IMPORTED string bounds never claim exactness — a foreign short max may be a bumped truncation") {
+    import graft.lake.LakehouseTable
+    val (cat, wh) = freshCatalog()
+    val data = (0 until 20).map(i => (ts(i), f"u$i%03d")).toDF("ts", "s")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/timp"), data.schema, Some("ts"), "day")
+    t.setProperty("write.stats-columns", "s")
+    val staged = tmpDir("gagg-imp-staged")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    data.withColumn("ts_day", lit(20240101))
+      .coalesce(1).write.mode("overwrite").partitionBy("ts_day").parquet(staged)
+    t.addFiles(new org.apache.hadoop.fs.Path(staged))
+    val info = t.metadataAggInfo().get
+    assert(info.rows == 20L)
+    assert(info.colMinS.isEmpty && info.colMaxS.isEmpty,
+      "imports must not claim string exactness")
+    val q = spark.sql(s"SELECT min(s) AS mn, max(s) AS mx FROM $cat.gold.timp")
+    assert(filesScanned(q) > 0, "imported bounds bail to the scan")
+    assert(q.head().getString(0) == "u000" && q.head().getString(1) == "u019")
+  }
+
+  test("a session that truncates chunk statistics writes no exactness claims") {
+    val (cat, wh) = freshCatalog()
+    val data = (0 until 20).map(i => (ts(i), f"u$i%03d")).toDF("ts", "s")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/ttrunc"), data.schema, Some("ts"))
+    t.setProperty("write.stats-columns", "s")
+    // the bare hadoop key: session confs flow verbatim into
+    // newHadoopConf, which is what BOTH the parquet writer and the
+    // footer pass's exactness gate read
+    withSqlConf("parquet.statistics.truncate.length" -> "8") {
+      t.append(data.coalesce(1))
+    }
+    val info = t.metadataAggInfo().get
+    assert(info.colMinS.isEmpty && info.colMaxS.isEmpty,
+      "a truncating writer config forfeits exactness claims")
+    val q = spark.sql(s"SELECT min(s) AS mn, max(s) AS mx FROM $cat.gold.ttrunc")
+    assert(filesScanned(q) > 0)
+    assert(q.head().getString(0) == "u000" && q.head().getString(1) == "u019")
   }
 
   test("double range predicates prune files through the exact bounds") {
@@ -631,6 +694,72 @@ class MetadataAggSpec extends SparkSpec {
     assert(q2.head().getLong(0) == 40L)
   }
 
+  test("sum(col) under write.sum-columns is metadata-only — nulls, ANSI proof, legacy") {
+    val (cat, wh) = freshCatalog()
+    // opt: null for odd i (files 1,3 all-null after the 4-way split);
+    // neg: mixed sign — the ANSI no-overflow proof must refuse it
+    val data = (0 until 60)
+      .map(i => (ts(i), 100L + i,
+        if (i % 2 == 1) None else Some(100L + i), i.toLong - 30L))
+      .toDF("ts", "uid", "opt", "neg")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/tsum"), data.schema, Some("ts"))
+    t.setProperty("write.stats-columns", "uid,opt,neg")
+    t.setProperty("write.sum-columns", "uid,opt,neg")
+    (0 until 4).foreach(r => t.append(
+      data.filter(pmod(col("uid"), lit(4)) === r).coalesce(1)))
+    val info = t.metadataAggInfo().get
+    assert(info.colSums.get("uid").contains((0 until 60).map(100L + _).sum))
+    assert(info.colSums.get("opt").contains(
+      (0 until 60 by 2).map(100L + _).sum))
+    assert(info.colSumSafe.contains("uid") && info.colSumSafe.contains("opt"),
+      s"non-negative columns must prove sign-uniformity: ${info.colSumSafe}")
+    assert(!info.colSumSafe.contains("neg"), "mixed-sign must not prove")
+    // ANSI (the session default): proven columns answer from metadata
+    val q = spark.sql(
+      s"SELECT sum(uid) AS su, sum(opt) AS so FROM $cat.gold.tsum")
+    assert(filesScanned(q) == 0, "proven sums must not plan a scan")
+    assert(q.head().getLong(0) == (0 until 60).map(100L + _).sum)
+    assert(q.head().getLong(1) == (0 until 60 by 2).map(100L + _).sum)
+    // mixed-sign bails under ANSI (an intermediate overflow COULD
+    // throw where the exact total would not) — and stays exact
+    val qNeg = spark.sql(s"SELECT sum(neg) AS sn FROM $cat.gold.tsum")
+    assert(filesScanned(qNeg) > 0, "mixed-sign ANSI sums must scan")
+    assert(qNeg.head().getLong(0) == (0 until 60).map(_.toLong - 30L).sum)
+    // LEGACY mode needs no proof: wrapped arithmetic is associative,
+    // and the exact Long-fitting total IS the wrapped answer
+    withSqlConf("spark.sql.ansi.enabled" -> "false") {
+      val qL = spark.sql(s"SELECT sum(neg) AS sn FROM $cat.gold.tsum")
+      assert(filesScanned(qL) == 0, "legacy sums serve without the sign proof")
+      assert(qL.head().getLong(0) == (0 until 60).map(_.toLong - 30L).sum)
+    }
+    // sum(DISTINCT) and double sums never serve
+    val qD = spark.sql(s"SELECT sum(DISTINCT uid) AS sd FROM $cat.gold.tsum")
+    assert(filesScanned(qD) > 0)
+    assert(qD.head().getLong(0) == (0 until 60).map(100L + _).sum)
+  }
+
+  test("sum facts survive COW deletes and bail on imports and masks") {
+    val (cat, wh) = freshCatalog()
+    val data = (0 until 60).map(i => (ts(i), 100L + i)).toDF("ts", "uid")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/tsum2"), data.schema, Some("ts"))
+    t.setProperty("write.stats-columns", "uid")
+    t.setProperty("write.sum-columns", "uid")
+    (0 until 4).foreach(r => t.append(
+      data.filter(pmod(col("uid"), lit(4)) === r).coalesce(1)))
+    spark.sql(s"DELETE FROM $cat.gold.tsum2 WHERE uid >= 150")
+    val q = spark.sql(s"SELECT sum(uid) AS su FROM $cat.gold.tsum2")
+    assert(filesScanned(q) == 0,
+      "COW-rewritten survivors re-earn their sums at write")
+    assert(q.head().getLong(0) == (100L until 150L).sum)
+    // a live MoR mask disables the whole info (nothing provable)
+    t.morDeleteKeys(Seq(ts(3)).toDF("ts"), "ts")
+    val qM = spark.sql(s"SELECT sum(uid) AS su FROM $cat.gold.tsum2")
+    assert(filesScanned(qM) > 0)
+    assert(qM.head().getLong(0) == (100L until 150L).sum - 103L)
+  }
+
   test("metadataAggInfo reports exact roll-up facts") {
     val (_, wh) = freshCatalog()
     val t = mkTable("unused", wh, "t11")
@@ -640,7 +769,10 @@ class MetadataAggSpec extends SparkSpec {
       (ts(0).getTime * 1000L, ts(59).getTime * 1000L)))
     assert(info.colBounds.get("uid").contains((100L, 159L)))
     assert(info.colNulls.get("opt").contains(30L))
-    assert(!info.colBounds.contains("s"), "string bounds are not exact extremes")
+    assert(!info.colBounds.contains("s"), "string bounds never ride the long roll-up")
+    assert(info.colMinS.get("s").contains("u000") &&
+      info.colMaxS.get("s").contains("u059"),
+      "short native-written strings roll up EXACT extremes (round 16)")
     t.morDeleteKeys(Seq(ts(3)).toDF("ts"), "ts")
     assert(t.metadataAggInfo().isEmpty, "live masks make nothing provable")
   }
