@@ -633,4 +633,136 @@ object Multimodal {
     }(enc)
     out.toDF()
   }
+
+  // ---- BMP (fifth modality, round 16 — lossless AND uncompressed) --------
+  //
+  // PNG proved the lossless decode, JPEG the lossy tolerance contract;
+  // BMP adds what neither can: the container is an UNCOMPRESSED DIB
+  // whose layout is arithmetic — so beyond the exact pixel stats, the
+  // engine cross-checks ImageIO's decode against its OWN strict header
+  // parse (two independent decoders must agree on the dimensions) and
+  // pins the size invariant `length == data_offset + height ×
+  // padded_row` that only holds when the writer really emitted the
+  // 24-bit bottom-up BI_RGB shape the parser claims.
+
+  /** One 24-bit RGB BMP of the same bytes→pixels rule as [[encodePng]],
+    * written by the JDK's own ImageIO BMP writer.
+    */
+  private[ops] def encodeBmp(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad BMP shape ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    def at(i: Int): Int = if (i < data.length) data(i) & 0xff else 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = 3 * (y * w + x)
+        img.setRGB(x, y, (at(p) << 16) | (at(p + 1) << 8) | at(p + 2))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "bmp", bos))
+      throw new IllegalStateException("no BMP writer available in this JVM")
+    bos.toByteArray
+  }
+
+  /** Strict structural parse of a 24-bit bottom-up BI_RGB BMP header:
+    * (width, height, pixel-data offset). Refusal contract like every
+    * decoder here — wrong magic, short header, planes ≠ 1, bpp ≠ 24,
+    * compressed or top-down DIBs all refuse loudly (the engine's
+    * writer never produces them, so accepting one would mean the
+    * payload is not what the pipeline wrote).
+    */
+  private[ops] def parseBmpHeader(payload: Array[Byte]): (Int, Int, Int) = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"corrupt BMP payload: $msg")
+    if (payload.length < 54) fail(s"${payload.length} bytes is shorter than any header")
+    if (payload(0) != 'B' || payload(1) != 'M') fail("bad magic")
+    def u16(off: Int): Int =
+      (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8)
+    def i32(off: Int): Int =
+      (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8) |
+        ((payload(off + 2) & 0xff) << 16) | ((payload(off + 3) & 0xff) << 24)
+    val fileSize = i32(2)
+    if (fileSize != payload.length)
+      fail(s"declared size $fileSize != actual ${payload.length}")
+    val dataOffset = i32(10)
+    val dibSize = i32(14)
+    if (dibSize < 40) fail(s"DIB header $dibSize < BITMAPINFOHEADER")
+    val w = i32(18)
+    val h = i32(22)
+    if (w <= 0) fail(s"width $w")
+    if (h <= 0) fail(s"top-down or degenerate height $h")
+    if (u16(26) != 1) fail(s"planes ${u16(26)}")
+    if (u16(28) != 24) fail(s"bpp ${u16(28)} (writer emits 24-bit)")
+    if (i32(30) != 0) fail(s"compression ${i32(30)} (writer emits BI_RGB)")
+    if (dataOffset < 14 + dibSize || dataOffset > payload.length)
+      fail(s"data offset $dataOffset outside [${14 + dibSize}, ${payload.length}]")
+    (w, h, dataOffset)
+  }
+
+  /** [[imageFromDocuments]] with BMP payloads — same shape rule,
+    * uncompressed lossless container.
+    */
+  def bmpFromDocuments(docs: DataFrame): DataFrame = {
+    val src = docs.select(
+      col("doc_id").cast(LongType).as("media_id"),
+      col("text"), col("source"), col("lang"),
+      col("n_chars").cast(LongType).as("n_chars"))
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val out: Dataset[Row] = src.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = Option(r.getString(1))
+          .getOrElse("").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val l = bytes.length
+        Row(r.getLong(0), encodeBmp(bytes, 4 + l % 5, 3 + l % 4),
+          "image/bmp;src=" + r.getString(2),
+          Map("lang" -> r.getString(3), "n_chars" -> r.getLong(4).toString))
+      }
+    }(enc)
+    out.toDF()
+  }
+
+  val bmpFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("pixel_sum", LongType, nullable = false),
+    StructField("pixel_mean", DoubleType, nullable = false),
+    StructField("header_agrees", BooleanType, nullable = false),
+    StructField("size_invariant", BooleanType, nullable = false),
+    StructField("mime", StringType, nullable = true)))
+
+  /** Batched BMP feature extraction: exact decoded channel stats
+    * (lossless — DuckDB recomputes them from the same source bytes)
+    * plus the two structural verdicts: ImageIO's decode agrees with
+    * the engine's own header parse, and the payload length equals
+    * `data_offset + height × padded_row` (rows pad to 4 bytes in a
+    * 24-bit DIB).
+    */
+  def extractBmpFeatures(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(bmpFeatureSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payIdx = media.schema.fieldIndex("payload")
+    val mimeIdx = media.schema.fieldIndex("mime")
+    val out: Dataset[Row] = media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload =
+          if (r.isNullAt(payIdx)) Array.emptyByteArray else r.getAs[Array[Byte]](payIdx)
+        val (w, h, sum) = decodeImage(payload)
+        val (hw, hh, off) = parseBmpHeader(payload)
+        val paddedRow = (w * 3 + 3) / 4 * 4
+        val mean = BigDecimal(sum.toDouble / (w.toLong * h * 3))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Row(r.getLong(idIdx), w.toLong, h.toLong, sum, mean,
+          w == hw && h == hh,
+          payload.length == off + h.toLong * paddedRow,
+          if (r.isNullAt(mimeIdx)) null else r.getString(mimeIdx))
+      }
+    }(enc)
+    out.toDF()
+  }
 }

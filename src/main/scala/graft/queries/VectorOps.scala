@@ -579,6 +579,43 @@ object VectorOps {
     ),
 
     QuerySpec(
+      "q_multimodal_image4",
+      (s, dir) =>
+        Multimodal
+          .extractBmpFeatures(Multimodal.bmpFromDocuments(t(s, dir, "documents")))
+          .orderBy("media_id"),
+      // The FIFTH modality (round 16): BMP — lossless like PNG, so
+      // DuckDB recomputes the exact decoded channel stats from the
+      // same source bytes — AND uncompressed, so the container layout
+      // itself is arithmetic: the engine's own strict header parse
+      // must agree with ImageIO's decode on the dimensions, and the
+      // payload length must equal data_offset + height × padded_row
+      // (24-bit rows pad to 4 bytes). Both structural verdicts ride
+      // the hash as booleans the oracle pins to true.
+      Some("""WITH b AS (SELECT doc_id, source, hex(encode(text)) AS hx,
+             |                  octet_length(encode(text)) AS L
+             |           FROM documents),
+             |par AS (SELECT doc_id, source, hx, L,
+             |               4 + L % 5 AS w, 3 + L % 4 AS h
+             |        FROM b),
+             |st AS (SELECT doc_id, source, w, h, w*h*3 AS P,
+             |        CAST(coalesce(list_sum(list_transform(
+             |          range(1, CAST(least(L, w*h*3) AS INT) + 1),
+             |          i -> 16*(strpos('0123456789ABCDEF', hx[2*i-1])-1)
+             |               + strpos('0123456789ABCDEF', hx[2*i]) - 1)), 0) AS BIGINT) AS pixel_sum
+             |       FROM par)
+             |SELECT doc_id AS media_id,
+             |       CAST(w AS BIGINT) AS width,
+             |       CAST(h AS BIGINT) AS height,
+             |       pixel_sum,
+             |       round(CAST(pixel_sum AS DOUBLE) / P, 4) AS pixel_mean,
+             |       true AS header_agrees,
+             |       true AS size_invariant,
+             |       'image/bmp;src=' || source AS mime
+             |FROM st ORDER BY media_id""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_multimodal_frames",
       (s, dir) =>
         Multimodal

@@ -216,6 +216,62 @@ class MultimodalFuzzSpec extends AnyFunSuite {
     assert(w == 4 && h == 3)
   }
 
+  // ---- BMP (round 16: lossless AND uncompressed — layout is checkable) ----
+
+  private lazy val goodBmp = Multimodal.encodeBmp(ascii("hello bmp world!!"), 4, 3)
+
+  private val bmpCases: Seq[(String, Array[Byte], String)] = Seq(
+    ("empty payload", Array.emptyByteArray, "shorter than any header"),
+    ("bad magic", {
+      val b = goodBmp.clone(); b(0) = 'X'.toByte; b
+    }, "bad magic"),
+    ("truncated below any header", goodBmp.take(20), "shorter than any header"),
+    ("declared size disagrees with actual", goodBmp.dropRight(4),
+      "declared size"),
+    ("planes corrupted", {
+      val b = goodBmp.clone(); b(26) = 3; b
+    }, "planes"),
+    ("bpp not 24", {
+      val b = goodBmp.clone(); b(28) = 8; b
+    }, "bpp"),
+    ("compression flag set", {
+      val b = goodBmp.clone(); b(30) = 1; b
+    }, "compression"),
+    ("top-down height", {
+      val b = goodBmp.clone()
+      // negate height (int32 LE at 22): two's complement of 3
+      b(22) = 0xfd.toByte; b(23) = 0xff.toByte; b(24) = 0xff.toByte; b(25) = 0xff.toByte
+      b
+    }, "top-down"))
+
+  bmpCases.foreach { case (name, bytes, fragment) =>
+    test(s"BMP header parse refuses: $name") {
+      val e = intercept[IllegalArgumentException](Multimodal.parseBmpHeader(bytes))
+      assert(e.getMessage.contains(fragment),
+        s"expected '$fragment' in: ${e.getMessage}")
+    }
+  }
+
+  test("BMP round-trips losslessly and satisfies the layout invariant") {
+    val rnd = new scala.util.Random(7)
+    (0 until 30).foreach { k =>
+      val l = 1 + rnd.nextInt(300)
+      val data = Array.fill(l)(rnd.nextInt(256).toByte)
+      val w = 4 + l % 5
+      val h = 3 + l % 4
+      val p = w * h * 3
+      val bmp = Multimodal.encodeBmp(data, w, h)
+      val (dw, dh, sum) = Multimodal.decodeImage(bmp)
+      assert(dw == w && dh == h, s"case $k: ImageIO dimensions")
+      assert(sum == data.take(p).map(_ & 0xff).map(_.toLong).sum,
+        s"case $k: lossless channel sum")
+      val (hw, hh, off) = Multimodal.parseBmpHeader(bmp)
+      assert(hw == w && hh == h, s"case $k: header parse agrees with ImageIO")
+      assert(bmp.length == off + h.toLong * ((w * 3 + 3) / 4 * 4),
+        s"case $k: uncompressed size invariant")
+    }
+  }
+
   test("JPEG decode is lossy but mean-preserving within the declared band") {
     // random-ish byte patterns across several sizes: decoded dimensions
     // are exact and the decoded RGB mean stays inside JpegMeanBand of
