@@ -760,6 +760,48 @@ class MetadataAggSpec extends SparkSpec {
     assert(qM.head().getLong(0) == (100L until 150L).sum - 103L)
   }
 
+  test("sum composes with identity restrictions; imports earn sums at compaction") {
+    import graft.lake.LakehouseTable
+    val (cat, wh) = freshCatalog()
+    // identity-partitioned: `WHERE sym = 'A'` keeps the aggregate
+    // metadata-only, and the restricted file subset's sums are exact
+    val data = (0 until 60)
+      .map(i => (if (i % 2 == 0) "A" else "B", ts(i), 100L + i))
+      .toDF("sym", "ts", "uid")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/tsum3"), data.schema,
+      Seq("sym" -> "identity", "ts" -> "day"))
+    t.setProperty("write.stats-columns", "uid")
+    t.setProperty("write.sum-columns", "uid")
+    (0 until 2).foreach(r => t.append(data.filter(pmod(col("uid"), lit(2)) === r)))
+    val q = spark.sql(
+      s"SELECT sum(uid) AS su FROM $cat.gold.tsum3 WHERE sym = 'A'")
+    assert(filesScanned(q) == 0, "restricted sums must serve from the subset's entries")
+    assert(q.head().getLong(0) == (0 until 60 by 2).map(100L + _).sum)
+    // an addFiles IMPORT never carries sums (no data pages are read) —
+    // sum bails; a native compaction rewrite earns them
+    val imp = (0 until 20).map(i => (ts(i), 100L + i)).toDF("ts", "uid")
+    val t2 = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/tsum4"), imp.schema, Some("ts"), "day")
+    t2.setProperty("write.stats-columns", "uid")
+    t2.setProperty("write.sum-columns", "uid")
+    val staged = tmpDir("gagg-sum-staged")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    imp.withColumn("ts_day", lit(20240101))
+      .repartition(2).write.mode("overwrite").partitionBy("ts_day").parquet(staged)
+    t2.addFiles(new org.apache.hadoop.fs.Path(staged))
+    assert(t2.metadataAggInfo().get.colSums.isEmpty,
+      "imports must not fabricate sums")
+    val qI = spark.sql(s"SELECT sum(uid) AS su FROM $cat.gold.tsum4")
+    assert(filesScanned(qI) > 0, "sum over an import must scan")
+    assert(qI.head().getLong(0) == (0 until 20).map(100L + _).sum)
+    t2.compact()
+    val qC = spark.sql(s"SELECT sum(uid) AS su FROM $cat.gold.tsum4")
+    assert(filesScanned(qC) == 0,
+      "compaction rewrites natively and earns the per-file sums")
+    assert(qC.head().getLong(0) == (0 until 20).map(100L + _).sum)
+  }
+
   test("metadataAggInfo reports exact roll-up facts") {
     val (_, wh) = freshCatalog()
     val t = mkTable("unused", wh, "t11")
