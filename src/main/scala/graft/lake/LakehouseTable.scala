@@ -4971,6 +4971,16 @@ final class LakehouseTable(
         }
         catch { case _: ConcurrentCommitException => false } // lost the race; next cycle
     val refs = metadata.currentSnapshot.map(log.readManifestList).getOrElse(Nil)
+    // metadata HYGIENE pressure (round 16, VERDICT r15 #2): a
+    // list-level double roll-up without the provenance marker means
+    // pre-r16 (or import-era) pairs still ride the live manifests —
+    // the fold re-proves or strips them. Consumers already refuse
+    // unproven pairs, so this reclaims PRUNING, not correctness; the
+    // signal reads the manifest LIST only (zero parses) and goes
+    // quiet after one sweep (re-proven pairs carry the marker,
+    // refused ones are gone).
+    val unprovenDoubles = refs.exists(_.columnBounds.exists(_.exists(b =>
+      b.isDouble && !b.dProven)))
     val (folded, clustered) = clusterManifestsBy match {
       case Some(c) =>
         // cluster pressure from manifest-LIST summaries only (no
@@ -4986,14 +4996,15 @@ final class LakehouseTable(
           .groupBy(identity).values.map(_.size).maxOption.getOrElse(0) + unsummarized
         val misShaped = perCol.count(_.forall(_.size != 1))
         val fire = !compacted &&
-          math.max(worstOpens, misShaped) > maxManifestsPerClusterValue
+          (math.max(worstOpens, misShaped) > maxManifestsPerClusterValue ||
+            unprovenDoubles)
         if (!fire) (false, false)
         else
           try { rewriteManifests(clusterBy = Some(c)); (true, true) }
           catch { case _: ConcurrentCommitException => (false, false) }
       case None =>
         val folded =
-          if (compacted || refs.size <= maxManifests) false
+          if (compacted || (refs.size <= maxManifests && !unprovenDoubles)) false
           else
             try { rewriteManifests(); true }
             catch { case _: ConcurrentCommitException => false }

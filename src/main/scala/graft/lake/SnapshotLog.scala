@@ -972,6 +972,12 @@ final case class TableMetadata(
       * columns recorded in every append's manifest entry
       * (metadata-level skipping via `readColumnRange` from the first
       * write, the Iceberg metrics-columns analog);
+      * `write.sum-columns` (comma-separated INTEGRAL non-partition
+      * columns, round 16) — exact per-file sums recorded by every
+      * native write (one columnar read-back of the just-written
+      * bytes), making unfiltered and identity-restricted `sum(col)`
+      * metadata-only; implies the columns join the footer-stats pass
+      * for null counts;
       * `write.key-bloom.bits` — record a [[KeyBloom]] of the key
       * column per written file in the manifest (m bits each; one extra
       * key-column pass per write), letting the ingest-dedup build side

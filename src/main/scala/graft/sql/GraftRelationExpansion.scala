@@ -899,13 +899,32 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
       if (!tzOk) return None
       val f = fields.find(f => f.source == a.name && granOk.contains(f.transform))
         .getOrElse(return None)
-      // ADVICE r15: truncating `/`+`%` mis-invert NEGATIVE dir ints
-      // (pre-1-CE timestamps) and a malformed-but-numeric imported dir
-      // (month 13) throws from LocalDate.of at planning time — both
-      // must BAIL to the scan like every other unprovable shape, so
-      // non-negative ints only and Try around the derivation
+      // ADVICE r15, strengthened: the dir int must BE a value the
+      // writer's transform can produce, or the dir is NOT the
+      // derivation and serving from it would mislabel every row (the
+      // scan re-derives from the data). Plain guards were not enough:
+      // a negative int mis-inverts under truncating `/`+`%`, a
+      // malformed-but-numeric day dir (month 13) throws from
+      // LocalDate.of in the CAST leg — and SILENTLY serves a phantom
+      // group 13 in the month() leg, where no exception ever fires.
+      // So validate the int against its own granularity (calendar
+      // round-trip for day/hour) and keep Try as the belt.
+      def validDirInt(v: Long): Boolean = {
+        def okDay(d: Long): Boolean =
+          d / 10000 >= 1 && d / 10000 <= 9999 &&
+            scala.util.Try(java.time.LocalDate.of((d / 10000).toInt,
+              (d / 100 % 100).toInt, (d % 100).toInt)).isSuccess
+        f.transform match {
+          case "year" => v >= 1 && v <= 9999
+          case "month" =>
+            v / 100 >= 1 && v / 100 <= 9999 && v % 100 >= 1 && v % 100 <= 12
+          case "day" => okDay(v)
+          case "hour" => okDay(v / 100) && v % 100 >= 0 && v % 100 <= 23
+          case _ => false
+        }
+      }
       val conv: String => Option[Any] =
-        seg => canonLong(seg).filter(_ >= 0L)
+        seg => canonLong(seg).filter(validDirInt)
           .flatMap(v => scala.util.Try(derive(v, f.transform)).toOption)
       Some(GroupDim(e,
         AttributeReference(s"_meta_grp_$i", e.dataType, nullable = false)(),

@@ -82,8 +82,12 @@ final class GraftScanBuilder(table: GraftReadableTable)
               .getOrElse(return None)
           case _ => return None
         }
+        // nullable across the board: aggregate results are nullable in
+        // general (min/max/sum of an empty or all-null table), and
+        // claiming non-null is the direction that could mislead a
+        // downstream optimization — a LocalScan pays nothing for it
         val schema = StructType(lits.zipWithIndex.map { case (l, i) =>
-          StructField(s"_pushed_agg_$i", l.dataType, nullable = l.value == null)
+          StructField(s"_pushed_agg_$i", l.dataType, nullable = true)
         })
         // Literal.value is already the Catalyst-internal representation
         // (micros for timestamps; strings bail before reaching here)

@@ -737,6 +737,17 @@ class MetadataAggSpec extends SparkSpec {
     val qD = spark.sql(s"SELECT sum(DISTINCT uid) AS sd FROM $cat.gold.tsum")
     assert(filesScanned(qD) > 0)
     assert(qD.head().getLong(0) == (0 until 60).map(100L + _).sum)
+    // the DataFrame spelling reaches the same rewrite (the bare
+    // relation stays unexpanded at analysis)
+    val qDf = spark.table(s"$cat.gold.tsum").agg(sum("uid").as("su"))
+    assert(filesScanned(qDf) == 0, "df.agg(sum) must serve from metadata")
+    assert(qDf.head().getLong(0) == (0 until 60).map(100L + _).sum)
+    // and time travel serves from the pinned snapshot's own roll-ups
+    val vNow = t.metadata.currentSnapshotId.get
+    val qTt = spark.sql(
+      s"SELECT sum(uid) AS su FROM $cat.gold.tsum VERSION AS OF $vNow")
+    assert(filesScanned(qTt) == 0, "pinned sums serve from the pinned refs")
+    assert(qTt.head().getLong(0) == (0 until 60).map(100L + _).sum)
   }
 
   test("sum facts survive COW deletes and bail on imports and masks") {
