@@ -2145,6 +2145,14 @@ object LakeOps {
     val grOnly = scannedFiles(qGR) == 0
     val grAgg = qGR.agg(count(lit(1)).as("g"),
       sum(col("n")).cast(LongType).as("r")).head()
+    // hybrid range SUM (round 16): the same aligned range serves
+    // sum(user_id) from the interior files' exact per-file sums —
+    // zero data files planned
+    val qRS = s.sql(
+      s"""SELECT sum(user_id) AS s FROM $cat.gold.gagg
+         |WHERE ts >= ${tsLit(dayLoUs)}""".stripMargin)
+    val rsOnly = scannedFiles(qRS) == 0
+    val rsVal = qRS.head().getLong(0)
     qG.withColumn("n_filtered", lit(nFiltered))
       .withColumn("n_sym3", lit(rRow.getLong(0)))
       .withColumn("mx_sym3_uid", lit(rRow.getLong(1)))
@@ -2152,6 +2160,8 @@ object LakeOps {
       .withColumn("n_straddle", lit(nStr))
       .withColumn("n_range_groups", lit(grAgg.getLong(0)))
       .withColumn("n_range_rows", lit(grAgg.getLong(1)))
+      .withColumn("sum_range", lit(rsVal))
+      .withColumn("range_sum_metadata_only", lit(rsOnly))
       .withColumn("group_metadata_only", lit(gOnly))
       .withColumn("distinct_metadata_only", lit(dOnly))
       .withColumn("filtered_fallback_scans", lit(fFellBack))
@@ -2422,6 +2432,10 @@ object LakeOps {
              |       (SELECT count(*) FROM e
              |        WHERE ts >= date_trunc('day', (SELECT min(ts) FROM e))
              |          + INTERVAL 1 DAY) AS n_range_rows,
+             |       (SELECT CAST(sum(user_id) AS BIGINT) FROM e
+             |        WHERE ts >= date_trunc('day', (SELECT min(ts) FROM e))
+             |          + INTERVAL 1 DAY) AS sum_range,
+             |       true AS range_sum_metadata_only,
              |       true AS group_metadata_only,
              |       true AS distinct_metadata_only,
              |       true AS filtered_fallback_scans,

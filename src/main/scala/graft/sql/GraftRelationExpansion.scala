@@ -551,13 +551,25 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
       case TimestampType | TimestampNTZType => Literal(v, keyDt)
       case _ => Literal(v) // splitRestriction admits Long keys only otherwise
     }
-    // range-answerable shapes: count(*) (interior rows are exact), and
+    // range-answerable shapes: count(*) (interior rows are exact),
     // min/max of the KEY itself — a bounds-interior file's key extremes
-    // are real in-range values and never belong to a null-key row
+    // are real in-range values and never belong to a null-key row —
+    // and, since round 16, sum(c) of a recorded sum column: an interior
+    // file with ZERO null-key rows contributes its exact per-file sum
+    // (a null-key row's value rides the recorded sum but fails the
+    // predicate, so any file with null keys demotes to the boundary
+    // scan instead)
     sealed trait RShape
     case object RCount extends RShape
     case object RMin extends RShape
     case object RMax extends RShape
+    case class RSum(
+        col: String,
+        ctx: org.apache.spark.sql.catalyst.expressions.NumericEvalContext)
+      extends RShape {
+      def needProof: Boolean = ctx.evalMode !=
+        org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY
+    }
     def shapeOf(ae: AggregateExpression): Option[RShape] = {
       if (ae.filter.isDefined) return None
       ae.aggregateFunction match {
@@ -565,6 +577,19 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
           Some(RCount)
         case Min(a: AttributeReference) if a.name == keyCol => Some(RMin)
         case Max(a: AttributeReference) if a.name == keyCol => Some(RMax)
+        // TRY sums bail: a try_sum's overflow-NULL from the boundary
+        // scan would be indistinguishable from its empty-NULL under
+        // the null-safe combine (ANSI throws, LEGACY wraps — both
+        // combine soundly)
+        case org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
+            a: AttributeReference, ctx)
+            if !ae.isDistinct && !meta.aliasMap.contains(a.name) &&
+              schema.fieldNames.contains(a.name) &&
+              ctx.evalMode !=
+                org.apache.spark.sql.catalyst.expressions.EvalMode.TRY &&
+              (schema(a.name).dataType == org.apache.spark.sql.types.LongType ||
+                schema(a.name).dataType == org.apache.spark.sql.types.IntegerType) =>
+          Some(RSum(a.name, ctx))
         case _ => None
       }
     }
@@ -580,38 +605,72 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
     })
     if (!shapesOk || shapes.isEmpty) return None
     val needRows = shapes.contains(RCount)
+    val sumShapes: Seq[RSum] = shapes.collect { case s: RSum => s }.toSeq
+    val sumCols: Seq[String] = sumShapes.map(_.col).distinct
+    def sumNeedsProof(c: String): Boolean =
+      sumShapes.exists(s => s.col == c && s.needProof)
     val entries0 = g.lt.metadataFileEntries(g.pinnedSnapshot,
       dirRestrict = idParts, keyRangeUs = Some((lo, hi))).getOrElse(return None)
     val entries =
       if (idParts.isEmpty) entries0
       else restrictEntries(entries0, idParts).getOrElse(return None)
     var interior = 0L
+    var anyInterior = false
     var intMin: Option[Long] = None
     var intMax: Option[Long] = None
+    val intSums = scala.collection.mutable.Map.empty[String, BigInt]
+    val intNonNull = scala.collection.mutable.Map.empty[String, Long]
     val boundary = scala.collection.mutable.ArrayBuffer.empty[graft.lake.DataFile]
     entries.foreach { f =>
       (f.minKeyUs, f.maxKeyUs) match {
         case (Some(mn), Some(mx)) if mx < lo || mn > hi => () // provably outside
         case (Some(mn), Some(mx)) if mn >= lo && mx <= hi =>
           // a count needs the exact null-key share; extremes don't
-          // (bounds are over non-null keys by construction)
-          f.colNulls.flatMap(_.get(keyCol)) match {
-            case Some(n) =>
-              interior += f.rows - n
-              intMin = Some(intMin.fold(mn)(math.min(_, mn)))
-              intMax = Some(intMax.fold(mx)(math.max(_, mx)))
-            case None if needRows => boundary += f
-            case None =>
-              intMin = Some(intMin.fold(mn)(math.min(_, mn)))
-              intMax = Some(intMax.fold(mx)(math.max(_, mx)))
+          // (bounds are over non-null keys by construction); a sum
+          // needs ZERO null keys (the recorded sum includes every
+          // row's value, the predicate excludes null-key rows), its
+          // recorded per-file sum + null count, and — under ANSI/TRY —
+          // a provable per-file sign (an unprovable file just scans)
+          val keyNulls = f.colNulls.flatMap(_.get(keyCol))
+          val sumsOk = sumCols.forall { c =>
+            keyNulls.contains(0L) &&
+              f.colSums.exists(_.contains(c)) &&
+              f.colNulls.exists(_.contains(c)) &&
+              (!sumNeedsProof(c) ||
+                graft.lake.MetadataAggInfo.sumSignState(
+                  f.rows, f.colNulls.flatMap(_.get(c)),
+                  f.extraBounds.flatMap(_.find(b =>
+                    b.column == c && !b.isString))) != 2)
+          }
+          val rowsOk = keyNulls.isDefined || !needRows
+          if (!sumsOk || !rowsOk) boundary += f
+          else {
+            anyInterior = true
+            keyNulls.foreach(n => interior += f.rows - n)
+            intMin = Some(intMin.fold(mn)(math.min(_, mn)))
+            intMax = Some(intMax.fold(mx)(math.max(_, mx)))
+            sumCols.foreach { c =>
+              intSums(c) = intSums.getOrElse(c, BigInt(0)) +
+                BigInt(f.colSums.get.apply(c))
+              intNonNull(c) = intNonNull.getOrElse(c, 0L) +
+                (f.rows - f.colNulls.get.apply(c))
+            }
           }
         case _ => boundary += f
       }
     }
+    // an interior Σ past Long range cannot ride a literal — bail whole
+    if (sumCols.exists(c => !intSums.getOrElse(c, BigInt(0)).isValidLong))
+      return None
+    def interiorSumLit(c: String): Expression =
+      if (intNonNull.getOrElse(c, 0L) == 0L)
+        Literal(null, org.apache.spark.sql.types.LongType)
+      else Literal(intSums(c).toLong)
     def interiorAnswer(ae: AggregateExpression): Expression = shapeOf(ae).get match {
       case RCount => Literal(interior)
       case RMin => intMin.map(keyLit).getOrElse(Literal(null, keyDt))
       case RMax => intMax.map(keyLit).getOrElse(Literal(null, keyDt))
+      case RSum(c, _) => interiorSumLit(c)
     }
     if (boundary.isEmpty) {
       val rewritten = agg.aggregateExpressions.map(_.transformUp {
@@ -619,7 +678,7 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
       }.asInstanceOf[NamedExpression])
       return Some(Project(rewritten, OneRowRelation()))
     }
-    if (interior == 0L && intMin.isEmpty)
+    if (!anyInterior)
       return None // nothing interior: the hybrid degenerates to the plain scan
     val child0 = g.lt.readFilesSubset(boundary.toSeq).queryExecution.analyzed
     // re-alias the subset scan to the relation's attribute ids so the
@@ -631,12 +690,18 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
       }, child0)
     val keyAttr = r.output.find(_.name == keyCol).getOrElse(return None)
     val innerAliases: Map[RShape, Alias] = shapes.iterator.map {
-      case RCount => RCount ->
+      case RCount => (RCount: RShape) ->
         Alias(Count(Literal(1)).toAggregateExpression(), "_graft_boundary_count")()
-      case RMin => RMin ->
+      case RMin => (RMin: RShape) ->
         Alias(Min(keyAttr).toAggregateExpression(), "_graft_boundary_min")()
-      case RMax => RMax ->
+      case RMax => (RMax: RShape) ->
         Alias(Max(keyAttr).toAggregateExpression(), "_graft_boundary_max")()
+      case s @ RSum(c, ctx) =>
+        val colAttr = r.output.find(_.name == c).getOrElse(return None)
+        (s: RShape) -> Alias(
+          org.apache.spark.sql.catalyst.expressions.aggregate
+            .Sum(colAttr, ctx).toAggregateExpression(),
+          s"_graft_boundary_sum_$c")()
     }.toMap
     val inner = Aggregate(Nil, innerAliases.values.toSeq, Filter(cond, reProj))
     // combine the metadata interior with the boundary scan: Add for
@@ -652,6 +717,17 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         case Some(v) => Greatest(Seq(keyLit(v), innerAliases(RMax).toAttribute))
         case None => innerAliases(RMax).toAttribute
       }
+      case s @ RSum(c, _) =>
+        // the boundary sum is NULL iff its files held no non-null
+        // value (ANSI overflow THROWS, legacy wraps — never a NULL
+        // from overflow, which is why TRY bailed at shapeOf): an
+        // interior with values adds through a null-safe coalesce; an
+        // interior without any contributes nothing and the boundary
+        // answer stands alone, NULL included
+        val b = innerAliases(s).toAttribute
+        if (intNonNull.getOrElse(c, 0L) == 0L) b
+        else Add(Literal(intSums(c).toLong),
+          org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(b, Literal(0L))))
     }
     val rewritten = agg.aggregateExpressions.map(_.transformUp {
       case ae: AggregateExpression => combined(ae)

@@ -557,6 +557,60 @@ class MetadataAggSpec extends SparkSpec {
     assert(qSum.head().getLong(0) == 20L)
   }
 
+  test("hybrid range SUMS: covering ranges serve from metadata, straddlers scan only boundaries") {
+    val (cat, wh) = freshCatalog()
+    val data = (0 until 60)
+      .map(i => (if (i % 2 == 0) "x" else "y", dayTs(i), 100L + i))
+      .toDF("sym", "ts", "uid")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/hsum"), data.schema,
+      Seq("sym" -> "identity", "ts" -> "day"))
+    t.setProperty("write.stats-columns", "uid")
+    t.setProperty("write.sum-columns", "uid")
+    (0 until 2).foreach(r => t.append(data.filter(col("uid") % 2 === r)))
+    // covering range: every January file bounds-interior with zero
+    // null keys — sum + count answer from per-file sums alone
+    val qCover = spark.sql(
+      s"""SELECT count(*) AS n, sum(uid) AS s FROM $cat.gold.hsum
+         |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+         |  AND ts < TIMESTAMP '2024-02-01 00:00:00'""".stripMargin)
+    assert(filesScanned(qCover) == 0, "covering range sums must not plan a scan")
+    val janSum = (0 until 60).filter(_ % 3 != 2).map(100L + _).sum
+    assert(qCover.head().getLong(0) == 40L && qCover.head().getLong(1) == janSum)
+    // straddling range: only the split day's files scan; interior
+    // files contribute their exact recorded sums
+    val cut = Timestamp.valueOf("2024-01-01 00:03:00")
+    val qStraddle = spark.sql(
+      s"""SELECT sum(uid) AS s FROM $cat.gold.hsum
+         |WHERE ts >= TIMESTAMP '2024-01-01 00:03:00'""".stripMargin)
+    val scanned = filesScanned(qStraddle)
+    assert(scanned > 0 && scanned <= 4,
+      s"only the straddling day's files may scan, got $scanned")
+    val expected = (0 until 60).filter(i => !dayTs(i).before(cut)).map(100L + _).sum
+    assert(qStraddle.head().getLong(0) == expected)
+    // composed with the identity restriction, still zero files
+    val qBoth = spark.sql(
+      s"""SELECT sum(uid) AS s FROM $cat.gold.hsum
+         |WHERE sym = 'x' AND ts <= TIMESTAMP '2024-01-02 23:59:59'""".stripMargin)
+    assert(filesScanned(qBoth) == 0)
+    assert(qBoth.head().getLong(0) ==
+      (0 until 60).filter(i => i % 2 == 0 && i % 3 != 2).map(100L + _).sum)
+    // a file with NULL keys demotes to the boundary scan — its
+    // recorded sum includes values the predicate excludes
+    val withNullKeys = (0 until 6)
+      .map(i => (if (i % 2 == 0) "x" else "y",
+        if (i < 3) null.asInstanceOf[Timestamp] else dayTs(0), 1000L + i))
+      .toDF("sym", "ts", "uid")
+    t.append(withNullKeys.coalesce(1))
+    val qNk = spark.sql(
+      s"""SELECT sum(uid) AS s FROM $cat.gold.hsum
+         |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+         |  AND ts < TIMESTAMP '2024-02-01 00:00:00'""".stripMargin)
+    assert(filesScanned(qNk) > 0,
+      "a null-key file's rows must be re-read, not served from its sum")
+    assert(qNk.head().getLong(0) == janSum + (3 until 6).map(1000L + _).sum)
+  }
+
   test("grouped counts under an aligned range are metadata-only; straddlers fall back") {
     val (cat, wh) = freshCatalog()
     mkDayTable(cat, wh, "h3")
