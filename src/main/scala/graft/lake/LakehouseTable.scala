@@ -1987,8 +1987,8 @@ final class LakehouseTable(
     val snap = meta.currentSnapshot
     require(StructType.fromDDL(meta.schemaDdl).fieldNames.contains(column),
       s"'$column' is not a table column")
-    val wanted = values.map(v =>
-      LakehouseTable.dirRendering(String.valueOf(v))).toSet
+    val wanted = values.flatMap(v =>
+      LakehouseTable.dirRenderings(String.valueOf(v))).toSet
     val manifests = snap.map(log.readManifestList).getOrElse(Nil)
       .filter(r => wanted.exists(v => r.mayContainPartitionValue(column, v)))
     val files = log.readManifests(manifests).flatten
@@ -3380,6 +3380,11 @@ final class LakehouseTable(
             }
           }.toMap
       }
+    // one conf derivation for the whole pass (the string-exactness
+    // gate's input; cloning a Configuration per file was measurable)
+    lazy val statsUntruncatedConf: Boolean =
+      spark.sessionState.newHadoopConf()
+        .getInt("parquet.statistics.truncate.length", Int.MaxValue) == Int.MaxValue
     val tMoveLoop = System.nanoTime()
     val renameNs = new java.util.concurrent.atomic.AtomicLong(0L)
     val footerNs = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -3422,7 +3427,7 @@ final class LakehouseTable(
           // null counts (all-null ⇒ NULL), and the bounds ride along
           // (more skipping, never less)
           footerInfo(dest, keyCol, (extraStatCols ++ sumCols).distinct,
-            nativeWrite = true)
+            nativeWrite = true, statsUntruncated = statsUntruncatedConf)
       }
       renameNs.addAndGet(tF - tR)
       footerNs.addAndGet(System.nanoTime() - tF)
@@ -3433,10 +3438,20 @@ final class LakehouseTable(
         // Some(Nil) is a PROOF of no footer blooms (the point probe
         // skips the footer open); None = pre-r13 entry, probe as before
         fbCols = Some(fi.bloomCols),
-        colNulls = if (fi.nulls.isEmpty) None else Some(fi.nulls.toMap),
-        // a ZERO-ROW file never surfaces in the sum job's groups — its
-        // sums are vacuously 0; without this, one empty part file
-        // would poison the complete-or-bail fold for the whole table
+        // a ZERO-ROW file has no row groups, so the footer reports
+        // neither null counts nor sums — both are vacuously 0 and both
+        // must be synthesized TOGETHER: the compact codec only carries
+        // a sum after a null count, and sum serving needs the null
+        // count anyway; without this, one empty part file would poison
+        // the complete-or-bail folds for the whole table
+        colNulls = {
+          val synth =
+            if (preStats.isEmpty && fi.rows == 0L)
+              ((extraStatCols ++ sumCols).distinct ++ keyCol).map(_ -> 0L).toMap
+            else Map.empty[String, Long]
+          val all = synth ++ fi.nulls.toMap
+          if (all.isEmpty) None else Some(all)
+        },
         colSums = fileSums.get(rel).filter(_.nonEmpty).orElse(
           if (sumCols.nonEmpty && preStats.isEmpty && fi.rows == 0L)
             Some(sumCols.map(_ -> 0L).toMap)
@@ -5211,35 +5226,41 @@ final class LakehouseTable(
         * imported footer's short max could be a foreign writer's
         * bumped truncation, indistinguishable from a real value.
         */
-      nativeWrite: Boolean = false): FooterInfo = {
+      nativeWrite: Boolean = false,
+      /** The write's hadoop conf left `parquet.statistics.truncate
+        * .length` at its untruncated default — computed ONCE by the
+        * native caller (cloning a full Configuration per file inside
+        * the move loop was real commit latency).
+        */
+      statsUntruncated: Boolean = false): FooterInfo = {
     val in = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
     try {
       val rows = in.getRecordCount
       // DOUBLE-stats provenance gate (round 16, VERDICT r15 #1): trust
-      // floating min/max only from parquet-mr footers. parquet-mr folds
-      // values through Math.min/max, so a NaN row poisons the recorded
-      // extremes to NaN (dropped below) — its non-NaN bounds are
-      // provably complete. Spec-compliant foreign writers (arrow,
+      // floating min/max only from parquet-mr 1.x footers. That line
+      // folds values through Math.min/max, so a NaN row poisons the
+      // recorded extremes to NaN (dropped below) — its non-NaN bounds
+      // are provably complete. Spec-compliant foreign writers (arrow,
       // parquet-rs) EXCLUDE NaN from double stats, so their max may
       // omit rows Spark's NaN-is-largest ordering matches (`d > x` is
       // TRUE for NaN) — refuse the pair AND its widened longs wholesale
       // (the longs derive from the same stats). Unknown created_by
       // refuses too: never skip what a writer may have half-measured.
+      // The trust is MAJOR-VERSION-CAPPED: the parquet spec's stated
+      // direction is NaN exclusion, so a future parquet-mr 2.x that
+      // adopts it must land on the refuse side by default.
       val createdBy = in.getFooter.getFileMetaData.getCreatedBy
-      val dblTrusted = createdBy != null && createdBy.startsWith("parquet-mr")
+      val dblTrusted =
+        createdBy != null && createdBy.startsWith("parquet-mr version 1.")
       // STRING exactness gate (round 16, VERDICT r15 #5): parquet-mr
       // leaves chunk statistics UNTRUNCATED at its default config, so a
       // value the engine just wrote that fits the manifest cap IS the
-      // exact extreme — claimable only for native writes (the session
-      // conf in hand is the conf the write used) and only while the
-      // truncation property demonstrably sits at its untruncated
-      // default. parquet-mr 1.16 does not stamp the thrift
-      // is_min/max_value_exact flags (probed empirically), so config
-      // provenance is the only proof available.
-      val exactStrOk = nativeWrite && dblTrusted &&
-        spark.sessionState.newHadoopConf()
-          .getInt("parquet.statistics.truncate.length", Int.MaxValue) == Int.MaxValue
+      // exact extreme — claimable only for native writes (the caller
+      // checked the session conf the write used; parquet-mr 1.16 does
+      // not stamp the thrift is_min/max_value_exact flags — probed
+      // empirically — so config provenance is the only proof).
+      val exactStrOk = nativeWrite && dblTrusted && statsUntruncated
       var lo: Option[Long] = None
       var hi: Option[Long] = None
       val extras = scala.collection.mutable.Map.empty[String, (Long, Long)]

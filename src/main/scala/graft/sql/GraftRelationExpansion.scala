@@ -620,6 +620,8 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
     var intMax: Option[Long] = None
     val intSums = scala.collection.mutable.Map.empty[String, BigInt]
     val intNonNull = scala.collection.mutable.Map.empty[String, Long]
+    val intSignStates =
+      scala.collection.mutable.Map.empty[String, List[Int]].withDefaultValue(Nil)
     val boundary = scala.collection.mutable.ArrayBuffer.empty[graft.lake.DataFile]
     entries.foreach { f =>
       (f.minKeyUs, f.maxKeyUs) match {
@@ -628,19 +630,18 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
           // a count needs the exact null-key share; extremes don't
           // (bounds are over non-null keys by construction); a sum
           // needs ZERO null keys (the recorded sum includes every
-          // row's value, the predicate excludes null-key rows), its
-          // recorded per-file sum + null count, and — under ANSI/TRY —
-          // a provable per-file sign (an unprovable file just scans)
+          // row's value, the predicate excludes null-key rows) plus
+          // its recorded per-file sum + null count — sign states are
+          // COLLECTED here and judged across the whole interior set
+          // below (per-file uniformity alone would admit mixed-sign
+          // interiors whose partials can overflow where the total
+          // fits — the proof needs cross-member uniformity, exactly
+          // like colSumSafe and the grouped path)
           val keyNulls = f.colNulls.flatMap(_.get(keyCol))
           val sumsOk = sumCols.forall { c =>
             keyNulls.contains(0L) &&
               f.colSums.exists(_.contains(c)) &&
-              f.colNulls.exists(_.contains(c)) &&
-              (!sumNeedsProof(c) ||
-                graft.lake.MetadataAggInfo.sumSignState(
-                  f.rows, f.colNulls.flatMap(_.get(c)),
-                  f.extraBounds.flatMap(_.find(b =>
-                    b.column == c && !b.isString))) != 2)
+              f.colNulls.exists(_.contains(c))
           }
           val rowsOk = keyNulls.isDefined || !needRows
           if (!sumsOk || !rowsOk) boundary += f
@@ -654,13 +655,23 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
                 BigInt(f.colSums.get.apply(c))
               intNonNull(c) = intNonNull.getOrElse(c, 0L) +
                 (f.rows - f.colNulls.get.apply(c))
+              intSignStates(c) = graft.lake.MetadataAggInfo.sumSignState(
+                f.rows, f.colNulls.flatMap(_.get(c)),
+                f.extraBounds.flatMap(_.find(b =>
+                  b.column == c && !b.isString))) :: intSignStates(c)
             }
           }
         case _ => boundary += f
       }
     }
-    // an interior Σ past Long range cannot ride a literal — bail whole
+    // an interior Σ past Long range cannot ride a literal, and an
+    // ANSI/TRY sum demands CROSS-MEMBER sign uniformity over the
+    // interior set (monotone partials bounded by the Long-fitting
+    // total, in every order) — either failure bails the whole rewrite
     if (sumCols.exists(c => !intSums.getOrElse(c, BigInt(0)).isValidLong))
+      return None
+    if (sumCols.exists(c => sumNeedsProof(c) &&
+      graft.lake.MetadataAggInfo.combineSigns(intSignStates(c)) == 2))
       return None
     def interiorSumLit(c: String): Expression =
       if (intNonNull.getOrElse(c, 0L) == 0L)

@@ -14,15 +14,16 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * scans come out of the one builder:
   *
   *   - [[SupportsPushDownAggregates]] (COMPLETE pushdown only): an
-  *     ungrouped count/count(col)/min/max whose answer is provable
+  *     ungrouped count/count(col)/min/max/sum whose answer is provable
   *     from the snapshot's manifest roll-ups — the SAME
   *     [[graft.lake.MetadataAggInfo]] + [[MetadataAggFacts]] gates the
   *     SQL rewrite uses — becomes a [[LocalScan]] of the precomputed
   *     row: `spark.table(t).count()` plans ZERO data files even for a
   *     catalog user who never installed the extension rule. Every
   *     unprovable shape (live merge-on-read masks, renamed columns,
-  *     string extremes, unproven double pairs, FILTER/DISTINCT,
-  *     grouped aggregation) is REFUSED, not approximated.
+  *     truncated string bounds, unproven double pairs, unprovable sum
+  *     overflow, FILTER/DISTINCT, grouped aggregation) is REFUSED,
+  *     not approximated.
   *   - everything else falls back to a [[V1Scan]] that executes the
   *     table's native read plan ([[GraftReadableTable.readDF]] —
   *     manifest-planned, merge-on-read-aware, time-travel-pinned) and
@@ -43,9 +44,22 @@ final class GraftScanBuilder(table: GraftReadableTable)
 
   private var required: Option[StructType] = None
   private var pushed: Option[GraftMetadataAggScan] = None
+  // supportCompletePushDown and pushAggregation arrive back to back
+  // with the same Aggregation — cache one translation (it reads the
+  // manifest list and parses the schema DDL)
+  private var lastAgg: Option[(Aggregation, Option[GraftMetadataAggScan])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
+
+  private def translated(agg: Aggregation): Option[GraftMetadataAggScan] =
+    lastAgg match {
+      case Some((a, r)) if a == agg => r
+      case _ =>
+        val r = translate(agg)
+        lastAgg = Some((agg, r))
+        r
+    }
 
   /** The precomputed metadata answer, or None ⇔ not provable. Runs at
     * PLANNING time and costs one manifest-LIST read (cached) — the
@@ -90,14 +104,15 @@ final class GraftScanBuilder(table: GraftReadableTable)
           StructField(s"_pushed_agg_$i", l.dataType, nullable = true)
         })
         // Literal.value is already the Catalyst-internal representation
-        // (micros for timestamps; strings bail before reaching here)
+        // (micros for timestamps, UTF8String for exactness-marked
+        // string extremes)
         Some(new GraftMetadataAggScan(schema,
           Array(new GenericInternalRow(lits.map(_.value).toArray))))
       case _ => None
     }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    translate(agg).isDefined
+    translated(agg).isDefined
 
   /** COMPLETE pushdown only: on `true` Spark splices the scan's row in
     * place of the whole Aggregate. (Serving the same row in PARTIAL
@@ -106,7 +121,7 @@ final class GraftScanBuilder(table: GraftReadableTable)
     * would want partials for.)
     */
   override def pushAggregation(agg: Aggregation): Boolean = {
-    val t = translate(agg)
+    val t = translated(agg)
     pushed = t
     t.isDefined
   }
@@ -133,7 +148,20 @@ final class GraftMetadataAggScan(
   */
 final class GraftV1FallbackScan(
     table: GraftReadableTable, required: Option[StructType]) extends V1Scan {
-  private def schemaOut: StructType = required.getOrElse(table.schema)
+  /** Top-level pruning only: V2ScanRelationPushDown may hand
+    * `pruneColumns` a NESTED-pruned schema (a struct with fewer
+    * fields), but `buildScan`'s select returns FULL structs and the V1
+    * bridge converts rows positionally against the declared schema —
+    * declaring the pruned struct would silently mis-read its fields.
+    * So the declared schema is rebuilt from the table's own full field
+    * definitions, keeping only the required TOP-LEVEL names.
+    */
+  private def schemaOut: StructType = required match {
+    case Some(req) =>
+      StructType(req.fieldNames.toIndexedSeq
+        .flatMap(n => table.schema.fields.find(_.name == n)))
+    case None => table.schema
+  }
 
   override def readSchema(): StructType = schemaOut
 

@@ -18,13 +18,15 @@ import org.apache.spark.sql.types.{StructType, TimestampNTZType, TimestampType}
   *     (pre-rename entries roll up under the historical name).
   *   - `min/max(c)` ⇔ exact extremes for the partition-source key and
   *     integral/timestamp stats columns (manifest long encoding →
-  *     the column's own literal type), and for DOUBLE stats columns
-  *     from the exact PROVEN pair only — widened longs and truncated
+  *     the column's own literal type), for DOUBLE stats columns from
+  *     the exact PROVEN pair only, and for STRING stats columns from
+  *     exactness-marked roll-ups only — widened longs and truncated
   *     string bounds are never served as extremes.
   *
   * Answers are Catalyst [[Literal]]s: the rewrite splices them into
   * the plan directly, the DSv2 scan reads `literal.value` as the
-  * already-internal row value (UTF8String never occurs — strings bail).
+  * already-internal row value (UTF8String included — exactness-marked
+  * short-string extremes serve through both surfaces).
   */
 private[sql] final class MetadataAggFacts(
     val info: graft.lake.MetadataAggInfo,

@@ -609,6 +609,32 @@ class MetadataAggSpec extends SparkSpec {
     assert(filesScanned(qNk) > 0,
       "a null-key file's rows must be re-read, not served from its sum")
     assert(qNk.head().getLong(0) == janSum + (3 until 6).map(1000L + _).sum)
+    // CROSS-MEMBER sign proof (review find): per-file uniformity alone
+    // would admit a positive file + a negative file whose interleaved
+    // ANSI partials can overflow where the total fits — mixed-sign
+    // interiors bail to the scan; legacy needs no proof and serves
+    val mix = (0 until 20)
+      .map(i => (ts(i), if (i < 10) 50L + i else -(50L + i)))
+      .toDF("ts", "v")
+    val tm = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/hmix"), mix.schema, Some("ts"))
+    tm.setProperty("write.stats-columns", "v")
+    tm.setProperty("write.sum-columns", "v")
+    tm.append(mix.filter(col("v") >= 0).coalesce(1))
+    tm.append(mix.filter(col("v") < 0).coalesce(1))
+    val mixSum = (0 until 20).map(i => if (i < 10) 50L + i else -(50L + i)).sum
+    val qMix = spark.sql(
+      s"""SELECT sum(v) AS s FROM $cat.gold.hmix
+         |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'""".stripMargin)
+    assert(filesScanned(qMix) > 0, "mixed-sign interior must bail under ANSI")
+    assert(qMix.head().getLong(0) == mixSum)
+    withSqlConf("spark.sql.ansi.enabled" -> "false") {
+      val qMixL = spark.sql(
+        s"""SELECT sum(v) AS s FROM $cat.gold.hmix
+           |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'""".stripMargin)
+      assert(filesScanned(qMixL) == 0, "legacy range sums need no sign proof")
+      assert(qMixL.head().getLong(0) == mixSum)
+    }
   }
 
   test("grouped counts under an aligned range are metadata-only; straddlers fall back") {
