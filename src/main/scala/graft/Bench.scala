@@ -69,6 +69,50 @@ object Bench {
     */
   private def miniCanary(): (Double, Double) = canaryOnce(passes = 20, minOf = 2)
 
+  /** One DISK probe (round 17, VERDICT r16 #1): write 4 MiB to the
+    * scratch volume, fsync, read it back, delete — the signal the CPU
+    * hash canary is provably blind to. BENCH_r16's driver record ran
+    * its shuffle/write-heavy queries 3-12× slow (q_lake_roundtrip
+    * 18.4 s vs 1.5 quiet) at loadavg 1.4 with every CPU-canary ratio
+    * in band: pure I/O contention. A saturated device queues the
+    * fsync (and the open/read behind it) by 10-100×, so the probe's
+    * wall time against a recorded quiet band makes such a record
+    * self-identify from the JSON alone. The read-back is page-cache
+    * served on a quiet box — the probe intentionally measures the
+    * write+fsync queue, which is what shuffle spill and parquet
+    * commit traffic contend on. Probes the same volume Spark scratch
+    * uses (java.io.tmpdir; override: SPARK_GRAFT_IO_PROBE_DIR).
+    */
+  private def ioProbeOnce(): Double = {
+    val dir = java.nio.file.Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_IO_PROBE_DIR", System.getProperty("java.io.tmpdir")))
+    val p = java.nio.file.Files.createTempFile(dir, "graft-io-canary-", ".bin")
+    try {
+      val data = new Array[Byte](4 << 20)
+      java.util.Arrays.fill(data, 0x5a.toByte)
+      val t0 = System.nanoTime()
+      val wch = java.nio.channels.FileChannel.open(
+        p, java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val bb = java.nio.ByteBuffer.wrap(data)
+        while (bb.hasRemaining) wch.write(bb)
+        wch.force(true)
+      } finally wch.close()
+      val rch = java.nio.channels.FileChannel.open(
+        p, java.nio.file.StandardOpenOption.READ)
+      try {
+        val bb = java.nio.ByteBuffer.allocate(data.length)
+        while (bb.hasRemaining && rch.read(bb) >= 0) ()
+      } finally rch.close()
+      (System.nanoTime() - t0) / 1e6
+    } finally java.nio.file.Files.deleteIfExists(p)
+  }
+
+  /** Min-of-`minOf` I/O probe: ext4 journal commits make single fsyncs
+    * noisy even on a quiet box — the min straddles a co-timed commit.
+    */
+  private def ioProbe(minOf: Int): Double = (0 until minOf).map(_ => ioProbeOnce()).min
+
   /** `SPARK_GRAFT_CANARY_PROBE=1 runMain graft.Bench` — print a quiet
     * band measured as the min over several full canaries, in the
     * shape `tools/quiet_canary.json` stores. Run it on a VERIFIED
@@ -79,7 +123,8 @@ object Bench {
     val runs = (0 until 5).map(_ => canaryOnce(passes = 20, minOf = 3))
     val t1 = runs.map(_._1).min
     val wide = runs.map(_._2).min
-    println(f"""{"hash_1t_ms_quiet":$t1%.2f,"wide_over_1t_quiet":${wide / t1}%.3f,"threads":${Runtime.getRuntime.availableProcessors()},"samples":${runs.size}}""")
+    val io = (0 until 5).map(_ => ioProbe(minOf = 3)).min
+    println(f"""{"hash_1t_ms_quiet":$t1%.2f,"wide_over_1t_quiet":${wide / t1}%.3f,"io_ms_quiet":$io%.2f,"threads":${Runtime.getRuntime.availableProcessors()},"samples":${runs.size}}""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -217,14 +262,15 @@ object Bench {
     // its 1t time degrades past 1.5× quiet (the box itself, not a
     // tenant). Per-sample ratios ride the record, so a judge reads
     // contention off the record without re-measuring.
-    val quietBand: Option[(Double, Double)] = try {
+    val (quietBand, quietIoMs): (Option[(Double, Double)], Option[Double]) = try {
       val p = sys.env.getOrElse("SPARK_GRAFT_QUIET_CANARY", "tools/quiet_canary.json")
       val src = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
       def field(k: String): Option[Double] =
         ("\"" + k + "\"\\s*:\\s*([0-9.]+)").r.findFirstMatchIn(src).map(_.group(1).toDouble)
-      for { t <- field("hash_1t_ms_quiet"); r <- field("wide_over_1t_quiet") } yield (t, r)
-    } catch { case _: Throwable => None }
+      (for { t <- field("hash_1t_ms_quiet"); r <- field("wide_over_1t_quiet") } yield (t, r),
+        field("io_ms_quiet"))
+    } catch { case _: Throwable => (None, None) }
     // Margins are calibrated against three realities: mini-canary
     // noise (min-of-2, taken right after a Spark query — GC/JIT churn
     // inflates BOTH 1t and wide together), CROSS-BOX drift (the band
@@ -242,17 +288,28 @@ object Bench {
     // ~20% above a cold probe's).
     val CanaryRatioMargin = 1.3
     val Canary1tMargin = 1.6
-    /** (contended?, 1t ms, wide/1t ratio) — (false, 0, 0) with no band. */
-    def canaryGate(): (Boolean, Double, Double) = quietBand match {
-      case None => (false, 0.0, 0.0)
+    // I/O margin (round 17, VERDICT r16 #1): wider than the CPU
+    // margins because even a quiet box's min-of-2 fsync pair lands in
+    // a ~2× band when a journal commit co-times with the probe — while
+    // the failure this gate exists for (a neighbor saturating the
+    // device) queues the fsync 10-100×. 3× separates the two regimes.
+    val CanaryIoMargin = 3.0
+    /** (contended?, 1t ms, wide/1t ratio, io/quiet ratio) —
+      * (false, 0, 0, 0) with no band; io ratio 0.0 ⇔ no io band.
+      */
+    def canaryGate(): (Boolean, Double, Double, Double) = quietBand match {
+      case None => (false, 0.0, 0.0, 0.0)
       case Some((q1t, qRatio)) =>
         val (t1, tw) = miniCanary()
-        (tw / t1 > qRatio * CanaryRatioMargin || t1 > q1t * Canary1tMargin,
-          t1, tw / t1)
+        val ioRatio = quietIoMs.map(q => ioProbe(minOf = 2) / q).getOrElse(0.0)
+        (tw / t1 > qRatio * CanaryRatioMargin || t1 > q1t * Canary1tMargin ||
+          ioRatio > CanaryIoMargin,
+          t1, tw / t1, ioRatio)
     }
     final case class QueryRecord(
         name: String, times: Seq[Option[Double]], loads: Seq[Double],
-        contendedSamples: Seq[Boolean], canaryRatios: Seq[Double]) {
+        contendedSamples: Seq[Boolean], canaryRatios: Seq[Double],
+        ioRatios: Seq[Double]) {
       def quietTimes: Seq[Double] =
         times.zip(contendedSamples).collect { case (Some(t), false) => t }
       /** min over quiet samples; falls back to contended-only (flagged). */
@@ -272,24 +329,25 @@ object Bench {
       val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
       val flags = scala.collection.mutable.ArrayBuffer.empty[Boolean]
       val ratios = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val ioRs = scala.collection.mutable.ArrayBuffer.empty[Double]
       def take(): Unit = {
         // bounded per-sample wait: 6 × 10 s — long enough to outlast a
         // transient spike, short enough that a sustained ramp just
         // flags the samples instead of stalling the run. The gate is
-        // loadavg OR the canary band (round 15): either signal waits,
-        // and whichever is still hot when the wait budget runs out
-        // flags the sample.
-        def gate(): (Boolean, Double, Double, Double) = {
+        // loadavg OR the canary band (round 15) OR the I/O probe
+        // (round 17): any signal waits, and whichever is still hot
+        // when the wait budget runs out flags the sample.
+        def gate(): (Boolean, Double, Double, Double, Double) = {
           val l = loadAvg()
-          val (cc, c1, cr) = canaryGate()
-          (l > LoadGate || cc, l, c1, cr)
+          val (cc, c1, cr, cio) = canaryGate()
+          (l > LoadGate || cc, l, c1, cr, cio)
         }
         var g = gate()
         var waits = 0
         while (g._1 && waits < 6 && gateWaitBudget.get() > 0) {
           System.err.println(
             f"[bench] ${q.name}: gate hit (loadavg ${g._2}%.2f, canary 1t ${g._3}%.1f ms " +
-              f"ratio ${g._4}%.2f) — waiting 10 s")
+              f"ratio ${g._4}%.2f, io ratio ${g._5}%.2f) — waiting 10 s")
           Thread.sleep(10000)
           gateWaitBudget.addAndGet(-10000L)
           waits += 1
@@ -298,6 +356,7 @@ object Bench {
         loads += g._2
         flags += g._1
         ratios += g._4
+        ioRs += g._5
         times += timeOnce(q)
       }
       if (cacheHeavy(q.name)) timeOnce(q) // untimed warm-up, result discarded
@@ -315,14 +374,17 @@ object Bench {
       while (times.zip(flags).count(!_._2) < maxSamples &&
         times.size < maxSamples + 2 && times.forall(_.isDefined) && !converged)
         take()
-      QueryRecord(q.name, times.toSeq, loads.toSeq, flags.toSeq, ratios.toSeq)
+      QueryRecord(q.name, times.toSeq, loads.toSeq, flags.toSeq, ratios.toSeq,
+        ioRs.toSeq)
     }
+    val ioStart = ioProbe(minOf = 3)
     val results: Seq[QueryRecord] = specs.map(sampleQuery)
     // end canary taken HERE — immediately after the timed-query window
     // it certifies, BEFORE the fixture builds (whose own 32-wide file
     // churn is the bench's work, not contention; reading the canary
     // after them stamped a false `contended: true` on a quiet box)
     val (canary1tEnd, canaryWideEnd) = canary()
+    val ioEnd = ioProbe(minOf = 3)
     def num(v: Option[Double]): String = v.map(x => f"$x%.3f").getOrElse("null")
     val qs = results
       .map(r => "\"" + r.name + "\":" + r.best.map(x => f"$x%.2f").getOrElse("null"))
@@ -342,6 +404,11 @@ object Bench {
     val canaryPerSample = results
       .map(r => "\"" + r.name + "\":[" + r.canaryRatios.map(x => f"$x%.2f").mkString(",") + "]")
       .mkString("{", ",", "}")
+    // per-sample I/O probe ratios vs the quiet band (0.0 ⇔ no io band
+    // on disk): the disk-contention signal the CPU ratios can't see
+    val ioPerSample = results
+      .map(r => "\"" + r.name + "\":[" + r.ioRatios.map(x => f"$x%.2f").mkString(",") + "]")
+      .mkString("{", ",", "}")
     // queries whose EVERY sample ran above the gate: their recorded
     // value is contended-only — do not compare it across rounds
     val contendedQueries = results.collect { case r if r.allContended => "\"" + r.name + "\"" }
@@ -359,21 +426,27 @@ object Bench {
     val (cdcCompact, cdcDetail) = cdcStreamThroughput(spark, sfDir)
     val (ingestCompact, ingestDetail) = ingestThroughput(spark, sfDir)
     val kbJson = keyBloomSkipping(spark, sfDir)
-    val (planCompact, planDetail) = planningLatency(spark, quietBand)
+    val (planCompact, planDetail) = planningLatency(spark, quietBand, quietIoMs)
     val loadEnd = loadAvg()
     val bandJson = quietBand
       .map { case (t, r) => f""","quiet_band_1t_ms":$t%.2f,"quiet_band_ratio":$r%.3f""" }
       .getOrElse(""","quiet_band_1t_ms":null,"quiet_band_ratio":null""")
-    val canaryJson = f""""machine_canary":{"hash_1t_ms_start":$canary1tStart%.1f,"hash_${cpus}t_ms_start":$canaryWideStart%.1f,"hash_1t_ms_end":$canary1tEnd%.1f,"hash_${cpus}t_ms_end":$canaryWideEnd%.1f$bandJson}"""
+    val ioBandJson = quietIoMs
+      .map(q => f""","quiet_band_io_ms":$q%.2f""")
+      .getOrElse(""","quiet_band_io_ms":null""")
+    val canaryJson = f""""machine_canary":{"hash_1t_ms_start":$canary1tStart%.1f,"hash_${cpus}t_ms_start":$canaryWideStart%.1f,"hash_1t_ms_end":$canary1tEnd%.1f,"hash_${cpus}t_ms_end":$canaryWideEnd%.1f,"io_ms_start":$ioStart%.1f,"io_ms_end":$ioEnd%.1f$bandJson$ioBandJson}"""
     // run-level contention now keys on the canary too: the start/end
-    // full canary against the quiet band, OR the loadavg gate — the
-    // r14 failure mode (quota-throttled tenant, loadavg quiet) reads
-    // `contended: true` from the record alone
+    // full canary against the quiet band, OR the loadavg gate, OR
+    // (round 17) the start/end I/O probe against its band — the r14
+    // failure mode (quota-throttled tenant, loadavg quiet) and the
+    // r16 failure mode (disk saturation, CPU canary in band) both
+    // read `contended: true` from the record alone
     val canaryContendedRun = quietBand.exists { case (q1t, qRatio) =>
       def hot(t1: Double, tw: Double) =
         tw / t1 > qRatio * CanaryRatioMargin || t1 > q1t * Canary1tMargin
       hot(canary1tStart, canaryWideStart) || hot(canary1tEnd, canaryWideEnd)
-    }
+    } || quietIoMs.exists(q =>
+      ioStart / q > CanaryIoMargin || ioEnd / q > CanaryIoMargin)
     // Sample-asymmetry record (VERDICT r8 #8): cache-heavy composed
     // queries (q_text_curation_pipeline) show a 2-4x first/second sample
     // spread — the between-query sweep unpersists every shared diamond,
@@ -392,6 +465,9 @@ object Bench {
       "the run waits (bounded) for both to quiet, else marks the " +
       "sample contended ('contended_samples', parallel to " +
       "'samples'/'load'; per-sample wide/1t ratios in 'canary_ratio', " +
+      "per-sample disk-probe ratios in 'io_ratio' - a 4 MiB " +
+      "write+fsync+read vs the committed io_ms_quiet band, the " +
+      "disk-contention signal CPU canaries are blind to (BENCH_r16); " +
       "0.0 = no band on disk); contended samples are excluded from " +
       "the reported min whenever a quiet sample exists, and " +
       "'contended_queries' lists entries whose value is contended-only " +
@@ -399,7 +475,7 @@ object Bench {
       "quota-throttled tenants loadavg never sees. cdc_stream and " +
       "planning headline numbers are min-of-two independent " +
       "measurement windows/sweeps"
-    val detail = f"""{"metric":"detail","samples":$samples,"load":$loadPerSample,"contended_samples":$contendedPerSample,"canary_ratio":$canaryPerSample,"resampled":$resampled,"cdc_stream":$cdcDetail,"ingest":$ingestDetail,"key_bloom":$kbJson,"planning":$planDetail,"sample_note":"$sampleNote","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"contended":${contended || canaryContendedRun},$canaryJson,"sf":"$sfDir"}"""
+    val detail = f"""{"metric":"detail","samples":$samples,"load":$loadPerSample,"contended_samples":$contendedPerSample,"canary_ratio":$canaryPerSample,"io_ratio":$ioPerSample,"resampled":$resampled,"cdc_stream":$cdcDetail,"ingest":$ingestDetail,"key_bloom":$kbJson,"planning":$planDetail,"sample_note":"$sampleNote","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"contended":${contended || canaryContendedRun},$canaryJson,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     val detailWritten =
       try {
@@ -624,7 +700,8 @@ object Bench {
     */
   private def planningLatency(
       spark: SparkSession,
-      quietBand: Option[(Double, Double)]): (String, String) = try {
+      quietBand: Option[(Double, Double)],
+      quietIoMs: Option[Double]): (String, String) = try {
     import org.apache.spark.sql.functions._
     import org.apache.hadoop.fs.Path
     val nSymbols = 25
@@ -774,6 +851,10 @@ object Bench {
     // judge adjudicating r15's 1.5-2.1× identity/fold swings needs the
     // box factor ON the planning block, not just per-query
     val (plan1t, planWide) = miniCanary()
+    // planning-block I/O ratio (round 17): the fixture's cold-parse
+    // sweeps read 10⁴-file manifests off disk — a saturated device
+    // inflates them the same way it inflated the r16 query record
+    val planIoRatio = quietIoMs.map(q => ioProbe(minOf = 2) / q).getOrElse(0.0)
     def sweep(): Map[String, Double] = Map(
       "full" -> parseMs(fullRun), "full_cached" -> cachedMs(fullRun),
       "identity" -> parseMs(idRun), "identity_cached" -> cachedMs(idRun),
@@ -911,9 +992,9 @@ object Bench {
     } catch { case _: Throwable => () }
     val planCanary = quietBand match {
       case Some((q1t, _)) =>
-        f""""canary_1t_ms":$plan1t%.1f,"canary_vs_quiet_1t":${plan1t / q1t}%.2f,"canary_ratio":${planWide / plan1t}%.2f"""
+        f""""canary_1t_ms":$plan1t%.1f,"canary_vs_quiet_1t":${plan1t / q1t}%.2f,"canary_ratio":${planWide / plan1t}%.2f,"canary_io_ratio":$planIoRatio%.2f"""
       case None =>
-        f""""canary_1t_ms":$plan1t%.1f,"canary_ratio":${planWide / plan1t}%.2f"""
+        f""""canary_1t_ms":$plan1t%.1f,"canary_ratio":${planWide / plan1t}%.2f,"canary_io_ratio":$planIoRatio%.2f"""
     }
     val typed = f""""secondary_point_long_ms":${m("secondary_point_long")}%.1f,"secondary_point_long_files":$secLongN,"secondary_point_long_manifests":$secLongManifests,"secondary_point_double_ms":${m("secondary_point_double")}%.1f,"secondary_point_double_files":$secDblN,"secondary_point_double_manifests":$secDblManifests"""
     val compact = f"""{"files":$nFiles,"manifest_bytes":$manifestBytes,"stats_columns_declared":true,$planCanary,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"identity_ms":${m("identity")}%.1f,"timerange_ms":${m("timerange")}%.1f,"point_ms":${m("point")}%.1f,"secondary_point_ms":${m("secondary_point")}%.1f,"secondary_manifests_parsed":$secManifests,$typed,"metadata_agg_ms":${m("metadata_agg")}%.1f,"clustered_identity_ms":${mc("cl")}%.1f,"policy_clustered":$policyClustered,"folded_full_scan_ms":$foldedMs%.1f,$bloomShapes,$statsShapes}"""
