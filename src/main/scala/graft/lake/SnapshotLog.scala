@@ -682,7 +682,16 @@ final case class ManifestRef(
       * lets [[graft.lake.MetadataAggInfo.colSumSafe]] hold at the
       * manifest-LIST level, serving ANSI sums with zero parses.
       */
-    columnSumSigns: Option[Map[String, Int]] = None
+    columnSumSigns: Option[Map[String, Int]] = None,
+    /** Σ of per-member-file absolute-sum bounds per sum column (round
+      * 17, VERDICT r16 #4 — see [[MetadataAggInfo.absSumBound]]),
+      * recorded only when every member has a provable bound and the Σ
+      * fits a Long. Lets the manifest-LIST fold prove ANSI sums safe
+      * for MIXED-SIGN columns (the sign roll-up above refuses those)
+      * and proves avg()'s double-accumulation exactness when ≤ 2⁵³.
+      * Additive: absent in pre-round-17 lists ⇔ the sign proof alone.
+      */
+    columnAbsSums: Option[Map[String, Long]] = None
 ) {
   def overlaps(loUs: Long, hiUs: Long): Boolean = (minKeyUs, maxKeyUs) match {
     case (Some(lo), Some(hi)) => hi >= loUs && lo <= hiUs
@@ -1629,12 +1638,23 @@ final class SnapshotLog(
           f.extraBounds.flatMap(_.find(b => b.column == c && !b.isString)))))
       if (s == 2) None else Some(c -> s)
     }.toMap
+    // absolute-sum roll-up (round 17): complete-or-absent and
+    // Long-fitting-or-absent, like the sum roll-up it rides beside
+    val absSums = sumRollup.keySet.toSeq.sorted.flatMap { c =>
+      val per = files.map(MetadataAggInfo.absSumBound(_, c))
+      if (per.exists(_.isEmpty)) None
+      else {
+        val tot = per.flatten.sum
+        if (tot <= BigInt(Long.MaxValue)) Some(c -> tot.toLong) else None
+      }
+    }.toMap
     ManifestRef(s"metadata/$name", files.size, files.map(_.rows).sum, bounds._1, bounds._2,
       partitionValues = if (summary.isEmpty) None else Some(summary),
       columnBounds = if (colRollup.isEmpty) None else Some(colRollup),
       columnNulls = if (nullRollup.isEmpty) None else Some(nullRollup),
       columnSums = if (sumRollup.isEmpty) None else Some(sumRollup),
-      columnSumSigns = if (sumSigns.isEmpty) None else Some(sumSigns))
+      columnSumSigns = if (sumSigns.isEmpty) None else Some(sumSigns),
+      columnAbsSums = if (absSums.isEmpty) None else Some(absSums))
   }
 
   /** Read one manifest's data files (path is table-relative). Parses

@@ -2015,6 +2015,14 @@ object LakeOps {
       s"""SELECT sum(user_id) AS sum_uid, sum(opt_uid) AS sum_opt
          |FROM $cat.gold.agg""".stripMargin)
     val sumMetadataOnly = scannedFiles(qSum) == 0
+    // AVG pushdown (round 17, VERDICT r16 #5): derived from the same
+    // sum + count facts under the 2⁵³ determinism proof — Spark's
+    // integral avg accumulates in DOUBLE, so the proof is what makes
+    // the metadata answer byte-identical to any scan's (and DuckDB's)
+    val qAvg = s.sql(
+      s"""SELECT avg(user_id) AS avg_uid, avg(opt_uid) AS avg_opt
+         |FROM $cat.gold.agg""".stripMargin)
+    val avgMetadataOnly = scannedFiles(qAvg) == 0
     // STRING extremes (round 16, VERDICT r15 #5): exactness-marked
     // short strings answer from metadata; truncated long strings bail
     // to the scan — same values either way, the hash checks both
@@ -2041,11 +2049,12 @@ object LakeOps {
       ev.filter(second(col("ts")) === 13).select("ts"), "ts")
     val qMask = s.sql(s"SELECT count(*) AS n_rows_masked FROM $cat.gold.agg")
     val maskFellBack = scannedFiles(qMask) > 0
-    q.crossJoin(qSum).crossJoin(qStr).crossJoin(qLongStr)
+    q.crossJoin(qSum).crossJoin(qAvg).crossJoin(qStr).crossJoin(qLongStr)
       .crossJoin(qTt).crossJoin(qMask)
       .withColumn("n_rows_df", lit(dfCount))
       .withColumn("agg_metadata_only", lit(aggMetadataOnly))
       .withColumn("sum_metadata_only", lit(sumMetadataOnly))
+      .withColumn("avg_metadata_only", lit(avgMetadataOnly))
       .withColumn("string_extreme_metadata_only", lit(strMetadataOnly))
       .withColumn("truncated_string_bails", lit(longStrBails))
       .withColumn("df_count_metadata_only", lit(dfCountMetadataOnly))
@@ -2090,9 +2099,28 @@ object LakeOps {
          |       unix_micros(min(ts)) AS mn_ts_us,
          |       unix_micros(max(ts)) AS mx_ts_us,
          |       min(user_id) AS mn_uid, max(user_id) AS mx_uid,
-         |       sum(user_id) AS sum_uid, sum(opt_uid) AS sum_opt
+         |       sum(user_id) AS sum_uid, sum(opt_uid) AS sum_opt,
+         |       avg(user_id) AS avg_uid, avg(opt_uid) AS avg_opt
          |FROM $cat.gold.gagg GROUP BY sym""".stripMargin)
     val gOnly = scannedFiles(qG) == 0
+    // DataFrame route (round 17, VERDICT r16 #3): the bare relation
+    // reaches the same grouped rewrite — and with the expansion
+    // disabled, the DSv2 `SupportsPushDownAggregates` grouped path
+    // serves the identical rows through Spark's own optimizer (the
+    // no-extension catalog user); both plan facts ride the hash
+    val dfGroupMetadataOnly =
+      scannedFiles(s.table(s"$cat.gold.gagg").groupBy("sym").count()) == 0
+    val dsv2GroupMetadataOnly = {
+      val key = "spark.graft.sql.expansion-enabled"
+      s.conf.set(key, "false")
+      try {
+        val g = s.table(s"$cat.gold.gagg").groupBy("sym")
+          .agg(count(lit(1)).as("n"), sum("user_id").as("su"),
+            avg("user_id").as("au"))
+        g.queryExecution.executedPlan.toString.contains("_pushed_group_") &&
+          scannedFiles(g) == 0 && g.count() == 8
+      } finally s.conf.set(key, "true")
+    }
     val qD = s.sql(s"SELECT DISTINCT sym FROM $cat.gold.gagg")
     val dOnly = scannedFiles(qD) == 0 && qD.count() == 8
     val qF = s.sql(
@@ -2153,6 +2181,24 @@ object LakeOps {
          |WHERE ts >= ${tsLit(dayLoUs)}""".stripMargin)
     val rsOnly = scannedFiles(qRS) == 0
     val rsVal = qRS.head().getLong(0)
+    // GROUPED range sums (round 17, VERDICT r16 #6): the day-aligned
+    // range serves per-symbol sums from metadata alone; a mid-file cut
+    // runs the grouped HYBRID — interior files from recorded sums,
+    // only straddlers scanned (strictly fewer than the table's files)
+    val qGRS = s.sql(
+      s"""SELECT sym, sum(user_id) AS s FROM $cat.gold.gagg
+         |WHERE ts >= ${tsLit(dayLoUs)} GROUP BY sym""".stripMargin)
+    val grsOnly = scannedFiles(qGRS) == 0
+    val grsAgg = qGRS.agg(count(lit(1)).as("g"),
+      sum(col("s")).cast(LongType).as("r")).head()
+    val qGRH = s.sql(
+      s"""SELECT sym, count(*) AS n, sum(user_id) AS s FROM $cat.gold.gagg
+         |WHERE ts >= ${tsLit(mnUs + 1)} GROUP BY sym""".stripMargin)
+    val sGrh = scannedFiles(qGRH)
+    val grhBoundary = sGrh > 0 && sGrh < table.currentDataFiles.size
+    val grhAgg = qGRH.agg(count(lit(1)).as("g"),
+      sum(col("n")).cast(LongType).as("n"),
+      sum(col("s")).cast(LongType).as("r")).head()
     qG.withColumn("n_filtered", lit(nFiltered))
       .withColumn("n_sym3", lit(rRow.getLong(0)))
       .withColumn("mx_sym3_uid", lit(rRow.getLong(1)))
@@ -2162,7 +2208,16 @@ object LakeOps {
       .withColumn("n_range_rows", lit(grAgg.getLong(1)))
       .withColumn("sum_range", lit(rsVal))
       .withColumn("range_sum_metadata_only", lit(rsOnly))
+      .withColumn("n_grs_groups", lit(grsAgg.getLong(0)))
+      .withColumn("sum_grs", lit(grsAgg.getLong(1)))
+      .withColumn("grouped_range_sum_metadata_only", lit(grsOnly))
+      .withColumn("n_grh_groups", lit(grhAgg.getLong(0)))
+      .withColumn("n_grh_rows", lit(grhAgg.getLong(1)))
+      .withColumn("sum_grh", lit(grhAgg.getLong(2)))
+      .withColumn("grouped_hybrid_boundary_scan", lit(grhBoundary))
       .withColumn("group_metadata_only", lit(gOnly))
+      .withColumn("df_group_metadata_only", lit(dfGroupMetadataOnly))
+      .withColumn("dsv2_group_metadata_only", lit(dsv2GroupMetadataOnly))
       .withColumn("distinct_metadata_only", lit(dOnly))
       .withColumn("filtered_fallback_scans", lit(fFellBack))
       .withColumn("restricted_metadata_only", lit(rOnly))
@@ -2381,6 +2436,8 @@ object LakeOps {
              |       (SELECT max(user_id) FROM s) AS max_uid,
              |       (SELECT CAST(sum(user_id) AS BIGINT) FROM s) AS sum_uid,
              |       (SELECT CAST(sum(opt_uid) AS BIGINT) FROM s) AS sum_opt,
+             |       (SELECT avg(user_id) FROM s) AS avg_uid,
+             |       (SELECT avg(opt_uid) FROM s) AS avg_opt,
              |       (SELECT min(tag) FROM s) AS min_tag,
              |       (SELECT max(tag) FROM s) AS max_tag,
              |       (SELECT min(longtag) FROM s) AS min_longtag,
@@ -2391,6 +2448,7 @@ object LakeOps {
              |       (SELECT count(*) FROM s) AS n_rows_df,
              |       true AS agg_metadata_only,
              |       true AS sum_metadata_only,
+             |       true AS avg_metadata_only,
              |       true AS string_extreme_metadata_only,
              |       true AS truncated_string_bails,
              |       true AS df_count_metadata_only,
@@ -2417,6 +2475,8 @@ object LakeOps {
              |       max(user_id) AS mx_uid,
              |       CAST(sum(user_id) AS BIGINT) AS sum_uid,
              |       CAST(sum(opt_uid) AS BIGINT) AS sum_opt,
+             |       avg(user_id) AS avg_uid,
+             |       avg(opt_uid) AS avg_opt,
              |       (SELECT count(*) FROM e WHERE value > 0) AS n_filtered,
              |       (SELECT count(*) FROM e WHERE sym = 's3') AS n_sym3,
              |       (SELECT max(user_id) FROM e WHERE sym = 's3') AS mx_sym3_uid,
@@ -2435,8 +2495,30 @@ object LakeOps {
              |       (SELECT CAST(sum(user_id) AS BIGINT) FROM e
              |        WHERE ts >= date_trunc('day', (SELECT min(ts) FROM e))
              |          + INTERVAL 1 DAY) AS sum_range,
+             |       (SELECT count(*) FROM (
+             |          SELECT sym FROM e
+             |          WHERE ts >= date_trunc('day', (SELECT min(ts) FROM e))
+             |            + INTERVAL 1 DAY
+             |          GROUP BY sym)) AS n_grs_groups,
+             |       (SELECT CAST(sum(user_id) AS BIGINT) FROM e
+             |        WHERE ts >= date_trunc('day', (SELECT min(ts) FROM e))
+             |          + INTERVAL 1 DAY) AS sum_grs,
+             |       (SELECT count(*) FROM (
+             |          SELECT sym FROM e
+             |          WHERE epoch_us(ts) >= (SELECT min(epoch_us(ts)) FROM e) + 1
+             |          GROUP BY sym)) AS n_grh_groups,
+             |       (SELECT count(*) FROM e
+             |        WHERE epoch_us(ts) >= (SELECT min(epoch_us(ts)) FROM e) + 1)
+             |         AS n_grh_rows,
+             |       (SELECT CAST(sum(user_id) AS BIGINT) FROM e
+             |        WHERE epoch_us(ts) >= (SELECT min(epoch_us(ts)) FROM e) + 1)
+             |         AS sum_grh,
+             |       true AS grouped_range_sum_metadata_only,
+             |       true AS grouped_hybrid_boundary_scan,
              |       true AS range_sum_metadata_only,
              |       true AS group_metadata_only,
+             |       true AS df_group_metadata_only,
+             |       true AS dsv2_group_metadata_only,
              |       true AS distinct_metadata_only,
              |       true AS filtered_fallback_scans,
              |       true AS restricted_metadata_only,

@@ -47,6 +47,15 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
     * transforms first.
     */
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // escape hatch (round 17): with the expansion off, every graft
+    // relation stays a DSv2 relation end to end — reads flow through
+    // [[GraftScanBuilder]] (aggregate pushdown + the mask-aware V1
+    // fallback), which is exactly the no-extension catalog user's
+    // path. READ paths only: DML (DELETE/UPDATE/MERGE) and the
+    // metadata rewrites need the rule — used by specs to exercise the
+    // DSv2 surface through Spark's own optimizer.
+    case _ if !session.conf
+      .get("spark.graft.sql.expansion-enabled", "true").toBoolean => plan
     case Aliased(_) => plan
     case _ => expand(plan)
   }
@@ -337,10 +346,12 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
             case (ids, Some(range)) if agg.groupingExpressions.isEmpty =>
               hybridRangeCount(agg, gt, r, cond, ids, range)
             case (ids, Some(range)) =>
-              // grouped counts under a range: metadata-only when every
-              // overlapping file is bounds-interior (no straddlers)
+              // grouped counts/sums under a range: metadata-only when
+              // every overlapping file is bounds-interior; straddlers
+              // scan through the grouped hybrid (round 17)
               metadataGroupAggregate(agg, gt,
-                Some(ids).filter(_.nonEmpty), Some(range))
+                Some(ids).filter(_.nonEmpty), Some(range),
+                boundaryCtx = Some((r, cond)))
           }.getOrElse(agg.mapChildren(expand))
         }
       case d @ org.apache.spark.sql.catalyst.plans.logical.Distinct(child @ BareRelation(r))
@@ -620,8 +631,7 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
     var intMax: Option[Long] = None
     val intSums = scala.collection.mutable.Map.empty[String, BigInt]
     val intNonNull = scala.collection.mutable.Map.empty[String, Long]
-    val intSignStates =
-      scala.collection.mutable.Map.empty[String, List[Int]].withDefaultValue(Nil)
+    val interiorFiles = scala.collection.mutable.ArrayBuffer.empty[graft.lake.DataFile]
     val boundary = scala.collection.mutable.ArrayBuffer.empty[graft.lake.DataFile]
     entries.foreach { f =>
       (f.minKeyUs, f.maxKeyUs) match {
@@ -631,12 +641,11 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
           // (bounds are over non-null keys by construction); a sum
           // needs ZERO null keys (the recorded sum includes every
           // row's value, the predicate excludes null-key rows) plus
-          // its recorded per-file sum + null count — sign states are
-          // COLLECTED here and judged across the whole interior set
-          // below (per-file uniformity alone would admit mixed-sign
-          // interiors whose partials can overflow where the total
-          // fits — the proof needs cross-member uniformity, exactly
-          // like colSumSafe and the grouped path)
+          // its recorded per-file sum + null count — the interior SET
+          // is kept and judged whole below (per-file facts alone would
+          // admit interiors whose partials can overflow where the
+          // total fits; the proof is over every member together,
+          // exactly like colSumSafe and the grouped path)
           val keyNulls = f.colNulls.flatMap(_.get(keyCol))
           val sumsOk = sumCols.forall { c =>
             keyNulls.contains(0L) &&
@@ -647,6 +656,7 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
           if (!sumsOk || !rowsOk) boundary += f
           else {
             anyInterior = true
+            interiorFiles += f
             keyNulls.foreach(n => interior += f.rows - n)
             intMin = Some(intMin.fold(mn)(math.min(_, mn)))
             intMax = Some(intMax.fold(mx)(math.max(_, mx)))
@@ -655,23 +665,21 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
                 BigInt(f.colSums.get.apply(c))
               intNonNull(c) = intNonNull.getOrElse(c, 0L) +
                 (f.rows - f.colNulls.get.apply(c))
-              intSignStates(c) = graft.lake.MetadataAggInfo.sumSignState(
-                f.rows, f.colNulls.flatMap(_.get(c)),
-                f.extraBounds.flatMap(_.find(b =>
-                  b.column == c && !b.isString))) :: intSignStates(c)
             }
           }
         case _ => boundary += f
       }
     }
     // an interior Σ past Long range cannot ride a literal, and an
-    // ANSI/TRY sum demands CROSS-MEMBER sign uniformity over the
-    // interior set (monotone partials bounded by the Long-fitting
-    // total, in every order) — either failure bails the whole rewrite
+    // ANSI/TRY sum demands the no-intermediate-overflow proof over the
+    // interior set (round 17, VERDICT r16 #4: sign uniformity, or Σ of
+    // per-member absolute-sum bounds within Long range — mixed-sign
+    // interiors with small magnitudes now serve) — either failure
+    // bails the whole rewrite
     if (sumCols.exists(c => !intSums.getOrElse(c, BigInt(0)).isValidLong))
       return None
     if (sumCols.exists(c => sumNeedsProof(c) &&
-      graft.lake.MetadataAggInfo.combineSigns(intSignStates(c)) == 2))
+      !graft.lake.MetadataAggInfo.noIntermediateOverflow(interiorFiles.toSeq, c)))
       return None
     def interiorSumLit(c: String): Expression =
       if (intNonNull.getOrElse(c, 0L) == 0L)
@@ -748,8 +756,8 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
 
   /** Data-independent answerability of every aggregate in the list —
     * checked BEFORE any metadata is read, so an unanswerable SHAPE
-    * (sum/avg, FILTER clauses, count DISTINCT, non-attribute args)
-    * costs zero manifest parses on its way to the normal expansion.
+    * (FILTER clauses, count DISTINCT, non-attribute args) costs zero
+    * manifest parses on its way to the normal expansion.
     * Data-dependent facts (roll-up completeness) still bail later.
     */
   private def aggShapesSupported(agg: Aggregate): Boolean =
@@ -760,8 +768,12 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
           case Count(Seq(_: AttributeReference)) => ae.isDistinct
           case Min(_: AttributeReference) | Max(_: AttributeReference) => false
           // sum(col) is answerable since round 16 (per-file exact sums
-          // under `write.sum-columns`); sum(DISTINCT) never is
+          // under `write.sum-columns`), avg(col) since round 17 (the
+          // same facts under the 2⁵³ determinism proof); the DISTINCT
+          // forms never are
           case org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
+            _: AttributeReference, _) => ae.isDistinct
+          case org.apache.spark.sql.catalyst.expressions.aggregate.Average(
             _: AttributeReference, _) => ae.isDistinct
           case _ => true
         })
@@ -838,6 +850,12 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
             a: AttributeReference, ctx) if !ae.isDistinct =>
           facts.sumCol(a.name, requireNoOverflowProof =
             ctx.evalMode != org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
+        // avg (round 17, VERDICT r16 #5): mode-independent — the 2⁵³
+        // proof inside avgCol makes the double accumulation exact and
+        // overflow-free in every mode
+        case org.apache.spark.sql.catalyst.expressions.aggregate.Average(
+            a: AttributeReference, _) if !ae.isDistinct =>
+          facts.avgCol(a.name)
         case _ => None
       }
     }
@@ -880,14 +898,25 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
   private def metadataGroupAggregate(
       agg: Aggregate, g: GraftSqlTable,
       restrict: Option[Seq[(String, Set[String])]] = None,
-      /** A closed key-micros range conjunct (round 15): group counts
-        * stay metadata-only when EVERY overlapping file is
-        * bounds-interior with a known key-null count — each
-        * contributes `rows − keyNulls` to its group; one straddler (or
-        * any non-count aggregate, whose extreme could belong to an
-        * excluded row) bails to the scan.
+      /** A closed key-micros range conjunct (round 15): group
+        * counts/extremes/sums stay metadata-only when EVERY overlapping
+        * file is bounds-interior with the needed roll-ups — each
+        * contributes `rows − keyNulls` (and, for sums, its exact
+        * recorded sum under zero null keys) to its group. Since round
+        * 17 (VERDICT r16 #6) a straddler no longer bails the whole
+        * rewrite when `boundaryCtx` is given: interior files serve from
+        * metadata, ONLY the straddlers scan (with the original
+        * predicate re-applied), and a combining aggregate merges the
+        * two partial sets per group — the grouped spelling of
+        * [[hybridRangeCount]].
         */
-      keyRangeUs: Option[(Long, Long)] = None): Option[LogicalPlan] = {
+      keyRangeUs: Option[(Long, Long)] = None,
+      /** The relation + original filter condition, for the grouped
+        * hybrid's boundary scan. None ⇔ straddlers bail (pre-r17
+        * behavior — used by callers with no condition in hand).
+        */
+      boundaryCtx: Option[(DataSourceV2Relation, Expression)] = None)
+      : Option[LogicalPlan] = {
     if (!aggShapesSupported(agg)) return None
     import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType}
     val meta = g.lt.metadata
@@ -916,15 +945,9 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
       if (meta.aliasMap.contains(a.name)) return None
       val f = fields.find(f => f.transform == "identity" && f.source == a.name)
         .getOrElse(return None)
-      val conv: String => Option[Any] = a.dataType match {
-        case StringType => seg =>
-          graft.lake.LakehouseTable.unescapeDirValue(seg)
-            .map(org.apache.spark.unsafe.types.UTF8String.fromString)
-        case LongType => seg => canonLong(seg).map(java.lang.Long.valueOf)
-        case IntegerType => seg =>
-          seg.toIntOption.filter(_.toString == seg).map(java.lang.Integer.valueOf)
-        case _ => return None
-      }
+      // shared decode ([[MetadataGroupFacts]]): the DSv2 grouped
+      // pushdown must key groups byte-identically
+      val conv = MetadataGroupFacts.identityDecode(a.dataType).getOrElse(return None)
       Some(GroupDim(a, a, f.name, conv, Some(a)))
     }
     // time derivations over the partition source: the dir int is the
@@ -1031,25 +1054,55 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
       case None => entries0
       case Some(rs) => restrictEntries(entries0, rs).getOrElse(return None)
     }
+    // sum columns requested under a range (round 17, VERDICT r16 #6):
+    // an interior file serving a sum must have ZERO null keys (its
+    // recorded sum includes rows the predicate excludes) plus the sum
+    // and null roll-ups — files missing any of that demote to the
+    // boundary scan instead of bailing
+    val rangeSumCols: Seq[String] =
+      if (keyRangeUs.isEmpty) Nil
+      else {
+        val cols = scala.collection.mutable.LinkedHashSet.empty[String]
+        agg.aggregateExpressions.foreach(_.foreach {
+          case ae: AggregateExpression => ae.aggregateFunction match {
+            case org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
+              a: AttributeReference, _) => cols += a.name
+            case _ => ()
+          }
+          case _ => ()
+        })
+        cols.toSeq
+      }
     // under a range: drop provably-outside files, keep interior ones
     // with their EFFECTIVE row count (rows − keyNulls: null-key rows
-    // fail the range predicate), and bail on any straddler or
-    // unknown-null interior file
+    // fail the range predicate); a straddler or roll-up-incomplete
+    // interior file demotes to the boundary scan when the hybrid is
+    // available, else bails the rewrite
     val keyName = keyCol.getOrElse("")
+    val boundaryFiles = scala.collection.mutable.ArrayBuffer.empty[graft.lake.DataFile]
     val entries: Seq[(graft.lake.DataFile, Long)] = keyRangeUs match {
       case None => entries1.map(f => (f, f.rows))
       case Some(_) if keyCol.isEmpty => return None
-      case Some((lo, hi)) => entries1.flatMap { f =>
-        (f.minKeyUs, f.maxKeyUs) match {
-          case (Some(mn), Some(mx)) if mx < lo || mn > hi => None
-          case (Some(mn), Some(mx)) if mn >= lo && mx <= hi =>
-            f.colNulls.flatMap(_.get(keyName)) match {
-              case Some(n) => Some((f, f.rows - n))
-              case None => return None
-            }
-          case _ => return None
+      case Some((lo, hi)) =>
+        val keep = scala.collection.mutable.ArrayBuffer.empty[(graft.lake.DataFile, Long)]
+        entries1.foreach { f =>
+          (f.minKeyUs, f.maxKeyUs) match {
+            case (Some(mn), Some(mx)) if mx < lo || mn > hi => () // outside
+            case (Some(mn), Some(mx)) if mn >= lo && mx <= hi =>
+              val keyNulls = f.colNulls.flatMap(_.get(keyName))
+              val sumsOk = rangeSumCols.forall(c =>
+                keyNulls.contains(0L) && f.colSums.exists(_.contains(c)) &&
+                  f.colNulls.exists(_.contains(c)))
+              keyNulls match {
+                case Some(n) if sumsOk => keep += ((f, f.rows - n))
+                case _ if boundaryCtx.isDefined => boundaryFiles += f
+                case _ => return None
+              }
+            case _ if boundaryCtx.isDefined => boundaryFiles += f
+            case _ => return None
+          }
         }
-      }
+        keep.toSeq
     }
     // group key = the DERIVED internal values (not the raw segments: a
     // coarser derivation like month(ts) over day dirs must MERGE the
@@ -1075,53 +1128,12 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         case _ if d.segName.isEmpty => false
         case e => e.references.exists(_.name == name)
       }))
-    // per-group min/max from per-file bounds, complete-or-bail; the
-    // manifest long encoding converts to the column's INTERNAL value
-    // for exact integral/timestamp types only
+    // per-group min/max from per-file bounds, complete-or-bail —
+    // shared with the DSv2 grouped pushdown ([[MetadataGroupFacts]])
     def internalMinMax(
         name: String, files: Seq[graft.lake.DataFile],
-        wantMin: Boolean): Option[Any] = {
-      if (meta.aliasMap.contains(name) || !schema.fieldNames.contains(name))
-        return None
-      // strings: exactness-marked engine-written bounds only (round
-      // 16) — a truncated prefix is never an extreme; code-point
-      // roll-up order ≡ UTF8_BINARY, the order min/max uses
-      if (schema(name).dataType == org.apache.spark.sql.types.StringType) {
-        val per = files.map(_.extraBounds.flatMap(_.find(b =>
-          b.column == name && b.isString &&
-            (if (wantMin) b.minSExact else b.maxSExact)))
-          .map(b => if (wantMin) b.minS.get else b.maxS.get))
-        if (per.exists(_.isEmpty)) return None
-        val best = per.flatten.reduce((a, b) =>
-          if (wantMin == (graft.lake.ColumnBounds.cpCompare(a, b) <= 0)) a else b)
-        return Some(org.apache.spark.unsafe.types.UTF8String.fromString(best))
-      }
-      // doubles: the EXACT per-file pair only — widened longs are
-      // never extremes — and only PROVEN pairs (round 16): an unproven
-      // foreign max may omit the NaN a real max() would return
-      if (schema(name).dataType == org.apache.spark.sql.types.DoubleType) {
-        val per = files.map(_.extraBounds.flatMap(_.find(b =>
-          b.column == name && b.isDouble && b.dProven))
-          .map(b => if (wantMin) b.minD.get else b.maxD.get))
-        if (per.exists(_.isEmpty)) return None
-        return Some(java.lang.Double.valueOf(
-          if (wantMin) per.flatten.min else per.flatten.max))
-      }
-      val per: Seq[Option[Long]] =
-        if (keyCol.contains(name))
-          files.map(f => if (wantMin) f.minKeyUs else f.maxKeyUs)
-        else files.map(_.extraBounds.flatMap(_.find(b =>
-          b.column == name && !b.isString)).map(b => if (wantMin) b.min else b.max))
-      if (per.exists(_.isEmpty)) return None
-      val v = if (wantMin) per.flatten.min else per.flatten.max
-      schema(name).dataType match {
-        case TimestampType | TimestampNTZType => Some(java.lang.Long.valueOf(v))
-        case LongType => Some(java.lang.Long.valueOf(v))
-        case IntegerType if v >= Int.MinValue && v <= Int.MaxValue =>
-          Some(java.lang.Integer.valueOf(v.toInt))
-        case _ => None
-      }
-    }
+        wantMin: Boolean): Option[Any] =
+      MetadataGroupFacts.groupMinMax(meta, schema, keyCol, name, files, wantMin)
     def answerFor(
         ae: AggregateExpression, key: Seq[Any],
         group: Seq[(graft.lake.DataFile, Long)]): Option[Any] = {
@@ -1148,19 +1160,29 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         case Max(a: AttributeReference)
             if keyRangeUs.isDefined && identityIdx(a.name).isDefined =>
           Some(key(identityIdx(a.name).get))
+        // grouped range sums (round 17, VERDICT r16 #6): interior files
+        // were classified with zero null keys + recorded sums for every
+        // requested sum column, so the group's interior Σ is exact for
+        // the in-range rows; TRY bails (its overflow-NULL would be
+        // indistinguishable from an empty-NULL in the hybrid combine)
+        case org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
+            a: AttributeReference, ctx)
+            if keyRangeUs.isDefined && !ae.isDistinct &&
+              ctx.evalMode !=
+                org.apache.spark.sql.catalyst.expressions.EvalMode.TRY =>
+          MetadataGroupFacts.groupSum(meta, schema, a.name, files,
+            requireNoOverflowProof = ctx.evalMode !=
+              org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
         case _ if keyRangeUs.isDefined => None
         case Count(Seq(a: AttributeReference)) if !ae.isDistinct =>
           // non-null throughout the group: an identity grouping column
           // (null lands in the sentinel dir), or the source of a time
           // grouping dim (same argument); else the null roll-ups
+          // (shared with the DSv2 grouped pushdown)
           if (identityIdx(a.name).isDefined || timeDimOnSource(a.name))
             Some(java.lang.Long.valueOf(rows))
-          else if (meta.aliasMap.contains(a.name)) None
-          else {
-            val per = files.map(_.colNulls.flatMap(_.get(a.name)))
-            if (per.exists(_.isEmpty)) None
-            else Some(java.lang.Long.valueOf(rows - per.flatten.sum))
-          }
+          else MetadataGroupFacts.groupCountCol(meta, a.name, files, rows)
+            .map(java.lang.Long.valueOf(_))
         case Min(a: AttributeReference) =>
           identityIdx(a.name) match {
             case Some(i) => Some(key(i))
@@ -1173,35 +1195,20 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
           }
         // grouped sum (round 16): Σ of the group's exact per-file sums
         // — same complete-or-bail and mode gates as the ungrouped path
-        // ([[MetadataAggFacts.sumCol]] rationale); keyRangeUs already
-        // bailed above (an excluded row's value would be in the sum)
+        // ([[MetadataAggFacts.sumCol]] rationale), shared with the DSv2
+        // grouped pushdown since round 17; keyRangeUs already bailed
+        // above (an excluded row's value would be in the sum)
         case org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
             a: AttributeReference, ctx) if !ae.isDistinct =>
-          if (meta.aliasMap.contains(a.name) ||
-            !schema.fieldNames.contains(a.name)) None
-          else schema(a.name).dataType match {
-            case org.apache.spark.sql.types.LongType |
-                 org.apache.spark.sql.types.IntegerType =>
-              val sums = files.map(_.colSums.flatMap(_.get(a.name)))
-              val nullsPer = files.map(_.colNulls.flatMap(_.get(a.name)))
-              if (sums.exists(_.isEmpty) || nullsPer.exists(_.isEmpty)) None
-              else {
-                val tot = sums.flatten.map(BigInt(_)).sum
-                val modeOk =
-                  ctx.evalMode ==
-                    org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY ||
-                    graft.lake.MetadataAggInfo.combineSigns(files.map(f =>
-                      graft.lake.MetadataAggInfo.sumSignState(
-                        f.rows, f.colNulls.flatMap(_.get(a.name)),
-                        f.extraBounds.flatMap(_.find(b =>
-                          b.column == a.name && !b.isString))))) != 2
-                if (!tot.isValidLong || !modeOk) None
-                else if (nullsPer.flatten.sum == files.map(_.rows).sum)
-                  Some(null) // the group's values are all NULL
-                else Some(java.lang.Long.valueOf(tot.toLong))
-              }
-            case _ => None
-          }
+          MetadataGroupFacts.groupSum(meta, schema, a.name, files,
+            requireNoOverflowProof = ctx.evalMode !=
+              org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
+        // grouped avg (round 17, VERDICT r16 #5): the group's exact
+        // sum + null roll-ups under the 2⁵³ partial-bound determinism
+        // proof ([[MetadataAggFacts.avgCol]] rationale)
+        case org.apache.spark.sql.catalyst.expressions.aggregate.Average(
+            a: AttributeReference, _) if !ae.isDistinct =>
+          MetadataGroupFacts.groupAvg(meta, schema, a.name, files)
         case _ => None
       }
     }
@@ -1226,21 +1233,116 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           (k ++ aggVals).toArray[Any])
       }
-    // two passes, aggregates FIRST: replacing a grouping expression
-    // inside an aggregate's argument (min(year(ts)) under GROUP BY
-    // year(ts)) would otherwise break the aggFns lookup
+    if (boundaryFiles.isEmpty) {
+      // pure-metadata answer — two passes, aggregates FIRST: replacing
+      // a grouping expression inside an aggregate's argument
+      // (min(year(ts)) under GROUP BY year(ts)) would otherwise break
+      // the aggFns lookup
+      val rewritten = agg.aggregateExpressions.map { ne =>
+        val aggsReplaced = ne.transformUp {
+          case ae: AggregateExpression => synth(aggFns.indexWhere(_.semanticEquals(ae)))
+        }
+        aggsReplaced.transformUp {
+          case e if dims.exists(_.expr.semanticEquals(e)) =>
+            dims.find(_.expr.semanticEquals(e)).get.out
+        }.asInstanceOf[NamedExpression]
+      }
+      return Some(Project(rewritten,
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          dims.map(_.out) ++ synth, data)))
+    }
+    // GROUPED HYBRID (round 17, VERDICT r16 #6): interior groups ride
+    // as LocalRelation partial rows; ONLY the straddlers scan, with
+    // the original predicate re-applied and the SAME grouping
+    // expressions computed from their real rows; a combining aggregate
+    // merges the two partial sets per group — groups present on only
+    // one side pass through the merge unchanged. Nothing interior ⇒
+    // the hybrid degenerates to the plain scan, bail.
+    if (groups.isEmpty) return None
+    val (rel, cond) = boundaryCtx.get
+    val child0 = g.lt.readFilesSubset(boundaryFiles.toSeq).queryExecution.analyzed
+    // re-alias the subset scan to the relation's attribute ids so the
+    // ORIGINAL condition and grouping expressions apply verbatim
+    val reProj = Project(
+      rel.output.map { target =>
+        val src = child0.output.find(_.name == target.name).getOrElse(return None)
+        Alias(src, target.name)(exprId = target.exprId)
+      }, child0)
+    def relAttr(name: String): Option[AttributeReference] =
+      rel.output.collectFirst {
+        case a: AttributeReference if a.name == name => a
+      }
+    // per-aggFn boundary partial over the straddlers' filtered rows
+    val bPartials: Seq[NamedExpression] = aggFns.toSeq.zipWithIndex.map {
+      case (ae, i) =>
+        val fn = ae.aggregateFunction match {
+          case Count(Seq(l: Literal)) if l.value != null =>
+            Count(Literal(1)).toAggregateExpression()
+          case Min(a: AttributeReference) =>
+            Min(relAttr(a.name).getOrElse(return None)).toAggregateExpression()
+          case Max(a: AttributeReference) =>
+            Max(relAttr(a.name).getOrElse(return None)).toAggregateExpression()
+          case org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
+              a: AttributeReference, ctx) =>
+            org.apache.spark.sql.catalyst.expressions.aggregate
+              .Sum(relAttr(a.name).getOrElse(return None), ctx)
+              .toAggregateExpression()
+          case _ => return None
+        }
+        Alias(fn, s"_graft_bagg_$i")()
+    }
+    val bGroups: Seq[NamedExpression] = dims.zipWithIndex.map { case (d, i) =>
+      Alias(d.expr, s"_graft_bgrp_$i")()
+    }
+    val boundaryAgg = Aggregate(
+      dims.map(_.expr), bGroups ++ bPartials, Filter(cond, reProj))
+    val interiorRel = org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+      dims.map(_.out) ++ synth, data)
+    val union = org.apache.spark.sql.catalyst.plans.logical.Union(
+      Seq(interiorRel, boundaryAgg), byName = false, allowMissingCol = false)
+    val uOut = union.output
+    val gAttrs = uOut.take(dims.size)
+    val pAttrs = uOut.drop(dims.size)
+    // the combining layer: counts and sums add (sum() skips a side's
+    // NULL partial — an all-null interior or boundary contributes
+    // nothing); extremes take the null-skipping min/max of partials.
+    // Sum partials combine under the ORIGINAL eval context, so an ANSI
+    // overflow of the true per-group total still throws exactly where
+    // the scan it replaces would have.
+    def combined(i: Int): AggregateExpression = aggFns(i).aggregateFunction match {
+      case Count(_) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate
+          .Sum(pAttrs(i)).toAggregateExpression()
+      case Min(_) => Min(pAttrs(i)).toAggregateExpression()
+      case Max(_) => Max(pAttrs(i)).toAggregateExpression()
+      case org.apache.spark.sql.catalyst.expressions.aggregate.Sum(_, ctx) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate
+          .Sum(pAttrs(i), ctx).toAggregateExpression()
+      // unreachable: answerFor (interior rows) and bPartials both
+      // already refused every other shape under a range
+      case other => throw new IllegalStateException(
+        s"uncombinable hybrid aggregate $other")
+    }
     val rewritten = agg.aggregateExpressions.map { ne =>
       val aggsReplaced = ne.transformUp {
-        case ae: AggregateExpression => synth(aggFns.indexWhere(_.semanticEquals(ae)))
+        case ae: AggregateExpression =>
+          val idx = aggFns.indexWhere(_.semanticEquals(ae))
+          // a count's sum-of-partials is nullable LongType where
+          // count(*) is non-null — both sides always emit a partial
+          // row per group, so the sum is never null; re-assert the
+          // count's type contract with a null-safe coalesce
+          aggFns(idx).aggregateFunction match {
+            case Count(_) => org.apache.spark.sql.catalyst.expressions
+              .Coalesce(Seq(combined(idx), Literal(0L)))
+            case _ => combined(idx)
+          }
       }
       aggsReplaced.transformUp {
         case e if dims.exists(_.expr.semanticEquals(e)) =>
-          dims.find(_.expr.semanticEquals(e)).get.out
+          gAttrs(dims.indexWhere(_.expr.semanticEquals(e)))
       }.asInstanceOf[NamedExpression]
     }
-    Some(Project(rewritten,
-      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
-        dims.map(_.out) ++ synth, data)))
+    Some(Aggregate(gAttrs, rewritten, union))
   }
 
   private def expandRelation(

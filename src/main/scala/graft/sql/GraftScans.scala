@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Row, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.expressions.NamedReference
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Avg, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.sources.{BaseRelation, TableScan}
 import org.apache.spark.sql.types.{StructField, StructType}
@@ -13,17 +13,19 @@ import org.apache.spark.sql.types.{StructField, StructType}
 /** DSv2 read path for graft tables (round 16, VERDICT r15 #3). Two
   * scans come out of the one builder:
   *
-  *   - [[SupportsPushDownAggregates]] (COMPLETE pushdown only): an
-  *     ungrouped count/count(col)/min/max/sum whose answer is provable
-  *     from the snapshot's manifest roll-ups — the SAME
-  *     [[graft.lake.MetadataAggInfo]] + [[MetadataAggFacts]] gates the
-  *     SQL rewrite uses — becomes a [[LocalScan]] of the precomputed
-  *     row: `spark.table(t).count()` plans ZERO data files even for a
-  *     catalog user who never installed the extension rule. Every
-  *     unprovable shape (live merge-on-read masks, renamed columns,
-  *     truncated string bounds, unproven double pairs, unprovable sum
-  *     overflow, FILTER/DISTINCT, grouped aggregation) is REFUSED,
-  *     not approximated.
+  *   - [[SupportsPushDownAggregates]] (COMPLETE pushdown only): a
+  *     count/count(col)/min/max/sum/avg — ungrouped, or since round 17
+  *     grouped by identity partition columns — whose answer is
+  *     provable from the snapshot's manifest metadata — the SAME
+  *     [[graft.lake.MetadataAggInfo]] + [[MetadataAggFacts]] /
+  *     [[MetadataGroupFacts]] gates the SQL rewrite uses — becomes a
+  *     [[LocalScan]] of the precomputed rows: `spark.table(t).count()`
+  *     and `spark.table(t).groupBy(sym).count()` plan ZERO data files
+  *     even for a catalog user who never installed the extension rule.
+  *     Every unprovable shape (live merge-on-read masks, renamed
+  *     columns, truncated string bounds, unproven double pairs,
+  *     unprovable sum overflow, FILTER/DISTINCT, non-identity
+  *     grouping) is REFUSED, not approximated.
   *   - everything else falls back to a [[V1Scan]] that executes the
   *     table's native read plan ([[GraftReadableTable.readDF]] —
   *     manifest-planned, merge-on-read-aware, time-travel-pinned) and
@@ -65,17 +67,18 @@ final class GraftScanBuilder(table: GraftReadableTable)
     * PLANNING time and costs one manifest-LIST read (cached) — the
     * whole point is that no Spark job runs at all.
     */
+  private def col(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 =>
+      Some(f.fieldNames()(0))
+    case _ => None
+  }
+
   private def translate(agg: Aggregation): Option[GraftMetadataAggScan] =
     table match {
       case g: GraftSqlTable if agg.groupByExpressions.isEmpty =>
         val info = g.lt.metadataAggInfo(g.pinnedSnapshot).getOrElse(return None)
         val facts = new MetadataAggFacts(info, g.lt.metadata)
-        def col(e: org.apache.spark.sql.connector.expressions.Expression)
-            : Option[String] = e match {
-          case f: NamedReference if f.fieldNames.length == 1 =>
-            Some(f.fieldNames()(0))
-          case _ => None
-        }
         val lits = agg.aggregateExpressions.toSeq.map {
           case _: CountStar =>
             org.apache.spark.sql.catalyst.expressions.Literal(facts.countStar)
@@ -94,6 +97,11 @@ final class GraftScanBuilder(table: GraftReadableTable)
             // no-overflow proof, which is sound under every mode
             col(s.column).flatMap(facts.sumCol(_, requireNoOverflowProof = true))
               .getOrElse(return None)
+          case a: Avg if !a.isDistinct =>
+            // avg (round 17, VERDICT r16 #5): mode-independent — the
+            // 2⁵³ determinism proof inside avgCol covers every mode
+            col(a.column).flatMap(facts.avgCol)
+              .getOrElse(return None)
           case _ => return None
         }
         // nullable across the board: aggregate results are nullable in
@@ -108,8 +116,130 @@ final class GraftScanBuilder(table: GraftReadableTable)
         // string extremes)
         Some(new GraftMetadataAggScan(schema,
           Array(new GenericInternalRow(lits.map(_.value).toArray))))
+      case g: GraftSqlTable => translateGrouped(g, agg)
       case _ => None
     }
+
+  /** GROUPED complete pushdown (round 17, VERDICT r16 #3):
+    * `groupBy(<identity partition cols>).agg(count/min/max/sum/avg)`
+    * answered from per-file manifest entries grouped by their
+    * partition-dir segments — the DSv2 spelling of the SQL rule's
+    * [[GraftRelationExpansion]] grouped rewrite, served from the SAME
+    * per-group core ([[MetadataGroupFacts]]) so the two surfaces can
+    * never drift. Identity dims only: the connector API pushes
+    * grouping COLUMNS (time derivations like `year(ts)` arrive as
+    * scalar expressions this path refuses — those users get the scan,
+    * still correct). Provable-or-bail exactly as the rule: live
+    * merge-on-read masks (entries are None), renamed columns, the
+    * null-sentinel dir, non-canonical dir renderings, incomplete
+    * roll-ups — each refuses the pushdown rather than approximating.
+    * The scan's row layout is Spark's complete-pushdown contract:
+    * grouping columns FIRST (in pushed order), then one column per
+    * aggregate expression.
+    */
+  private def translateGrouped(
+      g: GraftSqlTable, agg: Aggregation): Option[GraftMetadataAggScan] = {
+    val meta = g.lt.metadata
+    val schema = StructType.fromDDL(meta.schemaDdl)
+    val keyCol = meta.statsSource
+    val fields = meta.specList.flatMap(_.fields).distinct
+    // (column name, dir level, segment decode, data type) per dim
+    val dims: Seq[(String, String, String => Option[Any],
+        org.apache.spark.sql.types.DataType)] =
+      agg.groupByExpressions.toSeq.map { e =>
+        val name = col(e).getOrElse(return None)
+        if (meta.aliasMap.contains(name) ||
+          !schema.fieldNames.contains(name)) return None
+        val f = fields.find(f => f.transform == "identity" && f.source == name)
+          .getOrElse(return None)
+        val dt = schema(name).dataType
+        val conv = MetadataGroupFacts.identityDecode(dt).getOrElse(return None)
+        (name, f.name, conv, dt)
+      }
+    if (dims.isEmpty || dims.map(_._1).distinct.size != dims.size) return None
+    val entries = g.lt.metadataFileEntries(g.pinnedSnapshot).getOrElse(return None)
+    val keyed: Seq[(Seq[Any], graft.lake.DataFile)] = entries.map { f =>
+      val key = dims.map { case (_, segName, conv, _) =>
+        val seg = f.partitionSegments.getOrElse(segName, return None)
+        if (seg == graft.lake.LakehouseTable.HiveDefaultPartition) return None
+        conv(seg).getOrElse(return None)
+      }
+      (key, f)
+    }
+    // zero-row groups (a group of empty files) are dropped — a real
+    // GROUP BY emits no row for them; order is deterministic for the
+    // record, Spark re-sorts above when the query asks
+    val groups = keyed.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+      .filter { case (_, fs) => fs.map(_.rows).sum > 0 }
+      .sortBy(_._1.map(String.valueOf(_: Any)).mkString(" "))
+    def dimIdx(name: String): Option[Int] = dims.indexWhere(_._1 == name) match {
+      case -1 => None
+      case i => Some(i)
+    }
+    // (answer per group, result type) per aggregate expression
+    val answers: Seq[((Seq[Any], Seq[graft.lake.DataFile]) => Option[Any],
+        org.apache.spark.sql.types.DataType)] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          ((_: Seq[Any], fs: Seq[graft.lake.DataFile]) =>
+            Some(java.lang.Long.valueOf(fs.map(_.rows).sum)),
+            org.apache.spark.sql.types.LongType)
+        case c: Count if !c.isDistinct =>
+          val name = col(c.column).getOrElse(return None)
+          ((_: Seq[Any], fs: Seq[graft.lake.DataFile]) => {
+            val rows = fs.map(_.rows).sum
+            // an identity grouping column is non-null throughout the
+            // group (null lands in the sentinel dir)
+            if (dimIdx(name).isDefined) Some(java.lang.Long.valueOf(rows))
+            else MetadataGroupFacts.groupCountCol(meta, name, fs, rows)
+              .map(java.lang.Long.valueOf(_))
+          }, org.apache.spark.sql.types.LongType)
+        case m: Min =>
+          val name = col(m.column).getOrElse(return None)
+          ((key: Seq[Any], fs: Seq[graft.lake.DataFile]) =>
+            dimIdx(name) match {
+              case Some(i) => Some(key(i))
+              case None =>
+                MetadataGroupFacts.groupMinMax(meta, schema, keyCol, name, fs,
+                  wantMin = true)
+            }, schema(name).dataType)
+        case m: Max =>
+          val name = col(m.column).getOrElse(return None)
+          ((key: Seq[Any], fs: Seq[graft.lake.DataFile]) =>
+            dimIdx(name) match {
+              case Some(i) => Some(key(i))
+              case None =>
+                MetadataGroupFacts.groupMinMax(meta, schema, keyCol, name, fs,
+                  wantMin = false)
+            }, schema(name).dataType)
+        case s: Sum if !s.isDistinct =>
+          val name = col(s.column).getOrElse(return None)
+          ((_: Seq[Any], fs: Seq[graft.lake.DataFile]) =>
+            // no eval mode on the connector Aggregation — demand the
+            // no-overflow proof, sound under every mode
+            MetadataGroupFacts.groupSum(meta, schema, name, fs,
+              requireNoOverflowProof = true),
+            org.apache.spark.sql.types.LongType)
+        case a: Avg if !a.isDistinct =>
+          val name = col(a.column).getOrElse(return None)
+          ((_: Seq[Any], fs: Seq[graft.lake.DataFile]) =>
+            MetadataGroupFacts.groupAvg(meta, schema, name, fs),
+            org.apache.spark.sql.types.DoubleType)
+        case _ => return None
+      }
+    val rows: Array[InternalRow] = groups.map { case (key, fs) =>
+      val vals = answers.map { case (f, _) => f(key, fs).getOrElse(return None) }
+      new GenericInternalRow((key ++ vals).toArray[Any])
+    }.toArray
+    val outSchema = StructType(
+      dims.zipWithIndex.map { case ((name, _, _, dt), i) =>
+        StructField(s"_pushed_group_$i", dt, nullable = true)
+      } ++
+        answers.zipWithIndex.map { case ((_, dt), i) =>
+          StructField(s"_pushed_agg_$i", dt, nullable = true)
+        })
+    Some(new GraftMetadataAggScan(outSchema, rows))
+  }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     translated(agg).isDefined

@@ -1,7 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.types.{StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType, TimestampNTZType, TimestampType}
 
 /** Typed-answer core shared by the TWO metadata-aggregate surfaces —
   * [[GraftRelationExpansion]]'s analysis-time rewrite (SQL text and,
@@ -100,6 +100,41 @@ private[sql] final class MetadataAggFacts(
       else Literal(s)
   }
 
+  /** `avg(name)` as a typed literal (round 17, VERDICT r16 #5) —
+    * derived from the SAME served facts as sum and count, gated by the
+    * DETERMINISM proof the others don't need: Spark's integral
+    * [[org.apache.spark.sql.catalyst.expressions.aggregate.Average]]
+    * accumulates in DOUBLE (probed empirically on 4.1.2 — `sumDataType
+    * = DoubleType`, and avg of {2⁵³, 1, 1} returns the
+    * double-accumulated 0x1.5555555555555p51, NOT the exact-division
+    * 0x1.5555555555557p51), so a scan's answer is order-dependent
+    * unless every partial sum stays ≤ 2⁵³, where integer-valued double
+    * additions are exact. [[graft.lake.MetadataAggInfo.colAbsSums]]
+    * ≤ 2⁵³ is precisely that proof, in every execution order — then
+    * the scan's sum accumulator provably equals the recorded exact
+    * total and avg ≡ `total.toDouble / nonNullCount` (Average's own
+    * final division). No eval-mode gate: doubles cannot overflow on
+    * 2⁶³-bounded addend counts, so ANSI/TRY avg never throws.
+    */
+  def avgCol(name: String): Option[Literal] = {
+    if (renamed(name) || !schema.fieldNames.contains(name)) return None
+    val integral = schema(name).dataType match {
+      case LongType | IntegerType => true
+      case _ => false
+    }
+    if (!integral) return None
+    if (info.rows == 0L)
+      return Some(Literal(null, org.apache.spark.sql.types.DoubleType))
+    for {
+      s <- info.colSums.get(name)
+      n <- info.colNulls.get(name)
+      abs <- info.colAbsSums.get(name)
+      if BigInt(abs) <= graft.lake.MetadataAggInfo.DoubleExactLimit
+    } yield
+      if (n == info.rows) Literal(null, org.apache.spark.sql.types.DoubleType)
+      else Literal(MetadataGroupFacts.exactIntegralAvg(s, info.rows - n))
+  }
+
   /** `min(name)` / `max(name)` as a typed literal — None ⇔ not
     * provable. An empty table's extreme is the typed NULL.
     */
@@ -122,4 +157,170 @@ private[sql] final class MetadataAggFacts(
         .flatMap(b => exactLiteral(name, if (wantMin) b._1 else b._2))
     }
   }
+}
+
+/** PER-GROUP answer core shared by the grouped metadata-aggregate
+  * surfaces — [[GraftRelationExpansion.metadataGroupAggregate]]'s
+  * analysis-time rewrite and (round 17, VERDICT r16 #3) the DSv2
+  * grouped pushdown on [[GraftScanBuilder]]. One implementation of the
+  * provable-or-bail gates per fact, so the two surfaces can never
+  * drift: answers are Catalyst-INTERNAL values (UTF8String for
+  * strings, boxed Long/Int/Double otherwise; SQL NULL is a Scala
+  * `null` inside `Some`), ready for a [[LocalRelation]] row or a
+  * [[org.apache.spark.sql.connector.read.LocalScan]] row alike.
+  */
+private[sql] object MetadataGroupFacts {
+  import graft.lake.{ColumnBounds, DataFile, MetadataAggInfo, TableMetadata}
+
+  /** Canonical-form round-trip: native writes render
+    * `String.valueOf(value)`, so a non-canonical imported dir ("05",
+    * "+5") means the dir is NOT the value — bail, don't guess.
+    */
+  def canonLong(v: String): Option[Long] = v.toLongOption.filter(_.toString == v)
+
+  /** Dir-segment decode into the group's typed INTERNAL value for an
+    * identity partition column, or None for an unsupported source type.
+    * Callers must have excluded the null-sentinel dir already (it
+    * cannot round-trip the value).
+    */
+  def identityDecode(dt: DataType): Option[String => Option[Any]] = dt match {
+    case StringType => Some(seg =>
+      graft.lake.LakehouseTable.unescapeDirValue(seg)
+        .map(org.apache.spark.unsafe.types.UTF8String.fromString))
+    case LongType => Some(seg => canonLong(seg).map(java.lang.Long.valueOf))
+    case IntegerType => Some(seg =>
+      seg.toIntOption.filter(_.toString == seg).map(java.lang.Integer.valueOf))
+    case _ => None
+  }
+
+  /** `count(name)` over a group from the per-file null roll-ups —
+    * complete-or-bail. Callers handle the non-null-by-construction
+    * cases (identity grouping columns, time-dim sources) themselves.
+    */
+  def groupCountCol(
+      meta: TableMetadata, name: String,
+      files: Seq[DataFile], rows: Long): Option[Long] = {
+    if (meta.aliasMap.contains(name)) return None
+    val per = files.map(_.colNulls.flatMap(_.get(name)))
+    if (per.exists(_.isEmpty)) None
+    else Some(rows - per.flatten.sum)
+  }
+
+  /** Per-group min/max from per-file bounds, complete-or-bail; the
+    * manifest long encoding converts to the column's INTERNAL value
+    * for exact integral/timestamp types only. Strings serve from
+    * exactness-marked engine-written bounds (a truncated prefix is
+    * never an extreme); doubles from the exact PROVEN pair only (an
+    * unproven foreign max may omit the NaN a real max() would return).
+    */
+  def groupMinMax(
+      meta: TableMetadata, schema: StructType, keyCol: Option[String],
+      name: String, files: Seq[DataFile], wantMin: Boolean): Option[Any] = {
+    if (meta.aliasMap.contains(name) || !schema.fieldNames.contains(name))
+      return None
+    if (schema(name).dataType == StringType) {
+      val per = files.map(_.extraBounds.flatMap(_.find(b =>
+        b.column == name && b.isString &&
+          (if (wantMin) b.minSExact else b.maxSExact)))
+        .map(b => if (wantMin) b.minS.get else b.maxS.get))
+      if (per.exists(_.isEmpty)) return None
+      val best = per.flatten.reduce((a, b) =>
+        if (wantMin == (ColumnBounds.cpCompare(a, b) <= 0)) a else b)
+      return Some(org.apache.spark.unsafe.types.UTF8String.fromString(best))
+    }
+    if (schema(name).dataType == org.apache.spark.sql.types.DoubleType) {
+      val per = files.map(_.extraBounds.flatMap(_.find(b =>
+        b.column == name && b.isDouble && b.dProven))
+        .map(b => if (wantMin) b.minD.get else b.maxD.get))
+      if (per.exists(_.isEmpty)) return None
+      return Some(java.lang.Double.valueOf(
+        if (wantMin) per.flatten.min else per.flatten.max))
+    }
+    val per: Seq[Option[Long]] =
+      if (keyCol.contains(name))
+        files.map(f => if (wantMin) f.minKeyUs else f.maxKeyUs)
+      else files.map(_.extraBounds.flatMap(_.find(b =>
+        b.column == name && !b.isString)).map(b => if (wantMin) b.min else b.max))
+    if (per.exists(_.isEmpty)) return None
+    val v = if (wantMin) per.flatten.min else per.flatten.max
+    schema(name).dataType match {
+      case TimestampType | TimestampNTZType => Some(java.lang.Long.valueOf(v))
+      case LongType => Some(java.lang.Long.valueOf(v))
+      case IntegerType if v >= Int.MinValue && v <= Int.MaxValue =>
+        Some(java.lang.Integer.valueOf(v.toInt))
+      case _ => None
+    }
+  }
+
+  /** Per-group `sum(name)` from the exact per-file sums — Σ of the
+    * group's recorded sums with the same complete-or-bail and mode
+    * gates as [[MetadataAggFacts.sumCol]]: integral columns only, every
+    * member must record sum + null count, the total must fit a Long,
+    * and when `requireNoOverflowProof` (ANSI — a scan may throw on an
+    * INTERMEDIATE overflow even when the total fits) the group's
+    * members must prove no interleaving can overflow — CROSS-MEMBER
+    * sign uniformity, or (round 17, VERDICT r16 #4) Σ|member sums|
+    * within Long range with no member able to stray outside its own
+    * recorded sum's magnitude (see [[MetadataAggInfo.absSumBound]]).
+    * None ⇔ bail; Some(null) ⇔ the group's values are all NULL.
+    */
+  def groupSum(
+      meta: TableMetadata, schema: StructType, name: String,
+      files: Seq[DataFile], requireNoOverflowProof: Boolean): Option[Any] = {
+    if (meta.aliasMap.contains(name) || !schema.fieldNames.contains(name))
+      return None
+    schema(name).dataType match {
+      case LongType | IntegerType =>
+        val sums = files.map(_.colSums.flatMap(_.get(name)))
+        val nullsPer = files.map(_.colNulls.flatMap(_.get(name)))
+        if (sums.exists(_.isEmpty) || nullsPer.exists(_.isEmpty)) None
+        else {
+          val tot = sums.flatten.map(BigInt(_)).sum
+          val modeOk = !requireNoOverflowProof ||
+            MetadataAggInfo.noIntermediateOverflow(files, name)
+          if (!tot.isValidLong || !modeOk) None
+          else if (nullsPer.flatten.sum == files.map(_.rows).sum)
+            Some(null) // the group's values are all NULL
+          else Some(java.lang.Long.valueOf(tot.toLong))
+        }
+      case _ => None
+    }
+  }
+
+  /** Per-group `avg(name)` (round 17, VERDICT r16 #5): the group's
+    * exact Σ of per-file sums + complete null roll-ups under the 2⁵³
+    * partial-bound determinism proof — see [[MetadataAggFacts.avgCol]]
+    * for why Spark's double-accumulating integral Average demands it.
+    * None ⇔ bail; Some(null) ⇔ the group's values are all NULL.
+    */
+  def groupAvg(
+      meta: TableMetadata, schema: StructType, name: String,
+      files: Seq[DataFile]): Option[Any] = {
+    if (meta.aliasMap.contains(name) || !schema.fieldNames.contains(name))
+      return None
+    schema(name).dataType match {
+      case LongType | IntegerType =>
+        val sums = files.map(_.colSums.flatMap(_.get(name)))
+        val nullsPer = files.map(_.colNulls.flatMap(_.get(name)))
+        if (sums.exists(_.isEmpty) || nullsPer.exists(_.isEmpty)) None
+        else if (!MetadataAggInfo.boundedPartials(
+          files, name, MetadataAggInfo.DoubleExactLimit)) None
+        else {
+          val nonNull = files.map(_.rows).sum - nullsPer.flatten.sum
+          if (nonNull == 0L) Some(null)
+          else Some(java.lang.Double.valueOf(exactIntegralAvg(
+            sums.flatten.map(BigInt(_)).sum.toLong, nonNull)))
+        }
+      case _ => None
+    }
+  }
+
+  /** Spark's integral-avg final arithmetic from the served sum + count
+    * facts — a plain double division, exactly Average's own
+    * `sum / count.cast(double)` evaluation. Sound ONLY under the 2⁵³
+    * partial-bound proof (see [[MetadataAggFacts.avgCol]]); callers
+    * guarantee `nonNull > 0` and the proof.
+    */
+  def exactIntegralAvg(sum: Long, nonNull: Long): Double =
+    sum.toDouble / nonNull.toDouble
 }

@@ -115,6 +115,87 @@ class DataFrameAggSpec extends SparkSpec {
     assert(syms.collect().length == 59)
   }
 
+  test("DSv2 GROUPED pushdown (no extension rule): groupBy(identity) plans zero data files") {
+    // round 17, VERDICT r16 #3 — the expansion escape hatch leaves the
+    // relation a DSv2 relation end to end, so Spark's OWN optimizer
+    // (V2ScanRelationPushDown) drives the grouped complete pushdown:
+    // this validates the scan's row layout contract (group cols first,
+    // then aggregates), which a builder-level unit test cannot
+    val (cat, wh) = freshCatalog()
+    mkTable(cat, wh, "t6")
+    withSqlConf("spark.graft.sql.expansion-enabled" -> "false") {
+      val g = spark.table(s"$cat.gold.t6").groupBy("sym")
+        .agg(count(lit(1)).as("n"), min("ts").as("mn_ts"),
+          max("uid").as("mx"), min("sym").as("mn_sym"))
+        .orderBy("sym")
+      val plan = g.queryExecution.executedPlan
+      // the LocalScan plans as LocalTableScan over the pushed columns
+      assert(plan.toString.contains("_pushed_group_"),
+        s"grouped aggregate must plan the pushed LocalScan:\n$plan")
+      assert(filesScanned(g) == 0)
+      assert(g.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getTimestamp(2), r.getLong(3), r.getString(4)))
+        .toSeq == Seq(("A", 30L, ts(0), 158L, "A"), ("B", 30L, ts(1), 159L, "B")))
+    }
+  }
+
+  test("DSv2 grouped pushdown end-to-end: values match the scan, mask bails to V1") {
+    val (cat, wh) = freshCatalog()
+    // declare sums BEFORE any append so every file records them
+    val data = (0 until 60)
+      .map(i => (if (i % 2 == 0) "A" else "B", ts(i), 100L + i))
+      .toDF("sym", "ts", "uid")
+    val t = graft.lake.LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/t7"), data.schema,
+      Seq("sym" -> "identity", "ts" -> "day"))
+    t.setProperty("write.stats-columns", "uid")
+    t.setProperty("write.sum-columns", "uid")
+    (0 until 4).foreach(r => t.append(data.filter(col("uid") % 4 === r)))
+    def grouped() = spark.table(s"$cat.gold.t7").groupBy("sym")
+      .agg(count(lit(1)).as("n"), count("uid").as("nu"),
+        min("ts").as("mn_ts"), max("uid").as("mx"),
+        sum("uid").as("s"), avg("uid").as("a"), min("sym").as("mn_sym"))
+      .orderBy("sym")
+    val expected = grouped().collect().map(_.toSeq).toSeq // via the extension rule
+    withSqlConf("spark.graft.sql.expansion-enabled" -> "false") {
+      val g = grouped()
+      assert(g.queryExecution.executedPlan.toString.contains("_pushed_group_"),
+        s"expected the grouped pushed LocalScan:\n${g.queryExecution.executedPlan}")
+      assert(filesScanned(g) == 0)
+      assert(g.collect().map(_.toSeq).toSeq == expected)
+      // a live merge-on-read mask refuses the pushdown; the V1
+      // fallback still answers correctly
+      t.morDeleteKeys(Seq(ts(8)).toDF("ts"), "ts")
+      val masked = grouped()
+      assert(!masked.queryExecution.executedPlan.toString.contains("_pushed_group_"),
+        "a live mask must refuse the grouped metadata answer")
+      assert(masked.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        == Seq(("A", 29L), ("B", 30L)))
+    }
+  }
+
+  test("DSv2 grouped pushdown bails: non-identity group col, sentinel dir, missing sums") {
+    import org.apache.spark.sql.connector.expressions.{Expressions => E}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Sum => CSum}
+    val (cat, wh) = freshCatalog()
+    val t = mkTable(cat, wh, "t8")
+    val sqlTable = GraftSqlTable(t, pinnedSnapshot = None)
+    def push(a: Aggregation): Boolean =
+      new GraftScanBuilder(sqlTable).supportCompletePushDown(a)
+    // uid is NOT an identity partition column — grouping on it bails
+    assert(!push(new Aggregation(Array(new CountStar()), Array(E.column("uid")))))
+    // grouping on the identity col IS provable
+    assert(push(new Aggregation(Array(new CountStar()), Array(E.column("sym")))))
+    // sum without recorded per-file sums bails (mkTable declares no
+    // sum columns)
+    assert(!push(new Aggregation(
+      Array(new CSum(E.column("uid"), false)), Array(E.column("sym")))))
+    // a NULL group value lands in the sentinel dir → whole rewrite bails
+    t.append(Seq(((null: String), ts(120), 999L)).toDF("sym", "ts", "uid"))
+    assert(!push(new Aggregation(Array(new CountStar()), Array(E.column("sym")))),
+      "the sentinel dir cannot round-trip the group value")
+  }
+
   test("DSv2 SupportsPushDownAggregates serves/refuses from the same gates (unit)") {
     import org.apache.spark.sql.connector.expressions.{Expressions => E}
     import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}

@@ -609,10 +609,10 @@ class MetadataAggSpec extends SparkSpec {
     assert(filesScanned(qNk) > 0,
       "a null-key file's rows must be re-read, not served from its sum")
     assert(qNk.head().getLong(0) == janSum + (3 until 6).map(1000L + _).sum)
-    // CROSS-MEMBER sign proof (review find): per-file uniformity alone
-    // would admit a positive file + a negative file whose interleaved
-    // ANSI partials can overflow where the total fits — mixed-sign
-    // interiors bail to the scan; legacy needs no proof and serves
+    // RELAXED ANSI proof (round 17, VERDICT r16 #4): a mixed-sign
+    // interior with SMALL absolute sums now serves — Σ of per-member
+    // absolute-sum bounds within Long range proves no interleaving can
+    // overflow, where the r16 cross-member sign proof refused it
     val mix = (0 until 20)
       .map(i => (ts(i), if (i < 10) 50L + i else -(50L + i)))
       .toDF("ts", "v")
@@ -626,7 +626,8 @@ class MetadataAggSpec extends SparkSpec {
     val qMix = spark.sql(
       s"""SELECT sum(v) AS s FROM $cat.gold.hmix
          |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'""".stripMargin)
-    assert(filesScanned(qMix) > 0, "mixed-sign interior must bail under ANSI")
+    assert(filesScanned(qMix) == 0,
+      "small mixed-sign interior serves under ANSI via the Σ|bounds| proof")
     assert(qMix.head().getLong(0) == mixSum)
     withSqlConf("spark.sql.ansi.enabled" -> "false") {
       val qMixL = spark.sql(
@@ -635,6 +636,25 @@ class MetadataAggSpec extends SparkSpec {
       assert(filesScanned(qMixL) == 0, "legacy range sums need no sign proof")
       assert(qMixL.head().getLong(0) == mixSum)
     }
+    // ADVERSARIAL: per-file sums and the total fit a Long, but
+    // Σ|member sums| overflows — some interleaving of these files'
+    // rows COULD overflow mid-stream, so the ANSI hybrid must bail
+    // (the conservative direction: this 1-row-per-file layout happens
+    // to be safe, but the proof reasons over bounds, not row layouts)
+    val big = Long.MaxValue - 5L
+    val adv = Seq((ts(0), big), (ts(40), -big)).toDF("ts", "v")
+    val ta = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/hadv"), adv.schema, Some("ts"))
+    ta.setProperty("write.stats-columns", "v")
+    ta.setProperty("write.sum-columns", "v")
+    ta.append(adv.filter(col("v") > 0).coalesce(1))
+    ta.append(adv.filter(col("v") < 0).coalesce(1))
+    val qAdv = spark.sql(
+      s"""SELECT sum(v) AS s FROM $cat.gold.hadv
+         |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'""".stripMargin)
+    assert(filesScanned(qAdv) > 0,
+      "Σ|member sums| past Long range must bail the ANSI hybrid")
+    assert(qAdv.head().getLong(0) == 0L)
   }
 
   test("grouped counts under an aligned range are metadata-only; straddlers fall back") {
@@ -663,6 +683,88 @@ class MetadataAggSpec extends SparkSpec {
     val expected = (0 until 60).filterNot(i => dayTs(i).before(lo))
       .groupBy(i => if (i % 2 == 0) "x" else "y").view.mapValues(_.size.toLong).toMap
     assert(qS.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expected)
+  }
+
+  test("GROUPED hybrid range sums: interiors serve from metadata, only straddlers scan") {
+    val (cat, wh) = freshCatalog()
+    val data = (0 until 60)
+      .map(i => (if (i % 2 == 0) "x" else "y", dayTs(i), 100L + i))
+      .toDF("sym", "ts", "uid")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/ghs"), data.schema,
+      Seq("sym" -> "identity", "ts" -> "day"))
+    t.setProperty("write.stats-columns", "uid")
+    t.setProperty("write.sum-columns", "uid")
+    (0 until 2).foreach(r => t.append(data.filter(col("uid") % 2 === r)))
+    // a group only the INTERIOR side has: sym 'w', day-2 only
+    t.append(Seq(("w", Timestamp.valueOf("2024-01-02 03:00:00.0"), 5000L))
+      .toDF("sym", "ts", "uid").coalesce(1))
+    // a group only the BOUNDARY side has: sym 'z', day-1 only,
+    // straddling the cut
+    t.append(Seq(
+      ("z", Timestamp.valueOf("2024-01-01 01:00:00.0"), 6000L),
+      ("z", Timestamp.valueOf("2024-01-01 08:00:00.0"), 6001L))
+      .toDF("sym", "ts", "uid").coalesce(1))
+    val total = t.currentDataFiles.size
+    // covering, day-aligned: grouped sums are PURE metadata (round 17:
+    // the covering grouped-range-sum shape used to bail)
+    val qCover = spark.sql(
+      s"""SELECT sym, count(*) AS n, sum(uid) AS s FROM $cat.gold.ghs
+         |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' GROUP BY sym
+         |ORDER BY sym""".stripMargin)
+    assert(filesScanned(qCover) == 0, "aligned grouped range sums must not scan")
+    val d23 = (0 until 60).filter(i => i % 3 != 0) // days 2 and 3
+    def expect(rows: Seq[Int], sym: String): (Long, Long) = {
+      val mine = rows.filter(i => (if (i % 2 == 0) "x" else "y") == sym)
+      (mine.size.toLong, mine.map(100L + _).sum)
+    }
+    assert(qCover.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq == Seq(
+      ("w", 1L, 5000L),
+      ("x", expect(d23, "x")._1, expect(d23, "x")._2),
+      ("y", expect(d23, "y")._1, expect(d23, "y")._2)))
+    // a MID-DAY cut: day-1 files straddle and scan; days 2-3 serve
+    // from their recorded sums — the GROUPED HYBRID (VERDICT r16 #6)
+    val cut = Timestamp.valueOf("2024-01-01 04:00:00.0")
+    val qH = spark.sql(
+      s"""SELECT sym, count(*) AS n, sum(uid) AS s FROM $cat.gold.ghs
+         |WHERE ts >= TIMESTAMP '$cut' GROUP BY sym ORDER BY sym""".stripMargin)
+    val scanned = filesScanned(qH)
+    assert(scanned > 0 && scanned < total,
+      s"only straddlers may scan: $scanned of $total")
+    val inRange = (0 until 60).filter(i => !dayTs(i).before(cut))
+    val rows = qH.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq(
+      ("w", 1L, 5000L), // interior-only group passes through the merge
+      ("x", expect(inRange, "x")._1, expect(inRange, "x")._2),
+      ("y", expect(inRange, "y")._1, expect(inRange, "y")._2),
+      // boundary-only group: the z file straddles, the scan's filter
+      // keeps only its 08:00 row
+      ("z", 1L, 6001L)),
+      rows.toString)
+    // time-derived grouping rides the hybrid too: the boundary side
+    // re-derives the group from real rows
+    val qT = spark.sql(
+      s"""SELECT CAST(ts AS DATE) AS d, count(*) AS n, sum(uid) AS s
+         |FROM $cat.gold.ghs WHERE ts >= TIMESTAMP '$cut'
+         |GROUP BY CAST(ts AS DATE) ORDER BY d""".stripMargin)
+    assert(filesScanned(qT) > 0 && filesScanned(qT) < total)
+    val byDay = (inRange.map(i => (dayTs(i).toLocalDateTime.toLocalDate.toString,
+      1L, 100L + i)) ++ Seq(("2024-01-02", 1L, 5000L),
+      ("2024-01-01", 1L, 6001L)))
+      .groupBy(_._1).view.mapValues(g => (g.map(_._2).sum, g.map(_._3).sum))
+      .toSeq.sortBy(_._1)
+    assert(qT.collect().map(r =>
+      (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq ==
+      byDay.map { case (d, (n, s)) => (d, n, s) }, "time-dim hybrid values")
+    // LEGACY combine stays exact too
+    withSqlConf("spark.sql.ansi.enabled" -> "false") {
+      val qL = spark.sql(
+        s"""SELECT sym, sum(uid) AS s FROM $cat.gold.ghs
+           |WHERE ts >= TIMESTAMP '$cut' GROUP BY sym ORDER BY sym""".stripMargin)
+      assert(qL.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        rows.map(r => (r._1, r._3)))
+    }
   }
 
   test("range extremes ride the hybrid: latest-before-X needs no scan when covered") {
@@ -794,17 +896,22 @@ class MetadataAggSpec extends SparkSpec {
       (0 until 60 by 2).map(100L + _).sum))
     assert(info.colSumSafe.contains("uid") && info.colSumSafe.contains("opt"),
       s"non-negative columns must prove sign-uniformity: ${info.colSumSafe}")
-    assert(!info.colSumSafe.contains("neg"), "mixed-sign must not prove")
+    // round 17 (VERDICT r16 #4): SMALL mixed-sign columns now prove
+    // too — Σ of per-member absolute-sum bounds fits a Long, so no
+    // interleaving can overflow where the r16 sign proof refused
+    assert(info.colSumSafe.contains("neg"),
+      s"small mixed-sign must prove via Σ|bounds|: ${info.colSumSafe}")
+    assert(info.colAbsSums.contains("neg"), "the abs roll-up must be recorded")
     // ANSI (the session default): proven columns answer from metadata
     val q = spark.sql(
       s"SELECT sum(uid) AS su, sum(opt) AS so FROM $cat.gold.tsum")
     assert(filesScanned(q) == 0, "proven sums must not plan a scan")
     assert(q.head().getLong(0) == (0 until 60).map(100L + _).sum)
     assert(q.head().getLong(1) == (0 until 60 by 2).map(100L + _).sum)
-    // mixed-sign bails under ANSI (an intermediate overflow COULD
-    // throw where the exact total would not) — and stays exact
+    // small mixed-sign serves under ANSI now — and stays exact
     val qNeg = spark.sql(s"SELECT sum(neg) AS sn FROM $cat.gold.tsum")
-    assert(filesScanned(qNeg) > 0, "mixed-sign ANSI sums must scan")
+    assert(filesScanned(qNeg) == 0,
+      "small mixed-sign ANSI sums serve via the Σ|bounds| proof")
     assert(qNeg.head().getLong(0) == (0 until 60).map(_.toLong - 30L).sum)
     // LEGACY mode needs no proof: wrapped arithmetic is associative,
     // and the exact Long-fitting total IS the wrapped answer
@@ -812,6 +919,30 @@ class MetadataAggSpec extends SparkSpec {
       val qL = spark.sql(s"SELECT sum(neg) AS sn FROM $cat.gold.tsum")
       assert(filesScanned(qL) == 0, "legacy sums serve without the sign proof")
       assert(qL.head().getLong(0) == (0 until 60).map(_.toLong - 30L).sum)
+    }
+    // ADVERSARIAL mixed-sign: per-file sums and the total fit a Long
+    // but Σ|member sums| does not — the whole-table ANSI sum must bail
+    // to the scan (and legacy still serves: wrap is associative)
+    val big = Long.MaxValue - 5L
+    val adv = Seq((ts(0), big), (ts(30), -big)).toDF("ts", "v")
+    val ta = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/tadv"), adv.schema, Some("ts"))
+    ta.setProperty("write.stats-columns", "v")
+    ta.setProperty("write.sum-columns", "v")
+    ta.append(adv.filter(col("v") > 0).coalesce(1))
+    ta.append(adv.filter(col("v") < 0).coalesce(1))
+    val infoAdv = ta.metadataAggInfo().get
+    assert(infoAdv.colSums.get("v").contains(0L))
+    assert(!infoAdv.colSumSafe.contains("v"),
+      "Σ|member sums| past Long range must not prove")
+    assert(!infoAdv.colAbsSums.contains("v"))
+    val qAdv = spark.sql(s"SELECT sum(v) AS sv FROM $cat.gold.tadv")
+    assert(filesScanned(qAdv) > 0, "unprovable ANSI sums must scan")
+    assert(qAdv.head().getLong(0) == 0L)
+    withSqlConf("spark.sql.ansi.enabled" -> "false") {
+      val qAdvL = spark.sql(s"SELECT sum(v) AS sv FROM $cat.gold.tadv")
+      assert(filesScanned(qAdvL) == 0)
+      assert(qAdvL.head().getLong(0) == 0L)
     }
     // sum(DISTINCT) and double sums never serve
     val qD = spark.sql(s"SELECT sum(DISTINCT uid) AS sd FROM $cat.gold.tsum")
@@ -828,6 +959,58 @@ class MetadataAggSpec extends SparkSpec {
       s"SELECT sum(uid) AS su FROM $cat.gold.tsum VERSION AS OF $vNow")
     assert(filesScanned(qTt) == 0, "pinned sums serve from the pinned refs")
     assert(qTt.head().getLong(0) == (0 until 60).map(100L + _).sum)
+  }
+
+  test("avg(col) pushdown: the 2^53 determinism proof gates the double arithmetic") {
+    val (cat, wh) = freshCatalog()
+    // small magnitudes: avg serves from sum + count, bit-identical to
+    // the scan (Spark's integral Average accumulates in DOUBLE — the
+    // proof is what makes the scan's sum order-independent)
+    val data = (0 until 60)
+      .map(i => (ts(i), 100L + i, if (i % 2 == 1) None else Some(100L + i)))
+      .toDF("ts", "uid", "opt")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/tavg"), data.schema, Some("ts"))
+    t.setProperty("write.stats-columns", "uid,opt")
+    t.setProperty("write.sum-columns", "uid,opt")
+    (0 until 4).foreach(r => t.append(
+      data.filter(pmod(col("uid"), lit(4)) === r).coalesce(1)))
+    val q = spark.sql(
+      s"SELECT avg(uid) AS au, avg(opt) AS ao FROM $cat.gold.tavg")
+    assert(filesScanned(q) == 0, "proven avg must not plan a scan")
+    val expectedAu = (0 until 60).map(100L + _).sum.toDouble / 60.0
+    val expectedAo = (0 until 60 by 2).map(100L + _).sum.toDouble / 30.0
+    assert(q.head().getDouble(0) == expectedAu && q.head().getDouble(1) == expectedAo)
+    // the DataFrame spelling and the DSv2 surface serve it too
+    val qDf = spark.table(s"$cat.gold.tavg").agg(avg("uid").as("a"))
+    assert(filesScanned(qDf) == 0 && qDf.head().getDouble(0) == expectedAu)
+    // magnitudes past 2^53 (but Long-fitting, sign-uniform): SUM still
+    // serves under ANSI, avg must BAIL — double accumulation order
+    // could change low bits, so the metadata answer is not provably
+    // the scan's answer
+    val big = 1L << 53
+    val adv = (0 until 4).map(i => (ts(i), big)).toDF("ts", "v")
+    val ta = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/tavg2"), adv.schema, Some("ts"))
+    ta.setProperty("write.stats-columns", "v")
+    ta.setProperty("write.sum-columns", "v")
+    (0 until 4).foreach(i => ta.append(adv.filter(col("ts") === ts(i)).coalesce(1)))
+    val qSum = spark.sql(s"SELECT sum(v) AS sv FROM $cat.gold.tavg2")
+    assert(filesScanned(qSum) == 0, "the Long-fitting sum still serves")
+    assert(qSum.head().getLong(0) == 4L * big)
+    val qAvg = spark.sql(s"SELECT avg(v) AS av FROM $cat.gold.tavg2")
+    assert(filesScanned(qAvg) > 0, "avg past the 2^53 proof must scan")
+    assert(qAvg.head().getDouble(0) == big.toDouble)
+    // all-null avg is a typed NULL without a scan
+    val nul = (0 until 8).map(i => (ts(i), None: Option[Long])).toDF("ts", "o")
+    val tn = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/tavg3"), nul.schema, Some("ts"))
+    tn.setProperty("write.stats-columns", "o")
+    tn.setProperty("write.sum-columns", "o")
+    tn.append(nul.coalesce(1))
+    val qN = spark.sql(s"SELECT avg(o) AS ao FROM $cat.gold.tavg3")
+    assert(filesScanned(qN) == 0)
+    assert(qN.head().isNullAt(0))
   }
 
   test("sum facts survive COW deletes and bail on imports and masks") {
