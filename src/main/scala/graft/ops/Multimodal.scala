@@ -765,4 +765,290 @@ object Multimodal {
     }(enc)
     out.toDF()
   }
+
+  // ---- GIF (sixth modality, round 17 — first COMPRESSED-PALETTE
+  //      container: LZW) -------------------------------------------------
+  //
+  // PNG proved lossless deflate decode through ImageIO, BMP proved an
+  // uncompressed layout two independent decoders can check; GIF adds
+  // the remaining container class: PALETTE-indexed pixels behind a
+  // variable-width LZW code stream. The engine carries its OWN
+  // complete GIF parser + LZW decoder (header, logical screen, color
+  // tables, sub-block framing, clear/EOI handling, 12-bit code growth,
+  // deferred-clear full-table streams) and cross-checks it against the
+  // JDK's production ImageIO GIF reader: both decoders must agree on
+  // the dimensions AND the total RGB sum — a disagreement in either
+  // direction breaks the hash. Pixels are palette INDICES of a
+  // grayscale ramp (index v ⇒ color (v,v,v)), so the decoded RGB sum
+  // is 3 × Σ source bytes and DuckDB recomputes it exactly.
+
+  /** One single-frame GIF of the bytes→pixels rule `index(y·w+x) =
+    * data byte (0 beyond)`, over an achromatic 256-entry palette
+    * (index v ⇒ (v,v,v)), written by the JDK's own ImageIO GIF writer
+    * — the engine's parser below must then decode the real LZW stream
+    * a production writer emits, not a self-serving one.
+    */
+  private[ops] def encodeGif(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad GIF shape ${w}x$h")
+    val cmap = Array.tabulate(256)(i => (0xff << 24) | (i << 16) | (i << 8) | i)
+    val icm = new java.awt.image.IndexColorModel(
+      8, 256, cmap, 0, false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    val raster = img.getRaster
+    def at(i: Int): Int = if (i < data.length) data(i) & 0xff else 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, at(y * w + x)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    // the JDK's GIF writer INTERLACES by default — disable it
+    // explicitly (progressive mode off), keeping the parser's strict
+    // sequential-rows contract meaningful
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    if (!writers.hasNext)
+      throw new IllegalStateException("no GIF writer available in this JVM")
+    val writer = writers.next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** GIF-variant LZW decode of a concatenated sub-block payload into
+    * exactly `expected` palette indices. Strict refusal contract:
+    * truncated code streams, codes beyond the dictionary, a missing
+    * end-of-information code, or pixel over/underflow all refuse
+    * loudly. Handles the full spec surface a production writer uses —
+    * variable code width up to 12 bits (LSB-first bit packing),
+    * mid-stream CLEAR codes, and deferred clears (a full 4096-entry
+    * table that keeps coding without a reset).
+    */
+  private[ops] def lzwDecode(
+      minCodeSize: Int, data: Array[Byte], expected: Int): Array[Int] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"corrupt GIF payload: LZW $msg")
+    if (minCodeSize < 2 || minCodeSize > 8) fail(s"min code size $minCodeSize")
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val MaxDict = 4096
+    val prefix = new Array[Int](MaxDict)
+    val suffix = new Array[Int](MaxDict)
+    val out = new Array[Int](expected)
+    var outN = 0
+    var dictSize = eoi + 1
+    var codeWidth = minCodeSize + 1
+    var bitPos = 0L
+    val totalBits = data.length.toLong * 8
+    def readCode(): Int = {
+      if (bitPos + codeWidth > totalBits) fail("truncated code stream")
+      var v = 0
+      var i = 0
+      while (i < codeWidth) {
+        val bp = bitPos + i
+        if (((data((bp >> 3).toInt) >> (bp & 7).toInt) & 1) != 0) v |= 1 << i
+        i += 1
+      }
+      bitPos += codeWidth
+      v
+    }
+    def firstOf(code: Int): Int = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c
+    }
+    def emit(code: Int, extra: Int): Unit = {
+      // chain length first, then fill backwards — no per-code buffer
+      var len = if (extra >= 0) 1 else 0
+      var c = code
+      while (c >= clear) { len += 1; c = prefix(c) }
+      len += 1
+      if (outN + len > expected) fail("more pixels than the image declares")
+      if (extra >= 0) out(outN + len - 1) = extra
+      var p = outN + (if (extra >= 0) len - 2 else len - 1)
+      c = code
+      while (c >= clear) { out(p) = suffix(c); p -= 1; c = prefix(c) }
+      out(p) = c
+      outN += len
+    }
+    var prev = -1
+    var sawEoi = false
+    while (!sawEoi) {
+      val code = readCode()
+      if (code == clear) {
+        dictSize = eoi + 1; codeWidth = minCodeSize + 1; prev = -1
+      } else if (code == eoi) {
+        sawEoi = true
+      } else if (prev == -1) {
+        if (code >= clear) fail(s"first code $code is not a literal")
+        emit(code, -1)
+        prev = code
+      } else {
+        if (code > dictSize || code == clear || code == eoi)
+          fail(s"code $code beyond dictionary of $dictSize")
+        if (code == dictSize) emit(prev, firstOf(prev))
+        else emit(code, -1)
+        if (dictSize < MaxDict) {
+          prefix(dictSize) = prev
+          suffix(dictSize) = if (code == dictSize) firstOf(prev) else firstOf(code)
+          dictSize += 1
+          if (dictSize == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+        }
+        prev = code
+      }
+    }
+    if (outN != expected) fail(s"decoded $outN of $expected pixels")
+    out
+  }
+
+  /** Strict structural parse + LZW decode of a SINGLE-FRAME GIF:
+    * (width, height, total palette-RGB sum, every-referenced-entry-
+    * achromatic). Refusal contract like every decoder here: wrong
+    * magic/version, missing palette, a local-palette/interlace/
+    * multi-frame shape the engine's writer never produces, dimension
+    * lies between the logical screen and the image descriptor,
+    * truncated sub-blocks, and a missing trailer all refuse loudly.
+    */
+  private[ops] def parseGif(payload: Array[Byte]): (Int, Int, Long, Boolean) = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"corrupt GIF payload: $msg")
+    var pos = 0
+    def u8(): Int = {
+      if (pos >= payload.length) fail("truncated")
+      val v = payload(pos) & 0xff; pos += 1; v
+    }
+    def u16(): Int = { val lo = u8(); lo | (u8() << 8) }
+    def take(n: Int): Array[Byte] = {
+      if (pos + n > payload.length) fail("truncated")
+      val a = java.util.Arrays.copyOfRange(payload, pos, pos + n); pos += n; a
+    }
+    val magic = new String(take(6), java.nio.charset.StandardCharsets.US_ASCII)
+    if (magic != "GIF89a" && magic != "GIF87a") fail(s"bad magic '$magic'")
+    val w = u16()
+    val h = u16()
+    if (w <= 0 || h <= 0) fail(s"degenerate logical screen ${w}x$h")
+    val packed = u8()
+    u8(); u8() // background index, aspect
+    val gct: Option[Array[Byte]] =
+      if ((packed & 0x80) != 0) Some(take(3 * (2 << (packed & 7)))) else None
+    var image: Option[(Int, Int, Array[Byte], Array[Int])] = None
+    var trailer = false
+    while (!trailer) {
+      u8() match {
+        case 0x3B => trailer = true
+        case 0x21 => // extension: label + sub-blocks, skipped
+          u8()
+          var len = u8()
+          while (len != 0) { take(len); len = u8() }
+        case 0x2C =>
+          if (image.isDefined) fail("multi-frame (writer emits single-frame)")
+          val left = u16(); val top = u16()
+          val iw = u16(); val ih = u16()
+          if (left != 0 || top != 0 || iw != w || ih != h)
+            fail(s"frame ${iw}x$ih@($left,$top) != logical screen ${w}x$h")
+          val ipacked = u8()
+          if ((ipacked & 0x40) != 0) fail("interlaced (writer emits sequential)")
+          val palette = (if ((ipacked & 0x80) != 0)
+            Some(take(3 * (2 << (ipacked & 7)))) else gct)
+            .getOrElse(fail("no color table (global absent, local absent)"))
+          val minCodeSize = u8()
+          val blocks = new java.io.ByteArrayOutputStream()
+          var len = u8()
+          if (len == 0) fail("empty LZW image data")
+          while (len != 0) { blocks.write(take(len)); len = u8() }
+          val indices = lzwDecode(minCodeSize, blocks.toByteArray, w * h)
+          image = Some((iw, ih, palette, indices))
+        case other => fail(f"unknown block 0x$other%02x")
+      }
+    }
+    if (pos != payload.length) fail(s"${payload.length - pos} bytes after trailer")
+    val (_, _, palette, indices) = image.getOrElse(fail("no image block"))
+    val nColors = palette.length / 3
+    var sum = 0L
+    var gray = true
+    var i = 0
+    while (i < indices.length) {
+      val v = indices(i)
+      if (v >= nColors) fail(s"pixel index $v beyond $nColors-entry palette")
+      val r = palette(3 * v) & 0xff
+      val g = palette(3 * v + 1) & 0xff
+      val b = palette(3 * v + 2) & 0xff
+      sum += r + g + b
+      gray &&= r == g && g == b
+      i += 1
+    }
+    (w, h, sum, gray)
+  }
+
+  /** [[imageFromDocuments]] with GIF payloads — pixels are palette
+    * INDICES (one byte each, not RGB triples), so the shape rule keeps
+    * the familiar w/h and the decoded RGB sum is 3 × Σ source bytes
+    * over the first w·h of them.
+    */
+  def gifFromDocuments(docs: DataFrame): DataFrame = {
+    val src = docs.select(
+      col("doc_id").cast(LongType).as("media_id"),
+      col("text"), col("source"), col("lang"),
+      col("n_chars").cast(LongType).as("n_chars"))
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val out: Dataset[Row] = src.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = Option(r.getString(1))
+          .getOrElse("").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val l = bytes.length
+        Row(r.getLong(0), encodeGif(bytes, 4 + l % 5, 3 + l % 4),
+          "image/gif;src=" + r.getString(2),
+          Map("lang" -> r.getString(3), "n_chars" -> r.getLong(4).toString))
+      }
+    }(enc)
+    out.toDF()
+  }
+
+  val gifFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("pixel_sum", LongType, nullable = false),
+    StructField("pixel_mean", DoubleType, nullable = false),
+    StructField("decoders_agree", BooleanType, nullable = false),
+    StructField("palette_achromatic", BooleanType, nullable = false),
+    StructField("mime", StringType, nullable = true)))
+
+  /** Batched GIF feature extraction: the ENGINE'S OWN LZW decode
+    * supplies the exact stats (lossless — DuckDB recomputes them from
+    * the same source bytes), and ImageIO's independent decode must
+    * agree on dimensions AND total RGB sum (`decoders_agree`);
+    * `palette_achromatic` pins that every referenced palette entry is
+    * gray — the color-fidelity invariant the index→(v,v,v) encoding
+    * rule promises.
+    */
+  def extractGifFeatures(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(gifFeatureSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payIdx = media.schema.fieldIndex("payload")
+    val mimeIdx = media.schema.fieldIndex("mime")
+    val out: Dataset[Row] = media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload =
+          if (r.isNullAt(payIdx)) Array.emptyByteArray else r.getAs[Array[Byte]](payIdx)
+        val (w, h, sum, gray) = parseGif(payload)
+        val (iw, ih, iioSum) = decodeImage(payload)
+        val mean = BigDecimal(sum.toDouble / (w.toLong * h * 3))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Row(r.getLong(idIdx), w.toLong, h.toLong, sum, mean,
+          w == iw && h == ih && sum == iioSum, gray,
+          if (r.isNullAt(mimeIdx)) null else r.getString(mimeIdx))
+      }
+    }(enc)
+    out.toDF()
+  }
 }

@@ -616,6 +616,45 @@ object VectorOps {
     ),
 
     QuerySpec(
+      "q_multimodal_image5",
+      (s, dir) =>
+        Multimodal
+          .extractGifFeatures(Multimodal.gifFromDocuments(t(s, dir, "documents")))
+          .orderBy("media_id"),
+      // The SIXTH modality (round 17): GIF — the first COMPRESSED-
+      // PALETTE container. Pixels are palette indices of an achromatic
+      // ramp (index v ⇒ (v,v,v)), written by ImageIO's production GIF
+      // writer and decoded by the ENGINE'S OWN parser + LZW decoder
+      // (variable-width codes to 12 bits, clears, sub-block framing);
+      // ImageIO's independent decode must agree on dimensions AND the
+      // total RGB sum, and every referenced palette entry must be
+      // gray — both booleans ride the hash, pinned true. Lossless, so
+      // DuckDB recomputes the exact stats: sum = 3 × Σ of the first
+      // w·h source bytes (one INDEX per pixel, not an RGB triple).
+      Some("""WITH b AS (SELECT doc_id, source, hex(encode(text)) AS hx,
+             |                  octet_length(encode(text)) AS L
+             |           FROM documents),
+             |par AS (SELECT doc_id, source, hx, L,
+             |               4 + L % 5 AS w, 3 + L % 4 AS h
+             |        FROM b),
+             |st AS (SELECT doc_id, source, w, h, w*h AS P,
+             |        3 * CAST(coalesce(list_sum(list_transform(
+             |          range(1, CAST(least(L, w*h) AS INT) + 1),
+             |          i -> 16*(strpos('0123456789ABCDEF', hx[2*i-1])-1)
+             |               + strpos('0123456789ABCDEF', hx[2*i]) - 1)), 0) AS BIGINT) AS pixel_sum
+             |       FROM par)
+             |SELECT doc_id AS media_id,
+             |       CAST(w AS BIGINT) AS width,
+             |       CAST(h AS BIGINT) AS height,
+             |       pixel_sum,
+             |       round(CAST(pixel_sum AS DOUBLE) / (3 * P), 4) AS pixel_mean,
+             |       true AS decoders_agree,
+             |       true AS palette_achromatic,
+             |       'image/gif;src=' || source AS mime
+             |FROM st ORDER BY media_id""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_multimodal_frames",
       (s, dir) =>
         Multimodal

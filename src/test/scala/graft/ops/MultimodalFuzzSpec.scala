@@ -272,6 +272,129 @@ class MultimodalFuzzSpec extends AnyFunSuite {
     }
   }
 
+  // ---- GIF (round 17, sixth modality — compressed-palette container) ----
+
+  private lazy val goodGif = Multimodal.encodeGif(ascii("hello gif world!!"), 4, 3)
+
+  /** Offset of the 0x2C image descriptor (skips header, GCT,
+    * extensions) — fuzz patches need real offsets in the
+    * production-writer payload, whose extension layout is its own.
+    */
+  private def gifDescOffset(p: Array[Byte]): Int = {
+    var pos = 13 + (if ((p(10) & 0x80) != 0) 3 * (2 << (p(10) & 7)) else 0)
+    while ((p(pos) & 0xff) == 0x21) {
+      pos += 2
+      var len = p(pos) & 0xff
+      while (len != 0) { pos += 1 + len; len = p(pos) & 0xff }
+      pos += 1
+    }
+    require((p(pos) & 0xff) == 0x2C, s"no image descriptor at $pos")
+    pos
+  }
+
+  /** Offset of the LZW min-code-size byte (after any local table). */
+  private def gifLzwOffset(p: Array[Byte]): Int = {
+    val d = gifDescOffset(p)
+    d + 10 + (if ((p(d + 9) & 0x80) != 0) 3 * (2 << (p(d + 9) & 7)) else 0)
+  }
+
+  private val gifCases: Seq[(String, Array[Byte], String)] = Seq(
+    ("empty payload", Array.emptyByteArray, "truncated"),
+    ("bad magic", {
+      val b = goodGif.clone(); b(3) = 'X'.toByte; b
+    }, "bad magic"),
+    ("degenerate logical screen", {
+      val b = goodGif.clone(); b(6) = 0; b(7) = 0; b
+    }, "degenerate"),
+    ("frame/screen dimension lie", {
+      val b = goodGif.clone()
+      val d = gifDescOffset(b)
+      b(d + 5) = (b(d + 5) + 1).toByte // iw += 1
+      b
+    }, "logical screen"),
+    ("interlace flag set", {
+      val b = goodGif.clone()
+      val d = gifDescOffset(b)
+      b(d + 9) = (b(d + 9) | 0x40).toByte
+      b
+    }, "interlaced"),
+    ("min code size out of range", {
+      val b = goodGif.clone(); b(gifLzwOffset(b)) = 12; b
+    }, "min code size"),
+    ("truncated LZW sub-blocks", goodGif.dropRight(8), "truncated"),
+    ("trailer replaced by an unknown block", {
+      val b = goodGif.clone(); b(b.length - 1) = 0x55; b
+    }, "unknown block"),
+    ("bytes after the trailer", goodGif ++ Array[Byte](1, 2, 3),
+      "after trailer"),
+    ("multi-frame stream", {
+      val end = goodGif.length - 1 // trailer index
+      val d = gifDescOffset(goodGif)
+      goodGif.take(end) ++ goodGif.slice(d, end) ++ Array[Byte](0x3B)
+    }, "multi-frame"),
+    ("no color table anywhere", {
+      val gctLen = if ((goodGif(10) & 0x80) != 0) 3 * (2 << (goodGif(10) & 7)) else 0
+      // clear the GCT flag and excise the table; the writer used the
+      // global table, so the image block has no local one either
+      (goodGif.take(10) :+ (goodGif(10) & 0x78).toByte) ++
+        goodGif.slice(11, 13) ++ goodGif.drop(13 + gctLen)
+    }, "no color table"))
+
+  gifCases.foreach { case (name, bytes, fragment) =>
+    test(s"GIF refuses: $name") {
+      val e = intercept[IllegalArgumentException](Multimodal.parseGif(bytes))
+      assert(e.getMessage.contains(fragment),
+        s"expected '$fragment' in: ${e.getMessage}")
+    }
+  }
+
+  test("GIF LZW refuses: non-literal first code and pixel underflow") {
+    // width-3 stream whose first code is 6 (> clear 4, ≠ eoi 5)
+    val e1 = intercept[IllegalArgumentException](
+      Multimodal.lzwDecode(2, Array(0x06.toByte), 4))
+    assert(e1.getMessage.contains("first code"))
+    // clear (100b) then eoi (101b), LSB-first ⇒ 0b00101100 — zero
+    // pixels decoded of the 4 the image declares
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.lzwDecode(2, Array(0x2C.toByte), 4))
+    assert(e2.getMessage.contains("decoded 0 of 4"))
+  }
+
+  test("GIF round-trips losslessly: own LZW decode == ImageIO == source bytes") {
+    val rnd = new scala.util.Random(11)
+    (0 until 30).foreach { k =>
+      val l = 1 + rnd.nextInt(300)
+      val data = Array.fill(l)(rnd.nextInt(256).toByte)
+      val w = 4 + l % 5
+      val h = 3 + l % 4
+      val gif = Multimodal.encodeGif(data, w, h)
+      val expected = 3L * data.take(w * h).map(b => (b & 0xff).toLong).sum
+      val (pw, ph, sum, gray) = Multimodal.parseGif(gif)
+      assert(pw == w && ph == h, s"case $k: own parse dimensions")
+      assert(sum == expected, s"case $k: own LZW decode channel sum")
+      assert(gray, s"case $k: achromatic palette")
+      val (iw, ih, iioSum) = Multimodal.decodeImage(gif)
+      assert(iw == w && ih == h && iioSum == sum,
+        s"case $k: ImageIO must agree with the engine's decoder")
+    }
+  }
+
+  test("GIF LZW handles code-width growth to 12 bits and full-table streams") {
+    // 30k pixels of high-entropy data: the dictionary crosses every
+    // width bump and reaches 4096 (the writer then clears or defers —
+    // either way the decoder must track it)
+    val rnd = new scala.util.Random(13)
+    val w = 200
+    val h = 150
+    val data = Array.fill(w * h)(rnd.nextInt(256).toByte)
+    val gif = Multimodal.encodeGif(data, w, h)
+    val (pw, ph, sum, _) = Multimodal.parseGif(gif)
+    assert(pw == w && ph == h)
+    assert(sum == 3L * data.map(b => (b & 0xff).toLong).sum)
+    val (_, _, iioSum) = Multimodal.decodeImage(gif)
+    assert(iioSum == sum)
+  }
+
   test("JPEG decode is lossy but mean-preserving within the declared band") {
     // random-ish byte patterns across several sizes: decoded dimensions
     // are exact and the decoded RGB mean stays inside JpegMeanBand of
