@@ -110,8 +110,18 @@ object Bench {
 
   /** Min-of-`minOf` I/O probe: ext4 journal commits make single fsyncs
     * noisy even on a quiet box — the min straddles a co-timed commit.
+    * 0.0 ⇔ the probe itself failed (bad SPARK_GRAFT_IO_PROBE_DIR,
+    * unwritable/full tmpdir): the gate treats that as "no io signal"
+    * rather than aborting the run, exactly like a missing quiet-band
+    * file degrades the CPU canary.
     */
-  private def ioProbe(minOf: Int): Double = (0 until minOf).map(_ => ioProbeOnce()).min
+  private def ioProbe(minOf: Int): Double =
+    try (0 until minOf).map(_ => ioProbeOnce()).min
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] io probe failed (gate degrades): ${e.getMessage}")
+        0.0
+    }
 
   /** `SPARK_GRAFT_CANARY_PROBE=1 runMain graft.Bench` — print a quiet
     * band measured as the min over several full canaries, in the

@@ -2196,33 +2196,38 @@ final class LakehouseTable(
           .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).distinct
         val masked = meta.currentSnapshot
           .exists(s => log.readManifestListData(s).liveDeletes.nonEmpty)
+        // the FLAGS come from the same manifest-LIST facts the serving
+        // side reads (metadataAggInfo → ofRefs), so a `true` here IS a
+        // metadata-only answer — including on pre-r17 lists, whose
+        // missing columnAbsSums roll-up legitimately narrows the ANSI
+        // proof to sign uniformity until the next manifest rewrite.
+        // The per-file walk below only feeds the coverage COUNTS (how
+        // much has earned out) — one pass per column.
+        val info = metadataAggInfo()
         val files = currentDataFiles
         declared.map { c =>
           val withSums = files.count(_.colSums.exists(_.contains(c))).toLong
-          val withNulls = files.count(_.colNulls.exists(_.contains(c))).toLong
-          val complete = withSums == files.size && withNulls == files.size
-          val tot: Option[BigInt] =
-            if (complete)
-              Some(files.flatMap(_.colSums.flatMap(_.get(c))).map(BigInt(_)).sum)
-            else None
-          val longFit = tot.exists(_.isValidLong)
-          val absPer = files.map(MetadataAggInfo.absSumBound(_, c))
-          val absBound: Option[BigInt] =
-            if (absPer.forall(_.isDefined)) Some(absPer.flatten.sum) else None
-          val legacyOk = !masked && complete && longFit
-          val ansiOk = legacyOk &&
-            MetadataAggInfo.noIntermediateOverflow(files, c)
-          val avgOk = legacyOk &&
-            absBound.exists(_ <= MetadataAggInfo.DoubleExactLimit)
+          val incomplete = files.count(f =>
+            !f.colSums.exists(_.contains(c)) || !f.colNulls.exists(_.contains(c)))
+          // an EMPTY table serves every sum/avg as the typed NULL
+          // without any roll-up (the facts layer short-circuits rows=0)
+          val empty = info.exists(_.rows == 0L)
+          val servableBase = empty || info.exists(i =>
+            i.colSums.contains(c) && i.colNulls.contains(c))
+          val ansiOk = empty ||
+            (servableBase && info.exists(_.colSumSafe.contains(c)))
+          val avgOk = empty || (servableBase && info.exists(
+            _.colAbsSums.get(c).exists(
+              BigInt(_) <= MetadataAggInfo.DoubleExactLimit)))
           val reason =
             if (masked) "live_mask"
-            else if (!complete) s"missing_sums:${files.size - math.min(withSums, withNulls)}"
-            else if (!longFit) "sum_overflow"
+            else if (incomplete > 0) s"missing_sums:$incomplete"
+            else if (!servableBase) "sum_overflow"
             else "ok"
           (c, files.size.toLong, withSums,
-            tot.filter(_.isValidLong).map(_.toLong),
-            legacyOk, ansiOk, avgOk,
-            absBound.filter(_.isValidLong).map(_.toLong), reason)
+            info.flatMap(_.colSums.get(c)),
+            servableBase, ansiOk, avgOk,
+            info.flatMap(_.colAbsSums.get(c)), reason)
         }.toDF("column", "files", "files_with_sums", "total_sum",
           "sum_servable_legacy", "sum_servable_ansi", "avg_servable",
           "abs_sum_bound", "reason")

@@ -936,11 +936,11 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         segName: String,
         internal: String => Option[Any],
         identityAttr: Option[AttributeReference])
-    // canonical-form round-trip required everywhere below: native
-    // writes render String.valueOf(value), so a non-canonical imported
-    // dir ("05", "+5") means the dir is NOT the value — bail, don't
-    // guess
-    def canonLong(v: String): Option[Long] = v.toLongOption.filter(_.toString == v)
+    // canonical-form round-trip required everywhere below — the ONE
+    // shared implementation ([[MetadataGroupFacts.canonLong]]), so the
+    // time-dim decode here and the DSv2 identity decode can never
+    // drift on what counts as canonical
+    def canonLong(v: String): Option[Long] = MetadataGroupFacts.canonLong(v)
     def identityDim(a: AttributeReference): Option[GroupDim] = {
       if (meta.aliasMap.contains(a.name)) return None
       val f = fields.find(f => f.transform == "identity" && f.source == a.name)

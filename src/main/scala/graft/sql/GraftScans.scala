@@ -171,7 +171,7 @@ final class GraftScanBuilder(table: GraftReadableTable)
     // record, Spark re-sorts above when the query asks
     val groups = keyed.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
       .filter { case (_, fs) => fs.map(_.rows).sum > 0 }
-      .sortBy(_._1.map(String.valueOf(_: Any)).mkString(" "))
+      .sortBy(_._1.map(String.valueOf(_: Any)).mkString("\u0000"))
     def dimIdx(name: String): Option[Int] = dims.indexWhere(_._1 == name) match {
       case -1 => None
       case i => Some(i)
