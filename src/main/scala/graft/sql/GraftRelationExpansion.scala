@@ -109,180 +109,6 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
     }
   }
 
-  /** The native frame for a relation, manifest-range-pruned when an
-    * enclosing filter bounds the time column (Iceberg-style hidden-
-    * partitioning pushdown: the predicate prunes the FILE LIST from
-    * manifest stats before Spark ever plans the scan — at 100 TB this
-    * is the difference between planning 40 files and 40 000).
-    *
-    * A filter pinning the key column to a FINITE literal set (`k = v`,
-    * `k IN (...)`) prunes harder: through the per-file manifest blooms
-    * and parquet footer blooms ([[graft.lake.LakehouseTable
-    * .readPointsPruned]]), which reject files whose [min, max] admits
-    * the key but whose content provably lacks it — the dashboard
-    * point-lookup shape, where min/max bounds keep every interleaved
-    * writer's file and the blooms keep almost none (VERDICT r11 #1).
-    * Both prunings are over-approximations of the file list only; the
-    * exact predicate always re-applies above the splice.
-    */
-  private def nativeDF(g: GraftSqlTable, filter: Option[Expression]): DataFrame = {
-    // one metadata read for the whole extraction (the version file is
-    // small, but three reads per filtered relation add up on remote FS)
-    val meta = g.lt.metadata
-    val keyCol = meta.partitionTransform
-    // EVERY pinned dimension of the predicate prunes (round 14,
-    // VERDICT r13 #4): the partition-source key, LONG/time secondary
-    // stats columns, and STRING secondary stats columns each
-    // contribute their finite literal set, and readPointsMulti
-    // intersects the per-dimension survivor file lists — `WHERE
-    // ts IN (…) AND uid IN (…)` keeps only files surviving BOTH
-    // dimensions, where round 13 forfeited the secondary blooms to the
-    // key path. No size cap: past MaxPointKeys each dimension switches
-    // to its distributed bloom probe instead of giving up pruning.
-    for (cond <- filter) {
-      val keyPoints = keyCol.flatMap(k =>
-        graft.lake.PredicateBounds.pointKeysUs(cond, k))
-      val schema = org.apache.spark.sql.types.StructType
-        .fromDDL(meta.schemaDdl)
-      val statsCols = meta.props.get("write.stats-columns").toSeq
-        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-        .filterNot(keyCol.contains)
-        .filter(schema.fieldNames.contains)
-      val strDims = statsCols
-        .filter(c => schema(c).dataType == org.apache.spark.sql.types.StringType)
-        .flatMap(c => graft.lake.PredicateBounds.pointKeyStrings(cond, c).map(c -> _))
-      val longDims = statsCols
-        .filter(c => schema(c).dataType != org.apache.spark.sql.types.StringType)
-        .flatMap(c => graft.lake.PredicateBounds.pointKeysUs(cond, c).map(c -> _))
-      // secondary RANGE dims (round 14): `uid BETWEEN a AND b` on
-      // columns not already point-pinned — bounds-only pruning through
-      // the per-file ColumnBounds and the manifest-list roll-ups
-      val rangeDims = statsCols
-        .filter(c => schema(c).dataType != org.apache.spark.sql.types.StringType)
-        .filterNot(c => longDims.exists(_._1 == c))
-        .flatMap { c =>
-          val (lo, hi) = graft.lake.PredicateBounds.rangeBounds(cond, c)
-          if (lo.isDefined || hi.isDefined)
-            Some((c, lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue)))
-          else None
-        }
-      // STRING-prefix dims: `url LIKE 'https://x/%'` / startsWith on
-      // string stats columns not already point-pinned
-      val prefixDims = statsCols
-        .filter(c => schema(c).dataType == org.apache.spark.sql.types.StringType)
-        .filterNot(c => strDims.exists(_._1 == c))
-        .flatMap(c => graft.lake.PredicateBounds.stringPrefix(cond, c).map(c -> _))
-      // STRING range dims (round 15): `uid_s BETWEEN 'a' AND 'b'` /
-      // `url >= '…'` on string stats columns not already point-pinned —
-      // bounds-only pruning over the truncated string bounds (prefix
-      // dims compose independently: both are conjuncts of one predicate)
-      val strRangeDims = statsCols
-        .filter(c => schema(c).dataType == org.apache.spark.sql.types.StringType)
-        .filterNot(c => strDims.exists(_._1 == c))
-        .flatMap { c =>
-          val (lo, hi) = graft.lake.PredicateBounds.stringRangeBounds(cond, c)
-          if (lo.isDefined || hi.isDefined) Some((c, lo, hi)) else None
-        }
-      // NULLNESS dims: `WHERE c IS [NOT] NULL` on stats columns — the
-      // per-file null counts prune where bounds cannot (an all-null
-      // file records no bounds at all)
-      val nullDims = statsCols
-        .flatMap(c => graft.lake.PredicateBounds.nullness(cond, c).map(c -> _))
-      // DOUBLE range dims (round 15): `d BETWEEN 0.4 AND 0.6` on double
-      // stats columns — the integer-space rangeBounds deliberately
-      // excludes doubles (sub-integer bounds are undecidable in longs);
-      // these probe the EXACT double bounds recorded since round 15
-      val dblRangeDims = statsCols
-        .filter(c => schema(c).dataType == org.apache.spark.sql.types.DoubleType)
-        .flatMap { c =>
-          val (lo, hi) = graft.lake.PredicateBounds.doubleRangeBounds(cond, c)
-          if (lo.isDefined || hi.isDefined) Some((c, lo, hi)) else None
-        }
-      // IDENTITY partition dims (round 15): `WHERE symbol = 'A'` on an
-      // identity-partitioned table — the commonest dashboard constraint
-      // — previously fell to readDF() and parsed EVERY manifest at
-      // planning time, relying on Spark's dir pruning for the data I/O
-      // only; now the finite set prunes manifests through the
-      // partition-value summaries before any manifest is opened.
-      // String and integral sources only: a timestamp/double identity
-      // dir renders its value differently than the extracted literal,
-      // so extraction there could never match and is skipped.
-      val idDims = meta.specList.flatMap(_.fields).distinct
-        .filter(f => f.transform == "identity" &&
-          schema.fieldNames.contains(f.source))
-        .flatMap { f =>
-          val pinned: Option[Seq[String]] = schema(f.source).dataType match {
-            case org.apache.spark.sql.types.StringType =>
-              graft.lake.PredicateBounds.pointKeyStrings(cond, f.source)
-            case org.apache.spark.sql.types.LongType |
-                 org.apache.spark.sql.types.IntegerType =>
-              graft.lake.PredicateBounds.pointKeysUs(cond, f.source)
-                .map(_.map(String.valueOf))
-            case _ => None
-          }
-          // dirRendering, not escapeDirValue: the committer maps the
-          // EMPTY string to the null sentinel dir, so `sym = ''` must
-          // keep the sentinel's files (the exact filter on top drops
-          // the null rows that share it); dirRenderings plural keeps
-          // the pre-sentinel-fix '' summaries matching too (ADVICE r15)
-          pinned.map(vs =>
-            (f.name, vs.flatMap(graft.lake.LakehouseTable.dirRenderings).toSet))
-        }
-      // compose the predicate's TIME-key bounds on top (WHERE
-      // ts >= … AND uid = 5): neither dimension's pruning is
-      // forfeited to the other
-      lazy val tr = keyCol.map(k => graft.lake.PredicateBounds.timeBounds(cond, k))
-        .filter(b => b._1.isDefined || b._2.isDefined)
-        .map(b => (b._1.getOrElse(Long.MinValue), b._2.getOrElse(Long.MaxValue)))
-      g.pinnedSnapshot match {
-        case Some(id) =>
-          // TIME TRAVEL prunes too (round 14): the pinned snapshot's
-          // own manifests/bounds/blooms drive the same ladder — before
-          // this, `VERSION AS OF … WHERE ts IN (…)` scanned the whole
-          // pinned state. nullDims and string ranges included (round
-          // 15, VERDICT r14 #2/#3): every extracted dimension reaches
-          // the pinned ladder too.
-          if (keyPoints.isDefined || longDims.nonEmpty || strDims.nonEmpty ||
-            rangeDims.nonEmpty || prefixDims.nonEmpty || strRangeDims.nonEmpty ||
-            nullDims.nonEmpty || idDims.nonEmpty || dblRangeDims.nonEmpty ||
-            tr.isDefined)
-            return g.lt.readPointsMultiAt(id, keyPoints, longDims, strDims, tr,
-              longRanges = rangeDims, strPrefixes = prefixDims,
-              nullDims = nullDims, strRanges = strRangeDims, idDims = idDims,
-              dblRanges = dblRangeDims)
-        case None =>
-          // key-only pins keep the dedicated path (identical pruning,
-          // no per-dimension scaffolding)
-          if (keyPoints.isDefined && longDims.isEmpty && strDims.isEmpty &&
-            rangeDims.isEmpty && prefixDims.isEmpty && strRangeDims.isEmpty &&
-            nullDims.isEmpty && idDims.isEmpty && dblRangeDims.isEmpty)
-            return g.lt.readPointsPruned(keyPoints.get)
-          if (keyPoints.isDefined || longDims.nonEmpty || strDims.nonEmpty ||
-            idDims.nonEmpty)
-            return g.lt.readPointsMulti(keyPoints, longDims, strDims, tr,
-              longRanges = rangeDims, strPrefixes = prefixDims,
-              nullDims = nullDims, strRanges = strRangeDims, idDims = idDims,
-              dblRanges = dblRangeDims)
-          if (rangeDims.nonEmpty || prefixDims.nonEmpty || strRangeDims.nonEmpty ||
-            nullDims.nonEmpty || dblRangeDims.nonEmpty)
-            return g.lt.readColumnRangesPruned(rangeDims, tr,
-              strPrefixes = prefixDims, nullDims = nullDims,
-              strRanges = strRangeDims, dblRanges = dblRangeDims)
-      }
-    }
-    val range = for {
-      cond <- filter if g.pinnedSnapshot.isEmpty
-      timeCol <- keyCol
-      bounds = graft.lake.PredicateBounds.timeBounds(cond, timeCol)
-      if bounds._1.isDefined || bounds._2.isDefined
-    } yield bounds
-    range match {
-      case Some((lo, hi)) =>
-        g.lt.readRange(lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))
-      case None => g.readDF()
-    }
-  }
-
   private def expand(plan: LogicalPlan): LogicalPlan = {
     val expanded = plan match {
       case w: V2WriteCommand =>
@@ -1348,7 +1174,7 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
   private def expandRelation(
       r: DataSourceV2Relation, filter: Option[Expression]): LogicalPlan = {
     val df = r.table match {
-      case g: GraftSqlTable => nativeDF(g, filter)
+      case g: GraftSqlTable => GraftNativeRead.nativeDF(g, filter)
       case m: GraftMetadataTable => m.readDF()
       case other => throw new IllegalStateException(s"unexpected graft table $other")
     }
@@ -1542,5 +1368,187 @@ case class GraftDeleteCommand(
     }
     table.lt.delete(org.apache.spark.sql.functions.expr(bare.sql))
     Nil
+  }
+}
+
+/** The native read planning shared by [[GraftRelationExpansion]] and
+  * (round 17) the DSv2 fallback scan's filter pushdown
+  * ([[GraftV1FallbackScan]]): one implementation of the manifest
+  * pruning ladder, so a no-extension catalog user's filtered read
+  * prunes exactly like the rule's expansion.
+  */
+private[sql] object GraftNativeRead {
+  /** The native frame for a relation, manifest-range-pruned when an
+    * enclosing filter bounds the time column (Iceberg-style hidden-
+    * partitioning pushdown: the predicate prunes the FILE LIST from
+    * manifest stats before Spark ever plans the scan — at 100 TB this
+    * is the difference between planning 40 files and 40 000).
+    *
+    * A filter pinning the key column to a FINITE literal set (`k = v`,
+    * `k IN (...)`) prunes harder: through the per-file manifest blooms
+    * and parquet footer blooms ([[graft.lake.LakehouseTable
+    * .readPointsPruned]]), which reject files whose [min, max] admits
+    * the key but whose content provably lacks it — the dashboard
+    * point-lookup shape, where min/max bounds keep every interleaved
+    * writer's file and the blooms keep almost none (VERDICT r11 #1).
+    * Both prunings are over-approximations of the file list only; the
+    * exact predicate always re-applies above the splice.
+    */
+  def nativeDF(g: GraftSqlTable, filter: Option[Expression]): DataFrame = {
+    // one metadata read for the whole extraction (the version file is
+    // small, but three reads per filtered relation add up on remote FS)
+    val meta = g.lt.metadata
+    val keyCol = meta.partitionTransform
+    // EVERY pinned dimension of the predicate prunes (round 14,
+    // VERDICT r13 #4): the partition-source key, LONG/time secondary
+    // stats columns, and STRING secondary stats columns each
+    // contribute their finite literal set, and readPointsMulti
+    // intersects the per-dimension survivor file lists — `WHERE
+    // ts IN (…) AND uid IN (…)` keeps only files surviving BOTH
+    // dimensions, where round 13 forfeited the secondary blooms to the
+    // key path. No size cap: past MaxPointKeys each dimension switches
+    // to its distributed bloom probe instead of giving up pruning.
+    for (cond <- filter) {
+      val keyPoints = keyCol.flatMap(k =>
+        graft.lake.PredicateBounds.pointKeysUs(cond, k))
+      val schema = org.apache.spark.sql.types.StructType
+        .fromDDL(meta.schemaDdl)
+      val statsCols = meta.props.get("write.stats-columns").toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        .filterNot(keyCol.contains)
+        .filter(schema.fieldNames.contains)
+      val strDims = statsCols
+        .filter(c => schema(c).dataType == org.apache.spark.sql.types.StringType)
+        .flatMap(c => graft.lake.PredicateBounds.pointKeyStrings(cond, c).map(c -> _))
+      val longDims = statsCols
+        .filter(c => schema(c).dataType != org.apache.spark.sql.types.StringType)
+        .flatMap(c => graft.lake.PredicateBounds.pointKeysUs(cond, c).map(c -> _))
+      // secondary RANGE dims (round 14): `uid BETWEEN a AND b` on
+      // columns not already point-pinned — bounds-only pruning through
+      // the per-file ColumnBounds and the manifest-list roll-ups
+      val rangeDims = statsCols
+        .filter(c => schema(c).dataType != org.apache.spark.sql.types.StringType)
+        .filterNot(c => longDims.exists(_._1 == c))
+        .flatMap { c =>
+          val (lo, hi) = graft.lake.PredicateBounds.rangeBounds(cond, c)
+          if (lo.isDefined || hi.isDefined)
+            Some((c, lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue)))
+          else None
+        }
+      // STRING-prefix dims: `url LIKE 'https://x/%'` / startsWith on
+      // string stats columns not already point-pinned
+      val prefixDims = statsCols
+        .filter(c => schema(c).dataType == org.apache.spark.sql.types.StringType)
+        .filterNot(c => strDims.exists(_._1 == c))
+        .flatMap(c => graft.lake.PredicateBounds.stringPrefix(cond, c).map(c -> _))
+      // STRING range dims (round 15): `uid_s BETWEEN 'a' AND 'b'` /
+      // `url >= '…'` on string stats columns not already point-pinned —
+      // bounds-only pruning over the truncated string bounds (prefix
+      // dims compose independently: both are conjuncts of one predicate)
+      val strRangeDims = statsCols
+        .filter(c => schema(c).dataType == org.apache.spark.sql.types.StringType)
+        .filterNot(c => strDims.exists(_._1 == c))
+        .flatMap { c =>
+          val (lo, hi) = graft.lake.PredicateBounds.stringRangeBounds(cond, c)
+          if (lo.isDefined || hi.isDefined) Some((c, lo, hi)) else None
+        }
+      // NULLNESS dims: `WHERE c IS [NOT] NULL` on stats columns — the
+      // per-file null counts prune where bounds cannot (an all-null
+      // file records no bounds at all)
+      val nullDims = statsCols
+        .flatMap(c => graft.lake.PredicateBounds.nullness(cond, c).map(c -> _))
+      // DOUBLE range dims (round 15): `d BETWEEN 0.4 AND 0.6` on double
+      // stats columns — the integer-space rangeBounds deliberately
+      // excludes doubles (sub-integer bounds are undecidable in longs);
+      // these probe the EXACT double bounds recorded since round 15
+      val dblRangeDims = statsCols
+        .filter(c => schema(c).dataType == org.apache.spark.sql.types.DoubleType)
+        .flatMap { c =>
+          val (lo, hi) = graft.lake.PredicateBounds.doubleRangeBounds(cond, c)
+          if (lo.isDefined || hi.isDefined) Some((c, lo, hi)) else None
+        }
+      // IDENTITY partition dims (round 15): `WHERE symbol = 'A'` on an
+      // identity-partitioned table — the commonest dashboard constraint
+      // — previously fell to readDF() and parsed EVERY manifest at
+      // planning time, relying on Spark's dir pruning for the data I/O
+      // only; now the finite set prunes manifests through the
+      // partition-value summaries before any manifest is opened.
+      // String and integral sources only: a timestamp/double identity
+      // dir renders its value differently than the extracted literal,
+      // so extraction there could never match and is skipped.
+      val idDims = meta.specList.flatMap(_.fields).distinct
+        .filter(f => f.transform == "identity" &&
+          schema.fieldNames.contains(f.source))
+        .flatMap { f =>
+          val pinned: Option[Seq[String]] = schema(f.source).dataType match {
+            case org.apache.spark.sql.types.StringType =>
+              graft.lake.PredicateBounds.pointKeyStrings(cond, f.source)
+            case org.apache.spark.sql.types.LongType |
+                 org.apache.spark.sql.types.IntegerType =>
+              graft.lake.PredicateBounds.pointKeysUs(cond, f.source)
+                .map(_.map(String.valueOf))
+            case _ => None
+          }
+          // dirRendering, not escapeDirValue: the committer maps the
+          // EMPTY string to the null sentinel dir, so `sym = ''` must
+          // keep the sentinel's files (the exact filter on top drops
+          // the null rows that share it); dirRenderings plural keeps
+          // the pre-sentinel-fix '' summaries matching too (ADVICE r15)
+          pinned.map(vs =>
+            (f.name, vs.flatMap(graft.lake.LakehouseTable.dirRenderings).toSet))
+        }
+      // compose the predicate's TIME-key bounds on top (WHERE
+      // ts >= … AND uid = 5): neither dimension's pruning is
+      // forfeited to the other
+      lazy val tr = keyCol.map(k => graft.lake.PredicateBounds.timeBounds(cond, k))
+        .filter(b => b._1.isDefined || b._2.isDefined)
+        .map(b => (b._1.getOrElse(Long.MinValue), b._2.getOrElse(Long.MaxValue)))
+      g.pinnedSnapshot match {
+        case Some(id) =>
+          // TIME TRAVEL prunes too (round 14): the pinned snapshot's
+          // own manifests/bounds/blooms drive the same ladder — before
+          // this, `VERSION AS OF … WHERE ts IN (…)` scanned the whole
+          // pinned state. nullDims and string ranges included (round
+          // 15, VERDICT r14 #2/#3): every extracted dimension reaches
+          // the pinned ladder too.
+          if (keyPoints.isDefined || longDims.nonEmpty || strDims.nonEmpty ||
+            rangeDims.nonEmpty || prefixDims.nonEmpty || strRangeDims.nonEmpty ||
+            nullDims.nonEmpty || idDims.nonEmpty || dblRangeDims.nonEmpty ||
+            tr.isDefined)
+            return g.lt.readPointsMultiAt(id, keyPoints, longDims, strDims, tr,
+              longRanges = rangeDims, strPrefixes = prefixDims,
+              nullDims = nullDims, strRanges = strRangeDims, idDims = idDims,
+              dblRanges = dblRangeDims)
+        case None =>
+          // key-only pins keep the dedicated path (identical pruning,
+          // no per-dimension scaffolding)
+          if (keyPoints.isDefined && longDims.isEmpty && strDims.isEmpty &&
+            rangeDims.isEmpty && prefixDims.isEmpty && strRangeDims.isEmpty &&
+            nullDims.isEmpty && idDims.isEmpty && dblRangeDims.isEmpty)
+            return g.lt.readPointsPruned(keyPoints.get)
+          if (keyPoints.isDefined || longDims.nonEmpty || strDims.nonEmpty ||
+            idDims.nonEmpty)
+            return g.lt.readPointsMulti(keyPoints, longDims, strDims, tr,
+              longRanges = rangeDims, strPrefixes = prefixDims,
+              nullDims = nullDims, strRanges = strRangeDims, idDims = idDims,
+              dblRanges = dblRangeDims)
+          if (rangeDims.nonEmpty || prefixDims.nonEmpty || strRangeDims.nonEmpty ||
+            nullDims.nonEmpty || dblRangeDims.nonEmpty)
+            return g.lt.readColumnRangesPruned(rangeDims, tr,
+              strPrefixes = prefixDims, nullDims = nullDims,
+              strRanges = strRangeDims, dblRanges = dblRangeDims)
+      }
+    }
+    val range = for {
+      cond <- filter if g.pinnedSnapshot.isEmpty
+      timeCol <- keyCol
+      bounds = graft.lake.PredicateBounds.timeBounds(cond, timeCol)
+      if bounds._1.isDefined || bounds._2.isDefined
+    } yield bounds
+    range match {
+      case Some((lo, hi)) =>
+        g.lt.readRange(lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))
+      case None => g.readDF()
+    }
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Avg, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.sources.{BaseRelation, TableScan}
 import org.apache.spark.sql.types.{StructField, StructType}
 
@@ -42,10 +42,41 @@ import org.apache.spark.sql.types.{StructField, StructType}
 final class GraftScanBuilder(table: GraftReadableTable)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters
     with SupportsPushDownAggregates {
 
   private var required: Option[StructType] = None
   private var pushed: Option[GraftMetadataAggScan] = None
+  private var pruneFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var pruneExpr: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None
+
+  /** Filter pushdown for PRUNING only (round 17): translatable source
+    * filters re-resolve against the table schema and drive the SAME
+    * manifest-pruning ladder the expansion rule uses
+    * ([[GraftNativeRead.nativeDF]]) inside the V1 fallback — a
+    * no-extension catalog user's `WHERE sym = 'A' AND ts >= …` plans
+    * the restriction's files instead of the table's. EVERY filter is
+    * returned as residual: pruning is an over-approximation of the
+    * file list, Spark re-applies the exact predicate above the scan —
+    * so an untranslatable shape just prunes less, never answers wrong.
+    */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    table match {
+      case g: GraftSqlTable =>
+        val translated = filters.flatMap(f =>
+          SourceFilterCatalyst.toCatalyst(f, g.schema).map(f -> _))
+        pruneFilters = translated.map(_._1)
+        pruneExpr = translated.map(_._2)
+          .reduceOption(org.apache.spark.sql.catalyst.expressions.And(_, _))
+      case _ => ()
+    }
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pruneFilters
   // supportCompletePushDown and pushAggregation arrive back to back
   // with the same Aggregation — cache one translation (it reads the
   // manifest list and parses the schema DDL)
@@ -257,7 +288,7 @@ final class GraftScanBuilder(table: GraftReadableTable)
   }
 
   override def build(): Scan =
-    pushed.getOrElse(new GraftV1FallbackScan(table, required))
+    pushed.getOrElse(new GraftV1FallbackScan(table, required, pruneExpr))
 }
 
 /** The pushed-aggregate answer as a driver-local scan: Spark plans it
@@ -275,9 +306,15 @@ final class GraftMetadataAggScan(
   * inside it is the fully-pruned, mask-aware splice, executed as its
   * own (codegen'd) subplan; only the Row bridge at the boundary is
   * uncodegen'd, and only the bare-relation shapes ever land here.
+  * Since round 17 a translated filter predicate drives the manifest
+  * pruning ladder inside the native plan ([[GraftNativeRead]]) — the
+  * predicate is prune-only (Spark re-applies every filter above the
+  * bridge, which declared them all residual).
   */
 final class GraftV1FallbackScan(
-    table: GraftReadableTable, required: Option[StructType]) extends V1Scan {
+    table: GraftReadableTable, required: Option[StructType],
+    pruneExpr: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None)
+  extends V1Scan {
   /** Top-level pruning only: V2ScanRelationPushDown may hand
     * `pruneColumns` a NESTED-pruned schema (a struct with fewer
     * fields), but `buildScan`'s select returns FULL structs and the V1
@@ -299,11 +336,15 @@ final class GraftV1FallbackScan(
       context: SQLContext): T = {
     val out = schemaOut
     val t = table
+    val pe = pruneExpr
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
       override def schema: StructType = out
       override def buildScan(): RDD[Row] = {
-        val df = t.readDF()
+        val df = (t, pe) match {
+          case (g: GraftSqlTable, Some(_)) => GraftNativeRead.nativeDF(g, pe)
+          case _ => t.readDF()
+        }
         val pruned =
           if (out.fieldNames.sameElements(df.columns)) df
           else df.select(out.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
@@ -313,4 +354,62 @@ final class GraftV1FallbackScan(
   }
 
   override def description(): String = "GraftV1FallbackScan(native read plan)"
+}
+
+/** Best-effort `sources.Filter` → resolved Catalyst predicate over the
+  * table schema (round 17): what lets the DSv2 fallback's filter
+  * pushdown reuse the expansion rule's manifest-pruning ladder
+  * verbatim. Translation is PRUNE-ONLY — Spark re-applies every
+  * filter above the V1 bridge (the builder declared them all
+  * residual) — so dropping an untranslatable shape, or one side of a
+  * conjunction, weakens the predicate and prunes less; it can never
+  * change an answer. A disjunction keeps only fully-translated arms
+  * (dropping one arm of an OR would STRENGTHEN it — unsound even for
+  * pruning).
+  */
+private[sql] object SourceFilterCatalyst {
+  import org.apache.spark.sql.catalyst.{expressions => ce}
+  import org.apache.spark.sql.{sources => sf}
+
+  def toCatalyst(f: sf.Filter, schema: StructType)
+      : Option[ce.Expression] = {
+    def attr(name: String): Option[ce.AttributeReference] =
+      schema.fields.find(_.name == name).map(fd =>
+        ce.AttributeReference(fd.name, fd.dataType, nullable = true)())
+    def lit(name: String, v: Any): Option[ce.Expression] =
+      schema.fields.find(_.name == name).flatMap(fd =>
+        scala.util.Try(ce.Literal.create(v, fd.dataType)).toOption)
+    f match {
+      case sf.EqualTo(a, v) =>
+        for { x <- attr(a); l <- lit(a, v) } yield ce.EqualTo(x, l)
+      case sf.EqualNullSafe(a, v) if v != null =>
+        for { x <- attr(a); l <- lit(a, v) } yield ce.EqualNullSafe(x, l)
+      case sf.In(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+        for {
+          x <- attr(a)
+          ls <- Some(vs.toSeq.map(lit(a, _))).filter(_.forall(_.isDefined))
+        } yield ce.In(x, ls.map(_.get))
+      case sf.GreaterThan(a, v) =>
+        for { x <- attr(a); l <- lit(a, v) } yield ce.GreaterThan(x, l)
+      case sf.GreaterThanOrEqual(a, v) =>
+        for { x <- attr(a); l <- lit(a, v) } yield ce.GreaterThanOrEqual(x, l)
+      case sf.LessThan(a, v) =>
+        for { x <- attr(a); l <- lit(a, v) } yield ce.LessThan(x, l)
+      case sf.LessThanOrEqual(a, v) =>
+        for { x <- attr(a); l <- lit(a, v) } yield ce.LessThanOrEqual(x, l)
+      case sf.IsNull(a) => attr(a).map(ce.IsNull(_))
+      case sf.IsNotNull(a) => attr(a).map(ce.IsNotNull(_))
+      case sf.StringStartsWith(a, p) =>
+        attr(a).map(x => ce.StartsWith(x, ce.Literal(p)))
+      case sf.And(l, r) =>
+        (toCatalyst(l, schema), toCatalyst(r, schema)) match {
+          case (Some(a), Some(b)) => Some(ce.And(a, b))
+          case (a, b) => a.orElse(b) // a weaker conjunct still prunes soundly
+        }
+      case sf.Or(l, r) =>
+        for { a <- toCatalyst(l, schema); b <- toCatalyst(r, schema) }
+          yield ce.Or(a, b)
+      case _ => None
+    }
+  }
 }

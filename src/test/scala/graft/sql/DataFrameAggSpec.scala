@@ -196,6 +196,46 @@ class DataFrameAggSpec extends SparkSpec {
       "the sentinel dir cannot round-trip the group value")
   }
 
+  test("DSv2 filter pushdown prunes the fallback through the native ladder") {
+    // round 17: a no-extension catalog user's filtered read — the
+    // builder translates source filters back to Catalyst and the V1
+    // fallback plans through GraftNativeRead's manifest-pruning ladder
+    val (cat, wh) = freshCatalog()
+    val t = mkTable(cat, wh, "t9") // 8 files: 2 sym dirs × 4 commits
+    val g = GraftSqlTable(t, pinnedSnapshot = None)
+    val total = t.currentDataFiles.size
+    // unit: translation + pruning — the inner native frame plans only
+    // the restriction's files
+    val expr = SourceFilterCatalyst.toCatalyst(
+      org.apache.spark.sql.sources.EqualTo("sym", "A"), g.schema).get
+    val pruned = GraftNativeRead.nativeDF(g, Some(expr))
+    assert(filesScanned(pruned) == total / 2,
+      s"identity restriction must halve the ${total}-file plan")
+    // untranslatable shapes weaken soundly: the sym arm of an AND
+    // survives alone; an OR with an untranslatable arm drops entirely
+    import org.apache.spark.sql.{sources => sf}
+    val partial = SourceFilterCatalyst.toCatalyst(
+      sf.And(sf.EqualTo("nope", 1), sf.EqualTo("sym", "A")), g.schema)
+    assert(partial.exists(_.references.map(_.name).toSeq == Seq("sym")))
+    assert(SourceFilterCatalyst.toCatalyst(
+      sf.Or(sf.EqualTo("nope", 1), sf.EqualTo("sym", "A")), g.schema).isEmpty,
+      "dropping one OR arm would strengthen the predicate — must refuse")
+    // end to end through Spark's own pushdown, no extension expansion:
+    // exact values, and the plan carries the pushed filter
+    withSqlConf("spark.graft.sql.expansion-enabled" -> "false") {
+      val q = spark.table(s"$cat.gold.t9").filter(col("sym") === "A")
+      assert(q.queryExecution.executedPlan.toString.contains("PushedFilters"),
+        q.queryExecution.executedPlan.toString)
+      val rows = q.collect()
+      assert(rows.length == 30 && rows.forall(_.getString(0) == "A"))
+      // masks still apply inside the pruned fallback
+      t.morDeleteKeys(Seq(ts(2)).toDF("ts"), "ts") // uid 102, sym A
+      val masked = spark.table(s"$cat.gold.t9").filter(col("sym") === "A")
+      assert(masked.collect().length == 29,
+        "the filtered fallback must stay merge-on-read-aware")
+    }
+  }
+
   test("DSv2 SupportsPushDownAggregates serves/refuses from the same gates (unit)") {
     import org.apache.spark.sql.connector.expressions.{Expressions => E}
     import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
