@@ -849,6 +849,20 @@ object Bench {
     // (ADVICE r15) — the thunk only needs a load-bearing Int
     val aggRun = () =>
       table.metadataAggInfo().map(i => java.lang.Long.hashCode(i.rows)).getOrElse(0)
+    // GROUPED metadata aggregate (round 17): what `SELECT symbol,
+    // count(*) GROUP BY symbol` costs through the DSv2 grouped
+    // pushdown at 10⁴ files — one manifest parse set + the per-dir
+    // fold, zero data I/O; measured as a REAL translate through the
+    // production scan builder
+    val groupAggSqlTable = graft.sql.GraftSqlTable(table, pinnedSnapshot = None)
+    val groupAggShape = new org.apache.spark.sql.connector.expressions.aggregate
+      .Aggregation(
+        Array(new org.apache.spark.sql.connector.expressions.aggregate.CountStar()),
+        Array(org.apache.spark.sql.connector.expressions.Expressions.column("symbol")))
+    val groupAggRun = () => {
+      val b = new graft.sql.GraftScanBuilder(groupAggSqlTable)
+      if (b.supportCompletePushDown(groupAggShape)) 1 else 0
+    }
     // genuinely cold: first-ever planning call on this table, nothing
     // warmed (later shapes inherit its warmed FS metadata — they report
     // warm medians only; review r10)
@@ -872,7 +886,9 @@ object Bench {
       "secondary_point" -> parseMs(secRun),
       "secondary_point_long" -> parseMs(secLongRun),
       "secondary_point_double" -> parseMs(secDblRun),
-      "metadata_agg" -> parseMs(aggRun))
+      "metadata_agg" -> parseMs(aggRun),
+      "group_agg" -> parseMs(groupAggRun),
+      "group_agg_cached" -> cachedMs(groupAggRun))
     // two independent sweeps, per-field min (VERDICT r10 #8)
     val s1 = sweep(); val s2 = sweep()
     def m(k: String): Double = math.min(s1(k), s2(k))
@@ -1007,8 +1023,8 @@ object Bench {
         f""""canary_1t_ms":$plan1t%.1f,"canary_ratio":${planWide / plan1t}%.2f,"canary_io_ratio":$planIoRatio%.2f"""
     }
     val typed = f""""secondary_point_long_ms":${m("secondary_point_long")}%.1f,"secondary_point_long_files":$secLongN,"secondary_point_long_manifests":$secLongManifests,"secondary_point_double_ms":${m("secondary_point_double")}%.1f,"secondary_point_double_files":$secDblN,"secondary_point_double_manifests":$secDblManifests"""
-    val compact = f"""{"files":$nFiles,"manifest_bytes":$manifestBytes,"stats_columns_declared":true,$planCanary,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"identity_ms":${m("identity")}%.1f,"timerange_ms":${m("timerange")}%.1f,"point_ms":${m("point")}%.1f,"secondary_point_ms":${m("secondary_point")}%.1f,"secondary_manifests_parsed":$secManifests,$typed,"metadata_agg_ms":${m("metadata_agg")}%.1f,"clustered_identity_ms":${mc("cl")}%.1f,"policy_clustered":$policyClustered,"folded_full_scan_ms":$foldedMs%.1f,$bloomShapes,$statsShapes}"""
-    val detail = f"""{"files":$nFiles,"manifest_bytes":$manifestBytes,"stats_columns_declared":true,"commits":$nDays,"build_sec":$buildSec%.3f,"build_copy_sec":$copySec%.3f,"build_import_sec":$importSec%.3f,$planCanary,"full_scan_cold_ms":$fullCold%.1f,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"full_files":$fullN,"identity_ms":${m("identity")}%.1f,"identity_cached_ms":${m("identity_cached")}%.1f,"identity_files":$idN,"timerange_ms":${m("timerange")}%.1f,"timerange_files":$trN,"point_ms":${m("point")}%.1f,"point_files":$ptN,"secondary_point_ms":${m("secondary_point")}%.1f,"secondary_point_files":$secN,"secondary_manifests_parsed":$secManifests,$typed,"metadata_agg_ms":${m("metadata_agg")}%.1f,"policy_clustered":$policyClustered,"clustered_identity_ms":${mc("cl")}%.1f,"clustered_identity_cached_ms":${mc("cl_cached")}%.1f,"clustered_identity_files":$clIdN,"folded_full_scan_ms":$foldedMs%.1f,"folded_files":$foldedN,"sweeps":2,$bloomShapes,$statsShapes}"""
+    val compact = f"""{"files":$nFiles,"manifest_bytes":$manifestBytes,"stats_columns_declared":true,$planCanary,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"identity_ms":${m("identity")}%.1f,"timerange_ms":${m("timerange")}%.1f,"point_ms":${m("point")}%.1f,"secondary_point_ms":${m("secondary_point")}%.1f,"secondary_manifests_parsed":$secManifests,$typed,"metadata_agg_ms":${m("metadata_agg")}%.1f,"group_agg_ms":${m("group_agg")}%.1f,"group_agg_cached_ms":${m("group_agg_cached")}%.1f,"clustered_identity_ms":${mc("cl")}%.1f,"policy_clustered":$policyClustered,"folded_full_scan_ms":$foldedMs%.1f,$bloomShapes,$statsShapes}"""
+    val detail = f"""{"files":$nFiles,"manifest_bytes":$manifestBytes,"stats_columns_declared":true,"commits":$nDays,"build_sec":$buildSec%.3f,"build_copy_sec":$copySec%.3f,"build_import_sec":$importSec%.3f,$planCanary,"full_scan_cold_ms":$fullCold%.1f,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"full_files":$fullN,"identity_ms":${m("identity")}%.1f,"identity_cached_ms":${m("identity_cached")}%.1f,"identity_files":$idN,"timerange_ms":${m("timerange")}%.1f,"timerange_files":$trN,"point_ms":${m("point")}%.1f,"point_files":$ptN,"secondary_point_ms":${m("secondary_point")}%.1f,"secondary_point_files":$secN,"secondary_manifests_parsed":$secManifests,$typed,"metadata_agg_ms":${m("metadata_agg")}%.1f,"group_agg_ms":${m("group_agg")}%.1f,"group_agg_cached_ms":${m("group_agg_cached")}%.1f,"policy_clustered":$policyClustered,"clustered_identity_ms":${mc("cl")}%.1f,"clustered_identity_cached_ms":${mc("cl_cached")}%.1f,"clustered_identity_files":$clIdN,"folded_full_scan_ms":$foldedMs%.1f,"folded_files":$foldedN,"sweeps":2,$bloomShapes,$statsShapes}"""
     (compact, detail)
   } catch {
     case e: Throwable =>
