@@ -118,7 +118,9 @@ object Bench {
   private def ioProbe(minOf: Int): Double =
     try (0 until minOf).map(_ => ioProbeOnce()).min
     catch {
-      case e: Throwable =>
+      // NonFatal only: an OOM or interrupt must propagate — a bench
+      // continuing in a corrupted JVM would record quiet-looking noise
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] io probe failed (gate degrades): ${e.getMessage}")
         0.0
     }
@@ -134,7 +136,11 @@ object Bench {
     val t1 = runs.map(_._1).min
     val wide = runs.map(_._2).min
     val io = (0 until 5).map(_ => ioProbe(minOf = 3)).min
-    println(f"""{"hash_1t_ms_quiet":$t1%.2f,"wide_over_1t_quiet":${wide / t1}%.3f,"io_ms_quiet":$io%.2f,"threads":${Runtime.getRuntime.availableProcessors()},"samples":${runs.size}}""")
+    // a failed probe's 0.0 sentinel must NEVER ride into a band file:
+    // every later run would divide by it and flag all samples forever
+    val ioField =
+      if (io > 0.0) f""","io_ms_quiet":$io%.2f""" else ""
+    println(f"""{"hash_1t_ms_quiet":$t1%.2f,"wide_over_1t_quiet":${wide / t1}%.3f$ioField,"threads":${Runtime.getRuntime.availableProcessors()},"samples":${runs.size}}""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -278,8 +284,11 @@ object Bench {
         java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
       def field(k: String): Option[Double] =
         ("\"" + k + "\"\\s*:\\s*([0-9.]+)").r.findFirstMatchIn(src).map(_.group(1).toDouble)
+      // a non-positive io band would flag every sample (x/0 = Inf) —
+      // refuse it here so a hand-edited or corrupted band degrades to
+      // "no io signal" like an absent field
       (for { t <- field("hash_1t_ms_quiet"); r <- field("wide_over_1t_quiet") } yield (t, r),
-        field("io_ms_quiet"))
+        field("io_ms_quiet").filter(_ > 0.0))
     } catch { case _: Throwable => (None, None) }
     // Margins are calibrated against three realities: mini-canary
     // noise (min-of-2, taken right after a Spark query — GC/JIT churn

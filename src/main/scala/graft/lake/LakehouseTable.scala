@@ -2205,22 +2205,37 @@ final class LakehouseTable(
         // much has earned out) — one pass per column.
         val info = metadataAggInfo()
         val files = currentDataFiles
+        val schemaT = org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl)
         declared.map { c =>
           val withSums = files.count(_.colSums.exists(_.contains(c))).toLong
           val incomplete = files.count(f =>
             !f.colSums.exists(_.contains(c)) || !f.colNulls.exists(_.contains(c)))
+          // the serving side's OWN first gates (MetadataAggFacts
+          // .sumCol): a renamed column's roll-ups are split across
+          // historical names, a non-schema name cannot analyze, and
+          // only integral columns serve — a stale declaration must
+          // read as not-servable here, never as "ok"
+          val renamed = meta.aliasMap.contains(c)
+          val integral = schemaT.fieldNames.contains(c) &&
+            (schemaT(c).dataType == org.apache.spark.sql.types.LongType ||
+              schemaT(c).dataType == org.apache.spark.sql.types.IntegerType)
+          val gateOk = !renamed && integral
           // an EMPTY table serves every sum/avg as the typed NULL
-          // without any roll-up (the facts layer short-circuits rows=0)
+          // without any roll-up (the facts layer short-circuits rows=0
+          // AFTER the gates above)
           val empty = info.exists(_.rows == 0L)
-          val servableBase = empty || info.exists(i =>
-            i.colSums.contains(c) && i.colNulls.contains(c))
-          val ansiOk = empty ||
-            (servableBase && info.exists(_.colSumSafe.contains(c)))
-          val avgOk = empty || (servableBase && info.exists(
+          val servableBase = gateOk && (empty || info.exists(i =>
+            i.colSums.contains(c) && i.colNulls.contains(c)))
+          val ansiOk = servableBase &&
+            (empty || info.exists(_.colSumSafe.contains(c)))
+          val avgOk = servableBase && (empty || info.exists(
             _.colAbsSums.get(c).exists(
               BigInt(_) <= MetadataAggInfo.DoubleExactLimit)))
           val reason =
             if (masked) "live_mask"
+            else if (renamed || !schemaT.fieldNames.contains(c))
+              "renamed_or_missing_column"
+            else if (!integral) "non_integral_type"
             else if (incomplete > 0) s"missing_sums:$incomplete"
             else if (!servableBase) "sum_overflow"
             else "ok"
@@ -2801,12 +2816,16 @@ final class LakehouseTable(
           "exists in old data files")
       val aliasesOfOld = meta.aliasMap.getOrElse(oldName, Nil)
       // declared property columns follow the rename (round 14): left
-      // stale, `write.stats-columns`/`zorder.columns`/sort-order would
-      // silently stop recording ANY stats on future writes — the exact
-      // misconfiguration trap setProperty refuses at declaration time
+      // stale, `write.stats-columns`/`zorder.columns`/sort-order —
+      // and since round 17 `write.sum-columns` (review find: a stale
+      // sum declaration silently stopped per-file sum recording on
+      // every future write) — would silently stop recording ANY
+      // stats on future writes: the exact misconfiguration trap
+      // setProperty refuses at declaration time
       val renamedProps = meta.props.map {
         case (k, v) if Set("write.stats-columns", "zorder.columns",
-          "write.sort-order", "manifests.cluster-by").contains(k) =>
+          "write.sort-order", "manifests.cluster-by",
+          "write.sum-columns").contains(k) =>
           k -> v.split(",").map(_.trim)
             .map(c => if (c == oldName) newName else c).mkString(",")
         case kv => kv

@@ -81,6 +81,34 @@ class ColumnEvolutionSpec extends SparkSpec {
       .between(5000L, 6000L)).count() == 0)
   }
 
+  test("declared SUM columns follow a rename; sum_coverage reports the renamed state honestly") {
+    // round 17 review find: write.sum-columns was missing from the
+    // rename-following property set — a rename silently stopped
+    // per-file sum recording on every future write
+    val dir = new Path(tmpDir("evo"), "sum-rename")
+    val t1 = mk(0 until 30, _.toDouble)
+    val table = LakehouseTable.createIfNotExists(spark, dir, t1.schema, Some("DateTime"))
+    table.setProperty("write.stats-columns", "id")
+    table.setProperty("write.sum-columns", "id")
+    table.append(t1.coalesce(1))
+    table.renameColumn("id", "event_id")
+    assert(table.metadata.props("write.sum-columns") == "event_id",
+      "the sum declaration must follow the rename")
+    table.append(mk(1000 until 1030, _.toDouble)
+      .withColumnRenamed("id", "event_id").coalesce(1))
+    // the post-rename file records its sum under the NEW name
+    assert(table.currentDataFiles.exists(_.colSums.exists(_.contains("event_id"))))
+    // sum_coverage must NOT claim servability: the pre-rename file's
+    // roll-up is keyed under the historical name, and the serving side
+    // refuses renamed columns outright
+    val row = table.metadataTable("sum_coverage").head()
+    def g[A](n: String): A = row.getAs[A](row.fieldIndex(n))
+    assert(g[String]("column") == "event_id")
+    assert(!g[Boolean]("sum_servable_legacy") && !g[Boolean]("sum_servable_ansi"),
+      "a renamed column must read as not-servable")
+    assert(g[String]("reason") == "renamed_or_missing_column", g[String]("reason"))
+  }
+
   test("rename chains: every historical physical name stays readable") {
     val dir = new Path(tmpDir("evo"), "chain")
     val t1 = mk(0 until 10, _ => 1.0)
