@@ -767,6 +767,50 @@ class MetadataAggSpec extends SparkSpec {
     }
   }
 
+  test("grouped hybrid composes with an identity restriction (triple compose)") {
+    val (cat, wh) = freshCatalog()
+    val data = (0 until 60)
+      .map(i => (Seq("x", "y", "z", "w")(i % 4), dayTs(i), 100L + i))
+      .toDF("sym", "ts", "uid")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/ghr"), data.schema,
+      Seq("sym" -> "identity", "ts" -> "day"))
+    t.setProperty("write.stats-columns", "uid")
+    t.setProperty("write.sum-columns", "uid")
+    // coalesce(1): ONE file per (sym, day) dir per append, spanning the
+    // dir's whole day — so the mid-day cut below genuinely straddles
+    // (un-coalesced appends leave per-hour part files no cut splits)
+    (0 until 2).foreach(r => t.append(data.filter(col("uid") % 2 === r).coalesce(1)))
+    val total = t.currentDataFiles.size
+    val cut = Timestamp.valueOf("2024-01-01 04:00:00.0")
+    // WHERE sym IN (…) AND a mid-file time cut: the restriction prunes
+    // the entry set FIRST, the hybrid scans only the restricted
+    // straddlers, and untouched symbols never appear
+    val q = spark.sql(
+      s"""SELECT sym, count(*) AS n, sum(uid) AS s FROM $cat.gold.ghr
+         |WHERE sym IN ('x', 'z') AND ts >= TIMESTAMP '$cut'
+         |GROUP BY sym ORDER BY sym""".stripMargin)
+    val scanned = filesScanned(q)
+    assert(scanned > 0 && scanned < total / 2,
+      s"only the restricted straddlers may scan: $scanned of $total")
+    val inRange = (0 until 60).filter(i => !dayTs(i).before(cut))
+    def expect(sym: String): (Long, Long) = {
+      val mine = inRange.filter(i => Seq("x", "y", "z", "w")(i % 4) == sym)
+      (mine.size.toLong, mine.map(100L + _).sum)
+    }
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq(("x", expect("x")._1, expect("x")._2),
+        ("z", expect("z")._1, expect("z")._2)))
+    // the aligned (covering) restricted grouped sum stays pure metadata
+    val qC = spark.sql(
+      s"""SELECT sym, sum(uid) AS s FROM $cat.gold.ghr
+         |WHERE sym = 'y' AND ts >= TIMESTAMP '2024-01-02 00:00:00'
+         |GROUP BY sym""".stripMargin)
+    assert(filesScanned(qC) == 0, "restricted aligned grouped sums must not scan")
+    val d23y = (0 until 60).filter(i => i % 3 != 0 && i % 4 == 1)
+    assert(qC.head().getLong(1) == d23y.map(100L + _).sum)
+  }
+
   test("range extremes ride the hybrid: latest-before-X needs no scan when covered") {
     val (cat, wh) = freshCatalog()
     mkDayTable(cat, wh, "h4")
