@@ -2212,6 +2212,21 @@ object LakeOps {
     val grhAgg = qGRH.agg(count(lit(1)).as("g"),
       sum(col("n")).cast(LongType).as("n"),
       sum(col("s")).cast(LongType).as("r")).head()
+    // AVG over ranges (round 17): the aligned range serves it pure
+    // metadata under the 2⁵³ determinism proof; a mid-file cut runs
+    // the hybrid — interior sum+count from metadata, only straddlers
+    // scanned, combined as exact-total / exact-count in double
+    val qRA = s.sql(
+      s"""SELECT avg(user_id) AS a FROM $cat.gold.gagg
+         |WHERE ts >= ${tsLit(dayLoUs)}""".stripMargin)
+    val raOnly = scannedFiles(qRA) == 0
+    val raVal = qRA.head().getDouble(0)
+    val qRAH = s.sql(
+      s"""SELECT avg(user_id) AS a FROM $cat.gold.gagg
+         |WHERE ts >= ${tsLit(mnUs + 1)}""".stripMargin)
+    val sRah = scannedFiles(qRAH)
+    val rahBoundary = sRah > 0 && sRah < table.currentDataFiles.size
+    val rahVal = qRAH.head().getDouble(0)
     qG.withColumn("n_filtered", lit(nFiltered))
       .withColumn("n_sym3", lit(rRow.getLong(0)))
       .withColumn("mx_sym3_uid", lit(rRow.getLong(1)))
@@ -2228,6 +2243,10 @@ object LakeOps {
       .withColumn("n_grh_rows", lit(grhAgg.getLong(1)))
       .withColumn("sum_grh", lit(grhAgg.getLong(2)))
       .withColumn("grouped_hybrid_boundary_scan", lit(grhBoundary))
+      .withColumn("avg_range", lit(raVal))
+      .withColumn("range_avg_metadata_only", lit(raOnly))
+      .withColumn("avg_hybrid", lit(rahVal))
+      .withColumn("avg_hybrid_boundary_scan", lit(rahBoundary))
       .withColumn("group_metadata_only", lit(gOnly))
       .withColumn("df_group_metadata_only", lit(dfGroupMetadataOnly))
       .withColumn("dsv2_group_metadata_only", lit(dsv2GroupMetadataOnly))
@@ -2527,6 +2546,14 @@ object LakeOps {
              |       (SELECT CAST(sum(user_id) AS BIGINT) FROM e
              |        WHERE epoch_us(ts) >= (SELECT min(epoch_us(ts)) FROM e) + 1)
              |         AS sum_grh,
+             |       (SELECT avg(user_id) FROM e
+             |        WHERE ts >= date_trunc('day', (SELECT min(ts) FROM e))
+             |          + INTERVAL 1 DAY) AS avg_range,
+             |       (SELECT avg(user_id) FROM e
+             |        WHERE epoch_us(ts) >= (SELECT min(epoch_us(ts)) FROM e) + 1)
+             |         AS avg_hybrid,
+             |       true AS range_avg_metadata_only,
+             |       true AS avg_hybrid_boundary_scan,
              |       true AS grouped_range_sum_metadata_only,
              |       true AS grouped_hybrid_boundary_scan,
              |       true AS range_sum_metadata_only,

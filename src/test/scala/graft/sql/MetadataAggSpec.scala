@@ -655,6 +655,38 @@ class MetadataAggSpec extends SparkSpec {
     assert(filesScanned(qAdv) > 0,
       "Σ|member sums| past Long range must bail the ANSI hybrid")
     assert(qAdv.head().getLong(0) == 0L)
+    // AVG rides the hybrid (round 17): covering ranges serve it pure
+    // metadata, straddling ranges combine interior sum+count with the
+    // boundary scan's — exact under the 2^53 determinism proof
+    val qAvgCover = spark.sql(
+      s"""SELECT avg(uid) AS a FROM $cat.gold.hsum
+         |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+         |  AND ts < TIMESTAMP '2024-02-01 00:00:00'""".stripMargin)
+    // the null-key rows appended above demote their files (one per sym
+    // dir) to the boundary — recorded facts include predicate-failing
+    // rows — so ONLY those two scan
+    val sCov = filesScanned(qAvgCover)
+    assert(sCov > 0 && sCov <= 2, s"only the null-key files may scan, got $sCov")
+    val janIdx = (0 until 60).filter(_ % 3 != 2)
+    val janAll = janIdx.map(100L + _) ++ (3 until 6).map(1000L + _)
+    assert(qAvgCover.head().getDouble(0) == janAll.sum.toDouble / janAll.size)
+    val qAvgStraddle = spark.sql(
+      s"""SELECT avg(uid) AS a FROM $cat.gold.hsum
+         |WHERE ts >= TIMESTAMP '2024-01-01 00:03:00'""".stripMargin)
+    val sAvg = filesScanned(qAvgStraddle)
+    assert(sAvg > 0 && sAvg < t.currentDataFiles.size,
+      s"only straddlers may scan for the hybrid avg, got $sAvg")
+    // the null-key file's dated rows all sit at dayTs(0) < cut, so its
+    // bounds are PROVABLY OUTSIDE and it contributes nothing here
+    val inR = (0 until 60).filter(i => !dayTs(i).before(cut)).map(100L + _)
+    val expectAvg = inR.sum.toDouble / inR.size
+    assert(qAvgStraddle.head().getDouble(0) == expectAvg)
+    // magnitudes past 2^53 bail avg even where the SUM serves
+    val qAvgAdv = spark.sql(
+      s"""SELECT avg(v) AS a FROM $cat.gold.hadv
+         |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'""".stripMargin)
+    assert(filesScanned(qAvgAdv) > 0, "avg past the 2^53 proof must scan")
+    assert(qAvgAdv.head().getDouble(0) == 0.0)
   }
 
   test("grouped counts under an aligned range are metadata-only; straddlers fall back") {
