@@ -563,7 +563,7 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         Alias(src, target.name)(exprId = target.exprId)
       }, child0)
     val keyAttr = r.output.find(_.name == keyCol).getOrElse(return None)
-    val innerAliases: Map[RShape, Alias] = shapes.iterator.map {
+    val baseAliases: Map[RShape, Alias] = shapes.iterator.collect {
       case RCount => (RCount: RShape) ->
         Alias(Count(Literal(1)).toAggregateExpression(), "_graft_boundary_count")()
       case RMin => (RMin: RShape) ->
@@ -576,16 +576,21 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
           org.apache.spark.sql.catalyst.expressions.aggregate
             .Sum(colAttr, ctx).toAggregateExpression(),
           s"_graft_boundary_sum_$c")()
-      case s @ RAvg(c) =>
-        // avg combines from sum + count partials, not an avg partial
-        // (averaging averages is wrong under unequal counts); the count
-        // leg rides separately below
-        val colAttr = r.output.find(_.name == c).getOrElse(return None)
-        (s: RShape) -> Alias(
-          org.apache.spark.sql.catalyst.expressions.aggregate
-            .Sum(colAttr).toAggregateExpression(),
-          s"_graft_boundary_asum_$c")()
     }.toMap
+    // avg combines from sum + count partials, not an avg partial
+    // (averaging averages is wrong under unequal counts); a co-occurring
+    // sum(c) shape already carries the identical sum leg — reuse it
+    // (TRY, the one mode whose sum would differ, bailed at shapeOf)
+    val avgSumAliases: Map[RShape, Alias] = shapes.iterator.collect {
+      case s @ RAvg(c) =>
+        val colAttr = r.output.find(_.name == c).getOrElse(return None)
+        (s: RShape) -> sumShapes.find(_.col == c).map(baseAliases(_)).getOrElse(
+          Alias(
+            org.apache.spark.sql.catalyst.expressions.aggregate
+              .Sum(colAttr).toAggregateExpression(),
+            s"_graft_boundary_asum_$c")())
+    }.toMap
+    val innerAliases: Map[RShape, Alias] = baseAliases ++ avgSumAliases
     // avg's non-null count partial per column (count never null, so
     // the combine's denominator is a plain Add)
     val avgCountAliases: Map[String, Alias] = avgCols.map { c =>
@@ -594,7 +599,7 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         s"_graft_boundary_acnt_$c")()
     }.toMap
     val inner = Aggregate(Nil,
-      innerAliases.values.toSeq ++ avgCountAliases.values.toSeq,
+      (innerAliases.values.toSeq ++ avgCountAliases.values.toSeq).distinct,
       Filter(cond, reProj))
     // combine the metadata interior with the boundary scan: Add for
     // counts; Least/Greatest (both null-skipping) for extremes, so an

@@ -681,6 +681,13 @@ class MetadataAggSpec extends SparkSpec {
     val inR = (0 until 60).filter(i => !dayTs(i).before(cut)).map(100L + _)
     val expectAvg = inR.sum.toDouble / inR.size
     assert(qAvgStraddle.head().getDouble(0) == expectAvg)
+    // sum + avg on the SAME column in one hybrid share one boundary
+    // sum leg (review find: the avg used to duplicate the accumulator)
+    val qSumAvg = spark.sql(
+      s"""SELECT sum(uid) AS s, avg(uid) AS a FROM $cat.gold.hsum
+         |WHERE ts >= TIMESTAMP '2024-01-01 00:03:00'""".stripMargin)
+    assert(filesScanned(qSumAvg) > 0 && filesScanned(qSumAvg) < t.currentDataFiles.size)
+    assert(qSumAvg.head().getLong(0) == inR.sum && qSumAvg.head().getDouble(1) == expectAvg)
     // magnitudes past 2^53 bail avg even where the SUM serves
     val qAvgAdv = spark.sql(
       s"""SELECT avg(v) AS a FROM $cat.gold.hadv
