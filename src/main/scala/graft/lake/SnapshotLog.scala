@@ -77,6 +77,15 @@ final case class DataFile(
       * additive, no format bump.
       */
     seq: Option[Long] = None,
+    /** On-disk size in bytes (round 18, Iceberg file_size_in_bytes
+      * analog), recorded from the same footer open the stats pass
+      * already pays — native writes AND addFiles imports. What
+      * byte-based streaming admission control
+      * (`maxBytesPerTrigger`) keys on. Absent (pre-round-18 entries)
+      * ⇒ size unknown: admission treats the file by count only —
+      * additive, no format bump.
+      */
+    bytes: Option[Long] = None,
     /** Secondary per-column footer bounds, recorded by z-order
       * compaction for its cluster columns ([[LakehouseTable
       * .compactZOrder]]) — what makes the z-layout visible to
@@ -157,10 +166,13 @@ final case class DataFile(
     /** EXACT per-file sums of the declared `write.sum-columns` (round
       * 16, VERDICT r15 #7 — the per-file analog of the incremental
       * rollups' scaled sums): computed by the engine's own write pass
-      * as an exact decimal over the integral column, recorded only
-      * when the file's true sum fits a Long (all-null files record 0 —
-      * the NULL answer is decided from [[colNulls]]). Sums are exact,
-      * so `sum(col)` over a fully-recorded snapshot is one metadata
+      * as an exact decimal over the column, recorded only when the
+      * file's true sum fits a Long (all-null files record 0 — the
+      * NULL answer is decided from [[colNulls]]). DECIMAL columns
+      * (round 18) record the UNSCALED value at the declared scale —
+      * (value, schema scale) reconstructs the sum exactly, and the
+      * Long-typed roll-ups carry it unchanged. Sums are exact, so
+      * `sum(col)` over a fully-recorded snapshot is one metadata
       * fold — complete-or-bail like every roll-up. Absent on imports
       * (addFiles never reads data pages) and pre-round-16 entries.
       */
@@ -981,12 +993,13 @@ final case class TableMetadata(
       * columns recorded in every append's manifest entry
       * (metadata-level skipping via `readColumnRange` from the first
       * write, the Iceberg metrics-columns analog);
-      * `write.sum-columns` (comma-separated INTEGRAL non-partition
-      * columns, round 16) — exact per-file sums recorded by every
-      * native write (one columnar read-back of the just-written
-      * bytes), making unfiltered and identity-restricted `sum(col)`
-      * metadata-only; implies the columns join the footer-stats pass
-      * for null counts;
+      * `write.sum-columns` (comma-separated INTEGRAL or DECIMAL
+      * non-partition columns, round 16; decimals since round 18 —
+      * recorded as the UNSCALED value at the declared scale) — exact
+      * per-file sums recorded by every native write (one columnar
+      * read-back of the just-written bytes), making unfiltered and
+      * identity-restricted `sum(col)` metadata-only; implies the
+      * columns join the footer-stats pass for null counts;
       * `write.key-bloom.bits` — record a [[KeyBloom]] of the key
       * column per written file in the manifest (m bits each; one extra
       * key-column pass per write), letting the ingest-dedup build side

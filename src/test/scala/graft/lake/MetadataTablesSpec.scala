@@ -114,6 +114,73 @@ class MetadataTablesSpec extends SparkSpec {
       sqlRow.getString(2) == "ok")
   }
 
+  test("sum_coverage_groups names WHICH group's files miss sums (round 18)") {
+    // VERDICT r17 #6: per-identity-group rows — the operator sees that
+    // only symbol B's files miss sums (an import) and compaction
+    // re-earns them
+    val src = (0 until 12).map(i =>
+      (if (i < 6) "A" else "B",
+        Timestamp.valueOf(f"2024-01-01 00:00:00.$i%06d"), i.toLong))
+      .toDF("sym", "ts", "v")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("sumcovg"), "t"), src.schema,
+      Seq("sym" -> "identity", "ts" -> "day"))
+    t.setProperty("write.sum-columns", "v")
+    t.setProperty("write.stats-columns", "v")
+    t.append(src.filter($"sym" === "A").coalesce(1))
+    // B's files arrive WITHOUT sums: stage a parquet layout (identity
+    // column in the dir name only, as native writes lay out) and
+    // import — TWO part files so compact(1) below has something to
+    // merge when it re-earns the sums
+    val staging = new Path(tmpDir("sumcovg-stage"), "s")
+    withSqlConf("spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS") {
+      src.filter($"sym" === "B").select("ts", "v").repartition(2).write
+        .parquet(new Path(staging, "sym=B/ts_day=20240101").toString)
+    }
+    t.addFiles(staging)
+    def rows() = t.metadataTable("sum_coverage_groups").collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7),
+        r.getString(8)))
+    val r1 = rows()
+    // one row per (identity dim, dir value, column): sym has A and B
+    val bySym = r1.filter(_._1 == "sym").map(r => r._2 -> r).toMap
+    assert(bySym.keySet == Set("A", "B"))
+    val (a, b) = (bySym("A"), bySym("B"))
+    assert(a._4 == 1L && a._5 == 1L && a._6 && a._7 && a._8 && a._9 == "ok",
+      s"A's native file serves: $a")
+    assert(b._4 == 2L && b._5 == 0L && !b._6 && b._9 == "missing_sums:2",
+      s"B's import must read as the missing group: $b")
+    // compaction re-earns B's sums → every group serves
+    t.compact(1)
+    assert(rows().filter(_._1 == "sym").forall(r => r._6 && r._9 == "ok"))
+    // table-level view agrees once the groups all serve
+    val cov = t.metadataTable("sum_coverage").head()
+    assert(cov.getString(cov.fieldIndex("reason")) == "ok")
+    // SQL surface
+    val wh = tmpDir("sumcovg-sql")
+    spark.conf.set("spark.sql.catalog.g_scg", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.g_scg.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g_scg.ns")
+    spark.sql("CREATE TABLE IF NOT EXISTS g_scg.ns.cg " +
+      "(sym STRING, ts TIMESTAMP, v BIGINT) PARTITIONED BY (sym, days(ts)) " +
+      "TBLPROPERTIES ('write.sum-columns'='v', 'write.stats-columns'='v')")
+    spark.sql("INSERT INTO g_scg.ns.cg VALUES " +
+      "('x', TIMESTAMP '2024-01-01 00:00:00', 7), " +
+      "('y', TIMESTAMP '2024-01-01 00:00:00', 8)")
+    val sqlRows = spark.sql(
+      "SELECT group_value, sum_servable_ansi, reason " +
+        "FROM g_scg.ns.cg.sum_coverage_groups WHERE group_column = 'sym' " +
+        "ORDER BY group_value").collect()
+    assert(sqlRows.map(_.getString(0)).toSeq == Seq("x", "y"))
+    assert(sqlRows.forall(r => r.getBoolean(1) && r.getString(2) == "ok"))
+    // a null group value reports as the sentinel row, never servable
+    t.append(Seq((null.asInstanceOf[String],
+      Timestamp.valueOf("2024-01-01 00:00:01"), 99L)).toDF("sym", "ts", "v"))
+    val sent = rows().find(_._2 == LakehouseTable.HiveDefaultPartition)
+    assert(sent.exists(r => !r._6 && r._9 == "sentinel_dir"))
+  }
+
   test("storage table reports sidecar usage, metadata bytes, and cache stats") {
     val t = LakehouseTable.createIfNotExists(
       spark, new Path(tmpDir("meta"), "st"), df(Seq(0)).schema, Some("DateTime"))
