@@ -1984,6 +1984,10 @@ object LakeOps {
           .as("tag"),
         concat(lit("long-prefix-padding-"),
           lpad(pmod(col("user_id"), lit(8)).cast("string"), 3, "0")).as("longtag"),
+        // DECIMAL sum column (round 18, VERDICT r17 #5): exact
+        // quarter-steps, so every arithmetic step is exact on both the
+        // Spark and the DuckDB side
+        expr("CAST(pmod(user_id, 1000) * 0.25 AS DECIMAL(12,2))").as("amt"),
         col("value"))
       .where(col("ts").isNotNull && col("user_id").isNotNull)
     val table = LakehouseTable.createIfNotExists(
@@ -1991,8 +1995,9 @@ object LakeOps {
     table.setProperty("write.stats-columns", "user_id,opt_uid,tag,longtag")
     // per-file exact sums (round 16): unfiltered sum(user_id) joins
     // the metadata answers — including after the COW delete below,
-    // whose rewritten survivors re-earn their sums at write
-    table.setProperty("write.sum-columns", "user_id,opt_uid")
+    // whose rewritten survivors re-earn their sums at write; `amt`
+    // (round 18) extends the surface to DECIMAL money-typed columns
+    table.setProperty("write.sum-columns", "user_id,opt_uid,amt")
     // residue-split files: half are ALL-null on opt_uid (no bounds, but
     // null counts = rows), so count(opt_uid) exercises the null
     // roll-up path rather than riding on bounds presence
@@ -2032,9 +2037,21 @@ object LakeOps {
          |       avg_servable, reason
          |FROM $cat.gold.agg.sum_coverage ORDER BY column""".stripMargin).collect()
     val sumCoverageOk = covRows.map(_.getString(0)).toSeq ==
-      Seq("opt_uid", "user_id") &&
+      Seq("amt", "opt_uid", "user_id") &&
       covRows.forall(r => r.getBoolean(1) && r.getBoolean(2) &&
         r.getBoolean(3) && r.getString(4) == "ok")
+    // DECIMAL sum/avg pushdown (round 18, VERDICT r17 #5): the sum
+    // rides the hash (cast to double — quarter-steps are double-exact);
+    // avg's VALUE is spec-verified against the scan instead (DuckDB's
+    // avg(decimal) returns double where Spark rounds at scale s+4 —
+    // not oracle-expressible), the plan fact and the scan-match ride
+    val qDec = s.sql(
+      s"SELECT CAST(sum(amt) AS DOUBLE) AS sum_amt FROM $cat.gold.agg")
+    val decSumOnly = scannedFiles(qDec) == 0
+    val qDecAvg = s.sql(s"SELECT avg(amt) AS aa FROM $cat.gold.agg")
+    val decAvgOnly = scannedFiles(qDecAvg) == 0
+    val decAvgMatchesScan = qDecAvg.head().getDecimal(0) ==
+      table.read().agg(avg("amt")).head().getDecimal(0)
     // STRING extremes (round 16, VERDICT r15 #5): exactness-marked
     // short strings answer from metadata; truncated long strings bail
     // to the scan — same values either way, the hash checks both
@@ -2061,12 +2078,16 @@ object LakeOps {
       ev.filter(second(col("ts")) === 13).select("ts"), "ts")
     val qMask = s.sql(s"SELECT count(*) AS n_rows_masked FROM $cat.gold.agg")
     val maskFellBack = scannedFiles(qMask) > 0
-    q.crossJoin(qSum).crossJoin(qAvg).crossJoin(qStr).crossJoin(qLongStr)
+    q.crossJoin(qSum).crossJoin(qAvg).crossJoin(qDec)
+      .crossJoin(qStr).crossJoin(qLongStr)
       .crossJoin(qTt).crossJoin(qMask)
       .withColumn("n_rows_df", lit(dfCount))
       .withColumn("agg_metadata_only", lit(aggMetadataOnly))
       .withColumn("sum_metadata_only", lit(sumMetadataOnly))
       .withColumn("avg_metadata_only", lit(avgMetadataOnly))
+      .withColumn("decimal_sum_metadata_only", lit(decSumOnly))
+      .withColumn("decimal_avg_metadata_only", lit(decAvgOnly))
+      .withColumn("decimal_avg_matches_scan", lit(decAvgMatchesScan))
       .withColumn("sum_coverage_ok", lit(sumCoverageOk))
       .withColumn("string_extreme_metadata_only", lit(strMetadataOnly))
       .withColumn("truncated_string_bails", lit(longStrBails))
@@ -2123,19 +2144,38 @@ object LakeOps {
     // no-extension catalog user); both plan facts ride the hash
     val dfGroupMetadataOnly =
       scannedFiles(s.table(s"$cat.gold.gagg").groupBy("sym").count()) == 0
-    val dsv2GroupMetadataOnly = {
+    def withExpansionDisabled[A](body: => A): A = {
       val key = "spark.graft.sql.expansion-enabled"
+      val prior = s.conf.getOption(key)
       s.conf.set(key, "false")
-      try {
-        val g = s.table(s"$cat.gold.gagg").groupBy("sym")
-          .agg(count(lit(1)).as("n"), sum("user_id").as("su"),
-            avg("user_id").as("au"))
-        g.queryExecution.executedPlan.toString.contains("_pushed_group_") &&
-          scannedFiles(g) == 0 && g.count() == 8
-      } finally s.conf.set(key, "true")
+      try body
+      finally prior match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }
+    val dsv2GroupMetadataOnly = withExpansionDisabled {
+      val g = s.table(s"$cat.gold.gagg").groupBy("sym")
+        .agg(count(lit(1)).as("n"), sum("user_id").as("su"),
+          avg("user_id").as("au"))
+      g.queryExecution.executedPlan.toString.contains("_pushed_group_") &&
+        scannedFiles(g) == 0 && g.count() == 8
+    }
+    // time-DERIVED DSv2 grouping (round 18, VERDICT r17 #3): the
+    // connector delivers groupBy(year(ts)) as Extract("YEAR", ts) —
+    // served from the same day-dir decode the SQL rule uses
+    val dsv2DerivedGroup = withExpansionDisabled {
+      val g = s.table(s"$cat.gold.gagg")
+        .groupBy(year(col("ts")).as("y")).agg(count(lit(1)).as("n"))
+      g.queryExecution.executedPlan.toString.contains("_pushed_group_") &&
+        scannedFiles(g) == 0 && g.count() >= 1
     }
     val qD = s.sql(s"SELECT DISTINCT sym FROM $cat.gold.gagg")
     val dOnly = scannedFiles(qD) == 0 && qD.count() == 8
+    // count(DISTINCT identity) (round 18, VERDICT r17 #4): the number
+    // of distinct decoded partition dirs — zero files planned
+    val qCD = s.sql(s"SELECT count(DISTINCT sym) AS d FROM $cat.gold.gagg")
+    val cdOnly = scannedFiles(qCD) == 0 && qCD.head().getLong(0) == 8L
     val qF = s.sql(
       s"SELECT count(*) AS n FROM $cat.gold.gagg WHERE value > 0")
     val fFellBack = scannedFiles(qF) > 0
@@ -2250,7 +2290,9 @@ object LakeOps {
       .withColumn("group_metadata_only", lit(gOnly))
       .withColumn("df_group_metadata_only", lit(dfGroupMetadataOnly))
       .withColumn("dsv2_group_metadata_only", lit(dsv2GroupMetadataOnly))
+      .withColumn("dsv2_derived_group", lit(dsv2DerivedGroup))
       .withColumn("distinct_metadata_only", lit(dOnly))
+      .withColumn("count_distinct_metadata_only", lit(cdOnly))
       .withColumn("filtered_fallback_scans", lit(fFellBack))
       .withColumn("restricted_metadata_only", lit(rOnly))
       .withColumn("minmax_metadata_only", lit(mmOnly))
@@ -2455,7 +2497,8 @@ object LakeOps {
              |           AS tag,
              |         concat('long-prefix-padding-',
              |                lpad(CAST(user_id % 8 AS VARCHAR), 3, '0'))
-             |           AS longtag
+             |           AS longtag,
+             |         CAST(user_id % 1000 * 0.25 AS DECIMAL(12,2)) AS amt
              |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
              |), s AS (
              |  SELECT * FROM e WHERE user_id % 10 <> 3
@@ -2478,9 +2521,13 @@ object LakeOps {
              |       (SELECT count(*) FROM s WHERE second(ts) <> 13)
              |         AS n_rows_masked,
              |       (SELECT count(*) FROM s) AS n_rows_df,
+             |       (SELECT CAST(sum(amt) AS DOUBLE) FROM s) AS sum_amt,
              |       true AS agg_metadata_only,
              |       true AS sum_metadata_only,
              |       true AS avg_metadata_only,
+             |       true AS decimal_sum_metadata_only,
+             |       true AS decimal_avg_metadata_only,
+             |       true AS decimal_avg_matches_scan,
              |       true AS sum_coverage_ok,
              |       true AS string_extreme_metadata_only,
              |       true AS truncated_string_bails,
@@ -2560,7 +2607,9 @@ object LakeOps {
              |       true AS group_metadata_only,
              |       true AS df_group_metadata_only,
              |       true AS dsv2_group_metadata_only,
+             |       true AS dsv2_derived_group,
              |       true AS distinct_metadata_only,
+             |       true AS count_distinct_metadata_only,
              |       true AS filtered_fallback_scans,
              |       true AS restricted_metadata_only,
              |       true AS minmax_metadata_only,

@@ -661,7 +661,10 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
       case ae: AggregateExpression =>
         ae.filter.isDefined || (ae.aggregateFunction match {
           case Count(Seq(l: Literal)) => l.value == null || ae.isDistinct
-          case Count(Seq(_: AttributeReference)) => ae.isDistinct
+          // count(DISTINCT c) is SHAPE-answerable since round 18
+          // (VERDICT r17 #4) — whether c is an identity partition
+          // column is a data question, decided at the answer site
+          case Count(Seq(_: AttributeReference)) => false
           case Min(_: AttributeReference) | Max(_: AttributeReference) => false
           // sum(col) is answerable since round 16 (per-file exact sums
           // under `write.sum-columns`), avg(col) since round 17 (the
@@ -728,11 +731,28 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
     // typed answers come from the shared core ([[MetadataAggFacts]]),
     // so the DSv2 pushdown serves byte-identical values
     val facts = new MetadataAggFacts(info, meta)
+    // file entries, fetched only when a count(DISTINCT identity) asks
+    // (round 18, VERDICT r17 #4) — same restriction discipline as the
+    // info itself
+    lazy val distinctEntries: Option[Seq[graft.lake.DataFile]] =
+      restrict match {
+        case None => g.lt.metadataFileEntries(g.pinnedSnapshot)
+        case Some(rs) =>
+          g.lt.metadataFileEntries(g.pinnedSnapshot, dirRestrict = rs)
+            .flatMap(restrictEntries(_, rs))
+      }
+    val schemaT = org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl)
     def answer(ae: AggregateExpression): Option[Expression] = {
       if (ae.filter.isDefined) return None
       ae.aggregateFunction match {
         case Count(Seq(l: Literal)) if l.value != null && !ae.isDistinct =>
           Some(Literal(facts.countStar))
+        // count(DISTINCT identity-dim) (round 18): distinct decoded dir
+        // values — the sentinel-ambiguity and canonical-rendering gates
+        // live in the shared core
+        case Count(Seq(a: AttributeReference)) if ae.isDistinct =>
+          distinctEntries.flatMap(MetadataGroupFacts.countDistinctIdentity(
+            meta, schemaT, a.name, _)).map(Literal(_))
         case Count(Seq(a: AttributeReference)) if !ae.isDistinct =>
           facts.countCol(a.name).map(Literal(_))
         // min(DISTINCT x) ≡ min(x): isDistinct is irrelevant for extremes
@@ -748,10 +768,12 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
             ctx.evalMode != org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
         // avg (round 17, VERDICT r16 #5): mode-independent — the 2⁵³
         // proof inside avgCol makes the double accumulation exact and
-        // overflow-free in every mode
-        case org.apache.spark.sql.catalyst.expressions.aggregate.Average(
-            a: AttributeReference, _) if !ae.isDistinct =>
-          facts.avgCol(a.name)
+        // overflow-free in every mode; the live instance rides along
+        // so decimal avg (round 18) folds through ITS evaluate
+        // expression
+        case avgFn @ org.apache.spark.sql.catalyst.expressions.aggregate
+            .Average(a: AttributeReference, _) if !ae.isDistinct =>
+          facts.avgCol(a.name, Some(avgFn))
         case _ => None
       }
     }
@@ -864,37 +886,14 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
           case _ => None
         }
       }
-      val (a, granOk, derive): (AttributeReference, Set[String], (Long, String) => Any) =
-        e match {
-          case Year(TsAttr(a0)) =>
-            (a0, Set("year", "month", "day", "hour"), (v, g) => g match {
-              case "year" => v.toInt
-              case "month" => (v / 100).toInt
-              case "day" => (v / 10000).toInt
-              case "hour" => (v / 1000000).toInt
-            })
-          case Month(TsAttr(a0)) =>
-            (a0, Set("month", "day", "hour"), (v, g) => g match {
-              case "month" => (v % 100).toInt
-              case "day" => (v / 100 % 100).toInt
-              case "hour" => (v / 10000 % 100).toInt
-            })
-          case DayOfMonth(TsAttr(a0)) =>
-            (a0, Set("day", "hour"), (v, g) => g match {
-              case "day" => (v % 100).toInt
-              case "hour" => (v / 100 % 100).toInt
-            })
-          case Hour(TsAttr(a0), _) =>
-            (a0, Set("hour"), (v, _) => (v % 100).toInt)
-          case Cast(a0: AttributeReference, DateType, _, _) =>
-            (a0, Set("day", "hour"), (v, g) => {
-              val d = if (g == "day") v else v / 100
-              java.lang.Integer.valueOf(java.time.LocalDate
-                .of((d / 10000).toInt, (d / 100 % 100).toInt, (d % 100).toInt)
-                .toEpochDay.toInt)
-            })
-          case _ => return None
-        }
+      val (a, kind): (AttributeReference, String) = e match {
+        case Year(TsAttr(a0)) => (a0, "year")
+        case Month(TsAttr(a0)) => (a0, "month")
+        case DayOfMonth(TsAttr(a0)) => (a0, "day")
+        case Hour(TsAttr(a0), _) => (a0, "hour")
+        case Cast(a0: AttributeReference, DateType, _, _) => (a0, "date")
+        case _ => return None
+      }
       if (meta.aliasMap.contains(a.name)) return None
       val tzOk = a.dataType match {
         case TimestampNTZType => true
@@ -903,35 +902,16 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         case _ => false
       }
       if (!tzOk) return None
+      val granOk = MetadataGroupFacts.timeGranOk(kind).getOrElse(return None)
       val f = fields.find(f => f.source == a.name && granOk.contains(f.transform))
         .getOrElse(return None)
-      // ADVICE r15, strengthened: the dir int must BE a value the
-      // writer's transform can produce, or the dir is NOT the
-      // derivation and serving from it would mislabel every row (the
-      // scan re-derives from the data). Plain guards were not enough:
-      // a negative int mis-inverts under truncating `/`+`%`, a
-      // malformed-but-numeric day dir (month 13) throws from
-      // LocalDate.of in the CAST leg — and SILENTLY serves a phantom
-      // group 13 in the month() leg, where no exception ever fires.
-      // So validate the int against its own granularity (calendar
-      // round-trip for day/hour) and keep Try as the belt.
-      def validDirInt(v: Long): Boolean = {
-        def okDay(d: Long): Boolean =
-          d / 10000 >= 1 && d / 10000 <= 9999 &&
-            scala.util.Try(java.time.LocalDate.of((d / 10000).toInt,
-              (d / 100 % 100).toInt, (d % 100).toInt)).isSuccess
-        f.transform match {
-          case "year" => v >= 1 && v <= 9999
-          case "month" =>
-            v / 100 >= 1 && v / 100 <= 9999 && v % 100 >= 1 && v % 100 <= 12
-          case "day" => okDay(v)
-          case "hour" => okDay(v / 100) && v % 100 >= 0 && v % 100 <= 23
-          case _ => false
-        }
-      }
+      // granularity admission + dir-int validation + derivation all
+      // live in [[MetadataGroupFacts]] (round 18) — ONE implementation
+      // for this rule and the DSv2 Extract grouping, so the two
+      // surfaces can never drift (the ADVICE r15 phantom-group
+      // validation included)
       val conv: String => Option[Any] =
-        seg => canonLong(seg).filter(validDirInt)
-          .flatMap(v => scala.util.Try(derive(v, f.transform)).toOption)
+        MetadataGroupFacts.timeDecode(kind, f.transform)
       Some(GroupDim(e,
         AttributeReference(s"_meta_grp_$i", e.dataType, nullable = false)(),
         f.name, conv, None))
@@ -1070,6 +1050,14 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
             requireNoOverflowProof = ctx.evalMode !=
               org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
         case _ if keyRangeUs.isDefined => None
+        // count(DISTINCT identity-dim) per group (round 18, VERDICT
+        // r17 #4): distinct decoded dir values among the group's files
+        // — a grouping identity column itself is constant-per-group
+        // (answers 1 through the same helper); sentinel/canonical
+        // gates in the shared core
+        case Count(Seq(a: AttributeReference)) if ae.isDistinct =>
+          MetadataGroupFacts.countDistinctIdentity(meta, schema, a.name, files)
+            .map(java.lang.Long.valueOf(_))
         case Count(Seq(a: AttributeReference)) if !ae.isDistinct =>
           // non-null throughout the group: an identity grouping column
           // (null lands in the sentinel dir), or the source of a time
@@ -1101,10 +1089,11 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
               org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
         // grouped avg (round 17, VERDICT r16 #5): the group's exact
         // sum + null roll-ups under the 2⁵³ partial-bound determinism
-        // proof ([[MetadataAggFacts.avgCol]] rationale)
-        case org.apache.spark.sql.catalyst.expressions.aggregate.Average(
-            a: AttributeReference, _) if !ae.isDistinct =>
-          MetadataGroupFacts.groupAvg(meta, schema, a.name, files)
+        // proof ([[MetadataAggFacts.avgCol]] rationale); the live
+        // instance rides along for decimal avg (round 18)
+        case avgFn @ org.apache.spark.sql.catalyst.expressions.aggregate
+            .Average(a: AttributeReference, _) if !ae.isDistinct =>
+          MetadataGroupFacts.groupAvg(meta, schema, a.name, files, Some(avgFn))
         case _ => None
       }
     }
@@ -1155,6 +1144,19 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
     // one side pass through the merge unchanged. Nothing interior ⇒
     // the hybrid degenerates to the plain scan, bail.
     if (groups.isEmpty) return None
+    // DECIMAL sums must not enter the hybrid combine (round 18): the
+    // combining Sum over DECIMAL(p+10) partials widens to p+20, so it
+    // could not throw/NULL where the scan it replaces would on a
+    // final-precision overflow. Interior-only decimal range sums
+    // (no straddlers) already served above; straddling ones bail.
+    if (aggFns.exists(_.aggregateFunction match {
+      case org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
+          a: AttributeReference, _) =>
+        schema.fieldNames.contains(a.name) &&
+          schema(a.name).dataType
+            .isInstanceOf[org.apache.spark.sql.types.DecimalType]
+      case _ => false
+    })) return None
     val (rel, cond) = boundaryCtx.get
     val child0 = g.lt.readFilesSubset(boundaryFiles.toSeq).queryExecution.analyzed
     // re-alias the subset scan to the relation's attribute ids so the

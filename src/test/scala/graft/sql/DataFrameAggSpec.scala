@@ -190,10 +190,97 @@ class DataFrameAggSpec extends SparkSpec {
     // sum columns)
     assert(!push(new Aggregation(
       Array(new CSum(E.column("uid"), false)), Array(E.column("sym")))))
+    // count(DISTINCT identity) serves through the DSv2 surface too
+    // (round 18, VERDICT r17 #4); a non-identity column refuses
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count => CCount}
+    assert(push(new Aggregation(
+      Array(new CCount(E.column("sym"), true)),
+      Array.empty[org.apache.spark.sql.connector.expressions.Expression])))
+    assert(!push(new Aggregation(
+      Array(new CCount(E.column("uid"), true)),
+      Array.empty[org.apache.spark.sql.connector.expressions.Expression])))
     // a NULL group value lands in the sentinel dir → whole rewrite bails
     t.append(Seq(((null: String), ts(120), 999L)).toDF("sym", "ts", "uid"))
     assert(!push(new Aggregation(Array(new CountStar()), Array(E.column("sym")))),
       "the sentinel dir cannot round-trip the group value")
+    // ...and the STRING sentinel dir bails the distinct count too
+    assert(!push(new Aggregation(
+      Array(new CCount(E.column("sym"), true)),
+      Array.empty[org.apache.spark.sql.connector.expressions.Expression])))
+  }
+
+  test("DSv2 grouped pushdown over time-derived dims: year/month/day/date plan zero files") {
+    // round 18, VERDICT r17 #3: the connector delivers groupBy(year($"ts"))
+    // as Extract("YEAR", ts) — translated to the same partition-dir
+    // decode the SQL rule uses, via the shared MetadataGroupFacts
+    val (cat, wh) = freshCatalog()
+    val days = Seq("2024-01-01", "2024-01-02", "2024-02-03", "2025-03-05")
+    val data = (0 until 40)
+      .map(i => (if (i % 2 == 0) "A" else "B",
+        Timestamp.valueOf(f"${days(i % 4)} 12:00:${i / 4}%02d"), 100L + i))
+      .toDF("sym", "ts", "uid")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/t9"), data.schema,
+      Seq("sym" -> "identity", "ts" -> "day"))
+    t.setProperty("write.stats-columns", "uid")
+    (0 until 2).foreach(r => t.append(data.filter(col("uid") % 2 === r)))
+    // ground truth from the native read (no pushdown involved)
+    def truth(dim: org.apache.spark.sql.Column) = t.read()
+      .groupBy(dim.as("g")).agg(count(lit(1)).as("n"), count($"ts").as("nts"),
+        min($"uid").as("mn")).orderBy("g").collect().map(_.toSeq).toSeq
+    withSqlConf("spark.graft.sql.expansion-enabled" -> "false") {
+      def pushed(dim: org.apache.spark.sql.Column) = spark.table(s"$cat.gold.t9")
+        .groupBy(dim.as("g")).agg(count(lit(1)).as("n"), count($"ts").as("nts"),
+          min($"uid").as("mn")).orderBy("g")
+      for (dim <- Seq(year($"ts"), month($"ts"), dayofmonth($"ts"),
+        $"ts".cast("date"))) {
+        val g = pushed(dim)
+        assert(g.queryExecution.executedPlan.toString.contains("_pushed_group_"),
+          s"time-derived group must push:\n${g.queryExecution.executedPlan}")
+        assert(filesScanned(g) == 0, s"zero files for $dim")
+        assert(g.collect().map(_.toSeq).toSeq == truth(dim))
+      }
+      // composite: identity + derived dim together
+      val both = spark.table(s"$cat.gold.t9").groupBy($"sym", year($"ts").as("y"))
+        .agg(count(lit(1)).as("n")).orderBy("sym", "y")
+      assert(both.queryExecution.executedPlan.toString.contains("_pushed_group_"))
+      assert(filesScanned(both) == 0)
+      assert(both.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+        == t.read().groupBy($"sym", year($"ts").as("y")).agg(count(lit(1)).as("n"))
+          .orderBy("sym", "y").collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq)
+      // a non-UTC session refuses the zoned-timestamp derivation (the
+      // dirs were written UTC) — the scan still answers, correctly
+      withSqlConf("spark.sql.session.timeZone" -> "America/New_York") {
+        val g = pushed(year($"ts"))
+        assert(!g.queryExecution.executedPlan.toString.contains("_pushed_group_"),
+          "non-UTC session must refuse the time-dim pushdown")
+        assert(g.collect().map(_.toSeq).toSeq == truth(year($"ts")))
+      }
+    }
+  }
+
+  test("DSv2 time-dim pushdown bails on too-coarse dirs (unit: hour over day partitions)") {
+    import org.apache.spark.sql.connector.expressions.{Expressions => E, Extract}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+    val (cat, wh) = freshCatalog()
+    val t = mkTable(cat, wh, "t10")
+    val sqlTable = GraftSqlTable(t, pinnedSnapshot = None)
+    def push(a: Aggregation): Boolean =
+      new GraftScanBuilder(sqlTable).supportCompletePushDown(a)
+    // day dirs serve year/month/day...
+    assert(push(new Aggregation(Array(new CountStar()),
+      Array[org.apache.spark.sql.connector.expressions.Expression](
+        new Extract("YEAR", E.column("ts"))))))
+    // ...but NOT hour (finer than the recorded granularity)
+    assert(!push(new Aggregation(Array(new CountStar()),
+      Array[org.apache.spark.sql.connector.expressions.Expression](
+        new Extract("HOUR", E.column("ts"))))),
+      "hour(ts) cannot be derived from day dirs")
+    // unsupported extraction fields refuse outright
+    assert(!push(new Aggregation(Array(new CountStar()),
+      Array[org.apache.spark.sql.connector.expressions.Expression](
+        new Extract("DAY_OF_WEEK", E.column("ts"))))))
   }
 
   test("DSv2 filter pushdown prunes the fallback through the native ladder") {

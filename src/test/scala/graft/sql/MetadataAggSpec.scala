@@ -363,6 +363,180 @@ class MetadataAggSpec extends SparkSpec {
     assert(qD.collect().map(_.getString(0)).sorted.toSeq == Seq("a:b", "alpha", "z"))
   }
 
+  test("DECIMAL sum-columns: sum/avg are metadata-only, values exact (round 18)") {
+    // VERDICT r17 #5: per-file decimal sums record the UNSCALED value
+    // at the declared scale; sum(c) and avg(c) then serve from the
+    // manifest fold with Spark's own result types and semantics
+    val (cat, wh) = freshCatalog()
+    val data = (0 until 60)
+      .map { i =>
+        val unscaled = i * 100L + i % 100
+        (if (i % 2 == 0) "A" else "B", ts(i), i.toLong,
+          java.math.BigDecimal.valueOf(if (i % 7 == 0) -unscaled else unscaled, 2),
+          if (i % 3 == 0) None
+          else Some(java.math.BigDecimal.valueOf(i * 100L, 2)))
+      }
+      .toDF("sym", "ts", "uid", "amt", "opt_amt")
+      .select(col("sym"), col("ts"), col("uid"),
+        col("amt").cast("decimal(12,2)"), col("opt_amt").cast("decimal(12,2)"))
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/dec1"), data.schema,
+      Seq("sym" -> "identity", "ts" -> "day"))
+    t.setProperty("write.sum-columns", "amt,opt_amt")
+    (0 until 2).foreach(r => t.append(data.filter(col("uid") % 2 === r)))
+    // the write pass recorded unscaled per-file sums
+    assert(t.currentDataFiles.forall(_.colSums.exists(_.contains("amt"))),
+      "every native file must record the decimal sum")
+    val truth = t.read().agg(
+      sum("amt").as("s"), avg("amt").as("a"),
+      sum("opt_amt").as("so"), avg("opt_amt").as("ao")).head()
+    val q = spark.sql(
+      s"""SELECT sum(amt) AS s, avg(amt) AS a,
+         |       sum(opt_amt) AS so, avg(opt_amt) AS ao
+         |FROM $cat.gold.dec1""".stripMargin)
+    assert(filesScanned(q) == 0, "decimal sum/avg must not plan a scan")
+    val r = q.head()
+    assert(r.getDecimal(0) == truth.getDecimal(0), "sum(amt) exact")
+    assert(r.getDecimal(1) == truth.getDecimal(1), "avg(amt) exact incl. rounding")
+    assert(r.getDecimal(2) == truth.getDecimal(2))
+    assert(r.getDecimal(3) == truth.getDecimal(3))
+    // result types match Spark's own (sum: p+10, avg: p+4/s+4)
+    assert(q.schema("s").dataType == t.read().agg(sum("amt")).schema.head.dataType)
+    assert(q.schema("a").dataType == t.read().agg(avg("amt")).schema.head.dataType)
+    // grouped by the identity dim
+    val truthG = t.read().groupBy("sym")
+      .agg(sum("amt").as("s"), avg("amt").as("a")).orderBy("sym")
+      .collect().map(_.toSeq).toSeq
+    val qg = spark.sql(
+      s"""SELECT sym, sum(amt) AS s, avg(amt) AS a
+         |FROM $cat.gold.dec1 GROUP BY sym ORDER BY sym""".stripMargin)
+    assert(filesScanned(qg) == 0)
+    assert(qg.collect().map(_.toSeq).toSeq == truthG)
+    // DSv2 (no extension rule): same answers through the connector
+    withSqlConf("spark.graft.sql.expansion-enabled" -> "false") {
+      val gd = spark.table(s"$cat.gold.dec1")
+        .agg(sum("amt").as("s"), avg("amt").as("a"))
+      assert(filesScanned(gd) == 0)
+      val rd = gd.head()
+      assert(rd.getDecimal(0) == truth.getDecimal(0))
+      assert(rd.getDecimal(1) == truth.getDecimal(1))
+      val gg = spark.table(s"$cat.gold.dec1").groupBy("sym")
+        .agg(sum("amt").as("s"), avg("amt").as("a")).orderBy("sym")
+      assert(filesScanned(gg) == 0)
+      assert(gg.collect().map(_.toSeq).toSeq == truthG)
+    }
+    // sum_coverage reports the decimal column servable
+    val cov = t.metadataTable("sum_coverage").collect()
+      .map(r2 => r2.getString(0) -> r2.getString(8)).toMap
+    assert(cov("amt") == "ok" && cov("opt_amt") == "ok",
+      s"decimal columns must read servable in sum_coverage, got $cov")
+    // RANGE sums: a covering range serves (every file interior), but a
+    // mid-file cut must BAIL — the hybrid's combining Sum over
+    // DECIMAL(p+10) partials widens to p+20 and could not overflow
+    // where the scan would; correctness over cleverness
+    val qCover = spark.sql(
+      s"""SELECT sym, sum(amt) AS s FROM $cat.gold.dec1
+         |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+         |GROUP BY sym ORDER BY sym""".stripMargin)
+    assert(filesScanned(qCover) == 0, "covering decimal range sums serve")
+    assert(qCover.collect().map(_.toSeq).toSeq ==
+      truthG.map(r => Seq(r.head, r(1))))
+    val cut = Timestamp.valueOf("2024-01-01 00:00:00.000001")
+    val qStraddle = spark.sql(
+      s"""SELECT sym, sum(amt) AS s FROM $cat.gold.dec1
+         |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00.000001'
+         |GROUP BY sym ORDER BY sym""".stripMargin)
+    assert(filesScanned(qStraddle) > 0,
+      "straddling decimal range sums must refuse the hybrid combine")
+    assert(qStraddle.collect().map(_.toSeq).toSeq ==
+      t.read().filter(col("ts") >= cut).groupBy("sym")
+        .agg(sum("amt").as("s")).orderBy("sym").collect().map(_.toSeq).toSeq)
+  }
+
+  test("DECIMAL sum serving gates: final-precision overflow and all-null (unit)") {
+    import org.apache.spark.sql.types.DecimalType
+    // DECIMAL(3,1): result precision 13 — a 13-digit unscaled total
+    // overflows where a 12-digit one serves
+    val d = DecimalType(3, 1)
+    assert(MetadataGroupFacts.decimalSumType(d) == DecimalType(13, 1))
+    // max unscaled for DECIMAL(13,1) is 13 nines; one past bails
+    val ok = MetadataGroupFacts.decimalSumValue(d, BigInt("9999999999999"), allNull = false)
+    assert(ok.exists(_ != null))
+    assert(MetadataGroupFacts.decimalSumValue(d, BigInt("10000000000000"), allNull = false).isEmpty,
+      "a total past the result precision must bail — a scan would throw/NULL there")
+    assert(MetadataGroupFacts.decimalSumValue(d, BigInt(0), allNull = true)
+      .contains(null))
+    // avg folds through Spark's own evaluate expression: 10.0 / 4 = 2.5
+    val av = MetadataGroupFacts.decimalAvgOf(d, BigInt(100), 4L)
+    assert(av.exists(v =>
+      v.asInstanceOf[org.apache.spark.sql.types.Decimal].toBigDecimal
+        == scala.math.BigDecimal("2.5")))
+    // HALF_UP rounding parity: 1.0 / 3 at scale s+4
+    val av3 = MetadataGroupFacts.decimalAvgOf(d, BigInt(10), 3L)
+    assert(av3.exists(v =>
+      v.asInstanceOf[org.apache.spark.sql.types.Decimal].toBigDecimal
+        == scala.math.BigDecimal("0.33333")))
+  }
+
+  test("count(DISTINCT identity) is metadata-only; sentinel and non-identity bail") {
+    // round 18, VERDICT r17 #4: distinct decoded dir values
+    val (cat, wh) = freshCatalog()
+    mkIdTable(cat, wh, "cd1")
+    val q = spark.sql(s"SELECT count(DISTINCT sym) AS d FROM $cat.gold.cd1")
+    assert(filesScanned(q) == 0, "count(DISTINCT identity) must not plan a scan")
+    assert(q.head().getLong(0) == 3L)
+    // grouped: per-year distinct symbols through the time-dim rewrite
+    val qg = spark.sql(
+      s"""SELECT year(ts) AS y, count(DISTINCT sym) AS d
+         |FROM $cat.gold.cd1 GROUP BY year(ts)""".stripMargin)
+    assert(filesScanned(qg) == 0)
+    assert(qg.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      == Seq((2024, 3L)))
+    // restricted: the IN restriction keeps it metadata-only
+    val qr = spark.sql(
+      s"SELECT count(DISTINCT sym) AS d FROM $cat.gold.cd1 WHERE sym IN ('alpha', 'z')")
+    assert(filesScanned(qr) == 0)
+    assert(qr.head().getLong(0) == 2L)
+    // a non-identity column falls back and stays exact
+    val qu = spark.sql(s"SELECT count(DISTINCT uid) AS d FROM $cat.gold.cd1")
+    assert(filesScanned(qu) > 0)
+    assert(qu.head().getLong(0) == 60L)
+    // count(DISTINCT sym) composed with provable shapes stays pushed
+    val qc = spark.sql(
+      s"SELECT count(DISTINCT sym) AS d, count(*) AS n FROM $cat.gold.cd1")
+    assert(filesScanned(qc) == 0)
+    assert(qc.head().getLong(0) == 3L && qc.head().getLong(1) == 60L)
+  }
+
+  test("count(DISTINCT string-identity) bails on the sentinel dir; a long identity serves") {
+    val (cat, wh) = freshCatalog()
+    // STRING identity with nulls: '' shares the sentinel — ambiguous,
+    // the metadata path must bail (a '' row would count, a null not)
+    val sData = (0 until 20)
+      .map(i => (if (i % 5 == 0) None else Some(s"s${i % 2}"), ts(i), i.toLong))
+      .toDF("sym", "ts", "uid")
+    val st = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/cd2"), sData.schema,
+      Seq("sym" -> "identity", "ts" -> "day"))
+    st.append(sData)
+    val qs = spark.sql(s"SELECT count(DISTINCT sym) AS d FROM $cat.gold.cd2")
+    assert(filesScanned(qs) > 0, "a string sentinel dir is ambiguous — must bail")
+    assert(qs.head().getLong(0) == 2L)
+    // LONG identity with nulls: the sentinel dir is PROVABLY all-null
+    // ('' is not a long) — excluded, the distinct count still serves
+    val lData = (0 until 20)
+      .map(i => (if (i % 5 == 0) None else Some((i % 3).toLong), ts(i), i.toLong))
+      .toDF("gid", "ts", "uid")
+    val lt = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/cd3"), lData.schema,
+      Seq("gid" -> "identity", "ts" -> "day"))
+    lt.append(lData)
+    val ql = spark.sql(s"SELECT count(DISTINCT gid) AS d FROM $cat.gold.cd3")
+    assert(filesScanned(ql) == 0,
+      "a non-string sentinel dir is provably null-only — distinct still serves")
+    assert(ql.head().getLong(0) == 3L)
+  }
+
   test("GROUP BY a non-partition column falls back and stays exact") {
     val (cat, wh) = freshCatalog()
     mkIdTable(cat, wh, "g3")
