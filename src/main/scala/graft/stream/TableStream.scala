@@ -53,13 +53,14 @@ object TableStream {
       transform: DataFrame => DataFrame = identity,
       pollIntervalMs: Long = 200L,
       maxSnapshotsPerBatch: Int = Int.MaxValue,
-      emitUpserts: Boolean = false): TableStreamQuery = {
+      emitUpserts: Boolean = false,
+      caps: Admission.Caps = Admission.Caps.Unlimited): TableStreamQuery = {
     require(consumerId.nonEmpty, "consumerId must be non-empty")
     require(pollIntervalMs > 0, "pollIntervalMs must be positive")
     require(maxSnapshotsPerBatch >= 1, "maxSnapshotsPerBatch must be >= 1")
     val q = new TableStreamQuery(
       src, dst, consumerId, (df, _) => transform(df), pollIntervalMs,
-      maxSnapshotsPerBatch, emitUpserts, cdcKeys = None)
+      maxSnapshotsPerBatch, emitUpserts, cdcKeys = None, caps = caps)
     q.startThread()
     q
   }
@@ -78,13 +79,14 @@ object TableStream {
       consumerId: String,
       transform: (DataFrame, Long) => DataFrame,
       pollIntervalMs: Long = 200L,
-      maxSnapshotsPerBatch: Int = Int.MaxValue): TableStreamQuery = {
+      maxSnapshotsPerBatch: Int = Int.MaxValue,
+      caps: Admission.Caps = Admission.Caps.Unlimited): TableStreamQuery = {
     require(consumerId.nonEmpty, "consumerId must be non-empty")
     require(pollIntervalMs > 0, "pollIntervalMs must be positive")
     require(maxSnapshotsPerBatch >= 1, "maxSnapshotsPerBatch must be >= 1")
     val q = new TableStreamQuery(
       src, dst, consumerId, transform, pollIntervalMs, maxSnapshotsPerBatch,
-      emitUpserts = false, cdcKeys = None)
+      emitUpserts = false, cdcKeys = None, caps = caps)
     q.startThread()
     q
   }
@@ -110,17 +112,29 @@ object TableStream {
       keyCols: Seq[String],
       transform: DataFrame => DataFrame = identity,
       pollIntervalMs: Long = 200L,
-      maxSnapshotsPerBatch: Int = Int.MaxValue): TableStreamQuery = {
+      maxSnapshotsPerBatch: Int = Int.MaxValue,
+      caps: Admission.Caps = Admission.Caps.Unlimited): TableStreamQuery = {
     require(consumerId.nonEmpty, "consumerId must be non-empty")
     require(keyCols.nonEmpty, "CDC mode needs at least one key column")
     require(pollIntervalMs > 0, "pollIntervalMs must be positive")
     require(maxSnapshotsPerBatch >= 1, "maxSnapshotsPerBatch must be >= 1")
     val q = new TableStreamQuery(
       src, dst, consumerId, (df, _) => transform(df), pollIntervalMs,
-      maxSnapshotsPerBatch, emitUpserts = true, cdcKeys = Some(keyCols))
+      maxSnapshotsPerBatch, emitUpserts = true, cdcKeys = Some(keyCols),
+      caps = caps)
     q.startThread()
     q
   }
+
+  /** Pending main-chain snapshot ids in `(from, cur]`, oldest first
+    * (metadata-only walk).
+    */
+  private[stream] def pendingChain(
+      meta: TableMetadata, fromId: Long, curId: Long): Seq[Long] =
+    Iterator.iterate(meta.snapshotById(curId))(
+      _.flatMap(_.parentId).flatMap(meta.snapshotById))
+      .takeWhile(s => s.isDefined && s.get.id != fromId)
+      .flatten.map(_.id).toSeq.reverse
 
   /** The newest deliverable snapshot at most `maxSnaps` commits past
     * `from` on the main chain (newest-first walk, bounded by the
@@ -129,11 +143,7 @@ object TableStream {
   private[stream] def boundedTo(
       meta: TableMetadata, fromId: Long, curId: Long, maxSnaps: Int): Long = {
     if (maxSnaps == Int.MaxValue) return curId
-    val newestFirst = Iterator.iterate(meta.snapshotById(curId))(
-      _.flatMap(_.parentId).flatMap(meta.snapshotById))
-      .takeWhile(s => s.isDefined && s.get.id != fromId)
-      .flatten.map(_.id).toSeq
-    newestFirst.reverse.take(maxSnaps).lastOption.getOrElse(curId)
+    pendingChain(meta, fromId, curId).take(maxSnaps).lastOption.getOrElse(curId)
   }
 }
 
@@ -146,7 +156,15 @@ final class TableStreamQuery private[stream] (
     pollIntervalMs: Long,
     maxSnapshotsPerBatch: Int,
     emitUpserts: Boolean,
-    cdcKeys: Option[Seq[String]] = None) {
+    cdcKeys: Option[Seq[String]] = None,
+    /** File/byte admission caps ([[Admission]], round 18): bound what
+      * one trigger delivers, at snapshot granularity — the first sync
+      * (full image) stays one batch here because the watermark lives in
+      * the destination commit and has no sub-snapshot form; the
+      * checkpoint-backed `graft-table` source is the surface with image
+      * chunking.
+      */
+    caps: Admission.Caps = Admission.Caps.Unlimited) {
 
   @volatile private var stopped = false
   private val committed = new AtomicLong(0L)
@@ -173,7 +191,20 @@ final class TableStreamQuery private[stream] (
     val last = dst.metadata.streamWatermarks.get(consumerId)
     if (last.exists(_ >= curId)) return false // caught up
     val toId = last match {
-      case Some(l) => TableStream.boundedTo(meta, l, curId, maxSnapshotsPerBatch)
+      case Some(l) =>
+        val snapBounded = TableStream.boundedTo(meta, l, curId, maxSnapshotsPerBatch)
+        if (caps.unlimited) snapBounded
+        else {
+          // greedy prefix under the file/byte caps; at least one
+          // snapshot per trigger (progress guarantee)
+          val chain = TableStream.pendingChain(meta, l, snapBounded)
+          chain.take(Admission.admitSnapshots[Long](chain, caps,
+            id => src.addedSize(
+              meta.snapshotById(id).getOrElse(throw new IllegalStateException(
+                s"pending snapshot $id vanished from the log mid-plan")),
+              needBytes = caps.maxBytes.isDefined)))
+            .lastOption.getOrElse(snapBounded)
+        }
       case None => curId // first sync: one full image
     }
     val delta = last match {

@@ -64,6 +64,33 @@ class TableStreamSpec extends SparkSpec {
     assert(q.batchesCommitted == 5)
   }
 
+  test("file/byte caps bound catch-up at snapshot granularity (round 18)") {
+    val src = fresh("cap-src"); val dst = fresh("cap-dst")
+    src.append(df(Seq(0)))
+    val q0 = TableStream.start(src, dst, "m", pollIntervalMs = 10L)
+    assert(q0.awaitCaughtUp(10000L)); q0.stop()
+    // 6 single-file commits land while the consumer is down
+    (1 to 6).foreach(i => src.append(df(Seq(i))))
+    // cap: 2 files per trigger ⇒ 2 commits per step ⇒ 3 steps
+    val q = new TableStreamQuery(src, dst, "m", (d, _) => d, 10L,
+      Int.MaxValue, false, caps = Admission.Caps(Some(2L), None))
+    var steps = 0
+    while (q.step()) steps += 1
+    assert(steps == 3, s"6 pending 1-file commits under a 2-file cap → 3 steps, got $steps")
+    assert(ids(dst).toSet == (0L to 6L).toSet)
+    // byte cap: sized to one commit's recorded bytes ⇒ one commit/step
+    (7 to 9).foreach(i => src.append(df(Seq(i))))
+    val meta = src.metadata
+    val oneCommit = src.addedSize(meta.currentSnapshot.get, needBytes = true)._2
+    assert(oneCommit > 0L, "commit bytes must be manifest-recorded")
+    val qb = new TableStreamQuery(src, dst, "m", (d, _) => d, 10L,
+      Int.MaxValue, false, caps = Admission.Caps(None, Some(oneCommit + 10L)))
+    var bSteps = 0
+    while (qb.step()) bSteps += 1
+    assert(bSteps == 3, s"3 pending commits under a one-commit byte cap → 3 steps, got $bSteps")
+    assert(ids(dst).toSet == (0L to 9L).toSet)
+  }
+
   test("restart with the same consumerId resumes from the destination's offset") {
     val src = fresh("re-src"); val dst = fresh("re-dst")
     src.append(df(0 until 4))
