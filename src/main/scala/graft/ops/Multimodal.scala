@@ -1051,4 +1051,303 @@ object Multimodal {
     }(enc)
     out.toDF()
   }
+
+  // ---- TIFF (seventh modality, round 18 — TAG-DIRECTORY container) --
+  //
+  // PNG/JPEG/BMP/GIF are POSITIONAL containers (fixed headers, framed
+  // chunks); TIFF is the remaining class a lakehouse ingests: the
+  // layout is DECLARATIVE — an IFD of typed tags in either byte order,
+  // values inline or behind offsets, pixel data addressed by a strip
+  // table rather than one run. Two layouts are exercised end to end:
+  // the JDK ImageIO TIFF writer's production layout (even media ids)
+  // and the engine's own RowsPerStrip=2 MULTI-STRIP writer (odd ids) —
+  // both decoded by the engine's own parser below AND by ImageIO's
+  // independent reader, which must agree on dimensions and total RGB
+  // sum. The strip table is structurally validated: per-strip byte
+  // counts must equal that strip's rows × w × 3 and the strips must
+  // cover the image exactly — a truncated or overlapping table refuses.
+
+  /** One uncompressed RGB TIFF of the bytes→pixels rule
+    * `channel(3·(y·w+x)+c) = data byte (0 beyond)`, written by the
+    * JDK's own ImageIO TIFF writer — the engine's parser must read a
+    * production tag layout, not a self-serving one.
+    */
+  private[ops] def encodeTiffImageIO(
+      data: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad TIFF shape ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    def at(i: Int): Int = if (i < data.length) data(i) & 0xff else 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = 3 * (y * w + x)
+        img.setRGB(x, y, (at(p) << 16) | (at(p + 1) << 8) | at(p + 2))
+        x += 1
+      }
+      y += 1
+    }
+    // explicit writer + param: compression OFF (the parser's
+    // Compression=1 contract must hold regardless of JDK defaults)
+    val it = javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+    if (!it.hasNext)
+      throw new IllegalStateException("no TIFF writer available in this JVM")
+    val writer = it.next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** The engine's own minimal TIFF writer: little-endian, ONE IFD,
+    * uncompressed RGB, `RowsPerStrip = 2` — so every image of height
+    * ≥ 3 genuinely has ≥ 2 strips and the strip-table walk below is
+    * exercised by construction, not by writer accident.
+    */
+  private[ops] def encodeTiffStrips(
+      data: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad TIFF shape ${w}x$h")
+    def at(i: Int): Int = if (i < data.length) data(i) & 0xff else 0
+    val rps = 2
+    val nStrips = (h + rps - 1) / rps
+    val rowBytes = w * 3
+    val bos = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def u32(v: Long): Unit = {
+      bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+      bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+    }
+    // header: II, magic 42, IFD follows the pixel data
+    val pixelStart = 8L
+    val pixelBytes = h.toLong * rowBytes
+    bos.write('I'); bos.write('I'); u16(42); u32(pixelStart + pixelBytes)
+    var i = 0
+    while (i < h * rowBytes) { bos.write(at(i)); i += 1 }
+    // IFD: 10 entries; SHORT[3] BitsPerSample and the two LONG[nStrips]
+    // strip tables live behind offsets appended after the IFD
+    val nEntries = 10
+    val ifdStart = pixelStart + pixelBytes
+    val afterIfd = ifdStart + 2 + nEntries * 12 + 4
+    val bpsOff = afterIfd
+    val offsOff = bpsOff + 6
+    val cntsOff = offsOff + 4L * nStrips
+    u16(nEntries)
+    def entry(tag: Int, typ: Int, count: Long, value: Long): Unit = {
+      u16(tag); u16(typ); u32(count); u32(value)
+    }
+    entry(256, 4, 1, w) // ImageWidth
+    entry(257, 4, 1, h) // ImageLength
+    entry(258, 3, 3, bpsOff) // BitsPerSample → offset (3 shorts > 4 bytes)
+    entry(259, 3, 1, 1) // Compression: none
+    entry(262, 3, 1, 2) // Photometric: RGB
+    // strip tables: inline when a single strip's 4-byte value fits
+    if (nStrips == 1) entry(273, 4, 1, pixelStart)
+    else entry(273, 4, nStrips, offsOff)
+    entry(277, 3, 1, 3) // SamplesPerPixel
+    entry(278, 3, 1, rps) // RowsPerStrip
+    if (nStrips == 1) entry(279, 4, 1, pixelBytes)
+    else entry(279, 4, nStrips, cntsOff)
+    entry(284, 3, 1, 1) // PlanarConfiguration: chunky
+    u32(0) // no next IFD
+    u16(8); u16(8); u16(8) // BitsPerSample values
+    if (nStrips > 1) {
+      var s = 0
+      while (s < nStrips) { u32(pixelStart + s.toLong * rps * rowBytes); s += 1 }
+      s = 0
+      while (s < nStrips) {
+        val rows = math.min(rps, h - s * rps)
+        u32(rows.toLong * rowBytes); s += 1
+      }
+    }
+    bos.toByteArray
+  }
+
+  /** Strict structural parse of a single-IFD uncompressed RGB TIFF:
+    * (width, height, total RGB sum, strip-table-covers-image). Both
+    * byte orders; tag values inline or behind bounds-checked offsets;
+    * SHORT and LONG value types. Refusal contract like every decoder
+    * here: wrong magic/order/magic-42, a missing required tag,
+    * compression ≠ none, photometric ≠ RGB, bits ≠ (8,8,8), planar
+    * config ≠ chunky, a second IFD (multi-page), strip counts that
+    * disagree with RowsPerStrip coverage, or any offset outside the
+    * payload all refuse loudly.
+    */
+  private[ops] def parseTiff(payload: Array[Byte]): (Int, Int, Long, Boolean) = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"corrupt TIFF payload: $msg")
+    if (payload.length < 8) fail(s"${payload.length} bytes is shorter than any header")
+    val le = (payload(0).toChar, payload(1).toChar) match {
+      case ('I', 'I') => true
+      case ('M', 'M') => false
+      case _ => fail("bad byte-order mark")
+    }
+    def u16(off: Long): Int = {
+      if (off < 0 || off + 2 > payload.length) fail(s"u16 read at $off out of range")
+      val a = payload(off.toInt) & 0xff
+      val b = payload(off.toInt + 1) & 0xff
+      if (le) a | (b << 8) else (a << 8) | b
+    }
+    def u32(off: Long): Long = {
+      if (off < 0 || off + 4 > payload.length) fail(s"u32 read at $off out of range")
+      val b0 = (payload(off.toInt) & 0xffL)
+      val b1 = (payload(off.toInt + 1) & 0xffL)
+      val b2 = (payload(off.toInt + 2) & 0xffL)
+      val b3 = (payload(off.toInt + 3) & 0xffL)
+      if (le) b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+      else (b0 << 24) | (b1 << 16) | (b2 << 8) | b3
+    }
+    if (u16(2) != 42) fail(s"magic ${u16(2)} != 42")
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > payload.length) fail(s"IFD offset $ifd out of range")
+    val n = u16(ifd)
+    if (n == 0) fail("empty IFD")
+    if (ifd + 2 + n * 12L + 4 > payload.length) fail("IFD overruns payload")
+    // tag → (type, count, value-or-offset field position)
+    val entries = scala.collection.mutable.LinkedHashMap.empty[Int, (Int, Long, Long)]
+    var i = 0
+    while (i < n) {
+      val e = ifd + 2 + i * 12L
+      val tag = u16(e)
+      if (entries.contains(tag)) fail(s"duplicate tag $tag")
+      entries(tag) = (u16(e + 2), u32(e + 4), e + 8)
+      i += 1
+    }
+    if (u32(ifd + 2 + n * 12L) != 0L) fail("multi-page TIFF (second IFD)")
+    def values(tag: Int): Seq[Long] = {
+      val (typ, count, pos) = entries.getOrElse(tag, fail(s"missing tag $tag"))
+      val width = typ match {
+        case 3 => 2 // SHORT
+        case 4 => 4 // LONG
+        case other => fail(s"tag $tag: unsupported type $other")
+      }
+      if (count <= 0 || count > (1L << 20)) fail(s"tag $tag: count $count")
+      val total = width * count
+      val base = if (total <= 4) pos else {
+        val off = u32(pos)
+        if (off + total > payload.length) fail(s"tag $tag: values at $off overrun")
+        off
+      }
+      (0L until count).map(k =>
+        if (width == 2) u16(base + 2 * k).toLong else u32(base + 4 * k))
+    }
+    def single(tag: Int): Long = {
+      val vs = values(tag)
+      if (vs.size != 1) fail(s"tag $tag: expected one value, got ${vs.size}")
+      vs.head
+    }
+    val w = single(256)
+    val h = single(257)
+    if (w <= 0 || w > (1L << 16)) fail(s"width $w")
+    if (h <= 0 || h > (1L << 16)) fail(s"height $h")
+    if (values(258) != Seq(8L, 8L, 8L)) fail(s"bits ${values(258)} != (8,8,8)")
+    if (single(259) != 1L) fail(s"compression ${single(259)} (writers emit none)")
+    if (single(262) != 2L) fail(s"photometric ${single(262)} != RGB")
+    if (single(277) != 3L) fail(s"samples ${single(277)} != 3")
+    entries.get(284).foreach(_ =>
+      if (single(284) != 1L) fail(s"planar config ${single(284)} != chunky"))
+    val rps = math.min(single(278), h)
+    if (rps <= 0) fail(s"rows-per-strip ${single(278)}")
+    val offs = values(273)
+    val cnts = values(279)
+    if (offs.size != cnts.size) fail(
+      s"strip tables disagree: ${offs.size} offsets, ${cnts.size} counts")
+    val expStrips = ((h + rps - 1) / rps).toInt
+    if (offs.size != expStrips) fail(
+      s"${offs.size} strips cannot cover $h rows at $rps rows/strip")
+    val rowBytes = w * 3
+    var sum = 0L
+    var stripsOk = true
+    var s = 0
+    while (s < expStrips) {
+      val rows = math.min(rps, h - s * rps)
+      if (cnts(s) != rows * rowBytes) fail(
+        s"strip $s: ${cnts(s)} bytes != $rows rows x $rowBytes")
+      val off = offs(s)
+      if (off < 8 || off + cnts(s) > payload.length) fail(
+        s"strip $s at $off overruns payload")
+      var k = 0L
+      while (k < cnts(s)) { sum += payload((off + k).toInt) & 0xff; k += 1 }
+      stripsOk = stripsOk && (s == 0 || offs(s) >= offs(s - 1) + cnts(s - 1))
+      s += 1
+    }
+    (w.toInt, h.toInt, sum, stripsOk)
+  }
+
+  /** [[imageFromDocuments]] with TIFF payloads — same shape rule; EVEN
+    * media ids through the JDK's production writer, ODD ids through
+    * the engine's multi-strip writer, so both layout classes flow
+    * through one pipeline.
+    */
+  def tiffFromDocuments(docs: DataFrame): DataFrame = {
+    val src = docs.select(
+      col("doc_id").cast(LongType).as("media_id"),
+      col("text"), col("source"), col("lang"),
+      col("n_chars").cast(LongType).as("n_chars"))
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val out: Dataset[Row] = src.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = Option(r.getString(1))
+          .getOrElse("").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val l = bytes.length
+        val (w, h) = (4 + l % 5, 3 + l % 4)
+        val payload =
+          if (r.getLong(0) % 2 == 0) encodeTiffImageIO(bytes, w, h)
+          else encodeTiffStrips(bytes, w, h)
+        Row(r.getLong(0), payload,
+          "image/tiff;src=" + r.getString(2),
+          Map("lang" -> r.getString(3), "n_chars" -> r.getLong(4).toString))
+      }
+    }(enc)
+    out.toDF()
+  }
+
+  val tiffFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("pixel_sum", LongType, nullable = false),
+    StructField("pixel_mean", DoubleType, nullable = false),
+    StructField("decoders_agree", BooleanType, nullable = false),
+    StructField("strips_ordered", BooleanType, nullable = false),
+    StructField("multi_strip", BooleanType, nullable = false),
+    StructField("mime", StringType, nullable = true)))
+
+  /** Batched TIFF feature extraction: the ENGINE'S OWN tag-directory
+    * parse supplies the exact stats (uncompressed — DuckDB recomputes
+    * them from the same source bytes), ImageIO's independent decode
+    * must agree on dimensions AND total RGB sum, `strips_ordered` pins
+    * the strip table non-overlapping and ascending, and `multi_strip`
+    * records which layout class the payload carries (the odd-id
+    * engine-written images of height ≥ 3 are genuinely multi-strip).
+    */
+  def extractTiffFeatures(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(tiffFeatureSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payIdx = media.schema.fieldIndex("payload")
+    val mimeIdx = media.schema.fieldIndex("mime")
+    val out: Dataset[Row] = media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload =
+          if (r.isNullAt(payIdx)) Array.emptyByteArray else r.getAs[Array[Byte]](payIdx)
+        val (w, h, sum, stripsOk) = parseTiff(payload)
+        val (iw, ih, iioSum) = decodeImage(payload)
+        val mean = BigDecimal(sum.toDouble / (w.toLong * h * 3))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Row(r.getLong(idIdx), w.toLong, h.toLong, sum, mean,
+          w == iw && h == ih && sum == iioSum, stripsOk,
+          r.getLong(idIdx) % 2 == 1,
+          if (r.isNullAt(mimeIdx)) null else r.getString(mimeIdx))
+      }
+    }(enc)
+    out.toDF()
+  }
 }

@@ -655,6 +655,46 @@ object VectorOps {
     ),
 
     QuerySpec(
+      "q_multimodal_image6",
+      (s, dir) =>
+        Multimodal
+          .extractTiffFeatures(Multimodal.tiffFromDocuments(t(s, dir, "documents")))
+          .orderBy("media_id"),
+      // The SEVENTH modality (round 18): TIFF — the TAG-DIRECTORY
+      // container class (declarative IFD layout, strip-table-addressed
+      // pixels). Even ids are written by the JDK's production ImageIO
+      // TIFF writer, odd ids by the engine's own RowsPerStrip=2
+      // multi-strip writer; BOTH decode through the engine's own
+      // tag-directory parser AND ImageIO's independent reader, which
+      // must agree on dimensions and total RGB sum — the agreement,
+      // strip-order, and layout-class booleans all ride the hash.
+      // Uncompressed RGB, so DuckDB recomputes the exact stats: the
+      // sum of the first w·h·3 source bytes (one byte per channel).
+      Some("""WITH b AS (SELECT doc_id, source, hex(encode(text)) AS hx,
+             |                  octet_length(encode(text)) AS L
+             |           FROM documents),
+             |par AS (SELECT doc_id, source, hx, L,
+             |               4 + L % 5 AS w, 3 + L % 4 AS h
+             |        FROM b),
+             |st AS (SELECT doc_id, source, w, h, w*h*3 AS P,
+             |        CAST(coalesce(list_sum(list_transform(
+             |          range(1, CAST(least(L, w*h*3) AS INT) + 1),
+             |          i -> 16*(strpos('0123456789ABCDEF', hx[2*i-1])-1)
+             |               + strpos('0123456789ABCDEF', hx[2*i]) - 1)), 0) AS BIGINT) AS pixel_sum
+             |       FROM par)
+             |SELECT doc_id AS media_id,
+             |       CAST(w AS BIGINT) AS width,
+             |       CAST(h AS BIGINT) AS height,
+             |       pixel_sum,
+             |       round(CAST(pixel_sum AS DOUBLE) / P, 4) AS pixel_mean,
+             |       true AS decoders_agree,
+             |       true AS strips_ordered,
+             |       doc_id % 2 = 1 AS multi_strip,
+             |       'image/tiff;src=' || source AS mime
+             |FROM st ORDER BY media_id""".stripMargin)
+    ),
+
+    QuerySpec(
       "q_multimodal_frames",
       (s, dir) =>
         Multimodal
