@@ -136,16 +136,24 @@ object Bench {
     * reference the record adjudicates itself per query.
     */
   private[graft] final case class QuietRef(
-      canary1tFactor: Double, mins: Map[String, Double])
+      canary1tFactor: Double, mins: Map[String, Double],
+      /** The scale factor the quiet minima were recorded at (e.g.
+        * "sf0.1"). Attribution only engages when the run's SF dir
+        * matches — a quiet ref from sf0.1 says nothing about an
+        * sf0.001 iteration run's times.
+        */
+      sf: Option[String] = None)
 
   private[graft] def parseQuietRef(src: String): Option[QuietRef] = try {
     val factor = ("\"canary_1t_factor\"\\s*:\\s*([0-9.]+)").r
       .findFirstMatchIn(src).map(_.group(1).toDouble).getOrElse(1.0)
+    val sf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(src).map(_.group(1))
     val entry = "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
     val mins = entry.findAllMatchIn(src)
       .map(m => m.group(1) -> m.group(2).toDouble)
       .filter(_._2 > 0.0).toMap
-    if (mins.isEmpty || factor <= 0.0) None else Some(QuietRef(factor, mins))
+    if (mins.isEmpty || factor <= 0.0) None else Some(QuietRef(factor, mins, sf))
   } catch { case scala.util.control.NonFatal(_) => None }
 
   private[graft] def loadQuietRef(path: String): Option[QuietRef] = try {
@@ -339,9 +347,12 @@ object Bench {
     } catch { case _: Throwable => (None, None) }
     // per-query quiet minima (round 18, VERDICT r17 #1) — the external
     // reference that catches what per-sample gates miss: samples that
-    // agree with EACH OTHER under sustained in-band contention
+    // agree with EACH OTHER under sustained in-band contention. Only
+    // engaged when the run's SF matches the record's: an sf0.1 quiet
+    // min says nothing about an sf0.001 iteration run.
     val quietRef: Option[QuietRef] = loadQuietRef(sys.env.getOrElse(
       "SPARK_GRAFT_QUIET_QUERIES", "tools/quiet_queries.json"))
+      .filter(_.sf.forall(sfDir.endsWith))
     // box factor available DURING sampling (end canary not taken yet)
     val startFactor = quietBand
       .map { case (q1t, _) => math.max(1.0, canary1tStart / q1t) }

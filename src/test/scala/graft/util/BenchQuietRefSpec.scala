@@ -12,13 +12,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchQuietRefSpec extends AnyFunSuite {
   import graft.Bench.{parseQuietRef, quietRatio, QuietRatioFlag, QuietRef}
 
-  test("parseQuietRef reads factor and per-query mins, refuses junk") {
+  test("parseQuietRef reads factor, sf, and per-query mins, refuses junk") {
     val src =
-      """{"source_commit":"1447702","canary_1t_factor":1.151,
+      """{"source_commit":"1447702","sf":"sf0.1","canary_1t_factor":1.151,
         |"queries":{"q_text_span_dedup":2.513,"q_text_bpe":0.578,
         |"q_text_dsir":2.536,"q_scan_filter_project":0.322}}""".stripMargin
     val ref = parseQuietRef(src).get
     assert(ref.canary1tFactor === 1.151)
+    // the SF gate: attribution engages only on matching runs
+    assert(ref.sf.contains("sf0.1"))
+    assert(ref.sf.forall("/root/testdata/sf0.1".endsWith))
+    assert(!ref.sf.forall("/root/testdata/sf0.001".endsWith))
     assert(ref.mins === Map(
       "q_text_span_dedup" -> 2.513, "q_text_bpe" -> 0.578,
       "q_text_dsir" -> 2.536, "q_scan_filter_project" -> 0.322))
@@ -34,6 +38,7 @@ class BenchQuietRefSpec extends AnyFunSuite {
   test("the committed tools/quiet_queries.json parses and covers the bench set") {
     val ref = graft.Bench.loadQuietRef("tools/quiet_queries.json").get
     assert(ref.canary1tFactor > 1.0 && ref.canary1tFactor < 2.0)
+    assert(ref.sf.contains("sf0.1"))
     assert(ref.mins.size >= 30)
     assert(ref.mins.contains("q_text_span_dedup"))
     assert(ref.mins.values.forall(_ > 0.0))
