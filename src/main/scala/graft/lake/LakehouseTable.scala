@@ -415,6 +415,13 @@ final class LakehouseTable(
   private[graft] def readFilesSubset(files: Seq[DataFile]): DataFrame =
     readWithDeletes(files, Nil)
 
+  /** Memoized sorted image list for [[imageFilesAt]]: a chunked
+    * consumer calls it 2-3× per trigger across thousands of triggers
+    * on a big image, and the list is immutable per snapshot — one
+    * entry suffices (chunking works one snapshot at a time).
+    */
+  private var imageFilesMemo: Option[(Long, Seq[DataFile])] = None
+
   /** A snapshot's data files in a DETERMINISTIC (path-sorted) order —
     * the file sequence capped streaming admission chunks the batch-0
     * image over (round 18, VERDICT r17 #2). Manifest order alone is
@@ -422,12 +429,18 @@ final class LakehouseTable(
     * the sort makes chunk offsets replay identically across restarts
     * regardless of when maintenance ran.
     */
-  private[graft] def imageFilesAt(snapshotId: Long): Seq[DataFile] = {
-    val meta = metadata
-    val snap = meta.snapshotById(snapshotId).getOrElse(
-      throw new NoSuchElementException(s"snapshot $snapshotId not found"))
-    dataFiles(snap).sortBy(_.path)
-  }
+  private[graft] def imageFilesAt(snapshotId: Long): Seq[DataFile] =
+    synchronized {
+      imageFilesMemo match {
+        case Some((id, files)) if id == snapshotId => files
+        case _ =>
+          val snap = metadata.snapshotById(snapshotId).getOrElse(
+            throw new NoSuchElementException(s"snapshot $snapshotId not found"))
+          val files = dataFiles(snap).sortBy(_.path)
+          imageFilesMemo = Some((snapshotId, files))
+          files
+      }
+    }
 
   /** Slice `[from, until)` of [[imageFilesAt]]'s list, read with the
     * snapshot's live delete masks applied. Per-chunk masking is exact:
@@ -438,8 +451,7 @@ final class LakehouseTable(
     */
   private[graft] def readImageChunk(
       snapshotId: Long, from: Int, until: Int): DataFrame = {
-    val meta = metadata
-    val snap = meta.snapshotById(snapshotId).getOrElse(
+    val snap = metadata.snapshotById(snapshotId).getOrElse(
       throw new NoSuchElementException(s"snapshot $snapshotId not found"))
     readWithDeletes(imageFilesAt(snapshotId).slice(from, until),
       liveDeleteFiles(snap))
@@ -2176,9 +2188,12 @@ final class LakehouseTable(
           .toDF("snapshot_id", "parent_id", "timestamp_ms", "operation",
             "added_files", "added_rows", "total_rows", "branch", "is_current")
       case "files" =>
-        currentDataFiles.map(f => (f.path, f.specIdOrZero, f.rows,
+        // bytes (round 18): the manifest-recorded on-disk size — null
+        // on pre-r18 entries (size unknown, never guessed)
+        currentDataFiles.map(f => (f.path, f.specIdOrZero, f.rows, f.bytes,
           f.minKeyUs, f.maxKeyUs, f.seqOrMin, f.partitionSegments))
-          .toDF("path", "spec_id", "rows", "min_key_us", "max_key_us", "seq", "partition")
+          .toDF("path", "spec_id", "rows", "bytes",
+            "min_key_us", "max_key_us", "seq", "partition")
       case "manifests" =>
         meta.currentSnapshot.map(log.readManifestList).getOrElse(Nil)
           .map(r => (r.path, r.files.toLong, r.rows, r.minKeyUs, r.maxKeyUs,
@@ -2196,11 +2211,17 @@ final class LakehouseTable(
         currentDataFiles.groupBy(_.partitionSegments).toSeq
           .map { case (tuple, fs) =>
             val complete = fs.forall(f => f.minKeyUs.isDefined && f.maxKeyUs.isDefined)
+            // complete-or-null like the bounds: one size-less member
+            // (pre-r18 entry) makes the partition's total unknown —
+            // never understated
+            val bytesComplete = fs.forall(_.bytes.isDefined)
             (tuple, fs.size.toLong, fs.map(_.rows).sum,
+              if (bytesComplete) Some(fs.flatMap(_.bytes).sum) else None,
               if (complete) Some(fs.flatMap(_.minKeyUs).min) else None,
               if (complete) Some(fs.flatMap(_.maxKeyUs).max) else None)
           }
-          .toDF("partition", "files", "rows", "min_key_us", "max_key_us")
+          .toDF("partition", "files", "rows", "data_bytes",
+            "min_key_us", "max_key_us")
       case "refs" =>
         (meta.tags.toSeq.map { case (n, id) => (n, "tag", id) } ++
           meta.branches.toSeq.map { case (n, id) => (n, "branch", id) })

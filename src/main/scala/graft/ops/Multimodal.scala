@@ -1065,7 +1065,11 @@ object Multimodal {
   // independent reader, which must agree on dimensions and total RGB
   // sum. The strip table is structurally validated: per-strip byte
   // counts must equal that strip's rows × w × 3 and the strips must
-  // cover the image exactly — a truncated or overlapping table refuses.
+  // cover the image exactly — a truncated table refuses; strip ORDER
+  // is a verdict, not a refusal (the `strips_ordered` output boolean —
+  // out-of-order strips still decode, rearranged layouts are legal
+  // TIFF, but the engine's writers never produce them so the flag
+  // rides the oracle hash pinned true).
 
   /** One uncompressed RGB TIFF of the bytes→pixels rule
     * `channel(3·(y·w+x)+c) = data byte (0 beyond)`, written by the
@@ -1172,14 +1176,16 @@ object Multimodal {
   }
 
   /** Strict structural parse of a single-IFD uncompressed RGB TIFF:
-    * (width, height, total RGB sum, strip-table-covers-image). Both
+    * (width, height, total RGB sum, strips-ascending verdict). Both
     * byte orders; tag values inline or behind bounds-checked offsets;
     * SHORT and LONG value types. Refusal contract like every decoder
     * here: wrong magic/order/magic-42, a missing required tag,
     * compression ≠ none, photometric ≠ RGB, bits ≠ (8,8,8), planar
     * config ≠ chunky, a second IFD (multi-page), strip counts that
     * disagree with RowsPerStrip coverage, or any offset outside the
-    * payload all refuse loudly.
+    * payload all refuse loudly. Strip ORDER is the returned verdict,
+    * not a refusal: rearranged strips are legal TIFF and decode
+    * exactly, the engine's writers just never produce them.
     */
   private[ops] def parseTiff(payload: Array[Byte]): (Int, Int, Long, Boolean) = {
     def fail(msg: String): Nothing =

@@ -854,11 +854,6 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         segName: String,
         internal: String => Option[Any],
         identityAttr: Option[AttributeReference])
-    // canonical-form round-trip required everywhere below — the ONE
-    // shared implementation ([[MetadataGroupFacts.canonLong]]), so the
-    // time-dim decode here and the DSv2 identity decode can never
-    // drift on what counts as canonical
-    def canonLong(v: String): Option[Long] = MetadataGroupFacts.canonLong(v)
     def identityDim(a: AttributeReference): Option[GroupDim] = {
       if (meta.aliasMap.contains(a.name)) return None
       val f = fields.find(f => f.transform == "identity" && f.source == a.name)
@@ -894,27 +889,17 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         case Cast(a0: AttributeReference, DateType, _, _) => (a0, "date")
         case _ => return None
       }
-      if (meta.aliasMap.contains(a.name)) return None
-      val tzOk = a.dataType match {
-        case TimestampNTZType => true
-        case TimestampType =>
-          session.sessionState.conf.sessionLocalTimeZone == "UTC"
-        case _ => false
-      }
-      if (!tzOk) return None
-      val granOk = MetadataGroupFacts.timeGranOk(kind).getOrElse(return None)
-      val f = fields.find(f => f.source == a.name && granOk.contains(f.transform))
-        .getOrElse(return None)
-      // granularity admission + dir-int validation + derivation all
-      // live in [[MetadataGroupFacts]] (round 18) — ONE implementation
-      // for this rule and the DSv2 Extract grouping, so the two
-      // surfaces can never drift (the ADVICE r15 phantom-group
-      // validation included)
-      val conv: String => Option[Any] =
-        MetadataGroupFacts.timeDecode(kind, f.transform)
+      // the FULL admission is shared ([[MetadataGroupFacts
+      // .timeDimAdmit]], round 18): alias/schema/tz/granularity gates
+      // and the dir-int-validated decode come from one implementation
+      // for this rule and the DSv2 Extract grouping — zero drift (the
+      // ADVICE r15 phantom-group validation included)
+      val (segName, conv) = MetadataGroupFacts.timeDimAdmit(
+        meta, schema, session.sessionState.conf.sessionLocalTimeZone,
+        kind, a.name).getOrElse(return None)
       Some(GroupDim(e,
         AttributeReference(s"_meta_grp_$i", e.dataType, nullable = false)(),
-        f.name, conv, None))
+        segName, conv, None))
     }
     val dims: Seq[GroupDim] = agg.groupingExpressions.zipWithIndex.map {
       case (a: AttributeReference, _) => identityDim(a).getOrElse(return None)

@@ -224,21 +224,15 @@ final class GraftScanBuilder(table: GraftReadableTable)
       }
     }
     def timeDim(kind: String, srcName: String,
-        dt: org.apache.spark.sql.types.DataType): Option[Dim] = {
-      if (meta.aliasMap.contains(srcName)) return None
-      val tzOk = schema.fieldNames.contains(srcName) &&
-        (schema(srcName).dataType match {
-          case org.apache.spark.sql.types.TimestampNTZType => true
-          case org.apache.spark.sql.types.TimestampType =>
-            g.lt.spark.sessionState.conf.sessionLocalTimeZone == "UTC"
-          case _ => false
-        })
-      if (!tzOk) return None
-      val granOk = MetadataGroupFacts.timeGranOk(kind).getOrElse(return None)
-      fields.find(f => f.source == srcName && granOk.contains(f.transform))
-        .map(f => Dim(f.name, MetadataGroupFacts.timeDecode(kind, f.transform),
-          dt, None, Some(srcName), kind))
-    }
+        dt: org.apache.spark.sql.types.DataType): Option[Dim] =
+      // the FULL admission is shared ([[MetadataGroupFacts
+      // .timeDimAdmit]]) — alias/schema/tz/granularity gates and the
+      // decode come from one implementation, zero drift with the rule
+      MetadataGroupFacts.timeDimAdmit(meta, schema,
+        g.lt.spark.sessionState.conf.sessionLocalTimeZone, kind, srcName)
+        .map { case (segName, conv) =>
+          Dim(segName, conv, dt, None, Some(srcName), kind)
+        }
     val dims: Seq[Dim] = agg.groupByExpressions.toSeq.map {
       case f: NamedReference if f.fieldNames.length == 1 =>
         identityDim(f.fieldNames()(0)).getOrElse(return None)

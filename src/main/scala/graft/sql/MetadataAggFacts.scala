@@ -465,6 +465,33 @@ private[sql] object MetadataGroupFacts {
     seg => canonLong(seg).filter(validDirInt(transform, _))
       .flatMap(v => scala.util.Try(timeDerive(kind, v, transform)).toOption)
 
+  /** The FULL time-dim admission both grouped surfaces share (review
+    * r18: the gates were duplicated, only the decode was shared —
+    * exactly the drift the refactor set out to prevent): renamed
+    * column, schema membership, timestamp-zone soundness (NTZ is
+    * wall-clock on both sides; a ZONED derivation serves only under a
+    * UTC session — the engine's own writers pin UTC, so the dir ints
+    * agree), dir granularity at least as fine as the derivation.
+    * Some((dir level, segment decode)) ⇔ servable.
+    */
+  def timeDimAdmit(
+      meta: graft.lake.TableMetadata, schema: StructType,
+      sessionLocalTimeZone: String, kind: String, srcName: String)
+      : Option[(String, String => Option[Any])] = {
+    if (meta.aliasMap.contains(srcName) ||
+      !schema.fieldNames.contains(srcName)) return None
+    val tzOk = schema(srcName).dataType match {
+      case TimestampNTZType => true
+      case TimestampType => sessionLocalTimeZone == "UTC"
+      case _ => false
+    }
+    if (!tzOk) return None
+    val granOk = timeGranOk(kind).getOrElse(return None)
+    meta.specList.flatMap(_.fields).distinct
+      .find(f => f.source == srcName && granOk.contains(f.transform))
+      .map(f => (f.name, timeDecode(kind, f.transform)))
+  }
+
   // ---- DecimalType sums/avg (round 18, VERDICT r17 #5) ----
   // Per-file decimal sums record the UNSCALED value at the column's
   // declared scale (exact decimal accumulation, gated to fit a Long at

@@ -67,9 +67,13 @@ object Admission {
       val v =
         try math.multiplyExact(num.toLong, mult)
         catch {
-          case e: NumberFormatException => throw new IllegalArgumentException(
-            s"option '$key' must be a positive long" +
-              (if (suffixed) " (k/m/g suffix allowed)" else "") + s", got '$raw'", e)
+          // ArithmeticException: a suffixed value overflowing Long in
+          // multiplyExact must name the option too, not escape raw
+          case e @ (_: NumberFormatException | _: ArithmeticException) =>
+            throw new IllegalArgumentException(
+              s"option '$key' must be a positive long" +
+                (if (suffixed) " (k/m/g suffix allowed)" else "") +
+                s", got '$raw'", e)
         }
       require(v > 0L, s"option '$key' must be positive, got '$raw'")
       v

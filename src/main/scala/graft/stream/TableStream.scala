@@ -126,15 +126,20 @@ object TableStream {
     q
   }
 
-  /** Pending main-chain snapshot ids in `(from, cur]`, oldest first
-    * (metadata-only walk).
+  /** Main-chain snapshot ids in `(stopId, toId]`, oldest first —
+    * None when `stopId` is NOT an ancestor of `toId` (rollback or
+    * expiry changed the lineage under the caller's anchor).
     */
-  private[stream] def pendingChain(
-      meta: TableMetadata, fromId: Long, curId: Long): Seq[Long] =
-    Iterator.iterate(meta.snapshotById(curId))(
-      _.flatMap(_.parentId).flatMap(meta.snapshotById))
-      .takeWhile(s => s.isDefined && s.get.id != fromId)
-      .flatten.map(_.id).toSeq.reverse
+  private[stream] def chainBack(
+      meta: TableMetadata, toId: Long, stopId: Long): Option[Seq[Long]] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var at = meta.snapshotById(toId)
+    while (at.exists(_.id != stopId)) {
+      buf += at.get.id
+      at = at.get.parentId.flatMap(meta.snapshotById)
+    }
+    if (at.isEmpty) None else Some(buf.reverseIterator.toSeq)
+  }
 
   /** The newest deliverable snapshot at most `maxSnaps` commits past
     * `from` on the main chain (newest-first walk, bounded by the
@@ -143,7 +148,8 @@ object TableStream {
   private[stream] def boundedTo(
       meta: TableMetadata, fromId: Long, curId: Long, maxSnaps: Int): Long = {
     if (maxSnaps == Int.MaxValue) return curId
-    pendingChain(meta, fromId, curId).take(maxSnaps).lastOption.getOrElse(curId)
+    chainBack(meta, curId, fromId).getOrElse(return curId)
+      .take(maxSnaps).lastOption.getOrElse(curId)
   }
 }
 
@@ -176,6 +182,42 @@ final class TableStreamQuery private[stream] (
     */
   def batchesCommitted: Long = committed.get()
 
+  /** Cached pending main-ancestry ids (oldest first, all newer than
+    * the delivered watermark) — without it every capped/bounded step
+    * during a long catch-up re-walks the whole remaining backlog,
+    * O(lag²) metadata lookups across the catch-up (the same hazard
+    * [[GraftTableSource]]'s chainAfter caches against). A lineage
+    * change under the cached anchor (rollback) rebuilds from the
+    * watermark; a broken chain falls through to `curId` so
+    * readIncremental raises its own loud incomplete-delta error.
+    */
+  private var pendingCache: Vector[Long] = Vector.empty
+
+  private def boundedCappedTo(
+      meta: TableMetadata, watermark: Long, curId: Long): Long = {
+    if (maxSnapshotsPerBatch == Int.MaxValue && caps.unlimited) return curId
+    pendingCache = pendingCache.dropWhile(_ <= watermark)
+    val anchor = pendingCache.lastOption.getOrElse(watermark)
+    TableStream.chainBack(meta, curId, anchor) match {
+      case Some(fresh) if anchor == watermark => pendingCache = fresh.toVector
+      case Some(fresh) => pendingCache = pendingCache ++ fresh
+      case None => // rollback under the anchor: rebuild from the watermark
+        pendingCache = TableStream.chainBack(meta, curId, watermark)
+          .getOrElse(return curId).toVector
+    }
+    val snapCapped =
+      if (maxSnapshotsPerBatch == Int.MaxValue) pendingCache
+      else pendingCache.take(maxSnapshotsPerBatch)
+    val admitted =
+      if (caps.unlimited) snapCapped
+      else snapCapped.take(Admission.admitSnapshots[Long](snapCapped, caps,
+        id => src.addedSize(
+          meta.snapshotById(id).getOrElse(throw new IllegalStateException(
+            s"pending snapshot $id vanished from the log mid-plan")),
+          needBytes = caps.maxBytes.isDefined)))
+    admitted.lastOption.getOrElse(curId)
+  }
+
   /** The most recent trigger failure, cleared by the next success. */
   def lastError: Option[Throwable] = err.get()
 
@@ -191,20 +233,7 @@ final class TableStreamQuery private[stream] (
     val last = dst.metadata.streamWatermarks.get(consumerId)
     if (last.exists(_ >= curId)) return false // caught up
     val toId = last match {
-      case Some(l) =>
-        val snapBounded = TableStream.boundedTo(meta, l, curId, maxSnapshotsPerBatch)
-        if (caps.unlimited) snapBounded
-        else {
-          // greedy prefix under the file/byte caps; at least one
-          // snapshot per trigger (progress guarantee)
-          val chain = TableStream.pendingChain(meta, l, snapBounded)
-          chain.take(Admission.admitSnapshots[Long](chain, caps,
-            id => src.addedSize(
-              meta.snapshotById(id).getOrElse(throw new IllegalStateException(
-                s"pending snapshot $id vanished from the log mid-plan")),
-              needBytes = caps.maxBytes.isDefined)))
-            .lastOption.getOrElse(snapBounded)
-        }
+      case Some(l) => boundedCappedTo(meta, l, curId)
       case None => curId // first sync: one full image
     }
     val delta = last match {

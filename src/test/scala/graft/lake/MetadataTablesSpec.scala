@@ -35,6 +35,9 @@ class MetadataTablesSpec extends SparkSpec {
     assert(files.agg(sum("rows")).head().getLong(0) == 6L)
     assert(files.select("partition").head().getMap[String, String](0)
       .keys.toSet == Set("DateTime_year"))
+    // round 18: native writes record on-disk sizes in the manifest
+    assert(files.filter(col("bytes").isNull).count() == 0 &&
+      files.agg(sum("bytes")).head().getLong(0) > 0L)
 
     val dels = t.metadataTable("deletes")
     assert(dels.select("kind").collect().map(_.getString(0)).sorted.toSeq ==
@@ -46,6 +49,8 @@ class MetadataTablesSpec extends SparkSpec {
 
     val parts = t.metadataTable("partitions")
     assert(parts.count() == 1 && parts.select("files").head().getLong(0) >= 1L)
+    // per-partition size totals (round 18): complete across members
+    assert(parts.select("data_bytes").head().getLong(0) > 0L)
     // per-partition key coverage (round 15): the bounds ride along
     val span = parts.select("min_key_us", "max_key_us").head()
     assert(!span.isNullAt(0) && !span.isNullAt(1) &&
