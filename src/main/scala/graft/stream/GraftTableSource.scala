@@ -260,6 +260,26 @@ object GraftTableSource {
   }
 }
 
+/** @see [[GraftTableSource]] scaladoc at the top of the file. Implements
+  * [[org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl]]
+  * + [[org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow]]
+  * in the `FileStreamSource` pattern (round 18): once a V1 Source
+  * declares admission control, Spark drives planning through
+  * `latestOffset(start, limit)` in EVERY trigger mode and never calls
+  * `getOffset` — which is exactly what the capped offsets need, for two
+  * reasons. (1) Correctness: the next offer derives from the
+  * checkpoint's AUTHORITATIVE start offset, not from in-memory state —
+  * a restart whose last (committed) batch ended mid-image continues
+  * that image's chunks even when the table advanced meanwhile (the
+  * V1 `getOffset` protocol cannot see the start, and re-offering from
+  * the new head would break the chunk continuation). (2)
+  * Trigger.AvailableNow: Spark's V1 wrapper captures ONE
+  * `getOffset` as the terminal target, so a capped source would drain
+  * a single admission step per run; implementing the interface makes
+  * the source its own wrapper — `prepareForTriggerAvailableNow`
+  * pins the CURRENT head and `latestOffset` walks capped steps up to
+  * it, so a one-shot backfill drains completely in bounded batches.
+  */
 class GraftTableSource(
     spark: SparkSession,
     tableDir: Path,
@@ -285,7 +305,9 @@ class GraftTableSource(
       * never reap the resume chain out from under a lagging or stopped
       * consumer. Decommission with `dropStreamPin(<this id>)`.
       */
-    pinConsumerId: Option[String] = None) extends Source {
+    pinConsumerId: Option[String] = None) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val table = LakehouseTable.load(spark, tableDir)
 
@@ -361,18 +383,48 @@ class GraftTableSource(
     else GraftTableOffset(s, Some(until.toLong))
   }
 
-  override def getOffset: Option[OffsetV1] = {
+  /** Snapshot-id ceiling captured by [[prepareForTriggerAvailableNow]]
+    * — an AvailableNow run drains capped steps up to the head AS OF
+    * query start and then reports caught-up (commits landing mid-run
+    * wait for the next run, the trigger's contract).
+    */
+  private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = table.metadata.currentSnapshotId
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    // the file/byte caps are the source's OWN admission policy,
+    // applied inside offsetAfter — Spark-side limits stay unbounded
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** The next batch end past `startO` (None ⇔ nothing delivered yet),
+    * or None ⇔ caught up. THE one offer implementation: Spark drives
+    * it through [[latestOffset]] with the checkpoint's authoritative
+    * start; [[getOffset]] (tests, legacy callers) feeds it the
+    * in-memory [[lastEnd]].
+    */
+  private def offsetAfter(startO: Option[GraftTableOffset]): Option[GraftTableOffset] = {
     val meta = table.metadata // fresh log read — the table may have advanced
-    meta.currentSnapshotId.flatMap { cur =>
-      lastEnd match {
+    // ids are strictly increasing, so min() clamps to the AvailableNow
+    // target on the main chain
+    val curOpt = availableNowTarget match {
+      case Some(t) => meta.currentSnapshotId.map(math.min(_, t))
+      case None => meta.currentSnapshotId
+    }
+    curOpt.flatMap { cur =>
+      startO match {
         // a capped batch-0 image is still in flight: finish its chunks
         // (pinned at its own snapshot) before offering any delta —
-        // deltas replay (imageSnapshot, cur] afterwards, nothing skips
+        // deltas replay (imageSnapshot, cur] afterwards, nothing skips.
+        // The start is checkpoint-authoritative, so this continuation
+        // survives a restart even when the table advanced meanwhile.
         case Some(GraftTableOffset(s, Some(pos))) =>
           Some(nextImageOffset(s, pos.toInt))
         case other =>
           other.map(_.snapshotId).orElse(baseAtStart) match {
-            case Some(base) if base == cur => None // nothing new
+            case Some(base) if base >= cur => None // nothing new (or past the AvailableNow target)
             case Some(base) =>
               val chain = chainAfter(meta, cur, base)
               val snapCapped =
@@ -398,6 +450,20 @@ class GraftTableSource(
       }
     }
   }
+
+  /** The admission-control offer (the `FileStreamSource` pattern):
+    * once this interface exists, Spark plans through it in EVERY
+    * trigger mode and never calls [[getOffset]]. `start` is the
+    * checkpoint's last end (null ⇔ nothing delivered yet; a restored
+    * offset arrives as SerializedOffset — parsed by its json).
+    */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    offsetAfter(Option(start).map(o => GraftTableOffset.parse(o.json()))).orNull
+
+  override def getOffset: Option[OffsetV1] = offsetAfter(lastEnd)
 
   /** Image rows carry the same stamps a one-batch image carries. */
   private def stampImage(image: DataFrame, imageSnapshot: Long): DataFrame =

@@ -495,6 +495,30 @@ class GraftTableSourceSpec extends SparkSpec {
       s"periodic AvailableNow backfills must stay exactly-once, got $got")
   }
 
+  test("Trigger.AvailableNow drains a CAPPED image fully, chunk by chunk") {
+    // round 18: the one-shot backfill composes with admission caps —
+    // Spark's V1 AvailableNow path re-polls getOffset until no
+    // progress, so the capped image's chunk offsets drain to
+    // completion in one run instead of stopping at the first chunk
+    val root = tmpDir("gts-avncap")
+    val src = fresh(root, "src")
+    val dst = fresh(root, "dst")
+    src.append(df(0 until 30).repartition(6)) // 6-file image, 2/trigger
+    val q = readStream(src, "maxFilesPerTrigger" -> "2")
+      .writeStream.format("graft-table")
+      .option("path", dst.tableDir.toString)
+      .option("queryId", "avncap")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000L), "AvailableNow must self-terminate")
+    val got = dst.read().select("EventId").collect().map(_.getLong(0)).toSeq
+    assert(got.size == got.distinct.size && got.toSet == (0L until 30L).toSet,
+      s"the capped image must drain completely and exactly once, got ${got.sorted}")
+    assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+      "6 files under a 2-file cap = 3 chunk triggers")
+  }
+
   test("mid-stream ADD COLUMN: pinned schema keeps flowing; restart sees the new column") {
     val root = tmpDir("gts-evo")
     val src = fresh(root, "src")
@@ -819,6 +843,49 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(got.toSet == want && got.size == got.distinct.size,
       s"masked chunk union must equal the masked table, got ${got.sorted}")
     assert(GraftTableOffset.parse(start.get.json) == GraftTableOffset(sid))
+  }
+
+  test("latestOffset continues a mid-image start after the table advances (restart shape)") {
+    // round 18: the admission protocol derives the offer from the
+    // CHECKPOINT's start — a restarted driver whose last committed
+    // batch ended mid-image must continue THAT image's chunks even
+    // though the head moved (the V1 getOffset protocol could not see
+    // the start and would have re-offered from the new head, breaking
+    // the chunk continuation)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val root = tmpDir("gts-restartcap")
+    val src = fresh(root, "src")
+    src.append(df(0 until 30).repartition(6))
+    val imageSid = src.metadata.currentSnapshotId.get
+    def mkSource() = new GraftTableSource(spark, src.tableDir,
+      emitUpserts = false, changeFeed = false, latestBase = None,
+      maxSnapshotsPerTrigger = None, caps = Admission.Caps(Some(2L), None))
+    val s1 = mkSource()
+    val e1 = s1.latestOffset(null, ReadLimit.allAvailable())
+    assert(GraftTableOffset.parse(e1.json) == GraftTableOffset(imageSid, Some(2L)))
+    val rows1 = collectBatch(s1.getBatch(None, GraftTableOffset.parse(e1.json)))
+    src.append(df(30 until 35)) // the head advances while "stopped"
+    val s2 = mkSource() // fresh source = restarted driver
+    val e2 = s2.latestOffset(e1, ReadLimit.allAvailable())
+    assert(GraftTableOffset.parse(e2.json) == GraftTableOffset(imageSid, Some(4L)),
+      "the image must continue at its OWN snapshot, not re-offer from the new head")
+    val rows2 = collectBatch(s2.getBatch(
+      Some(GraftTableOffset.parse(e1.json)), GraftTableOffset.parse(e2.json)))
+    val e3 = s2.latestOffset(e2, ReadLimit.allAvailable())
+    assert(GraftTableOffset.parse(e3.json) == GraftTableOffset(imageSid),
+      "third chunk completes the image")
+    val rows3 = collectBatch(s2.getBatch(
+      Some(GraftTableOffset.parse(e2.json)), GraftTableOffset.parse(e3.json)))
+    val e4 = s2.latestOffset(e3, ReadLimit.allAvailable())
+    assert(GraftTableOffset.parse(e4.json).imagePos.isEmpty &&
+      GraftTableOffset.parse(e4.json).snapshotId > imageSid,
+      "after the image, the mid-restart delta delivers")
+    val rows4 = collectBatch(s2.getBatch(
+      Some(GraftTableOffset.parse(e3.json)), GraftTableOffset.parse(e4.json)))
+    assert(s2.latestOffset(e4, ReadLimit.allAvailable()) == null, "caught up")
+    val all = rows1 ++ rows2 ++ rows3 ++ rows4
+    assert(all.size == all.distinct.size && all.toSet == (0L until 35L).toSet,
+      s"chunks + delta must arrive exactly once across the restart, got ${all.sorted}")
   }
 
   test("maxFilesPerTrigger splits catch-up deltas at snapshot boundaries (e2e)") {
