@@ -2240,10 +2240,18 @@ final class LakehouseTable(
         val metaStatus = fs.listStatus(new Path(tableDir, "metadata"))
         def bytesOf(prefix: String): Long =
           metaStatus.filter(_.getPath.getName.startsWith(prefix)).map(_.getLen).sum
-        Seq((currentDataFiles.size.toLong, meta.snapshots.size.toLong,
+        // live DATA bytes (round 18): summed from the manifest-recorded
+        // per-file sizes — no statting; data_files_sized says how much
+        // of the inventory the sum covers (pre-r18 entries are
+        // size-unknown, so a partial count means the total understates)
+        val files0 = currentDataFiles
+        val sized = files0.count(_.bytes.isDefined).toLong
+        Seq((files0.size.toLong, sized,
+          files0.flatMap(_.bytes).sum, meta.snapshots.size.toLong,
           bytesOf("manifest-"), bytesOf("snap-"), bytesOf("v"),
           liveBloom, totalBloom, cacheEntries, cacheFiles.toLong))
-          .toDF("data_files", "snapshots", "manifest_bytes",
+          .toDF("data_files", "data_files_sized", "data_bytes_live",
+            "snapshots", "manifest_bytes",
             "manifest_list_bytes", "version_bytes",
             "bloom_bytes_live", "bloom_bytes_total",
             "jvm_cache_entries", "jvm_cache_files")

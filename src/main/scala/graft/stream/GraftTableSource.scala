@@ -463,6 +463,15 @@ class GraftTableSource(
       : org.apache.spark.sql.connector.read.streaming.Offset =
     offsetAfter(Option(start).map(o => GraftTableOffset.parse(o.json()))).orNull
 
+  /** The UNCAPPED head, for lag observability: StreamingQueryProgress
+    * reports it as `latestOffset` beside the batch's (capped)
+    * endOffset, so a dashboard reads catch-up lag straight off the
+    * progress JSON.
+    */
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    table.metadata.currentSnapshotId.map(GraftTableOffset(_)).orNull
+
   override def getOffset: Option[OffsetV1] = offsetAfter(lastEnd)
 
   /** Image rows carry the same stamps a one-batch image carries. */

@@ -197,6 +197,12 @@ class MetadataTablesSpec extends SparkSpec {
     def l(name: String) = row.getLong(row.fieldIndex(name))
     assert(l("data_files") == t.currentDataFiles.size.toLong)
     assert(l("snapshots") == 2L)
+    // round 18: live data bytes from the manifest-recorded sizes —
+    // fully sized on a native-write table, and the total matches the
+    // actual on-disk sum
+    assert(l("data_files_sized") == l("data_files"))
+    assert(l("data_bytes_live") ==
+      t.currentDataFiles.flatMap(_.bytes).sum && l("data_bytes_live") > 0L)
     assert(l("manifest_bytes") > 0L && l("manifest_list_bytes") > 0L &&
       l("version_bytes") > 0L)
     // both commits' sidecars are live — live == total, nothing orphaned

@@ -866,6 +866,10 @@ class GraftTableSourceSpec extends SparkSpec {
     val rows1 = collectBatch(s1.getBatch(None, GraftTableOffset.parse(e1.json)))
     src.append(df(30 until 35)) // the head advances while "stopped"
     val s2 = mkSource() // fresh source = restarted driver
+    // lag observability: reportLatestOffset is the UNCAPPED head even
+    // while the capped offers are still mid-image
+    assert(GraftTableOffset.parse(s2.reportLatestOffset().json)
+      == GraftTableOffset(src.metadata.currentSnapshotId.get))
     val e2 = s2.latestOffset(e1, ReadLimit.allAvailable())
     assert(GraftTableOffset.parse(e2.json) == GraftTableOffset(imageSid, Some(4L)),
       "the image must continue at its OWN snapshot, not re-offer from the new head")
