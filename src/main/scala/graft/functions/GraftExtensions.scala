@@ -49,6 +49,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "poly_hash takes exactly 1 argument")
         PolyHash(args.head)
+      }),
+    // the register words of Spark's own approx_count_distinct as a
+    // BINARY value (round 18 — the write-side half of the
+    // `write.ndv-columns` metadata pushdown, and a user-facing sketch
+    // surface: mergeable NDV per group/day/shard)
+    ("graft_hll_words",
+      new ExpressionInfo(classOf[HllppWords].getName, "graft_hll_words"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_hll_words takes (col, precision)")
+        // bare AggregateFunction — the analyzer wraps it into an
+        // AggregateExpression like every built-in aggregate builder
+        HllppWords(args.head, litInt(args(1), "precision"))
       })
   )
 

@@ -72,7 +72,15 @@ final case class MetadataAggInfo(
       * and hence its avg — order-independent and equal to the
       * recorded exact total.
       */
-    colAbsSums: Map[String, Long] = Map.empty)
+    colAbsSums: Map[String, Long] = Map.empty,
+    /** Merged HyperLogLog++ sketch per declared ndv column (round 18 —
+      * [[NdvSketch]] encoding), complete-or-absent across every member
+      * and same-precision/same-write-type-or-absent: register max is
+      * associative and idempotent, so this merge IS the register state
+      * a scan-side `approx_count_distinct` over the same rows reaches,
+      * and its estimate equals the scan's bit-for-bit.
+      */
+    colNdv: Map[String, String] = Map.empty)
 
 object MetadataAggInfo {
   /** The facts from PER-FILE manifest entries (the restricted-subset
@@ -187,7 +195,8 @@ object MetadataAggInfo {
       nullsOf: T => Option[Map[String, Long]],
       sumsOf: T => Option[Map[String, Long]],
       signOf: (T, String) => Int,
-      absOf: (T, String) => Option[BigInt]): MetadataAggInfo = {
+      absOf: (T, String) => Option[BigInt],
+      ndvOf: T => Option[Map[String, String]]): MetadataAggInfo = {
     val rows = xs.map(rowsOf).sum
     if (rows == 0L) return MetadataAggInfo(0L, None, Map.empty, Map.empty)
     val keys = xs.map(keyOf)
@@ -261,8 +270,17 @@ object MetadataAggInfo {
     // so mixed-sign tables with small magnitudes now serve too
     val colSumSafe = colSums.keySet.filter(c =>
       combineSigns(xs.map(signOf(_, c))) != 2 || colAbsSums.contains(c))
+    // NDV merge (round 18): complete-or-absent, and mergeEncoded
+    // additionally refuses mixed precisions / mixed write-time types
+    // (their registers are not unionable)
+    val ndvCols = xs.flatMap(ndvOf(_).getOrElse(Map.empty).keys).distinct
+    val colNdv = ndvCols.flatMap { c =>
+      val per = xs.map(ndvOf(_).flatMap(_.get(c)))
+      if (per.exists(_.isEmpty)) None
+      else NdvSketch.mergeEncoded(per.flatten).map(c -> _)
+    }.toMap
     MetadataAggInfo(rows, keyBounds, colBounds, colNulls, colBoundsD,
-      colMinS, colMaxS, colSums, colSumSafe, colAbsSums)
+      colMinS, colMaxS, colSums, colSumSafe, colAbsSums, colNdv)
   }
 }
 
@@ -580,6 +598,20 @@ final class LakehouseTable(
           require(frozen.contains(c),
             s"write.stats-columns names unknown column '$c' " +
               s"(table columns: ${frozen.toSeq.sorted.mkString(", ")})"))
+      }
+      // same trap for ndv sketches (round 18): a typo'd or
+      // unsupported-typed column would silently record nothing
+      if (key == "write.ndv-columns") {
+        val frozen = StructType.fromDDL(meta.schemaDdl)
+        value.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
+          require(frozen.fieldNames.contains(c),
+            s"write.ndv-columns names unknown column '$c' " +
+              s"(table columns: ${frozen.fieldNames.sorted.mkString(", ")})")
+          require(NdvSketch.recordableType(frozen(c).dataType),
+            s"write.ndv-columns column '$c' has non-atomic type " +
+              s"${frozen(c).dataType.catalogString} — sketches record " +
+              "atomic types only")
+        }
       }
       meta.copy(tableProperties = Some(meta.props + (key -> value)))
     }
@@ -2410,10 +2442,62 @@ final class LakehouseTable(
           .toDF("group_column", "group_value", "column", "files",
             "files_with_sums", "sum_servable_legacy", "sum_servable_ansi",
             "avg_servable", "reason")
+      case "ndv_coverage" =>
+        // per-column approx_count_distinct pushdown coverage (round 18
+        // — the ndv analog of sum_coverage): has `write.ndv-columns`
+        // earned out, and if a query still scans, WHY. The verdict
+        // comes from the SAME manifest-LIST fold the serving side
+        // reads ([[MetadataAggInfo.colNdv]] through metadataAggInfo),
+        // so `servable=true` here IS a metadata-only answer for a
+        // default-rsd `approx_count_distinct(c)` — and `ndv_estimate`
+        // is then the exact value such a query returns. `reason` names
+        // the first failing gate: live_mask, renamed_or_missing_column,
+        // missing_ndv:<n> (sketch-less files — imports and
+        // pre-declaration writes; compaction re-earns), stale_type
+        // (write-time hash type ≠ current read type — a widen;
+        // compaction re-records), precision_mismatch (recorded at a
+        // non-default rsd), ok.
+        val declared = meta.props.get("write.ndv-columns").toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).distinct
+        val masked = meta.currentSnapshot
+          .exists(s => log.readManifestListData(s).liveDeletes.nonEmpty)
+        val info = metadataAggInfo()
+        val files = currentDataFiles
+        val schemaT = org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl)
+        val defaultP = NdvSketch.pOf(
+          new org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper(0.05))
+        declared.map { c =>
+          val withNdv = files.count(_.colNdv.exists(_.contains(c))).toLong
+          val missing = files.size - withNdv.toInt
+          val renamed = meta.aliasMap.contains(c)
+          val inSchema = schemaT.fieldNames.contains(c)
+          val empty = info.exists(_.rows == 0L)
+          val merged = info.flatMap(_.colNdv.get(c))
+          val decoded = merged.flatMap(NdvSketch.decode)
+          val tagOk = inSchema && !renamed && decoded.exists(
+            _._2 == NdvSketch.typeTag(schemaT(c).dataType))
+          val pOk = decoded.map(_._1) == defaultP
+          val servable = !renamed && inSchema && (empty || (tagOk && pOk))
+          val est: Option[Long] =
+            if (!servable) None
+            else if (empty) Some(0L)
+            else merged.flatMap(NdvSketch.estimate)
+          val reason =
+            if (masked) "live_mask"
+            else if (renamed || !inSchema) "renamed_or_missing_column"
+            else if (empty) "ok"
+            else if (missing > 0) s"missing_ndv:$missing"
+            else if (merged.isEmpty) "mixed_sketches"
+            else if (!tagOk) "stale_type"
+            else if (!pOk) "precision_mismatch"
+            else "ok"
+          (c, files.size.toLong, withNdv, servable, est, reason)
+        }.toDF("column", "files", "files_with_ndv", "servable",
+          "ndv_estimate", "reason")
       case other => throw new IllegalArgumentException(
         s"unknown metadata table '$other' (one of: snapshots, files, " +
           "manifests, deletes, partitions, refs, storage, sum_coverage, " +
-          "sum_coverage_groups)")
+          "sum_coverage_groups, ndv_coverage)")
     }
   }
 
@@ -2990,7 +3074,7 @@ final class LakehouseTable(
       val renamedProps = meta.props.map {
         case (k, v) if Set("write.stats-columns", "zorder.columns",
           "write.sort-order", "manifests.cluster-by",
-          "write.sum-columns").contains(k) =>
+          "write.sum-columns", "write.ndv-columns").contains(k) =>
           k -> v.split(",").map(_.trim)
             .map(c => if (c == oldName) newName else c).mkString(",")
         case kv => kv
@@ -3661,10 +3745,10 @@ final class LakehouseTable(
     // when compaction rewrites them. Integral non-partition columns
     // only; doubles are excluded (their sum is order-dependent).
     val sumSchema = StructType.fromDDL(meta.schemaDdl)
-    val sumCols: Seq[String] = {
-      val identitySources =
-        meta.specList.flatMap(_.fields).filter(_.transform == "identity")
-          .map(_.source).toSet
+    val identitySources =
+      meta.specList.flatMap(_.fields).filter(_.transform == "identity")
+        .map(_.source).toSet
+    val sumCols: Seq[String] =
       meta.props.get("write.sum-columns").toSeq
         .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).distinct
         .filter(sumSchema.fieldNames.contains)
@@ -3679,27 +3763,64 @@ final class LakehouseTable(
           case _: org.apache.spark.sql.types.DecimalType => true
           case _ => false
         })
-    }
+    // Per-file HLL++ register sketches for `write.ndv-columns` (round
+    // 18 — [[NdvSketch]]): recorded in the SAME read-back pass with
+    // Spark's own approx_count_distinct update code
+    // ([[graft.functions.HllppWords]]), at the precision derived from
+    // `write.ndv-rsd` (default 0.05 = Spark's own default, so a bare
+    // `approx_count_distinct(c)` matches). Identity partition sources
+    // are excluded (they live in dir names, not data pages — and their
+    // exact distinct count already serves via countDistinctIdentity);
+    // non-atomic types are refused at declaration.
+    val ndvRsd: Double = meta.props.get("write.ndv-rsd")
+      .flatMap(_.toDoubleOption).filter(r => r > 0.0 && r < 1.0)
+      .getOrElse(0.05)
+    val ndvP: Option[Int] =
+      NdvSketch.pOf(new org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper(ndvRsd))
+    val ndvCols: Seq[String] =
+      if (ndvP.isEmpty) Nil
+      else meta.props.get("write.ndv-columns").toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).distinct
+        .filter(sumSchema.fieldNames.contains)
+        .filterNot(identitySources.contains)
+        .filter(c => NdvSketch.recordableType(sumSchema(c).dataType))
     // the column's own scale: 0 for integral columns (unscaled ≡ value)
     def sumScale(c: String): Int = sumSchema(c).dataType match {
       case d: org.apache.spark.sql.types.DecimalType => d.scale
       case _ => 0
     }
-    val fileSums: Map[String, Map[String, Long]] =
-      if (sumCols.isEmpty || preStats.isDefined || parts.isEmpty) Map.empty
+    val (fileSums, fileNdv): (Map[String, Map[String, Long]], Map[String, Map[String, String]]) =
+      if ((sumCols.isEmpty && ndvCols.isEmpty) || preStats.isDefined || parts.isEmpty)
+        (Map.empty, Map.empty)
       else {
         val decode = (p: Path) => p.toUri.getPath
         val relOf = parts.map(p => decode(p) ->
           p.toString.stripPrefix(stagingQ.toString + "/")).toMap
         // widest precision at the column's OWN scale: the job itself
         // can never overflow or round under any SQL mode
-        val aggs = sumCols.map(c => sum(col(c).cast(
-          org.apache.spark.sql.types.DecimalType(38, sumScale(c)))).as(c))
-        spark.read.parquet(parts.map(_.toString): _*)
+        val sumAggs = sumCols.map(c => sum(col(c).cast(
+          org.apache.spark.sql.types.DecimalType(38, sumScale(c)))).as("_sum_" + c))
+        // ndv aggregates: register words at the TABLE-schema type —
+        // the read below declares that schema explicitly, so the
+        // hashed internal value is exactly what a scan-side
+        // approx_count_distinct over the committed table sees. The
+        // session-local function registration is idempotent (replaces
+        // itself) and independent of whether GraftExtensions is
+        // installed — native writes must not require the extension.
+        if (ndvCols.nonEmpty) graft.functions.GraftExtensions.register(spark)
+        val ndvAggs = ndvCols.map { c =>
+          val quoted = "`" + c.replace("`", "``") + "`"
+          expr(s"graft_hll_words($quoted, ${ndvP.get})").as("_ndv_" + c)
+        }
+        val aggs = sumAggs ++ ndvAggs
+        val readCols = (sumCols ++ ndvCols).distinct
+        val readSchema = StructType(readCols.map(c => sumSchema(c)))
+        val byFile = spark.read.schema(readSchema)
+          .parquet(parts.map(_.toString): _*)
           .groupBy(input_file_name().as("_graft_file"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
-          .flatMap { r =>
+        val sums = byFile.flatMap { r =>
             val abs = new Path(new java.net.URI(r.getString(0))).toUri.getPath
             relOf.get(abs).map { rel =>
               rel -> sumCols.zipWithIndex.flatMap { case (c, i) =>
@@ -3718,6 +3839,18 @@ final class LakehouseTable(
               }.toMap
             }
           }.toMap
+        val ndvs = byFile.flatMap { r =>
+            val abs = new Path(new java.net.URI(r.getString(0))).toUri.getPath
+            relOf.get(abs).map { rel =>
+              rel -> ndvCols.zipWithIndex.map { case (c, j) =>
+                val words = NdvSketch.packedBytesToWords(
+                  r.getAs[Array[Byte]](1 + sumCols.size + j))
+                c -> NdvSketch.encode(ndvP.get,
+                  NdvSketch.typeTag(sumSchema(c).dataType), words)
+              }.toMap
+            }
+          }.toMap
+        (sums, ndvs)
       }
     // one conf derivation for the whole pass (the string-exactness
     // gate's input; cloning a Configuration per file was measurable)
@@ -3797,6 +3930,16 @@ final class LakehouseTable(
         colSums = fileSums.get(rel).filter(_.nonEmpty).orElse(
           if (sumCols.nonEmpty && preStats.isEmpty && fi.rows == 0L)
             Some(sumCols.map(_ -> 0L).toMap)
+          else None),
+        // a zero-row file's sketch is the all-zero register identity —
+        // synthesized like the sums above (the file never reaches the
+        // groupBy), so one empty part file cannot poison the
+        // complete-or-bail ndv fold for the whole table
+        colNdv = fileNdv.get(rel).filter(_.nonEmpty).orElse(
+          if (ndvCols.nonEmpty && preStats.isEmpty && fi.rows == 0L)
+            Some(ndvCols.map(c => c -> NdvSketch.encode(ndvP.get,
+              NdvSketch.typeTag(sumSchema(c).dataType),
+              NdvSketch.emptyWords(ndvP.get))).toMap)
           else None))
     }
     fs.delete(staging, true)

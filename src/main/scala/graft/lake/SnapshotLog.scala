@@ -177,6 +177,18 @@ final case class DataFile(
       * (addFiles never reads data pages) and pre-round-16 entries.
       */
     colSums: Option[Map[String, Long]] = None,
+    /** Per-file HyperLogLog++ sketch of the declared `write.ndv-columns`
+      * (round 18 — [[NdvSketch]], encoded `p:typeTag:b64(words)`):
+      * recorded by the engine's write pass with Spark's OWN
+      * `approx_count_distinct` update code, so the register merge of
+      * any file subset reproduces a scan's estimate bit-for-bit. The
+      * tag pins the hash-input type at write time — a later widen
+      * makes the recorded registers hash-incompatible, and the serving
+      * side's tag-vs-current-type gate bails until compaction
+      * re-records. Absent on imports (addFiles never reads data pages)
+      * and pre-round-18 entries — additive, no format bump.
+      */
+    colNdv: Option[Map[String, String]] = None,
     /** COMPACT on-disk form of [[extraBounds]] + [[colNulls]] (round
       * 15, VERDICT r14 #5): one short string per entry, ordinal
       * against the manifest-level [[ManifestData.statsCols]] header —
@@ -703,7 +715,26 @@ final case class ManifestRef(
       * and proves avg()'s double-accumulation exactness when ≤ 2⁵³.
       * Additive: absent in pre-round-17 lists ⇔ the sign proof alone.
       */
-    columnAbsSums: Option[Map[String, Long]] = None
+    columnAbsSums: Option[Map[String, Long]] = None,
+    /** Merged HyperLogLog++ sketch per declared ndv column across this
+      * manifest's files (round 18 — [[NdvSketch]] encoding), recorded
+      * only when EVERY member file carries a sketch of the same
+      * precision and write-time type. Register max is associative and
+      * idempotent, so the list-level merge of these roll-ups IS the
+      * snapshot's sketch — whole-table `approx_count_distinct` serves
+      * from one manifest-LIST fold, zero manifest parses. Additive.
+      */
+    columnNdv: Option[Map[String, String]] = None,
+    /** Total on-disk bytes of this manifest's files (round 18),
+      * recorded only when EVERY member carries a recorded size — an
+      * incomplete sum would UNDERSTATE the table and a planner reading
+      * it as truth could wrongly broadcast a huge side. What
+      * [[graft.sql.GraftV1FallbackScan]]'s `estimateStatistics`
+      * reports to Spark's join planning with zero manifest parses.
+      * Additive: absent (pre-r18 lists, or unsized members) ⇔ size
+      * unknown, the planner keeps its conservative default.
+      */
+    dataBytes: Option[Long] = None
 ) {
   def overlaps(loUs: Long, hiUs: Long): Boolean = (minKeyUs, maxKeyUs) match {
     case (Some(lo), Some(hi)) => hi >= loUs && lo <= hiUs
@@ -1661,13 +1692,30 @@ final class SnapshotLog(
         if (tot <= BigInt(Long.MaxValue)) Some(c -> tot.toLong) else None
       }
     }.toMap
+    // NDV roll-up (round 18): the manifest's merged HLL++ sketch per
+    // declared ndv column — complete-or-absent like the rest, and
+    // additionally same-precision/same-type-or-absent (mergeEncoded
+    // refuses a mixed-p or mixed-type member set: its registers are
+    // not unionable)
+    val ndvCols = files.flatMap(_.colNdv.getOrElse(Map.empty).keys).distinct
+    val ndvRollup = ndvCols.flatMap { c =>
+      val per = files.map(_.colNdv.flatMap(_.get(c)))
+      if (per.exists(_.isEmpty)) None
+      else NdvSketch.mergeEncoded(per.flatten).map(c -> _)
+    }.toMap
     ManifestRef(s"metadata/$name", files.size, files.map(_.rows).sum, bounds._1, bounds._2,
       partitionValues = if (summary.isEmpty) None else Some(summary),
       columnBounds = if (colRollup.isEmpty) None else Some(colRollup),
       columnNulls = if (nullRollup.isEmpty) None else Some(nullRollup),
       columnSums = if (sumRollup.isEmpty) None else Some(sumRollup),
       columnSumSigns = if (sumSigns.isEmpty) None else Some(sumSigns),
-      columnAbsSums = if (absSums.isEmpty) None else Some(absSums))
+      columnAbsSums = if (absSums.isEmpty) None else Some(absSums),
+      columnNdv = if (ndvRollup.isEmpty) None else Some(ndvRollup),
+      // byte roll-up (round 18): complete-or-absent — a partial sum
+      // understates, and planners treat the value as the table's size
+      dataBytes =
+        if (files.forall(_.bytes.isDefined)) Some(files.flatMap(_.bytes).sum)
+        else None)
   }
 
   /** Read one manifest's data files (path is table-relative). Parses

@@ -2302,6 +2302,140 @@ object LakeOps {
       .orderBy("sym") // the driver's hash is row-order-sensitive
   }
 
+  /** `approx_count_distinct` metadata pushdown (round 18 —
+    * [[graft.lake.NdvSketch]] / `write.ndv-columns`): per-file HLL++
+    * register sketches, recorded by the write pass with Spark's OWN
+    * aggregate update code, merge by register max into exactly the
+    * register state a scan reaches — so the served estimate equals the
+    * scan's BIT-FOR-BIT, whole-table / per-identity-group /
+    * identity-restricted, with zero data files planned. The flow
+    * proves plan facts AND value equality against a forced-scan rerun
+    * (conf `spark.graft.sql.metadata-aggregates=false`), rides them as
+    * booleans on the oracle hash next to the EXACT distinct counts
+    * (DuckDB-portable; the estimates themselves are Spark-internal
+    * values DuckDB's own approx sketch cannot reproduce), and checks
+    * the `ndv_coverage` metadata table reports what the server does.
+    */
+  def sqlNdvPushdownFlow(s: SparkSession, dir: String): DataFrame = {
+    val wh = freshWarehouse("graft-ndv")
+    val cat = s"graft_sql_${sqlCatalogRuns.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gold")
+    val ev = graft.Tables.t(s, dir, "events")
+      .select(
+        concat(lit("s"), pmod(col("user_id"), lit(8)).cast("string")).as("sym"),
+        col("ts").cast(TimestampType).as("ts"), col("user_id"),
+        concat(lit("t"), lpad(pmod(col("user_id"), lit(100)).cast("string"),
+          3, "0")).as("tag"),
+        (pmod(col("user_id"), lit(1000)) * lit(0.25))
+          .cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("amt"))
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+    val table = LakehouseTable.createIfNotExists(
+      s, new org.apache.hadoop.fs.Path(wh, "gold/ndv"), ev.schema,
+      Seq("sym" -> "identity", "ts" -> "day"))
+    table.setProperty("write.ndv-columns", "user_id,tag,amt")
+    // two commits → ≥2 files per symbol dir: the merge is load-bearing
+    // (values repeat across files, per-file counts do not add up)
+    (0 until 2).foreach(r =>
+      table.append(ev.filter(pmod(col("user_id"), lit(2)) === r)))
+    def forcedScan[A](body: => A): A = {
+      s.conf.set("spark.graft.sql.metadata-aggregates", "false")
+      try body finally s.conf.unset("spark.graft.sql.metadata-aggregates")
+    }
+    // whole-table: zero files AND bit-for-bit equal to the scan
+    val sqlAll =
+      s"""SELECT approx_count_distinct(user_id) AS u,
+         |       approx_count_distinct(tag) AS t,
+         |       approx_count_distinct(amt) AS a
+         |FROM $cat.gold.ndv""".stripMargin
+    val qAll = s.sql(sqlAll)
+    val ndvOnly = scannedFiles(qAll) == 0
+    val servedAll = qAll.head()
+    val truthAll = forcedScan {
+      val q = s.sql(sqlAll)
+      require(scannedFiles(q) > 0, "forced-scan leg must scan")
+      q.head()
+    }
+    val matchesScan = (0 until 3).forall(i =>
+      servedAll.getLong(i) == truthAll.getLong(i))
+    // grouped per identity dir: zero files, rows equal the scan's
+    val sqlG = s"SELECT sym, approx_count_distinct(user_id) AS u " +
+      s"FROM $cat.gold.ndv GROUP BY sym ORDER BY sym"
+    val qGrp = s.sql(sqlG)
+    val grpOnly = scannedFiles(qGrp) == 0
+    val grpServed = qGrp.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val grpTruth = forcedScan(
+      s.sql(sqlG).collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+    val grpMatches = grpServed == grpTruth
+    // identity restriction: the subset's merged sketch
+    val sqlR = s"SELECT approx_count_distinct(tag) AS t " +
+      s"FROM $cat.gold.ndv WHERE sym = 's3'"
+    val qR = s.sql(sqlR)
+    val rOnly = scannedFiles(qR) == 0
+    val rMatches = qR.head().getLong(0) == forcedScan(s.sql(sqlR).head().getLong(0))
+    // undeclared column bails to the scan (answer correct by
+    // construction — it IS the scan)
+    val undeclaredScans = scannedFiles(
+      s.sql(s"SELECT approx_count_distinct(ts) AS v FROM $cat.gold.ndv")) > 0
+    // hybrid range (round 18, the two features composed): a covering
+    // range merges interiors' registers alone (zero files); one µs in,
+    // ONLY the straddlers scan and their registers union with the
+    // interiors' — both values bit-equal to the forced scan
+    val mnUs = s.sql(s"SELECT unix_micros(min(ts)) AS v FROM $cat.gold.ndv")
+      .head().getLong(0)
+    val zone = java.time.ZoneId.of(s.sessionState.conf.sessionLocalTimeZone)
+    val hFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    def tsLit(us: Long): String = {
+      val ldt = java.time.Instant.EPOCH
+        .plus(us, java.time.temporal.ChronoUnit.MICROS)
+        .atZone(zone).toLocalDateTime
+      s"TIMESTAMP '${hFmt.format(ldt)}'"
+    }
+    val sqlCov = s"SELECT approx_count_distinct(user_id) AS v " +
+      s"FROM $cat.gold.ndv WHERE ts >= ${tsLit(mnUs)}"
+    val qCov = s.sql(sqlCov)
+    val coveringOnly = scannedFiles(qCov) == 0 &&
+      qCov.head().getLong(0) == forcedScan(s.sql(sqlCov).head().getLong(0))
+    val sqlHyb = s"SELECT approx_count_distinct(user_id) AS v " +
+      s"FROM $cat.gold.ndv WHERE ts >= ${tsLit(mnUs + 1)}"
+    val qHyb = s.sql(sqlHyb)
+    val sHyb = scannedFiles(qHyb)
+    val hybridBoundary = sHyb > 0 && sHyb < table.currentDataFiles.size &&
+      qHyb.head().getLong(0) == forcedScan(s.sql(sqlHyb).head().getLong(0))
+    // the coverage table's verdict IS the serving verdict, and its
+    // estimate IS the served value
+    val cov = s.sql(s"SELECT column, servable, ndv_estimate, reason " +
+      s"FROM $cat.gold.ndv.ndv_coverage").collect()
+    val covOk = cov.length == 3 && cov.forall(r =>
+      r.getBoolean(1) && r.getString(3) == "ok") &&
+      cov.find(_.getString(0) == "user_id").exists(_.getLong(2) == servedAll.getLong(0))
+    // the estimate is a real estimate: within 5·rsd of the exact count
+    // (deterministic — a pure function of the data)
+    val exact = s.sql(
+      s"""SELECT count(DISTINCT user_id) AS u, count(DISTINCT tag) AS t,
+         |       count(DISTINCT amt) AS a FROM $cat.gold.ndv""".stripMargin).head()
+    val errOk = (0 until 3).forall { i =>
+      val (e, x) = (servedAll.getLong(i).toDouble, exact.getLong(i).toDouble)
+      x == 0.0 || math.abs(e - x) <= 0.25 * x
+    }
+    import s.implicits._
+    Seq((exact.getLong(0), exact.getLong(1), exact.getLong(2)))
+      .toDF("exact_uid", "exact_tag", "exact_amt")
+      .withColumn("ndv_metadata_only", lit(ndvOnly))
+      .withColumn("ndv_matches_scan", lit(matchesScan))
+      .withColumn("grouped_ndv_metadata_only", lit(grpOnly))
+      .withColumn("grouped_ndv_matches_scan", lit(grpMatches))
+      .withColumn("restricted_ndv_metadata_only", lit(rOnly))
+      .withColumn("restricted_ndv_matches_scan", lit(rMatches))
+      .withColumn("undeclared_ndv_scans", lit(undeclaredScans))
+      .withColumn("covering_ndv_metadata_only", lit(coveringOnly))
+      .withColumn("hybrid_ndv_boundary_scan", lit(hybridBoundary))
+      .withColumn("ndv_coverage_ok", lit(covOk))
+      .withColumn("ndv_error_bounded", lit(errOk))
+  }
+
   /** EXACT double bounds (round 15): `value BETWEEN a AND b` on a
     * double stats column prunes files through the exact per-file
     * minD/maxD pair — the long-widened bounds used before round 15
@@ -2617,6 +2751,33 @@ object LakeOps {
              |       true AS straddle_boundary_scan,
              |       true AS grouped_range_metadata_only
              |FROM e GROUP BY sym ORDER BY sym""".stripMargin)
+    ),
+
+    QuerySpec(
+      "q_lake_ndv_pushdown",
+      sqlNdvPushdownFlow,
+      Some("""WITH e AS (
+             |  SELECT user_id,
+             |         concat('t', lpad(CAST(user_id % 100 AS VARCHAR), 3, '0'))
+             |           AS tag,
+             |         CAST(user_id % 1000 * 0.25 AS DECIMAL(12,2)) AS amt
+             |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             |)
+             |SELECT count(DISTINCT user_id) AS exact_uid,
+             |       count(DISTINCT tag) AS exact_tag,
+             |       count(DISTINCT amt) AS exact_amt,
+             |       true AS ndv_metadata_only,
+             |       true AS ndv_matches_scan,
+             |       true AS grouped_ndv_metadata_only,
+             |       true AS grouped_ndv_matches_scan,
+             |       true AS restricted_ndv_metadata_only,
+             |       true AS restricted_ndv_matches_scan,
+             |       true AS undeclared_ndv_scans,
+             |       true AS covering_ndv_metadata_only,
+             |       true AS hybrid_ndv_boundary_scan,
+             |       true AS ndv_coverage_ok,
+             |       true AS ndv_error_bounded
+             |FROM e""".stripMargin)
     ),
 
     QuerySpec(

@@ -312,7 +312,7 @@ object GraftCatalog {
     */
   private[sql] val MetaTables =
     Set("snapshots", "files", "manifests", "deletes", "partitions", "refs",
-      "storage", "sum_coverage", "sum_coverage_groups")
+      "storage", "sum_coverage", "sum_coverage_groups", "ndv_coverage")
 
   /** Spark partition `Transform` → the engine's (source, transform) spec
     * field encoding (`LakehouseTable.createIfNotExists`).

@@ -414,6 +414,13 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
     // Average accumulates in DOUBLE; the in-range subset of each
     // boundary file is bounded by the file's absSumBound)
     case class RAvg(col: String) extends RShape
+    // ndv over a range (round 18, the two r18 features composed): an
+    // interior file with ZERO null keys carries a sketch over exactly
+    // its in-range rows, so the interiors' register merge plus a
+    // boundary-scan HllppWords leg reproduces the scan's registers —
+    // register max is set-union semantics, no proof needed beyond the
+    // per-file precision/type gates the classification applies
+    case class RNdv(col: String, p: Int) extends RShape
     def shapeOf(ae: AggregateExpression): Option[RShape] = {
       if (ae.filter.isDefined) return None
       def integral(a: AttributeReference): Boolean =
@@ -439,6 +446,15 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         case org.apache.spark.sql.catalyst.expressions.aggregate.Average(
             a: AttributeReference, _) if !ae.isDistinct && integral(a) =>
           Some(RAvg(a.name))
+        case hll: org.apache.spark.sql.catalyst.expressions.aggregate
+            .HyperLogLogPlusPlus =>
+          hll.child match {
+            case a: AttributeReference
+                if !meta.aliasMap.contains(a.name) &&
+                  schema.fieldNames.contains(a.name) =>
+              graft.lake.NdvSketch.pOf(hll.hllppHelper).map(RNdv(a.name, _))
+            case _ => None
+          }
         case _ => None
       }
     }
@@ -457,6 +473,7 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
     val sumShapes: Seq[RSum] = shapes.collect { case s: RSum => s }.toSeq
     val sumCols: Seq[String] = sumShapes.map(_.col).distinct
     val avgCols: Seq[String] = shapes.collect { case RAvg(c) => c }.toSeq.distinct
+    val ndvShapes: Seq[RNdv] = shapes.collect { case s: RNdv => s }.toSeq
     // every column whose interior facts must be complete (zero null
     // keys, recorded sum + null count) — avg rides the same facts
     val valueCols: Seq[String] = (sumCols ++ avgCols).distinct
@@ -494,8 +511,19 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
               f.colSums.exists(_.contains(c)) &&
               f.colNulls.exists(_.contains(c))
           }
+          // an ndv interior needs ZERO null keys (a null-key row's
+          // value is in the recorded registers but fails the
+          // predicate, and registers cannot subtract) plus a sketch at
+          // the QUERY's precision hashed at the CURRENT read type
+          val ndvOk = ndvShapes.forall { s =>
+            keyNulls.contains(0L) &&
+              f.colNdv.flatMap(_.get(s.col))
+                .flatMap(graft.lake.NdvSketch.decode)
+                .exists(d => d._1 == s.p && d._2 ==
+                  graft.lake.NdvSketch.typeTag(schema(s.col).dataType))
+          }
           val rowsOk = keyNulls.isDefined || !needRows
-          if (!sumsOk || !rowsOk) boundary += f
+          if (!sumsOk || !rowsOk || !ndvOk) boundary += f
           else {
             anyInterior = true
             interiorFiles += f
@@ -535,6 +563,20 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
       if (intNonNull.getOrElse(c, 0L) == 0L)
         Literal(null, org.apache.spark.sql.types.LongType)
       else Literal(intSums(c).toLong)
+    // the interiors' merged register words per ndv shape — every
+    // interior file passed this shape's ndvOk gate, so the merge is
+    // total and same-p/same-type by construction; an EMPTY interior is
+    // the all-zero identity (estimates 0, perturbs no union)
+    lazy val intNdvWords: Map[RNdv, Array[Byte]] = ndvShapes.map { s =>
+      val merged =
+        if (interiorFiles.isEmpty) None
+        else graft.lake.NdvSketch.mergeEncoded(
+          interiorFiles.map(_.colNdv.get.apply(s.col)).toSeq)
+      s -> merged.flatMap(graft.lake.NdvSketch.decode)
+        .map(d => graft.lake.NdvSketch.wordsToPackedBytes(d._3))
+        .getOrElse(graft.lake.NdvSketch.wordsToPackedBytes(
+          graft.lake.NdvSketch.emptyWords(s.p)))
+    }.toMap
     def interiorAnswer(ae: AggregateExpression): Expression = shapeOf(ae).get match {
       case RCount => Literal(interior)
       case RMin => intMin.map(keyLit).getOrElse(Literal(null, keyDt))
@@ -545,6 +587,9 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
           Literal(null, org.apache.spark.sql.types.DoubleType)
         else Literal(MetadataGroupFacts.exactIntegralAvg(
           intSums(c).toLong, intNonNull(c)))
+      case s: RNdv =>
+        Literal(graft.lake.NdvSketch.estimateWords(
+          graft.lake.NdvSketch.packedBytesToWords(intNdvWords(s)), s.p))
     }
     if (boundary.isEmpty) {
       val rewritten = agg.aggregateExpressions.map(_.transformUp {
@@ -576,6 +621,13 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
           org.apache.spark.sql.catalyst.expressions.aggregate
             .Sum(colAttr, ctx).toAggregateExpression(),
           s"_graft_boundary_sum_$c")()
+      case s @ RNdv(c, p) =>
+        // the boundary's own register words, computed with the SAME
+        // update code that recorded the interiors' sketches
+        val colAttr = r.output.find(_.name == c).getOrElse(return None)
+        (s: RShape) -> Alias(
+          graft.functions.HllppWords(colAttr, p).toAggregateExpression(),
+          s"_graft_boundary_ndv_$c")()
     }.toMap
     // avg combines from sum + count partials, not an avg partial
     // (averaging averages is wrong under unequal counts); a co-occurring
@@ -643,6 +695,11 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
               total, org.apache.spark.sql.types.DoubleType),
             org.apache.spark.sql.catalyst.expressions.Cast(
               n, org.apache.spark.sql.types.DoubleType)))
+      case s: RNdv =>
+        // union the boundary's registers with the interiors' and
+        // estimate — set-union semantics, nothing can double-count
+        graft.functions.HllMergeEstimate(
+          innerAliases(s).toAttribute, intNdvWords(s), s.p)
     }
     val rewritten = agg.aggregateExpressions.map(_.transformUp {
       case ae: AggregateExpression => combined(ae)
@@ -674,6 +731,11 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
             _: AttributeReference, _) => ae.isDistinct
           case org.apache.spark.sql.catalyst.expressions.aggregate.Average(
             _: AttributeReference, _) => ae.isDistinct
+          // approx_count_distinct(col) is SHAPE-answerable since round
+          // 18 (`write.ndv-columns` sketches); DISTINCT is immaterial
+          // for a set-semantics aggregate
+          case hll: org.apache.spark.sql.catalyst.expressions.aggregate
+            .HyperLogLogPlusPlus => !hll.child.isInstanceOf[AttributeReference]
           case _ => true
         })
       case _ => false
@@ -774,6 +836,19 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         case avgFn @ org.apache.spark.sql.catalyst.expressions.aggregate
             .Average(a: AttributeReference, _) if !ae.isDistinct =>
           facts.avgCol(a.name, Some(avgFn))
+        // approx_count_distinct (round 18): the merged per-file HLL++
+        // register state equals the scan's, so the estimate is served
+        // bit-for-bit ([[MetadataAggFacts.ndvCol]] — precision and
+        // write-time-type gated). DISTINCT is immaterial (set
+        // semantics).
+        case hll: org.apache.spark.sql.catalyst.expressions.aggregate
+            .HyperLogLogPlusPlus =>
+          hll.child match {
+            case a: AttributeReference =>
+              graft.lake.NdvSketch.pOf(hll.hllppHelper)
+                .flatMap(facts.ndvCol(a.name, _))
+            case _ => None
+          }
         case _ => None
       }
     }
@@ -1079,6 +1154,17 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         case avgFn @ org.apache.spark.sql.catalyst.expressions.aggregate
             .Average(a: AttributeReference, _) if !ae.isDistinct =>
           MetadataGroupFacts.groupAvg(meta, schema, a.name, files, Some(avgFn))
+        // grouped approx_count_distinct (round 18): the group's merged
+        // per-file sketches — keyRangeUs already bailed above (an
+        // excluded row's value would be in the registers)
+        case hll: org.apache.spark.sql.catalyst.expressions.aggregate
+            .HyperLogLogPlusPlus =>
+          hll.child match {
+            case a: AttributeReference =>
+              graft.lake.NdvSketch.pOf(hll.hllppHelper).flatMap(p =>
+                MetadataGroupFacts.groupNdv(meta, schema, a.name, files, p))
+            case _ => None
+          }
         case _ => None
       }
     }

@@ -189,6 +189,32 @@ private[sql] final class MetadataAggFacts(
         .flatMap(b => exactLiteral(name, if (wantMin) b._1 else b._2))
     }
   }
+
+  /** `approx_count_distinct(name)` as a typed literal (round 18 —
+    * [[graft.lake.NdvSketch]]): the merged per-file HLL++ register
+    * state IS the register state a scan reaches (register max is
+    * associative/commutative/idempotent, and the estimator is a pure
+    * function of that state), so the served value equals the scan's
+    * bit-for-bit — no error bound involved, plan-level equality.
+    * Gates: the roll-up must be complete (one sketch-less file bails),
+    * the recorded precision must equal the QUERY's own helper
+    * precision (`queryP` — a non-default rsd asks for different
+    * registers), and the write-time type tag must equal the column's
+    * CURRENT read type (a widened column hashes differently — old
+    * sketches stop serving until compaction re-records). Renames bail
+    * like every roll-up. Empty table serves 0 (the scan's answer —
+    * `approx_count_distinct` is non-null on empty input).
+    */
+  def ndvCol(name: String, queryP: Int): Option[Literal] = {
+    if (renamed(name) || !schema.fieldNames.contains(name)) return None
+    if (info.rows == 0L) return Some(Literal(0L))
+    for {
+      enc <- info.colNdv.get(name)
+      (p, tag, _) <- graft.lake.NdvSketch.decode(enc)
+      if p == queryP && tag == graft.lake.NdvSketch.typeTag(schema(name).dataType)
+      est <- graft.lake.NdvSketch.estimate(enc)
+    } yield Literal(est)
+  }
 }
 
 /** PER-GROUP answer core shared by the grouped metadata-aggregate
@@ -382,6 +408,29 @@ private[sql] object MetadataGroupFacts {
     */
   def exactIntegralAvg(sum: Long, nonNull: Long): Double =
     sum.toDouble / nonNull.toDouble
+
+  /** Per-group `approx_count_distinct(name)` (round 18 —
+    * [[graft.lake.NdvSketch]]): the merge of the group's per-file
+    * HLL++ sketches, complete-or-bail, precision- and write-type-gated
+    * exactly like [[MetadataAggFacts.ndvCol]] — register max makes the
+    * merged state the state a scan of the group's files reaches, so
+    * the estimate equals the scan's bit-for-bit. Callers have already
+    * dropped zero-row groups (a real GROUP BY emits no row for them).
+    */
+  def groupNdv(
+      meta: TableMetadata, schema: StructType, name: String,
+      files: Seq[DataFile], queryP: Int): Option[Any] = {
+    if (meta.aliasMap.contains(name) || !schema.fieldNames.contains(name))
+      return None
+    val per = files.map(_.colNdv.flatMap(_.get(name)))
+    if (per.exists(_.isEmpty)) return None
+    for {
+      merged <- graft.lake.NdvSketch.mergeEncoded(per.flatten)
+      (p, tag, _) <- graft.lake.NdvSketch.decode(merged)
+      if p == queryP && tag == graft.lake.NdvSketch.typeTag(schema(name).dataType)
+      est <- graft.lake.NdvSketch.estimate(merged)
+    } yield java.lang.Long.valueOf(est)
+  }
 
   // ---- shared time-derivation decode (round 18, VERDICT r17 #3) ----
   // One implementation for BOTH grouped surfaces: the SQL rule's

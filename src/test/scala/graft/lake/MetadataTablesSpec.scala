@@ -119,6 +119,50 @@ class MetadataTablesSpec extends SparkSpec {
       sqlRow.getString(2) == "ok")
   }
 
+  test("ndv_coverage walks the sketch lifecycle: pre-declaration, compact, widen") {
+    // round 18: the "has write.ndv-columns earned out?" question —
+    // flags mirror the serving gates (MetadataAggFacts.ndvCol), so a
+    // servable=true row's ndv_estimate IS the metadata-only answer
+    val data = (0 until 12)
+      .map(i => (Timestamp.valueOf(f"2024-01-01 00:00:00.$i%06d"), i % 5))
+      .toDF("DateTime", "v")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("ndvcov"), "t"), data.schema, Some("DateTime"))
+    def g[A](row: org.apache.spark.sql.Row, n: String): A =
+      row.getAs[A](row.fieldIndex(n))
+    // one file BEFORE the declaration: no sketch → missing_ndv
+    t.append(data.filter(col("v") < 2).coalesce(1))
+    t.setProperty("write.ndv-columns", "v")
+    t.append(data.filter(col("v") >= 2).coalesce(1))
+    val r1 = t.metadataTable("ndv_coverage").head()
+    assert(g[String](r1, "column") == "v")
+    assert(g[Long](r1, "files") == 2L && g[Long](r1, "files_with_ndv") == 1L)
+    assert(!g[Boolean](r1, "servable") &&
+      g[String](r1, "reason") == "missing_ndv:1")
+    // compaction re-earns: servable, and the estimate is the value a
+    // default-rsd approx_count_distinct(v) returns
+    t.compact(1)
+    val r2 = t.metadataTable("ndv_coverage").head()
+    assert(g[Boolean](r2, "servable") && g[String](r2, "reason") == "ok")
+    assert(g[Long](r2, "ndv_estimate") == 5L)
+    // a widen makes the recorded INT-hashed registers stale → visible
+    t.widenColumn("v", org.apache.spark.sql.types.LongType)
+    val r3 = t.metadataTable("ndv_coverage").head()
+    assert(!g[Boolean](r3, "servable") && g[String](r3, "reason") == "stale_type")
+    // SQL surface
+    val wh = tmpDir("ndvcov-sql")
+    spark.conf.set("spark.sql.catalog.g_nc", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.g_nc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g_nc.ns")
+    spark.sql("CREATE TABLE IF NOT EXISTS g_nc.ns.nc (ts TIMESTAMP, v BIGINT) " +
+      "PARTITIONED BY (days(ts)) TBLPROPERTIES ('write.ndv-columns'='v')")
+    spark.sql("INSERT INTO g_nc.ns.nc VALUES (TIMESTAMP '2024-01-01 00:00:00', 7)")
+    val sqlRow = spark.sql(
+      "SELECT column, servable, ndv_estimate, reason FROM g_nc.ns.nc.ndv_coverage").head()
+    assert(sqlRow.getString(0) == "v" && sqlRow.getBoolean(1) &&
+      sqlRow.getLong(2) == 1L && sqlRow.getString(3) == "ok")
+  }
+
   test("sum_coverage_groups names WHICH group's files miss sums (round 18)") {
     // VERDICT r17 #6: per-identity-group rows — the operator sees that
     // only symbol B's files miss sums (an import) and compaction
