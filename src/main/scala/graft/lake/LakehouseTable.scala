@@ -91,16 +91,16 @@ object MetadataAggInfo {
       _.colSums,
       (f, c) => sumSignState(f.rows, f.colNulls.flatMap(_.get(c)),
         f.extraBounds.flatMap(_.find(b => b.column == c && !b.isString))),
-      (f, c) => absSumBound(f, c))
+      (f, c) => absSumBound(f, c), _.colNdv)
 
   /** The facts from manifest-LIST roll-ups (the whole-snapshot path —
     * no manifest parse at all).
     */
-  private[lake] def ofRefs(refs: Seq[ManifestRef]): MetadataAggInfo =
+  private[graft] def ofRefs(refs: Seq[ManifestRef]): MetadataAggInfo =
     fold(refs)(_.rows, r => (r.minKeyUs, r.maxKeyUs), _.columnBounds, _.columnNulls,
       _.columnSums,
       (r, c) => r.columnSumSigns.flatMap(_.get(c)).getOrElse(2),
-      (r, c) => r.columnAbsSums.flatMap(_.get(c)).map(BigInt(_)))
+      (r, c) => r.columnAbsSums.flatMap(_.get(c)).map(BigInt(_)), _.columnNdv)
 
   /** Sign state of one member's contribution to `sum(c)`: 0 neutral
     * (empty or all-null — contributes nothing to any partial sum),
