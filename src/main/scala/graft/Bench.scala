@@ -1156,6 +1156,70 @@ object Bench {
       val (d, pd) = measure(withStats = true)
       f""""stats_manifest":{"files":$nFiles,"undeclared_bytes":$u,"declared_bytes":$d,"undeclared_parse_ms":$pu%.1f,"declared_parse_ms":$pd%.1f}"""
     }
+    // NDV-sketch payload shape (round 18): the SAME 10⁴ entries
+    // carrying a per-file HLL++ register sketch (~440 B base64 at the
+    // default precision) through the production serializer. The scale
+    // claims a `write.ndv-columns` adopter buys: manifest bytes grow
+    // by the payload, the whole-table answer is a LIST fold over 10
+    // manifest roll-ups (microseconds — zero manifest parses), and
+    // even the per-FILE fold a restricted subset pays (decode + merge
+    // of all 10⁴ sketches) stays tens of ms where the scan it replaces
+    // reads every data file.
+    val ndvShapes = {
+      val nm = new Path(tmp.toString, "ndvfix")
+      val p = graft.lake.NdvSketch.pOf(
+        new org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper(0.05)).get
+      val helper = graft.lake.NdvSketch.helperFor(p)
+      def sketch(i: Int): String = {
+        val words = graft.lake.NdvSketch.emptyWords(p)
+        val row = new graft.lake.NdvSketch.WordsRow(words)
+        var k = 0
+        while (k < 50) { // each file holds 50 distinct uid values
+          helper.update(row, 0, java.lang.Long.valueOf(1000000L + i * 50L + k),
+            org.apache.spark.sql.types.LongType)
+          k += 1
+        }
+        graft.lake.NdvSketch.encode(p, "bigint", words)
+      }
+      def entry(i: Int): graft.lake.DataFile = graft.lake.DataFile(
+        s"data/ts_day=2024030${i % 9 + 1}/part-$i.parquet", 50L,
+        Some(day0 * 1000000L + i * 1000L), Some(day0 * 1000000L + i * 1000L + 999L),
+        fbCols = Some(Nil),
+        colNulls = Some(Map("uid" -> 0L)),
+        colNdv = Some(Map("uid" -> sketch(i))))
+      val slog = new graft.lake.SnapshotLog(nm, spark.sessionState.newHadoopConf())
+      val refs = (0 until 10).map(c => slog.writeManifest(
+        c.toLong, (0 until nFiles / 10).map(i => entry(c * (nFiles / 10) + i))))
+      val bytes = fs.listStatus(new Path(nm, "metadata"))
+        .filter(_.getPath.getName.startsWith("manifest-")).map(_.getLen).sum
+      val parseMsNdv = med5(() => {
+        graft.lake.SnapshotLog.clearPlanningCache()
+        val t = System.nanoTime()
+        slog.readManifests(refs)
+        (System.nanoTime() - t) / 1e6
+      })
+      // whole-table serve: fold the 10 manifest-level roll-ups and
+      // estimate — the list-only path metadataAggInfo rides
+      val listFoldMs = med5(() => {
+        val t = System.nanoTime()
+        val info = graft.lake.MetadataAggInfo.ofRefs(refs)
+        info.colNdv.get("uid").flatMap(graft.lake.NdvSketch.estimate).getOrElse(0L)
+        (System.nanoTime() - t) / 1e6
+      })
+      // restricted-subset serve: decode + merge EVERY per-file sketch
+      // (the worst-case identity restriction keeping all files)
+      val entries = refs.flatMap(r => slog.readManifest(r.path))
+      val fileFoldMs = med5(() => {
+        val t = System.nanoTime()
+        graft.lake.NdvSketch.mergeEncoded(
+          entries.map(_.colNdv.get.apply("uid")))
+          .flatMap(graft.lake.NdvSketch.estimate).getOrElse(0L)
+        (System.nanoTime() - t) / 1e6
+      })
+      val est = graft.lake.MetadataAggInfo.ofRefs(refs)
+        .colNdv.get("uid").flatMap(graft.lake.NdvSketch.estimate).getOrElse(0L)
+      f""""ndv_manifest":{"files":$nFiles,"declared_bytes":$bytes,"parse_ms":$parseMsNdv%.1f,"list_fold_ms":$listFoldMs%.2f,"file_fold_ms":$fileFoldMs%.1f,"estimate":$est}"""
+    }
     try {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverseIterator
@@ -1168,8 +1232,8 @@ object Bench {
         f""""canary_1t_ms":$plan1t%.1f,"canary_ratio":${planWide / plan1t}%.2f,"canary_io_ratio":$planIoRatio%.2f"""
     }
     val typed = f""""secondary_point_long_ms":${m("secondary_point_long")}%.1f,"secondary_point_long_files":$secLongN,"secondary_point_long_manifests":$secLongManifests,"secondary_point_double_ms":${m("secondary_point_double")}%.1f,"secondary_point_double_files":$secDblN,"secondary_point_double_manifests":$secDblManifests"""
-    val compact = f"""{"files":$nFiles,"manifest_bytes":$manifestBytes,"stats_columns_declared":true,$planCanary,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"identity_ms":${m("identity")}%.1f,"timerange_ms":${m("timerange")}%.1f,"point_ms":${m("point")}%.1f,"secondary_point_ms":${m("secondary_point")}%.1f,"secondary_manifests_parsed":$secManifests,$typed,"metadata_agg_ms":${m("metadata_agg")}%.1f,"group_agg_ms":${m("group_agg")}%.1f,"group_agg_cached_ms":${m("group_agg_cached")}%.1f,"clustered_identity_ms":${mc("cl")}%.1f,"policy_clustered":$policyClustered,"folded_full_scan_ms":$foldedMs%.1f,$bloomShapes,$statsShapes}"""
-    val detail = f"""{"files":$nFiles,"manifest_bytes":$manifestBytes,"stats_columns_declared":true,"commits":$nDays,"build_sec":$buildSec%.3f,"build_copy_sec":$copySec%.3f,"build_import_sec":$importSec%.3f,$planCanary,"full_scan_cold_ms":$fullCold%.1f,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"full_files":$fullN,"identity_ms":${m("identity")}%.1f,"identity_cached_ms":${m("identity_cached")}%.1f,"identity_files":$idN,"timerange_ms":${m("timerange")}%.1f,"timerange_files":$trN,"point_ms":${m("point")}%.1f,"point_files":$ptN,"secondary_point_ms":${m("secondary_point")}%.1f,"secondary_point_files":$secN,"secondary_manifests_parsed":$secManifests,$typed,"metadata_agg_ms":${m("metadata_agg")}%.1f,"group_agg_ms":${m("group_agg")}%.1f,"group_agg_cached_ms":${m("group_agg_cached")}%.1f,"policy_clustered":$policyClustered,"clustered_identity_ms":${mc("cl")}%.1f,"clustered_identity_cached_ms":${mc("cl_cached")}%.1f,"clustered_identity_files":$clIdN,"folded_full_scan_ms":$foldedMs%.1f,"folded_files":$foldedN,"sweeps":2,$bloomShapes,$statsShapes}"""
+    val compact = f"""{"files":$nFiles,"manifest_bytes":$manifestBytes,"stats_columns_declared":true,$planCanary,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"identity_ms":${m("identity")}%.1f,"timerange_ms":${m("timerange")}%.1f,"point_ms":${m("point")}%.1f,"secondary_point_ms":${m("secondary_point")}%.1f,"secondary_manifests_parsed":$secManifests,$typed,"metadata_agg_ms":${m("metadata_agg")}%.1f,"group_agg_ms":${m("group_agg")}%.1f,"group_agg_cached_ms":${m("group_agg_cached")}%.1f,"clustered_identity_ms":${mc("cl")}%.1f,"policy_clustered":$policyClustered,"folded_full_scan_ms":$foldedMs%.1f,$bloomShapes,$statsShapes,$ndvShapes}"""
+    val detail = f"""{"files":$nFiles,"manifest_bytes":$manifestBytes,"stats_columns_declared":true,"commits":$nDays,"build_sec":$buildSec%.3f,"build_copy_sec":$copySec%.3f,"build_import_sec":$importSec%.3f,$planCanary,"full_scan_cold_ms":$fullCold%.1f,"full_scan_ms":${m("full")}%.1f,"full_scan_cached_ms":${m("full_cached")}%.1f,"full_files":$fullN,"identity_ms":${m("identity")}%.1f,"identity_cached_ms":${m("identity_cached")}%.1f,"identity_files":$idN,"timerange_ms":${m("timerange")}%.1f,"timerange_files":$trN,"point_ms":${m("point")}%.1f,"point_files":$ptN,"secondary_point_ms":${m("secondary_point")}%.1f,"secondary_point_files":$secN,"secondary_manifests_parsed":$secManifests,$typed,"metadata_agg_ms":${m("metadata_agg")}%.1f,"group_agg_ms":${m("group_agg")}%.1f,"group_agg_cached_ms":${m("group_agg_cached")}%.1f,"policy_clustered":$policyClustered,"clustered_identity_ms":${mc("cl")}%.1f,"clustered_identity_cached_ms":${mc("cl_cached")}%.1f,"clustered_identity_files":$clIdN,"folded_full_scan_ms":$foldedMs%.1f,"folded_files":$foldedN,"sweeps":2,$bloomShapes,$statsShapes,$ndvShapes}"""
     (compact, detail)
   } catch {
     case e: Throwable =>

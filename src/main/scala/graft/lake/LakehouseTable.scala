@@ -2494,10 +2494,66 @@ final class LakehouseTable(
           (c, files.size.toLong, withNdv, servable, est, reason)
         }.toDF("column", "files", "files_with_ndv", "servable",
           "ndv_estimate", "reason")
+      case "ndv_coverage_groups" =>
+        // per-IDENTITY-GROUP ndv coverage (round 18 — the grouped
+        // analog of ndv_coverage, mirroring sum_coverage_groups): WHICH
+        // symbol's files miss sketches (imports re-earn at compaction).
+        // Verdicts use the SAME per-group gates the grouped rewrite
+        // serves under ([[graft.sql]] MetadataGroupFacts.groupNdv), so
+        // a `true` IS a metadata-only grouped approx_count_distinct
+        // for that group and `ndv_estimate` is its exact served value.
+        val declared = meta.props.get("write.ndv-columns").toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).distinct
+        val masked = meta.currentSnapshot
+          .exists(s => log.readManifestListData(s).liveDeletes.nonEmpty)
+        val schemaT = org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl)
+        val files = currentDataFiles
+        val defaultP = NdvSketch.pOf(
+          new org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper(0.05))
+        val idFields = meta.specList.flatMap(_.fields).distinct
+          .filter(_.transform == "identity")
+        val rows = for {
+          f <- idFields
+          (segOpt, groupFiles) <- files.groupBy(_.partitionSegments.get(f.name)).toSeq
+          c <- declared
+        } yield {
+          val seg = segOpt.getOrElse("<missing-dir>")
+          val withNdv = groupFiles.count(_.colNdv.exists(_.contains(c))).toLong
+          val missing = groupFiles.size - withNdv.toInt
+          val renamed = meta.aliasMap.contains(c)
+          val inSchema = schemaT.fieldNames.contains(c)
+          val merged =
+            if (groupFiles.forall(_.colNdv.exists(_.contains(c))))
+              NdvSketch.mergeEncoded(groupFiles.map(_.colNdv.get.apply(c)))
+            else None
+          val decoded = merged.flatMap(NdvSketch.decode)
+          val tagOk = inSchema && !renamed && decoded.exists(
+            _._2 == NdvSketch.typeTag(schemaT(c).dataType))
+          val pOk = decoded.map(_._1) == defaultP
+          val servable = !masked && segOpt.isDefined &&
+            seg != LakehouseTable.HiveDefaultPartition &&
+            !renamed && inSchema && tagOk && pOk
+          val est: Option[Long] =
+            if (servable) merged.flatMap(NdvSketch.estimate) else None
+          val reason =
+            if (masked) "live_mask"
+            else if (segOpt.isEmpty) "missing_dir_level"
+            else if (seg == LakehouseTable.HiveDefaultPartition) "sentinel_dir"
+            else if (renamed || !inSchema) "renamed_or_missing_column"
+            else if (missing > 0) s"missing_ndv:$missing"
+            else if (merged.isEmpty) "mixed_sketches"
+            else if (!tagOk) "stale_type"
+            else if (!pOk) "precision_mismatch"
+            else "ok"
+          (f.name, seg, c, groupFiles.size.toLong, withNdv, servable, est, reason)
+        }
+        rows.sortBy(r => (r._1, r._2, r._3))
+          .toDF("group_column", "group_value", "column", "files",
+            "files_with_ndv", "servable", "ndv_estimate", "reason")
       case other => throw new IllegalArgumentException(
         s"unknown metadata table '$other' (one of: snapshots, files, " +
           "manifests, deletes, partitions, refs, storage, sum_coverage, " +
-          "sum_coverage_groups, ndv_coverage)")
+          "sum_coverage_groups, ndv_coverage, ndv_coverage_groups)")
     }
   }
 

@@ -312,7 +312,8 @@ object GraftCatalog {
     */
   private[sql] val MetaTables =
     Set("snapshots", "files", "manifests", "deletes", "partitions", "refs",
-      "storage", "sum_coverage", "sum_coverage_groups", "ndv_coverage")
+      "storage", "sum_coverage", "sum_coverage_groups", "ndv_coverage",
+      "ndv_coverage_groups")
 
   /** Spark partition `Transform` → the engine's (source, transform) spec
     * field encoding (`LakehouseTable.createIfNotExists`).

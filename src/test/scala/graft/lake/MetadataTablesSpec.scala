@@ -163,6 +163,45 @@ class MetadataTablesSpec extends SparkSpec {
       sqlRow.getLong(2) == 1L && sqlRow.getString(3) == "ok")
   }
 
+  test("ndv_coverage_groups names WHICH group's files miss sketches") {
+    // the grouped analog of ndv_coverage: per (identity dir, column)
+    // verdicts with the same gates the grouped rewrite serves under
+    val data = (0 until 24)
+      .map(i => (s"s${i % 2}",
+        Timestamp.valueOf(f"2024-01-01 00:00:00.$i%06d"), (i % 7).toLong))
+      .toDF("sym", "DateTime", "v")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(tmpDir("ndvcovg"), "t"), data.schema,
+      Seq("sym" -> "identity", "DateTime" -> "day"))
+    t.setProperty("write.ndv-columns", "v")
+    t.append(data.filter(col("sym") === "s0").coalesce(1))
+    // an import lands sketch-less files in s1 ONLY
+    val staged = new Path(tmpDir("ndvcovg-stage"), "s")
+    data.filter(col("sym") === "s1").coalesce(1)
+      .drop("sym").write.parquet(
+        new Path(staged, "sym=s1/DateTime_day=20240101").toString)
+    t.addFiles(staged)
+    def g[A](row: org.apache.spark.sql.Row, n: String): A =
+      row.getAs[A](row.fieldIndex(n))
+    val rows = t.metadataTable("ndv_coverage_groups")
+      .collect().filter(r => g[String](r, "group_column") == "sym")
+    assert(rows.length == 2)
+    val s0 = rows.find(r => g[String](r, "group_value") == "s0").get
+    val s1 = rows.find(r => g[String](r, "group_value") == "s1").get
+    assert(g[Boolean](s0, "servable") && g[String](s0, "reason") == "ok")
+    assert(g[Long](s0, "ndv_estimate") == 7L,
+      "the servable group's estimate IS the grouped rewrite's answer")
+    assert(!g[Boolean](s1, "servable") &&
+      g[String](s1, "reason") == "missing_ndv:1",
+      "the import-fed group reports exactly which files miss sketches")
+    // compaction re-earns s1
+    t.compact(1)
+    val after = t.metadataTable("ndv_coverage_groups")
+      .collect().filter(r => g[String](r, "group_column") == "sym")
+    assert(after.forall(r => g[Boolean](r, "servable") &&
+      g[String](r, "reason") == "ok"))
+  }
+
   test("sum_coverage_groups names WHICH group's files miss sums (round 18)") {
     // VERDICT r17 #6: per-identity-group rows — the operator sees that
     // only symbol B's files miss sums (an import) and compaction
