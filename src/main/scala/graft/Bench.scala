@@ -1167,8 +1167,7 @@ object Bench {
     // reads every data file.
     val ndvShapes = {
       val nm = new Path(tmp.toString, "ndvfix")
-      val p = graft.lake.NdvSketch.pOf(
-        new org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper(0.05)).get
+      val p = graft.lake.NdvSketch.DefaultP
       val helper = graft.lake.NdvSketch.helperFor(p)
       def sketch(i: Int): String = {
         val words = graft.lake.NdvSketch.emptyWords(p)

@@ -38,6 +38,20 @@ case class HllppWords(
 
   @transient private lazy val helper = NdvSketch.helperFor(p)
 
+  /** The SQL surface accepts any literal int — an unchecked precision
+    * past the band would OOM (p=26 is ~54 MB of registers per group
+    * buffer) or overflow the helper's Int register math outright
+    * (p≥31), so refuse at analysis time with a real error message.
+    */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (p < NdvSketch.MinP || p > NdvSketch.MaxP)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_hll_words precision must be in " +
+          s"[${NdvSketch.MinP}, ${NdvSketch.MaxP}], got $p")
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](helper.numWords)
 

@@ -599,10 +599,16 @@ final class LakehouseTable(
             s"write.stats-columns names unknown column '$c' " +
               s"(table columns: ${frozen.toSeq.sorted.mkString(", ")})"))
       }
-      // same trap for ndv sketches (round 18): a typo'd or
-      // unsupported-typed column would silently record nothing
+      // same trap for ndv sketches (round 18): a typo'd,
+      // unsupported-typed, or identity-partition column would
+      // silently record nothing (review r18: the write pass excludes
+      // identity sources — they live in dir names, not data pages —
+      // so accepting one here would report missing_ndv forever while
+      // "compaction re-earns" never could)
       if (key == "write.ndv-columns") {
         val frozen = StructType.fromDDL(meta.schemaDdl)
+        val identitySources = meta.specList.flatMap(_.fields)
+          .filter(_.transform == "identity").map(_.source).toSet
         value.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
           require(frozen.fieldNames.contains(c),
             s"write.ndv-columns names unknown column '$c' " +
@@ -611,7 +617,25 @@ final class LakehouseTable(
             s"write.ndv-columns column '$c' has non-atomic type " +
               s"${frozen(c).dataType.catalogString} — sketches record " +
               "atomic types only")
+          require(!identitySources.contains(c),
+            s"write.ndv-columns column '$c' is an identity partition " +
+              "source — it lives in directory names, not data pages, so " +
+              "no sketch can ever record; its exact distinct count " +
+              "already serves via count(DISTINCT) metadata pushdown")
         }
+      }
+      // write.ndv-rsd (round 18, review find): a malformed value would
+      // silently fall back to the default, and a too-small VALID rsd
+      // demands a precision past the band — recording would then
+      // silently stop for every declared column
+      if (key == "write.ndv-rsd") {
+        val r = value.toDoubleOption
+        require(r.exists(v => v > 0.0 && v < 1.0),
+          s"write.ndv-rsd must be a relative error in (0, 1), got '$value'")
+        require(NdvSketch.declaredP(Map("write.ndv-rsd" -> value)).isDefined,
+          s"write.ndv-rsd $value demands sketch precision past " +
+            s"${NdvSketch.MaxP} (register arrays stop being " +
+            "metadata-sized) — use a larger rsd")
       }
       meta.copy(tableProperties = Some(meta.props + (key -> value)))
     }
@@ -2464,8 +2488,10 @@ final class LakehouseTable(
         val info = metadataAggInfo()
         val files = currentDataFiles
         val schemaT = org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl)
-        val defaultP = NdvSketch.pOf(
-          new org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper(0.05))
+        // the precision the TABLE records at (review r18: a declared
+        // non-default rsd serves queries AT that rsd — coverage must
+        // judge against the declared precision, not 0.05's)
+        val wantP = NdvSketch.declaredP(meta.props)
         declared.map { c =>
           val withNdv = files.count(_.colNdv.exists(_.contains(c))).toLong
           val missing = files.size - withNdv.toInt
@@ -2473,24 +2499,17 @@ final class LakehouseTable(
           val inSchema = schemaT.fieldNames.contains(c)
           val empty = info.exists(_.rows == 0L)
           val merged = info.flatMap(_.colNdv.get(c))
-          val decoded = merged.flatMap(NdvSketch.decode)
-          val tagOk = inSchema && !renamed && decoded.exists(
-            _._2 == NdvSketch.typeTag(schemaT(c).dataType))
-          val pOk = decoded.map(_._1) == defaultP
-          val servable = !renamed && inSchema && (empty || (tagOk && pOk))
+          val (sv, estv, why) = NdvSketch.verdict(merged, missing, renamed,
+            if (inSchema) Some(NdvSketch.typeTag(schemaT(c).dataType)) else None,
+            wantP)
+          val servable = !renamed && inSchema && (empty || sv)
           val est: Option[Long] =
-            if (!servable) None
-            else if (empty) Some(0L)
-            else merged.flatMap(NdvSketch.estimate)
+            if (!servable) None else if (empty) Some(0L) else estv
           val reason =
             if (masked) "live_mask"
             else if (renamed || !inSchema) "renamed_or_missing_column"
             else if (empty) "ok"
-            else if (missing > 0) s"missing_ndv:$missing"
-            else if (merged.isEmpty) "mixed_sketches"
-            else if (!tagOk) "stale_type"
-            else if (!pOk) "precision_mismatch"
-            else "ok"
+            else why
           (c, files.size.toLong, withNdv, servable, est, reason)
         }.toDF("column", "files", "files_with_ndv", "servable",
           "ndv_estimate", "reason")
@@ -2508,8 +2527,7 @@ final class LakehouseTable(
           .exists(s => log.readManifestListData(s).liveDeletes.nonEmpty)
         val schemaT = org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl)
         val files = currentDataFiles
-        val defaultP = NdvSketch.pOf(
-          new org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper(0.05))
+        val wantP = NdvSketch.declaredP(meta.props)
         val idFields = meta.specList.flatMap(_.fields).distinct
           .filter(_.transform == "identity")
         val rows = for {
@@ -2526,25 +2544,19 @@ final class LakehouseTable(
             if (groupFiles.forall(_.colNdv.exists(_.contains(c))))
               NdvSketch.mergeEncoded(groupFiles.map(_.colNdv.get.apply(c)))
             else None
-          val decoded = merged.flatMap(NdvSketch.decode)
-          val tagOk = inSchema && !renamed && decoded.exists(
-            _._2 == NdvSketch.typeTag(schemaT(c).dataType))
-          val pOk = decoded.map(_._1) == defaultP
+          // the SAME gate ladder as ndv_coverage (shared verdict —
+          // review r18); group-context reasons prepend
+          val (sv, estv, why) = NdvSketch.verdict(merged, missing, renamed,
+            if (inSchema) Some(NdvSketch.typeTag(schemaT(c).dataType)) else None,
+            wantP)
           val servable = !masked && segOpt.isDefined &&
-            seg != LakehouseTable.HiveDefaultPartition &&
-            !renamed && inSchema && tagOk && pOk
-          val est: Option[Long] =
-            if (servable) merged.flatMap(NdvSketch.estimate) else None
+            seg != LakehouseTable.HiveDefaultPartition && sv
+          val est: Option[Long] = if (servable) estv else None
           val reason =
             if (masked) "live_mask"
             else if (segOpt.isEmpty) "missing_dir_level"
             else if (seg == LakehouseTable.HiveDefaultPartition) "sentinel_dir"
-            else if (renamed || !inSchema) "renamed_or_missing_column"
-            else if (missing > 0) s"missing_ndv:$missing"
-            else if (merged.isEmpty) "mixed_sketches"
-            else if (!tagOk) "stale_type"
-            else if (!pOk) "precision_mismatch"
-            else "ok"
+            else why
           (f.name, seg, c, groupFiles.size.toLong, withNdv, servable, est, reason)
         }
         rows.sortBy(r => (r._1, r._2, r._3))
@@ -3828,11 +3840,7 @@ final class LakehouseTable(
     // are excluded (they live in dir names, not data pages — and their
     // exact distinct count already serves via countDistinctIdentity);
     // non-atomic types are refused at declaration.
-    val ndvRsd: Double = meta.props.get("write.ndv-rsd")
-      .flatMap(_.toDoubleOption).filter(r => r > 0.0 && r < 1.0)
-      .getOrElse(0.05)
-    val ndvP: Option[Int] =
-      NdvSketch.pOf(new org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper(ndvRsd))
+    val ndvP: Option[Int] = NdvSketch.declaredP(meta.props)
     val ndvCols: Seq[String] =
       if (ndvP.isEmpty) Nil
       else meta.props.get("write.ndv-columns").toSeq

@@ -81,13 +81,65 @@ object NdvSketch {
   def helperFor(p: Int): HyperLogLogPlusPlusHelper =
     new HyperLogLogPlusPlusHelper(1.106 / math.pow(2.0, (p - 0.5) / 2.0))
 
+  /** The supported precision band. 4 is Spark's own floor; 24 (16 M
+    * registers, ~10 MB of words) is the ceiling past which a sketch
+    * stops being a metadata-sized object — and past ~30 the helper's
+    * Int register math would overflow outright, so the band is a
+    * correctness fence for user-supplied precisions too.
+    */
+  val MinP = 4
+  val MaxP = 24
+
+  /** The declared sketch rsd for a table's properties — `write.ndv-rsd`
+    * (default 0.05, Spark's own `approx_count_distinct` default).
+    * Callers that ACCEPT the property must validate through
+    * [[declaredP]] (a valid-looking rsd can still demand p > MaxP).
+    */
+  def declaredRsd(props: Map[String, String]): Double =
+    props.get("write.ndv-rsd").flatMap(_.toDoubleOption)
+      .filter(r => r > 0.0 && r < 1.0).getOrElse(0.05)
+
+  /** The precision the table's declared rsd records at. */
+  def declaredP(props: Map[String, String]): Option[Int] =
+    pOf(new HyperLogLogPlusPlusHelper(declaredRsd(props)))
+
+  /** The precision of the 0.05 default — what a bare
+    * `approx_count_distinct(c)` asks for.
+    */
+  lazy val DefaultP: Int = declaredP(Map.empty).get
+
+  /** The serving verdict for one column's fold — ONE implementation of
+    * the gate ladder shared by `ndv_coverage`, `ndv_coverage_groups`
+    * and (transitively, by construction of the same gates) the serving
+    * sites: (servable, estimate when servable, reason naming the first
+    * failing gate). Callers prepend context-specific reasons
+    * (live_mask, sentinel_dir, missing_dir_level, the empty table).
+    */
+  private[graft] def verdict(
+      merged: Option[String], missing: Int, renamed: Boolean,
+      currentTag: Option[String], wantP: Option[Int])
+      : (Boolean, Option[Long], String) = {
+    val decoded = merged.flatMap(decode)
+    val tagOk = currentTag.exists(t => decoded.exists(_._2 == t))
+    val pOk = wantP.isDefined && decoded.map(_._1) == wantP
+    val servable = !renamed && currentTag.isDefined && tagOk && pOk
+    val reason =
+      if (renamed || currentTag.isEmpty) "renamed_or_missing_column"
+      else if (missing > 0) s"missing_ndv:$missing"
+      else if (merged.isEmpty) "mixed_sketches"
+      else if (!tagOk) "stale_type"
+      else if (!pOk) "precision_mismatch"
+      else "ok"
+    (servable, if (servable) merged.flatMap(estimate) else None, reason)
+  }
+
   /** Invert a helper back to its precision via the register-word count
     * (m = 2^p is injective in ceil(m/REGISTERS_PER_WORD) for p ≥ 4).
     * The P range mirrors Spark's own validation (4 ≤ p; rsd ≥ minimum
     * keeps p ≤ 24 in practice).
     */
   def pOf(h: HyperLogLogPlusPlusHelper): Option[Int] =
-    (4 to 24).find(q => helperFor(q).numWords == h.numWords)
+    (MinP to MaxP).find(q => helperFor(q).numWords == h.numWords)
 
   /** The recordable column types. Atomic, hash-stable, and read back
     * from parquet under an EXPLICIT schema at write time so the
@@ -143,7 +195,7 @@ object NdvSketch {
     if (parts.length != 3) return None
     for {
       p <- parts(0).toIntOption
-      if p >= 4 && p <= 24
+      if p >= MinP && p <= MaxP
       bytes <- scala.util.Try(
         java.util.Base64.getDecoder.decode(parts(2))).toOption
       if bytes.length == helperFor(p).numWords * 8

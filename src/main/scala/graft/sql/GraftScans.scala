@@ -468,8 +468,12 @@ final class GraftV1FallbackScan(
           case Some(snap) =>
             val data = g.lt.log.readManifestListData(snap)
             val masked = data.liveDeletes.nonEmpty
+            // an EMPTY manifest list (delete-everything commit) is a
+            // provably zero-byte table — forall on the empty list says
+            // so; one UNSIZED member drops the sum (an incomplete sum
+            // understates) to the conservative default
             val bytes =
-              if (data.manifests.nonEmpty && data.manifests.forall(_.dataBytes.isDefined))
+              if (data.manifests.forall(_.dataBytes.isDefined))
                 java.util.OptionalLong.of(data.manifests.flatMap(_.dataBytes).sum)
               else java.util.OptionalLong.empty()
             val rows =
@@ -478,7 +482,10 @@ final class GraftV1FallbackScan(
             val colStats = new java.util.HashMap[
               org.apache.spark.sql.connector.expressions.NamedReference,
               org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-            if (!masked) {
+            // per-column stats are CBO food — the default size-only
+            // stats visitor strips them, so don't pay the manifest
+            // fold + sketch merges unless CBO will read them
+            if (!masked && g.lt.spark.sessionState.conf.cboEnabled) {
               val info = graft.lake.MetadataAggInfo.ofRefs(data.manifests)
               val facts = new MetadataAggFacts(info, meta)
               val schemaT = StructType.fromDDL(meta.schemaDdl)

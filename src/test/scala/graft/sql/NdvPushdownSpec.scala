@@ -305,8 +305,7 @@ class NdvPushdownSpec extends SparkSpec {
     // recordable type class that hashes differently
     graft.functions.GraftExtensions.register(spark)
     val rnd = new scala.util.Random(20260816L)
-    val p = NdvSketch.pOf(
-      new org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper(0.05)).get
+    val p = NdvSketch.DefaultP
     (1 to 5).foreach { trial =>
       val nVals = 500 + rnd.nextInt(1500)
       val vals = Seq.fill(nVals)(rnd.nextInt(400).toLong)
@@ -323,17 +322,55 @@ class NdvPushdownSpec extends SparkSpec {
     }
   }
 
-  test("declaration traps: unknown column and non-atomic type refuse loudly") {
+  test("declaration traps: unknown column, non-atomic type, identity source, bad rsd") {
     val (_, wh) = freshCatalog()
-    val data = Seq((ts(0), Seq(1L), 1L)).toDF("ts", "arr", "v")
+    val data = Seq(("x", ts(0), Seq(1L), 1L)).toDF("sym", "ts", "arr", "v")
     val t = LakehouseTable.createIfNotExists(
-      spark, new Path(wh, "gold/t8"), data.schema, Some("ts"))
+      spark, new Path(wh, "gold/t8"), data.schema,
+      Seq("sym" -> "identity", "ts" -> "day"))
     val e1 = intercept[IllegalArgumentException](
       t.setProperty("write.ndv-columns", "nope"))
     assert(e1.getMessage.contains("unknown column"))
     val e2 = intercept[IllegalArgumentException](
       t.setProperty("write.ndv-columns", "arr"))
     assert(e2.getMessage.contains("non-atomic"))
-    t.setProperty("write.ndv-columns", "v") // atomic: accepted
+    // an identity partition source lives in dir names, not data pages
+    // — the write pass could never record a sketch for it (review r18)
+    val e3 = intercept[IllegalArgumentException](
+      t.setProperty("write.ndv-columns", "sym"))
+    assert(e3.getMessage.contains("identity partition source"))
+    t.setProperty("write.ndv-columns", "v") // atomic data column: accepted
+    // rsd: malformed and past-the-band values refuse loudly instead of
+    // silently recording nothing (review r18)
+    val e4 = intercept[IllegalArgumentException](
+      t.setProperty("write.ndv-rsd", "5%"))
+    assert(e4.getMessage.contains("relative error"))
+    val e5 = intercept[IllegalArgumentException](
+      t.setProperty("write.ndv-rsd", "0.0001"))
+    assert(e5.getMessage.contains("precision past"))
+    t.setProperty("write.ndv-rsd", "0.02") // in-band: accepted
+  }
+
+  test("a declared non-default rsd records and serves AT that precision") {
+    val (cat, wh) = freshCatalog()
+    val data = (0 until 60).map(i => (ts(i), (i % 23).toLong)).toDF("ts", "v")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/t10"), data.schema, Some("ts"))
+    t.setProperty("write.ndv-columns", "v")
+    t.setProperty("write.ndv-rsd", "0.02")
+    t.append(data)
+    // the matching-rsd query serves; the bare default bails to a scan
+    val sqlAt = s"SELECT approx_count_distinct(v, 0.02) AS v FROM $cat.gold.t10"
+    val qAt = spark.sql(sqlAt)
+    assert(filesScanned(qAt) == 0, "the declared-rsd query must serve")
+    assert(qAt.head().getLong(0) == scanTruth(sqlAt).getLong(0))
+    val qDef = spark.sql(s"SELECT approx_count_distinct(v) AS v FROM $cat.gold.t10")
+    assert(filesScanned(qDef) > 0, "the default-rsd query records nothing to serve")
+    // coverage judges against the DECLARED precision (review r18)
+    val cov = spark.sql(
+      s"SELECT servable, ndv_estimate, reason FROM $cat.gold.t10.ndv_coverage").head()
+    assert(cov.getBoolean(0) && cov.getString(2) == "ok",
+      s"declared-rsd coverage must read servable, got $cov")
+    assert(cov.getLong(1) == qAt.head().getLong(0))
   }
 }
