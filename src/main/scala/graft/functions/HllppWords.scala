@@ -88,6 +88,61 @@ case class HllppWords(
     copy(child = newChild)
 }
 
+/** Combining aggregate for the GROUPED hybrid-range ndv rewrite:
+  * merges per-group BINARY register-word partials (an interior
+  * LocalRelation row and/or a boundary [[HllppWords]] row) by register
+  * max — the union's partial columns are never null (both sides always
+  * emit words; the all-zero identity for empty sketches), but a null
+  * input is skipped defensively. Output is the merged words; the
+  * [[HllMergeEstimate]] finisher above turns them into the estimate.
+  */
+case class HllppMergeWords(
+    child: Expression,
+    p: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  @transient private lazy val helper = NdvSketch.helperFor(p)
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](helper.numWords)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null)
+      helper.merge(new NdvSketch.WordsRow(buffer),
+        new NdvSketch.WordsRow(
+          NdvSketch.packedBytesToWords(v.asInstanceOf[Array[Byte]])), 0, 0)
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    helper.merge(new NdvSketch.WordsRow(buffer), new NdvSketch.WordsRow(other), 0, 0)
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any =
+    NdvSketch.wordsToPackedBytes(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] =
+    NdvSketch.wordsToPackedBytes(buffer)
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    NdvSketch.packedBytesToWords(bytes)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_hll_merge_words"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllppMergeWords =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllppMergeWords =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllppMergeWords =
+    copy(child = newChild)
+}
+
 /** Scalar finisher for the hybrid-range ndv rewrite
   * ([[graft.sql.GraftRelationExpansion]]): merges a boundary scan's
   * register words (the [[HllppWords]] aggregate's BINARY output) with

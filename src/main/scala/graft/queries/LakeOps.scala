@@ -2404,6 +2404,18 @@ object LakeOps {
     val sHyb = scannedFiles(qHyb)
     val hybridBoundary = sHyb > 0 && sHyb < table.currentDataFiles.size &&
       qHyb.head().getLong(0) == forcedScan(s.sql(sqlHyb).head().getLong(0))
+    // GROUPED hybrid (round 18): per-symbol registers — interior
+    // groups from sketches, straddlers' boundary registers merged in
+    val sqlGH = s"SELECT sym, approx_count_distinct(user_id) AS v " +
+      s"FROM $cat.gold.ndv WHERE ts >= ${tsLit(mnUs + 1)} " +
+      "GROUP BY sym ORDER BY sym"
+    val qGH = s.sql(sqlGH)
+    val sGH = scannedFiles(qGH)
+    val ghServed = qGH.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val ghTruth = forcedScan(
+      s.sql(sqlGH).collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+    val groupedHybrid = sGH > 0 && sGH < table.currentDataFiles.size &&
+      ghServed == ghTruth
     // the coverage table's verdict IS the serving verdict, and its
     // estimate IS the served value
     val cov = s.sql(s"SELECT column, servable, ndv_estimate, reason " +
@@ -2432,6 +2444,7 @@ object LakeOps {
       .withColumn("undeclared_ndv_scans", lit(undeclaredScans))
       .withColumn("covering_ndv_metadata_only", lit(coveringOnly))
       .withColumn("hybrid_ndv_boundary_scan", lit(hybridBoundary))
+      .withColumn("grouped_hybrid_ndv", lit(groupedHybrid))
       .withColumn("ndv_coverage_ok", lit(covOk))
       .withColumn("ndv_error_bounded", lit(errOk))
   }
@@ -2775,6 +2788,7 @@ object LakeOps {
              |       true AS undeclared_ndv_scans,
              |       true AS covering_ndv_metadata_only,
              |       true AS hybrid_ndv_boundary_scan,
+             |       true AS grouped_hybrid_ndv,
              |       true AS ndv_coverage_ok,
              |       true AS ndv_error_bounded
              |FROM e""".stripMargin)

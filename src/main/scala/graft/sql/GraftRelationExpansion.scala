@@ -1009,6 +1009,39 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         })
         cols.toSeq
       }
+    // ndv shapes requested under a range (round 18, the grouped
+    // hybrid): an interior file serving registers must have ZERO null
+    // keys (a null-key row's value is in the recorded registers but
+    // fails the predicate, and registers cannot subtract) plus a
+    // sketch at the QUERY's precision hashed at the CURRENT read type
+    // — files missing any of that demote to the boundary scan
+    val rangeNdvShapes: Seq[(String, Int)] =
+      if (keyRangeUs.isEmpty) Nil
+      else {
+        val shapes = scala.collection.mutable.LinkedHashSet.empty[(String, Int)]
+        agg.aggregateExpressions.foreach(_.foreach {
+          case ae: AggregateExpression => ae.aggregateFunction match {
+            case hll: org.apache.spark.sql.catalyst.expressions.aggregate
+                .HyperLogLogPlusPlus => hll.child match {
+              case a: AttributeReference =>
+                graft.lake.NdvSketch.pOf(hll.hllppHelper)
+                  .foreach(p => shapes += ((a.name, p)))
+              case _ => ()
+            }
+            case _ => ()
+          }
+          case _ => ()
+        })
+        shapes.toSeq
+      }
+    def fileNdvOk(f: graft.lake.DataFile): Boolean =
+      rangeNdvShapes.forall { case (c, p) =>
+        schema.fieldNames.contains(c) && !meta.aliasMap.contains(c) &&
+          f.colNdv.flatMap(_.get(c))
+            .flatMap(graft.lake.NdvSketch.decode)
+            .exists(d => d._1 == p && d._2 ==
+              graft.lake.NdvSketch.typeTag(schema(c).dataType))
+      }
     // under a range: drop provably-outside files, keep interior ones
     // with their EFFECTIVE row count (rows − keyNulls: null-key rows
     // fail the range predicate); a straddler or roll-up-incomplete
@@ -1029,8 +1062,10 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
               val sumsOk = rangeSumCols.forall(c =>
                 keyNulls.contains(0L) && f.colSums.exists(_.contains(c)) &&
                   f.colNulls.exists(_.contains(c)))
+              val ndvOk = rangeNdvShapes.isEmpty ||
+                (keyNulls.contains(0L) && fileNdvOk(f))
               keyNulls match {
-                case Some(n) if sumsOk => keep += ((f, f.rows - n))
+                case Some(n) if sumsOk && ndvOk => keep += ((f, f.rows - n))
                 case _ if boundaryCtx.isDefined => boundaryFiles += f
                 case _ => return None
               }
@@ -1109,6 +1144,26 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
           MetadataGroupFacts.groupSum(meta, schema, a.name, files,
             requireNoOverflowProof = ctx.evalMode !=
               org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
+        // grouped range ndv (round 18): interior files passed the
+        // per-file gates at classification (zero null keys, sketch at
+        // the query's p and current type), so the group's interior
+        // PARTIAL is the merged register WORDS — binary, finished by
+        // HllMergeEstimate in the rewrite (pure path) or merged with
+        // the boundary leg first (hybrid)
+        case hll: org.apache.spark.sql.catalyst.expressions.aggregate
+            .HyperLogLogPlusPlus if keyRangeUs.isDefined =>
+          hll.child match {
+            case a: AttributeReference =>
+              val encs = files.map(_.colNdv.flatMap(_.get(a.name)))
+              if (encs.exists(_.isEmpty)) None
+              else for {
+                p <- graft.lake.NdvSketch.pOf(hll.hllppHelper)
+                if rangeNdvShapes.contains((a.name, p))
+                merged <- graft.lake.NdvSketch.mergeEncoded(encs.flatten)
+                d <- graft.lake.NdvSketch.decode(merged)
+              } yield graft.lake.NdvSketch.wordsToPackedBytes(d._3)
+            case _ => None
+          }
         case _ if keyRangeUs.isDefined => None
         // count(DISTINCT identity-dim) per group (round 18, VERDICT
         // r17 #4): distinct decoded dir values among the group's files
@@ -1180,9 +1235,31 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
         if (!aggFns.exists(_.semanticEquals(ae))) aggFns += ae
       case _ => ()
     })
+    // under a range an ndv aggregate's synthetic column carries the
+    // register-WORDS partial (binary), not the Long estimate — the
+    // HllMergeEstimate finisher is applied in the rewrite on both the
+    // pure and the hybrid path
+    def rangeNdvOf(ae: AggregateExpression): Option[(String, Int)] =
+      if (keyRangeUs.isEmpty) None
+      else ae.aggregateFunction match {
+        case hll: org.apache.spark.sql.catalyst.expressions.aggregate
+            .HyperLogLogPlusPlus => hll.child match {
+          case a: AttributeReference =>
+            graft.lake.NdvSketch.pOf(hll.hllppHelper).map(p => (a.name, p))
+          case _ => None
+        }
+        case _ => None
+      }
     val synth = aggFns.zipWithIndex.map { case (ae, i) =>
-      AttributeReference(s"_meta_agg_$i", ae.dataType, ae.nullable)()
+      AttributeReference(s"_meta_agg_$i",
+        if (rangeNdvOf(ae).isDefined) org.apache.spark.sql.types.BinaryType
+        else ae.dataType,
+        ae.nullable)()
     }.toSeq
+    def ndvFinish(e: Expression, p: Int): Expression =
+      graft.functions.HllMergeEstimate(e,
+        graft.lake.NdvSketch.wordsToPackedBytes(
+          graft.lake.NdvSketch.emptyWords(p)), p)
     val data: Seq[org.apache.spark.sql.catalyst.InternalRow] =
       groups.map { case (k, fs) =>
         val aggVals = aggFns.map(ae => answerFor(ae, k, fs).getOrElse(return None))
@@ -1196,7 +1273,12 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
       // the aggFns lookup
       val rewritten = agg.aggregateExpressions.map { ne =>
         val aggsReplaced = ne.transformUp {
-          case ae: AggregateExpression => synth(aggFns.indexWhere(_.semanticEquals(ae)))
+          case ae: AggregateExpression =>
+            val i = aggFns.indexWhere(_.semanticEquals(ae))
+            rangeNdvOf(aggFns(i)) match {
+              case Some((_, p)) => ndvFinish(synth(i), p)
+              case None => synth(i)
+            }
         }
         aggsReplaced.transformUp {
           case e if dims.exists(_.expr.semanticEquals(e)) =>
@@ -1256,6 +1338,18 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
             org.apache.spark.sql.catalyst.expressions.aggregate
               .Sum(relAttr(a.name).getOrElse(return None), ctx)
               .toAggregateExpression()
+          // ndv boundary leg (round 18): the straddlers' own register
+          // words, computed with the SAME update code that recorded
+          // the interiors' sketches
+          case hll: org.apache.spark.sql.catalyst.expressions.aggregate
+              .HyperLogLogPlusPlus =>
+            (hll.child, rangeNdvOf(ae)) match {
+              case (a: AttributeReference, Some((_, p))) =>
+                graft.functions.HllppWords(
+                  relAttr(a.name).getOrElse(return None), p)
+                  .toAggregateExpression()
+              case _ => return None
+            }
           case _ => return None
         }
         Alias(fn, s"_graft_bagg_$i")()
@@ -1287,6 +1381,12 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
       case org.apache.spark.sql.catalyst.expressions.aggregate.Sum(_, ctx) =>
         org.apache.spark.sql.catalyst.expressions.aggregate
           .Sum(pAttrs(i), ctx).toAggregateExpression()
+      // ndv partials merge by register max (round 18) — set-union
+      // semantics, a row counted by both sides can never double-count
+      case _: org.apache.spark.sql.catalyst.expressions.aggregate
+          .HyperLogLogPlusPlus =>
+        graft.functions.HllppMergeWords(pAttrs(i),
+          rangeNdvOf(aggFns(i)).get._2).toAggregateExpression()
       // unreachable: answerFor (interior rows) and bPartials both
       // already refused every other shape under a range
       case other => throw new IllegalStateException(
@@ -1303,6 +1403,11 @@ case class GraftRelationExpansion(session: SparkSession) extends Rule[LogicalPla
           aggFns(idx).aggregateFunction match {
             case Count(_) => org.apache.spark.sql.catalyst.expressions
               .Coalesce(Seq(combined(idx), Literal(0L)))
+            // the merged words finish through the estimator (the
+            // all-zero empty interior is the merge identity)
+            case _: org.apache.spark.sql.catalyst.expressions.aggregate
+                .HyperLogLogPlusPlus =>
+              ndvFinish(combined(idx), rangeNdvOf(aggFns(idx)).get._2)
             case _ => combined(idx)
           }
       }

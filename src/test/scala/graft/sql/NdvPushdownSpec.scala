@@ -168,6 +168,56 @@ class NdvPushdownSpec extends SparkSpec {
     assert(qT.head().getLong(0) == scanTruth(sqlT).getLong(0))
   }
 
+  test("GROUPED hybrid range ndv: interior groups from sketches, straddlers scan and merge") {
+    val (cat, wh) = freshCatalog()
+    val data = (0 until 90)
+      .map(i => (s"s${i % 3}", ts(i), (i % 19).toLong))
+      .toDF("sym", "ts", "uid")
+    val t = LakehouseTable.createIfNotExists(
+      spark, new Path(wh, "gold/t11"), data.schema,
+      Seq("sym" -> "identity", "ts" -> "day"))
+    t.setProperty("write.ndv-columns", "uid")
+    (0 until 2).foreach(r => t.append(data.filter(col("uid") % 2 === r)))
+    val nFiles = t.currentDataFiles.size
+    val mnUs = spark.sql(s"SELECT unix_micros(min(ts)) AS v FROM $cat.gold.t11")
+      .head().getLong(0)
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    def tsLit(us: Long): String = {
+      val ldt = java.time.Instant.EPOCH
+        .plus(us, java.time.temporal.ChronoUnit.MICROS).atZone(zone).toLocalDateTime
+      s"TIMESTAMP '${fmt.format(ldt)}'"
+    }
+    def collectG(sql: String): Seq[(String, Long, Long)] =
+      spark.sql(sql).collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // covering range: every file interior — per-group registers merge
+    // from metadata alone, zero files planned
+    val sqlCov = s"SELECT sym, count(*) AS n, approx_count_distinct(uid) AS v " +
+      s"FROM $cat.gold.t11 WHERE ts >= ${tsLit(mnUs)} GROUP BY sym ORDER BY sym"
+    val qCov = spark.sql(sqlCov)
+    assert(filesScanned(qCov) == 0, "covering grouped range ndv must be interior-only")
+    val served = collectG(sqlCov)
+    spark.conf.set("spark.graft.sql.metadata-aggregates", "false")
+    val truth = try collectG(sqlCov)
+      finally spark.conf.unset("spark.graft.sql.metadata-aggregates")
+    assert(served == truth, s"covering: $served != $truth")
+    // one µs in: only the min-bounded straddler(s) scan; their
+    // boundary registers union with the interior groups' — per-group
+    // values bit-equal to the scan
+    val sqlHyb = s"SELECT sym, count(*) AS n, approx_count_distinct(uid) AS v " +
+      s"FROM $cat.gold.t11 WHERE ts >= ${tsLit(mnUs + 1)} GROUP BY sym ORDER BY sym"
+    val qHyb = spark.sql(sqlHyb)
+    val scanned = filesScanned(qHyb)
+    assert(scanned > 0 && scanned < nFiles,
+      s"grouped hybrid must scan only straddlers, scanned $scanned of $nFiles")
+    val servedH = collectG(sqlHyb)
+    spark.conf.set("spark.graft.sql.metadata-aggregates", "false")
+    val truthH = try collectG(sqlHyb)
+      finally spark.conf.unset("spark.graft.sql.metadata-aggregates")
+    assert(servedH == truthH, s"hybrid: $servedH != $truthH")
+  }
+
   test("hybrid range ndv: interiors serve from sketches, only straddlers scan") {
     val (cat, wh) = freshCatalog()
     val t = mkTable(cat, wh, "t9")
