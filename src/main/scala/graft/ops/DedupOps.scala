@@ -793,13 +793,25 @@ object DedupOps {
     * banners and licence blurbs repeat across thousands of pages and
     * survive document-level dedup because each HOST page is unique.
     *
-    * 100 TB shape: one hash-aggregate on the line text (map-side
-    * combined count-distinct) + one left-semi join back — both shuffle
-    * on the line, nothing collects. Exact string grouping, not a hash
-    * digest: a 64-bit digest collision at 10¹⁰ lines would silently
-    * delete an innocent line, and unlike the gram-key joins (where a
-    * collision only inflates one Jaccard estimate) the failure here
-    * would be data loss.
+    * 100 TB shape: ONE exchange on the line text — the doc-frequency
+    * runs as window functions over `partitionBy(line)` instead of the
+    * former count-distinct aggregate + left-semi join back, which
+    * shuffled every line string TWICE (once into the distinct
+    * aggregate's Expand, once as the semi-join probe side; measured
+    * ~2× the whole operator at sf0.1). Within the single sorted
+    * partition, a row opens a new distinct document iff its id differs
+    * from the previous row's (ids sort together), so
+    * `sum(boundary flags) over (partition by line)` IS
+    * `count(distinct id)` — null ids contribute 0, exactly
+    * count-distinct's null semantics. Exact string grouping, not a
+    * hash digest: a 64-bit digest collision at 10¹⁰ lines would
+    * silently delete an innocent line, and unlike the gram-key joins
+    * (where a collision only inflates one Jaccard estimate) the
+    * failure here would be data loss. A boilerplate line hot enough to
+    * skew its partition lands on one task under EITHER formulation
+    * (the semi-join probe co-located all its occurrences too); the
+    * window buffers spill via the unsafe-row array, and the flag/sum
+    * state is O(1) per row.
     */
   def dropDuplicatedLines(
       lines: DataFrame,
@@ -807,11 +819,18 @@ object DedupOps {
       lineCol: String = "line",
       maxDocFreq: Int = 1): DataFrame = {
     require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
-    val dfreq = lines.groupBy(col(lineCol))
-      .agg(countDistinct(col(idCol)).as("__df"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(lineCol)).orderBy(col(idCol))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(lineCol))
+    lines
+      .withColumn("__new",
+        when(col(idCol).isNull, 0L)
+          .otherwise(when(
+            coalesce(lag(col(idCol), 1).over(wOrd) =!= col(idCol), lit(true)),
+            1L).otherwise(0L)))
+      .withColumn("__df", sum(col("__new")).over(wAll))
       .filter(col("__df") <= maxDocFreq)
-      .select(col(lineCol))
-    lines.join(dfreq, Seq(lineCol), "left_semi")
+      .drop("__new", "__df")
   }
 
   /** Reassemble surviving lines into documents: (id, text) with lines

@@ -62,20 +62,29 @@ object Dsir {
       idCol: String = "doc_id",
       textCol: String = "text",
       buckets: Int = 4096): DataFrame = {
-    // each model is fit in ONE corpus scan: the bucket aggregates are
-    // persisted (≤`buckets` rows each), the totals sum those cached
-    // rows instead of re-tokenizing the corpus, and the ratio table is
-    // materialized to the driver (bucket-bounded = metadata-scale) so
-    // both caches release before the scoring scan — which is then the
-    // only other pass over the corpus
+    // ONE corpus feature pass (optimization r18, guide §2.3/§2.4): the
+    // raw model AND the scoring both need the corpus's hashed features,
+    // and computing them twice made tokenization+hashing the operator's
+    // dominant cost. The per-(doc, bucket) counts are the shared
+    // currency — map-side-combinable, bounded by |docs|×buckets rows
+    // (far smaller than the occurrence stream), persisted once: the q
+    // model is their per-bucket sum, and the per-doc score is
+    // Σ delta·cnt over the SAME cached rows (bit-identical to summing
+    // delta per occurrence — integer arithmetic either way). The
+    // target model still pays its own (slice-sized) pass; the ratio
+    // table is collected (bucket-bounded = metadata-scale) and
+    // broadcast back, as before.
     val p = bucketCounts(target, textCol, buckets).withColumnRenamed("c", "cp")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val q = bucketCounts(corpus, textCol, buckets).withColumnRenamed("c", "cq")
+    val perDoc = corpus
+      .select(col(idCol), explode(featureBuckets(col(textCol), buckets)).as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = perDoc.groupBy("bucket").agg(sum("cnt").as("cq"))
     val ratioLocal = try {
       val np = Option(p.agg(sum("cp")).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L).toDouble
-      val nq = Option(q.agg(sum("cq")).head().get(0))
+      val nq = Option(perDoc.agg(sum("cnt")).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L).toDouble
       // every scorable feature is a CORPUS feature by construction, so
       // q is the spine; target-only buckets can never be referenced.
@@ -91,12 +100,13 @@ object Dsir {
         java.util.Arrays.asList(ratios.collect(): _*), ratios.schema)
     } finally {
       p.unpersist(blocking = false)
-      q.unpersist(blocking = false)
+      // perDoc stays persisted: the returned frame's scoring join reads
+      // it (the whole point of the single pass); the caller's session
+      // sweep reclaims it, same contract as the curation diamonds
     }
-    val summed = corpus
-      .select(col(idCol), explode(featureBuckets(col(textCol), buckets)).as("bucket"))
+    val summed = perDoc
       .join(broadcast(ratioLocal), "bucket")
-      .groupBy(idCol).agg(sum("delta").as("s"))
+      .groupBy(idCol).agg(sum(col("delta") * col("cnt")).as("s"))
     corpus.select(col(idCol))
       .join(summed, Seq(idCol), "left")
       .na.fill(0L, Seq("s"))
