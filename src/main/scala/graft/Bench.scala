@@ -641,7 +641,17 @@ object Bench {
     // detail first (full record for untruncated logs), compact headline
     // LAST — the line the driver's 2000-char tail must preserve whole
     println(detail)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"contended_queries":$contendedQueries,"cdc_stream":$cdcCompact,"ingest":$ingestCompact,"key_bloom":$kbJson,"planning":$planCompact,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"contended":${contended || canaryContendedRun},$canaryJson,"detail_file":"${if (detailWritten) detailPath else ""}","sf":"$sfDir"}""")
+    val headline = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"contended_queries":$contendedQueries,"cdc_stream":$cdcCompact,"ingest":$ingestCompact,"key_bloom":$kbJson,"planning":$planCompact,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"contended":${contended || canaryContendedRun},$canaryJson,"detail_file":"${if (detailWritten) detailPath else ""}","sf":"$sfDir"}"""
+    // the headline ALSO lands in a sidecar file (VERDICT r18 #5/#9):
+    // BENCH_r17's one-line JSON was lost to the driver's 2000-char
+    // console-tail truncation, erasing a whole round-over-round
+    // comparison — a file copy makes the record truncation-proof
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_HEADLINE", "bench_headline.json")),
+      (headline + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    println(headline)
     spark.stop()
   }
 

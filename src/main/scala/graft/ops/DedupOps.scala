@@ -106,8 +106,21 @@ object DedupOps {
     // average shingle width. A cross-gram collision within one block
     // would need ~2^32 distinct shingles per block (birthday bound) —
     // far beyond a block's practical vocabulary.
+    // EXPLICIT null filters on every downstream join/group key (r19,
+    // guide §2.4): the self-join sides infer isnotnull(block, g64, id)
+    // and push them into their scans while the gramCounts side infers
+    // only isnotnull(id) — four canonically DIFFERENT subtrees, so
+    // exchange reuse never fired and the scan+tokenize+shingle+explode
+    // pass ran twice (the before-plan shows 4 separate
+    // hashpartitioning(block, g64) exchanges). With the filters stated
+    // once here, all four consumers share ONE exchange
+    // (ReusedExchange in the after-plan). Semantics unchanged: block is
+    // per-doc (a null-block doc never reaches `common`, and its
+    // gramCounts row is only read via joins from `common`), null ids
+    // never survive `a.id < b.id`, and xxhash64 is never null.
     val explodedAll = explodeGrams(withShingles, col("block"), col("id"))
       .select(col("block"), col("id"), xxhash64(col("gram")).as("g64"))
+      .filter(col("block").isNotNull && col("id").isNotNull && col("g64").isNotNull)
     // shingle sets are distinct per doc ⇒ df = plain count per gram.
     // The cap runs as a WINDOW count over (block, g64) — the self-join
     // below shuffles on exactly those keys, so the window's exchange is
@@ -602,6 +615,15 @@ object DedupOps {
     * overflow the way summing full-range xxhash64 values does. A
     * colliding signature would stop one round early with probability
     * ~2⁻⁶⁴.
+    *
+    * SIZE-ADAPTIVE (r19): when the distinct non-self edge count (read
+    * off the initial signature) is at most
+    * `spark.graft.cc.localEdgeLimit` (default 500 000) and node ids are
+    * longs, the closure runs as union-by-min union-find on the DRIVER
+    * over one collect of the checkpointed edges — identical (node, min
+    * reachable id) output, zero loop jobs. Duplicate-pair edge sets are
+    * metadata-scale relative to their corpus, so this is the common
+    * case; the star loop remains the arbitrarily-large-graph path.
     */
   def connectedComponents(
       edges: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
@@ -647,7 +669,57 @@ object DedupOps {
     var e = ckpt(input.filter(col("u") =!= col("v")).distinct())
     var iter = 0
     var prev = (-1L, -1L)
-    var converged = signature(e)._1 == 0L
+    val sig0 = signature(e)
+    var converged = sig0._1 == 0L
+    // Driver-local fast path (optimization r19, guide §1.2/§5): dup-pair
+    // edge sets are METADATA-SCALE relative to the corpus they came from
+    // (pairs are the exception, not the rule), and the star-alternation
+    // loop pays ~3 driver-sequential jobs per round regardless of size —
+    // the dominant cost of every dedup closure at bench scale. When the
+    // DISTINCT non-self edge count (already known from the convergence
+    // signature) fits the bound, collect the checkpointed edges once and
+    // run union-by-min union-find on the driver — the same (node, min
+    // reachable id) fixed point, computed in O(E α(E)) with zero extra
+    // jobs. The bound is conf-tunable (`spark.graft.cc.localEdgeLimit`,
+    // default 500k edges ≈ tens of MB on the driver — the same size
+    // class as a broadcast build side); past it, or for non-long node
+    // ids, the loop below handles arbitrarily large graphs unchanged.
+    val localLimit = edges.sparkSession.conf
+      .getOption("spark.graft.cc.localEdgeLimit").map(_.toLong)
+      .getOrElse(500000L)
+    val longIds = e.schema.fields.forall(_.dataType == LongType)
+    if (!converged && longIds && sig0._1 <= localLimit) {
+      val spark = edges.sparkSession
+      val collected = e.collect() // reads the checkpointed blocks
+      release(e) // the labeling below no longer reads e
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x
+        while (parent.getOrDefault(c, c) != r) {
+          val n = parent.get(c); parent.put(c, r); c = n
+        }
+        r
+      }
+      collected.foreach { row =>
+        val ra = find(row.getLong(0))
+        val rb = find(row.getLong(1))
+        // union by MIN: the root of every tree is its component minimum,
+        // so find(node) IS the min reachable id — the loop's fixed point
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val seen = new java.util.HashSet[Long]()
+      collected.foreach { row => seen.add(row.getLong(0)); seen.add(row.getLong(1)) }
+      import scala.jdk.CollectionConverters._
+      import spark.implicits._
+      val labeled = seen.iterator().asScala
+        .map(n => (n.toLong, find(n))).toSeq
+        .toDF("node", "lbl")
+      return nodes.join(labeled, Seq("node"), "left")
+        .select(col("node"), coalesce(col("lbl"), col("node")).as("label"))
+    }
     while (!converged && iter < maxIter) {
       // large-star: (v, min(Γ⁺(u))) for every neighbor v > u.
       // Checkpointed eagerly like `small`: the small-star phase
@@ -819,18 +891,33 @@ object DedupOps {
       lineCol: String = "line",
       maxDocFreq: Int = 1): DataFrame = {
     require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    // graft-prefixed temp names + a loud guard (ADVICE r18): the former
+    // __new/__df would silently overwrite-and-drop a caller's column of
+    // the same name (the old aggregate+semi-join formulation never
+    // touched the input's columns)
+    val newCol = "__graft_line_new"
+    val dfCol = "__graft_line_df"
+    require(!lines.columns.contains(newCol) && !lines.columns.contains(dfCol),
+      s"dropDuplicatedLines: input must not carry reserved columns $newCol/$dfCol")
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(col(lineCol)).orderBy(col(idCol))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(lineCol))
     lines
-      .withColumn("__new",
+      // NULL lines drop (r19, VERDICT r18 #2): the pre-r18 semi-join
+      // dropped them (null join keys never match) and the oracle's
+      // `JOIN dfreq USING (line)` agrees; the r18 window form silently
+      // kept them. Unreachable for string_agg-built lines, but pinned
+      // explicitly — and by LineDedupSpec — so the engine can never
+      // drift from the declared oracle SQL on a future corpus.
+      .filter(col(lineCol).isNotNull)
+      .withColumn(newCol,
         when(col(idCol).isNull, 0L)
           .otherwise(when(
             coalesce(lag(col(idCol), 1).over(wOrd) =!= col(idCol), lit(true)),
             1L).otherwise(0L)))
-      .withColumn("__df", sum(col("__new")).over(wAll))
-      .filter(col("__df") <= maxDocFreq)
-      .drop("__new", "__df")
+      .withColumn(dfCol, sum(col(newCol)).over(wAll))
+      .filter(col(dfCol) <= maxDocFreq)
+      .drop(newCol, dfCol)
   }
 
   /** Reassemble surviving lines into documents: (id, text) with lines
@@ -1021,17 +1108,37 @@ object DedupOps {
             .otherwise(array()))
           .as(Seq("p", "span")))
 
-    val dupSpans = spans.select(col(idCol), col("span")).distinct()
-      .groupBy(col("span"))
-      .agg(count(lit(1)).as("__df"), min(col(idCol)).as("__owner"))
-      .filter(col("__df") >= minDocs)
-      .select(col("span") +: (if (keepFirst) Seq(col("__owner")) else Nil): _*)
-
-    // per-doc union of covered token positions (0-based), metadata-sized
-    // relative to the doc (bounded by its own token count)
-    val hits = spans.join(dupSpans, Seq("span"))
+    // ONE exchange on the span text (optimization r19, guide §2.4 —
+    // the dropDuplicatedLines rewrite): doc-frequency and the keep-first
+    // owner ride WINDOW functions over partitionBy(span) instead of the
+    // former distinct → aggregate → join-back, which derived the whole
+    // tokenize+slide+explode pass TWICE (once into the distinct's
+    // exchange, once as the join's probe side — the r18 before-plan
+    // shows both subtrees) and shuffled the span strings twice. Within
+    // the span-sorted partition a row opens a new distinct document iff
+    // its id differs from the previous row's, so the summed boundary
+    // flags equal count(distinct id) — null ids contribute 0, exactly
+    // the oracle's count(DISTINCT doc_id) semantics (the old
+    // count-over-distinct counted a null-id row once; unreachable for
+    // this engine's non-null doc ids, pinned by SpanDedupSpec). A hot
+    // boilerplate span co-locates on one task under either formulation;
+    // the window state is O(1) per row and the buffers spill.
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("span")).orderBy(col(idCol))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("span"))
+    val flagged = spans
+      .withColumn("__new",
+        when(col(idCol).isNull, 0L)
+          .otherwise(when(
+            coalesce(lag(col(idCol), 1).over(wOrd) =!= col(idCol), lit(true)),
+            1L).otherwise(0L)))
+      .withColumn("__df", sum(col("__new")).over(wAll))
+    val withOwner =
+      if (keepFirst) flagged.withColumn("__owner", min(col(idCol)).over(wAll))
+      else flagged
+    val dupHits = withOwner.filter(col("__df") >= minDocs)
     val maskedHits =
-      if (keepFirst) hits.filter(col(idCol) =!= col("__owner")) else hits
+      if (keepFirst) dupHits.filter(col(idCol) =!= col("__owner")) else dupHits
     val covered = maskedHits
       .groupBy(col(idCol))
       .agg(array_distinct(flatten(collect_list(

@@ -16,10 +16,15 @@ import org.apache.spark.sql.types.LongType
   * selection pass, top-k by weight is the standard deployment and the
   * only oracle-checkable one).
   *
-  * 100 TB shape: each model is ONE map-side-combined aggregate whose
-  * shuffle carries at most `buckets` rows; scoring explodes features
-  * once and joins the broadcast `buckets`-row ratio table, then one
-  * hash aggregate per doc. No all-pairs stage; the only sort is the
+  * 100 TB shape (r18 rewrite): the corpus is tokenized and hashed ONCE
+  * into per-(doc, bucket) counts — a map-side-combinable aggregate
+  * whose shuffle and MEMORY_AND_DISK persist carry up to
+  * |docs|×buckets rows (far below the occurrence stream, but
+  * corpus-proportional — see the cache contract on [[scores]]). The q
+  * model is those rows' per-bucket sum; the per-doc score re-reads the
+  * SAME cached rows against the broadcast `buckets`-row ratio table,
+  * then one hash aggregate per doc. The target model still pays its
+  * own slice-sized pass. No all-pairs stage; the only sort is the
   * final top-k. Model totals are two single-row aggregates
   * (metadata-scale collects).
   *
@@ -55,6 +60,17 @@ object Dsir {
     * whole corpus (a document with no features scores 0.0).
     * `log_ratio` is exactly `s / 10000.0` of the integer per-bucket
     * rounded sum — deterministic across engines and partitionings.
+    *
+    * CACHE CONTRACT (ADVICE r18): the shared per-(doc, bucket) frame
+    * stays persisted (MEMORY_AND_DISK, corpus-proportional —
+    * ≤ |docs|×`buckets` rows of three longs) because the returned
+    * frame's scoring join reads it; the CALLER must reclaim it after
+    * materializing the result — a session cache sweep
+    * (`spark.catalog.clearCache()` + unpersisting persistent RDDs, as
+    * Bench/Verify do between queries) or an explicit unpersist. A
+    * sweep BEFORE the result materializes is safe but silently re-pays
+    * the full tokenize+hash pass; repeated calls without any sweep
+    * accumulate cached frames.
     */
   def scores(
       corpus: DataFrame,
@@ -117,7 +133,8 @@ object Dsir {
     * (ties broken by id). Returns `(idCol, log_ratio, rank)`. The cut
     * is `orderBy(...).limit(k)` — Spark plans TakeOrdered (per-partition
     * top-k + driver merge), never a global sort shuffle; the rank
-    * window then runs over k rows only.
+    * window then runs over k rows only. Same cache contract as
+    * [[scores]]: the caller sweeps/unpersists after materializing.
     */
   def select(
       corpus: DataFrame,

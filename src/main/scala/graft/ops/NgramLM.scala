@@ -62,7 +62,16 @@ object NgramLM {
     * `docs.filter(col("lang") === "en")`).
     */
   def fitBigrams(ref: DataFrame, textCol: String = "text"): BigramModel = {
+    // explicit null filters (r19, guide §2.4): scoring joins `bigrams`
+    // on (w1, w2) and `starts` on w1, inferring DIFFERENT isnotnull
+    // sets into the two derivations of this aggregate — canonically
+    // different subtrees, so the reference-slice explode ran twice.
+    // Stated once here, both consumers share one exchange
+    // (ReusedExchange). w1/w2 come from a non-null token array and are
+    // never null; even a hypothetical null row could never match the
+    // equality joins that are this model's only read path.
     val bi = docBigrams(ref, Seq.empty, textCol)
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
     val starts = bi.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
     val vocab = ref

@@ -74,9 +74,19 @@ object TextAnalysis {
     * length, stopword ratio, type-token ratio, and a blended score.
     * Arithmetic is written in a fixed operation order so an oracle
     * re-implementing the same formula gets bit-identical doubles.
+    *
+    * This single-arg form re-tokenizes per signal (HOFs see no CSE);
+    * hot paths pass a MATERIALIZED tokens column to the overload.
     */
-  def qualityColumns(text: Column): Seq[Column] = {
-    val toks = tokens(text)
+  def qualityColumns(text: Column): Seq[Column] =
+    qualityColumns(text, tokens(text))
+
+  /** [[qualityColumns]] over a pre-materialized tokens column (an alias
+    * from a previous projection): each signal then reads the array
+    * attribute instead of re-running the tokenization HOF — the same
+    * single-reference discipline as [[repetitionColumns]].
+    */
+  def qualityColumns(text: Column, toks: Column): Seq[Column] = {
     val nTok = size(toks).cast(LongType)
     val nChars = length(text).cast(LongType)
     val allStop = stopwords.values.flatten.toSeq.distinct
@@ -183,15 +193,31 @@ object TextAnalysis {
       maxTopTokenFrac: Double = 0.12,
       maxDup2GramFrac: Double = 0.06): DataFrame = {
     val base = df.withColumn("__graft_toks", tokens(col(textCol)))
+    // PUSHDOWN BARRIER (optimization r19, the guide-§4.4 move for
+    // expensive expressions): without it, PushDownPredicates splits the
+    // gate and inlines the four signal expressions — INCLUDING the
+    // tokenization behind every alias reference — into a Filter below
+    // this projection, so tokens(text) ran ~5× per row and the heavy
+    // interpreted signals (gram distinct, sort+fold) ran twice for
+    // survivors (measured: gate added ~2× over signals-only at sf0.1).
+    // `__graft_gate` is 0 for every row but NONDETERMINISTIC by
+    // construction (rand, streaming-safe — CurationStream runs this on
+    // a streaming frame, where monotonically_increasing_id would
+    // throw), and filters never push through a projection carrying a
+    // nondeterministic field, so the signals are computed exactly once
+    // per row against the materialized token array. The filter also
+    // references the column, so pruning can never remove the barrier.
     val sig = base.select(
-      (Seq(col("*")) ++ qualityColumns(col(textCol)) ++
-        repetitionColumns(col("__graft_toks"))): _*)
+      (Seq(col("*")) ++ qualityColumns(col(textCol), col("__graft_toks")) ++
+        repetitionColumns(col("__graft_toks")) :+
+        (rand() * lit(0.0)).cast(LongType).as("__graft_gate")): _*)
     sig.filter(
       col("n_tokens") >= minTokens &&
         col("type_token_ratio") >= minTypeTokenRatio &&
         col("top_token_frac") <= maxTopTokenFrac &&
-        col("dup_2gram_frac") <= maxDup2GramFrac)
-      .drop("__graft_toks")
+        col("dup_2gram_frac") <= maxDup2GramFrac &&
+        col("__graft_gate") === 0L)
+      .drop("__graft_toks", "__graft_gate")
   }
 
   /** Exact content fingerprint — MD5 over the raw text bytes. */

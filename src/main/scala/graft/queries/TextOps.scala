@@ -1788,15 +1788,18 @@ object TextOps {
       index, allBands.filter(col("batch") === b).drop("batch"), "dedup", b))
     val committed = index.read()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val perBatch = (1L to 3L).map { b =>
-      // settledBefore = b-1: every earlier batch is fully delivered when
-      // the next arrives in this simulator, so the probe skips the
-      // crash-sliver doc exclusion entirely (DedupIndex scaladoc)
-      graft.stream.DedupIndex.survivorsFromCommitted(
-          committed, b, settledBefore = Some(b - 1), priorSettled = true)
-        .withColumn("batch", lit(b))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
+    // ALL batches' survivors in one window+aggregate pass over the
+    // committed read (r19): the sequential backfill above satisfies
+    // survivorsBackfill's settled-disjoint preconditions, so one shared
+    // derivation replaces three per-batch probe pipelines (each several
+    // joins/distincts/broadcast builds — measured ~1.1 s apiece at
+    // sf0.1). Spec-asserted equal to the per-batch probes; the replay
+    // below still exercises the full step (commit + probe) path.
+    val allSurvivors = graft.stream.DedupIndex.survivorsBackfill(committed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // plain filter views of the one cached derivation — no per-batch
+    // persists needed anymore (each was a full probe pipeline before)
+    val perBatch = (1L to 3L).map(b => allSurvivors.filter(col("batch") === b))
     // index growth is tracked in snapshot metadata — zero-job reads
     def indexRows: Long =
       index.metadata.currentSnapshot.map(_.totalRows).getOrElse(0L)

@@ -160,6 +160,44 @@ object DedupIndex {
       .join(dropped, Seq("doc_id"), "left_anti")
   }
 
+  /** BULK backfill derivation (optimization r19): every batch's
+    * survivors from ONE pass over a committed index read, replacing K
+    * per-batch [[survivorsFromCommitted]] probes (each several
+    * joins/distincts/broadcast builds) when a caller has sequenced K
+    * settled, disjoint commits and wants them all. Returns
+    * (doc_id, batch) — filter on `batch` for a single batch's set.
+    *
+    * The derivation: within each (band_id, band_sig) partition the
+    * first row by (batch_id, doc_id) is the signature's first-seen
+    * occurrence; a doc survives iff EVERY one of its rows is its
+    * signature's first — exactly online first-seen-wins (an earlier
+    * batch's row, accepted or rejected, or a smaller same-batch id,
+    * makes some row non-first). One window + one per-doc aggregate;
+    * the window keys on the same (band, sig) clustering the index's
+    * bucket partitioning already groups.
+    *
+    * PRECONDITIONS (the sequential-backfill shape, same as passing
+    * `priorSettled = true` per batch): batches are doc-disjoint and
+    * fully delivered — no crash slivers. Byte-equivalence to the
+    * per-batch probes under these preconditions is spec-asserted
+    * (DedupIndexSpec) and oracle-checked end to end
+    * (q_text_dedup_incremental).
+    */
+  def survivorsBackfill(committed: DataFrame): DataFrame = {
+    val wSig = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_id", "band_sig")
+    committed
+      .withColumn("__graft_first",
+        min(struct(col("batch_id"), col("doc_id"))).over(wSig))
+      .withColumn("__graft_dup",
+        when(struct(col("batch_id"), col("doc_id")) =!= col("__graft_first"),
+          1).otherwise(0))
+      .groupBy(col("doc_id"), col("batch_id"))
+      .agg(max(col("__graft_dup")).as("__graft_any"))
+      .filter(col("__graft_any") === 0)
+      .select(col("doc_id"), col("batch_id").as("batch"))
+  }
+
   private def probeAndCommit(
       index: LakehouseTable,
       batchBands: DataFrame,

@@ -27,14 +27,45 @@ object PlanDump {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_PLAN_EXEC=1: execute through the noop sink first and
+    // dump the FINAL adaptive plan — the only place AQE's runtime
+    // decisions (ReusedExchange/stage reuse, join rewrites, coalescing)
+    // are visible; the static initial plan cannot show them.
+    val exec = sys.env.get("SPARK_GRAFT_PLAN_EXEC").contains("1")
+    // the noop save runs its OWN QueryExecution (the original df's stays
+    // unexecuted) — capture the executed one via a listener
+    @volatile var lastQe: Option[org.apache.spark.sql.execution.QueryExecution] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        lastQe = Some(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    if (exec) spark.listenerManager.register(listener)
     names.foreach { n =>
       val df = graft.queries.Registry.byName(n).run(spark, sfDir)
-      val txt = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+      if (exec) {
+        lastQe = None
+        df.write.format("noop").mode("overwrite").save()
+        // listener delivery is async — bounded wait for the event
+        val deadline = System.nanoTime() + 10_000_000_000L
+        while (lastQe.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      }
+      val txt = (if (exec) lastQe.map(_.explainString(
+          org.apache.spark.sql.execution.FormattedMode)).getOrElse(
+          df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+        else df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
       java.nio.file.Files.write(
         outDir.resolve(s"${n}_$suffix.txt"),
         txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(s"[plandump] wrote $n ($suffix)")
+      if (exec) graft.util.QuietLogs.quietly(graft.util.QuietLogs.SparkRddPackage) {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
     spark.stop()
   }

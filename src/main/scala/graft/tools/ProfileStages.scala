@@ -146,6 +146,59 @@ object ProfileStages {
         DedupOps.minHashBandsPortable(docs.select(col("doc_id"), col("text")))
       }
       sweep(spark)
+      // phase-level replica of incrementalDedupFlow with wall timers
+      import org.apache.hadoop.fs.Path
+      def phase[T](label: String)(body: => T): T = {
+        spark.sparkContext.setJobDescription(label)
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"[profile] $label%-42s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+        r
+      }
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      val batched = docs.select(col("doc_id"), col("text"))
+        .withColumn("batch", ntile(3).over(w).cast("long"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      phase("inc: batched persist fill")(batched.write.format("noop").mode("overwrite").save())
+      val allBands = DedupOps.minHashBandsPortable(batched)
+        .join(batched.select(col("doc_id"), col("batch")), Seq("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      phase("inc: allBands persist fill")(allBands.write.format("noop").mode("overwrite").save())
+      val index = phase("inc: createIndex")(graft.stream.DedupIndex.createIndex(
+        spark, new Path(
+          java.nio.file.Files.createTempDirectory("graft-prof-di").toString,
+          "dedup_index")))
+      (1L to 3L).foreach(b => phase(s"inc: commitBatch $b")(
+        graft.stream.DedupIndex.commitBatch(
+          index, allBands.filter(col("batch") === b).drop("batch"), "dedup", b)))
+      val committed = index.read().persist(StorageLevel.MEMORY_AND_DISK)
+      phase("inc: committed persist fill")(committed.write.format("noop").mode("overwrite").save())
+      val perBatch = (1L to 3L).map { b =>
+        phase(s"inc: survivors batch $b") {
+          val s = graft.stream.DedupIndex.survivorsFromCommitted(
+            committed, b, settledBefore = Some(b - 1), priorSettled = true)
+            .withColumn("batch", lit(b))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          s.write.format("noop").mode("overwrite").save()
+          s
+        }
+      }
+      val replayed = phase("inc: replay step (commit+probe)") {
+        val r = graft.stream.DedupIndex.step(
+          index, allBands.filter(col("batch") === 3L).drop("batch"),
+          "dedup", 3L, settledBefore = Some(2L))
+        r.write.format("noop").mode("overwrite").save()
+        r
+      }
+      phase("inc: final union+check") {
+        val replayCheck = replayed.agg(count(lit(1)).as("__replay_n")).crossJoin(
+          perBatch.last.agg(count(lit(1)).as("__orig_n")))
+        perBatch.reduce(_ unionByName _)
+          .crossJoin(broadcast(replayCheck))
+          .orderBy("doc_id")
+          .write.format("noop").mode("overwrite").save()
+      }
+      sweep(spark)
     }
 
     if (which("jaccard")) {
@@ -197,6 +250,30 @@ object ProfileStages {
       time("q_text_line_dedup end-to-end") {
         graft.queries.Registry.byName("q_text_line_dedup").run(spark, sfDir)
       }
+      sweep(spark)
+    }
+
+    if (which("gopher")) {
+      val docs = t(spark, sfDir, "documents")
+      time("tokens only")(docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk")))
+      sweep(spark)
+      val base = docs.withColumn("__graft_toks", TextAnalysis.tokens(col("text")))
+      time("qualityColumns projection") {
+        docs.select(Seq(col("doc_id")) ++ TextAnalysis.qualityColumns(col("text")): _*)
+      }
+      sweep(spark)
+      time("repetitionColumns projection") {
+        base.select(Seq(col("doc_id")) ++ TextAnalysis.repetitionColumns(col("__graft_toks")): _*)
+      }
+      sweep(spark)
+      time("signals only (no gate filter)") {
+        base.select((Seq(col("*")) ++ TextAnalysis.qualityColumns(col("text")) ++
+          TextAnalysis.repetitionColumns(col("__graft_toks"))): _*)
+      }
+      sweep(spark)
+      time("gopherFilter (signals + gate)")(TextAnalysis.gopherFilter(docs, "text"))
+      sweep(spark)
+      time("gopherFilter again (warm)")(TextAnalysis.gopherFilter(docs, "text"))
       sweep(spark)
     }
 

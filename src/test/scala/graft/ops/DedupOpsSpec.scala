@@ -128,14 +128,46 @@ class DedupOpsSpec extends SparkSpec {
     sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     // A 2000-node path needs many star-alternation rounds — the shape
     // where the old leak accumulated ~2 persisted block sets per round.
+    // Force the DISTRIBUTED path (r19: edge sets this small normally
+    // take the driver-local union-find) so the loop's release
+    // discipline stays covered.
+    spark.conf.set("spark.graft.cc.localEdgeLimit", "0")
     val chain = (0 until 2000).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
-    val labels = DedupOps.connectedComponents(chain, maxIter = 40)
-    assert(labels.count() == 2001L)
-    // After the run only `input` and the final edge set may remain
-    // persisted (the result frame still reads them); a leak on this
-    // many rounds would leave dozens of entries.
-    val live = sc.getPersistentRDDs.size
-    assert(live <= 3, s"expected ≤3 persisted checkpoint block sets, found $live")
+    try {
+      val labels = DedupOps.connectedComponents(chain, maxIter = 40)
+      assert(labels.count() == 2001L)
+      // After the run only `input` and the final edge set may remain
+      // persisted (the result frame still reads them); a leak on this
+      // many rounds would leave dozens of entries.
+      val live = sc.getPersistentRDDs.size
+      assert(live <= 3, s"expected ≤3 persisted checkpoint block sets, found $live")
+    } finally spark.conf.unset("spark.graft.cc.localEdgeLimit")
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
+  test("connectedComponents local fast path agrees with the distributed loop " +
+    "and releases its edge blocks") {
+    val sc = spark.sparkContext
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val edges = ((0 until 500).map(i => (i.toLong, i + 1L)) ++
+      Seq((10000L, 10001L), (42L, 42L), (77777L, 77777L)))
+      .toDF("doc_a", "doc_b")
+    // default limit (500k) ⇒ local union-find
+    val local = DedupOps.connectedComponents(edges, maxIter = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // after the local path only `input` may stay persisted (the result
+    // frame's labeling join reads it); the collected edge set must not
+    val liveLocal = sc.getPersistentRDDs.size
+    assert(liveLocal <= 2, s"local path leaked blocks: $liveLocal live")
+    spark.conf.set("spark.graft.cc.localEdgeLimit", "0")
+    try {
+      val dist = DedupOps.connectedComponents(edges, maxIter = 40)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == local, "local union-find must equal star alternation")
+    } finally spark.conf.unset("spark.graft.cc.localEdgeLimit")
+    assert(local(10001L) == 10000L)
+    assert(local(77777L) == 77777L, "self-loop-only node labels itself")
+    assert((0 to 500).forall(i => local(i.toLong) == 0L))
     sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 

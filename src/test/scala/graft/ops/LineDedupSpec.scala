@@ -47,6 +47,27 @@ class LineDedupSpec extends SparkSpec {
       "raising the threshold keeps the shared line")
   }
 
+  test("dropDuplicatedLines drops NULL lines (oracle join semantics) and " +
+    "refuses reserved temp columns") {
+    val lines = Seq(
+      (Some(1L), 0L, Some("keep me")),
+      (Some(1L), 1L, None: Option[String]),
+      (Some(2L), 0L, None: Option[String])
+    ).toDF("doc_id", "line_no", "line")
+    // pre-r18 semi-join and the declared oracle SQL (JOIN dfreq USING
+    // (line)) both drop null lines; pinned so the window form can never
+    // silently keep them on a future corpus
+    val kept = DedupOps.dropDuplicatedLines(lines, maxDocFreq = 1)
+      .select("line").collect().map(_.getString(0)).toSeq
+    assert(kept == Seq("keep me"))
+    // a caller column colliding with the internal temp names must fail
+    // loudly instead of being silently overwritten and dropped
+    val clash = lines.withColumn("__graft_line_df", lit(1L))
+    intercept[IllegalArgumentException] {
+      DedupOps.dropDuplicatedLines(clash, maxDocFreq = 1)
+    }
+  }
+
   test("reassembleLines restores line order regardless of input order") {
     val lines = Seq(
       (1L, 2L, "three"), (1L, 0L, "one"), (1L, 1L, "two")

@@ -42,6 +42,21 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(1) == ((1L, "dd ee ff gg", 10L)))
   }
 
+  test("null doc ids contribute 0 to span doc-frequency (count-distinct semantics)") {
+    import spark.implicits._
+    // the shared passage occurs in ONE real doc and one null-id row: df
+    // must read 1 (count(DISTINCT doc_id) ignores nulls — the oracle's
+    // semantics, pinned for the r19 window rewrite), so nothing masks
+    val docs = Seq(
+      (Some(0L), s"aa bb $passage cc"),
+      (None: Option[Long], s"$passage dd ee"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.maskDuplicatedSpans(docs, window = 8, minDocs = 2)
+      .filter(col("doc_id").isNotNull).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, s"aa bb $passage cc", 0L)))
+  }
+
   test("minDocs=3 spares a span shared by only two docs") {
     val out = DedupOps.maskDuplicatedSpans(corpus, window = 8, minDocs = 3)
       .agg(sum("n_masked")).collect()(0).getLong(0)

@@ -79,6 +79,28 @@ class DedupIndexSpec extends SparkSpec {
     assert(survivors(DedupIndex.step(a, b2, "q", 2L)) == Set(6L))
   }
 
+  test("survivorsBackfill equals per-batch survivorsFromCommitted on settled commits") {
+    val idx = fresh("g")
+    // cross-batch dups, intra-batch ties, multi-band docs, rejected-doc
+    // poisoning — every rule the per-batch probe implements
+    val b1 = bands((1L, 0L, 10L), (2L, 0L, 10L), (2L, 1L, 20L), (3L, 2L, 30L))
+    val b2 = bands((4L, 1L, 20L), (5L, 0L, 50L), (6L, 0L, 50L), (6L, 3L, 70L))
+    val b3 = bands((7L, 3L, 70L), (8L, 4L, 80L))
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      DedupIndex.commitBatch(idx, b, "q", i + 1L)
+    }
+    val committed = idx.read()
+    val bulk = DedupIndex.survivorsBackfill(committed)
+    (1L to 3L).foreach { b =>
+      val perBatch = survivors(DedupIndex.survivorsFromCommitted(
+        committed, b, settledBefore = Some(b - 1), priorSettled = true))
+      val fromBulk = survivors(
+        bulk.filter(org.apache.spark.sql.functions.col("batch") === b))
+      assert(fromBulk == perBatch, s"batch $b: bulk $fromBulk != probe $perBatch")
+    }
+    assert(survivors(bulk) == Set(1L, 3L, 5L, 8L))
+  }
+
   test("incremental equals global: batch-by-batch == one-shot over the union") {
     val idx = fresh("e")
     val all = Seq(
