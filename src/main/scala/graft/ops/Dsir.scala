@@ -98,19 +98,27 @@ object Dsir {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = perDoc.groupBy("bucket").agg(sum("cnt").as("cq"))
     val ratioLocal = try {
-      val np = Option(p.agg(sum("cp")).head().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L).toDouble
-      val nq = Option(perDoc.agg(sum("cnt")).head().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L).toDouble
+      // model totals ride the ratio job as broadcast one-row aggregates
+      // (r19): previously np and nq were two separate head() jobs ahead
+      // of the collect — three sequential driver jobs for one
+      // metadata-scale table. The sums are exact longs cast to double
+      // exactly as before (addition of exact integers < 2^53 is the
+      // same IEEE double either way), so every delta stays
+      // bit-identical to the two-job formulation and to the oracle.
+      val totals = q.agg(coalesce(sum("cq"), lit(0L)).as("__nq"))
+        .crossJoin(p.agg(coalesce(sum("cp"), lit(0L)).as("__np")))
       // every scorable feature is a CORPUS feature by construction, so
       // q is the spine; target-only buckets can never be referenced.
       // The delta is computed by SPARK's round (collected afterwards),
       // so its HALF_UP semantics stay bit-identical to the oracle's.
       val ratios = q.join(p, Seq("bucket"), "left")
         .na.fill(0L, Seq("cp"))
+        .crossJoin(broadcast(totals))
         .select(col("bucket"),
-          round((log((col("cp") + 1.0) / (np + buckets)) -
-            log((col("cq") + 1.0) / (nq + buckets))) * 10000.0)
+          round((log((col("cp") + 1.0) /
+              (col("__np").cast("double") + lit(buckets.toDouble))) -
+            log((col("cq") + 1.0) /
+              (col("__nq").cast("double") + lit(buckets.toDouble)))) * 10000.0)
             .cast(LongType).as("delta"))
       corpus.sparkSession.createDataFrame(
         java.util.Arrays.asList(ratios.collect(): _*), ratios.schema)

@@ -46,6 +46,13 @@ object Retrieval {
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col(idCol), size(col("toks")).cast(LongType).as("dl"),
         explode(col("toks")).as("term"))
+      // explicit null filter (r19, guide §2.4): search consumers join on
+      // `term` and push an inferred isnotnull(term) through this
+      // aggregate while corpusStats does not — canonically different
+      // subtrees, so the corpus explode+aggregate ran per consumer.
+      // Stated once here (tokens are never null — vacuous), all three
+      // consumers share one exchange.
+      .filter(col("term").isNotNull)
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
 
